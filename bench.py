@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed as Spark would in production: full plan execution with
+results drained (count on the final DataFrame) — no .collect() of big results
+to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from disq_original_spark.queries import QUERIES  # noqa: E402
+from disq_original_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family — scans/joins/aggs/windows/sets/
+# strings/intervals + the training-data ops.
+HEADLINE = [
+    "q02_filter",
+    "q04_inner_join",
+    "q05_broadcast_join",
+    "q09_range_join",
+    "q10_hash_aggregate",
+    "q11_distinct_aggregate",
+    "q15_window_rank",
+    "q18_topk",
+    "q20_intersect",
+    "q24_math",
+    "q30_tumbling_window",
+    "g01_interval_filter",
+    "d01_exact_dedup",
+    "d03_minhash_lsh",
+    "d04_ngram_jaccard",
+    "d05_embedding_neardup",
+    "d06_simhash",
+    "s01_knn_bruteforce",
+    "t02_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="disq-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/session so q1 doesn't pay session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = QUERIES[name]
+        t0 = time.perf_counter()
+        df = q.build(spark, sf_dir)
+        # Drain the full result without shipping rows to the driver.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

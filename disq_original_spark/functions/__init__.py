@@ -1,0 +1,72 @@
+"""Reusable native column expressions (JVM-side, whole-stage-codegen friendly).
+
+Everything here is built from ``pyspark.sql.functions`` — no Python UDFs — so
+these expressions stay inside Tungsten codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Stopword list shared by quality scoring / language heuristics (and mirrored
+# verbatim in the DuckDB oracles).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization of lowercased, trimmed text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def word_shingles(tok: Column, k: int = 5) -> Column:
+    """Word k-gram shingles; documents shorter than k words collapse to a
+    single whole-document shingle.  Native ``transform``/``slice`` — no UDF."""
+    short = F.array(F.concat_ws(" ", tok))
+    full = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(tok, i, k)),
+    )
+    return F.when(F.size(tok) >= k, full).otherwise(short)
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 8) -> list[Column]:
+    """MinHash signature using seeded md5 over shingles.
+
+    The "min" is the lexicographic minimum of fixed-width md5 hex strings,
+    which equals the numeric minimum — deterministic and engine-portable
+    (the DuckDB oracle computes the identical expression).
+    """
+    return [
+        F.array_min(F.transform(shingles, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s))))
+        .alias(f"mh{j}")
+        for j in range(n_hashes)
+    ]
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns, computed in float64
+    via native higher-order functions (zip_with/aggregate) — JVM-side."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def stopword_count(tok: Column) -> Column:
+    return F.size(F.filter(tok, lambda x: x.isin(*STOPWORDS)))
+
+
+def punct_count(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.length(F.regexp_replace(c, r"[^.!?,;:]", ""))
+
+
+def normalized_fingerprint(text: Column | str, length: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text, truncated to ``length`` hex chars."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.substring(F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")), 1, length)

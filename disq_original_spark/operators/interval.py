@@ -1,0 +1,137 @@
+"""Genomic-interval operators, Spark-first.
+
+Reference semantics (tomwhite/disq-original):
+- a record matches if its span overlaps ANY interval
+  (`sam/TraversalOverlapDetector.java:22-33`);
+- unplaced-unmapped records (no contig/position) are additionally admitted
+  when the traversal flag is set
+  (`HtsjdkReadsTraversalParameters.java:13-30`,
+  `sam/AbstractBinarySamSource.java:115-132`).
+
+Here the interval list is a (small) DataFrame broadcast into an overlap join —
+the relational form of the reference's index pushdown.  Byte-level pushdown
+(only *reading* overlapping file regions) lives in the sources package; this
+module is the post-scan residual filter, which Catalyst pushes into the scan
+when the source supports it (parquet min/max row-group pruning does the same
+job the genomics indexes do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def overlaps(
+    contig: Column,
+    start: Column,
+    end: Column,
+    i_contig: Column,
+    i_start: Column,
+    i_end: Column,
+) -> Column:
+    """1-based closed-interval overlap predicate (htsjdk Locatable semantics)."""
+    return (contig == i_contig) & (start <= i_end) & (end >= i_start)
+
+
+def interval_filter(
+    records: DataFrame,
+    intervals: DataFrame,
+    contig: str = "contig",
+    start: str = "start",
+    end: str = "end",
+    include_unplaced: bool = False,
+) -> DataFrame:
+    """Keep records overlapping ANY interval (left-semi against a broadcast
+    interval list), optionally unioned with unplaced-unmapped records.
+
+    ``intervals`` must have columns (contig, start, end).  Mirrors
+    `HtsjdkReadsTraversalParameters` = interval list + unplaced flag; the
+    `intervals is None and not unplaced` error is the reference's contract
+    (`AbstractBinarySamSource.java:50-54`).
+    """
+    if intervals is None and not include_unplaced:
+        raise ValueError("intervals may not be None when include_unplaced is False")
+    iv = F.broadcast(
+        intervals.select(
+            F.col("contig").alias("_i_contig"),
+            F.col("start").alias("_i_start"),
+            F.col("end").alias("_i_end"),
+        )
+    )
+    matched = (
+        records.join(
+            iv,
+            overlaps(
+                F.col(contig),
+                F.col(start),
+                F.col(end),
+                F.col("_i_contig"),
+                F.col("_i_start"),
+                F.col("_i_end"),
+            ),
+            "left_semi",
+        )
+        if intervals is not None
+        else None
+    )
+    if not include_unplaced:
+        return matched
+    unplaced = records.filter(F.col(contig).isNull())
+    return unplaced if matched is None else matched.unionByName(unplaced)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_contig: tuple[str, str],
+    left_span: tuple[str, str],
+    right_span: tuple[str, str],
+    bin_size: int | None = None,
+) -> DataFrame:
+    """Interval-overlap inner join.
+
+    Without ``bin_size``: equi-join on contig with range residuals (fine when
+    one side is broadcastable).  With ``bin_size``: both sides are replicated
+    to the genomic bins their span touches and the join runs on
+    (contig, bin) — the standard bucketed range-join that keeps the shuffle
+    key selective at 100 TB scale.
+    """
+    lc, rc = on_contig
+    ls, le = left_span
+    rs, re_ = right_span
+    a = left.alias("l")
+    b = right.alias("r")
+    range_pred = (F.col(f"l.{ls}") <= F.col(f"r.{re_}")) & (
+        F.col(f"l.{le}") >= F.col(f"r.{rs}")
+    )
+    if bin_size is None:
+        return a.join(b, (F.col(f"l.{lc}") == F.col(f"r.{rc}")) & range_pred)
+
+    def binned(df: DataFrame, alias: str, c: str, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    (F.col(s) / bin_size).cast("long"), (F.col(e) / bin_size).cast("long")
+                )
+            ),
+        ).alias(alias)
+
+    ab = binned(left, "l", lc, ls, le)
+    bb = binned(right, "r", rc, rs, re_)
+    joined = ab.join(
+        bb,
+        (F.col(f"l.{lc}") == F.col(f"r.{rc}"))
+        & (F.col("l._bin") == F.col("r._bin"))
+        & range_pred
+        # dedup: count the pair only in the first shared bin
+        & (
+            F.col("l._bin")
+            == F.greatest(
+                (F.col(f"l.{ls}") / bin_size).cast("long"),
+                (F.col(f"r.{rs}") / bin_size).cast("long"),
+            )
+        ),
+    )
+    return joined.drop("_bin")

@@ -1,0 +1,311 @@
+r"""Deduplication operators for a training-data pipeline (d01–d06).
+
+Scale design notes (the whole point of these):
+
+- **Exact** (d01/d02): hash-groupBy on md5(text) — one shuffle of (hash, id),
+  never of the full text.  At 100 TB you shuffle ~50 bytes/doc.
+- **MinHash+LSH** (d03): shingle → seeded-md5 minhash signature → band keys →
+  equi-join on (band_idx, band_key).  Candidate generation is an equi-join, so
+  Catalyst gives a shuffled hash join on a short key; no all-pairs product.
+  Hot buckets (boilerplate docs) are the skew risk — AQE skew-join handles
+  moderate skew, salting the band key is the 1000-executor escape hatch.
+- **N-gram Jaccard** (d04): inverted-index join on distinct shingles, partial
+  count per pair, then jaccard from per-doc shingle counts.  Join key is the
+  shingle string; frequency-capped in real pipelines (drop shingles with
+  document-frequency > threshold) to bound blowup — the cap is a plain filter
+  on a broadcast DF-count aggregate.
+- **SimHash** (d06): 16-bit signature via native bit ops; candidate pairing
+  (tests) uses the pigeonhole band trick (equal half ⇒ hamming ≤ threshold
+  candidates), again an equi-join.
+- **Embedding near-dup** (d05): label-blocked cosine join (blocking key stands
+  in for an IVF/LSH bucket id at scale).
+
+Every query has a DuckDB oracle computing the *identical* deterministic
+expression (seeded md5 minhash uses lexicographic-min over fixed-width hex,
+which both engines order identically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cosine_similarity, minhash_signature, tokens, word_shingles
+from ..tables import load_table
+from .registry import query
+
+# DuckDB fragments mirrored by the Spark builders -----------------------------
+_TOK_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+# word 5-gram shingles; short docs collapse to one whole-doc shingle
+_SHINGLES_SQL = (
+    f"CASE WHEN len({_TOK_SQL}) >= 5 THEN "
+    f"list_transform(range(1, len({_TOK_SQL}) - 3), "
+    f"i -> array_to_string(({_TOK_SQL})[i:i+4], ' ')) "
+    f"ELSE [array_to_string({_TOK_SQL}, ' ')] END"
+)
+
+
+# ---------------------------------------------------------------- d01 exact dedup
+@query(
+    "d01_exact_dedup",
+    """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+       FROM documents GROUP BY md5(text) ORDER BY h""",
+    doc="Exact dedup: hash-groupBy; shuffle carries (hash, doc_id) only.",
+)
+def d01(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select(F.md5("text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n"))
+        .orderBy("h")
+    )
+
+
+# ---------------------------------------------------------------- d02 dedup stats
+@query(
+    "d02_dedup_stats",
+    """SELECT count(*) AS total, count(DISTINCT md5(text)) AS uniq
+       FROM documents""",
+)
+def d02(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_distinct(F.md5("text")).alias("uniq"),
+    )
+
+
+# ---------------------------------------------------------------- d03 minhash LSH
+_N_HASHES = 8
+_N_BANDS = 4  # bands of 2 hashes each
+
+_SIG_SQL = ", ".join(
+    f"list_min(list_transform(shingles, s -> md5('{j}:' || s))) AS mh{j}"
+    for j in range(_N_HASHES)
+)
+_BANDS_SQL = "\n UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, md5(mh{2 * b} || mh{2 * b + 1}) AS band_key FROM sig"
+    for b in range(_N_BANDS)
+)
+
+
+@query(
+    "d03_minhash_lsh",
+    f"""WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+        sig AS (SELECT doc_id, {_SIG_SQL} FROM sh),
+        bands AS ({_BANDS_SQL})
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        ORDER BY a_id, b_id""",
+    doc="MinHash(8)+LSH(4 bands×2): candidate near-dup pairs via band equi-join.",
+)
+def d03(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    sh = d.select("doc_id", word_shingles(tokens("text"), 5).alias("shingles"))
+    sig = sh.select("doc_id", *minhash_signature(F.col("shingles"), _N_HASHES))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias("band_key"),
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_idx", "b.band_key"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------- d04 n-gram jaccard
+@query(
+    "d04_ngram_jaccard",
+    f"""WITH sh AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents),
+        cnt AS (SELECT doc_id, CAST(len(sh) AS DOUBLE) AS n FROM sh),
+        ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                          CAST(count(*) AS DOUBLE) AS shared
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+        SELECT a_id, b_id,
+               round(shared / (ca.n + cb.n - shared), 3) AS jac
+        FROM shared
+        JOIN cnt ca ON ca.doc_id = a_id
+        JOIN cnt cb ON cb.doc_id = b_id
+        WHERE round(shared / (ca.n + cb.n - shared), 3) >= 0.4
+        ORDER BY a_id, b_id""",
+    doc="Inverted-index Jaccard over distinct word 5-grams; pair candidates "
+    "come from the shingle equi-join (no all-pairs).",
+)
+def d04(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    sh = d.select(
+        "doc_id", F.array_distinct(word_shingles(tokens("text"), 5)).alias("sh")
+    )
+    cnt = sh.select("doc_id", F.size("sh").cast("double").alias("n"))
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).cast("double").alias("shared"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.round(
+        F.col("shared") / (F.col("ca.n") + F.col("cb.n") - F.col("shared")), 3
+    )
+    return (
+        shared.join(ca, F.col("ca.doc_id") == F.col("a_id"))
+        .join(cb, F.col("cb.doc_id") == F.col("b_id"))
+        .select("a_id", "b_id", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.4)
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------- d05 embedding near-dup
+@query(
+    "d05_embedding_neardup",
+    """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+       FROM embeddings a JOIN embeddings b
+         ON a.label = b.label AND a.vec_id < b.vec_id
+       WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.95
+       ORDER BY a_id, b_id""",
+    doc="Embedding-cosine near-dup with label blocking (blocking key = IVF/LSH "
+    "bucket at scale); cosine via native zip_with/aggregate, no UDF.",
+)
+def d05(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.round(cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.95)
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------- d06 simhash signature
+_SIMHASH_BITS = 16
+
+_BIT_SUMS_SQL = ", ".join(
+    f"sum(CASE WHEN (v >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+    for j in range(_SIMHASH_BITS)
+)
+_BIT_CHARS_SQL = " || ".join(
+    f"CASE WHEN s{j} >= 0 THEN '1' ELSE '0' END" for j in range(_SIMHASH_BITS - 1, -1, -1)
+)
+
+
+@query(
+    "d06_simhash",
+    f"""WITH tok AS (SELECT doc_id,
+                            unnest(list_distinct({_TOK_SQL})) AS w
+                     FROM documents),
+        h AS (SELECT doc_id,
+                     CAST(('0x' || substr(md5(w), 1, 4)) AS INTEGER) AS v
+              FROM tok),
+        bits AS (SELECT doc_id, {_BIT_SUMS_SQL} FROM h GROUP BY doc_id)
+        SELECT doc_id, {_BIT_CHARS_SQL} AS simhash
+        FROM bits ORDER BY doc_id""",
+    doc="16-bit SimHash over distinct tokens (md5-derived token hash, native "
+    "bit ops both engines).  Near-dup candidates pair on equal 8-bit halves "
+    "(pigeonhole) — exercised in tests.",
+)
+def d06(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w")
+    )
+    h = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int").alias("v"),
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("v"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    bits = h.groupBy("doc_id").agg(*bit_sums)
+    bit_chars = [
+        F.when(F.col(f"s{j}") >= 0, "1").otherwise("0")
+        for j in range(_SIMHASH_BITS - 1, -1, -1)
+    ]
+    return bits.select("doc_id", F.concat(*bit_chars).alias("simhash")).orderBy("doc_id")
+
+
+def simhash_candidate_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Scalable SimHash pairing: equi-join on either 8-bit half (pigeonhole
+    banding), then exact hamming filter.  Used by tests; not oracle-checked
+    directly (d06 signatures are)."""
+    halves = sig.select(
+        "doc_id",
+        "simhash",
+        F.substring("simhash", 1, 8).alias("hi"),
+        F.substring("simhash", 9, 8).alias("lo"),
+    )
+    a = halves.alias("a")
+    b = halves.alias("b")
+    lt = F.col("a.doc_id") < F.col("b.doc_id")
+    cand = (
+        a.join(b, (F.col("a.hi") == F.col("b.hi")) & lt)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .unionByName(
+            a.join(b, (F.col("a.lo") == F.col("b.lo")) & lt).select(
+                F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"),
+                F.col("a.simhash").alias("sa"),
+                F.col("b.simhash").alias("sb"),
+            )
+        )
+        .distinct()
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.split(F.col("sa"), ""),
+            F.split(F.col("sb"), ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hd", hamming)
+        .filter(F.col("hd") <= max_hamming)
+        .select("a_id", "b_id", "hd")
+        .orderBy("a_id", "b_id")
+    )

@@ -1,0 +1,106 @@
+"""Genomic-shaped operators declared in relational form (g01–g02).
+
+The reference's core query capability is "records overlapping a list of
+genomic intervals" (interval pushdown + residual overlap filter,
+`sam/AbstractBinarySamSource.java:96-113`, `TraversalOverlapDetector.java`).
+These queries exercise the same semantics on the driver's testdata so the
+DuckDB oracle can hash-check them; the genomics sources reuse the same
+operators on real SAM/BAM/VCF DataFrames (tests/test_sam.py etc.).
+
+The "contig" is event_type and the position axis is the event timestamp.
+Interval bounds are compared as timestamps directly (micros precision in both
+engines) — epoch()/unix_timestamp() would round differently across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+from ..tables import load_table
+from .registry import query
+
+_INTERVALS = [
+    ("purchase", "2024-01-03 00:00:00", "2024-01-05 00:00:00"),
+    ("error", "2024-01-10 12:00:00", "2024-01-11 00:00:00"),
+    ("purchase", "2024-01-20 00:00:00", "2024-01-21 06:00:00"),
+]
+
+_INTERVALS_SQL = ", ".join(
+    f"('{c}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for c, s, e in _INTERVALS
+)
+
+
+def _intervals_df(spark: SparkSession) -> DataFrame:
+    import datetime as _dt
+
+    schema = StructType(
+        [
+            StructField("contig", StringType()),
+            StructField("istart", TimestampType()),
+            StructField("iend", TimestampType()),
+        ]
+    )
+    rows = [
+        (
+            c,
+            _dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S"),
+            _dt.datetime.strptime(e, "%Y-%m-%d %H:%M:%S"),
+        )
+        for c, s, e in _INTERVALS
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def _overlap_cond() -> F.Column:
+    return (
+        (F.col("event_type") == F.col("contig"))
+        & (F.col("ts") >= F.col("istart"))
+        & (F.col("ts") <= F.col("iend"))
+    )
+
+
+@query(
+    "g01_interval_filter",
+    f"""SELECT e.event_id FROM events e
+        WHERE EXISTS (
+          SELECT 1 FROM (VALUES {_INTERVALS_SQL}) AS iv(contig, istart, iend)
+          WHERE iv.contig = e.event_type AND e.ts BETWEEN iv.istart AND iv.iend)
+        ORDER BY e.event_id""",
+    doc="Multi-interval overlap filter (HtsjdkReadsTraversalParameters analog): "
+    "broadcast interval list, left-semi overlap join.",
+)
+def g01(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    iv = _intervals_df(spark)
+    return (
+        e.join(F.broadcast(iv), _overlap_cond(), "left_semi")
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "g02_interval_join",
+    f"""SELECT strftime(iv.istart, '%Y-%m-%d %H:%M') AS interval_start,
+               e.event_type, count(*) AS n
+        FROM events e
+        JOIN (VALUES {_INTERVALS_SQL}) AS iv(contig, istart, iend)
+          ON iv.contig = e.event_type AND e.ts BETWEEN iv.istart AND iv.iend
+        GROUP BY iv.istart, e.event_type
+        ORDER BY interval_start, e.event_type""",
+    doc="Interval join + per-interval aggregation (depth-of-coverage analog).",
+)
+def g02(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    iv = _intervals_df(spark)
+    return (
+        e.join(F.broadcast(iv), _overlap_cond())
+        .groupBy(
+            F.date_format("istart", "yyyy-MM-dd HH:mm").alias("interval_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("interval_start", "event_type")
+    )

@@ -1,0 +1,593 @@
+"""SURVEY.md §2.9 declared relational query surface (q01–q30).
+
+Every query is a DataFrame program (Catalyst plans the physical strategy) with
+a DuckDB oracle.  Reference parity note: the reference (tomwhite/disq-original)
+implements none of these itself — it delegates all relational compute to Spark
+(reference README.md:9-13); this module IS that delegated surface, made
+first-class.
+
+Determinism rules: every LIMIT query orders by a key that is unique in the
+projected row set; floats are rounded; timestamps/dates/arrays are projected as
+strings so both engines hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- q01 scan/projection
+@query(
+    "q01_scan_project",
+    """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+       ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    """Scan + projection; column pruning must reach the parquet scan."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------- q02 filter
+@query(
+    "q02_filter",
+    """SELECT l_orderkey, l_linenumber FROM lineitem
+       WHERE l_quantity > 40 AND l_discount < 0.05
+       ORDER BY l_orderkey, l_linenumber""",
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    """Conjunctive filter; both predicates push to the parquet scan."""
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 40) & (F.col("l_discount") < 0.05))
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------- q03 range predicate
+@query(
+    "q03_range_predicate",
+    """SELECT o_orderkey FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+       ORDER BY o_orderkey""",
+    doc="Interval/range predicate — the relational analog of the reference's "
+    "genomic interval pushdown (AbstractBinarySamSource.java:96-113).",
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------- q04 inner join
+@query(
+    "q04_inner_join",
+    """SELECT c_name, o_orderkey FROM customer JOIN orders ON c_custkey = o_custkey
+       ORDER BY o_orderkey LIMIT 100""",
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "inner")
+        .select("c_name", "o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q05 broadcast join
+@query(
+    "q05_broadcast_join",
+    """SELECT n_name, count(*) AS c FROM customer JOIN nation ON c_nationkey = n_nationkey
+       GROUP BY n_name ORDER BY n_name""",
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-dim join: nation is explicitly broadcast — no shuffle of customer."""
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------- q06 left outer join
+@query(
+    "q06_left_outer_join",
+    """SELECT c_custkey, count(o_orderkey) AS cnt FROM customer
+       LEFT JOIN orders ON c_custkey = o_custkey
+       GROUP BY c_custkey ORDER BY c_custkey LIMIT 100""",
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("cnt"))
+        .orderBy("c_custkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q07 left semi join
+@query(
+    "q07_semi_join",
+    """SELECT p_partkey FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+       ORDER BY p_partkey LIMIT 100""",
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+        .select("p_partkey")
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q08 left anti join
+@query(
+    "q08_anti_join",
+    """SELECT c_custkey FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       ORDER BY c_custkey""",
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------- q09 range/interval join
+@query(
+    "q09_range_join",
+    """SELECT a.o_orderkey AS a_orderkey, b.o_orderkey AS b_orderkey
+       FROM orders a JOIN orders b
+         ON a.o_custkey = b.o_custkey
+        AND a.o_orderdate <= b.o_orderdate + INTERVAL 30 DAY
+        AND b.o_orderdate <= a.o_orderdate
+        AND a.o_orderkey < b.o_orderkey
+       ORDER BY a_orderkey, b_orderkey LIMIT 100""",
+    doc="Range/interval join — relational analog of genomic overlap joins. "
+    "Equi key (o_custkey) carries the shuffle; range conditions are residual "
+    "predicates, so this stays a hash join, not a nested-loop.",
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    a = o.alias("a")
+    b = o.alias("b")
+    cond = (
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderdate") <= F.col("b.o_orderdate") + F.expr("INTERVAL 30 DAY"))
+        & (F.col("b.o_orderdate") <= F.col("a.o_orderdate"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+    )
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.o_orderkey").alias("a_orderkey"),
+            F.col("b.o_orderkey").alias("b_orderkey"),
+        )
+        .orderBy("a_orderkey", "b_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q10 hash aggregate
+@query(
+    "q10_hash_aggregate",
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq,
+              round(sum(l_extendedprice), 2) AS sp, count(*) AS c
+       FROM lineitem GROUP BY l_returnflag, l_linestatus
+       ORDER BY l_returnflag, l_linestatus""",
+    doc="TPC-H Q1 core: partial (map-side) aggregation then final — one shuffle "
+    "of only the grouped partials.",
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sq"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sp"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------- q11 distinct aggregate
+@query(
+    "q11_distinct_aggregate",
+    "SELECT count(DISTINCT l_partkey) AS dp FROM lineitem",
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return li.agg(F.count_distinct(F.col("l_partkey")).alias("dp"))
+
+
+# ---------------------------------------------------------------- q12 approx distinct
+@query(
+    "q12_approx_distinct",
+    None,  # tolerance-checked, not hash-checked (rows-only in the harness)
+    doc="HyperLogLog++ sketch; tests assert ±5% of exact count.",
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return li.agg(F.approx_count_distinct("l_partkey").alias("adp"))
+
+
+# ---------------------------------------------------------------- q13 rollup
+@query(
+    "q13_rollup",
+    """SELECT l_returnflag, l_linestatus, count(*) AS c FROM lineitem
+       GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------- q14 cube
+@query(
+    "q14_cube",
+    """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS s FROM lineitem
+       GROUP BY CUBE(l_returnflag, l_linestatus)
+       ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("s"))
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------- q15 ranking window
+@query(
+    "q15_window_rank",
+    """SELECT o_custkey, o_orderkey, rn FROM (
+         SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS rn
+         FROM orders) t
+       WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 100""",
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q16 frame window
+@query(
+    "q16_window_frame",
+    """SELECT l_orderkey, l_linenumber,
+              sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rq
+       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.sum("l_quantity").over(w).alias("rq"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q17 lag/lead
+@query(
+    "q17_lag",
+    """SELECT o_custkey, o_orderkey,
+              lag(o_orderkey) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev
+       FROM orders ORDER BY o_custkey, o_orderkey LIMIT 100""",
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_orderkey").over(w).alias("prev"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q18 top-k
+@query(
+    "q18_topk",
+    """SELECT l_orderkey, l_extendedprice FROM lineitem
+       ORDER BY l_extendedprice DESC, l_orderkey LIMIT 10""",
+    doc="Sort+limit compiles to TakeOrderedAndProject — per-partition top-k "
+    "then driver merge; no full sort at 100 TB.",
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.select("l_orderkey", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- q19 union all
+@query(
+    "q19_union_all",
+    """SELECT k FROM (
+         SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
+         UNION ALL
+         SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 1) t
+       ORDER BY k LIMIT 100""",
+    doc="Union — the relational analog of the reference's multi-file input "
+    "concatenation and unmapped-reads append (AbstractBinarySamSource.java:128-129).",
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    even = o.filter(F.col("o_orderkey") % 2 == 0).select(F.col("o_orderkey").alias("k"))
+    odd = o.filter(F.col("o_orderkey") % 2 == 1).select(F.col("o_orderkey").alias("k"))
+    return even.unionByName(odd).orderBy("k").limit(100)
+
+
+# ---------------------------------------------------------------- q20 intersect
+@query(
+    "q20_intersect",
+    """SELECT l_partkey AS k FROM lineitem INTERSECT SELECT p_partkey FROM part
+       ORDER BY k LIMIT 100""",
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem").select(F.col("l_partkey").alias("k"))
+    p = _t(spark, sf, "part").select(F.col("p_partkey").alias("k"))
+    return li.intersect(p).orderBy("k").limit(100)
+
+
+# ---------------------------------------------------------------- q21 except
+@query(
+    "q21_except",
+    """SELECT p_partkey AS k FROM part EXCEPT SELECT l_partkey FROM lineitem
+       ORDER BY k LIMIT 100""",
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part").select(F.col("p_partkey").alias("k"))
+    li = _t(spark, sf, "lineitem").select(F.col("l_partkey").alias("k"))
+    return p.exceptAll(li).distinct().orderBy("k").limit(100)
+
+
+# ---------------------------------------------------------------- q22 string functions
+@query(
+    "q22_string_functions",
+    """SELECT p_partkey, upper(substr(p_name, 1, 5)) AS u, length(p_name) AS l,
+              concat(p_brand, '#', p_type) AS c
+       FROM part ORDER BY p_partkey LIMIT 100""",
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    p = _t(spark, sf, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.upper(F.substring("p_name", 1, 5)).alias("u"),
+            F.length("p_name").alias("l"),
+            F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("c"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q23 date functions
+@query(
+    "q23_date_functions",
+    """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+              strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS d30
+       FROM orders ORDER BY o_orderkey LIMIT 100""",
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+            F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias("d30"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q24 math/decimal
+@query(
+    "q24_math",
+    """SELECT l_orderkey, l_linenumber,
+              round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS chg
+       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+            ).alias("chg"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q25 array functions
+@query(
+    "q25_array_agg",
+    """SELECT o_custkey,
+              array_to_string(list_sort(list(o_orderkey)), ',') AS orders_csv
+       FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 100""",
+    doc="collect_list is order-nondeterministic in a distributed agg, so the "
+    "engine sorts the array before use (array_sort) — same discipline needed "
+    "at any scale.",
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("o_orderkey")), ",").alias("orders_csv")
+        )
+        .orderBy("o_custkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q26 map/json access
+@query(
+    "q26_json_access",
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+       FROM events ORDER BY event_id LIMIT 100""",
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .orderBy("event_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q27 explode / UDTF shape
+@query(
+    "q27_explode",
+    """SELECT o_custkey, x FROM (
+         SELECT o_custkey, list_sort(list(o_orderkey)) AS l
+         FROM orders GROUP BY o_custkey) t, UNNEST(l) AS u(x)
+       ORDER BY o_custkey, x LIMIT 100""",
+)
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    grouped = o.groupBy("o_custkey").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("l")
+    )
+    return (
+        grouped.select("o_custkey", F.explode("l").alias("x"))
+        .orderBy("o_custkey", "x")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q28 correlated exists
+@query(
+    "q28_exists_subquery",
+    """SELECT o_orderkey FROM orders o
+       WHERE EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+       ORDER BY o_orderkey LIMIT 100""",
+    doc="Correlated EXISTS decorrelates to a left-semi join.",
+)
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") > 49)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q29 CASE/conditional
+@query(
+    "q29_case",
+    """SELECT l_orderkey, l_linenumber,
+              CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS b
+       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+)
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.when(F.col("l_discount") > 0.05, "hi").otherwise("lo").alias("b"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q30 tumbling window agg
+@query(
+    "q30_tumbling_window",
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
+              count(*) AS cnt, round(sum(value), 2) AS sv
+       FROM events GROUP BY 1 ORDER BY 1""",
+    doc="Batch analog of Structured Streaming window(ts, '1 hour'); the "
+    "streaming twin lives in disq_original_spark.streaming.",
+)
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sv"))
+        .orderBy("window_start")
+    )

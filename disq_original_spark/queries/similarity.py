@@ -1,0 +1,121 @@
+"""Similarity search over the embeddings table (s01–s02).
+
+- s01: brute-force cosine top-k — the correctness baseline.  Query set is tiny
+  (broadcast side); corpus side streams, so at 100 TB this is one broadcast
+  nested-loop with per-partition top-k (TakeOrderedAndProject after the window
+  filter keeps only k rows per query per partition before any shuffle).
+- s02: bucketed ANN — sign-LSH on the leading dimensions gives the bucket id
+  (stand-in for IVF cell assignment); candidates only within the query's
+  bucket.  Recall/cost is tunable by bucket bits; the point is the *plan*: the
+  cross product shrinks to an equi-join on bucket id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import cosine_similarity
+from ..tables import load_table
+from .registry import query
+
+_K = 10
+_N_QUERIES = 5  # vec_id < 5 are the query vectors
+_BUCKET_BITS = 4
+
+_BUCKET_SQL = " || ".join(
+    f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END" for i in range(_BUCKET_BITS)
+)
+
+
+def _bucket_col() -> F.Column:
+    return F.concat(
+        *[
+            F.when(F.element_at("embedding", i + 1) >= 0, "1").otherwise("0")
+            for i in range(_BUCKET_BITS)
+        ]
+    )
+
+
+# ---------------------------------------------------------------- s01 brute-force top-k
+@query(
+    "s01_knn_bruteforce",
+    f"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+                   WHERE vec_id < {_N_QUERIES}),
+        scored AS (
+          SELECT q.q_id, e.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos_sim
+          FROM q JOIN embeddings e ON e.vec_id <> q.q_id),
+        ranked AS (
+          SELECT q_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT q_id, neighbor_id, cos_sim, rank FROM ranked
+        WHERE rank <= {_K} ORDER BY q_id, rank""",
+    doc="Brute-force cosine k-NN, query side broadcast.",
+)
+def s01(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qe"), F.col("embedding")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .orderBy("q_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------- s02 bucketed ANN
+@query(
+    "s02_ann_bucketed",
+    f"""WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM b
+              WHERE vec_id < {_N_QUERIES}),
+        scored AS (
+          SELECT q.q_id, e.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos_sim
+          FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.q_id),
+        ranked AS (
+          SELECT q_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT q_id, neighbor_id, cos_sim, rank FROM ranked
+        WHERE rank <= {_K} ORDER BY q_id, rank""",
+    doc="Sign-LSH bucketed ANN: candidates restricted to the query's bucket — "
+    "the cross product becomes an equi-join on bucket id.",
+)
+def s02(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings").withColumn("bucket", _bucket_col())
+    q = e.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qe"), F.col("embedding")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .orderBy("q_id", "rank")
+    )

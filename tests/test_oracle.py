@@ -1,0 +1,44 @@
+"""Differential correctness: every registered query with an oracle runs on
+Spark and DuckDB; results must match (count, schema, order-insensitive
+values) — the same gate the driver applies at sf0.01."""
+
+from __future__ import annotations
+
+import pytest
+
+from disq_original_spark.queries import QUERIES
+
+from .util import assert_frames_match
+
+ORACLE_QUERIES = sorted(name for name, q in QUERIES.items() if q.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(name for name, q in QUERIES.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, ddb, sf_dir, name):
+    q = QUERIES[name]
+    spark_pdf = q.build(spark, sf_dir).toPandas()
+    oracle_pdf = ddb.sql(q.oracle).fetchdf()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    q = QUERIES[name]
+    df = q.build(spark, sf_dir)
+    assert df.count() >= 0
+
+
+def test_q12_approx_within_tolerance(spark, ddb, sf_dir):
+    approx = QUERIES["q12_approx_distinct"].build(spark, sf_dir).collect()[0]["adp"]
+    exact = ddb.sql("SELECT count(DISTINCT l_partkey) FROM lineitem").fetchone()[0]
+    assert abs(approx - exact) <= 0.05 * exact
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as se
+
+    df = se.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(se.oracle_sql()) <= set(se.queries())
