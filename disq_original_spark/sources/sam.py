@@ -1,0 +1,234 @@
+r"""SAM text source and sink, Spark-first.
+
+Source: ``spark.read.text`` (splittable, locality-aware, handles dirs and
+.gz) → drop '@' header lines → parse columns with native functions only
+(split / element_at / map_from_entries — zero Python UDFs, whole plan stays
+in Tungsten codegen).  Reference parity: `sam/SamSource.java:24-88`.
+
+Sink: native reverse expression → ``write.text`` part files → driver-side
+single-file commit (header + parts concat).  Reference parity:
+`sam/SamSink.java:23-47`.
+
+Reads schema (SURVEY §1.3): qname flag rname pos mapq cigar rnext pnext tlen
+seq qual attributes.  '*' placeholders become NULLs; aux tags become a
+map tag → "TYPE:VALUE" preserving order, so write(read(x)) is lossless.
+"""
+
+from __future__ import annotations
+
+import uuid
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.interval import interval_filter
+from .headers import SamHeader, read_sam_header_text
+from .merger import merge_parts
+
+READS_COLUMNS = [
+    "qname",
+    "flag",
+    "rname",
+    "pos",
+    "mapq",
+    "cigar",
+    "rnext",
+    "pnext",
+    "tlen",
+    "seq",
+    "qual",
+    "attributes",
+]
+
+FLAG_UNMAPPED = 0x4
+
+
+def _null_if_star(c: Column) -> Column:
+    return F.when(c == "*", F.lit(None)).otherwise(c)
+
+
+def parse_sam_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
+    """Native-expression SAM line parser: one ``split`` + projections.
+
+    try_element_at/try_cast (not element_at/cast) for two reasons: Catalyst
+    may reorder pushed predicates before the header-line filter (ANSI
+    element_at would throw on '@' lines), and malformed records should
+    null-out, not fail the job — the analog of htsjdk LENIENT stringency
+    (`HtsjdkReadsRddStorage.java:97-100`).
+    """
+    f = F.split(F.col(value_col), "\t")
+    tags = F.slice(f, 12, F.greatest(F.size(f) - 11, F.lit(0)))
+
+    def at(i: int) -> Column:
+        return F.try_element_at(f, F.lit(i))
+
+    def at_int(i: int, typ: str) -> Column:
+        return F.try_element_at(f, F.lit(i)).try_cast(typ)
+
+    return lines.select(
+        at(1).alias("qname"),
+        at_int(2, "int").alias("flag"),
+        _null_if_star(at(3)).alias("rname"),
+        at_int(4, "long").alias("pos"),
+        at_int(5, "int").alias("mapq"),
+        at(6).alias("cigar"),
+        _null_if_star(at(7)).alias("rnext"),
+        at_int(8, "long").alias("pnext"),
+        at_int(9, "long").alias("tlen"),
+        at(10).alias("seq"),
+        at(11).alias("qual"),
+        F.map_from_entries(
+            F.transform(
+                tags,
+                lambda t: F.struct(
+                    F.substring(t, 1, 2).alias("key"),
+                    F.substr(t, F.lit(4), F.length(t)).alias("value"),
+                ),
+            )
+        ).alias("attributes"),
+    )
+
+
+def cigar_reference_length(cigar: Column) -> Column:
+    """Reference-consumed length of a CIGAR (ops M/D/N/=/X), natively:
+    regexp_extract_all for lengths and ops, zip, aggregate."""
+    lens = F.regexp_extract_all(cigar, F.lit(r"(\d+)[MIDNSHP=X]"), 1)
+    ops = F.regexp_extract_all(cigar, F.lit(r"\d+([MIDNSHP=X])"), 1)
+    consumed = F.zip_with(
+        lens,
+        ops,
+        lambda l, o: F.when(o.isin("M", "D", "N", "=", "X"), l.cast("long")).otherwise(0),
+    )
+    return F.aggregate(consumed, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def with_alignment_span(reads: DataFrame) -> DataFrame:
+    """Add end_pos (1-based inclusive alignment end; = pos for unmapped/'*'
+    cigar) — the overlap axis for interval queries."""
+    ref_len = cigar_reference_length(F.col("cigar"))
+    end = F.when(
+        (F.col("cigar") == "*") | F.col("cigar").isNull() | (ref_len == 0), F.col("pos")
+    ).otherwise(F.col("pos") + ref_len - 1)
+    return reads.withColumn("end_pos", end)
+
+
+class SamSource:
+    """Read SAM files/directories into a reads DataFrame."""
+
+    def read_header(self, path: str) -> SamHeader:
+        return SamHeader.parse(read_sam_header_text(path))
+
+    def read(
+        self,
+        spark: SparkSession,
+        path: str,
+        intervals: DataFrame | None = None,
+        include_unplaced: bool = False,
+        split_size: int | None = None,
+    ) -> DataFrame:
+        if split_size is not None:
+            # splitSize option ≈ spark.sql.files.maxPartitionBytes
+            # (reference: FileInputFormat.SPLIT_MAXSIZE, PathSplitSource.java:56-58)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_size))
+        lines = spark.read.text(path)
+        body = lines.filter(~F.col("value").startswith("@"))
+        reads = parse_sam_lines(body)
+        if intervals is None and not include_unplaced:
+            return reads
+        spanned = with_alignment_span(reads)
+        # Unplaced-unmapped: unmapped flag AND no position (rname NULL/'*',
+        # pos 0) — the reference's TraversalOverlapDetector admits these when
+        # the flag is set (`sam/TraversalOverlapDetector.java:22-33`).
+        unplaced_pred = (
+            (F.col("flag").bitwiseAND(FLAG_UNMAPPED) != 0)
+            & (F.col("rname").isNull() | (F.col("pos") == 0))
+        )
+        placed = spanned.filter(~unplaced_pred)
+        selected = None
+        if intervals is not None:
+            selected = interval_filter(
+                placed.withColumnRenamed("rname", "contig")
+                .withColumnRenamed("pos", "start")
+                .withColumnRenamed("end_pos", "end"),
+                intervals,
+            )
+            selected = (
+                selected.withColumnRenamed("contig", "rname")
+                .withColumnRenamed("start", "pos")
+                .withColumnRenamed("end", "end_pos")
+            )
+        if include_unplaced:
+            unplaced = spanned.filter(unplaced_pred)
+            selected = unplaced if selected is None else selected.unionByName(unplaced)
+        return selected.select(*READS_COLUMNS)
+
+
+def to_sam_line(df: DataFrame) -> Column:
+    """Native expression rebuilding the SAM line from the reads columns."""
+    tag_strs = F.transform(
+        F.map_entries(F.col("attributes")),
+        lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
+    )
+    base = F.concat_ws(
+        "\t",
+        F.col("qname"),
+        F.col("flag").cast("string"),
+        F.coalesce(F.col("rname"), F.lit("*")),
+        F.col("pos").cast("string"),
+        F.col("mapq").cast("string"),
+        F.col("cigar"),
+        F.coalesce(F.col("rnext"), F.lit("*")),
+        F.col("pnext").cast("string"),
+        F.col("tlen").cast("string"),
+        F.col("seq"),
+        F.col("qual"),
+    )
+    return F.when(F.size(tag_strs) > 0, F.concat(base, F.lit("\t"), F.concat_ws("\t", tag_strs))).otherwise(
+        base
+    )
+
+
+class SamSink:
+    """Write a reads DataFrame to a single SAM file (write-parallel-then-
+    concat, reference `sam/SamSink.java:23-47`) or a sharded directory
+    (one complete SAM per partition, `sam/AnySamSinkMultiple.java:31-74`)."""
+
+    def write(self, df: DataFrame, header: SamHeader, path: str) -> None:
+        temp_dir = f"{path}.parts-{uuid.uuid4().hex[:8]}"
+        df.select(to_sam_line(df).alias("value")).write.mode("overwrite").text(temp_dir)
+        merge_parts(temp_dir, path, header=header.text.encode())
+
+    def write_sharded(self, df: DataFrame, header: SamHeader, path: str) -> None:
+        header_b64 = header.text
+        out_dir = Path(path)
+
+        def write_partition(rows):
+            import os
+            import uuid as _uuid
+
+            pid = None
+            lines = []
+            for row in rows:
+                pid = row["__pid"] if pid is None else pid
+                lines.append(row["value"])
+            if pid is None:
+                return
+            out_dir_s = str(out_dir)
+            os.makedirs(out_dir_s, exist_ok=True)
+            tmp = os.path.join(out_dir_s, f".tmp-{_uuid.uuid4().hex}")
+            with open(tmp, "wt") as fh:
+                fh.write(header_b64)
+                for line in lines:
+                    fh.write(line + "\n")
+            os.replace(tmp, os.path.join(out_dir_s, f"part-{pid:05d}.sam"))
+
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        (
+            df.select(to_sam_line(df).alias("value"))
+            .withColumn("__pid", F.spark_partition_id())
+            .foreachPartition(write_partition)
+        )
