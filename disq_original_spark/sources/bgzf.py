@@ -315,6 +315,92 @@ class BgzfReader:
         return self._block_pos + self._block_csize >= self._fh.tell()
 
 
+def _prev_block_ends_with_newline(fh: BinaryIO, block_pos: int) -> bool:
+    """True iff the uncompressed byte immediately before ``block_pos``'s
+    payload is a newline.  The previous block starts within 64 KiB, so scan
+    forward from there and walk the chain."""
+    if block_pos == 0:
+        return True
+    scan_from = max(0, block_pos - MAX_BLOCK_SIZE - 256)
+    blk = find_next_block(fh, scan_from, block_pos)
+    if blk is None:
+        return True
+    while blk.end < block_pos:
+        hdr = read_block_header(fh, blk.end)
+        if hdr is None:
+            return True
+        blk = BgzfBlock(blk.end, hdr[0], hdr[1])
+    if blk.end != block_pos or blk.u_size == 0:
+        # chain mismatch (shouldn't happen) or empty block — treat as clean
+        return True
+    data = decompress_block(fh, blk)
+    return data.endswith(b"\n")
+
+
+def iter_lines_in_range(fh: BinaryIO, start: int, end: int) -> Iterator[bytes]:
+    """Yield the text lines *owned* by compressed byte range ``[start, end)``:
+    a line belongs to the range iff its first uncompressed byte lies in a
+    block starting within the range.  Any byte-range tiling of a BGZF text
+    file therefore yields every line exactly once — this is what makes BGZF
+    text (VCF) splittable (reference: BGZFSplitCompressionInputStream /
+    BGZFCodec, `bgzf/BGZFCodec.java:29-76`).
+
+    Block-at-a-time with exact attribution: a line's start block is the block
+    holding its first byte (the byte after the previous newline).
+    """
+    if start == 0:
+        pos = 0
+        skip_partial = False
+    else:
+        first = find_next_block(fh, start, end)
+        if first is None:
+            return
+        pos = first.pos
+        # The stream tail of a line that started in an earlier block belongs
+        # to the previous range — unless the previous block ended exactly at
+        # a line boundary (then our first bytes ARE a fresh line).
+        skip_partial = not _prev_block_ends_with_newline(fh, pos)
+
+    carry = bytearray()
+    carry_start_block = pos
+    while True:
+        fh.seek(0, 2)
+        if pos >= fh.tell():
+            break
+        hdr = read_block_header(fh, pos)
+        if hdr is None:
+            break
+        c_size, u_size = hdr
+        data = decompress_block(fh, BgzfBlock(pos, c_size, u_size)) if u_size else b""
+        segments = data.split(b"\n")
+        for seg in segments[:-1]:
+            if carry:
+                line = bytes(carry) + seg
+                line_start = carry_start_block
+                carry.clear()
+            else:
+                line = seg
+                line_start = pos
+            if skip_partial:
+                skip_partial = False
+            elif line_start < end:
+                yield line
+            else:
+                return
+        tail = segments[-1]
+        if tail:
+            if not carry:
+                carry_start_block = pos
+            carry.extend(tail)
+        pos += c_size
+        if pos >= end:
+            # Only a line already in flight (started < end) keeps us reading.
+            if skip_partial or not carry or carry_start_block >= end:
+                return
+    if carry and not skip_partial and carry_start_block < end:
+        yield bytes(carry)
+
+
 def is_bgzf(fh: BinaryIO) -> bool:
     """Sniff whether a (possibly .gz-named) file is really BGZF — the
     reference's BGZFEnhancedGzipCodec distinction (`BGZFEnhancedGzipCodec.java:38-77`)."""

@@ -1,0 +1,112 @@
+"""VCF source/sink differential tests vs the reference fixtures
+(/root/reference/src/test/resources/, read-only)."""
+
+from __future__ import annotations
+
+import gzip
+from pathlib import Path
+
+import pytest
+
+from disq_original_spark.sources.bgzf import BgzfReader, is_bgzf
+from disq_original_spark.sources.vcf import VcfSink, VcfSource
+
+RES = Path("/root/reference/src/test/resources")
+HISEQ = str(RES / "HiSeq.10000.vcf.bgz")
+TEST_VCF = str(RES / "test.vcf")
+
+
+def _oracle_lines(path: str) -> list[str]:
+    raw = gzip.open(path, "rb").read() if path.endswith(("gz", "bgz")) else Path(path).read_bytes()
+    # split strictly on \n — str.splitlines() also splits on \x85 etc.,
+    # which can appear inside VCF data fields
+    return [
+        line
+        for line in raw.decode().split("\n")
+        if line and not line.startswith("#")
+    ]
+
+
+def test_hiseq_count_and_fields(spark):
+    df = VcfSource().read(spark, HISEQ, split_size=128 * 1024)
+    oracle = _oracle_lines(HISEQ)
+    assert df.count() == len(oracle) == 9965
+    # partitioning golden fact: 4 partitions at 128 KB splits
+    assert df.rdd.getNumPartitions() == 4
+    # spot-check fields against the text
+    rows = df.orderBy("pos").limit(5).collect()
+    expected = sorted((line.split("\t") for line in oracle), key=lambda f: int(f[1]))[:5]
+    for row, f in zip(rows, expected):
+        assert row["contig"] == f[0]
+        assert row["pos"] == int(f[1])
+        assert row["ref"] == f[3]
+        assert (row["id"] if row["id"] is not None else ".") == f[2]
+
+
+def test_three_encodings_agree(spark):
+    """test.vcf / test.vcf.gz / test.vcf.bgz must parse identically
+    (the reference's format-matrix strategy, HtsjdkVariantsRddTest)."""
+    dfs = {
+        ext: VcfSource().read(spark, str(RES / f"test.vcf{ext}"))
+        for ext in ("", ".gz", ".bgz")
+    }
+    base = sorted(map(str, dfs[""].collect()))
+    for ext in (".gz", ".bgz"):
+        assert sorted(map(str, dfs[ext].collect())) == base, f"mismatch for {ext}"
+    assert dfs[""].count() == len(_oracle_lines(TEST_VCF))
+
+
+def test_genotypes_parsed(spark):
+    df = VcfSource().read(spark, TEST_VCF)
+    row = df.filter("pos = 14370") .collect()
+    if not row:  # fixture content differs; fall back to any row with genotypes
+        row = df.limit(1).collect()
+    gts = row[0]["genotypes"]
+    assert len(gts) >= 1
+    assert gts[0]["sample"]
+    assert gts[0]["gt"] is not None
+
+
+def test_interval_filter_matches_oracle(spark):
+    intervals = spark.createDataFrame(
+        [("chr1", 2_700_000, 2_800_000)], "contig string, start long, end long"
+    )
+    df = VcfSource().read(spark, HISEQ, intervals=intervals, split_size=128 * 1024)
+    oracle = [
+        f
+        for f in (line.split("\t") for line in _oracle_lines(HISEQ))
+        if f[0] == "chr1" and int(f[1]) + len(f[3]) - 1 >= 2_700_000 and int(f[1]) <= 2_800_000
+    ]
+    assert df.count() == len(oracle)
+
+
+def test_roundtrip_plain(spark, tmp_path):
+    src = VcfSource()
+    df = src.read(spark, TEST_VCF)
+    header = src.read_header(TEST_VCF)
+    out = str(tmp_path / "out.vcf")
+    VcfSink().write(df, header, out)
+    text = Path(out).read_text()
+    assert text.startswith("##")
+    again = src.read(spark, out)
+    assert sorted(map(str, again.collect())) == sorted(map(str, df.collect()))
+
+
+def test_roundtrip_bgzf(spark, tmp_path):
+    src = VcfSource()
+    df = src.read(spark, HISEQ, split_size=128 * 1024)
+    header = src.read_header(HISEQ)
+    out = str(tmp_path / "out.vcf.bgz")
+    VcfSink().write(df.repartition(3), header, out, sample_names=[])
+    with open(out, "rb") as fh:
+        assert is_bgzf(fh)
+        # valid BGZF end-to-end: decompresses fully and ends with terminator
+        data = BgzfReader(fh).read(1 << 30)
+    assert data.decode().startswith("##")
+    again = src.read(spark, out)
+    assert again.count() == df.count()
+    # semantic equality on core columns
+    cols = ["contig", "pos", "id", "ref", "alts", "qual", "filters"]
+    assert sorted(map(str, again.select(cols).collect())) == sorted(
+        map(str, df.select(cols).collect())
+    )
