@@ -1,0 +1,318 @@
+"""BAM source/sink, Spark-first.
+
+Read plan (reference lifecycle, SURVEY §3.1): driver reads the header and the
+``.sbi`` index if present; byte-range splits are planned driver-side; each
+task maps its range to a record-aligned virtual-offset chunk — via the SBI
+(the reference's *intended* fast path, fixing its dead-code bug at
+`bam/BamSource.java:74-92`) or the record guesser (`bam/BamSource.java:96-158`)
+— then decodes records with the pure-Python codec.  Chunks tile exactly:
+a record belongs to the split whose byte range contains its BGZF block start.
+
+Write: executors encode BGZF parts without terminator; driver writes the
+header block + EOF block and concatenates (reference `bam/BamSink.java:27-70`).
+
+Scale note: per-record decode is Python — at cluster scale the decode is
+embarrassingly parallel across chunks and IO-dominated (zlib inflate happens
+in C); a numpy-vectorized batch decoder is the next optimization lever.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.interval import interval_filter
+from .bam_codec import (
+    BamRecordGuesser,
+    MAX_READ_SIZE,
+    SbiIndex,
+    encode_bam_header,
+    encode_record,
+    parse_record,
+)
+from .bgzf import (
+    EMPTY_GZIP_BLOCK,
+    BgzfBlock,
+    BgzfReader,
+    BgzfWriter,
+    compress_block,
+    enumerate_blocks,
+    find_next_block,
+    make_virtual_offset,
+)
+from .headers import SamHeader, read_bam_header
+from .merger import merge_parts
+from .sam import READS_COLUMNS, with_alignment_span
+
+READS_SCHEMA = StructType(
+    [
+        StructField("qname", StringType()),
+        StructField("flag", IntegerType()),
+        StructField("rname", StringType()),
+        StructField("pos", LongType()),
+        StructField("mapq", IntegerType()),
+        StructField("cigar", StringType()),
+        StructField("rnext", StringType()),
+        StructField("pnext", LongType()),
+        StructField("tlen", LongType()),
+        StructField("seq", StringType()),
+        StructField("qual", StringType()),
+        StructField("attributes", MapType(StringType(), StringType())),
+    ]
+)
+
+
+def _find_first_record_voffset(fh, start: int, end: int, n_ref: int) -> int | None:
+    """Heuristic boundary search: for each BGZF block starting in
+    [start, end), try every uncompressed offset until the guesser confirms a
+    record start (bounded by MAX_READ_SIZE examined bytes)."""
+    guesser = BamRecordGuesser(n_ref)
+    examined = 0
+    block = find_next_block(fh, start, end)
+    while block is not None and block.pos < end and examined < MAX_READ_SIZE:
+        # window: this block + enough following data for 10 records
+        window = bytearray()
+        reader = BgzfReader(fh)
+        reader.seek_virtual(make_virtual_offset(block.pos, 0))
+        window.extend(reader.read(1 << 20))
+        for uoff in range(min(block.u_size, len(window))):
+            if guesser.is_record_start(window, uoff):
+                return make_virtual_offset(block.pos, uoff)
+            examined += 1
+            if examined >= MAX_READ_SIZE:
+                return None
+        nxt = block.end
+        hdr_fh_end = _file_len(fh)
+        if nxt >= hdr_fh_end or nxt >= end:
+            return None
+        blk = _block_at(fh, nxt)
+        if blk is None:
+            return None
+        block = blk
+    return None
+
+
+def _file_len(fh) -> int:
+    fh.seek(0, 2)
+    return fh.tell()
+
+
+def _block_at(fh, pos: int) -> BgzfBlock | None:
+    from .bgzf import read_block_header
+
+    hdr = read_block_header(fh, pos)
+    if hdr is None:
+        return None
+    return BgzfBlock(pos, hdr[0], hdr[1])
+
+
+def _read_records_in_chunk(path: str, vstart: int, vend: int, ref_names: list[str]):
+    """Yield reads-schema rows for records whose start voffset is in
+    [vstart, vend)."""
+    with open(path, "rb") as fh:
+        reader = BgzfReader(fh)
+        reader.seek_virtual(vstart)
+        while True:
+            v = reader.tell_virtual()
+            if v >= vend:
+                return
+            size_b = reader.read(4)
+            if len(size_b) < 4:
+                return
+            (block_size,) = struct.unpack("<i", size_b)
+            body = reader.read(block_size)
+            if len(body) < block_size:
+                return
+            parsed = parse_record(size_b + body, 0, ref_names)
+            if parsed is None:
+                return
+            yield parsed[0]
+
+
+class BamSource:
+    """Read BAM files into a reads DataFrame (splittable, index-aware)."""
+
+    def read_header(self, path: str) -> SamHeader:
+        header, refs, _ = read_bam_header(path)
+        return header
+
+    def read(
+        self,
+        spark: SparkSession,
+        path: str,
+        intervals: DataFrame | None = None,
+        include_unplaced: bool = False,
+        split_size: int = 128 * 1024 * 1024,
+        use_sbi: bool = True,
+    ) -> DataFrame:
+        from .headers import first_file_in
+
+        files = _expand_files(path)
+        rdds = []
+        for f in files:
+            header, refs, first_voffset = read_bam_header(f)
+            ref_names = [r[0] for r in refs]
+            n_ref = len(refs)
+            flen = os.path.getsize(f)
+            sbi_path = f + ".sbi"
+            sbi = SbiIndex.load(sbi_path) if use_sbi and os.path.exists(sbi_path) else None
+            splits = [(s, min(s + split_size, flen)) for s in range(0, flen, split_size)]
+            sbi_offsets = sbi.offsets if sbi else None
+            fpath = f
+
+            def plan_and_read(it, _fpath=fpath, _refs=ref_names, _nref=n_ref, _fv=first_voffset, _sbi=sbi_offsets, _flen=flen):
+                for s, e in it:
+                    if _sbi is not None:
+                        idx = SbiIndex(0, b"", b"", 0, 0, _sbi)
+                        chunk = idx.chunk_for_split(s, e)
+                        if chunk is None:
+                            continue
+                        vstart, vend = chunk
+                    else:
+                        first_c = _fv >> 16
+                        if e <= first_c:
+                            continue
+                        with open(_fpath, "rb") as fh:
+                            if s <= first_c:
+                                vstart = _fv
+                            else:
+                                found = _find_first_record_voffset(fh, s, e, _nref)
+                                if found is None:
+                                    continue
+                                vstart = found
+                        vend = e << 16
+                    yield from _read_records_in_chunk(_fpath, vstart, vend, _refs)
+
+            rdd = spark.sparkContext.parallelize(splits, max(1, len(splits))).mapPartitions(
+                plan_and_read
+            )
+            rdds.append(rdd)
+        union = rdds[0] if len(rdds) == 1 else spark.sparkContext.union(rdds)
+        reads = spark.createDataFrame(
+            union.map(lambda r: tuple(r[c] for c in READS_COLUMNS)), READS_SCHEMA
+        )
+        if intervals is None and not include_unplaced:
+            return reads
+        # same residual semantics as the SAM source
+        from .sam import FLAG_UNMAPPED
+
+        spanned = with_alignment_span(reads)
+        unplaced_pred = (
+            (F.col("flag").bitwiseAND(FLAG_UNMAPPED) != 0)
+            & (F.col("rname").isNull() | (F.col("pos") == 0))
+        )
+        placed = spanned.filter(~unplaced_pred)
+        selected = None
+        if intervals is not None:
+            selected = interval_filter(
+                placed.withColumnRenamed("rname", "contig")
+                .withColumnRenamed("pos", "start")
+                .withColumnRenamed("end_pos", "end"),
+                intervals,
+            )
+            selected = (
+                selected.withColumnRenamed("contig", "rname")
+                .withColumnRenamed("start", "pos")
+                .withColumnRenamed("end", "end_pos")
+            )
+        if include_unplaced:
+            unplaced = spanned.filter(unplaced_pred)
+            selected = unplaced if selected is None else selected.unionByName(unplaced)
+        return selected.select(*READS_COLUMNS)
+
+
+def _expand_files(path: str) -> list[str]:
+    p = Path(path)
+    if p.is_dir():
+        return [
+            str(f)
+            for f in sorted(p.iterdir())
+            if f.is_file() and not f.name.startswith((".", "_")) and not f.name.endswith(".sbi")
+        ]
+    return [str(p)]
+
+
+class BamSink:
+    """Write a reads DataFrame as a single BAM file (headerless BGZF parts +
+    driver header + EOF terminator + concat)."""
+
+    def write(self, df: DataFrame, header: SamHeader, path: str) -> None:
+        refs = header.contigs
+        ref_index = {name: i for i, (name, _len) in enumerate(refs)}
+        temp_dir = f"{path}.parts-{uuid.uuid4().hex[:8]}"
+        os.makedirs(temp_dir, exist_ok=True)
+
+        def write_partition(rows):
+            import uuid as _uuid
+
+            tmp = os.path.join(temp_dir, f".tmp-{_uuid.uuid4().hex}")
+            pid = None
+            with open(tmp, "wb") as fh, BgzfWriter(fh, write_terminator=False) as w:
+                for row in rows:
+                    pid = row["__pid"] if pid is None else pid
+                    w.write(encode_record(row.asDict(recursive=True), ref_index))
+            if pid is None:
+                os.remove(tmp)
+                return
+            os.replace(tmp, os.path.join(temp_dir, f"part-{pid:05d}"))
+
+        df.withColumn("__pid", F.spark_partition_id()).foreachPartition(write_partition)
+
+        header_bam = encode_bam_header(header.text, refs)
+        header_block = b"".join(
+            compress_block(header_bam[i : i + 60000]) for i in range(0, len(header_bam), 60000)
+        )
+        merge_parts(temp_dir, path, header=header_block, terminator=EMPTY_GZIP_BLOCK)
+
+
+def create_sbi(bam_path: str, granularity: int = 4096) -> str:
+    """Write a ``.sbi`` splitting index for a BAM (reference
+    `htsjdk/samtools/BAMSBIIndexer.java:43-64`; format `SBIIndex.java`).
+    Driver-side single pass; records every Nth record's virtual offset plus
+    the end sentinel."""
+    _, refs, first_voffset = read_bam_header(bam_path)
+    ref_names = [r[0] for r in refs]
+    offsets = []
+    n = 0
+    with open(bam_path, "rb") as fh:
+        reader = BgzfReader(fh)
+        reader.seek_virtual(first_voffset)
+        while True:
+            v = reader.tell_virtual()
+            size_b = reader.read(4)
+            if len(size_b) < 4:
+                end_v = v
+                break
+            (block_size,) = struct.unpack("<i", size_b)
+            body = reader.read(block_size)
+            if len(body) < block_size:
+                end_v = v
+                break
+            if n % granularity == 0:
+                offsets.append(v)
+            n += 1
+    offsets.append(end_v)
+    idx = SbiIndex(
+        file_length=os.path.getsize(bam_path),
+        md5=b"\x00" * 16,
+        uuid=b"\x00" * 16,
+        total_records=n,
+        granularity=granularity,
+        offsets=tuple(offsets),
+    )
+    out = bam_path + ".sbi"
+    Path(out).write_bytes(idx.dump())
+    return out

@@ -1,0 +1,417 @@
+"""BAM binary codec: record parse/encode, boundary guesser, SBI index.
+
+Pure-Python, spec-level (SAM/BAM spec §4.2; alignment record layout also
+documented at reference `bam/BamRecordGuesser.java:80-96`).  No htsjdk, no
+pysam — everything from the published spec.
+
+The guesser re-implements the reference's *behavior* (validate N consecutive
+records by field plausibility — `bam/BamRecordGuesser.java:14-231`): it is
+what makes BAM splittable without an index.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from pathlib import Path
+from typing import BinaryIO, Iterator
+
+CIGAR_OPS = "MIDNSHP=X"
+SEQ_CODES = "=ACMGRSVTWYHKDBN"
+FIXED_RECORD_BYTES = 32  # bytes after block_size before variable sections
+READS_TO_CHECK = 10  # consecutive plausible records to confirm a boundary
+MAX_READ_SIZE = 10_000_000  # search bound per partition (uncompressed bytes)
+MAX_RECORD_BYTES = 8_000_000
+
+
+# ------------------------------------------------------------------ record parse
+
+
+def parse_record(buf: bytes | memoryview, off: int, refs: list[str]) -> tuple[dict, int] | None:
+    """Parse one alignment record at ``off``; returns (row, next_off) or
+    None if the buffer ends before the record does."""
+    if off + 4 > len(buf):
+        return None
+    (block_size,) = struct.unpack_from("<i", buf, off)
+    end = off + 4 + block_size
+    if block_size < FIXED_RECORD_BYTES or end > len(buf):
+        return None
+    (
+        ref_id,
+        pos,
+        l_read_name,
+        mapq,
+        _bin,
+        n_cigar,
+        flag,
+        l_seq,
+        next_ref_id,
+        next_pos,
+        tlen,
+    ) = struct.unpack_from("<iiBBHHHiiii", buf, off + 4)
+    p = off + 4 + FIXED_RECORD_BYTES
+    qname = bytes(buf[p : p + l_read_name - 1]).decode("ascii", "replace")
+    p += l_read_name
+    cigar_ops = struct.unpack_from(f"<{n_cigar}I", buf, p)
+    p += 4 * n_cigar
+    n_seq_bytes = (l_seq + 1) // 2
+    seq_b = bytes(buf[p : p + n_seq_bytes])
+    p += n_seq_bytes
+    qual_b = bytes(buf[p : p + l_seq])
+    p += l_seq
+
+    cigar = (
+        "".join(f"{op >> 4}{CIGAR_OPS[op & 0xF]}" for op in cigar_ops) if n_cigar else "*"
+    )
+    if l_seq:
+        chars = []
+        for i in range(l_seq):
+            b = seq_b[i // 2]
+            chars.append(SEQ_CODES[(b >> 4) if i % 2 == 0 else (b & 0xF)])
+        seq = "".join(chars)
+        qual = (
+            "*"
+            if qual_b and qual_b[0] == 0xFF
+            else "".join(chr(q + 33) for q in qual_b)
+        )
+    else:
+        seq = "*"
+        qual = "*"
+
+    attrs = _parse_aux(buf, p, end)
+
+    rname = refs[ref_id] if 0 <= ref_id < len(refs) else None
+    if next_ref_id == ref_id and next_ref_id >= 0:
+        rnext = "="
+    elif 0 <= next_ref_id < len(refs):
+        rnext = refs[next_ref_id]
+    else:
+        rnext = None
+    row = {
+        "qname": qname,
+        "flag": flag,
+        "rname": rname,
+        "pos": pos + 1,  # BAM is 0-based; reads schema is SAM 1-based
+        "mapq": mapq,
+        "cigar": cigar,
+        "rnext": rnext,
+        "pnext": next_pos + 1,
+        "tlen": tlen,
+        "seq": seq,
+        "qual": qual,
+        "attributes": attrs,
+    }
+    return row, end
+
+
+def _parse_aux(buf: bytes | memoryview, p: int, end: int) -> dict[str, str]:
+    out: dict[str, str] = {}
+    while p + 3 <= end:
+        tag = bytes(buf[p : p + 2]).decode("ascii", "replace")
+        typ = chr(buf[p + 2])
+        p += 3
+        if typ == "A":
+            out[tag] = f"A:{chr(buf[p])}"
+            p += 1
+        elif typ in "cCsSiI":
+            fmt, size = {"c": ("<b", 1), "C": ("<B", 1), "s": ("<h", 2), "S": ("<H", 2), "i": ("<i", 4), "I": ("<I", 4)}[typ]
+            (v,) = struct.unpack_from(fmt, buf, p)
+            out[tag] = f"i:{v}"
+            p += size
+        elif typ == "f":
+            (v,) = struct.unpack_from("<f", buf, p)
+            out[tag] = f"f:{v:g}"
+            p += 4
+        elif typ in "ZH":
+            q = p
+            while q < end and buf[q] != 0:
+                q += 1
+            out[tag] = f"{typ}:{bytes(buf[p:q]).decode('ascii', 'replace')}"
+            p = q + 1
+        elif typ == "B":
+            sub = chr(buf[p])
+            (count,) = struct.unpack_from("<I", buf, p + 1)
+            p += 5
+            fmt, size = {"c": ("<b", 1), "C": ("<B", 1), "s": ("<h", 2), "S": ("<H", 2), "i": ("<i", 4), "I": ("<I", 4), "f": ("<f", 4)}[sub]
+            vals = [struct.unpack_from(fmt, buf, p + i * size)[0] for i in range(count)]
+            p += count * size
+            body = ",".join(f"{v:g}" if sub == "f" else str(v) for v in vals)
+            out[tag] = f"B:{sub},{body}"
+        else:  # unknown type: stop parsing aux to stay safe
+            break
+    return out
+
+
+# ------------------------------------------------------------------ record encode
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """BAM bin computation (SAM spec §5.3), 0-based half-open [beg, end)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def _cigar_tuples(cigar: str) -> list[tuple[int, int]]:
+    if not cigar or cigar == "*":
+        return []
+    out = []
+    n = 0
+    for ch in cigar:
+        if ch.isdigit():
+            n = n * 10 + int(ch)
+        else:
+            out.append((n, CIGAR_OPS.index(ch)))
+            n = 0
+    return out
+
+
+def cigar_ref_length(cigar: str) -> int:
+    return sum(n for n, op in _cigar_tuples(cigar) if CIGAR_OPS[op] in "MDN=X")
+
+
+def encode_record(row: dict, ref_index: dict[str, int]) -> bytes:
+    """Encode one reads-schema row as a BAM alignment record."""
+    qname = (row["qname"] or "").encode("ascii")
+    cigar = _cigar_tuples(row["cigar"] or "*")
+    seq = row["seq"] or "*"
+    qual = row["qual"] or "*"
+    l_seq = 0 if seq == "*" else len(seq)
+    pos0 = (row["pos"] or 0) - 1
+    ref_id = ref_index.get(row["rname"], -1) if row["rname"] else -1
+    rnext = row["rnext"]
+    if rnext == "=":
+        next_ref_id = ref_id
+    elif rnext:
+        next_ref_id = ref_index.get(rnext, -1)
+    else:
+        next_ref_id = -1
+    ref_len = max(1, cigar_ref_length(row["cigar"] or "*"))
+    bin_ = reg2bin(max(0, pos0), max(0, pos0) + ref_len) if pos0 >= 0 else 4680
+
+    body = bytearray()
+    body += struct.pack(
+        "<iiBBHHHiiii",
+        ref_id,
+        pos0,
+        len(qname) + 1,
+        row["mapq"] or 0,
+        bin_,
+        len(cigar),
+        row["flag"] or 0,
+        l_seq,
+        next_ref_id,
+        (row["pnext"] or 0) - 1,
+        row["tlen"] or 0,
+    )
+    body += qname + b"\x00"
+    for n, op in cigar:
+        body += struct.pack("<I", (n << 4) | op)
+    if l_seq:
+        for i in range(0, l_seq, 2):
+            hi = SEQ_CODES.index(seq[i]) if seq[i] in SEQ_CODES else 15
+            lo = SEQ_CODES.index(seq[i + 1]) if i + 1 < l_seq and seq[i + 1] in SEQ_CODES else 0
+            body += bytes([(hi << 4) | (lo if i + 1 < l_seq else 0)])
+        if qual == "*":
+            body += b"\xff" * l_seq
+        else:
+            body += bytes((ord(c) - 33) & 0xFF for c in qual)
+    for tag, tv in (row.get("attributes") or {}).items():
+        typ, _, val = tv.partition(":")
+        t = tag.encode("ascii")
+        if typ == "A":
+            body += t + b"A" + val[:1].encode()
+        elif typ == "i":
+            body += t + b"i" + struct.pack("<i", int(val))
+        elif typ == "f":
+            body += t + b"f" + struct.pack("<f", float(val))
+        elif typ in ("Z", "H"):
+            body += t + typ.encode() + val.encode("ascii") + b"\x00"
+        elif typ == "B":
+            sub, _, rest = val.partition(",")
+            vals = rest.split(",") if rest else []
+            fmt = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i", "I": "<I", "f": "<f"}[sub]
+            body += t + b"B" + sub.encode() + struct.pack("<I", len(vals))
+            for v in vals:
+                body += struct.pack(fmt, float(v) if sub == "f" else int(v))
+    return struct.pack("<i", len(body)) + bytes(body)
+
+
+def encode_bam_header(header_text: str, refs: list[tuple[str, int]]) -> bytes:
+    out = bytearray(b"BAM\x01")
+    text = header_text.encode("utf-8")
+    out += struct.pack("<i", len(text)) + text
+    out += struct.pack("<i", len(refs))
+    for name, length in refs:
+        nb = name.encode("utf-8") + b"\x00"
+        out += struct.pack("<i", len(nb)) + nb + struct.pack("<i", length)
+    return bytes(out)
+
+
+# ------------------------------------------------------------------ guesser
+
+
+class BamRecordGuesser:
+    """Field-plausibility validation of candidate record boundaries
+    (behavioral port of the reference's checks, `BamRecordGuesser.java:79-194`)."""
+
+    def __init__(self, n_ref: int):
+        self.n_ref = n_ref
+
+    def _check_one(self, buf: bytes | memoryview, off: int) -> int | None:
+        """Return next record offset if the record at ``off`` is plausible,
+        -1 if plausible-but-truncated, None if implausible."""
+        n = len(buf)
+        if off + 4 > n:
+            return -1
+        (block_size,) = struct.unpack_from("<i", buf, off)
+        if block_size < FIXED_RECORD_BYTES or block_size > MAX_RECORD_BYTES:
+            return None
+        if off + 4 + FIXED_RECORD_BYTES > n:
+            return -1
+        (
+            ref_id,
+            pos,
+            l_read_name,
+            _mapq,
+            _bin,
+            n_cigar,
+            _flag,
+            l_seq,
+            next_ref_id,
+            next_pos,
+            _tlen,
+        ) = struct.unpack_from("<iiBBHHHiiii", buf, off + 4)
+        if not (-1 <= ref_id < self.n_ref) or not (-1 <= next_ref_id < self.n_ref):
+            return None
+        if not (-1 <= pos < (1 << 31) - 1) or not (-1 <= next_pos < (1 << 31) - 1):
+            return None
+        if l_read_name < 2:
+            return None
+        if l_seq < 0:
+            return None
+        # length arithmetic must fit in the record
+        min_len = FIXED_RECORD_BYTES + l_read_name + 4 * n_cigar + (l_seq + 1) // 2 + l_seq
+        if min_len > block_size:
+            return None
+        # read name: printable [!-~], NUL-terminated
+        name_end = off + 4 + FIXED_RECORD_BYTES + l_read_name
+        if name_end > n:
+            return -1
+        name = buf[off + 4 + FIXED_RECORD_BYTES : name_end]
+        if name[-1] != 0:
+            return None
+        for b in name[:-1]:
+            if b < 0x21 or b > 0x7E:
+                return None
+        # cigar op codes valid
+        cigar_end = name_end + 4 * n_cigar
+        if cigar_end > n:
+            return -1
+        for i in range(n_cigar):
+            (op,) = struct.unpack_from("<I", buf, name_end + 4 * i)
+            if (op & 0xF) > 8:
+                return None
+        return off + 4 + block_size
+
+    def is_record_start(self, buf: bytes | memoryview, off: int, reads_to_check: int = READS_TO_CHECK) -> bool:
+        """True if ``reads_to_check`` consecutive plausible records begin at
+        ``off`` (records running past the buffer count as plausible — the
+        caller provides a generous window, reference MAX_READ_SIZE)."""
+        checked = 0
+        while checked < reads_to_check:
+            nxt = self._check_one(buf, off)
+            if nxt is None:
+                return False
+            if nxt == -1 or nxt > len(buf):
+                return checked > 0 or len(buf) - off < MAX_RECORD_BYTES
+            off = nxt
+            checked += 1
+            if off == len(buf):
+                return True
+        return True
+
+
+# ------------------------------------------------------------------ SBI index
+
+SBI_MAGIC = b"SBI\x01"
+
+
+@dataclass(frozen=True)
+class SbiIndex:
+    """SBI splitting index (format per hts-specs / reference
+    `htsjdk/samtools/SBIIndex.java:106-275`)."""
+
+    file_length: int
+    md5: bytes
+    uuid: bytes
+    total_records: int
+    granularity: int
+    offsets: tuple[int, ...]  # virtual offsets, last = end-of-records sentinel
+
+    @classmethod
+    def load(cls, path: str | Path) -> "SbiIndex":
+        data = Path(path).read_bytes()
+        if data[:4] != SBI_MAGIC:
+            raise ValueError(f"{path}: bad SBI magic {data[:4]!r}")
+        file_length, = struct.unpack_from("<q", data, 4)
+        md5 = data[12:28]
+        uuid_ = data[28:44]
+        total_records, granularity, n = struct.unpack_from("<qqq", data, 44)
+        offsets = struct.unpack_from(f"<{n}q", data, 68)
+        return cls(file_length, md5, uuid_, total_records, granularity, tuple(offsets))
+
+    def dump(self) -> bytes:
+        out = bytearray(SBI_MAGIC)
+        out += struct.pack("<q", self.file_length)
+        out += self.md5.ljust(16, b"\x00")[:16]
+        out += self.uuid.ljust(16, b"\x00")[:16]
+        out += struct.pack("<qqq", self.total_records, self.granularity, len(self.offsets))
+        out += struct.pack(f"<{len(self.offsets)}q", *self.offsets)
+        return bytes(out)
+
+    def chunk_for_split(self, split_start: int, split_end: int) -> tuple[int, int] | None:
+        """Map a compressed byte range to a (start, end) virtual-offset chunk
+        of records beginning in it — the *intended* semantics of the
+        reference's SBI fast path (its snapshot drops the result,
+        `bam/BamSource.java:74-92`; we implement the fix)."""
+        lo = _first_voffset_at_or_after(self.offsets, split_start)
+        hi = _first_voffset_at_or_after(self.offsets, split_end)
+        if lo is None or (hi is not None and lo >= hi):
+            return None
+        return lo, hi if hi is not None else self.offsets[-1]
+
+
+def _first_voffset_at_or_after(offsets: tuple[int, ...], coffset: int) -> int | None:
+    import bisect
+
+    target = coffset << 16
+    i = bisect.bisect_left(offsets, target)
+    return offsets[i] if i < len(offsets) else None
+
+
+# ------------------------------------------------------------------ streams
+
+
+def iter_records_window(
+    data: bytes, start_off: int, refs: list[str]
+) -> Iterator[tuple[int, dict]]:
+    """Parse records sequentially from ``start_off`` in an uncompressed
+    window; yields (offset, row) and stops at a truncated record."""
+    off = start_off
+    while True:
+        parsed = parse_record(data, off, refs)
+        if parsed is None:
+            return
+        row, nxt = parsed
+        yield off, row
+        off = nxt

@@ -1,0 +1,96 @@
+"""BAM source/sink: differential against the reference fixtures with the
+granularity-1 SBI as exhaustive ground truth (the reference's own gold
+standard, BamRecordGuesserCheckerTest)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+from disq_original_spark.sources.bam import BamSink, BamSource, create_sbi
+from disq_original_spark.sources.bam_codec import SbiIndex
+from disq_original_spark.sources.headers import read_bam_header
+
+RES = Path("/root/reference/src/test/resources")
+BAM = str(RES / "1.bam")
+BAM_SBI = str(RES / "1-with-splitting-index.bam")  # .sbi sits next to it
+N_RECORDS = 4917  # from the granularity-1 SBI (ground truth)
+
+
+@pytest.fixture(scope="module")
+def bam_df(spark):
+    return BamSource().read(spark, BAM, split_size=128 * 1024)
+
+
+def test_count_via_guesser_matches_sbi_truth(bam_df):
+    # 128 KB splits force multi-partition reads through the heuristic path
+    assert bam_df.count() == N_RECORDS
+
+
+def test_count_via_sbi_index(spark):
+    df = BamSource().read(spark, BAM_SBI, split_size=128 * 1024, use_sbi=True)
+    assert df.rdd.getNumPartitions() > 1
+    assert df.count() == N_RECORDS
+
+
+def test_sbi_and_guesser_paths_agree(spark, bam_df):
+    via_sbi = BamSource().read(spark, BAM_SBI, split_size=40 * 1024, use_sbi=True)
+    a = sorted(map(str, via_sbi.collect()))
+    b = sorted(map(str, bam_df.collect()))
+    assert a == b
+
+
+def test_split_size_invariance(spark, bam_df):
+    small = BamSource().read(spark, BAM, split_size=40 * 1024)
+    assert sorted(map(str, small.collect())) == sorted(map(str, bam_df.collect()))
+
+
+def test_file_order_preserved(spark):
+    """Reading a coordinate-sorted BAM yields records in file order
+    (reference README.md:139-153)."""
+    df = BamSource().read(spark, BAM, split_size=128 * 1024)
+    pos = [r["pos"] for r in df.collect() if r["rname"] == "1"]
+    assert pos == sorted(pos)
+
+
+def test_roundtrip(spark, tmp_path, bam_df):
+    header, refs, _ = read_bam_header(BAM)
+    out = str(tmp_path / "out.bam")
+    BamSink().write(bam_df, header, out)
+    again = BamSource().read(spark, out, split_size=128 * 1024)
+    cols = ["qname", "flag", "rname", "pos", "mapq", "cigar", "rnext", "pnext", "tlen", "seq", "qual"]
+    assert sorted(map(str, again.select(cols).collect())) == sorted(
+        map(str, bam_df.select(cols).collect())
+    )
+
+
+def test_create_sbi_matches_reference_index(tmp_path, bam_df):
+    import shutil
+
+    tmp_bam = str(tmp_path / "copy.bam")
+    shutil.copyfile(BAM, tmp_bam)
+    out = create_sbi(tmp_bam, granularity=1)
+    ours = SbiIndex.load(out)
+    theirs = SbiIndex.load(BAM_SBI + ".sbi")
+    assert ours.total_records == theirs.total_records == N_RECORDS
+    assert ours.granularity == theirs.granularity == 1
+    assert ours.offsets == theirs.offsets
+
+
+def test_interval_filter(spark, bam_df):
+    intervals = spark.createDataFrame(
+        [("1", 24_795_000, 24_800_000)], "contig string, start long, end long"
+    )
+    got = BamSource().read(spark, BAM, intervals=intervals, split_size=128 * 1024)
+    # python oracle over the full read
+    from disq_original_spark.sources.sam import with_alignment_span
+
+    expected = 0
+    for r in with_alignment_span(bam_df).collect():
+        if r["flag"] & 0x4 and (r["rname"] is None or r["pos"] == 0):
+            continue
+        if r["rname"] == "1" and r["pos"] <= 24_800_000 and r["end_pos"] >= 24_795_000:
+            expected += 1
+    assert got.count() == expected
+    assert expected > 0
