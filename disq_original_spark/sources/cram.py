@@ -1,0 +1,179 @@
+"""CRAM container-level source: container enumeration, .crai-driven split
+planning, container-metadata DataFrame.  Record decode is STUBBED — the CRAM
+codec (rANS/external-block decompression, reference-based sequence
+reconstruction) is a spec unto itself; the reference itself delegates it to
+htsjdk (`cram/CramSource.java:153-167`).  What IS implemented — and what made
+the reference's CRAM support *distributed* — is the split machinery: snapping
+byte-range splits to container start offsets (`cram/CramSource.java:96-151`).
+
+CRAM 3.x structure (CRAM spec §6–8): a 26-byte file definition, then
+containers, each with a header of fixed-width length + ITF8/LTF8 varints,
+ending with a fixed EOF container.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from dataclasses import dataclass
+from pathlib import Path
+from typing import BinaryIO
+
+from pyspark.sql import DataFrame, SparkSession
+
+CRAM_MAGIC = b"CRAM"
+FILE_DEFINITION_SIZE = 26
+
+
+def _read_itf8(fh: BinaryIO) -> int:
+    b0 = fh.read(1)[0]
+    if b0 < 0x80:
+        return b0
+    if b0 < 0xC0:
+        return ((b0 & 0x7F) << 8) | fh.read(1)[0]
+    if b0 < 0xE0:
+        b = fh.read(2)
+        return ((b0 & 0x3F) << 16) | (b[0] << 8) | b[1]
+    if b0 < 0xF0:
+        b = fh.read(3)
+        return ((b0 & 0x1F) << 24) | (b[0] << 16) | (b[1] << 8) | b[2]
+    b = fh.read(4)
+    v = ((b0 & 0x0F) << 28) | (b[0] << 20) | (b[1] << 12) | (b[2] << 4) | (b[3] & 0x0F)
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def _read_ltf8(fh: BinaryIO) -> int:
+    b0 = fh.read(1)[0]
+    n_extra = 0
+    mask = 0x80
+    while n_extra < 8 and b0 & mask:
+        n_extra += 1
+        mask >>= 1
+    if n_extra == 0:
+        return b0
+    prefix = b0 & (0xFF >> (n_extra + (0 if n_extra == 8 else 1)))
+    v = prefix
+    for byte in fh.read(n_extra):
+        v = (v << 8) | byte
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+@dataclass(frozen=True)
+class CramContainer:
+    offset: int  # byte offset of container start
+    length: int  # payload length (excl. header)
+    ref_seq_id: int
+    start: int
+    span: int
+    n_records: int
+    n_blocks: int
+    is_eof: bool
+
+
+def read_file_definition(fh: BinaryIO) -> tuple[int, int]:
+    fh.seek(0)
+    d = fh.read(FILE_DEFINITION_SIZE)
+    if d[:4] != CRAM_MAGIC:
+        raise ValueError(f"not a CRAM file (magic {d[:4]!r})")
+    return d[4], d[5]  # major, minor
+
+
+def enumerate_containers(fh: BinaryIO) -> list[CramContainer]:
+    """Walk the container chain (the reference's no-index fallback,
+    `cram/CramSource.java:123-151`).  Handles CRAM 2.x and 3.x container
+    headers (the CRC32 trailer exists only in 3.0+)."""
+    major, _minor = read_file_definition(fh)
+    fh.seek(0, 2)
+    file_len = fh.tell()
+    out: list[CramContainer] = []
+    pos = FILE_DEFINITION_SIZE
+    while pos < file_len:
+        fh.seek(pos)
+        (length,) = struct.unpack("<i", fh.read(4))
+        ref_seq_id = _read_itf8(fh)
+        start = _read_itf8(fh)
+        span = _read_itf8(fh)
+        n_records = _read_itf8(fh)
+        _counter = _read_ltf8(fh)
+        _bases = _read_ltf8(fh)
+        n_blocks = _read_itf8(fh)
+        n_landmarks = _read_itf8(fh)
+        for _ in range(n_landmarks):
+            _read_itf8(fh)
+        if major >= 3:
+            fh.read(4)  # crc32
+        header_size = fh.tell() - pos
+        is_eof = ref_seq_id == -1 and start == 4_542_278 and n_records == 0
+        out.append(
+            CramContainer(pos, length, ref_seq_id, start, span, n_records, n_blocks, is_eof)
+        )
+        pos += header_size + length
+    return out
+
+
+def read_crai_offsets(crai_path: str | Path) -> list[int]:
+    """Container offsets from a .crai index (gzip text: seqid, start, span,
+    container-offset, slice-offset, slice-size) — the reference's indexed
+    path (`cram/CramSource.java:123-138`)."""
+    offsets = set()
+    with gzip.open(crai_path, "rt") as fh:
+        for line in fh:
+            parts = line.split("\t")
+            if len(parts) >= 4:
+                offsets.add(int(parts[3]))
+    return sorted(offsets)
+
+
+def snap_splits_to_containers(
+    offsets: list[int], file_len: int, split_size: int
+) -> list[tuple[int, int]]:
+    """Byte-range splits snapped to container starts: each split covers the
+    containers whose offset falls in [start, end) (`cram/CramSource.java:96-120`);
+    empty splits are dropped."""
+    import bisect
+
+    chunks = []
+    for s in range(0, file_len, split_size):
+        e = min(s + split_size, file_len)
+        lo = bisect.bisect_left(offsets, s)
+        hi = bisect.bisect_left(offsets, e)
+        if lo < hi:
+            chunks.append((offsets[lo], offsets[hi] if hi < len(offsets) else file_len))
+    return chunks
+
+
+class CramSource:
+    """Container-granular CRAM access: metadata DataFrame + split planning.
+    ``read`` (record decode) raises until a from-scratch CRAM codec lands."""
+
+    def containers(self, spark: SparkSession, path: str) -> DataFrame:
+        with open(path, "rb") as fh:
+            cs = enumerate_containers(fh)
+        return spark.createDataFrame(
+            [
+                (c.offset, c.length, c.ref_seq_id, c.start, c.span, c.n_records, c.n_blocks, c.is_eof)
+                for c in cs
+            ],
+            "offset long, length long, ref_seq_id int, start long, span long, "
+            "n_records long, n_blocks int, is_eof boolean",
+        )
+
+    def plan_splits(self, path: str, split_size: int = 1 << 20) -> list[tuple[int, int]]:
+        import os
+
+        crai = path + ".crai"
+        if Path(crai).exists():
+            offsets = read_crai_offsets(crai)
+        else:
+            with open(path, "rb") as fh:
+                offsets = [c.offset for c in enumerate_containers(fh) if not c.is_eof and c.n_records > 0]
+        return snap_splits_to_containers(offsets, os.path.getsize(path), split_size)
+
+    def read(self, spark: SparkSession, path: str, **kwargs) -> DataFrame:
+        raise NotImplementedError(
+            "CRAM record decode is not implemented: it requires the full CRAM "
+            "codec (rANS, external blocks, reference-based decode). Container "
+            "enumeration, .crai split planning, and container metadata are "
+            "available via .containers()/.plan_splits(). Convert CRAM→BAM with "
+            "samtools to use the BAM source."
+        )

@@ -1,0 +1,64 @@
+"""Structured Streaming operators checked against batch-computed expectations
+(availableNow trigger over a file stream of the events table)."""
+
+from __future__ import annotations
+
+import pytest
+
+from disq_original_spark.streaming.events import (
+    EVENTS_SCHEMA,
+    dedup_within_watermark,
+    windowed_counts,
+    windowed_counts_batch,
+)
+from disq_original_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events table written as a streaming-readable parquet dir with
+    micro-second timestamps."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_to_memory(spark, stream_df, name, output_mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, events_dir):
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    got = _run_to_memory(spark, windowed_counts(stream), "win_counts", "append").collect()
+    events = load_table(spark, sf_dir, "events")
+    expected = windowed_counts_batch(events).collect()
+    # Append mode only emits windows finalized by the watermark: windows whose
+    # end is past max(ts) - 2h stay in state when the availableNow run ends.
+    import datetime as dt
+
+    max_ts = events.agg({"ts": "max"}).collect()[0][0]
+    cutoff = max_ts - dt.timedelta(hours=2) - dt.timedelta(hours=1)  # window end ≤ watermark
+    finalized = [
+        r
+        for r in expected
+        if dt.datetime.strptime(r["window_start"], "%Y-%m-%d %H:%M") <= cutoff
+    ]
+    got_set = set(map(str, got))
+    assert got_set.issuperset(set(map(str, finalized)))
+    assert got_set.issubset(set(map(str, expected)))
+    assert len(got) > 0
+
+
+def test_dedup_within_watermark(spark, events_dir):
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    got = _run_to_memory(spark, dedup_within_watermark(stream), "dedup_stream", "append")
+    base = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    assert got.count() == base.select("event_id").distinct().count()
