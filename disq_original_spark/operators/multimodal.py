@@ -1,0 +1,119 @@
+"""Multimodal (image/audio/video) column plumbing for a training-data
+pipeline.
+
+Media travel as opaque ``binary`` columns with typed metadata; decode /
+feature-extract / resize / frame-sample run as Arrow-batched pandas
+iterators (``mapInPandas``) so each Python worker touches a whole batch of
+payloads at once.  The Spark-side machinery — schema, batch shape, partition
+behavior, row-expansion (frame sampling) — is real and tested.
+
+DECODE IS A DETERMINISTIC FAKE: the container has no image/audio codecs
+(no PIL/ffmpeg), so ``_fake_decode`` derives pseudo pixel/sample statistics
+from the payload bytes (documented, seeded by content).  Swapping in a real
+decoder is a one-function change; every schema and plan stays identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, data binary, meta map<string,string>"
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = (
+    "media_id long, kind string, n_bytes long, width int, height int, "
+    f"features array<float>"
+)
+
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame_data binary, n_bytes long"
+
+
+def documents_as_media(documents: DataFrame) -> DataFrame:
+    """Deterministic media table derived from the documents fixture:
+    payload = UTF-8 bytes of the text, kind cycles image/audio/video."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        F.create_map(
+            F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """Deterministic stand-in for an image decode: width/height from payload
+    length, 'features' = normalized byte-histogram moments.  Replace with
+    PIL/librosa/ffmpeg in a full environment."""
+    n = len(payload)
+    width = 16 + n % 64
+    height = 16 + (n // 64) % 64
+    feats = []
+    for j in range(FEATURE_DIM):
+        sl = payload[j::FEATURE_DIM]
+        feats.append(round(sum(sl) / (255.0 * max(1, len(sl))), 6))
+    return width, height, feats
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction: one pandas batch in, one out.
+    At cluster scale, batch size is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch — payload bytes stream
+    through Arrow, never through the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                payload = bytes(data)
+                w, h, feats = _fake_decode(payload)
+                rows.append((mid, kind, len(payload), w, h, feats))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "n_bytes", "width", "height", "features"],
+            )
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 4) -> DataFrame:
+    """Frame sampling for video rows: one input row expands to ≤ max_frames
+    rows (the mapInPandas row-expansion shape a real ffmpeg sampler uses)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                if kind != "video":
+                    continue
+                payload = bytes(data)
+                for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    frame = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
+                    out.append((mid, i, frame, len(frame)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "frame_data", "n_bytes"]
+            )
+
+    return media.mapInPandas(run, FRAMES_SCHEMA)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize placeholder: raises until a real image library is present —
+    the contract (schema in = schema out, data column replaced) is fixed."""
+    raise NotImplementedError(
+        "resize requires an image codec (PIL/opencv) not present in this "
+        "environment; extract_features/sample_frames demonstrate the "
+        "identical mapInPandas plumbing with a deterministic fake decode"
+    )

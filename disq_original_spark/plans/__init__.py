@@ -41,4 +41,10 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:
-    return "WholeStageCodegen" in formatted_plan(df)
+    """True if the executed plan contains WholeStageCodegen spans.  With AQE
+    the final plan (and its codegen spans) only exists after execution, so
+    this triggers the query."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # codegen stages appear as "*(n) Operator" in the simple plan format
+    return "WholeStageCodegen" in plan or "*(" in plan

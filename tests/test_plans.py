@@ -1,0 +1,81 @@
+"""Physical-plan assertions: the plan, not just the rows, is the contract.
+These pin the properties that matter at 100 TB — pushdown reaching the scan,
+column pruning, broadcast of small dims, partial aggregation, top-k without
+a global sort, whole-stage codegen."""
+
+from __future__ import annotations
+
+import pytest
+
+from disq_original_spark.plans import (
+    formatted_plan,
+    has_pushed_filter,
+    has_whole_stage_codegen,
+    read_schema_columns,
+    uses_broadcast_join,
+)
+from disq_original_spark.queries import QUERIES
+
+
+def test_q02_filter_pushdown(spark, sf_dir):
+    df = QUERIES["q02_filter"].build(spark, sf_dir)
+    assert has_pushed_filter(df, "l_quantity")
+    assert has_pushed_filter(df, "l_discount")
+
+
+def test_q02_column_pruning(spark, sf_dir):
+    df = QUERIES["q02_filter"].build(spark, sf_dir)
+    cols = set(read_schema_columns(df))
+    assert cols <= {"l_orderkey", "l_linenumber", "l_quantity", "l_discount"}
+    assert "l_extendedprice" not in cols
+
+
+def test_q03_range_pushdown(spark, sf_dir):
+    df = QUERIES["q03_range_predicate"].build(spark, sf_dir)
+    assert has_pushed_filter(df, "o_orderdate")
+
+
+def test_q05_broadcasts_small_dim(spark, sf_dir):
+    df = QUERIES["q05_broadcast_join"].build(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_q10_partial_aggregation(spark, sf_dir):
+    plan = formatted_plan(QUERIES["q10_hash_aggregate"].build(spark, sf_dir))
+    # partial + final HashAggregate pair → map-side combine before shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q18_topk_no_global_sort(spark, sf_dir):
+    plan = formatted_plan(QUERIES["q18_topk"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_codegen_on_scan_heavy_queries(spark, sf_dir):
+    for name in ("q02_filter", "q10_hash_aggregate", "q24_math", "t02_quality_score"):
+        df = QUERIES[name].build(spark, sf_dir)
+        assert has_whole_stage_codegen(df), name
+
+
+def test_g01_no_join(spark, sf_dir):
+    plan = formatted_plan(QUERIES["g01_interval_filter"].build(spark, sf_dir))
+    assert "Join" not in plan  # literal interval list compiles to a filter
+
+
+def test_s01_broadcasts_queries(spark, sf_dir):
+    df = QUERIES["s01_knn_bruteforce"].build(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_interval_filter_broadcasts(spark, sf_dir):
+    from disq_original_spark.operators.interval import interval_filter
+    from disq_original_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").selectExpr(
+        "event_type as contig", "event_id as start", "event_id + 10 as end", "event_id"
+    )
+    iv = spark.createDataFrame(
+        [("purchase", 0, 100)], "contig string, start long, end long"
+    )
+    out = interval_filter(e, iv)
+    assert uses_broadcast_join(out)
