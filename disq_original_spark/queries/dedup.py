@@ -4,16 +4,15 @@ Scale design notes (the whole point of these):
 
 - **Exact** (d01/d02): hash-groupBy on md5(text) — one shuffle of (hash, id),
   never of the full text.  At 100 TB you shuffle ~50 bytes/doc.
-- **MinHash+LSH** (d03): shingle → seeded-md5 minhash signature → band keys →
-  equi-join on (band_idx, band_key).  Candidate generation is an equi-join, so
-  Catalyst gives a shuffled hash join on a short key; no all-pairs product.
-  Hot buckets (boilerplate docs) are the skew risk — AQE skew-join handles
-  moderate skew, salting the band key is the 1000-executor escape hatch.
-- **N-gram Jaccard** (d04): inverted-index join on distinct shingles, partial
-  count per pair, then jaccard from per-doc shingle counts.  Join key is the
-  shingle string; frequency-capped in real pipelines (drop shingles with
-  document-frequency > threshold) to bound blowup — the cap is a plain filter
-  on a broadcast DF-count aggregate.
+- **MinHash+LSH** (d03): signature is computed entirely map-side (array
+  transforms + array_min over the in-row shingle array — zero shuffle for the
+  signature stage); the only shuffle groups (doc_id, band_key) into postings
+  lists whose pairs expand locally.  Hot buckets (boilerplate docs) are the
+  skew risk — cap the bucket size like d04 at corpus scale.
+- **N-gram Jaccard** (d04): ONE groupBy on the shingle hash fuses the
+  document-frequency cap and the inverted index; candidate pairs expand from
+  each capped postings list (≤ C(cap,2) per shingle) — there is no self-join
+  anywhere, so the worst case is bounded by cap, not by corpus skew.
 - **SimHash** (d06): 16-bit signature via native bit ops; candidate pairing
   (tests) uses the pigeonhole band trick (equal half ⇒ hamming ≤ threshold
   candidates), again an equi-join.
@@ -107,25 +106,32 @@ _BANDS_SQL = "\n UNION ALL ".join(
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
         ORDER BY a_id, b_id""",
-    doc="MinHash(8)+LSH(4 bands×2): explode shingles once, 2 md5s sliced into "
-    "8 32-bit hashes, map-side partial min aggregation, band equi-join — "
-    "shuffle carries only (doc_id, 8×8 chars).",
+    doc="MinHash(8)+LSH(4 bands×2): signatures computed entirely map-side "
+    "(2 md5 transforms + 8 substr array_mins per row — no explode, no "
+    "shuffle), then band postings lists pair candidates.  The only shuffle "
+    "carries (doc_id, band_key); pair expansion happens inside each bucket's "
+    "postings list instead of a self-join.",
 )
 def d03(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
-    ex = d.select(
-        "doc_id", F.explode(word_shingles("text", 5)).alias("s")
-    )
-    hashed = ex.select(
+
+    def _sub(p: int):
+        # one-arg lambda on purpose: a two-arg lambda would be interpreted by
+        # transform() as (element, index) and clobber the bound slice offset
+        return lambda h: F.substring(h, p, 8)
+
+    sh = d.select("doc_id", word_shingles("text", 5).alias("sh"))
+    hs = sh.select(
         "doc_id",
-        F.md5(F.concat(F.lit("a:"), F.col("s"))).alias("h0"),
-        F.md5(F.concat(F.lit("b:"), F.col("s"))).alias("h1"),
+        F.transform("sh", lambda s: F.md5(F.concat(F.lit("a:"), s))).alias("h0"),
+        F.transform("sh", lambda s: F.md5(F.concat(F.lit("b:"), s))).alias("h1"),
     )
-    sig = hashed.groupBy("doc_id").agg(
+    sig = hs.select(
+        "doc_id",
         *[
-            F.min(F.substring(f"h{s}", p, 8)).alias(f"mh{j}")
+            F.array_min(F.transform(f"h{s}", _sub(p))).alias(f"mh{j}")
             for j, (s, p) in enumerate(_SLICES)
-        ]
+        ],
     )
     band_structs = F.array(
         *[
@@ -139,18 +145,27 @@ def d03(spark: SparkSession, sf: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", "b.band_idx", "b.band_key"
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    inv = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        inv.select(F.explode(_pair_expansion()).alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
         .orderBy("a_id", "b_id")
+    )
+
+
+def _pair_expansion() -> F.Column:
+    """Expand a sorted ``ids`` array into its strictly-ordered pairs.  Used by
+    the postings-list dedup plans: pair generation is local to the bucket row
+    (bounded by the DF cap / bucket size), replacing an O(n²)-shuffle
+    self-join with per-row expansion."""
+    return F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS a_id, y AS b_id))))"
     )
 
 
@@ -178,27 +193,37 @@ _DF_CAP = 64  # drop shingles appearing in more docs (boilerplate guard)
         ORDER BY a_id, b_id""",
     doc="Inverted-index Jaccard over distinct word 5-grams with a document-"
     "frequency cap (shingles in > DF_CAP docs are boilerplate and excluded — "
-    "the standard guard that bounds the self-join blowup at corpus scale). "
-    "Join runs on a 64-bit shingle hash, not the string.",
+    "the standard guard that bounds pair blowup at corpus scale).  ONE "
+    "groupBy on the 64-bit shingle hash builds capped postings lists "
+    "(DF-cap filter and inverted index fused into the same shuffle); pairs "
+    "expand locally per posting (≤ C(cap,2) each) — no self-join.  The "
+    "postings index is persisted and reused for the per-doc shingle counts.",
 )
 def d04(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     sh = d.select(
         "doc_id", F.array_distinct(word_shingles("text", 5)).alias("sh")
     )
-    # join key: 64-bit hash of the shingle (cheaper shuffle/compare; the
+    # postings key: 64-bit hash of the shingle (cheaper shuffle/compare; the
     # oracle joins on the string — identical pair set absent collisions)
     ex0 = sh.select("doc_id", F.explode("sh").alias("s_str")).select(
         "doc_id", F.xxhash64("s_str").alias("s")
     )
-    keep = ex0.groupBy("s").count().filter(F.col("count") <= _DF_CAP).select("s")
-    ex = ex0.join(keep, "s")
-    cnt = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("n"))
-    a = ex.alias("a")
-    b = ex.alias("b")
+    inv = (
+        ex0.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= _DF_CAP)
+        .persist()  # tiny: (hash, ≤cap ids); feeds both counts and pairs
+    )
+    cnt = (
+        inv.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
     shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        inv.filter(F.size("ids") >= 2)
+        .select(F.explode(_pair_expansion()).alias("p"))
+        .groupBy(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
         .agg(F.count(F.lit(1)).cast("double").alias("shared"))
     )
     ca = cnt.alias("ca")
