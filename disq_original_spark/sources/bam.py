@@ -142,6 +142,41 @@ def _read_records_in_chunk(path: str, vstart: int, vend: int, ref_names: list[st
             yield parsed[0]
 
 
+def records_for_split(
+    path: str,
+    start: int,
+    end: int,
+    ref_names: list[str],
+    n_ref: int,
+    first_voffset: int,
+    sbi_offsets: tuple[int, ...] | None,
+):
+    """Yield reads-schema rows for the byte-range split [start, end): map the
+    range to a record-aligned virtual-offset chunk (SBI fast path, else
+    boundary guesser), then decode.  Shared by the RDD facade and the Python
+    DataSource."""
+    if sbi_offsets is not None:
+        idx = SbiIndex(0, b"", b"", 0, 0, sbi_offsets)
+        chunk = idx.chunk_for_split(start, end)
+        if chunk is None:
+            return
+        vstart, vend = chunk
+    else:
+        first_c = first_voffset >> 16
+        if end <= first_c:
+            return
+        with open(path, "rb") as fh:
+            if start <= first_c:
+                vstart = first_voffset
+            else:
+                found = _find_first_record_voffset(fh, start, end, n_ref)
+                if found is None:
+                    return
+                vstart = found
+        vend = end << 16
+    yield from _read_records_in_chunk(path, vstart, vend, ref_names)
+
+
 class BamSource:
     """Read BAM files into a reads DataFrame (splittable, index-aware)."""
 
@@ -173,28 +208,9 @@ class BamSource:
             sbi_offsets = sbi.offsets if sbi else None
             fpath = f
 
-            def plan_and_read(it, _fpath=fpath, _refs=ref_names, _nref=n_ref, _fv=first_voffset, _sbi=sbi_offsets, _flen=flen):
+            def plan_and_read(it, _fpath=fpath, _refs=ref_names, _nref=n_ref, _fv=first_voffset, _sbi=sbi_offsets):
                 for s, e in it:
-                    if _sbi is not None:
-                        idx = SbiIndex(0, b"", b"", 0, 0, _sbi)
-                        chunk = idx.chunk_for_split(s, e)
-                        if chunk is None:
-                            continue
-                        vstart, vend = chunk
-                    else:
-                        first_c = _fv >> 16
-                        if e <= first_c:
-                            continue
-                        with open(_fpath, "rb") as fh:
-                            if s <= first_c:
-                                vstart = _fv
-                            else:
-                                found = _find_first_record_voffset(fh, s, e, _nref)
-                                if found is None:
-                                    continue
-                                vstart = found
-                        vend = e << 16
-                    yield from _read_records_in_chunk(_fpath, vstart, vend, _refs)
+                    yield from records_for_split(_fpath, s, e, _refs, _nref, _fv, _sbi)
 
             rdd = spark.sparkContext.parallelize(splits, max(1, len(splits))).mapPartitions(
                 plan_and_read

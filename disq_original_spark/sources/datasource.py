@@ -1,0 +1,118 @@
+"""Python DataSource (Spark 4) facade: ``spark.read.format("bam")``.
+
+This is the idiomatic Spark surface for the reference's storage API
+(`HtsjdkReadsRddStorage.read`, `HtsjdkReadsRddStorage.java:146-188`): the
+driver plans byte-range splits (consulting the ``.sbi`` splitting index when
+present, fixing the reference's dead SBI path at `bam/BamSource.java:74-92`),
+each ``InputPartition`` carries one split, and executors map their split to a
+record-aligned virtual-offset chunk and decode records.
+
+Options:
+
+- ``splitSize`` (bytes, default 128 MiB) — the reference's ``splitSize``
+  knob (`HtsjdkReadsRddStorage.java:84-90`).
+- ``useSbi`` (default true) — consult ``path + ".sbi"`` for record-aligned
+  chunking; without it the record guesser runs per split.
+
+Filter pushdown: interval predicates (``rname = c AND pos BETWEEN ...``)
+could only skip bytes with a ``.bai`` linear index; without one, evaluating
+them in Python inside the source would be *slower* than letting Catalyst run
+them natively after the scan, so ``pushFilters`` intentionally keeps every
+filter in Spark (see `AbstractBinarySamSource.java:96-113` for the
+reference's index-backed equivalent).
+
+SAM and VCF intentionally have no Python DataSource: their read paths are
+native DataFrame text scans + JVM-side parsing expressions
+(`sources/sam.py` / `sources/vcf.py`), which stay inside whole-stage
+codegen — strictly faster than yielding rows from Python.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from .bam import READS_SCHEMA, _expand_files, records_for_split
+from .bam_codec import SbiIndex
+from .headers import read_bam_header
+from .sam import READS_COLUMNS
+
+
+@dataclass
+class BamInputPartition(InputPartition):
+    path: str
+    start: int
+    end: int
+    ref_names: tuple[str, ...]
+    n_ref: int
+    first_voffset: int
+    sbi_offsets: tuple[int, ...] | None
+
+
+class BamDataSourceReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("bam source requires a path: .load('/path/to.bam')")
+        self.split_size = int(options.get("splitsize", 128 * 1024 * 1024))
+        self.use_sbi = str(options.get("usesbi", "true")).lower() != "false"
+
+    def partitions(self):
+        parts: list[BamInputPartition] = []
+        for f in _expand_files(self.path):
+            _header, refs, first_voffset = read_bam_header(f)
+            ref_names = tuple(r[0] for r in refs)
+            flen = os.path.getsize(f)
+            sbi_path = f + ".sbi"
+            sbi = (
+                SbiIndex.load(sbi_path)
+                if self.use_sbi and os.path.exists(sbi_path)
+                else None
+            )
+            offsets = tuple(sbi.offsets) if sbi else None
+            for s in range(0, flen, self.split_size):
+                parts.append(
+                    BamInputPartition(
+                        f,
+                        s,
+                        min(s + self.split_size, flen),
+                        ref_names,
+                        len(refs),
+                        first_voffset,
+                        offsets,
+                    )
+                )
+        return parts
+
+    def read(self, partition: BamInputPartition):
+        for row in records_for_split(
+            partition.path,
+            partition.start,
+            partition.end,
+            list(partition.ref_names),
+            partition.n_ref,
+            partition.first_voffset,
+            partition.sbi_offsets,
+        ):
+            yield tuple(row[c] for c in READS_COLUMNS)
+
+
+class BamDataSource(DataSource):
+    """``spark.read.format("bam").load(path)`` → reads DataFrame."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "bam"
+
+    def schema(self):
+        return READS_SCHEMA
+
+    def reader(self, schema) -> BamDataSourceReader:
+        return BamDataSourceReader(self.options)
+
+
+def register_datasources(spark) -> None:
+    """Register the custom format names on a SparkSession."""
+    spark.dataSource.register(BamDataSource)

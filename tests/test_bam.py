@@ -94,3 +94,22 @@ def test_interval_filter(spark, bam_df):
             expected += 1
     assert got.count() == expected
     assert expected > 0
+
+
+def test_python_datasource_format_bam(spark, bam_df):
+    from disq_original_spark.sources.datasource import register_datasources
+
+    register_datasources(spark)
+    df = spark.read.format("bam").option("splitSize", 40 * 1024).load(BAM)
+    assert df.count() == N_RECORDS
+    assert df.schema == bam_df.schema
+    # same records in the same file order as the RDD facade
+    assert [r.qname for r in df.collect()] == [r.qname for r in bam_df.collect()]
+
+
+def test_python_datasource_sbi_path(spark):
+    from disq_original_spark.sources.datasource import register_datasources
+
+    register_datasources(spark)
+    df = spark.read.format("bam").option("splitSize", 40 * 1024).load(BAM_SBI)
+    assert df.count() == N_RECORDS
