@@ -58,6 +58,86 @@ def windowed_counts_batch(events: DataFrame, window: str = "1 hour") -> DataFram
     )
 
 
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window aggregation per user: events within ``gap`` of each
+    other merge into one session.  State per (user, open session); the
+    watermark closes sessions and bounds state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sv",
+        )
+    )
+
+
+def session_windows_batch(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Batch twin of ``session_windows`` (same plan minus the watermark)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sv"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "sv",
+        )
+    )
+
+
+_USER_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
+_USER_TOTALS_STATE = "n long, total double"
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    event count and value sum, emitted each micro-batch in update mode.
+
+    This is the canonical shape for operators Spark's built-ins can't
+    express (per-key mutable state + arbitrary Python update logic).  State
+    is one (n, total) pair per user — partitioned by the groupBy hash
+    shuffle, so it scales horizontally with executors; no watermark is set
+    because totals are cumulative forever (a production variant would set a
+    state TTL via GroupStateTimeout)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_USER_TOTALS_SCHEMA,
+        stateStructType=_USER_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_user_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of ``running_user_totals`` final state."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id with bounded state
     (dropDuplicatesWithinWatermark)."""

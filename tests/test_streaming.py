@@ -62,3 +62,42 @@ def test_dedup_within_watermark(spark, events_dir):
     got = _run_to_memory(spark, dedup_within_watermark(stream), "dedup_stream", "append")
     base = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
     assert got.count() == base.select("event_id").distinct().count()
+
+
+def test_session_windows_match_batch(spark, sf_dir, events_dir):
+    from disq_original_spark.streaming.events import (
+        session_windows,
+        session_windows_batch,
+    )
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    got = _run_to_memory(spark, session_windows(stream), "sess_win", "append").collect()
+    expected = session_windows_batch(load_table(spark, sf_dir, "events")).collect()
+    got_set, exp_set = set(map(str, got)), set(map(str, expected))
+    # append emits only watermark-closed sessions; all emitted must be exact
+    assert got_set.issubset(exp_set)
+    assert len(got) > 0
+
+
+def test_running_user_totals_stateful(spark, sf_dir, events_dir):
+    from disq_original_spark.streaming.events import (
+        running_user_totals,
+        running_user_totals_batch,
+    )
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    got = _run_to_memory(spark, running_user_totals(stream), "user_totals", "update")
+    # last update per user == batch-computed totals
+    import pandas as pd
+
+    gpdf = got.toPandas()
+    final = gpdf.groupby("user_id").last().reset_index()
+    expected = (
+        running_user_totals_batch(load_table(spark, sf_dir, "events"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    final = final.sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(final[["user_id", "n_events", "total_value"]],
+                                  expected, check_dtype=False)
