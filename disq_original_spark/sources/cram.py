@@ -169,11 +169,50 @@ class CramSource:
                 offsets = [c.offset for c in enumerate_containers(fh) if not c.is_eof and c.n_records > 0]
         return snap_splits_to_containers(offsets, os.path.getsize(path), split_size)
 
-    def read(self, spark: SparkSession, path: str, **kwargs) -> DataFrame:
-        raise NotImplementedError(
-            "CRAM record decode is not implemented: it requires the full CRAM "
-            "codec (rANS, external blocks, reference-based decode). Container "
-            "enumeration, .crai split planning, and container metadata are "
-            "available via .containers()/.plan_splits(). Convert CRAM→BAM with "
-            "samtools to use the BAM source."
+    def read(
+        self,
+        spark: SparkSession,
+        path: str,
+        reference_path: str | None = None,
+        split_size: int = 1 << 20,
+    ) -> DataFrame:
+        """Distributed CRAM read: splits snap to container boundaries
+        (``plan_splits``); each task decodes its containers with the pure-
+        Python CRAM 2.x codec (``cram_codec``), reconstructing sequences from
+        ``reference_path`` (a .fai-indexed FASTA on shared storage).
+
+        CRAM 3.0 rANS blocks raise NotImplementedError at decode time."""
+        from .bam import READS_SCHEMA
+        from .cram_codec import IndexedFasta, decode_container, read_cram_meta
+        from .sam import READS_COLUMNS
+
+        with open(path, "rb") as fh:
+            head = fh.read(1 << 16)
+        meta, first_data = read_cram_meta(head)
+        chunks = self.plan_splits(path, split_size)
+        if not chunks:
+            return spark.createDataFrame([], READS_SCHEMA)
+        # extend each chunk to the next chunk's start (or EOF) so every
+        # container body is fully inside exactly one task's range
+        import os
+
+        flen = os.path.getsize(path)
+        bounds = [c[0] for c in chunks] + [flen]
+        ranges = [(bounds[i], bounds[i + 1]) for i in range(len(chunks))]
+
+        def decode_range(it, _path=path, _meta=meta, _ref=reference_path):
+            fasta = IndexedFasta(_ref) if _ref else None
+            getter = fasta.get if fasta else None
+            for s, e in it:
+                with open(_path, "rb") as fh:
+                    fh.seek(s)
+                    data = fh.read(e - s)
+                pos = 0
+                while pos < len(data):
+                    rows, pos = decode_container(data, pos, _meta, getter)
+                    yield from rows
+
+        rdd = spark.sparkContext.parallelize(ranges, len(ranges)).mapPartitions(decode_range)
+        return spark.createDataFrame(
+            rdd.map(lambda r: tuple(r[c] for c in READS_COLUMNS)), READS_SCHEMA
         )

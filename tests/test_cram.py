@@ -70,6 +70,64 @@ def test_containers_dataframe(spark):
     assert any(r["is_eof"] for r in rows)
 
 
-def test_read_raises_with_guidance(spark):
-    with pytest.raises(NotImplementedError, match="CRAM record decode"):
-        CramSource().read(spark, CRAM)
+def test_read_without_reference_fails_on_mapped_slice(spark):
+    with pytest.raises(Exception, match="reference"):
+        CramSource().read(spark, CRAM).collect()
+
+
+FASTA = str(RES / "valid.fasta")
+
+# htsjdk's picard-test read set inside valid.cram: 7 mapped + 1 unmapped
+N_CRAM_RECORDS = 8
+
+
+def test_decode_cram_records():
+    from disq_original_spark.sources.cram_codec import decode_cram
+
+    rows = decode_cram(CRAM, FASTA)
+    assert len(rows) == N_CRAM_RECORDS
+    unmapped = [r for r in rows if r["flag"] & 0x4]
+    assert len(unmapped) == 1 and unmapped[0]["rname"] is None
+    mapped = [r for r in rows if not r["flag"] & 0x4]
+    # slice covers chr7:1-402
+    assert all(r["rname"] == "chr7" and 1 <= r["pos"] <= 402 for r in mapped)
+    # every seq is fully reconstructed (length == read length, no gaps)
+    assert all(len(r["seq"]) == 101 for r in rows)
+    assert all(len(r["qual"]) == 101 for r in rows)
+    # feature-built cigar present
+    assert "10M1D10M5I76M" in {r["cigar"] for r in mapped}
+    # pairing self-consistency: tlen mirrors between mates
+    by_name = {}
+    for r in mapped:
+        by_name.setdefault(r["qname"], []).append(r)
+    pairs = [v for v in by_name.values() if len(v) == 2]
+    assert pairs and all(a["tlen"] == -b["tlen"] for a, b in pairs)
+
+
+def test_decode_cram_wrong_reference_detected():
+    from disq_original_spark.sources.cram_codec import decode_cram
+
+    with pytest.raises(ValueError, match="reference"):
+        decode_cram(CRAM, str(RES / "test.fa"))
+
+
+def test_cram_dataframe_read(spark):
+    df = CramSource().read(spark, CRAM, reference_path=FASTA)
+    assert df.count() == N_CRAM_RECORDS
+    from disq_original_spark.sources.cram_codec import decode_cram
+
+    expected = decode_cram(CRAM, FASTA)
+    got = df.collect()
+    assert [(r.qname, r.flag, r.pos, r.cigar, r.seq) for r in got] == [
+        (r["qname"], r["flag"], r["pos"], r["cigar"], r["seq"]) for r in expected
+    ]
+
+
+def test_cram_dataframe_read_no_index(spark):
+    df = CramSource().read(spark, CRAM_NOIDX, reference_path=FASTA)
+    assert df.count() == N_CRAM_RECORDS
+
+
+def test_cram_split_invariance(spark):
+    small = CramSource().read(spark, CRAM, reference_path=FASTA, split_size=512)
+    assert small.count() == N_CRAM_RECORDS
