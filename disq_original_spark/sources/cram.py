@@ -216,3 +216,59 @@ class CramSource:
         return spark.createDataFrame(
             rdd.map(lambda r: tuple(r[c] for c in READS_COLUMNS)), READS_SCHEMA
         )
+
+
+class CramSink:
+    """Write a reads DataFrame as a single CRAM file: each partition encodes
+    one container (headerless part), the driver writes the file definition +
+    SAM-header container and the spec EOF container, then concatenates —
+    the reference's write-parallel-then-concat plan (`cram/CramSink.java:31-86`)
+    with a from-scratch encoder instead of htsjdk."""
+
+    def write(
+        self,
+        df: DataFrame,
+        header_text: str,
+        path: str,
+        reference_path: str | None = None,
+    ) -> None:
+        import os
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from .cram_codec import IndexedFasta
+        from .cram_writer import (
+            EOF_CONTAINER,
+            encode_container,
+            encode_file_header_container,
+            file_definition,
+        )
+        from .merger import merge_parts
+
+        ref_names = []
+        rg_ids = []
+        for line in header_text.splitlines():
+            if line.startswith("@SQ"):
+                ref_names.extend(f[3:] for f in line.split("\t") if f.startswith("SN:"))
+            elif line.startswith("@RG"):
+                rg_ids.extend(f[3:] for f in line.split("\t") if f.startswith("ID:"))
+
+        temp_dir = f"{path}.parts-{uuid.uuid4().hex[:8]}"
+        os.makedirs(temp_dir, exist_ok=True)
+
+        def write_partition(rows_iter, _refs=ref_names, _rgs=rg_ids, _ref=reference_path):
+            rows = [r.asDict(recursive=True) for r in rows_iter]
+            if not rows:
+                return
+            pid = rows[0]["__pid"]
+            fasta = IndexedFasta(_ref) if _ref else None
+            data = encode_container(rows, _refs, _rgs, fasta)
+            tmp = os.path.join(temp_dir, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            os.replace(tmp, os.path.join(temp_dir, f"part-{pid:05d}"))
+
+        df.withColumn("__pid", F.spark_partition_id()).foreachPartition(write_partition)
+        header = file_definition() + encode_file_header_container(header_text)
+        merge_parts(temp_dir, path, header=header, terminator=EOF_CONTAINER)
