@@ -21,6 +21,7 @@ genotypes.  Conventions: ``id``/``qual`` NULL for '.'; ``filters`` NULL for
 from __future__ import annotations
 
 import uuid
+from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -127,7 +128,20 @@ class VcfSource:
         with open(_first(path), "rb") as fh:
             bgzf = is_bgzf(fh)
         if bgzf:
-            lines = _read_bgzf_lines(spark, path, split_size)
+            # tabix split pruning: with intervals + a .tbi, drop byte-range
+            # splits the index proves contain no overlapping record
+            # (reference `vcf/VcfSource.java:143-168`)
+            ranges = None
+            tbi = str(_first(path)) + ".tbi"
+            if intervals is not None and Path(tbi).exists():
+                from .tabix import file_ranges_for_intervals, parse_tabix
+
+                ivs = [
+                    (r["contig"], int(r["start"]), int(r["end"]))
+                    for r in intervals.select("contig", "start", "end").collect()
+                ]
+                ranges = file_ranges_for_intervals(parse_tabix(tbi), ivs)
+            lines = _read_bgzf_lines(spark, path, split_size, ranges)
         else:
             lines = spark.read.text(path)
         body = lines.filter(~F.col("value").startswith("#"))
@@ -153,12 +167,18 @@ def _first(path: str):
     return first_file_in(path)
 
 
-def _read_bgzf_lines(spark: SparkSession, path: str, split_size: int) -> DataFrame:
+def _read_bgzf_lines(
+    spark: SparkSession,
+    path: str,
+    split_size: int,
+    index_ranges: list[tuple[int, int]] | None = None,
+) -> DataFrame:
     """Plan byte ranges on the driver; tasks decode their ranges' lines.
 
     Partition planning matches the reference's split model (splitSize →
     ranges); each task re-opens the file locally — at cluster scale `path`
     is on a shared store and the open goes through the cluster filesystem.
+    ``index_ranges`` (from the tabix index) prunes whole splits driver-side.
     """
     import os
 
@@ -167,6 +187,10 @@ def _read_bgzf_lines(spark: SparkSession, path: str, split_size: int) -> DataFra
     p = str(_first(path))
     flen = os.path.getsize(p)
     ranges = [(s, min(s + split_size, flen)) for s in range(0, flen, split_size)] or [(0, 0)]
+    if index_ranges is not None:
+        from .tabix import prune_splits
+
+        ranges = prune_splits(ranges, index_ranges) or [(0, 0)]
 
     def read_range(it):
         from .bgzf import iter_lines_in_range

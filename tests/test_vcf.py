@@ -110,3 +110,49 @@ def test_roundtrip_bgzf(spark, tmp_path):
     assert sorted(map(str, again.select(cols).collect())) == sorted(
         map(str, df.select(cols).collect())
     )
+
+
+def test_tabix_split_pruning_partition_counts(spark):
+    """BASELINE.md row: HiSeq.10000.vcf.bgz at 128 KB splits -> 4 partitions;
+    with interval chr1:2,700,000-2,800,000 the tabix index prunes to 1."""
+    from disq_original_spark.sources.tabix import (
+        file_ranges_for_intervals,
+        parse_tabix,
+        prune_splits,
+    )
+    from disq_original_spark.sources.vcf import _read_bgzf_lines
+
+    full = _read_bgzf_lines(spark, HISEQ, 128 * 1024)
+    assert full.rdd.getNumPartitions() == 4
+    idx = parse_tabix(HISEQ + ".tbi")
+    ranges = file_ranges_for_intervals(idx, [("chr1", 2_700_000, 2_800_000)])
+    import os
+
+    flen = os.path.getsize(HISEQ)
+    splits = [(s, min(s + 128 * 1024, flen)) for s in range(0, flen, 128 * 1024)]
+    assert len(prune_splits(splits, ranges)) == 1
+
+
+def test_tabix_pruned_read_matches_filtered_full_read(spark):
+    intervals = spark.createDataFrame(
+        [("chr1", 2_700_000, 2_800_000)], "contig string, start long, end long"
+    )
+    pruned = VcfSource().read(spark, HISEQ, intervals=intervals).collect()
+    full = VcfSource().read(spark, HISEQ)
+    from disq_original_spark.sources.vcf import variant_end
+    from disq_original_spark.operators.interval import interval_filter
+    import pyspark.sql.functions as F
+
+    spanned = full.withColumn("end_", variant_end(F.col("info"), F.col("pos"), F.col("ref")))
+    expected = (
+        interval_filter(
+            spanned.withColumnRenamed("pos", "start").withColumnRenamed("end_", "end"),
+            intervals,
+        )
+        .withColumnRenamed("start", "pos")
+        .select(*[c for c in full.columns])
+        .collect()
+    )
+    key = lambda r: (r.contig, r.pos, r.ref)
+    assert sorted(map(key, pruned)) == sorted(map(key, expected))
+    assert len(pruned) > 0
