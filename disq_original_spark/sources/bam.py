@@ -293,6 +293,39 @@ class BamSink:
         )
         merge_parts(temp_dir, path, header=header_block, terminator=EMPTY_GZIP_BLOCK)
 
+    def write_sharded(self, df: DataFrame, header: SamHeader, path: str) -> None:
+        """One complete BAM (header + records + terminator) per partition in
+        directory ``path`` (reference `sam/AnySamSinkMultiple.java:31-74`);
+        the directory reads back as one input via ``BamSource.read``."""
+        import shutil
+
+        refs = header.contigs
+        ref_index = {name: i for i, (name, _len) in enumerate(refs)}
+        header_bam = encode_bam_header(header.text, refs)
+        header_block = b"".join(
+            compress_block(header_bam[i : i + 60000]) for i in range(0, len(header_bam), 60000)
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+
+        def write_partition(rows):
+            import uuid as _uuid
+
+            pid = None
+            tmp = os.path.join(path, f".tmp-{_uuid.uuid4().hex}")
+            with open(tmp, "wb") as fh:
+                fh.write(header_block)
+                with BgzfWriter(fh, write_terminator=True) as w:
+                    for row in rows:
+                        pid = row["__pid"] if pid is None else pid
+                        w.write(encode_record(row.asDict(recursive=True), ref_index))
+            if pid is None:
+                os.remove(tmp)
+                return
+            os.replace(tmp, os.path.join(path, f"part-{pid:05d}.bam"))
+
+        df.withColumn("__pid", F.spark_partition_id()).foreachPartition(write_partition)
+
 
 def create_sbi(bam_path: str, granularity: int = 4096) -> str:
     """Write a ``.sbi`` splitting index for a BAM (reference

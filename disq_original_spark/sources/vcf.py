@@ -184,19 +184,32 @@ def _read_bgzf_lines(
 
     from pyspark.sql.types import StringType, StructField, StructType
 
-    p = str(_first(path))
-    flen = os.path.getsize(p)
-    ranges = [(s, min(s + split_size, flen)) for s in range(0, flen, split_size)] or [(0, 0)]
-    if index_ranges is not None:
-        from .tabix import prune_splits
+    pp = Path(path)
+    if pp.is_dir():
+        files = [
+            str(f)
+            for f in sorted(pp.iterdir())
+            if f.is_file() and not f.name.startswith((".", "_")) and not f.name.endswith(".tbi")
+        ]
+    else:
+        files = [str(pp)]
+    ranges: list[tuple[str, int, int]] = []
+    for f in files:
+        flen = os.path.getsize(f)
+        fr = [(s, min(s + split_size, flen)) for s in range(0, flen, split_size)]
+        if index_ranges is not None and len(files) == 1:
+            from .tabix import prune_splits
 
-        ranges = prune_splits(ranges, index_ranges) or [(0, 0)]
+            fr = prune_splits(fr, index_ranges)
+        ranges.extend((f, s, e) for s, e in fr)
+    if not ranges:
+        ranges = [(files[0], 0, 0)]
 
     def read_range(it):
         from .bgzf import iter_lines_in_range
 
-        for s, e in it:
-            with open(p, "rb") as fh:
+        for f, s, e in it:
+            with open(f, "rb") as fh:
                 for line in iter_lines_in_range(fh, s, e):
                     yield (line.decode("utf-8", "replace"),)
 
@@ -299,3 +312,49 @@ class VcfSink:
             for i in range(0, len(header_text.encode()), 60000)
         )
         merge_parts(temp_dir, path, header=header_block, terminator=EMPTY_GZIP_BLOCK)
+
+    def write_sharded(
+        self,
+        df: DataFrame,
+        header_text: str,
+        path: str,
+        sample_names: list[str] | None = None,
+    ) -> None:
+        """One complete VCF per partition in directory ``path`` (reference
+        `vcf/VcfSinkMultiple.java:12-45`); BGZF-compressed when the directory
+        name ends in .bgz/.gz (e.g. out.vcf.bgz.sharded)."""
+        import os
+        import shutil
+
+        samples = sample_names if sample_names is not None else vcf_sample_names(header_text)
+        lines = df.select(to_vcf_line(samples).alias("value"))
+        compressed = ".bgz" in Path(path).name or ".gz" in Path(path).name
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+
+        def write_partition(rows):
+            import uuid as _uuid
+
+            from .bgzf import BgzfWriter
+
+            pid = None
+            tmp = os.path.join(path, f".tmp-{_uuid.uuid4().hex}")
+            if compressed:
+                with open(tmp, "wb") as fh, BgzfWriter(fh, write_terminator=True) as w:
+                    w.write(header_text.encode())
+                    for row in rows:
+                        pid = row["__pid"] if pid is None else pid
+                        w.write(row["value"].encode() + b"\n")
+            else:
+                with open(tmp, "wt") as fh:
+                    fh.write(header_text)
+                    for row in rows:
+                        pid = row["__pid"] if pid is None else pid
+                        fh.write(row["value"] + "\n")
+            if pid is None:
+                os.remove(tmp)
+                return
+            ext = ".vcf.bgz" if compressed else ".vcf"
+            os.replace(tmp, os.path.join(path, f"part-{pid:05d}{ext}"))
+
+        lines.withColumn("__pid", F.spark_partition_id()).foreachPartition(write_partition)

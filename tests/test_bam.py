@@ -113,3 +113,20 @@ def test_python_datasource_sbi_path(spark):
     register_datasources(spark)
     df = spark.read.format("bam").option("splitSize", 40 * 1024).load(BAM_SBI)
     assert df.count() == N_RECORDS
+
+
+def test_bam_sharded_roundtrip(spark, bam_df, tmp_path):
+    from disq_original_spark.sources.bam import BamSink, BamSource
+    from disq_original_spark.sources.headers import read_bam_header
+
+    header, _refs, _ = read_bam_header(BAM)
+    out = str(tmp_path / "out.bam.sharded")
+    BamSink().write_sharded(bam_df.repartition(3), header, out)
+    import os
+
+    parts = sorted(os.listdir(out))
+    assert all(p.endswith(".bam") for p in parts) and len(parts) >= 1
+    back = BamSource().read(spark, out)
+    assert back.count() == N_RECORDS
+    key = lambda r: (r.qname, r.flag, r.pos)
+    assert sorted(map(key, back.collect())) == sorted(map(key, bam_df.collect()))

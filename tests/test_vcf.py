@@ -156,3 +156,34 @@ def test_tabix_pruned_read_matches_filtered_full_read(spark):
     key = lambda r: (r.contig, r.pos, r.ref)
     assert sorted(map(key, pruned)) == sorted(map(key, expected))
     assert len(pruned) > 0
+
+
+def test_vcf_sharded_roundtrip(spark, tmp_path):
+    from disq_original_spark.sources.vcf import VcfSink, VcfSource
+    from disq_original_spark.sources.headers import read_vcf_header_text
+
+    src = VcfSource()
+    df = src.read(spark, TEST_VCF)
+    hdr = read_vcf_header_text(TEST_VCF)
+    out = str(tmp_path / "out.vcf.sharded")
+    VcfSink().write_sharded(df.repartition(2), hdr, out)
+    back = src.read(spark, out)
+    assert back.count() == df.count()
+
+
+def test_vcf_sharded_bgzf_roundtrip(spark, tmp_path):
+    from disq_original_spark.sources.vcf import VcfSink, VcfSource
+    from disq_original_spark.sources.headers import read_vcf_header_text
+
+    src = VcfSource()
+    df = src.read(spark, TEST_VCF)
+    hdr = read_vcf_header_text(TEST_VCF)
+    out = str(tmp_path / "out.vcf.bgz.sharded")
+    VcfSink().write_sharded(df.repartition(2), hdr, out)
+    import os
+
+    assert all(p.endswith(".vcf.bgz") for p in os.listdir(out))
+    back = src.read(spark, out)
+    assert back.count() == df.count()
+    key = lambda r: (r.contig, r.pos, r.ref)
+    assert sorted(map(key, back.collect())) == sorted(map(key, df.collect()))
