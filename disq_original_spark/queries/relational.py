@@ -590,3 +590,65 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sv"))
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------- q31 sessionization
+@query(
+    "q31_sessionize",
+    """WITH marked AS (
+         SELECT user_id, ts, value,
+                CASE WHEN epoch_us(ts)
+                          - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id))
+                          > 1800000000
+                     OR lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS new_s,
+                event_id
+         FROM events),
+       sess AS (
+         SELECT user_id, ts, value,
+                sum(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS session_id
+         FROM marked)
+       SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              count(*) AS n_events, round(sum(value), 2) AS sv
+       FROM sess GROUP BY user_id, session_id
+       ORDER BY user_id, session_start""",
+    doc="Batch sessionization (gaps-and-islands: lag + cumulative sum + "
+    "groupBy) with a 30-minute gap — the batch twin of the streaming "
+    "session_window operator, fully oracle-checkable.  One hash shuffle on "
+    "user_id feeds both window functions and the final aggregate.",
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "value",
+        (
+            (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
+            )
+            | F.lag("ts").over(w).isNull()
+        )
+        .cast("int")
+        .alias("new_s"),
+        "event_id",
+    )
+    sess = marked.select(
+        "user_id", "ts", "value", F.sum("new_s").over(w).alias("session_id")
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sv"),
+        )
+        .select("user_id", "session_start", "n_events", "sv")
+        .orderBy("user_id", "session_start")
+    )

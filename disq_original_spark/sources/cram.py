@@ -231,6 +231,7 @@ class CramSink:
         header_text: str,
         path: str,
         reference_path: str | None = None,
+        version: tuple[int, int] = (2, 1),
     ) -> None:
         import os
         import uuid
@@ -239,12 +240,14 @@ class CramSink:
 
         from .cram_codec import IndexedFasta
         from .cram_writer import (
-            EOF_CONTAINER,
             encode_container,
             encode_file_header_container,
+            eof_container,
             file_definition,
         )
         from .merger import merge_parts
+
+        major, minor = version
 
         ref_names = []
         rg_ids = []
@@ -263,12 +266,14 @@ class CramSink:
                 return
             pid = rows[0]["__pid"]
             fasta = IndexedFasta(_ref) if _ref else None
-            data = encode_container(rows, _refs, _rgs, fasta)
+            data = encode_container(rows, _refs, _rgs, fasta, major)
             tmp = os.path.join(temp_dir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "wb") as fh:
                 fh.write(data)
             os.replace(tmp, os.path.join(temp_dir, f"part-{pid:05d}"))
 
         df.withColumn("__pid", F.spark_partition_id()).foreachPartition(write_partition)
-        header = file_definition() + encode_file_header_container(header_text)
-        merge_parts(temp_dir, path, header=header, terminator=EOF_CONTAINER)
+        header = file_definition(major=major, minor=minor) + encode_file_header_container(
+            header_text, major
+        )
+        merge_parts(temp_dir, path, header=header, terminator=eof_container(major))

@@ -144,9 +144,9 @@ def decompress(method: int, payload: bytes, raw_size: int) -> bytes:
     if method == BLOCK_LZMA:
         return lzma.decompress(payload)
     if method == BLOCK_RANS:
-        raise NotImplementedError(
-            "rANS block compression (CRAM 3.0, method=4) is not implemented"
-        )
+        from .rans4x8 import decompress as rans_decompress
+
+        return rans_decompress(payload)
     raise ValueError(f"unknown CRAM block compression method {method}")
 
 

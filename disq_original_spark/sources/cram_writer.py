@@ -99,14 +99,25 @@ class Stream:
         self.buf += b
 
 
-def encode_block(method: int, ctype: int, cid: int, data: bytes) -> bytes:
+def encode_block(
+    method: int, ctype: int, cid: int, data: bytes, major: int = 2, rans_order: int = 0
+) -> bytes:
     if method == 1:
         payload = gzip.compress(data, 6)
+    elif method == 4:
+        from .rans4x8 import compress as rans_compress
+
+        payload = rans_compress(data, rans_order)
     else:
         payload = data
-    return (
+    out = (
         bytes([method, ctype]) + itf8(cid) + itf8(len(payload)) + itf8(len(data)) + payload
     )
+    if major >= 3:
+        import zlib
+
+        out += struct.pack("<I", zlib.crc32(out))
+    return out
 
 
 def _sub_code(sm: bytes, ref_base: str, read_base: str) -> int | None:
@@ -206,6 +217,7 @@ def encode_container(
     ref_names: list[str],
     rg_ids: list[str],
     fasta: IndexedFasta | None,
+    major: int = 2,
 ) -> bytes:
     """Encode rows (reads-schema dicts) as one container with one
     multi-reference slice."""
@@ -357,21 +369,28 @@ def encode_container(
         params = itf8(1) + itf8(len(lp)) + lp + itf8(1) + itf8(len(vp)) + vp
         te += itf8(kval) + itf8(4) + itf8(len(params)) + params
     ch += itf8(len(te)) + te
-    chdr_block = encode_block(0, 1, 0, bytes(ch))
+    chdr_block = encode_block(0, 1, 0, bytes(ch), major)
 
     # ---- external blocks
     ext_blocks = []
     content_ids = []
+    # 3.0 uses rANS for external blocks (order-1 for quality scores,
+    # order-0 elsewhere); 2.x sticks to gzip
     for k in used:
         if streams[k].buf:
             content_ids.append(CID[k])
-            ext_blocks.append(encode_block(1, 4, CID[k], bytes(streams[k].buf)))
+            method = 4 if major >= 3 else 1
+            order = 1 if k == "QS" else 0
+            ext_blocks.append(
+                encode_block(method, 4, CID[k], bytes(streams[k].buf), major, order)
+            )
     for key, (lc, vc, ls, vs) in sorted(tag_streams.items()):
         for cid, s in ((lc, ls), (vc, vs)):
             if s.buf:
                 content_ids.append(cid)
-                ext_blocks.append(encode_block(1, 4, cid, bytes(s.buf)))
-    core_block = encode_block(0, 5, 0, b"")
+                method = 4 if major >= 3 else 1
+                ext_blocks.append(encode_block(method, 4, cid, bytes(s.buf), major))
+    core_block = encode_block(0, 5, 0, b"", major)
 
     # ---- slice header
     sh = bytearray()
@@ -379,14 +398,14 @@ def encode_container(
     sh += itf8(0)  # start
     sh += itf8(0)  # span
     sh += itf8(len(rows))
-    sh += itf8(0)  # record counter (2.1: ITF8)
+    sh += ltf8(0) if major >= 3 else itf8(0)  # record counter
     sh += itf8(1 + len(ext_blocks))  # core + externals
     sh += itf8(len(content_ids))
     for cid in content_ids:
         sh += itf8(cid)
     sh += itf8(-1)  # no embedded reference
     sh += b"\x00" * 16  # md5 unset (multiref)
-    slice_block = encode_block(0, 2, 0, bytes(sh))
+    slice_block = encode_block(0, 2, 0, bytes(sh), major)
 
     body = chdr_block + slice_block + core_block + b"".join(ext_blocks)
     landmark = len(chdr_block)
@@ -402,12 +421,16 @@ def encode_container(
     hdr += itf8(1 + 1 + 1 + len(ext_blocks))  # chdr + slice-hdr + core + ext
     hdr += itf8(1)
     hdr += itf8(landmark)
+    if major >= 3:
+        import zlib
+
+        hdr += struct.pack("<I", zlib.crc32(bytes(hdr)))
     return bytes(hdr) + body
 
 
-def encode_file_header_container(header_text: str) -> bytes:
+def encode_file_header_container(header_text: str, major: int = 2) -> bytes:
     data = struct.pack("<i", len(header_text.encode())) + header_text.encode()
-    block = encode_block(0, 0, 0, data)
+    block = encode_block(0, 0, 0, data, major)
     hdr = bytearray()
     hdr += struct.pack("<i", len(block))
     for _ in range(4):
@@ -417,12 +440,37 @@ def encode_file_header_container(header_text: str) -> bytes:
     hdr += itf8(1)
     hdr += itf8(1)
     hdr += itf8(0)
+    if major >= 3:
+        import zlib
+
+        hdr += struct.pack("<I", zlib.crc32(bytes(hdr)))
     return bytes(hdr) + block
 
 
-def file_definition(file_id: bytes = b"") -> bytes:
+def file_definition(file_id: bytes = b"", major: int = 2, minor: int = 1) -> bytes:
     fid = (file_id or b"disq-pyspark")[:20].ljust(20, b"\x00")
-    return CRAM_MAGIC + bytes([2, 1]) + fid
+    return CRAM_MAGIC + bytes([major, minor]) + fid
+
+
+def eof_container(major: int = 2) -> bytes:
+    if major < 3:
+        return EOF_CONTAINER
+    # build the v3 EOF container (same fields, with CRC32s)
+    import zlib
+
+    block = encode_block(0, 1, 0, bytes(itf8(1) + itf8(0) + itf8(1) + itf8(0) + itf8(1) + itf8(0)), 3)
+    hdr = bytearray()
+    hdr += struct.pack("<i", len(block))
+    hdr += itf8(-1)
+    hdr += itf8(4_542_278)
+    hdr += itf8(0)
+    hdr += itf8(0)
+    hdr += ltf8(0)
+    hdr += ltf8(0)
+    hdr += itf8(1)
+    hdr += itf8(0)
+    hdr += struct.pack("<I", zlib.crc32(bytes(hdr)))
+    return bytes(hdr) + block
 
 
 def write_cram(
@@ -431,6 +479,7 @@ def write_cram(
     header_text: str,
     reference_path: str | Path | None = None,
     records_per_container: int = 10000,
+    version: tuple[int, int] = (2, 1),
 ) -> None:
     """Driver-side whole-file CRAM write (the Spark sink writes container
     parts per partition and concatenates)."""
@@ -446,11 +495,14 @@ def write_cram(
                 if f.startswith("ID:"):
                     rg_ids.append(f[3:])
     fasta = IndexedFasta(reference_path) if reference_path else None
+    major, minor = version
     with open(path, "wb") as fh:
-        fh.write(file_definition())
-        fh.write(encode_file_header_container(header_text))
+        fh.write(file_definition(major=major, minor=minor))
+        fh.write(encode_file_header_container(header_text, major))
         for i in range(0, len(rows), records_per_container):
             fh.write(
-                encode_container(rows[i : i + records_per_container], ref_names, rg_ids, fasta)
+                encode_container(
+                    rows[i : i + records_per_container], ref_names, rg_ids, fasta, major
+                )
             )
-        fh.write(EOF_CONTAINER)
+        fh.write(eof_container(major))
