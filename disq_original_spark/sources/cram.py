@@ -1,14 +1,16 @@
-"""CRAM container-level source: container enumeration, .crai-driven split
-planning, container-metadata DataFrame.  Record decode is STUBBED — the CRAM
-codec (rANS/external-block decompression, reference-based sequence
-reconstruction) is a spec unto itself; the reference itself delegates it to
-htsjdk (`cram/CramSource.java:153-167`).  What IS implemented — and what made
-the reference's CRAM support *distributed* — is the split machinery: snapping
-byte-range splits to container start offsets (`cram/CramSource.java:96-151`).
+"""CRAM source/sink: container enumeration, .crai-driven split planning,
+distributed record decode, and single-file writes.
 
-CRAM 3.x structure (CRAM spec §6–8): a 26-byte file definition, then
-containers, each with a header of fixed-width length + ITF8/LTF8 varints,
-ending with a fixed EOF container.
+Split machinery mirrors the reference (snapping byte-range splits to
+container start offsets, `cram/CramSource.java:96-151`); record decode —
+which the reference delegates to htsjdk (`cram/CramSource.java:153-167`) —
+is the from-scratch pure-Python codec in ``cram_codec`` (CRAM 2.x gzip and
+3.0 rANS blocks, reference-based sequence reconstruction), and the sink uses
+the encoder in ``cram_writer``.
+
+CRAM structure (CRAM spec §6–8): a 26-byte file definition, then containers,
+each with a header of fixed-width length + ITF8/LTF8 varints, ending with a
+fixed EOF container.
 """
 
 from __future__ import annotations
@@ -143,8 +145,8 @@ def snap_splits_to_containers(
 
 
 class CramSource:
-    """Container-granular CRAM access: metadata DataFrame + split planning.
-    ``read`` (record decode) raises until a from-scratch CRAM codec lands."""
+    """Container-granular CRAM access: metadata DataFrame, split planning,
+    and distributed record decode via the pure-Python codec."""
 
     def containers(self, spark: SparkSession, path: str) -> DataFrame:
         with open(path, "rb") as fh:
@@ -179,16 +181,12 @@ class CramSource:
         """Distributed CRAM read: splits snap to container boundaries
         (``plan_splits``); each task decodes its containers with the pure-
         Python CRAM 2.x codec (``cram_codec``), reconstructing sequences from
-        ``reference_path`` (a .fai-indexed FASTA on shared storage).
-
-        CRAM 3.0 rANS blocks raise NotImplementedError at decode time."""
+        ``reference_path`` (a .fai-indexed FASTA on shared storage)."""
         from .bam import READS_SCHEMA
-        from .cram_codec import IndexedFasta, decode_container, read_cram_meta
+        from .cram_codec import IndexedFasta, decode_container, read_cram_meta_file
         from .sam import READS_COLUMNS
 
-        with open(path, "rb") as fh:
-            head = fh.read(1 << 16)
-        meta, first_data = read_cram_meta(head)
+        meta, first_data = read_cram_meta_file(path)
         chunks = self.plan_splits(path, split_size)
         if not chunks:
             return spark.createDataFrame([], READS_SCHEMA)

@@ -889,6 +889,21 @@ def read_cram_meta(data: bytes) -> tuple[CramFileMeta, int]:
     return meta, hdr.offset + hdr.header_size + hdr.length
 
 
+def read_cram_meta_file(path: str | Path) -> tuple[CramFileMeta, int]:
+    """Like ``read_cram_meta`` but reads exactly the bytes needed from
+    ``path`` (the SAM-header container can exceed any fixed guess)."""
+    with open(path, "rb") as fh:
+        head = fh.read(4096)
+        if head[:4] != CRAM_MAGIC:
+            raise ValueError("not a CRAM file")
+        hdr = read_container_header(Buf(head), FILE_DEFINITION_SIZE, head[4])
+        need = hdr.offset + hdr.header_size + hdr.length
+        if need > len(head):
+            fh.seek(0)
+            head = fh.read(need)
+    return read_cram_meta(head)
+
+
 def decode_container(
     data: bytes,
     offset: int,

@@ -113,6 +113,71 @@ class BamDataSource(DataSource):
         return BamDataSourceReader(self.options)
 
 
+@dataclass
+class CramInputPartition(InputPartition):
+    path: str
+    start: int
+    end: int
+
+
+class CramDataSourceReader(DataSourceReader):
+    """Partitions snap to CRAM container boundaries (``.crai`` fast path,
+    container-chain scan fallback); each task decodes its containers with
+    the pure-Python codec.  Option ``reference`` names the .fai-indexed
+    FASTA required for mapped slices."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("cram source requires a path: .load('/path/to.cram')")
+        self.reference = options.get("reference")
+        self.split_size = int(options.get("splitsize", 1 << 20))
+
+    def partitions(self):
+        from .cram import CramSource
+
+        chunks = CramSource().plan_splits(self.path, self.split_size)
+        if not chunks:
+            return [CramInputPartition(self.path, 0, 0)]
+        flen = os.path.getsize(self.path)
+        bounds = [c[0] for c in chunks] + [flen]
+        return [
+            CramInputPartition(self.path, bounds[i], bounds[i + 1])
+            for i in range(len(chunks))
+        ]
+
+    def read(self, partition: CramInputPartition):
+        from .cram_codec import IndexedFasta, decode_container, read_cram_meta_file
+
+        if partition.start >= partition.end:
+            return
+        meta, _ = read_cram_meta_file(partition.path)
+        with open(partition.path, "rb") as fh:
+            fh.seek(partition.start)
+            data = fh.read(partition.end - partition.start)
+        getter = IndexedFasta(self.reference).get if self.reference else None
+        pos = 0
+        while pos < len(data):
+            rows, pos = decode_container(data, pos, meta, getter)
+            for r in rows:
+                yield tuple(r[c] for c in READS_COLUMNS)
+
+
+class CramDataSource(DataSource):
+    """``spark.read.format("cram").option("reference", fasta).load(path)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cram"
+
+    def schema(self):
+        return READS_SCHEMA
+
+    def reader(self, schema) -> CramDataSourceReader:
+        return CramDataSourceReader(self.options)
+
+
 def register_datasources(spark) -> None:
     """Register the custom format names on a SparkSession."""
     spark.dataSource.register(BamDataSource)
+    spark.dataSource.register(CramDataSource)

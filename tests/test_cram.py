@@ -163,3 +163,16 @@ def test_cram_sink_spark_read_back(spark, tmp_path):
     CramSink().write(df, hdr, out, reference_path=FASTA)
     back = CramSource().read(spark, out, reference_path=FASTA)
     assert back.count() == N_CRAM_RECORDS
+
+
+def test_python_datasource_format_cram(spark):
+    from disq_original_spark.sources.datasource import register_datasources
+
+    register_datasources(spark)
+    df = (
+        spark.read.format("cram")
+        .option("reference", FASTA)
+        .option("splitSize", 2048)
+        .load(CRAM)
+    )
+    assert df.count() == N_CRAM_RECORDS
