@@ -88,8 +88,11 @@ def _find_first_record_voffset(fh, start: int, end: int, n_ref: int) -> int | No
         reader = BgzfReader(fh)
         reader.seek_virtual(make_virtual_offset(block.pos, 0))
         window.extend(reader.read(1 << 20))
+        # a short read means the window reaches end-of-file: candidate
+        # records must then tile the remaining bytes exactly
+        window_at_eof = len(window) < (1 << 20)
         for uoff in range(min(block.u_size, len(window))):
-            if guesser.is_record_start(window, uoff):
+            if guesser.is_record_start(window, uoff, at_eof=window_at_eof):
                 return make_virtual_offset(block.pos, uoff)
             examined += 1
             if examined >= MAX_READ_SIZE:

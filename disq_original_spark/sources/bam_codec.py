@@ -323,16 +323,27 @@ class BamRecordGuesser:
                 return None
         return off + 4 + block_size
 
-    def is_record_start(self, buf: bytes | memoryview, off: int, reads_to_check: int = READS_TO_CHECK) -> bool:
+    def is_record_start(
+        self,
+        buf: bytes | memoryview,
+        off: int,
+        reads_to_check: int = READS_TO_CHECK,
+        at_eof: bool = False,
+    ) -> bool:
         """True if ``reads_to_check`` consecutive plausible records begin at
-        ``off`` (records running past the buffer count as plausible — the
-        caller provides a generous window, reference MAX_READ_SIZE)."""
+        ``off``.  When the buffer ends mid-record: with ``at_eof`` (the buffer
+        extends to end-of-file) that is implausible — real records tile the
+        file exactly; otherwise the window simply ran out and earlier
+        successes count (the caller provides a generous window, reference
+        MAX_READ_SIZE)."""
         checked = 0
         while checked < reads_to_check:
             nxt = self._check_one(buf, off)
             if nxt is None:
                 return False
             if nxt == -1 or nxt > len(buf):
+                if at_eof:
+                    return False
                 return checked > 0 or len(buf) - off < MAX_RECORD_BYTES
             off = nxt
             checked += 1

@@ -130,3 +130,63 @@ def test_bam_sharded_roundtrip(spark, bam_df, tmp_path):
     assert back.count() == N_RECORDS
     key = lambda r: (r.qname, r.flag, r.pos)
     assert sorted(map(key, back.collect())) == sorted(map(key, bam_df.collect()))
+
+
+def _flat_and_truth():
+    """Decompress 1.bam fully; map granularity-1 SBI voffsets to flat
+    uncompressed offsets (the reference's BamRecordGuesserChecker ground
+    truth, `bam/BamRecordGuesserChecker.java:38-140`)."""
+    from disq_original_spark.sources.bgzf import BgzfReader, enumerate_blocks
+    from disq_original_spark.sources.bam_codec import SbiIndex
+    from disq_original_spark.sources.headers import read_bam_header
+
+    _, refs, first_v = read_bam_header(BAM_SBI)
+    idx = SbiIndex.load(BAM_SBI + ".sbi")
+    with open(BAM_SBI, "rb") as fh:
+        blocks = list(enumerate_blocks(fh))
+        reader = BgzfReader(fh)
+        reader.seek_virtual(0)
+        flat = reader.read(1 << 26)
+    cum = {}
+    off = 0
+    for b in blocks:
+        cum[b.pos] = off
+        off += b.u_size
+    truth = {cum[v >> 16] + (v & 0xFFFF) for v in idx.offsets[:-1]}
+    first_flat = cum[first_v >> 16] + (first_v & 0xFFFF)
+    return flat, truth, first_flat, len(refs)
+
+
+def test_guesser_exhaustive_zero_false_pos_neg():
+    """Every uncompressed offset: guesser verdict == SBI ground truth
+    (reference asserts exactly this, `BamRecordGuesserCheckerTest.java:17-24`)."""
+    from disq_original_spark.sources.bam_codec import BamRecordGuesser
+
+    flat, truth, first_flat, n_ref = _flat_and_truth()
+    g = BamRecordGuesser(n_ref)
+    fp = fn = 0
+    for o in range(first_flat, len(flat)):
+        got = g.is_record_start(flat, o, at_eof=True)
+        exp = o in truth
+        fp += got and not exp
+        fn += exp and not got
+    assert fp == 0 and fn == 0
+
+
+def test_guesser_checker_detects_doctored_truth():
+    """A doctored ground truth must surface as FP+FN — proves the checker can
+    detect both error classes (reference doctored-index test,
+    `BamRecordGuesserCheckerTest.java:26-71`)."""
+    from disq_original_spark.sources.bam_codec import BamRecordGuesser
+
+    flat, truth, first_flat, n_ref = _flat_and_truth()
+    g = BamRecordGuesser(n_ref)
+    real = sorted(truth)[5]
+    doctored = (truth - {real}) | {real + 1}
+    fp = fn = 0
+    for o in (real, real + 1):
+        got = g.is_record_start(flat, o, at_eof=True)
+        exp = o in doctored
+        fp += got and not exp
+        fn += exp and not got
+    assert fp == 1 and fn == 1
