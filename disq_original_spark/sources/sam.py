@@ -48,6 +48,38 @@ def _null_if_star(c: Column) -> Column:
     return F.when(c == "*", F.lit(None)).otherwise(c)
 
 
+def _sam_malformed(value_col: str = "value") -> Column:
+    """A body line that cannot be a SAM record: fewer than 11 tab-separated
+    fields, or a non-integer flag/pos."""
+    f = F.split(F.col(value_col), "\t")
+    return (
+        (F.size(f) < 11)
+        | F.try_element_at(f, F.lit(2)).try_cast("int").isNull()
+        | F.try_element_at(f, F.lit(4)).try_cast("long").isNull()
+    )
+
+
+def apply_stringency(body: DataFrame, malformed: Column, stringency: str) -> DataFrame:
+    """Validation-stringency policy on malformed records (reference threads
+    htsjdk STRICT/LENIENT/SILENT through all readers,
+    `HtsjdkReadsRddStorage.java:66,97-100`): STRICT fails the job, SILENT
+    drops the record, LENIENT (default) keeps it with nulled-out fields."""
+    s = stringency.lower()
+    if s == "silent":
+        return body.filter(~malformed)
+    if s == "strict":
+        return body.withColumn(
+            "value",
+            F.when(
+                malformed,
+                F.raise_error(F.concat(F.lit("malformed record: "), F.col("value"))),
+            ).otherwise(F.col("value")),
+        )
+    if s == "lenient":
+        return body
+    raise ValueError(f"unknown stringency {stringency!r} (strict/lenient/silent)")
+
+
 def parse_sam_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
     """Native-expression SAM line parser: one ``split`` + projections.
 
@@ -126,6 +158,7 @@ class SamSource:
         intervals: DataFrame | None = None,
         include_unplaced: bool = False,
         split_size: int | None = None,
+        stringency: str = "lenient",
     ) -> DataFrame:
         if split_size is not None:
             # splitSize option ≈ spark.sql.files.maxPartitionBytes
@@ -133,6 +166,7 @@ class SamSource:
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_size))
         lines = spark.read.text(path)
         body = lines.filter(~F.col("value").startswith("@"))
+        body = apply_stringency(body, _sam_malformed(), stringency)
         reads = parse_sam_lines(body)
         if intervals is None and not include_unplaced:
             return reads

@@ -119,6 +119,7 @@ class VcfSource:
         path: str,
         intervals: DataFrame | None = None,
         split_size: int = 128 * 1024 * 1024,
+        stringency: str = "lenient",
     ) -> DataFrame:
         from .bgzf import is_bgzf
 
@@ -145,6 +146,13 @@ class VcfSource:
         else:
             lines = spark.read.text(path)
         body = lines.filter(~F.col("value").startswith("#"))
+        from .sam import apply_stringency
+
+        f = F.split(F.col("value"), "\t")
+        malformed = (F.size(f) < 8) | F.try_element_at(f, F.lit(2)).try_cast(
+            "long"
+        ).isNull()
+        body = apply_stringency(body, malformed, stringency)
         variants = parse_vcf_lines(body, samples)
         if intervals is None:
             return variants

@@ -127,3 +127,22 @@ def test_mapped_only_rejected(spark):
 
     with pytest.raises(ValueError):
         interval_filter(None, None, include_unplaced=False)
+
+
+def test_validation_stringency(spark, tmp_path):
+    """Reference parity: STRICT fails, SILENT drops, LENIENT nulls
+    (`HtsjdkReadsRddStorage.java:66,97-100`)."""
+    import pytest
+    from disq_original_spark.sources.sam import SamSource
+
+    p = str(tmp_path / "bad.sam")
+    with open(p, "w") as fh:
+        fh.write("@HD\tVN:1.6\n")
+        fh.write("r1\t0\tchr1\t10\t30\t4M\t*\t0\t0\tACGT\tFFFF\n")
+        fh.write("this is not a sam record\n")
+        fh.write("r2\t0\tchr1\t20\t30\t4M\t*\t0\t0\tACGT\tFFFF\n")
+    src = SamSource()
+    assert src.read(spark, p, stringency="lenient").count() == 3
+    assert src.read(spark, p, stringency="silent").count() == 2
+    with pytest.raises(Exception, match="malformed"):
+        src.read(spark, p, stringency="strict").collect()
