@@ -1,0 +1,164 @@
+"""Session-level storage facades: format and cardinality resolved from the
+path, mirroring the reference's entry points.
+
+``ReadsStorage`` ≈ `HtsjdkReadsRddStorage` (`HtsjdkReadsRddStorage.java:64-118`):
+format sniffed from the extension (`:156-160`), directory inputs resolved via
+their first file (`:150-155`), write options inferred from the target path
+(`:202-257` — a ``.sharded`` directory suffix selects the multi-file sink,
+anything else the single-file sink).  ``VariantsStorage`` ≈
+`HtsjdkVariantsRddStorage` (`HtsjdkVariantsRddStorage.java:56-80,123-177`).
+
+Unlike the reference there is no RDD wrapper pair — reads/variants are plain
+DataFrames and the header rides along from ``read_header``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .sources.bam import BamSink, BamSource
+from .sources.cram import CramSink, CramSource
+from .sources.headers import SamHeader, first_file_in
+from .sources.sam import SamSink, SamSource
+from .sources.vcf import VcfSink, VcfSource
+
+
+def _reads_format(path: str) -> str:
+    name = Path(first_file_in(path) if Path(path).is_dir() else path).name.lower()
+    for ext in (".bam", ".cram", ".sam"):
+        if ext in name:
+            return ext[1:]
+    raise ValueError(f"cannot infer reads format from {path!r} (.bam/.cram/.sam)")
+
+
+class ReadsStorage:
+    """Facade over the BAM/CRAM/SAM sources and sinks."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        reference_path: str | None = None,
+        split_size: int | None = None,
+        stringency: str = "lenient",
+    ):
+        self.spark = spark
+        self.reference_path = reference_path
+        self.split_size = split_size
+        self.stringency = stringency
+
+    def read_header(self, path: str) -> SamHeader:
+        fmt = _reads_format(path)
+        f = str(first_file_in(path)) if Path(path).is_dir() else path
+        if fmt == "bam":
+            return BamSource().read_header(f)
+        if fmt == "sam":
+            return SamSource().read_header(f)
+        from .sources.cram_codec import read_cram_meta_file
+
+        return SamHeader.parse(read_cram_meta_file(f)[0].header_text)
+
+    def read(
+        self,
+        path: str,
+        intervals: DataFrame | None = None,
+        include_unplaced: bool = False,
+    ) -> DataFrame:
+        fmt = _reads_format(path)
+        if fmt == "bam":
+            kw = {"split_size": self.split_size} if self.split_size else {}
+            return BamSource().read(
+                self.spark, path, intervals=intervals,
+                include_unplaced=include_unplaced, **kw,
+            )
+        if fmt == "sam":
+            return SamSource().read(
+                self.spark, path, intervals=intervals,
+                include_unplaced=include_unplaced, split_size=self.split_size,
+                stringency=self.stringency,
+            )
+        kw = {"split_size": self.split_size} if self.split_size else {}
+        df = CramSource().read(
+            self.spark, path, reference_path=self.reference_path, **kw
+        )
+        if intervals is not None or include_unplaced:
+            return _residual(df, intervals, include_unplaced)
+        return df
+
+    def write(self, df: DataFrame, path: str, header: SamHeader) -> None:
+        sharded = path.endswith(".sharded")
+        inner = path[: -len(".sharded")] if sharded else path
+        fmt = _reads_format(inner)
+        if fmt == "bam":
+            sink = BamSink()
+            (sink.write_sharded if sharded else sink.write)(df, header, path)
+        elif fmt == "sam":
+            sink = SamSink()
+            (sink.write_sharded if sharded else sink.write)(df, header, path)
+        else:
+            if sharded:
+                raise ValueError("sharded CRAM output is not supported; use .bam.sharded")
+            CramSink().write(df, header.text, path, reference_path=self.reference_path)
+
+
+def _residual(
+    reads: DataFrame, intervals: DataFrame | None, include_unplaced: bool
+) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from .operators.interval import interval_filter
+    from .sources.sam import FLAG_UNMAPPED, READS_COLUMNS, with_alignment_span
+
+    spanned = with_alignment_span(reads)
+    unplaced_pred = (F.col("flag").bitwiseAND(FLAG_UNMAPPED) != 0) & (
+        F.col("rname").isNull() | (F.col("pos") == 0)
+    )
+    selected = None
+    if intervals is not None:
+        placed = spanned.filter(~unplaced_pred)
+        sel = interval_filter(
+            placed.withColumnRenamed("rname", "contig")
+            .withColumnRenamed("pos", "start")
+            .withColumnRenamed("end_pos", "end"),
+            intervals,
+        )
+        selected = (
+            sel.withColumnRenamed("contig", "rname")
+            .withColumnRenamed("start", "pos")
+            .withColumnRenamed("end", "end_pos")
+        )
+    if include_unplaced:
+        unplaced = spanned.filter(unplaced_pred)
+        selected = unplaced if selected is None else selected.unionByName(unplaced)
+    return (selected if selected is not None else spanned).select(*READS_COLUMNS)
+
+
+class VariantsStorage:
+    """Facade over the VCF source/sink (plain, gzip, BGZF)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        split_size: int | None = None,
+        stringency: str = "lenient",
+    ):
+        self.spark = spark
+        self.split_size = split_size
+        self.stringency = stringency
+
+    def read_header(self, path: str) -> str:
+        return VcfSource().read_header(path)
+
+    def read(self, path: str, intervals: DataFrame | None = None) -> DataFrame:
+        kw = {"split_size": self.split_size} if self.split_size else {}
+        return VcfSource().read(
+            self.spark, path, intervals=intervals, stringency=self.stringency, **kw
+        )
+
+    def write(self, df: DataFrame, path: str, header_text: str) -> None:
+        sink = VcfSink()
+        if path.endswith(".sharded"):
+            sink.write_sharded(df, header_text, path)
+        else:
+            sink.write(df, header_text, path)
