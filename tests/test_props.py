@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis) for codec primitives — the byte-level
+layers everything else stands on."""
+
+from __future__ import annotations
+
+import io
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from disq_original_spark.sources import rans4x8
+from disq_original_spark.sources.cram_codec import Buf
+from disq_original_spark.sources.cram_writer import itf8, ltf8
+
+
+@given(st.integers(min_value=-(2**31), max_value=2**31 - 1))
+def test_itf8_roundtrip(v):
+    assert Buf(itf8(v)).itf8() == v
+
+
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+def test_ltf8_roundtrip(v):
+    assert Buf(ltf8(v)).ltf8() == v
+
+
+@given(st.binary(max_size=4096), st.sampled_from([0, 1]))
+@settings(max_examples=200, deadline=None)
+def test_rans_roundtrip_property(data, order):
+    assert rans4x8.decompress(rans4x8.compress(data, order)) == data
+
+
+@given(st.binary(min_size=1, max_size=200000))
+@settings(max_examples=30, deadline=None)
+def test_bgzf_roundtrip_property(data):
+    from disq_original_spark.sources.bgzf import BgzfReader, BgzfWriter
+
+    buf = io.BytesIO()
+    with BgzfWriter(buf, write_terminator=True) as w:
+        w.write(data)
+    buf.seek(0)
+    reader = BgzfReader(buf)
+    reader.seek_virtual(0)
+    assert reader.read(len(data) + 10) == data
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=100),  # pos
+            st.text(alphabet="ACGTN", min_size=1, max_size=50),  # seq
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_cram_container_roundtrip_property(reads):
+    """Arbitrary unmapped reads survive encode->decode exactly."""
+    from disq_original_spark.sources.cram_codec import (
+        CramFileMeta,
+        decode_container,
+    )
+    from disq_original_spark.sources.cram_writer import encode_container
+
+    rows = [
+        {
+            "qname": f"r{i}",
+            "flag": 4,
+            "rname": None,
+            "pos": 0,
+            "mapq": 0,
+            "cigar": "*",
+            "rnext": None,
+            "pnext": 0,
+            "tlen": 0,
+            "seq": seq,
+            "qual": "I" * len(seq),
+            "attributes": {},
+        }
+        for i, (pos, seq) in enumerate(reads)
+    ]
+    data = encode_container(rows, [], [], None)
+    meta = CramFileMeta(2, 1, "", [], [])
+    back, _ = decode_container(data, 0, meta)
+    assert [(r["qname"], r["seq"], r["qual"]) for r in back] == [
+        (r["qname"], r["seq"], r["qual"]) for r in rows
+    ]
