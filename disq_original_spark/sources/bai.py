@@ -1,0 +1,172 @@
+"""BAI (BAM index) reader/writer and interval→byte-range pushdown.
+
+The reference's interval pushdown asks the BAM index for the file span of
+each query and intersects it with the partition's chunk
+(`sam/AbstractBinarySamSource.java:96-113`, `formats/BoundedTraversalUtil.
+java:10-53`).  This module supplies that: ``voffset_ranges_for_intervals``
+maps (contig, start, end) intervals to merged virtual-offset ranges via the
+BAI's R-tree bins + linear index, and the BAM source decodes only the
+intersection of its chunk with those ranges.
+
+No ``.bai`` fixture ships with the reference, so ``create_bai`` writes the
+index too (same single-pass shape as ``create_sbi``) — the reader is
+validated against indexes we build, and the binning scheme is shared with
+the tabix module (SAM spec §5: BAI is the tabix layout minus column
+metadata).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from pathlib import Path
+
+from .tabix import reg2bins
+
+BAI_MAGIC = b"BAI\x01"
+_LINEAR_SHIFT = 14  # 16 kb windows
+
+
+@dataclass
+class BaiIndex:
+    # per reference id: {bin: [(start_voffset, end_voffset), ...]}
+    bins: list[dict[int, list[tuple[int, int]]]]
+    linear: list[list[int]]
+    n_no_coor: int | None = None
+
+
+def parse_bai(path: str | Path) -> BaiIndex:
+    data = Path(path).read_bytes()
+    if data[:4] != BAI_MAGIC:
+        raise ValueError(f"not a BAI index: magic {data[:4]!r}")
+    (n_ref,) = struct.unpack_from("<i", data, 4)
+    pos = 8
+    bins_all, linear_all = [], []
+    for _ in range(n_ref):
+        (n_bin,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        bins: dict[int, list[tuple[int, int]]] = {}
+        for _ in range(n_bin):
+            bin_id, n_chunk = struct.unpack_from("<Ii", data, pos)
+            pos += 8
+            chunks = []
+            for _ in range(n_chunk):
+                u, v = struct.unpack_from("<QQ", data, pos)
+                pos += 16
+                chunks.append((u, v))
+            bins[bin_id] = chunks
+        (n_intv,) = struct.unpack_from("<i", data, pos)
+        pos += 4
+        linear = list(struct.unpack_from(f"<{n_intv}Q", data, pos))
+        pos += 8 * n_intv
+        bins_all.append(bins)
+        linear_all.append(linear)
+    n_no_coor = None
+    if pos + 8 <= len(data):
+        (n_no_coor,) = struct.unpack_from("<Q", data, pos)
+    return BaiIndex(bins_all, linear_all, n_no_coor)
+
+
+def voffset_ranges_for_intervals(
+    idx: BaiIndex, intervals: list[tuple[int, int, int]]
+) -> list[tuple[int, int]]:
+    """Merged virtual-offset ranges that contain every record possibly
+    overlapping any (ref_id, start, end) interval (1-based inclusive)."""
+    raw: list[tuple[int, int]] = []
+    for ref_id, start, end in intervals:
+        if not 0 <= ref_id < len(idx.bins):
+            continue
+        beg0 = max(0, start - 1)
+        lin = idx.linear[ref_id]
+        min_voff = lin[min(beg0 >> _LINEAR_SHIFT, len(lin) - 1)] if lin else 0
+        for b in reg2bins(beg0, end):
+            for u, v in idx.bins[ref_id].get(b, ()):
+                if v > min_voff:
+                    raw.append((max(u, min_voff), v))
+    if not raw:
+        return []
+    raw.sort()
+    merged = [raw[0]]
+    for s, e in raw[1:]:
+        if s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    return merged
+
+
+def create_bai(bam_path: str | Path) -> str:
+    """Single-pass BAI build from a BAM file (driver-side, like
+    ``create_sbi``): bin each record by its alignment span, collect per-bin
+    voffset chunks (merging adjacent), plus the 16 kb linear index."""
+    from .bam_codec import SbiIndex  # noqa: F401  (same pass shape)
+    from .bam_codec import reg2bin
+    from .bgzf import BgzfReader
+    from .headers import read_bam_header
+
+    _, refs, first_voffset = read_bam_header(str(bam_path))
+    n_ref = len(refs)
+    bins: list[dict[int, list[list[int]]]] = [dict() for _ in range(n_ref)]
+    linear: list[dict[int, int]] = [dict() for _ in range(n_ref)]
+    n_no_coor = 0
+    with open(bam_path, "rb") as fh:
+        reader = BgzfReader(fh)
+        reader.seek_virtual(first_voffset)
+        while True:
+            v = reader.tell_virtual()
+            size_b = reader.read(4)
+            if len(size_b) < 4:
+                break
+            (block_size,) = struct.unpack_from("<i", size_b)
+            body = reader.read(block_size)
+            if len(body) < block_size:
+                break
+            v_end = reader.tell_virtual()
+            ref_id, pos0 = struct.unpack_from("<ii", body, 0)
+            if ref_id < 0 or pos0 < 0:
+                n_no_coor += 1
+                continue
+            n_cigar = struct.unpack_from("<H", body, 12)[0]
+            l_read_name = body[8]
+            ref_len = 0
+            coff = 32 + l_read_name
+            for i in range(n_cigar):
+                (op,) = struct.unpack_from("<I", body, coff + 4 * i)
+                if (op & 0xF) in (0, 2, 3, 7, 8):  # M D N = X
+                    ref_len += op >> 4
+            end0 = pos0 + max(1, ref_len)
+            b = reg2bin(pos0, end0)
+            chunks = bins[ref_id].setdefault(b, [])
+            if chunks and chunks[-1][1] == v:
+                chunks[-1][1] = v_end  # extend adjacent chunk
+            else:
+                chunks.append([v, v_end])
+            for w in range(pos0 >> _LINEAR_SHIFT, ((end0 - 1) >> _LINEAR_SHIFT) + 1):
+                if w not in linear[ref_id] or v < linear[ref_id][w]:
+                    linear[ref_id][w] = v
+
+    out = bytearray(BAI_MAGIC)
+    out += struct.pack("<i", n_ref)
+    for r in range(n_ref):
+        out += struct.pack("<i", len(bins[r]))
+        for b in sorted(bins[r]):
+            chunks = bins[r][b]
+            out += struct.pack("<Ii", b, len(chunks))
+            for u, v in chunks:
+                out += struct.pack("<QQ", u, v)
+        lin = linear[r]
+        n_intv = (max(lin) + 1) if lin else 0
+        out += struct.pack("<i", n_intv)
+        prev = 0
+        for w in range(n_intv):
+            # windows with no record inherit the previous offset (lower bound)
+            val = lin.get(w)
+            if val is None:
+                val = prev
+            else:
+                prev = val
+            out += struct.pack("<Q", val)
+    out += struct.pack("<Q", n_no_coor)
+    path = str(bam_path) + ".bai"
+    Path(path).write_bytes(bytes(out))
+    return path

@@ -153,11 +153,14 @@ def records_for_split(
     n_ref: int,
     first_voffset: int,
     sbi_offsets: tuple[int, ...] | None,
+    bai_ranges: list[tuple[int, int]] | None = None,
 ):
     """Yield reads-schema rows for the byte-range split [start, end): map the
     range to a record-aligned virtual-offset chunk (SBI fast path, else
-    boundary guesser), then decode.  Shared by the RDD facade and the Python
-    DataSource."""
+    boundary guesser), then decode.  ``bai_ranges`` (interval pushdown)
+    restricts decoding to the chunk ∩ index-range intersections — the
+    reference's removeContentsBefore/After span intersection.  Shared by the
+    RDD facade and the Python DataSource."""
     if sbi_offsets is not None:
         idx = SbiIndex(0, b"", b"", 0, 0, sbi_offsets)
         chunk = idx.chunk_for_split(start, end)
@@ -177,7 +180,13 @@ def records_for_split(
                     return
                 vstart = found
         vend = end << 16
-    yield from _read_records_in_chunk(path, vstart, vend, ref_names)
+    if bai_ranges is None:
+        yield from _read_records_in_chunk(path, vstart, vend, ref_names)
+        return
+    for u, v in bai_ranges:
+        lo, hi = max(u, vstart), min(v, vend)
+        if lo < hi:
+            yield from _read_records_in_chunk(path, lo, hi, ref_names)
 
 
 class BamSource:
@@ -209,11 +218,33 @@ class BamSource:
             sbi = SbiIndex.load(sbi_path) if use_sbi and os.path.exists(sbi_path) else None
             splits = [(s, min(s + split_size, flen)) for s in range(0, flen, split_size)]
             sbi_offsets = sbi.offsets if sbi else None
+            # .bai interval pushdown (reference AbstractBinarySamSource.java:
+            # 96-113): intersect each chunk with the index's voffset ranges so
+            # tasks decode only overlapping bytes.  Disabled with
+            # include_unplaced (the no-coor tail has no index entry; the
+            # residual filter then needs the full scan).
+            bai_ranges = None
+            if (
+                intervals is not None
+                and not include_unplaced
+                and os.path.exists(f + ".bai")
+            ):
+                from .bai import parse_bai, voffset_ranges_for_intervals
+
+                name_to_id = {nm: i for i, nm in enumerate(ref_names)}
+                ivs = [
+                    (name_to_id[r["contig"]], int(r["start"]), int(r["end"]))
+                    for r in intervals.select("contig", "start", "end").collect()
+                    if r["contig"] in name_to_id
+                ]
+                bai_ranges = voffset_ranges_for_intervals(parse_bai(f + ".bai"), ivs)
             fpath = f
 
-            def plan_and_read(it, _fpath=fpath, _refs=ref_names, _nref=n_ref, _fv=first_voffset, _sbi=sbi_offsets):
+            def plan_and_read(it, _fpath=fpath, _refs=ref_names, _nref=n_ref, _fv=first_voffset, _sbi=sbi_offsets, _bai=bai_ranges):
                 for s, e in it:
-                    yield from records_for_split(_fpath, s, e, _refs, _nref, _fv, _sbi)
+                    yield from records_for_split(
+                        _fpath, s, e, _refs, _nref, _fv, _sbi, _bai
+                    )
 
             rdd = spark.sparkContext.parallelize(splits, max(1, len(splits))).mapPartitions(
                 plan_and_read

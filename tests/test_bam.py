@@ -190,3 +190,47 @@ def test_guesser_checker_detects_doctored_truth():
         fp += got and not exp
         fn += exp and not got
     assert fp == 1 and fn == 1
+
+
+@pytest.fixture(scope="module")
+def bam_with_bai(tmp_path_factory):
+    import shutil
+    from disq_original_spark.sources.bai import create_bai
+
+    d = tmp_path_factory.mktemp("bai")
+    p = str(d / "i.bam")
+    shutil.copyfile(BAM, p)
+    create_bai(p)
+    return p
+
+
+def test_bai_roundtrip_parses(bam_with_bai):
+    from disq_original_spark.sources.bai import parse_bai
+
+    idx = parse_bai(bam_with_bai + ".bai")
+    assert sum(len(b) for b in idx.bins) > 0
+    assert idx.n_no_coor == 0  # 1.bam has no unplaced-unmapped tail
+
+
+def test_bai_interval_pushdown_matches_full_scan(spark, bam_with_bai):
+    # 1.bam's reads sit on contig "1" around 24.8 Mb
+    intervals = spark.createDataFrame(
+        [("1", 24_800_000, 24_860_000)], "contig string, start long, end long"
+    )
+    with_bai = BamSource().read(spark, bam_with_bai, intervals=intervals)
+    no_bai = BamSource().read(spark, BAM, intervals=intervals)
+    key = lambda r: (r.qname, r.flag, r.pos)
+    a, b = sorted(map(key, with_bai.collect())), sorted(map(key, no_bai.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_bai_ranges_prune_bytes(bam_with_bai):
+    import os
+    from disq_original_spark.sources.bai import parse_bai, voffset_ranges_for_intervals
+
+    idx = parse_bai(bam_with_bai + ".bai")
+    ranges = voffset_ranges_for_intervals(idx, [(0, 24_800_000, 24_810_000)])
+    spanned = sum((v >> 16) - (u >> 16) for u, v in ranges)
+    assert 0 < spanned < os.path.getsize(bam_with_bai) // 2
+    # an interval over an empty region prunes everything
+    assert voffset_ranges_for_intervals(idx, [(0, 1, 300)]) == []
