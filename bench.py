@@ -45,6 +45,38 @@ HEADLINE = [
 ]
 
 
+RES = Path("/root/reference/src/test/resources")
+
+
+def _io_benchmarks(spark) -> dict:
+    """Format-layer read throughput over the reference's own fixtures — the
+    reference IS an IO library, so the headline measures its core function:
+    splittable BAM (guesser path), CRAM (full decode), BGZF VCF."""
+    out: dict = {}
+    if not RES.exists():
+        return out
+    from disq_original_spark.sources.bam import BamSource
+    from disq_original_spark.sources.cram import CramSource
+    from disq_original_spark.sources.vcf import VcfSource
+
+    jobs = {
+        "io_bam_read": lambda: BamSource()
+        .read(spark, str(RES / "1.bam"), split_size=64 * 1024)
+        .count(),
+        "io_cram_read": lambda: CramSource()
+        .read(spark, str(RES / "valid.cram"), reference_path=str(RES / "valid.fasta"))
+        .count(),
+        "io_vcf_bgzf_read": lambda: VcfSource()
+        .read(spark, str(RES / "HiSeq.10000.vcf.bgz"), split_size=128 * 1024)
+        .count(),
+    }
+    for name, job in jobs.items():
+        t0 = time.perf_counter()
+        job()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -62,6 +94,7 @@ def main() -> None:
         # Drain the full result without shipping rows to the driver.
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+    timings.update(_io_benchmarks(spark))
 
     total = round(sum(timings.values()), 3)
     print(

@@ -4,8 +4,7 @@ The reference delegates CRAM decode wholesale to htsjdk
 (`cram/CramSource.java:153-167`); this module implements the codec itself so
 the rebuild can read CRAM without a JVM:
 
-- block layer: raw/gzip/bzip2/lzma methods (rANS is CRAM 3.0; ``method=4``
-  raises until a 3.0 fixture exists to validate against),
+- block layer: raw/gzip/bzip2/lzma/rANS-4x8 methods (``rans4x8``),
 - compression header: preservation map (RN/AP/RR/SM/TD), data-series and
   tag encoding maps,
 - entropy codecs: EXTERNAL, canonical HUFFMAN, BETA, GAMMA, SUBEXP,
@@ -939,6 +938,16 @@ def decode_container(
                 core = b.data
             elif b.content_type == CT_EXTERNAL:
                 ext[b.content_id] = b.data
+        if sh.embedded_ref_id >= 0 and sh.embedded_ref_id in ext:
+            # embedded reference block: covers [slice.start, start+span);
+            # shadow the external FASTA for this slice (spec §8.5)
+            emb = ext[sh.embedded_ref_id]
+            pad = b"N" * (sh.start - 1)
+
+            def ref_getter_slice(_ri, _emb=pad + emb):  # noqa: ANN001
+                return _emb
+        else:
+            ref_getter_slice = ref_getter
         if (
             verify_ref_md5
             and ref_getter is not None
@@ -959,7 +968,7 @@ def decode_container(
                     " — wrong reference FASTA?"
                 )
         dec = SliceDecoder(
-            chdr, sh, core, ext, meta.ref_names, meta.rg_ids, ref_getter
+            chdr, sh, core, ext, meta.ref_names, meta.rg_ids, ref_getter_slice
         )
         rows.extend(dec.decode_records())
     return rows, end
