@@ -23,6 +23,11 @@ READS_TO_CHECK = 10  # consecutive plausible records to confirm a boundary
 MAX_READ_SIZE = 10_000_000  # search bound per partition (uncompressed bytes)
 MAX_RECORD_BYTES = 8_000_000
 
+# vectorized decode tables: a nibble is a hex digit of .hex(), so seq decoding
+# is one C-level translate; qual is one translate (+33 phred-to-printable)
+_HEX2BASE = str.maketrans("0123456789abcdef", SEQ_CODES)
+_QUAL33 = bytes((i + 33) & 0xFF for i in range(256))
+
 
 # ------------------------------------------------------------------ record parse
 
@@ -64,15 +69,11 @@ def parse_record(buf: bytes | memoryview, off: int, refs: list[str]) -> tuple[di
         "".join(f"{op >> 4}{CIGAR_OPS[op & 0xF]}" for op in cigar_ops) if n_cigar else "*"
     )
     if l_seq:
-        chars = []
-        for i in range(l_seq):
-            b = seq_b[i // 2]
-            chars.append(SEQ_CODES[(b >> 4) if i % 2 == 0 else (b & 0xF)])
-        seq = "".join(chars)
+        seq = seq_b.hex().translate(_HEX2BASE)[:l_seq]
         qual = (
             "*"
             if qual_b and qual_b[0] == 0xFF
-            else "".join(chr(q + 33) for q in qual_b)
+            else qual_b.translate(_QUAL33).decode("latin-1")
         )
     else:
         seq = "*"
@@ -123,9 +124,10 @@ def _parse_aux(buf: bytes | memoryview, p: int, end: int) -> dict[str, str]:
             out[tag] = f"f:{v:g}"
             p += 4
         elif typ in "ZH":
-            q = p
-            while q < end and buf[q] != 0:
-                q += 1
+            try:
+                q = buf.index(0, p, end)
+            except (ValueError, TypeError, AttributeError):
+                q = end
             out[tag] = f"{typ}:{bytes(buf[p:q]).decode('ascii', 'replace')}"
             p = q + 1
         elif typ == "B":
