@@ -49,6 +49,7 @@ class BamInputPartition(InputPartition):
     n_ref: int
     first_voffset: int
     sbi_offsets: tuple[int, ...] | None
+    bai_ranges: tuple[tuple[int, int], ...] | None = None
 
 
 class BamDataSourceReader(DataSourceReader):
@@ -58,6 +59,16 @@ class BamDataSourceReader(DataSourceReader):
             raise ValueError("bam source requires a path: .load('/path/to.bam')")
         self.split_size = int(options.get("splitsize", 128 * 1024 * 1024))
         self.use_sbi = str(options.get("usesbi", "true")).lower() != "false"
+        # option("intervals", '[["chr1", 100, 200], ...]'): .bai byte-range
+        # pushdown.  The index yields a superset (bin granularity); pair with
+        # an interval filter for exact overlap semantics, as the reference
+        # does with its residual query (`AbstractBinarySamSource.java:96-113`).
+        import json
+
+        iv = options.get("intervals")
+        self.intervals = (
+            [(c, int(s), int(e)) for c, s, e in json.loads(iv)] if iv else None
+        )
 
     def partitions(self):
         parts: list[BamInputPartition] = []
@@ -72,6 +83,19 @@ class BamDataSourceReader(DataSourceReader):
                 else None
             )
             offsets = tuple(sbi.offsets) if sbi else None
+            bai_ranges = None
+            if self.intervals is not None and os.path.exists(f + ".bai"):
+                from .bai import parse_bai, voffset_ranges_for_intervals
+
+                name_to_id = {nm: i for i, nm in enumerate(ref_names)}
+                ivs = [
+                    (name_to_id[c], s, e)
+                    for c, s, e in self.intervals
+                    if c in name_to_id
+                ]
+                bai_ranges = tuple(
+                    voffset_ranges_for_intervals(parse_bai(f + ".bai"), ivs)
+                )
             for s in range(0, flen, self.split_size):
                 parts.append(
                     BamInputPartition(
@@ -82,6 +106,7 @@ class BamDataSourceReader(DataSourceReader):
                         len(refs),
                         first_voffset,
                         offsets,
+                        bai_ranges,
                     )
                 )
         return parts
@@ -95,6 +120,7 @@ class BamDataSourceReader(DataSourceReader):
             partition.n_ref,
             partition.first_voffset,
             partition.sbi_offsets,
+            list(partition.bai_ranges) if partition.bai_ranges else None,
         ):
             yield tuple(row[c] for c in READS_COLUMNS)
 

@@ -234,3 +234,17 @@ def test_bai_ranges_prune_bytes(bam_with_bai):
     assert 0 < spanned < os.path.getsize(bam_with_bai) // 2
     # an interval over an empty region prunes everything
     assert voffset_ranges_for_intervals(idx, [(0, 1, 300)]) == []
+
+
+def test_datasource_interval_option(spark, bam_with_bai):
+    from disq_original_spark.sources.datasource import register_datasources
+
+    register_datasources(spark)
+    df = (
+        spark.read.format("bam")
+        .option("intervals", '[["1", 24800000, 24860000]]')
+        .load(bam_with_bai)
+    )
+    # index pushdown yields a superset; exact residual via DataFrame filter
+    full = BamSource().read(spark, bam_with_bai)
+    assert 0 < df.count() < full.count()
