@@ -652,3 +652,56 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
         .select("user_id", "session_start", "n_events", "sv")
         .orderBy("user_id", "session_start")
     )
+
+
+# ---------------------------------------------------------------- q32 percentiles
+@query(
+    "q32_percentiles",
+    """SELECT l_returnflag,
+              round(percentile_cont(0.5) WITHIN GROUP (
+                  ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT)) / 100, 2) AS p50,
+              round(percentile_cont(0.95) WITHIN GROUP (
+                  ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT)) / 100, 2) AS p95
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    doc="Exact interpolated percentiles per group (Spark `percentile` == "
+    "SQL percentile_cont), computed over integer cents so interpolation is "
+    "engine-deterministic. The approximate path for 100 TB is "
+    "approx_percentile / t-digest — same plan shape, bounded state.",
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.expr("percentile(cast(round(l_extendedprice * 100) as bigint), 0.5)") / 100, 2
+            ).alias("p50"),
+            F.round(
+                F.expr("percentile(cast(round(l_extendedprice * 100) as bigint), 0.95)") / 100, 2
+            ).alias("p95"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------- q33 pivot
+@query(
+    "q33_pivot",
+    """SELECT l_returnflag,
+              round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 1) AS F,
+              round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 1) AS O
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    doc="Pivot (wide aggregation): Spark groupBy().pivot() with explicit "
+    "values — compiles to the same single-shuffle conditional aggregation "
+    "as the oracle's CASE form; explicit pivot values avoid the extra "
+    "distinct-values job at scale.",
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 1))
+        .na.fill(0.0)
+        .orderBy("l_returnflag")
+    )
