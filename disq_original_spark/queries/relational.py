@@ -28,13 +28,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @query(
     "q01_scan_project",
     """SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
-       ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+       ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity LIMIT 100""",
 )
 def q01(spark: SparkSession, sf: str) -> DataFrame:
-    """Scan + projection; column pruning must reach the parquet scan."""
+    """Scan + projection; column pruning must reach the parquet scan.
+    (l_orderkey, l_linenumber) is NOT unique in the testdata, so the sort
+    tie-breaks on the projected columns for a deterministic LIMIT."""
     li = _t(spark, sf, "lineitem")
     return (
-        li.orderBy("l_orderkey", "l_linenumber")
+        li.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
         .limit(100)
         .select("l_orderkey", "l_partkey", "l_quantity")
     )
@@ -303,15 +305,19 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q16_window_frame",
     """SELECT l_orderkey, l_linenumber,
-              sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+              sum(l_quantity) OVER (PARTITION BY l_orderkey
+                                    ORDER BY l_linenumber, l_quantity
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rq
-       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+       FROM lineitem ORDER BY l_orderkey, l_linenumber, rq LIMIT 100""",
 )
 def q16(spark: SparkSession, sf: str) -> DataFrame:
+    """ROWS frames need a total peer order: duplicate (l_orderkey,
+    l_linenumber) rows exist, so the frame orders by (l_linenumber,
+    l_quantity) and the output tie-breaks on rq."""
     li = _t(spark, sf, "lineitem")
     w = (
         Window.partitionBy("l_orderkey")
-        .orderBy("l_linenumber")
+        .orderBy("l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -320,7 +326,7 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
             "l_linenumber",
             F.sum("l_quantity").over(w).alias("rq"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "rq")
         .limit(100)
     )
 
@@ -453,7 +459,7 @@ def q23(spark: SparkSession, sf: str) -> DataFrame:
     "q24_math",
     """SELECT l_orderkey, l_linenumber,
               round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS chg
-       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+       FROM lineitem ORDER BY l_orderkey, l_linenumber, chg LIMIT 100""",
 )
 def q24(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
@@ -465,7 +471,7 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
                 F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
             ).alias("chg"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "chg")
         .limit(100)
     )
 
@@ -555,7 +561,7 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
     "q29_case",
     """SELECT l_orderkey, l_linenumber,
               CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS b
-       FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+       FROM lineitem ORDER BY l_orderkey, l_linenumber, b LIMIT 100""",
 )
 def q29(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
@@ -565,7 +571,7 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
             "l_linenumber",
             F.when(F.col("l_discount") > 0.05, "hi").otherwise("lo").alias("b"),
         )
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "b")
         .limit(100)
     )
 
