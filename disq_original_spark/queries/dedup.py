@@ -1,4 +1,4 @@
-r"""Deduplication operators for a training-data pipeline (d01–d06).
+r"""Deduplication operators for a training-data pipeline (d01–d07).
 
 Scale design notes (the whole point of these):
 
@@ -18,6 +18,9 @@ Scale design notes (the whole point of these):
   candidates), again an equi-join.
 - **Embedding near-dup** (d05): label-blocked cosine join (blocking key stands
   in for an IVF/LSH bucket id at scale).
+- **Cluster assignment** (d07): connected components over the LSH candidate
+  graph by min-label propagation — O(diameter) iterations, one hash-join
+  shuffle each, labels checkpointed so lineage stays flat.
 
 Every query has a DuckDB oracle computing the *identical* deterministic
 expression (seeded md5 minhash uses lexicographic-min over fixed-width hex,
@@ -382,3 +385,68 @@ def simhash_candidate_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select("a_id", "b_id", "hd")
         .orderBy("a_id", "b_id")
     )
+
+
+# ---------------------------------------------------------------- d07 dup clusters
+_PAIRS_SQL = f"""sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        hashed AS (SELECT doc_id, md5('a:' || s) AS h0, md5('b:' || s) AS h1 FROM ex),
+        sig AS (SELECT doc_id, {_SIG_AGG_SQL} FROM hashed GROUP BY doc_id),
+        bands AS ({_BANDS_SQL}),
+        pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                  FROM bands a JOIN bands b
+                    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+                   AND a.doc_id < b.doc_id),
+        edges AS (SELECT a_id, b_id FROM pairs
+                  UNION ALL SELECT b_id, a_id FROM pairs)"""
+
+
+@query(
+    "d07_dup_clusters",
+    f"""WITH RECURSIVE {_PAIRS_SQL},
+        reach(node, root) AS (
+            SELECT a_id, a_id FROM (SELECT DISTINCT a_id FROM edges)
+            UNION
+            SELECT e.b_id, r.root FROM reach r JOIN edges e ON e.a_id = r.node
+        )
+        SELECT node AS doc_id, min(root) AS cluster_id
+        FROM reach GROUP BY node ORDER BY doc_id""",
+    doc="Duplicate-cluster assignment: connected components over the "
+    "MinHash-LSH candidate graph via min-label propagation (iterative "
+    "hash joins; iteration count = component diameter, each iteration one "
+    "shuffle, labels localCheckpoint'ed to keep lineage flat).  The "
+    "canonical-document-selection step of a dedup pipeline; oracle is a "
+    "recursive-CTE transitive closure.",
+)
+def d07(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = d03(spark, sf).select("a_id", "b_id")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a_id").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(50):  # bound = graph diameter; testdata converges in ~3
+        neigh = (
+            edges.join(labels, edges["b_id"] == labels["node"])
+            .groupBy(edges["a_id"].alias("node2"))
+            .agg(F.min("label").alias("nl"))
+        )
+        updated = (
+            labels.join(neigh, labels["node"] == neigh["node2"], "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nl", "label")).alias("new_label"),
+                (F.coalesce("nl", "label") < F.col("label")).cast("int").alias("chg"),
+            )
+        ).localCheckpoint()
+        changed = updated.agg(F.sum("chg")).collect()[0][0] or 0
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    ).orderBy("doc_id")
