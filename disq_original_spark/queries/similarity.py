@@ -1,4 +1,4 @@
-"""Similarity search over the embeddings table (s01–s02).
+"""Similarity search over the embeddings table (s01–s03).
 
 - s01: brute-force cosine top-k — the correctness baseline.  Query set is tiny
   (broadcast side); corpus side streams, so at 100 TB this is one broadcast
@@ -8,6 +8,10 @@
   (stand-in for IVF cell assignment); candidates only within the query's
   bucket.  Recall/cost is tunable by bucket bits; the point is the *plan*: the
   cross product shrinks to an equi-join on bucket id.
+- s03: IVF ANN — deterministic "trained" centroids (a fixed sample of the
+  corpus, standing in for k-means output), cell assignment computed entirely
+  map-side against the broadcast centroid list, queries probe their nprobe
+  nearest cells, candidate search is an equi-join on cell id.
 """
 
 from __future__ import annotations
@@ -107,6 +111,113 @@ def s02(spark: SparkSession, sf: str) -> DataFrame:
     scored = (
         F.broadcast(q)
         .join(e, (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity(F.col("qe"), F.col("embedding")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _K)
+        .orderBy("q_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------- s03 IVF ANN
+_CENTROID_STRIDE = 97  # vec_id % stride == 0 → deterministic "trained" centroids
+_NPROBE = 2
+
+_COS_SQL = (
+    "round(list_cosine_similarity(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])), 4)"
+)
+
+
+@query(
+    "s03_ann_ivf",
+    f"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                   WHERE vec_id % {_CENTROID_STRIDE} = 0),
+        assign AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                                    ORDER BY {_COS_SQL.format(a='e.embedding', b='c.ce')} DESC,
+                                             c.cid) AS rn
+          FROM embeddings e CROSS JOIN c),
+        cells AS (SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1),
+        probe AS (
+          SELECT vec_id AS q_id, embedding AS qe, cid AS pcell,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY {_COS_SQL.format(a='embedding', b='ce')} DESC,
+                                             cid) AS prn
+          FROM embeddings CROSS JOIN c WHERE vec_id < {_N_QUERIES}),
+        scored AS (
+          SELECT p.q_id, e.vec_id AS neighbor_id,
+                 {_COS_SQL.format(a='p.qe', b='e.embedding')} AS cos_sim
+          FROM probe p JOIN cells e ON e.cell = p.pcell AND e.vec_id <> p.q_id
+          WHERE p.prn <= {_NPROBE}),
+        ranked AS (
+          SELECT q_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos_sim DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT q_id, neighbor_id, cos_sim, rank FROM ranked
+        WHERE rank <= {_K} ORDER BY q_id, rank""",
+    doc="IVF approximate nearest neighbor.  'Training' = the deterministic "
+    "centroid sample (k-means stand-in); the centroid table is collected to "
+    "the driver (tiny, exactly what IVF training produces) and inlined into "
+    "the plan, so CELL ASSIGNMENT IS PURE MAP-SIDE — a per-row argmax over "
+    "the broadcast centroid array, no shuffle, no window.  Queries probe "
+    f"their {_NPROBE} nearest cells; candidate search is an equi-join on "
+    "cell id, so the cross product shrinks to the probed cells' postings.  "
+    "At 100 TB the cell assignment scans once map-side and the join "
+    "shuffles only (cell, id, vec) for the probed cells.",
+)
+def s03(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id") % _CENTROID_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    # Inline the (tiny) centroid list as a literal array<struct<cid, ce>> so
+    # assignment is a map-side expression — the IVF index structure itself.
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["vec_id"]).alias("cid"),
+                F.array(*[F.lit(float(x)) for x in r["embedding"]]).alias("ce"),
+            )
+            for r in cents
+        ]
+    )
+    # Per-centroid score; argmax by (cos desc, cid asc) via ascending sort on
+    # (-cos, cid).  array_sort on structs compares fields lexicographically.
+    scored_cells = F.array_sort(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                (-F.round(cosine_similarity(F.col("embedding"), c["ce"]), 4)).alias("ncos"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    cells = e.select(
+        "vec_id", "embedding", F.element_at(scored_cells, 1)["cid"].alias("cell")
+    )
+    probes = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.transform(F.slice(scored_cells, 1, _NPROBE), lambda s: s["cid"])
+            ).alias("pcell"),
+        )
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cells, (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("q_id")))
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),

@@ -122,3 +122,107 @@ def t03(spark: SparkSession, sf: str) -> DataFrame:
 def t04(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     return d.select("doc_id", normalized_fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- t05 BPE-ish tokens
+# GPT-2-style pre-tokenizer regex over lowercased text: contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs.  No lookarounds or
+# backrefs, so Java regex (Spark) and RE2 (DuckDB) match identically.
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+
+@query(
+    "t05_bpe_tokens",
+    rf"""SELECT doc_id,
+                len(regexp_extract_all(lower(text), '{_BPE_PAT_SQL}')) AS n_bpe,
+                len(list_distinct(regexp_extract_all(lower(text), '{_BPE_PAT_SQL}'))) AS n_uniq
+         FROM documents ORDER BY doc_id""",
+    doc="BPE-ish token counting: one regexp_extract_all pass with the GPT-2 "
+    "pre-tokenizer pattern — pure map-side narrow projection; at 100 TB this "
+    "is a single scan with zero shuffle (the ORDER BY exists only for the "
+    "deterministic oracle compare).",
+)
+def t05(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PAT), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- t06 winnowing fingerprint
+_WIN_K = 8  # char k-gram width
+_WIN_W = 4  # winnowing window (hashes per window)
+
+
+@query(
+    "t06_winnow_fingerprint",
+    rf"""WITH n AS (SELECT doc_id,
+                           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+                    FROM documents),
+         g AS (SELECT doc_id,
+                      CASE WHEN length(norm) >= {_WIN_K}
+                           THEN list_transform(range(1, length(norm) - {_WIN_K} + 2),
+                                               i -> substr(norm, i, {_WIN_K}))
+                           ELSE [norm] END AS grams
+               FROM n),
+         h AS (SELECT doc_id,
+                      list_transform(grams,
+                                     x -> CAST(('0x' || substr(md5(x), 1, 8)) AS BIGINT)) AS hs
+               FROM g),
+         s AS (SELECT doc_id,
+                      CASE WHEN len(hs) >= {_WIN_W}
+                           THEN list_transform(range(1, len(hs) - {_WIN_W} + 2),
+                                               j -> list_min(hs[j:j + {_WIN_W} - 1]))
+                           ELSE [list_min(hs)] END AS sel
+               FROM h),
+         f AS (SELECT doc_id, list_sort(list_distinct(sel)) AS fps FROM s)
+         SELECT doc_id, len(fps) AS n_fp,
+                md5(array_to_string(fps, ',')) AS fp_digest
+         FROM f ORDER BY doc_id""",
+    doc="Winnowing document fingerprint (Schleimer et al.): hash every char "
+    f"{_WIN_K}-gram (rolling-hash position set), keep the minimum in each "
+    f"window of {_WIN_W} consecutive hashes, emit the distinct selected set "
+    "as a digest.  Guarantees any shared substring ≥ k+w-1 chars yields a "
+    "shared fingerprint — the standard near-dup/plagiarism sketch.  Entirely "
+    "map-side array expressions: at 100 TB one scan, no shuffle, ~|doc|/w "
+    "fingerprints per doc.",
+)
+def t06(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    n_grams = F.length(norm) - _WIN_K + 1
+    grams = F.when(
+        F.length(norm) >= _WIN_K,
+        F.transform(
+            F.sequence(F.lit(1), n_grams), lambda i: norm.substr(i, F.lit(_WIN_K))
+        ),
+    ).otherwise(F.array(norm))
+    hashes = F.transform(
+        grams, lambda x: F.conv(F.substring(F.md5(x), 1, 8), 16, 10).cast("bigint")
+    )
+    hs = F.col("hs")
+    sel = F.when(
+        F.size(hs) >= _WIN_W,
+        F.transform(
+            F.sequence(F.lit(1), F.size(hs) - _WIN_W + 1),
+            lambda j: F.array_min(F.slice(hs, j, _WIN_W)),
+        ),
+    ).otherwise(F.array(F.array_min(hs)))
+    fps = F.array_sort(F.array_distinct(F.col("sel")))
+    return (
+        d.select("doc_id", hashes.alias("hs"))
+        .select("doc_id", sel.alias("sel"))
+        .select("doc_id", fps.alias("fps"))
+        .select(
+            "doc_id",
+            F.size("fps").alias("n_fp"),
+            F.md5(F.array_join(F.transform("fps", lambda x: x.cast("string")), ",")).alias(
+                "fp_digest"
+            ),
+        )
+        .orderBy("doc_id")
+    )
