@@ -42,3 +42,19 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(se.oracle_sql()) <= set(se.queries())
+
+
+def test_s03_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF is approximate; pin its recall@10 against the s01 exact baseline
+    so bucketing bugs (wrong cell assignment, lost probes) surface as a
+    recall collapse rather than silently returning plausible rows."""
+    exact = {
+        (r["q_id"], r["neighbor_id"])
+        for r in QUERIES["s01_knn_bruteforce"].build(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in QUERIES["s03_ann_ivf"].build(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall@10 collapsed: {recall:.2f}"

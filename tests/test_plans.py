@@ -79,3 +79,28 @@ def test_interval_filter_broadcasts(spark, sf_dir):
     )
     out = interval_filter(e, iv)
     assert uses_broadcast_join(out)
+
+def test_s03_ivf_mapside_assignment(spark, sf_dir):
+    """IVF cell assignment must be a map-side expression: the corpus side of
+    the candidate join carries no Exchange/Window (no shuffle to assign
+    cells), candidates arrive via broadcast join, and top-k runs as a
+    partial WindowGroupLimit before any shuffle."""
+    from disq_original_spark.plans import simple_plan
+
+    df = QUERIES["s03_ann_ivf"].build(spark, sf_dir)
+    plan = simple_plan(df)
+    assert uses_broadcast_join(df)
+    assert "WindowGroupLimit" in plan
+    # Exchanges: top-k window repartition + final ORDER BY only.
+    assert plan.count("Exchange") <= 3
+
+
+def test_t05_t06_single_scan_no_shuffle(spark, sf_dir):
+    """BPE token counting and winnowing fingerprints are narrow map-side
+    projections: nothing but the deterministic final ORDER BY may shuffle."""
+    from disq_original_spark.plans import simple_plan
+
+    for name in ("t05_bpe_tokens", "t06_winnow_fingerprint"):
+        plan = simple_plan(QUERIES[name].build(spark, sf_dir))
+        assert plan.count("Exchange") <= 1, name
+        assert "Join" not in plan, name
