@@ -114,3 +114,63 @@ def g02(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("interval_start", "event_type")
     )
+
+
+# ------------------------------------------------------- g03/g04 source-to-SQL
+# The engine's actual purpose: genomics files land as DataFrames and the full
+# Spark SQL surface applies.  These run on the reference repo's own fixtures
+# (read-only), so they are rows-only entries (DuckDB cannot read BAM/VCF);
+# byte-level read correctness is proven separately in tests/test_bam.py etc.
+_FIXTURES = "/root/reference/src/test/resources"
+
+
+@query(
+    "g03_bam_contig_stats",
+    None,
+    doc="SQL over a real BAM read: per-contig read count, mean mapq, mapped "
+    "fraction (flag bit 0x4), computed by Catalyst over the splittable BAM "
+    "source (`bam/BamSource.java:43-188` analog).  At 100 TB this is a scan "
+    "with record-aligned chunking + one partial-agg shuffle of tiny "
+    "(contig, partial-sums) rows.",
+)
+def g03(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.bam import BamSource
+
+    reads = BamSource().read(spark, f"{_FIXTURES}/1.bam", split_size=128 * 1024)
+    return (
+        reads.groupBy(F.coalesce("rname", F.lit("*")).alias("contig"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reads"),
+            F.round(F.avg("mapq"), 2).alias("avg_mapq"),
+            F.round(
+                F.avg((F.col("flag").bitwiseAND(4) == 0).cast("double")), 4
+            ).alias("mapped_frac"),
+        )
+        .orderBy("contig")
+    )
+
+
+@query(
+    "g04_vcf_variant_stats",
+    None,
+    doc="SQL over a real BGZF VCF read: per-contig variant count, mean qual, "
+    "transition count via array ops on alts — the splittable BGZF text "
+    "source (`vcf/VcfSource.java:45-186` analog) feeding native SQL.",
+)
+def g04(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.vcf import VcfSource
+
+    v = VcfSource().read(spark, f"{_FIXTURES}/HiSeq.10000.vcf.bgz", split_size=128 * 1024)
+    snv = (F.length("ref") == 1) & (F.size("alts") == 1) & (
+        F.length(F.element_at("alts", 1)) == 1
+    )
+    return (
+        v.groupBy("contig")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.round(F.avg("qual"), 2).alias("avg_qual"),
+            F.sum(snv.cast("long")).alias("n_snv"),
+            F.sum(F.size("filters")).alias("n_filter_flags"),
+        )
+        .orderBy("contig")
+    )
