@@ -41,7 +41,9 @@ HEADLINE = [
     "d05_embedding_neardup",
     "d06_simhash",
     "s01_knn_bruteforce",
+    "s03_ann_ivf",
     "t02_quality_score",
+    "t06_winnow_fingerprint",
 ]
 
 
@@ -83,8 +85,11 @@ def main() -> None:
     spark = get_spark(app_name="disq-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/session so q1 doesn't pay session startup.
+    # Warm the JVM/session so q1 doesn't pay session startup: exercise the
+    # parquet reader, codegen, shuffle, and noop-write paths once.
     spark.range(1000).selectExpr("sum(id)").collect()
+    warm = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    warm.groupBy("n_regionkey").count().write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

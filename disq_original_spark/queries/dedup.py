@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import tokens, word_shingles
-from ..tables import load_table
+from ..tables import load_table, load_wide
 from .registry import query
 
 # DuckDB fragments mirrored by the Spark builders -----------------------------
@@ -116,7 +116,7 @@ _BANDS_SQL = "\n UNION ALL ".join(
     "postings list instead of a self-join.",
 )
 def d03(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = load_wide(spark, sf, "documents")
 
     def _sub(p: int):
         # one-arg lambda on purpose: a two-arg lambda would be interpreted by
@@ -203,7 +203,7 @@ _DF_CAP = 64  # drop shingles appearing in more docs (boilerplate guard)
     "postings index is persisted and reused for the per-doc shingle counts.",
 )
 def d04(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = load_wide(spark, sf, "documents")
     sh = d.select(
         "doc_id", F.array_distinct(word_shingles("text", 5)).alias("sh")
     )
@@ -317,7 +317,7 @@ _BIT_CHARS_SQL = " || ".join(
     "(pigeonhole) — exercised in tests.",
 )
 def d06(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = load_wide(spark, sf, "documents")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w")
     )

@@ -16,7 +16,7 @@ from ..functions import (
     stopword_count,
     tokens,
 )
-from ..tables import load_table
+from ..tables import load_table, load_wide
 from .registry import query
 
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
@@ -144,7 +144,7 @@ _BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
     "deterministic oracle compare).",
 )
 def t05(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
+    d = load_wide(spark, sf, "documents")
     toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_PAT), 0)
     return d.select(
         "doc_id",
@@ -192,8 +192,11 @@ _WIN_W = 4  # winnowing window (hashes per window)
     "fingerprints per doc.",
 )
 def t06(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    d = load_wide(spark, sf, "documents")
+    # Materialize norm as a column BEFORE the higher-order transforms: lambdas
+    # are interpreted per element, so an embedded regexp_replace would
+    # re-evaluate once per k-gram (~300× per doc) instead of once per doc.
+    norm = F.col("norm")
     n_grams = F.length(norm) - _WIN_K + 1
     grams = F.when(
         F.length(norm) >= _WIN_K,
@@ -214,7 +217,11 @@ def t06(spark: SparkSession, sf: str) -> DataFrame:
     ).otherwise(F.array(F.array_min(hs)))
     fps = F.array_sort(F.array_distinct(F.col("sel")))
     return (
-        d.select("doc_id", hashes.alias("hs"))
+        d.select(
+            "doc_id",
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("norm"),
+        )
+        .select("doc_id", hashes.alias("hs"))
         .select("doc_id", sel.alias("sel"))
         .select("doc_id", fps.alias("fps"))
         .select(

@@ -51,3 +51,22 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for spark.sql-style access)."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table and spread it across the cluster's cores before heavy
+    per-row compute (shingling, per-k-gram hashing, signature math).
+
+    A small input may arrive as ONE parquet row group → one task, serializing
+    CPU-bound map work while the rest of the cluster idles.  The repartition
+    is CONDITIONAL: it fires only when the scan yields fewer partitions than
+    cores (the small-file case), so at 100 TB — where the scan naturally
+    splits into thousands of partitions — it is a no-op and the plan stays
+    shuffle-free.  Locally it is the difference between 1 and N cores, and
+    the shuffle moves only the raw rows once, before any expansion.
+    """
+    n = spark.sparkContext.defaultParallelism
+    df = load_table(spark, sf_dir, name)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
