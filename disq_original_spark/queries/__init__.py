@@ -15,5 +15,6 @@ from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import genomic  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
+from . import streamq  # noqa: E402,F401
 
 __all__ = ["QUERIES", "Query", "query"]

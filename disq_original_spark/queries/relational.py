@@ -711,3 +711,149 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
         .na.fill(0.0)
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------- q34 as-of join
+@query(
+    "q34_asof_join",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts AS click_ts FROM events
+               WHERE event_type = 'click')
+       SELECT p.event_id, p.user_id,
+              COALESCE(c.click_id, -1) AS click_id,
+              COALESCE(CAST(epoch_us(p.ts) - epoch_us(c.click_ts) AS BIGINT),
+                       -1) AS lag_us
+       FROM p ASOF LEFT JOIN c
+         ON p.user_id = c.user_id AND p.ts >= c.click_ts
+       ORDER BY p.event_id""",
+    doc="As-of join (operators/asof.py): each purchase attributed to the "
+    "user's most recent click at-or-before it.  Spark has no ASOF JOIN; the "
+    "operator is the union-and-window form — ONE shuffle on user_id, no "
+    "join node, O(1) window state — vs DuckDB's native ASOF LEFT JOIN as "
+    "the oracle.  A naive range join + row_number would expand each "
+    "purchase by the user's whole click history; this never builds that "
+    "intermediate (see module docstring for the 100 TB argument).",
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    e = _t(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    out = asof_join(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="click_ts",
+        tiebreak="click_id",
+    )
+    # COALESCE(-1) in both engines: keeps the left-join semantics visible
+    # (-1 = no prior click) without nullable-integer representation skew
+    # between the two result transports.
+    return out.select(
+        "event_id",
+        "user_id",
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(
+            F.unix_micros("ts") - F.unix_micros("_asof_ts"), F.lit(-1)
+        ).alias("lag_us"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------- q35 TPC-H Q3 shape
+@query(
+    "q35_tpch_q3",
+    """SELECT l_orderkey,
+              round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue,
+              strftime(o_orderdate, '%Y-%m-%d') AS odate
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < DATE '1998-07-01'
+         AND l_shipdate > DATE '1998-07-01'
+       GROUP BY l_orderkey, o_orderdate
+       ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    doc="TPC-H Q3 shape: 3-table join, selective dim filter, aggregate, "
+    "top-k.  The segment filter reaches the customer scan (PushedFilters); "
+    "the filtered customer side broadcasts; revenue sums in DECIMAL so the "
+    "result is bit-identical across engines (double addition is "
+    "order-dependent and a 32-way partial agg sums in a different order "
+    "than the oracle).  Top-10 is TakeOrderedAndProject — no global sort.",
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-07-01")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-07-01")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,4)")).cast("double"), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- q36 TPC-H Q5 shape
+@query(
+    "q36_tpch_q5",
+    """SELECT n_name,
+              round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(18,4))) AS DOUBLE), 2) AS revenue
+       FROM customer
+       JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA'
+         AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+       GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    doc="TPC-H Q5 shape: 6-table join (local-supplier condition makes the "
+    "join graph cyclic — the classic join-reordering stress).  Catalyst + "
+    "AQE pick the order; nation/region/supplier broadcast; the only big "
+    "shuffle is lineitem⋈orders.  DECIMAL sum for cross-engine exactness "
+    "(per-nation groups sum ~1e4 doubles — float rounding WOULD differ).",
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(18,4)")).cast("double"), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

@@ -37,9 +37,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # differential checks stay exact.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # Integer `div`, not `/1000`: float division of ~1.7e18 ns loses the
+        # low bits (double mantissa is 53 bits) and lands ±1 µs off DuckDB's
+        # exact truncation — visible to any query that compares microseconds.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -108,3 +108,32 @@ def test_t05_t06_single_scan_no_shuffle(spark, sf_dir):
         plan = simple_plan(QUERIES[name].build(spark, sf_dir))
         assert plan.count("Exchange") <= 2, name
         assert "Join" not in plan, name
+
+
+def test_q34_asof_no_join_single_shuffle(spark, sf_dir):
+    """The as-of join must compile to union + window: no Join node; the only
+    Exchanges are the user_id hash shuffle and the final ORDER BY."""
+    from disq_original_spark.plans import simple_plan
+
+    plan = simple_plan(QUERIES["q34_asof_join"].build(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_q35_broadcasts_filtered_dims_and_topk(spark, sf_dir):
+    df = QUERIES["q35_tpch_q3"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan
+    assert has_pushed_filter(df, "c_mktsegment")
+    assert has_pushed_filter(df, "l_shipdate")
+
+
+def test_q36_join_order_lineitem_shuffles_once(spark, sf_dir):
+    """6-table cyclic join: dims must broadcast; lineitem (the fact) must not
+    be shuffled more than once before aggregation."""
+    df = QUERIES["q36_tpch_q5"].build(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert has_pushed_filter(df, "o_orderdate")
