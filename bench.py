@@ -34,6 +34,8 @@ HEADLINE = [
     "q20_intersect",
     "q24_math",
     "q30_tumbling_window",
+    "q34_asof_join",
+    "q36_tpch_q5",
     "g01_interval_filter",
     "d01_exact_dedup",
     "d03_minhash_lsh",
