@@ -174,3 +174,59 @@ def g04(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("contig")
     )
+
+
+# ------------------------------------------------------- g05 binned range join
+_G05_SPAN_US = 600_000_000  # each event spans [ts, ts + 10 min]
+_G05_BIN_US = 3_600_000_000  # 1-hour genomic-bin analog
+
+
+@query(
+    "g05_binned_interval_join",
+    f"""WITH iv AS (SELECT event_id, event_type,
+                           epoch_us(ts) AS s,
+                           epoch_us(ts) + {_G05_SPAN_US} AS e
+                    FROM events)
+        SELECT a.event_type, count(*) AS n_overlaps
+        FROM iv a JOIN iv b
+          ON a.event_type = b.event_type AND a.event_id < b.event_id
+         AND a.s <= b.e AND a.e >= b.s
+        GROUP BY a.event_type ORDER BY a.event_type""",
+    doc="Big-by-big interval overlap join via fixed-size binning "
+    "(operators/interval.py::interval_join with bin_size) — the custom "
+    "strategy SURVEY §4 reserves for genomic joins too large to broadcast.  "
+    "Each interval is replicated to the bins it touches (here ≤2), the join "
+    "becomes an EQUI-join on (contig, bin) — shuffled hash/merge join, "
+    "never a BroadcastNestedLoopJoin — and each overlapping pair is counted "
+    "exactly once in the first bin both intervals share.  The oracle is the "
+    "naive quadratic range join, feasible only at test scale.",
+)
+def g05(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.interval import interval_join
+
+    e = load_table(spark, sf, "events")
+    iv = e.select(
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_G05_SPAN_US)).alias("e"),
+    )
+    joined = interval_join(
+        iv,
+        iv.select(
+            F.col("event_id").alias("b_event_id"),
+            F.col("event_type").alias("b_event_type"),
+            F.col("s").alias("b_s"),
+            F.col("e").alias("b_e"),
+        ),
+        on_contig=("event_type", "b_event_type"),
+        left_span=("s", "e"),
+        right_span=("b_s", "b_e"),
+        bin_size=_G05_BIN_US,
+    )
+    return (
+        joined.filter(F.col("event_id") < F.col("b_event_id"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .orderBy("event_type")
+    )
