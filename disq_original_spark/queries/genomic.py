@@ -230,3 +230,62 @@ def g05(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overlaps"))
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------------------- g06 coverage windows
+_G06_WIN = 1000  # 1 kb coverage windows
+
+
+@query(
+    "g06_coverage_windows",
+    None,
+    doc="Windowed depth of coverage over the real sharded-BAM fixture (the "
+    "coverage-track computation every genomics pipeline runs).  Alignment "
+    "END comes from the CIGAR string inside native SQL — "
+    "regexp_extract_all over reference-consuming ops (M/D/N/=/X) summed "
+    "with aggregate() — then each read explodes to the 1 kb windows it "
+    "spans and depth is a partial-agg count per (contig, window).  Zero "
+    "Python in the row path; at 100 TB the shuffle carries only "
+    "(window, partial-count) rows.  Rows-only entry (DuckDB cannot read "
+    "BAM); an exhaustive brute-force oracle runs in tests/test_genomic.py.",
+)
+def g06(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.bam import BamSource
+
+    reads = BamSource().read(
+        spark, f"{_FIXTURES}/HiSeq.1mb.1RG.2k_lines.alternate.recalibrated.DIQ.sharded.bam"
+    )
+    ref_len = F.aggregate(
+        F.transform(
+            F.regexp_extract_all("cigar", F.lit(r"(\d+)[MDN=X]"), 1),
+            lambda x: x.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mapped = reads.filter(
+        (F.col("flag").bitwiseAND(4) == 0) & F.col("rname").isNotNull()
+    ).select(
+        "rname", "pos", "mapq", (F.col("pos") + ref_len - 1).alias("end_pos")
+    )
+    win = F.explode(
+        F.sequence(
+            (F.col("pos") / _G06_WIN).cast("long"),
+            (F.col("end_pos") / _G06_WIN).cast("long"),
+        )
+    )
+    return (
+        mapped.select("rname", "mapq", win.alias("win"))
+        .groupBy("rname", "win")
+        .agg(
+            F.count(F.lit(1)).alias("depth"),
+            F.round(F.avg("mapq"), 2).alias("avg_mapq"),
+        )
+        .select(
+            "rname",
+            (F.col("win") * _G06_WIN).alias("win_start"),
+            "depth",
+            "avg_mapq",
+        )
+        .orderBy("rname", "win_start")
+    )

@@ -1,0 +1,57 @@
+"""Brute-force oracle for g06 (windowed coverage over the real sharded BAM).
+
+DuckDB cannot read BAM, so this is the exhaustive Python recomputation of the
+same definition: alignment end = pos + sum of reference-consuming CIGAR op
+lengths (M/D/N/=/X) - 1; a read contributes depth to every window its span
+touches."""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+from disq_original_spark.queries import QUERIES
+
+_WIN = 1000
+_CIG = re.compile(r"(\d+)([MIDNSHP=X])")
+_REF_OPS = set("MDN=X")
+
+
+def test_g06_matches_bruteforce(spark, sf_dir):
+    df = QUERIES["g06_coverage_windows"].build(spark, sf_dir)
+
+    from disq_original_spark.sources.bam import BamSource
+
+    reads = BamSource().read(
+        spark,
+        "/root/reference/src/test/resources/"
+        "HiSeq.1mb.1RG.2k_lines.alternate.recalibrated.DIQ.sharded.bam",
+    )
+    depth: dict[tuple[str, int], int] = defaultdict(int)
+    mapqs: dict[tuple[str, int], list[int]] = defaultdict(list)
+    for r in reads.select("rname", "pos", "mapq", "cigar", "flag").collect():
+        if r["rname"] is None or (r["flag"] & 4):
+            continue
+        ref_len = sum(
+            int(n) for n, op in _CIG.findall(r["cigar"] or "") if op in _REF_OPS
+        )
+        end = r["pos"] + ref_len - 1
+        for w in range(r["pos"] // _WIN, end // _WIN + 1):
+            depth[(r["rname"], w * _WIN)] += 1
+            mapqs[(r["rname"], w * _WIN)].append(r["mapq"])
+
+    got = {
+        (r["rname"], r["win_start"]): (r["depth"], r["avg_mapq"])
+        for r in df.collect()
+    }
+    assert set(got) == set(depth)
+    for key, d in depth.items():
+        # Spark round() is HALF_UP; Python round() is banker's — match Spark.
+        avg = float(
+            Decimal(repr(sum(mapqs[key]) / len(mapqs[key]))).quantize(
+                Decimal("0.01"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert got[key] == (d, avg), key
+    assert sum(depth.values()) > 0
