@@ -63,15 +63,19 @@ def _io_benchmarks(spark) -> dict:
     from disq_original_spark.sources.cram import CramSource
     from disq_original_spark.sources.vcf import VcfSource
 
+    # Split sizes put each fixture in 2 tasks: decode throughput with the
+    # split path still exercised.  (At 64 KB the 600 KB fixture became 10
+    # tasks and the timing measured Python-worker startup, not decode —
+    # splittability correctness is pinned in tests, not here.)
     jobs = {
         "io_bam_read": lambda: BamSource()
-        .read(spark, str(RES / "1.bam"), split_size=64 * 1024)
+        .read(spark, str(RES / "1.bam"), split_size=300 * 1024)
         .count(),
         "io_cram_read": lambda: CramSource()
         .read(spark, str(RES / "valid.cram"), reference_path=str(RES / "valid.fasta"))
         .count(),
         "io_vcf_bgzf_read": lambda: VcfSource()
-        .read(spark, str(RES / "HiSeq.10000.vcf.bgz"), split_size=128 * 1024)
+        .read(spark, str(RES / "HiSeq.10000.vcf.bgz"), split_size=256 * 1024)
         .count(),
     }
     for name, job in jobs.items():

@@ -49,9 +49,11 @@ from .bgzf import (
     BgzfReader,
     BgzfWriter,
     compress_block,
+    decompress_block,
     enumerate_blocks,
     find_next_block,
     make_virtual_offset,
+    read_block_header,
 )
 from .headers import SamHeader, read_bam_header
 from .merger import merge_parts
@@ -122,27 +124,73 @@ def _block_at(fh, pos: int) -> BgzfBlock | None:
     return BgzfBlock(pos, hdr[0], hdr[1])
 
 
+_TRIM_BYTES = 1 << 22  # drop consumed uncompressed prefix past this size
+
+
 def _read_records_in_chunk(path: str, vstart: int, vend: int, ref_names: list[str]):
     """Yield reads-schema rows for records whose start voffset is in
-    [vstart, vend)."""
+    [vstart, vend).
+
+    Blocks are inflated once into a contiguous buffer and records parsed by
+    offset — no per-record stream reads (the previous two-``read()``-calls-
+    per-record form spent more time in buffer bookkeeping than in the actual
+    decode).  A base table maps buffer offsets back to virtual offsets for
+    the ``vend`` bound; the consumed prefix is trimmed at block granularity
+    so memory stays bounded by a few blocks, not the chunk."""
+    from .bam_codec import FIXED_RECORD_BYTES
+
+    c0 = vstart >> 16
     with open(path, "rb") as fh:
-        reader = BgzfReader(fh)
-        reader.seek_virtual(vstart)
+        fh.seek(0, 2)
+        flen = fh.tell()
+        buf = bytearray()
+        bases: list[tuple[int, int]] = []  # (buffer offset of block start, cpos)
+        next_cpos = c0
+        bi = 0
+
+        def load_next_block() -> bool:
+            nonlocal next_cpos
+            if next_cpos >= flen:
+                return False
+            hdr = read_block_header(fh, next_cpos)
+            if hdr is None:
+                return False
+            c_size, u_size = hdr
+            data = decompress_block(fh, BgzfBlock(next_cpos, c_size, u_size))
+            bases.append((len(buf), next_cpos))
+            buf.extend(data)
+            next_cpos += c_size
+            return True
+
+        if not load_next_block():
+            return
+        o = vstart & 0xFFFF
         while True:
-            v = reader.tell_virtual()
+            while o + 4 > len(buf):
+                if not load_next_block():
+                    return
+            (block_size,) = struct.unpack_from("<i", buf, o)
+            if block_size < FIXED_RECORD_BYTES:
+                return
+            while o + 4 + block_size > len(buf):
+                if not load_next_block():
+                    return
+            while bi + 1 < len(bases) and bases[bi + 1][0] <= o:
+                bi += 1
+            v = (bases[bi][1] << 16) | (o - bases[bi][0])
             if v >= vend:
                 return
-            size_b = reader.read(4)
-            if len(size_b) < 4:
-                return
-            (block_size,) = struct.unpack("<i", size_b)
-            body = reader.read(block_size)
-            if len(body) < block_size:
-                return
-            parsed = parse_record(size_b + body, 0, ref_names)
+            parsed = parse_record(buf, o, ref_names)
             if parsed is None:
                 return
             yield parsed[0]
+            o = parsed[1]
+            if bases[bi][0] > _TRIM_BYTES:
+                cut = bases[bi][0]
+                del buf[:cut]
+                bases = [(b - cut, c) for b, c in bases[bi:]]
+                o -= cut
+                bi = 0
 
 
 def records_for_split(
@@ -189,6 +237,26 @@ def records_for_split(
             yield from _read_records_in_chunk(path, lo, hi, ref_names)
 
 
+def _decode_splits_arrow(
+    spark: SparkSession,
+    split_rows: list[tuple[int, int, int]],
+    file_params: list[tuple],
+) -> DataFrame:
+    """Decode splits via the Arrow transfer plane (``arrow_xfer``): the
+    decode is unchanged (``records_for_split``); tasks hand the JVM columnar
+    Arrow batches instead of pickled rows."""
+    from .arrow_xfer import rows_to_dataframe
+
+    def split_records(task):
+        fi, s, e = task
+        f, refs, nref, fv, sbi, bai = file_params[fi]
+        return records_for_split(f, s, e, refs, nref, fv, sbi, bai)
+
+    return rows_to_dataframe(
+        spark, split_rows, split_records, READS_COLUMNS, READS_SCHEMA
+    )
+
+
 class BamSource:
     """Read BAM files into a reads DataFrame (splittable, index-aware)."""
 
@@ -208,7 +276,8 @@ class BamSource:
         from .headers import first_file_in
 
         files = _expand_files(path)
-        rdds = []
+        split_rows: list[tuple[int, int, int]] = []
+        file_params: list[tuple] = []
         for f in files:
             header, refs, first_voffset = read_bam_header(f)
             ref_names = [r[0] for r in refs]
@@ -238,22 +307,13 @@ class BamSource:
                     if r["contig"] in name_to_id
                 ]
                 bai_ranges = voffset_ranges_for_intervals(parse_bai(f + ".bai"), ivs)
-            fpath = f
-
-            def plan_and_read(it, _fpath=fpath, _refs=ref_names, _nref=n_ref, _fv=first_voffset, _sbi=sbi_offsets, _bai=bai_ranges):
-                for s, e in it:
-                    yield from records_for_split(
-                        _fpath, s, e, _refs, _nref, _fv, _sbi, _bai
-                    )
-
-            rdd = spark.sparkContext.parallelize(splits, max(1, len(splits))).mapPartitions(
-                plan_and_read
+            fi = len(file_params)
+            file_params.append(
+                (f, ref_names, n_ref, first_voffset, sbi_offsets, bai_ranges)
             )
-            rdds.append(rdd)
-        union = rdds[0] if len(rdds) == 1 else spark.sparkContext.union(rdds)
-        reads = spark.createDataFrame(
-            union.map(lambda r: tuple(r[c] for c in READS_COLUMNS)), READS_SCHEMA
-        )
+            split_rows.extend((fi, s, e) for s, e in splits)
+
+        reads = _decode_splits_arrow(spark, split_rows, file_params)
         if intervals is None and not include_unplaced:
             return reads
         # same residual semantics as the SAM source

@@ -198,21 +198,22 @@ class CramSource:
         bounds = [c[0] for c in chunks] + [flen]
         ranges = [(bounds[i], bounds[i + 1]) for i in range(len(chunks))]
 
-        def decode_range(it, _path=path, _meta=meta, _ref=reference_path):
+        def decode_range(task, _path=path, _meta=meta, _ref=reference_path):
+            s, e = task
             fasta = IndexedFasta(_ref) if _ref else None
             getter = fasta.get if fasta else None
-            for s, e in it:
-                with open(_path, "rb") as fh:
-                    fh.seek(s)
-                    data = fh.read(e - s)
-                pos = 0
-                while pos < len(data):
-                    rows, pos = decode_container(data, pos, _meta, getter)
-                    yield from rows
+            with open(_path, "rb") as fh:
+                fh.seek(s)
+                data = fh.read(e - s)
+            pos = 0
+            while pos < len(data):
+                rows, pos = decode_container(data, pos, _meta, getter)
+                yield from rows
 
-        rdd = spark.sparkContext.parallelize(ranges, len(ranges)).mapPartitions(decode_range)
-        return spark.createDataFrame(
-            rdd.map(lambda r: tuple(r[c] for c in READS_COLUMNS)), READS_SCHEMA
+        from .arrow_xfer import rows_to_dataframe
+
+        return rows_to_dataframe(
+            spark, ranges, decode_range, READS_COLUMNS, READS_SCHEMA
         )
 
 

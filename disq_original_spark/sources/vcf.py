@@ -213,16 +213,23 @@ def _read_bgzf_lines(
     if not ranges:
         ranges = [(files[0], 0, 0)]
 
-    def read_range(it):
+    def read_range(task):
         from .bgzf import iter_lines_in_range
 
-        for f, s, e in it:
-            with open(f, "rb") as fh:
-                for line in iter_lines_in_range(fh, s, e):
-                    yield (line.decode("utf-8", "replace"),)
+        f, s, e = task
+        with open(f, "rb") as fh:
+            for line in iter_lines_in_range(fh, s, e):
+                yield {"value": line.decode("utf-8", "replace")}
 
-    rdd = spark.sparkContext.parallelize(ranges, len(ranges)).mapPartitions(read_range)
-    return spark.createDataFrame(rdd, StructType([StructField("value", StringType())]))
+    from .arrow_xfer import rows_to_dataframe
+
+    return rows_to_dataframe(
+        spark,
+        ranges,
+        read_range,
+        ["value"],
+        StructType([StructField("value", StringType())]),
+    )
 
 
 def to_vcf_line(sample_names: list[str]) -> Column:

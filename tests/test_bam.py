@@ -248,3 +248,51 @@ def test_datasource_interval_option(spark, bam_with_bai):
     # index pushdown yields a superset; exact residual via DataFrame filter
     full = BamSource().read(spark, bam_with_bai)
     assert 0 < df.count() < full.count()
+
+
+def test_chunk_reader_trim_preserves_records(monkeypatch):
+    """The buffered chunk reader trims its consumed prefix at block
+    granularity; force a tiny trim threshold so one pass over 1.bam trims
+    many times, and check against an independent whole-file parse."""
+    import struct
+    import zlib
+
+    import disq_original_spark.sources.bam as bm
+    from disq_original_spark.sources.bam_codec import parse_record
+    from disq_original_spark.sources.headers import read_bam_header
+
+    path = "/root/reference/src/test/resources/1.bam"
+    header, refs, fv = read_bam_header(path)
+    ref_names = [r[0] for r in refs]
+
+    # independent oracle: inflate everything, walk records from the header end
+    raw = open(path, "rb").read()
+    parts, buf = [], raw
+    while buf:
+        obj = zlib.decompressobj(31)
+        parts.append(obj.decompress(buf))
+        buf = obj.unused_data
+    data = b"".join(parts)
+    l_text = struct.unpack("<i", data[4:8])[0]
+    p = 8 + l_text
+    (n_ref,) = struct.unpack("<i", data[p : p + 4])
+    p += 4
+    for _ in range(n_ref):
+        (ln,) = struct.unpack("<i", data[p : p + 4])
+        p += 4 + ln + 4
+    expected = []
+    off = p
+    while True:
+        parsed = parse_record(data, off, ref_names)
+        if parsed is None:
+            break
+        expected.append(parsed[0]["qname"])
+        off = parsed[1]
+
+    monkeypatch.setattr(bm, "_TRIM_BYTES", 1 << 15)
+    got = [
+        r["qname"]
+        for r in bm._read_records_in_chunk(path, fv, 1 << 62, ref_names)
+    ]
+    assert len(got) == len(expected) > 1000
+    assert got == expected
