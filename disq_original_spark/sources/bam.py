@@ -355,6 +355,15 @@ def _expand_files(path: str) -> list[str]:
     return [str(p)]
 
 
+def _norm_attrs(row: dict) -> dict:
+    """Arrow map cells may arrive as lists of (key, value) pairs; the encoder
+    wants a dict."""
+    a = row.get("attributes")
+    if a is not None and not isinstance(a, dict):
+        row["attributes"] = dict(a)
+    return row
+
+
 class BamSink:
     """Write a reads DataFrame as a single BAM file (headerless BGZF parts +
     driver header + EOF terminator + concat)."""
@@ -365,21 +374,23 @@ class BamSink:
         temp_dir = f"{path}.parts-{uuid.uuid4().hex[:8]}"
         os.makedirs(temp_dir, exist_ok=True)
 
-        def write_partition(rows):
+        def write_partition(pid, rows):
             import uuid as _uuid
 
             tmp = os.path.join(temp_dir, f".tmp-{_uuid.uuid4().hex}")
-            pid = None
+            wrote = False
             with open(tmp, "wb") as fh, BgzfWriter(fh, write_terminator=False) as w:
                 for row in rows:
-                    pid = row["__pid"] if pid is None else pid
-                    w.write(encode_record(row.asDict(recursive=True), ref_index))
-            if pid is None:
+                    wrote = True
+                    w.write(encode_record(_norm_attrs(row), ref_index))
+            if not wrote:
                 os.remove(tmp)
                 return
             os.replace(tmp, os.path.join(temp_dir, f"part-{pid:05d}"))
 
-        df.withColumn("__pid", F.spark_partition_id()).foreachPartition(write_partition)
+        from .arrow_xfer import foreach_partition_arrow
+
+        foreach_partition_arrow(df, write_partition)
 
         header_bam = encode_bam_header(header.text, refs)
         header_block = b"".join(
@@ -402,23 +413,25 @@ class BamSink:
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
 
-        def write_partition(rows):
+        def write_partition(pid, rows):
             import uuid as _uuid
 
-            pid = None
+            wrote = False
             tmp = os.path.join(path, f".tmp-{_uuid.uuid4().hex}")
             with open(tmp, "wb") as fh:
                 fh.write(header_block)
                 with BgzfWriter(fh, write_terminator=True) as w:
                     for row in rows:
-                        pid = row["__pid"] if pid is None else pid
-                        w.write(encode_record(row.asDict(recursive=True), ref_index))
-            if pid is None:
+                        wrote = True
+                        w.write(encode_record(_norm_attrs(row), ref_index))
+            if not wrote:
                 os.remove(tmp)
                 return
             os.replace(tmp, os.path.join(path, f"part-{pid:05d}.bam"))
 
-        df.withColumn("__pid", F.spark_partition_id()).foreachPartition(write_partition)
+        from .arrow_xfer import foreach_partition_arrow
+
+        foreach_partition_arrow(df, write_partition)
 
 
 def create_sbi(bam_path: str, granularity: int = 4096) -> str:

@@ -259,11 +259,12 @@ class CramSink:
         temp_dir = f"{path}.parts-{uuid.uuid4().hex[:8]}"
         os.makedirs(temp_dir, exist_ok=True)
 
-        def write_partition(rows_iter, _refs=ref_names, _rgs=rg_ids, _ref=reference_path):
-            rows = [r.asDict(recursive=True) for r in rows_iter]
+        def write_partition(pid, rows_iter, _refs=ref_names, _rgs=rg_ids, _ref=reference_path):
+            from .bam import _norm_attrs
+
+            rows = [_norm_attrs(r) for r in rows_iter]
             if not rows:
                 return
-            pid = rows[0]["__pid"]
             fasta = IndexedFasta(_ref) if _ref else None
             data = encode_container(rows, _refs, _rgs, fasta, major)
             tmp = os.path.join(temp_dir, f".tmp-{uuid.uuid4().hex}")
@@ -271,7 +272,9 @@ class CramSink:
                 fh.write(data)
             os.replace(tmp, os.path.join(temp_dir, f"part-{pid:05d}"))
 
-        df.withColumn("__pid", F.spark_partition_id()).foreachPartition(write_partition)
+        from .arrow_xfer import foreach_partition_arrow
+
+        foreach_partition_arrow(df, write_partition)
         header = file_definition(major=major, minor=minor) + encode_file_header_container(
             header_text, major
         )

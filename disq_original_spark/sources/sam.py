@@ -237,16 +237,12 @@ class SamSink:
         header_b64 = header.text
         out_dir = Path(path)
 
-        def write_partition(rows):
+        def write_partition(pid, rows):
             import os
             import uuid as _uuid
 
-            pid = None
-            lines = []
-            for row in rows:
-                pid = row["__pid"] if pid is None else pid
-                lines.append(row["value"])
-            if pid is None:
+            lines = [row["value"] for row in rows]
+            if not lines:
                 return
             out_dir_s = str(out_dir)
             os.makedirs(out_dir_s, exist_ok=True)
@@ -261,8 +257,8 @@ class SamSink:
 
         shutil.rmtree(out_dir, ignore_errors=True)
         out_dir.mkdir(parents=True, exist_ok=True)
-        (
-            df.select(to_sam_line(df).alias("value"))
-            .withColumn("__pid", F.spark_partition_id())
-            .foreachPartition(write_partition)
+        from .arrow_xfer import foreach_partition_arrow
+
+        foreach_partition_arrow(
+            df.select(to_sam_line(df).alias("value")), write_partition
         )

@@ -301,24 +301,26 @@ class VcfSink:
 
         os.makedirs(temp_dir, exist_ok=True)
 
-        def write_partition(rows):
+        def write_partition(pid, rows):
             import os as _os
             import uuid as _uuid
 
             from .bgzf import BgzfWriter
 
             tmp = os.path.join(temp_dir, f".tmp-{_uuid.uuid4().hex}")
-            pid = None
+            wrote = False
             with open(tmp, "wb") as fh, BgzfWriter(fh, write_terminator=False) as w:
                 for row in rows:
-                    pid = row["__pid"] if pid is None else pid
+                    wrote = True
                     w.write(row["value"].encode() + b"\n")
-            if pid is None:
+            if not wrote:
                 _os.remove(tmp)
                 return
             _os.replace(tmp, _os.path.join(temp_dir, f"part-{pid:05d}"))
 
-        lines.withColumn("__pid", F.spark_partition_id()).foreachPartition(write_partition)
+        from .arrow_xfer import foreach_partition_arrow
+
+        foreach_partition_arrow(lines, write_partition)
 
         from .bgzf import EMPTY_GZIP_BLOCK, compress_block
 
@@ -347,29 +349,31 @@ class VcfSink:
         shutil.rmtree(path, ignore_errors=True)
         os.makedirs(path, exist_ok=True)
 
-        def write_partition(rows):
+        def write_partition(pid, rows):
             import uuid as _uuid
 
             from .bgzf import BgzfWriter
 
-            pid = None
+            wrote = False
             tmp = os.path.join(path, f".tmp-{_uuid.uuid4().hex}")
             if compressed:
                 with open(tmp, "wb") as fh, BgzfWriter(fh, write_terminator=True) as w:
                     w.write(header_text.encode())
                     for row in rows:
-                        pid = row["__pid"] if pid is None else pid
+                        wrote = True
                         w.write(row["value"].encode() + b"\n")
             else:
                 with open(tmp, "wt") as fh:
                     fh.write(header_text)
                     for row in rows:
-                        pid = row["__pid"] if pid is None else pid
+                        wrote = True
                         fh.write(row["value"] + "\n")
-            if pid is None:
+            if not wrote:
                 os.remove(tmp)
                 return
             ext = ".vcf.bgz" if compressed else ".vcf"
             os.replace(tmp, os.path.join(path, f"part-{pid:05d}{ext}"))
 
-        lines.withColumn("__pid", F.spark_partition_id()).foreachPartition(write_partition)
+        from .arrow_xfer import foreach_partition_arrow
+
+        foreach_partition_arrow(lines, write_partition)
