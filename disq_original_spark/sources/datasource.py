@@ -39,6 +39,52 @@ from .bam_codec import SbiIndex
 from .headers import read_bam_header
 from .sam import READS_COLUMNS
 
+_BATCH = 8192
+
+
+def _reads_arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("qname", pa.string()),
+            ("flag", pa.int32()),
+            ("rname", pa.string()),
+            ("pos", pa.int64()),
+            ("mapq", pa.int32()),
+            ("cigar", pa.string()),
+            ("rnext", pa.string()),
+            ("pnext", pa.int64()),
+            ("tlen", pa.int64()),
+            ("seq", pa.string()),
+            ("qual", pa.string()),
+            ("attributes", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+
+
+def _arrow_batches(row_iter):
+    """Yield pyarrow RecordBatches from reads-schema row dicts — Spark 4
+    DataSource readers may yield batches instead of per-row tuples, which
+    skips the per-row pickle entirely (same Arrow plane as arrow_xfer)."""
+    import pyarrow as pa
+
+    schema = _reads_arrow_schema()
+
+    def to_batch(buf):
+        return pa.RecordBatch.from_pydict(
+            {c: [r[c] for r in buf] for c in READS_COLUMNS}, schema=schema
+        )
+
+    buf: list[dict] = []
+    for row in row_iter:
+        buf.append(row)
+        if len(buf) == _BATCH:
+            yield to_batch(buf)
+            buf = []
+    if buf:
+        yield to_batch(buf)
+
 
 @dataclass
 class BamInputPartition(InputPartition):
@@ -112,17 +158,18 @@ class BamDataSourceReader(DataSourceReader):
         return parts
 
     def read(self, partition: BamInputPartition):
-        for row in records_for_split(
-            partition.path,
-            partition.start,
-            partition.end,
-            list(partition.ref_names),
-            partition.n_ref,
-            partition.first_voffset,
-            partition.sbi_offsets,
-            list(partition.bai_ranges) if partition.bai_ranges else None,
-        ):
-            yield tuple(row[c] for c in READS_COLUMNS)
+        yield from _arrow_batches(
+            records_for_split(
+                partition.path,
+                partition.start,
+                partition.end,
+                list(partition.ref_names),
+                partition.n_ref,
+                partition.first_voffset,
+                partition.sbi_offsets,
+                list(partition.bai_ranges) if partition.bai_ranges else None,
+            )
+        )
 
 
 class BamDataSource(DataSource):
@@ -177,16 +224,19 @@ class CramDataSourceReader(DataSourceReader):
 
         if partition.start >= partition.end:
             return
-        meta, _ = read_cram_meta_file(partition.path)
-        with open(partition.path, "rb") as fh:
-            fh.seek(partition.start)
-            data = fh.read(partition.end - partition.start)
-        getter = IndexedFasta(self.reference).get if self.reference else None
-        pos = 0
-        while pos < len(data):
-            rows, pos = decode_container(data, pos, meta, getter)
-            for r in rows:
-                yield tuple(r[c] for c in READS_COLUMNS)
+
+        def rows():
+            meta, _ = read_cram_meta_file(partition.path)
+            with open(partition.path, "rb") as fh:
+                fh.seek(partition.start)
+                data = fh.read(partition.end - partition.start)
+            getter = IndexedFasta(self.reference).get if self.reference else None
+            pos = 0
+            while pos < len(data):
+                rs, pos = decode_container(data, pos, meta, getter)
+                yield from rs
+
+        yield from _arrow_batches(rows())
 
 
 class CramDataSource(DataSource):
