@@ -97,6 +97,63 @@ _BANDS_SQL = "\n UNION ALL ".join(
 )
 
 
+# Python twin of the shingle expression: ASCII \s and Java trim() semantics
+# so the shingle STRINGS (and therefore their md5s) are byte-identical to the
+# JVM/DuckDB formulations.
+_WS_RE = None  # compiled lazily inside executors
+
+
+def _py_shingles(text: str, k: int = 5) -> list[str]:
+    import re
+
+    global _WS_RE
+    if _WS_RE is None:
+        _WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+    toks = [t for t in _WS_RE.split(text.strip(" \t\n\r\f\v").lower()) if t]
+    if len(toks) >= k:
+        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    return [" ".join(toks)]
+
+
+def _doc_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, mh0..mh7) minhash signatures, computed in ONE Arrow pass.
+
+    Everything heavy — shingling and 2 md5s per shingle — happens in Python
+    and only the 8×8-hex signature row crosses back to the JVM (~70 B/doc).
+    An earlier variant computed shingles in a pandas UDF and md5s in JVM
+    transforms; shipping the shingle arrays through Arrow and breaking
+    codegen made it 2× SLOWER than pure-JVM — the transfer, not the
+    compute, is what must stay small.  hashlib.md5 hex == Spark md5() ==
+    DuckDB md5(), so oracle parity is exact."""
+    schema = "doc_id long, " + ", ".join(f"mh{j} string" for j in range(len(_SLICES)))
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {c: [] for c in ("doc_id", *[f"mh{j}" for j in range(len(_SLICES))])}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                mins: list[str | None] = [None] * len(_SLICES)
+                for s in _py_shingles(text):
+                    hexes = [
+                        hashlib.md5(f"{salt}:{s}".encode()).hexdigest()
+                        for salt in _SALTS
+                    ]
+                    for j, (si, p) in enumerate(_SLICES):
+                        piece = hexes[si][p - 1 : p + 7]
+                        if mins[j] is None or piece < mins[j]:
+                            mins[j] = piece
+                out["doc_id"].append(doc_id)
+                for j in range(len(_SLICES)):
+                    out[f"mh{j}"].append(mins[j])
+            yield pd.DataFrame(out)
+
+    d = load_wide(spark, sf, "documents")
+    return d.select("doc_id", "text").mapInPandas(gen, schema)
+
+
 @query(
     "d03_minhash_lsh",
     f"""WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
@@ -109,33 +166,15 @@ _BANDS_SQL = "\n UNION ALL ".join(
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
         ORDER BY a_id, b_id""",
-    doc="MinHash(8)+LSH(4 bands×2): signatures computed entirely map-side "
-    "(2 md5 transforms + 8 substr array_mins per row — no explode, no "
-    "shuffle), then band postings lists pair candidates.  The only shuffle "
-    "carries (doc_id, band_key); pair expansion happens inside each bucket's "
-    "postings list instead of a self-join.",
+    doc="MinHash(8)+LSH(4 bands×2): signatures computed entirely map-side in "
+    "one Arrow-batched pass (shingle+md5 stay in Python; only the 70-byte "
+    "signature row reaches the JVM), then band postings lists pair "
+    "candidates.  The only shuffle carries (doc_id, band_key); pair "
+    "expansion happens inside each bucket's postings list instead of a "
+    "self-join.",
 )
 def d03(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_wide(spark, sf, "documents")
-
-    def _sub(p: int):
-        # one-arg lambda on purpose: a two-arg lambda would be interpreted by
-        # transform() as (element, index) and clobber the bound slice offset
-        return lambda h: F.substring(h, p, 8)
-
-    sh = d.select("doc_id", word_shingles("text", 5).alias("sh"))
-    hs = sh.select(
-        "doc_id",
-        F.transform("sh", lambda s: F.md5(F.concat(F.lit("a:"), s))).alias("h0"),
-        F.transform("sh", lambda s: F.md5(F.concat(F.lit("b:"), s))).alias("h1"),
-    )
-    sig = hs.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform(f"h{s}", _sub(p))).alias(f"mh{j}")
-            for j, (s, p) in enumerate(_SLICES)
-        ],
-    )
+    sig = _doc_signatures(spark, sf)
     band_structs = F.array(
         *[
             F.struct(
@@ -204,14 +243,31 @@ _DF_CAP = 64  # drop shingles appearing in more docs (boilerplate guard)
 )
 def d04(spark: SparkSession, sf: str) -> DataFrame:
     d = load_wide(spark, sf, "documents")
-    sh = d.select(
-        "doc_id", F.array_distinct(word_shingles("text", 5)).alias("sh")
-    )
-    # postings key: 64-bit hash of the shingle (cheaper shuffle/compare; the
-    # oracle joins on the string — identical pair set absent collisions)
-    ex0 = sh.select("doc_id", F.explode("sh").alias("s_str")).select(
-        "doc_id", F.xxhash64("s_str").alias("s")
-    )
+
+    # postings key: 64-bit md5 prefix of the shingle (cheaper shuffle/compare;
+    # the oracle joins on the string — identical pair set absent collisions).
+    # Shingling + hashing fused into one Arrow pass: only (doc_id, hash)
+    # pairs reach the JVM, never the shingle strings (see _doc_signatures
+    # for why the transfer is what matters).
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            hs: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for s in set(_py_shingles(text)):
+                    ids.append(doc_id)
+                    hs.append(
+                        int.from_bytes(
+                            hashlib.md5(s.encode()).digest()[:8], "big", signed=True
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": ids, "s": hs})
+
+    ex0 = d.select("doc_id", "text").mapInPandas(gen, "doc_id long, s long")
     inv = (
         ex0.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
