@@ -67,3 +67,68 @@ def st01(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("window_start", "event_type")
+
+
+@query(
+    "st02_stream_stream_join",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM events
+               WHERE event_type = 'click')
+       SELECT p.user_id, count(*) AS n_pairs
+       FROM p JOIN c ON c.user_id = p.user_id
+         AND c.cts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+       GROUP BY p.user_id ORDER BY p.user_id""",
+    doc="Stream-stream self-join: the purchases stream joins the clicks "
+    "stream on user_id within a 1-hour event-time window, watermarks on "
+    "BOTH sides bounding the join state (each side keeps only rows newer "
+    "than watermark - interval; eviction follows the time-bound condition). "
+    "Drained with availableNow into a memory sink; the single-batch drain "
+    "makes the result equal the batch range join, so the oracle is plain "
+    "SQL.  The per-user pair count is aggregated from the sink table.",
+)
+def st02(spark: SparkSession, sf: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf}/events.*")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("event_id", F.col("user_id").alias("p_user"), "ts")
+        .withWatermark("ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr("c_user = p_user AND cts BETWEEN ts - INTERVAL 1 HOUR AND ts"),
+        "inner",
+    )
+    name = f"st02_sink_{next(_SINK_IDS)}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
