@@ -83,6 +83,25 @@ def _io_benchmarks(spark) -> dict:
         t0 = time.perf_counter()
         job()
         out[name] = round(time.perf_counter() - t0, 3)
+
+    # Sink path: single-file BAM write (headerless BGZF parts + driver
+    # header/terminator + concat) of the fixture's reads from cache.
+    import tempfile
+
+    from disq_original_spark.sources.bam import BamSink
+    from disq_original_spark.sources.headers import read_bam_header
+
+    header, _refs, _fv = read_bam_header(str(RES / "1.bam"))
+    reads = (
+        BamSource().read(spark, str(RES / "1.bam"), split_size=300 * 1024).cache()
+    )
+    reads.count()
+    tmp = tempfile.mkdtemp()
+    BamSink().write(reads, header, f"{tmp}/warm.bam")  # warm pass
+    t0 = time.perf_counter()
+    BamSink().write(reads, header, f"{tmp}/timed.bam")
+    out["io_bam_write"] = round(time.perf_counter() - t0, 3)
+    reads.unpersist()
     return out
 
 
