@@ -115,6 +115,17 @@ def _py_shingles(text: str, k: int = 5) -> list[str]:
     return [" ".join(toks)]
 
 
+def _py_tokens(text: str) -> list[str]:
+    """Twin of ``functions.tokens`` (split on \\s+ after lower+trim) with the
+    JVM's empty-string edge case preserved: splitting '' yields ['']."""
+    import re
+
+    global _WS_RE
+    if _WS_RE is None:
+        _WS_RE = re.compile(r"[ \t\n\r\f\v]+")
+    return _WS_RE.split(text.strip(" \t\n\r\f\v").lower())
+
+
 def _doc_signatures(spark: SparkSession, sf: str) -> DataFrame:
     """(doc_id, mh0..mh7) minhash signatures, computed in ONE Arrow pass.
 
@@ -373,26 +384,45 @@ _BIT_CHARS_SQL = " || ".join(
     "(pigeonhole) — exercised in tests.",
 )
 def d06(spark: SparkSession, sf: str) -> DataFrame:
+    # Same fusion shape as d03/d04: tokenize + md5 + bit voting per doc in
+    # one Arrow pass; only (doc_id, 16-char simhash) reaches the JVM — no
+    # explode, no shuffle at all before the final ORDER BY.  The JVM form
+    # (explode + md5 + conv + 16 conditional sums) cost 1.6 s at sf0.1.
+    def gen(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = set(_py_tokens(text))
+                vs = np.fromiter(
+                    (
+                        int(hashlib.md5(w.encode()).hexdigest()[:4], 16)
+                        for w in toks
+                    ),
+                    dtype=np.int64,
+                    count=len(toks),
+                )
+                # bit j vote: +1 when set, -1 when clear → sum sign
+                bits = (vs[:, None] >> np.arange(_SIMHASH_BITS)) & 1
+                sums = (2 * bits - 1).sum(axis=0)
+                sig = "".join(
+                    "1" if sums[j] >= 0 else "0"
+                    for j in range(_SIMHASH_BITS - 1, -1, -1)
+                )
+                ids.append(doc_id)
+                sigs.append(sig)
+            yield pd.DataFrame({"doc_id": ids, "simhash": sigs})
+
     d = load_wide(spark, sf, "documents")
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("w")
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(gen, "doc_id long, simhash string")
+        .orderBy("doc_id")
     )
-    h = tok.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int").alias("v"),
-    )
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(F.col("v"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
-        for j in range(_SIMHASH_BITS)
-    ]
-    bits = h.groupBy("doc_id").agg(*bit_sums)
-    bit_chars = [
-        F.when(F.col(f"s{j}") >= 0, "1").otherwise("0")
-        for j in range(_SIMHASH_BITS - 1, -1, -1)
-    ]
-    return bits.select("doc_id", F.concat(*bit_chars).alias("simhash")).orderBy("doc_id")
 
 
 def simhash_candidate_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
