@@ -857,3 +857,38 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+# ---------------------------------------------------------------- q37 Python UDTF
+@query(
+    "q37_udtf_sentences",
+    """WITH s AS (SELECT doc_id, unnest(string_split(text, '. ')) AS sent
+                  FROM documents)
+       SELECT doc_id, count(*) AS n_sent,
+              round(avg(length(sent)), 2) AS avg_len
+       FROM s GROUP BY doc_id ORDER BY doc_id""",
+    doc="User-defined table function surface (SURVEY §2.8): a Python UDTF "
+    "registered with spark.udtf.register and applied as a LATERAL table "
+    "factor splits documents into sentences; aggregation runs natively on "
+    "top.  Demonstrates the engine's UDTF extension point end-to-end "
+    "against a plain-SQL oracle.  (The production path for THIS particular "
+    "job is explode(split(...)) — native and codegen'd; the UDTF exists to "
+    "prove arbitrary user table functions plug into the same plan.)",
+)
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent: string")
+    class SplitSentences:
+        def eval(self, text: str):
+            for s in text.split(". "):
+                yield (s,)
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf, "documents").createOrReplaceTempView("q37_documents")
+    return spark.sql(
+        """SELECT d.doc_id, count(*) AS n_sent,
+                  round(avg(length(t.sent)), 2) AS avg_len
+           FROM q37_documents d, LATERAL split_sentences(d.text) t
+           GROUP BY d.doc_id ORDER BY d.doc_id"""
+    )
