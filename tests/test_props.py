@@ -85,3 +85,56 @@ def test_cram_container_roundtrip_property(reads):
     assert [(r["qname"], r["seq"], r["qual"]) for r in back] == [
         (r["qname"], r["seq"], r["qual"]) for r in rows
     ]
+
+
+_REFS = ["chr1", "chr2"]
+
+
+@given(
+    st.text(
+        alphabet=st.characters(min_codepoint=33, max_codepoint=126, exclude_characters="@"),
+        min_size=1,
+        max_size=20,
+    ),
+    st.integers(min_value=0, max_value=0xFFFF),  # flag
+    st.sampled_from([None, "chr1", "chr2"]),
+    st.integers(min_value=1, max_value=10_000_000),  # pos
+    st.integers(min_value=0, max_value=254),  # mapq
+    st.text(alphabet="ACGTN", min_size=1, max_size=60),  # seq
+    st.integers(min_value=-1_000_000, max_value=1_000_000),  # tlen
+    st.dictionaries(
+        st.text(alphabet="ABXYZ", min_size=2, max_size=2),
+        st.one_of(
+            st.integers(min_value=-1000, max_value=1000).map(lambda v: f"i:{v}"),
+            st.text(alphabet="abc xyz", max_size=12).map(lambda s: f"Z:{s}"),
+        ),
+        max_size=3,
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_bam_record_roundtrip_property(qname, flag, rname, pos, mapq, seq, tlen, attrs):
+    """Arbitrary reads-schema rows survive encode_record -> parse_record."""
+    from disq_original_spark.sources.bam_codec import encode_record, parse_record
+
+    row = {
+        "qname": qname,
+        "flag": flag,
+        "rname": rname,
+        "pos": pos if rname else 0,
+        "mapq": mapq,
+        "cigar": f"{len(seq)}M" if rname else "*",
+        "rnext": None,
+        "pnext": 0,
+        "tlen": tlen,
+        "seq": seq,
+        "qual": "I" * len(seq),
+        "attributes": attrs,
+    }
+    ref_index = {name: i for i, name in enumerate(_REFS)}
+    blob = encode_record(row, ref_index)
+    parsed, consumed = parse_record(blob, 0, _REFS)
+    assert consumed == len(blob)
+    for k in ("qname", "flag", "rname", "mapq", "cigar", "tlen", "seq", "qual"):
+        assert parsed[k] == row[k], k
+    assert parsed["pos"] == (pos if rname else 0)
+    assert parsed["attributes"] == attrs
