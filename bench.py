@@ -37,11 +37,13 @@ HEADLINE = [
     "q34_asof_join",
     "q36_tpch_q5",
     "g01_interval_filter",
+    "g05_binned_interval_join",
     "d01_exact_dedup",
     "d03_minhash_lsh",
     "d04_ngram_jaccard",
     "d05_embedding_neardup",
     "d06_simhash",
+    "d07_dup_clusters",
     "s01_knn_bruteforce",
     "s03_ann_ivf",
     "t02_quality_score",

@@ -143,3 +143,12 @@ def test_full_read_count_matches_generator(spark, synth_paths, fmt):
     paths, fasta, rows = synth_paths
     st = ReadsStorage(spark, reference_path=fasta, split_size=40_000)
     assert st.read(paths[fmt]).count() == len(rows) == 2 * N_PAIRS + 2
+
+
+def test_mapped_only_traversal_rejected():
+    """Reference contract: null intervals without the unplaced flag is an
+    explicit error (`AbstractBinarySamSource.java:50-54`)."""
+    from disq_original_spark.operators.interval import interval_filter
+
+    with pytest.raises(ValueError, match="include_unplaced"):
+        interval_filter(None, None, include_unplaced=False)
