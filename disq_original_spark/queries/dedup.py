@@ -95,6 +95,7 @@ _BANDS_SQL = "\n UNION ALL ".join(
     f"SELECT doc_id, {b} AS band_idx, mh{2 * b} || mh{2 * b + 1} AS band_key FROM sig"
     for b in range(_N_BANDS)
 )
+_BUCKET_CAP = 64  # drop LSH buckets larger than this (boilerplate guard)
 
 
 # Python twin of the shingle expression: ASCII \s and Java trim() semantics
@@ -171,9 +172,14 @@ def _doc_signatures(spark: SparkSession, sf: str) -> DataFrame:
         ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
         hashed AS (SELECT doc_id, md5('a:' || s) AS h0, md5('b:' || s) AS h1 FROM ex),
         sig AS (SELECT doc_id, {_SIG_AGG_SQL} FROM hashed GROUP BY doc_id),
-        bands AS ({_BANDS_SQL})
+        bands AS ({_BANDS_SQL}),
+        keep AS (SELECT band_idx, band_key FROM bands
+                 GROUP BY band_idx, band_key
+                 HAVING count(*) BETWEEN 2 AND {_BUCKET_CAP})
         SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM bands a JOIN bands b
+        FROM bands a
+        JOIN keep k ON a.band_idx = k.band_idx AND a.band_key = k.band_key
+        JOIN bands b
           ON a.band_idx = b.band_idx AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
         ORDER BY a_id, b_id""",
@@ -182,7 +188,10 @@ def _doc_signatures(spark: SparkSession, sf: str) -> DataFrame:
     "signature row reaches the JVM), then band postings lists pair "
     "candidates.  The only shuffle carries (doc_id, band_key); pair "
     "expansion happens inside each bucket's postings list instead of a "
-    "self-join.",
+    f"self-join, and buckets larger than {_BUCKET_CAP} docs are dropped "
+    "outright (boilerplate guard — the skew bound that keeps worst-case "
+    "pair expansion constant per bucket at corpus scale; mirrored in the "
+    "oracle's HAVING).",
 )
 def d03(spark: SparkSession, sf: str) -> DataFrame:
     sig = _doc_signatures(spark, sf)
@@ -201,7 +210,7 @@ def d03(spark: SparkSession, sf: str) -> DataFrame:
     inv = (
         bands.groupBy("band_idx", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _BUCKET_CAP))
     )
     return (
         inv.select(F.explode(_pair_expansion()).alias("p"))
@@ -479,8 +488,13 @@ _PAIRS_SQL = f"""sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM document
         hashed AS (SELECT doc_id, md5('a:' || s) AS h0, md5('b:' || s) AS h1 FROM ex),
         sig AS (SELECT doc_id, {_SIG_AGG_SQL} FROM hashed GROUP BY doc_id),
         bands AS ({_BANDS_SQL}),
+        keep AS (SELECT band_idx, band_key FROM bands
+                 GROUP BY band_idx, band_key
+                 HAVING count(*) BETWEEN 2 AND {_BUCKET_CAP}),
         pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                  FROM bands a JOIN bands b
+                  FROM bands a
+                  JOIN keep k ON a.band_idx = k.band_idx AND a.band_key = k.band_key
+                  JOIN bands b
                     ON a.band_idx = b.band_idx AND a.band_key = b.band_key
                    AND a.doc_id < b.doc_id),
         edges AS (SELECT a_id, b_id FROM pairs
