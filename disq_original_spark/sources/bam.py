@@ -168,13 +168,23 @@ def _read_records_in_chunk(path: str, vstart: int, vend: int, ref_names: list[st
         while True:
             while o + 4 > len(buf):
                 if not load_next_block():
-                    return
+                    if o == len(buf):
+                        return  # clean end: chunk ends exactly on a boundary
+                    raise ValueError(
+                        f"{path}: truncated BAM record header at EOF "
+                        f"({len(buf) - o} trailing bytes)"
+                    )
             (block_size,) = struct.unpack_from("<i", buf, o)
             if block_size < FIXED_RECORD_BYTES:
-                return
+                raise ValueError(
+                    f"{path}: corrupt BAM record (block_size={block_size})"
+                )
             while o + 4 + block_size > len(buf):
                 if not load_next_block():
-                    return
+                    raise ValueError(
+                        f"{path}: truncated BAM record body at EOF "
+                        f"(need {block_size} bytes)"
+                    )
             while bi + 1 < len(bases) and bases[bi + 1][0] <= o:
                 bi += 1
             v = (bases[bi][1] << 16) | (o - bases[bi][0])

@@ -296,3 +296,75 @@ def test_chunk_reader_trim_preserves_records(monkeypatch):
     ]
     assert len(got) == len(expected) > 1000
     assert got == expected
+
+
+def _mini_bam(tmp_path, tail: bytes) -> str:
+    """Header block + one valid record + ``tail`` bytes, BGZF-framed."""
+    import struct
+
+    from disq_original_spark.sources.bam_codec import encode_bam_header, encode_record
+    from disq_original_spark.sources.bgzf import EMPTY_GZIP_BLOCK, compress_block
+
+    rec = encode_record(
+        {
+            "qname": "r1",
+            "flag": 0,
+            "rname": "chr1",
+            "pos": 10,
+            "mapq": 30,
+            "cigar": "4M",
+            "rnext": None,
+            "pnext": 0,
+            "tlen": 0,
+            "seq": "ACGT",
+            "qual": "IIII",
+            "attributes": {},
+        },
+        {"chr1": 0},
+    )
+    hdr = encode_bam_header("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000\n", [("chr1", 1000)])
+    path = str(tmp_path / "mini.bam")
+    with open(path, "wb") as fh:
+        fh.write(compress_block(hdr))
+        fh.write(compress_block(rec + tail))
+        fh.write(EMPTY_GZIP_BLOCK)
+    return path
+
+
+def test_corrupt_record_raises(tmp_path):
+    import struct
+
+    import pytest
+
+    from disq_original_spark.sources.bam import _read_records_in_chunk
+    from disq_original_spark.sources.headers import read_bam_header
+
+    path = _mini_bam(tmp_path, struct.pack("<i", -7) + b"junkjunk")
+    _, refs, fv = read_bam_header(path)
+    with pytest.raises(ValueError, match="corrupt"):
+        list(_read_records_in_chunk(path, fv, 1 << 62, [r[0] for r in refs]))
+
+
+def test_truncated_record_raises(tmp_path):
+    import struct
+
+    import pytest
+
+    from disq_original_spark.sources.bam import _read_records_in_chunk
+    from disq_original_spark.sources.headers import read_bam_header
+
+    # a record header claiming 500 more bytes than the file holds
+    path = _mini_bam(tmp_path, struct.pack("<i", 500) + b"short")
+    _, refs, fv = read_bam_header(path)
+    with pytest.raises(ValueError, match="truncated"):
+        list(_read_records_in_chunk(path, fv, 1 << 62, [r[0] for r in refs]))
+
+
+def test_clean_mini_bam_reads_exactly(tmp_path):
+    from disq_original_spark.sources.bam import _read_records_in_chunk
+    from disq_original_spark.sources.headers import read_bam_header
+
+    path = _mini_bam(tmp_path, b"")
+    _, refs, fv = read_bam_header(path)
+    rows = list(_read_records_in_chunk(path, fv, 1 << 62, [r[0] for r in refs]))
+    assert len(rows) == 1 and rows[0]["qname"] == "r1"
