@@ -289,3 +289,38 @@ def g06(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("rname", "win_start")
     )
+
+
+# ------------------------------------------------------- g07 typed INFO/genotypes
+@query(
+    "g07_typed_variant_stats",
+    None,
+    doc="Typed-INFO analytics over the real BGZF VCF: operators/variants.py "
+    "promotes header-declared INFO fields (Integer/Float/Flag, scalar or "
+    "array) to native typed columns with try_cast lenient semantics — the "
+    "relational equivalent of htsjdk's typed VariantContext — then standard "
+    "SQL aggregates: per-contig mean depth, mean mapping quality, dbSNP "
+    "membership rate, and mean per-sample genotype quality from the "
+    "exploded typed genotypes.  Zero Python in the row path.",
+)
+def g07(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.variants import explode_genotypes, promote_info
+    from ..sources.headers import read_vcf_header_text
+    from ..sources.vcf import VcfSource
+
+    path = f"{_FIXTURES}/HiSeq.10000.vcf.bgz"
+    hdr = read_vcf_header_text(path)
+    v = VcfSource().read(spark, path)
+    info = promote_info(v, hdr)
+    site = info.groupBy("contig").agg(
+        F.count(F.lit(1)).alias("n_sites"),
+        F.round(F.avg("info_DP"), 2).alias("avg_depth"),
+        F.round(F.avg("info_MQ"), 2).alias("avg_mq"),
+        F.round(F.avg(F.col("info_DB").cast("int")), 4).alias("dbsnp_rate"),
+    )
+    gq = (
+        explode_genotypes(v, hdr)
+        .groupBy("contig")
+        .agg(F.round(F.avg("fmt_GQ"), 2).alias("avg_gq"))
+    )
+    return site.join(gq, "contig").orderBy("contig")
