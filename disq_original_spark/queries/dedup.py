@@ -4,18 +4,20 @@ Scale design notes (the whole point of these):
 
 - **Exact** (d01/d02): hash-groupBy on md5(text) — one shuffle of (hash, id),
   never of the full text.  At 100 TB you shuffle ~50 bytes/doc.
-- **MinHash+LSH** (d03): signature is computed entirely map-side (array
-  transforms + array_min over the in-row shingle array — zero shuffle for the
-  signature stage); the only shuffle groups (doc_id, band_key) into postings
-  lists whose pairs expand locally.  Hot buckets (boilerplate docs) are the
-  skew risk — cap the bucket size like d04 at corpus scale.
-- **N-gram Jaccard** (d04): ONE groupBy on the shingle hash fuses the
-  document-frequency cap and the inverted index; candidate pairs expand from
-  each capped postings list (≤ C(cap,2) per shingle) — there is no self-join
-  anywhere, so the worst case is bounded by cap, not by corpus skew.
-- **SimHash** (d06): 16-bit signature via native bit ops; candidate pairing
-  (tests) uses the pigeonhole band trick (equal half ⇒ hamming ≤ threshold
-  candidates), again an equi-join.
+- **MinHash+LSH** (d03): the whole signature (shingling + seeded md5s + mins)
+  is ONE Arrow-batched map pass; only the ~70-byte signature row reaches the
+  JVM.  The only shuffle groups (doc_id, band_key) into postings lists whose
+  pairs expand locally, and buckets above _BUCKET_CAP are dropped (the
+  boilerplate/skew guard), mirrored in the oracle's HAVING.
+- **N-gram Jaccard** (d04): the same fused pass emits (doc_id, 64-bit hash)
+  postings rows; ONE groupBy fuses the document-frequency cap and the
+  inverted index; candidate pairs expand from each capped postings list
+  (≤ C(cap,2) per shingle) — there is no self-join anywhere, so the worst
+  case is bounded by cap, not by corpus skew.
+- **SimHash** (d06): fused Arrow pass (tokens + md5 + numpy bit voting)
+  emitting only (doc_id, 16-bit signature); candidate pairing (tests) uses
+  the pigeonhole band trick (equal half ⇒ hamming ≤ threshold candidates),
+  again an equi-join.
 - **Embedding near-dup** (d05): label-blocked cosine join (blocking key stands
   in for an IVF/LSH bucket id at scale).
 - **Cluster assignment** (d07): connected components over the LSH candidate
@@ -32,7 +34,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import tokens, word_shingles
 from ..tables import load_table, load_wide
 from .registry import query
 
