@@ -54,24 +54,34 @@ def asof_join(
     """
     on = list(on)
     payload = [c for c in right.columns if c not in on and c != right_ts]
+    clash = (set(payload) | {"_asof_ts"}) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"asof_join output would contain duplicate columns {sorted(clash)}; "
+            "rename the right payload (or left) columns first"
+        )
     rstruct = F.struct(
         F.col(right_ts).alias("_asof_ts"), *[F.col(c) for c in payload]
     )
     rtype = right.select(rstruct.alias("_r")).schema["_r"].dataType
 
+    # _tie keeps the tiebreak column's OWN type (any orderable type works in
+    # a window ORDER BY); casting to long would silently null non-numeric
+    # tiebreaks and void the determinism guarantee.
+    tie_type = right.schema[tiebreak].dataType if tiebreak else "long"
     order = [F.col(right_ts).alias("_ts"), F.lit(0).alias("_side")]
     l2 = left.select(
         *on,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
-        F.lit(None).cast("long").alias("_tie"),
+        F.lit(None).cast(tie_type).alias("_tie"),
         F.struct(*left.columns).alias("_l"),
         F.lit(None).cast(rtype).alias("_r"),
     )
     r2 = right.select(
         *on,
         *order,
-        (F.col(tiebreak) if tiebreak else F.lit(None)).cast("long").alias("_tie"),
+        (F.col(tiebreak) if tiebreak else F.lit(None).cast(tie_type)).alias("_tie"),
         F.lit(None).cast(l2.schema["_l"].dataType).alias("_l"),
         rstruct.alias("_r"),
     )

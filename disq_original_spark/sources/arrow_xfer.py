@@ -76,7 +76,13 @@ def foreach_partition_arrow(df: DataFrame, fn: Callable[[int, Iterator[dict]], N
 
         def rows() -> Iterator[dict]:
             for pdf in batches:
-                yield from pdf.to_dict("records")
+                # astype(object) + where(notna, None): a null in an integer
+                # column would otherwise promote the whole pandas column to
+                # float64 and deliver NaN (and 100 → 100.0) to the writer's
+                # struct.pack.  Object dtype keeps ints as ints, None as None.
+                yield from (
+                    pdf.astype(object).where(pdf.notna(), None).to_dict("records")
+                )
 
         fn(pid, rows())
         yield pd.DataFrame({"pid": [pid]})

@@ -117,8 +117,6 @@ def _file_len(fh) -> int:
 
 
 def _block_at(fh, pos: int) -> BgzfBlock | None:
-    from .bgzf import read_block_header
-
     hdr = read_block_header(fh, pos)
     if hdr is None:
         return None
@@ -284,9 +282,13 @@ class BamSource:
         split_size: int = 128 * 1024 * 1024,
         use_sbi: bool = True,
     ) -> DataFrame:
-        from .headers import first_file_in
-
         files = _expand_files(path)
+        # Collect the (tiny) interval list once, not once per input file.
+        iv_rows = (
+            intervals.select("contig", "start", "end").collect()
+            if intervals is not None and not include_unplaced
+            else None
+        )
         split_rows: list[tuple[int, int, int]] = []
         file_params: list[tuple] = []
         for f in files:
@@ -304,17 +306,13 @@ class BamSource:
             # include_unplaced (the no-coor tail has no index entry; the
             # residual filter then needs the full scan).
             bai_ranges = None
-            if (
-                intervals is not None
-                and not include_unplaced
-                and os.path.exists(f + ".bai")
-            ):
+            if iv_rows is not None and os.path.exists(f + ".bai"):
                 from .bai import parse_bai, voffset_ranges_for_intervals
 
                 name_to_id = {nm: i for i, nm in enumerate(ref_names)}
                 ivs = [
                     (name_to_id[r["contig"]], int(r["start"]), int(r["end"]))
-                    for r in intervals.select("contig", "start", "end").collect()
+                    for r in iv_rows
                     if r["contig"] in name_to_id
                 ]
                 bai_ranges = voffset_ranges_for_intervals(parse_bai(f + ".bai"), ivs)
@@ -355,13 +353,18 @@ class BamSource:
         return selected.select(*READS_COLUMNS)
 
 
+_INDEX_EXTS = (".sbi", ".bai", ".crai", ".tbi", ".csi", ".idx", ".fai")
+
+
 def _expand_files(path: str) -> list[str]:
     p = Path(path)
     if p.is_dir():
         return [
             str(f)
             for f in sorted(p.iterdir())
-            if f.is_file() and not f.name.startswith((".", "_")) and not f.name.endswith(".sbi")
+            if f.is_file()
+            and not f.name.startswith((".", "_"))
+            and not f.name.endswith(_INDEX_EXTS)
         ]
     return [str(p)]
 

@@ -76,3 +76,29 @@ def test_asof_plan_has_no_join(spark):
     plan = simple_plan(out)
     assert "Join" not in plan  # union + one window pass, never a join
     assert "Window" in plan
+
+
+def test_asof_string_tiebreak_is_deterministic(spark):
+    left, _ = _frames(spark)
+    right = spark.createDataFrame(
+        [
+            (101, 10, _ts("2024-01-01 09:00:00"), "aaa"),
+            (109, 10, _ts("2024-01-01 09:00:00"), "zzz"),
+        ],
+        "rid long, k long, rts timestamp, tag string",
+    )
+    out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts",
+                    tiebreak="tag")
+    rows = {r["lid"]: r["tag"] for r in out.collect()}
+    assert rows[1] == "zzz" and rows[2] == "zzz"  # greatest tag wins
+
+
+def test_asof_duplicate_output_columns_rejected(spark):
+    import pytest
+
+    left, _ = _frames(spark)
+    right = spark.createDataFrame(
+        [(10, _ts("2024-01-01 09:00:00"), 7)], "k long, rts timestamp, lid long"
+    )  # 'lid' clashes with the left side
+    with pytest.raises(ValueError, match="duplicate columns"):
+        asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts")

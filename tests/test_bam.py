@@ -368,3 +368,35 @@ def test_clean_mini_bam_reads_exactly(tmp_path):
     _, refs, fv = read_bam_header(path)
     rows = list(_read_records_in_chunk(path, fv, 1 << 62, [r[0] for r in refs]))
     assert len(rows) == 1 and rows[0]["qname"] == "r1"
+
+
+def test_directory_read_skips_index_sidecars(spark, tmp_path):
+    """A directory holding sample.bam + sample.bam.bai must read only the
+    BAM (the .bai is an index sidecar, not an input)."""
+    import shutil
+
+    shutil.copy("/root/reference/src/test/resources/1.bam", tmp_path / "1.bam")
+    (tmp_path / "1.bam.bai").write_bytes(b"BAI\x01junk")
+    reads = BamSource().read(spark, str(tmp_path))
+    assert reads.count() == 4917
+
+
+def test_sink_handles_null_integer_columns(spark, tmp_path):
+    """Null ints must arrive at the writer as None (not NaN-promoted
+    floats): a row with tlen=NULL round-trips as 0 via the encoder's
+    `or 0` default."""
+    from disq_original_spark.sources.bam import BamSink, READS_SCHEMA
+    from disq_original_spark.sources.headers import SamHeader
+
+    df = spark.createDataFrame(
+        [
+            ("r1", 0, "chr1", 10, 30, "4M", None, 0, None, "ACGT", "IIII", {}),
+            ("r2", 0, "chr1", 20, 30, "4M", None, 0, 5, "ACGT", "IIII", {}),
+        ],
+        READS_SCHEMA,
+    )
+    header = SamHeader.parse("@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000\n")
+    out = str(tmp_path / "nulls.bam")
+    BamSink().write(df, header, out)
+    back = {r["qname"]: r["tlen"] for r in BamSource().read(spark, out).collect()}
+    assert back == {"r1": 0, "r2": 5}
