@@ -99,33 +99,10 @@ _BANDS_SQL = "\n UNION ALL ".join(
 _BUCKET_CAP = 64  # drop LSH buckets larger than this (boilerplate guard)
 
 
-# Python twin of the shingle expression: ASCII \s and Java trim() semantics
-# so the shingle STRINGS (and therefore their md5s) are byte-identical to the
-# JVM/DuckDB formulations.
-_WS_RE = None  # compiled lazily inside executors
-
-
-def _py_shingles(text: str, k: int = 5) -> list[str]:
-    import re
-
-    global _WS_RE
-    if _WS_RE is None:
-        _WS_RE = re.compile(r"[ \t\n\r\f\v]+")
-    toks = [t for t in _WS_RE.split(text.strip(" \t\n\r\f\v").lower()) if t]
-    if len(toks) >= k:
-        return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    return [" ".join(toks)]
-
-
-def _py_tokens(text: str) -> list[str]:
-    """Twin of ``functions.tokens`` (split on \\s+ after lower+trim) with the
-    JVM's empty-string edge case preserved: splitting '' yields ['']."""
-    import re
-
-    global _WS_RE
-    if _WS_RE is None:
-        _WS_RE = re.compile(r"[ \t\n\r\f\v]+")
-    return _WS_RE.split(text.strip(" \t\n\r\f\v").lower())
+# Python twins of the shingle/token expressions live in functions.pytwins —
+# the single source of the cross-engine normalization semantics.
+from ..functions.pytwins import py_shingles as _py_shingles  # noqa: E402
+from ..functions.pytwins import py_tokens as _py_tokens  # noqa: E402
 
 
 def _doc_signatures(spark: SparkSession, sf: str) -> DataFrame:
@@ -148,8 +125,14 @@ def _doc_signatures(spark: SparkSession, sf: str) -> DataFrame:
         for pdf in batches:
             out: dict[str, list] = {c: [] for c in ("doc_id", *[f"mh{j}" for j in range(len(_SLICES))])}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sh = _py_shingles(text)
+                if sh is None:
+                    # NULL text: the oracle keeps a NULL-signature row whose
+                    # NULL band_key can never join; omitting the doc gives
+                    # the identical pair set.
+                    continue
                 mins: list[str | None] = [None] * len(_SLICES)
-                for s in _py_shingles(text):
+                for s in sh:
                     hexes = [
                         hashlib.md5(f"{salt}:{s}".encode()).hexdigest()
                         for salt in _SALTS
@@ -279,7 +262,10 @@ def d04(spark: SparkSession, sf: str) -> DataFrame:
             ids: list[int] = []
             hs: list[int] = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for s in set(_py_shingles(text)):
+                sh = _py_shingles(text)
+                if sh is None:
+                    continue
+                for s in set(sh):
                     ids.append(doc_id)
                     hs.append(
                         int.from_bytes(
@@ -407,7 +393,12 @@ def d06(spark: SparkSession, sf: str) -> DataFrame:
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = set(_py_tokens(text))
+                ptoks = _py_tokens(text)
+                if ptoks is None:
+                    # oracle: unnest(NULL token list) yields no rows → the
+                    # doc is absent from the signature output entirely
+                    continue
+                toks = set(ptoks)
                 vs = np.fromiter(
                     (
                         int(hashlib.md5(w.encode()).hexdigest()[:4], 16)

@@ -266,7 +266,13 @@ def g06(spark: SparkSession, sf: str) -> DataFrame:
     mapped = reads.filter(
         (F.col("flag").bitwiseAND(4) == 0) & F.col("rname").isNotNull()
     ).select(
-        "rname", "pos", "mapq", (F.col("pos") + ref_len - 1).alias("end_pos")
+        "rname",
+        "pos",
+        "mapq",
+        # clamp: a mapped read with ref_len 0 (cigar '*' or no M/D/N/=/X ops)
+        # spans its own position, not pos-1 — otherwise F.sequence would run
+        # DESCENDING and count the read in the window before its start
+        F.greatest(F.col("pos"), F.col("pos") + ref_len - 1).alias("end_pos"),
     )
     win = F.explode(
         F.sequence(

@@ -881,6 +881,8 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
     @udtf(returnType="sent: string")
     class SplitSentences:
         def eval(self, text: str):
+            if text is None:  # oracle: unnest(string_split(NULL)) yields no rows
+                return
             for s in text.split(". "):
                 yield (s,)
 

@@ -195,7 +195,7 @@ def s03(spark: SparkSession, sf: str) -> DataFrame:
     # per batch instead of k interpreted lambda cosines per row (~30× faster,
     # same shape d05 uses).  Ties broken (cos desc, cid asc) — cids ascend in
     # column order, so a stable argsort on -cos matches the oracle exactly.
-    @F.pandas_udf(f"struct<cell: long, probes: array<long>>")
+    @F.pandas_udf("struct<cell: long, probes: array<long>>")
     def assign(emb: pd.Series) -> pd.DataFrame:
         m = np.vstack(emb.to_numpy()).astype("float64")
         m /= np.linalg.norm(m, axis=1, keepdims=True)

@@ -215,20 +215,21 @@ def t06(spark: SparkSession, sf: str) -> DataFrame:
     # shuffle, tiny output rows.
     def gen(batches):
         import hashlib
-        import re
 
         import numpy as np
         import pandas as pd
         from numpy.lib.stride_tricks import sliding_window_view
 
-        ws = re.compile(r"[ \t\n\r\f\v]+")
-        trim = " \t\n\r\f\v"
+        from disq_original_spark.functions.pytwins import norm_text
+
         powers = np.array(_WIN_POWERS, dtype=np.int64)
 
         for pdf in batches:
             ids, nfps, digs = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                norm = ws.sub(" ", text.strip(trim).lower())
+                # NULL text follows the oracle's ELSE branch (hash [0]),
+                # identical to the empty string.
+                norm = norm_text(text) or ""
                 cps = np.frombuffer(norm.encode("utf-32-le"), dtype="<u4").astype(
                     np.int64
                 )

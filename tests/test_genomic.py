@@ -36,7 +36,7 @@ def test_g06_matches_bruteforce(spark, sf_dir):
         ref_len = sum(
             int(n) for n, op in _CIG.findall(r["cigar"] or "") if op in _REF_OPS
         )
-        end = r["pos"] + ref_len - 1
+        end = max(r["pos"], r["pos"] + ref_len - 1)  # same clamp as the query
         for w in range(r["pos"] // _WIN, end // _WIN + 1):
             depth[(r["rname"], w * _WIN)] += 1
             mapqs[(r["rname"], w * _WIN)].append(r["mapq"])

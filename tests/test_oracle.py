@@ -58,3 +58,55 @@ def test_s03_ivf_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF recall@10 collapsed: {recall:.2f}"
+
+
+def test_null_text_documents_survive_fused_passes(spark, ddb, sf_dir):
+    """The fused Arrow passes must handle NULL text the way the DuckDB
+    oracles do (drop the doc / all-zero simhash / empty-string hash),
+    not crash.  The testdata has no nulls, so inject one."""
+    import duckdb
+
+    from disq_original_spark.tables import load_table
+    from tests.util import assert_frames_match
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
+    withnull = base.unionByName(
+        spark.createDataFrame([(999_999, None)], "doc_id long, text string")
+    )
+    withnull.createOrReplaceTempView("documents_nulltest")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS "
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"ORDER BY doc_id LIMIT 20"
+    )
+    con.execute(
+        "CREATE VIEW documents_n AS SELECT * FROM documents "
+        "UNION ALL SELECT 999999, NULL"
+    )
+
+    import disq_original_spark.queries.dedup as dd
+    import disq_original_spark.queries.textops as tx
+    from disq_original_spark.queries import QUERIES
+
+    # run the Spark builders against the null-injected frame by monkeypatching
+    # the loader they use
+    import disq_original_spark.tables as tables_mod
+
+    orig_wide, orig_load = tables_mod.load_wide, tables_mod.load_table
+    dd_wide, dd_load = dd.load_wide, dd.load_table
+    try:
+        dd.load_wide = lambda spark_, sf_, name: withnull
+        dd.load_table = lambda spark_, sf_, name: withnull
+        tx.load_wide = lambda spark_, sf_, name: withnull
+        for name in ("d03_minhash_lsh", "d06_simhash", "t06_winnow_fingerprint"):
+            oracle = QUERIES[name].oracle.replace("FROM documents", "FROM documents_n")
+            assert_frames_match(
+                QUERIES[name].build(spark, sf_dir).toPandas(),
+                con.execute(oracle).fetchdf(),
+                f"{name}+null",
+            )
+    finally:
+        dd.load_wide, dd.load_table = dd_wide, dd_load
+        tx.load_wide = orig_wide
