@@ -135,3 +135,42 @@ def interval_join(
         ),
     )
     return joined.drop("_bin")
+
+
+def residual_traversal(
+    reads: DataFrame, intervals: DataFrame | None, include_unplaced: bool
+) -> DataFrame:
+    """Shared residual-selection step of every reads source (BAM/SAM/CRAM
+    and the storage facade): interval overlap filter over placed reads,
+    optionally unioned with unplaced-unmapped records — the reference's
+    `TraversalOverlapDetector` semantics in one place."""
+    # runtime import: sources.sam imports this module at load time
+    from ..sources.sam import FLAG_UNMAPPED, READS_COLUMNS, with_alignment_span
+
+    if intervals is None and not include_unplaced:
+        return reads
+    spanned = with_alignment_span(reads)
+    # Unplaced-unmapped: unmapped flag AND no position (rname NULL, pos 0) —
+    # admitted only when the traversal flag is set
+    # (`sam/TraversalOverlapDetector.java:22-33`).
+    unplaced_pred = (F.col("flag").bitwiseAND(FLAG_UNMAPPED) != 0) & (
+        F.col("rname").isNull() | (F.col("pos") == 0)
+    )
+    selected = None
+    if intervals is not None:
+        placed = spanned.filter(~unplaced_pred)
+        selected = interval_filter(
+            placed.withColumnRenamed("rname", "contig")
+            .withColumnRenamed("pos", "start")
+            .withColumnRenamed("end_pos", "end"),
+            intervals,
+        )
+        selected = (
+            selected.withColumnRenamed("contig", "rname")
+            .withColumnRenamed("start", "pos")
+            .withColumnRenamed("end", "end_pos")
+        )
+    if include_unplaced:
+        unplaced = spanned.filter(unplaced_pred)
+        selected = unplaced if selected is None else selected.unionByName(unplaced)
+    return selected.select(*READS_COLUMNS)

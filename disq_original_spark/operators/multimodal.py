@@ -29,7 +29,7 @@ FEATURE_DIM = 8
 
 FEATURES_SCHEMA = (
     "media_id long, kind string, n_bytes long, width int, height int, "
-    f"features array<float>"
+    "features array<float>"
 )
 
 FRAMES_SCHEMA = "media_id long, frame_idx int, frame_data binary, n_bytes long"
@@ -77,6 +77,8 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                if data is None:
+                    continue  # NULL payload: skip, as the sibling text passes do
                 payload = bytes(data)
                 w, h, feats = _fake_decode(payload)
                 rows.append((mid, kind, len(payload), w, h, feats))
@@ -96,7 +98,7 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
         for pdf in batches:
             out = []
             for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
-                if kind != "video":
+                if kind != "video" or data is None:
                     continue
                 payload = bytes(data)
                 for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):

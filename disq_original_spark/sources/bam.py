@@ -323,34 +323,9 @@ class BamSource:
             split_rows.extend((fi, s, e) for s, e in splits)
 
         reads = _decode_splits_arrow(spark, split_rows, file_params)
-        if intervals is None and not include_unplaced:
-            return reads
-        # same residual semantics as the SAM source
-        from .sam import FLAG_UNMAPPED
+        from ..operators.interval import residual_traversal
 
-        spanned = with_alignment_span(reads)
-        unplaced_pred = (
-            (F.col("flag").bitwiseAND(FLAG_UNMAPPED) != 0)
-            & (F.col("rname").isNull() | (F.col("pos") == 0))
-        )
-        placed = spanned.filter(~unplaced_pred)
-        selected = None
-        if intervals is not None:
-            selected = interval_filter(
-                placed.withColumnRenamed("rname", "contig")
-                .withColumnRenamed("pos", "start")
-                .withColumnRenamed("end_pos", "end"),
-                intervals,
-            )
-            selected = (
-                selected.withColumnRenamed("contig", "rname")
-                .withColumnRenamed("start", "pos")
-                .withColumnRenamed("end", "end_pos")
-            )
-        if include_unplaced:
-            unplaced = spanned.filter(unplaced_pred)
-            selected = unplaced if selected is None else selected.unionByName(unplaced)
-        return selected.select(*READS_COLUMNS)
+        return residual_traversal(reads, intervals, include_unplaced)
 
 
 _INDEX_EXTS = (".sbi", ".bai", ".crai", ".tbi", ".csi", ".idx", ".fai")

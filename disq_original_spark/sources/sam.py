@@ -168,34 +168,9 @@ class SamSource:
         body = lines.filter(~F.col("value").startswith("@"))
         body = apply_stringency(body, _sam_malformed(), stringency)
         reads = parse_sam_lines(body)
-        if intervals is None and not include_unplaced:
-            return reads
-        spanned = with_alignment_span(reads)
-        # Unplaced-unmapped: unmapped flag AND no position (rname NULL/'*',
-        # pos 0) — the reference's TraversalOverlapDetector admits these when
-        # the flag is set (`sam/TraversalOverlapDetector.java:22-33`).
-        unplaced_pred = (
-            (F.col("flag").bitwiseAND(FLAG_UNMAPPED) != 0)
-            & (F.col("rname").isNull() | (F.col("pos") == 0))
-        )
-        placed = spanned.filter(~unplaced_pred)
-        selected = None
-        if intervals is not None:
-            selected = interval_filter(
-                placed.withColumnRenamed("rname", "contig")
-                .withColumnRenamed("pos", "start")
-                .withColumnRenamed("end_pos", "end"),
-                intervals,
-            )
-            selected = (
-                selected.withColumnRenamed("contig", "rname")
-                .withColumnRenamed("start", "pos")
-                .withColumnRenamed("end", "end_pos")
-            )
-        if include_unplaced:
-            unplaced = spanned.filter(unplaced_pred)
-            selected = unplaced if selected is None else selected.unionByName(unplaced)
-        return selected.select(*READS_COLUMNS)
+        from ..operators.interval import residual_traversal
+
+        return residual_traversal(reads, intervals, include_unplaced)
 
 
 def to_sam_line(df: DataFrame) -> Column:

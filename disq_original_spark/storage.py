@@ -27,8 +27,13 @@ from .sources.vcf import VcfSink, VcfSource
 
 def _reads_format(path: str) -> str:
     name = Path(first_file_in(path) if Path(path).is_dir() else path).name.lower()
+    # suffix match (after stripping .sharded), as the reference does with
+    # endsWith (HtsjdkReadsRddStorage.java:156-160) — a substring match would
+    # route 'notes.sample.txt' to the SAM reader
+    if name.endswith(".sharded"):
+        name = name[: -len(".sharded")]
     for ext in (".bam", ".cram", ".sam"):
-        if ext in name:
+        if name.endswith(ext):
             return ext[1:]
     raise ValueError(f"cannot infer reads format from {path!r} (.bam/.cram/.sam)")
 
@@ -105,33 +110,9 @@ class ReadsStorage:
 def _residual(
     reads: DataFrame, intervals: DataFrame | None, include_unplaced: bool
 ) -> DataFrame:
-    from pyspark.sql import functions as F
+    from .operators.interval import residual_traversal
 
-    from .operators.interval import interval_filter
-    from .sources.sam import FLAG_UNMAPPED, READS_COLUMNS, with_alignment_span
-
-    spanned = with_alignment_span(reads)
-    unplaced_pred = (F.col("flag").bitwiseAND(FLAG_UNMAPPED) != 0) & (
-        F.col("rname").isNull() | (F.col("pos") == 0)
-    )
-    selected = None
-    if intervals is not None:
-        placed = spanned.filter(~unplaced_pred)
-        sel = interval_filter(
-            placed.withColumnRenamed("rname", "contig")
-            .withColumnRenamed("pos", "start")
-            .withColumnRenamed("end_pos", "end"),
-            intervals,
-        )
-        selected = (
-            sel.withColumnRenamed("contig", "rname")
-            .withColumnRenamed("start", "pos")
-            .withColumnRenamed("end", "end_pos")
-        )
-    if include_unplaced:
-        unplaced = spanned.filter(unplaced_pred)
-        selected = unplaced if selected is None else selected.unionByName(unplaced)
-    return (selected if selected is not None else spanned).select(*READS_COLUMNS)
+    return residual_traversal(reads, intervals, include_unplaced)
 
 
 class VariantsStorage:

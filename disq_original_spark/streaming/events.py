@@ -23,29 +23,9 @@ EVENTS_SCHEMA = (
 )
 
 
-def windowed_counts(
-    events: DataFrame,
-    window: str = "1 hour",
-    watermark: str = "2 hours",
-) -> DataFrame:
-    """Tumbling-window count/sum per event_type with late-data watermark.
-    Batch twin: q30_tumbling_window (modulo the explicit window struct)."""
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sv"))
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
-            "event_type",
-            "cnt",
-            "sv",
-        )
-    )
-
-
-def windowed_counts_batch(events: DataFrame, window: str = "1 hour") -> DataFrame:
-    """Batch-computed expectation for ``windowed_counts`` (same plan minus
-    the watermark node)."""
+def _windowed_counts_agg(events: DataFrame, window: str) -> DataFrame:
+    """Shared aggregation body of windowed_counts and its batch twin — one
+    definition so the streaming-vs-batch differential can never drift."""
     return (
         events.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sv"))
@@ -58,28 +38,24 @@ def windowed_counts_batch(events: DataFrame, window: str = "1 hour") -> DataFram
     )
 
 
-def session_windows(
-    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
 ) -> DataFrame:
-    """Session-window aggregation per user: events within ``gap`` of each
-    other merge into one session.  State per (user, open session); the
-    watermark closes sessions and bounds state."""
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sv"))
-        .select(
-            "user_id",
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-            "n_events",
-            "sv",
-        )
-    )
+    """Tumbling-window count/sum per event_type with late-data watermark.
+    Batch twin: q30_tumbling_window (modulo the explicit window struct)."""
+    return _windowed_counts_agg(events.withWatermark("ts", watermark), window)
 
 
-def session_windows_batch(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
-    """Batch twin of ``session_windows`` (same plan minus the watermark)."""
+def windowed_counts_batch(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Batch-computed expectation for ``windowed_counts`` (same plan minus
+    the watermark node)."""
+    return _windowed_counts_agg(events, window)
+
+
+def _session_windows_agg(events: DataFrame, gap: str) -> DataFrame:
+    """Shared aggregation body of session_windows and its batch twin."""
     return (
         events.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sv"))
@@ -91,6 +67,20 @@ def session_windows_batch(events: DataFrame, gap: str = "30 minutes") -> DataFra
             "sv",
         )
     )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session-window aggregation per user: events within ``gap`` of each
+    other merge into one session.  State per (user, open session); the
+    watermark closes sessions and bounds state."""
+    return _session_windows_agg(events.withWatermark("ts", watermark), gap)
+
+
+def session_windows_batch(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Batch twin of ``session_windows`` (same plan minus the watermark)."""
+    return _session_windows_agg(events, gap)
 
 
 _USER_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
@@ -144,10 +134,15 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> Data
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
-def sliding_window_value(events: DataFrame, window: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+def sliding_window_value(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
     """Sliding-window sum of value per type (overlapping windows)."""
     return (
-        events.withWatermark("ts", "2 hours")
+        events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
         .agg(F.round(F.sum("value"), 2).alias("sv"))
         .select(
