@@ -132,3 +132,51 @@ def st02(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "st03_stream_dedup",
+    """SELECT event_type, count(*) AS n FROM events
+       GROUP BY event_type ORDER BY event_type""",
+    doc="Streaming exact dedup with bounded state: the events stream unioned "
+    "with itself (every record arrives twice) flows through "
+    "dropDuplicatesWithinWatermark(event_id) — one state-store entry per id "
+    "inside the watermark horizon, evicted as event time passes.  The "
+    "deduplicated stream drains into a memory sink and aggregates to "
+    "per-type counts, which must equal the plain per-type counts of the "
+    "un-duplicated table — the SQL oracle.",
+)
+def st03(spark: SparkSession, sf: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .parquet(f"{sf}/events.*")
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .select("event_id", "ts", "event_type")
+        )
+
+    doubled = stream().unionByName(stream())
+    deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    name = f"st03_sink_{next(_SINK_IDS)}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
