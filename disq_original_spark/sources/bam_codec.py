@@ -124,12 +124,14 @@ def _parse_aux(buf: bytes | memoryview, p: int, end: int) -> dict[str, str]:
             out[tag] = f"f:{v:g}"
             p += 4
         elif typ in "ZH":
-            try:
-                q = buf.index(0, p, end)
-            except (ValueError, TypeError, AttributeError):
-                q = end
-            out[tag] = f"{typ}:{bytes(buf[p:q]).decode('ascii', 'replace')}"
-            p = q + 1
+            # bytes(...) copy: memoryview has no .index, and the silent
+            # q=end fallback would swallow every later tag
+            seg = bytes(buf[p:end])
+            q = seg.find(0)
+            if q < 0:
+                q = len(seg)
+            out[tag] = f"{typ}:{seg[:q].decode('ascii', 'replace')}"
+            p = p + q + 1
         elif typ == "B":
             sub = chr(buf[p])
             (count,) = struct.unpack_from("<I", buf, p + 1)
@@ -233,7 +235,13 @@ def encode_record(row: dict, ref_index: dict[str, int]) -> bytes:
         if typ == "A":
             body += t + b"A" + val[:1].encode()
         elif typ == "i":
-            body += t + b"i" + struct.pack("<i", int(val))
+            v = int(val)
+            if v > 0x7FFFFFFF:
+                # parse_record normalizes unsigned 'I' tags to 'i:'; values
+                # past int32 must round-trip back as unsigned
+                body += t + b"I" + struct.pack("<I", v)
+            else:
+                body += t + b"i" + struct.pack("<i", v)
         elif typ == "f":
             body += t + b"f" + struct.pack("<f", float(val))
         elif typ in ("Z", "H"):

@@ -91,9 +91,13 @@ def _parse_block_at(buf: bytes, off: int) -> tuple[int, int] | None:
 def read_block_header(fh: BinaryIO, pos: int) -> tuple[int, int] | None:
     """Read the block at ``pos``; return (c_size, u_size) or None at EOF."""
     fh.seek(pos)
-    head = fh.read(HEADER_SIZE + 64)
+    head = fh.read(HEADER_SIZE)
     if len(head) < HEADER_SIZE:
         return None
+    # second read sized by the declared XLEN so spec-valid blocks with extra
+    # gzip subfields (XLEN > the BC-only 6) still parse
+    xlen = struct.unpack_from("<H", head, 10)[0]
+    head += fh.read(xlen)
     parsed = _parse_block_at(head, 0)
     if parsed is None:
         raise ValueError(f"not a BGZF block at offset {pos}")
@@ -125,6 +129,8 @@ def find_next_block(fh: BinaryIO, start: int, end: int, *, chunk: int = 1 << 20)
             if parsed is not None:
                 c_size, _ = parsed
                 block_pos = scan_pos + j
+                if block_pos >= end:  # honor the [start, end) contract
+                    return None
                 nxt = block_pos + c_size
                 confirmed = nxt == file_len
                 if not confirmed and nxt < file_len:
@@ -184,9 +190,14 @@ def decompress_block(fh: BinaryIO, block: BgzfBlock) -> bytes:
 
 
 def compress_block(data: bytes, level: int = 6) -> bytes:
-    """Compress ≤64 KiB of data as one standalone BGZF block."""
-    if len(data) > 0xFFFF:
-        raise ValueError("BGZF block payload must be <= 65535 bytes")
+    """Compress one standalone BGZF block.  Payload is capped at
+    MAX_UNCOMPRESSED_BLOCK (65280, htsjdk's bound), not 65535: the level-0
+    stored fallback for incompressible data adds deflate framing, and a
+    65535-byte payload would push BSIZE past the u16 field."""
+    if len(data) > MAX_UNCOMPRESSED_BLOCK:
+        raise ValueError(
+            f"BGZF block payload must be <= {MAX_UNCOMPRESSED_BLOCK} bytes"
+        )
     co = zlib.compressobj(level, zlib.DEFLATED, -15)
     cdata = co.compress(data) + co.flush()
     bsize = HEADER_SIZE + len(cdata) + FOOTER_SIZE - 1

@@ -138,3 +138,54 @@ def test_bam_record_roundtrip_property(qname, flag, rname, pos, mapq, seq, tlen,
         assert parsed[k] == row[k], k
     assert parsed["pos"] == (pos if rname else 0)
     assert parsed["attributes"] == attrs
+
+
+@given(st.integers(min_value=2**31, max_value=2**32 - 1))
+@settings(max_examples=20, deadline=None)
+def test_unsigned_aux_tag_roundtrips(v):
+    """'I'-typed aux values >= 2^31 (normalized to 'i:' on parse) must
+    re-encode as unsigned, not crash struct.pack('<i')."""
+    from disq_original_spark.sources.bam_codec import encode_record, parse_record
+
+    row = {
+        "qname": "r",
+        "flag": 4,
+        "rname": None,
+        "pos": 0,
+        "mapq": 0,
+        "cigar": "*",
+        "rnext": None,
+        "pnext": 0,
+        "tlen": 0,
+        "seq": "A",
+        "qual": "I",
+        "attributes": {"XX": f"i:{v}"},
+    }
+    blob = encode_record(row, {})
+    parsed, consumed = parse_record(blob, 0, [])
+    assert consumed == len(blob)
+    assert parsed["attributes"] == {"XX": f"i:{v}"}
+
+
+def test_parse_aux_handles_memoryview():
+    """Z tags parsed from a memoryview must terminate at NUL, not swallow
+    the following tags."""
+    from disq_original_spark.sources.bam_codec import encode_record, parse_record
+
+    row = {
+        "qname": "r",
+        "flag": 4,
+        "rname": None,
+        "pos": 0,
+        "mapq": 0,
+        "cigar": "*",
+        "rnext": None,
+        "pnext": 0,
+        "tlen": 0,
+        "seq": "A",
+        "qual": "I",
+        "attributes": {"XA": "Z:hello", "XB": "i:7"},
+    }
+    blob = encode_record(row, {})
+    parsed, _ = parse_record(memoryview(blob), 0, [])
+    assert parsed["attributes"] == {"XA": "Z:hello", "XB": "i:7"}
