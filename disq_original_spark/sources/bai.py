@@ -72,34 +72,20 @@ def voffset_ranges_for_intervals(
 ) -> list[tuple[int, int]]:
     """Merged virtual-offset ranges that contain every record possibly
     overlapping any (ref_id, start, end) interval (1-based inclusive)."""
+    from .tabix import bin_query_chunks, merge_ranges
+
     raw: list[tuple[int, int]] = []
     for ref_id, start, end in intervals:
         if not 0 <= ref_id < len(idx.bins):
             continue
-        beg0 = max(0, start - 1)
-        lin = idx.linear[ref_id]
-        min_voff = lin[min(beg0 >> _LINEAR_SHIFT, len(lin) - 1)] if lin else 0
-        for b in reg2bins(beg0, end):
-            for u, v in idx.bins[ref_id].get(b, ()):
-                if v > min_voff:
-                    raw.append((max(u, min_voff), v))
-    if not raw:
-        return []
-    raw.sort()
-    merged = [raw[0]]
-    for s, e in raw[1:]:
-        if s <= merged[-1][1]:
-            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
-        else:
-            merged.append((s, e))
-    return merged
+        raw.extend(bin_query_chunks(idx.bins[ref_id], idx.linear[ref_id], start, end))
+    return merge_ranges(raw)
 
 
 def create_bai(bam_path: str | Path) -> str:
     """Single-pass BAI build from a BAM file (driver-side, like
     ``create_sbi``): bin each record by its alignment span, collect per-bin
     voffset chunks (merging adjacent), plus the 16 kb linear index."""
-    from .bam_codec import SbiIndex  # noqa: F401  (same pass shape)
     from .bam_codec import reg2bin
     from .bgzf import BgzfReader
     from .headers import read_bam_header

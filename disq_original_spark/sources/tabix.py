@@ -97,24 +97,11 @@ def file_ranges_for_intervals(
         ri = idx.ref_index(contig)
         if ri < 0:
             continue
-        beg0 = max(0, start - 1)
-        # linear-index lower bound: records in windows before beg0 end before it
-        lin = idx.linear[ri]
-        min_voff = lin[min(beg0 >> 14, len(lin) - 1)] if lin else 0
-        for b in reg2bins(beg0, end):
-            for u, v in idx.bins[ri].get(b, ()):
-                if v > min_voff:
-                    raw.append((max(u, min_voff) >> 16, (v >> 16) + 1))
-    if not raw:
-        return []
-    raw.sort()
-    merged = [raw[0]]
-    for s, e in raw[1:]:
-        if s <= merged[-1][1]:
-            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
-        else:
-            merged.append((s, e))
-    return merged
+        raw.extend(
+            ((u >> 16), (v >> 16) + 1)
+            for u, v in bin_query_chunks(idx.bins[ri], idx.linear[ri], start, end)
+        )
+    return merge_ranges(raw)
 
 
 def prune_splits(
@@ -129,3 +116,36 @@ def prune_splits(
         if any(s < re and rs < e for rs, re in ranges):
             out.append((s, e))
     return out
+
+
+def bin_query_chunks(
+    bins: dict[int, list[tuple[int, int]]],
+    linear: list[int],
+    start: int,
+    end: int,
+) -> list[tuple[int, int]]:
+    """Shared R-tree bin query (SAM spec §5, used by both BAI and tabix):
+    chunks possibly overlapping [start, end] (1-based inclusive), clamped by
+    the 16 kb linear-index lower bound."""
+    beg0 = max(0, start - 1)
+    min_voff = linear[min(beg0 >> 14, len(linear) - 1)] if linear else 0
+    out: list[tuple[int, int]] = []
+    for b in reg2bins(beg0, end):
+        for u, v in bins.get(b, ()):
+            if v > min_voff:
+                out.append((max(u, min_voff), v))
+    return out
+
+
+def merge_ranges(raw: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Sort + merge overlapping/adjacent (start, end) ranges."""
+    if not raw:
+        return []
+    raw.sort()
+    merged = [raw[0]]
+    for s, e in raw[1:]:
+        if s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    return merged
