@@ -248,13 +248,9 @@ class CramSink:
 
         major, minor = version
 
-        ref_names = []
-        rg_ids = []
-        for line in header_text.splitlines():
-            if line.startswith("@SQ"):
-                ref_names.extend(f[3:] for f in line.split("\t") if f.startswith("SN:"))
-            elif line.startswith("@RG"):
-                rg_ids.extend(f[3:] for f in line.split("\t") if f.startswith("ID:"))
+        from .headers import header_ref_and_rg_names
+
+        ref_names, rg_ids = header_ref_and_rg_names(header_text)
 
         temp_dir = f"{path}.parts-{uuid.uuid4().hex[:8]}"
         os.makedirs(temp_dir, exist_ok=True)

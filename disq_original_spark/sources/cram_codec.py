@@ -420,7 +420,9 @@ class ByteArrayStopCodec(Codec):
         start = b.pos
         data = b.data
         stop = self.stop
-        pos = data.index(stop, start) if stop in data[start:] else len(data)
+        pos = data.find(stop, start)
+        if pos < 0:
+            pos = len(data)
         b.pos = pos + 1
         return bytes(data[start:pos])
 
@@ -704,6 +706,21 @@ class SliceDecoder:
             m = raw[j]
             r["mate_info"] = (m["flag"], m["ref_id"], m["ap"])
             m["mate_info_back"] = (r["flag"], r["ref_id"], r["ap"])
+            # template size (htsjdk computeInsertSize): leftmost-start to
+            # rightmost-end span, positive on the leftmost record — only
+            # defined when both ends are mapped to the same reference
+            if (
+                not (r["flag"] & FLAG_UNMAPPED)
+                and not (m["flag"] & FLAG_UNMAPPED)
+                and r["ref_id"] == m["ref_id"] >= 0
+            ):
+                r_end = r["ap"] + _ref_span(r) - 1
+                m_end = m["ap"] + _ref_span(m) - 1
+                insert = max(r_end, m_end) - min(r["ap"], m["ap"]) + 1
+                if r["ap"] <= m["ap"]:
+                    r["tlen_"], m["tlen_"] = insert, -insert
+                else:
+                    r["tlen_"], m["tlen_"] = -insert, insert
         # compute pairwise fields
         for i, r in enumerate(raw):
             info = r.get("mate_info") or r.get("mate_info_back")
@@ -715,7 +732,7 @@ class SliceDecoder:
                 mf |= 1
             if mflag & FLAG_UNMAPPED:
                 mf |= 2
-            r["mate"] = (mf, mref, map_, 0)
+            r["mate"] = (mf, mref, map_, r.get("tlen_", 0))
 
     def _to_row(self, r: dict) -> dict:
         flag = r["flag"]
@@ -808,6 +825,19 @@ class SliceDecoder:
         return seq.decode("ascii")
 
 
+def _ref_span(r: dict) -> int:
+    """Reference-consumed length of a raw record (features + read length),
+    via its reconstructed CIGAR — used for mate template-size restoration."""
+    import re as _re
+
+    cigar = _features_to_cigar(r["features"], r["rl"])
+    return sum(
+        int(n)
+        for n, op in _re.findall(r"(\d+)([MIDNSHP=X])", cigar)
+        if op in "MDN=X"
+    )
+
+
 def _features_to_cigar(features: list[tuple[int, str, object]], read_length: int) -> str:
     if not features:
         return f"{read_length}M"
@@ -873,17 +903,9 @@ def read_cram_meta(data: bytes) -> tuple[CramFileMeta, int]:
     block = read_block(Buf(data, FILE_DEFINITION_SIZE + hdr.header_size), major)
     (text_len,) = struct.unpack_from("<i", block.data, 0)
     text = block.data[4 : 4 + text_len].decode("utf-8", "replace")
-    ref_names = []
-    rg_ids = []
-    for line in text.splitlines():
-        if line.startswith("@SQ"):
-            for f in line.split("\t"):
-                if f.startswith("SN:"):
-                    ref_names.append(f[3:])
-        elif line.startswith("@RG"):
-            for f in line.split("\t"):
-                if f.startswith("ID:"):
-                    rg_ids.append(f[3:])
+    from .headers import header_ref_and_rg_names
+
+    ref_names, rg_ids = header_ref_and_rg_names(text)
     meta = CramFileMeta(major, minor, text, ref_names, rg_ids)
     return meta, hdr.offset + hdr.header_size + hdr.length
 
@@ -940,12 +962,35 @@ def decode_container(
                 ext[b.content_id] = b.data
         if sh.embedded_ref_id >= 0 and sh.embedded_ref_id in ext:
             # embedded reference block: covers [slice.start, start+span);
-            # shadow the external FASTA for this slice (spec §8.5)
+            # shadow the external FASTA for this slice (spec §8.5).  Exposed
+            # as an offset view, NOT b"N" * (start-1) padding — that would
+            # allocate memory proportional to the genomic coordinate.
             emb = ext[sh.embedded_ref_id]
-            pad = b"N" * (sh.start - 1)
 
-            def ref_getter_slice(_ri, _emb=pad + emb):  # noqa: ANN001
-                return _emb
+            class _OffsetRef:
+                __slots__ = ("data", "off")
+
+                def __init__(self, data, off):
+                    self.data, self.off = data, off
+
+                def __getitem__(self, key):
+                    if isinstance(key, slice):
+                        lo = (key.start or 0) - self.off
+                        hi = (key.stop if key.stop is not None else None)
+                        hi = hi - self.off if hi is not None else None
+                        if lo < 0:
+                            return b"N" * min(-lo, (hi or 0) - lo) + self.data[
+                                0 : hi if hi is None or hi > 0 else 0
+                            ]
+                        return self.data[lo:hi]
+                    i = key - self.off
+                    return self.data[i] if i >= 0 else ord("N")
+
+                def __len__(self):
+                    return self.off + len(self.data)
+
+            def ref_getter_slice(_ri, _view=_OffsetRef(emb, sh.start - 1)):  # noqa: ANN001
+                return _view
         else:
             ref_getter_slice = ref_getter
         if (

@@ -198,7 +198,12 @@ def _tag_value_bytes(spec: str) -> tuple[str, bytes]:
     if typ == "A":
         return "A", val[:1].encode("ascii")
     if typ == "i":
-        return "i", struct.pack("<i", int(val))
+        v = int(val)
+        if v > 0x7FFFFFFF:
+            # parse paths normalize unsigned 'I' tags to 'i:'; round-trip
+            # values past int32 back as unsigned (same fix as bam_codec)
+            return "I", struct.pack("<I", v)
+        return "i", struct.pack("<i", v)
     if typ == "f":
         return "f", struct.pack("<f", float(val))
     if typ == "B":
@@ -269,9 +274,16 @@ def encode_container(
         rl = len(seq) if seq != "*" else 0
         n_bases += rl
         cf = 2  # detached
-        if qual != "*":
+        # QS-preserved only when the decoder's take(rl) will consume exactly
+        # what we wrote; a '*'-seq row with quals would shift the stream
+        if qual != "*" and len(qual) == rl:
             cf |= 1
         ri = ref_index.get(r["rname"], -1) if r["rname"] else -1
+        if ri < 0 and not flag & 0x4:
+            raise ValueError(
+                f"mapped read {r['qname']!r} references {r['rname']!r}, "
+                "which is not in the header @SQ list"
+            )
         streams["BF"].put_itf8(flag)
         streams["CF"].put_itf8(cf)
         streams["RI"].put_itf8(ri)
@@ -483,17 +495,9 @@ def write_cram(
 ) -> None:
     """Driver-side whole-file CRAM write (the Spark sink writes container
     parts per partition and concatenates)."""
-    ref_names = []
-    rg_ids = []
-    for line in header_text.splitlines():
-        if line.startswith("@SQ"):
-            for f in line.split("\t"):
-                if f.startswith("SN:"):
-                    ref_names.append(f[3:])
-        elif line.startswith("@RG"):
-            for f in line.split("\t"):
-                if f.startswith("ID:"):
-                    rg_ids.append(f[3:])
+    from .headers import header_ref_and_rg_names
+
+    ref_names, rg_ids = header_ref_and_rg_names(header_text)
     fasta = IndexedFasta(reference_path) if reference_path else None
     major, minor = version
     with open(path, "wb") as fh:

@@ -130,3 +130,17 @@ def vcf_sample_names(header_text: str) -> list[str]:
             cols = line.rstrip("\n").split("\t")
             return cols[9:] if len(cols) > 9 else []
     return []
+
+
+def header_ref_and_rg_names(header_text: str) -> tuple[list[str], list[str]]:
+    """(@SQ SN names, @RG ID names) from SAM header text — the refID→name
+    and read-group maps shared by the CRAM reader and writers (one parser,
+    so they can never disagree)."""
+    ref_names: list[str] = []
+    rg_ids: list[str] = []
+    for line in header_text.splitlines():
+        if line.startswith("@SQ"):
+            ref_names.extend(f[3:] for f in line.split("\t") if f.startswith("SN:"))
+        elif line.startswith("@RG"):
+            rg_ids.extend(f[3:] for f in line.split("\t") if f.startswith("ID:"))
+    return ref_names, rg_ids

@@ -176,3 +176,33 @@ def test_python_datasource_format_cram(spark):
         .load(CRAM)
     )
     assert df.count() == N_CRAM_RECORDS
+
+
+def test_restore_mates_sets_template_size():
+    """Intra-slice NF-linked pairs get htsjdk-style template sizes:
+    leftmost-start to rightmost-end span, positive on the leftmost record,
+    zero when either end is unmapped."""
+    from disq_original_spark.sources.cram_codec import SliceDecoder
+
+    def raw(flag, ref_id, ap, rl, nf=None):
+        return {
+            "flag": flag,
+            "ref_id": ref_id,
+            "ap": ap,
+            "rl": rl,
+            "nf": nf,
+            "features": [],
+            "mate": None,
+        }
+
+    # pair: r1 at 100 (len 50, end 149), r2 at 200 (len 50, end 249)
+    records = [raw(0x41, 0, 100, 50, nf=0), raw(0x81, 0, 200, 50)]
+    SliceDecoder._restore_mates(None, records)
+    assert records[0]["mate"][3] == 150   # 249 - 100 + 1
+    assert records[1]["mate"][3] == -150
+
+    # unmapped mate -> tlen stays 0
+    records = [raw(0x41, 0, 100, 50, nf=0), raw(0x81 | 0x4, 0, 100, 50)]
+    SliceDecoder._restore_mates(None, records)
+    assert records[0]["mate"][3] == 0
+    assert records[1]["mate"][3] == 0
