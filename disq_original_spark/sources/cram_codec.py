@@ -976,13 +976,11 @@ def decode_container(
                 def __getitem__(self, key):
                     if isinstance(key, slice):
                         lo = (key.start or 0) - self.off
-                        hi = (key.stop if key.stop is not None else None)
-                        hi = hi - self.off if hi is not None else None
-                        if lo < 0:
-                            return b"N" * min(-lo, (hi or 0) - lo) + self.data[
-                                0 : hi if hi is None or hi > 0 else 0
-                            ]
-                        return self.data[lo:hi]
+                        hi = len(self.data) if key.stop is None else key.stop - self.off
+                        if lo >= 0:
+                            return self.data[lo:hi]
+                        # positions before the embedded window read as 'N'
+                        return b"N" * (min(hi, 0) - lo) + self.data[0 : max(hi, 0)]
                     i = key - self.off
                     return self.data[i] if i >= 0 else ord("N")
 
