@@ -52,15 +52,16 @@ def interval_filter(
     """
     if intervals is None and not include_unplaced:
         raise ValueError("intervals may not be None when include_unplaced is False")
-    iv = F.broadcast(
-        intervals.select(
-            F.col("contig").alias("_i_contig"),
-            F.col("start").alias("_i_start"),
-            F.col("end").alias("_i_end"),
+    matched = None
+    if intervals is not None:
+        iv = F.broadcast(
+            intervals.select(
+                F.col("contig").alias("_i_contig"),
+                F.col("start").alias("_i_start"),
+                F.col("end").alias("_i_end"),
+            )
         )
-    )
-    matched = (
-        records.join(
+        matched = records.join(
             iv,
             overlaps(
                 F.col(contig),
@@ -72,9 +73,6 @@ def interval_filter(
             ),
             "left_semi",
         )
-        if intervals is not None
-        else None
-    )
     if not include_unplaced:
         return matched
     unplaced = records.filter(F.col(contig).isNull())

@@ -162,8 +162,13 @@ class SamSource:
     ) -> DataFrame:
         if split_size is not None:
             # splitSize option ≈ spark.sql.files.maxPartitionBytes
-            # (reference: FileInputFormat.SPLIT_MAXSIZE, PathSplitSource.java:56-58)
+            # (reference: FileInputFormat.SPLIT_MAXSIZE, PathSplitSource.java:56-58).
+            # NOTE: session-wide, exactly like the reference's job-conf knob —
+            # later scans in the same session inherit it unless reset.
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_size))
+        # duplicate aux tags must follow stringency (last wins), not crash
+        # map_from_entries under the default EXCEPTION dedup policy
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         lines = spark.read.text(path)
         body = lines.filter(~F.col("value").startswith("@"))
         body = apply_stringency(body, _sam_malformed(), stringency)
@@ -179,19 +184,22 @@ def to_sam_line(df: DataFrame) -> Column:
         F.map_entries(F.col("attributes")),
         lambda e: F.concat(e["key"], F.lit(":"), e["value"]),
     )
+    # every field coalesced: concat_ws silently DROPS nulls, so a
+    # lenient-kept malformed record would otherwise write a shifted line
+    # with the wrong column count
     base = F.concat_ws(
         "\t",
-        F.col("qname"),
-        F.col("flag").cast("string"),
+        F.coalesce(F.col("qname"), F.lit("*")),
+        F.coalesce(F.col("flag").cast("string"), F.lit("4")),
         F.coalesce(F.col("rname"), F.lit("*")),
-        F.col("pos").cast("string"),
-        F.col("mapq").cast("string"),
-        F.col("cigar"),
+        F.coalesce(F.col("pos").cast("string"), F.lit("0")),
+        F.coalesce(F.col("mapq").cast("string"), F.lit("0")),
+        F.coalesce(F.col("cigar"), F.lit("*")),
         F.coalesce(F.col("rnext"), F.lit("*")),
-        F.col("pnext").cast("string"),
-        F.col("tlen").cast("string"),
-        F.col("seq"),
-        F.col("qual"),
+        F.coalesce(F.col("pnext").cast("string"), F.lit("0")),
+        F.coalesce(F.col("tlen").cast("string"), F.lit("0")),
+        F.coalesce(F.col("seq"), F.lit("*")),
+        F.coalesce(F.col("qual"), F.lit("*")),
     )
     return F.when(F.size(tag_strs) > 0, F.concat(base, F.lit("\t"), F.concat_ws("\t", tag_strs))).otherwise(
         base
@@ -216,16 +224,18 @@ class SamSink:
             import os
             import uuid as _uuid
 
-            lines = [row["value"] for row in rows]
-            if not lines:
-                return
             out_dir_s = str(out_dir)
             os.makedirs(out_dir_s, exist_ok=True)
             tmp = os.path.join(out_dir_s, f".tmp-{_uuid.uuid4().hex}")
+            wrote = False
             with open(tmp, "wt") as fh:
                 fh.write(header_b64)
-                for line in lines:
-                    fh.write(line + "\n")
+                for row in rows:  # stream: never materialize the partition
+                    wrote = True
+                    fh.write(row["value"] + "\n")
+            if not wrote:
+                os.remove(tmp)
+                return
             os.replace(tmp, os.path.join(out_dir_s, f"part-{pid:05d}.sam"))
 
         import shutil

@@ -58,21 +58,21 @@ def parse_vcf_lines(lines: DataFrame, sample_names: list[str], value_col: str = 
     info = F.when(at(8) == ".", F.expr("map()")).otherwise(F.map_from_entries(info_entries))
 
     format_keys = F.split(at(9), ":")
+
+    def _sample_map(i: int) -> Column:
+        # clamp BOTH arrays to the shorter length: a sample with more (or
+        # fewer) ':'-subfields than FORMAT keys must degrade per lenient
+        # semantics, not crash map_from_arrays with a length mismatch
+        vals = F.split(at(10 + i), ":")
+        n = F.least(F.size(format_keys), F.size(vals))
+        return F.map_from_arrays(F.slice(format_keys, 1, n), F.slice(vals, 1, n))
+
     genotypes = F.array(
         *[
             F.struct(
                 F.lit(s).alias("sample"),
-                F.try_element_at(
-                    F.map_from_arrays(
-                        F.slice(format_keys, 1, F.size(F.split(at(10 + i), ":"))),
-                        F.split(at(10 + i), ":"),
-                    ),
-                    F.lit("GT"),
-                ).alias("gt"),
-                F.map_from_arrays(
-                    F.slice(format_keys, 1, F.size(F.split(at(10 + i), ":"))),
-                    F.split(at(10 + i), ":"),
-                ).alias("attrs"),
+                F.try_element_at(_sample_map(i), F.lit("GT")).alias("gt"),
+                _sample_map(i).alias("attrs"),
             )
             for i, s in enumerate(sample_names)
         ]
@@ -146,6 +146,8 @@ class VcfSource:
         else:
             lines = spark.read.text(path)
         body = lines.filter(~F.col("value").startswith("#"))
+        # duplicate INFO keys degrade lenient-style (last wins), not crash
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         from .sam import apply_stringency
 
         f = F.split(F.col("value"), "\t")
@@ -160,10 +162,7 @@ class VcfSource:
             "end_", variant_end(F.col("info"), F.col("pos"), F.col("ref"))
         )
         out = interval_filter(
-            spanned.withColumnRenamed("contig", "contig_q")
-            .withColumnRenamed("pos", "start")
-            .withColumnRenamed("end_", "end")
-            .withColumnRenamed("contig_q", "contig"),
+            spanned.withColumnRenamed("pos", "start").withColumnRenamed("end_", "end"),
             intervals,
         )
         return out.withColumnRenamed("start", "pos").select(*VARIANTS_COLUMNS)

@@ -146,3 +146,31 @@ def test_validation_stringency(spark, tmp_path):
     assert src.read(spark, p, stringency="silent").count() == 2
     with pytest.raises(Exception, match="malformed"):
         src.read(spark, p, stringency="strict").collect()
+
+
+def test_duplicate_aux_tags_last_wins(spark, tmp_path):
+    """Duplicate aux tags follow lenient semantics (last wins), not a
+    DUPLICATED_MAP_KEY crash."""
+    p = tmp_path / "dup.sam"
+    p.write_text(
+        "@HD\tVN:1.6\n"
+        "r1\t0\tchr1\t10\t30\t4M\t*\t0\t0\tACGT\tFFFF\tXA:Z:a\tXA:Z:b\n"
+    )
+    rows = SamSource().read(spark, str(p)).collect()
+    assert rows[0]["attributes"]["XA"] == "Z:b"
+
+
+def test_lenient_malformed_row_roundtrips_full_column_count(spark, tmp_path):
+    """A lenient-kept malformed record writes a full 11-column line with
+    placeholder fields, never a shifted line."""
+    p = tmp_path / "bad.sam"
+    p.write_text(
+        "@HD\tVN:1.6\n"
+        "r1\t0\tchr1\tNOTANUMBER\t30\t4M\t*\t0\t0\tACGT\tFFFF\n"
+    )
+    df = SamSource().read(spark, str(p), stringency="lenient")
+    from disq_original_spark.sources.sam import to_sam_line
+
+    line = df.select(to_sam_line(df).alias("v")).collect()[0]["v"]
+    assert len(line.split("\t")) == 11
+    assert line.split("\t")[3] == "0"  # nulled pos round-trips as placeholder
