@@ -15,6 +15,7 @@ decoder is a one-function change; every schema and plan stays identical.
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -28,6 +29,11 @@ MEDIA_SCHEMA = (
 FEATURE_DIM = 8
 
 FEATURES_SCHEMA = (
+    "media_id long, kind string, n_bytes long, width int, height int, "
+    "features_digest string"
+)
+
+FEATURES_ARRAY_SCHEMA = (
     "media_id long, kind string, n_bytes long, width int, height int, "
     "features array<float>"
 )
@@ -67,11 +73,18 @@ def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feats
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame, as_array: bool = False) -> DataFrame:
     """Arrow-batched feature extraction: one pandas batch in, one out.
     At cluster scale, batch size is bounded by
     spark.sql.execution.arrow.maxRecordsPerBatch — payload bytes stream
-    through Arrow, never through the driver."""
+    through Arrow, never through the driver.
+
+    Default output carries ``features_digest`` — md5 over the
+    6-decimal-rounded feature vector — a scalar fingerprint that downstream
+    exact-dedup / verification passes (and the driver's row canonicalizer)
+    can sort and hash.  ``as_array=True`` keeps the raw ``array<float>``
+    column for library users feeding an ANN index.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -81,13 +94,18 @@ def extract_features(media: DataFrame) -> DataFrame:
                     continue  # NULL payload: skip, as the sibling text passes do
                 payload = bytes(data)
                 w, h, feats = _fake_decode(payload)
-                rows.append((mid, kind, len(payload), w, h, feats))
-            yield pd.DataFrame(
-                rows,
-                columns=["media_id", "kind", "n_bytes", "width", "height", "features"],
-            )
+                if as_array:
+                    rows.append((mid, kind, len(payload), w, h, feats))
+                else:
+                    digest = hashlib.md5(
+                        ",".join(f"{v:.6f}" for v in feats).encode()
+                    ).hexdigest()
+                    rows.append((mid, kind, len(payload), w, h, digest))
+            cols = ["media_id", "kind", "n_bytes", "width", "height"]
+            cols.append("features" if as_array else "features_digest")
+            yield pd.DataFrame(rows, columns=cols)
 
-    return media.mapInPandas(run, FEATURES_SCHEMA)
+    return media.mapInPandas(run, FEATURES_ARRAY_SCHEMA if as_array else FEATURES_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 4) -> DataFrame:

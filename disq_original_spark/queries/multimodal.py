@@ -38,7 +38,8 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
     None,  # decode is a deterministic fake — structural/rows-only check
     doc="Arrow-batched feature extraction over binary payloads "
     "(mapInPandas; deterministic fake decode documented in "
-    "operators/multimodal.py).",
+    "operators/multimodal.py). Emits a scalar features_digest (md5 of the "
+    "rounded vector) so every output column is sortable/hashable.",
 )
 def m02(spark: SparkSession, sf: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf, "documents"))

@@ -29,12 +29,24 @@ def test_feature_extraction_shape_and_determinism(spark, sf_dir):
     rows = feats.collect()
     assert len(rows) == media.count()
     for r in rows[:20]:
-        assert len(r["features"]) == FEATURE_DIM
+        assert len(r["features_digest"]) == 32  # md5 hex of the feature vector
         assert r["n_bytes"] > 0
-        assert all(0.0 <= f <= 1.0 for f in r["features"])
     # deterministic across runs and partitionings
     again = sorted(map(str, extract_features(media.repartition(7)).collect()))
     assert again == sorted(map(str, rows))
+    # array form (library users / ANN feeds) keeps the raw vector
+    arr_rows = extract_features(media, as_array=True).collect()
+    by_id = {r["media_id"]: r for r in arr_rows}
+    for r in arr_rows[:20]:
+        assert len(r["features"]) == FEATURE_DIM
+        assert all(0.0 <= f <= 1.0 for f in r["features"])
+    # digest is the md5 of the rounded array — the two forms agree
+    import hashlib
+
+    for r in rows[:20]:
+        feats_arr = by_id[r["media_id"]]["features"]
+        want = hashlib.md5(",".join(f"{v:.6f}" for v in feats_arr).encode()).hexdigest()
+        assert r["features_digest"] == want
 
 
 def test_frame_sampling_expands_video_rows(spark, sf_dir):
