@@ -36,7 +36,9 @@ class BaiIndex:
 
 
 def parse_bai(path: str | Path) -> BaiIndex:
-    data = Path(path).read_bytes()
+    from .fsio import fs_read_bytes
+
+    data = fs_read_bytes(str(path))
     if data[:4] != BAI_MAGIC:
         raise ValueError(f"not a BAI index: magic {data[:4]!r}")
     (n_ref,) = struct.unpack_from("<i", data, 4)
@@ -95,7 +97,9 @@ def create_bai(bam_path: str | Path) -> str:
     bins: list[dict[int, list[list[int]]]] = [dict() for _ in range(n_ref)]
     linear: list[dict[int, int]] = [dict() for _ in range(n_ref)]
     n_no_coor = 0
-    with open(bam_path, "rb") as fh:
+    from .fsio import fs_open, fs_write_bytes
+
+    with fs_open(str(bam_path)) as fh:
         reader = BgzfReader(fh)
         reader.seek_virtual(first_voffset)
         while True:
@@ -154,5 +158,5 @@ def create_bai(bam_path: str | Path) -> str:
             out += struct.pack("<Q", val)
     out += struct.pack("<Q", n_no_coor)
     path = str(bam_path) + ".bai"
-    Path(path).write_bytes(bytes(out))
+    fs_write_bytes(path, bytes(out))
     return path

@@ -20,10 +20,8 @@ within ~2.5× of the raw single-core codec speed.
 
 from __future__ import annotations
 
-import os
 import struct
 import uuid
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,6 +53,15 @@ from .bgzf import (
     find_next_block,
     make_virtual_offset,
     read_block_header,
+)
+from .fsio import (
+    FileSystem,
+    fs_basename,
+    fs_join,
+    fs_open,
+    fs_size,
+    fs_write_bytes,
+    get_fs,
 )
 from .headers import SamHeader, read_bam_header
 from .merger import merge_parts
@@ -126,7 +133,9 @@ def _block_at(fh, pos: int) -> BgzfBlock | None:
 _TRIM_BYTES = 1 << 22  # drop consumed uncompressed prefix past this size
 
 
-def _read_records_in_chunk(path: str, vstart: int, vend: int, ref_names: list[str]):
+def _read_records_in_chunk(
+    path: str, vstart: int, vend: int, ref_names: list[str], fs: FileSystem | None = None
+):
     """Yield reads-schema rows for records whose start voffset is in
     [vstart, vend).
 
@@ -138,8 +147,10 @@ def _read_records_in_chunk(path: str, vstart: int, vend: int, ref_names: list[st
     so memory stays bounded by a few blocks, not the chunk."""
     from .bam_codec import FIXED_RECORD_BYTES
 
+    if fs is None:
+        fs = get_fs(path)
     c0 = vstart >> 16
-    with open(path, "rb") as fh:
+    with fs.open_input(path) as fh:
         fh.seek(0, 2)
         flen = fh.tell()
         buf = bytearray()
@@ -211,6 +222,7 @@ def records_for_split(
     first_voffset: int,
     sbi_offsets: tuple[int, ...] | None,
     bai_ranges: list[tuple[int, int]] | None = None,
+    fs: FileSystem | None = None,
 ):
     """Yield reads-schema rows for the byte-range split [start, end): map the
     range to a record-aligned virtual-offset chunk (SBI fast path, else
@@ -218,6 +230,8 @@ def records_for_split(
     restricts decoding to the chunk ∩ index-range intersections — the
     reference's removeContentsBefore/After span intersection.  Shared by the
     RDD facade and the Python DataSource."""
+    if fs is None:
+        fs = get_fs(path)
     if sbi_offsets is not None:
         idx = SbiIndex(0, b"", b"", 0, 0, sbi_offsets)
         chunk = idx.chunk_for_split(start, end)
@@ -228,7 +242,7 @@ def records_for_split(
         first_c = first_voffset >> 16
         if end <= first_c:
             return
-        with open(path, "rb") as fh:
+        with fs.open_input(path) as fh:
             if start <= first_c:
                 vstart = first_voffset
             else:
@@ -238,12 +252,12 @@ def records_for_split(
                 vstart = found
         vend = end << 16
     if bai_ranges is None:
-        yield from _read_records_in_chunk(path, vstart, vend, ref_names)
+        yield from _read_records_in_chunk(path, vstart, vend, ref_names, fs)
         return
     for u, v in bai_ranges:
         lo, hi = max(u, vstart), min(v, vend)
         if lo < hi:
-            yield from _read_records_in_chunk(path, lo, hi, ref_names)
+            yield from _read_records_in_chunk(path, lo, hi, ref_names, fs)
 
 
 def _decode_splits_arrow(
@@ -258,8 +272,8 @@ def _decode_splits_arrow(
 
     def split_records(task):
         fi, s, e = task
-        f, refs, nref, fv, sbi, bai = file_params[fi]
-        return records_for_split(f, s, e, refs, nref, fv, sbi, bai)
+        f, refs, nref, fv, sbi, bai, fs = file_params[fi]
+        return records_for_split(f, s, e, refs, nref, fv, sbi, bai, fs)
 
     return rows_to_dataframe(
         spark, split_rows, split_records, READS_COLUMNS, READS_SCHEMA
@@ -282,7 +296,8 @@ class BamSource:
         split_size: int = 128 * 1024 * 1024,
         use_sbi: bool = True,
     ) -> DataFrame:
-        files = _expand_files(path)
+        fs = get_fs(path)
+        files = _expand_files(path, fs)
         # Collect the (tiny) interval list once, not once per input file.
         iv_rows = (
             intervals.select("contig", "start", "end").collect()
@@ -295,9 +310,9 @@ class BamSource:
             header, refs, first_voffset = read_bam_header(f)
             ref_names = [r[0] for r in refs]
             n_ref = len(refs)
-            flen = os.path.getsize(f)
+            flen = fs.size(f)
             sbi_path = f + ".sbi"
-            sbi = SbiIndex.load(sbi_path) if use_sbi and os.path.exists(sbi_path) else None
+            sbi = SbiIndex.load(sbi_path) if use_sbi and fs.exists(sbi_path) else None
             splits = [(s, min(s + split_size, flen)) for s in range(0, flen, split_size)]
             sbi_offsets = sbi.offsets if sbi else None
             # .bai interval pushdown (reference AbstractBinarySamSource.java:
@@ -306,7 +321,7 @@ class BamSource:
             # include_unplaced (the no-coor tail has no index entry; the
             # residual filter then needs the full scan).
             bai_ranges = None
-            if iv_rows is not None and os.path.exists(f + ".bai"):
+            if iv_rows is not None and fs.exists(f + ".bai"):
                 from .bai import parse_bai, voffset_ranges_for_intervals
 
                 name_to_id = {nm: i for i, nm in enumerate(ref_names)}
@@ -318,7 +333,7 @@ class BamSource:
                 bai_ranges = voffset_ranges_for_intervals(parse_bai(f + ".bai"), ivs)
             fi = len(file_params)
             file_params.append(
-                (f, ref_names, n_ref, first_voffset, sbi_offsets, bai_ranges)
+                (f, ref_names, n_ref, first_voffset, sbi_offsets, bai_ranges, fs)
             )
             split_rows.extend((fi, s, e) for s, e in splits)
 
@@ -331,17 +346,17 @@ class BamSource:
 _INDEX_EXTS = (".sbi", ".bai", ".crai", ".tbi", ".csi", ".idx", ".fai")
 
 
-def _expand_files(path: str) -> list[str]:
-    p = Path(path)
-    if p.is_dir():
+def _expand_files(path: str, fs: FileSystem | None = None) -> list[str]:
+    p = str(path)
+    fs = fs or get_fs(p)
+    if fs.isdir(p):
         return [
-            str(f)
-            for f in sorted(p.iterdir())
-            if f.is_file()
-            and not f.name.startswith((".", "_"))
-            and not f.name.endswith(_INDEX_EXTS)
+            f
+            for f in fs.listdir(p)
+            if not fs_basename(f).startswith((".", "_"))
+            and not f.endswith(_INDEX_EXTS)
         ]
-    return [str(p)]
+    return [p]
 
 
 def _norm_attrs(row: dict) -> dict:
@@ -361,21 +376,22 @@ class BamSink:
         refs = header.contigs
         ref_index = {name: i for i, (name, _len) in enumerate(refs)}
         temp_dir = f"{path}.parts-{uuid.uuid4().hex[:8]}"
-        os.makedirs(temp_dir, exist_ok=True)
+        fs = get_fs(path)
+        fs.mkdirs(temp_dir)
 
         def write_partition(pid, rows):
             import uuid as _uuid
 
-            tmp = os.path.join(temp_dir, f".tmp-{_uuid.uuid4().hex}")
+            tmp = fs_join(temp_dir, f".tmp-{_uuid.uuid4().hex}")
             wrote = False
-            with open(tmp, "wb") as fh, BgzfWriter(fh, write_terminator=False) as w:
+            with fs.open_output(tmp) as fh, BgzfWriter(fh, write_terminator=False) as w:
                 for row in rows:
                     wrote = True
                     w.write(encode_record(_norm_attrs(row), ref_index))
             if not wrote:
-                os.remove(tmp)
+                fs.delete(tmp)
                 return
-            os.replace(tmp, os.path.join(temp_dir, f"part-{pid:05d}"))
+            fs.rename(tmp, fs_join(temp_dir, f"part-{pid:05d}"))
 
         from .arrow_xfer import foreach_partition_arrow
 
@@ -391,32 +407,31 @@ class BamSink:
         """One complete BAM (header + records + terminator) per partition in
         directory ``path`` (reference `sam/AnySamSinkMultiple.java:31-74`);
         the directory reads back as one input via ``BamSource.read``."""
-        import shutil
-
         refs = header.contigs
         ref_index = {name: i for i, (name, _len) in enumerate(refs)}
         header_bam = encode_bam_header(header.text, refs)
         header_block = b"".join(
             compress_block(header_bam[i : i + 60000]) for i in range(0, len(header_bam), 60000)
         )
-        shutil.rmtree(path, ignore_errors=True)
-        os.makedirs(path, exist_ok=True)
+        fs = get_fs(path)
+        fs.delete(path, recursive=True)
+        fs.mkdirs(path)
 
         def write_partition(pid, rows):
             import uuid as _uuid
 
             wrote = False
-            tmp = os.path.join(path, f".tmp-{_uuid.uuid4().hex}")
-            with open(tmp, "wb") as fh:
+            tmp = fs_join(path, f".tmp-{_uuid.uuid4().hex}")
+            with fs.open_output(tmp) as fh:
                 fh.write(header_block)
                 with BgzfWriter(fh, write_terminator=True) as w:
                     for row in rows:
                         wrote = True
                         w.write(encode_record(_norm_attrs(row), ref_index))
             if not wrote:
-                os.remove(tmp)
+                fs.delete(tmp)
                 return
-            os.replace(tmp, os.path.join(path, f"part-{pid:05d}.bam"))
+            fs.rename(tmp, fs_join(path, f"part-{pid:05d}.bam"))
 
         from .arrow_xfer import foreach_partition_arrow
 
@@ -432,7 +447,7 @@ def create_sbi(bam_path: str, granularity: int = 4096) -> str:
     ref_names = [r[0] for r in refs]
     offsets = []
     n = 0
-    with open(bam_path, "rb") as fh:
+    with fs_open(bam_path) as fh:
         reader = BgzfReader(fh)
         reader.seek_virtual(first_voffset)
         while True:
@@ -451,7 +466,7 @@ def create_sbi(bam_path: str, granularity: int = 4096) -> str:
             n += 1
     offsets.append(end_v)
     idx = SbiIndex(
-        file_length=os.path.getsize(bam_path),
+        file_length=fs_size(bam_path),
         md5=b"\x00" * 16,
         uuid=b"\x00" * 16,
         total_records=n,
@@ -459,5 +474,5 @@ def create_sbi(bam_path: str, granularity: int = 4096) -> str:
         offsets=tuple(offsets),
     )
     out = bam_path + ".sbi"
-    Path(out).write_bytes(idx.dump())
+    fs_write_bytes(out, idx.dump())
     return out

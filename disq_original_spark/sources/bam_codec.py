@@ -381,7 +381,9 @@ class SbiIndex:
 
     @classmethod
     def load(cls, path: str | Path) -> "SbiIndex":
-        data = Path(path).read_bytes()
+        from .fsio import fs_read_bytes
+
+        data = fs_read_bytes(str(path))
         if data[:4] != SBI_MAGIC:
             raise ValueError(f"{path}: bad SBI magic {data[:4]!r}")
         file_length, = struct.unpack_from("<q", data, 4)

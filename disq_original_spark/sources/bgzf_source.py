@@ -8,23 +8,24 @@ exactly once."""
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
+
+from .fsio import get_fs
 
 
 class BgzfBlockSource:
     def blocks(
         self, spark: SparkSession, path: str, split_size: int = 128 * 1024
     ) -> DataFrame:
-        flen = os.path.getsize(path)
+        fs = get_fs(path)
+        flen = fs.size(path)
         ranges = [(s, min(s + split_size, flen)) for s in range(0, flen, split_size)] or [(0, 0)]
 
         def scan(it):
             from .bgzf import enumerate_blocks
 
             for s, e in it:
-                with open(path, "rb") as fh:
+                with fs.open_input(path) as fh:
                     for b in enumerate_blocks(fh, s, e):
                         yield (path, b.pos, b.c_size, b.u_size)
 

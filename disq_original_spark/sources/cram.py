@@ -23,6 +23,8 @@ from typing import BinaryIO
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .fsio import fs_exists, fs_join, fs_open, fs_size, get_fs
+
 CRAM_MAGIC = b"CRAM"
 FILE_DEFINITION_SIZE = 26
 
@@ -118,7 +120,11 @@ def read_crai_offsets(crai_path: str | Path) -> list[int]:
     container-offset, slice-offset, slice-size) — the reference's indexed
     path (`cram/CramSource.java:123-138`)."""
     offsets = set()
-    with gzip.open(crai_path, "rt") as fh:
+    import io
+
+    with fs_open(str(crai_path)) as raw, io.TextIOWrapper(
+        gzip.GzipFile(fileobj=raw)
+    ) as fh:
         for line in fh:
             parts = line.split("\t")
             if len(parts) >= 4:
@@ -149,7 +155,7 @@ class CramSource:
     and distributed record decode via the pure-Python codec."""
 
     def containers(self, spark: SparkSession, path: str) -> DataFrame:
-        with open(path, "rb") as fh:
+        with fs_open(path) as fh:
             cs = enumerate_containers(fh)
         return spark.createDataFrame(
             [
@@ -161,15 +167,13 @@ class CramSource:
         )
 
     def plan_splits(self, path: str, split_size: int = 1 << 20) -> list[tuple[int, int]]:
-        import os
-
         crai = path + ".crai"
-        if Path(crai).exists():
+        if fs_exists(crai):
             offsets = read_crai_offsets(crai)
         else:
-            with open(path, "rb") as fh:
+            with fs_open(path) as fh:
                 offsets = [c.offset for c in enumerate_containers(fh) if not c.is_eof and c.n_records > 0]
-        return snap_splits_to_containers(offsets, os.path.getsize(path), split_size)
+        return snap_splits_to_containers(offsets, fs_size(path), split_size)
 
     def read(
         self,
@@ -192,17 +196,16 @@ class CramSource:
             return spark.createDataFrame([], READS_SCHEMA)
         # extend each chunk to the next chunk's start (or EOF) so every
         # container body is fully inside exactly one task's range
-        import os
-
-        flen = os.path.getsize(path)
+        fs = get_fs(path)
+        flen = fs.size(path)
         bounds = [c[0] for c in chunks] + [flen]
         ranges = [(bounds[i], bounds[i + 1]) for i in range(len(chunks))]
 
-        def decode_range(task, _path=path, _meta=meta, _ref=reference_path):
+        def decode_range(task, _path=path, _meta=meta, _ref=reference_path, _fs=fs):
             s, e = task
             fasta = IndexedFasta(_ref) if _ref else None
             getter = fasta.get if fasta else None
-            with open(_path, "rb") as fh:
+            with _fs.open_input(_path) as fh:
                 fh.seek(s)
                 data = fh.read(e - s)
             pos = 0
@@ -232,7 +235,6 @@ class CramSink:
         reference_path: str | None = None,
         version: tuple[int, int] = (2, 1),
     ) -> None:
-        import os
         import uuid
 
         from pyspark.sql import functions as F
@@ -253,7 +255,8 @@ class CramSink:
         ref_names, rg_ids = header_ref_and_rg_names(header_text)
 
         temp_dir = f"{path}.parts-{uuid.uuid4().hex[:8]}"
-        os.makedirs(temp_dir, exist_ok=True)
+        fs = get_fs(path)
+        fs.mkdirs(temp_dir)
 
         def write_partition(pid, rows_iter, _refs=ref_names, _rgs=rg_ids, _ref=reference_path):
             from .bam import _norm_attrs
@@ -263,10 +266,10 @@ class CramSink:
                 return
             fasta = IndexedFasta(_ref) if _ref else None
             data = encode_container(rows, _refs, _rgs, fasta, major)
-            tmp = os.path.join(temp_dir, f".tmp-{uuid.uuid4().hex}")
-            with open(tmp, "wb") as fh:
+            tmp = fs_join(temp_dir, f".tmp-{uuid.uuid4().hex}")
+            with fs.open_output(tmp) as fh:
                 fh.write(data)
-            os.replace(tmp, os.path.join(temp_dir, f"part-{pid:05d}"))
+            fs.rename(tmp, fs_join(temp_dir, f"part-{pid:05d}"))
 
         from .arrow_xfer import foreach_partition_arrow
 

@@ -471,16 +471,18 @@ class IndexedFasta:
     """Minimal .fai-indexed FASTA reader (driver- or executor-side)."""
 
     def __init__(self, path: str | Path):
+        from .fsio import fs_exists, fs_open_text, fs_read_bytes
+
         self.path = str(path)
         self.index: list[tuple[str, int, int, int, int]] = []
-        fai = Path(str(path) + ".fai")
-        if fai.exists():
-            for line in fai.read_text().splitlines():
+        fai = str(path) + ".fai"
+        if fs_exists(fai):
+            for line in fs_read_bytes(fai).decode().splitlines():
                 name, ln, off, lb, lw = line.split("\t")[:5]
                 self.index.append((name, int(ln), int(off), int(lb), int(lw)))
         else:  # build in memory
             name, seqs, order = None, {}, []
-            with open(path) as fh:
+            with fs_open_text(self.path) as fh:
                 for line in fh:
                     if line.startswith(">"):
                         name = line[1:].split()[0]
@@ -500,8 +502,10 @@ class IndexedFasta:
         name, ln, off, lb, lw = self.index[idx]
         if self._mem is not None:
             return self._mem[name]
+        from .fsio import fs_open
+
         nlines = (ln + lb - 1) // lb
-        with open(self.path, "rb") as fh:
+        with fs_open(self.path) as fh:
             fh.seek(off)
             raw = fh.read(ln + nlines * (lw - lb))
         return raw.replace(b"\n", b"").replace(b"\r", b"")[:ln].upper()
@@ -913,7 +917,9 @@ def read_cram_meta(data: bytes) -> tuple[CramFileMeta, int]:
 def read_cram_meta_file(path: str | Path) -> tuple[CramFileMeta, int]:
     """Like ``read_cram_meta`` but reads exactly the bytes needed from
     ``path`` (the SAM-header container can exceed any fixed guess)."""
-    with open(path, "rb") as fh:
+    from .fsio import fs_open
+
+    with fs_open(str(path)) as fh:
         head = fh.read(4096)
         if head[:4] != CRAM_MAGIC:
             raise ValueError("not a CRAM file")
@@ -1020,7 +1026,9 @@ def decode_container(
 def decode_cram(path: str | Path, reference_path: str | Path | None = None) -> list[dict]:
     """Decode a whole CRAM file into reads-schema rows (driver-side utility;
     the Spark path decodes per-container in executors)."""
-    data = Path(path).read_bytes()
+    from .fsio import fs_read_bytes
+
+    data = fs_read_bytes(str(path))
     meta, pos = read_cram_meta(data)
     fasta = IndexedFasta(reference_path) if reference_path else None
     ref_getter = fasta.get if fasta else None

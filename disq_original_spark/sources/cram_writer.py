@@ -500,7 +500,9 @@ def write_cram(
     ref_names, rg_ids = header_ref_and_rg_names(header_text)
     fasta = IndexedFasta(reference_path) if reference_path else None
     major, minor = version
-    with open(path, "wb") as fh:
+    from .fsio import fs_output
+
+    with fs_output(str(path)) as fh:
         fh.write(file_definition(major=major, minor=minor))
         fh.write(encode_file_header_container(header_text, major))
         for i in range(0, len(rows), records_per_container):

@@ -29,13 +29,13 @@ codegen — strictly faster than yielding rows from Python.
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from .bam import READS_SCHEMA, _expand_files, records_for_split
 from .bam_codec import SbiIndex
+from .fsio import get_fs
 from .headers import read_bam_header
 from .sam import READS_COLUMNS
 
@@ -115,22 +115,25 @@ class BamDataSourceReader(DataSourceReader):
         self.intervals = (
             [(c, int(s), int(e)) for c, s, e in json.loads(iv)] if iv else None
         )
+        # resolved driver-side; the pickled reader carries it to executors
+        self.fs = get_fs(self.path)
 
     def partitions(self):
         parts: list[BamInputPartition] = []
-        for f in _expand_files(self.path):
+        fs = self.fs
+        for f in _expand_files(self.path, fs):
             _header, refs, first_voffset = read_bam_header(f)
             ref_names = tuple(r[0] for r in refs)
-            flen = os.path.getsize(f)
+            flen = fs.size(f)
             sbi_path = f + ".sbi"
             sbi = (
                 SbiIndex.load(sbi_path)
-                if self.use_sbi and os.path.exists(sbi_path)
+                if self.use_sbi and fs.exists(sbi_path)
                 else None
             )
             offsets = tuple(sbi.offsets) if sbi else None
             bai_ranges = None
-            if self.intervals is not None and os.path.exists(f + ".bai"):
+            if self.intervals is not None and fs.exists(f + ".bai"):
                 from .bai import parse_bai, voffset_ranges_for_intervals
 
                 name_to_id = {nm: i for i, nm in enumerate(ref_names)}
@@ -168,6 +171,7 @@ class BamDataSourceReader(DataSourceReader):
                 partition.first_voffset,
                 partition.sbi_offsets,
                 list(partition.bai_ranges) if partition.bai_ranges else None,
+                fs=self.fs,
             )
         )
 
@@ -205,6 +209,7 @@ class CramDataSourceReader(DataSourceReader):
             raise ValueError("cram source requires a path: .load('/path/to.cram')")
         self.reference = options.get("reference")
         self.split_size = int(options.get("splitsize", 1 << 20))
+        self.fs = get_fs(self.path)
 
     def partitions(self):
         from .cram import CramSource
@@ -212,7 +217,7 @@ class CramDataSourceReader(DataSourceReader):
         chunks = CramSource().plan_splits(self.path, self.split_size)
         if not chunks:
             return [CramInputPartition(self.path, 0, 0)]
-        flen = os.path.getsize(self.path)
+        flen = self.fs.size(self.path)
         bounds = [c[0] for c in chunks] + [flen]
         return [
             CramInputPartition(self.path, bounds[i], bounds[i + 1])
@@ -227,7 +232,7 @@ class CramDataSourceReader(DataSourceReader):
 
         def rows():
             meta, _ = read_cram_meta_file(partition.path)
-            with open(partition.path, "rb") as fh:
+            with self.fs.open_input(partition.path) as fh:
                 fh.seek(partition.start)
                 data = fh.read(partition.end - partition.start)
             getter = IndexedFasta(self.reference).get if self.reference else None

@@ -1,0 +1,396 @@
+"""Pluggable filesystem layer for the custom source/sink stack.
+
+Reference parity: ``file/FileSystemWrapper.java:16-49`` abstracts every byte
+of non-Spark IO (open / size / exists / listing / rename / concat) behind one
+interface with Hadoop and NIO implementations, precisely so BAM/CRAM/VCF on
+s3/gs/hdfs works.  This module is the Python equivalent:
+
+- ``LocalFileSystem`` — plain ``open``/``os``; the default, zero overhead.
+- ``ArrowFileSystem`` — wraps ``pyarrow.fs.FileSystem.from_uri`` (public
+  Arrow bridge to s3:// gs:// hdfs://); resolved lazily so cloud schemes
+  work wherever pyarrow has the connector.
+- ``MappedFileSystem`` — a registrable scheme that maps URIs onto a local
+  root.  Used by tests as a *fake remote store*: any code path that bypasses
+  the wrapper and calls ``open("mock://...")`` fails immediately, which is
+  what proves the routing is complete.  It also implements the ``concat``
+  fast path (the analog of HDFS ``FileSystem.concat`` / object-store
+  multipart compose, reference ``file/HadoopFileSystemWrapper.java:86-121``).
+
+Filesystem instances are small and picklable; source planning resolves the
+FS once on the driver and captures it in task closures — the same shape as
+the reference serializing its ``FileSystemWrapper`` into Spark tasks.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import posixpath
+import shutil
+from urllib.parse import urlsplit
+
+_COPY_BUF = 8 * 1024 * 1024
+
+
+class FileSystem:
+    """Interface: every method takes/returns full URIs (scheme included)."""
+
+    def open_input(self, path: str):  # seekable binary reader
+        raise NotImplementedError
+
+    def open_output(self, path: str):  # binary writer (parent must exist)
+        raise NotImplementedError
+
+    def size(self, path: str) -> int:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def isdir(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def listdir(self, path: str) -> list[str]:
+        """Sorted full-URI *files* directly under ``path`` (non-recursive —
+        the reference's directory-input contract, README.md:81-92)."""
+        raise NotImplementedError
+
+    def mkdirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        raise NotImplementedError
+
+    def rename(self, src: str, dst: str) -> None:
+        """Atomic replace within one store (both URIs on this filesystem)."""
+        raise NotImplementedError
+
+    def concat(self, parts: list[str], dst: str) -> bool:
+        """Fast-path concatenation (HDFS concat / multipart compose).
+        Return False when unsupported — caller falls back to a stream copy
+        through ``open_output`` (the reference's universal fallback)."""
+        return False
+
+    # -- conveniences shared by all implementations --
+
+    def read_bytes(self, path: str) -> bytes:
+        with self.open_input(path) as fh:
+            return fh.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        with self.open_output(path) as fh:
+            fh.write(data)
+
+    def open_text(self, path: str, encoding: str = "utf-8"):
+        return io.TextIOWrapper(self.open_input(path), encoding=encoding)
+
+
+class LocalFileSystem(FileSystem):
+    """Default: the plain OS filesystem (no scheme, or file://)."""
+
+    @staticmethod
+    def _strip(path: str) -> str:
+        return path[7:] if path.startswith("file://") else path
+
+    def open_input(self, path: str):
+        return open(self._strip(path), "rb")
+
+    def open_output(self, path: str):
+        return open(self._strip(path), "wb")
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(self._strip(path))
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._strip(path))
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(self._strip(path))
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._strip(path)
+        return sorted(
+            os.path.join(p, name)
+            for name in os.listdir(p)
+            if os.path.isfile(os.path.join(p, name))
+        )
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(self._strip(path), exist_ok=True)
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        p = self._strip(path)
+        if recursive and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.remove(p)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.replace(self._strip(src), self._strip(dst))
+
+
+class ArrowFileSystem(FileSystem):
+    """Cloud stores via ``pyarrow.fs`` (s3://, gs://, hdfs://, ...).
+
+    The pyarrow FileSystem is resolved lazily from the scheme so instances
+    stay picklable and executors re-resolve with their own credentials —
+    mirroring the reference's per-task Hadoop ``FileSystem.get``.
+    """
+
+    def __init__(self, scheme: str):
+        self.scheme = scheme
+        self._fs = None
+
+    def __getstate__(self):
+        return {"scheme": self.scheme}
+
+    def __setstate__(self, state):
+        self.scheme = state["scheme"]
+        self._fs = None
+        # executor-side: a deserialized FS makes its scheme resolvable for
+        # helper code that calls get_fs() instead of receiving the instance.
+        # Last-unpickled wins: reused workers must not keep a stale mapping.
+        _REGISTRY[self.scheme] = self
+
+    def _resolve(self, path: str):
+        if self._fs is None:
+            from pyarrow import fs as pafs
+
+            self._fs, _ = pafs.FileSystem.from_uri(path)
+        return self._fs, urlsplit(path).netloc + urlsplit(path).path
+
+    def open_input(self, path: str):
+        fs, p = self._resolve(path)
+        return fs.open_input_file(p)
+
+    def open_output(self, path: str):
+        fs, p = self._resolve(path)
+        return fs.open_output_stream(p)
+
+    def size(self, path: str) -> int:
+        fs, p = self._resolve(path)
+        return fs.get_file_info(p).size
+
+    def exists(self, path: str) -> bool:
+        from pyarrow import fs as pafs
+
+        fs, p = self._resolve(path)
+        return fs.get_file_info(p).type != pafs.FileType.NotFound
+
+    def isdir(self, path: str) -> bool:
+        from pyarrow import fs as pafs
+
+        fs, p = self._resolve(path)
+        return fs.get_file_info(p).type == pafs.FileType.Directory
+
+    def listdir(self, path: str) -> list[str]:
+        from pyarrow import fs as pafs
+
+        fs, p = self._resolve(path)
+        sel = pafs.FileSelector(p, recursive=False)
+        return sorted(
+            f"{self.scheme}://{info.path}"
+            for info in fs.get_file_info(sel)
+            if info.type == pafs.FileType.File
+        )
+
+    def mkdirs(self, path: str) -> None:
+        fs, p = self._resolve(path)
+        fs.create_dir(p, recursive=True)
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        from pyarrow import fs as pafs
+
+        fs, p = self._resolve(path)
+        info = fs.get_file_info(p)
+        if info.type == pafs.FileType.NotFound:
+            return
+        if info.type == pafs.FileType.Directory:
+            fs.delete_dir(p)
+        else:
+            fs.delete_file(p)
+
+    def rename(self, src: str, dst: str) -> None:
+        fs, s = self._resolve(src)
+        _, d = self._resolve(dst)
+        fs.move(s, d)
+
+
+class MappedFileSystem(FileSystem):
+    """URIs under ``scheme://`` mapped onto a local root directory.
+
+    The test double for a remote store: proves wrapper-routing completeness
+    (bypassing ``open()`` on a mapped URI raises) and exercises the concat
+    fast path that a real object store implements as multipart compose.
+    Picklable (scheme + root strings), so task closures carry it to
+    executors.
+    """
+
+    def __init__(self, scheme: str, root: str):
+        self.scheme = scheme
+        self.root = root
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        _REGISTRY[self.scheme] = self
+
+    def _map(self, path: str) -> str:
+        parts = urlsplit(path)
+        if parts.scheme != self.scheme:
+            raise ValueError(f"{path!r} is not a {self.scheme}:// URI")
+        rel = (parts.netloc + parts.path).lstrip("/")
+        return os.path.join(self.root, rel)
+
+    def _unmap(self, local: str) -> str:
+        rel = os.path.relpath(local, self.root)
+        return f"{self.scheme}://{rel}"
+
+    def open_input(self, path: str):
+        return open(self._map(path), "rb")
+
+    def open_output(self, path: str):
+        local = self._map(path)
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        return open(local, "wb")
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(self._map(path))
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(self._map(path))
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(self._map(path))
+
+    def listdir(self, path: str) -> list[str]:
+        p = self._map(path)
+        return sorted(
+            self._unmap(os.path.join(p, name))
+            for name in os.listdir(p)
+            if os.path.isfile(os.path.join(p, name))
+        )
+
+    def mkdirs(self, path: str) -> None:
+        os.makedirs(self._map(path), exist_ok=True)
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        p = self._map(path)
+        if recursive and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.remove(p)
+
+    def rename(self, src: str, dst: str) -> None:
+        d = self._map(dst)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        os.replace(self._map(src), d)
+
+    def concat(self, parts: list[str], dst: str) -> bool:
+        # compose fast path: server-side concat on a real store; here the
+        # local emulation that lets tests cover the branch
+        d = self._map(dst)
+        os.makedirs(os.path.dirname(d), exist_ok=True)
+        tmp = d + ".compose"
+        with open(tmp, "wb") as out:
+            for part in parts:
+                with open(self._map(part), "rb") as src:
+                    shutil.copyfileobj(src, out, _COPY_BUF)
+        os.replace(tmp, d)
+        return True
+
+
+_LOCAL = LocalFileSystem()
+_REGISTRY: dict[str, FileSystem] = {}
+_CLOUD_SCHEMES = ("s3", "s3a", "gs", "gcs", "hdfs", "abfs", "abfss")
+
+
+def register_filesystem(scheme: str, fs: FileSystem) -> None:
+    """Register a FileSystem for ``scheme://`` URIs (driver-side; the
+    instance rides into task closures, so it must be picklable)."""
+    _REGISTRY[scheme] = fs
+
+
+def unregister_filesystem(scheme: str) -> None:
+    _REGISTRY.pop(scheme, None)
+
+
+def get_fs(path: str) -> FileSystem:
+    """Resolve the filesystem owning ``path`` by URI scheme.  Windows drive
+    letters and scheme-less paths resolve to the local filesystem."""
+    scheme = urlsplit(str(path)).scheme
+    if not scheme or len(scheme) == 1 or scheme == "file":
+        return _LOCAL
+    if scheme in _REGISTRY:
+        return _REGISTRY[scheme]
+    if scheme in _CLOUD_SCHEMES:
+        fs = ArrowFileSystem(scheme)
+        _REGISTRY[scheme] = fs
+        return fs
+    raise ValueError(
+        f"no filesystem registered for scheme {scheme!r} "
+        f"(register_filesystem({scheme!r}, ...) or use a local path)"
+    )
+
+
+# -- path helpers (URI-safe; Path() breaks 'scheme://' prefixes) --
+
+
+def fs_join(dir_path: str, name: str) -> str:
+    if urlsplit(str(dir_path)).scheme in ("", "file"):
+        return os.path.join(str(dir_path), name)
+    return posixpath.join(str(dir_path), name)
+
+
+def fs_basename(path: str) -> str:
+    return posixpath.basename(urlsplit(str(path)).path) or os.path.basename(str(path))
+
+
+# -- module-level conveniences over get_fs --
+
+
+def fs_open(path: str):
+    return get_fs(path).open_input(str(path))
+
+
+def fs_output(path: str):
+    return get_fs(path).open_output(str(path))
+
+
+def fs_open_text(path: str, encoding: str = "utf-8"):
+    return get_fs(path).open_text(str(path), encoding)
+
+
+def fs_size(path: str) -> int:
+    return get_fs(path).size(str(path))
+
+
+def fs_exists(path: str) -> bool:
+    return get_fs(path).exists(str(path))
+
+
+def fs_isdir(path: str) -> bool:
+    return get_fs(path).isdir(str(path))
+
+
+def fs_listdir(path: str) -> list[str]:
+    return get_fs(path).listdir(str(path))
+
+
+def fs_mkdirs(path: str) -> None:
+    get_fs(path).mkdirs(str(path))
+
+
+def fs_delete(path: str, recursive: bool = False) -> None:
+    get_fs(path).delete(str(path), recursive)
+
+
+def fs_rename(src: str, dst: str) -> None:
+    get_fs(src).rename(str(src), str(dst))
+
+
+def fs_read_bytes(path: str) -> bytes:
+    return get_fs(path).read_bytes(str(path))
+
+
+def fs_write_bytes(path: str, data: bytes) -> None:
+    get_fs(path).write_bytes(str(path), data)

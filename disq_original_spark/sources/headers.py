@@ -10,6 +10,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 
 from .bgzf import BgzfReader, is_bgzf
+from .fsio import fs_basename, fs_open, fs_open_text, get_fs
 
 
 @dataclass
@@ -44,16 +45,17 @@ class SamHeader:
         return cls(text=text, contigs=contigs)
 
 
-def first_file_in(path: str | Path) -> Path:
+def first_file_in(path: str | Path) -> str:
     """A path may be a directory of same-header files (non-recursive),
     reference `HtsjdkReadsRddStorage.java:150-156`; pick the
-    lexicographically first part-like file."""
-    p = Path(path)
-    if not p.is_dir():
+    lexicographically first part-like file.  All IO goes through the
+    pluggable filesystem layer (``fsio``) so directory inputs work on any
+    registered scheme."""
+    p = str(path)
+    fs = get_fs(p)
+    if not fs.isdir(p):
         return p
-    files = sorted(
-        f for f in p.iterdir() if f.is_file() and not f.name.startswith((".", "_"))
-    )
+    files = [f for f in fs.listdir(p) if not fs_basename(f).startswith((".", "_"))]
     if not files:
         raise FileNotFoundError(f"no files in directory {p}")
     return files[0]
@@ -62,7 +64,7 @@ def first_file_in(path: str | Path) -> Path:
 def read_sam_header_text(path: str | Path) -> str:
     """Header of a text SAM file: leading '@' lines."""
     lines = []
-    with open(first_file_in(path), "rt") as fh:
+    with fs_open_text(first_file_in(path)) as fh:
         for line in fh:
             if not line.startswith("@"):
                 break
@@ -74,7 +76,7 @@ def read_bam_header(path: str | Path) -> tuple[SamHeader, list[tuple[str, int]],
     """Parse a BAM header block (BAM spec §4.2): returns (header, refs,
     first_record_voffset).  refs is the binary reference list — the
     authoritative refID→name mapping."""
-    with open(first_file_in(path), "rb") as fh:
+    with fs_open(first_file_in(path)) as fh:
         r = BgzfReader(fh)
         magic = r.read(4)
         if magic != b"BAM\x01":
@@ -98,7 +100,7 @@ def read_vcf_header_text(path: str | Path) -> str:
     """Header of a VCF (plain, gzip, or BGZF): leading '#' lines
     (reference gunzips to read the header, `VcfSource.java:80-86`)."""
     p = first_file_in(path)
-    with open(p, "rb") as fh:
+    with fs_open(p) as fh:
         if is_bgzf(fh):
             data = bytearray()
             r = BgzfReader(fh)
@@ -111,8 +113,8 @@ def read_vcf_header_text(path: str | Path) -> str:
                 if b"\n#CHROM" in data and data.rfind(b"\n", data.find(b"\n#CHROM") + 1) != -1:
                     break
             raw = bytes(data)
-        elif p.suffix == ".gz":
-            with gzip.open(p, "rb") as gz:
+        elif p.endswith(".gz"):
+            with gzip.GzipFile(fileobj=fh) as gz:
                 raw = gz.read()
         else:
             raw = fh.read()

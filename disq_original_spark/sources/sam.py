@@ -17,7 +17,6 @@ map tag → "TYPE:VALUE" preserving order, so write(read(x)) is lossless.
 from __future__ import annotations
 
 import uuid
-from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -217,31 +216,28 @@ class SamSink:
         merge_parts(temp_dir, path, header=header.text.encode())
 
     def write_sharded(self, df: DataFrame, header: SamHeader, path: str) -> None:
-        header_b64 = header.text
-        out_dir = Path(path)
+        from .fsio import fs_join, get_fs
+
+        header_text = header.text
+        fs = get_fs(path)
 
         def write_partition(pid, rows):
-            import os
             import uuid as _uuid
 
-            out_dir_s = str(out_dir)
-            os.makedirs(out_dir_s, exist_ok=True)
-            tmp = os.path.join(out_dir_s, f".tmp-{_uuid.uuid4().hex}")
+            tmp = fs_join(path, f".tmp-{_uuid.uuid4().hex}")
             wrote = False
-            with open(tmp, "wt") as fh:
-                fh.write(header_b64)
+            with fs.open_output(tmp) as fh:
+                fh.write(header_text.encode())
                 for row in rows:  # stream: never materialize the partition
                     wrote = True
-                    fh.write(row["value"] + "\n")
+                    fh.write((row["value"] + "\n").encode())
             if not wrote:
-                os.remove(tmp)
+                fs.delete(tmp)
                 return
-            os.replace(tmp, os.path.join(out_dir_s, f"part-{pid:05d}.sam"))
+            fs.rename(tmp, fs_join(path, f"part-{pid:05d}.sam"))
 
-        import shutil
-
-        shutil.rmtree(out_dir, ignore_errors=True)
-        out_dir.mkdir(parents=True, exist_ok=True)
+        fs.delete(path, recursive=True)
+        fs.mkdirs(path)
         from .arrow_xfer import foreach_partition_arrow
 
         foreach_partition_arrow(

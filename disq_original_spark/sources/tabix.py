@@ -53,7 +53,9 @@ def reg2bins(beg: int, end: int) -> list[int]:
 
 
 def parse_tabix(path: str | Path) -> TabixIndex:
-    data = gzip.decompress(Path(path).read_bytes())
+    from .fsio import fs_read_bytes
+
+    data = gzip.decompress(fs_read_bytes(str(path)))
     if data[:4] != TBI_MAGIC:
         raise ValueError(f"not a tabix index: magic {data[:4]!r}")
     (n_ref, fmt, col_seq, col_beg, col_end, meta, skip, l_nm) = struct.unpack_from(

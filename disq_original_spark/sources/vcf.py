@@ -21,12 +21,12 @@ genotypes.  Conventions: ``id``/``qual`` NULL for '.'; ``filters`` NULL for
 from __future__ import annotations
 
 import uuid
-from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.interval import interval_filter
+from .fsio import fs_basename, fs_exists, fs_join, fs_open, get_fs
 from .headers import read_vcf_header_text, vcf_sample_names
 from .merger import merge_parts
 
@@ -126,7 +126,7 @@ class VcfSource:
         header_text = read_vcf_header_text(path)
         samples = vcf_sample_names(header_text)
 
-        with open(_first(path), "rb") as fh:
+        with fs_open(_first(path)) as fh:
             bgzf = is_bgzf(fh)
         if bgzf:
             # tabix split pruning: with intervals + a .tbi, drop byte-range
@@ -134,7 +134,7 @@ class VcfSource:
             # (reference `vcf/VcfSource.java:143-168`)
             ranges = None
             tbi = str(_first(path)) + ".tbi"
-            if intervals is not None and Path(tbi).exists():
+            if intervals is not None and fs_exists(tbi):
                 from .tabix import file_ranges_for_intervals, parse_tabix
 
                 ivs = [
@@ -187,22 +187,20 @@ def _read_bgzf_lines(
     is on a shared store and the open goes through the cluster filesystem.
     ``index_ranges`` (from the tabix index) prunes whole splits driver-side.
     """
-    import os
-
     from pyspark.sql.types import StringType, StructField, StructType
 
-    pp = Path(path)
-    if pp.is_dir():
+    fs = get_fs(path)
+    if fs.isdir(path):
         files = [
-            str(f)
-            for f in sorted(pp.iterdir())
-            if f.is_file() and not f.name.startswith((".", "_")) and not f.name.endswith(".tbi")
+            f
+            for f in fs.listdir(path)
+            if not fs_basename(f).startswith((".", "_")) and not f.endswith(".tbi")
         ]
     else:
-        files = [str(pp)]
+        files = [str(path)]
     ranges: list[tuple[str, int, int]] = []
     for f in files:
-        flen = os.path.getsize(f)
+        flen = fs.size(f)
         fr = [(s, min(s + split_size, flen)) for s in range(0, flen, split_size)]
         if index_ranges is not None and len(files) == 1:
             from .tabix import prune_splits
@@ -216,7 +214,7 @@ def _read_bgzf_lines(
         from .bgzf import iter_lines_in_range
 
         f, s, e = task
-        with open(f, "rb") as fh:
+        with fs.open_input(f) as fh:
             for line in iter_lines_in_range(fh, s, e):
                 yield {"value": line.decode("utf-8", "replace")}
 
@@ -296,26 +294,24 @@ class VcfSink:
             merge_parts(temp_dir, path, header=header_text.encode())
             return
 
-        import os
-
-        os.makedirs(temp_dir, exist_ok=True)
+        fs = get_fs(path)
+        fs.mkdirs(temp_dir)
 
         def write_partition(pid, rows):
-            import os as _os
             import uuid as _uuid
 
             from .bgzf import BgzfWriter
 
-            tmp = os.path.join(temp_dir, f".tmp-{_uuid.uuid4().hex}")
+            tmp = fs_join(temp_dir, f".tmp-{_uuid.uuid4().hex}")
             wrote = False
-            with open(tmp, "wb") as fh, BgzfWriter(fh, write_terminator=False) as w:
+            with fs.open_output(tmp) as fh, BgzfWriter(fh, write_terminator=False) as w:
                 for row in rows:
                     wrote = True
                     w.write(row["value"].encode() + b"\n")
             if not wrote:
-                _os.remove(tmp)
+                fs.delete(tmp)
                 return
-            _os.replace(tmp, _os.path.join(temp_dir, f"part-{pid:05d}"))
+            fs.rename(tmp, fs_join(temp_dir, f"part-{pid:05d}"))
 
         from .arrow_xfer import foreach_partition_arrow
 
@@ -339,14 +335,12 @@ class VcfSink:
         """One complete VCF per partition in directory ``path`` (reference
         `vcf/VcfSinkMultiple.java:12-45`); BGZF-compressed when the directory
         name ends in .bgz/.gz (e.g. out.vcf.bgz.sharded)."""
-        import os
-        import shutil
-
         samples = sample_names if sample_names is not None else vcf_sample_names(header_text)
         lines = df.select(to_vcf_line(samples).alias("value"))
-        compressed = ".bgz" in Path(path).name or ".gz" in Path(path).name
-        shutil.rmtree(path, ignore_errors=True)
-        os.makedirs(path, exist_ok=True)
+        compressed = ".bgz" in fs_basename(path) or ".gz" in fs_basename(path)
+        fs = get_fs(path)
+        fs.delete(path, recursive=True)
+        fs.mkdirs(path)
 
         def write_partition(pid, rows):
             import uuid as _uuid
@@ -354,24 +348,24 @@ class VcfSink:
             from .bgzf import BgzfWriter
 
             wrote = False
-            tmp = os.path.join(path, f".tmp-{_uuid.uuid4().hex}")
+            tmp = fs_join(path, f".tmp-{_uuid.uuid4().hex}")
             if compressed:
-                with open(tmp, "wb") as fh, BgzfWriter(fh, write_terminator=True) as w:
+                with fs.open_output(tmp) as fh, BgzfWriter(fh, write_terminator=True) as w:
                     w.write(header_text.encode())
                     for row in rows:
                         wrote = True
                         w.write(row["value"].encode() + b"\n")
             else:
-                with open(tmp, "wt") as fh:
-                    fh.write(header_text)
+                with fs.open_output(tmp) as fh:
+                    fh.write(header_text.encode())
                     for row in rows:
                         wrote = True
-                        fh.write(row["value"] + "\n")
+                        fh.write(row["value"].encode() + b"\n")
             if not wrote:
-                os.remove(tmp)
+                fs.delete(tmp)
                 return
             ext = ".vcf.bgz" if compressed else ".vcf"
-            os.replace(tmp, os.path.join(path, f"part-{pid:05d}{ext}"))
+            fs.rename(tmp, fs_join(path, f"part-{pid:05d}{ext}"))
 
         from .arrow_xfer import foreach_partition_arrow
 

@@ -1,0 +1,143 @@
+"""Pluggable-filesystem layer: every custom source/sink routes its IO
+through ``fsio`` (reference parity: `file/FileSystemWrapper.java:16-49`).
+
+The ``mock://`` scheme (``MappedFileSystem``) is a fake remote store mapped
+onto a temp dir: any code path that bypasses the wrapper and calls plain
+``open("mock://...")`` fails immediately, so a passing end-to-end read/write
+on mock URIs proves routing completeness — including on executors, where
+the FS instance arrives via the task closure."""
+
+from __future__ import annotations
+
+import shutil
+from pathlib import Path
+
+import pytest
+
+from disq_original_spark.sources.fsio import (
+    ArrowFileSystem,
+    LocalFileSystem,
+    MappedFileSystem,
+    get_fs,
+    register_filesystem,
+    unregister_filesystem,
+)
+
+RES = "/root/reference/src/test/resources"
+
+
+@pytest.fixture()
+def mock_fs(tmp_path):
+    fs = MappedFileSystem("mock", str(tmp_path))
+    register_filesystem("mock", fs)
+    yield fs
+    unregister_filesystem("mock")
+
+
+def _stage(tmp_root: str, *names: str) -> None:
+    for name in names:
+        shutil.copy(f"{RES}/{name}", Path(tmp_root) / name)
+
+
+def test_get_fs_resolution(tmp_path):
+    assert isinstance(get_fs("/plain/path"), LocalFileSystem)
+    assert isinstance(get_fs("file:///plain/path"), LocalFileSystem)
+    assert isinstance(get_fs("s3://bucket/key"), ArrowFileSystem)
+    with pytest.raises(ValueError, match="no filesystem registered"):
+        get_fs("bogus://x/y")
+
+
+def test_mapped_fs_basics(mock_fs, tmp_path):
+    mock_fs.write_bytes("mock://a/b.bin", b"hello")
+    assert mock_fs.exists("mock://a/b.bin")
+    assert mock_fs.size("mock://a/b.bin") == 5
+    assert mock_fs.read_bytes("mock://a/b.bin") == b"hello"
+    assert mock_fs.listdir("mock://a") == ["mock://a/b.bin"]
+    mock_fs.rename("mock://a/b.bin", "mock://a/c.bin")
+    assert not mock_fs.exists("mock://a/b.bin")
+    # bypassing the wrapper on a mapped URI must fail — that's the proof
+    with pytest.raises(OSError):
+        open("mock://a/c.bin", "rb")
+
+
+def test_merge_parts_uses_concat_fast_path(mock_fs):
+    from disq_original_spark.sources.merger import merge_parts
+
+    mock_fs.write_bytes("mock://t/part-00000", b"AAA")
+    mock_fs.write_bytes("mock://t/part-00001", b"BBB")
+    mock_fs.write_bytes("mock://t/.hidden", b"XXX")  # ignored (Hadoop convention)
+    merge_parts("mock://t", "mock://out.bin", header=b"H:", terminator=b":T")
+    assert mock_fs.read_bytes("mock://out.bin") == b"H:AAABBB:T"
+    assert not mock_fs.exists("mock://t")  # temp removed
+
+
+def test_bam_roundtrip_on_mock_scheme(spark, mock_fs, tmp_path):
+    from disq_original_spark.sources.bam import BamSink, BamSource
+
+    _stage(tmp_path, "1.bam")
+    src = BamSource()
+    local = src.read(spark, f"{RES}/1.bam").count()
+    via_mock = src.read(spark, "mock://1.bam")
+    assert via_mock.count() == local
+
+    header = src.read_header("mock://1.bam")
+    BamSink().write(via_mock, header, "mock://out/result.bam")
+    assert mock_fs.exists("mock://out/result.bam")
+    assert src.read(spark, "mock://out/result.bam").count() == local
+
+
+def test_vcf_bgzf_roundtrip_on_mock_scheme(spark, mock_fs, tmp_path):
+    from disq_original_spark.sources.vcf import VcfSink, VcfSource
+
+    _stage(tmp_path, "test.vcf.bgz")
+    src = VcfSource()
+    local = src.read(spark, f"{RES}/test.vcf.bgz")
+    via_mock = src.read(spark, "mock://test.vcf.bgz", split_size=4 * 1024)
+    assert via_mock.count() == local.count()
+
+    header_text = src.read_header("mock://test.vcf.bgz")
+    VcfSink().write(via_mock, header_text, "mock://out/result.vcf.bgz")
+    assert src.read(spark, "mock://out/result.vcf.bgz").count() == local.count()
+
+
+def test_bam_interval_pushdown_on_mock_scheme(spark, mock_fs, tmp_path):
+    """Index files (.bai) resolve through the wrapper too."""
+    from disq_original_spark.sources.bai import create_bai
+    from disq_original_spark.sources.bam import BamSource
+
+    _stage(tmp_path, "1.bam")
+    create_bai("mock://1.bam")
+    assert mock_fs.exists("mock://1.bam.bai")
+    intervals = spark.createDataFrame(
+        [("chr21", 5_000_000, 9_999_999)], "contig string, start long, end long"
+    )
+    src = BamSource()
+    want = src.read(spark, f"{RES}/1.bam", intervals=intervals).count()
+    got = src.read(spark, "mock://1.bam", intervals=intervals).count()
+    assert got == want
+
+
+def test_sharded_sink_reads_back_on_mock_scheme(spark, mock_fs, tmp_path):
+    from disq_original_spark.sources.bam import BamSink, BamSource
+
+    _stage(tmp_path, "1.bam")
+    src = BamSource()
+    df = src.read(spark, "mock://1.bam")
+    n = df.count()
+    header = src.read_header("mock://1.bam")
+    BamSink().write_sharded(df.repartition(3), header, "mock://sharded")
+    parts = mock_fs.listdir("mock://sharded")
+    assert len(parts) >= 2 and all(p.endswith(".bam") for p in parts)
+    assert src.read(spark, "mock://sharded").count() == n
+
+
+def test_cram_read_on_mock_scheme(spark, mock_fs, tmp_path):
+    from disq_original_spark.sources.cram import CramSource
+
+    _stage(tmp_path, "valid.cram", "valid.cram.crai", "valid.fasta", "valid.fasta.fai")
+    src = CramSource()
+    local = src.read(spark, f"{RES}/valid.cram", reference_path=f"{RES}/valid.fasta")
+    via_mock = src.read(
+        spark, "mock://valid.cram", reference_path="mock://valid.fasta"
+    )
+    assert via_mock.count() == local.count()
