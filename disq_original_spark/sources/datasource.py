@@ -119,11 +119,25 @@ class BamDataSourceReader(DataSourceReader):
         self.fs = get_fs(self.path)
 
     def partitions(self):
+        from .bam import LAZY_FIRST_VOFFSET
+
         parts: list[BamInputPartition] = []
         fs = self.fs
-        for f in _expand_files(self.path, fs):
-            _header, refs, first_voffset = read_bam_header(f)
-            ref_names = tuple(r[0] for r in refs)
+        files = _expand_files(self.path, fs)
+        # one driver header read (same-header directory contract,
+        # `HtsjdkReadsRddStorage.java:150-156`); other files resolve their
+        # header end lazily in the task
+        _header, refs, first_voffset0 = read_bam_header(files[0])
+        ref_names = tuple(r[0] for r in refs)
+        ivs = None
+        if self.intervals is not None:
+            name_to_id = {nm: i for i, nm in enumerate(ref_names)}
+            ivs = [
+                (name_to_id[c], s, e)
+                for c, s, e in self.intervals
+                if c in name_to_id
+            ]
+        for i, f in enumerate(files):
             flen = fs.size(f)
             sbi_path = f + ".sbi"
             sbi = (
@@ -133,18 +147,13 @@ class BamDataSourceReader(DataSourceReader):
             )
             offsets = tuple(sbi.offsets) if sbi else None
             bai_ranges = None
-            if self.intervals is not None and fs.exists(f + ".bai"):
+            if ivs is not None and fs.exists(f + ".bai"):
                 from .bai import parse_bai, voffset_ranges_for_intervals
 
-                name_to_id = {nm: i for i, nm in enumerate(ref_names)}
-                ivs = [
-                    (name_to_id[c], s, e)
-                    for c, s, e in self.intervals
-                    if c in name_to_id
-                ]
                 bai_ranges = tuple(
                     voffset_ranges_for_intervals(parse_bai(f + ".bai"), ivs)
                 )
+            first_voffset = first_voffset0 if i == 0 else LAZY_FIRST_VOFFSET
             for s in range(0, flen, self.split_size):
                 parts.append(
                     BamInputPartition(

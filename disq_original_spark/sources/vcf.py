@@ -198,9 +198,18 @@ def _read_bgzf_lines(
         ]
     else:
         files = [str(path)]
+    # per-file sizes: serial for a few files, a Spark job for many (O(1)
+    # driver planning on sharded directories — same policy as BamSource)
+    from .bam import METADATA_JOB_THRESHOLD
+
+    if len(files) < METADATA_JOB_THRESHOLD:
+        sizes = [(f, fs.size(f)) for f in files]
+    else:
+        sc = spark.sparkContext
+        n_parts = min(len(files), sc.defaultParallelism * 2)
+        sizes = sorted(sc.parallelize(files, n_parts).map(lambda f: (f, fs.size(f))).collect())
     ranges: list[tuple[str, int, int]] = []
-    for f in files:
-        flen = fs.size(f)
+    for f, flen in sizes:
         fr = [(s, min(s + split_size, flen)) for s in range(0, flen, split_size)]
         if index_ranges is not None and len(files) == 1:
             from .tabix import prune_splits

@@ -400,3 +400,50 @@ def test_sink_handles_null_integer_columns(spark, tmp_path):
     BamSink().write(df, header, out)
     back = {r["qname"]: r["tlen"] for r in BamSource().read(spark, out).collect()}
     assert back == {"r1": 0, "r2": 5}
+
+
+def test_directory_read_is_o1_driver(spark, tmp_path, monkeypatch):
+    """A sharded directory read does exactly ONE driver-side header read
+    (same-header contract, HtsjdkReadsRddStorage.java:150-156); non-first
+    files resolve their header end lazily inside tasks.  Count parity with
+    the unsharded input is unchanged."""
+    import disq_original_spark.sources.bam as bm
+
+    src = BamSource()
+    df = src.read(spark, BAM)
+    n = df.count()
+    header = src.read_header(BAM)
+    out = str(tmp_path / "sharded")
+    BamSink().write_sharded(df.repartition(6), header, out)
+
+    calls: list[str] = []
+    real = bm.read_bam_header
+
+    def counting(path):
+        calls.append(str(path))
+        return real(path)
+
+    monkeypatch.setattr(bm, "read_bam_header", counting)
+    got = BamSource().read(spark, out)
+    assert got.count() == n
+    assert len(calls) == 1  # one header read on the driver, not O(files)
+
+
+def test_file_metadata_job_path_matches_serial(spark, tmp_path):
+    """Above the threshold, per-file metadata comes from a Spark job; the
+    result must match the serial driver loop exactly."""
+    from disq_original_spark.sources.bam import _collect_file_metadata, _expand_files
+    from disq_original_spark.sources.fsio import get_fs
+
+    src = BamSource()
+    df = src.read(spark, BAM)
+    header = src.read_header(BAM)
+    out = str(tmp_path / "sharded")
+    BamSink().write_sharded(df.repartition(5), header, out)
+
+    fs = get_fs(out)
+    files = _expand_files(out, fs)
+    assert len(files) >= 2
+    serial = _collect_file_metadata(spark, files, fs, True, None, job_threshold=10**9)
+    via_job = _collect_file_metadata(spark, files, fs, True, None, job_threshold=1)
+    assert via_job == serial
