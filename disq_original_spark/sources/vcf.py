@@ -144,7 +144,24 @@ class VcfSource:
                 ranges = file_ranges_for_intervals(parse_tabix(tbi), ivs)
             lines = _read_bgzf_lines(spark, path, split_size, ranges)
         else:
-            lines = spark.read.text(path)
+            # Tribble .idx split pruning for plain-text VCF (reference picks
+            # the index per format: tabix for .bgz/.gz, Tribble for .vcf —
+            # `vcf/VcfSource.java:143-168`,
+            # `tribble/TribbleIndexIntervalFilteringTextInputFormat.java:33-67`)
+            idx_path = str(_first(path)) + ".idx"
+            ranges = None
+            if intervals is not None and fs_exists(idx_path):
+                from .tribble import parse_tribble, text_ranges_for_intervals
+
+                ivs = [
+                    (r["contig"], int(r["start"]), int(r["end"]))
+                    for r in intervals.select("contig", "start", "end").collect()
+                ]
+                ranges = text_ranges_for_intervals(parse_tribble(idx_path), ivs)
+            if ranges is not None:
+                lines = _read_text_lines(spark, path, split_size, ranges)
+            else:
+                lines = spark.read.text(path)
         body = lines.filter(~F.col("value").startswith("#"))
         # duplicate INFO keys degrade lenient-style (last wins), not crash
         spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
@@ -225,6 +242,47 @@ def _read_bgzf_lines(
         f, s, e = task
         with fs.open_input(f) as fh:
             for line in iter_lines_in_range(fh, s, e):
+                yield {"value": line.decode("utf-8", "replace")}
+
+    from .arrow_xfer import rows_to_dataframe
+
+    return rows_to_dataframe(
+        spark,
+        ranges,
+        read_range,
+        ["value"],
+        StructType([StructField("value", StringType())]),
+    )
+
+
+def _read_text_lines(
+    spark: SparkSession,
+    path: str,
+    split_size: int,
+    index_ranges: list[tuple[int, int]],
+) -> DataFrame:
+    """Plain-text analog of ``_read_bgzf_lines``: byte-range splits planned
+    driver-side, pruned by the Tribble index's raw byte ranges, each task
+    yielding the lines it owns (``tribble.iter_text_lines_in_range``)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from .tabix import prune_splits
+
+    fs = get_fs(path)
+    f = str(_first(path))
+    flen = fs.size(f)
+    splits = [(s, min(s + split_size, flen)) for s in range(0, flen, split_size)]
+    splits = prune_splits(splits, index_ranges)
+    ranges = [(f, s, e) for s, e in splits]
+    if not ranges:
+        ranges = [(f, 0, 0)]
+
+    def read_range(task):
+        from .tribble import iter_text_lines_in_range
+
+        p, s, e = task
+        with fs.open_input(p) as fh:
+            for line in iter_text_lines_in_range(fh, s, e):
                 yield {"value": line.decode("utf-8", "replace")}
 
     from .arrow_xfer import rows_to_dataframe

@@ -187,3 +187,105 @@ def test_vcf_sharded_bgzf_roundtrip(spark, tmp_path):
     assert back.count() == df.count()
     key = lambda r: (r.contig, r.pos, r.ref)
     assert sorted(map(key, back.collect())) == sorted(map(key, df.collect()))
+
+
+# ---------------------------------------------------------------- tribble .idx
+
+
+@pytest.fixture(scope="module")
+def plain_hiseq(tmp_path_factory):
+    """HiSeq fixture decompressed to a plain-text .vcf + its Tribble .idx
+    (generated in-test; format follows htsjdk's public v3 LinearIndex)."""
+    from disq_original_spark.sources.bgzf import BgzfReader
+    from disq_original_spark.sources.tribble import create_tribble_index
+
+    out = tmp_path_factory.mktemp("tribble") / "hiseq.vcf"
+    with open(HISEQ, "rb") as fh:
+        out.write_bytes(BgzfReader(fh).read(1 << 30))
+    create_tribble_index(str(out))
+    return str(out)
+
+
+def test_tribble_index_structure(plain_hiseq):
+    from disq_original_spark.sources.tribble import parse_tribble
+
+    idx = parse_tribble(plain_hiseq + ".idx")
+    assert "chr1" in idx.chromosomes
+    ci = idx.chromosomes["chr1"]
+    n_body = sum(
+        1 for line in open(plain_hiseq) if not line.startswith("#") and line.strip()
+    )
+    assert sum(c.n_features for c in idx.chromosomes.values()) == n_body
+    assert ci.bin_width == 8000
+    assert len(ci.starts) > 1
+    assert ci.end <= __import__("os").path.getsize(plain_hiseq)
+
+
+def test_tribble_split_pruning_partition_counts(spark, plain_hiseq):
+    """Plain-VCF analog of the tabix pruning fact: a narrow interval keeps
+    a strict subset of the byte-range splits."""
+    import os
+
+    from disq_original_spark.sources.tabix import prune_splits
+    from disq_original_spark.sources.tribble import (
+        parse_tribble,
+        text_ranges_for_intervals,
+    )
+
+    idx = parse_tribble(plain_hiseq + ".idx")
+    ranges = text_ranges_for_intervals(idx, [("chr1", 2_700_000, 2_800_000)])
+    assert ranges
+    flen = os.path.getsize(plain_hiseq)
+    split = 256 * 1024
+    splits = [(s, min(s + split, flen)) for s in range(0, flen, split)]
+    kept = prune_splits(splits, ranges)
+    assert 0 < len(kept) < len(splits)
+
+
+def test_tribble_pruned_read_matches_filtered_full_read(spark, plain_hiseq):
+    intervals = spark.createDataFrame(
+        [("chr1", 2_700_000, 2_800_000)], "contig string, start long, end long"
+    )
+    src = VcfSource()
+    pruned = src.read(spark, plain_hiseq, intervals=intervals, split_size=256 * 1024)
+    # the plan must go through the pruned ranged reader, not a full text scan
+    full = src.read(spark, plain_hiseq)
+    import pyspark.sql.functions as F
+
+    from disq_original_spark.operators.interval import interval_filter
+    from disq_original_spark.sources.vcf import variant_end
+
+    spanned = full.withColumn(
+        "end_", variant_end(F.col("info"), F.col("pos"), F.col("ref"))
+    )
+    expected = (
+        interval_filter(
+            spanned.withColumnRenamed("pos", "start").withColumnRenamed("end_", "end"),
+            intervals,
+        )
+        .withColumnRenamed("start", "pos")
+        .select(*full.columns)
+        .collect()
+    )
+    key = lambda r: (r.contig, r.pos, r.ref)
+    got = pruned.collect()
+    assert sorted(map(key, got)) == sorted(map(key, expected))
+    assert len(got) > 0
+
+
+def test_text_line_range_tiling_exactly_once(plain_hiseq):
+    """Any tiling of the file yields each line exactly once (the Hadoop
+    first-byte ownership rule)."""
+    import os
+
+    from disq_original_spark.sources.tribble import iter_text_lines_in_range
+
+    flen = os.path.getsize(plain_hiseq)
+    with open(plain_hiseq, "rb") as fh:
+        whole = [ln for ln in fh.read().split(b"\n") if ln]
+    for split in (7_777, 64 * 1024, flen):
+        got = []
+        with open(plain_hiseq, "rb") as fh:
+            for s in range(0, flen, split):
+                got.extend(iter_text_lines_in_range(fh, s, min(s + split, flen)))
+        assert got == [w.rstrip(b"\r") for w in whole], f"tiling {split} differs"
