@@ -133,6 +133,23 @@ def _block_at(fh, pos: int) -> BgzfBlock | None:
 _TRIM_BYTES = 1 << 22  # drop consumed uncompressed prefix past this size
 
 
+def _warn_if_missing_terminator(fh, flen: int, path: str) -> None:
+    """A structurally-clean stop at end-of-file only proves completeness if
+    the file ends with the BGZF EOF block — otherwise a tail truncated at a
+    block boundary would read back silently as complete."""
+    import warnings
+
+    if flen < len(EMPTY_GZIP_BLOCK):
+        return
+    fh.seek(flen - len(EMPTY_GZIP_BLOCK))
+    if fh.read(len(EMPTY_GZIP_BLOCK)) != EMPTY_GZIP_BLOCK:
+        warnings.warn(
+            f"{path}: no BGZF EOF terminator — file may be truncated at a "
+            f"block boundary (htsjdk ParsingUtils would warn here too)",
+            stacklevel=2,
+        )
+
+
 def _read_records_in_chunk(
     path: str, vstart: int, vend: int, ref_names: list[str], fs: FileSystem | None = None
 ):
@@ -179,7 +196,14 @@ def _read_records_in_chunk(
             while o + 4 > len(buf):
                 if not load_next_block():
                     if o == len(buf):
-                        return  # clean end: chunk ends exactly on a boundary
+                        # clean end: chunk ends exactly on a boundary — but a
+                        # BAM truncated at a block boundary looks identical,
+                        # so when this chunk reaches end-of-file, require the
+                        # 28-byte BGZF EOF terminator (htsjdk warns/errors on
+                        # a missing terminator; lenient here: warn)
+                        if next_cpos >= flen:
+                            _warn_if_missing_terminator(fh, flen, path)
+                        return
                     raise ValueError(
                         f"{path}: truncated BAM record header at EOF "
                         f"({len(buf) - o} trailing bytes)"

@@ -98,7 +98,9 @@ def enumerate_containers(fh: BinaryIO) -> list[CramContainer]:
         start = _read_itf8(fh)
         span = _read_itf8(fh)
         n_records = _read_itf8(fh)
-        _counter = _read_ltf8(fh)
+        # record counter: LTF8 from CRAM 3.0, ITF8 in 2.x (spec §8; the
+        # encodings agree below 2^28 — see cram_codec.read_container_header)
+        _counter = _read_ltf8(fh) if major >= 3 else _read_itf8(fh)
         _bases = _read_ltf8(fh)
         n_blocks = _read_itf8(fh)
         n_landmarks = _read_itf8(fh)

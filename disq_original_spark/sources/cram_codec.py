@@ -197,7 +197,10 @@ def read_container_header(buf: Buf, offset: int, major: int) -> ContainerHeader:
     start = buf.itf8()
     span = buf.itf8()
     n_records = buf.itf8()
-    counter = buf.ltf8()
+    # record counter is LTF8 only from CRAM 3.0 (spec §8); 2.x uses ITF8 —
+    # the encodings agree below 2^28, so the switch only matters for files
+    # whose cumulative record count reaches ~268M
+    counter = buf.ltf8() if major >= 3 else buf.itf8()
     bases = buf.ltf8()
     n_blocks = buf.itf8()
     n_landmarks = buf.itf8()
@@ -375,6 +378,10 @@ class BetaCodec(Codec):
 
 
 class GammaCodec(Codec):
+    """Elias-gamma (encoding id 9).  htsjdk ``GammaIntegerCodec`` returns
+    the decoded value minus the offset — the gamma value itself is ≥ 1 and
+    is NOT additionally decremented."""
+
     def __init__(self, params: bytes):
         self.offset = Buf(params).itf8()
 
@@ -385,7 +392,7 @@ class GammaCodec(Codec):
         v = 1
         for _ in range(n):
             v = (v << 1) | core.read_bit()
-        return v - 1 - self.offset
+        return v - self.offset
 
     read_byte = read_int
 

@@ -428,7 +428,7 @@ def encode_container(
     hdr += itf8(0)
     hdr += itf8(0)
     hdr += itf8(len(rows))
-    hdr += ltf8(0)
+    hdr += ltf8(0) if major >= 3 else itf8(0)  # record counter (spec §8)
     hdr += ltf8(n_bases)
     hdr += itf8(1 + 1 + 1 + len(ext_blocks))  # chdr + slice-hdr + core + ext
     hdr += itf8(1)
@@ -447,7 +447,7 @@ def encode_file_header_container(header_text: str, major: int = 2) -> bytes:
     hdr += struct.pack("<i", len(block))
     for _ in range(4):
         hdr += itf8(0)
-    hdr += ltf8(0)
+    hdr += ltf8(0) if major >= 3 else itf8(0)  # record counter (spec §8)
     hdr += ltf8(0)
     hdr += itf8(1)
     hdr += itf8(1)
@@ -477,7 +477,7 @@ def eof_container(major: int = 2) -> bytes:
     hdr += itf8(4_542_278)
     hdr += itf8(0)
     hdr += itf8(0)
-    hdr += ltf8(0)
+    hdr += ltf8(0)  # v3-only container: counter is LTF8 here by definition
     hdr += ltf8(0)
     hdr += itf8(1)
     hdr += itf8(0)

@@ -166,7 +166,10 @@ class SamSource:
             # later scans in the same session inherit it unless reset.
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_size))
         # duplicate aux tags must follow stringency (last wins), not crash
-        # map_from_entries under the default EXCEPTION dedup policy
+        # map_from_entries under the default EXCEPTION dedup policy.
+        # NOTE: session-wide, like the splitSize knob above — the returned
+        # DataFrame is lazy, so the conf must still hold when it executes;
+        # later queries in the same session inherit last-wins map semantics.
         spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         lines = spark.read.text(path)
         body = lines.filter(~F.col("value").startswith("@"))

@@ -163,7 +163,10 @@ class VcfSource:
             else:
                 lines = spark.read.text(path)
         body = lines.filter(~F.col("value").startswith("#"))
-        # duplicate INFO keys degrade lenient-style (last wins), not crash
+        # duplicate INFO keys degrade lenient-style (last wins), not crash.
+        # NOTE: session-wide by necessity — the returned DataFrame is lazy,
+        # so the conf must still hold when it executes; later queries in the
+        # same session inherit last-wins map semantics (see sam.py).
         spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         from .sam import apply_stringency
 
@@ -333,15 +336,30 @@ def to_vcf_line(sample_names: list[str]) -> Column:
     )
     if not sample_names:
         return base
-    fmt = F.array_join(F.map_keys(F.element_at(F.col("genotypes"), 1)["attrs"]), ":")
+    # FORMAT is declared from sample 1's attrs keys; every sample's values
+    # are then emitted BY THOSE KEYS, so a sample whose key set diverged
+    # under the lenient per-sample clamp can never write values misaligned
+    # with the FORMAT declaration.  Mid-array absences become '.'; TRAILING
+    # absences are trimmed (the VCF-spec "trailing fields can be dropped"
+    # form), which keeps parse→write→parse lossless for short samples.
+    fmt_keys = F.map_keys(F.element_at(F.col("genotypes"), 1)["attrs"])
+    fmt = F.array_join(fmt_keys, ":")
+
+    def sample_values(i: int) -> Column:
+        attrs = F.element_at(F.col("genotypes"), i + 1)["attrs"]
+        vals = F.transform(fmt_keys, lambda k: F.try_element_at(attrs, k))
+        present_idx = F.zip_with(
+            vals,
+            F.sequence(F.lit(1), F.size(vals)),
+            lambda v, j: F.when(v.isNotNull(), j).otherwise(0),
+        )
+        last = F.greatest(F.array_max(present_idx), F.lit(1))
+        return F.when(F.size(vals) == 0, F.lit("")).otherwise(
+            F.array_join(F.slice(vals, 1, last), ":", ".")
+        )
+
     sample_cols = F.concat_ws(
-        "\t",
-        *[
-            F.array_join(
-                F.map_values(F.element_at(F.col("genotypes"), i + 1)["attrs"]), ":"
-            )
-            for i in range(len(sample_names))
-        ],
+        "\t", *[sample_values(i) for i in range(len(sample_names))]
     )
     return F.concat_ws("\t", base, fmt, sample_cols)
 

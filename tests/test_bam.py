@@ -447,3 +447,31 @@ def test_file_metadata_job_path_matches_serial(spark, tmp_path):
     serial = _collect_file_metadata(spark, files, fs, True, None, job_threshold=10**9)
     via_job = _collect_file_metadata(spark, files, fs, True, None, job_threshold=1)
     assert via_job == serial
+
+
+def test_truncated_bam_missing_terminator_warns(tmp_path):
+    """A BAM cut at a BGZF block boundary (EOF terminator removed) reads
+    cleanly but must WARN — a silent 'complete' read would hide data loss
+    (htsjdk warns on a missing BGZF terminator)."""
+    import warnings
+
+    import disq_original_spark.sources.bam as bm
+    from disq_original_spark.sources.bgzf import EMPTY_GZIP_BLOCK
+
+    data = Path(BAM).read_bytes()
+    assert data.endswith(EMPTY_GZIP_BLOCK)
+    truncated = tmp_path / "trunc.bam"
+    truncated.write_bytes(data[: -len(EMPTY_GZIP_BLOCK)])
+
+    _, refs, fv = read_bam_header(str(truncated))
+    ref_names = [r[0] for r in refs]
+    with pytest.warns(UserWarning, match="no BGZF EOF terminator"):
+        rows = list(
+            bm._read_records_in_chunk(str(truncated), fv, 1 << 62, ref_names)
+        )
+    assert len(rows) == N_RECORDS  # records themselves are intact
+    # the intact file does NOT warn
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        rows2 = list(bm._read_records_in_chunk(BAM, fv, 1 << 62, ref_names))
+    assert len(rows2) == N_RECORDS

@@ -206,3 +206,57 @@ def test_restore_mates_sets_template_size():
     SliceDecoder._restore_mates(None, records)
     assert records[0]["mate"][3] == 0
     assert records[1]["mate"][3] == 0
+
+
+def test_gamma_codec_htsjdk_parity():
+    """Fixed decode vectors for the Elias-gamma path (htsjdk
+    GammaIntegerCodec: decoded value minus offset — NOT value-1-offset).
+    The sibling writer never emits GAMMA, so round-trips can't catch a
+    systematic off-by-one here; these pins do."""
+    from disq_original_spark.sources.cram_codec import BitReader, GammaCodec
+    from disq_original_spark.sources.cram_writer import itf8
+
+    def bits_to_bytes(bitstr: str) -> bytes:
+        padded = bitstr + "0" * (-len(bitstr) % 8)
+        return bytes(int(padded[i : i + 8], 2) for i in range(0, len(padded), 8))
+
+    # gamma("1") = 1, gamma("010") = 2, gamma("00101") = 5, gamma("0001000") = 8
+    for bitstr, want in [("1", 1), ("010", 2), ("00101", 5), ("0001000", 8)]:
+        codec = GammaCodec(itf8(0))
+        got = codec.read_int(BitReader(bits_to_bytes(bitstr)), None)
+        assert got == want, (bitstr, got, want)
+    # non-zero offset subtracts once
+    codec = GammaCodec(itf8(3))
+    assert codec.read_int(BitReader(bits_to_bytes("00101")), None) == 2
+
+
+def test_container_counter_itf8_in_cram2():
+    """CRAM 2.x record counter is ITF8 (LTF8 only from 3.0) — encodings
+    agree below 2^28, so pin a >=2^28 counter: 5-byte ITF8 vs 5-byte LTF8
+    diverge, and a misread desyncs the whole container walk."""
+    import struct
+
+    from disq_original_spark.sources.cram_codec import Buf, read_container_header
+    from disq_original_spark.sources.cram_writer import itf8, ltf8
+
+    counter = 1 << 28  # first value where the encodings differ
+
+    def container_bytes(counter_bytes: bytes) -> bytes:
+        return (
+            struct.pack("<i", 7)  # length
+            + itf8(0)  # ref_seq_id
+            + itf8(0)  # start
+            + itf8(0)  # span
+            + itf8(9)  # n_records
+            + counter_bytes
+            + ltf8(0)  # bases
+            + itf8(1)  # n_blocks
+            + itf8(0)  # n_landmarks
+        )
+
+    h2 = read_container_header(Buf(container_bytes(itf8(counter))), 0, major=2)
+    assert h2.counter == counter and h2.n_blocks == 1
+    h3 = read_container_header(
+        Buf(container_bytes(ltf8(counter)) + b"\x00" * 4), 0, major=3
+    )
+    assert h3.counter == counter and h3.n_blocks == 1

@@ -289,3 +289,32 @@ def test_text_line_range_tiling_exactly_once(plain_hiseq):
             for s in range(0, flen, split):
                 got.extend(iter_text_lines_in_range(fh, s, min(s + split, flen)))
         assert got == [w.rstrip(b"\r") for w in whole], f"tiling {split} differs"
+
+
+def test_vcf_line_sample_values_follow_format_keys(spark):
+    """A sample whose attrs diverge from sample 1's FORMAT keys writes '.'
+    for missing keys and never emits values positionally misaligned."""
+    from disq_original_spark.sources.vcf import to_vcf_line
+
+    genotypes = [
+        {"sample": "s1", "gt": "0/1", "attrs": {"GT": "0/1", "DP": "10", "GQ": "99"}},
+        # s2 lacks DP and has an extra key that must NOT leak into the line
+        {"sample": "s2", "gt": "1/1", "attrs": {"GT": "1/1", "GQ": "7", "XX": "nope"}},
+    ]
+    df = spark.createDataFrame(
+        [("chr1", 100, None, "A", ["T"], 50.0, [], {}, genotypes)],
+        "contig string, pos long, id string, ref string, alts array<string>, "
+        "qual double, filters array<string>, info map<string,string>, "
+        "genotypes array<struct<sample:string,gt:string,attrs:map<string,string>>>",
+    )
+    line = df.select(to_vcf_line(["s1", "s2"]).alias("v")).collect()[0]["v"]
+    cols = line.split("\t")
+    fmt, s1, s2 = cols[8], cols[9], cols[10]
+    keys = fmt.split(":")
+    assert set(keys) == {"GT", "DP", "GQ"}
+    s1_map = dict(zip(keys, s1.split(":")))
+    s2_map = dict(zip(keys, s2.split(":")))
+    assert s1_map == {"GT": "0/1", "DP": "10", "GQ": "99"}
+    assert s2_map == {"GT": "1/1", "DP": ".", "GQ": "7"}  # '.' where absent
+
+
