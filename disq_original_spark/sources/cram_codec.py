@@ -397,6 +397,56 @@ class GammaCodec(Codec):
     read_byte = read_int
 
 
+class GolombCodec(Codec):
+    """Golomb (encoding id 2, spec §13.6; htsjdk ``GolombIntegerCodec``):
+    unary quotient (1-bits terminated by a 0) then a truncated-binary
+    remainder mod M — values below ``2^b - M`` use b-1 bits, the rest use
+    b bits with the ``2^b - M`` bias."""
+
+    def __init__(self, params: bytes):
+        buf = Buf(params)
+        self.offset = buf.itf8()
+        self.m = buf.itf8()
+        if self.m <= 0:
+            raise ValueError(f"Golomb M must be positive (got {self.m})")
+        # b = floor(log2(M)) + 1; remainder starts at b-1 bits and takes one
+        # more only when >= 2^b - M.  For M = 2^k the cutoff equals M, so the
+        # extra bit is never taken — a plain k-bit remainder, as in htsjdk.
+        self.b = self.m.bit_length()
+        self.cutoff = (1 << self.b) - self.m
+
+    def read_int(self, core, ext):
+        q = 0
+        while core.read_bit() == 1:
+            q += 1
+        r = core.read_bits(self.b - 1) if self.b > 1 else 0
+        if r >= self.cutoff:
+            r = ((r << 1) | core.read_bit()) - self.cutoff
+        return q * self.m + r - self.offset
+
+    read_byte = read_int
+
+
+class GolombRiceCodec(Codec):
+    """Golomb-Rice (encoding id 8; htsjdk ``GolombRiceIntegerCodec``): the
+    M = 2^log2m special case — unary quotient then a fixed log2m-bit
+    remainder."""
+
+    def __init__(self, params: bytes):
+        buf = Buf(params)
+        self.offset = buf.itf8()
+        self.log2m = buf.itf8()
+
+    def read_int(self, core, ext):
+        q = 0
+        while core.read_bit() == 1:
+            q += 1
+        r = core.read_bits(self.log2m) if self.log2m > 0 else 0
+        return (q << self.log2m) + r - self.offset
+
+    read_byte = read_int
+
+
 class SubexpCodec(Codec):
     def __init__(self, params: bytes):
         buf = Buf(params)
@@ -453,11 +503,13 @@ class ByteArrayLenCodec(Codec):
 
 ENCODING_IDS = {
     1: ExternalCodec,
+    2: GolombCodec,
     3: HuffmanCodec,
     4: ByteArrayLenCodec,
     5: ByteArrayStopCodec,
     6: BetaCodec,
     7: SubexpCodec,
+    8: GolombRiceCodec,
     9: GammaCodec,
 }
 
