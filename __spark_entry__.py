@@ -32,6 +32,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries are always present — only the ordering is prioritized.
 _PRIORITY = [
     # no driver row in round 1 (plus m02, which errored and is now fixed):
+    "g08_skewed_interval_join",  # new in round 2
     "m02_media_features",
     "q34_asof_join",
     "q35_tpch_q3",

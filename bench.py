@@ -35,9 +35,12 @@ HEADLINE = [
     "q24_math",
     "q30_tumbling_window",
     "q34_asof_join",
+    "q35_tpch_q3",  # join-reorder path
     "q36_tpch_q5",
     "g01_interval_filter",
     "g05_binned_interval_join",
+    "g08_skewed_interval_join",  # hot-key salted join path
+    "st01_stream_tumbling",  # streaming pipeline (availableNow drain)
     "d01_exact_dedup",
     "d03_minhash_lsh",
     "d04_ngram_jaccard",
@@ -47,6 +50,7 @@ HEADLINE = [
     "s01_knn_bruteforce",
     "s03_ann_ivf",
     "t02_quality_score",
+    "t05_bpe_tokens",  # regex-heavy tokenizer path
     "t06_winnow_fingerprint",
 ]
 

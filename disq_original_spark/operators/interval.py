@@ -86,6 +86,7 @@ def interval_join(
     left_span: tuple[str, str],
     right_span: tuple[str, str],
     bin_size: int | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """Interval-overlap inner join.
 
@@ -94,6 +95,15 @@ def interval_join(
     to the genomic bins their span touches and the join runs on
     (contig, bin) — the standard bucketed range-join that keeps the shuffle
     key selective at 100 TB scale.
+
+    ``salt`` (with ``bin_size``) handles HOT KEYS — a (contig, bin) cell so
+    dense one reducer would own most of the shuffle (centromere pileups, a
+    dominant event type): left rows get a deterministic salt in [0, salt),
+    right rows replicate to every salt, and the join key grows to (contig,
+    bin, salt) so the hot cell spreads over ``salt`` reducers.  Each pair
+    still appears exactly once (at the left row's salt).  Costs ``salt``×
+    replication of the right side — use for genuinely skewed keys, not by
+    default; AQE's skew-join split handles moderate skew without it.
     """
     lc, rc = on_contig
     ls, le = left_span
@@ -118,8 +128,7 @@ def interval_join(
 
     ab = binned(left, "l", lc, ls, le)
     bb = binned(right, "r", rc, rs, re_)
-    joined = ab.join(
-        bb,
+    cond = (
         (F.col(f"l.{lc}") == F.col(f"r.{rc}"))
         & (F.col("l._bin") == F.col("r._bin"))
         & range_pred
@@ -130,9 +139,17 @@ def interval_join(
                 (F.col(f"l.{ls}") / bin_size).cast("long"),
                 (F.col(f"r.{rs}") / bin_size).cast("long"),
             )
-        ),
+        )
     )
-    return joined.drop("_bin")
+    if salt is not None and salt > 1:
+        # deterministic left salt (hash of the span start), right replicated
+        # to all salts: the hot (contig, bin) cell spreads over `salt`
+        # reducers; every pair joins exactly once at the left row's salt
+        ab = ab.withColumn("_salt", F.pmod(F.hash(F.col(f"l.{ls}")), F.lit(salt))).alias("l")
+        bb = bb.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))).alias("r")
+        cond = cond & (F.col("l._salt") == F.col("r._salt"))
+        return ab.join(bb, cond).drop("_bin", "_salt")
+    return ab.join(bb, cond).drop("_bin")
 
 
 def residual_traversal(

@@ -330,3 +330,64 @@ def g07(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.round(F.avg("fmt_GQ"), 2).alias("avg_gq"))
     )
     return site.join(gq, "contig").orderBy("contig")
+
+
+# --------------------------------------------- g08 skewed binned interval join
+_G08_SPAN_US = 30_000_000  # each event spans [ts, ts + 30 s]
+_G08_BIN_US = 300_000_000  # 5-minute bins
+_G08_SALT = 8
+
+
+@query(
+    "g08_skewed_interval_join",
+    f"""WITH iv AS (SELECT event_id,
+                           CASE WHEN event_id % 20 < 19 THEN 'hot'
+                                ELSE event_type END AS k,
+                           epoch_us(ts) AS s,
+                           epoch_us(ts) + {_G08_SPAN_US} AS e
+                    FROM events)
+        SELECT a.k, count(*) AS n_overlaps
+        FROM iv a JOIN iv b
+          ON a.k = b.k AND a.event_id < b.event_id
+         AND a.s <= b.e AND a.e >= b.s
+        GROUP BY a.k ORDER BY a.k""",
+    doc="g05's binned interval join under deliberate key skew: 95% of rows "
+    "share ONE join key ('hot'), the centromere-pileup shape that melts a "
+    "single reducer at 100 TB.  The salted form of operators/interval.py::"
+    "interval_join spreads the hot (key, bin) cell over 8 reducers — left "
+    "rows take a deterministic salt, the right side replicates to every "
+    "salt — and each pair still joins exactly once.  The oracle is the "
+    "naive quadratic join, feasible only at test scale.",
+)
+def g08(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.interval import interval_join
+
+    e = load_table(spark, sf, "events")
+    iv = e.select(
+        "event_id",
+        F.when(F.col("event_id") % 20 < 19, "hot")
+        .otherwise(F.col("event_type"))
+        .alias("k"),
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_G08_SPAN_US)).alias("e"),
+    )
+    joined = interval_join(
+        iv,
+        iv.select(
+            F.col("event_id").alias("b_event_id"),
+            F.col("k").alias("b_k"),
+            F.col("s").alias("b_s"),
+            F.col("e").alias("b_e"),
+        ),
+        on_contig=("k", "b_k"),
+        left_span=("s", "e"),
+        right_span=("b_s", "b_e"),
+        bin_size=_G08_BIN_US,
+        salt=_G08_SALT,
+    )
+    return (
+        joined.filter(F.col("event_id") < F.col("b_event_id"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+        .orderBy("k")
+    )

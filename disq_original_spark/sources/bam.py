@@ -151,7 +151,12 @@ def _warn_if_missing_terminator(fh, flen: int, path: str) -> None:
 
 
 def _read_records_in_chunk(
-    path: str, vstart: int, vend: int, ref_names: list[str], fs: FileSystem | None = None
+    path: str,
+    vstart: int,
+    vend: int,
+    ref_names: list[str],
+    fs: FileSystem | None = None,
+    with_voffsets: bool = False,
 ):
     """Yield reads-schema rows for records whose start voffset is in
     [vstart, vend).
@@ -227,7 +232,7 @@ def _read_records_in_chunk(
             parsed = parse_record(buf, o, ref_names)
             if parsed is None:
                 return
-            yield parsed[0]
+            yield (parsed[0], v) if with_voffsets else parsed[0]
             o = parsed[1]
             if bases[bi][0] > _TRIM_BYTES:
                 cut = bases[bi][0]
@@ -245,6 +250,41 @@ def _read_records_in_chunk(
 LAZY_FIRST_VOFFSET = -1
 
 
+def _qname_before(
+    path: str,
+    fs: FileSystem,
+    vstart: int,
+    n_ref: int,
+    ref_names: list[str],
+    first_voffset: int,
+) -> str | None:
+    """qname of the record immediately preceding ``vstart`` (None at the
+    first record).  Finds a record-aligned start in a widening lookback
+    window (a BGZF block is ≤ 64 KiB compressed, so one block of lookback
+    usually suffices) and decodes forward to ``vstart``."""
+    if vstart <= first_voffset:
+        return None
+    target_c = vstart >> 16
+    first_c = first_voffset >> 16
+    lookback = 1 << 17
+    while True:
+        probe = max(first_c, target_c - lookback)
+        if probe <= first_c:
+            v0 = first_voffset
+        else:
+            with fs.open_input(path) as fh:
+                v0 = _find_first_record_voffset(fh, probe, target_c + 1, n_ref)
+        if v0 is not None and v0 < vstart:
+            last = None
+            for row in _read_records_in_chunk(path, v0, vstart, ref_names, fs):
+                last = row
+            if last is not None:
+                return last["qname"]
+        if probe <= first_c:
+            return None
+        lookback *= 2
+
+
 def records_for_split(
     path: str,
     start: int,
@@ -255,16 +295,25 @@ def records_for_split(
     sbi_offsets: tuple[int, ...] | None,
     bai_ranges: list[tuple[int, int]] | None = None,
     fs: FileSystem | None = None,
+    group_by_qname: bool = False,
 ):
     """Yield reads-schema rows for the byte-range split [start, end): map the
     range to a record-aligned virtual-offset chunk (SBI fast path, else
     boundary guesser), then decode.  ``bai_ranges`` (interval pushdown)
     restricts decoding to the chunk ∩ index-range intersections — the
     reference's removeContentsBefore/After span intersection.  Shared by the
-    RDD facade and the Python DataSource."""
+    RDD facade and the Python DataSource.
+
+    ``group_by_qname`` (queryname-sorted inputs) enforces the reference's
+    documented-but-unimplemented guarantee (README.md:155-159): paired
+    reads never straddle partitions.  Ownership moves from records to qname
+    GROUPS — a group belongs to the split containing its first record — so
+    each split skips leading records belonging to its predecessor's final
+    group and decodes past its end through the tail of its own final group.
+    Any tiling still yields every record exactly once."""
     if fs is None:
         fs = get_fs(path)
-    if first_voffset == LAZY_FIRST_VOFFSET and sbi_offsets is None:
+    if first_voffset == LAZY_FIRST_VOFFSET and (sbi_offsets is None or group_by_qname):
         _header, _refs, first_voffset = read_bam_header(path)
     if sbi_offsets is not None:
         idx = SbiIndex(0, b"", b"", 0, 0, sbi_offsets)
@@ -285,6 +334,26 @@ def records_for_split(
                     return
                 vstart = found
         vend = end << 16
+    if group_by_qname:
+        prev_q = _qname_before(path, fs, vstart, n_ref, ref_names, first_voffset)
+        in_head = prev_q is not None
+        last_q: str | None = None
+        for row, v in _read_records_in_chunk(
+            path, vstart, 1 << 62, ref_names, fs, with_voffsets=True
+        ):
+            q = row["qname"]
+            if in_head:
+                if q == prev_q:
+                    continue  # predecessor split owns its final group's tail
+                in_head = False
+            if v < vend:
+                yield row
+                last_q = q
+            elif last_q is not None and q == last_q:
+                yield row  # tail of our final group, past the byte boundary
+            else:
+                return
+        return
     if bai_ranges is None:
         yield from _read_records_in_chunk(path, vstart, vend, ref_names, fs)
         return
@@ -306,8 +375,10 @@ def _decode_splits_arrow(
 
     def split_records(task):
         fi, s, e = task
-        f, refs, nref, fv, sbi, bai, fs = file_params[fi]
-        return records_for_split(f, s, e, refs, nref, fv, sbi, bai, fs)
+        f, refs, nref, fv, sbi, bai, fs, by_qname = file_params[fi]
+        return records_for_split(
+            f, s, e, refs, nref, fv, sbi, bai, fs, group_by_qname=by_qname
+        )
 
     return rows_to_dataframe(
         spark, split_rows, split_records, READS_COLUMNS, READS_SCHEMA
@@ -354,6 +425,9 @@ class BamSource:
                 if r["contig"] in name_to_id
             ]
         metas = _collect_file_metadata(spark, files, fs, use_sbi, ivs)
+        # queryname-sorted input: enforce the pair-integrity guarantee
+        # (README.md:155-159) by switching record ownership to qname groups
+        by_qname = header.sort_order == "queryname"
         split_rows: list[tuple[int, int, int]] = []
         file_params: list[tuple] = []
         for i, (f, flen, sbi_offsets, bai_ranges) in enumerate(metas):
@@ -361,7 +435,7 @@ class BamSource:
             splits = [(s, min(s + split_size, flen)) for s in range(0, flen, split_size)]
             fi = len(file_params)
             file_params.append(
-                (f, ref_names, n_ref, first_voffset, sbi_offsets, bai_ranges, fs)
+                (f, ref_names, n_ref, first_voffset, sbi_offsets, bai_ranges, fs, by_qname)
             )
             split_rows.extend((fi, s, e) for s, e in splits)
 

@@ -475,3 +475,44 @@ def test_truncated_bam_missing_terminator_warns(tmp_path):
         warnings.simplefilter("error")
         rows2 = list(bm._read_records_in_chunk(BAM, fv, 1 << 62, ref_names))
     assert len(rows2) == N_RECORDS
+
+
+def test_queryname_pair_integrity(spark, tmp_path):
+    """Queryname-sorted reads: paired reads (same qname) never straddle
+    partition boundaries — the guarantee the reference documents
+    (README.md:155-159) but leaves emergent; here record ownership switches
+    to qname groups, so any split tiling keeps groups whole AND yields every
+    record exactly once."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from disq_original_spark.sources.headers import SamHeader
+
+    src = BamSource()
+    df = src.read(spark, BAM)
+    header = src.read_header(BAM)
+    text = header.text
+    if "SO:" in text:
+        text = re.sub(r"SO:\S+", "SO:queryname", text, count=1)
+    elif "@HD" not in text:
+        text = "@HD\tVN:1.6\tSO:queryname\n" + text
+    qheader = SamHeader(text=text, contigs=header.contigs)
+    assert qheader.sort_order == "queryname"
+
+    out = str(tmp_path / "qs.bam")
+    BamSink().write(
+        df.repartition(1).sortWithinPartitions("qname"), qheader, out
+    )
+
+    back = src.read(spark, out, split_size=96 * 1024)
+    assert back.rdd.getNumPartitions() > 3  # splits actually happen
+    tagged = back.withColumn("pid", F.spark_partition_id())
+    per_group = tagged.groupBy("qname").agg(
+        F.countDistinct("pid").alias("n_pids"), F.count(F.lit(1)).alias("n")
+    )
+    straddlers = per_group.filter("n_pids > 1").count()
+    assert straddlers == 0  # no qname group crosses a partition boundary
+    assert tagged.count() == N_RECORDS  # exactly-once under group ownership
+    multi = per_group.filter("n > 1").count()
+    assert multi > 0  # the fixture really does contain read groups/pairs
