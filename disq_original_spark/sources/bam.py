@@ -511,28 +511,96 @@ def _norm_attrs(row: dict) -> dict:
 
 class BamSink:
     """Write a reads DataFrame as a single BAM file (headerless BGZF parts +
-    driver header + EOF terminator + concat)."""
+    driver header + EOF terminator + concat).
 
-    def write(self, df: DataFrame, header: SamHeader, path: str) -> None:
+    ``write_sbi`` / ``write_bai`` create the indexes *at write time* — the
+    reference can only do this for ``.sbi`` (its README marks ``.bai``
+    writing ✗, `README.md:121-131`), and a post-hoc build would re-read
+    the whole output serially on the driver.  Here each executor records
+    part-relative index metadata while encoding its part (a few KB
+    sidecar); the driver rebases virtual offsets by each part's byte
+    offset during the merge and writes the index without touching the
+    data again.  The ``.bai`` is byte-identical to a sequential post-hoc
+    build; ``.sbi`` entry spacing restarts per part (every entry is still
+    a true record start, entries are ≤ granularity apart — exactly what
+    split planning needs)."""
+
+    def write(
+        self,
+        df: DataFrame,
+        header: SamHeader,
+        path: str,
+        *,
+        write_sbi: bool = False,
+        write_bai: bool = False,
+        sbi_granularity: int = 4096,
+    ) -> None:
+        from .bai import BaiAccumulator, rebase_voffset
+        from .bam_codec import cigar_ref_length, reg2bin
+
         refs = header.contigs
         ref_index = {name: i for i, (name, _len) in enumerate(refs)}
+        n_ref = len(refs)
         temp_dir = f"{path}.parts-{uuid.uuid4().hex[:8]}"
         fs = get_fs(path)
         fs.mkdirs(temp_dir)
+        index_on = write_sbi or write_bai
 
         def write_partition(pid, rows):
+            import json as _json
             import uuid as _uuid
 
             tmp = fs_join(temp_dir, f".tmp-{_uuid.uuid4().hex}")
             wrote = False
+            acc = BaiAccumulator(n_ref) if index_on else None
+            offsets: list[int] = []
+            n = 0
+            last = None  # (ref_id, pos0, end0, provisional v_end) of final record
             with fs.open_output(tmp) as fh, BgzfWriter(fh, write_terminator=False) as w:
                 for row in rows:
                     wrote = True
-                    w.write(encode_record(_norm_attrs(row), ref_index))
+                    row = _norm_attrs(row)
+                    rec = encode_record(row, ref_index)
+                    if not index_on:
+                        w.write(rec)
+                        continue
+                    v = w.tell_virtual()
+                    if n % sbi_granularity == 0:
+                        offsets.append(v)
+                    n += 1
+                    w.write(rec)
+                    v_end = w.tell_virtual()
+                    rname = row["rname"]
+                    ref_id = ref_index.get(rname, -1) if rname else -1
+                    pos0 = (row["pos"] or 0) - 1
+                    end0 = (
+                        pos0 + max(1, cigar_ref_length(row["cigar"] or "*"))
+                        if ref_id >= 0 and pos0 >= 0
+                        else 0
+                    )
+                    acc.add(ref_id, pos0, end0, v, v_end)
+                    last = (ref_id, pos0, end0, v_end)
             if not wrote:
                 fs.delete(tmp)
                 return
-            fs.rename(tmp, fs_join(temp_dir, f"part-{pid:05d}"))
+            name = f"part-{pid:05d}"
+            fs.rename(tmp, fs_join(temp_dir, name))
+            if index_on:
+                # The close() flush turned the pending buffer into the
+                # part's final block; normalize the final record's chunk
+                # end to start-of-next-block, matching what a sequential
+                # reader (BgzfReader.tell_virtual) reports there.
+                csize = w.compressed_bytes
+                true_end = csize << 16
+                if last is not None:
+                    ref_id, pos0, end0, prov = last
+                    if ref_id >= 0 and pos0 >= 0 and prov != true_end:
+                        chunks = acc.bins[ref_id][reg2bin(pos0, end0)]
+                        if chunks[-1][1] == prov:
+                            chunks[-1][1] = true_end
+                meta = {"n": n, "offsets": offsets, "csize": csize, **acc.to_meta()}
+                with fs.open_output(fs_join(temp_dir, f".idx-{name}.json")) as mh:
+                    mh.write(_json.dumps(meta).encode())
 
         from .arrow_xfer import foreach_partition_arrow
 
@@ -542,7 +610,42 @@ class BamSink:
         header_block = b"".join(
             compress_block(header_bam[i : i + 60000]) for i in range(0, len(header_bam), 60000)
         )
+        index_meta: list[dict] | None = None
+        if index_on:
+            import json
+
+            from .merger import list_parts
+
+            index_meta = []
+            for p in sorted(list_parts(temp_dir)):
+                with fs.open_input(fs_join(temp_dir, f".idx-{fs_basename(p)}.json")) as mh:
+                    index_meta.append(json.loads(mh.read().decode()))
         merge_parts(temp_dir, path, header=header_block, terminator=EMPTY_GZIP_BLOCK)
+        if not index_on:
+            return
+        base = len(header_block)
+        sbi_offsets: list[int] = []
+        total_records = 0
+        bai_acc = BaiAccumulator(n_ref)
+        for meta in index_meta:
+            if write_sbi:
+                sbi_offsets.extend(rebase_voffset(o, base) for o in meta["offsets"])
+            if write_bai:
+                bai_acc.merge_rebased(meta, base)
+            total_records += meta["n"]
+            base += meta["csize"]
+        if write_sbi:
+            idx = SbiIndex(
+                file_length=base + len(EMPTY_GZIP_BLOCK),
+                md5=b"\x00" * 16,
+                uuid=b"\x00" * 16,
+                total_records=total_records,
+                granularity=sbi_granularity,
+                offsets=tuple(sbi_offsets) + (base << 16,),
+            )
+            fs_write_bytes(path + ".sbi", idx.dump())
+        if write_bai:
+            fs_write_bytes(path + ".bai", bai_acc.dump())
 
     def write_sharded(self, df: DataFrame, header: SamHeader, path: str) -> None:
         """One complete BAM (header + records + terminator) per partition in

@@ -231,17 +231,35 @@ class BgzfWriter:
         self._terminator = write_terminator
         self._level = level
         self._closed = False
+        self._cbytes = 0  # compressed bytes emitted so far
 
     def write(self, data: bytes) -> None:
         self._buf.extend(data)
         while len(self._buf) >= MAX_UNCOMPRESSED_BLOCK:
             chunk = bytes(self._buf[:MAX_UNCOMPRESSED_BLOCK])
             del self._buf[:MAX_UNCOMPRESSED_BLOCK]
-            self._fh.write(compress_block(chunk, self._level))
+            blk = compress_block(chunk, self._level)
+            self._fh.write(blk)
+            self._cbytes += len(blk)
+
+    def tell_virtual(self) -> int:
+        """Virtual offset of the next byte to be written, relative to this
+        writer's stream start (coffset<<16|uoffset).  Sinks record these at
+        record boundaries for write-time index creation; part-relative
+        offsets rebase to file-absolute by adding the part's byte offset to
+        the coffset half (parts are whole block sequences)."""
+        return (self._cbytes << 16) | len(self._buf)
+
+    @property
+    def compressed_bytes(self) -> int:
+        """Compressed bytes emitted (the part's final size once closed)."""
+        return self._cbytes
 
     def flush_block(self) -> None:
         if self._buf:
-            self._fh.write(compress_block(bytes(self._buf), self._level))
+            blk = compress_block(bytes(self._buf), self._level)
+            self._fh.write(blk)
+            self._cbytes += len(blk)
             self._buf.clear()
 
     def close(self) -> None:

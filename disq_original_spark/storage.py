@@ -91,13 +91,24 @@ class ReadsStorage:
             return _residual(df, intervals, include_unplaced)
         return df
 
-    def write(self, df: DataFrame, path: str, header: SamHeader) -> None:
+    def write(
+        self, df: DataFrame, path: str, header: SamHeader, *, write_index: bool = False
+    ) -> None:
+        """``write_index=True`` creates the format's indexes alongside the
+        single-file output at write time (BAM: ``.sbi`` + ``.bai``) — the
+        analog of the reference's SbiWriteOption, extended to ``.bai``
+        which the reference cannot write (README.md:121-131 there)."""
         sharded = path.endswith(".sharded")
         inner = path[: -len(".sharded")] if sharded else path
         fmt = _reads_format(inner)
+        if write_index and (sharded or fmt not in ("bam",)):
+            raise ValueError("write_index is supported for single-file BAM output")
         if fmt == "bam":
             sink = BamSink()
-            (sink.write_sharded if sharded else sink.write)(df, header, path)
+            if sharded:
+                sink.write_sharded(df, header, path)
+            else:
+                sink.write(df, header, path, write_sbi=write_index, write_bai=write_index)
         elif fmt == "sam":
             sink = SamSink()
             (sink.write_sharded if sharded else sink.write)(df, header, path)

@@ -516,3 +516,71 @@ def test_queryname_pair_integrity(spark, tmp_path):
     assert tagged.count() == N_RECORDS  # exactly-once under group ownership
     multi = per_group.filter("n > 1").count()
     assert multi > 0  # the fixture really does contain read groups/pairs
+
+
+# ---------------------------------------------------- write-time index creation
+
+
+def test_write_time_bai_matches_posthoc_build(spark, tmp_path, bam_df):
+    """Executors emit part-relative index metadata during the part writes;
+    the driver rebases at merge time.  The result must be byte-identical to
+    a sequential post-hoc build over the merged file."""
+    from disq_original_spark.sources.bai import create_bai
+
+    header, _, _ = read_bam_header(BAM)
+    out = str(tmp_path / "indexed.bam")
+    assert bam_df.rdd.getNumPartitions() > 1  # multi-part merge is exercised
+    BamSink().write(bam_df, header, out, write_sbi=True, write_bai=True, sbi_granularity=256)
+    written = Path(out + ".bai").read_bytes()
+    create_bai(out)  # overwrites with the sequential driver-side build
+    assert Path(out + ".bai").read_bytes() == written
+
+
+def test_write_time_sbi_single_part_matches_posthoc(spark, tmp_path, bam_df):
+    """With one part there is no per-part granularity restart, so the
+    write-time .sbi must equal create_sbi byte for byte (incl. the
+    end-of-records sentinel and file length)."""
+    header, _, _ = read_bam_header(BAM)
+    out = str(tmp_path / "one.bam")
+    BamSink().write(bam_df.coalesce(1), header, out, write_sbi=True, sbi_granularity=512)
+    written = Path(out + ".sbi").read_bytes()
+    create_sbi(out, granularity=512)
+    assert Path(out + ".sbi").read_bytes() == written
+
+
+def test_write_time_sbi_drives_read(spark, tmp_path, bam_df):
+    header, _, _ = read_bam_header(BAM)
+    out = str(tmp_path / "multi.bam")
+    BamSink().write(bam_df, header, out, write_sbi=True, sbi_granularity=64)
+    idx = SbiIndex.load(out + ".sbi")
+    assert idx.total_records == N_RECORDS
+    assert list(idx.offsets) == sorted(idx.offsets)
+    again = BamSource().read(spark, out, split_size=40 * 1024, use_sbi=True)
+    assert again.rdd.getNumPartitions() > 1
+    assert again.count() == N_RECORDS
+
+
+def test_write_time_bai_interval_pushdown(spark, tmp_path, bam_df):
+    header, _, _ = read_bam_header(BAM)
+    out = str(tmp_path / "rt.bam")
+    BamSink().write(bam_df, header, out, write_bai=True)
+    intervals = spark.createDataFrame(
+        [("1", 24_800_000, 24_860_000)], "contig string, start long, end long"
+    )
+    via_written = BamSource().read(spark, out, intervals=intervals)
+    no_index = BamSource().read(spark, BAM, intervals=intervals)  # full scan + residual
+    key = lambda r: (r.qname, r.flag, r.pos)
+    a = sorted(map(key, via_written.collect()))
+    b = sorted(map(key, no_index.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_storage_write_index_option(spark, tmp_path, bam_df):
+    from disq_original_spark.storage import ReadsStorage
+
+    header, _, _ = read_bam_header(BAM)
+    out = str(tmp_path / "st.bam")
+    ReadsStorage(spark).write(bam_df, out, header, write_index=True)
+    assert Path(out + ".sbi").exists() and Path(out + ".bai").exists()
+    with pytest.raises(ValueError):
+        ReadsStorage(spark).write(bam_df, str(tmp_path / "x.sam"), header, write_index=True)

@@ -141,3 +141,22 @@ def test_cram_read_on_mock_scheme(spark, mock_fs, tmp_path):
         spark, "mock://valid.cram", reference_path="mock://valid.fasta"
     )
     assert via_mock.count() == local.count()
+
+
+def test_indexed_write_on_mock_scheme(spark, mock_fs, tmp_path):
+    """Write-time .sbi/.bai creation (sidecar metadata + rebase) must run
+    entirely through the pluggable filesystem — a plain open() on mock://
+    would fail."""
+    from disq_original_spark.sources.bam import BamSink, BamSource
+    from disq_original_spark.sources.bam_codec import SbiIndex
+
+    _stage(tmp_path, "1.bam")
+    src = BamSource()
+    df = src.read(spark, "mock://1.bam")
+    n = df.count()
+    header = src.read_header("mock://1.bam")
+    BamSink().write(df, header, "mock://out/indexed.bam", write_sbi=True, write_bai=True)
+    assert mock_fs.exists("mock://out/indexed.bam.sbi")
+    assert mock_fs.exists("mock://out/indexed.bam.bai")
+    assert SbiIndex.load("mock://out/indexed.bam.sbi").total_records == n
+    assert src.read(spark, "mock://out/indexed.bam", use_sbi=True).count() == n
