@@ -369,7 +369,15 @@ class VcfSink:
     (.bgz) with terminator-less parts + driver header + EOF block
     (reference `vcf/VcfSink.java:23-69`)."""
 
-    def write(self, df: DataFrame, header_text: str, path: str, sample_names: list[str] | None = None) -> None:
+    def write(
+        self,
+        df: DataFrame,
+        header_text: str,
+        path: str,
+        sample_names: list[str] | None = None,
+        *,
+        write_index: bool = False,
+    ) -> None:
         samples = sample_names if sample_names is not None else vcf_sample_names(header_text)
         lines = df.select(to_vcf_line(samples).alias("value"))
         temp_dir = f"{path}.parts-{uuid.uuid4().hex[:8]}"
@@ -377,26 +385,61 @@ class VcfSink:
         if not compressed:
             lines.write.mode("overwrite").text(temp_dir)
             merge_parts(temp_dir, path, header=header_text.encode())
+            if write_index:
+                # Plain text gets the Tribble .idx, like the reference's
+                # per-format index choice on the read side.  The Spark
+                # native text writer offers no per-part hook, so this one
+                # is a driver-side pass over the (text) output.
+                from .tribble import create_tribble_index
+
+                create_tribble_index(path)
             return
 
         fs = get_fs(path)
         fs.mkdirs(temp_dir)
 
         def write_partition(pid, rows):
+            import json as _json
             import uuid as _uuid
 
             from .bgzf import BgzfWriter
+            from .tabix import TabixAccumulator, vcf_feature_span
 
             tmp = fs_join(temp_dir, f".tmp-{_uuid.uuid4().hex}")
             wrote = False
+            acc = TabixAccumulator() if write_index else None
+            last = None  # (name, beg0, end0, provisional v_end)
             with fs.open_output(tmp) as fh, BgzfWriter(fh, write_terminator=False) as w:
                 for row in rows:
                     wrote = True
-                    w.write(row["value"].encode() + b"\n")
+                    line = row["value"]
+                    if not write_index:
+                        w.write(line.encode() + b"\n")
+                        continue
+                    v = w.tell_virtual()
+                    w.write(line.encode() + b"\n")
+                    v_end = w.tell_virtual()
+                    cname, beg0, end0 = vcf_feature_span(line)
+                    acc.add(cname, beg0, end0, v, v_end)
+                    last = (cname, beg0, end0, v_end)
             if not wrote:
                 fs.delete(tmp)
                 return
-            fs.rename(tmp, fs_join(temp_dir, f"part-{pid:05d}"))
+            name = f"part-{pid:05d}"
+            fs.rename(tmp, fs_join(temp_dir, name))
+            if write_index:
+                # normalize the final feature's chunk end to the part's
+                # start-of-next-block (see BamSink.write)
+                csize = w.compressed_bytes
+                true_end = csize << 16
+                if last is not None and last[3] != true_end:
+                    cname, beg0, end0, prov = last
+                    chunks = acc.bins[acc._idx[cname]][acc._reg2bin(beg0, end0)]
+                    if chunks[-1][1] == prov:
+                        chunks[-1][1] = true_end
+                meta = {"csize": csize, **acc.to_meta()}
+                with fs.open_output(fs_join(temp_dir, f".idx-{name}.json")) as mh:
+                    mh.write(_json.dumps(meta).encode())
 
         from .arrow_xfer import foreach_partition_arrow
 
@@ -408,7 +451,26 @@ class VcfSink:
             compress_block(header_text.encode()[i : i + 60000])
             for i in range(0, len(header_text.encode()), 60000)
         )
+        index_meta: list[dict] = []
+        if write_index:
+            import json
+
+            from .merger import list_parts
+
+            for p in sorted(list_parts(temp_dir)):
+                with fs.open_input(fs_join(temp_dir, f".idx-{fs_basename(p)}.json")) as mh:
+                    index_meta.append(json.loads(mh.read().decode()))
         merge_parts(temp_dir, path, header=header_block, terminator=EMPTY_GZIP_BLOCK)
+        if write_index:
+            from .fsio import fs_write_bytes
+            from .tabix import TabixAccumulator
+
+            acc = TabixAccumulator()
+            base = len(header_block)
+            for meta in index_meta:
+                acc.merge_rebased(meta, base)
+                base += meta["csize"]
+            fs_write_bytes(path + ".tbi", acc.dump())
 
     def write_sharded(
         self,

@@ -148,9 +148,16 @@ class VariantsStorage:
             self.spark, path, intervals=intervals, stringency=self.stringency, **kw
         )
 
-    def write(self, df: DataFrame, path: str, header_text: str) -> None:
+    def write(
+        self, df: DataFrame, path: str, header_text: str, *, write_index: bool = False
+    ) -> None:
+        """``write_index=True`` creates the per-format index alongside the
+        single-file output — tabix ``.tbi`` for BGZF, Tribble ``.idx`` for
+        plain text (the same format→index pairing the read side consults)."""
         sink = VcfSink()
         if path.endswith(".sharded"):
+            if write_index:
+                raise ValueError("write_index is supported for single-file VCF output")
             sink.write_sharded(df, header_text, path)
         else:
-            sink.write(df, header_text, path)
+            sink.write(df, header_text, path, write_index=write_index)

@@ -160,3 +160,20 @@ def test_indexed_write_on_mock_scheme(spark, mock_fs, tmp_path):
     assert mock_fs.exists("mock://out/indexed.bam.bai")
     assert SbiIndex.load("mock://out/indexed.bam.sbi").total_records == n
     assert src.read(spark, "mock://out/indexed.bam", use_sbi=True).count() == n
+
+
+def test_vcf_indexed_write_on_mock_scheme(spark, mock_fs, tmp_path):
+    """Write-time .tbi creation (sidecar metadata + rebase) must run
+    entirely through the pluggable filesystem."""
+    from disq_original_spark.sources.tabix import parse_tabix
+    from disq_original_spark.sources.vcf import VcfSink, VcfSource
+
+    _stage(tmp_path, "test.vcf.bgz")
+    src = VcfSource()
+    df = src.read(spark, "mock://test.vcf.bgz")
+    n = df.count()
+    header = src.read_header("mock://test.vcf.bgz")
+    VcfSink().write(df, header, "mock://out/indexed.vcf.bgz", write_index=True)
+    assert mock_fs.exists("mock://out/indexed.vcf.bgz.tbi")
+    assert parse_tabix("mock://out/indexed.vcf.bgz.tbi").names
+    assert src.read(spark, "mock://out/indexed.vcf.bgz").count() == n

@@ -318,3 +318,81 @@ def test_vcf_line_sample_values_follow_format_keys(spark):
     assert s2_map == {"GT": "1/1", "DP": ".", "GQ": "7"}  # '.' where absent
 
 
+
+
+# ---------------------------------------------------- write-time index creation
+
+
+def test_write_time_tbi_matches_posthoc_build(spark, tmp_path):
+    """Executors emit part-relative tabix metadata during the part writes;
+    the driver rebases at merge time.  Result must be byte-identical to a
+    sequential post-hoc build over the merged file."""
+    from disq_original_spark.sources.tabix import create_tabix_index
+
+    src = VcfSource()
+    df = src.read(spark, HISEQ, split_size=128 * 1024)
+    header = src.read_header(HISEQ)
+    out = str(tmp_path / "indexed.vcf.bgz")
+    assert df.rdd.getNumPartitions() > 1  # multi-part merge is exercised
+    VcfSink().write(df, header, out, write_index=True)
+    written = Path(out + ".tbi").read_bytes()
+    create_tabix_index(out)  # overwrites with the sequential build
+    assert Path(out + ".tbi").read_bytes() == written
+
+
+def test_write_time_tbi_drives_pruned_read(spark, tmp_path):
+    src = VcfSource()
+    df = src.read(spark, HISEQ, split_size=128 * 1024)
+    header = src.read_header(HISEQ)
+    out = str(tmp_path / "rt.vcf.bgz")
+    VcfSink().write(df, header, out, write_index=True)
+    intervals = spark.createDataFrame(
+        [("chr1", 2_700_000, 2_800_000)], "contig string, start long, end long"
+    )
+    pruned = src.read(spark, out, intervals=intervals, split_size=64 * 1024)
+    expected = src.read(spark, HISEQ, intervals=intervals)
+    key = lambda r: (r.contig, r.pos, r.ref)
+    a = sorted(map(key, pruned.collect()))
+    b = sorted(map(key, expected.collect()))
+    assert a == b and len(a) > 0
+
+
+def test_write_time_tribble_idx_for_plain_vcf(spark, tmp_path):
+    """Plain-text output gets the Tribble .idx (same format->index pairing
+    the read side consults)."""
+    from disq_original_spark.sources.tribble import parse_tribble
+
+    src = VcfSource()
+    df = src.read(spark, TEST_VCF)
+    header = src.read_header(TEST_VCF)
+    out = str(tmp_path / "indexed.vcf")
+    VcfSink().write(df, header, out, write_index=True)
+    idx = parse_tribble(out + ".idx")
+    assert sum(c.n_features for c in idx.chromosomes.values()) == df.count()
+    again = src.read(spark, out)
+    assert sorted(map(str, again.collect())) == sorted(map(str, df.collect()))
+
+
+def test_vcf_feature_span_end_aware():
+    from disq_original_spark.sources.tabix import vcf_feature_span
+
+    # plain SNP: REF span
+    assert vcf_feature_span("chr1\t101\t.\tAC\tA\t.\t.\t.") == ("chr1", 100, 102)
+    # symbolic deletion spans to INFO END (htsjdk indexer semantics)
+    line = "chr2\t1000\t.\tN\t<DEL>\t.\tPASS\tSVTYPE=DEL;END=5000"
+    assert vcf_feature_span(line) == ("chr2", 999, 5000)
+    # SVLEN-less END in first position
+    assert vcf_feature_span("1\t5\t.\tG\t<DUP>\t.\t.\tEND=42\tGT\t0/1") == ("1", 4, 42)
+
+
+def test_variants_storage_write_index_option(spark, tmp_path):
+    from disq_original_spark.storage import VariantsStorage
+
+    st = VariantsStorage(spark)
+    df = st.read(HISEQ)
+    header = st.read_header(HISEQ)
+    out = str(tmp_path / "st.vcf.bgz")
+    st.write(df, out, header, write_index=True)
+    assert Path(out + ".tbi").exists()
+    with pytest.raises(ValueError):
+        st.write(df, str(tmp_path / "x.vcf.sharded"), header, write_index=True)
