@@ -134,6 +134,80 @@ def read_crai_offsets(crai_path: str | Path) -> list[int]:
     return sorted(offsets)
 
 
+def crai_entries_for_reads(reads, ref_index: dict[str, int]) -> list[tuple[int, int, int]]:
+    """``(seq_id, aln_start, aln_span)`` CRAI triples for the reads of one
+    (multi-reference) slice — one entry per distinct reference like htsjdk's
+    multiref ``CRAIEntry`` split; unmapped reads collapse to one
+    ``(-1, 0, 0)`` entry.  Shared by the write-time path (rows in hand) and
+    the post-hoc ``create_crai`` (rows decoded back) so the two builds are
+    byte-comparable."""
+    from .bam_codec import cigar_ref_length
+
+    spans: dict[int, list[int]] = {}
+    unmapped = False
+    for r in reads:
+        name = r.get("rname")
+        pos = r.get("pos")
+        sid = ref_index.get(name) if name else None
+        if sid is None or not pos:
+            unmapped = True
+            continue
+        end = pos + max(1, cigar_ref_length(r.get("cigar") or "*")) - 1
+        cur = spans.get(sid)
+        if cur is None:
+            spans[sid] = [pos, end]
+        else:
+            if pos < cur[0]:
+                cur[0] = pos
+            if end > cur[1]:
+                cur[1] = end
+    entries = [(sid, s, e - s + 1) for sid, (s, e) in sorted(spans.items())]
+    if unmapped:
+        entries.append((-1, 0, 0))
+    return entries
+
+
+def _crai_dump(lines: list[tuple[int, int, int, int, int, int]]) -> bytes:
+    text = "".join("\t".join(str(v) for v in line) + "\n" for line in lines)
+    return gzip.compress(text.encode(), mtime=0)
+
+
+def create_crai(
+    path: str, out: str | None = None, reference_path: str | None = None
+) -> None:
+    """Sequential post-hoc ``.crai`` build (htsjdk ``CRAMCRAIIndexer`` role:
+    multiref slices are resolved by decoding the records).  Also the truth
+    the distributed write-time build (``CramSink.write(write_index=True)``)
+    is byte-compared against in tests."""
+    from .cram_codec import (
+        Buf,
+        IndexedFasta,
+        decode_container,
+        read_container_header,
+        read_cram_meta_file,
+    )
+    from .fsio import fs_read_bytes, fs_write_bytes
+
+    meta, first_data = read_cram_meta_file(path)
+    ref_index = {n: i for i, n in enumerate(meta.ref_names)}
+    getter = IndexedFasta(reference_path).get if reference_path else None
+    data = fs_read_bytes(path)
+    lines: list[tuple[int, int, int, int, int, int]] = []
+    pos = first_data
+    while pos < len(data):
+        hdr = read_container_header(Buf(data), pos, meta.major)
+        rows, nxt = decode_container(data, pos, meta, getter, verify_ref_md5=False)
+        if rows:
+            # one slice per landmark; our writer emits one slice/container,
+            # and the decode returns the container's rows in slice order
+            landmark = hdr.landmarks[0]
+            slice_size = hdr.length - landmark
+            for sid, start, span in crai_entries_for_reads(rows, ref_index):
+                lines.append((sid, start, span, pos, landmark, slice_size))
+        pos = nxt
+    fs_write_bytes(out or path + ".crai", _crai_dump(lines))
+
+
 def snap_splits_to_containers(
     offsets: list[int], file_len: int, split_size: int
 ) -> list[tuple[int, int]]:
@@ -236,7 +310,14 @@ class CramSink:
         path: str,
         reference_path: str | None = None,
         version: tuple[int, int] = (2, 1),
+        *,
+        write_index: bool = False,
     ) -> None:
+        """``write_index=True`` additionally creates ``path + ".crai"`` at
+        write time: executors record each container's CRAI entries (computed
+        from the rows they are encoding — no decode needed) plus the slice
+        landmark/size in small sidecars; the driver offsets them by the
+        merge layout.  The reference cannot write any index (README.md)."""
         import uuid
 
         from pyspark.sql import functions as F
@@ -248,7 +329,7 @@ class CramSink:
             eof_container,
             file_definition,
         )
-        from .merger import merge_parts
+        from .merger import list_parts, merge_parts
 
         major, minor = version
 
@@ -271,7 +352,23 @@ class CramSink:
             tmp = fs_join(temp_dir, f".tmp-{uuid.uuid4().hex}")
             with fs.open_output(tmp) as fh:
                 fh.write(data)
-            fs.rename(tmp, fs_join(temp_dir, f"part-{pid:05d}"))
+            name = f"part-{pid:05d}"
+            fs.rename(tmp, fs_join(temp_dir, name))
+            if write_index:
+                import json as _json
+
+                from .cram_codec import Buf, read_container_header
+
+                hdr = read_container_header(Buf(data), 0, major)
+                ref_index = {n: i for i, n in enumerate(_refs)}
+                meta = {
+                    "csize": len(data),
+                    "landmark": hdr.landmarks[0],
+                    "slice_size": hdr.length - hdr.landmarks[0],
+                    "entries": crai_entries_for_reads(rows, ref_index),
+                }
+                with fs.open_output(fs_join(temp_dir, f".idx-{name}.json")) as mh:
+                    mh.write(_json.dumps(meta).encode())
 
         from .arrow_xfer import foreach_partition_arrow
 
@@ -279,4 +376,25 @@ class CramSink:
         header = file_definition(major=major, minor=minor) + encode_file_header_container(
             header_text, major
         )
+        index_meta: list[dict] = []
+        if write_index:
+            import json
+
+            from .fsio import fs_basename
+
+            for p in sorted(list_parts(temp_dir)):
+                with fs.open_input(fs_join(temp_dir, f".idx-{fs_basename(p)}.json")) as mh:
+                    index_meta.append(json.loads(mh.read().decode()))
         merge_parts(temp_dir, path, header=header, terminator=eof_container(major))
+        if write_index:
+            from .fsio import fs_write_bytes
+
+            lines: list[tuple[int, int, int, int, int, int]] = []
+            offset = len(header)
+            for meta in index_meta:
+                for sid, start, span in meta["entries"]:
+                    lines.append(
+                        (sid, start, span, offset, meta["landmark"], meta["slice_size"])
+                    )
+                offset += meta["csize"]
+            fs_write_bytes(path + ".crai", _crai_dump(lines))

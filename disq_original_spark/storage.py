@@ -95,14 +95,14 @@ class ReadsStorage:
         self, df: DataFrame, path: str, header: SamHeader, *, write_index: bool = False
     ) -> None:
         """``write_index=True`` creates the format's indexes alongside the
-        single-file output at write time (BAM: ``.sbi`` + ``.bai``) — the
-        analog of the reference's SbiWriteOption, extended to ``.bai``
-        which the reference cannot write (README.md:121-131 there)."""
+        single-file output at write time (BAM: ``.sbi`` + ``.bai``; CRAM:
+        ``.crai``) — the analog of the reference's SbiWriteOption, extended
+        to the indexes the reference cannot write (README.md:121-131 there)."""
         sharded = path.endswith(".sharded")
         inner = path[: -len(".sharded")] if sharded else path
         fmt = _reads_format(inner)
-        if write_index and (sharded or fmt not in ("bam",)):
-            raise ValueError("write_index is supported for single-file BAM output")
+        if write_index and (sharded or fmt not in ("bam", "cram")):
+            raise ValueError("write_index is supported for single-file BAM/CRAM output")
         if fmt == "bam":
             sink = BamSink()
             if sharded:
@@ -115,7 +115,10 @@ class ReadsStorage:
         else:
             if sharded:
                 raise ValueError("sharded CRAM output is not supported; use .bam.sharded")
-            CramSink().write(df, header.text, path, reference_path=self.reference_path)
+            CramSink().write(
+                df, header.text, path,
+                reference_path=self.reference_path, write_index=write_index,
+            )
 
 
 def _residual(

@@ -344,3 +344,58 @@ def test_doctored_slice_decodes_golomb_series():
     )
     codec = build_codec(2, itf8(0) + itf8(6))
     assert [codec.read_int(core, {}) for _ in values] == values
+
+
+# ---------------------------------------------------- write-time .crai creation
+
+
+def test_write_time_crai_matches_posthoc_build(spark, tmp_path):
+    """Executors compute each container's CRAI entries from the rows they
+    encode; the driver offsets them by the merge layout.  Result must be
+    byte-identical to a sequential post-hoc build (which decodes the
+    written records back)."""
+    from disq_original_spark.sources.cram import CramSink, create_crai
+    from disq_original_spark.sources.cram_codec import read_cram_meta
+
+    hdr = read_cram_meta(Path(CRAM).read_bytes())[0].header_text
+    df = CramSource().read(spark, CRAM, reference_path=FASTA)
+    out = str(tmp_path / "indexed.cram")
+    CramSink().write(df.repartition(3), hdr, out, reference_path=FASTA, write_index=True)
+    written = Path(out + ".crai").read_bytes()
+    create_crai(out, reference_path=FASTA)  # overwrites with sequential build
+    assert Path(out + ".crai").read_bytes() == written
+
+
+def test_write_time_crai_drives_split_planning(spark, tmp_path):
+    """The written .crai must feed the indexed split-planning fast path:
+    its container offsets equal the real container chain's, so plan_splits
+    needs no driver-side chain walk."""
+    import gzip as _gzip
+
+    from disq_original_spark.sources.cram import CramSink, read_crai_offsets
+    from disq_original_spark.sources.cram_codec import read_cram_meta
+
+    hdr = read_cram_meta(Path(CRAM).read_bytes())[0].header_text
+    df = CramSource().read(spark, CRAM, reference_path=FASTA)
+    out = str(tmp_path / "planned.cram")
+    CramSink().write(df.repartition(3), hdr, out, reference_path=FASTA, write_index=True)
+    with open(out, "rb") as fh:
+        chain = [c.offset for c in enumerate_containers(fh) if not c.is_eof and c.n_records > 0]
+    assert read_crai_offsets(out + ".crai") == chain
+    # entries are well-formed 6-column lines with sane slice geometry
+    for line in _gzip.open(out + ".crai", "rt"):
+        sid, start, span, c_off, s_off, s_size = map(int, line.split("\t"))
+        assert sid >= -1 and c_off in chain and s_off > 0 and s_size > 0
+    back = CramSource().read(spark, out, reference_path=FASTA)
+    assert back.count() == N_CRAM_RECORDS
+
+
+def test_reads_storage_write_index_cram(spark, tmp_path):
+    from disq_original_spark.storage import ReadsStorage
+
+    st = ReadsStorage(spark, reference_path=FASTA)
+    df = st.read(CRAM)
+    header = st.read_header(CRAM)
+    out = str(tmp_path / "st.cram")
+    st.write(df, out, header, write_index=True)
+    assert Path(out + ".crai").exists()
