@@ -74,3 +74,33 @@ def normalized_fingerprint(text: Column | str, length: int = 16) -> Column:
     lowercased text, truncated to ``length`` hex chars."""
     c = F.col(text) if isinstance(text, str) else text
     return F.substring(F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")), 1, length)
+
+
+def map_from_entries_last_wins(entries: Column) -> Column:
+    """``map_from_entries`` with duplicate keys resolved last-wins, without
+    touching ``spark.sql.mapKeyDedupPolicy``: a library read must not change
+    map semantics for the caller's unrelated queries, and because DataFrames
+    are lazy a set-then-restore of the session conf would be a race.  Keeps
+    an entry only if no LATER entry shares its key — O(n²) per row, on
+    arrays that are aux tags / INFO fields (tens of elements)."""
+    return F.map_from_entries(
+        F.filter(
+            entries,
+            lambda e, i: ~F.exists(
+                F.slice(entries, i + F.lit(2), F.size(entries)),
+                lambda later: later["key"] == e["key"],
+            ),
+        )
+    )
+
+
+def map_from_arrays_last_wins(keys: Column, values: Column) -> Column:
+    """``map_from_arrays`` (equal-length inputs) with duplicate keys
+    resolved last-wins — see ``map_from_entries_last_wins``."""
+    return map_from_entries_last_wins(
+        F.zip_with(
+            keys,
+            values,
+            lambda k, v: F.struct(k.alias("key"), v.alias("value")),
+        )
+    )

@@ -21,6 +21,7 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import map_from_entries_last_wins
 from ..operators.interval import interval_filter
 from .headers import SamHeader, read_sam_header_text
 from .merger import merge_parts
@@ -109,7 +110,7 @@ def parse_sam_lines(lines: DataFrame, value_col: str = "value") -> DataFrame:
         at_int(9, "long").alias("tlen"),
         at(10).alias("seq"),
         at(11).alias("qual"),
-        F.map_from_entries(
+        map_from_entries_last_wins(
             F.transform(
                 tags,
                 lambda t: F.struct(
@@ -165,12 +166,6 @@ class SamSource:
             # NOTE: session-wide, exactly like the reference's job-conf knob —
             # later scans in the same session inherit it unless reset.
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(split_size))
-        # duplicate aux tags must follow stringency (last wins), not crash
-        # map_from_entries under the default EXCEPTION dedup policy.
-        # NOTE: session-wide, like the splitSize knob above — the returned
-        # DataFrame is lazy, so the conf must still hold when it executes;
-        # later queries in the same session inherit last-wins map semantics.
-        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         lines = spark.read.text(path)
         body = lines.filter(~F.col("value").startswith("@"))
         body = apply_stringency(body, _sam_malformed(), stringency)

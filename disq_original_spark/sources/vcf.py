@@ -25,6 +25,7 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import map_from_arrays_last_wins, map_from_entries_last_wins
 from ..operators.interval import interval_filter
 from .fsio import fs_basename, fs_exists, fs_join, fs_open, get_fs
 from .headers import read_vcf_header_text, vcf_sample_names
@@ -55,7 +56,9 @@ def parse_vcf_lines(lines: DataFrame, sample_names: list[str], value_col: str = 
             .alias("value"),
         ),
     )
-    info = F.when(at(8) == ".", F.expr("map()")).otherwise(F.map_from_entries(info_entries))
+    info = F.when(at(8) == ".", F.expr("map()")).otherwise(
+        map_from_entries_last_wins(info_entries)
+    )
 
     format_keys = F.split(at(9), ":")
 
@@ -65,7 +68,9 @@ def parse_vcf_lines(lines: DataFrame, sample_names: list[str], value_col: str = 
         # semantics, not crash map_from_arrays with a length mismatch
         vals = F.split(at(10 + i), ":")
         n = F.least(F.size(format_keys), F.size(vals))
-        return F.map_from_arrays(F.slice(format_keys, 1, n), F.slice(vals, 1, n))
+        return map_from_arrays_last_wins(
+            F.slice(format_keys, 1, n), F.slice(vals, 1, n)
+        )
 
     genotypes = F.array(
         *[
@@ -163,11 +168,6 @@ class VcfSource:
             else:
                 lines = spark.read.text(path)
         body = lines.filter(~F.col("value").startswith("#"))
-        # duplicate INFO keys degrade lenient-style (last wins), not crash.
-        # NOTE: session-wide by necessity — the returned DataFrame is lazy,
-        # so the conf must still hold when it executes; later queries in the
-        # same session inherit last-wins map semantics (see sam.py).
-        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         from .sam import apply_stringency
 
         f = F.split(F.col("value"), "\t")

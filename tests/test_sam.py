@@ -150,14 +150,18 @@ def test_validation_stringency(spark, tmp_path):
 
 def test_duplicate_aux_tags_last_wins(spark, tmp_path):
     """Duplicate aux tags follow lenient semantics (last wins), not a
-    DUPLICATED_MAP_KEY crash."""
+    DUPLICATED_MAP_KEY crash — resolved inside the parse expression, so the
+    session's mapKeyDedupPolicy is left untouched for the caller's own
+    queries."""
     p = tmp_path / "dup.sam"
     p.write_text(
         "@HD\tVN:1.6\n"
         "r1\t0\tchr1\t10\t30\t4M\t*\t0\t0\tACGT\tFFFF\tXA:Z:a\tXA:Z:b\n"
     )
+    policy_before = spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
     rows = SamSource().read(spark, str(p)).collect()
     assert rows[0]["attributes"]["XA"] == "Z:b"
+    assert spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION") == policy_before
 
 
 def test_lenient_malformed_row_roundtrips_full_column_count(spark, tmp_path):

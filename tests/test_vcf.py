@@ -396,3 +396,20 @@ def test_variants_storage_write_index_option(spark, tmp_path):
     assert Path(out + ".tbi").exists()
     with pytest.raises(ValueError):
         st.write(df, str(tmp_path / "x.vcf.sharded"), header, write_index=True)
+
+
+def test_duplicate_info_and_format_keys_last_wins(spark, tmp_path):
+    """Duplicate INFO/FORMAT keys resolve last-wins inside the parse
+    expression — no session mapKeyDedupPolicy mutation, no
+    DUPLICATED_MAP_KEY crash under the default EXCEPTION policy."""
+    p = tmp_path / "dup.vcf"
+    p.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+        "chr1\t100\t.\tA\tT\t50\tPASS\tDP=5;AF=0.1;DP=9\tGT:DP:DP\t0/1:3:7\n"
+    )
+    policy_before = spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    row = VcfSource().read(spark, str(p)).collect()[0]
+    assert row["info"]["DP"] == "9"
+    assert row["genotypes"][0]["attrs"]["DP"] == "7"
+    assert spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION") == policy_before
