@@ -80,27 +80,38 @@ def map_from_entries_last_wins(entries: Column) -> Column:
     """``map_from_entries`` with duplicate keys resolved last-wins, without
     touching ``spark.sql.mapKeyDedupPolicy``: a library read must not change
     map semantics for the caller's unrelated queries, and because DataFrames
-    are lazy a set-then-restore of the session conf would be a race.  Keeps
-    an entry only if no LATER entry shares its key — O(n²) per row, on
-    arrays that are aux tags / INFO fields (tens of elements)."""
-    return F.map_from_entries(
-        F.filter(
-            entries,
-            lambda e, i: ~F.exists(
-                F.slice(entries, i + F.lit(2), F.size(entries)),
-                lambda later: later["key"] == e["key"],
-            ),
-        )
+    are lazy a set-then-restore of the session conf would be a race.
+
+    Cost-tiered for the hot parse path: a cheap ``array_distinct`` guard
+    (native collection op) routes the overwhelmingly common no-duplicates
+    row through the plain builder; only rows actually containing duplicate
+    keys pay the O(n²) keep-last filter (interpreted higher-order function
+    — measured 2× on the whole VCF scan when applied unconditionally)."""
+    keys = F.transform(entries, lambda e: e["key"])
+    deduped = F.filter(
+        entries,
+        lambda e, i: ~F.exists(
+            F.slice(entries, i + F.lit(2), F.size(entries)),
+            lambda later: later["key"] == e["key"],
+        ),
     )
+    return F.when(
+        F.size(F.array_distinct(keys)) == F.size(entries),
+        F.map_from_entries(entries),
+    ).otherwise(F.map_from_entries(deduped))
 
 
 def map_from_arrays_last_wins(keys: Column, values: Column) -> Column:
     """``map_from_arrays`` (equal-length inputs) with duplicate keys
     resolved last-wins — see ``map_from_entries_last_wins``."""
-    return map_from_entries_last_wins(
+    dedup_entries = map_from_entries_last_wins(
         F.zip_with(
             keys,
             values,
             lambda k, v: F.struct(k.alias("key"), v.alias("value")),
         )
     )
+    return F.when(
+        F.size(F.array_distinct(keys)) == F.size(keys),
+        F.map_from_arrays(keys, values),
+    ).otherwise(dedup_entries)
