@@ -181,17 +181,16 @@ def rebase_voffset(voff: int, base_bytes: int) -> int:
     return ((voff >> 16) + base_bytes) << 16 | (voff & 0xFFFF)
 
 
-def create_bai(bam_path: str | Path) -> str:
-    """Single-pass BAI build from a BAM file (driver-side, like
-    ``create_sbi``): bin each record by its alignment span, collect per-bin
-    voffset chunks (merging adjacent), plus the 16 kb linear index."""
+def iter_bam_record_spans(bam_path: str | Path):
+    """Yield ``(ref_id, pos0, end0, v, v_end)`` per BAM record in file
+    order (end0 from the CIGAR reference span; unmapped records yield
+    ``end0=0``) — the shared record walk behind the sequential BAI/CSI
+    builders."""
     from .bgzf import BgzfReader
+    from .fsio import fs_open
     from .headers import read_bam_header
 
-    _, refs, first_voffset = read_bam_header(str(bam_path))
-    acc = BaiAccumulator(len(refs))
-    from .fsio import fs_open, fs_write_bytes
-
+    _, _, first_voffset = read_bam_header(str(bam_path))
     with fs_open(str(bam_path)) as fh:
         reader = BgzfReader(fh)
         reader.seek_virtual(first_voffset)
@@ -207,7 +206,7 @@ def create_bai(bam_path: str | Path) -> str:
             v_end = reader.tell_virtual()
             ref_id, pos0 = struct.unpack_from("<ii", body, 0)
             if ref_id < 0 or pos0 < 0:
-                acc.add(ref_id, pos0, 0, v, v_end)
+                yield ref_id, pos0, 0, v, v_end
                 continue
             n_cigar = struct.unpack_from("<H", body, 12)[0]
             l_read_name = body[8]
@@ -217,7 +216,20 @@ def create_bai(bam_path: str | Path) -> str:
                 (op,) = struct.unpack_from("<I", body, coff + 4 * i)
                 if (op & 0xF) in (0, 2, 3, 7, 8):  # M D N = X
                     ref_len += op >> 4
-            acc.add(ref_id, pos0, pos0 + max(1, ref_len), v, v_end)
+            yield ref_id, pos0, pos0 + max(1, ref_len), v, v_end
+
+
+def create_bai(bam_path: str | Path) -> str:
+    """Single-pass BAI build from a BAM file (driver-side, like
+    ``create_sbi``): bin each record by its alignment span, collect per-bin
+    voffset chunks (merging adjacent), plus the 16 kb linear index."""
+    from .fsio import fs_write_bytes
+    from .headers import read_bam_header
+
+    _, refs, _ = read_bam_header(str(bam_path))
+    acc = BaiAccumulator(len(refs))
+    for ref_id, pos0, end0, v, v_end in iter_bam_record_spans(bam_path):
+        acc.add(ref_id, pos0, end0, v, v_end)
 
     path = str(bam_path) + ".bai"
     fs_write_bytes(path, acc.dump())

@@ -474,6 +474,13 @@ def _collect_file_metadata(
             from .bai import parse_bai, voffset_ranges_for_intervals
 
             bai_ranges = voffset_ranges_for_intervals(parse_bai(f + ".bai"), ivs)
+        elif ivs is not None and fs.exists(f + ".csi"):
+            # CSI fallback: same R-tree query with parameterized binning —
+            # contigs >2^29 bp can only ship a .csi
+            from .csi import parse_csi
+            from .csi import voffset_ranges_for_intervals as csi_ranges
+
+            bai_ranges = csi_ranges(parse_csi(f + ".csi"), ivs)
         return (f, flen, sbi.offsets if sbi else None, bai_ranges)
 
     if len(files) < job_threshold:

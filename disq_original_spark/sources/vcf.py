@@ -139,14 +139,23 @@ class VcfSource:
             # (reference `vcf/VcfSource.java:143-168`)
             ranges = None
             tbi = str(_first(path)) + ".tbi"
-            if intervals is not None and fs_exists(tbi):
-                from .tabix import file_ranges_for_intervals, parse_tabix
-
+            csi = str(_first(path)) + ".csi"
+            if intervals is not None and (fs_exists(tbi) or fs_exists(csi)):
                 ivs = [
                     (r["contig"], int(r["start"]), int(r["end"]))
                     for r in intervals.select("contig", "start", "end").collect()
                 ]
-                ranges = file_ranges_for_intervals(parse_tabix(tbi), ivs)
+                if fs_exists(tbi):
+                    from .tabix import file_ranges_for_intervals, parse_tabix
+
+                    ranges = file_ranges_for_intervals(parse_tabix(tbi), ivs)
+                else:
+                    # tabix-flavored CSI fallback (contigs >2^29 bp can
+                    # only ship a .csi; `tabix -C` output)
+                    from .csi import file_ranges_for_intervals as csi_ranges
+                    from .csi import parse_csi
+
+                    ranges = csi_ranges(parse_csi(csi), ivs)
             lines = _read_bgzf_lines(spark, path, split_size, ranges)
         else:
             # Tribble .idx split pruning for plain-text VCF (reference picks
