@@ -50,6 +50,8 @@ _PRIORITY = [
     "t04_fingerprint",
     "t05_bpe_tokens",
     "t06_winnow_fingerprint",
+    "t07_pii_redact",  # new in round 2
+    "t08_gopher_repetition",  # new in round 2
 ]
 
 

@@ -52,6 +52,7 @@ HEADLINE = [
     "t02_quality_score",
     "t05_bpe_tokens",  # regex-heavy tokenizer path
     "t06_winnow_fingerprint",
+    "t08_gopher_repetition",  # explode + two-level hash agg path
 ]
 
 

@@ -257,3 +257,158 @@ def t06(spark: SparkSession, sf: str) -> DataFrame:
         .mapInPandas(gen, "doc_id long, n_fp int, fp_digest string")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------- t07 PII scan/redact
+# The synthetic corpus contains no PII, so the query plants deterministic
+# pseudo-PII first (same CASE expression in both engines — the operator
+# under test is the regex extraction + redaction, the standard scrub pass
+# of a training-data pipeline).  Patterns avoid lookarounds/backrefs so
+# Java regex (Spark) and RE2 (DuckDB) match identically.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@query(
+    "t07_pii_redact",
+    rf"""SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(aug, '{_PII_SSN}')) AS BIGINT) AS n_ssn,
+               CAST(len(regexp_extract_all(aug, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+               substr(md5(regexp_replace(regexp_replace(regexp_replace(aug,
+                          '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_SSN}', '<SSN>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g')), 1, 16) AS redacted_fp
+        FROM (
+          SELECT doc_id,
+                 text
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org ok'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN ' id 523-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         ELSE '' END AS aug
+          FROM documents) t
+        ORDER BY doc_id""",
+)
+def t07(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scan + redaction over ``documents``: count emails / SSNs / US
+    phone numbers and emit a digest of the redacted text.  Single-scan
+    map-side regex work (like t05) — embarrassingly parallel at any scale;
+    the redacted digest stands in for writing the scrubbed corpus."""
+    d = load_table(spark, sf, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 5 == 0, F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.org ok"))).otherwise(""),
+        F.when(did % 7 == 0, F.concat(F.lit(" call 415-555-"), F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(""),
+        F.when(did % 11 == 0, F.concat(F.lit(" id 523-45-"), F.lpad((did % 10000).cast("string"), 4, "0"))).otherwise(""),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"), _PII_SSN, "<SSN>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(aug, F.lit(_PII_EMAIL), 0)).cast("long").alias("n_email"),
+            F.size(F.regexp_extract_all(aug, F.lit(_PII_SSN), 0)).cast("long").alias("n_ssn"),
+            F.size(F.regexp_extract_all(aug, F.lit(_PII_PHONE), 0)).cast("long").alias("n_phone"),
+            F.substring(F.md5(redacted), 1, 16).alias("redacted_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- t08 Gopher repetition
+@query(
+    "t08_gopher_repetition",
+    r"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+                   FROM documents),
+        words AS (SELECT doc_id, unnest(w) AS word FROM t),
+        wc AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2),
+        wagg AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_n,
+                        sum(length(word) * c) / CAST(sum(c) AS DOUBLE) AS mwl
+                 FROM wc GROUP BY 1),
+        bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w), 1)),
+                                                    i -> w[i] || ' ' || w[i+1])) AS bigram
+               FROM t),
+        bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        bagg AS (SELECT doc_id,
+                        sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE) AS dupf
+                 FROM bc GROUP BY 1)
+        SELECT w.doc_id,
+               CAST(w.n_words AS BIGINT) AS n_words,
+               round(w.mwl, 4) AS mean_word_len,
+               round(w.top_n / CAST(w.n_words AS DOUBLE), 4) AS top_word_frac,
+               round(coalesce(b.dupf, 0), 4) AS dup_bigram_frac,
+               (w.n_words BETWEEN 50 AND 100000
+                AND w.mwl BETWEEN 3 AND 10
+                AND w.top_n / CAST(w.n_words AS DOUBLE) < 0.2
+                AND coalesce(b.dupf, 0) < 0.6) AS gopher_pass
+        FROM wagg w LEFT JOIN bagg b USING (doc_id)
+        ORDER BY doc_id""",
+)
+def t08(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition/quality rules (Rae et al. 2021 §A1.1, public):
+    word count bounds, mean word length, most-common-word fraction,
+    duplicate-bigram fraction, and the combined keep/drop flag.
+
+    Scale shape: explode → two-level hash aggregation on (doc_id, token)
+    with map-side partial combine — the canonical distributed histogram;
+    no per-doc quadratic work, no driver collection.  The two token
+    aggregates and the bigram aggregate join back on doc_id (co-partitioned
+    by the groupBy, so the join reuses the shuffle)."""
+    d = load_table(spark, sf, "documents")
+    w = tokens("text")
+    t = d.select("doc_id", w.alias("w"))
+    words = t.select("doc_id", F.explode("w").alias("word"))
+    wc = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    wagg = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.max("c").alias("top_n"),
+        (F.sum(F.length("word") * F.col("c")) / F.sum("c").cast("double")).alias("mwl"),
+    )
+    bigrams = t.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("w"), 1, F.size("w") - 1),
+                F.slice(F.col("w"), 2, F.size("w") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram"),
+    )
+    bc = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
+    bagg = bc.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            / F.sum("c").cast("double")
+        ).alias("dupf")
+    )
+    dupf = F.coalesce(F.col("dupf"), F.lit(0.0))
+    top_frac = F.col("top_n") / F.col("n_words").cast("double")
+    return (
+        wagg.join(bagg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.round("mwl", 4).alias("mean_word_len"),
+            F.round(top_frac, 4).alias("top_word_frac"),
+            F.round(dupf, 4).alias("dup_bigram_frac"),
+            (
+                F.col("n_words").between(50, 100000)
+                & F.col("mwl").between(3, 10)
+                & (top_frac < 0.2)
+                & (dupf < 0.6)
+            ).alias("gopher_pass"),
+        )
+        .orderBy("doc_id")
+    )
