@@ -52,6 +52,7 @@ _PRIORITY = [
     "t06_winnow_fingerprint",
     "t07_pii_redact",  # new in round 2
     "t08_gopher_repetition",  # new in round 2
+    "q38_recursive_spine",  # new in round 2
 ]
 
 

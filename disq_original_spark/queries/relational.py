@@ -894,3 +894,48 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
            FROM q37_documents d, LATERAL split_sentences(d.text) t
            GROUP BY d.doc_id ORDER BY d.doc_id"""
     )
+
+
+# ---------------------------------------------------------------- q38 recursive CTE
+@query(
+    "q38_recursive_spine",
+    """WITH RECURSIVE months(m, max_m) AS (
+         SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE),
+                CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+         FROM orders
+         UNION ALL
+         SELECT CAST(m + INTERVAL 1 MONTH AS DATE), max_m FROM months WHERE m < max_m
+       )
+       SELECT CAST(m AS VARCHAR) AS month, count(o.o_orderkey) AS n_orders,
+              round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+                  AS total_price
+       FROM months LEFT JOIN orders o
+         ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = m
+       GROUP BY m ORDER BY m""",
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x WITH RECURSIVE): a complete month spine
+    from min to max order date — the warehouse date-spine pattern, which
+    surfaces zero-activity months a plain GROUP BY cannot — rolled up with
+    a left join.  The recursion carries its stop bound as a column (no
+    scalar subquery in the recursive step); total_price sums in DECIMAL so
+    any plan/partitioning order is bit-identical (q36's policy).  Scale:
+    the spine is O(months) rows on one task; the join broadcasts it
+    against orders."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("q38_orders")
+    return spark.sql(
+        """WITH RECURSIVE months(m, max_m) AS (
+             SELECT CAST(date_trunc('MONTH', min(o_orderdate)) AS DATE),
+                    CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE)
+             FROM q38_orders
+             UNION ALL
+             SELECT CAST(m + INTERVAL '1' MONTH AS DATE), max_m
+             FROM months WHERE m < max_m
+           )
+           SELECT CAST(m AS STRING) AS month, count(o.o_orderkey) AS n_orders,
+                  round(CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2)
+                      AS total_price
+           FROM months LEFT JOIN q38_orders o
+             ON CAST(date_trunc('MONTH', o.o_orderdate) AS DATE) = m
+           GROUP BY m ORDER BY m"""
+    )
