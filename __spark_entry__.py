@@ -53,6 +53,7 @@ _PRIORITY = [
     "t07_pii_redact",  # new in round 2
     "t08_gopher_repetition",  # new in round 2
     "q38_recursive_spine",  # new in round 2
+    "st04_stream_session",  # new in round 2
 ]
 
 

@@ -180,3 +180,59 @@ def st03(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "st04_stream_session",
+    """WITH m AS (
+         SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       ),
+       s AS (
+         SELECT user_id, ts, value,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sess
+         FROM m
+       )
+       SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+              count(*) AS n_events,
+              round(sum(value), 2) AS sv
+       FROM s GROUP BY user_id, sess
+       ORDER BY user_id, session_start""",
+    doc="Session-window streaming aggregation (dynamic-gap windows — state "
+    "per open session, merged as events arrive) through a real "
+    "readStream→writeStream drain, checked against the batch gaps-and-"
+    "islands SQL: a session breaks when consecutive events are >= gap "
+    "apart, and the window end is last-event + gap (Spark session_window "
+    "end-exclusive semantics).",
+)
+def st04(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.events import session_windows_batch
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(f"{sf}/events.*")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    name = f"st04_sink_{next(_SINK_IDS)}"
+    q = (
+        session_windows_batch(stream)  # complete mode: no watermark needed
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("user_id", "session_start")
