@@ -54,6 +54,7 @@ _PRIORITY = [
     "t08_gopher_repetition",  # new in round 2
     "q38_recursive_spine",  # new in round 2
     "st04_stream_session",  # new in round 2
+    "q39_time_range_frame",  # new in round 2
 ]
 
 

@@ -939,3 +939,32 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
              ON CAST(date_trunc('MONTH', o.o_orderdate) AS DATE) = m
            GROUP BY m ORDER BY m"""
     )
+
+
+# ---------------------------------------------------------------- q39 time-range frame
+@query(
+    "q39_time_range_frame",
+    """SELECT o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+              round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate
+                RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+                  AS trailing30
+       FROM orders ORDER BY o_custkey, od, trailing30 LIMIT 100""",
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-RANGE window frame: per-customer trailing-30-day order total —
+    the value-based frame q16's ROWS frame cannot express (peers at the
+    same date aggregate identically regardless of intra-date order, so the
+    result is deterministic without a total peer order).  Sums in DECIMAL
+    per q36's policy.  Scale: one hash shuffle on o_custkey, sort within
+    partition; frame evaluation is a sliding two-pointer over each
+    partition — no per-row rescan."""
+    _t(spark, sf, "orders").createOrReplaceTempView("q39_orders")
+    return spark.sql(
+        """SELECT o_custkey, date_format(o_orderdate, 'yyyy-MM-dd') AS od,
+                  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate
+                    RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+                      AS trailing30
+           FROM q39_orders ORDER BY o_custkey, od, trailing30 LIMIT 100"""
+    )

@@ -189,3 +189,93 @@ def test_parse_aux_handles_memoryview():
     blob = encode_record(row, {})
     parsed, _ = parse_record(memoryview(blob), 0, [])
     assert parsed["attributes"] == {"XA": "Z:hello", "XB": "i:7"}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1 << 22),  # beg0
+            st.integers(min_value=1, max_value=1 << 16),  # span
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=0, max_value=1 << 22),  # query beg
+    st.integers(min_value=1, max_value=1 << 18),  # query span
+    st.sampled_from([(14, 5), (12, 6), (10, 4)]),
+)
+@settings(max_examples=120, deadline=None)
+def test_csi_query_never_misses_overlap(feats, qbeg, qspan, geometry):
+    """The load-bearing index invariant: for ANY feature layout and ANY
+    query, every feature overlapping the query must have its voffset chunk
+    admitted by the index — false negatives are data loss (false positives
+    only cost the residual filter work)."""
+    import os
+    import tempfile
+
+    from disq_original_spark.sources.csi import (
+        CsiAccumulator,
+        csi_query_chunks,
+        parse_csi,
+    )
+
+    min_shift, depth = geometry
+    acc = CsiAccumulator(1, min_shift, depth)
+    feats = sorted((b, b + s) for b, s in feats)  # indexers see sorted input
+    for i, (b, e) in enumerate(feats):
+        acc.add(0, b, e, i << 16, (i << 16) + 100)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.csi")
+        open(p, "wb").write(acc.dump())
+        idx = parse_csi(p)
+    qend = qbeg + qspan  # 0-based half-open query [qbeg, qend)
+    got = csi_query_chunks(idx.bins[0], qbeg + 1, qend, min_shift, depth)
+    admitted = set()
+    for u, v in got:
+        admitted.update(range(u >> 16, ((v - 1) >> 16) + 1))
+    for i, (b, e) in enumerate(feats):
+        if b < qend and e > qbeg:  # overlaps
+            assert i in admitted, (i, (b, e), (qbeg, qend), geometry)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1 << 22),
+            st.integers(min_value=1, max_value=1 << 16),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=0, max_value=1 << 22),
+    st.integers(min_value=1, max_value=1 << 18),
+)
+@settings(max_examples=120, deadline=None)
+def test_tabix_accumulator_query_never_misses_overlap(feats, qbeg, qspan):
+    """Same invariant through the TabixAccumulator dump -> parse_tabix ->
+    bin_query_chunks pipeline (exercises the serialized form, not just the
+    in-memory accumulator)."""
+    import tempfile, os
+
+    from disq_original_spark.sources.tabix import (
+        TabixAccumulator,
+        bin_query_chunks,
+        parse_tabix,
+    )
+
+    acc = TabixAccumulator()
+    feats = sorted((b, b + s) for b, s in feats)
+    for i, (b, e) in enumerate(feats):
+        acc.add("c1", b, e, i << 16, (i << 16) + 100)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "x.tbi")
+        open(p, "wb").write(acc.dump())
+        idx = parse_tabix(p)
+    qend = qbeg + qspan
+    got = bin_query_chunks(idx.bins[0], idx.linear[0], qbeg + 1, qend)
+    admitted = set()
+    for u, v in got:
+        admitted.update(range(u >> 16, ((v - 1) >> 16) + 1))
+    for i, (b, e) in enumerate(feats):
+        if b < qend and e > qbeg:
+            assert i in admitted, (i, (b, e), (qbeg, qend))
