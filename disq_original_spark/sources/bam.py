@@ -654,11 +654,35 @@ class BamSink:
         if write_bai:
             fs_write_bytes(path + ".bai", bai_acc.dump())
 
-    def write_sharded(self, df: DataFrame, header: SamHeader, path: str) -> None:
+    def write_sharded(
+        self,
+        df: DataFrame,
+        header: SamHeader,
+        path: str,
+        *,
+        write_index: bool = False,
+        sbi_granularity: int = 4096,
+    ) -> None:
         """One complete BAM (header + records + terminator) per partition in
         directory ``path`` (reference `sam/AnySamSinkMultiple.java:31-74`);
-        the directory reads back as one input via ``BamSource.read``."""
+        the directory reads back as one input via ``BamSource.read``.
+
+        ``write_index=True`` writes each shard's ``.sbi`` + ``.bai`` beside
+        it, entirely executor-side: a shard is a complete file, so its
+        accumulator offsets rebase by the header length locally — no driver
+        merge step at all, unlike the single-file sink.  Directory reads
+        pick the per-file indexes up for chunking and interval pushdown,
+        so this is the scale shape: index creation cost is O(shard) per
+        executor, O(0) on the driver.
+
+        Precondition (the same one ``samtools index`` places on its input):
+        rows must be position-sorted within each partition — e.g.
+        ``df.sortWithinPartitions("rname", "pos")`` — because the BAI
+        linear index's fill-forward semantics assume voffsets grow with
+        position per reference; a ``.bai`` built over interleaved
+        positions can prune incorrectly."""
         refs = header.contigs
+        n_ref = len(refs)
         ref_index = {name: i for i, (name, _len) in enumerate(refs)}
         header_bam = encode_bam_header(header.text, refs)
         header_block = b"".join(
@@ -671,6 +695,14 @@ class BamSink:
         def write_partition(pid, rows):
             import uuid as _uuid
 
+            from .bai import BaiAccumulator, rebase_voffset
+            from .bam_codec import SbiIndex, cigar_ref_length, reg2bin
+
+            hb = len(header_block)
+            acc = BaiAccumulator(n_ref) if write_index else None
+            offsets: list[int] = []
+            n = 0
+            last = None
             wrote = False
             tmp = fs_join(path, f".tmp-{_uuid.uuid4().hex}")
             with fs.open_output(tmp) as fh:
@@ -678,11 +710,53 @@ class BamSink:
                 with BgzfWriter(fh, write_terminator=True) as w:
                     for row in rows:
                         wrote = True
-                        w.write(encode_record(_norm_attrs(row), ref_index))
+                        row = _norm_attrs(row)
+                        rec = encode_record(row, ref_index)
+                        if not write_index:
+                            w.write(rec)
+                            continue
+                        v = rebase_voffset(w.tell_virtual(), hb)
+                        if n % sbi_granularity == 0:
+                            offsets.append(v)
+                        n += 1
+                        w.write(rec)
+                        v_end = rebase_voffset(w.tell_virtual(), hb)
+                        rname = row["rname"]
+                        ref_id = ref_index.get(rname, -1) if rname else -1
+                        pos0 = (row["pos"] or 0) - 1
+                        end0 = (
+                            pos0 + max(1, cigar_ref_length(row["cigar"] or "*"))
+                            if ref_id >= 0 and pos0 >= 0
+                            else 0
+                        )
+                        acc.add(ref_id, pos0, end0, v, v_end)
+                        last = (ref_id, pos0, end0, v_end)
             if not wrote:
                 fs.delete(tmp)
                 return
-            fs.rename(tmp, fs_join(path, f"part-{pid:05d}.bam"))
+            name = f"part-{pid:05d}.bam"
+            fs.rename(tmp, fs_join(path, name))
+            if not write_index:
+                return
+            csize = hb + w.compressed_bytes  # terminator excluded by writer
+            true_end = csize << 16
+            if last is not None:
+                ref_id, pos0, end0, prov = last
+                if ref_id >= 0 and pos0 >= 0 and prov != true_end:
+                    chunks = acc.bins[ref_id][reg2bin(pos0, end0)]
+                    if chunks[-1][1] == prov:
+                        chunks[-1][1] = true_end
+            shard = fs_join(path, name)
+            fs_write_bytes(shard + ".bai", acc.dump())
+            idx = SbiIndex(
+                file_length=csize + len(EMPTY_GZIP_BLOCK),
+                md5=b"\x00" * 16,
+                uuid=b"\x00" * 16,
+                total_records=n,
+                granularity=sbi_granularity,
+                offsets=tuple(offsets) + (csize << 16,),
+            )
+            fs_write_bytes(shard + ".sbi", idx.dump())
 
         from .arrow_xfer import foreach_partition_arrow
 

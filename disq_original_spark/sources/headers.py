@@ -55,7 +55,13 @@ def first_file_in(path: str | Path) -> str:
     fs = get_fs(p)
     if not fs.isdir(p):
         return p
-    files = [f for f in fs.listdir(p) if not fs_basename(f).startswith((".", "_"))]
+    from .bam import _INDEX_EXTS
+
+    files = [
+        f
+        for f in fs.listdir(p)
+        if not fs_basename(f).startswith((".", "_")) and not f.endswith(_INDEX_EXTS)
+    ]
     if not files:
         raise FileNotFoundError(f"no files in directory {p}")
     return files[0]

@@ -137,26 +137,13 @@ class VcfSource:
             # tabix split pruning: with intervals + a .tbi, drop byte-range
             # splits the index proves contain no overlapping record
             # (reference `vcf/VcfSource.java:143-168`)
-            ranges = None
-            tbi = str(_first(path)) + ".tbi"
-            csi = str(_first(path)) + ".csi"
-            if intervals is not None and (fs_exists(tbi) or fs_exists(csi)):
+            ivs = None
+            if intervals is not None:
                 ivs = [
                     (r["contig"], int(r["start"]), int(r["end"]))
                     for r in intervals.select("contig", "start", "end").collect()
                 ]
-                if fs_exists(tbi):
-                    from .tabix import file_ranges_for_intervals, parse_tabix
-
-                    ranges = file_ranges_for_intervals(parse_tabix(tbi), ivs)
-                else:
-                    # tabix-flavored CSI fallback (contigs >2^29 bp can
-                    # only ship a .csi; `tabix -C` output)
-                    from .csi import file_ranges_for_intervals as csi_ranges
-                    from .csi import parse_csi
-
-                    ranges = csi_ranges(parse_csi(csi), ivs)
-            lines = _read_bgzf_lines(spark, path, split_size, ranges)
+            lines = _read_bgzf_lines(spark, path, split_size, ivs=ivs)
         else:
             # Tribble .idx split pruning for plain-text VCF (reference picks
             # the index per format: tabix for .bgz/.gz, Tribble for .vcf —
@@ -207,43 +194,65 @@ def _read_bgzf_lines(
     spark: SparkSession,
     path: str,
     split_size: int,
-    index_ranges: list[tuple[int, int]] | None = None,
+    ivs: list[tuple[str, int, int]] | None = None,
 ) -> DataFrame:
     """Plan byte ranges on the driver; tasks decode their ranges' lines.
 
     Partition planning matches the reference's split model (splitSize →
     ranges); each task re-opens the file locally — at cluster scale `path`
     is on a shared store and the open goes through the cluster filesystem.
-    ``index_ranges`` (from the tabix index) prunes whole splits driver-side.
-    """
+    With ``ivs`` (interval list), each file's own tabix ``.tbi`` (or
+    tabix-flavored ``.csi``) prunes that file's splits — per-file, so a
+    sharded directory with per-shard indexes prunes every shard; for many
+    files the size+index metadata collection runs as a Spark job, keeping
+    driver planning O(1) (same policy as BamSource)."""
     from pyspark.sql.types import StringType, StructField, StructType
+
+    from .bam import _INDEX_EXTS
 
     fs = get_fs(path)
     if fs.isdir(path):
         files = [
             f
             for f in fs.listdir(path)
-            if not fs_basename(f).startswith((".", "_")) and not f.endswith(".tbi")
+            if not fs_basename(f).startswith((".", "_"))
+            and not f.endswith(_INDEX_EXTS)
         ]
     else:
         files = [str(path)]
-    # per-file sizes: serial for a few files, a Spark job for many (O(1)
-    # driver planning on sharded directories — same policy as BamSource)
     from .bam import METADATA_JOB_THRESHOLD
 
+    def meta_for(f: str):
+        flen = fs.size(f)
+        franges = None
+        if ivs is not None:
+            tbi, csi = f + ".tbi", f + ".csi"
+            if fs.exists(tbi):
+                from .tabix import file_ranges_for_intervals, parse_tabix
+
+                franges = file_ranges_for_intervals(parse_tabix(tbi), ivs)
+            elif fs.exists(csi):
+                # tabix-flavored CSI fallback (contigs >2^29 bp can only
+                # ship a .csi; `tabix -C` output)
+                from .csi import file_ranges_for_intervals as csi_ranges
+                from .csi import parse_csi
+
+                franges = csi_ranges(parse_csi(csi), ivs)
+        return (f, flen, franges)
+
     if len(files) < METADATA_JOB_THRESHOLD:
-        sizes = [(f, fs.size(f)) for f in files]
+        metas = [meta_for(f) for f in files]
     else:
         sc = spark.sparkContext
         n_parts = min(len(files), sc.defaultParallelism * 2)
-        sizes = sorted(sc.parallelize(files, n_parts).map(lambda f: (f, fs.size(f))).collect())
+        metas = sorted(sc.parallelize(files, n_parts).map(meta_for).collect())
     ranges: list[tuple[str, int, int]] = []
-    for f, flen in sizes:
+    for f, flen, franges in metas:
         fr = [(s, min(s + split_size, flen)) for s in range(0, flen, split_size)]
-        if index_ranges is not None and len(files) == 1:
+        if franges is not None:
             from .tabix import prune_splits
 
-            fr = prune_splits(fr, index_ranges)
+            fr = prune_splits(fr, franges)
         ranges.extend((f, s, e) for s, e in fr)
     if not ranges:
         ranges = [(files[0], 0, 0)]
@@ -487,10 +496,20 @@ class VcfSink:
         header_text: str,
         path: str,
         sample_names: list[str] | None = None,
+        *,
+        write_index: bool = False,
     ) -> None:
         """One complete VCF per partition in directory ``path`` (reference
         `vcf/VcfSinkMultiple.java:12-45`); BGZF-compressed when the directory
-        name ends in .bgz/.gz (e.g. out.vcf.bgz.sharded)."""
+        name ends in .bgz/.gz (e.g. out.vcf.bgz.sharded).
+
+        ``write_index=True`` writes each shard's index beside it, entirely
+        executor-side (a shard is a complete file — no driver merge): tabix
+        ``.tbi`` inline for BGZF shards; Tribble ``.idx`` for plain-text
+        shards via a local second pass over the just-written shard.
+        Precondition (as for ``tabix``/``samtools`` themselves): rows must
+        be position-sorted within each partition, e.g.
+        ``df.sortWithinPartitions("contig", "pos")``."""
         samples = sample_names if sample_names is not None else vcf_sample_names(header_text)
         lines = df.select(to_vcf_line(samples).alias("value"))
         compressed = ".bgz" in fs_basename(path) or ".gz" in fs_basename(path)
@@ -502,15 +521,27 @@ class VcfSink:
             import uuid as _uuid
 
             from .bgzf import BgzfWriter
+            from .tabix import TabixAccumulator, vcf_feature_span
 
             wrote = False
             tmp = fs_join(path, f".tmp-{_uuid.uuid4().hex}")
+            acc = TabixAccumulator() if (write_index and compressed) else None
+            last = None
             if compressed:
                 with fs.open_output(tmp) as fh, BgzfWriter(fh, write_terminator=True) as w:
                     w.write(header_text.encode())
                     for row in rows:
                         wrote = True
-                        w.write(row["value"].encode() + b"\n")
+                        line = row["value"]
+                        if acc is None:
+                            w.write(line.encode() + b"\n")
+                            continue
+                        v = w.tell_virtual()
+                        w.write(line.encode() + b"\n")
+                        v_end = w.tell_virtual()
+                        cname, beg0, end0 = vcf_feature_span(line)
+                        acc.add(cname, beg0, end0, v, v_end)
+                        last = (cname, beg0, end0, v_end)
             else:
                 with fs.open_output(tmp) as fh:
                     fh.write(header_text.encode())
@@ -521,7 +552,24 @@ class VcfSink:
                 fs.delete(tmp)
                 return
             ext = ".vcf.bgz" if compressed else ".vcf"
-            fs.rename(tmp, fs_join(path, f"part-{pid:05d}{ext}"))
+            shard = fs_join(path, f"part-{pid:05d}{ext}")
+            fs.rename(tmp, shard)
+            if not write_index:
+                return
+            if compressed:
+                from .fsio import fs_write_bytes
+
+                true_end = w.compressed_bytes << 16
+                if last is not None and last[3] != true_end:
+                    cname, beg0, end0, prov = last
+                    chunks = acc.bins[acc._idx[cname]][acc._reg2bin(beg0, end0)]
+                    if chunks[-1][1] == prov:
+                        chunks[-1][1] = true_end
+                fs_write_bytes(shard + ".tbi", acc.dump())
+            else:
+                from .tribble import create_tribble_index
+
+                create_tribble_index(shard)
 
         from .arrow_xfer import foreach_partition_arrow
 

@@ -101,12 +101,14 @@ class ReadsStorage:
         sharded = path.endswith(".sharded")
         inner = path[: -len(".sharded")] if sharded else path
         fmt = _reads_format(inner)
-        if write_index and (sharded or fmt not in ("bam", "cram")):
-            raise ValueError("write_index is supported for single-file BAM/CRAM output")
+        if write_index and fmt not in ("bam", "cram"):
+            raise ValueError("write_index is supported for BAM/CRAM output")
+        if write_index and sharded and fmt != "bam":
+            raise ValueError("sharded write_index is supported for BAM output")
         if fmt == "bam":
             sink = BamSink()
             if sharded:
-                sink.write_sharded(df, header, path)
+                sink.write_sharded(df, header, path, write_index=write_index)
             else:
                 sink.write(df, header, path, write_sbi=write_index, write_bai=write_index)
         elif fmt == "sam":
@@ -159,8 +161,6 @@ class VariantsStorage:
         plain text (the same format→index pairing the read side consults)."""
         sink = VcfSink()
         if path.endswith(".sharded"):
-            if write_index:
-                raise ValueError("write_index is supported for single-file VCF output")
-            sink.write_sharded(df, header_text, path)
+            sink.write_sharded(df, header_text, path, write_index=write_index)
         else:
             sink.write(df, header_text, path, write_index=write_index)

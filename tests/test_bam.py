@@ -584,3 +584,38 @@ def test_storage_write_index_option(spark, tmp_path, bam_df):
     assert Path(out + ".sbi").exists() and Path(out + ".bai").exists()
     with pytest.raises(ValueError):
         ReadsStorage(spark).write(bam_df, str(tmp_path / "x.sam"), header, write_index=True)
+
+
+def test_sharded_bam_per_shard_indexes(spark, tmp_path, bam_df):
+    """Sharded output with write_index: every shard gets .sbi + .bai built
+    executor-side (complete files — offsets rebase locally, no driver
+    step), each byte-identical to a sequential post-hoc build, and the
+    directory read picks them up for chunking and interval pushdown."""
+    from disq_original_spark.sources.bai import create_bai
+
+    header, _, _ = read_bam_header(BAM)
+    out = str(tmp_path / "dir.bam.sharded")
+    # write_index requires position-sorted rows within each shard — the
+    # samtools-index precondition; repartition alone would interleave
+    sharded_df = bam_df.repartition(3).sortWithinPartitions("rname", "pos")
+    BamSink().write_sharded(sharded_df, header, out, write_index=True)
+    shards = sorted(Path(out).glob("part-*.bam"))
+    assert len(shards) == 3
+    total = 0
+    for s in shards:
+        bai = Path(str(s) + ".bai").read_bytes()
+        sbi = Path(str(s) + ".sbi").read_bytes()
+        create_bai(str(s))
+        create_sbi(str(s), granularity=4096)
+        assert Path(str(s) + ".bai").read_bytes() == bai
+        assert Path(str(s) + ".sbi").read_bytes() == sbi
+        total += SbiIndex.load(str(s) + ".sbi").total_records
+    assert total == N_RECORDS
+    # directory interval read through the per-shard .bai == residual full scan
+    intervals = spark.createDataFrame(
+        [("1", 24_800_000, 24_860_000)], "contig string, start long, end long"
+    )
+    via_idx = BamSource().read(spark, out, intervals=intervals)
+    no_index = BamSource().read(spark, BAM, intervals=intervals)
+    key = lambda r: (r.qname, r.flag, r.pos)
+    assert sorted(map(key, via_idx.collect())) == sorted(map(key, no_index.collect()))
