@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.events import windowed_counts
+from ..tables import normalize_event_ts
 from .registry import query
 
 _SINK_IDS = itertools.count()
@@ -42,16 +43,16 @@ _SINK_IDS = itertools.count()
 )
 def st01(spark: SparkSession, sf: str) -> DataFrame:
     path = f"{sf}/events.parquet"
-    # Same TIMESTAMP(NANOS) handling as tables.load_table: nanos→long at the
-    # scan, truncate to micros (what DuckDB stores) before event-time ops.
+    # ts physical-type handling is shared with tables.load_table
+    # (normalize_event_ts): nanos-as-long legacy files truncate to micros,
+    # native TIMESTAMP(MICROS) files pass through.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    stream = (
+    stream = normalize_event_ts(
         spark.readStream.schema(schema)
         # FileStreamSource insists the source path be a directory; a glob
         # that resolves to the single file satisfies it (basePath = parent).
         .parquet(f"{sf}/events.*")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     name = f"st01_sink_{next(_SINK_IDS)}"
     q = (
@@ -90,11 +91,7 @@ def st01(spark: SparkSession, sf: str) -> DataFrame:
 def st02(spark: SparkSession, sf: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf}/events.parquet").schema
-    ev = (
-        spark.readStream.schema(schema)
-        .parquet(f"{sf}/events.*")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    ev = normalize_event_ts(spark.readStream.schema(schema).parquet(f"{sf}/events.*"))
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .select("event_id", F.col("user_id").alias("p_user"), "ts")
@@ -151,12 +148,9 @@ def st03(spark: SparkSession, sf: str) -> DataFrame:
     schema = spark.read.parquet(f"{sf}/events.parquet").schema
 
     def stream():
-        return (
-            spark.readStream.schema(schema)
-            .parquet(f"{sf}/events.*")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .select("event_id", "ts", "event_type")
-        )
+        return normalize_event_ts(
+            spark.readStream.schema(schema).parquet(f"{sf}/events.*")
+        ).select("event_id", "ts", "event_type")
 
     doubled = stream().unionByName(stream())
     deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
@@ -217,10 +211,8 @@ def st04(spark: SparkSession, sf: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(f"{sf}/events.*")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(f"{sf}/events.*")
     )
     name = f"st04_sink_{next(_SINK_IDS)}"
     q = (

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 TABLES = (
     "region",
@@ -31,17 +32,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to micros — the
-        # same truncation DuckDB applies (its timestamps are micros), so
-        # differential checks stay exact.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # Integer `div`, not `/1000`: float division of ~1.7e18 ns loses the
-        # low bits (double mantissa is 53 bits) and lands ±1 µs off DuckDB's
-        # exact truncation — visible to any query that compares microseconds.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a microsecond timestamp across the two
+    physical types the driver's generator has shipped:
+
+    * TIMESTAMP(NANOS) — Spark's vectorized reader rejects it, so callers set
+      ``spark.sql.legacy.parquet.nanosAsLong`` and the column arrives as a
+      nanos ``long``; truncate to micros with integer ``div`` (float division
+      of ~1.7e18 ns loses low bits past the 53-bit double mantissa and lands
+      ±1 µs off DuckDB's exact truncation).
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) — read natively (TIMESTAMP_NTZ
+      under Spark's NTZ inference); already exactly what DuckDB stores.  Cast
+      to plain TIMESTAMP so downstream code sees one type: with the UTC
+      session timezone the cast is value-identical, and NTZ would reject
+      ``unix_micros`` and differ in ``window``/watermark typing.
+    """
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
