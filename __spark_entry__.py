@@ -55,6 +55,9 @@ _PRIORITY = [
     "q38_recursive_spine",  # new in round 2
     "st04_stream_session",  # new in round 2
     "q39_time_range_frame",  # new in round 2
+    "p01_sequence_packing",  # new in round 2
+    "t09_contamination",  # new in round 2
+    "s04_kmeans_update",  # new in round 2
 ]
 
 

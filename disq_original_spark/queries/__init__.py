@@ -13,6 +13,7 @@ from . import relational  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import dedup  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
+from . import packing  # noqa: E402,F401
 from . import genomic  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import streamq  # noqa: E402,F401

@@ -226,3 +226,82 @@ def s03(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= _K)
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------- s04 k-means update
+_KM_K = 8  # centroid count: vec_id < 8 are the seed centroids
+
+
+@query(
+    "s04_kmeans_update",
+    f"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                   WHERE vec_id < {_KM_K}),
+        scored AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(c.ce AS DOUBLE[])) AS cos
+          FROM embeddings e CROSS JOIN c),
+        assign AS (
+          SELECT vec_id, embedding, cid, cos,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cid) AS rn
+          FROM scored),
+        members AS (SELECT * FROM assign WHERE rn = 1),
+        dims AS (
+          SELECT cid, i, avg(CAST(embedding[i] AS DOUBLE)) AS mu
+          FROM members, (SELECT unnest(generate_series(1, 64)) AS i) t
+          GROUP BY cid, i),
+        norms AS (SELECT cid, sqrt(sum(mu * mu)) AS nrm FROM dims GROUP BY cid)
+        SELECT m.cid AS cluster_id, count(*) AS n_members,
+               round(avg(m.cos), 4) AS avg_sim,
+               round(any_value(n.nrm), 4) AS new_centroid_norm
+        FROM members m JOIN norms n ON n.cid = m.cid
+        GROUP BY m.cid ORDER BY m.cid""",
+)
+def s04(spark: SparkSession, sf: str) -> DataFrame:
+    """One Lloyd (k-means) update step over the embeddings table: assign
+    every vector to its nearest seed centroid by cosine (ties → lowest
+    centroid id), then recompute each centroid as the member mean and report
+    cluster size, mean member similarity, and the new centroid's L2 norm —
+    the building block of distributed embedding clustering (and of real IVF
+    training, whose deterministic stand-in s03 uses).
+
+    Scale shape: the k centroids are a broadcast nested-loop side (k rows);
+    assignment is map-side argmin — implemented as a per-vector max_by over
+    the k broadcast rows, no shuffle of the corpus.  The update step is the
+    canonical transpose aggregation: posexplode(embedding) → partial
+    avg per (cluster, dim) — map-side combine keeps the shuffle at
+    k × dims × partitions, independent of corpus size."""
+    e = load_table(spark, sf, "embeddings")
+    c = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = e.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "embedding",
+        "cid",
+        cosine_similarity(F.col("embedding"), F.col("ce")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    members = (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    )
+    dims = (
+        members.select("cid", F.posexplode("embedding").alias("i", "x"))
+        .groupBy("cid", "i")
+        .agg(F.avg(F.col("x").cast("double")).alias("mu"))
+    )
+    norms = dims.groupBy("cid").agg(F.sqrt(F.sum(F.col("mu") * F.col("mu"))).alias("nrm"))
+    stats = members.groupBy("cid").agg(
+        F.count("*").alias("n_members"), F.avg("cos").alias("avg_cos")
+    )
+    return (
+        stats.join(norms, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n_members",
+            F.round("avg_cos", 4).alias("avg_sim"),
+            F.round("nrm", 4).alias("new_centroid_norm"),
+        )
+        .orderBy("cluster_id")
+    )

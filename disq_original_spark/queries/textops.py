@@ -412,3 +412,91 @@ def t08(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------- t09 contamination
+_CONTAM_K = 13  # word n-gram length, the common benchmark-decontamination choice
+_BENCH_MOD = 7  # doc_id % 7 == 0 plays the role of the benchmark/eval set
+
+
+@query(
+    "t09_contamination",
+    rf"""WITH w AS (SELECT doc_id,
+                           string_split_regex(lower(trim(text)), '\s+') AS words
+                    FROM documents),
+         sh AS (SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, len(words) - {_CONTAM_K - 1}),
+                           i -> array_to_string(words[i:i + {_CONTAM_K - 1}], ' ')
+                       )) AS shingles
+                FROM w WHERE len(words) >= {_CONTAM_K}),
+         b AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+               WHERE doc_id % {_BENCH_MOD} = 0),
+         c AS (SELECT doc_id, len(shingles) AS n_shingles,
+                      unnest(shingles) AS s
+               FROM sh WHERE doc_id % {_BENCH_MOD} <> 0)
+         SELECT c.doc_id, c.n_shingles, count(*) AS n_hits,
+                round(count(*) / CAST(c.n_shingles AS DOUBLE), 4) AS contamination
+         FROM c JOIN b USING (s)
+         GROUP BY c.doc_id, c.n_shingles
+         ORDER BY c.doc_id""",
+)
+def t09(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination screening: flag corpus documents sharing any
+    word 13-gram with a designated benchmark/eval subset (docs whose id is
+    divisible by 7 stand in for the eval set) and report the overlap
+    fraction — the standard n-gram decontamination pass every training
+    pipeline runs before training (public method, e.g. GPT-3 App. C).
+    The modulus-7 eval set is synthetic-data plumbing: it is the smallest
+    modulus whose subset actually shares 13-grams with the rest of the
+    driver's corpus, so the join path is exercised with non-empty output.
+
+    Scale shape: shingles are extracted map-side with native higher-order
+    functions (sequence → transform → slice — zero Python in the row path);
+    the benchmark shingle set is tiny relative to the corpus and explicitly
+    broadcast, so the corpus side streams through a broadcast hash join with
+    no shuffle of the exploded shingles.  Per-doc aggregation shuffles only
+    (doc_id, n_shingles) pairs that actually hit."""
+    d = load_wide(spark, sf, "documents")
+    w = tokens("text")
+    # The shingle expression must be TOTAL (safe on docs shorter than k):
+    # InferFiltersFromGenerate derives `size(shingles) > 0` from the explode
+    # below and PushDownPredicates can evaluate it before the size(words)
+    # filter, so an unguarded sequence(0, size-k) would go descending on a
+    # short doc and slice() would be called with start 0.
+    shingle_expr = F.when(
+        F.size("words") >= _CONTAM_K,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size("words") - _CONTAM_K),
+                lambda i: F.concat_ws(" ", F.slice(F.col("words"), i + 1, _CONTAM_K)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = (
+        d.select("doc_id", w.alias("words"))
+        .where(F.size("words") >= _CONTAM_K)
+        .select("doc_id", shingle_expr.alias("shingles"))
+    )
+    bench = (
+        sh.where(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+    )
+    corpus = sh.where(F.col("doc_id") % _BENCH_MOD != 0).select(
+        "doc_id", F.size("shingles").alias("n_shingles"), F.explode("shingles").alias("s")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count("*").alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_shingles").cast("double"), 4).alias(
+                "contamination"
+            ),
+        )
+        .orderBy("doc_id")
+    )
