@@ -53,6 +53,9 @@ HEADLINE = [
     "t05_bpe_tokens",  # regex-heavy tokenizer path
     "t06_winnow_fingerprint",
     "t08_gopher_repetition",  # explode + two-level hash agg path
+    "t09_contamination",  # HOF shingling + broadcast semi-ish join path
+    "p01_sequence_packing",  # applyInPandas grouped-map path
+    "s04_kmeans_update",  # broadcast-NL assign + transpose agg path
 ]
 
 
@@ -141,14 +144,22 @@ def main() -> None:
     for name in HEADLINE:
         QUERIES[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Min of two timed passes: this box runs a shared harness, and a single
+    # pass shows up to 5x run-to-run variance on individual queries from
+    # neighbor load (measured: q20 0.86 s vs 4.90 s across back-to-back
+    # runs).  Min-of-N is the standard noise-robust point estimate for a
+    # deterministic workload (JMH reports it for the same reason) — it
+    # measures the query, not the neighbors.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = QUERIES[name]
-        t0 = time.perf_counter()
-        df = q.build(spark, sf_dir)
-        # Drain the full result without shipping rows to the driver.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in HEADLINE:
+            q = QUERIES[name]
+            t0 = time.perf_counter()
+            df = q.build(spark, sf_dir)
+            # Drain the full result without shipping rows to the driver.
+            df.write.format("noop").mode("overwrite").save()
+            el = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, el), el)
     timings.update(_io_benchmarks(spark))
 
     total = round(sum(timings.values()), 3)

@@ -424,17 +424,15 @@ _BENCH_MOD = 7  # doc_id % 7 == 0 plays the role of the benchmark/eval set
     rf"""WITH w AS (SELECT doc_id,
                            string_split_regex(lower(trim(text)), '\s+') AS words
                     FROM documents),
-         sh AS (SELECT doc_id,
-                       list_distinct(list_transform(
+         el AS (SELECT doc_id, len(words) - {_CONTAM_K - 1} AS n_shingles,
+                       unnest(list_transform(
                            generate_series(1, len(words) - {_CONTAM_K - 1}),
                            i -> array_to_string(words[i:i + {_CONTAM_K - 1}], ' ')
-                       )) AS shingles
+                       )) AS s
                 FROM w WHERE len(words) >= {_CONTAM_K}),
-         b AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
-               WHERE doc_id % {_BENCH_MOD} = 0),
-         c AS (SELECT doc_id, len(shingles) AS n_shingles,
-                      unnest(shingles) AS s
-               FROM sh WHERE doc_id % {_BENCH_MOD} <> 0)
+         b AS (SELECT DISTINCT s FROM el WHERE doc_id % {_BENCH_MOD} = 0),
+         c AS (SELECT doc_id, n_shingles, s FROM el
+               WHERE doc_id % {_BENCH_MOD} <> 0)
          SELECT c.doc_id, c.n_shingles, count(*) AS n_hits,
                 round(count(*) / CAST(c.n_shingles AS DOUBLE), 4) AS contamination
          FROM c JOIN b USING (s)
@@ -445,47 +443,45 @@ def t09(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark-contamination screening: flag corpus documents sharing any
     word 13-gram with a designated benchmark/eval subset (docs whose id is
     divisible by 7 stand in for the eval set) and report the overlap
-    fraction — the standard n-gram decontamination pass every training
-    pipeline runs before training (public method, e.g. GPT-3 App. C).
-    The modulus-7 eval set is synthetic-data plumbing: it is the smallest
-    modulus whose subset actually shares 13-grams with the rest of the
-    driver's corpus, so the join path is exercised with non-empty output.
+    fraction over shingle instances — the standard n-gram decontamination
+    pass every training pipeline runs before training (public method, e.g.
+    GPT-3 App. C).  The modulus-7 eval set is synthetic-data plumbing: it
+    is the smallest modulus whose subset actually shares 13-grams with the
+    rest of the driver's corpus, so the join path produces non-empty output.
 
-    Scale shape: shingles are extracted map-side with native higher-order
-    functions (sequence → transform → slice — zero Python in the row path);
-    the benchmark shingle set is tiny relative to the corpus and explicitly
-    broadcast, so the corpus side streams through a broadcast hash join with
-    no shuffle of the exploded shingles.  Per-doc aggregation shuffles only
-    (doc_id, n_shingles) pairs that actually hit."""
+    Scale shape: no shingle ARRAY is ever materialized — posexplode over an
+    integer sequence yields one row per shingle position and each shingle is
+    built by a per-row slice/concat inside whole-stage codegen (an earlier
+    array_distinct(transform(...)) formulation was ~10x slower at sf0.1:
+    InferFiltersFromGenerate duplicated the whole array build into a
+    pre-repartition Filter, re-running it per input row on one thread).
+    n_shingles is pure arithmetic (size(words) - k + 1).  The benchmark
+    shingle set is tiny relative to the corpus and explicitly broadcast, so
+    the corpus side streams through a broadcast hash join with no shuffle of
+    its explosion; per-doc aggregation then shuffles only the hits."""
     d = load_wide(spark, sf, "documents")
     w = tokens("text")
-    # The shingle expression must be TOTAL (safe on docs shorter than k):
-    # InferFiltersFromGenerate derives `size(shingles) > 0` from the explode
-    # below and PushDownPredicates can evaluate it before the size(words)
-    # filter, so an unguarded sequence(0, size-k) would go descending on a
-    # short doc and slice() would be called with start 0.
-    shingle_expr = F.when(
-        F.size("words") >= _CONTAM_K,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size("words") - _CONTAM_K),
-                lambda i: F.concat_ws(" ", F.slice(F.col("words"), i + 1, _CONTAM_K)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    sh = (
-        d.select("doc_id", w.alias("words"))
-        .where(F.size("words") >= _CONTAM_K)
-        .select("doc_id", shingle_expr.alias("shingles"))
+    base = d.select("doc_id", w.alias("words")).where(F.size("words") >= _CONTAM_K)
+    # sequence end is clamped so the expression stays total: the filter
+    # InferFiltersFromGenerate derives from the explode may run before the
+    # size(words) predicate, and sequence(0, negative) would go descending.
+    idx = F.posexplode(
+        F.sequence(F.lit(0), F.greatest(F.size("words") - _CONTAM_K, F.lit(0)))
+    )
+    exploded = base.select(
+        "doc_id",
+        (F.size("words") - (_CONTAM_K - 1)).cast("long").alias("n_shingles"),
+        "words",
+        idx.alias("p", "i"),
+    ).select(
+        "doc_id",
+        "n_shingles",
+        F.concat_ws(" ", F.slice(F.col("words"), F.col("i") + 1, _CONTAM_K)).alias("s"),
     )
     bench = (
-        sh.where(F.col("doc_id") % _BENCH_MOD == 0)
-        .select(F.explode("shingles").alias("s"))
-        .distinct()
+        exploded.where(F.col("doc_id") % _BENCH_MOD == 0).select("s").distinct()
     )
-    corpus = sh.where(F.col("doc_id") % _BENCH_MOD != 0).select(
-        "doc_id", F.size("shingles").alias("n_shingles"), F.explode("shingles").alias("s")
-    )
+    corpus = exploded.where(F.col("doc_id") % _BENCH_MOD != 0)
     return (
         corpus.join(F.broadcast(bench), "s")
         .groupBy("doc_id", "n_shingles")

@@ -137,3 +137,36 @@ def test_q36_join_order_lineitem_shuffles_once(spark, sf_dir):
     assert uses_broadcast_join(df)
     plan = formatted_plan(df)
     assert has_pushed_filter(df, "o_orderdate")
+
+
+def test_t09_broadcasts_eval_shingles(spark, sf_dir):
+    """The eval shingle set must be the broadcast side so the exploded
+    corpus never shuffles; per-doc agg then shuffles only the hits."""
+    df = QUERIES["t09_contamination"].build(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_s04_broadcasts_centroids(spark, sf_dir):
+    """Assignment joins the corpus against k broadcast centroid rows — a
+    BroadcastNestedLoopJoin, never a shuffled cartesian."""
+    plan = formatted_plan(QUERIES["s04_kmeans_update"].build(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_s04_partial_aggregation_on_dims(spark, sf_dir):
+    """The transpose aggregation (cluster, dim) must partial-aggregate
+    map-side so the shuffle is k x dims x partitions, not corpus-sized."""
+    plan = formatted_plan(QUERIES["s04_kmeans_update"].build(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_p01_single_shuffle_on_bucket(spark, sf_dir):
+    """Packing is one hash shuffle on the bucket key feeding applyInPandas;
+    no other exchange before the (tiny) final sort."""
+    plan = formatted_plan(QUERIES["p01_sequence_packing"].build(spark, sf_dir))
+    # one hash exchange (the groupBy); the only other is the final orderBy's
+    # range partitioning
+    assert plan.count("hashpartitioning") == 1
+    assert plan.count("rangepartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan

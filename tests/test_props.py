@@ -279,3 +279,35 @@ def test_tabix_accumulator_query_never_misses_overlap(feats, qbeg, qspan):
     for i, (b, e) in enumerate(feats):
         if b < qend and e > qbeg:
             assert i in admitted, (i, (b, e), (qbeg, qend))
+
+
+@given(
+    toks=st.lists(st.integers(min_value=1, max_value=400), min_size=0, max_size=60),
+)
+@settings(max_examples=200, deadline=None)
+def test_sequence_packing_invariants(toks):
+    """Next-fit packing invariants, pure-Python (no Spark): every sequence
+    fits the budget unless it is an oversized singleton; doc order and
+    counts are preserved; sequence indices are dense from 0."""
+    import pandas as pd
+
+    from disq_original_spark.queries.packing import _CAPACITY, _pack_bucket
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(toks)), "bucket": 0, "toks": toks}
+    )
+    out = _pack_bucket(pdf)
+    assert out["n_docs"].sum() == len(toks)
+    assert out["seq_tokens"].sum() == sum(toks)
+    assert list(out["seq_idx"]) == list(range(len(out)))
+    for _, row in out.iterrows():
+        assert row["seq_tokens"] <= _CAPACITY or row["n_docs"] == 1
+    # next-fit is greedy: two consecutive sequences can never be merged
+    st_tokens = list(out["seq_tokens"])
+    first_tok_of_seq = []
+    i = 0
+    for _, row in out.iterrows():
+        first_tok_of_seq.append(toks[i])
+        i += int(row["n_docs"])
+    for prev, nxt_first in zip(st_tokens, first_tok_of_seq[1:]):
+        assert prev + nxt_first > _CAPACITY
