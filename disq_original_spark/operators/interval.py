@@ -98,7 +98,7 @@ def interval_join(
 
     ``salt`` (with ``bin_size``) handles HOT KEYS — a (contig, bin) cell so
     dense one reducer would own most of the shuffle (centromere pileups, a
-    dominant event type): left rows get a deterministic salt in [0, salt),
+    dominant event type): left rows get a per-row salt in [0, salt),
     right rows replicate to every salt, and the join key grows to (contig,
     bin, salt) so the hot cell spreads over ``salt`` reducers.  Each pair
     still appears exactly once (at the left row's salt).  Costs ``salt``×
@@ -142,10 +142,17 @@ def interval_join(
         )
     )
     if salt is not None and salt > 1:
-        # deterministic left salt (hash of the span start), right replicated
-        # to all salts: the hot (contig, bin) cell spreads over `salt`
-        # reducers; every pair joins exactly once at the left row's salt
-        ab = ab.withColumn("_salt", F.pmod(F.hash(F.col(f"l.{ls}")), F.lit(salt))).alias("l")
+        # per-row left salt, right replicated to all salts: the hot
+        # (contig, bin) cell spreads over `salt` reducers; every pair joins
+        # exactly once at the left row's salt.  The salt must be per-ROW
+        # unique-ish, not a hash of a span column: a centromere pileup is
+        # exactly the case where thousands of rows share the same start, and
+        # hash(start) would put the whole hot cell back on one reducer.  The
+        # salt value itself never affects which pairs join, only placement,
+        # so the nondeterministic row id is safe under task retries.
+        ab = ab.withColumn(
+            "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt))
+        ).alias("l")
         bb = bb.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))).alias("r")
         cond = cond & (F.col("l._salt") == F.col("r._salt"))
         return ab.join(bb, cond).drop("_bin", "_salt")

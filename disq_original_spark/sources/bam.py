@@ -55,13 +55,17 @@ from .bgzf import (
     read_block_header,
 )
 from .fsio import (
+    INDEX_EXTS as _INDEX_EXTS,
+    METADATA_JOB_THRESHOLD,
     FileSystem,
+    collect_metadata,
     fs_basename,
     fs_join,
     fs_open,
     fs_size,
     fs_write_bytes,
     get_fs,
+    list_data_files,
 )
 from .headers import SamHeader, read_bam_header
 from .merger import merge_parts
@@ -445,13 +449,6 @@ class BamSource:
         return residual_traversal(reads, intervals, include_unplaced)
 
 
-#: below this many files, per-file metadata is gathered serially on the
-#: driver; at or above it, a small Spark job fans the IO out (a 100 TB
-#: directory has tens of thousands of shards — minutes of serial driver IO
-#: otherwise, VERDICT "What's wrong #4")
-METADATA_JOB_THRESHOLD = 32
-
-
 def _collect_file_metadata(
     spark: SparkSession,
     files: list[str],
@@ -461,9 +458,11 @@ def _collect_file_metadata(
     job_threshold: int = METADATA_JOB_THRESHOLD,
 ) -> list[tuple[str, int, tuple[int, ...] | None, list[tuple[int, int]] | None]]:
     """(path, size, sbi_offsets, bai_ranges) per file — serially for a few
-    files, via a Spark job for many.  ``ivs`` are (ref_id, start, end)
-    intervals for `.bai` interval pushdown (reference
-    `AbstractBinarySamSource.java:96-113`); disabled when None."""
+    files, via a Spark job for many (``fsio.collect_metadata``; a 100 TB
+    directory has tens of thousands of shards — minutes of serial driver IO
+    otherwise).  ``ivs`` are (ref_id, start, end) intervals for `.bai`
+    interval pushdown (reference `AbstractBinarySamSource.java:96-113`);
+    disabled when None."""
 
     def meta_for(f: str):
         flen = fs.size(f)
@@ -483,28 +482,12 @@ def _collect_file_metadata(
             bai_ranges = csi_ranges(parse_csi(f + ".csi"), ivs)
         return (f, flen, sbi.offsets if sbi else None, bai_ranges)
 
-    if len(files) < job_threshold:
-        return [meta_for(f) for f in files]
-    sc = spark.sparkContext
-    n_parts = min(len(files), sc.defaultParallelism * 2)
-    metas = sc.parallelize(files, n_parts).map(meta_for).collect()
-    return sorted(metas)  # restore lexicographic file order
-
-
-_INDEX_EXTS = (".sbi", ".bai", ".crai", ".tbi", ".csi", ".idx", ".fai")
+    return collect_metadata(spark, files, meta_for, job_threshold)
 
 
 def _expand_files(path: str, fs: FileSystem | None = None) -> list[str]:
     p = str(path)
-    fs = fs or get_fs(p)
-    if fs.isdir(p):
-        return [
-            f
-            for f in fs.listdir(p)
-            if not fs_basename(f).startswith((".", "_"))
-            and not f.endswith(_INDEX_EXTS)
-        ]
-    return [p]
+    return list_data_files(fs or get_fs(p), p)
 
 
 def _norm_attrs(row: dict) -> dict:

@@ -115,6 +115,11 @@ class BamDataSourceReader(DataSourceReader):
         self.intervals = (
             [(c, int(s), int(e)) for c, s, e in json.loads(iv)] if iv else None
         )
+        # option("groupByQname", "true"): queryname-sorted inputs keep whole
+        # read groups within one partition (same knob as BamSource.read)
+        self.group_by_qname = (
+            str(options.get("groupbyqname", "false")).lower() == "true"
+        )
         # resolved driver-side; the pickled reader carries it to executors
         self.fs = get_fs(self.path)
 
@@ -153,6 +158,12 @@ class BamDataSourceReader(DataSourceReader):
                 bai_ranges = tuple(
                     voffset_ranges_for_intervals(parse_bai(f + ".bai"), ivs)
                 )
+            elif ivs is not None and fs.exists(f + ".csi"):
+                # CSI fallback (contigs >2^29 bp) — same as BamSource.read
+                from .csi import parse_csi
+                from .csi import voffset_ranges_for_intervals as csi_ranges
+
+                bai_ranges = tuple(csi_ranges(parse_csi(f + ".csi"), ivs))
             first_voffset = first_voffset0 if i == 0 else LAZY_FIRST_VOFFSET
             for s in range(0, flen, self.split_size):
                 parts.append(
@@ -181,6 +192,7 @@ class BamDataSourceReader(DataSourceReader):
                 partition.sbi_offsets,
                 list(partition.bai_ranges) if partition.bai_ranges else None,
                 fs=self.fs,
+                group_by_qname=self.group_by_qname,
             )
         )
 

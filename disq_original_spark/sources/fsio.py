@@ -394,3 +394,40 @@ def fs_read_bytes(path: str) -> bytes:
 
 def fs_write_bytes(path: str, data: bytes) -> None:
     get_fs(path).write_bytes(str(path), data)
+
+
+# ---------------------------------------------------------------- planning helpers
+
+#: Index sidecar extensions excluded from data-file listings.
+INDEX_EXTS = (".sbi", ".bai", ".crai", ".tbi", ".csi", ".idx", ".fai")
+
+#: Below this file count, per-file metadata is collected serially on the
+#: driver; at or above it, a small Spark job does the IO so driver planning
+#: stays O(1) on huge directories (reference reads ONE header driver-side
+#: and lets the cluster do the rest — `HtsjdkReadsRddStorage.java:150-156`).
+METADATA_JOB_THRESHOLD = 32
+
+
+def list_data_files(fs: FileSystem, path: str) -> list[str]:
+    """Sorted data files for ``path``: the file itself, or a directory's
+    non-hidden non-sidecar members (the reference's directory-input
+    contract, README.md:81-92)."""
+    if fs.isdir(path):
+        return [
+            f
+            for f in fs.listdir(path)
+            if not fs_basename(f).startswith((".", "_"))
+            and not f.endswith(INDEX_EXTS)
+        ]
+    return [str(path)]
+
+
+def collect_metadata(spark, files: list[str], meta_for, threshold: int = METADATA_JOB_THRESHOLD):
+    """Run ``meta_for`` over every file — serially for a few, as a Spark
+    job for many — returning results in lexicographic file order.
+    ``meta_for`` must return a tuple whose first element is the path."""
+    if len(files) < threshold:
+        return [meta_for(f) for f in files]
+    sc = spark.sparkContext
+    n_parts = min(len(files), sc.defaultParallelism * 2)
+    return sorted(sc.parallelize(files, n_parts).map(meta_for).collect())

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions import map_from_arrays_last_wins, map_from_entries_last_wins
 from ..operators.interval import interval_filter
-from .fsio import fs_basename, fs_exists, fs_join, fs_open, get_fs
+from .fsio import fs_basename, fs_join, fs_open, get_fs, list_data_files
 from .headers import read_vcf_header_text, vcf_sample_names
 from .merger import merge_parts
 
@@ -133,36 +133,33 @@ class VcfSource:
 
         with fs_open(_first(path)) as fh:
             bgzf = is_bgzf(fh)
+        ivs = None
+        if intervals is not None:
+            ivs = [
+                (r["contig"], int(r["start"]), int(r["end"]))
+                for r in intervals.select("contig", "start", "end").collect()
+            ]
         if bgzf:
             # tabix split pruning: with intervals + a .tbi, drop byte-range
             # splits the index proves contain no overlapping record
             # (reference `vcf/VcfSource.java:143-168`)
-            ivs = None
-            if intervals is not None:
-                ivs = [
-                    (r["contig"], int(r["start"]), int(r["end"]))
-                    for r in intervals.select("contig", "start", "end").collect()
-                ]
             lines = _read_bgzf_lines(spark, path, split_size, ivs=ivs)
         else:
-            # Tribble .idx split pruning for plain-text VCF (reference picks
-            # the index per format: tabix for .bgz/.gz, Tribble for .vcf —
-            # `vcf/VcfSource.java:143-168`,
-            # `tribble/TribbleIndexIntervalFilteringTextInputFormat.java:33-67`)
-            idx_path = str(_first(path)) + ".idx"
-            ranges = None
-            if intervals is not None and fs_exists(idx_path):
-                from .tribble import parse_tribble, text_ranges_for_intervals
-
-                ivs = [
-                    (r["contig"], int(r["start"]), int(r["end"]))
-                    for r in intervals.select("contig", "start", "end").collect()
-                ]
-                ranges = text_ranges_for_intervals(parse_tribble(idx_path), ivs)
-            if ranges is not None:
-                lines = _read_text_lines(spark, path, split_size, ranges)
+            fs = get_fs(str(path))
+            files = list_data_files(fs, str(path))
+            if any(f.endswith(".gz") for f in files):
+                # non-BGZF gzip: native whole-file gunzip stream
+                # (non-splittable, one partition per file — reference
+                # `vcf/VcfSource.java:80-86`).  The explicit file list keeps
+                # index sidecars out of a directory read.
+                lines = spark.read.text(files)
             else:
-                lines = spark.read.text(path)
+                # Plain text: per-file byte-range splits, pruned per file by
+                # that file's Tribble `.idx` when intervals are given
+                # (reference picks the index per format: tabix for
+                # .bgz/.gz, Tribble for .vcf — `vcf/VcfSource.java:143-168`,
+                # `tribble/TribbleIndexIntervalFilteringTextInputFormat.java:33-67`)
+                lines = _read_text_lines(spark, files, split_size, ivs)
         body = lines.filter(~F.col("value").startswith("#"))
         from .sam import apply_stringency
 
@@ -208,19 +205,10 @@ def _read_bgzf_lines(
     driver planning O(1) (same policy as BamSource)."""
     from pyspark.sql.types import StringType, StructField, StructType
 
-    from .bam import _INDEX_EXTS
+    from .fsio import collect_metadata, list_data_files
 
     fs = get_fs(path)
-    if fs.isdir(path):
-        files = [
-            f
-            for f in fs.listdir(path)
-            if not fs_basename(f).startswith((".", "_"))
-            and not f.endswith(_INDEX_EXTS)
-        ]
-    else:
-        files = [str(path)]
-    from .bam import METADATA_JOB_THRESHOLD
+    files = list_data_files(fs, str(path))
 
     def meta_for(f: str):
         flen = fs.size(f)
@@ -240,14 +228,8 @@ def _read_bgzf_lines(
                 franges = csi_ranges(parse_csi(csi), ivs)
         return (f, flen, franges)
 
-    if len(files) < METADATA_JOB_THRESHOLD:
-        metas = [meta_for(f) for f in files]
-    else:
-        sc = spark.sparkContext
-        n_parts = min(len(files), sc.defaultParallelism * 2)
-        metas = sorted(sc.parallelize(files, n_parts).map(meta_for).collect())
     ranges: list[tuple[str, int, int]] = []
-    for f, flen, franges in metas:
+    for f, flen, franges in collect_metadata(spark, files, meta_for):
         fr = [(s, min(s + split_size, flen)) for s in range(0, flen, split_size)]
         if franges is not None:
             from .tabix import prune_splits
@@ -278,25 +260,39 @@ def _read_bgzf_lines(
 
 def _read_text_lines(
     spark: SparkSession,
-    path: str,
+    files: list[str],
     split_size: int,
-    index_ranges: list[tuple[int, int]],
+    ivs: list[tuple[str, int, int]] | None,
 ) -> DataFrame:
-    """Plain-text analog of ``_read_bgzf_lines``: byte-range splits planned
-    driver-side, pruned by the Tribble index's raw byte ranges, each task
-    yielding the lines it owns (``tribble.iter_text_lines_in_range``)."""
+    """Plain-text analog of ``_read_bgzf_lines``: per-file byte-range splits
+    planned driver-side (as a Spark job for many files), each file's splits
+    pruned by that file's own Tribble ``.idx`` raw byte ranges when ``ivs``
+    is given, each task yielding the lines it owns
+    (``tribble.iter_text_lines_in_range``)."""
     from pyspark.sql.types import StringType, StructField, StructType
 
+    from .fsio import collect_metadata
     from .tabix import prune_splits
 
-    fs = get_fs(path)
-    f = str(_first(path))
-    flen = fs.size(f)
-    splits = [(s, min(s + split_size, flen)) for s in range(0, flen, split_size)]
-    splits = prune_splits(splits, index_ranges)
-    ranges = [(f, s, e) for s, e in splits]
+    fs = get_fs(files[0])
+
+    def meta_for(f: str):
+        flen = fs.size(f)
+        franges = None
+        if ivs is not None and fs.exists(f + ".idx"):
+            from .tribble import parse_tribble, text_ranges_for_intervals
+
+            franges = text_ranges_for_intervals(parse_tribble(f + ".idx"), ivs)
+        return (f, flen, franges)
+
+    ranges: list[tuple[str, int, int]] = []
+    for f, flen, franges in collect_metadata(spark, files, meta_for):
+        fr = [(s, min(s + split_size, flen)) for s in range(0, flen, split_size)]
+        if franges is not None:
+            fr = prune_splits(fr, franges)
+        ranges.extend((f, s, e) for s, e in fr)
     if not ranges:
-        ranges = [(f, 0, 0)]
+        ranges = [(files[0], 0, 0)]
 
     def read_range(task):
         from .tribble import iter_text_lines_in_range

@@ -455,3 +455,39 @@ def test_duplicate_info_and_format_keys_last_wins(spark, tmp_path):
     assert row["info"]["DP"] == "9"
     assert row["genotypes"][0]["attrs"]["DP"] == "7"
     assert spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION") == policy_before
+
+
+def test_vcf_sharded_plain_interval_read_covers_all_shards(spark, tmp_path):
+    """Regression: interval reads of a sharded plain-text directory must
+    plan splits for EVERY shard (an earlier cut planned only the first
+    file's, silently dropping the other shards' rows), and per-shard
+    Tribble .idx sidecars must never be ingested as data lines."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from disq_original_spark.sources.headers import read_vcf_header_text
+    from disq_original_spark.sources.vcf import VcfSink, VcfSource
+
+    src = VcfSource()
+    df = src.read(spark, TEST_VCF)
+    hdr = read_vcf_header_text(TEST_VCF)
+    out = str(tmp_path / "out.vcf.sharded")
+    VcfSink().write_sharded(
+        df.repartition(2).sortWithinPartitions("contig", "pos"),
+        hdr,
+        out,
+        write_index=True,
+    )
+    assert sum(p.endswith(".idx") for p in os.listdir(out)) == 2
+    # no intervals: sidecars excluded, full count preserved
+    assert src.read(spark, out).count() == df.count()
+    # intervals spanning everything: rows must come back from BOTH shards
+    lo, hi = df.agg(F.min("pos"), F.max("pos")).first()
+    contig = df.select("contig").first()[0]
+    intervals = spark.createDataFrame(
+        [(contig, int(lo), int(hi) + 10_000)], "contig string, start long, end long"
+    )
+    back = src.read(spark, out, intervals=intervals, split_size=64 * 1024)
+    key = lambda r: (r.contig, r.pos, r.ref)
+    assert sorted(map(key, back.collect())) == sorted(map(key, df.collect()))
