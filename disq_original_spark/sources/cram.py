@@ -261,32 +261,54 @@ class CramSource:
         """Distributed CRAM read: splits snap to container boundaries
         (``plan_splits``); each task decodes its containers with the pure-
         Python CRAM 2.x codec (``cram_codec``), reconstructing sequences from
-        ``reference_path`` (a .fai-indexed FASTA on shared storage)."""
+        ``reference_path`` (a .fai-indexed FASTA on shared storage).
+
+        ``path`` may be a directory of same-header CRAMs (the reference's
+        directory-input contract, README.md:81-92 — e.g. a
+        ``write_sharded`` output); per-file split planning fans out as a
+        Spark job above the file-count threshold, and each task reads its
+        own file's meta (CRAM shards carry their own compression headers,
+        unlike the BAM same-header shortcut)."""
         from .bam import READS_SCHEMA
         from .cram_codec import IndexedFasta, decode_container, read_cram_meta_file
+        from .fsio import collect_metadata, list_data_files
         from .sam import READS_COLUMNS
 
-        meta, first_data = read_cram_meta_file(path)
-        chunks = self.plan_splits(path, split_size)
-        if not chunks:
-            return spark.createDataFrame([], READS_SCHEMA)
+        fs = get_fs(str(path))
+        files = list_data_files(fs, str(path))
+
+        def meta_for(f: str):
+            return (f, fs.size(f), tuple(self.plan_splits(f, split_size)))
+
         # extend each chunk to the next chunk's start (or EOF) so every
         # container body is fully inside exactly one task's range
-        fs = get_fs(path)
-        flen = fs.size(path)
-        bounds = [c[0] for c in chunks] + [flen]
-        ranges = [(bounds[i], bounds[i + 1]) for i in range(len(chunks))]
+        ranges: list[tuple[str, int, int]] = []
+        single_meta = None
+        for f, flen, chunks in collect_metadata(spark, files, meta_for):
+            bounds = [c[0] for c in chunks] + [flen]
+            ranges.extend(
+                (f, bounds[i], bounds[i + 1]) for i in range(len(chunks))
+            )
+        if not ranges:
+            return spark.createDataFrame([], READS_SCHEMA)
+        if len(files) == 1:
+            # single file: one driver meta read shipped via closure (the
+            # historical shape); directories read meta per task instead
+            single_meta, _ = read_cram_meta_file(files[0])
 
-        def decode_range(task, _path=path, _meta=meta, _ref=reference_path, _fs=fs):
-            s, e = task
+        def decode_range(task, _meta=single_meta, _ref=reference_path, _fs=fs):
+            f, s, e = task
+            meta = _meta
+            if meta is None:
+                meta, _ = read_cram_meta_file(f)
             fasta = IndexedFasta(_ref) if _ref else None
             getter = fasta.get if fasta else None
-            with _fs.open_input(_path) as fh:
+            with _fs.open_input(f) as fh:
                 fh.seek(s)
                 data = fh.read(e - s)
             pos = 0
             while pos < len(data):
-                rows, pos = decode_container(data, pos, _meta, getter)
+                rows, pos = decode_container(data, pos, meta, getter)
                 yield from rows
 
         from .arrow_xfer import rows_to_dataframe
@@ -398,3 +420,88 @@ class CramSink:
                     )
                 offset += meta["csize"]
             fs_write_bytes(path + ".crai", _crai_dump(lines))
+
+    def write_sharded(
+        self,
+        df: DataFrame,
+        header_text: str,
+        path: str,
+        reference_path: str | None = None,
+        version: tuple[int, int] = (2, 1),
+        *,
+        write_index: bool = False,
+    ) -> None:
+        """One complete CRAM (file definition + header container + data
+        container + EOF) per partition in directory ``path`` (reference
+        `sam/AnySamSinkMultiple.java:31-74`, which covers CRAM via
+        ``CRAMContainerStreamWriter``); the directory reads back as one
+        input via ``CramSource.read``.
+
+        ``write_index=True`` writes each shard's ``.crai`` beside it,
+        entirely executor-side — a shard is a complete file, so its index
+        offsets are just the shard's own header length; no driver merge.
+        Empty partitions produce no shard (matching the other sharded
+        sinks)."""
+        import uuid
+
+        from .cram_codec import IndexedFasta
+        from .cram_writer import (
+            encode_container,
+            encode_file_header_container,
+            eof_container,
+            file_definition,
+        )
+        from .headers import header_ref_and_rg_names
+
+        major, minor = version
+        ref_names, rg_ids = header_ref_and_rg_names(header_text)
+        prefix = file_definition(major=major, minor=minor) + encode_file_header_container(
+            header_text, major
+        )
+        terminator = eof_container(major)
+        fs = get_fs(path)
+        fs.delete(path, recursive=True)
+        fs.mkdirs(path)
+
+        def write_partition(
+            pid, rows_iter, _refs=ref_names, _rgs=rg_ids, _ref=reference_path
+        ):
+            import uuid as _uuid
+
+            from .bam import _norm_attrs
+
+            rows = [_norm_attrs(r) for r in rows_iter]
+            if not rows:
+                return
+            fasta = IndexedFasta(_ref) if _ref else None
+            data = encode_container(rows, _refs, _rgs, fasta, major)
+            tmp = fs_join(path, f".tmp-{_uuid.uuid4().hex}")
+            with fs.open_output(tmp) as fh:
+                fh.write(prefix)
+                fh.write(data)
+                fh.write(terminator)
+            name = f"part-{pid:05d}.cram"
+            shard = fs_join(path, name)
+            fs.rename(tmp, shard)
+            if write_index:
+                from .cram_codec import Buf, read_container_header
+                from .fsio import fs_write_bytes
+
+                hdr = read_container_header(Buf(data), 0, major)
+                ref_index = {n: i for i, n in enumerate(_refs)}
+                lines = [
+                    (
+                        sid,
+                        start,
+                        span,
+                        len(prefix),
+                        hdr.landmarks[0],
+                        hdr.length - hdr.landmarks[0],
+                    )
+                    for sid, start, span in crai_entries_for_reads(rows, ref_index)
+                ]
+                fs_write_bytes(shard + ".crai", _crai_dump(lines))
+
+        from .arrow_xfer import foreach_partition_arrow
+
+        foreach_partition_arrow(df, write_partition)

@@ -103,8 +103,6 @@ class ReadsStorage:
         fmt = _reads_format(inner)
         if write_index and fmt not in ("bam", "cram"):
             raise ValueError("write_index is supported for BAM/CRAM output")
-        if write_index and sharded and fmt != "bam":
-            raise ValueError("sharded write_index is supported for BAM output")
         if fmt == "bam":
             sink = BamSink()
             if sharded:
@@ -115,12 +113,17 @@ class ReadsStorage:
             sink = SamSink()
             (sink.write_sharded if sharded else sink.write)(df, header, path)
         else:
+            sink = CramSink()
             if sharded:
-                raise ValueError("sharded CRAM output is not supported; use .bam.sharded")
-            CramSink().write(
-                df, header.text, path,
-                reference_path=self.reference_path, write_index=write_index,
-            )
+                sink.write_sharded(
+                    df, header.text, path,
+                    reference_path=self.reference_path, write_index=write_index,
+                )
+            else:
+                sink.write(
+                    df, header.text, path,
+                    reference_path=self.reference_path, write_index=write_index,
+                )
 
 
 def _residual(

@@ -399,3 +399,39 @@ def test_reads_storage_write_index_cram(spark, tmp_path):
     out = str(tmp_path / "st.cram")
     st.write(df, out, header, write_index=True)
     assert Path(out + ".crai").exists()
+
+
+def test_cram_sharded_roundtrip(spark, tmp_path):
+    """Sharded CRAM sink (reference `sam/AnySamSinkMultiple.java:31-74`) +
+    directory read-back: each shard is a complete CRAM with its own
+    header/EOF and optional .crai; the directory reads as one input."""
+    import os
+
+    from disq_original_spark.sources.cram import CramSink
+    from disq_original_spark.sources.cram_codec import read_cram_meta
+
+    hdr = read_cram_meta(Path(CRAM).read_bytes())[0].header_text
+    df = CramSource().read(spark, CRAM, reference_path=FASTA)
+    out = str(tmp_path / "out.cram.sharded")
+    CramSink().write_sharded(
+        df.repartition(2), hdr, out, reference_path=FASTA, write_index=True
+    )
+    names = sorted(os.listdir(out))
+    assert sum(n.endswith(".cram") for n in names) == 2
+    assert sum(n.endswith(".crai") for n in names) == 2
+    back = CramSource().read(spark, out, reference_path=FASTA)
+    key = lambda r: (r["qname"], r["flag"], r["pos"], r["cigar"], r["seq"], r["qual"])
+    assert sorted(map(key, (r.asDict() for r in back.collect()))) == sorted(
+        map(key, (r.asDict() for r in df.collect()))
+    )
+
+
+def test_cram_sharded_via_storage_facade(spark, tmp_path):
+    from disq_original_spark.storage import ReadsStorage
+
+    storage = ReadsStorage(spark, reference_path=FASTA)
+    df = storage.read(CRAM)
+    header = storage.read_header(CRAM)
+    out = str(tmp_path / "out.cram.sharded")
+    storage.write(df.repartition(2), out, header, write_index=True)
+    assert storage.read(out).count() == df.count()
