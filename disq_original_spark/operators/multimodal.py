@@ -59,18 +59,25 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, list[float]]:
+def _fake_decode(payload: bytes) -> tuple[int, int, list[float], list[tuple[int, int]]]:
     """Deterministic stand-in for an image decode: width/height from payload
     length, 'features' = normalized byte-histogram moments.  Replace with
-    PIL/librosa/ffmpeg in a full environment."""
+    PIL/librosa/ffmpeg in a full environment.
+
+    Also returns the raw integer moments ``(byte_sum, count)`` per stride —
+    the digest fingerprint is defined over THESE exact integers (not the
+    float features) so an independent engine (the DuckDB oracle) reproduces
+    it without float-formatting/rounding parity games."""
     n = len(payload)
     width = 16 + n % 64
     height = 16 + (n // 64) % 64
     feats = []
+    moments = []
     for j in range(FEATURE_DIM):
         sl = payload[j::FEATURE_DIM]
+        moments.append((sum(sl), max(1, len(sl))))
         feats.append(round(sum(sl) / (255.0 * max(1, len(sl))), 6))
-    return width, height, feats
+    return width, height, feats, moments
 
 
 def extract_features(media: DataFrame, as_array: bool = False) -> DataFrame:
@@ -79,11 +86,12 @@ def extract_features(media: DataFrame, as_array: bool = False) -> DataFrame:
     spark.sql.execution.arrow.maxRecordsPerBatch — payload bytes stream
     through Arrow, never through the driver.
 
-    Default output carries ``features_digest`` — md5 over the
-    6-decimal-rounded feature vector — a scalar fingerprint that downstream
-    exact-dedup / verification passes (and the driver's row canonicalizer)
-    can sort and hash.  ``as_array=True`` keeps the raw ``array<float>``
-    column for library users feeding an ANN index.
+    Default output carries ``features_digest`` — md5 over the exact integer
+    byte-moments (``sum/count`` per stride) the features derive from — a
+    scalar fingerprint that downstream exact-dedup / verification passes
+    (and the driver's row canonicalizer) can sort, hash, and reproduce in
+    plain SQL.  ``as_array=True`` keeps the raw ``array<float>`` column for
+    library users feeding an ANN index.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -93,12 +101,12 @@ def extract_features(media: DataFrame, as_array: bool = False) -> DataFrame:
                 if data is None:
                     continue  # NULL payload: skip, as the sibling text passes do
                 payload = bytes(data)
-                w, h, feats = _fake_decode(payload)
+                w, h, feats, moments = _fake_decode(payload)
                 if as_array:
                     rows.append((mid, kind, len(payload), w, h, feats))
                 else:
                     digest = hashlib.md5(
-                        ",".join(f"{v:.6f}" for v in feats).encode()
+                        ",".join(f"{s}/{c}" for s, c in moments).encode()
                     ).hexdigest()
                     rows.append((mid, kind, len(payload), w, h, digest))
             cols = ["media_id", "kind", "n_bytes", "width", "height"]

@@ -234,16 +234,21 @@ class CramDataSourceReader(DataSourceReader):
 
     def partitions(self):
         from .cram import CramSource
+        from .fsio import list_data_files
 
-        chunks = CramSource().plan_splits(self.path, self.split_size)
-        if not chunks:
-            return [CramInputPartition(self.path, 0, 0)]
-        flen = self.fs.size(self.path)
-        bounds = [c[0] for c in chunks] + [flen]
-        return [
-            CramInputPartition(self.path, bounds[i], bounds[i + 1])
-            for i in range(len(chunks))
-        ]
+        src = CramSource()
+        parts: list[CramInputPartition] = []
+        for f in list_data_files(self.fs, self.path):
+            chunks = src.plan_splits(f, self.split_size)
+            if not chunks:
+                continue
+            flen = self.fs.size(f)
+            bounds = [c[0] for c in chunks] + [flen]
+            parts.extend(
+                CramInputPartition(f, bounds[i], bounds[i + 1])
+                for i in range(len(chunks))
+            )
+        return parts or [CramInputPartition(self.path, 0, 0)]
 
     def read(self, partition: CramInputPartition):
         from .cram_codec import IndexedFasta, decode_container, read_cram_meta_file

@@ -435,3 +435,20 @@ def test_cram_sharded_via_storage_facade(spark, tmp_path):
     out = str(tmp_path / "out.cram.sharded")
     storage.write(df.repartition(2), out, header, write_index=True)
     assert storage.read(out).count() == df.count()
+
+
+def test_cram_datasource_reads_sharded_dir(spark, tmp_path):
+    from disq_original_spark.sources.cram import CramSink
+    from disq_original_spark.sources.cram_codec import read_cram_meta
+
+    from disq_original_spark.sources.datasource import register_datasources
+
+    register_datasources(spark)
+    hdr = read_cram_meta(Path(CRAM).read_bytes())[0].header_text
+    df = CramSource().read(spark, CRAM, reference_path=FASTA)
+    out = str(tmp_path / "out.cram.sharded")
+    CramSink().write_sharded(df.repartition(2), hdr, out, reference_path=FASTA)
+    back = (
+        spark.read.format("cram").option("reference", FASTA).load(out)
+    )
+    assert back.count() == df.count()

@@ -177,3 +177,27 @@ def test_vcf_indexed_write_on_mock_scheme(spark, mock_fs, tmp_path):
     assert mock_fs.exists("mock://out/indexed.vcf.bgz.tbi")
     assert parse_tabix("mock://out/indexed.vcf.bgz.tbi").names
     assert src.read(spark, "mock://out/indexed.vcf.bgz").count() == n
+
+
+def test_cram_sharded_on_mock_scheme(spark, mock_fs, tmp_path):
+    """Sharded CRAM write + directory read-back entirely over the mock
+    scheme: per-shard encode, .crai sidecars, listing, and per-file split
+    planning must all route through the pluggable filesystem."""
+    from disq_original_spark.sources.cram import CramSink, CramSource
+    from disq_original_spark.sources.cram_codec import read_cram_meta_file
+
+    _stage(tmp_path, "valid.cram", "valid.cram.crai", "valid.fasta", "valid.fasta.fai")
+    src = CramSource()
+    df = src.read(spark, "mock://valid.cram", reference_path="mock://valid.fasta")
+    hdr = read_cram_meta_file("mock://valid.cram")[0].header_text
+    CramSink().write_sharded(
+        df.repartition(2), hdr, "mock://out.cram.sharded",
+        reference_path="mock://valid.fasta", write_index=True,
+    )
+    shards = mock_fs.listdir("mock://out.cram.sharded")
+    assert sum(s.endswith(".cram") for s in shards) == 2
+    assert sum(s.endswith(".crai") for s in shards) == 2
+    back = src.read(
+        spark, "mock://out.cram.sharded", reference_path="mock://valid.fasta"
+    )
+    assert back.count() == df.count()

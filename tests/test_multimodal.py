@@ -40,12 +40,22 @@ def test_feature_extraction_shape_and_determinism(spark, sf_dir):
     for r in arr_rows[:20]:
         assert len(r["features"]) == FEATURE_DIM
         assert all(0.0 <= f <= 1.0 for f in r["features"])
-    # digest is the md5 of the rounded array — the two forms agree
+    # digest is the md5 of the exact integer byte-moments — reproducible
+    # from the payload alone (the property the SQL oracle relies on)
     import hashlib
 
+    payloads = {
+        r["media_id"]: bytes(r["data"]) for r in media.collect()
+    }
     for r in rows[:20]:
-        feats_arr = by_id[r["media_id"]]["features"]
-        want = hashlib.md5(",".join(f"{v:.6f}" for v in feats_arr).encode()).hexdigest()
+        p = payloads[r["media_id"]]
+        moments = [
+            (sum(p[j::FEATURE_DIM]), max(1, len(p[j::FEATURE_DIM])))
+            for j in range(FEATURE_DIM)
+        ]
+        want = hashlib.md5(
+            ",".join(f"{s}/{c}" for s, c in moments).encode()
+        ).hexdigest()
         assert r["features_digest"] == want
 
 
