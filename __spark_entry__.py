@@ -58,6 +58,8 @@ _PRIORITY = [
     "p01_sequence_packing",  # new in round 2
     "t09_contamination",  # new in round 2
     "s04_kmeans_update",  # new in round 2
+    "p02_stratified_sample",  # new in round 2
+    "p03_budget_mixture",  # new in round 2
 ]
 
 

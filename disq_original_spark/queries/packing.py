@@ -1,4 +1,5 @@
-"""Sequence packing for LLM training pipelines (p01).
+"""Corpus-construction operators for LLM training pipelines (p01–p03):
+sequence packing, stratified sampling, token-budget mixture.
 
 Packing concatenates documents into fixed token-budget training sequences so
 a trainer wastes no context-window slots on padding.  The globally-greedy
@@ -108,4 +109,120 @@ def p01(spark: SparkSession, sf: str) -> DataFrame:
         # half-to-even and disagrees at e.g. 232/256 = 0.90625).
         .withColumn("fill", F.round(F.col("seq_tokens") / float(_CAPACITY), 4))
         .orderBy("bucket", "seq_idx")
+    )
+
+
+# ---------------------------------------------------------------- p02 stratified sample
+# per-language sampling percentages: downsample the dominant language,
+# keep the tail (the mixture-rebalancing move every multilingual corpus
+# build makes)
+_RATES = {"en": 35, "zh": 80, "es": 80, "de": 80, "fr": 80}
+_DEFAULT_RATE = 50
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 / phi)
+
+_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _RATES.items())
+    + f" ELSE {_DEFAULT_RATE} END"
+)
+
+
+@query(
+    "p02_stratified_sample",
+    rf"""WITH d AS (SELECT doc_id, lang,
+                           len(string_split_regex(lower(trim(text)), '\s+')) AS toks,
+                           (doc_id * {_KNUTH}) % 4294967296 % 100 AS h,
+                           {_RATE_SQL} AS rate
+                    FROM documents)
+         SELECT lang, count(*) AS n_docs,
+                CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN h < rate THEN toks ELSE 0 END) AS BIGINT)
+                    AS kept_tokens,
+                round(sum(CASE WHEN h < rate THEN 1 ELSE 0 END)
+                      / CAST(count(*) AS DOUBLE), 4) AS kept_frac
+         FROM d GROUP BY lang ORDER BY lang""",
+)
+def p02(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling for mixture rebalancing: each
+    language keeps a configured percentage of documents, selected by a
+    Knuth multiplicative hash of the id — engine-independent plain integer
+    arithmetic (NOT Spark's hash(), which DuckDB cannot reproduce), so the
+    exact same documents are kept everywhere, reruns are stable, and the
+    oracle verifies the selection, not just the rates.
+
+    Scale shape: selection is a pure map-side predicate (no shuffle, no
+    sampling state); the only shuffle is the per-language aggregate.  This
+    is how a 100 TB corpus is downsampled in practice — a full sort or
+    reservoir would serialize, a rand() sample is irreproducible."""
+    d = load_table(spark, sf, "documents")
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in reversed(_RATES.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    kept = (F.col("doc_id") * _KNUTH) % (2**32) % 100 < rate
+    return (
+        d.select(
+            "lang",
+            F.size(tokens("text")).cast("long").alias("toks"),
+            kept.cast("int").alias("keep"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.sum(F.col("keep") * F.col("toks")).cast("long").alias("kept_tokens"),
+            F.round(F.sum("keep") / F.count("*").cast("double"), 4).alias("kept_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------- p03 budget mixture
+_SOURCE_BUDGET = 2000  # token budget per source
+
+
+@query(
+    "p03_budget_mixture",
+    rf"""WITH d AS (SELECT doc_id, source,
+                           len(string_split_regex(lower(trim(text)), '\s+')) AS toks
+                    FROM documents),
+         c AS (SELECT doc_id, source, toks,
+                      sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+               FROM d)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN cum <= {_SOURCE_BUDGET} THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN cum <= {_SOURCE_BUDGET} THEN toks ELSE 0 END)
+                     AS BIGINT) AS kept_tokens
+         FROM c GROUP BY source ORDER BY source""",
+)
+def p03(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget mixture construction: every source contributes documents
+    in id order until its token budget is exhausted (running-sum cutoff) —
+    how a training mixture hits per-source token targets deterministically.
+
+    Scale shape: one hash shuffle on source for the window's running sum,
+    then the same-keyed aggregate reuses the partitioning (no second
+    exchange).  The cutoff is a windowed cumsum, not a collect-and-loop."""
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("toks")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = d.withColumn("cum", F.sum("toks").over(w))
+    keep = (F.col("cum") <= _SOURCE_BUDGET).cast("int")
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(keep).cast("long").alias("n_kept"),
+            F.sum(keep * F.col("toks")).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
     )
