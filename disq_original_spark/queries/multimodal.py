@@ -1,8 +1,11 @@
 """Multimodal pipeline queries (m01–m03) over the media view of documents.
 
-m01 is fully oracle-checkable (ids/kinds/sizes are deterministic SQL); the
-decode-dependent ops (m02/m03) are rows-only — their Spark-side plumbing is
-exercised structurally in tests/test_multimodal.py."""
+All three are fully DuckDB-oracle-checked: m01's ids/kinds/sizes are
+deterministic SQL; m02's digest is defined over exact integer byte-moments
+and m03 fingerprints each sampled frame, both reproducible in SQL because
+the corpus is ASCII (char positions are byte positions).  The Spark-side
+plumbing is additionally exercised structurally in
+tests/test_multimodal.py."""
 
 from __future__ import annotations
 
@@ -48,9 +51,16 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
         mom AS (SELECT media_id, j, CAST(sum(byte) AS BIGINT) AS s,
                        count(*) AS c
                 FROM b GROUP BY media_id, j),
+        -- full (media_id x stride) grid: documents shorter than 8 bytes
+        -- have empty strides, which the operator pads as sum 0 / count 1
+        grid AS (SELECT media_id, unnest(generate_series(0, 7)) AS j FROM m),
+        filled AS (SELECT g.media_id, g.j,
+                          coalesce(mom.s, 0) AS s,
+                          coalesce(mom.c, 1) AS c
+                   FROM grid g LEFT JOIN mom USING (media_id, j)),
         d AS (SELECT media_id,
                      md5(string_agg(s || '/' || c, ',' ORDER BY j)) AS features_digest
-              FROM mom GROUP BY media_id)
+              FROM filled GROUP BY media_id)
         SELECT m.media_id, m.kind, CAST(m.n AS BIGINT) AS n_bytes,
                CAST(16 + m.n % 64 AS INTEGER) AS width,
                CAST(16 + (m.n // 64) % 64 AS INTEGER) AS height,

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import gzip
 import struct
+from functools import lru_cache
 from dataclasses import dataclass
 from pathlib import Path
 from typing import BinaryIO
@@ -115,6 +116,16 @@ def enumerate_containers(fh: BinaryIO) -> list[CramContainer]:
         )
         pos += header_size + length
     return out
+
+
+@lru_cache(maxsize=64)
+def _worker_cached_meta(path: str):
+    """Per-process cache of a CRAM file's decode meta (header container):
+    Spark reuses Python workers, so a directory read parses each shard's
+    header once per worker instead of once per split task."""
+    from .cram_codec import read_cram_meta_file
+
+    return read_cram_meta_file(path)[0]
 
 
 def read_crai_offsets(crai_path: str | Path) -> list[int]:
@@ -242,14 +253,20 @@ class CramSource:
             "n_records long, n_blocks int, is_eof boolean",
         )
 
-    def plan_splits(self, path: str, split_size: int = 1 << 20) -> list[tuple[int, int]]:
+    def plan_splits(
+        self, path: str, split_size: int = 1 << 20, file_len: int | None = None
+    ) -> list[tuple[int, int]]:
+        """``file_len`` lets directory planners that already stat'd the file
+        skip a second size round-trip (one HEAD per shard on object stores)."""
         crai = path + ".crai"
         if fs_exists(crai):
             offsets = read_crai_offsets(crai)
         else:
             with fs_open(path) as fh:
                 offsets = [c.offset for c in enumerate_containers(fh) if not c.is_eof and c.n_records > 0]
-        return snap_splits_to_containers(offsets, fs_size(path), split_size)
+        if file_len is None:
+            file_len = fs_size(path)
+        return snap_splits_to_containers(offsets, file_len, split_size)
 
     def read(
         self,
@@ -278,7 +295,8 @@ class CramSource:
         files = list_data_files(fs, str(path))
 
         def meta_for(f: str):
-            return (f, fs.size(f), tuple(self.plan_splits(f, split_size)))
+            flen = fs.size(f)
+            return (f, flen, tuple(self.plan_splits(f, split_size, file_len=flen)))
 
         # extend each chunk to the next chunk's start (or EOF) so every
         # container body is fully inside exactly one task's range
@@ -300,7 +318,10 @@ class CramSource:
             f, s, e = task
             meta = _meta
             if meta is None:
-                meta, _ = read_cram_meta_file(f)
+                # directory read: per-file meta, cached per (reused) worker
+                # so a file's header container is parsed once per worker,
+                # not once per split
+                meta = _worker_cached_meta(f)
             fasta = IndexedFasta(_ref) if _ref else None
             getter = fasta.get if fasta else None
             with _fs.open_input(f) as fh:
