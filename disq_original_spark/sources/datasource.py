@@ -239,10 +239,10 @@ class CramDataSourceReader(DataSourceReader):
         src = CramSource()
         parts: list[CramInputPartition] = []
         for f in list_data_files(self.fs, self.path):
-            chunks = src.plan_splits(f, self.split_size)
+            flen = self.fs.size(f)
+            chunks = src.plan_splits(f, self.split_size, file_len=flen)
             if not chunks:
                 continue
-            flen = self.fs.size(f)
             bounds = [c[0] for c in chunks] + [flen]
             parts.extend(
                 CramInputPartition(f, bounds[i], bounds[i + 1])
