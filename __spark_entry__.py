@@ -60,6 +60,7 @@ _PRIORITY = [
     "s04_kmeans_update",  # new in round 2
     "p02_stratified_sample",  # new in round 2
     "p03_budget_mixture",  # new in round 2
+    "q40_lateral_topn",  # new in round 2
 ]
 
 

@@ -968,3 +968,33 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
                       AS trailing30
            FROM q39_orders ORDER BY o_custkey, od, trailing30 LIMIT 100"""
     )
+
+
+# ---------------------------------------------------------------- q40 lateral top-n
+@query(
+    "q40_lateral_topn",
+    """SELECT c.c_custkey, t.o_orderkey,
+              round(t.o_totalprice, 2) AS price
+       FROM customer c,
+       LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+       ORDER BY c.c_custkey, price DESC, t.o_orderkey LIMIT 200""",
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 lateral join): top-2 orders by
+    price per customer, expressed as a dependent subquery rather than a
+    window — the remaining join flavor the surface didn't cover.  Catalyst
+    decorrelates the lateral into a ranked join (no per-row re-execution);
+    ties are broken by o_orderkey so the result is deterministic."""
+    load_table(spark, sf, "customer").createOrReplaceTempView("q40_customer")
+    load_table(spark, sf, "orders").createOrReplaceTempView("q40_orders")
+    return spark.sql(
+        """SELECT c.c_custkey, t.o_orderkey,
+                  round(t.o_totalprice, 2) AS price
+           FROM q40_customer c,
+           LATERAL (SELECT o_orderkey, o_totalprice FROM q40_orders o
+                    WHERE o.o_custkey = c.c_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+           ORDER BY c.c_custkey, price DESC, t.o_orderkey LIMIT 200"""
+    )
