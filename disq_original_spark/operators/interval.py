@@ -144,14 +144,19 @@ def interval_join(
     if salt is not None and salt > 1:
         # per-row left salt, right replicated to all salts: the hot
         # (contig, bin) cell spreads over `salt` reducers; every pair joins
-        # exactly once at the left row's salt.  The salt must be per-ROW
-        # unique-ish, not a hash of a span column: a centromere pileup is
-        # exactly the case where thousands of rows share the same start, and
-        # hash(start) would put the whole hot cell back on one reducer.  The
-        # salt value itself never affects which pairs join, only placement,
-        # so the nondeterministic row id is safe under task retries.
+        # exactly once at the left row's salt.  Two constraints shape the
+        # salt expression: it must be per-ROW spread (a hash of only the
+        # span column collapses a centromere pileup — thousands of rows
+        # share one start — back onto one reducer), and it must be
+        # DETERMINISTIC (monotonically_increasing_id/rand change on task
+        # recompute, and a nondeterministic value feeding an exchange can
+        # drop or duplicate pairs when a stage partially retries — the
+        # SPARK-23207 hazard).  Hashing every left column satisfies both:
+        # rows identical in all columns are interchangeable, so their
+        # collision is harmless.
         ab = ab.withColumn(
-            "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt))
+            "_salt",
+            F.pmod(F.hash(*[F.col(c) for c in left.columns], F.col("_bin")), F.lit(salt)),
         ).alias("l")
         bb = bb.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))).alias("r")
         cond = cond & (F.col("l._salt") == F.col("r._salt"))

@@ -355,8 +355,9 @@ _G08_SALT = 8
     "share ONE join key ('hot'), the centromere-pileup shape that melts a "
     "single reducer at 100 TB.  The salted form of operators/interval.py::"
     "interval_join spreads the hot (key, bin) cell over 8 reducers — left "
-    "rows take a deterministic salt, the right side replicates to every "
-    "salt — and each pair still joins exactly once.  The oracle is the "
+    "rows take a deterministic all-columns-hash salt (retry-safe, and "
+    "per-row spread even when the pileup shares positions), the right "
+    "side replicates to every salt — and each pair still joins exactly once.  The oracle is the "
     "naive quadratic join, feasible only at test scale.",
 )
 def g08(spark: SparkSession, sf: str) -> DataFrame:

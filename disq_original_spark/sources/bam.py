@@ -55,7 +55,6 @@ from .bgzf import (
     read_block_header,
 )
 from .fsio import (
-    INDEX_EXTS as _INDEX_EXTS,
     METADATA_JOB_THRESHOLD,
     FileSystem,
     collect_metadata,

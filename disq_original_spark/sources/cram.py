@@ -119,10 +119,14 @@ def enumerate_containers(fh: BinaryIO) -> list[CramContainer]:
 
 
 @lru_cache(maxsize=64)
-def _worker_cached_meta(path: str):
+def _worker_cached_meta(path: str, file_len: int):
     """Per-process cache of a CRAM file's decode meta (header container):
     Spark reuses Python workers, so a directory read parses each shard's
-    header once per worker instead of once per split task."""
+    header once per worker instead of once per split task.  Keyed by
+    (path, length) so overwriting a shard in place (sharded sinks reuse
+    part-NNNNN names) invalidates the stale entry; ``file_len`` comes from
+    the planning-time stat, so a worker outliving two reads of the same
+    path sees different keys."""
     from .cram_codec import read_cram_meta_file
 
     return read_cram_meta_file(path)[0]
@@ -300,12 +304,12 @@ class CramSource:
 
         # extend each chunk to the next chunk's start (or EOF) so every
         # container body is fully inside exactly one task's range
-        ranges: list[tuple[str, int, int]] = []
+        ranges: list[tuple[str, int, int, int]] = []
         single_meta = None
         for f, flen, chunks in collect_metadata(spark, files, meta_for):
             bounds = [c[0] for c in chunks] + [flen]
             ranges.extend(
-                (f, bounds[i], bounds[i + 1]) for i in range(len(chunks))
+                (f, bounds[i], bounds[i + 1], flen) for i in range(len(chunks))
             )
         if not ranges:
             return spark.createDataFrame([], READS_SCHEMA)
@@ -315,13 +319,13 @@ class CramSource:
             single_meta, _ = read_cram_meta_file(files[0])
 
         def decode_range(task, _meta=single_meta, _ref=reference_path, _fs=fs):
-            f, s, e = task
+            f, s, e, flen = task
             meta = _meta
             if meta is None:
                 # directory read: per-file meta, cached per (reused) worker
                 # so a file's header container is parsed once per worker,
                 # not once per split
-                meta = _worker_cached_meta(f)
+                meta = _worker_cached_meta(f, flen)
             fasta = IndexedFasta(_ref) if _ref else None
             getter = fasta.get if fasta else None
             with _fs.open_input(f) as fh:
@@ -463,7 +467,6 @@ class CramSink:
         offsets are just the shard's own header length; no driver merge.
         Empty partitions produce no shard (matching the other sharded
         sinks)."""
-        import uuid
 
         from .cram_codec import IndexedFasta
         from .cram_writer import (

@@ -55,13 +55,9 @@ def first_file_in(path: str | Path) -> str:
     fs = get_fs(p)
     if not fs.isdir(p):
         return p
-    from .bam import _INDEX_EXTS
+    from .fsio import list_data_files
 
-    files = [
-        f
-        for f in fs.listdir(p)
-        if not fs_basename(f).startswith((".", "_")) and not f.endswith(_INDEX_EXTS)
-    ]
+    files = list_data_files(fs, p)
     if not files:
         raise FileNotFoundError(f"no files in directory {p}")
     return files[0]

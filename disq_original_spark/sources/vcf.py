@@ -153,12 +153,19 @@ class VcfSource:
                 # `vcf/VcfSource.java:80-86`).  The explicit file list keeps
                 # index sidecars out of a directory read.
                 lines = spark.read.text(files)
+            elif ivs is None:
+                # no intervals → nothing to prune: the native JVM text scan
+                # (whole-stage codegen) beats any Python range reader; the
+                # explicit file list keeps index sidecars out of a
+                # directory read
+                lines = spark.read.text(files)
             else:
-                # Plain text: per-file byte-range splits, pruned per file by
-                # that file's Tribble `.idx` when intervals are given
-                # (reference picks the index per format: tabix for
-                # .bgz/.gz, Tribble for .vcf — `vcf/VcfSource.java:143-168`,
-                # `tribble/TribbleIndexIntervalFilteringTextInputFormat.java:33-67`)
+                # Plain text with intervals: per-file byte-range splits,
+                # pruned per file by that file's Tribble `.idx` (reference
+                # picks the index per format: tabix for .bgz/.gz, Tribble
+                # for .vcf — `vcf/VcfSource.java:143-168`,
+                # `tribble/TribbleIndexIntervalFilteringTextInputFormat.java:33-67`).
+                # Falls back to the native scan when NO file has an index.
                 lines = _read_text_lines(spark, files, split_size, ivs)
         body = lines.filter(~F.col("value").startswith("#"))
         from .sam import apply_stringency
@@ -285,8 +292,14 @@ def _read_text_lines(
             franges = text_ranges_for_intervals(parse_tribble(f + ".idx"), ivs)
         return (f, flen, franges)
 
+    metas = collect_metadata(spark, files, meta_for)
+    if all(franges is None for _f, _l, franges in metas):
+        # no file has an index → no split can be pruned; the native JVM
+        # text scan beats the Python range reader (residual filtering
+        # happens downstream either way)
+        return spark.read.text(files)
     ranges: list[tuple[str, int, int]] = []
-    for f, flen, franges in collect_metadata(spark, files, meta_for):
+    for f, flen, franges in metas:
         fr = [(s, min(s + split_size, flen)) for s in range(0, flen, split_size)]
         if franges is not None:
             fr = prune_splits(fr, franges)

@@ -491,3 +491,11 @@ def test_vcf_sharded_plain_interval_read_covers_all_shards(spark, tmp_path):
     back = src.read(spark, out, intervals=intervals, split_size=64 * 1024)
     key = lambda r: (r.contig, r.pos, r.ref)
     assert sorted(map(key, back.collect())) == sorted(map(key, df.collect()))
+
+
+def test_plain_vcf_without_intervals_uses_native_text_scan(spark):
+    """No intervals → nothing to prune → the read must stay on the native
+    JVM text scan (whole-stage codegen), not the Python range reader."""
+    df = VcfSource().read(spark, TEST_VCF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan text" in plan
