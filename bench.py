@@ -90,9 +90,14 @@ def _io_benchmarks(spark) -> dict:
     }
     for name, job in jobs.items():
         job()  # warm pass: codegen + page cache (same policy as HEADLINE)
-        t0 = time.perf_counter()
-        job()
-        out[name] = round(time.perf_counter() - t0, 3)
+        # min-of-2 timed passes, same noise policy as the headline set
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            job()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        out[name] = round(best, 3)
 
     # Sink path: single-file BAM write (headerless BGZF parts + driver
     # header/terminator + concat) of the fixture's reads from cache.
@@ -108,9 +113,13 @@ def _io_benchmarks(spark) -> dict:
     reads.count()
     tmp = tempfile.mkdtemp()
     BamSink().write(reads, header, f"{tmp}/warm.bam")  # warm pass
-    t0 = time.perf_counter()
-    BamSink().write(reads, header, f"{tmp}/timed.bam")
-    out["io_bam_write"] = round(time.perf_counter() - t0, 3)
+    best = None
+    for i in range(2):
+        t0 = time.perf_counter()
+        BamSink().write(reads, header, f"{tmp}/timed{i}.bam")
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    out["io_bam_write"] = round(best, 3)
     reads.unpersist()
     return out
 
