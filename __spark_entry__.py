@@ -61,6 +61,7 @@ _PRIORITY = [
     "p02_stratified_sample",  # new in round 2
     "p03_budget_mixture",  # new in round 2
     "q40_lateral_topn",  # new in round 2
+    "d08_dup_span_coverage",  # new in round 2
 ]
 
 

@@ -101,6 +101,7 @@ _BUCKET_CAP = 64  # drop LSH buckets larger than this (boilerplate guard)
 
 # Python twins of the shingle/token expressions live in functions.pytwins —
 # the single source of the cross-engine normalization semantics.
+from ..functions import tokens  # noqa: E402
 from ..functions.pytwins import py_shingles as _py_shingles  # noqa: E402
 from ..functions.pytwins import py_tokens as _py_tokens  # noqa: E402
 
@@ -542,3 +543,81 @@ def d07(spark: SparkSession, sf: str) -> DataFrame:
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- d08 dup-span coverage
+_SPAN_W = 15  # token window length for duplicated-span detection
+
+
+@query(
+    "d08_dup_span_coverage",
+    rf"""WITH w AS (SELECT doc_id,
+                           string_split_regex(lower(trim(text)), '\s+') AS words
+                    FROM documents),
+         win AS (SELECT doc_id, len(words) - {_SPAN_W - 1} AS n_windows,
+                        unnest(list_transform(
+                            generate_series(1, len(words) - {_SPAN_W - 1}),
+                            i -> md5(array_to_string(words[i:i + {_SPAN_W - 1}], ' '))
+                        )) AS h
+                 FROM w WHERE len(words) >= {_SPAN_W}),
+         dup AS (SELECT h FROM win GROUP BY h
+                 HAVING count(DISTINCT doc_id) > 1)
+         SELECT win.doc_id, win.n_windows,
+                count(*) AS n_dup_windows,
+                round(count(*) / CAST(win.n_windows AS DOUBLE), 4) AS dup_frac
+         FROM win JOIN dup USING (h)
+         GROUP BY win.doc_id, win.n_windows
+         ORDER BY win.doc_id""",
+)
+def d08(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-span coverage: for every document, the fraction of its
+    15-token windows that also appear verbatim in ANOTHER document — the
+    per-document duplicate-text coverage metric exact-substring dedup
+    pipelines report (public method: Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"; theirs uses suffix
+    arrays, this is the windowed form).
+
+    Scale shape: windows are built row-wise inside codegen (posexplode of
+    an integer sequence + per-row slice/md5 — no array materialization, the
+    t09 lesson), keyed by md5 so Spark and the SQL oracle agree bit-for-bit.
+    Two hash shuffles: (window-hash → distinct-doc count) with map-side
+    partial aggregation, then (doc → dup-window count).  At 100 TB the
+    window-hash shuffle is the honest cost of exact-substring detection —
+    the production variant truncates the hash to 8 bytes and two-level
+    counts, same plan shape."""
+    d = load_wide(spark, sf, "documents")
+    base = d.select("doc_id", tokens("text").alias("words")).where(
+        F.size("words") >= _SPAN_W
+    )
+    win = base.select(
+        "doc_id",
+        (F.size("words") - (_SPAN_W - 1)).cast("long").alias("n_windows"),
+        "words",
+        F.posexplode(
+            F.sequence(F.lit(0), F.greatest(F.size("words") - _SPAN_W, F.lit(0)))
+        ).alias("p", "i"),
+    ).select(
+        "doc_id",
+        "n_windows",
+        F.md5(F.concat_ws(" ", F.slice(F.col("words"), F.col("i") + 1, _SPAN_W))).alias("h"),
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h")
+    )
+    return (
+        win.join(dup, "h")
+        .groupBy("doc_id", "n_windows")
+        .agg(F.count("*").alias("n_dup_windows"))
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.round(
+                F.col("n_dup_windows") / F.col("n_windows").cast("double"), 4
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
