@@ -47,6 +47,7 @@ HEADLINE = [
     "d05_embedding_neardup",
     "d06_simhash",
     "d07_dup_clusters",
+    "d08_dup_span_coverage",  # window-hash shuffle path
     "s01_knn_bruteforce",
     "s03_ann_ivf",
     "t02_quality_score",
