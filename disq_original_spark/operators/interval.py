@@ -151,12 +151,19 @@ def interval_join(
         # DETERMINISTIC (monotonically_increasing_id/rand change on task
         # recompute, and a nondeterministic value feeding an exchange can
         # drop or duplicate pairs when a stage partially retries — the
-        # SPARK-23207 hazard).  Hashing every left column satisfies both:
-        # rows identical in all columns are interchangeable, so their
-        # collision is harmless.
+        # SPARK-23207 hazard).  Hashing every hashable left column satisfies
+        # both: rows identical in all columns are interchangeable, so their
+        # collision is harmless.  Map-typed columns (reads `attributes`,
+        # variants `info`/`genotypes`) are excluded — hash() rejects
+        # MapType; the remaining columns still distinguish real rows.
+        hashable = [
+            f.name
+            for f in left.schema.fields
+            if "map<" not in f.dataType.simpleString()
+        ] or [ls]
         ab = ab.withColumn(
             "_salt",
-            F.pmod(F.hash(*[F.col(c) for c in left.columns], F.col("_bin")), F.lit(salt)),
+            F.pmod(F.hash(*[F.col(c) for c in hashable], F.col("_bin")), F.lit(salt)),
         ).alias("l")
         bb = bb.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))).alias("r")
         cond = cond & (F.col("l._salt") == F.col("r._salt"))

@@ -551,8 +551,7 @@ _SPAN_W = 15  # token window length for duplicated-span detection
 
 @query(
     "d08_dup_span_coverage",
-    rf"""WITH w AS (SELECT doc_id,
-                           string_split_regex(lower(trim(text)), '\s+') AS words
+    rf"""WITH w AS (SELECT doc_id, {_TOK_SQL} AS words
                     FROM documents),
          win AS (SELECT doc_id, len(words) - {_SPAN_W - 1} AS n_windows,
                         unnest(list_transform(
@@ -593,9 +592,12 @@ def d08(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         (F.size("words") - (_SPAN_W - 1)).cast("long").alias("n_windows"),
         "words",
-        F.posexplode(
+        # greatest() keeps the sequence total for short docs, in case an
+        # inferred-from-generate filter ever evaluates it below the
+        # size(words) predicate (the t09 lesson)
+        F.explode(
             F.sequence(F.lit(0), F.greatest(F.size("words") - _SPAN_W, F.lit(0)))
-        ).alias("p", "i"),
+        ).alias("i"),
     ).select(
         "doc_id",
         "n_windows",

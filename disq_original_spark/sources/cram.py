@@ -123,10 +123,12 @@ def _worker_cached_meta(path: str, file_len: int):
     """Per-process cache of a CRAM file's decode meta (header container):
     Spark reuses Python workers, so a directory read parses each shard's
     header once per worker instead of once per split task.  Keyed by
-    (path, length) so overwriting a shard in place (sharded sinks reuse
-    part-NNNNN names) invalidates the stale entry; ``file_len`` comes from
-    the planning-time stat, so a worker outliving two reads of the same
-    path sees different keys."""
+    (path, length), which invalidates the common in-place overwrite
+    (rewritten shards virtually always change length); a same-length
+    overwrite at the same path within one worker's lifetime is NOT
+    detected — the FileSystem interface carries no mtime, and paying a
+    per-file content fingerprint would cost the very read this cache
+    saves."""
     from .cram_codec import read_cram_meta_file
 
     return read_cram_meta_file(path)[0]

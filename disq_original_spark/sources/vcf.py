@@ -153,19 +153,24 @@ class VcfSource:
                 # `vcf/VcfSource.java:80-86`).  The explicit file list keeps
                 # index sidecars out of a directory read.
                 lines = spark.read.text(files)
-            elif ivs is None:
+            elif ivs is None and _native_text_ok(fs, split_size):
                 # no intervals → nothing to prune: the native JVM text scan
                 # (whole-stage codegen) beats any Python range reader; the
                 # explicit file list keeps index sidecars out of a
-                # directory read
+                # directory read.  Only taken when the scheme is JVM-visible
+                # (a registered mock:// / Arrow-only scheme must stay on the
+                # wrapper) and the caller did not tune split_size (the
+                # native scan partitions by spark.sql.files.maxPartitionBytes,
+                # not our knob).
                 lines = spark.read.text(files)
             else:
-                # Plain text with intervals: per-file byte-range splits,
-                # pruned per file by that file's Tribble `.idx` (reference
-                # picks the index per format: tabix for .bgz/.gz, Tribble
-                # for .vcf — `vcf/VcfSource.java:143-168`,
+                # Plain text: per-file byte-range splits, pruned per file by
+                # that file's Tribble `.idx` when intervals are given
+                # (reference picks the index per format: tabix for .bgz/.gz,
+                # Tribble for .vcf — `vcf/VcfSource.java:143-168`,
                 # `tribble/TribbleIndexIntervalFilteringTextInputFormat.java:33-67`).
-                # Falls back to the native scan when NO file has an index.
+                # Falls back to the native scan when nothing was pruned and
+                # the native path is available.
                 lines = _read_text_lines(spark, files, split_size, ivs)
         body = lines.filter(~F.col("value").startswith("#"))
         from .sam import apply_stringency
@@ -265,6 +270,21 @@ def _read_bgzf_lines(
     )
 
 
+_DEFAULT_SPLIT_SIZE = 128 * 1024 * 1024
+
+
+def _native_text_ok(fs, split_size: int) -> bool:
+    """True when the native JVM text scan may replace the wrapper-routed
+    Python range reader: the files live on the plain local filesystem (a
+    registered mock:// or Arrow-only scheme is invisible to the JVM) and
+    the caller left ``split_size`` at its default (the native scan
+    partitions by spark.sql.files.maxPartitionBytes, so a tuned
+    ``split_size`` must go through the range reader to be honored)."""
+    from .fsio import LocalFileSystem
+
+    return isinstance(fs, LocalFileSystem) and split_size == _DEFAULT_SPLIT_SIZE
+
+
 def _read_text_lines(
     spark: SparkSession,
     files: list[str],
@@ -293,10 +313,13 @@ def _read_text_lines(
         return (f, flen, franges)
 
     metas = collect_metadata(spark, files, meta_for)
-    if all(franges is None for _f, _l, franges in metas):
+    if all(franges is None for _f, _l, franges in metas) and _native_text_ok(
+        fs, split_size
+    ):
         # no file has an index → no split can be pruned; the native JVM
         # text scan beats the Python range reader (residual filtering
-        # happens downstream either way)
+        # happens downstream either way); same scheme/split_size guard as
+        # the caller's fallback
         return spark.read.text(files)
     ranges: list[tuple[str, int, int]] = []
     for f, flen, franges in metas:

@@ -201,3 +201,15 @@ def test_cram_sharded_on_mock_scheme(spark, mock_fs, tmp_path):
         spark, "mock://out.cram.sharded", reference_path="mock://valid.fasta"
     )
     assert back.count() == df.count()
+
+
+def test_plain_vcf_read_on_mock_scheme(spark, mock_fs, tmp_path):
+    """Plain-text VCF reads (no intervals) must stay on the pluggable
+    filesystem when the scheme is not JVM-visible — the native-text-scan
+    fast path applies only to local paths."""
+    from disq_original_spark.sources.vcf import VcfSource
+
+    _stage(tmp_path, "test.vcf")
+    local = VcfSource().read(spark, f"{RES}/test.vcf")
+    via_mock = VcfSource().read(spark, "mock://test.vcf")
+    assert via_mock.count() == local.count()

@@ -59,3 +59,25 @@ def test_g05_plan_is_equi_join_not_nested_loop(spark, sf_dir):
     plan = simple_plan(df)
     assert "NestedLoop" not in plan  # binning makes it a hash/merge equi-join
     assert "Join" in plan
+
+
+def test_salted_join_handles_map_columns(spark):
+    """The salt hash must skip Map-typed columns (hash() rejects MapType);
+    reads/variants schemas carry attribute maps, the operator's documented
+    workload."""
+    import pyspark.sql.functions as F
+
+    from disq_original_spark.operators.interval import interval_join
+
+    left = spark.createDataFrame(
+        [("c1", 10, 20, {"NM": "1"}), ("c1", 10, 20, {"NM": "2"}), ("c1", 300, 400, {})],
+        "contig string, start long, end long, attributes map<string,string>",
+    )
+    right = spark.createDataFrame(
+        [("c1", 15, 18), ("c1", 350, 360)], "contig string, start long, end long"
+    )
+    out = interval_join(
+        left, right, ("contig", "contig"), ("start", "end"), ("start", "end"),
+        bin_size=100, salt=4,
+    )
+    assert out.count() == 3  # two map-rows overlap the first span, one the second
