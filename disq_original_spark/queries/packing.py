@@ -126,12 +126,32 @@ _RATE_SQL = (
     + f" ELSE {_DEFAULT_RATE} END"
 )
 
+# Overflow-safe (doc_id * KNUTH) mod 2^32 over the FULL int64 id domain.
+# The naive product overflows int64 for doc_id ≳ 3.5e9 (Spark wraps
+# silently, DuckDB raises — the engines diverge exactly at real corpus
+# ids), so the hash uses the id's low 32 bits and a split 16-bit modular
+# multiply whose intermediates stay < 2^48:
+#   a = doc_id & 0xFFFFFFFF          (two's-complement AND in both engines)
+#   a*K mod 2^32 = (a_lo*K + ((a_hi*K) mod 2^16)*2^16) mod 2^32
+_KEEP_HASH_SQL = (
+    f"(((doc_id & 4294967295) & 65535) * {_KNUTH} "
+    f" + (((doc_id & 4294967295) >> 16) * {_KNUTH} % 65536) * 65536"
+    f") % 4294967296 % 100"
+)
+
+
+def _keep_hash_col() -> F.Column:
+    a = F.col("doc_id").bitwiseAND(F.lit(4294967295))
+    lo = a.bitwiseAND(F.lit(65535)) * _KNUTH
+    hi = (F.shiftrightunsigned(a, 16) * _KNUTH) % 65536 * 65536
+    return (lo + hi) % (2**32) % 100
+
 
 @query(
     "p02_stratified_sample",
     rf"""WITH d AS (SELECT doc_id, lang,
                            len(string_split_regex(lower(trim(text)), '\s+')) AS toks,
-                           (doc_id * {_KNUTH}) % 4294967296 % 100 AS h,
+                           {_KEEP_HASH_SQL} AS h,
                            {_RATE_SQL} AS rate
                     FROM documents)
          SELECT lang, count(*) AS n_docs,
@@ -148,7 +168,11 @@ def p02(spark: SparkSession, sf: str) -> DataFrame:
     Knuth multiplicative hash of the id — engine-independent plain integer
     arithmetic (NOT Spark's hash(), which DuckDB cannot reproduce), so the
     exact same documents are kept everywhere, reruns are stable, and the
-    oracle verifies the selection, not just the rates.
+    oracle verifies the selection, not just the rates.  The hash keys on the
+    id's low 32 bits via a split 16-bit modular multiply (``_keep_hash_col``)
+    whose intermediates stay under 2^48, so Spark and DuckDB agree for EVERY
+    int64 doc_id — the naive ``doc_id * K`` overflows at ids ≳ 3.5e9, where
+    Spark wraps silently and DuckDB raises.
 
     Scale shape: selection is a pure map-side predicate (no shuffle, no
     sampling state); the only shuffle is the per-language aggregate.  This
@@ -158,7 +182,7 @@ def p02(spark: SparkSession, sf: str) -> DataFrame:
     rate = F.lit(_DEFAULT_RATE)
     for k, v in reversed(_RATES.items()):
         rate = F.when(F.col("lang") == k, v).otherwise(rate)
-    kept = (F.col("doc_id") * _KNUTH) % (2**32) % 100 < rate
+    kept = _keep_hash_col() < rate
     return (
         d.select(
             "lang",

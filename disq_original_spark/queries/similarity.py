@@ -2,8 +2,9 @@
 
 - s01: brute-force cosine top-k — the correctness baseline.  Query set is tiny
   (broadcast side); corpus side streams, so at 100 TB this is one broadcast
-  nested-loop with per-partition top-k (TakeOrderedAndProject after the window
-  filter keeps only k rows per query per partition before any shuffle).
+  nested-loop with two-stage top-k (``_rank_topk``: a partial
+  WindowGroupLimit truncates each map partition to k rows per query before
+  the q_id shuffle, so the rank stage never sees corpus-sized data).
 - s02: bucketed ANN — sign-LSH on the leading dimensions gives the bucket id
   (stand-in for IVF cell assignment); candidates only within the query's
   bucket.  Recall/cost is tunable by bucket bits; the point is the *plan*: the
@@ -43,6 +44,27 @@ def _bucket_col() -> F.Column:
     )
 
 
+def _rank_topk(scored: DataFrame, k: int = _K) -> DataFrame:
+    """Two-stage top-k per query: rank scored candidates by (cos_sim desc,
+    neighbor_id) within each q_id and keep the first ``k``.
+
+    The ``row_number() <= k`` filter compiles to a pair of WindowGroupLimit
+    nodes (SPARK-37099): the PARTIAL one runs before the q_id Exchange and
+    locally truncates every map partition to its own top-k per query, so the
+    shuffle carries at most k × partitions rows per query — independent of
+    how many candidates were scored.  The post-shuffle FINAL limit + rank
+    then touches only that bounded set, so the few-reducer q_id partitioning
+    never sees corpus-sized data even for s01's full scan.
+    ``tests/test_plans.py::test_similarity_topk_partial_limit`` pins this.
+    """
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("q_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------- s01 brute-force top-k
 @query(
     "s01_knn_bruteforce",
@@ -75,12 +97,7 @@ def s01(spark: SparkSession, sf: str) -> DataFrame:
             F.round(cosine_similarity(F.col("qe"), F.col("embedding")), 4).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _K)
-        .orderBy("q_id", "rank")
-    )
+    return _rank_topk(scored)
 
 
 # ---------------------------------------------------------------- s02 bucketed ANN
@@ -119,12 +136,7 @@ def s02(spark: SparkSession, sf: str) -> DataFrame:
             F.round(cosine_similarity(F.col("qe"), F.col("embedding")), 4).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _K)
-        .orderBy("q_id", "rank")
-    )
+    return _rank_topk(scored)
 
 
 # ---------------------------------------------------------------- s03 IVF ANN
@@ -220,12 +232,7 @@ def s03(spark: SparkSession, sf: str) -> DataFrame:
             F.round(cosine_similarity(F.col("qe"), F.col("embedding")), 4).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _K)
-        .orderBy("q_id", "rank")
-    )
+    return _rank_topk(scored)
 
 
 # ---------------------------------------------------------------- s04 k-means update
@@ -266,25 +273,41 @@ def s04(spark: SparkSession, sf: str) -> DataFrame:
     the building block of distributed embedding clustering (and of real IVF
     training, whose deterministic stand-in s03 uses).
 
-    Scale shape: the k centroids are a broadcast nested-loop side (k rows);
-    assignment is map-side argmin — implemented as a per-vector max_by over
-    the k broadcast rows, no shuffle of the corpus.  The update step is the
-    canonical transpose aggregation: posexplode(embedding) → partial
-    avg per (cluster, dim) — map-side combine keeps the shuffle at
-    k × dims × partitions, independent of corpus size."""
+    Scale shape: the k centroids are a tiny driver artifact (exactly what a
+    k-means iteration consumes), inlined into the plan as literal arrays, so
+    ASSIGNMENT IS A PURE MAP-SIDE EXPRESSION — ``array_max`` over k
+    (cos, -cid) structs computed in codegen; no join, no window, no shuffle
+    of the corpus.  The update step is the canonical transpose aggregation:
+    posexplode(embedding) → partial avg per (cluster, dim) — map-side
+    combine keeps the shuffle at k × dims × partitions, independent of
+    corpus size."""
     e = load_table(spark, sf, "embeddings")
-    c = e.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    cents = (
+        e.filter(F.col("vec_id") < _KM_K)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
     )
-    scored = e.crossJoin(F.broadcast(c)).select(
+    # In-expression argmax: struct comparison is field-ordered, so the max of
+    # (cos, -cid) is the highest cosine with ties to the LOWEST centroid id —
+    # exactly the oracle's ORDER BY cos DESC, cid.  Centroid values are the
+    # exact float32 payloads widened to double, matching CAST(ce AS DOUBLE[]).
+    cands = F.array(
+        *[
+            F.struct(
+                cosine_similarity(
+                    F.col("embedding"), F.array(*[F.lit(float(x)) for x in emb])
+                ).alias("cos"),
+                F.lit(-int(cid)).cast("long").alias("neg_cid"),
+            )
+            for cid, emb in zip(cents["vec_id"], cents["embedding"])
+        ]
+    )
+    members = e.withColumn("best", F.array_max(cands)).select(
         "vec_id",
         "embedding",
-        "cid",
-        cosine_similarity(F.col("embedding"), F.col("ce")).alias("cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
-    members = (
-        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+        (-F.col("best.neg_cid")).alias("cid"),
+        F.col("best.cos").alias("cos"),
     )
     dims = (
         members.select("cid", F.posexplode("embedding").alias("i", "x"))

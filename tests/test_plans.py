@@ -67,6 +67,23 @@ def test_s01_broadcasts_queries(spark, sf_dir):
     assert uses_broadcast_join(df)
 
 
+def test_similarity_topk_partial_limit(spark, sf_dir):
+    """s01/s02/s03 ranking is two-stage: a PARTIAL WindowGroupLimit truncates
+    every map partition to its local top-k per query BEFORE the q_id
+    Exchange, so the few-reducer rank stage receives at most k × partitions
+    rows per query — bounded even when s01 scores the whole corpus."""
+    from disq_original_spark.plans import simple_plan
+
+    for name in ("s01_knn_bruteforce", "s02_ann_bucketed", "s03_ann_ivf"):
+        plan = simple_plan(QUERIES[name].build(spark, sf_dir))
+        partial = [ln for ln in plan.splitlines() if "WindowGroupLimit" in ln and "Partial" in ln]
+        final = [ln for ln in plan.splitlines() if "WindowGroupLimit" in ln and "Final" in ln]
+        assert partial and final, name
+        # the partial limit must sit below the q_id hash exchange
+        exch = plan.index("hashpartitioning(q_id")
+        assert plan.index(partial[0]) > exch, name
+
+
 def test_interval_filter_broadcasts(spark, sf_dir):
     from disq_original_spark.operators.interval import interval_filter
     from disq_original_spark.tables import load_table
@@ -146,12 +163,15 @@ def test_t09_broadcasts_eval_shingles(spark, sf_dir):
     assert uses_broadcast_join(df)
 
 
-def test_s04_broadcasts_centroids(spark, sf_dir):
-    """Assignment joins the corpus against k broadcast centroid rows — a
-    BroadcastNestedLoopJoin, never a shuffled cartesian."""
+def test_s04_mapside_assignment(spark, sf_dir):
+    """Assignment is an in-expression argmax over the inlined centroid
+    array: no Join, no Window, and no Exchange precedes it — the corpus is
+    never shuffled by vec_id; the only exchanges belong to the transpose
+    aggregation and final sort."""
     plan = formatted_plan(QUERIES["s04_kmeans_update"].build(spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
     assert "CartesianProduct" not in plan
+    assert "hashpartitioning(vec_id" not in plan
 
 
 def test_s04_partial_aggregation_on_dims(spark, sf_dir):

@@ -311,3 +311,31 @@ def test_sequence_packing_invariants(toks):
         i += int(row["n_docs"])
     for prev, nxt_first in zip(st_tokens, first_tok_of_seq[1:]):
         assert prev + nxt_first > _CAPACITY
+
+
+def test_keep_hash_engine_parity_at_extreme_ids(spark):
+    """p02's keep-hash must agree between Spark, DuckDB, and exact Python
+    arithmetic for the FULL int64 id domain — including doc_id = 2^33, where
+    the naive doc_id * KNUTH product overflows int64 (Spark would wrap,
+    DuckDB would raise)."""
+    import duckdb
+
+    from disq_original_spark.queries.packing import _KEEP_HASH_SQL, _KNUTH, _keep_hash_col
+
+    ids = [0, 1, 99, 2**31 - 1, 2**32 - 1, 2**32, 2**33, 2**33 + 7,
+           3_500_000_000, 10**12 + 17, 2**62, 2**63 - 1]
+    expected = [((v & 0xFFFFFFFF) * _KNUTH) % 2**32 % 100 for v in ids]
+
+    df = spark.createDataFrame([(v,) for v in ids], "doc_id long")
+    got_spark = [r[0] for r in df.select(_keep_hash_col().alias("h")).collect()]
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    rows = ", ".join(f"({v})" for v in ids)
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {_KEEP_HASH_SQL} FROM (VALUES {rows}) AS t(doc_id) "
+        ).fetchall()
+    ]
+    assert got_duck == expected
