@@ -119,16 +119,19 @@ def enumerate_containers(fh: BinaryIO) -> list[CramContainer]:
 
 
 @lru_cache(maxsize=64)
-def _worker_cached_meta(path: str, file_len: int):
+def _worker_cached_meta(path: str, file_len: int, first_container_off: int):
     """Per-process cache of a CRAM file's decode meta (header container):
     Spark reuses Python workers, so a directory read parses each shard's
     header once per worker instead of once per split task.  Keyed by
-    (path, length), which invalidates the common in-place overwrite
-    (rewritten shards virtually always change length); a same-length
-    overwrite at the same path within one worker's lifetime is NOT
-    detected — the FileSystem interface carries no mtime, and paying a
-    per-file content fingerprint would cost the very read this cache
-    saves."""
+    (path, length, first-data-container offset) — the offset is free (the
+    driver's split-planning pass already computed the container bounds) and
+    moves whenever the header container is rewritten, so it invalidates
+    same-length in-place overwrites that (path, length) alone would alias.
+    A rewrite that preserves BOTH length and header-container size within
+    one worker's lifetime is still undetected — the FileSystem interface
+    carries no mtime, and a content fingerprint would cost the very read
+    this cache saves; ``_worker_cached_meta.cache_clear()`` is the explicit
+    escape hatch for tests and long-lived workers."""
     from .cram_codec import read_cram_meta_file
 
     return read_cram_meta_file(path)[0]
@@ -306,12 +309,13 @@ class CramSource:
 
         # extend each chunk to the next chunk's start (or EOF) so every
         # container body is fully inside exactly one task's range
-        ranges: list[tuple[str, int, int, int]] = []
+        ranges: list[tuple[str, int, int, int, int]] = []
         single_meta = None
         for f, flen, chunks in collect_metadata(spark, files, meta_for):
             bounds = [c[0] for c in chunks] + [flen]
             ranges.extend(
-                (f, bounds[i], bounds[i + 1], flen) for i in range(len(chunks))
+                (f, bounds[i], bounds[i + 1], flen, bounds[0])
+                for i in range(len(chunks))
             )
         if not ranges:
             return spark.createDataFrame([], READS_SCHEMA)
@@ -321,13 +325,13 @@ class CramSource:
             single_meta, _ = read_cram_meta_file(files[0])
 
         def decode_range(task, _meta=single_meta, _ref=reference_path, _fs=fs):
-            f, s, e, flen = task
+            f, s, e, flen, first_off = task
             meta = _meta
             if meta is None:
                 # directory read: per-file meta, cached per (reused) worker
                 # so a file's header container is parsed once per worker,
                 # not once per split
-                meta = _worker_cached_meta(f, flen)
+                meta = _worker_cached_meta(f, flen, first_off)
             fasta = IndexedFasta(_ref) if _ref else None
             getter = fasta.get if fasta else None
             with _fs.open_input(f) as fh:

@@ -25,7 +25,6 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import map_from_arrays_last_wins, map_from_entries_last_wins
 from ..operators.interval import interval_filter
 from .fsio import fs_basename, fs_join, fs_open, get_fs, list_data_files
 from .headers import read_vcf_header_text, vcf_sample_names
@@ -38,68 +37,108 @@ def _null_if_dot(c: Column) -> Column:
     return F.when(c == ".", F.lit(None)).otherwise(c)
 
 
+_GT_STRUCT = "struct<sample:string,gt:string,attrs:map<string,string>>"
+
+
+def _sql_map_entries_last_wins(entries: str) -> str:
+    """SQL-text twin of ``functions.map_from_entries_last_wins`` (same
+    guard-then-dedup shape; see that docstring for the semantics)."""
+    keys = f"transform({entries}, e -> e.key)"
+    deduped = (
+        f"filter({entries}, (e, i) -> NOT exists("
+        f"slice({entries}, i + 2, size({entries})), later -> later.key = e.key))"
+    )
+    return (
+        f"CASE WHEN size(array_distinct({keys})) = size({entries}) "
+        f"THEN map_from_entries({entries}) ELSE map_from_entries({deduped}) END"
+    )
+
+
+def _sql_map_arrays_last_wins(keys: str, values: str) -> str:
+    """SQL-text twin of ``functions.map_from_arrays_last_wins``."""
+    entries = f"zip_with({keys}, {values}, (k, v) -> named_struct('key', k, 'value', v))"
+    return (
+        f"CASE WHEN size(array_distinct({keys})) = size({keys}) "
+        f"THEN map_from_arrays({keys}, {values}) "
+        f"ELSE {_sql_map_entries_last_wins(entries)} END"
+    )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def parse_vcf_lines(lines: DataFrame, sample_names: list[str], value_col: str = "value") -> DataFrame:
-    f = F.split(F.col(value_col), "\t")
+    """Parse raw VCF body lines into the variants schema.
 
-    def at(i: int) -> Column:
-        return F.try_element_at(f, F.lit(i))
+    The projection is rendered as SQL TEXT and handed to ``selectExpr`` —
+    one JVM parse — rather than composed through the Column API: building
+    the higher-order map/dedup expressions op-by-op costs thousands of py4j
+    round trips (~0.4 s of driver time per plan, growing with sample count),
+    which dominated small reads.  The expression tree is identical; only the
+    construction path changed.
+    """
+    v = f"`{value_col}`"
 
-    info_entries = F.transform(
-        F.split(at(8), ";"),
-        lambda kv: F.struct(
-            F.substring_index(kv, "=", 1).alias("key"),
-            F.when(
-                F.length(F.substring_index(kv, "=", 1)) < F.length(kv),
-                F.substr(kv, F.length(F.substring_index(kv, "=", 1)) + 2, F.length(kv)),
-            )
-            .otherwise("")
-            .alias("value"),
-        ),
+    def at(i: int) -> str:
+        return f"try_element_at(split({v}, '\\t'), {i})"
+
+    key = "substring_index(kv, '=', 1)"
+    info_entries = (
+        f"transform(split({at(8)}, ';'), kv -> named_struct("
+        f"'key', {key}, "
+        f"'value', CASE WHEN length({key}) < length(kv) "
+        f"THEN substr(kv, length({key}) + 2, length(kv)) ELSE '' END))"
     )
-    info = F.when(at(8) == ".", F.expr("map()")).otherwise(
-        map_from_entries_last_wins(info_entries)
+    info = (
+        f"CASE WHEN {at(8)} = '.' THEN map() "
+        f"ELSE {_sql_map_entries_last_wins(info_entries)} END"
     )
 
-    format_keys = F.split(at(9), ":")
+    format_keys = f"split({at(9)}, ':')"
 
-    def _sample_map(i: int) -> Column:
+    def _sample_map(i: int) -> str:
         # clamp BOTH arrays to the shorter length: a sample with more (or
         # fewer) ':'-subfields than FORMAT keys must degrade per lenient
         # semantics, not crash map_from_arrays with a length mismatch
-        vals = F.split(at(10 + i), ":")
-        n = F.least(F.size(format_keys), F.size(vals))
-        return map_from_arrays_last_wins(
-            F.slice(format_keys, 1, n), F.slice(vals, 1, n)
+        vals = f"split({at(10 + i)}, ':')"
+        n = f"least(size({format_keys}), size({vals}))"
+        return _sql_map_arrays_last_wins(
+            f"slice({format_keys}, 1, {n})", f"slice({vals}, 1, {n})"
         )
 
-    genotypes = F.array(
-        *[
-            F.struct(
-                F.lit(s).alias("sample"),
-                F.try_element_at(_sample_map(i), F.lit("GT")).alias("gt"),
-                _sample_map(i).alias("attrs"),
+    if sample_names:
+        # two-stage projection: materialize each sample's attrs map once,
+        # then reference it twice (gt lookup + attrs) — keeps the rendered
+        # text linear in sample count
+        lines = lines.selectExpr(
+            v, *[f"{_sample_map(i)} AS __sm{i}" for i in range(len(sample_names))]
+        )
+        genotypes = (
+            "array("
+            + ", ".join(
+                f"named_struct('sample', {_sql_str(s)}, "
+                f"'gt', try_element_at(__sm{i}, 'GT'), 'attrs', __sm{i})"
+                for i, s in enumerate(sample_names)
             )
-            for i, s in enumerate(sample_names)
-        ]
-    ) if sample_names else F.expr("array()").cast(
-        "array<struct<sample:string,gt:string,attrs:map<string,string>>>"
-    )
+            + ")"
+        )
+    else:
+        genotypes = f"cast(array() AS array<{_GT_STRUCT}>)"
 
-    return lines.select(
-        at(1).alias("contig"),
-        at(2).try_cast("long").alias("pos"),
-        _null_if_dot(at(3)).alias("id"),
-        at(4).alias("ref"),
-        F.when(at(5) == ".", F.expr("array()").cast("array<string>"))
-        .otherwise(F.split(at(5), ","))
-        .alias("alts"),
-        _null_if_dot(at(6)).try_cast("double").alias("qual"),
-        F.when(at(7) == ".", F.lit(None).cast("array<string>"))
-        .when(at(7) == "PASS", F.expr("array()").cast("array<string>"))
-        .otherwise(F.split(at(7), ";"))
-        .alias("filters"),
-        info.alias("info"),
-        genotypes.alias("genotypes"),
+    return lines.selectExpr(
+        f"{at(1)} AS contig",
+        f"try_cast({at(2)} AS bigint) AS pos",
+        f"nullif({at(3)}, '.') AS id",
+        f"{at(4)} AS ref",
+        f"CASE WHEN {at(5)} = '.' THEN cast(array() AS array<string>) "
+        f"ELSE split({at(5)}, ',') END AS alts",
+        f"try_cast(nullif({at(6)}, '.') AS double) AS qual",
+        f"CASE WHEN {at(7)} = '.' THEN cast(NULL AS array<string>) "
+        f"WHEN {at(7)} = 'PASS' THEN cast(array() AS array<string>) "
+        f"ELSE split({at(7)}, ';') END AS filters",
+        f"{info} AS info",
+        f"{genotypes} AS genotypes",
     )
 
 
@@ -112,8 +151,21 @@ def variant_end(info: Column, pos: Column, ref: Column) -> Column:
     )
 
 
+# Default split size, defined ONCE: it is both read()'s parameter default
+# and _native_text_ok's "caller did not tune split_size" sentinel — two
+# copies of the literal could drift and silently route reads to the wrong
+# scan path.
+_DEFAULT_SPLIT_SIZE = 128 * 1024 * 1024
+
+
 class VcfSource:
-    """Read VCF (plain / gzip / BGZF) into a variants DataFrame."""
+    """Read VCF (plain / gzip / BGZF) into a variants DataFrame.
+
+    Directory inputs must be compression-homogeneous (all BGZF or all
+    plain/gzip — what every sharded writer, including ours, produces).  The
+    format is sniffed from the first file; the wrapper read paths then
+    verify every file's magic bytes during the existing per-file metadata
+    pass and fail fast on a mismatch instead of decoding garbage."""
 
     def read_header(self, path: str) -> str:
         return read_vcf_header_text(path)
@@ -123,7 +175,7 @@ class VcfSource:
         spark: SparkSession,
         path: str,
         intervals: DataFrame | None = None,
-        split_size: int = 128 * 1024 * 1024,
+        split_size: int = _DEFAULT_SPLIT_SIZE,
         stringency: str = "lenient",
     ) -> DataFrame:
         from .bgzf import is_bgzf
@@ -223,6 +275,17 @@ def _read_bgzf_lines(
     files = list_data_files(fs, str(path))
 
     def meta_for(f: str):
+        # compression homogeneity: the directory was sniffed BGZF from its
+        # first file — a plain-text shard here would decode as garbage rows,
+        # so fail fast with the offending file named
+        from .bgzf import is_bgzf
+
+        with fs.open_input(f) as fh:
+            if not is_bgzf(fh):
+                raise ValueError(
+                    f"{f}: not BGZF, but the first file of this input is — "
+                    "VCF directory inputs must be compression-homogeneous"
+                )
         flen = fs.size(f)
         franges = None
         if ivs is not None:
@@ -270,9 +333,6 @@ def _read_bgzf_lines(
     )
 
 
-_DEFAULT_SPLIT_SIZE = 128 * 1024 * 1024
-
-
 def _native_text_ok(fs, split_size: int) -> bool:
     """True when the native JVM text scan may replace the wrapper-routed
     Python range reader: the files live on the plain local filesystem (a
@@ -304,6 +364,17 @@ def _read_text_lines(
     fs = get_fs(files[0])
 
     def meta_for(f: str):
+        # compression homogeneity (mirror of the BGZF path's check): this
+        # directory was sniffed plain-text — a BGZF/gzip shard fed to a
+        # byte-range text reader would yield binary garbage
+        from .bgzf import is_bgzf
+
+        with fs.open_input(f) as fh:
+            if is_bgzf(fh):
+                raise ValueError(
+                    f"{f}: BGZF, but the first file of this input is plain "
+                    "text — VCF directory inputs must be compression-homogeneous"
+                )
         flen = fs.size(f)
         franges = None
         if ivs is not None and fs.exists(f + ".idx"):

@@ -189,6 +189,37 @@ def test_vcf_sharded_bgzf_roundtrip(spark, tmp_path):
     assert sorted(map(key, back.collect())) == sorted(map(key, df.collect()))
 
 
+def test_vcf_directory_compression_mismatch_fails_fast(spark, tmp_path):
+    """A directory mixing BGZF and plain-text shards must fail fast with the
+    offending file named — never feed plain text to the BGZF range reader
+    (or vice versa) and emit garbage rows."""
+    import os
+    import shutil
+
+    from disq_original_spark.sources.headers import read_vcf_header_text
+    from disq_original_spark.sources.vcf import VcfSink, VcfSource
+
+    src = VcfSource()
+    df = src.read(spark, TEST_VCF)
+    hdr = read_vcf_header_text(TEST_VCF)
+    bgz = str(tmp_path / "out.vcf.bgz.sharded")
+    VcfSink().write_sharded(df.repartition(2), hdr, bgz)
+    plain = str(tmp_path / "plain.vcf.sharded")
+    VcfSink().write_sharded(df.repartition(1), hdr, plain)
+    plain_shard = next(p for p in sorted(os.listdir(plain)) if p.endswith(".vcf"))
+
+    # plain shard inside a BGZF-sniffed directory (sorts after the shards)
+    shutil.copy(os.path.join(plain, plain_shard), os.path.join(bgz, "zz-mixed.vcf"))
+    with pytest.raises(Exception, match="compression-homogeneous"):
+        src.read(spark, bgz).count()
+
+    # BGZF shard inside a plain-sniffed directory (wrapper range-reader path)
+    bgz_shard = next(p for p in sorted(os.listdir(bgz)) if p.endswith(".vcf.bgz"))
+    shutil.copy(os.path.join(bgz, bgz_shard), os.path.join(plain, "zz-mixed.vcf"))
+    with pytest.raises(Exception, match="compression-homogeneous"):
+        src.read(spark, plain, split_size=1024).count()
+
+
 # ---------------------------------------------------------------- tribble .idx
 
 
