@@ -1,0 +1,211 @@
+"""Large generated-file differential tests — the sandbox analog of the
+reference's real-world integration suite (`RealWorldFilesIT.java:21-93`,
+README.md:234-247), which validates multi-GB GATK files the container does
+not have.  Instead, the repo's own writers synthesize >=100 MB BAM and BGZF
+VCF inputs with md5-derived (incompressible-ish) payloads, and the readers
+must agree with themselves across three split sizes and with an independent
+overlap oracle — the statistical regime where block-boundary and
+record-boundary bugs that ~600 KB fixtures cannot surface actually appear.
+
+Opt-in: `pytest -m slow tests/test_realworld_slow.py` (excluded by the
+default `-m "not slow"` in pytest.ini — generation + reads take minutes).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.slow
+
+_MB = 1024 * 1024
+# split sizes chosen to tile a ~100 MB file into many/few/one task(s), with
+# a prime-ish size so boundaries land mid-block
+_SPLIT_SIZES = [5_000_003, 16 * _MB, 192 * _MB]
+
+_BAM_ROWS = int(os.environ.get("SPARK_GRAFT_SLOW_BAM_ROWS", "850000"))
+_VCF_ROWS = int(os.environ.get("SPARK_GRAFT_SLOW_VCF_ROWS", "1600000"))
+_SEQ_LEN = 150
+
+_HEX_TO_ACGT = ("0123456789abcdef", "ACGTACGTACGTACGT")
+_HEX_TO_QUAL = ("0123456789abcdef", "IJKLMNOPQRSTUVWX")
+
+
+def _hexpile(seed: str) -> str:
+    """~128 hex chars of per-row md5 material as a SQL expression."""
+    parts = ", ".join(
+        f"md5(cast(id * {p} + {i} as string) || '{seed}')"
+        for i, p in enumerate((1, 31, 1009, 7919))
+    )
+    return f"concat({parts})"
+
+
+@pytest.fixture(scope="module")
+def big_bam(spark, tmp_path_factory):
+    from disq_original_spark.sources.bam import BamSink
+    from disq_original_spark.sources.headers import SamHeader
+
+    per = _BAM_ROWS // 4
+    reads = spark.range(0, _BAM_ROWS, 1, 8).selectExpr(
+        "concat('r', cast(id as string)) AS qname",
+        "cast(0 AS int) AS flag",
+        f"concat('chr', cast(1 + id div {per} AS string)) AS rname",
+        f"cast(1 + (id % {per}) * 25 AS bigint) AS pos",
+        "cast(60 AS int) AS mapq",
+        f"'{_SEQ_LEN}M' AS cigar",
+        "cast(NULL AS string) AS rnext",
+        "cast(0 AS bigint) AS pnext",
+        "cast(0 AS bigint) AS tlen",
+        f"substr(translate({_hexpile('s')}, '{_HEX_TO_ACGT[0]}', '{_HEX_TO_ACGT[1]}'), 1, {_SEQ_LEN}) AS seq",
+        f"substr(translate({_hexpile('q')}, '{_HEX_TO_QUAL[0]}', '{_HEX_TO_QUAL[1]}'), 1, {_SEQ_LEN}) AS qual",
+        "map() AS attributes",
+    )
+    max_pos = per * 25 + _SEQ_LEN + 10
+    header = SamHeader.parse(
+        "@HD\tVN:1.6\tSO:coordinate\n"
+        + "".join(f"@SQ\tSN:chr{i}\tLN:{max_pos}\n" for i in range(1, 5))
+    )
+    out = str(tmp_path_factory.mktemp("realworld") / "big.bam")
+    BamSink().write(reads, header, out, write_bai=True, write_sbi=True)
+    if _BAM_ROWS >= 850000:  # env knob may shrink the run for smoke tests
+        assert os.path.getsize(out) >= 100 * _MB, os.path.getsize(out)
+    return out, header
+
+
+@pytest.fixture(scope="module")
+def big_vcf(spark, tmp_path_factory):
+    from disq_original_spark.sources.vcf import VcfSink
+
+    per = _VCF_ROWS // 4
+    variants = spark.range(0, _VCF_ROWS, 1, 8).selectExpr(
+        f"concat('chr', cast(1 + id div {per} AS string)) AS contig",
+        f"cast(1 + (id % {per}) * 7 AS bigint) AS pos",
+        "cast(NULL AS string) AS id",
+        "'A' AS ref",
+        "array('C') AS alts",
+        "cast(50.0 AS double) AS qual",
+        "cast(array() AS array<string>) AS filters",
+        f"map('K1', md5(cast(id AS string)), 'K2', md5(cast(id * 31 AS string)), "
+        f"'K3', md5(cast(id * 1009 AS string))) AS info",
+        "array(named_struct('sample', 's1', 'gt', '0/1', "
+        "  'attrs', map('GT', '0/1', 'DP', cast(id % 97 AS string))), "
+        "named_struct('sample', 's2', 'gt', '1/1', "
+        "  'attrs', map('GT', '1/1', 'DP', cast(id % 89 AS string)))) AS genotypes",
+    )
+    header = (
+        "##fileformat=VCFv4.2\n"
+        + "".join(f"##contig=<ID=chr{i}>\n" for i in range(1, 5))
+        + "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\ts1\ts2\n"
+    )
+    out = str(tmp_path_factory.mktemp("realworld") / "big.vcf.bgz")
+    VcfSink().write(variants, header, out, write_index=True)
+    if _VCF_ROWS >= 1600000:  # env knob may shrink the run for smoke tests
+        assert os.path.getsize(out) >= 100 * _MB, os.path.getsize(out)
+    return out
+
+
+def _bam_checksum(df):
+    return df.agg(
+        F.count("*").alias("n"),
+        F.sum("pos").alias("sp"),
+        F.sum(F.crc32(F.col("qname"))).alias("cq"),
+        F.sum(F.crc32(F.col("seq"))).alias("cs"),
+    ).first()
+
+
+def test_bam_split_invariance_at_scale(spark, big_bam):
+    """Counts AND content checksums identical across three split sizes: a
+    guesser false positive/negative or a split-boundary duplicate/drop at
+    ANY of ~1000 block boundaries changes the checksum."""
+    from disq_original_spark.sources.bam import BamSource
+
+    path, _header = big_bam
+    sums = {
+        ss: _bam_checksum(BamSource().read(spark, path, split_size=ss))
+        for ss in _SPLIT_SIZES
+    }
+    base = sums[_SPLIT_SIZES[0]]
+    assert base["n"] == _BAM_ROWS
+    for ss, s in sums.items():
+        assert tuple(s) == tuple(base), ss
+
+
+def test_bam_interval_parity_at_scale(spark, big_bam):
+    """Indexed interval reads (BAI byte-range pruning) must agree with the
+    brute-force overlap predicate on the full scan, at two split sizes."""
+    from disq_original_spark.sources.bam import BamSource
+
+    path, _header = big_bam
+    per = _BAM_ROWS // 4
+    lo, hi = per // 2 * 25, per // 2 * 25 + 500_000
+    intervals = spark.createDataFrame(
+        [("chr2", lo, hi)], "contig string, start long, end long"
+    )
+    full = BamSource().read(spark, path, split_size=_SPLIT_SIZES[1])
+    # every read is 150M ⇒ reference span [pos, pos+149]
+    expected = full.filter(
+        (F.col("rname") == "chr2")
+        & (F.col("pos") <= hi)
+        & (F.col("pos") + _SEQ_LEN - 1 >= lo)
+    ).count()
+    assert expected > 0
+    for ss in _SPLIT_SIZES[:2]:
+        got = BamSource().read(spark, path, intervals=intervals, split_size=ss)
+        assert got.count() == expected, ss
+
+
+def test_bam_roundtrip_at_scale(spark, big_bam, tmp_path):
+    """read → write → read preserves count + content checksum."""
+    from disq_original_spark.sources.bam import BamSink, BamSource
+
+    path, header = big_bam
+    df = BamSource().read(spark, path, split_size=_SPLIT_SIZES[1])
+    out = str(tmp_path / "rt.bam")
+    BamSink().write(df, header, out)
+    back = BamSource().read(spark, out, split_size=_SPLIT_SIZES[0])
+    assert tuple(_bam_checksum(back)) == tuple(_bam_checksum(df))
+
+
+def _vcf_checksum(df):
+    return df.agg(
+        F.count("*").alias("n"),
+        F.sum("pos").alias("sp"),
+        F.sum(F.crc32(F.try_element_at("info", F.lit("K1")))).alias("ck"),
+        F.sum(F.crc32(F.element_at("genotypes", 2)["attrs"]["DP"])).alias("cd"),
+    ).first()
+
+
+def test_vcf_bgzf_split_invariance_at_scale(spark, big_vcf):
+    from disq_original_spark.sources.vcf import VcfSource
+
+    sums = {
+        ss: _vcf_checksum(VcfSource().read(spark, big_vcf, split_size=ss))
+        for ss in _SPLIT_SIZES
+    }
+    base = sums[_SPLIT_SIZES[0]]
+    assert base["n"] == _VCF_ROWS
+    for ss, s in sums.items():
+        assert tuple(s) == tuple(base), ss
+
+
+def test_vcf_interval_parity_at_scale(spark, big_vcf):
+    """Tabix-pruned interval reads must agree with the brute-force position
+    predicate on the full scan, at two split sizes."""
+    from disq_original_spark.sources.vcf import VcfSource
+
+    per = _VCF_ROWS // 4
+    lo, hi = per // 3 * 7, per // 3 * 7 + 700_000
+    intervals = spark.createDataFrame(
+        [("chr3", lo, hi)], "contig string, start long, end long"
+    )
+    full = VcfSource().read(spark, big_vcf, split_size=_SPLIT_SIZES[1])
+    # ref 'A', no INFO/END ⇒ span is [pos, pos]
+    expected = full.filter(
+        (F.col("contig") == "chr3") & F.col("pos").between(lo, hi)
+    ).count()
+    assert expected > 0
+    for ss in _SPLIT_SIZES[:2]:
+        got = VcfSource().read(spark, big_vcf, intervals=intervals, split_size=ss)
+        assert got.count() == expected, ss
