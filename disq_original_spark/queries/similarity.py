@@ -290,25 +290,41 @@ def s04(spark: SparkSession, sf: str) -> DataFrame:
     )
     # In-expression argmax: struct comparison is field-ordered, so the max of
     # (cos, -cid) is the highest cosine with ties to the LOWEST centroid id —
-    # exactly the oracle's ORDER BY cos DESC, cid.  Centroid values are the
-    # exact float32 payloads widened to double, matching CAST(ce AS DOUBLE[]).
-    cands = F.array(
-        *[
-            F.struct(
-                cosine_similarity(
-                    F.col("embedding"), F.array(*[F.lit(float(x)) for x in emb])
-                ).alias("cos"),
-                F.lit(-int(cid)).cast("long").alias("neg_cid"),
-            )
-            for cid, emb in zip(cents["vec_id"], cents["embedding"])
-        ]
+    # exactly the oracle's ORDER BY cos DESC, cid.  The whole candidate array
+    # is rendered as ONE SQL expression (a Column-API build of k × dims
+    # literals costs hundreds of py4j round trips of driver time).  Arithmetic
+    # is kept bit-identical to dot/( |e| * |c| ) with float64 sequential
+    # folds: |e| is hoisted and computed once per row (same IEEE value the
+    # per-centroid fold produced), and each |c| is a literal computed by the
+    # same sequential square-accumulate the aggregate would run.
+    import math
+
+    def _cnorm(vec) -> float:
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    ed = "transform(embedding, x -> cast(x as double))"
+    na = (
+        f"sqrt(aggregate(transform({ed}, x -> x * x), 0.0D, (acc, x) -> acc + x))"
     )
-    members = e.withColumn("best", F.array_max(cands)).select(
-        "vec_id",
-        "embedding",
-        (-F.col("best.neg_cid")).alias("cid"),
-        F.col("best.cos").alias("cos"),
-    )
+
+    def _dot(vec) -> str:
+        lit = "array(" + ", ".join(repr(float(x)) + "D" for x in vec) + ")"
+        return (
+            f"aggregate(zip_with({ed}, {lit}, (x, y) -> x * y), 0.0D, "
+            f"(acc, x) -> acc + x)"
+        )
+
+    cands = "array(" + ", ".join(
+        f"named_struct('cos', {_dot(emb)} / (__na * {repr(_cnorm(emb))}D), "
+        f"'neg_cid', {-int(cid)}L)"
+        for cid, emb in zip(cents["vec_id"], cents["embedding"])
+    ) + ")"
+    members = e.selectExpr("vec_id", "embedding", f"{na} AS __na").selectExpr(
+        "vec_id", "embedding", f"array_max({cands}) AS best"
+    ).selectExpr("vec_id", "embedding", "-best.neg_cid AS cid", "best.cos AS cos")
     dims = (
         members.select("cid", F.posexplode("embedding").alias("i", "x"))
         .groupBy("cid", "i")
