@@ -73,6 +73,11 @@ _PRIORITY = [
     "s03_ann_ivf",
     "s04_kmeans_update",
     "p02_stratified_sample",
+    # new in round 3 — first driver witness:
+    "st05_stateful_totals",
+    "st06_stream_sliding",
+    "t10_unigram_surprisal",
+    "p04_shard_assignment",
     # round-2-green entries kept inside the 50-row window:
     "st01_stream_tumbling",
     "st02_stream_stream_join",
@@ -81,15 +86,11 @@ _PRIORITY = [
     "q34_asof_join",
     "q35_tpch_q3",
     "q36_tpch_q5",
-    "q37_udtf_sentences",
     "q38_recursive_spine",
-    "q39_time_range_frame",
     "q40_lateral_topn",
     "d08_dup_span_coverage",
     "g08_skewed_interval_join",
     "m02_media_features",
-    "p01_sequence_packing",
-    "t09_contamination",
 ]
 
 

@@ -140,11 +140,15 @@ _KEEP_HASH_SQL = (
 )
 
 
-def _keep_hash_col() -> F.Column:
+def _knuth_hash_col(mod: int) -> F.Column:
     a = F.col("doc_id").bitwiseAND(F.lit(4294967295))
     lo = a.bitwiseAND(F.lit(65535)) * _KNUTH
     hi = (F.shiftrightunsigned(a, 16) * _KNUTH) % 65536 * 65536
-    return (lo + hi) % (2**32) % 100
+    return (lo + hi) % (2**32) % mod
+
+
+def _keep_hash_col() -> F.Column:
+    return _knuth_hash_col(100)
 
 
 @query(
@@ -249,4 +253,55 @@ def p03(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(keep * F.col("toks")).cast("long").alias("kept_tokens"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------- p04 shard assignment
+_N_SHARDS = 16
+
+_SHARD_SQL = _KEEP_HASH_SQL.replace("% 100", f"% {_N_SHARDS}")
+
+
+@query(
+    "p04_shard_assignment",
+    rf"""WITH d AS (SELECT doc_id, lang,
+                           len(string_split_regex(lower(trim(text)), '\s+')) AS toks,
+                           {_SHARD_SQL} AS shard
+                    FROM documents)
+         SELECT shard, count(*) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS shard_tokens,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+                count(DISTINCT lang) AS n_langs
+         FROM d GROUP BY shard ORDER BY shard""",
+)
+def p04(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic output-shard assignment: route every document to one of
+    ``_N_SHARDS`` training-data shards by the engine-independent Knuth hash
+    of its id (same split-multiply as p02, mod shard count) and report
+    per-shard balance stats — the validation pass a pipeline runs before
+    ``partitionBy(shard)``-writing a sharded corpus, proving the hash spreads
+    docs and tokens evenly and reruns land every doc in the same shard.
+
+    Scale shape: assignment is a pure map-side expression (zero shuffle —
+    at write time it becomes the partitioning key itself); the stats are one
+    hash aggregate over ``_N_SHARDS`` groups.  Multiplicative hashing keeps
+    sequential ids from striping shards the way ``id % n`` would."""
+    d = load_table(spark, sf, "documents")
+    shard = _knuth_hash_col(_N_SHARDS)
+    return (
+        d.select(
+            shard.alias("shard"),
+            "doc_id",
+            "lang",
+            F.size(tokens("text")).cast("long").alias("toks"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").cast("long").alias("shard_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("shard")
     )

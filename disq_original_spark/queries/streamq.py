@@ -228,3 +228,90 @@ def st04(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+@query(
+    "st05_stateful_totals",
+    """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+       FROM events GROUP BY user_id ORDER BY user_id""",
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running (count, sum) state updated by arbitrary Python logic, "
+    "emitted in update mode each micro-batch.  The final update per user — "
+    "selected with max_by on the monotone event count — must equal the batch "
+    "aggregate, which is the SQL oracle.  This is the escape hatch for "
+    "operators Spark's built-ins can't express: state lives in the state "
+    "store partitioned by the groupBy hash shuffle, so it scales "
+    "horizontally with executors.",
+)
+def st05(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.events import running_user_totals
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(f"{sf}/events.*")
+    )
+    name = f"st05_sink_{next(_SINK_IDS)}"
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    # Update mode appends one row per (user, micro-batch with data for that
+    # user); n_events strictly increases across a user's emissions, so the
+    # final state is the max_by row.
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.expr("max_by(total_value, n_events)").alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "st06_stream_sliding",
+    """SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+              event_type, round(sum(value), 2) AS sv
+       FROM (SELECT event_type, value,
+                    date_trunc('hour', ts) - to_hours(k) AS ws
+             FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS k))
+       GROUP BY ws, event_type ORDER BY 1, 2""",
+    doc="Sliding-window streaming aggregation (2-hour windows, 1-hour "
+    "slide): every event lands in exactly two overlapping windows.  The "
+    "oracle replicates each event into its two epoch-aligned window starts "
+    "(hour(ts) and hour(ts) - 1h) and aggregates — Spark's window() with "
+    "slide < width does the same replication inside codegen.  State is "
+    "(window, event_type)-partitioned; the watermark closes windows.",
+)
+def st06(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.events import sliding_window_value
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(f"{sf}/events.*")
+    )
+    name = f"st06_sink_{next(_SINK_IDS)}"
+    q = (
+        sliding_window_value(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    return spark.table(name).orderBy("window_start", "event_type")

@@ -496,3 +496,56 @@ def t09(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------- t10 unigram surprisal
+@query(
+    "t10_unigram_surprisal",
+    r"""WITH words AS (
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+          FROM documents),
+        vocab AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+        n AS (SELECT sum(c) AS total FROM vocab)
+        SELECT w.doc_id,
+               count(*) AS n_tokens,
+               round(ln((SELECT total FROM n))
+                     - sum(ln(v.c)) / count(*), 4) AS avg_surprisal,
+               round(max(ln((SELECT total FROM n)) - ln(v.c)), 4) AS max_surprisal
+        FROM words w JOIN vocab v USING (word)
+        GROUP BY w.doc_id ORDER BY w.doc_id""",
+)
+def t10(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM surprisal scoring: train a corpus-wide unigram model (one
+    count per vocabulary word) and score every document by its mean and max
+    token surprisal -ln p(w) = ln N - ln c(w) — the classic cheap
+    perplexity proxy used to rank training documents by "typicality" before
+    a real LM filter is affordable.
+
+    Scale shape: explode → hash-aggregate the vocabulary (shuffle keyed on
+    word, map-side combine collapses each partition to its local vocab) →
+    join the exploded words back to their counts on the SAME key, so the
+    join's word-side exchange is byte-identical to the aggregate's input
+    exchange and Spark's ReuseExchange executes it once → per-doc aggregate.
+    The corpus total N is a 1-row aggregate joined in by broadcast.  No
+    driver collection, no cap: the vocabulary stays distributed (at 100 TB
+    it is billions of rows — too big to broadcast, which is why the plan
+    shuffle-joins on word instead)."""
+    d = load_table(spark, sf, "documents")
+    words = d.select("doc_id", F.explode(tokens("text")).alias("word"))
+    vocab = words.groupBy("word").agg(F.count("*").alias("c"))
+    # N = total token count — a partial-agg global count over the exploded
+    # words (map-side partials, 1-row result), NOT a second vocab aggregate.
+    total = words.agg(F.count("*").cast("double").alias("total"))
+    scored = words.join(vocab, "word").join(F.broadcast(total))
+    ln_n = F.log(F.col("total"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.first(ln_n) - F.sum(F.log("c")) / F.count("*"), 4
+            ).alias("avg_surprisal"),
+            F.round(F.max(ln_n - F.log("c")), 4).alias("max_surprisal"),
+        )
+        .orderBy("doc_id")
+    )
