@@ -579,8 +579,9 @@ def d08(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: windows are built row-wise inside codegen (posexplode of
     an integer sequence + per-row slice/md5 — no array materialization, the
     t09 lesson), keyed by md5 so Spark and the SQL oracle agree bit-for-bit.
-    Two hash shuffles: (window-hash → distinct-doc count) with map-side
-    partial aggregation, then (doc → dup-window count).  At 100 TB the
+    Two hash shuffles: (window-hash → min/max doc id, whose inequality is
+    the ≥2-distinct-docs predicate) with map-side partial aggregation,
+    then (doc → dup-window count).  At 100 TB the
     window-hash shuffle is the honest cost of exact-substring detection —
     the production variant truncates the hash to 8 bytes and two-level
     counts, same plan shape."""
@@ -603,10 +604,14 @@ def d08(spark: SparkSession, sf: str) -> DataFrame:
         "n_windows",
         F.md5(F.concat_ws(" ", F.slice(F.col("words"), F.col("i") + 1, _SPAN_W))).alias("h"),
     )
+    # "appears in >1 distinct doc" ⟺ min(doc_id) != max(doc_id): one
+    # hash shuffle on h with full map-side partial combine.  countDistinct
+    # compiled to TWO exchanges (a (h, doc_id) distinct pass, then the h
+    # aggregate) — double the shuffle volume for the same predicate.
     dup = (
         win.groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") > 1)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .where(F.col("d0") != F.col("d1"))
         .select("h")
     )
     return (

@@ -361,51 +361,68 @@ def t08(spark: SparkSession, sf: str) -> DataFrame:
     word count bounds, mean word length, most-common-word fraction,
     duplicate-bigram fraction, and the combined keep/drop flag.
 
-    Scale shape: explode → two-level hash aggregation on (doc_id, token)
-    with map-side partial combine — the canonical distributed histogram;
-    no per-doc quadratic work, no driver collection.  The two token
-    aggregates and the bigram aggregate join back on doc_id (co-partitioned
-    by the groupBy, so the join reuses the shuffle)."""
-    d = load_table(spark, sf, "documents")
-    w = tokens("text")
-    t = d.select("doc_id", w.alias("w"))
-    words = t.select("doc_id", F.explode("w").alias("word"))
-    wc = words.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
-    wagg = wc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_words"),
-        F.max("c").alias("top_n"),
-        (F.sum(F.length("word") * F.col("c")) / F.sum("c").cast("double")).alias("mwl"),
-    )
-    bigrams = t.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice(F.col("w"), 1, F.size("w") - 1),
-                F.slice(F.col("w"), 2, F.size("w") - 1),
-                lambda a, b: F.concat_ws(" ", a, b),
+    Scale shape: every metric here is DOC-LOCAL — a single document's word
+    and bigram histograms fit in memory by definition — so the right plan is
+    one fused Arrow pass per partition with ZERO shuffles (the t06 shape),
+    not the corpus-wide explode → (doc, token) hash aggregation an earlier
+    version used (that shape is for CORPUS-level histograms like t10, and
+    cost four exchanges of every token to compute per-row-answerable stats;
+    ~2x slower at sf0.1).  Only integer counts cross the Arrow boundary;
+    all float division and rounding happens JVM-side so the oracle's double
+    arithmetic is reproduced bit-for-bit."""
+
+    def gen(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        from disq_original_spark.functions.pytwins import py_tokens
+
+        for pdf in batches:
+            ids, n_words, sum_len, top_n, n_bg, dup_sum = [], [], [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = py_tokens(text)
+                if words is None:  # NULL text: oracle's unnest drops the doc
+                    continue
+                wc = Counter(words)
+                bc = Counter(map(" ".join, zip(words, words[1:])))
+                ids.append(doc_id)
+                n_words.append(len(words))
+                sum_len.append(sum(map(len, words)))
+                top_n.append(max(wc.values()))
+                n_bg.append(len(words) - 1)
+                dup_sum.append(sum(c for c in bc.values() if c > 1))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_words": n_words,
+                    "sum_len": sum_len,
+                    "top_n": top_n,
+                    "n_bg": n_bg,
+                    "dup_sum": dup_sum,
+                }
             )
-        ).alias("bigram"),
+
+    d = load_wide(spark, sf, "documents")
+    counts = d.select("doc_id", "text").mapInPandas(
+        gen,
+        "doc_id long, n_words long, sum_len long, top_n long, n_bg long, dup_sum long",
     )
-    bc = bigrams.groupBy("doc_id", "bigram").agg(F.count("*").alias("c"))
-    bagg = bc.groupBy("doc_id").agg(
-        (
-            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
-            / F.sum("c").cast("double")
-        ).alias("dupf")
-    )
-    dupf = F.coalesce(F.col("dupf"), F.lit(0.0))
+    mwl = F.col("sum_len") / F.col("n_words").cast("double")
     top_frac = F.col("top_n") / F.col("n_words").cast("double")
+    dupf = F.when(
+        F.col("n_bg") > 0, F.col("dup_sum") / F.col("n_bg").cast("double")
+    ).otherwise(0.0)
     return (
-        wagg.join(bagg, "doc_id", "left")
-        .select(
+        counts.select(
             "doc_id",
-            F.col("n_words").cast("long").alias("n_words"),
-            F.round("mwl", 4).alias("mean_word_len"),
+            "n_words",
+            F.round(mwl, 4).alias("mean_word_len"),
             F.round(top_frac, 4).alias("top_word_frac"),
             F.round(dupf, 4).alias("dup_bigram_frac"),
             (
                 F.col("n_words").between(50, 100000)
-                & F.col("mwl").between(3, 10)
+                & mwl.between(3, 10)
                 & (top_frac < 0.2)
                 & (dupf < 0.6)
             ).alias("gopher_pass"),
