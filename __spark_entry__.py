@@ -78,6 +78,10 @@ _PRIORITY = [
     "st06_stream_sliding",
     "t10_unigram_surprisal",
     "p04_shard_assignment",
+    "s05_ann_pq",
+    # plans reshaped in round 3 (fused t08, one-shuffle d08) — re-witness:
+    "t08_gopher_repetition",
+    "d08_dup_span_coverage",
     # round-2-green entries kept inside the 50-row window:
     "st01_stream_tumbling",
     "st02_stream_stream_join",
@@ -86,11 +90,8 @@ _PRIORITY = [
     "q34_asof_join",
     "q35_tpch_q3",
     "q36_tpch_q5",
-    "q38_recursive_spine",
     "q40_lateral_topn",
-    "d08_dup_span_coverage",
     "g08_skewed_interval_join",
-    "m02_media_features",
 ]
 
 

@@ -344,3 +344,173 @@ def s04(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------- s05 PQ ANN
+_PQ_M = 4  # subspaces
+_PQ_D = 16  # dims per subspace (embeddings are 64-dim)
+_PQ_STRIDE = 7  # vec_id % stride == 0 → deterministic "trained" codebook
+_PQ_RERANK = 100  # ADC shortlist depth re-ranked with exact distances
+
+_SQDIST_SQL = (
+    "round(list_sum(list_transform(range(1, {d} + 1), i -> "
+    "(CAST({a}[j.j * {d} + i] AS DOUBLE) - CAST({b}[j.j * {d} + i] AS DOUBLE)) "
+    "* (CAST({a}[j.j * {d} + i] AS DOUBLE) - CAST({b}[j.j * {d} + i] AS DOUBLE))"
+    ")), 4)"
+)
+
+# exact full-width squared L2 — a sequential left fold in BOTH engines
+# (DuckDB list_sum, Spark aggregate()), so the doubles agree bit-for-bit
+_EXACT_D2_SQL = (
+    "round(list_sum(list_transform(range(1, 65), i -> "
+    "(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+    "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), 4)"
+)
+
+
+@query(
+    "s05_ann_pq",
+    f"""WITH cb AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                    WHERE vec_id % {_PQ_STRIDE} = 0),
+        sub AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+        enc AS (
+          SELECT e.vec_id, j.j, cb.cid,
+                 row_number() OVER (PARTITION BY e.vec_id, j.j ORDER BY
+                    {_SQDIST_SQL.format(a='e.embedding', b='cb.ce', d=_PQ_D)} ASC,
+                    cb.cid) AS rn
+          FROM embeddings e CROSS JOIN cb CROSS JOIN sub j),
+        codes AS (SELECT vec_id, j, cid FROM enc WHERE rn = 1),
+        q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+              WHERE vec_id < {_N_QUERIES}),
+        dtab AS (
+          SELECT q.q_id, j.j, cb.cid,
+                 {_SQDIST_SQL.format(a='q.qe', b='cb.ce', d=_PQ_D)} AS d2
+          FROM q CROSS JOIN cb CROSS JOIN sub j),
+        scored AS (
+          SELECT d.q_id, c.vec_id AS neighbor_id,
+                 round(sum(d.d2), 4) AS approx_d2
+          FROM codes c JOIN dtab d ON d.j = c.j AND d.cid = c.cid
+          WHERE c.vec_id <> d.q_id
+          GROUP BY d.q_id, c.vec_id),
+        short AS (
+          SELECT q_id, neighbor_id,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY approx_d2 ASC, neighbor_id) AS srn
+          FROM scored),
+        rr AS (
+          SELECT s.q_id, s.neighbor_id,
+                 {_EXACT_D2_SQL.format(a='e.embedding', b='q.qe')} AS d2
+          FROM short s
+          JOIN embeddings e ON e.vec_id = s.neighbor_id
+          JOIN q ON q.q_id = s.q_id
+          WHERE s.srn <= {_PQ_RERANK}),
+        ranked AS (
+          SELECT q_id, neighbor_id, d2,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY d2 ASC, neighbor_id) AS rank
+          FROM rr)
+        SELECT q_id, neighbor_id, d2, rank FROM ranked
+        WHERE rank <= {_K} ORDER BY q_id, rank""",
+)
+def s05(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN with exact re-ranking (Jégou et al. 2011,
+    public): each vector is compressed to 4 codeword ids (one per 16-dim
+    subspace, nearest codeword by squared L2, ties → lowest id); queries
+    score the WHOLE corpus with the asymmetric-distance sum of per-subspace
+    lookup-table entries, shortlist the ADC top-100, and re-rank the
+    shortlist with exact full-width distances — the standard two-stage
+    serving shape that lets a 100 TB embedding corpus fit an in-RAM index
+    (4 small ints per vector instead of 256 raw bytes) while returning
+    exact-quality top-k (`tests/test_oracle.py` pins recall vs exact L2).
+
+    Scale shape: codebooks and the per-query distance tables are tiny
+    driver artifacts (exactly what PQ training/serving produces); encoding
+    AND ADC scoring fuse into ONE vectorized Arrow pass over the corpus — a
+    (batch x k) distance matrix per subspace, then a table gather — so the
+    corpus is never joined or shuffled for scoring; only (vec_id, one
+    distance per query) rows leave the scan, and the partial WindowGroupLimit
+    truncates them map-side.  The re-rank broadcast-joins the ≤ 100×queries
+    shortlist back to the corpus scan to fetch raw vectors — the only rows
+    ever rehydrated.  Distances are rounded to 4 decimals BEFORE the
+    argmin/sum in both engines, making the cross-engine tie-break (lowest
+    codeword id) exact; the exact re-rank distance is a sequential
+    zip_with/aggregate fold, the same left fold DuckDB's list_sum runs."""
+    e = load_table(spark, sf, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id") % _PQ_STRIDE == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    cids = cents["vec_id"].to_numpy()
+    cmat = np.vstack(cents["embedding"].to_numpy()).astype("float64")
+    qdf = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    qids = qdf["vec_id"].to_numpy()
+    qmat = np.vstack(qdf["embedding"].to_numpy()).astype("float64")
+    nq, k = len(qids), len(cids)
+
+    csub = cmat.reshape(k, _PQ_M, _PQ_D)
+    qsub = qmat.reshape(nq, _PQ_M, _PQ_D)
+    # dtab[q, j, c] = round(||q_j - c_j||^2, 4) — the ADC lookup tables.
+    dtab = np.round(
+        ((qsub[:, :, None, :] - csub.transpose(1, 0, 2)[None, :, :, :]) ** 2).sum(-1),
+        4,
+    )
+
+    @F.pandas_udf("array<double>")
+    def score(emb: pd.Series) -> pd.Series:
+        m = np.vstack(emb.to_numpy()).astype("float64").reshape(-1, _PQ_M, _PQ_D)
+        total = np.zeros((nq, m.shape[0]))
+        for j in range(_PQ_M):
+            dd = np.round(((m[:, j, None, :] - csub[None, :, j, :]) ** 2).sum(-1), 4)
+            code = dd.argmin(axis=1)  # first min = lowest cid (cids ascend)
+            total += dtab[:, j, code]
+        return pd.Series(list(np.round(total, 4).T))
+
+    scored = (
+        e.select("vec_id", score("embedding").alias("ds"))
+        # q_id == position: the query set is exactly vec_id 0.._N_QUERIES-1
+        .select(F.col("vec_id").alias("neighbor_id"), F.posexplode("ds").alias("q_id", "approx_d2"))
+        .withColumn("q_id", F.col("q_id").cast("long"))
+        .filter(F.col("neighbor_id") != F.col("q_id"))
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.col("approx_d2").asc(), F.col("neighbor_id"))
+    short = (
+        scored.withColumn("srn", F.row_number().over(wa))
+        .filter(F.col("srn") <= _PQ_RERANK)
+        .select("q_id", "neighbor_id")
+    )
+    qlit = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(qids, qmat)],
+        "q_id long, qe array<double>",
+    )
+    exact_d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("qe"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    rr = (
+        F.broadcast(short)
+        .join(e.select(F.col("vec_id"), "embedding"), F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(qlit), "q_id")
+        .select("q_id", "neighbor_id", exact_d2.alias("d2"))
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("neighbor_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= _K)
+        .select("q_id", "neighbor_id", "d2", "rank")
+        .orderBy("q_id", "rank")
+    )

@@ -60,6 +60,35 @@ def test_s03_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall@10 collapsed: {recall:.2f}"
 
 
+def test_s05_pq_recall_vs_exact_l2(spark, sf_dir):
+    """PQ+rerank is approximate; pin recall@10 against exact squared-L2
+    brute force so encoding bugs (wrong subspace slicing, bad table gather,
+    shortlist truncation) collapse recall instead of returning plausible
+    rows.  At the default test scale the rerank depth covers the corpus, so
+    recall is exactly 1.0; at sf0.01 it measured 0.76 on the synthetic
+    (worst-case iid) embeddings — the floor leaves noise margin."""
+    import numpy as np
+
+    from disq_original_spark.queries import QUERIES
+    from disq_original_spark.tables import load_table
+
+    pdf = load_table(spark, sf_dir, "embeddings").toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    m = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+    exact = set()
+    for qi in range(5):
+        d = ((m - m[ids == qi][0]) ** 2).sum(1)
+        d[ids == qi] = np.inf
+        for n in ids[np.argsort(d, kind="stable")[:10]]:
+            exact.add((qi, int(n)))
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in QUERIES["s05_ann_pq"].build(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"PQ recall@10 collapsed: {recall:.2f}"
+
+
 def test_null_text_documents_survive_fused_passes(spark, ddb, sf_dir):
     """The fused Arrow passes must handle NULL text the way the DuckDB
     oracles do (drop the doc / all-zero simhash / empty-string hash),
