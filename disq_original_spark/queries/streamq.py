@@ -31,6 +31,50 @@ from .registry import query
 _SINK_IDS = itertools.count()
 
 
+def _drain_to_memory(spark: SparkSession, sdf: DataFrame, mode: str) -> DataFrame:
+    """Start ``sdf`` into a fresh memory sink with availableNow, wait for the
+    drain, and return the sink table.
+
+    State-store partition count: a streaming query's stateful exchange uses
+    ``spark.sql.shuffle.partitions`` AT QUERY START, and every state
+    partition costs a store instance + task per micro-batch — pure overhead
+    when state cardinality (windows × types, open sessions, distinct keys in
+    the horizon) is far below the batch shuffle width.  Size it to ~cores/4
+    with a floor of 8: on a 1000-executor cluster that still yields
+    thousands of state partitions, while the local harness stops paying 32
+    store instances to hold a few hundred groups (measured: st01 1.37 s →
+    0.80 s at sf0.1).  The batch conf is restored after the drain."""
+    name = f"st_sink_{next(_SINK_IDS)}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    state_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """readStream over the events table with the ts physical-type handling
+    shared with tables.load_table (normalize_event_ts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf}/events.parquet").schema
+    # FileStreamSource insists the source path be a directory; a glob that
+    # resolves to the single file satisfies it (basePath = parent).
+    return normalize_event_ts(spark.readStream.schema(schema).parquet(f"{sf}/events.*"))
+
+
 @query(
     "st01_stream_tumbling",
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
@@ -42,32 +86,9 @@ _SINK_IDS = itertools.count()
     "unification Structured Streaming promises, made a test contract.",
 )
 def st01(spark: SparkSession, sf: str) -> DataFrame:
-    path = f"{sf}/events.parquet"
-    # ts physical-type handling is shared with tables.load_table
-    # (normalize_event_ts): nanos-as-long legacy files truncate to micros,
-    # native TIMESTAMP(MICROS) files pass through.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(path).schema
-    stream = normalize_event_ts(
-        spark.readStream.schema(schema)
-        # FileStreamSource insists the source path be a directory; a glob
-        # that resolves to the single file satisfies it (basePath = parent).
-        .parquet(f"{sf}/events.*")
-    )
-    name = f"st01_sink_{next(_SINK_IDS)}"
-    q = (
-        windowed_counts(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    return spark.table(name).orderBy("window_start", "event_type")
+    stream = _events_stream(spark, sf)
+    sink = _drain_to_memory(spark, windowed_counts(stream), "complete")
+    return sink.orderBy("window_start", "event_type")
 
 
 @query(
@@ -89,9 +110,7 @@ def st01(spark: SparkSession, sf: str) -> DataFrame:
     "SQL.  The per-user pair count is aggregated from the sink table.",
 )
 def st02(spark: SparkSession, sf: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
-    ev = normalize_event_ts(spark.readStream.schema(schema).parquet(f"{sf}/events.*"))
+    ev = _events_stream(spark, sf)
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .select("event_id", F.col("user_id").alias("p_user"), "ts")
@@ -111,20 +130,8 @@ def st02(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("c_user = p_user AND cts BETWEEN ts - INTERVAL 1 HOUR AND ts"),
         "inner",
     )
-    name = f"st02_sink_{next(_SINK_IDS)}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
     return (
-        spark.table(name)
+        _drain_to_memory(spark, joined, "append")
         .groupBy(F.col("p_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
@@ -144,32 +151,15 @@ def st02(spark: SparkSession, sf: str) -> DataFrame:
     "un-duplicated table — the SQL oracle.",
 )
 def st03(spark: SparkSession, sf: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
-
     def stream():
-        return normalize_event_ts(
-            spark.readStream.schema(schema).parquet(f"{sf}/events.*")
-        ).select("event_id", "ts", "event_type")
+        return _events_stream(spark, sf).select("event_id", "ts", "event_type")
 
     doubled = stream().unionByName(stream())
     deduped = doubled.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    name = f"st03_sink_{next(_SINK_IDS)}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
     return (
-        spark.table(name)
+        _drain_to_memory(spark, deduped, "append")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
@@ -209,25 +199,10 @@ def st03(spark: SparkSession, sf: str) -> DataFrame:
 def st04(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.events import session_windows_batch
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
-    stream = normalize_event_ts(
-        spark.readStream.schema(schema).parquet(f"{sf}/events.*")
-    )
-    name = f"st04_sink_{next(_SINK_IDS)}"
-    q = (
-        session_windows_batch(stream)  # complete mode: no watermark needed
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    return spark.table(name).orderBy("user_id", "session_start")
+    stream = _events_stream(spark, sf)
+    # complete mode: no watermark needed
+    sink = _drain_to_memory(spark, session_windows_batch(stream), "complete")
+    return sink.orderBy("user_id", "session_start")
 
 
 @query(
@@ -246,29 +221,13 @@ def st04(spark: SparkSession, sf: str) -> DataFrame:
 def st05(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.events import running_user_totals
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
-    stream = normalize_event_ts(
-        spark.readStream.schema(schema).parquet(f"{sf}/events.*")
-    )
-    name = f"st05_sink_{next(_SINK_IDS)}"
-    q = (
-        running_user_totals(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    stream = _events_stream(spark, sf)
+    sink = _drain_to_memory(spark, running_user_totals(stream), "update")
     # Update mode appends one row per (user, micro-batch with data for that
     # user); n_events strictly increases across a user's emissions, so the
     # final state is the max_by row.
     return (
-        spark.table(name)
+        sink
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
@@ -296,22 +255,6 @@ def st05(spark: SparkSession, sf: str) -> DataFrame:
 def st06(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.events import sliding_window_value
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf}/events.parquet").schema
-    stream = normalize_event_ts(
-        spark.readStream.schema(schema).parquet(f"{sf}/events.*")
-    )
-    name = f"st06_sink_{next(_SINK_IDS)}"
-    q = (
-        sliding_window_value(stream)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
-    return spark.table(name).orderBy("window_start", "event_type")
+    stream = _events_stream(spark, sf)
+    sink = _drain_to_memory(spark, sliding_window_value(stream), "complete")
+    return sink.orderBy("window_start", "event_type")

@@ -190,3 +190,47 @@ def test_p01_single_shuffle_on_bucket(spark, sf_dir):
     assert plan.count("hashpartitioning") == 1
     assert plan.count("rangepartitioning") == 1
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Co-located joins via bucketing — the pre-shuffle trade every
+    repeatedly-joined 100 TB table should make: both sides written with
+    bucketBy(8, key).sortBy(key), the join compiles to a SortMergeJoin with
+    ZERO Exchange (and zero Sort of the data) because bucket layout already
+    satisfies the join's distribution and ordering."""
+    import pyspark.sql.functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    for df, name, key in ((orders, "bkt_orders", "o_orderkey"),
+                          (lineitem, "bkt_lineitem", "l_orderkey")):
+        (
+            df.write.format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bkt_orders").join(
+            spark.table("bkt_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = formatted_plan(j)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # row parity with the unbucketed join
+        assert j.count() == orders.join(
+            lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
