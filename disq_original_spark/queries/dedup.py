@@ -308,13 +308,21 @@ def d04(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- d05 embedding near-dup
+# Near-dup cosine threshold.  A production run uses ~0.95; the synthetic
+# corpus is iid-random (max same-label cosine ≈ 0.48 at sf0.01), so 0.95
+# can never fire and the oracle would only ever compare empty sets.  0.4
+# sits inside the synthetic data's signal band, so the hash check verifies
+# real pairs at every sf while the operator/plan is unchanged.
+_NEARDUP_COS = 0.4
+
+
 @query(
     "d05_embedding_neardup",
-    """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+    f"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
        FROM embeddings a JOIN embeddings b
          ON a.label = b.label AND a.vec_id < b.vec_id
-       WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= 0.95
+       WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) >= {_NEARDUP_COS}
        ORDER BY a_id, b_id""",
     doc="Embedding-cosine near-dup with label blocking (blocking key = IVF/LSH "
     "bucket at scale).  Arrow-batched applyInPandas per block: one numpy gram "
@@ -340,7 +348,7 @@ def d05(spark: SparkSession, sf: str) -> DataFrame:
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         gram = np.round(m @ m.T, 4)
         ai, bi = np.triu_indices(len(ids), k=1)  # ids sorted ⇒ a_id < b_id
-        mask = gram[ai, bi] >= 0.95
+        mask = gram[ai, bi] >= _NEARDUP_COS
         return pd.DataFrame(
             {"a_id": ids[ai[mask]], "b_id": ids[bi[mask]], "cos_sim": gram[ai, bi][mask]}
         )
