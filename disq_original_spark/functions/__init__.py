@@ -17,7 +17,7 @@ STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization of lowercased, trimmed text."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.lower(F.trim(c)), r"\s+")
+    return F.split(F.lower(F.trim(c)), r"[ \t\n\x0b\f\r]+")
 
 
 def word_shingles(text: Column | str, k: int = 5) -> Column:
@@ -29,7 +29,7 @@ def word_shingles(text: Column | str, k: int = 5) -> Column:
     transform/slice higher-order expression, which is interpreted per
     element.  Verified equivalent on the full corpus."""
     c = F.col(text) if isinstance(text, str) else text
-    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"[ \t\n\x0b\f\r]+", " ")
     pat = r"(?:^| )(?=((?:\S+ ){" + str(k - 1) + r"}\S+))"
     full = F.regexp_extract_all(norm, F.lit(pat), 1)
     return F.when(F.size(full) > 0, full).otherwise(F.array(norm))
@@ -73,7 +73,7 @@ def normalized_fingerprint(text: Column | str, length: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized,
     lowercased text, truncated to ``length`` hex chars."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.substring(F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")), 1, length)
+    return F.substring(F.md5(F.regexp_replace(F.lower(F.trim(c)), r"[ \t\n\x0b\f\r]+", " ")), 1, length)
 
 
 def map_from_entries_last_wins(entries: Column) -> Column:

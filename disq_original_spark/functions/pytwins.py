@@ -1,11 +1,19 @@
 """Python twins of the engine's text-normalization expressions.
 
-These encode the EXACT cross-engine semantics (JVM regex / DuckDB) that the
-fused Arrow passes in queries/dedup.py and queries/textops.py rely on for
-oracle parity: ASCII ``\\s`` (``[ \\t\\n\\r\\f\\v]+``) and Java ``trim()``
-behavior — Python's Unicode-aware ``str.split``/``str.strip`` defaults would
-diverge on exotic whitespace.  Single source of truth; do not re-declare the
-class/trim set at call sites.
+These encode the EXACT cross-engine semantics (JVM regex / DuckDB RE2) that
+the fused Arrow passes in queries/dedup.py and queries/textops.py rely on
+for oracle parity.  Two traps this module pins down (see
+``tests/test_props.py::test_text_normalization_cross_engine_adversarial``):
+
+* Whitespace is the EXPLICIT class ``[ \\t\\n\\x0b\\f\\r]+`` everywhere, not
+  ``\\s`` — Java's ``\\s`` includes vertical tab (\\x0b) while RE2's
+  excludes it, so ``\\s`` silently tokenizes differently across engines on
+  real-world corpora.  Every oracle SQL string uses the same class.
+* Trim is ASCII-space-only: both Spark's ``trim()`` and DuckDB's ``trim()``
+  strip 0x20 from the ends and nothing else — Python's ``str.strip()``
+  default (all Unicode whitespace) would diverge.
+
+Single source of truth; do not re-declare the class/trim set at call sites.
 
 NULL text: the DuckDB oracles drop null-text rows (``string_split_regex(NULL)``
 → NULL → ``unnest`` yields nothing), so callers skip a document when these
@@ -16,19 +24,21 @@ from __future__ import annotations
 
 import re
 
-WS_RE = re.compile(r"[ \t\n\r\f\v]+")
-TRIM_CHARS = " \t\n\r\f\v"
+WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+TRIM_CHARS = " "
 
 
 def norm_text(text: str | None) -> str | None:
-    """lower + Java-trim + collapse ASCII whitespace runs to single spaces."""
+    """lower + engine-trim (ASCII space only) + collapse whitespace-class
+    runs to single spaces."""
     if text is None:
         return None
     return WS_RE.sub(" ", text.strip(TRIM_CHARS).lower())
 
 
 def py_tokens(text: str | None) -> list[str] | None:
-    """Twin of ``functions.tokens`` (split on \\s+ after lower+trim) with the
+    """Twin of ``functions.tokens`` (split on the whitespace class after
+    lower+trim) with the
     JVM's empty-string edge case preserved: splitting '' yields ['']."""
     if text is None:
         return None

@@ -38,7 +38,7 @@ from ..tables import load_table, load_wide
 from .registry import query
 
 # DuckDB fragments mirrored by the Spark builders -----------------------------
-_TOK_SQL = r"string_split_regex(lower(trim(text)), '\s+')"
+_TOK_SQL = r"string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')"
 # word 5-gram shingles; short docs collapse to one whole-doc shingle
 _SHINGLES_SQL = (
     f"CASE WHEN len({_TOK_SQL}) >= 5 THEN "

@@ -73,7 +73,7 @@ def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     "p01_sequence_packing",
     rf"""WITH RECURSIVE d AS (
            SELECT doc_id, doc_id % {_N_BUCKETS} AS bucket,
-                  len(string_split_regex(lower(trim(text)), '\s+')) AS toks,
+                  len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS toks,
                   row_number() OVER (PARTITION BY doc_id % {_N_BUCKETS}
                                      ORDER BY doc_id) AS rn
            FROM documents),
@@ -154,7 +154,7 @@ def _keep_hash_col() -> F.Column:
 @query(
     "p02_stratified_sample",
     rf"""WITH d AS (SELECT doc_id, lang,
-                           len(string_split_regex(lower(trim(text)), '\s+')) AS toks,
+                           len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS toks,
                            {_KEEP_HASH_SQL} AS h,
                            {_RATE_SQL} AS rate
                     FROM documents)
@@ -211,7 +211,7 @@ _SOURCE_BUDGET = 2000  # token budget per source
 @query(
     "p03_budget_mixture",
     rf"""WITH d AS (SELECT doc_id, source,
-                           len(string_split_regex(lower(trim(text)), '\s+')) AS toks
+                           len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS toks
                     FROM documents),
          c AS (SELECT doc_id, source, toks,
                       sum(toks) OVER (PARTITION BY source ORDER BY doc_id
@@ -265,7 +265,7 @@ _SHARD_SQL = _KEEP_HASH_SQL.replace("% 100", f"% {_N_SHARDS}")
 @query(
     "p04_shard_assignment",
     rf"""WITH d AS (SELECT doc_id, lang,
-                           len(string_split_regex(lower(trim(text)), '\s+')) AS toks,
+                           len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS toks,
                            {_SHARD_SQL} AS shard
                     FROM documents)
          SELECT shard, count(*) AS n_docs,

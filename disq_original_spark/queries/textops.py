@@ -26,7 +26,7 @@ _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
 @query(
     "t01_token_count",
     r"""SELECT doc_id,
-               len(string_split_regex(lower(trim(text)), '\s+')) AS n_tokens,
+               len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS n_tokens,
                length(trim(text)) AS n_chars_norm
         FROM documents ORDER BY doc_id""",
 )
@@ -52,8 +52,8 @@ def t01(spark: SparkSession, sf: str) -> DataFrame:
                       * (1 - CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0 END), 4) AS quality
          FROM (
            SELECT doc_id,
-                  CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS n_tokens,
-                  CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  CAST(len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS DOUBLE) AS n_tokens,
+                  CAST(len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                                        x -> x IN {_STOP_SQL})) AS DOUBLE) AS n_stop,
                   CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
                   CAST(length(text) AS DOUBLE) AS n_chars
@@ -93,7 +93,7 @@ def t02(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "t03_lang_heuristic",
     rf"""SELECT doc_id,
-                CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                CASE WHEN len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'),
                                           x -> x IN {_STOP_SQL})) >= 3 THEN 'en'
                      ELSE 'unk' END AS lang_pred
          FROM documents ORDER BY doc_id""",
@@ -116,7 +116,7 @@ def t03(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "t04_fingerprint",
     r"""SELECT doc_id,
-               substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp
+               substr(md5(regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g')), 1, 16) AS fp
         FROM documents ORDER BY doc_id""",
 )
 def t04(spark: SparkSession, sf: str) -> DataFrame:
@@ -128,7 +128,7 @@ def t04(spark: SparkSession, sf: str) -> DataFrame:
 # GPT-2-style pre-tokenizer regex over lowercased text: contraction suffixes,
 # space-prefixed letter runs, digit runs, punctuation runs.  No lookarounds or
 # backrefs, so Java regex (Spark) and RE2 (DuckDB) match identically.
-_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+_BPE_PAT = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^ \t\n\x0b\f\ra-z0-9]+"
 _BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
 
 
@@ -178,7 +178,7 @@ _SHORT_HASH_SQL = (
 @query(
     "t06_winnow_fingerprint",
     rf"""WITH n AS (SELECT doc_id,
-                           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+                           regexp_replace(lower(trim(text)), '[ \t\n\x0b\f\r]+', ' ', 'g') AS norm
                     FROM documents),
          h AS (SELECT doc_id,
                       CASE WHEN length(norm) >= {_WIN_K}
@@ -330,7 +330,7 @@ def t07(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------- t08 Gopher repetition
 @query(
     "t08_gopher_repetition",
-    r"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+    r"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS w
                    FROM documents),
         words AS (SELECT doc_id, unnest(w) AS word FROM t),
         wc AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2),
@@ -439,7 +439,7 @@ _BENCH_MOD = 7  # doc_id % 7 == 0 plays the role of the benchmark/eval set
 @query(
     "t09_contamination",
     rf"""WITH w AS (SELECT doc_id,
-                           string_split_regex(lower(trim(text)), '\s+') AS words
+                           string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS words
                     FROM documents),
          el AS (SELECT doc_id, len(words) - {_CONTAM_K - 1} AS n_shingles,
                        unnest(list_transform(
@@ -519,7 +519,7 @@ def t09(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "t10_unigram_surprisal",
     r"""WITH words AS (
-          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+          SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS word
           FROM documents),
         vocab AS (SELECT word, count(*) AS c FROM words GROUP BY word),
         n AS (SELECT sum(c) AS total FROM vocab)

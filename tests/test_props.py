@@ -339,3 +339,73 @@ def test_keep_hash_engine_parity_at_extreme_ids(spark):
         ).fetchall()
     ]
     assert got_duck == expected
+
+
+def test_text_normalization_cross_engine_adversarial(spark):
+    """Every text operator rests on one contract: Spark's split, DuckDB's
+    string_split_regex, and the pytwins re-implementation tokenize
+    IDENTICALLY for any input.  The whitespace run is the EXPLICIT class
+    [ \\t\\n\\x0b\\f\\r]+ in all three, because Java's \\s includes
+    vertical tab while RE2's excludes it — with '\\s+' the engines diverge
+    on any document containing \\x0b.  Pin the contract on adversarial
+    inputs — exotic unicode whitespace, zero-width chars, CJK, emoji,
+    case-folding edge cases — because a silent divergence here would skew
+    every t/d/p operator at once while small fixtures stay green."""
+    import duckdb
+
+    from disq_original_spark.functions import tokens
+    from disq_original_spark.functions.pytwins import py_tokens
+
+    nasty = [
+        "",
+        " ",
+        "\t\n\r\f\v",
+        "plain ascii words",
+        "  leading and trailing  ",
+        "multiple   internal\t\tspaces",
+        "nbsp is not ascii space",
+        "line sep and para sep",
+        "zero​width space",
+        "ideographic　space",
+        "CJK 中文 分词 测试",
+        "emoji 🙂 and 👍🏽 tokens",
+        "GREEK Σ SIGMA ς",
+        "combining é vs é",
+        "tab\tmix \nnewline",
+        "ALLCAPS MiXeD case",
+        "punct,comma.dot;semi",
+        "num3r1c 123 456.78",
+        "a",
+    ]
+    # KNOWN oracle boundary, deliberately pinned: lower() itself diverges on
+    # locale-sensitive case mappings — Java/Python apply the full Unicode
+    # mapping (U+0130 İ → 'i' + combining dot above), DuckDB's lower() the
+    # simple single-codepoint one ('i').  The ENGINE (Spark) and its Python
+    # twins stay mutually consistent, so pipeline results are
+    # self-consistent; DuckDB-as-oracle byte-parity is scoped to text
+    # without such mappings (the driver corpus is ASCII).
+    divergent_lower = ["Turkish \u0130 and dotless \u0131"]
+    alltexts = nasty + divergent_lower
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(alltexts)], "i long, t string"
+    )
+    spark_toks = {
+        r["i"]: list(r["toks"])
+        for r in df.select("i", tokens("t").alias("toks")).collect()
+    }
+    con = duckdb.connect()
+    duck_toks = {
+        i: con.execute(
+            r"SELECT string_split_regex(lower(trim(?)), '[ \t\n\x0b\f\r]+')", [s]
+        ).fetchone()[0]
+        for i, s in enumerate(alltexts)
+    }
+    py_toks = {i: py_tokens(s) for i, s in enumerate(alltexts)}
+    for i, s in enumerate(alltexts):
+        # Spark and the Python twins must agree on EVERY input — they feed
+        # the same fused passes and a split here is silent corruption.
+        assert spark_toks[i] == py_toks[i], (s, spark_toks[i], py_toks[i])
+        if s in divergent_lower:
+            assert spark_toks[i] != duck_toks[i], f"divergence healed? {s!r}"
+        else:
+            assert spark_toks[i] == duck_toks[i], (s, spark_toks[i], duck_toks[i])
