@@ -220,16 +220,34 @@ def s03(spark: SparkSession, sf: str) -> DataFrame:
             {"cell": cids[idx[:, 0]], "probes": list(cids[idx[:, :nprobe]])}
         )
 
-    base = e.withColumn("a", assign("embedding"))
-    cells = base.select("vec_id", "embedding", F.col("a.cell").alias("cell"))
-    probes = base.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        F.explode("a.probes").alias("pcell"),
+    # The corpus-wide assign runs ONCE (cells); the probe side re-runs it on
+    # only the _N_QUERIES query rows after the pushed-down vec_id filter.
+    # explode_outer (identical here: probes is never empty) suppresses
+    # InferFiltersFromGenerate's size(a.probes) > 0 filter, which would
+    # otherwise re-evaluate the Python UDF a second time per branch.
+    cells = e.withColumn("a", assign("embedding")).select(
+        "vec_id", "embedding", F.col("a.cell").alias("cell")
+    )
+    probes = (
+        e.filter(F.col("vec_id") < _N_QUERIES)
+        .withColumn("a", assign("embedding"))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("qe"),
+            F.explode_outer("a.probes").alias("pcell"),
+        )
     )
     scored = (
         F.broadcast(probes)
-        .join(cells, (F.col("cell") == F.col("pcell")) & (F.col("vec_id") != F.col("q_id")))
+        # eqNullSafe (never-null keys, so ≡ ==) stops Catalyst inferring an
+        # isnotnull(cell) filter from the join — that filter pushes below
+        # the cells projection and re-evaluates the assign UDF over the
+        # whole corpus a second time.
+        .join(
+            cells,
+            F.col("cell").eqNullSafe(F.col("pcell"))
+            & (F.col("vec_id") != F.col("q_id")),
+        )
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -478,8 +496,14 @@ def s05(spark: SparkSession, sf: str) -> DataFrame:
 
     scored = (
         e.select("vec_id", score("embedding").alias("ds"))
-        # q_id == position: the query set is exactly vec_id 0.._N_QUERIES-1
-        .select(F.col("vec_id").alias("neighbor_id"), F.posexplode("ds").alias("q_id", "approx_d2"))
+        # q_id == position: the query set is exactly vec_id 0.._N_QUERIES-1.
+        # posexplode_outer (identical: ds always has nq entries) keeps
+        # InferFiltersFromGenerate from planting a size(ds) > 0 filter that
+        # would re-run the scoring UDF over the whole corpus a second time.
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.posexplode_outer("ds").alias("q_id", "approx_d2"),
+        )
         .withColumn("q_id", F.col("q_id").cast("long"))
         .filter(F.col("neighbor_id") != F.col("q_id"))
     )

@@ -112,6 +112,14 @@ def test_s03_ivf_mapside_assignment(spark, sf_dir):
     # exchanges of the centroid row / probe side are not data shuffles).
     shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert shuffles <= 3
+    # The assign UDF runs exactly twice: once over the corpus (cells), once
+    # over the filtered query rows (probes).  A regression to 3-4 means an
+    # inferred filter (isnotnull on a UDF-derived join key, size>0 from a
+    # generate) is re-scoring the corpus — the explode_outer/eqNullSafe
+    # guards in the builder exist to prevent exactly that.  (Count in the
+    # tree section: formatted plans repeat each node in the detail list.)
+    tree = formatted_plan(df).split("\n\n")[0]
+    assert tree.count("ArrowEvalPython") == 2
 
 
 def test_t05_t06_single_scan_no_shuffle(spark, sf_dir):
@@ -234,3 +242,29 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_p04_mapside_assignment_single_shuffle(spark, sf_dir):
+    """Shard assignment must be a pure map-side expression: the only hash
+    exchange is the 16-group stats aggregate, the only other the final
+    orderBy's range partitioning."""
+    plan = formatted_plan(QUERIES["p04_shard_assignment"].build(spark, sf_dir))
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("rangepartitioning") == 1
+
+
+def test_s05_pq_scoring_never_shuffles_corpus(spark, sf_dir):
+    """PQ encoding+ADC scoring is ONE Arrow pass over the scan — exactly
+    one ArrowEvalPython in the whole plan (posexplode_outer suppresses the
+    inferred size(ds)>0 filter that would re-score the corpus), the
+    shortlist rank compiles to the two-stage partial WindowGroupLimit so
+    ADC candidates truncate map-side before the q_id exchange, and the
+    rerank rehydrates vectors via broadcast join, never a corpus shuffle."""
+    df = QUERIES["s05_ann_pq"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    # one scoring pass in the tree section (detail list repeats nodes)
+    assert plan.split("\n\n")[0].count("ArrowEvalPython") == 1
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert uses_broadcast_join(df)
+    assert "hashpartitioning(vec_id" not in plan
+    assert "hashpartitioning(neighbor_id" not in plan
