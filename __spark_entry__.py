@@ -79,6 +79,9 @@ _PRIORITY = [
     "t10_unigram_surprisal",
     "p04_shard_assignment",
     "s05_ann_pq",
+    "p05_corpus_pipeline",
+    "q41_unpivot",
+    "q42_grouping_sets",
     # plans reshaped in round 3 (fused t08, one-shuffle d08) — re-witness:
     "t08_gopher_repetition",
     "d08_dup_span_coverage",
@@ -88,10 +91,7 @@ _PRIORITY = [
     "st03_stream_dedup",
     "st04_stream_session",
     "q34_asof_join",
-    "q35_tpch_q3",
-    "q36_tpch_q5",
     "q40_lateral_topn",
-    "g08_skewed_interval_join",
 ]
 
 

@@ -316,7 +316,10 @@ def g07(spark: SparkSession, sf: str) -> DataFrame:
 
     path = f"{_FIXTURES}/HiSeq.10000.vcf.bgz"
     hdr = read_vcf_header_text(path)
-    v = VcfSource().read(spark, path)
+    # persist: the site aggregate and the genotype explosion both consume
+    # the decoded variants — without it the Python VCF decode pass runs
+    # twice (one MapInPandas per branch in the plan)
+    v = VcfSource().read(spark, path).persist()
     info = promote_info(v, hdr)
     site = info.groupBy("contig").agg(
         F.count(F.lit(1)).alias("n_sites"),

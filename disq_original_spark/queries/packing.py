@@ -1,5 +1,6 @@
-"""Corpus-construction operators for LLM training pipelines (p01–p03):
-sequence packing, stratified sampling, token-budget mixture.
+"""Corpus-construction operators for LLM training pipelines (p01–p05):
+sequence packing, stratified sampling, token-budget mixture, shard
+assignment, and the composed quality→dedup→sample→mixture build.
 
 Packing concatenates documents into fixed token-budget training sequences so
 a trainer wastes no context-window slots on padding.  The globally-greedy
@@ -151,6 +152,14 @@ def _keep_hash_col() -> F.Column:
     return _knuth_hash_col(100)
 
 
+def _rate_col() -> F.Column:
+    """Per-language sampling percentage (mirrors _RATE_SQL)."""
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in reversed(_RATES.items()):
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    return rate
+
+
 @query(
     "p02_stratified_sample",
     rf"""WITH d AS (SELECT doc_id, lang,
@@ -183,10 +192,7 @@ def p02(spark: SparkSession, sf: str) -> DataFrame:
     is how a 100 TB corpus is downsampled in practice — a full sort or
     reservoir would serialize, a rand() sample is irreproducible."""
     d = load_table(spark, sf, "documents")
-    rate = F.lit(_DEFAULT_RATE)
-    for k, v in reversed(_RATES.items()):
-        rate = F.when(F.col("lang") == k, v).otherwise(rate)
-    kept = _keep_hash_col() < rate
+    kept = _keep_hash_col() < _rate_col()
     return (
         d.select(
             "lang",
@@ -304,4 +310,101 @@ def p04(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
         .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------- p05 composed pipeline
+_P05_QUALITY_MIN = 0.35
+
+_P05_QUALITY_SQL = (
+    r"round(least(CAST(len(string_split_regex(lower(trim(text)), "
+    r"'[ \t\n\x0b\f\r]+')) AS DOUBLE) / 100.0, 1.0) * "
+    r"(1 - CASE WHEN len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) > 0 "
+    r"THEN CAST(len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'), "
+    r"x -> x IN {stop})) AS DOUBLE) "
+    r"/ len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) ELSE 0 END), 4)"
+)
+
+
+def _p05_oracle() -> str:
+    from .textops import _STOP_SQL
+
+    quality = _P05_QUALITY_SQL.format(stop=_STOP_SQL)
+    return rf"""WITH base AS (
+          SELECT doc_id, lang, source,
+                 CAST(len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'))
+                      AS BIGINT) AS toks,
+                 {quality} AS quality,
+                 md5(text) AS h,
+                 {_KEEP_HASH_SQL} AS kh,
+                 {_RATE_SQL} AS rate
+          FROM documents),
+        q AS (SELECT * FROM base WHERE quality >= {_P05_QUALITY_MIN}),
+        d AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+              FROM q),
+        k AS (SELECT * FROM d WHERE rn = 1 AND kh < rate)
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(toks) AS BIGINT) AS total_tokens,
+               round(avg(quality), 4) AS avg_quality
+        FROM k GROUP BY lang, source ORDER BY lang, source"""
+
+
+@query(
+    "p05_corpus_pipeline",
+    _p05_oracle(),
+)
+def p05(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed corpus-construction pipeline, end to end in ONE
+    declarative DataFrame program: quality filter (t02's score) → exact
+    dedup (keep the lowest doc_id per content hash) → deterministic
+    stratified sample (p02's engine-independent Knuth hash) → per
+    (lang, source) mixture stats.  This is the shape a real training-data
+    build takes — each stage is an operator this engine ships individually,
+    and composing them costs nothing extra because Catalyst fuses the
+    map-side stages into one scan.
+
+    Scale shape: quality scoring, hashing, and the sample predicate are all
+    computed in the SAME single pass over the corpus (one projection, no
+    Python); the only shuffles are the dedup window on the content hash
+    (which a 100 TB run keys the same way) and the final small aggregate.
+    Filters run BEFORE the dedup shuffle, so low-quality documents never
+    shuffle at all — operator order is chosen for data volume, not just
+    correctness."""
+    from ..functions import stopword_count
+
+    d = load_table(spark, sf, "documents")
+    tok = tokens("text")
+    n_tokens = F.size(tok).cast("double")
+    stop_ratio = F.when(
+        n_tokens > 0, stopword_count(tok).cast("double") / n_tokens
+    ).otherwise(0.0)
+    quality = F.round(
+        F.least(n_tokens / 100.0, F.lit(1.0)) * (1 - stop_ratio), 4
+    )
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tok).cast("long").alias("toks"),
+        quality.alias("quality"),
+        F.md5("text").alias("h"),
+        _keep_hash_col().alias("kh"),
+        _rate_col().alias("rate"),
+    )
+    q = base.filter(F.col("quality") >= _P05_QUALITY_MIN)
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+    k = (
+        q.withColumn("rn", rn)
+        .filter((F.col("rn") == 1) & (F.col("kh") < F.col("rate")))
+    )
+    return (
+        k.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            F.round(F.avg("quality"), 4).alias("avg_quality"),
+        )
+        .orderBy("lang", "source")
     )

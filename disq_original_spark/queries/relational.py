@@ -998,3 +998,74 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
                     ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
            ORDER BY c.c_custkey, price DESC, t.o_orderkey LIMIT 200"""
     )
+
+
+# ---------------------------------------------------------------- q41 unpivot
+@query(
+    "q41_unpivot",
+    """SELECT o_orderkey, metric, round(val, 2) AS val
+       FROM (SELECT o_orderkey,
+                    round(o_totalprice, 2) AS totalprice,
+                    CAST(o_custkey AS DOUBLE) AS custkey,
+                    CAST(length(o_orderpriority) AS DOUBLE) AS prio_len
+             FROM orders WHERE o_orderkey <= 2000)
+       UNPIVOT (val FOR metric IN (totalprice, custkey, prio_len))
+       ORDER BY o_orderkey, metric""",
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long reshape (UNPIVOT / melt): three per-order measures become
+    (key, metric, value) rows — the missing relational reshape operator
+    (pivot q33 covers long→wide).  Spark's native unpivot compiles to an
+    Expand node: each input row emits one row per measure inside codegen,
+    no join, no shuffle beyond the final sort — at 100 TB the reshape is a
+    map-side multiplication of rows, exactly like the SQL UNPIVOT."""
+    o = _t(spark, sf, "orders")
+    wide = o.filter(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+        F.length("o_orderpriority").cast("double").alias("prio_len"),
+    )
+    return (
+        wide.unpivot(
+            ids=["o_orderkey"],
+            values=["totalprice", "custkey", "prio_len"],
+            variableColumnName="metric",
+            valueColumnName="v",
+        )
+        .select("o_orderkey", "metric", F.round("v", 2).alias("val"))
+        .orderBy("o_orderkey", "metric")
+    )
+
+
+# ---------------------------------------------------------------- q42 grouping sets
+@query(
+    "q42_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+              GROUPING(l_returnflag, l_linestatus) AS gid,
+              count(*) AS c,
+              CAST(sum(l_quantity) AS BIGINT) AS qty
+       FROM lineitem
+       GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                               (l_returnflag), ())
+       ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — the general form rollup
+    (q13) and cube (q14) specialize; gid disambiguates a real NULL group
+    key from a superaggregate row, which the bare rollup output cannot.
+    Spark plans one Expand + one hash aggregate: each row replicates once
+    per grouping set map-side, so the shuffle carries (set, keys) partials
+    — the same single-pass plan the SQL standard intends."""
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("q42_lineitem")
+    return spark.sql(
+        """SELECT l_returnflag, l_linestatus,
+                  grouping_id(l_returnflag, l_linestatus) AS gid,
+                  count(*) AS c,
+                  CAST(sum(l_quantity) AS BIGINT) AS qty
+           FROM q42_lineitem
+           GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                   (l_returnflag), ())
+           ORDER BY gid, l_returnflag ASC NULLS FIRST,
+                    l_linestatus ASC NULLS FIRST"""
+    )
