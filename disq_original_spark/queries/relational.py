@@ -878,7 +878,10 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
 def q37(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="sent: string")
+    # useArrow: rows cross the Python boundary as Arrow batches instead of
+    # pickled one-at-a-time (BatchEvalPython) — same UDTF surface, the
+    # vectorized transfer plane every other Python touchpoint here uses.
+    @udtf(returnType="sent: string", useArrow=True)
     class SplitSentences:
         def eval(self, text: str):
             if text is None:  # oracle: unnest(string_split(NULL)) yields no rows
