@@ -82,6 +82,7 @@ _PRIORITY = [
     "p05_corpus_pipeline",
     "q41_unpivot",
     "q42_grouping_sets",
+    "d09_incremental_dedup",
     # plans reshaped in round 3 (fused t08, one-shuffle d08) — re-witness:
     "t08_gopher_repetition",
     "d08_dup_span_coverage",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "st02_stream_stream_join",
     "st03_stream_dedup",
     "st04_stream_session",
-    "q34_asof_join",
     "q40_lateral_topn",
 ]
 

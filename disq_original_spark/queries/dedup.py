@@ -1,4 +1,4 @@
-r"""Deduplication operators for a training-data pipeline (d01–d07).
+r"""Deduplication operators for a training-data pipeline (d01–d09).
 
 Scale design notes (the whole point of these):
 
@@ -151,6 +151,23 @@ def _doc_signatures(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(gen, schema)
 
 
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_key) rows from a signature frame — the LSH
+    banding shared by d03 (within-corpus pairs) and d09 (incremental)."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("band_key"),
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_idx", "b.band_key"
+    )
+
+
 @query(
     "d03_minhash_lsh",
     f"""WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
@@ -179,19 +196,7 @@ def _doc_signatures(spark: SparkSession, sf: str) -> DataFrame:
     "oracle's HAVING).",
 )
 def d03(spark: SparkSession, sf: str) -> DataFrame:
-    sig = _doc_signatures(spark, sf)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("band_key"),
-            )
-            for b in range(_N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band_idx", "b.band_key"
-    )
+    bands = _band_rows(_doc_signatures(spark, sf))
     inv = (
         bands.groupBy("band_idx", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -633,6 +638,87 @@ def d08(spark: SparkSession, sf: str) -> DataFrame:
             F.round(
                 F.col("n_dup_windows") / F.col("n_windows").cast("double"), 4
             ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------- d09 incremental dedup
+_D09_NEW_MOD = 10  # doc_id % 10 == 7 plays the role of the fresh crawl batch
+
+
+@query(
+    "d09_incremental_dedup",
+    f"""WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        hashed AS (SELECT doc_id, md5('a:' || s) AS h0, md5('b:' || s) AS h1 FROM ex),
+        sig AS (SELECT doc_id, {_SIG_AGG_SQL} FROM hashed GROUP BY doc_id),
+        bands AS ({_BANDS_SQL}),
+        newdoc AS (SELECT doc_id, md5(text) AS h FROM documents
+                   WHERE doc_id % {_D09_NEW_MOD} = 7),
+        oldh AS (SELECT DISTINCT md5(text) AS h FROM documents
+                 WHERE doc_id % {_D09_NEW_MOD} <> 7),
+        oldbands AS (SELECT band_idx, band_key FROM bands
+                     WHERE doc_id % {_D09_NEW_MOD} <> 7
+                     GROUP BY band_idx, band_key
+                     HAVING count(*) <= {_BUCKET_CAP}),
+        nearids AS (SELECT DISTINCT b.doc_id FROM bands b
+                    JOIN oldbands o ON b.band_idx = o.band_idx
+                                   AND b.band_key = o.band_key
+                    WHERE b.doc_id % {_D09_NEW_MOD} = 7)
+        SELECT n.doc_id,
+               COALESCE(n.h IN (SELECT h FROM oldh), FALSE) AS dup_exact,
+               n.doc_id IN (SELECT doc_id FROM nearids) AS dup_near,
+               (COALESCE(n.h IN (SELECT h FROM oldh), FALSE)
+                OR n.doc_id IN (SELECT doc_id FROM nearids)) AS dup_any
+        FROM newdoc n ORDER BY n.doc_id""",
+)
+def d09(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup of a fresh crawl batch against the EXISTING corpus
+    — the production shape of dedup: you don't re-pair the whole corpus,
+    you screen the new batch (docs with id % 10 == 7 stand in for it)
+    against the old corpus's content hashes (exact) and LSH band keys
+    (near), and report per-new-doc verdicts.
+
+    Scale shape: the old corpus is represented only by its distinct
+    content-hash set and its capped band-key postings — both derived once
+    and in practice PERSISTED between crawls (here recomputed, same plan).
+    The exact check is a hash-keyed left join (shuffle carries ~50 B/doc);
+    the near check joins the new batch's bands against the old band keys
+    on (band_idx, band_key) — the boilerplate cap bounds any hot key.
+    Nothing ever pairs doc×doc; verdict rows are the only output."""
+    sig = _doc_signatures(spark, sf)
+    bands = _band_rows(sig)
+    is_new = F.col("doc_id") % _D09_NEW_MOD == 7
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    old_h = d.filter(~is_new).select("h").distinct().withColumn("_e", F.lit(1))
+    old_bands = (
+        bands.filter(~is_new)
+        .groupBy("band_idx", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _BUCKET_CAP)
+        .select("band_idx", "band_key")
+    )
+    near_ids = (
+        bands.filter(is_new)
+        .join(old_bands, ["band_idx", "band_key"])
+        .select("doc_id")
+        .distinct()
+        .withColumn("_n", F.lit(1))
+    )
+    dup_exact = F.col("_e").isNotNull()
+    dup_near = F.col("_n").isNotNull()
+    return (
+        d.filter(is_new)
+        .join(old_h, "h", "left")
+        .join(near_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            dup_exact.alias("dup_exact"),
+            dup_near.alias("dup_near"),
+            (dup_exact | dup_near).alias("dup_any"),
         )
         .orderBy("doc_id")
     )

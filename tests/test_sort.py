@@ -72,3 +72,47 @@ def test_set_sort_order_adds_hd_line():
     assert out.text.startswith("@HD") and "SO:coordinate" in out.text
     h2 = SamHeader(text="@HD\tVN:1.6\tSO:queryname\n", contigs=[])
     assert "SO:coordinate" in set_sort_order(h2).text
+
+
+def test_coordinate_sort_vcf_feeds_indexed_sink(spark, tmp_path):
+    """The same sort operator drives the VCF side: scramble the real BGZF
+    VCF, coordinate_sort on (contig, pos), single-file-commit with a
+    write-time .tbi, and the output reads back in global coordinate order
+    with interval parity against the original file."""
+    import pyspark.sql.functions as F
+
+    from disq_original_spark.sources.headers import SamHeader
+    from disq_original_spark.sources.vcf import VcfSink, VcfSource
+
+    HISEQ = "/root/reference/src/test/resources/HiSeq.10000.vcf.bgz"
+    src = VcfSource()
+    df = src.read(spark, HISEQ, split_size=128 * 1024)
+    header_text = src.read_header(HISEQ)
+    contigs = sorted({r["contig"] for r in df.select("contig").distinct().collect()})
+    pseudo = SamHeader(text="", contigs=[(c, 0) for c in contigs])
+
+    scrambled = df.repartition(8, F.md5(F.col("id").cast("string")))
+    srt = coordinate_sort(
+        scrambled, pseudo, num_partitions=3, contig_col="contig", pos_col="pos"
+    )
+    out = str(tmp_path / "sorted.vcf.bgz")
+    VcfSink().write(srt, header_text, out, write_index=True)
+
+    again = src.read(spark, out, split_size=96 * 1024)
+    order = {c: i for i, c in enumerate(contigs)}
+    keys = [(order[r["contig"]], r["pos"]) for r in again.select("contig", "pos").collect()]
+    assert keys == sorted(keys)
+    assert again.count() == df.count()
+
+    intervals = spark.createDataFrame(
+        [("chr1", 2_700_000, 2_800_000)], "contig string, start long, end long"
+    )
+    got = {
+        (r["contig"], r["pos"])
+        for r in src.read(spark, out, intervals=intervals).collect()
+    }
+    want = {
+        (r["contig"], r["pos"])
+        for r in src.read(spark, HISEQ, intervals=intervals, split_size=128 * 1024).collect()
+    }
+    assert got == want and len(got) > 0
