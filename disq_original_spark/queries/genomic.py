@@ -395,3 +395,84 @@ def g08(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overlaps"))
         .orderBy("k")
     )
+
+
+# --------------------------------------------------- g09 duplicate marking
+@query(
+    "g09_mark_duplicates",
+    None,
+    doc="Distributed MarkDuplicates over the real BAM fixture — the flagship "
+    "workload the reference enables (GATK MarkDuplicatesSpark runs through "
+    "disq readers/writers; `README.md:16`).  operators/dupmark.py computes "
+    "Picard-core pair-end duplicate keys (library, contig, unclipped 5' "
+    "pos, strand) and best-score survivorship entirely in Catalyst "
+    "expressions; slim projections travel through the two decision "
+    "shuffles and the full rows shuffle exactly once in the mark join.  "
+    "Rows-only entry (DuckDB cannot read BAM); the brute-force spec oracle "
+    "and a Picard-flag agreement bound run in tests/test_dupmark.py.",
+)
+def g09(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dupmark import mark_duplicates
+    from ..sources.bam import BamSource
+    from ..sources.headers import read_bam_header
+
+    path = f"{_FIXTURES}/1.bam"
+    header, _refs, _fv = read_bam_header(path)
+    reads = BamSource().read(spark, path, split_size=256 * 1024)
+    marked = mark_duplicates(reads, header)
+    return (
+        marked.groupBy(F.coalesce("rname", F.lit("*")).alias("contig"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reads"),
+            F.sum(F.col("is_duplicate").cast("long")).alias("n_dups"),
+            F.round(F.avg(F.col("is_duplicate").cast("double")), 4).alias("dup_frac"),
+        )
+        .orderBy("contig")
+    )
+
+
+# ------------------------------------------------------------ g10 flagstat
+@query(
+    "g10_flagstat",
+    None,
+    doc="samtools-flagstat equivalent: one partial-agg pass of conditional "
+    "sums over the flag bits of the real BAM fixture — 12 counters in a "
+    "single scan, no shuffle beyond the final 1-row combine.  Rows-only "
+    "entry (DuckDB cannot read BAM); tests/test_dupmark.py recomputes "
+    "every counter from the decoded rows in Python and compares exactly.",
+)
+def g10(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.bam import BamSource
+
+    reads = BamSource().read(spark, f"{_FIXTURES}/1.bam", split_size=256 * 1024)
+    flag = F.col("flag")
+
+    def has(bit: int) -> F.Column:
+        return flag.bitwiseAND(bit) != 0
+
+    def c(cond) -> F.Column:
+        return F.sum(cond.cast("long"))
+
+    mate_diff = (
+        has(1)
+        & ~has(4)
+        & ~has(8)
+        & F.col("rnext").isNotNull()
+        & (F.col("rnext") != "=")
+        & (F.col("rnext") != F.col("rname"))
+    )
+    return reads.agg(
+        F.count(F.lit(1)).alias("total"),
+        c(has(256)).alias("secondary"),
+        c(has(2048)).alias("supplementary"),
+        c(has(1024)).alias("duplicates"),
+        c(~has(4)).alias("mapped"),
+        c(has(1)).alias("paired"),
+        c(has(64)).alias("read1"),
+        c(has(128)).alias("read2"),
+        c(has(2) & ~has(4)).alias("properly_paired"),
+        c(has(1) & ~has(4) & ~has(8)).alias("both_mapped"),
+        c(has(1) & ~has(4) & has(8)).alias("singletons"),
+        c(mate_diff).alias("mate_diff_chr"),
+        c(mate_diff & (F.col("mapq") >= 5)).alias("mate_diff_chr_mapq5"),
+    )

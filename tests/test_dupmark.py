@@ -1,0 +1,203 @@
+"""mark_duplicates (operators/dupmark.py) vs a brute-force sequential
+implementation of the same Picard-core spec, plus agreement with the
+Picard-marked flags shipped inside the reference's own 1.bam fixture
+(`src/test/resources/1.bam` — 4917 reads, 885 carry 0x400)."""
+
+from __future__ import annotations
+
+import collections
+import re
+
+import pytest
+
+from disq_original_spark.operators.dupmark import library_map, mark_duplicates
+from disq_original_spark.sources.bam import BamSource
+from disq_original_spark.sources.headers import read_bam_header
+
+FIXTURE = "/root/reference/src/test/resources/1.bam"
+
+
+def _clips(cig: str) -> tuple[int, int]:
+    lead = 0
+    m = re.match(r"^(\d+)H", cig)
+    if m:
+        lead += int(m.group(1))
+    m = re.match(r"^(?:\d+H)?(\d+)S", cig)
+    if m:
+        lead += int(m.group(1))
+    trail = 0
+    m = re.search(r"(\d+)H$", cig)
+    if m:
+        trail += int(m.group(1))
+    m = re.search(r"(\d+)S(?:\d+H)?$", cig)
+    if m:
+        trail += int(m.group(1))
+    return lead, trail
+
+
+def _ref_len(cig: str) -> int:
+    return sum(
+        int(n) for n, op in re.findall(r"(\d+)([MIDNSHP=X])", cig) if op in "MDN=X"
+    )
+
+
+def _score(qual: str) -> int:
+    if qual == "*":
+        return 0
+    return sum(q - 33 for q in map(ord, qual) if q - 33 >= 15)
+
+
+def brute_force_dups(rows, header):
+    """Sequential reference implementation of the documented spec; returns
+    the set of duplicate record identities (qname, read-ordinal bits)."""
+    lm = library_map(header)
+    ctg_rank = {name: i for i, (name, _l) in enumerate(header.contigs)}
+
+    def sig_of(r):
+        lead, trail = _clips(r.cigar)
+        rev = bool(r.flag & 16)
+        upos = (
+            (r.pos + max(_ref_len(r.cigar) - 1, 0) + trail)
+            if rev
+            else (r.pos - lead)
+        )
+        lib = lm.get((r.attributes or {}).get("RG", ""), "__no_library__")
+        return lib, ctg_rank.get(r.rname, len(ctg_rank)), upos, int(rev)
+
+    def mapped_primary(r):
+        return (
+            (r.flag & 4) == 0
+            and (r.flag & 256) == 0
+            and (r.flag & 2048) == 0
+            and r.rname is not None
+        )
+
+    def pair_end(r):
+        return mapped_primary(r) and (r.flag & 1) and not (r.flag & 8)
+
+    def frag(r):
+        return mapped_primary(r) and (not (r.flag & 1) or (r.flag & 8))
+
+    pairs = collections.defaultdict(list)
+    for r in rows:
+        if pair_end(r):
+            pairs[(r.qname, sig_of(r)[0])].append(r)
+    pair_groups = collections.defaultdict(list)
+    for (qn, lib), ends in pairs.items():
+        key = (lib, tuple(sorted(sig_of(r)[1:] for r in ends)))
+        pair_groups[key].append((qn, sum(_score(r.qual) for r in ends)))
+    dup_ids: set[tuple[str, int]] = set()
+    dup_qnames = set()
+    for members in pair_groups.values():
+        members.sort(key=lambda t: (-t[1], t[0]))
+        for qn, _s in members[1:]:
+            dup_qnames.add(qn)
+    for r in rows:
+        if pair_end(r) and r.qname in dup_qnames:
+            dup_ids.add((r.qname, r.flag & 192))
+
+    pair_end_sigs = {sig_of(r) for r in rows if pair_end(r)}
+    frag_groups = collections.defaultdict(list)
+    for r in rows:
+        if frag(r):
+            frag_groups[sig_of(r)].append(r)
+    for key, members in frag_groups.items():
+        members.sort(key=lambda r: (-_score(r.qual), r.qname, r.flag & 192))
+        start = 0 if key in pair_end_sigs else 1
+        for r in members[start:]:
+            dup_ids.add((r.qname, r.flag & 192))
+    return dup_ids
+
+
+@pytest.fixture(scope="module")
+def marked_rows(spark):
+    header, _refs, _fv = read_bam_header(FIXTURE)
+    reads = BamSource().read(spark, FIXTURE, split_size=256 * 1024)
+    return (
+        mark_duplicates(reads, header)
+        .select("qname", "flag", "rname", "pos", "cigar", "qual", "is_duplicate", "attributes")
+        .collect(),
+        header,
+    )
+
+
+def test_matches_bruteforce_spec(marked_rows):
+    rows, header = marked_rows
+    expected = brute_force_dups(rows, header)
+    got = {(r.qname, r.flag & 192) for r in rows if r.is_duplicate}
+    assert got == expected
+    assert len(rows) == 4917
+
+
+def test_flag_rewrite_consistent(marked_rows):
+    rows, _header = marked_rows
+    for r in rows:
+        assert bool(r.flag & 1024) == bool(r.is_duplicate)
+        if r.flag & (4 | 256 | 2048):  # never mark unmapped/secondary/supp
+            assert not r.is_duplicate
+
+
+def test_agreement_with_picard_flags(spark, marked_rows):
+    """The fixture carries Picard's own 0x400 flags.  The file is a genomic
+    slice, so pairs whose mates fall outside the slice degrade to
+    single-end keys here and over-collide — exact parity is impossible by
+    construction, but agreement must stay high and all-pairs-considered
+    counts in the same band (measured 97.4% / 990 vs 885 at build time)."""
+    rows, _header = marked_rows
+    orig = BamSource().read(spark, FIXTURE).select("qname", "flag").collect()
+    picard = {(r.qname, r.flag & 192): bool(r.flag & 1024) for r in orig}
+    agree = sum(
+        1 for r in rows if picard[(r.qname, r.flag & 192)] == bool(r.is_duplicate)
+    )
+    assert agree / len(rows) >= 0.97
+    n_dups = sum(1 for r in rows if r.is_duplicate)
+    assert 885 <= n_dups <= 1100
+
+
+def test_split_invariance(spark, marked_rows):
+    rows, header = marked_rows
+    small = BamSource().read(spark, FIXTURE, split_size=64 * 1024)
+    remarked = {
+        (r.qname, r.flag & 192)
+        for r in mark_duplicates(small, header)
+        .filter("is_duplicate")
+        .select("qname", "flag")
+        .collect()
+    }
+    assert remarked == {(r.qname, r.flag & 192) for r in rows if r.is_duplicate}
+
+
+def test_flagstat_matches_python(spark):
+    from disq_original_spark.queries import QUERIES
+
+    row = QUERIES["g10_flagstat"].build(spark, "unused").collect()[0]
+    rows = BamSource().read(spark, FIXTURE).select("flag", "rname", "rnext", "mapq").collect()
+
+    def c(pred):
+        return sum(1 for r in rows if pred(r))
+
+    md = lambda r: (
+        (r.flag & 1)
+        and not (r.flag & 4)
+        and not (r.flag & 8)
+        and r.rnext is not None
+        and r.rnext != "="
+        and r.rnext != r.rname
+    )
+    assert row.total == len(rows)
+    assert row.secondary == c(lambda r: r.flag & 256)
+    assert row.supplementary == c(lambda r: r.flag & 2048)
+    assert row.duplicates == c(lambda r: r.flag & 1024)
+    assert row.mapped == c(lambda r: not (r.flag & 4))
+    assert row.paired == c(lambda r: r.flag & 1)
+    assert row.read1 == c(lambda r: r.flag & 64)
+    assert row.read2 == c(lambda r: r.flag & 128)
+    assert row.properly_paired == c(lambda r: (r.flag & 2) and not (r.flag & 4))
+    assert row.both_mapped == c(
+        lambda r: (r.flag & 1) and not (r.flag & 4) and not (r.flag & 8)
+    )
+    assert row.singletons == c(
+        lambda r: (r.flag & 1) and not (r.flag & 4) and (r.flag & 8)
+    )
+    assert row.mate_diff_chr == c(md)
+    assert row.mate_diff_chr_mapq5 == c(lambda r: md(r) and r.mapq >= 5)
