@@ -566,3 +566,75 @@ def t10(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------- t11 quality classifier
+_T11_P = 1_000_003  # feature-hash modulus (prime)
+_T11_KNUTH = 2654435761  # Knuth multiplicative constant, 32-bit golden ratio
+
+
+@query(
+    "t11_quality_classifier",
+    rf"""WITH words AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS word
+          FROM documents),
+        hashed AS (
+          SELECT doc_id,
+                 (list_reduce(
+                    list_prepend(CAST(0 AS BIGINT),
+                                 list_transform(range(1, length(word)+1),
+                                                i -> CAST(ord(substr(word, i, 1)) AS BIGINT))),
+                    (acc, c) -> (acc * 31 + c) % {_T11_P})
+                  * {_T11_KNUTH}) % 4294967296 - 2147483648 AS w
+          FROM words)
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(w) AS BIGINT) AS logit_sum_q32,
+               round(CAST(sum(w) AS DOUBLE) / (count(*) * 4294967296.0), 6) AS quality_logit,
+               sum(w) > 0 AS keep
+        FROM hashed GROUP BY doc_id ORDER BY doc_id""",
+)
+def t11(spark: SparkSession, sf: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier: each token feature-
+    hashes to a bucket (rolling 31-polynomial over code points mod a prime),
+    each bucket carries a deterministic weight, and the document score is the
+    mean bucket weight — the shape of every production quality-filter model
+    (real learned weights would replace the Knuth-derived stand-ins via a
+    broadcast weight table without changing the plan).
+
+    Engine-exact by construction: weights are INTEGERS in Q32 fixed point
+    (``(h * KNUTH) mod 2^32 - 2^31``), so the per-document sum is exact
+    integer arithmetic — order-independent, no floating-point accumulation
+    drift between Spark's partition-parallel sum and DuckDB's sequential
+    one — and the single final division is the only float op.  All 64-bit
+    intermediates are overflow-safe (h < 2^20, h*KNUTH < 2^52).
+
+    Scale shape: ONE nested codegen expression per row — tokenize, hash,
+    weight, and sum entirely inside higher-order functions, zero explode,
+    zero shuffle, zero Python.  At 100 TB this is a pure map-side scan;
+    the orderBy exists only for the driver's deterministic compare."""
+    d = load_table(spark, sf, "documents")
+    tok = tokens("text")
+
+    def w_int(word):
+        h = F.aggregate(
+            F.transform(F.split(word, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + c) % _T11_P,
+        )
+        return (h * _T11_KNUTH) % 4294967296 - 2147483648
+
+    logit_sum = F.aggregate(
+        tok, F.lit(0).cast("long"), lambda acc, word: acc + w_int(word)
+    )
+    n = F.size(tok)
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        logit_sum.alias("logit_sum_q32"),
+        F.round(
+            logit_sum.cast("double") / (n.cast("double") * 4294967296.0), 6
+        ).alias("quality_logit"),
+        (logit_sum > 0).alias("keep"),
+    ).orderBy("doc_id")

@@ -268,3 +268,13 @@ def test_s05_pq_scoring_never_shuffles_corpus(spark, sf_dir):
     assert uses_broadcast_join(df)
     assert "hashpartitioning(vec_id" not in plan
     assert "hashpartitioning(neighbor_id" not in plan
+
+
+def test_t11_classifier_is_pure_mapside(spark, sf_dir):
+    """The hashed linear classifier must score in the scan: no explode, no
+    join, no aggregate exchange — the only exchange is the final orderBy's
+    range partitioning."""
+    plan = formatted_plan(QUERIES["t11_quality_classifier"].build(spark, sf_dir))
+    assert "Join" not in plan and "Generate" not in plan
+    assert plan.split("\n\n")[0].count("Exchange") == 1
+    assert "rangepartitioning" in plan
