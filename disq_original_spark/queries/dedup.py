@@ -722,3 +722,104 @@ def d09(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------- d10 SemDeDup
+_SEMDEDUP_K = 8  # seed centroids: vec_id < 8 (same protocol as s03/s04)
+_SEMDEDUP_COS = 0.405  # in a measured gap of the rounded within-cluster sims
+# (nearest values at sf0.001/sf0.01: 0.3999 below, 0.4064/0.4065 above), so
+# Spark's numpy gram and DuckDB's list_cosine_similarity cannot disagree on
+# the keep/drop decision after round(.,4)
+
+
+@query(
+    "d10_semdedup",
+    f"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+                   WHERE vec_id < {_SEMDEDUP_K}),
+        scored AS (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(c.ce AS DOUBLE[])) AS cos
+          FROM embeddings e CROSS JOIN c),
+        assign AS (
+          SELECT vec_id, embedding, cid,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos DESC, cid) AS rn
+          FROM scored),
+        m AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+        sim AS (
+          SELECT a.vec_id,
+                 max(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])), 4))
+                   AS max_sim_prev
+          FROM m a JOIN m b ON a.cid = b.cid AND b.vec_id < a.vec_id
+          GROUP BY a.vec_id)
+        SELECT m.vec_id, m.cid AS cluster_id,
+               coalesce(s.max_sim_prev, -1.0) AS max_sim_prev,
+               coalesce(s.max_sim_prev >= {_SEMDEDUP_COS}, false) AS is_dropped
+        FROM m LEFT JOIN sim s ON s.vec_id = m.vec_id
+        ORDER BY m.vec_id""",
+)
+def d10(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster the
+    embedding space, then drop near-duplicates WITHIN each cluster — the
+    clustering turns the quadratic all-pairs search into per-cluster work,
+    which is the entire reason the method scales.  A vector is dropped when
+    some lower-id member of its cluster is within the cosine threshold
+    (keep-first survivorship, the same contract as d01/d05).
+
+    Scale shape: assignment reuses s04's map-side in-expression argmax over
+    the broadcast centroid literals (zero shuffle); the per-cluster dedup is
+    one applyInPandas over cluster groups — a numpy gram matrix per cluster,
+    the exact shape SemDeDup runs on GPU — so the only corpus shuffle is the
+    single hash exchange on cluster id.  At 100 TB the cluster count scales
+    with the corpus (SemDeDup uses ~100k clusters for billions of docs),
+    keeping each group worker-sized; the tiny (vec_id, cid, sim, flag)
+    result is all that leaves Python."""
+    import pandas as pd
+
+    from .similarity import _KM_K, assign_to_centroids  # noqa: F401
+
+    e = load_table(spark, sf, "embeddings")
+    cents = (
+        e.filter(F.col("vec_id") < _SEMDEDUP_K)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    members = assign_to_centroids(e, cents).select("vec_id", "embedding", "cid")
+
+    def cluster_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        cid = pdf["cid"].to_numpy()
+        m = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        gram = np.round(m @ m.T, 4)
+        # max similarity to any EARLIER (lower-id) member: strict lower
+        # triangle; row 0 has no predecessor -> sentinel -1.0
+        tril = np.tril(gram, k=-1)
+        tril[np.triu_indices(len(ids))] = -np.inf
+        max_prev = np.where(
+            np.arange(len(ids)) == 0, -1.0, np.max(tril, axis=1)
+        )
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster_id": cid,
+                "max_sim_prev": max_prev,
+                "is_dropped": max_prev >= _SEMDEDUP_COS,
+            }
+        )
+
+    return (
+        members.repartition("cid")
+        .groupBy("cid")
+        .applyInPandas(
+            cluster_dedup,
+            "vec_id long, cluster_id long, max_sim_prev double, is_dropped boolean",
+        )
+        .orderBy("vec_id")
+    )

@@ -261,6 +261,54 @@ def s03(spark: SparkSession, sf: str) -> DataFrame:
 _KM_K = 8  # centroid count: vec_id < 8 are the seed centroids
 
 
+def assign_to_centroids(e: DataFrame, cents) -> DataFrame:
+    """Map-side nearest-centroid assignment by cosine (ties → lowest
+    centroid id): returns (vec_id, embedding, cid, cos).
+
+    In-expression argmax: struct comparison is field-ordered, so the max of
+    (cos, -cid) is the highest cosine with ties to the LOWEST centroid id —
+    exactly an ``ORDER BY cos DESC, cid`` oracle.  The whole candidate array
+    is rendered as ONE SQL expression (a Column-API build of k × dims
+    literals costs hundreds of py4j round trips of driver time).  Arithmetic
+    is kept bit-identical to dot/( |e| * |c| ) with float64 sequential
+    folds: |e| is hoisted and computed once per row (same IEEE value the
+    per-centroid fold produced), and each |c| is a literal computed by the
+    same sequential square-accumulate the aggregate would run — so DuckDB's
+    ``list_cosine_similarity`` over DOUBLE[] reproduces the argmax exactly.
+    ``cents`` is a pandas frame of (vec_id, embedding), the tiny driver
+    artifact a k-means/IVF iteration consumes; assignment shuffles nothing."""
+    import math
+
+    def _cnorm(vec) -> float:
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return math.sqrt(acc)
+
+    ed = "transform(embedding, x -> cast(x as double))"
+    na = (
+        f"sqrt(aggregate(transform({ed}, x -> x * x), 0.0D, (acc, x) -> acc + x))"
+    )
+
+    def _dot(vec) -> str:
+        lit = "array(" + ", ".join(repr(float(x)) + "D" for x in vec) + ")"
+        return (
+            f"aggregate(zip_with({ed}, {lit}, (x, y) -> x * y), 0.0D, "
+            f"(acc, x) -> acc + x)"
+        )
+
+    cands = "array(" + ", ".join(
+        f"named_struct('cos', {_dot(emb)} / (__na * {repr(_cnorm(emb))}D), "
+        f"'neg_cid', {-int(cid)}L)"
+        for cid, emb in zip(cents["vec_id"], cents["embedding"])
+    ) + ")"
+    return (
+        e.selectExpr("vec_id", "embedding", f"{na} AS __na")
+        .selectExpr("vec_id", "embedding", f"array_max({cands}) AS best")
+        .selectExpr("vec_id", "embedding", "-best.neg_cid AS cid", "best.cos AS cos")
+    )
+
+
 @query(
     "s04_kmeans_update",
     f"""WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
@@ -310,43 +358,7 @@ def s04(spark: SparkSession, sf: str) -> DataFrame:
         .toPandas()
         .sort_values("vec_id")
     )
-    # In-expression argmax: struct comparison is field-ordered, so the max of
-    # (cos, -cid) is the highest cosine with ties to the LOWEST centroid id —
-    # exactly the oracle's ORDER BY cos DESC, cid.  The whole candidate array
-    # is rendered as ONE SQL expression (a Column-API build of k × dims
-    # literals costs hundreds of py4j round trips of driver time).  Arithmetic
-    # is kept bit-identical to dot/( |e| * |c| ) with float64 sequential
-    # folds: |e| is hoisted and computed once per row (same IEEE value the
-    # per-centroid fold produced), and each |c| is a literal computed by the
-    # same sequential square-accumulate the aggregate would run.
-    import math
-
-    def _cnorm(vec) -> float:
-        acc = 0.0
-        for x in vec:
-            acc += float(x) * float(x)
-        return math.sqrt(acc)
-
-    ed = "transform(embedding, x -> cast(x as double))"
-    na = (
-        f"sqrt(aggregate(transform({ed}, x -> x * x), 0.0D, (acc, x) -> acc + x))"
-    )
-
-    def _dot(vec) -> str:
-        lit = "array(" + ", ".join(repr(float(x)) + "D" for x in vec) + ")"
-        return (
-            f"aggregate(zip_with({ed}, {lit}, (x, y) -> x * y), 0.0D, "
-            f"(acc, x) -> acc + x)"
-        )
-
-    cands = "array(" + ", ".join(
-        f"named_struct('cos', {_dot(emb)} / (__na * {repr(_cnorm(emb))}D), "
-        f"'neg_cid', {-int(cid)}L)"
-        for cid, emb in zip(cents["vec_id"], cents["embedding"])
-    ) + ")"
-    members = e.selectExpr("vec_id", "embedding", f"{na} AS __na").selectExpr(
-        "vec_id", "embedding", f"array_max({cands}) AS best"
-    ).selectExpr("vec_id", "embedding", "-best.neg_cid AS cid", "best.cos AS cos")
+    members = assign_to_centroids(e, cents)
     dims = (
         members.select("cid", F.posexplode("embedding").alias("i", "x"))
         .groupBy("cid", "i")
