@@ -408,3 +408,132 @@ def p05(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ----------------------------------------------- p06 DSIR importance resampling
+_P06_P = 1_000_003  # feature-hash modulus (prime, shared with t11)
+_P06_B = 1024  # hashed n-gram buckets
+_P06_THR_MICRO = 0  # select docs whose quantized log-weight is positive
+
+# NB: the char-position lambda variable must NOT be `i` — callers embed this
+# fragment inside an outer list_transform whose variable is `i`, and DuckDB
+# lambda scoping would silently shadow it (chars indexed by the outer token
+# index — wrong hashes, found the hard way)
+_P06_HASH_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length({w})+1), "
+    "ci -> CAST(ord(substr({w}, ci, 1)) AS BIGINT))), "
+    f"(acc, c) -> (acc * 31 + c) % {_P06_P}) % {_P06_B}"
+)
+
+
+@query(
+    "p06_importance_resampling",
+    rf"""WITH toks AS (
+          SELECT doc_id, lang,
+                 string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
+          FROM documents),
+        feats AS (
+          SELECT doc_id, lang, unnest(list_concat(
+                   list_transform(t, w -> {_P06_HASH_SQL.format(w="w")}),
+                   list_transform(range(1, len(t)),
+                                  i -> {_P06_HASH_SQL.format(w="(t[i] || ' ' || t[i+1])")})
+                 )) AS b
+          FROM toks),
+        hist AS (
+          SELECT b, count(*) AS cr,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+          FROM feats GROUP BY b),
+        tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM hist),
+        ratios AS (
+          SELECT b, CAST(round((ln((ct + 1.0) / (nt + {_P06_B}))
+                               - ln((cr + 1.0) / (nr + {_P06_B}))) * 1000000)
+                         AS BIGINT) AS lrq
+          FROM hist, tot),
+        scored AS (
+          SELECT f.doc_id, count(*) AS n_feats, CAST(sum(r.lrq) AS BIGINT) AS wq
+          FROM feats f JOIN ratios r USING (b) GROUP BY f.doc_id)
+        SELECT doc_id, n_feats, wq AS log_w_micro,
+               CAST(sign(wq) AS BIGINT) * ((abs(wq) + 50) // 100) / 10000.0 AS log_w,
+               wq >= {_P06_THR_MICRO} AS selected
+        FROM scored ORDER BY doc_id""",
+)
+def p06(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, arXiv:2302.03169):
+    score every document by the log importance weight of a hashed-n-gram
+    bag model — ln p_target(feature) - ln p_raw(feature) summed over the
+    document's unigram+bigram features, with Laplace smoothing — where the
+    target distribution is the English subset and raw is the whole corpus;
+    positive-weight documents are the ones a target-matched resample keeps.
+
+    Engine-exact by construction: each bucket's log-ratio is quantized to
+    integer MICRO-units once (one round of one double per bucket), so the
+    per-document score is an exact integer sum — order-independent, immune
+    to the float-accumulation drift a naive sum-of-lns has between Spark's
+    partition-parallel and DuckDB's sequential aggregation — and the
+    selection is an integer comparison.
+
+    Scale shape: features are built in one higher-order expression (no
+    Python); the bucket histogram is a hash aggregate onto {_P06_B} keys
+    (map-side combine collapses each partition to <= B partial rows); the
+    log-ratio table is {_P06_B} rows — broadcast — so scoring is a
+    broadcast join plus one (doc_id, partials) shuffle.  The corpus text
+    itself is never shuffled at any stage."""
+    d = load_table(spark, sf, "documents")
+    tok = tokens("text")
+
+    def bucket(word):
+        h = F.aggregate(
+            F.transform(F.split(word, ""), lambda c: F.ascii(c).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + c) % _P06_P,
+        )
+        return h % _P06_B
+
+    unigrams = F.transform(tok, bucket)
+    bigrams = F.when(
+        F.size(tok) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tok) - 1),
+            lambda i: bucket(
+                F.concat(F.element_at(tok, i), F.lit(" "), F.element_at(tok, i + 1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    feats = d.select(
+        "doc_id", "lang", F.explode(F.concat(unigrams, bigrams)).alias("b")
+    )
+    hist = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
+    )
+    tot = hist.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    lrq = F.round(
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + float(_P06_B)))
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + float(_P06_B)))
+        )
+        * 1000000.0
+    ).cast("long")
+    ratios = hist.join(F.broadcast(tot)).select("b", lrq.alias("lrq"))
+    scored = (
+        feats.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("lrq").alias("wq"))
+    )
+    # 4-decimal display value derived by INTEGER half-away rounding, then one
+    # division — a float round(wq/1e6, 4) differs between engines exactly on
+    # the .00005 boundaries (HALF_UP vs banker's), and wq ≡ 50 (mod 100)
+    # does occur in practice
+    log_w = (
+        F.signum("wq").cast("long") * F.floor((F.abs("wq") + 50) / 100)
+    ) / 10000.0
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        F.col("wq").alias("log_w_micro"),
+        log_w.alias("log_w"),
+        (F.col("wq") >= _P06_THR_MICRO).alias("selected"),
+    ).orderBy("doc_id")
