@@ -258,3 +258,28 @@ def st06(spark: SparkSession, sf: str) -> DataFrame:
     stream = _events_stream(spark, sf)
     sink = _drain_to_memory(spark, sliding_window_value(stream), "complete")
     return sink.orderBy("window_start", "event_type")
+
+
+@query(
+    "st07_stream_static_join",
+    """SELECT c.c_mktsegment AS segment, count(*) AS n_events,
+              round(sum(e.value), 2) AS total_value
+       FROM events e JOIN customer c ON c.c_custkey = e.user_id
+       GROUP BY 1 ORDER BY 1""",
+    doc="Stream-static enrichment join run as a real readStream pipeline: "
+    "the event stream joins a STATIC broadcast customer dimension (the "
+    "stateless stream-static join Structured Streaming guarantees), then "
+    "aggregates per market segment in complete mode.  availableNow drains "
+    "the whole input in one micro-batch, so the result equals the batch "
+    "join+aggregate and the DuckDB oracle checks it exactly.",
+)
+def st07(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.events import enriched_segment_totals
+    from ..tables import load_table
+
+    stream = _events_stream(spark, sf)
+    customers = load_table(spark, sf, "customer")
+    sink = _drain_to_memory(spark, enriched_segment_totals(stream, customers), "complete")
+    return sink.select(
+        "segment", "n_events", "total_value"
+    ).orderBy("segment")

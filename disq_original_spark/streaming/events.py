@@ -151,3 +151,33 @@ def sliding_window_value(
             "sv",
         )
     )
+
+
+def enriched_segment_totals(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join the event stream to a static customer
+    dimension on user_id and aggregate per market segment — the canonical
+    dimension-enrichment pipeline (clickstream × user table).
+
+    Stream-static joins are STATELESS in Structured Streaming: each
+    micro-batch joins against the static side, which Spark re-plans as a
+    broadcast when small — no state store, no watermark needed for the join
+    itself.  The aggregate keys on the enriched segment column, so state is
+    bounded by segment cardinality regardless of stream volume."""
+    dim = F.broadcast(
+        customers.select(
+            F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+        )
+    )
+    return (
+        events.join(dim, "user_id")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def enriched_segment_totals_batch(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Batch twin of ``enriched_segment_totals``."""
+    return enriched_segment_totals(events, customers)

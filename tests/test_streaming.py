@@ -101,3 +101,21 @@ def test_running_user_totals_stateful(spark, sf_dir, events_dir):
     final = final.sort_values("user_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(final[["user_id", "n_events", "total_value"]],
                                   expected, check_dtype=False)
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, events_dir):
+    from disq_original_spark.streaming.events import (
+        enriched_segment_totals,
+        enriched_segment_totals_batch,
+    )
+
+    customers = load_table(spark, sf_dir, "customer")
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    got = _run_to_memory(
+        spark, enriched_segment_totals(stream, customers), "seg_totals", "complete"
+    ).collect()
+    expected = enriched_segment_totals_batch(
+        load_table(spark, sf_dir, "events"), customers
+    ).collect()
+    assert set(map(str, got)) == set(map(str, expected))
+    assert len(got) > 0
