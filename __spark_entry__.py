@@ -83,15 +83,17 @@ _PRIORITY = [
     "q41_unpivot",
     "q42_grouping_sets",
     "d09_incremental_dedup",
+    "t11_quality_classifier",
+    "d10_semdedup",
+    "p06_importance_resampling",
+    "st07_stream_static_join",
     # plans reshaped in round 3 (fused t08, one-shuffle d08) — re-witness:
     "t08_gopher_repetition",
     "d08_dup_span_coverage",
-    # round-2-green entries kept inside the 50-row window:
-    "st01_stream_tumbling",
-    "st02_stream_stream_join",
-    "st03_stream_dedup",
-    "st04_stream_session",
-    "q40_lateral_topn",
+    # new rows-only genomics (exact pytest oracles in tests/test_dupmark.py);
+    # g10 sits just past the 50-row window this round and rotates in next
+    "g09_mark_duplicates",
+    "g10_flagstat",
 ]
 
 
