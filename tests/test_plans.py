@@ -278,3 +278,29 @@ def test_t11_classifier_is_pure_mapside(spark, sf_dir):
     assert "Join" not in plan and "Generate" not in plan
     assert plan.split("\n\n")[0].count("Exchange") == 1
     assert "rangepartitioning" in plan
+
+
+def test_dupmark_bulk_shuffles_once(spark):
+    """mark_duplicates' scale contract: the read bulk (seq/qual) crosses
+    exactly ONE exchange — the final mark join — while the two decision
+    stages (pair assembly on qname, duplicate-key ranking) and the
+    pair-end-signature distinct all shuffle slim projections only."""
+    import re
+
+    from disq_original_spark.operators.dupmark import mark_duplicates
+    from disq_original_spark.sources.bam import BamSource
+    from disq_original_spark.sources.headers import read_bam_header
+
+    path = "/root/reference/src/test/resources/1.bam"
+    header, _refs, _fv = read_bam_header(path)
+    df = mark_duplicates(BamSource().read(spark, path), header)
+    plan = formatted_plan(df)
+    nodes = [
+        b
+        for b in re.split(r"\n\n", plan)
+        if b.startswith("(") and "Exchange" in b.splitlines()[0]
+    ]
+    assert len(nodes) == 6
+    bulk = [b for b in nodes if "seq#" in b]
+    assert len(bulk) == 1
+    assert "hashpartitioning(qname#" in bulk[0]

@@ -209,3 +209,27 @@ def test_vcf_interval_parity_at_scale(spark, big_vcf):
     for ss in _SPLIT_SIZES[:2]:
         got = VcfSource().read(spark, big_vcf, intervals=intervals, split_size=ss)
         assert got.count() == expected, ss
+
+
+def test_mark_duplicates_at_scale(spark, big_bam):
+    """Duplicate marking over ~1.7M reads: union the big BAM with a
+    qname-suffixed copy of itself, so every single-end signature carries
+    exactly two fragments with identical scores — the tie-break (lowest
+    qname survives) makes the expected marking exact: every copy, and only
+    the copies, are duplicates."""
+    from disq_original_spark.operators.dupmark import mark_duplicates
+    from disq_original_spark.sources.bam import BamSource
+
+    path, header = big_bam
+    reads = BamSource().read(spark, path, split_size=8 * _MB)
+    n = reads.count()
+    doubled = reads.union(
+        reads.withColumn("qname", F.concat(F.col("qname"), F.lit("x")))
+    )
+    marked = mark_duplicates(doubled, header).cache()
+    try:
+        assert marked.filter("is_duplicate").count() == n
+        assert marked.filter("is_duplicate AND qname NOT LIKE '%x'").count() == 0
+        assert marked.filter("NOT is_duplicate").count() == n
+    finally:
+        marked.unpersist()
