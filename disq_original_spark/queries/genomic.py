@@ -476,3 +476,80 @@ def g10(spark: SparkSession, sf: str) -> DataFrame:
         c(mate_diff).alias("mate_diff_chr"),
         c(mate_diff & (F.col("mapq") >= 5)).alias("mate_diff_chr_mapq5"),
     )
+
+
+# ----------------------------------------------------- g11 per-cycle quality QC
+@query(
+    "g11_cycle_quality",
+    None,
+    doc="FastQC-style per-cycle QC over the real BAM: mean base quality and "
+    "base composition at every read position (machine-cycle), the standard "
+    "sequencing-QC track.  arrays_zip(split(seq), split(qual)) + posexplode "
+    "builds (cycle, base, phred) rows inside codegen — no Python, no "
+    "per-cycle substring rescans — and the aggregate is a partial-agg hash "
+    "shuffle carrying only (cycle, partial-sums): at 100 TB the shuffle "
+    "volume is read-length × partitions, independent of read count.  "
+    "Rows-only entry (DuckDB cannot read BAM); tests/test_qc.py recomputes "
+    "every cycle's stats from the decoded rows in Python.",
+)
+def g11(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.bam import BamSource
+
+    reads = BamSource().read(spark, f"{_FIXTURES}/1.bam", split_size=256 * 1024)
+    eligible = reads.filter(
+        (F.col("flag").bitwiseAND(256 + 2048) == 0) & (F.col("qual") != "*")
+    )
+    zipped = F.arrays_zip(
+        F.split(F.col("seq"), "").alias("b"), F.split(F.col("qual"), "").alias("q")
+    )
+    cells = eligible.select(
+        F.posexplode(zipped).alias("cycle0", "bq")
+    ).select(
+        (F.col("cycle0") + 1).alias("cycle"),
+        F.col("bq.b").alias("b"),
+        (F.ascii("bq.q") - 33).alias("phred"),
+    )
+    return (
+        cells.groupBy("cycle")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("phred"), 2).alias("avg_qual"),
+            F.round(F.avg((F.col("b") == "A").cast("double")), 4).alias("frac_a"),
+            F.round(F.avg((F.col("b") == "C").cast("double")), 4).alias("frac_c"),
+            F.round(F.avg((F.col("b") == "G").cast("double")), 4).alias("frac_g"),
+            F.round(F.avg((F.col("b") == "T").cast("double")), 4).alias("frac_t"),
+        )
+        .orderBy("cycle")
+    )
+
+
+# ------------------------------------------------------------- g12 Ts/Tv ratio
+@query(
+    "g12_tstv",
+    None,
+    doc="Transition/transversion ratio over the real BGZF VCF — the "
+    "first-line variant-calling QC metric (a human callset expects ~2.0-2.1 "
+    "genome-wide).  Biallelic SNVs classify as transition (A<->G, C<->T) "
+    "with one map-side expression; the result is a single partial-agg "
+    "combine.  Rows-only entry (DuckDB cannot read VCF); tests/test_qc.py "
+    "recomputes the counts in Python.",
+)
+def g12(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.vcf import VcfSource
+
+    v = VcfSource().read(spark, f"{_FIXTURES}/HiSeq.10000.vcf.bgz", split_size=256 * 1024)
+    snv = (
+        (F.length("ref") == 1)
+        & (F.size("alts") == 1)
+        & (F.length(F.element_at("alts", 1)) == 1)
+    )
+    pair = F.concat(F.upper("ref"), F.upper(F.element_at("alts", 1)))
+    is_ts = pair.isin("AG", "GA", "CT", "TC")
+    return v.filter(snv).agg(
+        F.count(F.lit(1)).alias("n_snv"),
+        F.sum(is_ts.cast("long")).alias("n_ts"),
+        F.sum((~is_ts).cast("long")).alias("n_tv"),
+        F.round(
+            F.sum(is_ts.cast("long")) / F.sum((~is_ts).cast("long")), 4
+        ).alias("tstv"),
+    )

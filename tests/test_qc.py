@@ -1,0 +1,67 @@
+"""QC operators (g11 per-cycle quality, g12 Ts/Tv) recomputed from the
+decoded rows in Python — same differential posture as test_dupmark.py."""
+
+from __future__ import annotations
+
+import pytest
+
+from disq_original_spark.queries import QUERIES
+
+FIXTURES = "/root/reference/src/test/resources"
+
+
+def test_g11_cycle_quality_matches_python(spark):
+    from disq_original_spark.sources.bam import BamSource
+
+    got = {r.cycle: r for r in QUERIES["g11_cycle_quality"].build(spark, "unused").collect()}
+    rows = (
+        BamSource()
+        .read(spark, f"{FIXTURES}/1.bam")
+        .select("flag", "seq", "qual")
+        .collect()
+    )
+    agg: dict[int, list] = {}
+    for r in rows:
+        if r.flag & (256 + 2048) or r.qual == "*":
+            continue
+        for i, (b, q) in enumerate(zip(r.seq, r.qual), start=1):
+            a = agg.setdefault(i, [0, 0, 0, 0, 0, 0])  # n, qsum, A, C, G, T
+            a[0] += 1
+            a[1] += ord(q) - 33
+            for j, base in enumerate("ACGT", start=2):
+                if b == base:
+                    a[j] += 1
+    assert set(got) == set(agg)
+    for cyc, a in agg.items():
+        g = got[cyc]
+        assert g.n == a[0]
+        assert g.avg_qual == round(a[1] / a[0], 2)
+        assert g.frac_a == pytest.approx(round(a[2] / a[0], 4))
+        assert g.frac_c == pytest.approx(round(a[3] / a[0], 4))
+        assert g.frac_g == pytest.approx(round(a[4] / a[0], 4))
+        assert g.frac_t == pytest.approx(round(a[5] / a[0], 4))
+
+
+def test_g12_tstv_matches_python(spark):
+    from disq_original_spark.sources.vcf import VcfSource
+
+    row = QUERIES["g12_tstv"].build(spark, "unused").collect()[0]
+    rows = (
+        VcfSource()
+        .read(spark, f"{FIXTURES}/HiSeq.10000.vcf.bgz")
+        .select("ref", "alts")
+        .collect()
+    )
+    n_ts = n_tv = 0
+    for r in rows:
+        if len(r.ref) != 1 or len(r.alts) != 1 or len(r.alts[0]) != 1:
+            continue
+        pair = (r.ref + r.alts[0]).upper()
+        if pair in ("AG", "GA", "CT", "TC"):
+            n_ts += 1
+        else:
+            n_tv += 1
+    assert row.n_snv == n_ts + n_tv
+    assert row.n_ts == n_ts
+    assert row.n_tv == n_tv
+    assert row.tstv == round(n_ts / n_tv, 4)
