@@ -638,3 +638,76 @@ def t11(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("quality_logit"),
         (logit_sum > 0).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- t12 filter funnel
+@query(
+    "t12_filter_funnel",
+    rf"""WITH t AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
+          FROM documents),
+        s AS (
+          SELECT doc_id, len(t) AS n_tokens,
+                 len(list_filter(t, x -> x IN {_STOP_SQL})) AS n_stop,
+                 (SELECT max(c) FROM (SELECT count(*) AS c
+                                      FROM unnest(t.t) AS u(w) GROUP BY w)) AS top_count
+          FROM t)
+        SELECT doc_id, n_tokens, top_count,
+               CASE WHEN n_tokens < 20 THEN 'too_short'
+                    WHEN n_tokens > 90 THEN 'too_long'
+                    WHEN n_stop * 20 < n_tokens THEN 'low_stopword'
+                    WHEN top_count * 5 > n_tokens THEN 'repetitive'
+                    ELSE 'pass' END AS reason,
+               CASE WHEN n_tokens < 20 THEN false
+                    WHEN n_tokens > 90 THEN false
+                    WHEN n_stop * 20 < n_tokens THEN false
+                    WHEN top_count * 5 > n_tokens THEN false
+                    ELSE true END AS kept
+        FROM s ORDER BY doc_id""",
+)
+def t12(spark: SparkSession, sf: str) -> DataFrame:
+    """FineWeb/RefinedWeb-style quality-filter cascade with removal-reason
+    attribution: each document is labeled by the FIRST rule it fails —
+    too_short, too_long, low_stopword (Gopher's stop-word signal),
+    repetitive (top-word fraction) — or 'pass'.  Reason codes are what make
+    large-scale filter ablations possible (the per-rule funnel is one
+    groupBy over this output).
+
+    Every rule is an INTEGER comparison (n_stop * 20 < n_tokens instead of
+    a float ratio), so both engines agree exactly with no rounding band.
+
+    Scale shape: token/stopword counts are map-side higher-order
+    expressions; the top-word count is the canonical two-level hash
+    aggregate — (doc, word) partial counts, then max per doc — the same
+    honest shuffle t08 pays, carrying only small count rows.  The verdict
+    join is on doc_id, co-partitioned with the aggregate's own exchange."""
+    d = load_table(spark, sf, "documents")
+    tok = tokens("text")
+    base = d.select(
+        "doc_id",
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.size(F.filter(tok, lambda w: w.isin(*STOPWORDS))).cast("long").alias("n_stop"),
+    )
+    top = (
+        d.select("doc_id", F.explode(tok).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_count"))
+    )
+    s = base.join(top, "doc_id")
+    reason = (
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("n_tokens") > 90, "too_long")
+        .when(F.col("n_stop") * 20 < F.col("n_tokens"), "low_stopword")
+        .when(F.col("top_count") * 5 > F.col("n_tokens"), "repetitive")
+        .otherwise("pass")
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "top_count",
+        reason.alias("reason"),
+        (reason == "pass").alias("kept"),
+    ).orderBy("doc_id")
