@@ -411,20 +411,15 @@ def p05(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ----------------------------------------------- p06 DSIR importance resampling
-_P06_P = 1_000_003  # feature-hash modulus (prime, shared with t11)
 _P06_B = 1024  # hashed n-gram buckets
 _P06_THR_MICRO = 0  # select docs whose quantized log-weight is positive
 
-# NB: the char-position lambda variable must NOT be `i` — callers embed this
-# fragment inside an outer list_transform whose variable is `i`, and DuckDB
-# lambda scoping would silently shadow it (chars indexed by the outer token
-# index — wrong hashes, found the hard way)
-_P06_HASH_SQL = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
-    "list_transform(range(1, length({w})+1), "
-    "ci -> CAST(ord(substr({w}, ci, 1)) AS BIGINT))), "
-    f"(acc, c) -> (acc * 31 + c) % {_P06_P}) % {_P06_B}"
-)
+# Feature hash = first 32 bits of md5 — NATIVE in both engines (JVM md5 in
+# Spark codegen, C md5 in DuckDB), identical on the same UTF-8 bytes.  The
+# per-char rolling-hash fold used first was ~20x slower: Spark evaluates
+# higher-order-function lambdas interpreted per element, and the fold ran
+# over every character of every bigram.
+_P06_HASH_SQL = "CAST(('0x' || substr(md5({w}), 1, 8)) AS BIGINT) % " + str(_P06_B)
 
 
 @query(
@@ -480,27 +475,31 @@ def p06(spark: SparkSession, sf: str) -> DataFrame:
     broadcast join plus one (doc_id, partials) shuffle.  The corpus text
     itself is never shuffled at any stage."""
     d = load_table(spark, sf, "documents")
-    tok = tokens("text")
 
     def bucket(word):
-        h = F.aggregate(
-            F.transform(F.split(word, ""), lambda c: F.ascii(c).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * 31 + c) % _P06_P,
+        return (
+            F.conv(F.substring(F.md5(word.cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % _P06_B
         )
-        return h % _P06_B
 
-    unigrams = F.transform(tok, bucket)
+    # Materialize the token array ONCE: expressions inside lambdas are not
+    # common-subexpression-eliminated, so element_at(split(text), i) in the
+    # bigram lambda would re-split the whole document for every bigram —
+    # O(len^2) per doc (measured 13 s at sf0.1; 1 s with the projection).
+    td = d.select("doc_id", "lang", tokens("text").alias("t"))
+    t = F.col("t")
+    unigrams = F.transform(t, bucket)
     bigrams = F.when(
-        F.size(tok) >= 2,
+        F.size(t) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(tok) - 1),
+            F.sequence(F.lit(1), F.size(t) - 1),
             lambda i: bucket(
-                F.concat(F.element_at(tok, i), F.lit(" "), F.element_at(tok, i + 1))
+                F.concat(F.element_at(t, i), F.lit(" "), F.element_at(t, i + 1))
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    feats = d.select(
+    feats = td.select(
         "doc_id", "lang", F.explode(F.concat(unigrams, bigrams)).alias("b")
     )
     hist = feats.groupBy("b").agg(
