@@ -201,3 +201,48 @@ def test_flagstat_matches_python(spark):
     )
     assert row.mate_diff_chr == c(md)
     assert row.mate_diff_chr_mapq5 == c(lambda r: md(r) and r.mapq >= 5)
+
+
+def test_unclipped_position_semantics(spark):
+    """Pin the unclipped-5' arithmetic on crafted CIGARs: leading S/H clips
+    restore on the forward strand; trailing clips extend past the alignment
+    end on the reverse strand (the fixture is all 76M, so clips would
+    otherwise go untested)."""
+    import pyspark.sql.functions as F
+
+    from disq_original_spark.operators.dupmark import _unclipped_5p
+
+    rows = [
+        # (flag, pos, cigar, expected unclipped 5' position)
+        (0, 100, "76M", 100),
+        (0, 100, "5S71M", 95),
+        (0, 100, "3H5S68M", 92),
+        (16, 100, "76M", 175),          # end = 100+76-1
+        (16, 100, "70M6S", 175),        # end = 169, +6 trailing S
+        (16, 100, "5S65M4S2H", 170),    # end = 164, +6 trailing S+H
+        (0, 100, "10M5D10M", 100),      # deletions don't affect 5' fwd
+        (16, 100, "10M5N10M", 124),     # end = 100+25-1, N consumes ref
+    ]
+    df = spark.createDataFrame(
+        [(f, p, c) for f, p, c, _e in rows], "flag int, pos long, cigar string"
+    )
+    got = [r.u for r in df.select(_unclipped_5p().alias("u")).collect()]
+    assert got == [e for _f, _p, _c, e in rows]
+
+
+def test_score_semantics(spark):
+    """Sum-of-base-qualities score: only phred >= 15 counts; '*' scores 0."""
+    import pyspark.sql.functions as F
+
+    from disq_original_spark.operators.dupmark import _score_col
+
+    rows = [
+        ("*", 0),
+        ("!!!", 0),                      # phred 0
+        ("00", 30),                      # '0' = phred 15, counted twice
+        ("/0", 15),                      # '/' = phred 14 (excluded) + 15
+        ("II", 80),                      # 'I' = phred 40
+    ]
+    df = spark.createDataFrame([(q,) for q, _e in rows], "qual string")
+    got = [r.s for r in df.select(_score_col().alias("s")).collect()]
+    assert got == [e for _q, e in rows]
