@@ -553,3 +553,85 @@ def g12(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(is_ts.cast("long")) / F.sum((~is_ts).cast("long")), 4
         ).alias("tstv"),
     )
+
+
+# ---------------------------------------------------------- g13 region pileup
+_G13_REGION = ("chr1", 10_080_000, 10_085_000)  # 5 kb window in the read pile
+
+
+@query(
+    "g13_region_depth",
+    None,
+    doc="samtools-depth equivalent: per-position aligned-base depth over a "
+    "5 kb region of the sharded BAM.  The read scan itself is interval-"
+    "pruned (.bai byte ranges feed the split planner, so only chunks "
+    "overlapping the region are read at all), then each read's CIGAR is "
+    "walked IN one codegen fold — aligned segments (M/=/X consume ref+query; "
+    "D/N skip ref, matching samtools' exclusion of deletion gaps from "
+    "depth) accumulate into an array of [start,end] spans — and each span "
+    "explodes to its clamped positions for a partial-agg count.  Zero "
+    "Python; at 100 TB the shuffle carries (position, partial-count) rows "
+    "bounded by region size × partitions.  Rows-only entry; tests/"
+    "test_qc.py walks every CIGAR in Python and compares all depths.",
+)
+def g13(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.bam import BamSource
+
+    contig, rs, re_ = _G13_REGION
+    iv = spark.createDataFrame([(contig, rs, re_)], "contig string, start long, end long")
+    reads = BamSource().read(
+        spark,
+        f"{_FIXTURES}/HiSeq.1mb.1RG.2k_lines.alternate.recalibrated.DIQ.sharded.bam",
+        intervals=iv,
+    )
+    lens = F.transform(
+        F.regexp_extract_all("cigar", F.lit(r"(\d+)[MIDNSHP=X]"), 1),
+        lambda x: x.cast("long"),
+    )
+    ops = F.regexp_extract_all("cigar", F.lit(r"\d+([MIDNSHP=X])"), 1)
+    # One fold builds the aligned spans: state = (ref offset, spans so far).
+    # M/=/X emit a span and advance; D/N advance silently; I/S/H/P are
+    # query-only.  All inside codegen — no UDF, no per-op Python.
+    init = F.struct(
+        F.lit(0).cast("long").alias("off"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>").alias("spans"),
+    )
+    walked = F.aggregate(
+        F.zip_with(lens, ops, lambda l, o: F.struct(l.alias("l"), o.alias("o"))),
+        init,
+        lambda acc, x: F.struct(
+            (
+                acc["off"]
+                + F.when(x["o"].isin("M", "=", "X", "D", "N"), x["l"]).otherwise(0)
+            ).alias("off"),
+            F.when(
+                x["o"].isin("M", "=", "X"),
+                F.concat(
+                    acc["spans"],
+                    F.array(
+                        F.struct(
+                            (F.col("pos") + acc["off"]).alias("s"),
+                            (F.col("pos") + acc["off"] + x["l"] - 1).alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(acc["spans"]).alias("spans"),
+        ),
+    )["spans"]
+    mapped = reads.filter(
+        (F.col("flag").bitwiseAND(4 + 256 + 2048) == 0)
+        & (F.col("rname") == contig)
+    )
+    spans = mapped.select(F.explode(walked).alias("sp")).filter(
+        (F.col("sp.s") <= re_) & (F.col("sp.e") >= rs)
+    )
+    positions = spans.select(
+        F.explode(
+            F.sequence(F.greatest(F.col("sp.s"), F.lit(rs)), F.least(F.col("sp.e"), F.lit(re_)))
+        ).alias("position")
+    )
+    return (
+        positions.groupBy("position")
+        .agg(F.count(F.lit(1)).alias("depth"))
+        .orderBy("position")
+    )

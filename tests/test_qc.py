@@ -65,3 +65,43 @@ def test_g12_tstv_matches_python(spark):
     assert row.n_ts == n_ts
     assert row.n_tv == n_tv
     assert row.tstv == round(n_ts / n_tv, 4)
+
+
+def test_g13_region_depth_matches_python(spark):
+    """Full-scan Python CIGAR walk vs the interval-pruned distributed
+    pileup: every in-region position's depth must match exactly — this also
+    cross-checks that .bai split pruning dropped no overlapping read."""
+    import collections
+    import re as _re
+
+    from disq_original_spark.queries.genomic import _G13_REGION
+    from disq_original_spark.sources.bam import BamSource
+
+    contig, rs, re_ = _G13_REGION
+    got = {
+        r.position: r.depth
+        for r in QUERIES["g13_region_depth"].build(spark, "unused").collect()
+    }
+    rows = (
+        BamSource()
+        .read(
+            spark,
+            f"{FIXTURES}/HiSeq.1mb.1RG.2k_lines.alternate.recalibrated.DIQ.sharded.bam",
+        )
+        .select("flag", "rname", "pos", "cigar")
+        .collect()
+    )
+    depth: dict[int, int] = collections.defaultdict(int)
+    for r in rows:
+        if r.rname != contig or r.flag & (4 + 256 + 2048):
+            continue
+        off = 0
+        for n, op in _re.findall(r"(\d+)([MIDNSHP=X])", r.cigar):
+            n = int(n)
+            if op in "M=X":
+                for p in range(max(r.pos + off, rs), min(r.pos + off + n - 1, re_) + 1):
+                    depth[p] += 1
+                off += n
+            elif op in "DN":
+                off += n
+    assert got == dict(depth)
