@@ -581,11 +581,7 @@ _T11_KNUTH = 2654435761  # Knuth multiplicative constant, 32-bit golden ratio
           FROM documents),
         hashed AS (
           SELECT doc_id,
-                 (list_reduce(
-                    list_prepend(CAST(0 AS BIGINT),
-                                 list_transform(range(1, length(word)+1),
-                                                i -> CAST(ord(substr(word, i, 1)) AS BIGINT))),
-                    (acc, c) -> (acc * 31 + c) % {_T11_P})
+                 ((CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % {_T11_P})
                   * {_T11_KNUTH}) % 4294967296 - 2147483648 AS w
           FROM words)
         SELECT doc_id,
@@ -597,7 +593,7 @@ _T11_KNUTH = 2654435761  # Knuth multiplicative constant, 32-bit golden ratio
 )
 def t11(spark: SparkSession, sf: str) -> DataFrame:
     """fastText-style hashed linear quality classifier: each token feature-
-    hashes to a bucket (rolling 31-polynomial over code points mod a prime),
+    hashes to a bucket (md5-prefix mod a prime — native in both engines),
     each bucket carries a deterministic weight, and the document score is the
     mean bucket weight — the shape of every production quality-filter model
     (real learned weights would replace the Knuth-derived stand-ins via a
@@ -618,10 +614,15 @@ def t11(spark: SparkSession, sf: str) -> DataFrame:
     tok = tokens("text")
 
     def w_int(word):
-        h = F.aggregate(
-            F.transform(F.split(word, ""), lambda c: F.ascii(c).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * 31 + c) % _T11_P,
+        # First 32 md5 bits, reduced mod the prime BEFORE the Knuth multiply
+        # (h32 * KNUTH would overflow int64; h < 2^20 keeps every
+        # intermediate exact in both engines).  Native md5 beats the earlier
+        # per-character rolling-hash fold ~10x: higher-order-function
+        # lambdas evaluate interpreted per element.
+        h = (
+            F.conv(F.substring(F.md5(word.cast("binary")), 1, 8), 16, 10)
+            .cast("long")
+            % _T11_P
         )
         return (h * _T11_KNUTH) % 4294967296 - 2147483648
 
