@@ -87,11 +87,13 @@ _PRIORITY = [
     "d10_semdedup",
     "p06_importance_resampling",
     "st07_stream_static_join",
+    "t12_filter_funnel",
     # plans reshaped in round 3 (fused t08, one-shuffle d08) — re-witness:
     "t08_gopher_repetition",
     "d08_dup_span_coverage",
-    # new rows-only genomics (exact pytest oracles in tests/test_dupmark.py);
-    # g10 sits just past the 50-row window this round and rotates in next
+    # new rows-only genomics (g09–g13) sit just past the 50-row window this
+    # round — each is pinned by an exact pytest oracle (tests/test_dupmark.py,
+    # tests/test_qc.py) — and rotates into the window next round
     "g09_mark_duplicates",
     "g10_flagstat",
 ]
