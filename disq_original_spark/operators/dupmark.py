@@ -223,6 +223,10 @@ def mark_duplicates(reads: DataFrame, header: SamHeader) -> DataFrame:
 
     # ---- mark join: the only full-row shuffle.  Pair marks apply to both
     # primary mapped ends of the qname; fragment marks to the exact record.
+    # Marks are aggregated to EXACTLY ONE row per qname before the join —
+    # a left join against a unique key cannot duplicate read rows, even on
+    # malformed inputs where a qname carries both pair and fragment marks
+    # (or pair rows under two libraries).
     marks = (
         dup_pair_qnames.select(
             F.col("qname").alias("m_qname"), F.lit(None).cast("int").alias("m_r12")
@@ -232,23 +236,26 @@ def mark_duplicates(reads: DataFrame, header: SamHeader) -> DataFrame:
                 F.col("qname").alias("m_qname"), F.col("r12").cast("int").alias("m_r12")
             )
         )
-        .withColumn("m_dup", F.lit(True))
+        .groupBy("m_qname")
+        .agg(
+            F.max(F.col("m_r12").isNull()).alias("m_pair_dup"),
+            F.collect_set("m_r12").alias("m_frag_r12s"),
+        )
     )
-    joined = reads.join(
-        marks,
-        (F.col("qname") == F.col("m_qname"))
-        & (
-            F.col("m_r12").isNull()
-            | (F.col("m_r12") == flag.bitwiseAND(_READ_ORDINAL))
-        ),
-        "left",
-    )
-    is_dup = (
-        F.coalesce(F.col("m_dup"), F.lit(False))
-        & mapped_primary
-        # a pair-level mark (m_r12 NULL) applies only to pair-end records —
-        # never to secondaries/supplementaries of the same qname
-        & (F.col("m_r12").isNotNull() | is_pair_end)
+    joined = reads.join(marks, F.col("qname") == F.col("m_qname"), "left")
+    is_dup = mapped_primary & (
+        # a pair-level mark applies only to pair-end records — never to
+        # secondaries/supplementaries or fragments of the same qname
+        (F.coalesce(F.col("m_pair_dup"), F.lit(False)) & is_pair_end)
+        | (
+            is_fragment
+            & F.coalesce(
+                F.array_contains(
+                    F.col("m_frag_r12s"), flag.bitwiseAND(_READ_ORDINAL)
+                ),
+                F.lit(False),
+            )
+        )
     )
     new_flag = F.when(is_dup, flag.bitwiseOR(_DUP)).otherwise(
         flag.bitwiseAND(~_DUP & 0xFFFF)

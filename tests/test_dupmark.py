@@ -246,3 +246,33 @@ def test_score_semantics(spark):
     df = spark.createDataFrame([(q,) for q, _e in rows], "qual string")
     got = [r.s for r in df.select(_score_col().alias("s")).collect()]
     assert got == [e for _q, e in rows]
+
+
+def test_no_row_duplication_on_malformed_qname(spark):
+    """A qname carrying BOTH a pair-end mark and a fragment mark (flag
+    inconsistency a real crawl of BAMs does produce) must not duplicate
+    rows through the mark join — marks aggregate to one row per qname."""
+    from disq_original_spark.sources.headers import SamHeader
+
+    header = SamHeader.parse("@SQ\tSN:c\tLN:10000\n")
+    rows = [
+        # two proper pairs at identical coordinates -> second pair is dup
+        ("p1", 1 | 64, "c", 100, 30, "10M", "c", 200, 0, "AAAAAAAAAA", "IIIIIIIIII", {}),
+        ("p1", 1 | 128 | 16, "c", 200, 30, "10M", "c", 100, 0, "AAAAAAAAAA", "IIIIIIIIII", {}),
+        ("p2", 1 | 64, "c", 100, 30, "10M", "c", 200, 0, "AAAAAAAAAA", "HHHHHHHHHH", {}),
+        ("p2", 1 | 128 | 16, "c", 200, 30, "10M", "c", 100, 0, "AAAAAAAAAA", "HHHHHHHHHH", {}),
+        # malformed: same qname p2 also has a mate-unmapped FRAGMENT record
+        # colliding with the pair-end position -> fragment mark too
+        ("p2", 1 | 8, "c", 100, 30, "10M", None, 0, 0, "AAAAAAAAAA", "IIIIIIIIII", {}),
+    ]
+    schema = (
+        "qname string, flag int, rname string, pos long, mapq int, cigar string, "
+        "rnext string, pnext long, tlen long, seq string, qual string, "
+        "attributes map<string,string>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    marked = mark_duplicates(df, header).collect()
+    assert len(marked) == len(rows)  # no join fan-out
+    dup_ids = sorted((r.qname, r.flag & 192) for r in marked if r.is_duplicate)
+    # p2's pair loses on score; its fragment collides with a pair end
+    assert dup_ids == [("p2", 0), ("p2", 64), ("p2", 128)]
