@@ -536,3 +536,52 @@ def p06(spark: SparkSession, sf: str) -> DataFrame:
         log_w.alias("log_w"),
         (F.col("wq") >= _P06_THR_MICRO).alias("selected"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------- p07 deterministic shuffle
+_P07_SHARDS = 16
+
+
+@query(
+    "p07_deterministic_shuffle",
+    f"""WITH k AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   AS shuffle_key
+          FROM documents)
+        SELECT doc_id, shuffle_key,
+               CAST(shuffle_key % {_P07_SHARDS} AS BIGINT) AS shard,
+               CAST(row_number() OVER (PARTITION BY shuffle_key % {_P07_SHARDS}
+                                       ORDER BY shuffle_key, doc_id) AS BIGINT)
+                 AS pos_in_shard
+        FROM k ORDER BY doc_id""",
+)
+def p07(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corpus shuffle: every document gets a reproducible
+    pseudo-random position — md5-derived shuffle key, shard = key mod N,
+    position = rank within shard — so the training-data order is fully
+    determined by document identity alone.  Reruns, engine swaps, and
+    resumed jobs all see the same order (data order affects training
+    runs; an irreproducible shuffle makes ablations incomparable).
+
+    Scale shape: the key is a pure map-side expression; ranking partitions
+    BY SHARD, so the sort is N independent shard-local sorts (the TeraSort
+    shape — range/hash partition then local sort), never a global
+    single-reducer ORDER BY.  At write time ``shard`` becomes the
+    partitionBy key and ``pos_in_shard`` the within-file order."""
+    d = load_table(spark, sf, "documents")
+    key = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            key.alias("shuffle_key"),
+            (key % _P07_SHARDS).alias("shard"),
+        )
+        .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .orderBy("doc_id")
+    )
