@@ -276,3 +276,80 @@ def test_no_row_duplication_on_malformed_qname(spark):
     dup_ids = sorted((r.qname, r.flag & 192) for r in marked if r.is_duplicate)
     # p2's pair loses on score; its fragment collides with a pair end
     assert dup_ids == [("p2", 0), ("p2", 64), ("p2", 128)]
+
+
+# ---------------------------------------------------------------- property test
+def _random_reads(rng):
+    """Random but flag-consistent read set: proper pairs, fragments,
+    mate-unmapped pairs, secondaries — drawn from a tiny coordinate space so
+    duplicate groups actually form."""
+    rows = []
+    n_pairs = rng.randint(0, 12)
+    n_frags = rng.randint(0, 8)
+    cigars = ["10M", "2S8M", "8M2S", "1H9M", "5M2D5M", "4M3I3M", "10M2H"]
+
+    def qual():
+        return "".join(chr(33 + rng.randint(0, 40)) for _ in range(10))
+
+    for i in range(n_pairs):
+        qn = f"p{i}"
+        p1, p2 = rng.randint(1, 6) * 10, rng.randint(1, 6) * 10
+        s1, s2 = rng.choice([0, 16]), rng.choice([0, 16])
+        c1, c2 = rng.choice(cigars), rng.choice(cigars)
+        f1 = 1 | 64 | s1 | (32 if s2 else 0)
+        f2 = 1 | 128 | s2 | (32 if s1 else 0)
+        rows.append((qn, f1, "c", p1, 30, c1, "c", p2, 0, "A" * 10, qual(), {}))
+        rows.append((qn, f2, "c", p2, 30, c2, "c", p1, 0, "A" * 10, qual(), {}))
+        if rng.random() < 0.2:  # secondary alignment of one end
+            rows.append(
+                (qn, f1 | 256, "c", rng.randint(1, 60), 10, c1, "c", p2, 0,
+                 "A" * 10, qual(), {})
+            )
+    for i in range(n_frags):
+        qn = f"f{i}"
+        s = rng.choice([0, 16])
+        if rng.random() < 0.3:  # paired but mate unmapped
+            flag = 1 | 64 | 8 | s
+        else:
+            flag = s
+        rows.append(
+            (qn, flag, "c", rng.randint(1, 6) * 10, 30, rng.choice(cigars),
+             None, 0, 0, "A" * 10, qual(), {})
+        )
+    if rng.random() < 0.3:  # some unmapped records
+        rows.append(("u0", 4 | 1 | 64, None, 0, 0, "*", None, 0, 0, "*", "*", {}))
+    return rows
+
+
+def test_random_reads_match_bruteforce(spark):
+    """Distributed marking equals the sequential spec on randomized inputs
+    (proper pairs in both orientations, clips, indels, secondaries,
+    mate-unmapped fragments, unmapped records)."""
+    import random
+
+    from disq_original_spark.sources.headers import SamHeader
+
+    header = SamHeader.parse("@SQ\tSN:c\tLN:10000\n")
+    schema = (
+        "qname string, flag int, rname string, pos long, mapq int, cigar string, "
+        "rnext string, pnext long, tlen long, seq string, qual string, "
+        "attributes map<string,string>"
+    )
+    for seed in range(12):
+        rng = random.Random(seed)
+        rows = _random_reads(rng)
+        if not rows:
+            continue
+        df = spark.createDataFrame(rows, schema)
+        marked = mark_duplicates(df, header).collect()
+        assert len(marked) == len(rows), f"seed {seed}: row fan-out"
+        got = {(r.qname, r.flag & 192, r.pos, r.cigar) for r in marked if r.is_duplicate}
+        exp_ids = brute_force_dups(marked, header)
+        exp = {
+            (r.qname, r.flag & 192, r.pos, r.cigar)
+            for r in marked
+            if (r.qname, r.flag & 192) in exp_ids
+            and not (r.flag & (4 | 256 | 2048))
+            and r.rname is not None
+        }
+        assert got == exp, f"seed {seed}"
