@@ -175,7 +175,12 @@ def _read_records_in_chunk(
     if fs is None:
         fs = get_fs(path)
     c0 = vstart >> 16
-    with fs.open_input(path) as fh:
+    # readahead on remote filesystems (no-op wrapper locally): the block
+    # loop below reads strictly forward, so the next 4 MB downloads on a
+    # background thread while this one inflates
+    from .fsio import open_prefetched
+
+    with open_prefetched(fs, path) as fh:
         fh.seek(0, 2)
         flen = fh.tell()
         buf = bytearray()

@@ -431,3 +431,144 @@ def collect_metadata(spark, files: list[str], meta_for, threshold: int = METADAT
     sc = spark.sparkContext
     n_parts = min(len(files), sc.defaultParallelism * 2)
     return sorted(sc.parallelize(files, n_parts).map(meta_for).collect())
+
+
+# -- readahead prefetcher (SeekableByteChannelPrefetcher parity) --
+
+
+class PrefetchingReader(io.RawIOBase):
+    """Double-buffered readahead over a seekable binary stream — the
+    reference's NIO prefetcher (`file/SeekableByteChannelPrefetcher.java`,
+    two 4 MB buffers: serve the current one while a background thread
+    fetches the next) re-expressed for this engine's FileSystem wrappers.
+
+    The caller thread only ever touches byte buffers; ALL access to the
+    underlying handle happens on the single pool thread, so the wrapped
+    stream needs no locking.  Sequential scans (the BGZF decode loop's
+    access pattern) overlap network latency with decode; a seek outside
+    the buffered window discards the readahead and refills from the new
+    position.  Local files skip the wrapper entirely (the OS page cache
+    already readaheads) via ``open_prefetched``."""
+
+    def __init__(self, raw, buffer_bytes: int = 4 * 1024 * 1024):
+        super().__init__()
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._raw = raw
+        self._bs = int(buffer_bytes)
+        self._pool = ThreadPoolExecutor(max_workers=1)
+        self._cur_start = 0
+        self._cur = b""
+        self._loaded = False  # _cur reflects a real fetch at _cur_start
+        self._next: tuple[int, object] | None = None  # (start, Future)
+        self._pos = 0
+        self.underlying_fetches = 0  # instrumentation (tests)
+
+    # every touch of self._raw happens inside these two, on the pool thread
+    def _fetch(self, start: int) -> bytes:
+        self.underlying_fetches += 1
+        self._raw.seek(start)
+        out = bytearray()
+        want = self._bs
+        while want > 0:
+            b = self._raw.read(want)
+            if not b:
+                break
+            out += b
+            want -= len(b)
+        return bytes(out)
+
+    def _end_offset(self) -> int:
+        self._raw.seek(0, 2)
+        return self._raw.tell()
+
+    def _load(self, start: int) -> None:
+        nxt = self._next
+        self._next = None
+        if nxt is not None and nxt[0] == start:
+            data = nxt[1].result()
+        else:
+            if nxt is not None:
+                nxt[1].cancel()
+            data = self._pool.submit(self._fetch, start).result()
+        self._cur_start, self._cur, self._loaded = start, data, True
+        if len(data) == self._bs:  # not at EOF: read ahead
+            self._next = (start + self._bs, self._pool.submit(self._fetch, start + self._bs))
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        elif whence == 2:
+            # serialize the size probe through the pool like any raw access
+            self._pos = self._pool.submit(self._end_offset).result() + offset
+        else:
+            raise ValueError(f"bad whence {whence}")
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            chunks = []
+            while True:
+                b = self.read(self._bs)
+                if not b:
+                    return b"".join(chunks)
+                chunks.append(b)
+        out = bytearray()
+        while n > 0:
+            off = self._pos - self._cur_start
+            if self._loaded and 0 <= off < len(self._cur):
+                take = min(n, len(self._cur) - off)
+                out += self._cur[off : off + take]
+                self._pos += take
+                n -= take
+                continue
+            if (
+                self._loaded
+                and len(self._cur) < self._bs
+                and off == len(self._cur)
+                and off >= 0
+            ):
+                break  # sitting exactly at a known-short (EOF) boundary
+            self._load(self._pos)
+            if not self._cur:
+                break
+        return bytes(out)
+
+    def readinto(self, b) -> int:
+        data = self.read(len(b))
+        b[: len(data)] = data
+        return len(data)
+
+    def close(self) -> None:
+        if self.closed:
+            return
+        nxt = self._next
+        self._next = None
+        if nxt is not None:
+            nxt[1].cancel()
+        self._pool.shutdown(wait=True, cancel_futures=True)
+        try:
+            self._raw.close()
+        finally:
+            super().close()
+
+
+def open_prefetched(fs: FileSystem, path: str, buffer_bytes: int = 4 * 1024 * 1024):
+    """Open ``path`` for reading with readahead when it lives on a remote
+    filesystem; local files return the plain handle (the OS page cache
+    already covers them, and an extra thread per handle would only cost)."""
+    fh = fs.open_input(path)
+    if isinstance(fs, LocalFileSystem):
+        return fh
+    return PrefetchingReader(fh, buffer_bytes)

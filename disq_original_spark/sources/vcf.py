@@ -316,9 +316,12 @@ def _read_bgzf_lines(
 
     def read_range(task):
         from .bgzf import iter_lines_in_range
+        from .fsio import open_prefetched
 
         f, s, e = task
-        with fs.open_input(f) as fh:
+        # readahead on remote filesystems: the block decode loop is strictly
+        # sequential, so the next 4 MB downloads while this one inflates
+        with open_prefetched(fs, f) as fh:
             for line in iter_lines_in_range(fh, s, e):
                 yield {"value": line.decode("utf-8", "replace")}
 

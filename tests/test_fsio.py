@@ -213,3 +213,82 @@ def test_plain_vcf_read_on_mock_scheme(spark, mock_fs, tmp_path):
     local = VcfSource().read(spark, f"{RES}/test.vcf")
     via_mock = VcfSource().read(spark, "mock://test.vcf")
     assert via_mock.count() == local.count()
+
+
+# ---------------------------------------------------------- prefetcher
+def test_prefetching_reader_byte_identity():
+    """Random read/seek fuzz: the prefetcher must be indistinguishable from
+    the plain handle (SeekableByteChannelPrefetcher parity)."""
+    import io
+    import random
+
+    from disq_original_spark.sources.fsio import PrefetchingReader
+
+    data = random.Random(7).randbytes(1_500_000)
+    pf = PrefetchingReader(io.BytesIO(data), buffer_bytes=64 * 1024)
+    plain = io.BytesIO(data)
+    rng = random.Random(1)
+    for step in range(1200):
+        op = rng.random()
+        if op < 0.6:
+            nb = rng.randint(0, 70000)
+            assert pf.read(nb) == plain.read(nb), step
+        elif op < 0.8:
+            t = rng.randint(0, len(data) + 100)
+            pf.seek(t)
+            plain.seek(t)
+        elif op < 0.9:
+            pos = max(0, pf.tell() + rng.randint(-1000, 1000))
+            pf.seek(pos)
+            plain.seek(pos)
+        else:
+            e = rng.randint(-100, 0)
+            pf.seek(e, 2)
+            plain.seek(e, 2)
+        assert pf.tell() == plain.tell(), step
+    pf.seek(0), plain.seek(0)
+    assert pf.read() == plain.read()
+    pf.close()
+
+
+def test_prefetching_reader_batches_fetches():
+    """A sequential scan must hit the underlying stream ~size/buffer times,
+    not once per read() call — that's the entire point of the readahead."""
+    import io
+
+    from disq_original_spark.sources.fsio import PrefetchingReader
+
+    data = bytes(range(256)) * 8192  # 2 MiB
+    pf = PrefetchingReader(io.BytesIO(data), buffer_bytes=256 * 1024)
+    out = bytearray()
+    while True:
+        b = pf.read(4096)  # 512 tiny reads
+        if not b:
+            break
+        out += b
+    assert bytes(out) == data
+    assert pf.underlying_fetches <= len(data) // (256 * 1024) + 2
+    pf.close()
+
+
+def test_open_prefetched_routing(tmp_path):
+    """Local paths get the bare handle; mapped (remote-shaped) schemes get
+    the prefetcher."""
+    from disq_original_spark.sources.fsio import (
+        MappedFileSystem,
+        PrefetchingReader,
+        get_fs,
+        open_prefetched,
+        register_filesystem,
+    )
+
+    p = tmp_path / "x.bin"
+    p.write_bytes(b"abc123" * 1000)
+    local = open_prefetched(get_fs(str(p)), str(p))
+    assert not isinstance(local, PrefetchingReader)
+    local.close()
+    register_filesystem("pfmock", MappedFileSystem("pfmock", str(tmp_path)))
+    fh = open_prefetched(get_fs("pfmock://x.bin"), "pfmock://x.bin")
+    assert isinstance(fh, PrefetchingReader)
+    assert fh.read(6) == b"abc123"
+    fh.close()
