@@ -14,7 +14,7 @@ tests/test_dupmark.py):
 
 - Eligible pair: both ends mapped, primary, not supplementary.  The pair
   key is the canonically-ordered pair of end signatures
-  (contig rank, unclipped 5' pos, strand); all pairs sharing a key form a
+  (contig, unclipped 5' pos, strand); all pairs sharing a key form a
   duplicate set and the pair with the highest score (sum over BOTH ends of
   base qualities >= 15, ties to the lexicographically smallest qname)
   survives; every other pair's two ends are marked 0x400.
@@ -31,7 +31,7 @@ tests/test_dupmark.py):
   LibraryIdGenerator.
 
 Scale shape (the MarkDuplicatesSpark plan, reimplemented declaratively):
-slim projections only — (qname, flags, contig rank, unclipped pos, strand,
+slim projections only — (qname, flags, contig, unclipped pos, strand,
 score) — travel through the two decision shuffles (by qname to assemble
 pairs, by duplicate key to rank groups); the full rows (seq/qual are the
 bulk) are shuffled exactly ONCE, in the final mark join on (qname, read
@@ -46,7 +46,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..sources.headers import SamHeader
-from .sort import contig_rank_col
 
 # flag bits
 _PAIRED = 1
@@ -99,24 +98,16 @@ def _clip_cols() -> tuple[F.Column, F.Column]:
     return lead, trail
 
 
-def _ref_len_col() -> F.Column:
-    """Reference-consumed length of the alignment (M/D/N/=/X ops summed)."""
-    return F.aggregate(
-        F.transform(
-            F.regexp_extract_all("cigar", F.lit(r"(\d+)[MDN=X]"), 1),
-            lambda x: x.cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-
-
 def _unclipped_5p() -> F.Column:
     """Unclipped 5' position: leading clips restored on the forward strand,
     trailing clips past the alignment end on the reverse strand — the
     coordinate Picard keys duplicates on, invariant to clipping."""
+    from ..sources.sam import cigar_reference_length
+
     lead, trail = _clip_cols()
-    end = F.col("pos") + F.greatest(_ref_len_col() - 1, F.lit(0))
+    end = F.col("pos") + F.greatest(
+        cigar_reference_length(F.col("cigar")) - 1, F.lit(0)
+    )
     return F.when(
         F.col("flag").bitwiseAND(_REVERSE) != 0, end + trail
     ).otherwise(F.col("pos") - lead)
@@ -158,18 +149,26 @@ def mark_duplicates(reads: DataFrame, header: SamHeader) -> DataFrame:
     )
 
     # Slim per-read signature: everything the decision stages need, none of
-    # the bulk (seq/qual reduced to the one score integer).
+    # the bulk (seq/qual reduced to the one score integer).  The contig key
+    # is the rname STRING, not a header rank — ranks would collapse every
+    # contig absent from the header dictionary onto one value and
+    # cross-mark reads on different unknown contigs.  Persisted because
+    # three decision stages consume it (pair assembly, pair-end signatures,
+    # fragment ranking): without the cache each one re-runs the source
+    # decode — the dominant cost for a Python-decoded BAM scan.  The cache
+    # is the slim projection only (~60 bytes/read, spillable), the same
+    # trade MarkDuplicatesSpark makes by caching its ReadsKey RDD.
     sig = reads.select(
         "qname",
         flag.bitwiseAND(_READ_ORDINAL).alias("r12"),
         _library_col(header).alias("lib"),
-        contig_rank_col(header).alias("ctg"),
+        F.col("rname").alias("ctg"),
         _unclipped_5p().alias("upos"),
         (flag.bitwiseAND(_REVERSE) != 0).cast("int").alias("strand"),
         _score_col().alias("score"),
         is_pair_end.alias("pair_end"),
         is_fragment.alias("frag"),
-    )
+    ).persist()
 
     # ---- pair stage: assemble both ends per qname (shuffle 1, slim rows),
     # canonically order the two end signatures, rank groups (shuffle 2).
@@ -180,12 +179,10 @@ def mark_duplicates(reads: DataFrame, header: SamHeader) -> DataFrame:
         .agg(
             F.sort_array(F.collect_list(end)).alias("ends"),
             F.sum("score").alias("pscore"),
-            F.count(F.lit(1)).alias("n_ends"),
         )
         # qnames with !=2 eligible primary ends (orphaned mates under an
-        # interval filter) degrade to nothing here; their reads were still
-        # pair_end-flagged so they simply form singleton "pairs"
-        .filter(F.col("n_ends") >= 1)
+        # interval filter) simply form singleton "pairs" — their 1-element
+        # ends array can never collide with a 2-element key
     )
     w_rank = F.row_number().over(
         Window.partitionBy("lib", "ends").orderBy(

@@ -134,11 +134,17 @@ _RATE_SQL = (
 # multiply whose intermediates stay < 2^48:
 #   a = doc_id & 0xFFFFFFFF          (two's-complement AND in both engines)
 #   a*K mod 2^32 = (a_lo*K + ((a_hi*K) mod 2^16)*2^16) mod 2^32
-_KEEP_HASH_SQL = (
-    f"(((doc_id & 4294967295) & 65535) * {_KNUTH} "
-    f" + (((doc_id & 4294967295) >> 16) * {_KNUTH} % 65536) * 65536"
-    f") % 4294967296 % 100"
-)
+def _knuth_hash_sql(mod: int) -> str:
+    """SQL twin of ``_knuth_hash_col`` — parameterized, not string surgery,
+    so the two can only diverge if someone edits one formula."""
+    return (
+        f"(((doc_id & 4294967295) & 65535) * {_KNUTH} "
+        f" + (((doc_id & 4294967295) >> 16) * {_KNUTH} % 65536) * 65536"
+        f") % 4294967296 % {mod}"
+    )
+
+
+_KEEP_HASH_SQL = _knuth_hash_sql(100)
 
 
 def _knuth_hash_col(mod: int) -> F.Column:
@@ -265,7 +271,7 @@ def p03(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------- p04 shard assignment
 _N_SHARDS = 16
 
-_SHARD_SQL = _KEEP_HASH_SQL.replace("% 100", f"% {_N_SHARDS}")
+_SHARD_SQL = _knuth_hash_sql(_N_SHARDS)
 
 
 @query(

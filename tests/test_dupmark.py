@@ -51,7 +51,6 @@ def brute_force_dups(rows, header):
     """Sequential reference implementation of the documented spec; returns
     the set of duplicate record identities (qname, read-ordinal bits)."""
     lm = library_map(header)
-    ctg_rank = {name: i for i, (name, _l) in enumerate(header.contigs)}
 
     def sig_of(r):
         lead, trail = _clips(r.cigar)
@@ -62,7 +61,7 @@ def brute_force_dups(rows, header):
             else (r.pos - lead)
         )
         lib = lm.get((r.attributes or {}).get("RG", ""), "__no_library__")
-        return lib, ctg_rank.get(r.rname, len(ctg_rank)), upos, int(rev)
+        return lib, r.rname, upos, int(rev)
 
     def mapped_primary(r):
         return (
@@ -190,9 +189,9 @@ def test_flagstat_matches_python(spark):
     assert row.duplicates == c(lambda r: r.flag & 1024)
     assert row.mapped == c(lambda r: not (r.flag & 4))
     assert row.paired == c(lambda r: r.flag & 1)
-    assert row.read1 == c(lambda r: r.flag & 64)
-    assert row.read2 == c(lambda r: r.flag & 128)
-    assert row.properly_paired == c(lambda r: (r.flag & 2) and not (r.flag & 4))
+    assert row.read1 == c(lambda r: (r.flag & 1) and (r.flag & 64))
+    assert row.read2 == c(lambda r: (r.flag & 1) and (r.flag & 128))
+    assert row.properly_paired == c(lambda r: (r.flag & 1) and (r.flag & 2) and not (r.flag & 4))
     assert row.both_mapped == c(
         lambda r: (r.flag & 1) and not (r.flag & 4) and not (r.flag & 8)
     )
@@ -353,3 +352,26 @@ def test_random_reads_match_bruteforce(spark):
             and r.rname is not None
         }
         assert got == exp, f"seed {seed}"
+
+
+def test_unknown_contigs_never_cross_marked(spark):
+    """Reads on contigs ABSENT from the header dictionary must not share a
+    duplicate key (a header-rank key would collapse them all onto one
+    rank; the signature keys on the rname string instead)."""
+    from disq_original_spark.sources.headers import SamHeader
+
+    header = SamHeader.parse("@SQ\tSN:known\tLN:10000\n")
+    schema = (
+        "qname string, flag int, rname string, pos long, mapq int, cigar string, "
+        "rnext string, pnext long, tlen long, seq string, qual string, "
+        "attributes map<string,string>"
+    )
+    rows = [
+        ("a", 0, "chrUn_A", 500, 30, "10M", None, 0, 0, "A" * 10, "I" * 10, {}),
+        ("b", 0, "chrUn_B", 500, 30, "10M", None, 0, 0, "A" * 10, "I" * 10, {}),
+        # true duplicates on the same unknown contig still mark
+        ("c", 0, "chrUn_A", 500, 30, "10M", None, 0, 0, "A" * 10, "H" * 10, {}),
+    ]
+    marked = mark_duplicates(spark.createDataFrame(rows, schema), header).collect()
+    dups = sorted(r.qname for r in marked if r.is_duplicate)
+    assert dups == ["c"]  # b is on a different contig — never cross-marked
