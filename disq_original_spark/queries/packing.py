@@ -591,3 +591,45 @@ def p07(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------- p08 per-domain cap
+_P08_CAP = 10  # max documents kept per source domain
+
+
+@query(
+    "p08_domain_cap",
+    f"""SELECT doc_id, source, n_chars, CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rank
+          FROM documents) t
+        WHERE rank <= {_P08_CAP}
+        ORDER BY source, rank""",
+)
+def p08(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document cap: keep at most ``_P08_CAP`` documents per
+    ``source`` (the domain analog), preferring longer documents with doc_id
+    as the deterministic tiebreak — the standard web-corpus curation guard
+    against a handful of template-heavy domains dominating the training mix
+    (C4 and FineWeb both cap or downweight hot domains).
+
+    Scale shape: the ``row_number() <= cap`` filter compiles to a
+    Partial+Final WindowGroupLimit pair (SPARK-37099), so every map
+    partition truncates to its own top-cap per domain BEFORE the source
+    Exchange — the shuffle carries at most cap × partitions rows per
+    domain no matter how many billions of pages the hottest domain has.
+    The same skew that breaks a naive rank-then-filter (one reducer owns
+    reddit.com) is bounded here; pinned by
+    ``tests/test_plans.py::test_domain_cap_partial_limit``."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        d.select("doc_id", "source", "n_chars")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _P08_CAP)
+        .orderBy("source", "rank")
+    )

@@ -84,6 +84,20 @@ def test_similarity_topk_partial_limit(spark, sf_dir):
         assert plan.index(partial[0]) > exch, name
 
 
+def test_domain_cap_partial_limit(spark, sf_dir):
+    """p08's per-domain cap must truncate map-side (Partial WindowGroupLimit
+    below the source Exchange) so a billion-page hot domain never shuffles
+    more than cap rows per map partition."""
+    from disq_original_spark.plans import simple_plan
+
+    plan = simple_plan(QUERIES["p08_domain_cap"].build(spark, sf_dir))
+    partial = [ln for ln in plan.splitlines() if "WindowGroupLimit" in ln and "Partial" in ln]
+    final = [ln for ln in plan.splitlines() if "WindowGroupLimit" in ln and "Final" in ln]
+    assert partial and final
+    exch = plan.index("hashpartitioning(source")
+    assert plan.index(partial[0]) > exch
+
+
 def test_interval_filter_broadcasts(spark, sf_dir):
     from disq_original_spark.operators.interval import interval_filter
     from disq_original_spark.tables import load_table
