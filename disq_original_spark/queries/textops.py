@@ -712,3 +712,135 @@ def t12(spark: SparkSession, sf: str) -> DataFrame:
         reason.alias("reason"),
         (reason == "pass").alias("kept"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------- t13 BM25 retrieval
+_T13_QUERIES: dict[int, tuple[str, ...]] = {
+    0: ("spark", "window"),
+    1: ("customer", "merge"),
+    2: ("vector", "stream"),
+}
+_T13_TERMS = sorted({t for ts in _T13_QUERIES.values() for t in ts})
+_T13_K1 = 1.2
+_T13_B = 0.75
+_T13_TOPK = 10
+
+_T13_TOK_SQL = r"string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')"
+
+
+def _t13_oracle() -> str:
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS df_{t}"
+        for t in _T13_TERMS
+    )
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE) AS tf_{t}"
+        for t in _T13_TERMS
+    )
+
+    def term_score(t: str) -> str:
+        idf = f"ln(1 + (s.n - s.df_{t} + 0.5) / (s.df_{t} + 0.5))"
+        return (
+            f"CASE WHEN d.tf_{t} > 0 THEN {idf} * d.tf_{t} * {_T13_K1 + 1}"
+            f" / (d.tf_{t} + {_T13_K1} * (1 - {_T13_B} + {_T13_B} * d.dl / s.avgdl))"
+            f" ELSE 0 END"
+        )
+
+    q_rows = " UNION ALL ".join(
+        f"SELECT {q} AS q_id, doc_id,"
+        f" round({' + '.join(term_score(t) for t in ts)}, 4) AS score"
+        f" FROM d CROSS JOIN s"
+        for q, ts in sorted(_T13_QUERIES.items())
+    )
+    return f"""WITH tok AS (SELECT doc_id, {_T13_TOK_SQL} AS toks FROM documents),
+        d AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, {tf_cols} FROM tok),
+        s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(CAST(len(toks) AS DOUBLE)) AS avgdl,
+                     {df_cols}
+              FROM tok),
+        scored AS ({q_rows})
+        SELECT q_id, doc_id, score,
+               CAST(rank AS BIGINT) AS rank
+        FROM (SELECT q_id, doc_id, score,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY score DESC, doc_id) AS rank
+              FROM scored WHERE score > 0) t
+        WHERE rank <= {_T13_TOPK}
+        ORDER BY q_id, rank"""
+
+
+def _t13_eq(term: str):
+    # single-parameter lambda: pyspark passes (element, index) to two-param
+    # lambdas, so a default-arg capture would receive the INDEX column.
+    return lambda x: x == F.lit(term)
+
+
+@query(
+    "t13_bm25",
+    _t13_oracle(),
+    doc="BM25 (Robertson/Okapi) retrieval scoring of the corpus against a "
+    "fixed query set — the workhorse of retrieval-based data curation "
+    "(finding domain-relevant training documents, retrieval-augmented "
+    "filtering).  Corpus statistics (N, avgdl, per-term document "
+    "frequencies) come from ONE aggregate pass producing a single row that "
+    "is broadcast back; scoring is then a pure map-side projection — "
+    "per-term tf from the materialized token array, idf/length "
+    "normalization against the broadcast stats — and the final top-k "
+    "ranks through the Partial+Final WindowGroupLimit pair, so only "
+    "k rows per map partition per query reach the q_id exchange.  The "
+    "corpus text itself never shuffles at any stage.",
+)
+def t13(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_wide(spark, sf, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    d = d.select(
+        "doc_id",
+        F.size("toks").cast("double").alias("dl"),
+        *[
+            F.size(F.filter("toks", _t13_eq(t))).cast("double").alias(f"tf_{t}")
+            for t in _T13_TERMS
+        ],
+    )
+    stats = d.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).cast("double").alias(f"df_{t}")
+            for t in _T13_TERMS
+        ],
+    )
+
+    def term_score(t: str) -> F.Column:
+        tf = F.col(f"tf_{t}")
+        idf = F.log(
+            F.lit(1) + (F.col("n") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        norm = tf + _T13_K1 * (1 - _T13_B + _T13_B * F.col("dl") / F.col("avgdl"))
+        return F.when(tf > 0, idf * tf * (_T13_K1 + 1) / norm).otherwise(F.lit(0.0))
+
+    per_q = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q_id"),
+                F.round(
+                    sum((term_score(t) for t in ts), F.lit(0.0)), 4
+                ).alias("score"),
+            )
+            for q, ts in sorted(_T13_QUERIES.items())
+        ]
+    )
+    scored = (
+        d.join(F.broadcast(stats))
+        .select("doc_id", F.explode(per_q).alias("qs"))
+        .select("qs.q_id", "doc_id", "qs.score")
+        .filter(F.col("score") > 0)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _T13_TOPK)
+        .orderBy("q_id", "rank")
+    )
