@@ -823,3 +823,88 @@ def d10(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ------------------------------------------------- d11 paragraph-level dedup
+_D11_W = 20  # words per paragraph chunk
+
+_D11_TOK_SQL = r"string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')"
+
+
+@query(
+    "d11_paragraph_dedup",
+    rf"""WITH tok AS (SELECT doc_id, {_D11_TOK_SQL} AS toks FROM documents),
+        p AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pidx,
+                     md5(array_to_string(
+                         list_slice(toks, u.i * {_D11_W} + 1, (u.i + 1) * {_D11_W}),
+                         ' ')) AS phash
+              FROM tok,
+                   UNNEST(range(CAST(ceil(len(toks) / {_D11_W}.0) AS BIGINT))) AS u(i)),
+        k AS (SELECT doc_id, pidx, phash,
+                     CASE WHEN row_number() OVER (PARTITION BY phash
+                                                  ORDER BY doc_id, pidx) = 1
+                          THEN 1 ELSE 0 END AS keep
+              FROM p)
+        SELECT doc_id,
+               count(*) AS n_paras,
+               CAST(sum(keep) AS BIGINT) AS n_kept,
+               round(CAST(sum(keep) AS DOUBLE) / count(*), 4) AS kept_ratio,
+               md5(string_agg(CASE WHEN keep = 1 THEN phash ELSE '' END,
+                              '' ORDER BY pidx)) AS kept_digest
+        FROM k GROUP BY doc_id ORDER BY doc_id""",
+    doc="CCNet-style paragraph-level exact dedup: every document is chunked "
+    f"into non-overlapping {_D11_W}-word paragraphs, each paragraph's hash "
+    "is deduplicated GLOBALLY (first occurrence by (doc_id, position) "
+    "wins), and the document is rewritten keeping only its first-seen "
+    "paragraphs — the removal that strips boilerplate headers/footers "
+    "repeated across a crawl while leaving unique prose intact.  Output is "
+    "the per-document audit row: paragraph counts, kept ratio, and an md5 "
+    "digest of the surviving paragraph sequence standing in for the "
+    "cleaned text.\n\n"
+    "Scale shape: chunking and hashing are map-side expressions on the "
+    "materialized token array (no text shuffle); the global first-"
+    "occurrence decision is ONE hash exchange keyed on the 32-hex "
+    "paragraph hash carrying only (doc_id, pidx, phash); the per-document "
+    "rebuild is a second hash aggregate on doc_id whose sort-within-group "
+    "digest happens in-expression.  This is the minimum shuffle any exact "
+    "global paragraph dedup can do — each decision needs all instances of "
+    "one hash in one place, nothing more.",
+)
+def d11(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_wide(spark, sf, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    n_chunks = F.ceil(F.size("toks") / _D11_W).cast("int")
+    paras = F.when(
+        F.size("toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.md5(
+                F.array_join(F.slice(F.col("toks"), i * _D11_W + 1, _D11_W), " ").cast(
+                    "binary"
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    p = d.select("doc_id", F.posexplode(paras).alias("pidx", "phash")).select(
+        "doc_id", F.col("pidx").cast("long").alias("pidx"), "phash"
+    )
+    w = Window.partitionBy("phash").orderBy("doc_id", "pidx")
+    k = p.withColumn("keep", (F.row_number().over(w) == 1).cast("int"))
+    ordered = F.array_sort(
+        F.collect_list(F.struct("pidx", F.when(F.col("keep") == 1, F.col("phash")).otherwise("").alias("h")))
+    )
+    return (
+        k.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            F.round(F.sum("keep") / F.count("*"), 4).alias("kept_ratio"),
+            F.md5(
+                F.array_join(F.transform(ordered, lambda s: s["h"]), "").cast("binary")
+            ).alias("kept_digest"),
+        )
+        .orderBy("doc_id")
+    )
