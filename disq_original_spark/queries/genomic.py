@@ -633,3 +633,101 @@ def g13(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("depth"))
         .orderBy("position")
     )
+
+
+# ------------------------------------------------ g14 multi-allelic split
+@query(
+    "g14_multiallelic_split",
+    None,
+    doc="bcftools `norm -m-` equivalent over the real VCF fixture: multi-"
+    "allelic records split into one bi-allelic record per ALT via "
+    "`operators/variants.py::split_multiallelics` — Number=A INFO values "
+    "sliced to the kept allele, genotypes recoded (kept alt → 1, other "
+    "alts → REF, phasing preserved) — then AC/AN recomputed from the "
+    "recoded genotypes in one codegen aggregate (the `bcftools +fill-tags` "
+    "step).  The whole split is a map-side posexplode: zero shuffle, zero "
+    "Python in the row path.  Rows-only entry (DuckDB cannot read VCF); "
+    "tests/test_multiallelic.py replays the split record-by-record in "
+    "Python and compares every field exactly.",
+)
+def g14(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.variants import split_multiallelics
+    from ..sources.headers import read_vcf_header_text
+    from ..sources.vcf import VcfSource
+
+    path = f"{_FIXTURES}/test.vcf"
+    v = VcfSource().read(spark, path)
+    s = split_multiallelics(v, read_vcf_header_text(path))
+    alleles = F.flatten(
+        F.transform(F.col("genotypes"), lambda g: F.split(g["gt"], r"[/|]"))
+    )
+
+    def count_eq(val: str) -> F.Column:
+        return F.size(F.filter(alleles, _allele_eq(val))).cast("long")
+
+    return s.select(
+        "contig",
+        "pos",
+        "ref",
+        F.try_element_at("alts", F.lit(1)).alias("alt"),
+        "allele_idx",
+        "n_orig_alts",
+        F.col("info")["AF"].try_cast("double").alias("af"),
+        count_eq("1").alias("ac"),
+        (F.size(alleles) - count_eq(".")).cast("long").alias("an"),
+    ).orderBy("contig", "pos", "allele_idx")
+
+
+def _allele_eq(val: str):
+    # single-parameter lambda (two-param HOF lambdas receive the index)
+    return lambda x: x == F.lit(val)
+
+
+# --------------------------------------------------------- g15 idxstats
+@query(
+    "g15_idxstats",
+    None,
+    doc="samtools-idxstats equivalent over the real BAM: one row per header "
+    "contig IN HEADER ORDER — contig, length, mapped reads (FLAG&4 == 0), "
+    "placed-but-unmapped reads (FLAG&4 set with a reference, i.e. unmapped "
+    "mates dragged along by their pair) — plus the trailing '*' row for "
+    "fully unplaced reads, exactly samtools' output contract (contigs with "
+    "zero reads still appear).  The header sequence dictionary is a tiny "
+    "driver-side DataFrame broadcast-left-joined onto one partial-agg scan "
+    "of the reads; at 100 TB the shuffle carries (ref_id, two partial "
+    "counts) per partition and nothing else.  Rows-only entry; "
+    "tests/test_qc.py recomputes every counter from the decoded reads.",
+)
+def g15(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.bam import BamSource
+    from ..sources.headers import read_bam_header
+
+    path = f"{_FIXTURES}/1.bam"
+    _hdr, seq_dict, _ = read_bam_header(path)
+    dims = spark.createDataFrame(
+        [(i, name, length) for i, (name, length) in enumerate(seq_dict)]
+        + [(len(seq_dict), "*", 0)],
+        "rank int, contig string, length long",
+    )
+    counts = (
+        BamSource()
+        .read(spark, path)
+        .groupBy(F.coalesce("rname", F.lit("*")).alias("contig"))
+        .agg(
+            F.sum((F.col("flag").bitwiseAND(4) == 0).cast("long")).alias("n_mapped"),
+            F.sum((F.col("flag").bitwiseAND(4) != 0).cast("long")).alias("n_unmapped"),
+        )
+    )
+    return (
+        F.broadcast(dims)
+        .join(counts, "contig", "left")
+        .select(
+            "contig",
+            "length",
+            F.coalesce("n_mapped", F.lit(0)).alias("n_mapped"),
+            F.coalesce("n_unmapped", F.lit(0)).alias("n_unmapped"),
+            "rank",
+        )
+        .orderBy("rank")
+        .drop("rank")
+    )

@@ -105,3 +105,27 @@ def test_g13_region_depth_matches_python(spark):
             elif op in "DN":
                 off += n
     assert got == dict(depth)
+
+
+def test_g15_idxstats_matches_python(spark):
+    """Every idxstats row — header order, lengths, mapped/unmapped splits,
+    the '*' tail — recomputed from the decoded reads."""
+    from disq_original_spark.sources.bam import BamSource
+    from disq_original_spark.sources.headers import read_bam_header
+
+    path = f"{FIXTURES}/1.bam"
+    _h, seq_dict, _ = read_bam_header(path)
+    rows = BamSource().read(spark, path).select("rname", "flag").collect()
+    counts: dict[str, list[int]] = {}
+    for r in rows:
+        c = r.rname if r.rname is not None else "*"
+        a = counts.setdefault(c, [0, 0])
+        a[0 if not (r.flag & 4) else 1] += 1
+    got = QUERIES["g15_idxstats"].build(spark, "unused").collect()
+    assert [g.contig for g in got] == [n for n, _l in seq_dict] + ["*"]
+    assert [g.length for g in got] == [l for _n, l in seq_dict] + [0]
+    for g in got:
+        want = counts.get(g.contig, [0, 0])
+        assert (g.n_mapped, g.n_unmapped) == tuple(want), g.contig
+    # the fixture has real signal on contig 1 and a real unmapped tail
+    assert counts["1"][0] > 0 and counts["1"][1] > 0
