@@ -145,3 +145,50 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
         "environment; extract_features/sample_frames demonstrate the "
         "identical mapInPandas plumbing with a deterministic fake decode"
     )
+
+
+PHASH_BANDS = 4
+PHASH_BITS = 64  # 4 bands x 16 bits
+PHASH_SCHEMA = "media_id long, " + ", ".join(f"b{b} int" for b in range(PHASH_BANDS))
+
+
+def perceptual_hash(media: DataFrame) -> DataFrame:
+    """64-bit average-hash (aHash) per media row, Arrow-batched.
+
+    The decoded payload is split into 64 interleaved strides (the fake
+    decode's pixel grid); bit j is set iff stride j's mean byte exceeds the
+    whole-payload mean.  The comparison is the exact integer cross-multiply
+    ``s_j * C > S * c_j`` — no float division — so an independent engine
+    reproduces every bit.  The hash is emitted as ``PHASH_BANDS`` 16-bit
+    band integers (not one int64): the bands ARE the LSH keys downstream,
+    and 16-bit ints never meet sign-bit trouble.
+
+    Near-dup guarantee: two hashes within Hamming distance ``PHASH_BANDS-1``
+    share at least one identical band (pigeonhole), so a band-equality join
+    finds ALL such pairs — the standard image-dedup recall argument.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf["media_id"], pdf["data"]):
+                if data is None:
+                    continue
+                payload = bytes(data)
+                moms = [
+                    (sum(payload[j::PHASH_BITS]), len(payload[j::PHASH_BITS]))
+                    for j in range(PHASH_BITS)
+                ]
+                S = sum(s for s, _ in moms)
+                C = sum(c for _, c in moms)
+                bits = [1 if s * C > S * c else 0 for s, c in moms]
+                bands = [
+                    sum(bits[16 * b + k] << k for k in range(16))
+                    for b in range(PHASH_BANDS)
+                ]
+                rows.append((mid, *bands))
+            yield pd.DataFrame(
+                rows, columns=["media_id"] + [f"b{b}" for b in range(PHASH_BANDS)]
+            )
+
+    return media.mapInPandas(run, PHASH_SCHEMA)

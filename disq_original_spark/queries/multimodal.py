@@ -106,3 +106,139 @@ def m03(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("media_id", "frame_idx")
     )
+
+
+# ------------------------------------------------- m04 perceptual-hash dedup
+_M04_VARIANT_BASE = 1_000_000_000
+_M04_HAM_MAX = 3  # 4 bands of 16 bits: pigeonhole-exact for Hamming <= 3
+_M04_CAP = 64  # drop LSH buckets larger than this (skew guard, as d03)
+
+_M04_BAND_SQL = ", ".join(
+    f"CAST(sum(CASE WHEN j // 16 = {b} THEN bit * (1::BIGINT << (j % 16)) ELSE 0 END)"
+    f" AS INTEGER) AS b{b}"
+    for b in range(4)
+)
+_M04_HAM_SQL = " + ".join(f"bit_count(xor(ha.b{b}, hb.b{b}))" for b in range(4))
+_M04_BANDVAL_SQL = (
+    "CASE u.b WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END"
+)
+
+
+@query(
+    "m04_phash_neardup",
+    f"""WITH m AS (
+          SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id + {_M04_VARIANT_BASE},
+                 concat(substr(text, 2, 1), substr(text, 1, 1), substr(text, 3))
+          FROM documents WHERE doc_id % 15 = 0),
+        pos AS (SELECT media_id, text,
+                       unnest(generate_series(1, length(text))) AS p
+                FROM m),
+        mom AS (SELECT media_id, (p - 1) % 64 AS j,
+                       sum(ord(substr(text, p, 1))) AS s, count(*) AS c
+                FROM pos GROUP BY 1, 2),
+        tot AS (SELECT media_id, sum(s) AS ts, sum(c) AS tc FROM mom GROUP BY 1),
+        grid AS (SELECT media_id, unnest(generate_series(0, 63)) AS j FROM m),
+        bitv AS (SELECT g.media_id, g.j,
+                        CASE WHEN coalesce(mm.s, 0) * t.tc > t.ts * coalesce(mm.c, 0)
+                             THEN 1 ELSE 0 END AS bit
+                 FROM grid g
+                 LEFT JOIN mom mm ON mm.media_id = g.media_id AND mm.j = g.j
+                 JOIN tot t ON t.media_id = g.media_id),
+        hashes AS (SELECT media_id, {_M04_BAND_SQL} FROM bitv GROUP BY media_id),
+        bands AS (SELECT media_id, b0, b1, b2, b3, u.b AS band_idx,
+                         {_M04_BANDVAL_SQL} AS band_val
+                  FROM hashes, UNNEST([0, 1, 2, 3]) AS u(b)),
+        keep AS (SELECT band_idx, band_val FROM bands
+                 GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND {_M04_CAP}),
+        cand AS (SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id
+                 FROM bands a
+                 JOIN keep k ON a.band_idx = k.band_idx AND a.band_val = k.band_val
+                 JOIN bands b ON a.band_idx = b.band_idx
+                             AND a.band_val = b.band_val
+                             AND a.media_id < b.media_id)
+        SELECT a_id, b_id, hamming FROM (
+          SELECT c.a_id, c.b_id, CAST({_M04_HAM_SQL} AS BIGINT) AS hamming
+          FROM cand c
+          JOIN hashes ha ON ha.media_id = c.a_id
+          JOIN hashes hb ON hb.media_id = c.b_id) t
+        WHERE hamming <= {_M04_HAM_MAX}
+        ORDER BY a_id, b_id""",
+    doc="Perceptual-hash near-duplicate image detection (LAION-style media "
+    "dedup): every image payload gets a 64-bit integer-exact aHash from "
+    "the Arrow-batched decode (operators/multimodal.py::perceptual_hash), "
+    "candidates pair through a 4×16-bit band-equality LSH join — "
+    f"pigeonhole-complete for Hamming ≤ {_M04_HAM_MAX} — and exact Hamming "
+    "distances confirm.  The corpus is widened with deterministic "
+    "'re-encoded' variants (adjacent-byte swap, which provably moves ≤ 2 "
+    "hash bits because stride sums shift but the global mean cannot) so "
+    "true near-dup pairs exist at every scale.\n\n"
+    "Scale shape: hashing is one Arrow pass emitting 4 ints/image; the "
+    "band explode carries 4 slim rows per image into ONE hash shuffle; "
+    f"buckets beyond {_M04_CAP} are dropped (mirrored in the oracle's "
+    "HAVING) so worst-case pair expansion stays constant per bucket; the "
+    "exact-distance confirm is two slim equi-joins on media_id.  No "
+    "all-pairs comparison exists at any stage.",
+)
+def m04(spark: SparkSession, sf: str) -> DataFrame:
+    from .dedup import _pair_expansion
+
+    d = load_table(spark, sf, "documents")
+    imgs = d.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"), F.col("text")
+    )
+    swapped = F.concat(
+        F.substring("text", 2, 1),
+        F.substring("text", 1, 1),
+        F.col("text").substr(F.lit(3), F.length("text")),
+    )
+    variants = d.filter(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + _M04_VARIANT_BASE).alias("media_id"),
+        swapped.alias("text"),
+    )
+    corpus = imgs.unionByName(variants).select(
+        "media_id", F.encode("text", "utf-8").alias("data")
+    )
+    from ..operators.multimodal import perceptual_hash
+
+    hashes = perceptual_hash(corpus)
+    band_structs = F.array(
+        *[
+            F.struct(F.lit(b).alias("band_idx"), F.col(f"b{b}").alias("band_val"))
+            for b in range(4)
+        ]
+    )
+    bands = hashes.select("media_id", F.explode(band_structs).alias("bv")).select(
+        "media_id", "bv.band_idx", "bv.band_val"
+    )
+    buckets = (
+        bands.groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_list("media_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _M04_CAP))
+    )
+    cand = (
+        buckets.select(F.explode(_pair_expansion()).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("media_id").alias("a_id"), *[F.col(f"b{b}").alias(f"a{b}") for b in range(4)]
+    )
+    hb = hashes.select(
+        F.col("media_id").alias("b_id"), *[F.col(f"b{b}").alias(f"hb{b}") for b in range(4)]
+    )
+    ham = sum(
+        (
+            F.bit_count(F.col(f"a{b}").bitwiseXOR(F.col(f"hb{b}")))
+            for b in range(4)
+        ),
+        F.lit(0),
+    ).cast("long")
+    return (
+        cand.join(ha, "a_id")
+        .join(hb, "b_id")
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= _M04_HAM_MAX)
+        .orderBy("a_id", "b_id")
+    )
