@@ -96,6 +96,15 @@ _PRIORITY = [
     # tests/test_qc.py) — and rotates into the window next round
     "g09_mark_duplicates",
     "g10_flagstat",
+    # late round-3 additions — also past the window, each pinned by a pytest
+    # oracle (DuckDB hash for p08/t13/d11/m04, Python replay for g14/g15);
+    # rotate these into the 50-row window in round 4
+    "p08_domain_cap",
+    "t13_bm25",
+    "d11_paragraph_dedup",
+    "m04_phash_neardup",
+    "g14_multiallelic_split",
+    "g15_idxstats",
 ]
 
 
