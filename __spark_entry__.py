@@ -105,6 +105,7 @@ _PRIORITY = [
     "m04_phash_neardup",
     "g14_multiallelic_split",
     "g15_idxstats",
+    "g16_interval_merge",
 ]
 
 

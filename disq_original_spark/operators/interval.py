@@ -208,3 +208,46 @@ def residual_traversal(
         unplaced = spanned.filter(unplaced_pred)
         selected = unplaced if selected is None else selected.unionByName(unplaced)
     return selected.select(*READS_COLUMNS)
+
+
+def merge_intervals(
+    df: DataFrame,
+    contig: str = "contig",
+    start: str = "start",
+    end: str = "end",
+) -> DataFrame:
+    """``bedtools merge`` equivalent: coalesce overlapping-or-touching
+    intervals per contig into maximal islands (closed-interval semantics —
+    ``[1,10]`` and ``[10,20]`` merge, matching htsjdk Locatable overlap).
+
+    Classic distributed gaps-and-islands: intervals sort within their
+    contig; an interval opens a new island iff its start exceeds the
+    running max end of everything before it; the island id is the running
+    count of openings; one aggregate per island emits (start, end, count).
+
+    Scale shape: ONE hash exchange on contig feeding a per-contig sort,
+    and the island aggregate reuses that partitioning (islands never span
+    contigs).  Genomes have O(100) contigs, so per-contig windows spread
+    across a cluster the way p07's shard sorts do; a single pathological
+    contig would call for range-partitioning on (contig, start) with
+    boundary fix-up — the TeraSort refinement — which this operator's
+    contract (sorted, disjoint islands) admits without API change.
+
+    Output: contig, merged_start, merged_end, n_intervals.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(contig).orderBy(start, end)
+    prev_max = F.max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    opens = (prev_max.isNull() | (F.col(start) > prev_max)).cast("long")
+    island = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("_island", island)
+        .groupBy(contig, "_island")
+        .agg(
+            F.min(start).alias("merged_start"),
+            F.max(end).alias("merged_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .drop("_island")
+    )

@@ -731,3 +731,56 @@ def g15(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("rank")
         .drop("rank")
     )
+
+
+# ------------------------------------------------- g16 interval merge
+_G16_SPAN_US = 300_000_000  # each event spans [ts, ts + 5 min]
+
+
+@query(
+    "g16_interval_merge",
+    f"""WITH iv AS (SELECT event_type AS contig,
+                           epoch_us(ts) AS s, epoch_us(ts) + {_G16_SPAN_US} AS e
+                    FROM events),
+        flagged AS (SELECT contig, s, e,
+                           CASE WHEN s > max(e) OVER (PARTITION BY contig
+                                                      ORDER BY s, e
+                                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                                      AND 1 PRECEDING)
+                                THEN 1
+                                WHEN max(e) OVER (PARTITION BY contig
+                                                  ORDER BY s, e
+                                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND 1 PRECEDING) IS NULL
+                                THEN 1 ELSE 0 END AS opens
+                    FROM iv),
+        isl AS (SELECT contig, s, e,
+                       sum(opens) OVER (PARTITION BY contig ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS island
+                FROM flagged)
+        SELECT contig, min(s) AS merged_start, max(e) AS merged_end,
+               count(*) AS n_intervals
+        FROM isl GROUP BY contig, island
+        ORDER BY contig, merged_start""",
+    doc="bedtools-merge equivalent (operators/interval.py::merge_intervals): "
+    "overlapping-or-touching intervals coalesce into maximal islands per "
+    "contig via distributed gaps-and-islands — one hash exchange on contig "
+    "feeding a per-contig sort, island aggregate reusing the partitioning.  "
+    "Run here on the events-as-intervals view so DuckDB hash-checks every "
+    "island boundary; the same operator applies unchanged to read/variant "
+    "spans from the genomics sources.",
+)
+def g16(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.interval import merge_intervals
+
+    e = load_table(spark, sf, "events")
+    iv = e.select(
+        F.col("event_type").alias("contig"),
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_G16_SPAN_US)).alias("e"),
+    )
+    return (
+        merge_intervals(iv, contig="contig", start="s", end="e")
+        .orderBy("contig", "merged_start")
+    )

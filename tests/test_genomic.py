@@ -55,3 +55,28 @@ def test_g06_matches_bruteforce(spark, sf_dir):
         )
         assert got[key] == (d, avg), key
     assert sum(depth.values()) > 0
+
+
+def test_merge_intervals_edge_cases(spark):
+    """Closed-interval semantics on crafted spans: touching intervals merge,
+    gap-of-one splits, containment collapses, contigs stay isolated."""
+    from disq_original_spark.operators.interval import merge_intervals
+
+    rows = [
+        ("c1", 1, 10),
+        ("c1", 10, 20),   # touches 10 → merges
+        ("c1", 22, 30),   # gap (21 uncovered) → new island
+        ("c1", 23, 25),   # contained
+        ("c1", 25, 40),   # chained extension
+        ("c2", 1, 10),    # other contig: isolated
+    ]
+    df = spark.createDataFrame(rows, "contig string, s long, e long")
+    got = sorted(
+        (r.contig, r.merged_start, r.merged_end, r.n_intervals)
+        for r in merge_intervals(df, contig="contig", start="s", end="e").collect()
+    )
+    assert got == [
+        ("c1", 1, 20, 2),
+        ("c1", 22, 40, 3),
+        ("c2", 1, 10, 1),
+    ]
