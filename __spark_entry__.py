@@ -106,6 +106,8 @@ _PRIORITY = [
     "g14_multiallelic_split",
     "g15_idxstats",
     "g16_interval_merge",
+    "t14_bigram_surprisal",
+    "p09_skew_audit",
 ]
 
 

@@ -633,3 +633,60 @@ def p08(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= _P08_CAP)
         .orderBy("source", "rank")
     )
+
+
+# ------------------------------------------------------- p09 skew audit
+_P09_TOPK = 20
+
+
+@query(
+    "p09_skew_audit",
+    f"""WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        t AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+                     count(*) AS n_keys FROM c),
+        top AS (SELECT user_id, n FROM c ORDER BY n DESC, user_id LIMIT {_P09_TOPK})
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, user_id) AS BIGINT) AS rank,
+               user_id, n, t.n_keys,
+               round(n / t.total, 6) AS share,
+               round(sum(n) OVER (ORDER BY n DESC, user_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) / t.total, 6) AS cum_share
+        FROM top CROSS JOIN t
+        ORDER BY rank""",
+    doc="Join-key skew audit — the diagnostic a pipeline runs BEFORE a big "
+    "shuffle to decide whether a key needs salting (g08's strategy) or an "
+    "AQE skew split: exact per-key counts, the top heavy hitters with "
+    "their corpus share and cumulative concentration, plus the distinct-"
+    "key count that sizes the exchange.\n\n"
+    "Scale shape: one hash aggregate with map-side combine (the only "
+    "full shuffle, keyed exactly like the join under audit would be); the "
+    "top-k is sort+limit, which Spark executes as TakeOrderedAndProject — "
+    "per-partition heaps of k rows, never a global sort; the final "
+    "share/cumulative window runs on k rows.  The 1-row totals aggregate "
+    "broadcasts.",
+)
+def p09(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    c = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    t = c.agg(
+        F.sum("n").cast("double").alias("total"), F.count("*").alias("n_keys")
+    )
+    top = c.orderBy(F.col("n").desc(), "user_id").limit(_P09_TOPK)
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    cum = Window.orderBy(F.col("n").desc(), "user_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.join(F.broadcast(t))
+        .select(
+            F.row_number().over(w).cast("long").alias("rank"),
+            "user_id",
+            "n",
+            "n_keys",
+            F.round(F.col("n") / F.col("total"), 6).alias("share"),
+            F.round(F.sum("n").over(cum) / F.col("total"), 6).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )

@@ -844,3 +844,62 @@ def t13(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= _T13_TOPK)
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------- t14 bigram LM
+@query(
+    "t14_bigram_surprisal",
+    r"""WITH toks AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS w
+          FROM documents),
+        bg AS (SELECT doc_id, w[ti] AS w1, w[ti] || ' ' || w[ti + 1] AS b
+               FROM toks, UNNEST(range(1, len(w))) AS u(ti)),
+        cb AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
+        ch AS (SELECT w1, count(*) AS h FROM bg GROUP BY w1)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(sum(ln(h) - ln(c12)) / count(*), 4) AS avg_surprisal,
+               round(max(ln(h) - ln(c12)), 4) AS max_surprisal
+        FROM bg JOIN cb USING (b) JOIN ch USING (w1)
+        GROUP BY doc_id ORDER BY doc_id""",
+    doc="Bigram-LM surprisal scoring — the KenLM-style upgrade of t10's "
+    "unigram proxy: train corpus-wide bigram counts c(w1,w2) and history "
+    "counts h(w1) (= Σ_w2 c(w1,w2), so p(w2|w1) = c12/h is a proper "
+    "conditional), then score every document by mean and max conditional "
+    "surprisal -ln p(w2|w1) = ln h - ln c12.  Low scores mark formulaic "
+    "text, high scores mark disfluent text — the standard two-sided "
+    "perplexity filter.\n\n"
+    "Scale shape: bigrams materialize in-expression (zip_with over the "
+    "token array — no self-join of the word explosion); both count tables "
+    "hash-aggregate with map-side combine and join back on their own "
+    "aggregation keys, so each join's child exchange is byte-identical to "
+    "the aggregate's and ReuseExchange runs it once; the bigram vocabulary "
+    "stays distributed end-to-end (at 100 TB it is far too big to "
+    "broadcast or collect).",
+)
+def t14(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_wide(spark, sf, "documents").select(
+        "doc_id", tokens("text").alias("w")
+    )
+    n1 = F.greatest(F.lit(0), F.size("w") - 1)
+    pairs = F.zip_with(
+        F.slice("w", 1, n1),
+        F.slice("w", 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("b")),
+    )
+    bg = d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.b"
+    )
+    cb = bg.groupBy("b").agg(F.count("*").alias("c12"))
+    ch = bg.groupBy("w1").agg(F.count("*").alias("h"))
+    s = F.log("h") - F.log("c12")
+    return (
+        bg.join(cb, "b")
+        .join(ch, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum(s) / F.count("*"), 4).alias("avg_surprisal"),
+            F.round(F.max(s), 4).alias("max_surprisal"),
+        )
+        .orderBy("doc_id")
+    )

@@ -98,6 +98,15 @@ def test_domain_cap_partial_limit(spark, sf_dir):
     assert plan.index(partial[0]) > exch
 
 
+def test_skew_audit_take_ordered(spark, sf_dir):
+    """p09's heavy-hitter top-k must compile to TakeOrderedAndProject
+    (per-partition k-row heaps), never a global Sort over all keys."""
+    from disq_original_spark.plans import simple_plan
+
+    plan = simple_plan(QUERIES["p09_skew_audit"].build(spark, sf_dir))
+    assert "TakeOrdered" in plan
+
+
 def test_interval_filter_broadcasts(spark, sf_dir):
     from disq_original_spark.operators.interval import interval_filter
     from disq_original_spark.tables import load_table
