@@ -139,3 +139,22 @@ def test_null_text_documents_survive_fused_passes(spark, ddb, sf_dir):
     finally:
         dd.load_wide, dd.load_table = dd_wide, dd_load
         tx.load_wide = orig_wide
+
+
+def test_driver_window_rotation_contract():
+    """The driver's CORRECTNESS harness snapshots the FIRST 50 names of
+    queries().  Round 2 lost 29 queries from its snapshot because the
+    priority list went stale; pin the round-3 window: every query that
+    lacked a round-2 driver row (q05–q33) must sit inside the first 50,
+    every registered query must be reachable, and oracle keys must be a
+    subset of query keys."""
+    import __spark_entry__ as se
+    from disq_original_spark.queries import QUERIES
+
+    names = list(se.queries())
+    assert len(names) == len(QUERIES) == len(set(names))
+    window = set(names[:50])
+    missing_r2 = {f"q{i:02d}" for i in range(5, 34)}
+    in_window = {n.split("_")[0] for n in window}
+    assert missing_r2 <= in_window, missing_r2 - in_window
+    assert set(se.oracle_sql()) <= set(names)
