@@ -108,6 +108,7 @@ _PRIORITY = [
     "g16_interval_merge",
     "t14_bigram_surprisal",
     "p09_skew_audit",
+    "g17_interval_subtract",
 ]
 
 

@@ -251,3 +251,84 @@ def merge_intervals(
         )
         .drop("_island")
     )
+
+
+def subtract_intervals(
+    a: DataFrame,
+    b: DataFrame,
+    contig: str = "contig",
+    start: str = "start",
+    end: str = "end",
+    bin_size: int | None = None,
+    low: int = 0,
+    high: int = 1 << 62,
+) -> DataFrame:
+    """``bedtools subtract`` equivalent: remove from every ``a`` interval the
+    regions covered by ANY ``b`` interval (closed-interval arithmetic),
+    emitting the surviving fragments.
+
+    Implemented as complement-and-intersect — a composition of this
+    module's own primitives rather than a per-row loop:
+
+    1. ``b`` coalesces into disjoint islands (:func:`merge_intervals`);
+    2. the islands' complement becomes gap intervals via a per-contig
+       ``lag`` window ([low, first), between-islands, (last, high]);
+    3. fragments = ``a`` ⨝ gaps with the binned :func:`interval_join`,
+       clamped map-side to ``[max(starts), min(ends)]``;
+    4. ``a`` rows on contigs with no ``b`` at all pass through whole via a
+       broadcast-able anti join on the tiny distinct-contig set.
+
+    Scale shape: the merge is one contig exchange; gaps add a same-keyed
+    window (reusing that exchange); the intersect is the bucketed range
+    join (never a nested loop); the clamp is codegen.  Fragment count
+    equals overlap-pair count — no blowup beyond the true output size.
+    Closed-interval convention matches htsjdk Locatable (g16).
+    """
+    from pyspark.sql import Window
+
+    bm = merge_intervals(b, contig=contig, start=start, end=end)
+    w = Window.partitionBy(contig).orderBy("merged_start")
+    prev_end = F.lag("merged_end").over(w)
+    between = bm.select(
+        contig,
+        F.coalesce(prev_end + 1, F.lit(low)).alias("gap_start"),
+        (F.col("merged_start") - 1).alias("gap_end"),
+    )
+    tail = bm.groupBy(contig).agg(
+        (F.max("merged_end") + 1).alias("gap_start"), F.lit(high).alias("gap_end")
+    )
+    # clamp to [low, high]: with bin_size the join replicates every gap to
+    # each bin it touches, so an unbounded tail gap would explode into
+    # high/bin_size rows — callers pass the (known) universe bounds
+    gaps = (
+        between.unionByName(tail)
+        .select(
+            contig,
+            F.greatest("gap_start", F.lit(low)).alias("gap_start"),
+            F.least("gap_end", F.lit(high)).alias("gap_end"),
+        )
+        .filter(F.col("gap_start") <= F.col("gap_end"))
+    )
+
+    joined = interval_join(
+        a,
+        gaps.withColumnRenamed(contig, "_gcontig"),
+        on_contig=(contig, "_gcontig"),
+        left_span=(start, end),
+        right_span=("gap_start", "gap_end"),
+        bin_size=bin_size,
+    )
+    frags = joined.select(
+        *[F.col(f"l.{c}").alias(c) for c in a.columns],
+        F.greatest(F.col(f"l.{start}"), F.col("r.gap_start")).alias("frag_start"),
+        F.least(F.col(f"l.{end}"), F.col("r.gap_end")).alias("frag_end"),
+    )
+    # contigs with no b coverage at all: every a interval survives whole
+    no_b = a.join(
+        F.broadcast(bm.select(contig).distinct()), contig, "left_anti"
+    ).select(
+        *a.columns,
+        F.col(start).alias("frag_start"),
+        F.col(end).alias("frag_end"),
+    )
+    return frags.unionByName(no_b)

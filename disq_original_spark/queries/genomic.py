@@ -784,3 +784,90 @@ def g16(spark: SparkSession, sf: str) -> DataFrame:
         merge_intervals(iv, contig="contig", start="s", end="e")
         .orderBy("contig", "merged_start")
     )
+
+
+# ------------------------------------------------- g17 interval subtract
+_G17_SPAN_US = 300_000_000  # 5-minute spans on both sides
+_G17_LOW = 1_704_067_200_000_000  # 2024-01-01 (the fixture's data window)
+_G17_HIGH = 1_709_251_200_000_000  # 2024-03-01
+_G17_BIN_US = 86_400_000_000  # 1-day bins for the gap intersect
+
+
+@query(
+    "g17_interval_subtract",
+    f"""WITH a AS (SELECT event_id, user_id % 4 AS contig,
+                          epoch_us(ts) AS s, epoch_us(ts) + {_G17_SPAN_US} AS e
+                   FROM events WHERE event_type = 'purchase'),
+        b AS (SELECT user_id % 4 AS contig,
+                     epoch_us(ts) AS s, epoch_us(ts) + {_G17_SPAN_US} AS e
+              FROM events WHERE event_type = 'error'),
+        flagged AS (SELECT contig, s, e,
+                           CASE WHEN max(e) OVER w IS NULL
+                                  OR s > max(e) OVER w THEN 1 ELSE 0 END AS opens
+                    FROM b
+                    WINDOW w AS (PARTITION BY contig ORDER BY s, e
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        isl AS (SELECT contig, s, e,
+                       sum(opens) OVER (PARTITION BY contig ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS island
+                FROM flagged),
+        bm AS (SELECT contig, min(s) AS ms, max(e) AS me
+               FROM isl GROUP BY contig, island),
+        rawgaps AS (
+          SELECT contig,
+                 coalesce(lag(me) OVER (PARTITION BY contig ORDER BY ms) + 1,
+                          {_G17_LOW}) AS gs,
+                 ms - 1 AS ge
+          FROM bm
+          UNION ALL
+          SELECT contig, max(me) + 1, {_G17_HIGH} FROM bm GROUP BY contig),
+        gaps AS (SELECT contig, greatest(gs, {_G17_LOW}) AS gs,
+                        least(ge, {_G17_HIGH}) AS ge
+                 FROM rawgaps
+                 WHERE greatest(gs, {_G17_LOW}) <= least(ge, {_G17_HIGH})),
+        frags AS (SELECT a.event_id, a.contig,
+                         greatest(a.s, g.gs) AS frag_start,
+                         least(a.e, g.ge) AS frag_end
+                  FROM a JOIN gaps g
+                    ON a.contig = g.contig AND a.s <= g.ge AND a.e >= g.gs
+                  UNION ALL
+                  SELECT event_id, contig, s, e FROM a
+                  WHERE contig NOT IN (SELECT DISTINCT contig FROM bm))
+        SELECT event_id, CAST(contig AS BIGINT) AS contig, frag_start, frag_end
+        FROM frags ORDER BY event_id, frag_start""",
+    doc="bedtools-subtract equivalent "
+    "(operators/interval.py::subtract_intervals): remove every 'error' "
+    "blackout span from every 'purchase' availability span, emitting the "
+    "surviving fragments — complement-and-intersect composed from "
+    "merge_intervals (b → disjoint islands), a same-keyed lag window "
+    "(islands → gaps, clamped to the data window), and the binned "
+    "interval_join (a ⨝ gaps, map-side clamp).  Fragment rows hash-check "
+    "against DuckDB's quadratic formulation.",
+)
+def g17(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.interval import subtract_intervals
+
+    e = load_table(spark, sf, "events")
+
+    def iv(etype: str, with_id: bool) -> DataFrame:
+        cols = ([F.col("event_id")] if with_id else []) + [
+            (F.col("user_id") % 4).alias("contig"),
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + F.lit(_G17_SPAN_US)).alias("e"),
+        ]
+        return e.filter(F.col("event_type") == etype).select(*cols)
+
+    out = subtract_intervals(
+        iv("purchase", True),
+        iv("error", False),
+        contig="contig",
+        start="s",
+        end="e",
+        bin_size=_G17_BIN_US,
+        low=_G17_LOW,
+        high=_G17_HIGH,
+    )
+    return out.select(
+        "event_id", F.col("contig").cast("long").alias("contig"), "frag_start", "frag_end"
+    ).orderBy("event_id", "frag_start")

@@ -80,3 +80,36 @@ def test_merge_intervals_edge_cases(spark):
         ("c1", 22, 40, 3),
         ("c2", 1, 10, 1),
     ]
+
+
+def test_subtract_intervals_edge_cases(spark):
+    """Closed-interval subtraction on crafted spans: full cover drops the
+    interval, interior cover splits it, edge cover trims it, no-b contigs
+    pass through whole, and b fragments merge before subtracting."""
+    from disq_original_spark.operators.interval import subtract_intervals
+
+    a = spark.createDataFrame(
+        [
+            ("c1", 10, 30),   # b covers [12,18]+[15,22] (merged) → trims to two frags
+            ("c1", 40, 50),   # fully covered by [35, 60] → vanishes
+            ("c1", 70, 80),   # untouched on a covered contig
+            ("c2", 1, 10),    # contig with no b at all → whole
+        ],
+        "contig string, s long, e long",
+    )
+    b = spark.createDataFrame(
+        [("c1", 12, 18), ("c1", 15, 22), ("c1", 35, 60)],
+        "contig string, s long, e long",
+    )
+    got = sorted(
+        (r.contig, r.s, r.e, r.frag_start, r.frag_end)
+        for r in subtract_intervals(
+            a, b, contig="contig", start="s", end="e", bin_size=16, low=0, high=100
+        ).collect()
+    )
+    assert got == [
+        ("c1", 10, 30, 10, 11),
+        ("c1", 10, 30, 23, 30),
+        ("c1", 70, 80, 70, 80),
+        ("c2", 1, 10, 1, 10),
+    ]
