@@ -286,7 +286,11 @@ def subtract_intervals(
     """
     from pyspark.sql import Window
 
-    bm = merge_intervals(b, contig=contig, start=start, end=end)
+    # persist: the between-gaps window, the tail-gap aggregate and the
+    # no-b anti join all consume the merged islands — without it the
+    # merge's shuffle+window re-executes per branch.  Islands are ≤ |b|
+    # slim rows, so the cache is bounded by the smaller input.
+    bm = merge_intervals(b, contig=contig, start=start, end=end).persist()
     w = Window.partitionBy(contig).orderBy("merged_start")
     prev_end = F.lag("merged_end").over(w)
     between = bm.select(

@@ -202,7 +202,11 @@ def m04(spark: SparkSession, sf: str) -> DataFrame:
     )
     from ..operators.multimodal import perceptual_hash
 
-    hashes = perceptual_hash(corpus)
+    # persist: bands, the a-side and the b-side of the confirm join all
+    # consume the hashes — without it the Arrow decode pass runs three
+    # times (one mapInPandas subtree per plan branch).  5 ints/row, so the
+    # cache is ~1000× smaller than the payloads it replaces.
+    hashes = perceptual_hash(corpus).persist()
     band_structs = F.array(
         *[
             F.struct(F.lit(b).alias("band_idx"), F.col(f"b{b}").alias("band_val"))
