@@ -540,9 +540,11 @@ def t10(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: explode → hash-aggregate the vocabulary (shuffle keyed on
     word, map-side combine collapses each partition to its local vocab) →
-    join the exploded words back to their counts on the SAME key, so the
-    join's word-side exchange is byte-identical to the aggregate's input
-    exchange and Spark's ReuseExchange executes it once → per-doc aggregate.
+    join the exploded words back to their counts on the SAME key: the
+    aggregate's output is already hash-partitioned on word, so the join
+    adds no exchange on the vocab side and the probe side shuffles once
+    (at test scale Catalyst broadcasts the small vocab instead — strictly
+    better) → per-doc aggregate.
     The corpus total N is a 1-row aggregate joined in by broadcast.  No
     driver collection, no cap: the vocabulary stays distributed (at 100 TB
     it is billions of rows — too big to broadcast, which is why the plan
@@ -871,10 +873,10 @@ def t13(spark: SparkSession, sf: str) -> DataFrame:
     "Scale shape: bigrams materialize in-expression (zip_with over the "
     "token array — no self-join of the word explosion); both count tables "
     "hash-aggregate with map-side combine and join back on their own "
-    "aggregation keys, so each join's child exchange is byte-identical to "
-    "the aggregate's and ReuseExchange runs it once; the bigram vocabulary "
-    "stays distributed end-to-end (at 100 TB it is far too big to "
-    "broadcast or collect).",
+    "aggregation keys — each aggregate's output is already partitioned on "
+    "its join key, so the count sides add no exchange and only the probe "
+    "side shuffles per key; the bigram vocabulary stays distributed "
+    "end-to-end (at 100 TB it is far too big to broadcast or collect).",
 )
 def t14(spark: SparkSession, sf: str) -> DataFrame:
     d = load_wide(spark, sf, "documents").select(
