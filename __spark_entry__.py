@@ -109,6 +109,7 @@ _PRIORITY = [
     "t14_bigram_surprisal",
     "p09_skew_audit",
     "g17_interval_subtract",
+    "st08_stream_ingest_dedup",
 ]
 
 

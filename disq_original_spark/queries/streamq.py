@@ -283,3 +283,36 @@ def st07(spark: SparkSession, sf: str) -> DataFrame:
     return sink.select(
         "segment", "n_events", "total_value"
     ).orderBy("segment")
+
+
+@query(
+    "st08_stream_ingest_dedup",
+    """WITH seen AS (SELECT DISTINCT md5(concat_ws('|', user_id, event_type, props)) AS h
+                     FROM events WHERE event_id % 3 = 0),
+        s AS (SELECT event_type, value,
+                     md5(concat_ws('|', user_id, event_type, props)) AS h
+              FROM events)
+       SELECT event_type, count(*) AS n_new, round(sum(value), 2) AS total_value
+       FROM s WHERE h NOT IN (SELECT h FROM seen)
+       GROUP BY 1 ORDER BY 1""",
+    doc="Streaming ingest dedup (the streaming twin of d09): the event "
+    "stream anti-joins a STATIC already-ingested content-hash index "
+    "(every third event stands in for the existing corpus), so only "
+    "genuinely novel content reaches the per-type aggregate.  The "
+    "stream-static LEFT ANTI join is stateless — each micro-batch probes "
+    "the broadcast index, no state store — and availableNow drains the "
+    "file stream in one batch so the DuckDB oracle checks it exactly.",
+)
+def st08(spark: SparkSession, sf: str) -> DataFrame:
+    from ..streaming.events import content_hash, novel_event_totals
+    from ..tables import load_table
+
+    stream = _events_stream(spark, sf)
+    seen = (
+        load_table(spark, sf, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select(content_hash().alias("h"))
+        .distinct()
+    )
+    sink = _drain_to_memory(spark, novel_event_totals(stream, seen), "complete")
+    return sink.select("event_type", "n_new", "total_value").orderBy("event_type")

@@ -181,3 +181,41 @@ def enriched_segment_totals(events: DataFrame, customers: DataFrame) -> DataFram
 def enriched_segment_totals_batch(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Batch twin of ``enriched_segment_totals``."""
     return enriched_segment_totals(events, customers)
+
+
+def content_hash() -> F.Column:
+    """Engine-stable event content hash: md5 over pipe-joined string-safe
+    fields (user_id casts to decimal text identically in Spark and DuckDB;
+    the float ``value`` column is deliberately excluded — double→string
+    formatting differs across engines)."""
+    return F.md5(
+        F.concat_ws("|", F.col("user_id"), F.col("event_type"), F.col("props")).cast(
+            "binary"
+        )
+    )
+
+
+def novel_event_totals(events: DataFrame, seen: DataFrame) -> DataFrame:
+    """Streaming ingest dedup — the streaming twin of d09's incremental
+    batch dedup: drop every stream event whose content hash already exists
+    in the static already-ingested index, then aggregate what's genuinely
+    new per event type.
+
+    Stream-static LEFT ANTI joins are STATELESS in Structured Streaming —
+    each micro-batch probes the static side (broadcast when small), no
+    state store, no watermark for the join itself; the aggregate's state
+    is bounded by event-type cardinality.  Duplicates WITHIN one batch
+    both pass (the index only knows prior corpus content) — in-stream
+    dedup is st03's dropDuplicatesWithinWatermark, a separate concern.
+    """
+    h = events.withColumn("h", content_hash())
+    novel = h.join(F.broadcast(seen), "h", "left_anti")
+    return novel.groupBy("event_type").agg(
+        F.count("*").alias("n_new"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def novel_event_totals_batch(events: DataFrame, seen: DataFrame) -> DataFrame:
+    """Batch twin of ``novel_event_totals``."""
+    return novel_event_totals(events, seen)
