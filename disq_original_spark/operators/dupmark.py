@@ -158,6 +158,10 @@ def mark_duplicates(reads: DataFrame, header: SamHeader) -> DataFrame:
     # decode — the dominant cost for a Python-decoded BAM scan.  The cache
     # is the slim projection only (~60 bytes/read, spillable), the same
     # trade MarkDuplicatesSpark makes by caching its ReadsKey RDD.
+    # Cache lifetime: a lazy builder cannot unpersist after itself, so the
+    # slim signature frame (~60 B/read) stays cached until session end or
+    # spark.catalog.clearCache(); sessions marking many inputs should clear
+    # between runs.
     sig = reads.select(
         "qname",
         flag.bitwiseAND(_READ_ORDINAL).alias("r12"),

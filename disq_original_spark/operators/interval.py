@@ -283,6 +283,11 @@ def subtract_intervals(
     join (never a nested loop); the clamp is codegen.  Fragment count
     equals overlap-pair count — no blowup beyond the true output size.
     Closed-interval convention matches htsjdk Locatable (g16).
+
+    Cache note: the merged-island frame persists (3 plan branches consume
+    it) and, this being a lazy builder, stays cached until session end or
+    ``spark.catalog.clearCache()`` — bounded by |b| slim rows per call;
+    long-lived sessions subtracting many inputs should clear between runs.
     """
     from pyspark.sql import Window
 

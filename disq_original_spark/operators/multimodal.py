@@ -172,7 +172,12 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
-                if data is None:
+                if data is None or len(data) == 0:
+                    # empty payloads carry no signal and would all collide
+                    # on the all-zero hash, flooding the pair output with
+                    # meaningless exact dups; dropped like NULLs (and like
+                    # the oracle, whose generate_series over an empty text
+                    # emits no rows)
                     continue
                 payload = bytes(data)
                 moms = [

@@ -102,12 +102,20 @@ def _recode_gt(gt: Column, allele: Column) -> Column:
 def _slice_by_number(value: Column, number: str, idx: Column) -> Column:
     """Re-slice a raw comma-joined VCF value for 1-based alt index ``idx``:
     Number=A keeps element idx, Number=R keeps (ref, alt idx), Number=G is
-    genotype-shaped and set to missing ('.'), everything else unchanged."""
+    genotype-shaped and set to missing ('.'), everything else unchanged.
+
+    try_element_at, not element_at: a malformed record whose A/R value has
+    fewer elements than the ALT count (common in real VCFs — the sources
+    default to lenient stringency for the same reason) degrades to NULL /
+    the ref element alone instead of aborting the job under ANSI mode."""
     parts = F.split(value, ",")
     if number == "A":
-        return F.element_at(parts, idx)
+        return F.try_element_at(parts, idx)
     if number == "R":
-        return F.concat_ws(",", F.element_at(parts, 1), F.element_at(parts, idx + 1))
+        # concat_ws skips NULL, so a missing alt element leaves just ref
+        return F.concat_ws(
+            ",", F.try_element_at(parts, F.lit(1)), F.try_element_at(parts, idx + 1)
+        )
     if number == "G":
         return F.lit(".")
     return value

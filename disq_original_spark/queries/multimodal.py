@@ -43,7 +43,9 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
                               WHEN doc_id % 3 = 1 THEN 'audio'
                               ELSE 'video' END AS kind,
                          text, length(text) AS n
-                  FROM documents),
+                  -- NULL payloads are skipped by the feature extractor
+                  -- (operators/multimodal.py run()); mirror that here
+                  FROM documents WHERE text IS NOT NULL),
         pos AS (SELECT media_id, text, unnest(generate_series(1, n)) AS p
                 FROM m),
         b AS (SELECT media_id, (p - 1) % 8 AS j, ord(substr(text, p, 1)) AS byte

@@ -580,7 +580,7 @@ _T11_KNUTH = 2654435761  # Knuth multiplicative constant, 32-bit golden ratio
     rf"""WITH words AS (
           SELECT doc_id,
                  unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS word
-          FROM documents),
+          FROM documents WHERE text IS NOT NULL),
         hashed AS (
           SELECT doc_id,
                  ((CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT) % {_T11_P})
@@ -612,7 +612,10 @@ def t11(spark: SparkSession, sf: str) -> DataFrame:
     weight, and sum entirely inside higher-order functions, zero explode,
     zero shuffle, zero Python.  At 100 TB this is a pure map-side scan;
     the orderBy exists only for the driver's deterministic compare."""
-    d = load_table(spark, sf, "documents")
+    # NULL-text docs are dropped on BOTH sides (the oracle's unnest emits
+    # nothing for them; here an explicit filter) — without the filter this
+    # pure projection would emit an all-NULL row the oracle never sees
+    d = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
     tok = tokens("text")
 
     def w_int(word):
@@ -649,7 +652,7 @@ def t11(spark: SparkSession, sf: str) -> DataFrame:
     rf"""WITH t AS (
           SELECT doc_id,
                  string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+') AS t
-          FROM documents),
+          FROM documents WHERE text IS NOT NULL),
         s AS (
           SELECT doc_id, len(t) AS n_tokens,
                  len(list_filter(t, x -> x IN {_STOP_SQL})) AS n_stop,
@@ -685,7 +688,10 @@ def t12(spark: SparkSession, sf: str) -> DataFrame:
     aggregate — (doc, word) partial counts, then max per doc — the same
     honest shuffle t08 pays, carrying only small count rows.  The verdict
     join is on doc_id, co-partitioned with the aggregate's own exchange."""
-    d = load_table(spark, sf, "documents")
+    # NULL-text docs drop on BOTH sides: explicitly here, and in the oracle's
+    # WHERE — previously the inner join with the top-word aggregate dropped
+    # them implicitly while the oracle mislabeled them as 'pass'
+    d = load_table(spark, sf, "documents").filter(F.col("text").isNotNull())
     tok = tokens("text")
     base = d.select(
         "doc_id",

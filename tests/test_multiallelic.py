@@ -34,8 +34,9 @@ def _py_slice(value: str | None, number: str, allele: int) -> str | None:
     if number == "A":
         return parts[allele - 1] if allele - 1 < len(parts) else None
     if number == "R":
-        alt_el = parts[allele] if allele < len(parts) else ""
-        return f"{parts[0]},{alt_el}" if alt_el != "" else parts[0] + ","
+        # mirrors the engine: concat_ws skips the NULL from try_element_at,
+        # so an out-of-range alt element leaves just the ref element
+        return f"{parts[0]},{parts[allele]}" if allele < len(parts) else parts[0]
     if number == "G":
         return "."
     return value
@@ -157,6 +158,10 @@ def test_split_generated_multidigit_and_number_slicing(spark, tmp_path):
         _gen_line(100, alts12, ["11|12", "0/10"]),
         _gen_line(200, ["C", "G"], ["1/2", "./1"]),
         _gen_line(300, ["T"], ["0|1", "./."]),
+        # malformed lenient input: 3 ALTs but Number=A AF has one element
+        # and Number=R AD is truncated — must degrade to NULL / ref-only,
+        # never abort (the try_element_at contract)
+        "chr1\t400\t.\tA\tC,G,T\t60\tPASS\tAF=0.5;AD=10,11;DP=9\tGT\t1/2\t0/3",
     ]
     path = str(tmp_path / "multi.vcf")
     with open(path, "w") as f:

@@ -1,0 +1,84 @@
+"""Engine-parity on degenerate documents: a corpus containing NULL-text,
+empty-text and one-word rows must produce IDENTICAL Spark and DuckDB results
+for the document-pipeline queries.  The driver's fixtures contain no such
+rows, so without this sweep a NULL-handling divergence (e.g. a pure
+projection emitting an all-NULL row the oracle drops) stays latent until a
+real corpus hits it."""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pytest
+
+from disq_original_spark.queries import QUERIES
+
+from .conftest import SF_DIR
+from .util import assert_frames_match
+
+# document-table queries whose oracle must stay row-for-row identical when
+# degenerate rows are present (similarity/packing queries over embeddings
+# or events are untouched by document text)
+_DOC_QUERIES = [
+    "t01_token_count",
+    "t02_quality_score",
+    "t03_lang_heuristic",
+    "t04_fingerprint",
+    "t05_bpe_tokens",
+    "t11_quality_classifier",
+    "t12_filter_funnel",
+    "t13_bm25",
+    "t14_bigram_surprisal",
+    "d01_exact_dedup",
+    "d11_paragraph_dedup",
+    "p08_domain_cap",
+    "m01_media_stats",
+    "m02_media_features",
+    "m04_phash_neardup",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_sf(spark, tmp_path_factory):
+    """sf0.001 with three degenerate documents appended: NULL text, empty
+    text, one word.  All other tables are the originals."""
+    root = tmp_path_factory.mktemp("degenerate_sf")
+    for f in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(f"{SF_DIR}/{f}.parquet", root / f"{f}.parquet")
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    extra = spark.createDataFrame(
+        [
+            (900001, None, "en", "srcX", 0),
+            (900002, "", "en", "srcX", 0),
+            (900003, "spark", "en", "srcX", 5),
+        ],
+        d.schema,
+    )
+    d.unionByName(extra).coalesce(1).write.mode("overwrite").parquet(
+        str(root / "documents.parquet")
+    )
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def degenerate_ddb(degenerate_sf):
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{degenerate_sf}/{t}.parquet/*.parquet')"
+        ) if t == "documents" else con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{degenerate_sf}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _DOC_QUERIES)
+def test_query_agrees_on_degenerate_docs(spark, degenerate_sf, degenerate_ddb, name):
+    q = QUERIES[name]
+    spark_pdf = q.build(spark, degenerate_sf).toPandas()
+    oracle_pdf = degenerate_ddb.sql(q.oracle).fetchdf()
+    assert_frames_match(spark_pdf, oracle_pdf, name)
