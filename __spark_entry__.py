@@ -110,6 +110,7 @@ _PRIORITY = [
     "p09_skew_audit",
     "g17_interval_subtract",
     "st08_stream_ingest_dedup",
+    "g18_interval_closest",
 ]
 
 

@@ -341,3 +341,135 @@ def subtract_intervals(
         F.col(end).alias("frag_end"),
     )
     return frags.unionByName(no_b)
+
+
+def closest_intervals(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str,
+    contig: str = "contig",
+    start: str = "start",
+    end: str = "end",
+    bin_size: int | None = None,
+) -> DataFrame:
+    """``bedtools closest`` equivalent: for every ``a`` interval, the ``b``
+    interval at minimum distance (0 when overlapping; ties broken by the
+    smallest ``(distance, b_start, b_end)``), with the distance.  ``a``
+    intervals on contigs with no ``b`` at all keep NULL b columns — the
+    '.' rows bedtools prints.
+
+    Distributed shape — never an all-pairs join:
+
+    - overlapping candidates come from the binned :func:`interval_join`
+      (distance 0, leftmost b per a);
+    - the nearest non-overlapping LEFT candidate comes from one union-sort
+      sweep per contig: a and b rows interleave ordered by (b_end | a_start)
+      and a running ``last(b)`` window hands each a row the rightmost b
+      that ended before it — the same union-and-window shape as the as-of
+      join (q34), one shuffle, no join node;
+    - the RIGHT candidate mirrors it on (b_start | a_end) descending;
+    - a 3-way ``least``-struct pick per a row resolves the winner.
+
+    The windows are ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW with
+    ``last(..., ignorenulls)`` — running state, not a re-scan; per-contig
+    ordering is the one sort any nearest-neighbor sweep needs.
+    """
+    from pyspark.sql import Window
+
+    bcols = F.struct(F.col("_bs").alias("b_s"), F.col("_be").alias("b_e"))
+
+    def sweep(val_a: str, val_b: str, descending: bool, tiebreak_neg: str) -> DataFrame:
+        """Union a+b, order by the sweep value, hand each a row the last b
+        seen.  ``tiebreak_neg`` orders equal-valued b rows so the LAST one
+        is the contract winner (negate to keep the smallest)."""
+        au = a.select(
+            F.col(id_col).alias("_aid"),
+            F.col(contig).alias("_c"),
+            F.col(val_a).alias("_v"),
+            F.lit(1).alias("_flag"),
+            F.lit(None).cast("long").alias("_bs"),
+            F.lit(None).cast("long").alias("_be"),
+            F.lit(0).cast("long").alias("_tb"),
+        )
+        bu = b.select(
+            F.lit(None).cast(a.schema[id_col].dataType).alias("_aid"),
+            F.col(contig).alias("_c"),
+            F.col(val_b).alias("_v"),
+            F.lit(0).alias("_flag"),
+            F.col(start).cast("long").alias("_bs"),
+            F.col(end).cast("long").alias("_be"),
+            (-F.col(tiebreak_neg)).cast("long").alias("_tb"),
+        )
+        order = [
+            F.col("_v").desc() if descending else F.col("_v").asc(),
+            F.col("_flag").asc(),
+            F.col("_tb").asc(),
+        ]
+        w = (
+            Window.partitionBy("_c")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            au.unionByName(bu)
+            .withColumn("_cand", F.last(F.when(F.col("_flag") == 0, bcols), ignorenulls=True).over(w))
+            .filter(F.col("_flag") == 1)
+            .select(F.col("_aid").alias(id_col), "_cand")
+        )
+
+    # nearest b fully to the LEFT: sweep on (b_end | a_start) ascending;
+    # among b's with equal end the smallest start must win, so they order
+    # by start DESC (negated tiebreak) and last() lands on the smallest
+    left = sweep(start, end, descending=False, tiebreak_neg=start)
+    # nearest b fully to the RIGHT: sweep on (b_start | a_end) descending;
+    # equal-start b's order by end DESC so last() lands on the smallest end
+    right = sweep(end, start, descending=True, tiebreak_neg=end)
+
+    ov = interval_join(
+        a,
+        b.select(
+            F.col(contig).alias("_oc"),
+            F.col(start).alias("_os"),
+            F.col(end).alias("_oe"),
+        ),
+        on_contig=(contig, "_oc"),
+        left_span=(start, end),
+        right_span=("_os", "_oe"),
+        bin_size=bin_size,
+    )
+    overlap = (
+        ov.select(F.col(f"l.{id_col}").alias(id_col), F.col("r._os").alias("b_s"), F.col("r._oe").alias("b_e"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct("b_s", "b_e")).alias("_cand"))
+        .select(id_col, "_cand")
+    )
+
+    def dist(cand: F.Column) -> F.Column:
+        return F.greatest(
+            F.lit(0).cast("long"),
+            F.greatest(cand["b_s"] - F.col(end), F.col(start) - cand["b_e"]),
+        )
+
+    withc = (
+        a.join(overlap.withColumnRenamed("_cand", "_co"), id_col, "left")
+        .join(left.withColumnRenamed("_cand", "_cl"), id_col, "left")
+        .join(right.withColumnRenamed("_cand", "_cr"), id_col, "left")
+    )
+
+    def keyed(cand: F.Column) -> F.Column:
+        # (distance, b_s, b_e) — the documented tiebreak, NULL-safe via a
+        # sentinel so least() ignores absent candidates
+        return F.when(
+            cand.isNotNull(),
+            F.struct(
+                dist(cand).alias("d"), cand["b_s"].alias("b_s"), cand["b_e"].alias("b_e")
+            ),
+        )
+
+    best = F.least(keyed(F.col("_co")), keyed(F.col("_cl")), keyed(F.col("_cr")))
+    return withc.select(
+        *a.columns,
+        best["b_s"].alias("b_s"),
+        best["b_e"].alias("b_e"),
+        best["d"].alias("distance"),
+    )

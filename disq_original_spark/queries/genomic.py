@@ -871,3 +871,69 @@ def g17(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "event_id", F.col("contig").cast("long").alias("contig"), "frag_start", "frag_end"
     ).orderBy("event_id", "frag_start")
+
+
+# ------------------------------------------------- g18 closest interval
+_G18_SPAN_US = 300_000_000  # 5-minute spans
+_G18_BIN_US = 86_400_000_000  # 1-day bins for the overlap part
+
+
+@query(
+    "g18_interval_closest",
+    f"""WITH a AS (SELECT event_id, user_id % 4 AS contig,
+                          epoch_us(ts) AS s, epoch_us(ts) + {_G18_SPAN_US} AS e
+                   FROM events WHERE event_type = 'purchase'),
+        b AS (SELECT user_id % 4 AS contig,
+                     epoch_us(ts) AS s, epoch_us(ts) + {_G18_SPAN_US} AS e
+              FROM events WHERE event_type = 'error'),
+        cand AS (SELECT a.event_id, b.s AS bs, b.e AS be,
+                        greatest(0, greatest(b.s - a.e, a.s - b.e)) AS d
+                 FROM a JOIN b ON a.contig = b.contig),
+        best AS (SELECT event_id, bs, be, d,
+                        row_number() OVER (PARTITION BY event_id
+                                           ORDER BY d, bs, be) AS rn
+                 FROM cand)
+        SELECT a.event_id, CAST(a.contig AS BIGINT) AS contig,
+               best.bs AS b_s, best.be AS b_e, best.d AS distance
+        FROM a LEFT JOIN best ON best.event_id = a.event_id AND best.rn = 1
+        ORDER BY a.event_id""",
+    doc="bedtools-closest equivalent "
+    "(operators/interval.py::closest_intervals): for every 'purchase' span "
+    "the nearest 'error' span with its distance (0 when overlapping; ties "
+    "→ smallest (distance, b_start, b_end)).  Overlap candidates come from "
+    "the binned interval join; the nearest left/right non-overlapping "
+    "candidates come from two union-sort sweeps per contig — the q34 "
+    "as-of-join shape (one shuffle, running last() window, no join node) — "
+    "and a 3-way least-struct pick resolves the winner.  Never an "
+    "all-pairs comparison; the DuckDB oracle IS the quadratic one, "
+    "feasible only at test scale.",
+)
+def g18(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.interval import closest_intervals
+
+    e = load_table(spark, sf, "events")
+
+    def iv(etype: str, with_id: bool) -> DataFrame:
+        cols = ([F.col("event_id")] if with_id else []) + [
+            (F.col("user_id") % 4).alias("contig"),
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + F.lit(_G18_SPAN_US)).alias("e"),
+        ]
+        return e.filter(F.col("event_type") == etype).select(*cols)
+
+    out = closest_intervals(
+        iv("purchase", True),
+        iv("error", False),
+        id_col="event_id",
+        contig="contig",
+        start="s",
+        end="e",
+        bin_size=_G18_BIN_US,
+    )
+    return out.select(
+        "event_id",
+        F.col("contig").cast("long").alias("contig"),
+        "b_s",
+        "b_e",
+        "distance",
+    ).orderBy("event_id")

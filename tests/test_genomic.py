@@ -113,3 +113,36 @@ def test_subtract_intervals_edge_cases(spark):
         ("c1", 70, 80, 70, 80),
         ("c2", 1, 10, 1, 10),
     ]
+
+
+def test_closest_intervals_edge_cases(spark):
+    """Crafted nearest-neighbor cases: overlap wins at distance 0, left/right
+    competition, exact distance tie broken to the smaller (b_s, b_e), and
+    contigs with no b at all keep NULL columns."""
+    from disq_original_spark.operators.interval import closest_intervals
+
+    a = spark.createDataFrame(
+        [
+            (1, "c1", 100, 110),  # overlaps [105,120] → d=0
+            (2, "c1", 300, 310),  # left d=180 vs right d=90 → right [400,410]
+            (3, "c1", 500, 510),  # left d=90 == right d=90 → tie → [400,410]
+            (4, "c2", 10, 20),    # no b on contig → NULLs
+        ],
+        "id long, contig string, s long, e long",
+    )
+    b = spark.createDataFrame(
+        [("c1", 105, 120), ("c1", 400, 410), ("c1", 600, 605)],
+        "contig string, s long, e long",
+    )
+    got = {
+        r.id: (r.b_s, r.b_e, r.distance)
+        for r in closest_intervals(
+            a, b, id_col="id", contig="contig", start="s", end="e", bin_size=1000
+        ).collect()
+    }
+    assert got == {
+        1: (105, 120, 0),
+        2: (400, 410, 90),
+        3: (400, 410, 90),
+        4: (None, None, None),
+    }
