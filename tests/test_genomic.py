@@ -146,3 +146,105 @@ def test_closest_intervals_edge_cases(spark):
         3: (400, 410, 90),
         4: (None, None, None),
     }
+
+
+def _py_merge(rows):
+    """Brute-force closed-interval merge: {contig: [(s, e, n), ...]}."""
+    out = {}
+    by_c = {}
+    for c, s, e in rows:
+        by_c.setdefault(c, []).append((s, e))
+    for c, iv in by_c.items():
+        iv.sort()
+        merged = []
+        for s, e in iv:
+            if merged and s <= merged[-1][1] + 1 - 1:  # overlap-or-touch: s <= prev_e
+                ms, me, n = merged[-1]
+                merged[-1] = (ms, max(me, e), n + 1)
+            else:
+                merged.append((s, e, 1))
+        out[c] = merged
+    return out
+
+
+def test_interval_ops_randomized_differential(spark):
+    """merge/subtract/closest on random interval sets vs brute-force Python —
+    the property sweep that crafted cases can't cover (dense pileups, long
+    containments, exact-touch chains, empty contigs)."""
+    import random
+
+    from disq_original_spark.operators.interval import (
+        closest_intervals,
+        merge_intervals,
+        subtract_intervals,
+    )
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+
+        def rand_ivs(n, tag):
+            rows = []
+            for i in range(n):
+                c = f"c{rng.randrange(3)}"
+                s = rng.randrange(0, 500)
+                rows.append((tag * 1000 + i, c, s, s + rng.randrange(0, 60)))
+            return rows
+
+        a_rows, b_rows = rand_ivs(60, 1), rand_ivs(40, 2)
+        a = spark.createDataFrame(a_rows, "id long, contig string, s long, e long")
+        b = spark.createDataFrame(b_rows, "id long, contig string, s long, e long")
+
+        # ---- merge
+        want = _py_merge([(c, s, e) for _i, c, s, e in b_rows])
+        got = {}
+        for r in merge_intervals(b, contig="contig", start="s", end="e").collect():
+            got.setdefault(r.contig, []).append(
+                (r.merged_start, r.merged_end, r.n_intervals)
+            )
+        assert {c: sorted(v) for c, v in got.items()} == {
+            c: sorted(v) for c, v in want.items() if v
+        }, f"merge seed {seed}"
+
+        # ---- subtract: fragments of each a minus merged b
+        def py_subtract(aid, c, s, e):
+            frags, cur = [], s
+            for ms, me, _n in want.get(c, []):
+                if me < cur or ms > e:
+                    continue
+                if ms > cur:
+                    frags.append((cur, ms - 1))
+                cur = max(cur, me + 1)
+            if cur <= e:
+                frags.append((cur, e))
+            return [(aid, f0, f1) for f0, f1 in frags]
+
+        want_sub = sorted(
+            f for (aid, c, s, e) in a_rows for f in py_subtract(aid, c, s, e)
+        )
+        got_sub = sorted(
+            (r.id, r.frag_start, r.frag_end)
+            for r in subtract_intervals(
+                a, b, contig="contig", start="s", end="e", bin_size=64, low=0, high=600
+            ).collect()
+        )
+        assert got_sub == want_sub, f"subtract seed {seed}"
+
+        # ---- closest: min (distance, b_s, b_e) per a
+        def py_closest(c, s, e):
+            cands = [
+                (max(0, max(bs - e, s - be)), bs, be)
+                for (_i, bc, bs, be) in b_rows
+                if bc == c
+            ]
+            return min(cands) if cands else (None, None, None)
+
+        want_cl = {
+            aid: py_closest(c, s, e) for (aid, c, s, e) in a_rows
+        }
+        got_cl = {
+            r.id: ((r.distance, r.b_s, r.b_e) if r.b_s is not None else (None, None, None))
+            for r in closest_intervals(
+                a, b, id_col="id", contig="contig", start="s", end="e", bin_size=64
+            ).collect()
+        }
+        assert got_cl == want_cl, f"closest seed {seed}"
