@@ -111,6 +111,7 @@ _PRIORITY = [
     "g17_interval_subtract",
     "st08_stream_ingest_dedup",
     "g18_interval_closest",
+    "p10_corpus_pipeline_v2",
 ]
 
 

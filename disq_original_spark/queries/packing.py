@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import tokens
-from ..tables import load_table
+from ..tables import load_table, load_wide
 from .registry import query
 
 _N_BUCKETS = 8
@@ -689,4 +689,139 @@ def p09(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("n").over(cum) / F.col("total"), 6).alias("cum_share"),
         )
         .orderBy("rank")
+    )
+
+
+# ---------------------------------------------- p10 corpus pipeline v2
+_P10_W = 20  # paragraph width (d11)
+_P10_CAP = 10  # per-domain cap (p08)
+_P10_SHARDS = 16
+
+_P10_TOK_SQL = r"string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')"
+
+
+def _p10_oracle() -> str:
+    from .textops import _STOP_SQL
+
+    return rf"""WITH t AS (
+          SELECT doc_id, lang, source, n_chars, {_P10_TOK_SQL} AS w
+          FROM documents WHERE text IS NOT NULL),
+        s AS (SELECT doc_id, lang, source, n_chars, w,
+                     len(w) AS n_tokens,
+                     len(list_filter(w, x -> x IN {_STOP_SQL})) AS n_stop,
+                     (SELECT max(c) FROM (SELECT count(*) AS c
+                                          FROM unnest(t2.w) AS u(word)
+                                          GROUP BY word)) AS top_count
+              FROM t t2),
+        pass AS (SELECT * FROM s
+                 WHERE n_tokens >= 20 AND n_tokens <= 90
+                   AND n_stop * 20 >= n_tokens
+                   AND top_count * 5 <= n_tokens),
+        p AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pidx,
+                     md5(array_to_string(
+                         list_slice(w, u.i * {_P10_W} + 1, (u.i + 1) * {_P10_W}),
+                         ' ')) AS phash
+              FROM pass,
+                   UNNEST(range(CAST(ceil(len(w) / {_P10_W}.0) AS BIGINT))) AS u(i)),
+        kf AS (SELECT doc_id,
+                      CASE WHEN row_number() OVER (PARTITION BY phash
+                                                   ORDER BY doc_id, pidx) = 1
+                           THEN 1 ELSE 0 END AS keep
+               FROM p),
+        dstat AS (SELECT doc_id, count(*) AS n_paras,
+                         CAST(sum(keep) AS BIGINT) AS n_kept
+                  FROM kf GROUP BY doc_id),
+        surv AS (SELECT pass.*
+                 FROM pass JOIN dstat USING (doc_id)
+                 WHERE 2 * dstat.n_kept >= dstat.n_paras),
+        cap AS (SELECT * FROM (
+                  SELECT doc_id, lang, source, n_chars, n_tokens,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY n_chars DESC, doc_id) AS rnk
+                  FROM surv) c WHERE rnk <= {_P10_CAP}),
+        sharded AS (SELECT *, {_knuth_hash_sql(_P10_SHARDS)} AS shard FROM cap)
+        SELECT shard, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+               count(DISTINCT lang) AS n_langs
+        FROM sharded GROUP BY shard ORDER BY shard"""
+
+
+@query(
+    "p10_corpus_pipeline_v2",
+    _p10_oracle(),
+)
+def p10(spark: SparkSession, sf: str) -> DataFrame:
+    """The composed web-corpus build over this round's operators, end to end
+    in ONE declarative program: t12's integer filter cascade → d11's global
+    paragraph dedup (drop documents more than half duplicated) → p08's
+    per-domain cap → p04's deterministic shard assignment with balance
+    stats.  Every stage ships individually with its own oracle; this query
+    proves they COMPOSE — the property a real FineWeb/CCNet-style build
+    needs.
+
+    Scale shape, stage by stage: the filter cascade runs FIRST so rejected
+    documents never enter the paragraph shuffle (its only heavy aggregate —
+    top_count — is the same two-level hash agg t08/t12 pay); the paragraph
+    dedup shuffles (doc_id, pidx, 32-hex hash) for survivors only; the
+    domain cap is the Partial+Final WindowGroupLimit pair; shard assignment
+    is a pure map-side expression feeding one 16-group aggregate.  Order is
+    chosen for data volume at every boundary."""
+    from pyspark.sql import Window
+
+    from ..functions import STOPWORDS
+
+    d = load_wide(spark, sf, "documents").filter(F.col("text").isNotNull())
+    tok = tokens("text")
+    base = d.select(
+        "doc_id", "lang", "source", "n_chars", tok.alias("w"),
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.size(F.filter(tok, lambda x: x.isin(*STOPWORDS))).cast("long").alias("n_stop"),
+    )
+    top = (
+        d.select("doc_id", F.explode(tok).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_count"))
+    )
+    passed = (
+        base.join(top, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= 20)
+            & (F.col("n_tokens") <= 90)
+            & (F.col("n_stop") * 20 >= F.col("n_tokens"))
+            & (F.col("top_count") * 5 <= F.col("n_tokens"))
+        )
+    )
+    n_chunks = F.ceil(F.size("w") / _P10_W).cast("int")
+    paras = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.md5(
+            F.array_join(F.slice(F.col("w"), i * _P10_W + 1, _P10_W), " ").cast("binary")
+        ),
+    )
+    p = passed.select("doc_id", F.posexplode(paras).alias("pidx", "phash"))
+    wk = Window.partitionBy("phash").orderBy("doc_id", "pidx")
+    dstat = (
+        p.withColumn("keep", (F.row_number().over(wk) == 1).cast("int"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_paras"), F.sum("keep").cast("long").alias("n_kept"))
+    )
+    surv = passed.join(dstat, "doc_id").filter(
+        2 * F.col("n_kept") >= F.col("n_paras")
+    )
+    wc = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    cap = (
+        surv.withColumn("rnk", F.row_number().over(wc))
+        .filter(F.col("rnk") <= _P10_CAP)
+    )
+    return (
+        cap.select("doc_id", "lang", "n_tokens", _knuth_hash_col(_P10_SHARDS).alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("shard")
     )
