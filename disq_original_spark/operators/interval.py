@@ -215,15 +215,21 @@ def merge_intervals(
     contig: str = "contig",
     start: str = "start",
     end: str = "end",
+    max_gap: int = 0,
 ) -> DataFrame:
-    """``bedtools merge`` equivalent: coalesce overlapping-or-touching
-    intervals per contig into maximal islands (closed-interval semantics —
-    ``[1,10]`` and ``[10,20]`` merge, matching htsjdk Locatable overlap).
+    """``bedtools merge`` equivalent: coalesce intervals per contig into
+    maximal islands.  Closed-interval coordinates; ``max_gap`` is bedtools'
+    ``-d``: intervals separated by at most that many uncovered bases merge.
+    The default 0 merges overlapping AND book-ended features ([1,100] +
+    [101,150] — adjacent BED records — become one island), exactly
+    bedtools' default; pass ``max_gap=-1`` to merge only genuinely
+    point-sharing intervals.
 
     Classic distributed gaps-and-islands: intervals sort within their
     contig; an interval opens a new island iff its start exceeds the
-    running max end of everything before it; the island id is the running
-    count of openings; one aggregate per island emits (start, end, count).
+    running max end of everything before it by more than ``max_gap + 1``;
+    the island id is the running count of openings; one aggregate per
+    island emits (start, end, count).
 
     Scale shape: ONE hash exchange on contig feeding a per-contig sort,
     and the island aggregate reuses that partitioning (islands never span
@@ -239,7 +245,7 @@ def merge_intervals(
 
     w = Window.partitionBy(contig).orderBy(start, end)
     prev_max = F.max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    opens = (prev_max.isNull() | (F.col(start) > prev_max)).cast("long")
+    opens = (prev_max.isNull() | (F.col(start) > prev_max + max_gap + 1)).cast("long")
     island = F.sum(opens).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (
         df.withColumn("_island", island)

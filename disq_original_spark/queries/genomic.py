@@ -746,7 +746,7 @@ _G16_SPAN_US = 300_000_000  # each event spans [ts, ts + 5 min]
                            CASE WHEN s > max(e) OVER (PARTITION BY contig
                                                       ORDER BY s, e
                                                       ROWS BETWEEN UNBOUNDED PRECEDING
-                                                      AND 1 PRECEDING)
+                                                      AND 1 PRECEDING) + 1
                                 THEN 1
                                 WHEN max(e) OVER (PARTITION BY contig
                                                   ORDER BY s, e
@@ -764,7 +764,8 @@ _G16_SPAN_US = 300_000_000  # each event spans [ts, ts + 5 min]
         FROM isl GROUP BY contig, island
         ORDER BY contig, merged_start""",
     doc="bedtools-merge equivalent (operators/interval.py::merge_intervals): "
-    "overlapping-or-touching intervals coalesce into maximal islands per "
+    "overlapping and book-ended intervals (bedtools' default -d 0) coalesce "
+    "into maximal islands per "
     "contig via distributed gaps-and-islands — one hash exchange on contig "
     "feeding a per-contig sort, island aggregate reusing the partitioning.  "
     "Run here on the events-as-intervals view so DuckDB hash-checks every "
@@ -803,7 +804,7 @@ _G17_BIN_US = 86_400_000_000  # 1-day bins for the gap intersect
               FROM events WHERE event_type = 'error'),
         flagged AS (SELECT contig, s, e,
                            CASE WHEN max(e) OVER w IS NULL
-                                  OR s > max(e) OVER w THEN 1 ELSE 0 END AS opens
+                                  OR s > max(e) OVER w + 1 THEN 1 ELSE 0 END AS opens
                     FROM b
                     WINDOW w AS (PARTITION BY contig ORDER BY s, e
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),

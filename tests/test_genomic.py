@@ -58,14 +58,15 @@ def test_g06_matches_bruteforce(spark, sf_dir):
 
 
 def test_merge_intervals_edge_cases(spark):
-    """Closed-interval semantics on crafted spans: touching intervals merge,
-    gap-of-one splits, containment collapses, contigs stay isolated."""
+    """Closed-interval semantics on crafted spans: book-ended intervals merge
+    (bedtools -d 0 default), a single uncovered base splits, containment
+    collapses, contigs stay isolated."""
     from disq_original_spark.operators.interval import merge_intervals
 
     rows = [
         ("c1", 1, 10),
-        ("c1", 10, 20),   # touches 10 → merges
-        ("c1", 22, 30),   # gap (21 uncovered) → new island
+        ("c1", 11, 20),   # book-ended (no base between) → merges (-d 0)
+        ("c1", 22, 30),   # one uncovered base (21) → new island
         ("c1", 23, 25),   # contained
         ("c1", 25, 40),   # chained extension
         ("c2", 1, 10),    # other contig: isolated
@@ -158,7 +159,7 @@ def _py_merge(rows):
         iv.sort()
         merged = []
         for s, e in iv:
-            if merged and s <= merged[-1][1] + 1 - 1:  # overlap-or-touch: s <= prev_e
+            if merged and s <= merged[-1][1] + 1:  # overlap or book-ended (-d 0)
                 ms, me, n = merged[-1]
                 merged[-1] = (ms, max(me, e), n + 1)
             else:
