@@ -112,6 +112,7 @@ _PRIORITY = [
     "st08_stream_ingest_dedup",
     "g18_interval_closest",
     "p10_corpus_pipeline_v2",
+    "g19_gc_windows",
 ]
 
 

@@ -938,3 +938,36 @@ def g18(spark: SparkSession, sf: str) -> DataFrame:
         "b_e",
         "distance",
     ).orderBy("event_id")
+
+
+# ------------------------------------------------- g19 GC-content windows
+_G19_WINDOW = 50
+
+
+@query(
+    "g19_gc_windows",
+    None,
+    doc="GC-content profile of the reference FASTA in fixed windows — the "
+    "classic GC-bias QC track: sources/fasta.py cuts the .fai-indexed "
+    "reference into window rows with O(contigs) driver planning and "
+    "per-task byte-range reads, then GC/N counts and the GC fraction are "
+    "pure codegen string expressions over the seq column (no Python after "
+    "the scan).  Rows-only entry (DuckDB cannot read FASTA); "
+    "tests/test_fasta.py recomputes every window in Python and pins "
+    "window reassembly == the whole reference.",
+)
+def g19(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.fasta import FastaSource
+
+    df = FastaSource().read(spark, f"{_FIXTURES}/valid.fasta", window=_G19_WINDOW)
+    n_len = F.length("seq")
+    gc = n_len - F.length(F.translate("seq", "GCgc", ""))
+    nn = n_len - F.length(F.translate("seq", "Nn", ""))
+    return df.select(
+        "contig",
+        "w_start",
+        "w_end",
+        gc.cast("long").alias("gc_count"),
+        nn.cast("long").alias("n_count"),
+        F.round(gc / n_len, 4).alias("gc_frac"),
+    ).orderBy("contig", "w_start")

@@ -1,0 +1,55 @@
+"""FASTA source: window reassembly equals the raw reference (split
+invariance across window/task sizes), coordinates are 1-based closed, and
+the g19 GC profile matches a pure-Python recompute."""
+
+from __future__ import annotations
+
+from disq_original_spark.queries import QUERIES
+from disq_original_spark.sources.fasta import FastaSource
+
+FIXTURES = "/root/reference/src/test/resources"
+
+
+def _raw(path: str) -> dict[str, str]:
+    seqs: dict[str, list[str]] = {}
+    name = None
+    for line in open(path):
+        if line.startswith(">"):
+            name = line[1:].split()[0]
+            seqs[name] = []
+        else:
+            seqs[name].append(line.strip())
+    return {k: "".join(v).upper() for k, v in seqs.items()}
+
+
+def test_fasta_windows_reassemble(spark):
+    """Concatenated windows == the whole reference, for window sizes that
+    do and don't divide line length, with multi-task contigs."""
+    for path in (f"{FIXTURES}/valid.fasta", f"{FIXTURES}/test.fa"):
+        want = _raw(path)
+        for window, split in ((64, 2), (1000, 3), (37, 5)):
+            rows = FastaSource().read(spark, path, window=window, split_windows=split).collect()
+            got: dict[str, list] = {}
+            for r in sorted(rows, key=lambda r: (r.contig, r.w_start)):
+                assert r.w_end - r.w_start + 1 == len(r.seq)
+                got.setdefault(r.contig, []).append((r.w_start, r.seq))
+            # windows tile exactly: starts are 1, 1+w, 1+2w, ...
+            for c, chunks in got.items():
+                assert [s for s, _ in chunks] == [
+                    1 + i * window for i in range(len(chunks))
+                ], (path, window, c)
+            assert {c: "".join(s for _p, s in v) for c, v in got.items()} == want
+
+
+def test_g19_gc_matches_python(spark):
+    want = _raw(f"{FIXTURES}/valid.fasta")
+    got = QUERIES["g19_gc_windows"].build(spark, "unused").collect()
+    assert len(got) == sum((len(s) + 49) // 50 for s in want.values())
+    for r in got:
+        w = want[r.contig][r.w_start - 1 : r.w_end]
+        gc = sum(c in "GCgc" for c in w)
+        assert (r.gc_count, r.n_count) == (gc, sum(c in "Nn" for c in w)), r
+        assert r.gc_frac == round(gc / len(w), 4)
+    # the CRAM test reference has meaningful GC variation, not a flat profile
+    fracs = [r.gc_frac for r in got]
+    assert max(fracs) - min(fracs) > 0.05
