@@ -113,6 +113,7 @@ _PRIORITY = [
     "g18_interval_closest",
     "p10_corpus_pipeline_v2",
     "g19_gc_windows",
+    "g20_kmer_spectrum",
 ]
 
 

@@ -971,3 +971,46 @@ def g19(spark: SparkSession, sf: str) -> DataFrame:
         nn.cast("long").alias("n_count"),
         F.round(gc / n_len, 4).alias("gc_frac"),
     ).orderBy("contig", "w_start")
+
+
+# ------------------------------------------------- g20 k-mer spectrum
+_G20_K = 8
+_G20_WINDOW = 50
+
+
+@query(
+    "g20_kmer_spectrum",
+    None,
+    doc="Canonical k-mer spectrum of the reference (jellyfish/KMC "
+    "equivalent, k=8): sources/fasta.py windows carry k-1 lookahead bases "
+    "so every k-mer — including those crossing window and task boundaries "
+    "— is extracted EXACTLY once (only starts within the window emit); "
+    "canonicalization (lexicographic min of k-mer and reverse complement "
+    "via translate+reverse) and extraction are pure codegen expressions; "
+    "one hash aggregate with map-side combine builds the spectrum.  At "
+    "genome scale the shuffle carries (kmer, partial-count) rows bounded "
+    "by 4^k per partition.  Rows-only entry; tests/test_fasta.py "
+    "recomputes the whole spectrum in Python.",
+)
+def g20(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.fasta import FastaSource
+
+    k = _G20_K
+    df = FastaSource().read(
+        spark, f"{_FIXTURES}/valid.fasta", window=_G20_WINDOW, overlap=k - 1
+    )
+    starts = F.sequence(F.lit(1), F.greatest(F.lit(0), F.length("seq") - (k - 1)))
+    kmers = F.filter(
+        F.transform(starts, lambda i: F.substring(F.col("seq"), i, k)),
+        lambda s: F.length(s) == k,
+    )
+    # exactly-once tiling: only k-mers STARTING within the window proper
+    kmers = F.slice(kmers, 1, F.lit(_G20_WINDOW))
+    km = df.select(F.explode(kmers).alias("kmer"))
+    rc = F.reverse(F.translate("kmer", "ACGT", "TGCA"))
+    return (
+        km.select(F.least(F.col("kmer"), rc).alias("canon"))
+        .groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "canon")
+    )

@@ -42,6 +42,7 @@ class _FastaTask:
     first_window: int  # 0-based window index range [first, last)
     last_window: int
     window: int
+    overlap: int  # extra lookahead bases per row (k-mer tiling)
     in_memory: bool  # no .fai: decode via IndexedFasta instead of range IO
 
 
@@ -61,20 +62,17 @@ def _read_span(task: _FastaTask, start0: int, end0: int) -> str:
 
 
 def _task_rows(task: _FastaTask):
+    span_end = min(task.length, task.last_window * task.window + task.overlap)
     if task.in_memory:
         fa = IndexedFasta(task.path)
         seq = fa.get(fa.names().index(task.contig)).decode("ascii").upper()
-        span = seq[task.first_window * task.window : task.last_window * task.window]
+        span = seq[task.first_window * task.window : span_end]
     else:
-        span = _read_span(
-            task,
-            task.first_window * task.window,
-            min(task.length, task.last_window * task.window),
-        )
+        span = _read_span(task, task.first_window * task.window, span_end)
     for wi in range(task.first_window, task.last_window):
         lo = (wi - task.first_window) * task.window
-        chunk = span[lo : lo + task.window]
-        if not chunk:
+        chunk = span[lo : lo + task.window + task.overlap]
+        if lo >= len(span) or not chunk:
             break
         yield {
             "contig": task.contig,
@@ -91,10 +89,19 @@ class FastaSource:
         path: str,
         window: int = 1000,
         split_windows: int = 4096,
+        overlap: int = 0,
     ) -> DataFrame:
         """(contig, w_start, w_end, seq): the reference cut into fixed
         windows (the last window of each contig is short).  ``split_windows``
-        windows per task bound task IO to window × split_windows bytes."""
+        windows per task bound task IO to window × split_windows bytes.
+
+        ``overlap`` appends that many lookahead bases to every row (so
+        ``seq`` spans up to window+overlap bases and rows overlap their
+        successor) — the exactly-once k-mer tiling shape: extracting only
+        k-mers whose START lies in the first ``window`` bases of each row
+        covers every k-mer of the contig exactly once, including those
+        crossing window AND task boundaries (the same tiling contract the
+        BGZF line reader uses for records)."""
         from .fsio import fs_exists, fs_read_bytes
 
         path = str(path)
@@ -122,6 +129,7 @@ class FastaSource:
                         first_window=first,
                         last_window=min(first + split_windows, n_windows),
                         window=window,
+                        overlap=overlap,
                         in_memory=in_memory,
                     )
                 )

@@ -53,3 +53,20 @@ def test_g19_gc_matches_python(spark):
     # the CRAM test reference has meaningful GC variation, not a flat profile
     fracs = [r.gc_frac for r in got]
     assert max(fracs) - min(fracs) > 0.05
+
+
+def test_g20_kmer_spectrum_matches_python(spark):
+    """Full canonical 8-mer spectrum vs a brute-force Python recompute —
+    pins the exactly-once tiling (window/task boundary k-mers counted once,
+    never zero or twice) and the canonicalization."""
+    from collections import Counter
+
+    k = 8
+    comp = str.maketrans("ACGT", "TGCA")
+    want: Counter = Counter()
+    for seq in _raw(f"{FIXTURES}/valid.fasta").values():
+        for i in range(len(seq) - k + 1):
+            km = seq[i : i + k]
+            want[min(km, km.translate(comp)[::-1])] += 1
+    got = {r.canon: r.n for r in QUERIES["g20_kmer_spectrum"].build(spark, "u").collect()}
+    assert got == dict(want)
