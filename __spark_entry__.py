@@ -114,6 +114,7 @@ _PRIORITY = [
     "p10_corpus_pipeline_v2",
     "g19_gc_windows",
     "g20_kmer_spectrum",
+    "s06_ann_sq8",
 ]
 
 

@@ -554,3 +554,130 @@ def s05(spark: SparkSession, sf: str) -> DataFrame:
         .select("q_id", "neighbor_id", "d2", "rank")
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------- s06 SQ8 ANN
+_SQ_DIMS = 64
+_SQ_LEVELS = 255
+_SQ_SHORTLIST = 100
+
+_SQ_CODE_SQL = (
+    f"list_transform(range(1, {_SQ_DIMS} + 1), ci -> CAST(round("
+    f"(CAST(embedding[ci] AS DOUBLE) - s.mn[ci]) * {_SQ_LEVELS}"
+    f" / greatest(s.mx[ci] - s.mn[ci], 1e-30)) AS BIGINT))"
+)
+
+
+@query(
+    "s06_ann_sq8",
+    f"""WITH s0 AS (
+          SELECT u.di, min(CAST(embedding[u.di] AS DOUBLE)) AS mn,
+                 max(CAST(embedding[u.di] AS DOUBLE)) AS mx
+          FROM embeddings, UNNEST(range(1, {_SQ_DIMS} + 1)) AS u(di)
+          GROUP BY u.di),
+        s AS (SELECT list(mn ORDER BY di) AS mn, list(mx ORDER BY di) AS mx
+              FROM s0),
+        codes AS (SELECT vec_id, {_SQ_CODE_SQL} AS code
+                  FROM embeddings CROSS JOIN s),
+        q AS (SELECT vec_id AS q_id, code AS qc FROM codes
+              WHERE vec_id < {_N_QUERIES}),
+        scored AS (
+          SELECT q.q_id, c.vec_id AS neighbor_id,
+                 list_sum(list_transform(range(1, {_SQ_DIMS} + 1),
+                          di -> (q.qc[di] - c.code[di]) * (q.qc[di] - c.code[di])))
+                   AS d2_code
+          FROM codes c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+        short AS (SELECT q_id, neighbor_id, d2_code,
+                         row_number() OVER (PARTITION BY q_id
+                                            ORDER BY d2_code ASC, neighbor_id) AS srn
+                  FROM scored),
+        rr AS (SELECT sh.q_id, sh.neighbor_id,
+                      {_EXACT_D2_SQL.format(a='e.embedding', b='qe.embedding')} AS d2
+               FROM short sh
+               JOIN embeddings e ON e.vec_id = sh.neighbor_id
+               JOIN embeddings qe ON qe.vec_id = sh.q_id
+               WHERE sh.srn <= {_SQ_SHORTLIST}),
+        ranked AS (SELECT q_id, neighbor_id, d2,
+                          row_number() OVER (PARTITION BY q_id
+                                             ORDER BY d2 ASC, neighbor_id) AS rank
+                   FROM rr)
+        SELECT q_id, neighbor_id, d2, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank <= {_K} ORDER BY q_id, rank""",
+)
+def s06(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-quantized (int8) ANN with exact re-ranking — the SQ variant
+    every vector store ships beside PQ (s05): per-dimension min/max from
+    ONE corpus aggregate become the quantization grid, every vector
+    compresses to 64 small ints, and candidate scoring is an INTEGER
+    squared-L2 over codes — exact in both engines by construction, no
+    float rounding anywhere until the final re-rank.  The code-distance
+    top-100 shortlist is re-ranked with exact full-width distances.
+
+    Scale shape: the min/max grid is a 1-row broadcast (like t13's corpus
+    stats); quantization is a map-side expression, so the 4x-compressed
+    codes — not raw vectors — are what scoring touches; the query side
+    broadcasts (s01's shape) and the shortlist truncates map-side through
+    the Partial WindowGroupLimit before its q_id exchange; only the
+    ≤ shortlist x queries candidate rows rehydrate raw vectors via two
+    slim equi-joins.  At 100 TB the corpus is scanned once for stats and
+    once for scoring — the honest two-pass any trained quantizer needs."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "embeddings")
+    dims = range(1, _SQ_DIMS + 1)
+    stats = e.agg(
+        F.array(*[F.min(F.element_at("embedding", i).cast("double")) for i in dims]).alias("mn"),
+        F.array(*[F.max(F.element_at("embedding", i).cast("double")) for i in dims]).alias("mx"),
+    )
+    code = F.transform(
+        F.sequence(F.lit(1), F.lit(_SQ_DIMS)),
+        lambda i: F.round(
+            (F.element_at("embedding", i).cast("double") - F.element_at("mn", i))
+            * _SQ_LEVELS
+            / F.greatest(F.element_at("mx", i) - F.element_at("mn", i), F.lit(1e-30))
+        ).cast("long"),
+    )
+    codes = e.join(F.broadcast(stats)).select("vec_id", code.alias("code"))
+    q = codes.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("code").alias("qc")
+    )
+    d2_code = F.aggregate(
+        F.zip_with("qc", "code", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        codes.join(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), d2_code.alias("d2_code"))
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.col("d2_code").asc(), "neighbor_id")
+    short = (
+        scored.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= _SQ_SHORTLIST)
+        .select("q_id", "neighbor_id")
+    )
+    ne = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nemb"))
+    qe = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qemb"))
+    exact_d2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                "nemb",
+                "qemb",
+                lambda a, b: (a.cast("double") - b.cast("double"))
+                * (a.cast("double") - b.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        4,
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), "neighbor_id")
+    return (
+        short.join(ne, "neighbor_id")
+        .join(F.broadcast(qe), "q_id")
+        .select("q_id", "neighbor_id", exact_d2.alias("d2"))
+        .withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= _K)
+        .orderBy("q_id", "rank")
+    )

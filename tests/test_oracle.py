@@ -158,3 +158,28 @@ def test_driver_window_rotation_contract():
     in_window = {n.split("_")[0] for n in window}
     assert missing_r2 <= in_window, missing_r2 - in_window
     assert set(se.oracle_sql()) <= set(names)
+
+
+def test_s06_sq8_recall_vs_exact_l2(spark, sf_dir):
+    """SQ8+rerank is approximate; pin recall@10 against the exact-L2 top-k
+    so grid bugs (wrong min/max dim, off-by-one quantization) collapse
+    recall instead of returning plausible rows.  int8 distortion is mild,
+    so the floor is high."""
+    import numpy as np
+
+    from disq_original_spark.tables import load_table
+
+    pdf = load_table(spark, sf_dir, "embeddings").toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    m = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+    exact = set()
+    for qi in range(5):
+        d = ((m - m[ids == qi][0]) ** 2).sum(1)
+        ranked = [int(i) for _d, i in sorted(zip(d, ids), key=lambda t: (t[0], t[1])) if i != qi]
+        exact |= {(qi, i) for i in ranked[:10]}
+    approx = {
+        (r["q_id"], r["neighbor_id"])
+        for r in QUERIES["s06_ann_sq8"].build(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"SQ8 recall@10 collapsed: {recall:.2f}"
