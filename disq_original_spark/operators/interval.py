@@ -463,8 +463,11 @@ def closest_intervals(
     )
 
     def keyed(cand: F.Column) -> F.Column:
-        # (distance, b_s, b_e) — the documented tiebreak, NULL-safe via a
-        # sentinel so least() ignores absent candidates
+        # (distance, b_s, b_e) — the documented tiebreak.  Absent candidates
+        # stay NULL and Spark's least() SKIPS NULL inputs (it returns the
+        # smallest non-null); the pick is only NULL when all three are —
+        # the no-b-on-contig row.  No sentinel needed, but a port to an
+        # engine whose LEAST propagates NULL would need one.
         return F.when(
             cand.isNotNull(),
             F.struct(

@@ -993,11 +993,23 @@ _G20_WINDOW = 50
     "recomputes the whole spectrum in Python.",
 )
 def g20(spark: SparkSession, sf: str) -> DataFrame:
+    return kmer_spectrum(spark, f"{_FIXTURES}/valid.fasta", k=_G20_K, window=_G20_WINDOW)
+
+
+def kmer_spectrum(
+    spark: SparkSession,
+    path: str,
+    k: int,
+    window: int,
+    split_windows: int = 4096,
+) -> DataFrame:
+    """Canonical k-mer spectrum of a FASTA — shared by g20 and the
+    task-seam tiling test (which runs it at split_windows=2 so the
+    overlap-across-task-boundary path actually executes)."""
     from ..sources.fasta import FastaSource
 
-    k = _G20_K
     df = FastaSource().read(
-        spark, f"{_FIXTURES}/valid.fasta", window=_G20_WINDOW, overlap=k - 1
+        spark, path, window=window, split_windows=split_windows, overlap=k - 1
     )
     starts = F.sequence(F.lit(1), F.greatest(F.lit(0), F.length("seq") - (k - 1)))
     kmers = F.filter(
@@ -1005,7 +1017,7 @@ def g20(spark: SparkSession, sf: str) -> DataFrame:
         lambda s: F.length(s) == k,
     )
     # exactly-once tiling: only k-mers STARTING within the window proper
-    kmers = F.slice(kmers, 1, F.lit(_G20_WINDOW))
+    kmers = F.slice(kmers, 1, F.lit(window))
     km = df.select(F.explode(kmers).alias("kmer"))
     rc = F.reverse(F.translate("kmer", "ACGT", "TGCA"))
     return (

@@ -38,13 +38,23 @@ class BedSource:
             & (F.length(F.trim(F.col("value"))) > 0)
         )
         c = F.split(F.col("value"), "\t")
-        return data.select(
-            F.element_at(c, 1).alias("contig"),
-            (F.element_at(c, 2).cast("long") + 1).alias("start"),
-            F.element_at(c, 3).cast("long").alias("end"),
-            F.try_element_at(c, F.lit(4)).alias("name"),
+        # lenient parsing throughout (try_element_at/try_cast): a malformed
+        # line — too few columns, non-numeric coordinate — yields NULL
+        # mandatory fields and is DROPPED, never an ANSI-mode job abort
+        # (same posture as the SAM/VCF sources' lenient stringency).  The
+        # '.' placeholder reads back as NULL for the optional columns.
+        parsed = data.select(
+            F.try_element_at(c, F.lit(1)).alias("contig"),
+            (F.try_element_at(c, F.lit(2)).try_cast("long") + 1).alias("start"),
+            F.try_element_at(c, F.lit(3)).try_cast("long").alias("end"),
+            F.nullif(F.try_element_at(c, F.lit(4)), F.lit(".")).alias("name"),
             F.try_element_at(c, F.lit(5)).try_cast("long").alias("score"),
-            F.try_element_at(c, F.lit(6)).alias("strand"),
+            F.nullif(F.try_element_at(c, F.lit(6)), F.lit(".")).alias("strand"),
+        )
+        return parsed.filter(
+            F.col("contig").isNotNull()
+            & F.col("start").isNotNull()
+            & F.col("end").isNotNull()
         )
 
 
@@ -63,7 +73,10 @@ def write_bed(df: DataFrame, path: str) -> None:
     ]
     for opt in ("name", "score", "strand"):
         if opt in df.columns:
-            cols.append(F.col(opt).cast("string"))
+            # NULL optional fields write the spec placeholder '.': concat_ws
+            # SKIPS NULLs, which would shift later columns left (a NULL
+            # score putting the strand in the score slot)
+            cols.append(F.coalesce(F.col(opt).cast("string"), F.lit(".")))
     line = F.concat_ws("\t", *cols)
     temp_dir = str(path) + ".parts"
     df.select(line.alias("value")).write.mode("overwrite").text(temp_dir)

@@ -59,3 +59,35 @@ def test_bed_feeds_interval_operators(spark, tmp_path):
         for r in merge_intervals(iv).collect()
     )
     assert got == [("chr1", 1, 150, 2), ("chr1", 301, 400, 1)]
+
+
+def test_bed_lenient_on_malformed_and_placeholder(spark, tmp_path):
+    """One malformed line (space-separated, truncated, or bad coordinate)
+    drops instead of aborting the ANSI-mode job; '.' placeholders read back
+    as NULL; NULL optionals round-trip as '.' without column shift."""
+    p = _write(
+        tmp_path,
+        "chr1\t0\t100\tfeat1\t.\t+\n"
+        "chr2 5 10\n"            # space-separated → drops
+        "chr3\t7\n"              # truncated → drops
+        "chr4\tx\t10\n"          # bad coordinate → drops
+        "chr5\t10\t20\n",
+    )
+    df = BedSource().read(spark, p)
+    rows = sorted(
+        (r.contig, r.start, r.end, r.name, r.score, r.strand) for r in df.collect()
+    )
+    assert rows == [
+        ("chr1", 1, 100, "feat1", None, "+"),
+        ("chr5", 11, 20, None, None, None),
+    ]
+    out = str(tmp_path / "out.bed")
+    write_bed(df, out)
+    # strand must stay in the strand slot even with a NULL score before it
+    lines = sorted(open(out).read().splitlines())
+    assert lines == ["chr1\t0\t100\tfeat1\t.\t+", "chr5\t10\t20\t.\t.\t."]
+    back = sorted(
+        (r.contig, r.start, r.end, r.name, r.score, r.strand)
+        for r in BedSource().read(spark, out).collect()
+    )
+    assert back == rows

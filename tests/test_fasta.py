@@ -70,3 +70,27 @@ def test_g20_kmer_spectrum_matches_python(spark):
             want[min(km, km.translate(comp)[::-1])] += 1
     got = {r.canon: r.n for r in QUERIES["g20_kmer_spectrum"].build(spark, "u").collect()}
     assert got == dict(want)
+
+
+def test_g20_exactly_once_across_task_seams(spark):
+    """The overlap lookahead must hand each task the bases past ITS OWN
+    last window — run the spectrum at split_windows=2 (many task seams per
+    contig) and it must equal both the single-task spectrum and Python."""
+    from collections import Counter
+
+    from disq_original_spark.queries.genomic import kmer_spectrum
+
+    k = 8
+    comp = str.maketrans("ACGT", "TGCA")
+    want: Counter = Counter()
+    for seq in _raw(f"{FIXTURES}/valid.fasta").values():
+        for i in range(len(seq) - k + 1):
+            km = seq[i : i + k]
+            want[min(km, km.translate(comp)[::-1])] += 1
+    seamed = {
+        r.canon: r.n
+        for r in kmer_spectrum(
+            spark, f"{FIXTURES}/valid.fasta", k=k, window=50, split_windows=2
+        ).collect()
+    }
+    assert seamed == dict(want)

@@ -48,10 +48,14 @@ def degenerate_sf(spark, tmp_path_factory):
               "lineitem", "events", "documents", "embeddings"):
         shutil.copy(f"{SF_DIR}/{f}.parquet", root / f"{f}.parquet")
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # 900000 % 3 == 0 AND % 15 == 0: the empty-text doc IS an m04 image and
+    # a near-dup variant source, exercising perceptual_hash's empty-payload
+    # skip on exactly the path m04 scores; 900003 % 3 == 0 puts the one-word
+    # doc through the image hash too (mostly-empty strides)
     extra = spark.createDataFrame(
         [
+            (900000, "", "en", "srcX", 0),
             (900001, None, "en", "srcX", 0),
-            (900002, "", "en", "srcX", 0),
             (900003, "spark", "en", "srcX", 5),
         ],
         d.schema,
