@@ -98,6 +98,18 @@ def test_domain_cap_partial_limit(spark, sf_dir):
     assert plan.index(partial[0]) > exch
 
 
+def test_new_topk_partial_limits(spark, sf_dir):
+    """t13's BM25 top-k, p10's domain cap and s06's code-distance shortlist
+    — every rank-filter whose input is corpus-sized must truncate map-side
+    (a Partial WindowGroupLimit) before its key exchange."""
+    from disq_original_spark.plans import simple_plan
+
+    for name in ("t13_bm25", "p10_corpus_pipeline_v2", "s06_ann_sq8"):
+        plan = simple_plan(QUERIES[name].build(spark, sf_dir))
+        partial = [ln for ln in plan.splitlines() if "WindowGroupLimit" in ln and "Partial" in ln]
+        assert partial, name
+
+
 def test_skew_audit_take_ordered(spark, sf_dir):
     """p09's heavy-hitter top-k must compile to TakeOrderedAndProject
     (per-partition k-row heaps), never a global Sort over all keys."""
