@@ -58,7 +58,17 @@ def _read_span(task: _FastaTask, start0: int, end0: int) -> str:
     with fs_open(task.path) as fh:
         fh.seek(byte_lo)
         raw = fh.read(byte_hi - byte_lo)
-    return raw.decode("ascii").replace("\n", "").replace("\r", "").upper()
+    seq = raw.decode("ascii").replace("\n", "").replace("\r", "").upper()
+    # fail loud on a lying .fai (stale index, truncated FASTA): silence here
+    # would emit short windows that downstream k-mer/GC stats consume as
+    # real sequence
+    if len(seq) != end0 - start0:
+        raise ValueError(
+            f"FASTA {task.path} contig {task.contig}: .fai declares bases "
+            f"[{start0}, {end0}) but the file yielded {len(seq)} bases — "
+            "stale or corrupt .fai / truncated FASTA"
+        )
+    return seq
 
 
 def _task_rows(task: _FastaTask):

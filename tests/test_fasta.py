@@ -94,3 +94,24 @@ def test_g20_exactly_once_across_task_seams(spark):
         ).collect()
     }
     assert seamed == dict(want)
+
+
+def test_fasta_truncated_file_fails_loud(spark, tmp_path):
+    """A .fai declaring more bases than the FASTA holds (stale index /
+    truncated download) must raise, never emit short windows as if they
+    were real sequence."""
+    import shutil
+
+    import pytest
+
+    src = f"{FIXTURES}/test.fa"
+    p = tmp_path / "trunc.fa"
+    shutil.copy(src, p)
+    shutil.copy(src + ".fai", str(p) + ".fai")
+    with open(p, "r+b") as f:
+        f.truncate(f.seek(0, 2) - 1000)  # chop the tail
+    from disq_original_spark.sources.fasta import FastaSource
+
+    df = FastaSource().read(spark, str(p), window=1000)
+    with pytest.raises(Exception, match="stale or corrupt|yielded"):
+        df.collect()
