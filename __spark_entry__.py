@@ -115,6 +115,7 @@ _PRIORITY = [
     "g19_gc_windows",
     "g20_kmer_spectrum",
     "s06_ann_sq8",
+    "g21_cpg_islands",
 ]
 
 

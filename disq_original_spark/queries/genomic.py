@@ -1026,3 +1026,48 @@ def kmer_spectrum(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "canon")
     )
+
+
+# ------------------------------------------------- g21 CpG islands
+_G21_WINDOW = 50
+
+
+@query(
+    "g21_cpg_islands",
+    None,
+    doc="CpG-island scan (Gardiner-Garden & Frommer criteria — EMBOSS "
+    "newcpgreport / UCSC cpgIslandExt analog) over the reference windows: "
+    "per window the C/G counts, the CpG dinucleotide count (windows carry "
+    "one lookahead base so a CG spanning a window boundary is counted in "
+    "exactly one window — the same exactly-once tiling as g20), the "
+    "observed/expected ratio n_CG·len/(n_C·n_G), and the classic island "
+    "flag (GC% > 50 and obs/exp > 0.6).  All counting is replace/translate "
+    "string codegen; one scan, zero shuffle before the final ORDER BY.  "
+    "Rows-only entry; tests/test_fasta.py recomputes every window.",
+)
+def g21(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.fasta import FastaSource
+
+    w = _G21_WINDOW
+    df = FastaSource().read(spark, f"{_FIXTURES}/valid.fasta", window=w, overlap=1)
+    body = F.substring("seq", 1, w)  # window-proper bases (no lookahead)
+    blen = F.length(body)
+    n_c = blen - F.length(F.translate(body, "C", ""))
+    n_g = blen - F.length(F.translate(body, "G", ""))
+    # CG starts within the window: the lookahead base lets the last start
+    # see its successor; CG cannot self-overlap so replace-count is exact
+    n_cg = (F.length("seq") - F.length(F.regexp_replace("seq", "CG", ""))) / 2
+    obs_exp = F.when(
+        (n_c > 0) & (n_g > 0), F.round(n_cg * blen / (n_c * n_g), 4)
+    ).otherwise(F.lit(0.0))
+    gc_pct = (n_c + n_g) / blen
+    return df.select(
+        "contig",
+        "w_start",
+        (F.col("w_start") + blen - 1).alias("w_end"),
+        n_c.cast("long").alias("n_c"),
+        n_g.cast("long").alias("n_g"),
+        n_cg.cast("long").alias("n_cg"),
+        obs_exp.alias("obs_exp"),
+        ((gc_pct > 0.5) & (obs_exp > 0.6)).alias("is_island"),
+    ).orderBy("contig", "w_start")

@@ -115,3 +115,24 @@ def test_fasta_truncated_file_fails_loud(spark, tmp_path):
     df = FastaSource().read(spark, str(p), window=1000)
     with pytest.raises(Exception, match="stale or corrupt|yielded"):
         df.collect()
+
+
+def test_g21_cpg_matches_python(spark):
+    """Every window's C/G/CpG counts, obs/exp ratio and island flag vs a
+    Python recompute — including CG dinucleotides that span a window
+    boundary (counted in the window where the C sits, exactly once)."""
+    seqs = _raw(f"{FIXTURES}/valid.fasta")
+    got = QUERIES["g21_cpg_islands"].build(spark, "u").collect()
+    w = 50
+    total_cg = sum(r.n_cg for r in got)
+    want_total = sum(s.count("CG") for s in seqs.values())
+    assert total_cg == want_total  # exactly-once across all boundaries
+    for r in got:
+        body = seqs[r.contig][r.w_start - 1 : r.w_start - 1 + w]
+        look = seqs[r.contig][r.w_start - 1 : r.w_start - 1 + w + 1]
+        n_c, n_g = body.count("C"), body.count("G")
+        n_cg = sum(1 for i in range(len(look) - 1) if look[i : i + 2] == "CG")
+        assert (r.n_c, r.n_g, r.n_cg) == (n_c, n_g, n_cg), r
+        oe = round(n_cg * len(body) / (n_c * n_g), 4) if n_c and n_g else 0.0
+        assert r.obs_exp == oe
+        assert r.is_island == ((n_c + n_g) / len(body) > 0.5 and oe > 0.6)
