@@ -116,6 +116,10 @@ _PRIORITY = [
     "g20_kmer_spectrum",
     "s06_ann_sq8",
     "g21_cpg_islands",
+    "q43_tpch_q18",
+    "m05_audio_frames",
+    "p11_zorder_layout",
+    "g22_roh_runs",
 ]
 
 

@@ -137,6 +137,51 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
     return media.mapInPandas(run, FRAMES_SCHEMA)
 
 
+AUDIO_FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, n_bytes long, energy long, peak int"
+)
+
+
+def audio_frames(
+    media: DataFrame, frame_len: int = 512, hop: int = 256, max_frames: int = 8
+) -> DataFrame:
+    """Overlapping audio frame windowing (the librosa ``frame`` shape): each
+    audio payload yields frames starting every ``hop`` bytes, ``frame_len``
+    bytes long (the tail frame may be short), capped at ``max_frames``.
+    Per frame the operator emits integer-exact signal statistics — energy =
+    Σ sample² and peak = max sample over the byte-decoded samples — so an
+    independent engine reproduces every value without float parity games.
+
+    Arrow-batched mapInPandas with numpy windowing per payload; one input
+    row expands to ≤ max_frames slim rows (40 bytes each), so the Python
+    boundary carries frame STATISTICS, never frame payloads.  Swap
+    ``_fake_decode``-style byte samples for real PCM via soundfile/librosa
+    in a full environment — the schema and batch shape stay identical.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
+                if kind != "audio" or data is None or len(data) == 0:
+                    continue
+                samples = np.frombuffer(bytes(data), dtype=np.uint8)
+                n = len(samples)
+                i = 0
+                while i * hop < n and i < max_frames:
+                    seg = samples[i * hop : i * hop + frame_len].astype(np.int64)
+                    out.append(
+                        (mid, i, len(seg), int((seg * seg).sum()), int(seg.max()))
+                    )
+                    i += 1
+            yield pd.DataFrame(
+                out, columns=["media_id", "frame_idx", "n_bytes", "energy", "peak"]
+            )
+
+    return media.mapInPandas(run, AUDIO_FRAMES_SCHEMA)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize placeholder: raises until a real image library is present —
     the contract (schema in = schema out, data column replaced) is fixed."""

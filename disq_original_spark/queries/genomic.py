@@ -1071,3 +1071,66 @@ def g21(spark: SparkSession, sf: str) -> DataFrame:
         obs_exp.alias("obs_exp"),
         ((gc_pct > 0.5) & (obs_exp > 0.6)).alias("is_island"),
     ).orderBy("contig", "w_start")
+
+
+# -------------------------------------------------- g22 runs of homozygosity
+_G22_MIN_SITES = 5  # report runs of at least this many consecutive hom sites
+
+
+@query(
+    "g22_roh_runs",
+    None,
+    doc="Runs of homozygosity (`bcftools roh`-style): consecutive homozygous "
+    "genotype calls per (contig, sample) collapse to run intervals via "
+    "distributed gaps-and-islands — a het or missing call breaks the run.  "
+    "A genotype is homozygous iff both alleles are equal and non-missing "
+    "(phase-insensitive: '/' and '|' separators both split).  Emits one row "
+    "per run of >= 5 sites with its [start_pos, end_pos] span and site "
+    "count, over the real 10k-variant BGZF VCF fixture.\n\n"
+    "Scale shape: ONE hash shuffle on (contig, sample); the break-flag lag "
+    "window, the run-id running sum and the per-run aggregate all reuse "
+    "that partitioning (the two windows share one sort on pos).  At "
+    "100 TB / 1000s of samples the work distributes per (contig, sample) "
+    "with no cross-key traffic — the same shape as the session windows in "
+    "q31.  Rows-only entry (DuckDB cannot read BGZF VCF); "
+    "tests/test_variants_typed.py replays every run from the raw text.",
+)
+def g22(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.variants import explode_genotypes
+    from ..sources.headers import read_vcf_header_text
+    from ..sources.vcf import VcfSource
+
+    path = f"{_FIXTURES}/HiSeq.10000.vcf.bgz"
+    hdr = read_vcf_header_text(path)
+    g = explode_genotypes(VcfSource().read(spark, path), hdr).select(
+        "contig", "pos", "sample", "gt"
+    )
+    alleles = F.split("gt", r"[/|]")
+    hom = (
+        (F.size(alleles) == 2)
+        & (alleles[0] == alleles[1])
+        & (alleles[0] != ".")
+        & (alleles[0] != "")
+    )
+    w = Window.partitionBy("contig", "sample").orderBy("pos")
+    flagged = g.select("contig", "pos", "sample", hom.alias("hom"))
+    brk = F.when(
+        F.lag("hom").over(w).isNull() | (F.col("hom") != F.lag("hom").over(w)), 1
+    ).otherwise(0)
+    runs = flagged.withColumn("brk", brk).withColumn(
+        "run", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        runs.filter("hom")
+        .groupBy("contig", "sample", "run")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.max("pos").alias("end_pos"),
+            F.count(F.lit(1)).alias("n_sites"),
+        )
+        .filter(F.col("n_sites") >= _G22_MIN_SITES)
+        .select("contig", "sample", "start_pos", "end_pos", "n_sites")
+        .orderBy("contig", "sample", "start_pos")
+    )

@@ -110,6 +110,44 @@ def m03(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "m05_audio_frames",
+    """WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n
+                  FROM documents
+                  WHERE doc_id % 3 = 1 AND text IS NOT NULL AND length(text) > 0),
+        f AS (SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+                     i * 256 AS start, text, n
+              FROM m, generate_series(0, 7) t(i)
+              WHERE i * 256 < n),
+        b AS (SELECT media_id, frame_idx,
+                     ord(substr(text, CAST(p AS INTEGER), 1)) AS byte
+              FROM (SELECT media_id, frame_idx, text,
+                           unnest(generate_series(start + 1,
+                                                  least(start + 512, n))) AS p
+                    FROM f)),
+        agg AS (SELECT media_id, frame_idx, count(*) AS n_bytes,
+                       sum(byte * byte) AS energy, max(byte) AS peak
+                FROM b GROUP BY 1, 2)
+       SELECT media_id, frame_idx, CAST(n_bytes AS BIGINT) AS n_bytes,
+              CAST(energy AS BIGINT) AS energy, CAST(peak AS INTEGER) AS peak
+       FROM agg ORDER BY media_id, frame_idx""",
+    doc="Audio frame analysis: overlapping 512-byte frames every 256 bytes "
+    "(librosa-style hop windowing, ≤8 frames/clip) with integer-exact "
+    "per-frame energy (Σ sample²) and peak, computed in one Arrow-batched "
+    "numpy pass (operators/multimodal.py::audio_frames).  The oracle "
+    "reproduces every frame statistic in SQL because the corpus is ASCII "
+    "(char positions are byte positions, as m02).\n\n"
+    "Scale shape: pure map-side row expansion — no shuffle except the "
+    "driver-facing ORDER BY; only 40-byte frame statistics cross the "
+    "Python boundary, never payloads.",
+)
+def m05(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.multimodal import audio_frames
+
+    media = documents_as_media(load_table(spark, sf, "documents"))
+    return audio_frames(media).orderBy("media_id", "frame_idx")
+
+
 # ------------------------------------------------- m04 perceptual-hash dedup
 _M04_VARIANT_BASE = 1_000_000_000
 _M04_HAM_MAX = 3  # 4 bands of 16 bits: pigeonhole-exact for Hamming <= 3

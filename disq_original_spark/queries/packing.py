@@ -825,3 +825,106 @@ def p10(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------- p11 z-order layout
+_P11_BITS = 16  # per-dimension resolution of the z-curve
+_P11_BUCKET_SHIFT = 2 * _P11_BITS - 10  # top 10 z bits -> 1024 layout cells
+
+
+def _p11_interleave_sql(a: str, b: str) -> str:
+    """DuckDB bit-interleave of two 16-bit ints (a -> even bits, b -> odd)."""
+    terms = [
+        f"((({a} >> {i}) & 1) << {2 * i}) + ((({b} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_P11_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _p11_interleave_col(a: F.Column, b: F.Column) -> F.Column:
+    """Spark twin of ``_p11_interleave_sql`` — same bit list, same weights."""
+    z = F.lit(0)
+    for i in range(_P11_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftrightunsigned(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+_P11_SQL = f"""
+    WITH d AS (SELECT CAST(datediff('day', DATE '1992-01-01', l_shipdate) AS BIGINT) AS d1,
+                      l_partkey AS d2
+               FROM lineitem),
+     s AS (SELECT min(d1) AS lo1, max(d1) AS hi1, min(d2) AS lo2, max(d2) AS hi2
+           FROM d),
+     n AS (SELECT ((d1 - lo1) * 65535) // greatest(hi1 - lo1, 1) AS x,
+                  ((d2 - lo2) * 65535) // greatest(hi2 - lo2, 1) AS y
+           FROM d, s),
+     z AS (SELECT x, y, {_p11_interleave_sql("x", "y")} >> {_P11_BUCKET_SHIFT} AS cell
+           FROM n)
+    SELECT cell, count(*) AS n,
+           CAST(min(x) AS BIGINT) AS x_lo, CAST(max(x) AS BIGINT) AS x_hi,
+           CAST(min(y) AS BIGINT) AS y_lo, CAST(max(y) AS BIGINT) AS y_hi
+    FROM z GROUP BY cell ORDER BY cell"""
+
+
+@query(
+    "p11_zorder_layout",
+    _P11_SQL,
+    doc="Z-order (Morton-curve) layout audit — the multi-dimensional "
+    "clustering primitive behind Delta/Iceberg OPTIMIZE ZORDER: both "
+    "dimensions (ship date, part key) are min-max normalized into 16-bit "
+    "grid coordinates, bit-interleaved into a z-value, and the top 10 z "
+    "bits define 1024 layout cells.  Per cell the audit emits row count "
+    "and the min/max of each dimension, demonstrating the locality that "
+    "makes file-level min/max statistics prune BOTH dimensions at once.  "
+    "All arithmetic is exact integers (normalization is integer floor "
+    "division, interleave is the same 32-term bit sum in both engines), "
+    "so the oracle hash-checks every cell.\n\n"
+    "Scale shape: the dimension statistics reduce to ONE broadcast row "
+    "(map-side combine), normalization + interleave are pure codegen "
+    "expressions, and the only data shuffle is the 1024-key cell "
+    "aggregate with partial agg.  The production write path is "
+    "repartitionByRange(z) before the sink so each output file covers a "
+    "contiguous z-range; this query is the audit that proves the layout "
+    "clusters.",
+)
+def p11(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem").select(
+        F.datediff("l_shipdate", F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("d1"),
+        F.col("l_partkey").alias("d2"),
+    )
+    stats = li.agg(
+        F.min("d1").alias("lo1"),
+        F.max("d1").alias("hi1"),
+        F.min("d2").alias("lo2"),
+        F.max("d2").alias("hi2"),
+    )
+    n = li.crossJoin(F.broadcast(stats)).select(
+        ((F.col("d1") - F.col("lo1")) * 65535
+         / F.greatest(F.col("hi1") - F.col("lo1"), F.lit(1))).cast("long").alias("x"),
+        ((F.col("d2") - F.col("lo2")) * 65535
+         / F.greatest(F.col("hi2") - F.col("lo2"), F.lit(1))).cast("long").alias("y"),
+    )
+    z = n.select(
+        "x",
+        "y",
+        F.shiftrightunsigned(
+            _p11_interleave_col(F.col("x"), F.col("y")), _P11_BUCKET_SHIFT
+        ).alias("cell"),
+    )
+    return (
+        z.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("x_lo"),
+            F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"),
+            F.max("y").alias("y_hi"),
+        )
+        .orderBy("cell")
+    )

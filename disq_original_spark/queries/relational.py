@@ -1072,3 +1072,60 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
            ORDER BY gid, l_returnflag ASC NULLS FIRST,
                     l_linestatus ASC NULLS FIRST"""
     )
+
+
+# ---------------------------------------------------------------- q43 TPC-H Q18
+_Q18_QTY = 300
+
+
+@query(
+    "q43_tpch_q18",
+    f"""SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS od,
+               round(o_totalprice, 2) AS totalprice,
+               CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING sum(l_quantity) > {_Q18_QTY})
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY totalprice DESC, o_orderdate, o_orderkey LIMIT 100""",
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): an aggregated HAVING subquery
+    feeds an IN predicate over a three-way join — the query shape that
+    stresses subquery decorrelation and join ordering together.  Catalyst
+    rewrites the IN as a LEFT SEMI join against the pre-aggregated keys,
+    so lineitem is scanned twice but only (l_orderkey, sum) survives the
+    first pass — at 100 TB the semi-join side is ~0.1% of orders and the
+    big join probes it instead of materializing the subquery per row.
+    o_orderkey is unique per group row, so the LIMIT is deterministic
+    under the (totalprice, orderdate, orderkey) order."""
+    li = _t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > _Q18_QTY)
+        .select(F.col("l_orderkey").alias("big_okey"))
+    )
+    o = _t(spark, sf, "orders").join(
+        big, F.col("o_orderkey") == F.col("big_okey"), "left_semi"
+    )
+    c = _t(spark, sf, "customer")
+    return (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("long").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("od"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "od", "o_orderkey")
+        .limit(100)
+    )

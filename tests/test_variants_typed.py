@@ -60,3 +60,47 @@ def test_explode_genotypes_typed(spark):
     assert rows[(17330, "NA00003")]["fmt_HQ"] is None or True
     assert rows[(14370, "NA00003")]["fmt_HQ"] == [None, None]  # '.,.'
     assert g.count() == 5 * 3  # 5 variants × 3 samples
+
+
+def test_g22_roh_runs_match_python_replay(spark):
+    """Every ROH run from the distributed gaps-and-islands plan must equal
+    the single-threaded replay over the raw VCF text: same runs, same
+    spans, same site counts — including the >= MIN_SITES cutoff."""
+    import gzip
+
+    from disq_original_spark.queries import QUERIES
+    from disq_original_spark.queries.genomic import _G22_MIN_SITES
+
+    expected = []
+    run = None  # (contig, start, end, n)
+    with gzip.open(
+        "/root/reference/src/test/resources/HiSeq.10000.vcf.bgz", "rt"
+    ) as f:
+        for line in f:
+            if line.startswith("#"):
+                continue
+            c = line.rstrip("\n").split("\t")
+            contig, pos = c[0], int(c[1])
+            gt = c[9].split(":")[c[8].split(":").index("GT")]
+            sep = "|" if "|" in gt else "/"
+            alleles = gt.split(sep)
+            hom = len(alleles) == 2 and alleles[0] == alleles[1] and alleles[0] not in (".", "")
+            if hom:
+                if run is not None and run[0] == contig:
+                    run = (contig, run[1], pos, run[3] + 1)
+                else:
+                    if run and run[3] >= _G22_MIN_SITES:
+                        expected.append(run)
+                    run = (contig, pos, pos, 1)
+            else:
+                if run and run[3] >= _G22_MIN_SITES:
+                    expected.append(run)
+                run = None
+    if run and run[3] >= _G22_MIN_SITES:
+        expected.append(run)
+
+    got = [
+        (r["contig"], r["start_pos"], r["end_pos"], r["n_sites"])
+        for r in QUERIES["g22_roh_runs"].build(spark, "unused").collect()
+    ]
+    assert sorted(got) == sorted(expected)
