@@ -339,3 +339,52 @@ def test_dupmark_bulk_shuffles_once(spark):
     bulk = [b for b in nodes if "seq#" in b]
     assert len(bulk) == 1
     assert "hashpartitioning(qname#" in bulk[0]
+
+
+def test_q43_preaggregates_semi_side_and_broadcasts_dims(spark, sf_dir):
+    """TPC-H Q18's HAVING subquery must compile to a pre-aggregated probe
+    (partial+final HashAggregate below the join), and the customer dim must
+    broadcast — lineitem is never joined against un-aggregated lineitem."""
+    df = QUERIES["q43_tpch_q18"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    tree = plan.split("\n\n")[0]
+    assert uses_broadcast_join(df)
+    assert tree.count("HashAggregate") >= 4  # subquery pair + final group pair
+
+
+def test_p11_single_data_shuffle_and_broadcast_stats(spark, sf_dir):
+    """The z-order audit's dimension stats must reduce to one broadcast row
+    (no lineitem shuffle to compute them), and the only full-data exchange
+    is the 1024-cell aggregate with map-side partial agg."""
+    plan = formatted_plan(QUERIES["p11_zorder_layout"].build(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastExchange" in tree
+    # exchanges: stats single-row, cell agg, final sort — nothing else
+    assert tree.count("Exchange") <= 4
+    assert tree.count("HashAggregate") >= 4  # stats pair + cell pair
+
+
+def test_m05_pure_mapside_expansion(spark, sf_dir):
+    """Audio framing must be one Arrow pass over the scan: no join, no
+    aggregate, no exchange except the final orderBy's range partitioning."""
+    plan = formatted_plan(QUERIES["m05_audio_frames"].build(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1
+    assert "Join" not in tree and "HashAggregate" not in tree
+    assert tree.count("Exchange") == 1
+
+
+def test_g22_single_shuffle_gaps_and_islands(spark, sf_dir):
+    """ROH runs: the lag window, run-id cumsum and per-run aggregate must
+    all reuse ONE (contig, sample) hash partitioning — no second data
+    exchange before the driver-facing sort."""
+    import re
+
+    plan = formatted_plan(QUERIES["g22_roh_runs"].build(spark, "unused"))
+    tree = plan.split("\n\n")[0]
+    # exactly two exchanges: the (contig, sample) hash shuffle feeding both
+    # windows and the aggregate, plus the driver-facing sort's range exchange
+    assert tree.count("Exchange") == 2
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1
+    assert tree.count("Window") == 2
+    assert "Join" not in tree
