@@ -120,6 +120,8 @@ _PRIORITY = [
     "m05_audio_frames",
     "p11_zorder_layout",
     "g22_roh_runs",
+    "q44_scd2_dimension",
+    "q45_funnel_steps",
 ]
 
 

@@ -1129,3 +1129,167 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("totalprice"), "od", "o_orderkey")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------- q44 SCD2 build
+@query(
+    "q44_scd2_dimension",
+    """WITH e AS (SELECT user_id, ts, event_type,
+                         CASE WHEN lag(event_type) OVER w IS NULL
+                                OR lag(event_type) OVER w <> event_type
+                              THEN 1 ELSE 0 END AS chg
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        v AS (SELECT user_id, ts, event_type,
+                     sum(chg) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS version
+              FROM e),
+        s AS (SELECT user_id, CAST(version AS INTEGER) AS version,
+                     event_type AS status,
+                     min(ts) AS vf, count(*) AS n_events
+              FROM v GROUP BY user_id, version, event_type)
+       SELECT user_id, version, status,
+              strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from,
+              coalesce(strftime(lead(vf) OVER (PARTITION BY user_id
+                                               ORDER BY version),
+                                '%Y-%m-%d %H:%M:%S'), 'current') AS valid_to,
+              n_events
+       FROM s ORDER BY user_id, version""",
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: each user's event_type acts
+    as a tracked attribute; every change opens a new version row with
+    [valid_from, valid_to) effective dating (gaps-and-islands change
+    detection + a lead window for the closing timestamp; the open version
+    closes with 'current').  This is the standard warehouse pattern for
+    dimension history — expressed as three window passes that all reuse
+    ONE user_id hash partitioning: the change-flag lag, the version-id
+    running sum, and the valid_to lead (the aggregate between them is
+    co-partitioned on its grouping prefix).  (user_id, ts) is unique in
+    the testdata, so versioning is deterministic."""
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        1,
+    ).otherwise(0)
+    v = e.select("user_id", "ts", "event_type").withColumn(
+        "version",
+        F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    s = (
+        v.groupBy("user_id", F.col("version").cast("int").alias("version"),
+                  F.col("event_type").alias("status"))
+        .agg(F.min("ts").alias("vf"), F.count(F.lit(1)).alias("n_events"))
+    )
+    wv = Window.partitionBy("user_id").orderBy("version")
+    return (
+        s.select(
+            "user_id",
+            "version",
+            "status",
+            F.date_format("vf", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+            F.coalesce(
+                F.date_format(F.lead("vf").over(wv), "yyyy-MM-dd HH:mm:ss"),
+                F.lit("current"),
+            ).alias("valid_to"),
+            "n_events",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# ---------------------------------------------------------------- q45 funnel
+@query(
+    "q45_funnel_steps",
+    """WITH o AS (SELECT user_id, ts, event_type,
+                         min(CASE WHEN event_type = 'view' THEN ts END)
+                           OVER w AS t_view
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING)),
+        o2 AS (SELECT user_id, ts, event_type, t_view,
+                      min(CASE WHEN event_type = 'click' AND t_view IS NOT NULL
+                                AND t_view < ts THEN ts END)
+                        OVER w AS t_click
+               FROM o
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING)),
+        o3 AS (SELECT user_id, ts, event_type, t_view, t_click,
+                      min(CASE WHEN event_type = 'purchase'
+                                AND t_click IS NOT NULL
+                                AND t_click < ts THEN ts END)
+                        OVER w AS t_buy
+               FROM o2
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING)),
+        u AS (SELECT user_id,
+                     max(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+                     max(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+                     max(CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END) AS s3
+              FROM o3 GROUP BY user_id)
+       SELECT 'step1_view' AS step, CAST(sum(s1) AS BIGINT) AS n_users FROM u
+       UNION ALL
+       SELECT 'step2_click', CAST(sum(s2) AS BIGINT) FROM u
+       UNION ALL
+       SELECT 'step3_purchase', CAST(sum(s3) AS BIGINT) FROM u
+       ORDER BY step""",
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase, strictly
+    increasing timestamps): how many users complete each prefix of the
+    funnel IN ORDER — the clickstream sequence-match a plain per-type
+    count cannot express (a purchase before the first qualifying click
+    must not count).  Each step's first-completion time is a running
+    conditional min over the previous step's column, so the three
+    cascaded windows and the per-user collapse all reuse ONE user_id
+    hash partitioning and one sort — sequence matching without
+    self-joins or UDFs, the shape that survives a billion-user
+    clickstream."""
+    e = load_table(spark, sf, "events").select("user_id", "ts", "event_type")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    o = e.withColumn(
+        "t_view", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    o2 = o.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("t_view").isNotNull()
+                & (F.col("t_view") < F.col("ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    o3 = o2.withColumn(
+        "t_buy",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("t_click").isNotNull()
+                & (F.col("t_click") < F.col("ts")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    u = o3.groupBy("user_id").agg(
+        F.max(F.col("t_view").isNotNull().cast("int")).alias("s1"),
+        F.max(F.col("t_click").isNotNull().cast("int")).alias("s2"),
+        F.max(F.col("t_buy").isNotNull().cast("int")).alias("s3"),
+    )
+    totals = u.agg(
+        F.sum("s1").cast("long").alias("step1_view"),
+        F.sum("s2").cast("long").alias("step2_click"),
+        F.sum("s3").cast("long").alias("step3_purchase"),
+    )
+    return (
+        totals.unpivot([], ["step1_view", "step2_click", "step3_purchase"],
+                       "step", "n_users")
+        .orderBy("step")
+    )
