@@ -122,6 +122,8 @@ _PRIORITY = [
     "g22_roh_runs",
     "q44_scd2_dimension",
     "q45_funnel_steps",
+    "d12_keep_best",
+    "s07_knn_graph",
 ]
 
 

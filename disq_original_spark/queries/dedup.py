@@ -908,3 +908,53 @@ def d11(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------- d12 keep-best selection
+@query(
+    "d12_keep_best",
+    f"""WITH RECURSIVE {_PAIRS_SQL},
+        reach(node, root) AS (
+            SELECT a_id, a_id FROM (SELECT DISTINCT a_id FROM edges)
+            UNION
+            SELECT e.b_id, r.root FROM reach r JOIN edges e ON e.a_id = r.node
+        ),
+        clusters AS (SELECT node AS doc_id, min(root) AS cluster_id
+                     FROM reach GROUP BY node),
+        ranked AS (SELECT c.cluster_id, c.doc_id, d.n_chars,
+                          row_number() OVER (PARTITION BY c.cluster_id
+                                             ORDER BY d.n_chars DESC, c.doc_id)
+                            AS rnk
+                   FROM clusters c JOIN documents d USING (doc_id))
+        SELECT cluster_id, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(rnk = 1 AS BOOLEAN) AS keep
+        FROM ranked ORDER BY cluster_id, doc_id""",
+    doc="Canonical-representative selection — the decision step that turns "
+    "near-dup clusters into an actual training corpus: within every "
+    "duplicate cluster (d07's connected components over the MinHash-LSH "
+    "graph) keep the longest document, ties broken by lowest id (the "
+    "common keep-longest policy of production dedup pipelines), and emit "
+    "the per-document verdict so the drop set is auditable.\n\n"
+    "Scale shape: the cluster labels are (doc_id, cluster_id) pairs — "
+    "tiny next to the corpus — so the documents join shuffles only ids "
+    "and lengths; the rank compiles to the Partial+Final WindowGroupLimit "
+    "pair when filtered to keepers, and here (full verdict output) is one "
+    "window over groups whose size is bounded by the LSH bucket cap.",
+)
+def d12(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    clusters = d07(spark, sf).select("doc_id", "cluster_id")
+    d = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    return (
+        clusters.join(d, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .select(
+            "cluster_id",
+            "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.col("rnk") == 1).alias("keep"),
+        )
+        .orderBy("cluster_id", "doc_id")
+    )

@@ -681,3 +681,70 @@ def s06(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= _K)
         .orderBy("q_id", "rank")
     )
+
+
+# ---------------------------------------------------------------- s07 kNN graph
+_GRAPH_K = 3
+_GRAPH_CAP = 512  # skew guard: drop LSH buckets larger than this (as d03)
+
+
+@query(
+    "s07_knn_graph",
+    f"""WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+        keep AS (SELECT bucket FROM b GROUP BY bucket
+                 HAVING count(*) BETWEEN 2 AND {_GRAPH_CAP}),
+        scored AS (
+          SELECT a.vec_id AS src, e.vec_id AS dst,
+                 round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])), 4)
+                   AS cos_sim
+          FROM b a
+          JOIN keep k ON a.bucket = k.bucket
+          JOIN b e ON e.bucket = a.bucket AND e.vec_id <> a.vec_id),
+        ranked AS (
+          SELECT src, dst, cos_sim,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY cos_sim DESC, dst) AS rank
+          FROM scored)
+        SELECT src, dst, cos_sim, rank FROM ranked
+        WHERE rank <= {_GRAPH_K} ORDER BY src, rank""",
+    doc="Approximate kNN-graph construction: EVERY vector gets its top-3 "
+    "cosine neighbors from within its sign-LSH bucket — the all-vectors "
+    "neighbor graph that clustering, SemDeDup-style pruning and "
+    "graph-based ANN indexes (NN-Descent seeding) start from, as opposed "
+    "to s01–s03's fixed-query search.\n\n"
+    "Scale shape: the all-pairs product shrinks to a self equi-join on "
+    "bucket id; buckets above the cap drop (mirrored in the oracle's "
+    "HAVING, the d03 skew posture) so worst-case pair expansion is "
+    "cap²-bounded per bucket — in production the bucket-bit count scales "
+    "with log2(n/target_bucket) to hold bucket sizes flat.  The per-src "
+    "rank compiles to the Partial+Final WindowGroupLimit pair, so map "
+    "partitions truncate to k rows per src before the src exchange.",
+)
+def s07(spark: SparkSession, sf: str) -> DataFrame:
+    b = load_table(spark, sf, "embeddings").withColumn("bucket", _bucket_col())
+    sizes = (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= _GRAPH_CAP))
+        .select("bucket")
+    )
+    a = b.join(F.broadcast(sizes), "bucket").select(
+        "bucket", F.col("vec_id").alias("src"), F.col("embedding").alias("se")
+    )
+    scored = (
+        a.join(b, (b["bucket"] == a["bucket"]) & (b["vec_id"] != a["src"]))
+        .select(
+            "src",
+            F.col("vec_id").alias("dst"),
+            F.round(cosine_similarity(F.col("se"), F.col("embedding")), 4).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _GRAPH_K)
+        .orderBy("src", "rank")
+    )

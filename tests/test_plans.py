@@ -388,3 +388,12 @@ def test_g22_single_shuffle_gaps_and_islands(spark, sf_dir):
     assert len(re.findall(r"hashpartitioning\(", plan)) == 1
     assert tree.count("Window") == 2
     assert "Join" not in tree
+
+
+def test_s07_knn_graph_partial_limit_and_bucket_join(spark, sf_dir):
+    """kNN-graph: the per-src rank must truncate map-side (Partial+Final
+    WindowGroupLimit), and candidate generation must be an equi-join on
+    bucket — no cartesian/nested-loop node anywhere."""
+    plan = formatted_plan(QUERIES["s07_knn_graph"].build(spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
