@@ -124,6 +124,7 @@ _PRIORITY = [
     "q45_funnel_steps",
     "d12_keep_best",
     "s07_knn_graph",
+    "q46_resample_ffill",
 ]
 
 

@@ -1293,3 +1293,78 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
                        "step", "n_users")
         .orderBy("step")
     )
+
+
+# ---------------------------------------------------------------- q46 resample + ffill
+@query(
+    "q46_resample_ffill",
+    """WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+                       FROM events),
+        days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                   AS day FROM bounds),
+        users AS (SELECT DISTINCT user_id FROM events),
+        grid AS (SELECT user_id, day FROM users, days),
+        daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                         count(*) AS n, arg_max(value, ts) AS lastv
+                  FROM events GROUP BY 1, 2),
+        j AS (SELECT g.user_id, g.day,
+                     coalesce(d.n, 0) AS n_events, d.lastv
+              FROM grid g LEFT JOIN daily d USING (user_id, day))
+       SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+              CAST(n_events AS BIGINT) AS n_events,
+              round(coalesce(last_value(lastv IGNORE NULLS) OVER (
+                        PARTITION BY user_id ORDER BY day
+                        ROWS UNBOUNDED PRECEDING), 0.0), 2) AS filled_value
+       FROM j ORDER BY user_id, day""",
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series resampling to a regular daily grid with forward-fill —
+    the gap-filling operator telemetry/IoT pipelines run before any
+    modeling: every (user, day) cell exists even when no event occurred,
+    carrying that day's event count and the last observed value carried
+    forward (days before a user's first event fill with 0.0).  The grid
+    bounds come from ONE broadcast min/max row; the per-day 'close' is
+    max_by(value, ts) (ts is unique per user, so deterministic); the fill
+    is last_value IGNORE NULLS over the user's day order.
+
+    Scale shape: grid construction is a broadcast cross of (distinct
+    users) × (date sequence exploded in codegen) — never a shuffle of the
+    event stream; the daily aggregate map-side combines to one row per
+    (user, day); the fill window and the left join share the user_id
+    partitioning.  At 1000 executors the grid is users × horizon rows,
+    independent of event volume."""
+    e = load_table(spark, sf, "events")
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    users = e.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days))
+    daily = e.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("max_by(value, ts)").alias("lastv"),
+    )
+    j = grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        "lastv",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round(
+            F.coalesce(F.last("lastv", ignorenulls=True).over(w), F.lit(0.0)), 2
+        ).alias("filled_value"),
+    ).orderBy("user_id", "day")

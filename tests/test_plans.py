@@ -397,3 +397,62 @@ def test_s07_knn_graph_partial_limit_and_bucket_join(spark, sf_dir):
     plan = formatted_plan(QUERIES["s07_knn_graph"].build(spark, sf_dir))
     assert plan.count("WindowGroupLimit") >= 2
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_hive_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout — the 100 TB table organization every
+    lake uses: a partitionBy(event_type) write, read back with an equality
+    filter, must prune at PLANNING time (PartitionFilters on the scan, no
+    residual DataFilter) so non-matching directories are never listed into
+    tasks."""
+    import pyspark.sql.functions as F
+
+    from disq_original_spark.tables import load_table
+
+    out = str(tmp_path / "events_part")
+    load_table(spark, sf_dir, "events").write.partitionBy("event_type").parquet(out)
+    r = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    scan = next(ln for ln in plan.splitlines() if "PartitionFilters" in ln)
+    assert "event_type" in scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "DataFilters: []" in scan  # partition-only: no per-row filtering
+    n_purchase = (
+        load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").count()
+    )
+    assert r.count() == n_purchase
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """AQE runtime row-level filtering: a selective dim filter on the build
+    side of a shuffle join must inject a bloom_filter_agg semi-filter into
+    the probe side's scan subtree — the mechanism that turns a selective
+    dim join into an early row discard at 100 TB.  (Broadcast joins don't
+    need it, so the test forces SMJ.)"""
+    import pyspark.sql.functions as F
+
+    from disq_original_spark.tables import load_table
+
+    prev_bloom = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+    prev_thresh = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part").filter(F.col("p_retailprice") > 2000)
+        j = li.join(part, li.l_partkey == part.p_partkey)
+        optimized = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized
+        assert "might_contain" in optimized  # the probe-side membership test
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prev_bloom)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            prev_thresh,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
