@@ -1,0 +1,149 @@
+"""Splittable FASTQ source: exactly-once record tiling across byte splits on
+an adversarial corpus (quality lines starting with '@' and '+', multi-word
+names), gzip fallback, single-file sink round-trip, malformed-input
+fail-loud, and paired-end mate joining."""
+
+from __future__ import annotations
+
+import gzip
+import random
+
+import pytest
+
+from disq_original_spark.sources.fastq import (
+    FastqSink,
+    FastqSource,
+    find_record_start,
+    pair_up,
+)
+
+_BASES = "ACGT"
+# Phred+33 alphabet deliberately includes '@' (Q31) and '+' (Q10) so quality
+# lines regularly START with the ambiguous characters the guesser must reject
+_QUALS = "!\"#$%&'()*+,-./0123456789:;<=>?@ABCDEFGHIJ"
+
+
+def _make_fastq(n: int, seed: int = 7) -> tuple[bytes, list[tuple[str, str, str, str]]]:
+    rng = random.Random(seed)
+    recs = []
+    out = []
+    for i in range(n):
+        ln = rng.randint(20, 180)
+        seq = "".join(rng.choice(_BASES) for _ in range(ln))
+        # force a hostile prefix on many quality lines
+        q0 = rng.choice("@+" + _QUALS)
+        qual = q0 + "".join(rng.choice(_QUALS) for _ in range(ln - 1))
+        name = f"read_{i:06d} comment {rng.randint(0, 9)}"
+        plus = name if i % 7 == 0 else ""  # '+name' repeats sometimes
+        recs.append((name, seq, plus, qual))
+        out.append(f"@{name}\n{seq}\n+{plus}\n{qual}\n")
+    return "".join(out).encode(), recs
+
+
+@pytest.fixture(scope="module")
+def fastq_file(tmp_path_factory):
+    data, recs = _make_fastq(2000)
+    p = tmp_path_factory.mktemp("fastq") / "reads.fastq"
+    p.write_bytes(data)
+    return str(p), recs
+
+
+def test_find_record_start_never_lands_on_quality_line(fastq_file):
+    """Exhaustive: from EVERY byte offset the guesser must land on a true
+    record boundary (or EOF) — zero false positives on quality lines that
+    start with '@'."""
+    path, recs = fastq_file
+    data = open(path, "rb").read()
+    # ground truth: byte offsets of record starts
+    truth = []
+    off = 0
+    for name, seq, plus, qual in recs:
+        truth.append(off)
+        off += len(f"@{name}\n{seq}\n+{plus}\n{qual}\n".encode())
+    truth_set = set(truth)
+    import io
+
+    fh = io.BytesIO(data)
+    step = 37  # sample offsets densely but affordably
+    for start in range(1, len(data), step):
+        rs = find_record_start(fh, start, len(data))
+        assert rs == len(data) or rs in truth_set, (start, rs)
+        # and it is the FIRST boundary at or after start
+        nxt = next((t for t in truth if t >= start), len(data))
+        assert rs == nxt, (start, rs, nxt)
+
+
+def test_split_invariance(spark, fastq_file):
+    """Same records whatever the split size — exactly-once, no loss, no
+    duplication, order-insensitive."""
+    path, recs = fastq_file
+    expected = sorted(recs)
+    for split in (999, 7_001, 64 * 1024, 10**9):
+        df = FastqSource().read(spark, path, split_size=split)
+        got = sorted(
+            (r["name"], r["seq"], r["plus"], r["qual"]) for r in df.collect()
+        )
+        assert got == expected, f"split_size={split}"
+
+
+def test_gzip_fallback(spark, tmp_path, fastq_file):
+    path, recs = fastq_file
+    gz = tmp_path / "reads.fastq.gz"
+    gz.write_bytes(gzip.compress(open(path, "rb").read()))
+    df = FastqSource().read(spark, str(gz), split_size=4096)
+    assert df.count() == len(recs)
+    assert df.rdd.getNumPartitions() == 1  # gzip: one task per file
+
+
+def test_sink_round_trip(spark, tmp_path, fastq_file):
+    path, recs = fastq_file
+    df = FastqSource().read(spark, path, split_size=8192)
+    out = tmp_path / "rt.fastq"
+    FastqSink().write(df, str(out))
+    back = FastqSource().read(spark, str(out), split_size=8192)
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in back.collect())
+    assert a == b
+    # byte-level: same multiset of records implies same size
+    assert out.stat().st_size == len(open(path, "rb").read())
+
+
+def test_truncated_record_fails_loud(spark, tmp_path, fastq_file):
+    path, _ = fastq_file
+    data = open(path, "rb").read()
+    bad = tmp_path / "trunc.fastq"
+    bad.write_bytes(data[: len(data) - 30])  # cut inside the last record
+    with pytest.raises(Exception, match="truncated|length mismatch"):
+        FastqSource().read(spark, str(bad), split_size=10**9).collect()
+
+
+def test_seq_qual_mismatch_fails_loud(spark, tmp_path):
+    bad = tmp_path / "mismatch.fastq"
+    bad.write_bytes(b"@r1\nACGT\n+\n!!!\n")
+    with pytest.raises(Exception, match="length mismatch"):
+        FastqSource().read(spark, str(bad)).collect()
+
+
+def test_pair_up(spark, tmp_path):
+    r1p = tmp_path / "r1.fastq"
+    r2p = tmp_path / "r2.fastq"
+    r1p.write_bytes(b"@p1/1\nAC\n+\n!!\n@p2/1\nGG\n+\n##\n")
+    r2p.write_bytes(b"@p1/2\nTG\n+\n$$\n@p2/2\nCC\n+\n%%\n")
+    r1 = FastqSource().read(spark, str(r1p))
+    r2 = FastqSource().read(spark, str(r2p))
+    rows = {r["stem"]: r for r in pair_up(r1, r2).collect()}
+    assert set(rows) == {"p1", "p2"}
+    assert rows["p1"]["seq_1"] == "AC" and rows["p1"]["seq_2"] == "TG"
+    assert rows["p2"]["qual_2"] == "%%"
+
+
+def test_directory_read(spark, tmp_path):
+    d = tmp_path / "shards"
+    d.mkdir()
+    total = 0
+    for i in range(3):
+        data, recs = _make_fastq(50, seed=i)
+        (d / f"part-{i}.fastq").write_bytes(data)
+        total += len(recs)
+    df = FastqSource().read(spark, str(d), split_size=2048)
+    assert df.count() == total
