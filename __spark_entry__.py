@@ -125,6 +125,7 @@ _PRIORITY = [
     "d12_keep_best",
     "s07_knn_graph",
     "q46_resample_ffill",
+    "q47_tpch_q21",
 ]
 
 

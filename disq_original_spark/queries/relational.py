@@ -1368,3 +1368,82 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.last("lastv", ignorenulls=True).over(w), F.lit(0.0)), 2
         ).alias("filled_value"),
     ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------- q47 TPC-H Q21 shape
+_Q47_NATION = "NATION_7"
+_Q47_LATE_DAYS = 90
+
+
+@query(
+    "q47_tpch_q21",
+    f"""SELECT s_name, count(*) AS numwait
+        FROM supplier, lineitem l1, orders, nation
+        WHERE s_suppkey = l1.l_suppkey
+          AND o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL {_Q47_LATE_DAYS} DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate
+                                               + INTERVAL {_Q47_LATE_DAYS} DAY)
+          AND s_nationkey = n_nationkey
+          AND n_name = '{_Q47_NATION}'
+        GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): a correlated
+    EXISTS and a correlated NOT EXISTS over the SAME fact table inside one
+    query — the hardest decorrelation pattern in the TPC-H suite.
+    Catalyst rewrites the pair into a left-semi and a left-anti join on
+    l_orderkey, both against lineitem projected to (orderkey, suppkey[,
+    shipdate]) — so the fact table is scanned three times but shuffles
+    only slim key columns, and the NOT EXISTS correlation on the outer
+    o_orderdate becomes a join-side predicate.  ('Late' adapts to this
+    schema: shipped more than {0} days after the order date, since the
+    testdata carries no receipt/commit dates.)""".format(_Q47_LATE_DAYS)
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late_cut = F.date_add(F.col("o_orderdate"), _Q47_LATE_DAYS)
+    l1 = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate").cast("date") > late_cut)
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    other = li.select(
+        F.col("l_orderkey").alias("x_orderkey"),
+        F.col("l_suppkey").alias("x_suppkey"),
+        F.col("l_shipdate").alias("x_shipdate"),
+    )
+    has_other = l1.join(
+        other,
+        (F.col("x_orderkey") == F.col("l_orderkey"))
+        & (F.col("x_suppkey") != F.col("l_suppkey")),
+        "left_semi",
+    )
+    no_other_late = has_other.join(
+        other,
+        (F.col("x_orderkey") == F.col("l_orderkey"))
+        & (F.col("x_suppkey") != F.col("l_suppkey"))
+        & (
+            F.col("x_shipdate").cast("date")
+            > F.date_add(F.col("o_orderdate"), _Q47_LATE_DAYS)
+        ),
+        "left_anti",
+    )
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").filter(F.col("n_name") == _Q47_NATION)
+    return (
+        no_other_late.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
