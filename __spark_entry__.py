@@ -126,6 +126,7 @@ _PRIORITY = [
     "s07_knn_graph",
     "q46_resample_ffill",
     "q47_tpch_q21",
+    "q48_cdc_upsert",
 ]
 
 

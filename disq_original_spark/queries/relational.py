@@ -1447,3 +1447,76 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------- q48 CDC upsert
+@query(
+    "q48_cdc_upsert",
+    """WITH latest AS (SELECT user_id AS key,
+                              arg_max(value, ts) AS new_value,
+                              arg_max(event_type, ts) AS last_type
+                       FROM events GROUP BY user_id),
+        base AS (SELECT c_custkey AS key, round(c_acctbal, 2) AS old_value
+                 FROM customer),
+        m AS (SELECT coalesce(b.key, c.key) AS key, b.old_value,
+                     round(c.new_value, 2) AS new_value,
+                     CASE
+                       WHEN c.key IS NULL THEN 'keep'
+                       WHEN c.last_type = 'error' AND b.key IS NOT NULL
+                         THEN 'delete'
+                       WHEN c.last_type = 'error' THEN 'skip'
+                       WHEN b.key IS NULL THEN 'insert'
+                       ELSE 'update'
+                     END AS action
+              FROM base b FULL OUTER JOIN latest c ON b.key = c.key)
+       SELECT key, action, old_value,
+              CASE WHEN action IN ('update', 'insert') THEN new_value END
+                AS new_value
+       FROM m WHERE action <> 'skip' ORDER BY key""",
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC apply (the MERGE INTO plan every lakehouse runs, as a pure
+    declarative join): the change stream collapses to one latest row per
+    key (max_by over event time — later changes win), then a single full
+    outer join against the base snapshot classifies every key as
+    keep / insert / update / delete (a trailing 'error' event is the
+    delete marker; deletes for absent keys are no-ops).  The output is the
+    auditable action log; the applied table is the same frame filtered to
+    keep/insert/update.
+
+    Scale shape: change collapse is one hash aggregate with map-side
+    combine (one row per key survives); the merge is ONE join keyed by
+    the upsert key — at 1000 executors both sides co-partition on the
+    same hash, and AQE turns the change side into a broadcast when a
+    micro-batch is small.  No window, no driver loop, retry-safe."""
+    latest = (
+        load_table(spark, sf, "events")
+        .groupBy(F.col("user_id").alias("key"))
+        .agg(
+            F.expr("max_by(value, ts)").alias("new_value"),
+            F.expr("max_by(event_type, ts)").alias("last_type"),
+        )
+    )
+    base = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("bkey"), F.round("c_acctbal", 2).alias("old_value")
+    )
+    m = base.join(latest, F.col("bkey") == F.col("key"), "full_outer")
+    action = (
+        F.when(F.col("key").isNull(), "keep")
+        .when((F.col("last_type") == "error") & F.col("bkey").isNotNull(), "delete")
+        .when(F.col("last_type") == "error", "skip")
+        .when(F.col("bkey").isNull(), "insert")
+        .otherwise("update")
+    )
+    return (
+        m.select(
+            F.coalesce("bkey", "key").alias("key"),
+            action.alias("action"),
+            "old_value",
+            F.when(
+                action.isin("update", "insert"), F.round("new_value", 2)
+            ).alias("new_value"),
+        )
+        .filter(F.col("action") != "skip")
+        .orderBy("key")
+    )
