@@ -1,0 +1,632 @@
+r"""BCF 2.2 source and sink — beyond the reference, whose support matrix
+marks BCF ✗ (reference ``README.md:30-38``: the htsjdk-based VCF path there
+never grew a binary twin).  Implemented from the public VCFv4.3/BCFv2.2
+specification (samtools/hts-specs, BCFv2_qref.pdf), from scratch, on top of
+this repo's own BGZF layer — the same posture as the CRAM codec.
+
+Layout (spec §6.2): BGZF-compressed stream of
+
+    magic "BCF\2\2" | l_text (uint32) | header text (NUL-terminated)
+    per record: l_shared (uint32) | l_indiv (uint32)
+      shared: CHROM rid (int32) | POS 0-based (int32) | rlen (int32)
+              | QUAL (float, 0x7F800001 = missing)
+              | n_allele<<16 \| n_info (uint32)
+              | n_fmt<<24 \| n_sample (uint32)
+              | ID (typed str) | alleles × typed str | FILTER typed int vec
+              | n_info × (typed int key, typed value)
+      indiv:  n_fmt × (typed int key, typed vector of n_sample values)
+    EOF: the 28-byte BGZF empty block
+
+Typed values (spec §6.2.1): descriptor byte = len<<4 | type (len 15 ⇒ a
+following typed int carries the true length); types 1/2/3 = int8/16/32,
+5 = float, 7 = char.  Sentinels: int MISSING = 0x80/0x8000/0x80000000,
+END_OF_VECTOR = MISSING+1; float MISSING = 0x7F800001, END = 0x7F800002.
+GT is the spec's special int encoding: (allele+1)<<1 | phased, '.' = 0,
+short ploidy padded with END_OF_VECTOR.
+
+The string dictionary is implicit (IDX= is not emitted): "PASS" at 0, then
+FILTER/INFO/FORMAT IDs in order of first appearance; contigs in ##contig
+order — both exactly as the spec prescribes for headers without IDX.
+
+Typed-format contract: BCF stores VALUES, not text — float formatting is
+not preserved (``0.50`` round-trips as ``0.5``, exactly as ``bcftools
+view`` reformats), trailing per-sample fields that are entirely missing
+are omitted, everything else round-trips byte-identically.  Floats decode
+via the shortest float32-unique representation so every value the text
+parser produced survives bit-for-bit.
+
+Reads are one task per file (BCF records carry no in-stream boundary
+marker; splittable reads would need the optional .csi, as the VCF path
+does for BGZF text).  Directory inputs fan out one task per shard — the
+sharded layout is the scale path, exactly like the reference's
+directory-of-parts model for every format.
+"""
+
+from __future__ import annotations
+
+import struct
+import uuid
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from .fsio import get_fs
+from .headers import read_vcf_header_text  # noqa: F401  (re-exported convenience)
+
+MAGIC = b"BCF\x02\x02"
+
+_INT8, _INT16, _INT32, _FLOAT, _CHAR = 1, 2, 3, 5, 7
+
+_INT_MISSING = {1: -128, 2: -32768, 3: -2147483648}
+_INT_EOV = {1: -127, 2: -32767, 3: -2147483647}
+_INT_FMT = {1: "<b", 2: "<h", 3: "<i"}
+# spec: int8/int16 values below MISSING+7 are reserved; usable minimum
+_INT_LO = {1: -120, 2: -32760, 3: -2147483640}
+_INT_HI = {1: 127, 2: 32767, 3: 2147483647}
+
+_FLOAT_MISSING_BITS = 0x7F800001
+_FLOAT_EOV_BITS = 0x7F800002
+
+
+# --------------------------------------------------------------- header context
+class BcfContext:
+    """Dictionaries + type declarations derived from the header text."""
+
+    def __init__(self, header_text: str):
+        from ..operators.variants import parse_declarations
+
+        if not header_text.endswith("\n"):
+            header_text += "\n"
+        self.header_text = header_text
+        self.contigs: list[str] = []
+        strings: list[str] = ["PASS"]
+        seen = {"PASS"}
+        for line in header_text.splitlines():
+            if line.startswith("##contig=<"):
+                body = line[len("##contig=<") : -1]
+                for part in body.split(","):
+                    if part.startswith("ID="):
+                        self.contigs.append(part[3:])
+                        break
+            elif line.startswith(("##FILTER=<", "##INFO=<", "##FORMAT=<")):
+                body = line.split("<", 1)[1]
+                for part in body.split(","):
+                    if part.startswith("ID="):
+                        i = part[3:].rstrip(">")
+                        if i not in seen:
+                            seen.add(i)
+                            strings.append(i)
+                        break
+        self.strings = strings
+        self.string_idx = {s: i for i, s in enumerate(strings)}
+        self.contig_idx = {c: i for i, c in enumerate(self.contigs)}
+        self.info_types = parse_declarations(header_text, "INFO")
+        self.fmt_types = parse_declarations(header_text, "FORMAT")
+        chrom = next(
+            (l for l in header_text.splitlines() if l.startswith("#CHROM")), ""
+        )
+        cols = chrom.split("\t")
+        self.samples = cols[9:] if len(cols) > 9 else []
+
+
+# --------------------------------------------------------------- typed encoders
+def _desc(type_id: int, length: int) -> bytes:
+    if length < 15:
+        return bytes([(length << 4) | type_id])
+    return bytes([0xF0 | type_id]) + _typed_int(length)
+
+
+def _int_width(vals: list[int]) -> int:
+    for w in (1, 2, 3):
+        if all(_INT_LO[w] <= v <= _INT_HI[w] for v in vals):
+            return w
+    raise ValueError(f"integer out of BCF range: {vals}")
+
+
+def _typed_int(v: int) -> bytes:
+    w = _int_width([v])
+    return _desc(w, 1) + struct.pack(_INT_FMT[w], v)
+
+
+def _typed_int_vec(vals: list[int | None]) -> bytes:
+    """None elements become MISSING."""
+    if not vals:
+        return _desc(_INT8, 0)
+    concrete = [v for v in vals if v is not None]
+    w = _int_width(concrete or [0])
+    out = [v if v is not None else _INT_MISSING[w] for v in vals]
+    return _desc(w, len(out)) + b"".join(struct.pack(_INT_FMT[w], v) for v in out)
+
+
+def _typed_float_vec(vals: list[float | None]) -> bytes:
+    out = bytearray(_desc(_FLOAT, len(vals)))
+    for v in vals:
+        if v is None:
+            out += struct.pack("<I", _FLOAT_MISSING_BITS)
+        else:
+            out += struct.pack("<f", np.float32(v))
+    return bytes(out)
+
+
+def _typed_str(s: str | None) -> bytes:
+    if s is None or s == "":
+        return _desc(_CHAR, 0)
+    b = s.encode()
+    return _desc(_CHAR, len(b)) + b
+
+
+def _fmt_float32(f: float) -> str:
+    """Shortest decimal that round-trips through float32 — the decode-side
+    twin of the encoder's np.float32 cast, so '0.017' survives exactly."""
+    return np.format_float_positional(np.float32(f), unique=True, trim="-")
+
+
+# --------------------------------------------------------------- record encode
+def _split_gt(gt: str) -> tuple[list[int | None], list[bool]]:
+    alleles: list[int | None] = []
+    phased: list[bool] = []
+    tok = ""
+    sep = "/"
+    for ch in gt + "/":
+        if ch in "/|":
+            alleles.append(None if tok in (".", "") else int(tok))
+            phased.append(sep == "|")
+            sep = ch
+            tok = ""
+        else:
+            tok += ch
+    return alleles, phased
+
+
+def _encode_gt_vec(gts: list[str | None]) -> bytes:
+    per = []
+    for gt in gts:
+        if gt is None or gt == "":
+            per.append([_gt_val(None, False)])
+        else:
+            alleles, phased = _split_gt(gt)
+            per.append(
+                [
+                    _gt_val(a, False if i == 0 else phased[i])
+                    for i, a in enumerate(alleles)
+                ]
+            )
+    width = max(len(p) for p in per)
+    vals: list[int] = []
+    for p in per:
+        vals.extend(p + [_INT_EOV[1]] * (width - len(p)))
+    return _desc(_INT8, width) + struct.pack(f"<{len(vals)}b", *vals)
+
+
+def _gt_val(allele: int | None, phased: bool) -> int:
+    base = 0 if allele is None else (allele + 1) << 1
+    return base | (1 if phased else 0)
+
+
+def _parse_ints(s: str) -> list[int | None]:
+    return [None if t in (".", "") else int(t) for t in s.split(",")]
+
+
+def _parse_floats(s: str) -> list[float | None]:
+    return [None if t in (".", "") else float(t) for t in s.split(",")]
+
+
+def _as_map(m) -> dict:
+    if m is None:
+        return {}
+    return m if isinstance(m, dict) else dict(m)
+
+
+def encode_record(row: dict, ctx: BcfContext) -> bytes:
+    contig, pos, ref = row["contig"], row["pos"], row["ref"]
+    alts_raw = row.get("alts")
+    alts = [] if alts_raw is None else list(alts_raw)
+    info = _as_map(row.get("info"))
+    filters = row.get("filters")
+    genos_raw = row.get("genotypes")
+    genos = [] if genos_raw is None else list(genos_raw)
+
+    shared = bytearray()
+    shared += struct.pack("<i", ctx.contig_idx[contig])
+    shared += struct.pack("<i", int(pos) - 1)
+    shared += struct.pack("<i", len(ref))
+    qual = row.get("qual")
+    if qual is None:
+        shared += struct.pack("<I", _FLOAT_MISSING_BITS)
+    else:
+        shared += struct.pack("<f", np.float32(qual))
+    n_allele = 1 + len(alts)
+    shared += struct.pack("<I", (n_allele << 16) | (len(info) & 0xFFFF))
+
+    # FORMAT keys: GT first (spec convention), then stable union across samples
+    fmt_keys: list[str] = []
+    for g in genos:
+        attrs = _as_map(g["attrs"] if isinstance(g, dict) else g.attrs)
+        for k in attrs:
+            if k not in fmt_keys:
+                fmt_keys.append(k)
+    if "GT" in fmt_keys:
+        fmt_keys.remove("GT")
+        fmt_keys.insert(0, "GT")
+    shared += struct.pack("<I", (len(fmt_keys) << 24) | len(genos))
+
+    shared += _typed_str(row.get("id"))
+    shared += _typed_str(ref)
+    for a in alts:
+        shared += _typed_str(a)
+    if filters is None:
+        shared += b"\x00"  # typed MISSING (type 0): '.' — distinct from PASS
+    else:
+        shared += _typed_int_vec(
+            [0] if list(filters) == [] else [ctx.string_idx[f] for f in filters]
+        )
+    for k, v in info.items():
+        shared += _typed_int(ctx.string_idx[k])
+        number, vtype = ctx.info_types.get(k, ("1", "String"))
+        if vtype == "Flag":
+            shared += _desc(_INT8, 1) + struct.pack("<b", 1)
+        elif v in (".", ""):
+            shared += _desc(_CHAR, 0) if vtype in ("String", "Character") else (
+                _typed_int_vec([None]) if vtype == "Integer" else _typed_float_vec([None])
+            )
+        elif vtype == "Integer":
+            shared += _typed_int_vec(_parse_ints(v))
+        elif vtype == "Float":
+            shared += _typed_float_vec(_parse_floats(v))
+        else:
+            shared += _typed_str(v)
+
+    indiv = bytearray()
+    for k in fmt_keys:
+        indiv += _typed_int(ctx.string_idx[k])
+        per_sample = []
+        for g in genos:
+            attrs = _as_map(g["attrs"] if isinstance(g, dict) else g.attrs)
+            per_sample.append(attrs.get(k))
+        number, vtype = ctx.fmt_types.get(k, ("1", "String"))
+        if k == "GT":
+            indiv += _encode_gt_vec(per_sample)
+        elif vtype == "Integer":
+            parsed = [
+                _parse_ints(v) if v not in (None, "", ".") else [None]
+                for v in per_sample
+            ]
+            width = max(len(p) for p in parsed)
+            concrete = [x for p in parsed for x in p if x is not None]
+            w = _int_width(concrete or [0])
+            vals: list[int] = []
+            for p in parsed:
+                vals.extend(
+                    [x if x is not None else _INT_MISSING[w] for x in p]
+                    + [_INT_EOV[w]] * (width - len(p))
+                )
+            indiv += _desc(w, width) + b"".join(
+                struct.pack(_INT_FMT[w], x) for x in vals
+            )
+        elif vtype == "Float":
+            parsed = [
+                _parse_floats(v) if v not in (None, "", ".") else [None]
+                for v in per_sample
+            ]
+            width = max(len(p) for p in parsed)
+            out = bytearray(_desc(_FLOAT, width))
+            for p in parsed:
+                for x in p:
+                    if x is None:
+                        out += struct.pack("<I", _FLOAT_MISSING_BITS)
+                    else:
+                        out += struct.pack("<f", np.float32(x))
+                for _ in range(width - len(p)):
+                    out += struct.pack("<I", _FLOAT_EOV_BITS)
+            indiv += out
+        else:
+            raise NotImplementedError(
+                f"FORMAT {k} of type {vtype}: BCF per-sample strings other "
+                "than GT are not supported by this codec yet"
+            )
+
+    return (
+        struct.pack("<II", len(shared), len(indiv)) + bytes(shared) + bytes(indiv)
+    )
+
+
+# --------------------------------------------------------------- record decode
+class _Reader:
+    def __init__(self, data: bytes, off: int = 0):
+        self.d = data
+        self.o = off
+
+    def u32(self) -> int:
+        v = struct.unpack_from("<I", self.d, self.o)[0]
+        self.o += 4
+        return v
+
+    def i32(self) -> int:
+        v = struct.unpack_from("<i", self.d, self.o)[0]
+        self.o += 4
+        return v
+
+    def f32_bits(self) -> int:
+        v = struct.unpack_from("<I", self.d, self.o)[0]
+        self.o += 4
+        return v
+
+    def typed(self):
+        """Decode one typed value → (type_id, list_of_raw_values)."""
+        b = self.d[self.o]
+        self.o += 1
+        t, ln = b & 0x0F, b >> 4
+        if ln == 15:
+            _t2, v2 = self.typed()
+            ln = v2[0]
+        if t == 0:
+            return t, []
+        if t == _CHAR:
+            s = self.d[self.o : self.o + ln]
+            self.o += ln
+            return t, [s.decode()]
+        if t == _FLOAT:
+            out = []
+            for _ in range(ln):
+                out.append(self.f32_bits())
+            return t, out
+        fmt, w = _INT_FMT[t], (1 if t == _INT8 else 2 if t == _INT16 else 4)
+        out = []
+        for _ in range(ln):
+            out.append(struct.unpack_from(fmt, self.d, self.o)[0])
+            self.o += w
+        return t, out
+
+
+def _ints_to_str(t: int, vals: list[int]) -> str | None:
+    parts = []
+    for v in vals:
+        if v == _INT_EOV[t if t in _INT_EOV else _INT8]:
+            break
+        parts.append("." if v == _INT_MISSING[t] else str(v))
+    if all(p == "." for p in parts):
+        return None
+    return ",".join(parts)
+
+
+def _floats_to_str(bits: list[int]) -> str | None:
+    parts = []
+    for b in bits:
+        if b == _FLOAT_EOV_BITS:
+            break
+        if b == _FLOAT_MISSING_BITS:
+            parts.append(".")
+        else:
+            parts.append(_fmt_float32(struct.unpack("<f", struct.pack("<I", b))[0]))
+    if all(p == "." for p in parts):
+        return None
+    return ",".join(parts)
+
+
+def _gt_to_str(vals: list[int]) -> str | None:
+    out = ""
+    for i, v in enumerate(vals):
+        if v == _INT_EOV[1]:
+            break
+        a = (v >> 1) - 1
+        tok = "." if a < 0 else str(a)
+        out += tok if i == 0 else (("|" if v & 1 else "/") + tok)
+    # a lone missing allele is the encoder's placeholder for "sample has no
+    # GT at all" — decode it back to absent ('./.'-style diploid missing
+    # stays explicit)
+    return None if out in ("", ".") else out
+
+
+def decode_record(r: _Reader, ctx: BcfContext) -> dict:
+    l_shared = r.u32()
+    l_indiv = r.u32()
+    end = r.o + l_shared + l_indiv
+    rid = r.i32()
+    pos0 = r.i32()
+    r.i32()  # rlen (derivable)
+    qbits = r.f32_bits()
+    qual = (
+        None
+        if qbits == _FLOAT_MISSING_BITS
+        else float(struct.unpack("<f", struct.pack("<I", qbits))[0])
+    )
+    n_ai = r.u32()
+    n_allele, n_info = n_ai >> 16, n_ai & 0xFFFF
+    n_fs = r.u32()
+    n_fmt, n_sample = n_fs >> 24, n_fs & 0xFFFFFF
+    _t, idv = r.typed()
+    vid = idv[0] if idv and idv[0] != "" else None
+    alleles = []
+    for _ in range(n_allele):
+        _t, a = r.typed()
+        alleles.append(a[0] if a else "")
+    ft, fv = r.typed()
+    if ft == 0:
+        filters = None
+    elif fv == [0]:
+        filters = []
+    else:
+        filters = [ctx.strings[i] for i in fv]
+    info = {}
+    for _ in range(n_info):
+        _t, kv = r.typed()
+        key = ctx.strings[kv[0]]
+        t, vals = r.typed()
+        number, vtype = ctx.info_types.get(key, ("1", "String"))
+        if vtype == "Flag":
+            info[key] = ""
+        elif t == _CHAR:
+            info[key] = vals[0] if vals and vals[0] != "" else "."
+        elif t == _FLOAT:
+            info[key] = _floats_to_str(vals) or "."
+        else:
+            info[key] = _ints_to_str(t, vals) or "."
+    genotypes = [
+        {"sample": s, "gt": None, "attrs": {}} for s in ctx.samples[:n_sample]
+    ]
+    for _ in range(n_fmt):
+        _t, kv = r.typed()
+        key = ctx.strings[kv[0]]
+        b = r.d[r.o]
+        r.o += 1
+        t, width = b & 0x0F, b >> 4
+        if width == 15:
+            _tt, wv = r.typed()
+            width = wv[0]
+        for si in range(n_sample):
+            if t == _FLOAT:
+                bits = [
+                    struct.unpack_from("<I", r.d, r.o + 4 * j)[0]
+                    for j in range(width)
+                ]
+                r.o += 4 * width
+                sval = _floats_to_str(bits)
+            else:
+                w = 1 if t == _INT8 else 2 if t == _INT16 else 4
+                raw = [
+                    struct.unpack_from(_INT_FMT[t], r.d, r.o + w * j)[0]
+                    for j in range(width)
+                ]
+                r.o += w * width
+                if key == "GT":
+                    sval = _gt_to_str(raw)
+                else:
+                    sval = _ints_to_str(t, raw)
+            if sval is not None:
+                genotypes[si]["attrs"][key] = sval
+                if key == "GT":
+                    genotypes[si]["gt"] = sval
+    r.o = end
+    return {
+        "contig": ctx.contigs[rid],
+        "pos": pos0 + 1,
+        "id": vid,
+        "ref": alleles[0] if alleles else "",
+        "alts": alleles[1:],
+        "qual": qual,
+        "filters": filters,
+        "info": info,
+        "genotypes": genotypes,
+    }
+
+
+# --------------------------------------------------------------- source / sink
+class BcfSource:
+    """BGZF BCF → variants DataFrame (schema identical to VcfSource)."""
+
+    def read_header(self, path: str) -> str:
+        data = _decompress(path)
+        if data[:5] != MAGIC:
+            raise ValueError(f"{path}: not a BCF2 file (magic {data[:5]!r})")
+        l_text = struct.unpack_from("<I", data, 5)[0]
+        return data[9 : 9 + l_text].split(b"\x00", 1)[0].decode()
+
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        from pyspark.sql.types import StructType
+
+        from .arrow_xfer import rows_to_dataframe
+        from .fsio import list_data_files
+        from .vcf import VARIANTS_COLUMNS
+
+        fs = get_fs(path)
+        files = list_data_files(fs, str(path))
+        schema = _variants_schema()
+
+        def read_file(f):
+            data = _decompress(f)
+            if data[:5] != MAGIC:
+                raise ValueError(f"{f}: not a BCF2 file (magic {data[:5]!r})")
+            l_text = struct.unpack_from("<I", data, 5)[0]
+            hdr = data[9 : 9 + l_text].split(b"\x00", 1)[0].decode()
+            ctx = BcfContext(hdr)
+            r = _Reader(data, 9 + l_text)
+            while r.o < len(data):
+                yield decode_record(r, ctx)
+
+        return rows_to_dataframe(
+            spark, files, read_file, VARIANTS_COLUMNS, schema
+        )
+
+
+def _decompress(path: str) -> bytes:
+    import gzip
+
+    fs = get_fs(path)
+    with fs.open_input(path) as fh:
+        return gzip.decompress(fh.read())
+
+
+def _variants_schema():
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    gt = StructType(
+        [
+            StructField("sample", StringType()),
+            StructField("gt", StringType()),
+            StructField("attrs", MapType(StringType(), StringType())),
+        ]
+    )
+    return StructType(
+        [
+            StructField("contig", StringType()),
+            StructField("pos", LongType()),
+            StructField("id", StringType()),
+            StructField("ref", StringType()),
+            StructField("alts", ArrayType(StringType())),
+            StructField("qual", DoubleType()),
+            StructField("filters", ArrayType(StringType())),
+            StructField("info", MapType(StringType(), StringType())),
+            StructField("genotypes", ArrayType(gt)),
+        ]
+    )
+
+
+class BcfSink:
+    """variants DataFrame → single BCF file: per-partition encoded +
+    BGZF-compressed parts (terminator-less), driver header block, EOF block
+    — the repo's standard distributed single-file commit."""
+
+    def write(self, df: DataFrame, header_text: str, path: str) -> None:
+        from .bgzf import EMPTY_GZIP_BLOCK, compress_block
+        from .merger import merge_parts
+
+        ctx = BcfContext(header_text)
+        fs = get_fs(path)
+        temp_dir = f"{path}.parts-{uuid.uuid4().hex[:8]}"
+        fs.mkdirs(temp_dir)
+
+        def write_partition(pid, rows):
+            import uuid as _uuid
+
+            from .bgzf import BgzfWriter
+
+            tmp = f"{temp_dir}/.tmp-{_uuid.uuid4().hex}"
+            wrote = False
+            with fs.open_output(tmp) as fh, BgzfWriter(fh, write_terminator=False) as w:
+                for row in rows:
+                    wrote = True
+                    w.write(encode_record(row, ctx))
+            if not wrote:
+                fs.delete(tmp)
+                return
+            fs.rename(tmp, f"{temp_dir}/part-{pid:05d}")
+
+        from .arrow_xfer import foreach_partition_arrow
+
+        foreach_partition_arrow(df, write_partition)
+
+        htext = ctx.header_text.encode() + b"\x00"
+        payload = MAGIC + struct.pack("<I", len(htext)) + htext
+        header_block = b"".join(
+            compress_block(payload[i : i + 60000])
+            for i in range(0, len(payload), 60000)
+        )
+        merge_parts(temp_dir, path, header=header_block, terminator=EMPTY_GZIP_BLOCK)

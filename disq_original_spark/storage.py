@@ -135,7 +135,7 @@ def _residual(
 
 
 class VariantsStorage:
-    """Facade over the VCF source/sink (plain, gzip, BGZF)."""
+    """Facade over the VCF source/sink (plain, gzip, BGZF) and BCF."""
 
     def __init__(
         self,
@@ -147,10 +147,46 @@ class VariantsStorage:
         self.split_size = split_size
         self.stringency = stringency
 
+    @staticmethod
+    def _is_bcf(path: str) -> bool:
+        name = Path(first_file_in(path) if Path(path).is_dir() else path).name.lower()
+        if name.endswith(".sharded"):
+            name = name[: -len(".sharded")]
+        return name.endswith(".bcf")
+
     def read_header(self, path: str) -> str:
+        if self._is_bcf(path):
+            from .sources.bcf import BcfSource
+
+            return BcfSource().read_header(
+                str(first_file_in(path)) if Path(path).is_dir() else path
+            )
         return VcfSource().read_header(path)
 
     def read(self, path: str, intervals: DataFrame | None = None) -> DataFrame:
+        if self._is_bcf(path):
+            from .sources.bcf import BcfSource
+
+            df = BcfSource().read(self.spark, path)
+            if intervals is not None:
+                from pyspark.sql import functions as F
+
+                from .operators.interval import interval_filter
+                from .sources.vcf import VARIANTS_COLUMNS, variant_end
+
+                spanned = df.withColumn(
+                    "end_", variant_end(F.col("info"), F.col("pos"), F.col("ref"))
+                )
+                out = interval_filter(
+                    spanned.withColumnRenamed("pos", "start").withColumnRenamed(
+                        "end_", "end"
+                    ),
+                    intervals,
+                )
+                return out.withColumnRenamed("start", "pos").select(
+                    *VARIANTS_COLUMNS
+                )
+            return df
         kw = {"split_size": self.split_size} if self.split_size else {}
         return VcfSource().read(
             self.spark, path, intervals=intervals, stringency=self.stringency, **kw
@@ -162,6 +198,15 @@ class VariantsStorage:
         """``write_index=True`` creates the per-format index alongside the
         single-file output — tabix ``.tbi`` for BGZF, Tribble ``.idx`` for
         plain text (the same format→index pairing the read side consults)."""
+        if self._is_bcf(path):
+            from .sources.bcf import BcfSink
+
+            if write_index:
+                raise ValueError("write_index is not supported for BCF output")
+            if path.endswith(".sharded"):
+                raise ValueError("sharded BCF output is not supported yet")
+            BcfSink().write(df, header_text, path)
+            return
         sink = VcfSink()
         if path.endswith(".sharded"):
             sink.write_sharded(df, header_text, path, write_index=write_index)

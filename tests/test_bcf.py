@@ -1,0 +1,190 @@
+"""BCF 2.2 codec: hand-computed golden bytes (independent of the encoder's
+own helpers), spec-fixture round-trips through the typed-format contract,
+header read-back, and the real 10k-variant callset."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from disq_original_spark.sources.bcf import (
+    BcfContext,
+    BcfSink,
+    BcfSource,
+    encode_record,
+)
+from disq_original_spark.sources.headers import read_vcf_header_text
+from disq_original_spark.sources.vcf import VcfSource
+
+VCF = "/root/reference/src/test/resources/test.vcf"
+HISEQ = "/root/reference/src/test/resources/HiSeq.10000.vcf.bgz"
+
+_MINI_HEADER = (
+    "##fileformat=VCFv4.3\n"
+    "##contig=<ID=c1,length=100>\n"
+    '##INFO=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+    '##FILTER=<ID=q10,Description="q">\n'
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+)
+
+
+def test_golden_record_bytes():
+    """Every byte of a minimal record, computed BY HAND from the BCFv2.2
+    spec (l_shared/l_indiv, little-endian fixed fields, typed descriptors
+    len<<4|type) — catches symmetric encode/decode bugs a round-trip
+    cannot."""
+    ctx = BcfContext(_MINI_HEADER)
+    assert ctx.strings == ["PASS", "DP", "q10"]
+    rec = {
+        "contig": "c1",
+        "pos": 7,
+        "id": "rs1",
+        "ref": "AC",
+        "alts": ["A"],
+        "qual": 10.0,
+        "filters": ["q10"],
+        "info": {"DP": "14"},
+        "genotypes": [],
+    }
+    expected = bytes.fromhex(
+        "27000000"  # l_shared = 39
+        "00000000"  # l_indiv = 0
+        "00000000"  # rid = 0 (c1)
+        "06000000"  # pos 0-based = 6
+        "02000000"  # rlen = len('AC')
+        "00002041"  # qual float32 10.0
+        "01000200"  # n_allele=2 <<16 | n_info=1
+        "00000000"  # n_fmt=0, n_sample=0
+        "37727331"  # ID: char[3] 'rs1'
+        "274143"    # allele 'AC'
+        "1741"      # allele 'A'
+        "1102"      # FILTER: int8[1] = 2 (q10)
+        "1101"      # INFO key: int8[1] = 1 (DP)
+        "110e"      # INFO val: int8[1] = 14
+    )
+    assert encode_record(rec, ctx) == expected
+
+
+def _canon(rows):
+    """Typed-format equivalence: drop per-sample keys whose value is
+    entirely missing, compare Float-typed values and qual as float32."""
+    out = []
+    for r in sorted(rows, key=lambda r: (r["contig"], r["pos"])):
+        d = r.asDict(recursive=True)
+        d["qual"] = None if d["qual"] is None else float(np.float32(d["qual"]))
+        info = {}
+        for k, v in (d["info"] or {}).items():
+            if k == "AF":  # declared Float: compare parsed float32 values
+                info[k] = tuple(
+                    None if t == "." else float(np.float32(float(t)))
+                    for t in v.split(",")
+                )
+            else:
+                info[k] = v
+        d["info"] = info
+        for g in d["genotypes"]:
+            g["attrs"] = {
+                k: v
+                for k, v in g["attrs"].items()
+                if set(v.split(",")) != {"."}
+            }
+        out.append(d)
+    return out
+
+
+def test_round_trip_spec_fixture(spark, tmp_path):
+    hdr = read_vcf_header_text(VCF)
+    v = VcfSource().read(spark, VCF)
+    out = str(tmp_path / "t.bcf")
+    BcfSink().write(v, hdr, out)
+    back = BcfSource().read(spark, out)
+    assert _canon(v.collect()) == _canon(back.collect())
+
+
+def test_header_round_trip(spark, tmp_path):
+    hdr = read_vcf_header_text(VCF)
+    out = str(tmp_path / "t.bcf")
+    BcfSink().write(VcfSource().read(spark, VCF), hdr, out)
+    got = BcfSource().read_header(out)
+    assert got.rstrip("\n") == hdr.rstrip("\n")
+
+
+def test_magic_rejects_non_bcf(tmp_path):
+    p = tmp_path / "x.bcf"
+    import gzip
+
+    p.write_bytes(gzip.compress(b"not a bcf"))
+    with pytest.raises(ValueError, match="not a BCF2"):
+        BcfSource().read_header(str(p))
+
+
+@pytest.mark.slow
+def test_round_trip_real_callset(spark, tmp_path):
+    """The 10k-variant NA12878 callset (GL floats, AD vectors, dbSNP ids)
+    survives the typed round-trip under the float32 contract."""
+    hdr = read_vcf_header_text(HISEQ)
+    v = VcfSource().read(spark, HISEQ)
+    out = str(tmp_path / "h.bcf")
+    BcfSink().write(v, hdr, out)
+    back = BcfSource().read(spark, out)
+    a, b = v.collect(), back.collect()
+    assert len(a) == len(b) == 9965
+    fa, fb = _canon_hiseq(a), _canon_hiseq(b)
+    assert fa == fb
+
+
+def _canon_hiseq(rows):
+    from disq_original_spark.operators.variants import parse_declarations
+
+    out = []
+    hdr = read_vcf_header_text(HISEQ)
+    decls = parse_declarations(hdr, "INFO")
+    float_info = {k for k, (_n, t) in decls.items() if t == "Float"}
+    fdecls = parse_declarations(hdr, "FORMAT")
+    float_fmt = {k for k, (_n, t) in fdecls.items() if t == "Float"}
+    for r in sorted(rows, key=lambda r: (r["contig"], r["pos"])):
+        d = r.asDict(recursive=True)
+        d["qual"] = None if d["qual"] is None else float(np.float32(d["qual"]))
+        info = {}
+        for k, v in (d["info"] or {}).items():
+            if k in float_info:
+                info[k] = tuple(
+                    None if t == "." else float(np.float32(float(t)))
+                    for t in v.split(",")
+                )
+            else:
+                info[k] = v
+        d["info"] = info
+        for g in d["genotypes"]:
+            attrs = {}
+            for k, v in (g["attrs"] or {}).items():
+                if set(v.split(",")) == {"."}:
+                    continue
+                if k in float_fmt:
+                    attrs[k] = tuple(
+                        None if t == "." else float(np.float32(float(t)))
+                        for t in v.split(",")
+                    )
+                else:
+                    attrs[k] = v
+            g["attrs"] = attrs
+        out.append(d)
+    return out
+
+
+def test_variants_storage_routes_bcf(spark, tmp_path):
+    """The VariantsStorage facade must route .bcf paths to the BCF codec —
+    including the interval residual filter shared with the VCF path."""
+    from disq_original_spark.storage import VariantsStorage
+
+    hdr = read_vcf_header_text(VCF)
+    st = VariantsStorage(spark)
+    out = str(tmp_path / "t.bcf")
+    st.write(VcfSource().read(spark, VCF), out, hdr)
+    assert st.read_header(out).startswith("##fileformat")
+    assert st.read(out).count() == 5
+    iv = spark.createDataFrame(
+        [("20", 14000, 18000)], "contig string, start long, end long"
+    )
+    got = sorted(r["pos"] for r in st.read(out, intervals=iv).collect())
+    assert got == [14370, 17330]
