@@ -35,11 +35,13 @@ are omitted, everything else round-trips byte-identically.  Floats decode
 via the shortest float32-unique representation so every value the text
 parser produced survives bit-for-bit.
 
-Reads are one task per file (BCF records carry no in-stream boundary
-marker; splittable reads would need the optional .csi, as the VCF path
-does for BGZF text).  Directory inputs fan out one task per shard — the
-sharded layout is the scale path, exactly like the reference's
-directory-of-parts model for every format.
+Reads are splittable WHEN a ``.csi`` sits beside the file (the sink
+writes one at write time with ``write_index=True``, folding part-local
+sidecars exactly like the .bai/.tbi/.crai paths): the index's chunk list
+supplies record-aligned virtual-offset ranges grouped into tasks, and
+interval queries prune to overlapping chunks before any decompression.
+Without an index a file is one task — BCF records carry no in-stream
+boundary marker.  Directory inputs additionally fan out per shard.
 """
 
 from __future__ import annotations
@@ -512,39 +514,134 @@ def decode_record(r: _Reader, ctx: BcfContext) -> dict:
 
 # --------------------------------------------------------------- source / sink
 class BcfSource:
-    """BGZF BCF → variants DataFrame (schema identical to VcfSource)."""
+    """BGZF BCF → variants DataFrame (schema identical to VcfSource).
+
+    With a ``.csi`` beside the file (written by :class:`BcfSink`'s
+    ``write_index=True`` or any external indexer), reads are SPLITTABLE:
+    the index's chunk list supplies record-aligned virtual-offset ranges,
+    grouped into ~``split_size`` tasks, and interval queries prune to the
+    overlapping chunks before any decompression.  Without an index a file
+    is one task — BCF records carry no in-stream boundary marker."""
 
     def read_header(self, path: str) -> str:
-        data = _decompress(path)
-        if data[:5] != MAGIC:
-            raise ValueError(f"{path}: not a BCF2 file (magic {data[:5]!r})")
-        l_text = struct.unpack_from("<I", data, 5)[0]
-        return data[9 : 9 + l_text].split(b"\x00", 1)[0].decode()
+        from .bgzf import BgzfReader
 
-    def read(self, spark: SparkSession, path: str) -> DataFrame:
-        from pyspark.sql.types import StructType
+        fs = get_fs(path)
+        with fs.open_input(path) as fh:
+            r = BgzfReader(fh)
+            magic = r.read(5)
+            if magic != MAGIC:
+                raise ValueError(f"{path}: not a BCF2 file (magic {magic!r})")
+            l_text = struct.unpack("<I", r.read(4))[0]
+            return r.read(l_text).split(b"\x00", 1)[0].decode()
 
+    def read(
+        self,
+        spark: SparkSession,
+        path: str,
+        intervals: list[tuple[str, int, int]] | None = None,
+        split_size: int = 32 * 1024 * 1024,
+    ) -> DataFrame:
         from .arrow_xfer import rows_to_dataframe
-        from .fsio import list_data_files
+        from .fsio import collect_metadata, list_data_files
         from .vcf import VARIANTS_COLUMNS
 
         fs = get_fs(path)
         files = list_data_files(fs, str(path))
         schema = _variants_schema()
 
-        def read_file(f):
-            data = _decompress(f)
-            if data[:5] != MAGIC:
-                raise ValueError(f"{f}: not a BCF2 file (magic {data[:5]!r})")
-            l_text = struct.unpack_from("<I", data, 5)[0]
-            hdr = data[9 : 9 + l_text].split(b"\x00", 1)[0].decode()
-            ctx = BcfContext(hdr)
-            r = _Reader(data, 9 + l_text)
-            while r.o < len(data):
-                yield decode_record(r, ctx)
+        def meta_for(f: str):
+            """(file, csi-task-chunk-groups | None) — None = whole file."""
+            if not fs.exists(f + ".csi"):
+                return (f, None)
+            from .csi import csi_query_chunks, parse_csi
+
+            idx = parse_csi(f + ".csi")
+            hdr = self.read_header(f)
+            contig_idx = {c: i for i, c in enumerate(BcfContext(hdr).contigs)}
+            chunks: list[tuple[int, int]] = []
+            if intervals is None:
+                for bins in idx.bins:
+                    for _b, (_lo, cl) in bins.items():
+                        chunks.extend(cl)
+            else:
+                for name, start, end in intervals:
+                    r = contig_idx.get(name, -1)
+                    if 0 <= r < len(idx.bins):
+                        chunks.extend(
+                            csi_query_chunks(
+                                idx.bins[r], start, end, idx.min_shift, idx.depth
+                            )
+                        )
+            chunks.sort()
+            # merge only OVERLAPPING ranges (interval queries can emit
+            # duplicates across bins); ADJACENT chunks stay separate —
+            # each chunk start is a record boundary, i.e. a legal task cut
+            merged: list[list[int]] = []
+            for u, v in chunks:
+                if merged and u < merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], v)
+                else:
+                    merged.append([u, v])
+            # group into ~split_size tasks by compressed extent, cutting
+            # at chunk (= record) boundaries
+            groups: list[list[tuple[int, int]]] = []
+            cur: list[tuple[int, int]] = []
+            cur_start = None
+            for u, v in merged:
+                if cur_start is None:
+                    cur_start = u >> 16
+                cur.append((u, v))
+                if (v >> 16) - cur_start >= split_size:
+                    groups.append(cur)
+                    cur, cur_start = [], None
+            if cur:
+                groups.append(cur)
+            return (f, groups)
+
+        metas = collect_metadata(spark, files, meta_for)
+        tasks: list[tuple[str, list[tuple[int, int]] | None]] = []
+        for f, groups in metas:
+            if groups is None:
+                tasks.append((f, None))
+            else:
+                tasks.extend((f, g) for g in groups)
+        if not tasks:
+            tasks = [(files[0], [])]
+
+        def read_task(task):
+            f, group = task
+            if group is None:
+                data = _decompress(f)
+                if data[:5] != MAGIC:
+                    raise ValueError(f"{f}: not a BCF2 file (magic {data[:5]!r})")
+                l_text = struct.unpack_from("<I", data, 5)[0]
+                hdr = data[9 : 9 + l_text].split(b"\x00", 1)[0].decode()
+                ctx = BcfContext(hdr)
+                r = _Reader(data, 9 + l_text)
+                while r.o < len(data):
+                    yield decode_record(r, ctx)
+                return
+            if not group:
+                return
+            from .bgzf import BgzfReader
+
+            ctx = BcfContext(self.read_header(f))
+            with fs.open_input(f) as fh:
+                br = BgzfReader(fh)
+                for u, v in group:
+                    br.seek_virtual(u)
+                    while br.tell_virtual() < v:
+                        head = br.read(8)
+                        if len(head) < 8:
+                            break
+                        l_shared, l_indiv = struct.unpack("<II", head)
+                        payload = br.read(l_shared + l_indiv)
+                        r = _Reader(head + payload, 0)
+                        yield decode_record(r, ctx)
 
         return rows_to_dataframe(
-            spark, files, read_file, VARIANTS_COLUMNS, schema
+            spark, tasks, read_task, VARIANTS_COLUMNS, schema
         )
 
 
@@ -594,7 +691,20 @@ class BcfSink:
     BGZF-compressed parts (terminator-less), driver header block, EOF block
     — the repo's standard distributed single-file commit."""
 
-    def write(self, df: DataFrame, header_text: str, path: str) -> None:
+    def write(
+        self,
+        df: DataFrame,
+        header_text: str,
+        path: str,
+        *,
+        write_index: bool = False,
+    ) -> None:
+        """``write_index=True`` additionally creates ``path + '.csi'`` AT
+        WRITE TIME: each part accumulates its features' bins/linear windows
+        with part-relative virtual offsets (a small JSON sidecar), and the
+        driver folds the sidecars with the same rebase arithmetic as the
+        ``.bai``/``.tbi``/``.crai`` write paths — no re-read of the
+        output."""
         from .bgzf import EMPTY_GZIP_BLOCK, compress_block
         from .merger import merge_parts
 
@@ -604,20 +714,55 @@ class BcfSink:
         fs.mkdirs(temp_dir)
 
         def write_partition(pid, rows):
+            import json as _json
             import uuid as _uuid
 
             from .bgzf import BgzfWriter
+            from .csi import CsiAccumulator
 
             tmp = f"{temp_dir}/.tmp-{_uuid.uuid4().hex}"
             wrote = False
+            acc = CsiAccumulator(len(ctx.contigs)) if write_index else None
+            last = None  # (rid, bin, provisional v_end)
             with fs.open_output(tmp) as fh, BgzfWriter(fh, write_terminator=False) as w:
                 for row in rows:
                     wrote = True
-                    w.write(encode_record(row, ctx))
+                    rec = encode_record(row, ctx)
+                    if acc is None:
+                        w.write(rec)
+                        continue
+                    v = w.tell_virtual()
+                    w.write(rec)
+                    v_end = w.tell_virtual()
+                    rid = ctx.contig_idx[row["contig"]]
+                    pos0 = int(row["pos"]) - 1
+                    info = _as_map(row.get("info"))
+                    try:
+                        end0 = int(info["END"]) if "END" in info else pos0 + len(
+                            row["ref"]
+                        )
+                    except (TypeError, ValueError):
+                        end0 = pos0 + len(row["ref"])
+                    b = acc._reg2bin(pos0, max(pos0 + 1, end0))
+                    acc.add(rid, pos0, end0, v, v_end)
+                    last = (rid, b, v_end)
             if not wrote:
                 fs.delete(tmp)
                 return
             fs.rename(tmp, f"{temp_dir}/part-{pid:05d}")
+            if acc is not None:
+                # normalize the final chunk end to start-of-next-block
+                csize = w.compressed_bytes
+                true_end = csize << 16
+                if last is not None and last[2] != true_end:
+                    chunks = acc.bins[last[0]][last[1]]
+                    if chunks[-1][1] == last[2]:
+                        chunks[-1][1] = true_end
+                meta = {"csize": csize, **acc.to_meta()}
+                with fs.open_output(
+                    f"{temp_dir}/.idx-part-{pid:05d}.json"
+                ) as mh:
+                    mh.write(_json.dumps(meta).encode())
 
         from .arrow_xfer import foreach_partition_arrow
 
@@ -629,4 +774,26 @@ class BcfSink:
             compress_block(payload[i : i + 60000])
             for i in range(0, len(payload), 60000)
         )
+        index_meta: list[dict] = []
+        if write_index:
+            import json
+
+            from .fsio import fs_basename, fs_join
+            from .merger import list_parts
+
+            for p in sorted(list_parts(temp_dir)):
+                with fs.open_input(
+                    fs_join(temp_dir, f".idx-{fs_basename(p)}.json")
+                ) as mh:
+                    index_meta.append(json.loads(mh.read().decode()))
         merge_parts(temp_dir, path, header=header_block, terminator=EMPTY_GZIP_BLOCK)
+        if write_index:
+            from .csi import CsiAccumulator
+            from .fsio import fs_write_bytes
+
+            acc = CsiAccumulator(len(ctx.contigs))
+            base = len(header_block)
+            for meta in index_meta:
+                acc.merge_rebased(meta, base)
+                base += meta["csize"]
+            fs_write_bytes(path + ".csi", acc.dump())

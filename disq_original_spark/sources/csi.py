@@ -246,6 +246,38 @@ class CsiAccumulator:
             level += 1
         return (b - t) << (3 * (self.depth - level))
 
+    def to_meta(self) -> dict:
+        """Part-local state for write-time distributed index creation
+        (the TabixAccumulator sidecar shape): voffsets are part-relative,
+        ref ids are global (the BCF header contig dictionary), so the
+        driver folds sidecars with :meth:`merge_rebased`."""
+        return {
+            "n_ref": len(self.bins),
+            "bins": [{str(b): c for b, c in r.items()} for r in self.bins],
+            "linear": [{str(w): v for w, v in r.items()} for r in self.linear],
+            "n_no_coor": self.n_no_coor,
+        }
+
+    def merge_rebased(self, meta: dict, base: int) -> None:
+        from .bai import rebase_voffset
+
+        for r in range(meta["n_ref"]):
+            dest_bins = self.bins[r]
+            for b_s, chunks in meta["bins"][r].items():
+                dest = dest_bins.setdefault(int(b_s), [])
+                for u, v in chunks:
+                    u, v = rebase_voffset(u, base), rebase_voffset(v, base)
+                    if dest and dest[-1][1] == u:
+                        dest[-1][1] = v
+                    else:
+                        dest.append([u, v])
+            linear = self.linear[r]
+            for w_s, v in meta["linear"][r].items():
+                w, v = int(w_s), rebase_voffset(v, base)
+                if w not in linear or v < linear[w]:
+                    linear[w] = v
+        self.n_no_coor += meta.get("n_no_coor", 0)
+
     def dump(self, aux: bytes = b"") -> bytes:
         from .bgzf import EMPTY_GZIP_BLOCK, compress_block
 

@@ -167,7 +167,13 @@ class VariantsStorage:
         if self._is_bcf(path):
             from .sources.bcf import BcfSource
 
-            df = BcfSource().read(self.spark, path)
+            ivs = None
+            if intervals is not None:
+                ivs = [
+                    (r["contig"], int(r["start"]), int(r["end"]))
+                    for r in intervals.select("contig", "start", "end").collect()
+                ]
+            df = BcfSource().read(self.spark, path, intervals=ivs)
             if intervals is not None:
                 from pyspark.sql import functions as F
 
@@ -201,11 +207,9 @@ class VariantsStorage:
         if self._is_bcf(path):
             from .sources.bcf import BcfSink
 
-            if write_index:
-                raise ValueError("write_index is not supported for BCF output")
             if path.endswith(".sharded"):
                 raise ValueError("sharded BCF output is not supported yet")
-            BcfSink().write(df, header_text, path)
+            BcfSink().write(df, header_text, path, write_index=write_index)
             return
         sink = VcfSink()
         if path.endswith(".sharded"):

@@ -114,8 +114,16 @@ def test_magic_rejects_non_bcf(tmp_path):
     import gzip
 
     p.write_bytes(gzip.compress(b"not a bcf"))
-    with pytest.raises(ValueError, match="not a BCF2"):
+    # plain gzip (not BGZF) fails at the block layer; BGZF-but-not-BCF
+    # fails on the magic — both loud
+    with pytest.raises(ValueError, match="not a BGZF block"):
         BcfSource().read_header(str(p))
+    from disq_original_spark.sources.bgzf import compress_block
+
+    p2 = tmp_path / "y.bcf"
+    p2.write_bytes(compress_block(b"GLF\x03xxxx"))
+    with pytest.raises(ValueError, match="not a BCF2"):
+        BcfSource().read_header(str(p2))
 
 
 @pytest.mark.slow
@@ -188,3 +196,49 @@ def test_variants_storage_routes_bcf(spark, tmp_path):
     )
     got = sorted(r["pos"] for r in st.read(out, intervals=iv).collect())
     assert got == [14370, 17330]
+
+
+def test_write_time_csi_and_splittable_read(spark, tmp_path):
+    """write_index=True must produce a .csi whose chunk list yields
+    split-invariant parallel reads AND interval chunk pruning that is a
+    superset of the true overlap set."""
+    hdr = read_vcf_header_text(HISEQ)
+    v = VcfSource().read(spark, HISEQ)
+    out = str(tmp_path / "h.bcf")
+    BcfSink().write(v, hdr, out, write_index=True)
+    import os
+
+    assert os.path.exists(out + ".csi")
+    truth = sorted(r["pos"] for r in v.collect())
+    for split in (16 * 1024, 64 * 1024, 1 << 30):
+        df = BcfSource().read(spark, out, split_size=split)
+        assert sorted(r["pos"] for r in df.collect()) == truth, split
+    # small splits genuinely parallelize
+    assert BcfSource().read(spark, out, split_size=16 * 1024).rdd.getNumPartitions() > 5
+    # interval pruning: candidate superset, residual-filterable
+    pruned = BcfSource().read(spark, out, intervals=[("chr1", 1, 100000)])
+    got = {r["pos"] for r in pruned.collect()}
+    true = {p for p in truth if p <= 100000}
+    assert true <= got
+    assert len(got) < len(truth) / 10  # actually pruned, not a full scan
+
+
+def test_storage_bcf_write_index_interval_parity(spark, tmp_path):
+    """Through the facade: an interval read over the indexed BCF must equal
+    the text VCF's interval read exactly (chunk pruning + shared residual
+    filter)."""
+    from disq_original_spark.storage import VariantsStorage
+
+    hdr = read_vcf_header_text(HISEQ)
+    st = VariantsStorage(spark)
+    out = str(tmp_path / "h.bcf")
+    st.write(VcfSource().read(spark, HISEQ), out, hdr, write_index=True)
+    iv = spark.createDataFrame(
+        [("chr1", 200000, 400000)], "contig string, start long, end long"
+    )
+    got = sorted(r["pos"] for r in st.read(out, intervals=iv).collect())
+    want = sorted(
+        r["pos"]
+        for r in VcfSource().read(spark, HISEQ, intervals=iv).collect()
+    )
+    assert got == want and len(got) > 0
