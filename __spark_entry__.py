@@ -127,6 +127,7 @@ _PRIORITY = [
     "q46_resample_ffill",
     "q47_tpch_q21",
     "q48_cdc_upsert",
+    "g23_bcf_stats",
 ]
 
 

@@ -1134,3 +1134,44 @@ def g22(spark: SparkSession, sf: str) -> DataFrame:
         .select("contig", "sample", "start_pos", "end_pos", "n_sites")
         .orderBy("contig", "sample", "start_pos")
     )
+
+
+# ------------------------------------------------------ g23 BCF typed stats
+@query(
+    "g23_bcf_stats",
+    None,
+    doc="BCF round-trip analytics: the spec-fixture VCF is written to BCF "
+    "2.2 (the binary variants format the reference's support matrix marks "
+    "unsupported) through the distributed sink, read back through the "
+    "splittable source, and aggregated — per-contig site/genotype counts, "
+    "mean QUAL, ts/tv-eligible SNP count — proving the full typed codec "
+    "path (dictionaries, typed vectors, GT packing) inside one Spark "
+    "plan.  Rows-only entry (DuckDB cannot read BCF); the codec itself is "
+    "byte-level- and round-trip-pinned in tests/test_bcf.py.",
+)
+def g23(spark: SparkSession, sf: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.bcf import BcfSink, BcfSource
+    from ..sources.headers import read_vcf_header_text
+    from ..sources.vcf import VcfSource
+
+    src = f"{_FIXTURES}/test.vcf"
+    hdr = read_vcf_header_text(src)
+    out = tempfile.mkdtemp(prefix="disq_bcf_") + "/t.bcf"
+    BcfSink().write(VcfSource().read(spark, src), hdr, out)
+    v = BcfSource().read(spark, out)
+    is_snp = (F.length("ref") == 1) & (
+        F.size("alts") > 0
+    ) & (F.length(F.element_at("alts", 1)) == 1)
+    return (
+        v.groupBy("contig")
+        .agg(
+            F.count(F.lit(1)).alias("n_sites"),
+            F.round(F.avg("qual"), 2).alias("avg_qual"),
+            F.sum(F.size("genotypes")).cast("long").alias("n_genotypes"),
+            F.sum(is_snp.cast("int")).cast("long").alias("n_snps"),
+            F.sum(F.size("alts")).cast("long").alias("n_alt_alleles"),
+        )
+        .orderBy("contig")
+    )

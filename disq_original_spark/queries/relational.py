@@ -1330,9 +1330,9 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: grid construction is a broadcast cross of (distinct
     users) × (date sequence exploded in codegen) — never a shuffle of the
     event stream; the daily aggregate map-side combines to one row per
-    (user, day); the fill window and the left join share the user_id
-    partitioning.  At 1000 executors the grid is users × horizon rows,
-    independent of event volume."""
+    (user, day) before its (user, day) exchange; the fill window adds one
+    user_id exchange over the GRID (users × horizon rows, independent of
+    event volume) — the event stream itself shuffles exactly once."""
     e = load_table(spark, sf, "events")
     bounds = e.agg(
         F.min(F.col("ts").cast("date")).alias("lo"),

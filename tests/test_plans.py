@@ -456,3 +456,30 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
             prev_thresh,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
+def test_temporal_queries_single_user_partitioning(spark, sf_dir):
+    """q44 (SCD2) and q45 (funnel): every window pass must reuse ONE
+    user_id hash partitioning — one hashpartitioning in the whole plan,
+    no joins."""
+    import re
+
+    for name, n_windows in (("q44_scd2_dimension", 3), ("q45_funnel_steps", 3)):
+        plan = formatted_plan(QUERIES[name].build(spark, sf_dir))
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Window") == n_windows, name
+        assert len(re.findall(r"hashpartitioning\(", plan)) == 1, name
+        assert "Join" not in tree, name
+
+
+def test_q46_event_stream_shuffles_once(spark, sf_dir):
+    """The resample's event stream must shuffle exactly once (the daily
+    aggregate); the grid side rides broadcast exchanges."""
+    import re
+
+    plan = formatted_plan(QUERIES["q46_resample_ffill"].build(spark, sf_dir))
+    # two data hash exchanges total: daily agg (user, day) + fill window
+    # (user_id) over the small grid
+    assert len(re.findall(r"hashpartitioning\(", plan)) <= 2
+    tree = plan.split("\n\n")[0]
+    assert tree.count("BroadcastExchange") >= 1
