@@ -128,6 +128,7 @@ _PRIORITY = [
     "q47_tpch_q21",
     "q48_cdc_upsert",
     "g23_bcf_stats",
+    "g24_bam_to_fastq",
 ]
 
 

@@ -45,11 +45,23 @@ def py_tokens(text: str | None) -> list[str] | None:
     return WS_RE.split(text.strip(TRIM_CHARS).lower())
 
 
+# translate table folding every whitespace-class char to ' ': lets the
+# shingle twin use C-speed str.split(' ')+drop-empties, which is
+# EXACTLY regex-split-on-runs with empties dropped (runs become multiple
+# spaces -> multiple dropped empties) — ~2x faster in the fused Arrow
+# passes, zero semantic change (pinned by the adversarial corpus test)
+_WS_TO_SPACE = str.maketrans({c: " " for c in "\t\n\x0b\f\r"})
+
+
 def py_shingles(text: str | None, k: int = 5) -> list[str] | None:
     """Word k-gram shingles; short docs collapse to one whole-doc shingle."""
     if text is None:
         return None
-    toks = [t for t in WS_RE.split(text.strip(TRIM_CHARS).lower()) if t]
+    toks = [
+        t
+        for t in text.strip(TRIM_CHARS).lower().translate(_WS_TO_SPACE).split(" ")
+        if t
+    ]
     if len(toks) >= k:
         return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
     return [" ".join(toks)]

@@ -1175,3 +1175,40 @@ def g23(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("contig")
     )
+
+
+# ------------------------------------------------- g24 BAM→FASTQ conversion
+@query(
+    "g24_bam_to_fastq",
+    None,
+    doc="samtools-fastq equivalent as pure codegen: the real BAM's primary "
+    "records convert to instrument-orientation FASTQ (reverse-strand reads "
+    "reverse-complemented with reversed qualities, mate /1 /2 suffixes), "
+    "then aggregate to orientation/mate counts, total bases and md5-folded "
+    "content digests — the export path a realignment pipeline runs before "
+    "re-mapping.  Zero Python in the row path (translate + reverse in "
+    "Tungsten).  Rows-only entry; tests/test_fastq.py replays every record "
+    "in Python and round-trips through the splittable FASTQ sink/source.",
+)
+def g24(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.bam import BamSource
+    from ..sources.fastq import bam_to_fastq
+
+    fq = bam_to_fastq(BamSource().read(spark, f"{_FIXTURES}/1.bam"))
+    mate = F.when(F.col("name").endswith("/1"), "r1").when(
+        F.col("name").endswith("/2"), "r2"
+    ).otherwise("unpaired")
+    return (
+        fq.groupBy(mate.alias("mate"))
+        .agg(
+            F.count(F.lit(1)).alias("n_reads"),
+            F.sum(F.length("seq")).cast("long").alias("n_bases"),
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list(F.md5("seq"))))).alias(
+                "seq_digest"
+            ),
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list(F.md5("qual"))))).alias(
+                "qual_digest"
+            ),
+        )
+        .orderBy("mate")
+    )

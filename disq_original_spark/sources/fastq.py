@@ -240,3 +240,40 @@ def pair_up(r1: DataFrame, r2: DataFrame) -> DataFrame:
         F.col("qual").alias("qual_2"),
     )
     return a.join(b, "stem", "full_outer")
+
+
+_COMP_FROM = "ACGTNacgtn"
+_COMP_TO = "TGCANtgcan"
+
+
+def bam_to_fastq(reads: DataFrame, mate_suffix: bool = True) -> DataFrame:
+    """`samtools fastq` semantics as pure codegen expressions: secondary
+    (0x100) and supplementary (0x800) alignments drop; reverse-strand
+    records (0x10) emit the reverse complement with the quality string
+    reversed (restoring the original instrument orientation); first/last
+    mates (0x40/0x80) get the classic ``/1``/``/2`` suffix.  Zero Python
+    in the row path — translate + reverse stay in Tungsten, so converting
+    a 100 TB BAM back to FASTQ is one map-side scan feeding
+    :class:`FastqSink`."""
+    primary = reads.filter(
+        (F.col("flag").bitwiseAND(0x100) == 0)
+        & (F.col("flag").bitwiseAND(0x800) == 0)
+    )
+    rev = F.col("flag").bitwiseAND(0x10) != 0
+    seq = F.when(
+        rev, F.reverse(F.translate(F.col("seq"), _COMP_FROM, _COMP_TO))
+    ).otherwise(F.col("seq"))
+    qual = F.when(rev, F.reverse(F.col("qual"))).otherwise(F.col("qual"))
+    suffix = (
+        F.when(F.col("flag").bitwiseAND(0x40) != 0, "/1")
+        .when(F.col("flag").bitwiseAND(0x80) != 0, "/2")
+        .otherwise("")
+        if mate_suffix
+        else F.lit("")
+    )
+    return primary.select(
+        F.concat(F.col("qname"), suffix).alias("name"),
+        seq.alias("seq"),
+        F.lit("").alias("plus"),
+        qual.alias("qual"),
+    )

@@ -147,3 +147,45 @@ def test_directory_read(spark, tmp_path):
         total += len(recs)
     df = FastqSource().read(spark, str(d), split_size=2048)
     assert df.count() == total
+
+
+def test_bam_to_fastq_matches_python_replay(spark):
+    """samtools-fastq semantics replayed row-by-row in Python over the real
+    BAM: secondary/supplementary dropped, reverse-strand reverse-
+    complemented with reversed qualities, mate suffixes applied."""
+    from disq_original_spark.sources.bam import BamSource
+    from disq_original_spark.sources.fastq import bam_to_fastq
+
+    bam = "/root/reference/src/test/resources/1.bam"
+    reads = BamSource().read(spark, bam)
+    got = sorted(
+        (r["name"], r["seq"], r["qual"])
+        for r in bam_to_fastq(reads).collect()
+    )
+    comp = str.maketrans("ACGTNacgtn", "TGCANtgcan")
+    expected = []
+    for r in reads.select("qname", "flag", "seq", "qual").collect():
+        if r["flag"] & 0x100 or r["flag"] & 0x800:
+            continue
+        seq, qual = r["seq"], r["qual"]
+        if r["flag"] & 0x10:
+            seq = seq.translate(comp)[::-1]
+            qual = qual[::-1]
+        sfx = "/1" if r["flag"] & 0x40 else ("/2" if r["flag"] & 0x80 else "")
+        expected.append((r["qname"] + sfx, seq, qual))
+    assert got == sorted(expected)
+    assert len(expected) > 0
+
+
+def test_bam_to_fastq_round_trip_through_sink(spark, tmp_path):
+    from disq_original_spark.sources.bam import BamSource
+    from disq_original_spark.sources.fastq import FastqSink, FastqSource, bam_to_fastq
+
+    bam = "/root/reference/src/test/resources/1.bam"
+    fq = bam_to_fastq(BamSource().read(spark, bam))
+    out = tmp_path / "reads.fastq"
+    FastqSink().write(fq, str(out))
+    back = FastqSource().read(spark, str(out), split_size=64 * 1024)
+    a = sorted(map(tuple, fq.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
