@@ -797,3 +797,73 @@ class BcfSink:
                 acc.merge_rebased(meta, base)
                 base += meta["csize"]
             fs_write_bytes(path + ".csi", acc.dump())
+
+
+class BcfShardedSink:
+    """One complete BCF per partition in directory ``path`` — the
+    directory-of-parts scale layout every other sink here offers.  Each
+    shard is a full BCF (header + records + EOF block) written entirely
+    executor-side; ``write_index=True`` adds the shard's ``.csi`` beside
+    it (no driver merge — a shard IS a complete file).  Precondition for
+    indexing, as for bcftools index: rows position-sorted within each
+    partition (``df.sortWithinPartitions("contig", "pos")``)."""
+
+    def write(
+        self,
+        df: DataFrame,
+        header_text: str,
+        path: str,
+        *,
+        write_index: bool = False,
+    ) -> None:
+        from .fsio import fs_join
+
+        ctx = BcfContext(header_text)
+        fs = get_fs(path)
+        fs.delete(path, recursive=True)
+        fs.mkdirs(path)
+        htext = ctx.header_text.encode() + b"\x00"
+        preamble = MAGIC + struct.pack("<I", len(htext)) + htext
+
+        def write_partition(pid, rows):
+            import uuid as _uuid
+
+            from .bgzf import BgzfWriter
+            from .csi import CsiAccumulator
+
+            tmp = fs_join(path, f".tmp-{_uuid.uuid4().hex}")
+            wrote = False
+            acc = CsiAccumulator(len(ctx.contigs)) if write_index else None
+            with fs.open_output(tmp) as fh, BgzfWriter(fh, write_terminator=True) as w:
+                w.write(preamble)
+                for row in rows:
+                    wrote = True
+                    rec = encode_record(row, ctx)
+                    if acc is None:
+                        w.write(rec)
+                        continue
+                    v = w.tell_virtual()
+                    w.write(rec)
+                    v_end = w.tell_virtual()
+                    info = _as_map(row.get("info"))
+                    pos0 = int(row["pos"]) - 1
+                    try:
+                        end0 = int(info["END"]) if "END" in info else pos0 + len(
+                            row["ref"]
+                        )
+                    except (TypeError, ValueError):
+                        end0 = pos0 + len(row["ref"])
+                    acc.add(ctx.contig_idx[row["contig"]], pos0, end0, v, v_end)
+            if not wrote:
+                fs.delete(tmp)
+                return
+            name = fs_join(path, f"part-{pid:05d}.bcf")
+            fs.rename(tmp, name)
+            if acc is not None:
+                from .fsio import fs_write_bytes
+
+                fs_write_bytes(name + ".csi", acc.dump())
+
+        from .arrow_xfer import foreach_partition_arrow
+
+        foreach_partition_arrow(df, write_partition)

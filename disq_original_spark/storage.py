@@ -208,7 +208,12 @@ class VariantsStorage:
             from .sources.bcf import BcfSink
 
             if path.endswith(".sharded"):
-                raise ValueError("sharded BCF output is not supported yet")
+                from .sources.bcf import BcfShardedSink
+
+                BcfShardedSink().write(
+                    df, header_text, path, write_index=write_index
+                )
+                return
             BcfSink().write(df, header_text, path, write_index=write_index)
             return
         sink = VcfSink()

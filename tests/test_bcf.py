@@ -242,3 +242,38 @@ def test_storage_bcf_write_index_interval_parity(spark, tmp_path):
         for r in VcfSource().read(spark, HISEQ, intervals=iv).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_sharded_bcf_round_trip_with_indexes(spark, tmp_path):
+    """Directory-of-shards BCF: every shard a complete indexed file, the
+    directory read unions them; interval reads prune per shard."""
+    from disq_original_spark.storage import VariantsStorage
+
+    hdr = read_vcf_header_text(HISEQ)
+    st = VariantsStorage(spark)
+    v = (
+        VcfSource()
+        .read(spark, HISEQ)
+        .repartition(4)
+        .sortWithinPartitions("contig", "pos")
+    )
+    out = str(tmp_path / "h.bcf.sharded")
+    st.write(v, out, hdr, write_index=True)
+    import os
+
+    parts = sorted(p for p in os.listdir(out) if p.endswith(".bcf"))
+    assert len(parts) == 4
+    assert all(os.path.exists(f"{out}/{p}.csi") for p in parts)
+    back = st.read(out)
+    assert back.count() == 9965
+    assert sorted(r["pos"] for r in back.collect()) == sorted(
+        r["pos"] for r in VcfSource().read(spark, HISEQ).collect()
+    )
+    iv = spark.createDataFrame(
+        [("chr1", 1, 50000)], "contig string, start long, end long"
+    )
+    got = sorted(r["pos"] for r in st.read(out, intervals=iv).collect())
+    want = sorted(
+        r["pos"] for r in VcfSource().read(spark, HISEQ, intervals=iv).collect()
+    )
+    assert got == want and len(got) > 0
