@@ -483,3 +483,75 @@ def test_q46_event_stream_shuffles_once(spark, sf_dir):
     assert len(re.findall(r"hashpartitioning\(", plan)) <= 2
     tree = plan.split("\n\n")[0]
     assert tree.count("BroadcastExchange") >= 1
+
+
+def test_zorder_layout_tightens_file_statistics(spark, sf_dir, tmp_path):
+    """The production z-order write path (repartitionByRange on the
+    interleaved z-value) must shrink per-file min/max coverage in BOTH
+    dimensions versus the natural layout — the parquet-footer property
+    engines prune with.  Measured on the real footers via pyarrow: total
+    per-file (ship-date-range × partkey-range) area must drop by >5x."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from disq_original_spark.queries.packing import _p11_interleave_col
+    from disq_original_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff("l_shipdate", F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("d1"),
+        F.col("l_partkey").alias("d2"),
+    )
+    stats = li.agg(
+        F.min("d1").alias("lo1"), F.max("d1").alias("hi1"),
+        F.min("d2").alias("lo2"), F.max("d2").alias("hi2"),
+    )
+    n = li.crossJoin(F.broadcast(stats)).select(
+        "d1",
+        "d2",
+        ((F.col("d1") - F.col("lo1")) * 65535
+         / F.greatest(F.col("hi1") - F.col("lo1"), F.lit(1))).cast("long").alias("x"),
+        ((F.col("d2") - F.col("lo2")) * 65535
+         / F.greatest(F.col("hi2") - F.col("lo2"), F.lit(1))).cast("long").alias("y"),
+    )
+    z = n.withColumn("z", _p11_interleave_col(F.col("x"), F.col("y")))
+
+    naive = str(tmp_path / "naive")
+    zordered = str(tmp_path / "zorder")
+    z.select("d1", "d2").repartition(16).write.parquet(naive)
+    (
+        z.repartitionByRange(16, "z")
+        .sortWithinPartitions("z")
+        .select("d1", "d2")
+        .write.parquet(zordered)
+    )
+
+    def coverage_area(d):
+        total = 0
+        for f in _glob.glob(f"{d}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            lo1 = hi1 = lo2 = hi2 = None
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    name = col.path_in_schema
+                    if st is None:
+                        continue
+                    if name == "d1":
+                        lo1 = st.min if lo1 is None else min(lo1, st.min)
+                        hi1 = st.max if hi1 is None else max(hi1, st.max)
+                    elif name == "d2":
+                        lo2 = st.min if lo2 is None else min(lo2, st.min)
+                        hi2 = st.max if hi2 is None else max(hi2, st.max)
+            if lo1 is not None and lo2 is not None:
+                total += (hi1 - lo1 + 1) * (hi2 - lo2 + 1)
+        return total
+
+    a_naive = coverage_area(naive)
+    a_z = coverage_area(zordered)
+    assert a_z * 5 < a_naive, (a_z, a_naive)
