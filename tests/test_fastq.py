@@ -189,3 +189,48 @@ def test_bam_to_fastq_round_trip_through_sink(spark, tmp_path):
     a = sorted(map(tuple, fq.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_fastq_tiling_property_random_corpora():
+    """Property (pure Python, no Spark): for ANY random corpus over the
+    full Phred alphabet and ANY split geometry, the per-split record sets
+    partition the corpus — exactly-once, no loss, no duplication."""
+    import io
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from disq_original_spark.sources.fastq import _iter_records
+
+    qual_alpha = "".join(chr(c) for c in range(33, 75))  # ! .. J incl @ +
+
+    recs_strategy = st.lists(
+        st.tuples(
+            st.text(alphabet="abcXYZ019_ ", min_size=1, max_size=12),
+            st.integers(min_value=1, max_value=60),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(recs_strategy, st.randoms())
+    def check(specs, rng):
+        recs = []
+        blob = bytearray()
+        for name, ln in specs:
+            seq = "".join(rng.choice("ACGT") for _ in range(ln))
+            qual = "".join(rng.choice(qual_alpha) for _ in range(ln))
+            recs.append((name, seq, "", qual))
+            blob += f"@{name}\n{seq}\n+\n{qual}\n".encode()
+        data = bytes(blob)
+        n_splits = rng.randint(1, 6)
+        cuts = sorted(rng.randint(0, len(data)) for _ in range(n_splits - 1))
+        bounds = [0] + cuts + [len(data)]
+        got = []
+        fh = io.BytesIO(data)
+        for s, e in zip(bounds, bounds[1:]):
+            got.extend(_iter_records(fh, s, e, len(data)))
+        assert sorted(got) == sorted(recs)
+
+    check()
