@@ -592,12 +592,15 @@ def d08(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: windows are built row-wise inside codegen (posexplode of
     an integer sequence + per-row slice/md5 — no array materialization, the
     t09 lesson), keyed by md5 so Spark and the SQL oracle agree bit-for-bit.
-    Two hash shuffles: (window-hash → min/max doc id, whose inequality is
-    the ≥2-distinct-docs predicate) with map-side partial aggregation,
-    then (doc → dup-window count).  At 100 TB the
-    window-hash shuffle is the honest cost of exact-substring detection —
-    the production variant truncates the hash to 8 bytes and two-level
-    counts, same plan shape."""
+    Two hash shuffles, ONE pass: the ≥2-distinct-docs predicate is
+    min(doc_id)≠max(doc_id) computed as window functions over the
+    window-hash partitioning — the windows subtree is scanned and hashed
+    exactly once and there is no join (the earlier aggregate-then-join
+    form rebuilt the whole md5 pass for each side of the same exchange);
+    the doc-level count then shuffles only slim (doc, n) rows.  At 100 TB
+    the window-hash shuffle is the honest cost of exact-substring
+    detection — the production variant truncates the hash to 8 bytes and
+    two-level counts, same plan shape."""
     d = load_wide(spark, sf, "documents")
     base = d.select("doc_id", tokens("text").alias("words")).where(
         F.size("words") >= _SPAN_W
@@ -617,18 +620,21 @@ def d08(spark: SparkSession, sf: str) -> DataFrame:
         "n_windows",
         F.md5(F.concat_ws(" ", F.slice(F.col("words"), F.col("i") + 1, _SPAN_W))).alias("h"),
     )
-    # "appears in >1 distinct doc" ⟺ min(doc_id) != max(doc_id): one
-    # hash shuffle on h with full map-side partial combine.  countDistinct
-    # compiled to TWO exchanges (a (h, doc_id) distinct pass, then the h
-    # aggregate) — double the shuffle volume for the same predicate.
-    dup = (
-        win.groupBy("h")
-        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
-        .where(F.col("d0") != F.col("d1"))
-        .select("h")
+    # "appears in >1 distinct doc" ⟺ min(doc_id) != max(doc_id) over the
+    # h partition — both window functions share ONE h exchange and keep
+    # the md5/explode subtree single-scan (the aggregate-then-self-join
+    # form recomputed it per side).  countDistinct would compile to TWO
+    # exchanges for the same predicate.
+    from pyspark.sql import Window
+
+    wh = Window.partitionBy("h")
+    flagged = win.select(
+        "doc_id",
+        "n_windows",
+        (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).alias("dup"),
     )
     return (
-        win.join(dup, "h")
+        flagged.filter("dup")
         .groupBy("doc_id", "n_windows")
         .agg(F.count("*").alias("n_dup_windows"))
         .select(

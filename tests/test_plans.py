@@ -555,3 +555,14 @@ def test_zorder_layout_tightens_file_statistics(spark, sf_dir, tmp_path):
     a_naive = coverage_area(naive)
     a_z = coverage_area(zordered)
     assert a_z * 5 < a_naive, (a_z, a_naive)
+
+
+def test_d08_single_pass_no_join(spark, sf_dir):
+    """Dup-span coverage must build its windows subtree ONCE: exactly one
+    Generate (the explode) and zero Join nodes — the dup predicate is a
+    window min/max over the h exchange, not an aggregate-then-self-join."""
+    tree = formatted_plan(
+        QUERIES["d08_dup_span_coverage"].build(spark, sf_dir)
+    ).split("\n\n")[0]
+    assert tree.count("Generate") == 1
+    assert "Join" not in tree
