@@ -133,6 +133,8 @@ _PRIORITY = [
     "q48_cdc_upsert",
     "g23_bcf_stats",
     "g24_bam_to_fastq",
+    "q49_bag_setops",
+    "m06_scene_cuts",
 ]
 
 

@@ -242,3 +242,39 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, PHASH_SCHEMA)
+
+
+def frame_hashes(frames: DataFrame) -> DataFrame:
+    """64-bit aHash per (media_id, frame_idx) — the per-frame twin of
+    :func:`perceptual_hash`, same integer cross-multiply bit rule, Arrow-
+    batched; only 6 ints per frame cross back to the JVM."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, fi, data in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["frame_data"]
+            ):
+                if data is None or len(data) == 0:
+                    continue
+                payload = bytes(data)
+                moms = [
+                    (sum(payload[j::PHASH_BITS]), len(payload[j::PHASH_BITS]))
+                    for j in range(PHASH_BITS)
+                ]
+                S = sum(s for s, _ in moms)
+                C = sum(c for _, c in moms)
+                bits = [1 if s * C > S * c else 0 for s, c in moms]
+                bands = [
+                    sum(bits[16 * b + k] << k for k in range(16))
+                    for b in range(PHASH_BANDS)
+                ]
+                rows.append((mid, fi, *bands))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx"] + [f"b{b}" for b in range(PHASH_BANDS)],
+            )
+
+    return frames.mapInPandas(
+        run, "media_id long, frame_idx int, " + ", ".join(f"b{b} int" for b in range(PHASH_BANDS))
+    )

@@ -286,3 +286,90 @@ def m04(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("hamming") <= _M04_HAM_MAX)
         .orderBy("a_id", "b_id")
     )
+
+
+# ------------------------------------------------- m06 scene-change detection
+_M06_CUT = 12  # hamming threshold: adjacent frames farther than this = cut
+
+
+@query(
+    "m06_scene_cuts",
+    f"""WITH f AS (SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+                          substr(text, i * 256 + 1, 256) AS frame
+                   FROM (SELECT doc_id AS media_id, text, length(text) AS n
+                         FROM documents WHERE doc_id % 3 = 2),
+                        generate_series(0, 3) t(i)
+                   WHERE i < least(4, greatest(1, n // 256))
+                     AND length(substr(text, i * 256 + 1, 256)) > 0),
+        pos AS (SELECT media_id, frame_idx, frame,
+                       unnest(generate_series(1, length(frame))) AS p
+                FROM f),
+        mom AS (SELECT media_id, frame_idx, (p - 1) % 64 AS j,
+                       sum(ord(substr(frame, CAST(p AS INTEGER), 1))) AS s,
+                       count(*) AS c
+                FROM pos GROUP BY 1, 2, 3),
+        tot AS (SELECT media_id, frame_idx, sum(s) AS ts, sum(c) AS tc
+                FROM mom GROUP BY 1, 2),
+        grid AS (SELECT media_id, frame_idx, unnest(generate_series(0, 63)) AS j
+                 FROM f),
+        bitv AS (SELECT g.media_id, g.frame_idx, g.j,
+                        CASE WHEN coalesce(m.s, 0) * t.tc > t.ts * coalesce(m.c, 0)
+                             THEN 1 ELSE 0 END AS bit
+                 FROM grid g
+                 LEFT JOIN mom m ON m.media_id = g.media_id
+                                AND m.frame_idx = g.frame_idx AND m.j = g.j
+                 JOIN tot t ON t.media_id = g.media_id
+                           AND t.frame_idx = g.frame_idx),
+        h AS (SELECT media_id, frame_idx, {_M04_BAND_SQL}
+              FROM bitv GROUP BY media_id, frame_idx),
+        d AS (SELECT media_id, frame_idx,
+                     lag(b0) OVER w AS p0, lag(b1) OVER w AS p1,
+                     lag(b2) OVER w AS p2, lag(b3) OVER w AS p3,
+                     b0, b1, b2, b3
+              FROM h WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx))
+       SELECT media_id, frame_idx,
+              CAST(bit_count(xor(b0, p0)) + bit_count(xor(b1, p1))
+                   + bit_count(xor(b2, p2)) + bit_count(xor(b3, p3)) AS BIGINT)
+                AS hamming,
+              (bit_count(xor(b0, p0)) + bit_count(xor(b1, p1))
+               + bit_count(xor(b2, p2)) + bit_count(xor(b3, p3))) > {_M06_CUT}
+                AS is_cut
+       FROM d WHERE p0 IS NOT NULL ORDER BY media_id, frame_idx""",
+    doc="Video scene-change detection: every sampled frame gets a 64-bit "
+    "integer-exact aHash (operators/multimodal.py::frame_hashes, one Arrow "
+    "pass over the frame expansion), adjacent frames compare by Hamming "
+    "distance via a lag window per video, and transitions above the "
+    f"threshold ({_M06_CUT} bits) flag as cuts — the shot-boundary pass a "
+    "video curation pipeline runs before sampling training clips.\n\n"
+    "Scale shape: frame sampling and hashing are map-side Arrow passes "
+    "emitting 6 ints/frame; the only shuffle is the per-video lag window "
+    "(frames-per-video rows per key), then the driver-facing sort.",
+)
+def m06(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import frame_hashes, sample_frames
+
+    media = documents_as_media(load_table(spark, sf, "documents"))
+    h = frame_hashes(sample_frames(media))
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    lagged = h.select(
+        "media_id",
+        "frame_idx",
+        *[F.col(f"b{b}") for b in range(4)],
+        *[F.lag(f"b{b}").over(w).alias(f"p{b}") for b in range(4)],
+    )
+    ham = sum(
+        (F.bit_count(F.col(f"b{b}").bitwiseXOR(F.col(f"p{b}"))) for b in range(4)),
+        F.lit(0),
+    )
+    return (
+        lagged.filter(F.col("p0").isNotNull())
+        .select(
+            "media_id",
+            "frame_idx",
+            ham.cast("long").alias("hamming"),
+            (ham > _M06_CUT).alias("is_cut"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )

@@ -1520,3 +1520,40 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("action") != "skip")
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------- q49 bag set-ops
+@query(
+    "q49_bag_setops",
+    """WITH i AS (SELECT l_partkey AS k FROM lineitem
+                  INTERSECT ALL SELECT p_partkey FROM part),
+        e AS (SELECT l_partkey AS k FROM lineitem
+              EXCEPT ALL SELECT p_partkey FROM part)
+       SELECT 'intersect_all' AS op, count(*) AS n, count(DISTINCT k) AS nd
+       FROM i
+       UNION ALL
+       SELECT 'except_all', count(*), count(DISTINCT k) FROM e
+       ORDER BY op""",
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) — the
+    multiset twins of q20/q21's set forms: duplicates count, so the result
+    cardinality reflects how MANY lineitems share a part key, not whether
+    any does.  Spark plans both as a single aggregate computing per-key
+    multiplicities on each side then replicating min(l,r) (intersect) or
+    max(l-r,0) (except) copies — one shuffle per operand pair, no
+    distinct-then-join double exchange.  The driver row carries both
+    counts so the multiset arithmetic is what's checked."""
+    li = _t(spark, sf, "lineitem").select(F.col("l_partkey").alias("k"))
+    p = _t(spark, sf, "part").select(F.col("p_partkey").alias("k"))
+    i = li.intersectAll(p).agg(
+        F.lit("intersect_all").alias("op"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("k").alias("nd"),
+    )
+    e = li.exceptAll(p).agg(
+        F.lit("except_all").alias("op"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("k").alias("nd"),
+    )
+    return i.unionByName(e).orderBy("op")
