@@ -135,6 +135,7 @@ _PRIORITY = [
     "g24_bam_to_fastq",
     "q49_bag_setops",
     "m06_scene_cuts",
+    "q50_scalar_subquery",
 ]
 
 

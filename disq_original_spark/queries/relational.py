@@ -1557,3 +1557,30 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
         F.count_distinct("k").alias("nd"),
     )
     return i.unionByName(e).orderBy("op")
+
+
+# ------------------------------------------------- q50 correlated scalar subquery
+@query(
+    "q50_scalar_subquery",
+    """SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS bal
+       FROM customer c
+       WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+                          WHERE c2.c_nationkey = c.c_nationkey)
+       ORDER BY c_nationkey, c_custkey""",
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated scalar aggregate subquery (the TPC-H Q2 shape: 'the row
+    whose value equals its group's extreme') — the last subquery flavor
+    the surface didn't cover.  Catalyst decorrelates the scalar subquery
+    into a grouped aggregate joined back on the correlation key, so the
+    fact table is scanned twice but the join probe side carries one row
+    per nation — never a per-row re-execution.  Ties (several customers
+    sharing the nation max) all qualify, exactly as in SQL."""
+    load_table(spark, sf, "customer").createOrReplaceTempView("q50_customer")
+    return spark.sql(
+        """SELECT c_custkey, c_name, c_nationkey, round(c_acctbal, 2) AS bal
+           FROM q50_customer c
+           WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM q50_customer c2
+                              WHERE c2.c_nationkey = c.c_nationkey)
+           ORDER BY c_nationkey, c_custkey"""
+    )

@@ -566,3 +566,27 @@ def test_d08_single_pass_no_join(spark, sf_dir):
     ).split("\n\n")[0]
     assert tree.count("Generate") == 1
     assert "Join" not in tree
+
+
+def test_m06_mapside_hash_single_window_shuffle(spark, sf_dir):
+    """Scene-cut detection: frame sampling and hashing are chained map-side
+    Arrow passes (no exchange between them); the only data shuffle is the
+    per-video lag window."""
+    import re
+
+    plan = formatted_plan(QUERIES["m06_scene_cuts"].build(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInPandas") == 2
+    assert "Join" not in tree
+    assert len(re.findall(r"hashpartitioning\(", plan)) == 1
+
+
+def test_q49_bag_setops_no_join(spark, sf_dir):
+    """INTERSECT ALL / EXCEPT ALL must compile to multiplicity aggregates
+    (one hash shuffle per operand pair), never distinct-then-join."""
+    import re
+
+    plan = formatted_plan(QUERIES["q49_bag_setops"].build(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    assert "Join" not in tree
+    assert len(re.findall(r"hashpartitioning\(", plan)) <= 2
