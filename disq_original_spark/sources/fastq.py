@@ -277,3 +277,36 @@ def bam_to_fastq(reads: DataFrame, mate_suffix: bool = True) -> DataFrame:
         F.lit("").alias("plus"),
         qual.alias("qual"),
     )
+
+
+def fastq_to_reads(fq: DataFrame) -> DataFrame:
+    """`samtools import` semantics: FASTQ records become UNALIGNED reads
+    (reads schema) ready for any BAM/SAM/CRAM sink — flag 0x4 (unmapped)
+    plus 0x1|0x40 / 0x1|0x80 for ``/1``/``/2`` mates (paired flags also
+    carry mate-unmapped 0x8, matching samtools import), name suffix and
+    comment stripped, no coordinates, '*' CIGAR conventions as NULLs.
+    Pure codegen — a 100 TB FASTQ import is one map-side scan feeding the
+    BAM sink's distributed single-file commit."""
+    base = F.split_part(F.col("name"), F.lit(" "), F.lit(1))
+    is_r1 = base.endswith("/1")
+    is_r2 = base.endswith("/2")
+    qname = F.regexp_replace(base, "/[12]$", "")
+    flag = (
+        F.when(is_r1, 0x1 | 0x4 | 0x8 | 0x40)
+        .when(is_r2, 0x1 | 0x4 | 0x8 | 0x80)
+        .otherwise(0x4)
+    )
+    return fq.select(
+        qname.alias("qname"),
+        flag.cast("int").alias("flag"),
+        F.lit(None).cast("string").alias("rname"),
+        F.lit(None).cast("long").alias("pos"),
+        F.lit(0).alias("mapq"),
+        F.lit(None).cast("string").alias("cigar"),
+        F.lit(None).cast("string").alias("rnext"),
+        F.lit(None).cast("long").alias("pnext"),
+        F.lit(0).cast("long").alias("tlen"),
+        F.col("seq"),
+        F.col("qual"),
+        F.create_map().cast("map<string,string>").alias("attributes"),
+    )

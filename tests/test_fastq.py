@@ -234,3 +234,45 @@ def test_fastq_tiling_property_random_corpora():
         assert sorted(got) == sorted(recs)
 
     check()
+
+
+def test_fastq_import_to_unaligned_bam_round_trip(spark, tmp_path, fastq_file):
+    """samtools-import path: FASTQ → unaligned reads frame → single-file
+    BAM → read back; names/seqs/quals and the unmapped/mate flags must
+    survive, and the BAM is a valid unaligned file (no coordinates)."""
+    from disq_original_spark.sources.bam import BamSink, BamSource
+    from disq_original_spark.sources.fastq import fastq_to_reads
+    from disq_original_spark.sources.headers import SamHeader
+
+    path, recs = fastq_file
+    fq = FastqSource().read(spark, path, split_size=64 * 1024)
+    reads = fastq_to_reads(fq)
+    header = SamHeader.parse("@HD\tVN:1.6\tSO:unsorted\n")
+    out = str(tmp_path / "unaligned.bam")
+    BamSink().write(reads, header, out)
+    back = BamSource().read(spark, out)
+    got = sorted(
+        (r["qname"], r["flag"], r["seq"], r["qual"]) for r in back.collect()
+    )
+    want = sorted(
+        (name.split(" ")[0], 4, seq, qual) for name, seq, plus, qual in recs
+    )
+    assert got == want
+    # unaligned convention after the BAM round-trip: no reference, pos 0
+    # (the SAM '*'/0 placeholders), '*' cigar
+    assert back.filter(
+        "rname IS NOT NULL OR coalesce(pos, 0) != 0 OR cigar != '*'"
+    ).count() == 0
+
+
+def test_fastq_import_mate_flags(spark, tmp_path):
+    from disq_original_spark.sources.fastq import fastq_to_reads
+
+    p = tmp_path / "p.fastq"
+    p.write_bytes(b"@x/1\nAC\n+\n!!\n@x/2\nGT\n+\n##\n@solo\nTT\n+\n%%\n")
+    rows = {
+        (r["qname"], r["flag"])
+        for r in fastq_to_reads(FastqSource().read(spark, str(p))).collect()
+    }
+    assert rows == {("x", 0x1 | 0x4 | 0x8 | 0x40), ("x", 0x1 | 0x4 | 0x8 | 0x80),
+                    ("solo", 0x4)}
