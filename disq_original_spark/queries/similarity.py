@@ -717,34 +717,47 @@ _GRAPH_CAP = 512  # skew guard: drop LSH buckets larger than this (as d03)
     "bucket id; buckets above the cap drop (mirrored in the oracle's "
     "HAVING, the d03 skew posture) so worst-case pair expansion is "
     "cap²-bounded per bucket — in production the bucket-bit count scales "
-    "with log2(n/target_bucket) to hold bucket sizes flat.  The per-src "
-    "rank compiles to the Partial+Final WindowGroupLimit pair, so map "
-    "partitions truncate to k rows per src before the src exchange.",
+    "with log2(n/target_bucket) to hold bucket sizes flat.  Scoring + "
+    "ranking run as ONE per-bucket numpy gram matrix inside applyInPandas "
+    "(the d05 shape; an interpreted HOF cosine over the pair expansion "
+    "measured 4× slower): one bucket exchange, no join, no window, and "
+    "only k slim rows per vector leave Python.",
 )
 def s07(spark: SparkSession, sf: str) -> DataFrame:
+    import pandas as pd
+
     b = load_table(spark, sf, "embeddings").withColumn("bucket", _bucket_col())
-    sizes = (
-        b.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= _GRAPH_CAP))
-        .select("bucket")
-    )
-    a = b.join(F.broadcast(sizes), "bucket").select(
-        "bucket", F.col("vec_id").alias("src"), F.col("embedding").alias("se")
-    )
-    scored = (
-        a.join(b, (b["bucket"] == a["bucket"]) & (b["vec_id"] != a["src"]))
-        .select(
-            "src",
-            F.col("vec_id").alias("dst"),
-            F.round(cosine_similarity(F.col("se"), F.col("embedding")), 4).alias(
-                "cos_sim"
-            ),
-        )
-    )
-    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), F.col("dst"))
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {"src": [], "dst": [], "cos_sim": [], "rank": []}
+        ).astype({"src": "int64", "dst": "int64", "cos_sim": "float64", "rank": "int32"})
+        if len(pdf) < 2 or len(pdf) > _GRAPH_CAP:
+            return empty
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        m = np.vstack(pdf["embedding"].to_numpy())[order].astype("float64")
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        gram = np.round(m @ m.T, 4)  # round BEFORE ranking, as the oracle
+        np.fill_diagonal(gram, -np.inf)
+        srcs, dsts, sims, ranks = [], [], [], []
+        k = min(_GRAPH_K, len(ids) - 1)
+        for i in range(len(ids)):
+            top = np.lexsort((ids, -gram[i]))[:k]  # cos desc, dst asc
+            srcs.extend([ids[i]] * k)
+            dsts.extend(ids[top])
+            sims.extend(gram[i][top])
+            ranks.extend(range(1, k + 1))
+        return pd.DataFrame(
+            {"src": srcs, "dst": dsts, "cos_sim": sims, "rank": ranks}
+        ).astype({"src": "int64", "dst": "int64", "cos_sim": "float64", "rank": "int32"})
+
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _GRAPH_K)
+        b.repartition("bucket")
+        .groupBy("bucket")
+        .applyInPandas(bucket_topk, "src long, dst long, cos_sim double, rank int")
         .orderBy("src", "rank")
     )

@@ -390,13 +390,17 @@ def test_g22_single_shuffle_gaps_and_islands(spark, sf_dir):
     assert "Join" not in tree
 
 
-def test_s07_knn_graph_partial_limit_and_bucket_join(spark, sf_dir):
-    """kNN-graph: the per-src rank must truncate map-side (Partial+Final
-    WindowGroupLimit), and candidate generation must be an equi-join on
-    bucket — no cartesian/nested-loop node anywhere."""
+def test_s07_knn_graph_single_bucket_exchange(spark, sf_dir):
+    """kNN-graph: scoring + ranking fuse into ONE per-bucket numpy pass
+    (applyInPandas) — exactly one grouped-map node, no join, no window,
+    one bucket hash exchange before the driver-facing sort."""
+    import re
+
     plan = formatted_plan(QUERIES["s07_knn_graph"].build(spark, sf_dir))
-    assert plan.count("WindowGroupLimit") >= 2
-    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("FlatMapGroupsInPandas") == 1
+    assert "Join" not in tree and "Window" not in tree
+    assert len(re.findall(r"hashpartitioning\(bucket", plan)) == 1
 
 
 def test_hive_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
