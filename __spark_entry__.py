@@ -136,6 +136,7 @@ _PRIORITY = [
     "q49_bag_setops",
     "m06_scene_cuts",
     "q50_scalar_subquery",
+    "p12_leakage_safe_split",
 ]
 
 

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from ..functions import tokens
 from ..tables import load_table, load_wide
-from .registry import query
+from .registry import QUERIES, query
 
 _N_BUCKETS = 8
 _CAPACITY = 256
@@ -927,4 +927,99 @@ def p11(spark: SparkSession, sf: str) -> DataFrame:
             F.max("y").alias("y_hi"),
         )
         .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------- p12 leakage-safe split
+_P12_TRAIN, _P12_VAL = 80, 90  # hash < 80 train, < 90 val, else test
+
+
+def _p12_split_sql(hash_expr: str) -> str:
+    return (
+        f"CASE WHEN {hash_expr} < {_P12_TRAIN} THEN 'train' "
+        f"WHEN {hash_expr} < {_P12_VAL} THEN 'val' ELSE 'test' END"
+    )
+
+
+def _p12_oracle() -> str:
+    # reuse d07's recursive-CTE connected components; the Knuth-hash SQL
+    # twin is parameterized by renaming its hard-wired doc_id column
+    from .dedup import _PAIRS_SQL
+
+    own_h = _knuth_hash_sql(100)
+    key_h = own_h.replace("doc_id", "key")
+    return f"""WITH RECURSIVE {_PAIRS_SQL},
+        reach(node, root) AS (
+            SELECT a_id, a_id FROM (SELECT DISTINCT a_id FROM edges)
+            UNION
+            SELECT e.b_id, r.root FROM reach r JOIN edges e ON e.a_id = r.node
+        ),
+        clusters AS (SELECT node AS doc_id, min(root) AS cluster_id
+                     FROM reach GROUP BY node),
+        d AS (SELECT doc_id,
+                     len(string_split_regex(lower(trim(text)),
+                                            '[ \t\n\x0b\f\r]+')) AS toks
+              FROM documents),
+        j AS (SELECT d.doc_id, d.toks,
+                     coalesce(c.cluster_id, d.doc_id) AS key
+              FROM d LEFT JOIN clusters c USING (doc_id)),
+        s AS (SELECT toks,
+                     {_p12_split_sql(key_h)} AS split,
+                     CAST({_p12_split_sql(own_h)} <> {_p12_split_sql(key_h)}
+                          AS INTEGER) AS moved
+              FROM j)
+       SELECT split, count(*) AS n_docs,
+              CAST(sum(toks) AS BIGINT) AS n_tokens,
+              CAST(sum(moved) AS BIGINT) AS n_moved
+       FROM s GROUP BY split ORDER BY split"""
+
+
+@query("p12_leakage_safe_split", _p12_oracle())
+def p12(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test split with NEAR-DUP LEAKAGE REPAIR —
+    the dataset-splitting step an honest eval pipeline cannot skip: a
+    document and its near-duplicate must never land in different splits
+    (else the test set leaks into training).  Every document first gets a
+    hash split (the p02 engine-exact Knuth hash, 80/10/10); then every
+    MinHash-LSH duplicate cluster (d07's connected components) is forced
+    whole into the split of its cluster id (the min member), and the
+    audit counts how many documents moved.
+
+    Scale shape: cluster labels are slim (doc_id, cluster_id) pairs; the
+    repair is one left join of the corpus against them plus pure map-side
+    hash arithmetic; the rollup is a 3-key aggregate with map-side
+    combine.  The CC iteration cost is d07's — already the canonical
+    scalable form — and is shared, not added."""
+    from .dedup import d07
+    from ..functions import tokens
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("toks")
+    )
+    clusters = d07(spark, sf).select("doc_id", "cluster_id")
+    own = _knuth_hash_col(100)
+    joined = d.join(clusters, "doc_id", "left").withColumn(
+        "key", F.coalesce("cluster_id", "doc_id")
+    )
+    key_hash = (
+        (F.col("key").bitwiseAND(F.lit(4294967295)).bitwiseAND(F.lit(65535)) * _KNUTH)
+        + (F.shiftrightunsigned(F.col("key").bitwiseAND(F.lit(4294967295)), 16) * _KNUTH)
+        % 65536 * 65536
+    ) % (2**32) % 100
+    split_of = lambda h: (  # noqa: E731
+        F.when(h < _P12_TRAIN, "train").when(h < _P12_VAL, "val").otherwise("test")
+    )
+    return (
+        joined.select(
+            "toks",
+            split_of(key_hash).alias("split"),
+            (split_of(own) != split_of(key_hash)).cast("int").alias("moved"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+            F.sum("moved").cast("long").alias("n_moved"),
+        )
+        .orderBy("split")
     )
