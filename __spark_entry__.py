@@ -137,6 +137,7 @@ _PRIORITY = [
     "m06_scene_cuts",
     "q50_scalar_subquery",
     "p12_leakage_safe_split",
+    "t15_fuzzy_join",
 ]
 
 

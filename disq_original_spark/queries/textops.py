@@ -911,3 +911,109 @@ def t14(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------------------------ t15 fuzzy join
+_T15_VARIANT_BASE = 2_000_000_000
+_T15_KEYLEN = 24  # the matched 'entity name' = first 24 chars of the doc
+_T15_QGRAM = 3
+_T15_DF_CAP = 64  # drop q-grams appearing in more keys (the d04 posture)
+_T15_MAX_DIST = 2
+
+
+@query(
+    "t15_fuzzy_join",
+    f"""WITH k AS (
+          SELECT doc_id AS id, substr(text, 1, {_T15_KEYLEN}) AS key
+          FROM documents WHERE length(text) >= {_T15_KEYLEN}
+          UNION ALL
+          -- deterministic 'typo' variants: swap chars 3 and 4 (edit
+          -- distance <= 2 from the original) for every 15th document
+          SELECT doc_id + {_T15_VARIANT_BASE},
+                 substr(text, 1, 2) || substr(text, 4, 1) || substr(text, 3, 1)
+                   || substr(text, 5, {_T15_KEYLEN - 4})
+          FROM documents WHERE doc_id % 15 = 0 AND length(text) >= {_T15_KEYLEN}),
+        g AS (SELECT id, key,
+                     unnest(list_distinct(list_transform(
+                         generate_series(1, {_T15_KEYLEN - _T15_QGRAM + 1}),
+                         qi -> substr(key, CAST(qi AS INTEGER), {_T15_QGRAM}))))
+                       AS q
+              FROM k),
+        keep AS (SELECT q FROM g GROUP BY q
+                 HAVING count(*) BETWEEN 2 AND {_T15_DF_CAP}),
+        cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+                        a.key AS ka, b.key AS kb
+                 FROM g a
+                 JOIN keep USING (q)
+                 JOIN g b ON b.q = a.q AND a.id < b.id)
+       SELECT a_id, b_id, CAST(levenshtein(ka, kb) AS INTEGER) AS dist
+       FROM cand
+       WHERE levenshtein(ka, kb) <= {_T15_MAX_DIST}
+       ORDER BY a_id, b_id""",
+    doc="Fuzzy entity matching (entity-resolution / record-linkage): keys "
+    "within edit distance 2 pair up via q-gram blocking — shared 3-grams "
+    "build capped postings lists (the d04 inverted-index posture, so a "
+    "stopword-like gram never explodes), candidates meet in an equi-join "
+    "on the gram, and the native levenshtein confirms.  The corpus is "
+    "widened with deterministic adjacent-swap 'typo' variants so true "
+    "fuzzy pairs exist at every scale.\n\n"
+    "Scale shape: blocking is explode → capped postings → pair expansion "
+    "bounded by C(cap,2) per gram — no all-pairs product anywhere; the "
+    "confirm is a native codegen levenshtein over candidate pairs only.  "
+    "This is how a billion-row customer table dedupes names in practice.",
+)
+def t15(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_wide(spark, sf, "documents").filter(
+        F.length("text") >= _T15_KEYLEN
+    )
+    orig = d.select(
+        F.col("doc_id").alias("id"),
+        F.substring("text", 1, _T15_KEYLEN).alias("key"),
+    )
+    swapped = F.concat(
+        F.substring("text", 1, 2),
+        F.substring("text", 4, 1),
+        F.substring("text", 3, 1),
+        F.substring("text", 5, _T15_KEYLEN - 4),
+    )
+    variants = d.filter(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + _T15_VARIANT_BASE).alias("id"),
+        swapped.alias("key"),
+    )
+    k = orig.unionByName(variants)
+    grams = k.select(
+        "id",
+        "key",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(_T15_KEYLEN - _T15_QGRAM + 1)),
+                    lambda i: F.col("key").substr(i, F.lit(_T15_QGRAM)),
+                )
+            )
+        ).alias("q"),
+    )
+    keep = (
+        grams.groupBy("q")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= _T15_DF_CAP))
+        .select("q")
+    )
+    a = grams.join(F.broadcast(keep), "q").select(
+        "q", F.col("id").alias("a_id"), F.col("key").alias("ka")
+    )
+    b = grams.select("q", F.col("id").alias("b_id"), F.col("key").alias("kb"))
+    cand = (
+        a.join(b, (a["q"] == b["q"]) & (F.col("a_id") < F.col("b_id")))
+        .select("a_id", "b_id", "ka", "kb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "a_id",
+            "b_id",
+            F.levenshtein("ka", "kb").alias("dist"),
+        )
+        .filter(F.col("dist") <= _T15_MAX_DIST)
+        .orderBy("a_id", "b_id")
+    )
