@@ -31,113 +31,67 @@ def entry(spark: SparkSession) -> DataFrame:
 # across a rolling window of rounds.  All registered queries are always
 # present — only the ordering is prioritized.
 #
-# Round-3 rotation: q05–q33 (29 queries) were green in round 1 but invisible
-# to the round-2 snapshot (they sorted past the 50-row cap), so they lead.
-# Next come the queries whose plans changed this round (s01–s04 ranking /
-# assignment reshapes, p02 overflow-safe hash) so the driver re-witnesses the
-# new code.  Everything else already has a green round-2 row.
+# Round-4 rotation (VERDICT r3 directive #1): lead with the 28 hash-checkable
+# queries that have never had a driver CORRECTNESS row (all round-3 second-wave
+# additions), then the 13 rows-only genomics never witnessed, then re-witnesses
+# of queries whose plans change this round (d07 large-star/small-star rewrite,
+# s07 vectorized top-k + audit) and d03/d04/d06 (bench-drift confirmation).
+# 28 + 13 + 9 = 50 = exactly the driver window; with rounds 1–3 this makes
+# every registered query driver-witnessed at least once.
 _PRIORITY = [
-    # green in round 1 only — no round-2 driver row:
-    "q05_broadcast_join",
-    "q06_left_outer_join",
-    "q07_semi_join",
-    "q08_anti_join",
-    "q09_range_join",
-    "q10_hash_aggregate",
-    "q11_distinct_aggregate",
-    "q12_approx_distinct",
-    "q13_rollup",
-    "q14_cube",
-    "q15_window_rank",
-    "q16_window_frame",
-    "q17_lag",
-    "q18_topk",
-    "q19_union_all",
-    "q20_intersect",
-    "q21_except",
-    "q22_string_functions",
-    "q23_date_functions",
-    "q24_math",
-    "q25_array_agg",
-    "q26_json_access",
-    "q27_explode",
-    "q28_exists_subquery",
-    "q29_case",
-    "q30_tumbling_window",
-    "q31_sessionize",
-    "q32_percentiles",
-    "q33_pivot",
-    # plans changed in round 3 — re-witness the new code:
-    "s01_knn_bruteforce",
-    "s02_ann_bucketed",
-    "s03_ann_ivf",
-    "s04_kmeans_update",
-    "p02_stratified_sample",
-    # new in round 3 — first driver witness:
-    "st05_stateful_totals",
-    "st06_stream_sliding",
-    "t10_unigram_surprisal",
-    "p04_shard_assignment",
-    "s05_ann_pq",
-    "p05_corpus_pipeline",
-    "q41_unpivot",
-    "q42_grouping_sets",
-    "d09_incremental_dedup",
-    "t11_quality_classifier",
-    "d10_semdedup",
-    "p06_importance_resampling",
-    "st07_stream_static_join",
-    "t12_filter_funnel",
-    # plans reshaped in round 3 (fused t08, one-shuffle d08) — re-witness:
-    "t08_gopher_repetition",
-    "d08_dup_span_coverage",
-    # new rows-only genomics (g09–g13) sit just past the 50-row window this
-    # round — each is pinned by an exact pytest oracle (tests/test_dupmark.py,
-    # tests/test_qc.py) — and rotates into the window next round
-    "g09_mark_duplicates",
-    "g10_flagstat",
-    # late round-3 additions — also past the window, each pinned by a pytest
-    # oracle (DuckDB hash for p08/t13/d11/m04, Python replay for g14/g15);
-    # rotate these into the 50-row window in round 4
-    "p08_domain_cap",
-    "t13_bm25",
-    "d11_paragraph_dedup",
-    "m04_phash_neardup",
-    "g14_multiallelic_split",
-    "g15_idxstats",
-    "g16_interval_merge",
-    "t14_bigram_surprisal",
-    "p09_skew_audit",
-    "g17_interval_subtract",
-    "st08_stream_ingest_dedup",
-    "g18_interval_closest",
-    "p10_corpus_pipeline_v2",
-    "g19_gc_windows",
-    "g20_kmer_spectrum",
-    "s06_ann_sq8",
-    "g21_cpg_islands",
-    # round-3 second-wave additions — past this round's 50-row window
-    # (q05–q33 must lead, per the round-2 verdict); each is pinned by the
-    # same DuckDB hash gate in tests/test_oracle.py (or a pytest replay
-    # for the rows-only genomics); rotate into the window in round 4
+    # --- 28 hash-checkable, never driver-witnessed (rounds 1–3) ---
     "q43_tpch_q18",
-    "m05_audio_frames",
-    "p11_zorder_layout",
-    "g22_roh_runs",
     "q44_scd2_dimension",
     "q45_funnel_steps",
-    "d12_keep_best",
-    "s07_knn_graph",
     "q46_resample_ffill",
     "q47_tpch_q21",
     "q48_cdc_upsert",
+    "q49_bag_setops",
+    "q50_scalar_subquery",
+    "t13_bm25",
+    "t14_bigram_surprisal",
+    "t15_fuzzy_join",
+    "p07_deterministic_shuffle",
+    "p08_domain_cap",
+    "p09_skew_audit",
+    "p10_corpus_pipeline_v2",
+    "p11_zorder_layout",
+    "p12_leakage_safe_split",
+    "d11_paragraph_dedup",
+    "d12_keep_best",
+    "m04_phash_neardup",
+    "m05_audio_frames",
+    "m06_scene_cuts",
+    "s06_ann_sq8",
+    "s07_knn_graph",
+    "st08_stream_ingest_dedup",
+    "g16_interval_merge",
+    "g17_interval_subtract",
+    "g18_interval_closest",
+    # --- 13 rows-only genomics, never driver-witnessed (pytest-oracled) ---
+    "g09_mark_duplicates",
+    "g10_flagstat",
+    "g11_cycle_quality",
+    "g12_tstv",
+    "g13_region_depth",
+    "g14_multiallelic_split",
+    "g15_idxstats",
+    "g19_gc_windows",
+    "g20_kmer_spectrum",
+    "g21_cpg_islands",
+    "g22_roh_runs",
     "g23_bcf_stats",
     "g24_bam_to_fastq",
-    "q49_bag_setops",
-    "m06_scene_cuts",
-    "q50_scalar_subquery",
-    "p12_leakage_safe_split",
-    "t15_fuzzy_join",
+    # --- 9 re-witnesses: plans changed this round or bench-drift checks ---
+    "d07_dup_clusters",
+    "d03_minhash_lsh",
+    "d04_ngram_jaccard",
+    "d06_simhash",
+    "d08_dup_span_coverage",
+    "q01_scan_project",
+    "q02_filter",
+    "q03_range_predicate",
+    "q04_inner_join",
 ]
 
 
