@@ -71,8 +71,42 @@ _FLOAT_EOV_BITS = 0x7F800002
 
 
 # --------------------------------------------------------------- header context
+def _hdr_attrs(body: str) -> dict[str, str]:
+    """Parse the ``k=v,k=v`` body of a ``##X=<...>`` header line into a dict,
+    splitting on commas OUTSIDE double quotes (Description values legally
+    contain commas and even ``ID=`` lookalikes)."""
+    attrs: dict[str, str] = {}
+    key, buf, in_q, reading_key = "", "", False, True
+    for ch in body + ",":
+        if in_q:
+            buf += ch
+            if ch == '"':
+                in_q = False
+        elif ch == '"':
+            buf += ch
+            in_q = True
+        elif reading_key and ch == "=":
+            key, buf, reading_key = buf, "", False
+        elif ch == "," and not reading_key:
+            attrs[key] = buf.strip('"')
+            key, buf, reading_key = "", "", True
+        elif ch == "," and reading_key:
+            buf, reading_key = "", True
+        else:
+            buf += ch
+    return attrs
+
+
 class BcfContext:
-    """Dictionaries + type declarations derived from the header text."""
+    """Dictionaries + type declarations derived from the header text.
+
+    Dictionary construction follows BCFv2.2 §6.2.1: when header lines carry
+    explicit ``IDX=`` attributes (bcftools emits them, e.g. after header
+    subsetting) the string/contig dictionaries are built FROM those indices;
+    otherwise the implicit first-appearance order applies ("PASS" at 0,
+    then FILTER/INFO/FORMAT IDs in order; contigs in ##contig order).
+    Mixing indexed and unindexed lines within a dictionary is rejected —
+    the spec requires IDX on all lines once any line has it."""
 
     def __init__(self, header_text: str):
         from ..operators.variants import parse_declarations
@@ -80,28 +114,40 @@ class BcfContext:
         if not header_text.endswith("\n"):
             header_text += "\n"
         self.header_text = header_text
-        self.contigs: list[str] = []
-        strings: list[str] = ["PASS"]
+        contig_entries: list[tuple[str, int | None]] = []
+        string_entries: list[tuple[str, int | None]] = [("PASS", None)]
         seen = {"PASS"}
         for line in header_text.splitlines():
             if line.startswith("##contig=<"):
-                body = line[len("##contig=<") : -1]
-                for part in body.split(","):
-                    if part.startswith("ID="):
-                        self.contigs.append(part[3:])
-                        break
+                attrs = _hdr_attrs(line[len("##contig=<") : -1].rstrip(">"))
+                if "ID" in attrs:
+                    idx = int(attrs["IDX"]) if "IDX" in attrs else None
+                    contig_entries.append((attrs["ID"], idx))
             elif line.startswith(("##FILTER=<", "##INFO=<", "##FORMAT=<")):
-                body = line.split("<", 1)[1]
-                for part in body.split(","):
-                    if part.startswith("ID="):
-                        i = part[3:].rstrip(">")
-                        if i not in seen:
-                            seen.add(i)
-                            strings.append(i)
-                        break
-        self.strings = strings
-        self.string_idx = {s: i for i, s in enumerate(strings)}
-        self.contig_idx = {c: i for i, c in enumerate(self.contigs)}
+                attrs = _hdr_attrs(line.split("<", 1)[1].rstrip(">"))
+                i = attrs.get("ID")
+                if i is None:
+                    continue
+                idx = int(attrs["IDX"]) if "IDX" in attrs else None
+                if i == "PASS":
+                    # an explicit FILTER=<ID=PASS,IDX=n> pins PASS's slot
+                    string_entries[0] = ("PASS", idx)
+                elif i not in seen:
+                    seen.add(i)
+                    string_entries.append((i, idx))
+                elif idx is not None:
+                    # same ID re-declared (INFO + FORMAT share a slot):
+                    # conflicting IDX values would corrupt every decode
+                    prev = next(e for e in string_entries if e[0] == i)
+                    if prev[1] is not None and prev[1] != idx:
+                        raise ValueError(
+                            f"BCF header: conflicting IDX for {i!r}: "
+                            f"{prev[1]} vs {idx}"
+                        )
+        self.contigs = _build_dict(contig_entries, "contig")
+        self.strings = _build_dict(string_entries, "string")
+        self.string_idx = {s: i for i, s in enumerate(self.strings) if s is not None}
+        self.contig_idx = {c: i for i, c in enumerate(self.contigs) if c is not None}
         self.info_types = parse_declarations(header_text, "INFO")
         self.fmt_types = parse_declarations(header_text, "FORMAT")
         chrom = next(
@@ -109,6 +155,36 @@ class BcfContext:
         )
         cols = chrom.split("\t")
         self.samples = cols[9:] if len(cols) > 9 else []
+
+
+def _build_dict(entries: list[tuple[str, int | None]], kind: str) -> list:
+    """First-appearance order when no entry carries IDX; explicit placement
+    when all do.  PASS's implicit slot 0 coexists with indexed FILTER lines
+    only if nothing else claims index 0."""
+    explicit = [(n, i) for n, i in entries if i is not None]
+    if not explicit:
+        return [n for n, _ in entries]
+    implicit = [
+        (n, i) for n, i in entries if i is None and not (kind == "string" and n == "PASS")
+    ]
+    if implicit:
+        raise ValueError(
+            f"BCF header: {kind} dictionary mixes IDX= and non-IDX lines "
+            f"(first unindexed: {implicit[0][0]!r}); the spec requires IDX "
+            "on every line once any line carries it"
+        )
+    size = max(i for _n, i in explicit) + 1
+    out: list = [None] * size
+    for n, i in explicit:
+        if out[i] is not None and out[i] != n:
+            raise ValueError(
+                f"BCF header: duplicate {kind} IDX {i}: {out[i]!r} vs {n!r}"
+            )
+        out[i] = n
+    if kind == "string" and all(i != 0 for _n, i in explicit):
+        # PASS keeps its spec-guaranteed slot 0 when not explicitly indexed
+        out[0] = "PASS"
+    return out
 
 
 # --------------------------------------------------------------- typed encoders
@@ -194,10 +270,14 @@ def _encode_gt_vec(gts: list[str | None]) -> bytes:
                 ]
             )
     width = max(len(p) for p in per)
+    # int width from the largest encoded value: >62 ALT alleles legally
+    # overflows int8 ((allele+1)<<1|phase > 127) and the spec then requires
+    # int16/int32 GT vectors (mirrored by the type-aware decoder)
+    w = _int_width([v for p in per for v in p] or [0])
     vals: list[int] = []
     for p in per:
-        vals.extend(p + [_INT_EOV[1]] * (width - len(p)))
-    return _desc(_INT8, width) + struct.pack(f"<{len(vals)}b", *vals)
+        vals.extend(p + [_INT_EOV[w]] * (width - len(p)))
+    return _desc(w, width) + b"".join(struct.pack(_INT_FMT[w], v) for v in vals)
 
 
 def _gt_val(allele: int | None, phased: bool) -> int:
@@ -322,9 +402,15 @@ def encode_record(row: dict, ctx: BcfContext) -> bytes:
                     out += struct.pack("<I", _FLOAT_EOV_BITS)
             indiv += out
         else:
-            raise NotImplementedError(
-                f"FORMAT {k} of type {vtype}: BCF per-sample strings other "
-                "than GT are not supported by this codec yet"
+            # per-sample String/Character (e.g. bcftools' FT): one char
+            # vector of fixed width per sample, NUL-padded, '.' = missing
+            # (htslib convention) — decode-side twin strips the padding
+            encoded = [
+                ("." if v in (None, "") else str(v)).encode() for v in per_sample
+            ]
+            width = max((len(b) for b in encoded), default=1) or 1
+            indiv += _desc(_CHAR, width) + b"".join(
+                b.ljust(width, b"\x00") for b in encoded
             )
 
     return (
@@ -405,12 +491,16 @@ def _floats_to_str(bits: list[int]) -> str | None:
     return ",".join(parts)
 
 
-def _gt_to_str(vals: list[int]) -> str | None:
+def _gt_to_str(t: int, vals: list[int]) -> str | None:
+    """Type-aware: int16/int32 GT vectors (>62 ALT alleles, or bcftools
+    output) use their OWN type's END_OF_VECTOR/MISSING sentinels — matching
+    on the int8 sentinels alone turns padding into spurious '/.' alleles."""
+    eov, miss = _INT_EOV[t], _INT_MISSING[t]
     out = ""
     for i, v in enumerate(vals):
-        if v == _INT_EOV[1]:
+        if v == eov:
             break
-        a = (v >> 1) - 1
+        a = -1 if v == miss else (v >> 1) - 1
         tok = "." if a < 0 else str(a)
         out += tok if i == 0 else (("|" if v & 1 else "/") + tok)
     # a lone missing allele is the encoder's placeholder for "sample has no
@@ -483,7 +573,13 @@ def decode_record(r: _Reader, ctx: BcfContext) -> dict:
                 ]
                 r.o += 4 * width
                 sval = _floats_to_str(bits)
-            else:
+            elif t == _CHAR:
+                # per-sample string: `width` bytes, NUL-padded (spec §6.2.1
+                # / htslib bcf_str_vector_end); '.' = missing
+                raw_s = r.d[r.o : r.o + width].rstrip(b"\x00").decode()
+                r.o += width
+                sval = None if raw_s in ("", ".") else raw_s
+            elif t in _INT_FMT:
                 w = 1 if t == _INT8 else 2 if t == _INT16 else 4
                 raw = [
                     struct.unpack_from(_INT_FMT[t], r.d, r.o + w * j)[0]
@@ -491,9 +587,13 @@ def decode_record(r: _Reader, ctx: BcfContext) -> dict:
                 ]
                 r.o += w * width
                 if key == "GT":
-                    sval = _gt_to_str(raw)
+                    sval = _gt_to_str(t, raw)
                 else:
                     sval = _ints_to_str(t, raw)
+            else:
+                raise ValueError(
+                    f"BCF FORMAT {key}: unsupported typed-value type id {t}"
+                )
             if sval is not None:
                 genotypes[si]["attrs"][key] = sval
                 if key == "GT":
@@ -548,6 +648,8 @@ class BcfSource:
 
         fs = get_fs(path)
         files = list_data_files(fs, str(path))
+        if not files:
+            raise FileNotFoundError(f"no BCF data files under {path}")
         schema = _variants_schema()
 
         def meta_for(f: str):
@@ -640,9 +742,34 @@ class BcfSource:
                         r = _Reader(head + payload, 0)
                         yield decode_record(r, ctx)
 
-        return rows_to_dataframe(
-            spark, tasks, read_task, VARIANTS_COLUMNS, schema
-        )
+        df = rows_to_dataframe(spark, tasks, read_task, VARIANTS_COLUMNS, schema)
+        if intervals is not None:
+            # residual overlap filter: index-chunk pruning alone returns a
+            # candidate SUPERSET; apply the same variant_end/interval_filter
+            # residual VcfSource.read applies, so both sources share one
+            # exact-match contract for the `intervals` parameter
+            from pyspark.sql import functions as F
+
+            from ..operators.interval import interval_filter
+            from .vcf import VARIANTS_COLUMNS as _VC, variant_end
+
+            iv_df = spark.createDataFrame(
+                list(intervals), "contig string, start long, end long"
+            )
+            spanned = df.withColumn(
+                "end_", variant_end(F.col("info"), F.col("pos"), F.col("ref"))
+            )
+            df = (
+                interval_filter(
+                    spanned.withColumnRenamed("pos", "start").withColumnRenamed(
+                        "end_", "end"
+                    ),
+                    iv_df,
+                )
+                .withColumnRenamed("start", "pos")
+                .select(*_VC)
+            )
+        return df
 
 
 def _decompress(path: str) -> bytes:

@@ -163,6 +163,8 @@ class FastqSource:
 
         fs = get_fs(path)
         files = list_data_files(fs, str(path))
+        if not files:
+            raise FileNotFoundError(f"no FASTQ data files under {path}")
 
         def meta_for(f: str) -> tuple[str, int, bool]:
             with fs.open_input(f) as fh:
@@ -181,6 +183,7 @@ class FastqSource:
                     for s in range(0, flen, split_size)
                 )
         if not ranges:
+            # every file is zero bytes: one empty task keeps the schema
             ranges = [(files[0], 0, 0, False)]
 
         def read_range(task):

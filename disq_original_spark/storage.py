@@ -173,26 +173,9 @@ class VariantsStorage:
                     (r["contig"], int(r["start"]), int(r["end"]))
                     for r in intervals.select("contig", "start", "end").collect()
                 ]
-            df = BcfSource().read(self.spark, path, intervals=ivs)
-            if intervals is not None:
-                from pyspark.sql import functions as F
-
-                from .operators.interval import interval_filter
-                from .sources.vcf import VARIANTS_COLUMNS, variant_end
-
-                spanned = df.withColumn(
-                    "end_", variant_end(F.col("info"), F.col("pos"), F.col("ref"))
-                )
-                out = interval_filter(
-                    spanned.withColumnRenamed("pos", "start").withColumnRenamed(
-                        "end_", "end"
-                    ),
-                    intervals,
-                )
-                return out.withColumnRenamed("start", "pos").select(
-                    *VARIANTS_COLUMNS
-                )
-            return df
+            # BcfSource.read applies the residual overlap filter itself —
+            # same exact-match contract as VcfSource.read(intervals=...)
+            return BcfSource().read(self.spark, path, intervals=ivs)
         kw = {"split_size": self.split_size} if self.split_size else {}
         return VcfSource().read(
             self.spark, path, intervals=intervals, stringency=self.stringency, **kw

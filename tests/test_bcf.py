@@ -215,12 +215,12 @@ def test_write_time_csi_and_splittable_read(spark, tmp_path):
         assert sorted(r["pos"] for r in df.collect()) == truth, split
     # small splits genuinely parallelize
     assert BcfSource().read(spark, out, split_size=16 * 1024).rdd.getNumPartitions() > 5
-    # interval pruning: candidate superset, residual-filterable
+    # interval read: chunk pruning + residual overlap filter = EXACT
+    # matches, same contract as VcfSource.read(intervals=...)
     pruned = BcfSource().read(spark, out, intervals=[("chr1", 1, 100000)])
     got = {r["pos"] for r in pruned.collect()}
     true = {p for p in truth if p <= 100000}
-    assert true <= got
-    assert len(got) < len(truth) / 10  # actually pruned, not a full scan
+    assert got == true and len(true) > 0
 
 
 def test_storage_bcf_write_index_interval_parity(spark, tmp_path):
@@ -277,3 +277,124 @@ def test_sharded_bcf_round_trip_with_indexes(spark, tmp_path):
         r["pos"] for r in VcfSource().read(spark, HISEQ, intervals=iv).collect()
     )
     assert got == want and len(got) > 0
+
+
+def _codec_round_trip(rec, ctx):
+    from disq_original_spark.sources.bcf import _Reader, decode_record
+
+    return decode_record(_Reader(encode_record(rec, ctx), 0), ctx)
+
+
+_SAMPLED_HEADER = (
+    "##fileformat=VCFv4.3\n"
+    "##contig=<ID=c1,length=100>\n"
+    '##FILTER=<ID=q10,Description="q">\n'
+    '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">\n'
+    '##FORMAT=<ID=FT,Number=1,Type=String,Description="per-sample filter">\n'
+    '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="depth">\n'
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3\n"
+)
+
+
+def test_char_format_round_trip():
+    """Spec-valid char-typed per-sample fields (bcftools' FT, Type=String)
+    must encode as NUL-padded char vectors and decode back — mixed lengths,
+    '.' missing, alongside GT and an int field (ADVICE r3: previously
+    KeyError: 7 on decode, NotImplementedError on encode)."""
+    ctx = BcfContext(_SAMPLED_HEADER)
+    rec = {
+        "contig": "c1", "pos": 5, "id": None, "ref": "A", "alts": ["T"],
+        "qual": None, "filters": [], "info": {},
+        "genotypes": [
+            {"sample": "S1", "gt": "0/1", "attrs": {"GT": "0/1", "FT": "PASS", "DP": "7"}},
+            {"sample": "S2", "gt": "1|1", "attrs": {"GT": "1|1", "FT": "q10;lowDP"}},
+            {"sample": "S3", "gt": None, "attrs": {"FT": "."}},
+        ],
+    }
+    back = _codec_round_trip(rec, ctx)
+    attrs = {g["sample"]: g["attrs"] for g in back["genotypes"]}
+    assert attrs["S1"] == {"GT": "0/1", "FT": "PASS", "DP": "7"}
+    assert attrs["S2"] == {"GT": "1|1", "FT": "q10;lowDP"}
+    assert "FT" not in attrs["S3"]  # '.' = missing, omitted like int/float
+
+
+def test_gt_int16_many_alts():
+    """>62 ALT alleles legally pushes (allele+1)<<1|phase past int8; the
+    encoder must widen to int16 and the decoder must use int16 sentinels
+    (ADVICE r3: int8-only encode raised struct.error, decode turned int16
+    padding into spurious '/.' alleles)."""
+    alts = [f"{'A' * (i + 2)}" for i in range(70)]
+    ctx = BcfContext(_SAMPLED_HEADER)
+    rec = {
+        "contig": "c1", "pos": 9, "id": None, "ref": "A", "alts": alts,
+        "qual": None, "filters": None, "info": {},
+        "genotypes": [
+            {"sample": "S1", "gt": "0/70", "attrs": {"GT": "0/70"}},
+            {"sample": "S2", "gt": "70|70", "attrs": {"GT": "70|70"}},
+            {"sample": "S3", "gt": "0", "attrs": {"GT": "0"}},  # haploid: EOV pad
+        ],
+    }
+    back = _codec_round_trip(rec, ctx)
+    gts = {g["sample"]: g["gt"] for g in back["genotypes"]}
+    assert gts == {"S1": "0/70", "S2": "70|70", "S3": "0"}
+    assert back["alts"] == alts
+
+
+_IDX_HEADER = (
+    "##fileformat=VCFv4.3\n"
+    '##FILTER=<ID=PASS,Description="p",IDX=0>\n'
+    "##contig=<ID=c2,length=50,IDX=1>\n"
+    "##contig=<ID=c1,length=100,IDX=0>\n"
+    '##INFO=<ID=DP,Number=1,Type=Integer,Description="d",IDX=3>\n'
+    '##FILTER=<ID=q10,Description="a,b ID=fake, IDX=9 inside quotes",IDX=1>\n'
+    '##FORMAT=<ID=GT,Number=1,Type=String,Description="g",IDX=2>\n'
+    "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\n"
+)
+
+
+def test_header_idx_dictionaries():
+    """IDX= attributes (bcftools emits them after header subsetting) must
+    define the string/contig dictionaries — not first-appearance order
+    (ADVICE r3: ignoring IDX silently decodes wrong FILTER/INFO/FORMAT
+    mappings).  Quoted Descriptions with commas and ID=/IDX= lookalikes
+    must not confuse the parser."""
+    ctx = BcfContext(_IDX_HEADER)
+    assert ctx.strings == ["PASS", "q10", "GT", "DP"]
+    assert ctx.contigs == ["c1", "c2"]
+    rec = {
+        "contig": "c2", "pos": 3, "id": None, "ref": "G", "alts": ["C"],
+        "qual": None, "filters": ["q10"], "info": {"DP": "4"},
+        "genotypes": [{"sample": "S1", "gt": "0|1", "attrs": {"GT": "0|1"}}],
+    }
+    back = _codec_round_trip(rec, ctx)
+    assert back["contig"] == "c2"
+    assert back["filters"] == ["q10"]
+    assert back["info"] == {"DP": "4"}
+    assert back["genotypes"][0]["gt"] == "0|1"
+
+
+def test_header_mixed_idx_rejected():
+    """Once any dictionary line carries IDX, the spec requires all of them
+    to — a mix would corrupt every decode, so fail fast."""
+    hdr = (
+        "##fileformat=VCFv4.3\n"
+        "##contig=<ID=c1,length=100>\n"
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="d",IDX=1>\n'
+        '##FILTER=<ID=q10,Description="q">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    )
+    with pytest.raises(ValueError, match="mixes IDX"):
+        BcfContext(hdr)
+
+
+def test_empty_dir_raises(spark, tmp_path):
+    """An empty input directory must fail with a clear error, not
+    IndexError on files[0] (ADVICE r3) — BCF and FASTQ both."""
+    from disq_original_spark.sources.fastq import FastqSource
+
+    d = tmp_path / "empty"
+    d.mkdir()
+    with pytest.raises(FileNotFoundError, match="no BCF data files"):
+        BcfSource().read(spark, str(d))
+    with pytest.raises(FileNotFoundError, match="no FASTQ data files"):
+        FastqSource().read(spark, str(d))
