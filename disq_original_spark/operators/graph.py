@@ -1,0 +1,94 @@
+"""Distributed connected components: alternating large-star / small-star.
+
+Public algorithm: Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+"Connected Components in MapReduce and Beyond" (SoCC 2014).  Each round is
+two grouped-min shuffles over the (slim, two-long-column) edge list and
+provably converges in O(log n) rounds — unlike min-label propagation, whose
+round count is the component DIAMETER: a 100 TB corpus with chained
+near-dups (A~B~C~...) can have paths thousands of hops long, while
+large-star/small-star halves them every round.
+
+No counterpart in the reference (tomwhite/disq-original has no graph
+operators); this backs the dedup pipeline's cluster-assignment step (d07).
+
+Scale shape: the edge list stays in its canonical (big, small) direction,
+every shuffle carries exactly two longs, each round is localCheckpoint'ed
+so lineage stays flat, and the only driver-side values are the per-round
+convergence counters (two scalar aggregates) — never the labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "a_id", b: str = "b_id", max_iters: int = 30
+) -> tuple[DataFrame, int]:
+    """Labels every node of the undirected graph given by ``pairs`` with the
+    MINIMUM node id of its component (matching the recursive-closure oracle).
+
+    Returns ``(labels, rounds)`` where labels has columns (node, label) and
+    ``rounds`` is the number of large-star+small-star rounds executed.
+    Raises RuntimeError if ``max_iters`` rounds do not reach the star-graph
+    fixed point — loud, never a silent unconverged result (O(log n) bound
+    means hitting 30 implies a bug or an adversarial input, not bad luck).
+    """
+    # canonical direction big -> small; self-loops dropped
+    edges = (
+        pairs.select(
+            F.greatest(F.col(a), F.col(b)).alias("u"),
+            F.least(F.col(a), F.col(b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # large-star: over SYMMETRIC neighborhoods N(u), connect every
+        # strictly-larger neighbor v > u to m = min(N(u) ∪ {u})
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmin = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        large = (
+            sym.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: edges already point big -> small, so N(u) here are the
+        # strictly-smaller neighbors; connect them (and u) to their min m
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(smin, "u")
+        small = (
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(joined.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixed point = star graphs: the edge set stopped changing
+        # (both sides are distinct, so subset + equal count ⇒ equal)
+        n_new = small.count()
+        if n_new == edges.count() and small.exceptAll(edges).isEmpty():
+            edges = small
+            break
+        edges = small
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(O(log n) expected); refusing to return unconverged labels"
+        )
+    # stars: every non-root is a leaf (u, root); roots appear only as v
+    leaves = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
+    roots = (
+        edges.select(F.col("v").alias("node"))
+        .distinct()
+        .join(leaves.select("node"), "node", "left_anti")
+        .withColumn("label", F.col("node"))
+    )
+    return leaves.unionByName(roots), rounds
