@@ -82,16 +82,17 @@ _PRIORITY = [
     "g22_roh_runs",
     "g23_bcf_stats",
     "g24_bam_to_fastq",
-    # --- 9 re-witnesses: plans changed this round or bench-drift checks ---
+    # --- 3 new round-4 audit queries (first witness) ---
+    "s08_graph_bucket_audit",
+    "d13_lsh_bucket_audit",
+    "t16_blocking_audit",
+    # --- 6 re-witnesses: plans changed this round or bench-drift checks ---
     "d07_dup_clusters",
     "d03_minhash_lsh",
     "d04_ngram_jaccard",
     "d06_simhash",
     "d08_dup_span_coverage",
     "q01_scan_project",
-    "q02_filter",
-    "q03_range_predicate",
-    "q04_inner_join",
 ]
 
 

@@ -21,8 +21,9 @@ Scale design notes (the whole point of these):
 - **Embedding near-dup** (d05): label-blocked cosine join (blocking key stands
   in for an IVF/LSH bucket id at scale).
 - **Cluster assignment** (d07): connected components over the LSH candidate
-  graph by min-label propagation — O(diameter) iterations, one hash-join
-  shuffle each, labels checkpointed so lineage stays flat.
+  graph by alternating large-star/small-star (operators/graph.py) — O(log n)
+  rounds, two slim two-column shuffles each, edges checkpointed so lineage
+  stays flat, loud failure instead of silently-unconverged labels.
 
 Every query has a DuckDB oracle computing the *identical* deterministic
 expression (seeded md5 minhash uses lexicographic-min over fixed-width hex,
@@ -193,7 +194,7 @@ def _band_rows(sig: DataFrame) -> DataFrame:
     f"self-join, and buckets larger than {_BUCKET_CAP} docs are dropped "
     "outright (boilerplate guard — the skew bound that keeps worst-case "
     "pair expansion constant per bucket at corpus scale; mirrored in the "
-    "oracle's HAVING).",
+    "oracle's HAVING; truncation observable via d13_lsh_bucket_audit).",
 )
 def d03(spark: SparkSession, sf: str) -> DataFrame:
     bands = _band_rows(_doc_signatures(spark, sf))
@@ -941,4 +942,47 @@ def d12(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("rnk") == 1).alias("keep"),
         )
         .orderBy("cluster_id", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------- d13 bucket audit
+@query(
+    "d13_lsh_bucket_audit",
+    f"""WITH sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM documents),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        hashed AS (SELECT doc_id, md5('a:' || s) AS h0, md5('b:' || s) AS h1 FROM ex),
+        sig AS (SELECT doc_id, {_SIG_AGG_SQL} FROM hashed GROUP BY doc_id),
+        bands AS ({_BANDS_SQL}),
+        sz AS (SELECT band_idx, band_key, count(*) AS n FROM bands
+               GROUP BY band_idx, band_key)
+        SELECT count(*) AS buckets_total,
+               CAST(coalesce(sum(CASE WHEN n > {_BUCKET_CAP} THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS buckets_dropped,
+               CAST(coalesce(sum(CASE WHEN n > {_BUCKET_CAP} THEN n ELSE 0 END), 0)
+                    AS BIGINT) AS postings_dropped,
+               CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS buckets_singleton
+        FROM sz""",
+    doc="Truncation audit for the MinHash-LSH family (d03/d07/d09/d12, all "
+    f"sharing the band postings + cap={_BUCKET_CAP} skew guard): how many "
+    "band buckets exceed the cap — i.e. candidate pairs silently never "
+    "generated — and how many postings they hold, plus singleton buckets "
+    "(docs whose band matched nothing).  The 'no silent caps' principle: "
+    "run beside the dedup pass and alert when postings_dropped is "
+    "material, then raise band bits rather than the cap.  Same signature "
+    "scan as d03; the audit itself is one slim (band, key) partial agg.",
+)
+def d13(spark: SparkSession, sf: str) -> DataFrame:
+    bands = _band_rows(_doc_signatures(spark, sf))
+    sz = bands.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("n"))
+    over = F.col("n") > _BUCKET_CAP
+    return sz.agg(
+        F.count(F.lit(1)).alias("buckets_total"),
+        F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("buckets_dropped"),
+        F.coalesce(
+            F.sum(F.when(over, F.col("n")).otherwise(F.lit(0))), F.lit(0)
+        ).alias("postings_dropped"),
+        F.coalesce(F.sum((F.col("n") == 1).cast("long")), F.lit(0)).alias(
+            "buckets_singleton"
+        ),
     )

@@ -716,7 +716,8 @@ _GRAPH_CAP = 512  # skew guard: drop LSH buckets larger than this (as d03)
     "Scale shape: the all-pairs product shrinks to a self equi-join on "
     "bucket id; buckets above the cap drop (mirrored in the oracle's "
     "HAVING, the d03 skew posture) so worst-case pair expansion is "
-    "cap²-bounded per bucket — in production the bucket-bit count scales "
+    "cap²-bounded per bucket (truncation observable via "
+    "s08_graph_bucket_audit) — in production the bucket-bit count scales "
     "with log2(n/target_bucket) to hold bucket sizes flat.  Scoring + "
     "ranking run as ONE per-bucket numpy gram matrix inside applyInPandas "
     "(the d05 shape; an interpreted HOF cosine over the pair expansion "
@@ -743,16 +744,19 @@ def s07(spark: SparkSession, sf: str) -> DataFrame:
         m /= np.linalg.norm(m, axis=1, keepdims=True)
         gram = np.round(m @ m.T, 4)  # round BEFORE ranking, as the oracle
         np.fill_diagonal(gram, -np.inf)
-        srcs, dsts, sims, ranks = [], [], [], []
-        k = min(_GRAPH_K, len(ids) - 1)
-        for i in range(len(ids)):
-            top = np.lexsort((ids, -gram[i]))[:k]  # cos desc, dst asc
-            srcs.extend([ids[i]] * k)
-            dsts.extend(ids[top])
-            sims.extend(gram[i][top])
-            ranks.extend(range(1, k + 1))
+        n = len(ids)
+        k = min(_GRAPH_K, n - 1)
+        # one vectorized stable argsort over the whole gram matrix: columns
+        # are already in ascending-id order, so stability IS the (cos desc,
+        # dst asc) tie-break — no per-row python loop
+        top = np.argsort(-gram, axis=1, kind="stable")[:, :k]
         return pd.DataFrame(
-            {"src": srcs, "dst": dsts, "cos_sim": sims, "rank": ranks}
+            {
+                "src": np.repeat(ids, k),
+                "dst": ids[top.ravel()],
+                "cos_sim": np.take_along_axis(gram, top, axis=1).ravel(),
+                "rank": np.tile(np.arange(1, k + 1), n),
+            }
         ).astype({"src": "int64", "dst": "int64", "cos_sim": "float64", "rank": "int32"})
 
     return (
@@ -760,4 +764,42 @@ def s07(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("bucket")
         .applyInPandas(bucket_topk, "src long, dst long, cos_sim double, rank int")
         .orderBy("src", "rank")
+    )
+
+
+# ---------------------------------------------------------------- s08 bucket audit
+@query(
+    "s08_graph_bucket_audit",
+    f"""WITH b AS (SELECT vec_id, {_BUCKET_SQL} AS bucket FROM embeddings),
+        sz AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket)
+        SELECT count(*) AS buckets_total,
+               CAST(coalesce(sum(CASE WHEN n > {_GRAPH_CAP} THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS buckets_dropped,
+               CAST(coalesce(sum(CASE WHEN n > {_GRAPH_CAP} THEN n ELSE 0 END), 0)
+                    AS BIGINT) AS vectors_dropped,
+               CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS buckets_singleton
+        FROM sz""",
+    doc="Truncation audit for the capped-bucket similarity operators "
+    "(s02/s07): how many sign-LSH buckets exceed the cap and how many "
+    f"vectors they contain (cap={_GRAPH_CAP}, s07's), plus singleton "
+    "buckets (vectors that can get no neighbors).  The 'no silent caps' "
+    "principle: at 100 TB an operator that drops over-cap buckets must "
+    "make the truncation observable — run the audit beside the operator "
+    "and alert when vectors_dropped is material.  One map-side partial "
+    "agg + a single-row final agg; cost is one scan of the bucket ids.",
+)
+def s08(spark: SparkSession, sf: str) -> DataFrame:
+    b = load_table(spark, sf, "embeddings").withColumn("bucket", _bucket_col())
+    sz = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    over = F.col("n") > _GRAPH_CAP
+    return sz.agg(
+        F.count(F.lit(1)).alias("buckets_total"),
+        F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("buckets_dropped"),
+        F.coalesce(
+            F.sum(F.when(over, F.col("n")).otherwise(F.lit(0))), F.lit(0)
+        ).alias("vectors_dropped"),
+        F.coalesce(F.sum((F.col("n") == 1).cast("long")), F.lit(0)).alias(
+            "buckets_singleton"
+        ),
     )

@@ -915,15 +915,48 @@ def t14(spark: SparkSession, sf: str) -> DataFrame:
 
 # ------------------------------------------------------------ t15 fuzzy join
 _T15_VARIANT_BASE = 2_000_000_000
+
+
+def _t15_gram_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """(id, key, q) q-gram blocking rows for the fuzzy join: truncated keys
+    plus the deterministic adjacent-swap 'typo' variants, exploded into
+    distinct 3-grams.  Shared by t15 (the join) and t16 (its audit)."""
+    d = load_wide(spark, sf, "documents").filter(F.length("text") >= _T15_KEYLEN)
+    orig = d.select(
+        F.col("doc_id").alias("id"),
+        F.substring("text", 1, _T15_KEYLEN).alias("key"),
+    )
+    swapped = F.concat(
+        F.substring("text", 1, 2),
+        F.substring("text", 4, 1),
+        F.substring("text", 3, 1),
+        F.substring("text", 5, _T15_KEYLEN - 4),
+    )
+    variants = d.filter(F.col("doc_id") % 15 == 0).select(
+        (F.col("doc_id") + _T15_VARIANT_BASE).alias("id"),
+        swapped.alias("key"),
+    )
+    k = orig.unionByName(variants)
+    return k.select(
+        "id",
+        "key",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(_T15_KEYLEN - _T15_QGRAM + 1)),
+                    lambda i: F.col("key").substr(i, F.lit(_T15_QGRAM)),
+                )
+            )
+        ).alias("q"),
+    )
 _T15_KEYLEN = 24  # the matched 'entity name' = first 24 chars of the doc
 _T15_QGRAM = 3
 _T15_DF_CAP = 64  # drop q-grams appearing in more keys (the d04 posture)
 _T15_MAX_DIST = 2
 
 
-@query(
-    "t15_fuzzy_join",
-    f"""WITH k AS (
+# shared k/g blocking CTEs (SQL twin of _t15_gram_rows) — used by t15 and t16
+_T15_BLOCK_CTE = f"""k AS (
           SELECT doc_id AS id, substr(text, 1, {_T15_KEYLEN}) AS key
           FROM documents WHERE length(text) >= {_T15_KEYLEN}
           UNION ALL
@@ -938,7 +971,12 @@ _T15_MAX_DIST = 2
                          generate_series(1, {_T15_KEYLEN - _T15_QGRAM + 1}),
                          qi -> substr(key, CAST(qi AS INTEGER), {_T15_QGRAM}))))
                        AS q
-              FROM k),
+              FROM k)"""
+
+
+@query(
+    "t15_fuzzy_join",
+    f"""WITH {_T15_BLOCK_CTE},
         keep AS (SELECT q FROM g GROUP BY q
                  HAVING count(*) BETWEEN 2 AND {_T15_DF_CAP}),
         cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id,
@@ -958,41 +996,13 @@ _T15_MAX_DIST = 2
     "widened with deterministic adjacent-swap 'typo' variants so true "
     "fuzzy pairs exist at every scale.\n\n"
     "Scale shape: blocking is explode → capped postings → pair expansion "
-    "bounded by C(cap,2) per gram — no all-pairs product anywhere; the "
+    "bounded by C(cap,2) per gram — no all-pairs product anywhere, "
+    "truncation observable via t16_blocking_audit; the "
     "confirm is a native codegen levenshtein over candidate pairs only.  "
     "This is how a billion-row customer table dedupes names in practice.",
 )
 def t15(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_wide(spark, sf, "documents").filter(
-        F.length("text") >= _T15_KEYLEN
-    )
-    orig = d.select(
-        F.col("doc_id").alias("id"),
-        F.substring("text", 1, _T15_KEYLEN).alias("key"),
-    )
-    swapped = F.concat(
-        F.substring("text", 1, 2),
-        F.substring("text", 4, 1),
-        F.substring("text", 3, 1),
-        F.substring("text", 5, _T15_KEYLEN - 4),
-    )
-    variants = d.filter(F.col("doc_id") % 15 == 0).select(
-        (F.col("doc_id") + _T15_VARIANT_BASE).alias("id"),
-        swapped.alias("key"),
-    )
-    k = orig.unionByName(variants)
-    grams = k.select(
-        "id",
-        "key",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.lit(_T15_KEYLEN - _T15_QGRAM + 1)),
-                    lambda i: F.col("key").substr(i, F.lit(_T15_QGRAM)),
-                )
-            )
-        ).alias("q"),
-    )
+    grams = _t15_gram_rows(spark, sf)
     keep = (
         grams.groupBy("q")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -1016,4 +1026,41 @@ def t15(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("dist") <= _T15_MAX_DIST)
         .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------- t16 blocking audit
+@query(
+    "t16_blocking_audit",
+    f"""WITH {_T15_BLOCK_CTE},
+        sz AS (SELECT q, count(*) AS n FROM g GROUP BY q)
+        SELECT count(*) AS grams_total,
+               CAST(coalesce(sum(CASE WHEN n > {_T15_DF_CAP} THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS grams_dropped,
+               CAST(coalesce(sum(CASE WHEN n > {_T15_DF_CAP} THEN n ELSE 0 END), 0)
+                    AS BIGINT) AS postings_dropped,
+               CAST(coalesce(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS grams_singleton
+        FROM sz""",
+    doc="Truncation audit for t15's q-gram blocking: how many grams exceed "
+    f"the document-frequency cap ({_T15_DF_CAP}) — i.e. blocking keys whose "
+    "candidate pairs are silently never generated — and how many postings "
+    "they carry, plus singleton grams (keys that can block with nothing).  "
+    "The 'no silent caps' principle: run beside the fuzzy join and alert "
+    "when postings_dropped grows; at 100 TB a stopword-like gram landing "
+    "over the cap is expected, a large postings_dropped share is not.  "
+    "Shares _t15_gram_rows; the audit is one slim (q) partial agg.",
+)
+def t16(spark: SparkSession, sf: str) -> DataFrame:
+    sz = _t15_gram_rows(spark, sf).groupBy("q").agg(F.count(F.lit(1)).alias("n"))
+    over = F.col("n") > _T15_DF_CAP
+    return sz.agg(
+        F.count(F.lit(1)).alias("grams_total"),
+        F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("grams_dropped"),
+        F.coalesce(
+            F.sum(F.when(over, F.col("n")).otherwise(F.lit(0))), F.lit(0)
+        ).alias("postings_dropped"),
+        F.coalesce(F.sum((F.col("n") == 1).cast("long")), F.lit(0)).alias(
+            "grams_singleton"
+        ),
     )
