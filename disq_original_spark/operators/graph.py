@@ -19,7 +19,7 @@ convergence counters (two scalar aggregates) — never the labels.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def connected_components(
@@ -44,40 +44,55 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+
+    def sig(df: DataFrame) -> tuple:
+        # one-job set fingerprint over the (already materialized, distinct)
+        # edge set: count + xxhash64 bit_xor (xor never overflows under
+        # ANSI mode and is exact on a duplicate-free set).  Fixed-point
+        # detection by fingerprint equality — a false positive needs a
+        # 64-bit collision between consecutive rounds (~2^-64); the
+        # oracle-matched labels and the convergence tests pin the behavior.
+        r = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (r["n"], r["h"])
+
+    prev = sig(edges)
+    w = Window.partitionBy("u")
     rounds = 0
     for _ in range(max_iters):
         rounds += 1
         # large-star: over SYMMETRIC neighborhoods N(u), connect every
-        # strictly-larger neighbor v > u to m = min(N(u) ∪ {u})
+        # strictly-larger neighbor v > u to m = min(N(u) ∪ {u}).  The
+        # neighborhood min is a window over the partition key — ONE exchange
+        # per star instead of groupBy+join's two; duplicates are tolerated
+        # (small-star's window-min and the final distinct absorb them)
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        lmin = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
         large = (
-            sym.join(lmin, "u")
+            sym.withColumn("m", F.least(F.col("u"), F.min("v").over(w)))
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star: edges already point big -> small, so N(u) here are the
         # strictly-smaller neighbors; connect them (and u) to their min m
-        smin = large.groupBy("u").agg(F.min("v").alias("m"))
-        joined = large.join(smin, "u")
+        sm = large.withColumn("m", F.min("v").over(w))
         small = (
-            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(joined.select("u", F.col("m").alias("v")))
+            sm.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(sm.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            # lazy checkpoint: the sig() action below materializes it, so a
+            # round costs ONE job while lineage still resets every round
+            .localCheckpoint(eager=False)
         )
-        # fixed point = star graphs: the edge set stopped changing
-        # (both sides are distinct, so subset + equal count ⇒ equal)
-        n_new = small.count()
-        if n_new == edges.count() and small.exceptAll(edges).isEmpty():
-            edges = small
-            break
+        cur = sig(small)
         edges = small
+        if cur == prev:
+            break
+        prev = cur
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "

@@ -137,21 +137,30 @@ def _worker_cached_meta(path: str, file_len: int, first_container_off: int):
     return read_cram_meta_file(path)[0]
 
 
-def read_crai_offsets(crai_path: str | Path) -> list[int]:
-    """Container offsets from a .crai index (gzip text: seqid, start, span,
-    container-offset, slice-offset, slice-size) — the reference's indexed
-    path (`cram/CramSource.java:123-138`)."""
-    offsets = set()
+def read_crai_entries(crai_path: str | Path) -> list[tuple[int, int, int, int]]:
+    """``(seq_id, aln_start, aln_span, container_offset)`` rows from a
+    .crai index (gzip text: seqid, start, span, container-offset,
+    slice-offset, slice-size).  Multi-reference containers appear once per
+    reference, same offset."""
     import io
 
+    out = []
     with fs_open(str(crai_path)) as raw, io.TextIOWrapper(
         gzip.GzipFile(fileobj=raw)
     ) as fh:
         for line in fh:
             parts = line.split("\t")
             if len(parts) >= 4:
-                offsets.add(int(parts[3]))
-    return sorted(offsets)
+                out.append(
+                    (int(parts[0]), int(parts[1]), int(parts[2]), int(parts[3]))
+                )
+    return out
+
+
+def read_crai_offsets(crai_path: str | Path) -> list[int]:
+    """Container offsets from a .crai index — the reference's indexed
+    path (`cram/CramSource.java:123-138`)."""
+    return sorted({off for _sid, _s, _sp, off in read_crai_entries(crai_path)})
 
 
 def crai_entries_for_reads(reads, ref_index: dict[str, int]) -> list[tuple[int, int, int]]:
@@ -283,6 +292,8 @@ class CramSource:
         path: str,
         reference_path: str | None = None,
         split_size: int = 1 << 20,
+        intervals: DataFrame | None = None,
+        include_unplaced: bool = False,
     ) -> DataFrame:
         """Distributed CRAM read: splits snap to container boundaries
         (``plan_splits``); each task decodes its containers with the pure-
@@ -294,29 +305,89 @@ class CramSource:
         ``write_sharded`` output); per-file split planning fans out as a
         Spark job above the file-count threshold, and each task reads its
         own file's meta (CRAM shards carry their own compression headers,
-        unlike the BAM same-header shortcut)."""
+        unlike the BAM same-header shortcut).
+
+        ``intervals`` (a (contig, start, end) DataFrame, 1-based inclusive)
+        returns EXACT overlap matches, same contract as BamSource.read:
+        when a ``.crai`` sits beside a file its (seqid, start, span,
+        container-offset) entries prune planning to overlapping containers
+        before any IO, then the shared residual filter
+        (``operators/interval.residual_traversal``) exacts the result;
+        without an index the full scan is residual-filtered.
+        ``include_unplaced`` additionally keeps unmapped reads (crai
+        seq_id -1 containers are retained by the pruner)."""
         from .bam import READS_SCHEMA
         from .cram_codec import IndexedFasta, decode_container, read_cram_meta_file
         from .fsio import collect_metadata, list_data_files
+        from .headers import header_ref_and_rg_names
         from .sam import READS_COLUMNS
 
         fs = get_fs(str(path))
         files = list_data_files(fs, str(path))
+        iv_rows = (
+            [
+                (r["contig"], int(r["start"]), int(r["end"]))
+                for r in intervals.select("contig", "start", "end").collect()
+            ]
+            if intervals is not None
+            else None
+        )
 
         def meta_for(f: str):
+            """(file, flen, ((start, end), ...), first_container_offset)."""
             flen = fs.size(f)
-            return (f, flen, tuple(self.plan_splits(f, split_size, file_len=flen)))
+            crai = f + ".crai"
+            if iv_rows is not None and fs_exists(crai):
+                entries = read_crai_entries(crai)
+                offsets = sorted({off for _sid, _s, _sp, off in entries})
+                if not offsets:
+                    return (f, flen, (), 0)
+                meta, _ = read_cram_meta_file(f)
+                ref_names, _rg = header_ref_and_rg_names(meta.header_text)
+                ref_ids = {n: i for i, n in enumerate(ref_names)}
+                want: set[int] = set()
+                for sid, s0, sp, off in entries:
+                    if sid == -1:
+                        if include_unplaced:
+                            want.add(off)
+                    elif sp > 0 and any(
+                        ref_ids.get(c) == sid and s0 <= hi and s0 + sp - 1 >= lo
+                        for c, lo, hi in iv_rows
+                    ):
+                        want.add(off)
+                # contiguous runs of selected containers, cut at container
+                # starts once a task reaches ~split_size (record-aligned:
+                # every container body stays whole inside one task)
+                bounds = offsets + [flen]
+                rngs: list[list[int]] = []
+                for i, off in enumerate(offsets):
+                    if off not in want:
+                        continue
+                    end = bounds[i + 1]
+                    if (
+                        rngs
+                        and rngs[-1][1] == off
+                        and rngs[-1][1] - rngs[-1][0] < split_size
+                    ):
+                        rngs[-1][1] = end
+                    else:
+                        rngs.append([off, end])
+                return (f, flen, tuple((s, e) for s, e in rngs), offsets[0])
+            chunks = self.plan_splits(f, split_size, file_len=flen)
+            # extend each chunk to the next chunk's start (or EOF) so every
+            # container body is fully inside exactly one task's range
+            bounds = [c[0] for c in chunks] + [flen]
+            return (
+                f,
+                flen,
+                tuple((bounds[i], bounds[i + 1]) for i in range(len(chunks))),
+                bounds[0] if chunks else 0,
+            )
 
-        # extend each chunk to the next chunk's start (or EOF) so every
-        # container body is fully inside exactly one task's range
         ranges: list[tuple[str, int, int, int, int]] = []
         single_meta = None
-        for f, flen, chunks in collect_metadata(spark, files, meta_for):
-            bounds = [c[0] for c in chunks] + [flen]
-            ranges.extend(
-                (f, bounds[i], bounds[i + 1], flen, bounds[0])
-                for i in range(len(chunks))
-            )
+        for f, flen, rngs, first_off in collect_metadata(spark, files, meta_for):
+            ranges.extend((f, s, e, flen, first_off) for s, e in rngs)
         if not ranges:
             return spark.createDataFrame([], READS_SCHEMA)
         if len(files) == 1:
@@ -344,9 +415,14 @@ class CramSource:
 
         from .arrow_xfer import rows_to_dataframe
 
-        return rows_to_dataframe(
+        df = rows_to_dataframe(
             spark, ranges, decode_range, READS_COLUMNS, READS_SCHEMA
         )
+        if intervals is not None or include_unplaced:
+            from ..operators.interval import residual_traversal
+
+            df = residual_traversal(df, intervals, include_unplaced)
+        return df
 
 
 class CramSink:

@@ -84,12 +84,12 @@ class ReadsStorage:
                 stringency=self.stringency,
             )
         kw = {"split_size": self.split_size} if self.split_size else {}
-        df = CramSource().read(
-            self.spark, path, reference_path=self.reference_path, **kw
+        # CramSource prunes planning via the .crai and applies the shared
+        # residual itself — same exact-match contract as the BAM/SAM paths
+        return CramSource().read(
+            self.spark, path, reference_path=self.reference_path,
+            intervals=intervals, include_unplaced=include_unplaced, **kw,
         )
-        if intervals is not None or include_unplaced:
-            return _residual(df, intervals, include_unplaced)
-        return df
 
     def write(
         self, df: DataFrame, path: str, header: SamHeader, *, write_index: bool = False
@@ -124,14 +124,6 @@ class ReadsStorage:
                     df, header.text, path,
                     reference_path=self.reference_path, write_index=write_index,
                 )
-
-
-def _residual(
-    reads: DataFrame, intervals: DataFrame | None, include_unplaced: bool
-) -> DataFrame:
-    from .operators.interval import residual_traversal
-
-    return residual_traversal(reads, intervals, include_unplaced)
 
 
 class VariantsStorage:
