@@ -82,17 +82,18 @@ _PRIORITY = [
     "g22_roh_runs",
     "g23_bcf_stats",
     "g24_bam_to_fastq",
-    # --- 3 new round-4 audit queries (first witness) ---
+    # --- 4 new round-4 queries (first witness): truncation audits + the
+    # NN-Descent refinement round ---
     "s08_graph_bucket_audit",
     "d13_lsh_bucket_audit",
     "t16_blocking_audit",
-    # --- 6 re-witnesses: plans changed this round or bench-drift checks ---
+    "s09_nn_descent_round",
+    # --- 5 re-witnesses: plans changed this round or bench-drift checks ---
     "d07_dup_clusters",
     "d03_minhash_lsh",
     "d04_ngram_jaccard",
     "d06_simhash",
     "d08_dup_span_coverage",
-    "q01_scan_project",
 ]
 
 

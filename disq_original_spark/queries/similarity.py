@@ -687,10 +687,9 @@ def s06(spark: SparkSession, sf: str) -> DataFrame:
 _GRAPH_K = 3
 _GRAPH_CAP = 512  # skew guard: drop LSH buckets larger than this (as d03)
 
-
-@query(
-    "s07_knn_graph",
-    f"""WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+# s07's graph as a reusable CTE chain (ends in `ranked`) — shared with s09,
+# which refines this graph by one NN-Descent round
+_S07_GRAPH_CTE = f"""b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
         keep AS (SELECT bucket FROM b GROUP BY bucket
                  HAVING count(*) BETWEEN 2 AND {_GRAPH_CAP}),
         scored AS (
@@ -705,7 +704,12 @@ _GRAPH_CAP = 512  # skew guard: drop LSH buckets larger than this (as d03)
           SELECT src, dst, cos_sim,
                  row_number() OVER (PARTITION BY src
                                     ORDER BY cos_sim DESC, dst) AS rank
-          FROM scored)
+          FROM scored)"""
+
+
+@query(
+    "s07_knn_graph",
+    f"""WITH {_S07_GRAPH_CTE}
         SELECT src, dst, cos_sim, rank FROM ranked
         WHERE rank <= {_GRAPH_K} ORDER BY src, rank""",
     doc="Approximate kNN-graph construction: EVERY vector gets its top-3 "
@@ -803,3 +807,148 @@ def s08(spark: SparkSession, sf: str) -> DataFrame:
             "buckets_singleton"
         ),
     )
+
+
+# ---------------------------------------------------------------- s09 NN-Descent round
+@query(
+    "s09_nn_descent_round",
+    f"""WITH {_S07_GRAPH_CTE},
+        n AS (SELECT count(*) AS nv FROM embeddings),
+        g AS (SELECT src, dst FROM ranked WHERE rank <= {_GRAPH_K}
+              UNION
+              -- the paper's RANDOM initialization, made deterministic:
+              -- {_GRAPH_K} pseudo-random out-edges per vector let the
+              -- local-join explore ACROSS LSH buckets
+              SELECT e.vec_id AS src,
+                     (e.vec_id * 7919 + j * 104729) % n.nv AS dst
+              FROM embeddings e CROSS JOIN n
+              CROSS JOIN (SELECT unnest(range(1, {_GRAPH_K + 1})) AS j)
+              WHERE (e.vec_id * 7919 + j * 104729) % n.nv <> e.vec_id),
+        und AS (SELECT src, dst FROM g UNION SELECT dst, src FROM g),
+        two AS (SELECT x.src AS src, y.dst AS dst
+                FROM und x JOIN und y ON x.dst = y.src),
+        cand AS (SELECT DISTINCT src, dst FROM
+                   (SELECT src, dst FROM und UNION ALL SELECT src, dst FROM two)
+                 WHERE src <> dst),
+        rescored AS (
+          SELECT c.src, c.dst,
+                 round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])), 4)
+                   AS cos_sim
+          FROM cand c
+          JOIN embeddings a ON a.vec_id = c.src
+          JOIN embeddings e ON e.vec_id = c.dst),
+        reranked AS (
+          SELECT src, dst, cos_sim,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY cos_sim DESC, dst) AS rank
+          FROM rescored)
+        SELECT src, dst, cos_sim, rank FROM reranked
+        WHERE rank <= {_GRAPH_K} ORDER BY src, rank""",
+    doc="One NN-Descent refinement round (Dong, Moses, Li, WWW 2011): seed "
+    "graph = s07's bucketed kNN edges UNION the paper's random "
+    "initialization (made deterministic: 3 pseudo-random out-edges per "
+    "vector), then each vector's candidate set becomes its neighbors "
+    "UNION neighbors-of-neighbors in both directions (the local-join), "
+    "re-scored with exact cosine and re-ranked to top-3 — 'a neighbor of "
+    "a neighbor is likely a neighbor'.  The random edges are what let "
+    "refinement escape LSH bucket boundaries (an in-bucket-only seed's "
+    "2-hops stay in-bucket); recall strictly improves over s07's seed "
+    "graph (pinned in tests).  This is how graph-ANN indexes (NN-Descent, "
+    "HNSW-like construction) are built.\n\n"
+    "Scale shape: the 2-hop expansion is an equi-join of the SLIM edge "
+    "list with itself (≤ (4k)² candidate rows per vector, k=3 — bounded "
+    "by construction, no corpus self-join), then two hash joins fetch "
+    "embeddings by vec_id for the exact re-score, and per-src top-k runs "
+    "through the Partial+Final WindowGroupLimit pair so the rank exchange "
+    "carries at most k rows per src per partition.  Embeddings shuffle "
+    "O(candidates), not O(n²) — the honest cost of a local-join round, "
+    "and exactly how a production NN-Descent on 100 TB of vectors "
+    "iterates (each round one edge self-join + one gather).",
+)
+def s09(spark: SparkSession, sf: str) -> DataFrame:
+    e0 = load_table(spark, sf, "embeddings")
+    nv = e0.agg(F.count(F.lit(1)).alias("nv"))
+    rnd = (
+        e0.select("vec_id")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(1, _GRAPH_K + 1)])
+            ).alias("j"),
+            "nv",
+        )
+        .select(
+            F.col("vec_id").alias("src"),
+            ((F.col("vec_id") * 7919 + F.col("j") * 104729) % F.col("nv")).alias(
+                "dst"
+            ),
+        )
+        .where(F.col("src") != F.col("dst"))
+    )
+    g = s07(spark, sf).select("src", "dst").unionByName(rnd).distinct()
+    und = g.unionByName(
+        g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    two = (
+        und.alias("x")
+        .join(und.alias("y"), F.col("x.dst") == F.col("y.src"))
+        .select(F.col("x.src").alias("src"), F.col("y.dst").alias("dst"))
+    )
+    # cand is symmetric by construction (und is, so its 2-hops are):
+    # score each UNORDERED pair once, mirror afterwards — halves the
+    # cosine work with bit-identical values
+    up = (
+        und.unionByName(two)
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    # per-vector norms computed ONCE and joined in: cos = dot/(nu*nv) with
+    # the exact same fp expressions cosine_similarity evaluates per pair,
+    # so values (and the round-4 hash) are bit-identical at a third of the
+    # per-pair aggregate work
+    ad = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", ad.alias("ed"), nrm.alias("nrm")
+    )
+    a = e.select(
+        F.col("vec_id").alias("u"), F.col("ed").alias("ue"), F.col("nrm").alias("un")
+    )
+    b = e.select(
+        F.col("vec_id").alias("v"), F.col("ed").alias("ve"), F.col("nrm").alias("vn")
+    )
+    dot = F.aggregate(
+        F.zip_with("ue", "ve", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored_u = (
+        up.join(a, "u")
+        .join(b, "v")
+        .select(
+            "u", "v", F.round(dot / (F.col("un") * F.col("vn")), 4).alias("cos_sim")
+        )
+    )
+    rescored = scored_u.select(
+        F.col("u").alias("q_id"), F.col("v").alias("neighbor_id"), "cos_sim"
+    ).unionByName(
+        scored_u.select(
+            F.col("v").alias("q_id"), F.col("u").alias("neighbor_id"), "cos_sim"
+        )
+    )
+    out = _rank_topk(rescored, _GRAPH_K)
+    return out.select(
+        F.col("q_id").alias("src"),
+        F.col("neighbor_id").alias("dst"),
+        "cos_sim",
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("src", "rank")

@@ -995,31 +995,37 @@ _T15_BLOCK_CTE = f"""k AS (
     "on the gram, and the native levenshtein confirms.  The corpus is "
     "widened with deterministic adjacent-swap 'typo' variants so true "
     "fuzzy pairs exist at every scale.\n\n"
-    "Scale shape: blocking is explode → capped postings → pair expansion "
-    "bounded by C(cap,2) per gram — no all-pairs product anywhere, "
-    "truncation observable via t16_blocking_audit; the "
-    "confirm is a native codegen levenshtein over candidate pairs only.  "
-    "This is how a billion-row customer table dedupes names in practice.",
+    "Scale shape: the d04 postings-list posture taken all the way — ONE "
+    "gram pass groups (id, key) members per gram (one hash shuffle), the "
+    "2..cap filter and the pair expansion happen inside each capped "
+    "postings row (≤ C(cap,2) pairs per gram), so there is no self-join "
+    "and the corpus is scanned once per key variant instead of the "
+    "equi-join form's three gram subtrees; truncation observable via "
+    "t16_blocking_audit; the confirm is a native codegen levenshtein "
+    "over candidate pairs only.  This is how a billion-row customer "
+    "table dedupes names in practice.",
 )
 def t15(spark: SparkSession, sf: str) -> DataFrame:
     grams = _t15_gram_rows(spark, sf)
-    keep = (
+    inv = (
         grams.groupBy("q")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= _T15_DF_CAP))
-        .select("q")
+        .agg(F.sort_array(F.collect_list(F.struct("id", "key"))).alias("members"))
+        .filter((F.size("members") >= 2) & (F.size("members") <= _T15_DF_CAP))
     )
-    a = grams.join(F.broadcast(keep), "q").select(
-        "q", F.col("id").alias("a_id"), F.col("key").alias("ka")
-    )
-    b = grams.select("q", F.col("id").alias("b_id"), F.col("key").alias("kb"))
-    cand = (
-        a.join(b, (a["q"] == b["q"]) & (F.col("a_id") < F.col("b_id")))
-        .select("a_id", "b_id", "ka", "kb")
-        .distinct()
-    )
+    # members are id-sorted, so local expansion yields a_id < b_id directly
+    pairs = inv.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(members, (x, i) -> "
+                "transform(slice(members, i + 2, size(members)), "
+                "y -> struct(x.id AS a_id, y.id AS b_id, "
+                "x.key AS ka, y.key AS kb))))"
+            )
+        ).alias("p")
+    ).select("p.a_id", "p.b_id", "p.ka", "p.kb")
     return (
-        cand.select(
+        pairs.distinct()
+        .select(
             "a_id",
             "b_id",
             F.levenshtein("ka", "kb").alias("dist"),

@@ -452,3 +452,62 @@ def test_cram_datasource_reads_sharded_dir(spark, tmp_path):
         spark.read.format("cram").option("reference", FASTA).load(out)
     )
     assert back.count() == df.count()
+
+
+def test_interval_read_exact_and_pruned(spark):
+    """CramSource.read(intervals=...) must return exactly the brute-force
+    overlap set (crai container pruning + shared residual), same contract
+    as BamSource.read; without a .crai the residual alone must give the
+    same rows."""
+    from pyspark.sql import functions as F
+
+    from disq_original_spark.sources.sam import with_alignment_span
+
+    full = CramSource().read(spark, CRAM, reference_path=FASTA)
+    spanned = with_alignment_span(full)
+    lo, hi = 1, 300
+    expected = sorted(
+        r["qname"]
+        for r in spanned.filter(
+            (F.col("rname") == "chr7")
+            & (F.col("pos") <= hi)
+            & (F.col("end_pos") >= lo)
+        ).collect()
+    )
+    iv = spark.createDataFrame(
+        [("chr7", lo, hi)], "contig string, start long, end long"
+    )
+    for path in (CRAM, CRAM_NOIDX):
+        got = CramSource().read(spark, path, reference_path=FASTA, intervals=iv)
+        assert sorted(r["qname"] for r in got.collect()) == expected, path
+    assert len(expected) > 0
+
+
+def test_interval_read_prunes_planning(spark):
+    """With a .crai, an interval matching NO container must plan zero
+    decode tasks (observable as an empty result without touching record
+    data; the no-index file can only get there via the residual)."""
+    iv = spark.createDataFrame(
+        [("chr7", 10_000_000, 20_000_000)], "contig string, start long, end long"
+    )
+    assert CramSource().read(spark, CRAM, reference_path=FASTA, intervals=iv).count() == 0
+
+
+def test_interval_read_include_unplaced(spark):
+    """include_unplaced keeps unmapped-unplaced reads alongside interval
+    matches — the reference's TraversalParameters contract."""
+    from pyspark.sql import functions as F
+
+    full = CramSource().read(spark, CRAM, reference_path=FASTA)
+    n_unplaced = full.filter(
+        (F.col("flag").bitwiseAND(4) != 0)
+        & (F.col("rname").isNull() | (F.col("pos") == 0))
+    ).count()
+    iv = spark.createDataFrame(
+        [("chr7", 1, 300)], "contig string, start long, end long"
+    )
+    base = CramSource().read(spark, CRAM, reference_path=FASTA, intervals=iv).count()
+    both = CramSource().read(
+        spark, CRAM, reference_path=FASTA, intervals=iv, include_unplaced=True
+    ).count()
+    assert both == base + n_unplaced

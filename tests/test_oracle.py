@@ -195,3 +195,36 @@ def test_s06_sq8_recall_vs_exact_l2(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"SQ8 recall@10 collapsed: {recall:.2f}"
+
+
+def test_s09_nn_descent_improves_recall(spark, sf_dir):
+    """One NN-Descent round must not lose recall@3 vs the seed bucketed
+    graph (candidates are a superset re-ranked by the same metric) and on
+    this data must strictly recover at least one cross-bucket true
+    neighbor the LSH seed misses."""
+    import numpy as np
+
+    from disq_original_spark.tables import load_table
+
+    pdf = load_table(spark, sf_dir, "embeddings").toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    m = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    gram = m @ m.T
+    np.fill_diagonal(gram, -np.inf)
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in np.argsort(-gram[i], kind="stable")[:3]
+    }
+
+    def recall(name):
+        got = {
+            (r["src"], r["dst"])
+            for r in QUERIES[name].build(spark, sf_dir).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_seed, r_refined = recall("s07_knn_graph"), recall("s09_nn_descent_round")
+    assert r_refined >= r_seed
+    assert r_refined > r_seed  # at least one cross-bucket neighbor recovered

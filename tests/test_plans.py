@@ -594,3 +594,17 @@ def test_q49_bag_setops_no_join(spark, sf_dir):
     tree = plan.split("\n\n")[0]
     assert "Join" not in tree
     assert len(re.findall(r"hashpartitioning\(", plan)) <= 2
+
+
+def test_t15_postings_no_self_join(spark, sf_dir):
+    """Fuzzy-join blocking must be the postings-list shape: the gram
+    subtree is built ONCE (two parquet scans — original keys + typo
+    variants), the 2..cap filter and pair expansion live inside the
+    capped postings row, and there is NO join anywhere (the earlier
+    equi-join form built three gram subtrees and broadcast the whole
+    unfiltered gram set as the probe side — a 100 TB red flag)."""
+    tree = formatted_plan(QUERIES["t15_fuzzy_join"].build(spark, sf_dir)).split(
+        "\n\n"
+    )[0]
+    assert "Join" not in tree
+    assert tree.count("Scan parquet") == 2

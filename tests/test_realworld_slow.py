@@ -27,6 +27,7 @@ _SPLIT_SIZES = [5_000_003, 16 * _MB, 192 * _MB]
 
 _BAM_ROWS = int(os.environ.get("SPARK_GRAFT_SLOW_BAM_ROWS", "850000"))
 _VCF_ROWS = int(os.environ.get("SPARK_GRAFT_SLOW_VCF_ROWS", "1600000"))
+_CRAM_ROWS = int(os.environ.get("SPARK_GRAFT_SLOW_CRAM_ROWS", "780000"))
 _SEQ_LEN = 150
 
 _HEX_TO_ACGT = ("0123456789abcdef", "ACGTACGTACGTACGT")
@@ -42,26 +43,40 @@ def _hexpile(seed: str) -> str:
     return f"concat({parts})"
 
 
+def _synth_reads(spark, n_rows: int):
+    """(reads DataFrame, per-contig row count): 4 contigs, 25-base stride,
+    md5-derived (incompressible-ish) seq/qual — shared by the BAM and CRAM
+    fixtures so both formats see the same statistical regime."""
+    per = n_rows // 4
+    return (
+        spark.range(0, n_rows, 1, 8).selectExpr(
+            "concat('r', cast(id as string)) AS qname",
+            "cast(0 AS int) AS flag",
+            f"concat('chr', cast(1 + id div {per} AS string)) AS rname",
+            f"cast(1 + (id % {per}) * 25 AS bigint) AS pos",
+            "cast(60 AS int) AS mapq",
+            f"'{_SEQ_LEN}M' AS cigar",
+            "cast(NULL AS string) AS rnext",
+            "cast(0 AS bigint) AS pnext",
+            "cast(0 AS bigint) AS tlen",
+            # two hexpiles (256 chars) so seq/qual genuinely cover the
+            # 150M cigar — the CRAM feature diff walks all 150 bases
+            f"substr(translate(concat({_hexpile('s')}, {_hexpile('s2')}), "
+            f"'{_HEX_TO_ACGT[0]}', '{_HEX_TO_ACGT[1]}'), 1, {_SEQ_LEN}) AS seq",
+            f"substr(translate(concat({_hexpile('q')}, {_hexpile('q2')}), "
+            f"'{_HEX_TO_QUAL[0]}', '{_HEX_TO_QUAL[1]}'), 1, {_SEQ_LEN}) AS qual",
+            "map() AS attributes",
+        ),
+        per,
+    )
+
+
 @pytest.fixture(scope="module")
 def big_bam(spark, tmp_path_factory):
     from disq_original_spark.sources.bam import BamSink
     from disq_original_spark.sources.headers import SamHeader
 
-    per = _BAM_ROWS // 4
-    reads = spark.range(0, _BAM_ROWS, 1, 8).selectExpr(
-        "concat('r', cast(id as string)) AS qname",
-        "cast(0 AS int) AS flag",
-        f"concat('chr', cast(1 + id div {per} AS string)) AS rname",
-        f"cast(1 + (id % {per}) * 25 AS bigint) AS pos",
-        "cast(60 AS int) AS mapq",
-        f"'{_SEQ_LEN}M' AS cigar",
-        "cast(NULL AS string) AS rnext",
-        "cast(0 AS bigint) AS pnext",
-        "cast(0 AS bigint) AS tlen",
-        f"substr(translate({_hexpile('s')}, '{_HEX_TO_ACGT[0]}', '{_HEX_TO_ACGT[1]}'), 1, {_SEQ_LEN}) AS seq",
-        f"substr(translate({_hexpile('q')}, '{_HEX_TO_QUAL[0]}', '{_HEX_TO_QUAL[1]}'), 1, {_SEQ_LEN}) AS qual",
-        "map() AS attributes",
-    )
+    reads, per = _synth_reads(spark, _BAM_ROWS)
     max_pos = per * 25 + _SEQ_LEN + 10
     header = SamHeader.parse(
         "@HD\tVN:1.6\tSO:coordinate\n"
@@ -233,3 +248,100 @@ def test_mark_duplicates_at_scale(spark, big_bam):
         assert marked.filter("NOT is_duplicate").count() == n
     finally:
         marked.unpersist()
+
+
+@pytest.fixture(scope="module")
+def big_cram(spark, tmp_path_factory):
+    """>=100 MB CRAM written by the repo's own sink with a write-time .crai
+    (`RealWorldFilesIT.java:21-93` walks CRAM alongside BAM/SAM/VCF).  The
+    reference FASTA is all-'A', so every md5-derived base that is not 'A'
+    becomes a substitution feature — the features + verbatim quals keep the
+    containers incompressible-ish like a real mismatch-rich callset."""
+    from disq_original_spark.sources.cram import CramSink
+
+    reads, per = _synth_reads(spark, _CRAM_ROWS)
+    max_pos = per * 25 + _SEQ_LEN + 10
+    ref_dir = tmp_path_factory.mktemp("ref")
+    fasta = str(ref_dir / "ref.fa")
+    line = 70
+    with open(fasta, "w") as fh:
+        for i in range(1, 5):
+            fh.write(f">chr{i}\n")
+            for off in range(0, max_pos, line):
+                fh.write("A" * min(line, max_pos - off) + "\n")
+    with open(fasta + ".fai", "w") as fh:
+        offset = 0
+        for i in range(1, 5):
+            offset += len(f">chr{i}\n")
+            fh.write(f"chr{i}\t{max_pos}\t{offset}\t{line}\t{line + 1}\n")
+            offset += max_pos + (max_pos + line - 1) // line  # bases + newlines
+    header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
+        f"@SQ\tSN:chr{i}\tLN:{max_pos}\n" for i in range(1, 5)
+    )
+    out = str(tmp_path_factory.mktemp("realworld") / "big.cram")
+    CramSink().write(reads, header_text, out, reference_path=fasta, write_index=True)
+    if _CRAM_ROWS >= 780000:  # env knob may shrink the run for smoke tests
+        assert os.path.getsize(out) >= 100 * _MB, os.path.getsize(out)
+    assert os.path.exists(out + ".crai")
+    return out, fasta
+
+
+def test_cram_split_invariance_at_scale(spark, big_cram):
+    """Counts AND content checksums identical across three split sizes:
+    a container-boundary snap error or a dropped/duplicated container at
+    ANY of the ~hundreds of container boundaries changes the checksum."""
+    from disq_original_spark.sources.cram import CramSource
+
+    path, fasta = big_cram
+    sums = {
+        ss: _bam_checksum(
+            CramSource().read(spark, path, reference_path=fasta, split_size=ss)
+        )
+        for ss in _SPLIT_SIZES
+    }
+    base = sums[_SPLIT_SIZES[0]]
+    assert base["n"] == _CRAM_ROWS
+    for ss, s in sums.items():
+        assert tuple(s) == tuple(base), ss
+
+
+def test_cram_interval_parity_at_scale(spark, big_cram):
+    """.crai-pruned interval reads must agree with the brute-force overlap
+    predicate on the full scan, at two split sizes — and must actually
+    prune (fewer decode tasks than the full scan)."""
+    from pyspark.sql import functions as F
+
+    from disq_original_spark.sources.cram import CramSource
+
+    path, fasta = big_cram
+    per = _CRAM_ROWS // 4
+    lo, hi = per // 2 * 25, per // 2 * 25 + 400_000
+    intervals = spark.createDataFrame(
+        [("chr2", lo, hi)], "contig string, start long, end long"
+    )
+    full = CramSource().read(
+        spark, path, reference_path=fasta, split_size=_SPLIT_SIZES[1]
+    )
+    # every read is 150M => reference span [pos, pos+149]
+    expected = full.filter(
+        (F.col("rname") == "chr2")
+        & (F.col("pos") <= hi)
+        & (F.col("pos") + _SEQ_LEN - 1 >= lo)
+    ).count()
+    assert expected > 0
+    for ss in _SPLIT_SIZES[:2]:
+        got = CramSource().read(
+            spark, path, reference_path=fasta, intervals=intervals, split_size=ss
+        )
+        assert got.count() == expected, ss
+    if _CRAM_ROWS >= 780000:  # pruning only observable with many containers
+        pruned = CramSource().read(
+            spark, path, reference_path=fasta, intervals=intervals,
+            split_size=_SPLIT_SIZES[0],
+        )
+        full_small = CramSource().read(
+            spark, path, reference_path=fasta, split_size=_SPLIT_SIZES[0]
+        )
+        assert (
+            pruned.rdd.getNumPartitions() < full_small.rdd.getNumPartitions() / 2
+        ), (pruned.rdd.getNumPartitions(), full_small.rdd.getNumPartitions())
