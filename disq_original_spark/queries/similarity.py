@@ -1,4 +1,4 @@
-"""Similarity search over the embeddings table (s01–s03).
+"""Similarity search over the embeddings table (s01–s09).
 
 - s01: brute-force cosine top-k — the correctness baseline.  Query set is tiny
   (broadcast side); corpus side streams, so at 100 TB this is one broadcast

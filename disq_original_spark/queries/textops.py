@@ -1,5 +1,5 @@
 """Text-analysis operators for a large-scale training-data pipeline
-(t01–t04): token counting, quality scoring, language heuristic, document
+(t01–t16): token counting, quality scoring, language heuristic, document
 fingerprinting.  All native column expressions over the ``documents`` table;
 each has an exact DuckDB oracle.
 """
