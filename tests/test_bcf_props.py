@@ -34,6 +34,7 @@ _HEADER = (
     '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="x">\n'
     '##FORMAT=<ID=AD,Number=R,Type=Integer,Description="x">\n'
     '##FORMAT=<ID=GL,Number=G,Type=Float,Description="x">\n'
+    '##FORMAT=<ID=FT,Number=1,Type=String,Description="x">\n'
     "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS1\tS2\tS3\n"
 )
 _CTX = BcfContext(_HEADER)
@@ -111,6 +112,10 @@ _record = st.fixed_dictionaries(
                             "GQ": _ints.map(str),
                             "AD": _int_vec(max_size=4),
                             "GL": _float_vec(max_size=3),
+                            "FT": st.one_of(
+                                st.just("."),
+                                st.text(alphabet="PASqlowD;_", min_size=1, max_size=10),
+                            ),
                         },
                     )
                 }
@@ -183,3 +188,31 @@ def test_bcf_record_round_trip(rec):
     got = decode_record(_Reader(data, 0), _CTX)
     want = _expected(rec)
     assert got == want, f"\nin:   {rec}\ngot:  {got}\nwant: {want}"
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    n_alts=st.integers(min_value=63, max_value=80),
+    ploidy=st.integers(min_value=1, max_value=3),
+    phased=st.booleans(),
+)
+def test_bcf_gt_widens_past_int8(n_alts, ploidy, phased):
+    """GT vectors referencing alleles past 62 must widen to int16 and
+    round-trip (encoded value (allele+1)<<1|phase > 127) — including mixed
+    ploidy so the int16 END_OF_VECTOR padding is exercised."""
+    sep = "|" if phased else "/"
+    gt_hi = sep.join([str(n_alts)] * ploidy)
+    rec = {
+        "contig": "c1", "pos": 10, "id": None, "ref": "A",
+        "alts": ["A" * (i + 2) for i in range(n_alts)],
+        "qual": None, "filters": None, "info": {},
+        "genotypes": [
+            {"attrs": {"GT": gt_hi}},
+            {"attrs": {"GT": "0"}},  # haploid: needs type-correct EOV pad
+            {"attrs": {}},
+        ],
+    }
+    back = decode_record(_Reader(encode_record(rec, _CTX), 0), _CTX)
+    gts = [g["gt"] for g in back["genotypes"]]
+    assert gts == [gt_hi, "0", None]
+    assert back["alts"] == rec["alts"]
