@@ -2,7 +2,7 @@
 
 Public algorithm: Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
 "Connected Components in MapReduce and Beyond" (SoCC 2014).  Each round is
-two grouped-min shuffles over the (slim, two-long-column) edge list and
+two window-min exchanges over the (slim, two-long-column) edge list and
 provably converges in O(log n) rounds — unlike min-label propagation, whose
 round count is the component DIAMETER: a 100 TB corpus with chained
 near-dups (A~B~C~...) can have paths thousands of hops long, while
@@ -12,9 +12,10 @@ No counterpart in the reference (tomwhite/disq-original has no graph
 operators); this backs the dedup pipeline's cluster-assignment step (d07).
 
 Scale shape: the edge list stays in its canonical (big, small) direction,
-every shuffle carries exactly two longs, each round is localCheckpoint'ed
-so lineage stays flat, and the only driver-side values are the per-round
-convergence counters (two scalar aggregates) — never the labels.
+every shuffle carries exactly two longs, each round lazily
+localCheckpoints so lineage stays flat at one job per round, and the only
+driver-side value is the per-round (count, xor-hash) edge-set fingerprint
+— never the labels.
 """
 
 from __future__ import annotations
