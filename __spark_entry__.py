@@ -82,15 +82,16 @@ _PRIORITY = [
     "g22_roh_runs",
     "g23_bcf_stats",
     "g24_bam_to_fastq",
-    # --- 4 new round-4 queries (first witness): truncation audits + the
-    # NN-Descent refinement round ---
+    # --- 5 new round-4 queries (first witness): truncation audits, the
+    # NN-Descent refinement round, the MinHash estimate-vs-truth audit ---
     "s08_graph_bucket_audit",
     "d13_lsh_bucket_audit",
     "t16_blocking_audit",
     "s09_nn_descent_round",
-    # --- 5 re-witnesses: plans changed this round or bench-drift checks ---
+    "d14_lsh_estimate_audit",
+    # --- 4 re-witnesses: plans changed this round or bench-drift checks
+    # (d03 is a strict subtree of d14, so it is exercised there too) ---
     "d07_dup_clusters",
-    "d03_minhash_lsh",
     "d04_ngram_jaccard",
     "d06_simhash",
     "d08_dup_span_coverage",

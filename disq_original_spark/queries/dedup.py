@@ -226,6 +226,39 @@ def _pair_expansion() -> F.Column:
 _DF_CAP = 64  # drop shingles appearing in more docs (boilerplate guard)
 
 
+def _doc_shingle_hashes(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, s): each document's DISTINCT word-5-gram shingles as 64-bit
+    md5-prefix hashes, in one Arrow pass — only (doc_id, hash) pairs reach
+    the JVM, never the shingle strings (see _doc_signatures for why the
+    transfer is what matters).  Shared by d04 (Jaccard postings) and d14
+    (the estimate-vs-truth audit); oracles join on the shingle STRING —
+    identical sets absent 64-bit collisions."""
+
+    def gen(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            hs: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sh = _py_shingles(text)
+                if sh is None:
+                    continue
+                for s in set(sh):
+                    ids.append(doc_id)
+                    hs.append(
+                        int.from_bytes(
+                            hashlib.md5(s.encode()).digest()[:8], "big", signed=True
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": ids, "s": hs})
+
+    d = load_wide(spark, sf, "documents")
+    return d.select("doc_id", "text").mapInPandas(gen, "doc_id long, s long")
+
+
 @query(
     "d04_ngram_jaccard",
     f"""WITH sh AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents),
@@ -253,35 +286,7 @@ _DF_CAP = 64  # drop shingles appearing in more docs (boilerplate guard)
     "postings index is persisted and reused for the per-doc shingle counts.",
 )
 def d04(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_wide(spark, sf, "documents")
-
-    # postings key: 64-bit md5 prefix of the shingle (cheaper shuffle/compare;
-    # the oracle joins on the string — identical pair set absent collisions).
-    # Shingling + hashing fused into one Arrow pass: only (doc_id, hash)
-    # pairs reach the JVM, never the shingle strings (see _doc_signatures
-    # for why the transfer is what matters).
-    def gen(batches):
-        import hashlib
-
-        import pandas as pd
-
-        for pdf in batches:
-            ids: list[int] = []
-            hs: list[int] = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                sh = _py_shingles(text)
-                if sh is None:
-                    continue
-                for s in set(sh):
-                    ids.append(doc_id)
-                    hs.append(
-                        int.from_bytes(
-                            hashlib.md5(s.encode()).digest()[:8], "big", signed=True
-                        )
-                    )
-            yield pd.DataFrame({"doc_id": ids, "s": hs})
-
-    ex0 = d.select("doc_id", "text").mapInPandas(gen, "doc_id long, s long")
+    ex0 = _doc_shingle_hashes(spark, sf)
     inv = (
         ex0.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -985,4 +990,96 @@ def d13(spark: SparkSession, sf: str) -> DataFrame:
         F.coalesce(F.sum((F.col("n") == 1).cast("long")), F.lit(0)).alias(
             "buckets_singleton"
         ),
+    )
+
+
+# ---------------------------------------------------------------- d14 estimate audit
+_EST_SQL = " + ".join(
+    f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(len(_SLICES))
+)
+
+
+@query(
+    "d14_lsh_estimate_audit",
+    f"""WITH {_PAIRS_SQL},
+        exd AS (SELECT DISTINCT doc_id, s FROM ex),
+        cnts AS (SELECT doc_id, count(*) AS n FROM exd GROUP BY doc_id),
+        inter AS (SELECT p.a_id, p.b_id, count(*) AS i
+                  FROM pairs p
+                  JOIN exd xa ON xa.doc_id = p.a_id
+                  JOIN exd xb ON xb.doc_id = p.b_id AND xb.s = xa.s
+                  GROUP BY p.a_id, p.b_id),
+        est AS (SELECT p.a_id, p.b_id, ({_EST_SQL}) AS est_slots
+                FROM pairs p
+                JOIN sig sa ON sa.doc_id = p.a_id
+                JOIN sig sb ON sb.doc_id = p.b_id)
+        SELECT e.a_id AS a_id, e.b_id AS b_id,
+               CAST(e.est_slots AS BIGINT) AS est_slots,
+               CAST((2000 * coalesce(i.i, 0)
+                     + (ca.n + cb.n - coalesce(i.i, 0)))
+                    // (2 * (ca.n + cb.n - coalesce(i.i, 0))) AS BIGINT)
+                 AS jac_milli
+        FROM est e
+        LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+        JOIN cnts ca ON ca.doc_id = e.a_id
+        JOIN cnts cb ON cb.doc_id = e.b_id
+        ORDER BY e.a_id, e.b_id""",
+    doc="MinHash estimate-vs-truth audit over d03's candidate pairs: for "
+    "every LSH candidate, the signature-based Jaccard estimate (equal "
+    "minhash slots out of 8) beside the EXACT shingle Jaccard — how a "
+    "pipeline validates its dedup sketch parameters (band/row counts, "
+    "threshold) on real data before trusting them at corpus scale.  Both "
+    "numbers are engine-exact integers: est_slots ∈ 0..8 and jac_milli = "
+    "round(1000·|∩|/|∪|) computed by integer half-up division, so no "
+    "float rounding can diverge between engines.\n\n"
+    "Scale shape: pairs are LSH-bounded (capped buckets), signatures are "
+    "slim 70-byte rows, and the exact-Jaccard join touches only the "
+    "candidate pairs' shingle hash sets — per-pair cost |A|+|B|, the "
+    "honest price of ground truth, paid for the bounded candidate set "
+    "instead of the corpus.",
+)
+def d14(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = d03(spark, sf).select("a_id", "b_id")
+    sig = _doc_signatures(spark, sf)
+    sa = sig.select(
+        F.col("doc_id").alias("a_id"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(len(_SLICES))],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("b_id"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(len(_SLICES))],
+    )
+    est_expr = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long") for j in range(len(_SLICES))
+    )
+    est = (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select("a_id", "b_id", est_expr.alias("est_slots"))
+    )
+    hashes = _doc_shingle_hashes(spark, sf)
+    cnt = hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    xa = hashes.select(F.col("doc_id").alias("a_id"), "s")
+    xb = hashes.select(F.col("doc_id").alias("b_id"), "s")
+    inter = (
+        pairs.join(xa, "a_id")
+        .join(xb, ["b_id", "s"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    i0 = F.coalesce("i", F.lit(0))
+    u = F.col("na") + F.col("nb") - i0
+    return (
+        est.join(inter, ["a_id", "b_id"], "left")
+        .join(ca, "a_id")
+        .join(cb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            "est_slots",
+            ((F.lit(2000) * i0 + u) / (F.lit(2) * u)).cast("long").alias("jac_milli"),
+        )
+        .orderBy("a_id", "b_id")
     )
