@@ -1079,7 +1079,10 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
             "a_id",
             "b_id",
             "est_slots",
-            ((F.lit(2000) * i0 + u) / (F.lit(2) * u)).cast("long").alias("jac_milli"),
+            (F.lit(2000) * i0 + u).alias("num"),
+            (F.lit(2) * u).alias("den"),
         )
+        # true integer division (`div`), matching the oracle's `//` exactly
+        .select("a_id", "b_id", "est_slots", F.expr("num div den").alias("jac_milli"))
         .orderBy("a_id", "b_id")
     )
