@@ -210,6 +210,23 @@ def residual_traversal(
     return selected.select(*READS_COLUMNS)
 
 
+def residual_variant_overlap(variants: DataFrame, intervals: DataFrame) -> DataFrame:
+    """Exact interval-overlap residual for a VARIANTS frame: span each
+    record to [pos, variant_end(info, pos, ref)] and keep overlaps with any
+    interval — the one exact-match contract shared by VcfSource.read and
+    BcfSource.read (so the two sources cannot drift)."""
+    from ..sources.vcf import VARIANTS_COLUMNS, variant_end
+
+    spanned = variants.withColumn(
+        "end_", variant_end(F.col("info"), F.col("pos"), F.col("ref"))
+    )
+    out = interval_filter(
+        spanned.withColumnRenamed("pos", "start").withColumnRenamed("end_", "end"),
+        intervals,
+    )
+    return out.withColumnRenamed("start", "pos").select(*VARIANTS_COLUMNS)
+
+
 def merge_intervals(
     df: DataFrame,
     contig: str = "contig",

@@ -959,6 +959,7 @@ def d12(spark: SparkSession, sf: str) -> DataFrame:
         sig AS (SELECT doc_id, {_SIG_AGG_SQL} FROM hashed GROUP BY doc_id),
         bands AS ({_BANDS_SQL}),
         sz AS (SELECT band_idx, band_key, count(*) AS n FROM bands
+               WHERE band_key IS NOT NULL
                GROUP BY band_idx, band_key)
         SELECT count(*) AS buckets_total,
                CAST(coalesce(sum(CASE WHEN n > {_BUCKET_CAP} THEN 1 ELSE 0 END), 0)
@@ -972,24 +973,22 @@ def d12(spark: SparkSession, sf: str) -> DataFrame:
     f"sharing the band postings + cap={_BUCKET_CAP} skew guard): how many "
     "band buckets exceed the cap — i.e. candidate pairs silently never "
     "generated — and how many postings they hold, plus singleton buckets "
-    "(docs whose band matched nothing).  The 'no silent caps' principle: "
+    "(docs whose band matched nothing; NULL-text docs have no signature "
+    "row on either engine — the oracle's WHERE band_key IS NOT NULL is "
+    "the SQL twin of _doc_signatures dropping them).  The 'no silent "
+    "caps' principle: "
     "run beside the dedup pass and alert when postings_dropped is "
     "material, then raise band bits rather than the cap.  Same signature "
     "scan as d03; the audit itself is one slim (band, key) partial agg.",
 )
 def d13(spark: SparkSession, sf: str) -> DataFrame:
+    from .auditing import cap_audit
+
     bands = _band_rows(_doc_signatures(spark, sf))
     sz = bands.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("n"))
-    over = F.col("n") > _BUCKET_CAP
-    return sz.agg(
-        F.count(F.lit(1)).alias("buckets_total"),
-        F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("buckets_dropped"),
-        F.coalesce(
-            F.sum(F.when(over, F.col("n")).otherwise(F.lit(0))), F.lit(0)
-        ).alias("postings_dropped"),
-        F.coalesce(F.sum((F.col("n") == 1).cast("long")), F.lit(0)).alias(
-            "buckets_singleton"
-        ),
+    return cap_audit(
+        sz, _BUCKET_CAP,
+        "buckets_total", "buckets_dropped", "postings_dropped", "buckets_singleton",
     )
 
 
@@ -1039,8 +1038,24 @@ _EST_SQL = " + ".join(
     "instead of the corpus.",
 )
 def d14(spark: SparkSession, sf: str) -> DataFrame:
-    pairs = d03(spark, sf).select("a_id", "b_id")
-    sig = _doc_signatures(spark, sf)
+    # one signature pass persisted and reused three ways (pair generation +
+    # both sides of the estimate join), one shingle-hash pass persisted and
+    # reused three ways (per-doc counts + both sides of the intersection) —
+    # the d04 posture; without the persists the corpus would be re-shingled
+    # ~5x across the branches
+    sig = _doc_signatures(spark, sf).persist()
+    inv = (
+        _band_rows(sig)
+        .groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= _BUCKET_CAP))
+    )
+    pairs = (
+        inv.select(F.explode(_pair_expansion()).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .distinct()
+        .persist()
+    )
     sa = sig.select(
         F.col("doc_id").alias("a_id"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(len(_SLICES))],
@@ -1057,7 +1072,7 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
         .join(sb, "b_id")
         .select("a_id", "b_id", est_expr.alias("est_slots"))
     )
-    hashes = _doc_shingle_hashes(spark, sf)
+    hashes = _doc_shingle_hashes(spark, sf).persist()
     cnt = hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     xa = hashes.select(F.col("doc_id").alias("a_id"), "s")
     xb = hashes.select(F.col("doc_id").alias("b_id"), "s")

@@ -794,18 +794,13 @@ def s07(spark: SparkSession, sf: str) -> DataFrame:
     "agg + a single-row final agg; cost is one scan of the bucket ids.",
 )
 def s08(spark: SparkSession, sf: str) -> DataFrame:
+    from .auditing import cap_audit
+
     b = load_table(spark, sf, "embeddings").withColumn("bucket", _bucket_col())
     sz = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
-    over = F.col("n") > _GRAPH_CAP
-    return sz.agg(
-        F.count(F.lit(1)).alias("buckets_total"),
-        F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("buckets_dropped"),
-        F.coalesce(
-            F.sum(F.when(over, F.col("n")).otherwise(F.lit(0))), F.lit(0)
-        ).alias("vectors_dropped"),
-        F.coalesce(F.sum((F.col("n") == 1).cast("long")), F.lit(0)).alias(
-            "buckets_singleton"
-        ),
+    return cap_audit(
+        sz, _GRAPH_CAP,
+        "buckets_total", "buckets_dropped", "vectors_dropped", "buckets_singleton",
     )
 
 

@@ -1058,15 +1058,10 @@ def t15(spark: SparkSession, sf: str) -> DataFrame:
     "Shares _t15_gram_rows; the audit is one slim (q) partial agg.",
 )
 def t16(spark: SparkSession, sf: str) -> DataFrame:
+    from .auditing import cap_audit
+
     sz = _t15_gram_rows(spark, sf).groupBy("q").agg(F.count(F.lit(1)).alias("n"))
-    over = F.col("n") > _T15_DF_CAP
-    return sz.agg(
-        F.count(F.lit(1)).alias("grams_total"),
-        F.coalesce(F.sum(over.cast("long")), F.lit(0)).alias("grams_dropped"),
-        F.coalesce(
-            F.sum(F.when(over, F.col("n")).otherwise(F.lit(0))), F.lit(0)
-        ).alias("postings_dropped"),
-        F.coalesce(F.sum((F.col("n") == 1).cast("long")), F.lit(0)).alias(
-            "grams_singleton"
-        ),
+    return cap_audit(
+        sz, _T15_DF_CAP,
+        "grams_total", "grams_dropped", "postings_dropped", "grams_singleton",
     )

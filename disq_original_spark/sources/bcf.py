@@ -74,13 +74,20 @@ _FLOAT_EOV_BITS = 0x7F800002
 def _hdr_attrs(body: str) -> dict[str, str]:
     """Parse the ``k=v,k=v`` body of a ``##X=<...>`` header line into a dict,
     splitting on commas OUTSIDE double quotes (Description values legally
-    contain commas and even ``ID=`` lookalikes)."""
+    contain commas and even ``ID=`` lookalikes).  Backslash-escaped quotes
+    inside quoted values (VCF 4.3 §1.2: ``\\"``) stay INSIDE the quote —
+    they must not toggle the in-quote state, or Description text leaks out
+    as spurious attributes."""
     attrs: dict[str, str] = {}
-    key, buf, in_q, reading_key = "", "", False, True
+    key, buf, in_q, esc, reading_key = "", "", False, False, True
     for ch in body + ",":
         if in_q:
             buf += ch
-            if ch == '"':
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
                 in_q = False
         elif ch == '"':
             buf += ch
@@ -181,8 +188,14 @@ def _build_dict(entries: list[tuple[str, int | None]], kind: str) -> list:
                 f"BCF header: duplicate {kind} IDX {i}: {out[i]!r} vs {n!r}"
             )
         out[i] = n
-    if kind == "string" and all(i != 0 for _n, i in explicit):
-        # PASS keeps its spec-guaranteed slot 0 when not explicitly indexed
+    if (
+        kind == "string"
+        and "PASS" not in out
+        and all(i != 0 for _n, i in explicit)
+    ):
+        # PASS keeps its spec-guaranteed slot 0 ONLY when no line indexes
+        # it elsewhere and nothing else claims slot 0 (a PASS pinned at
+        # IDX=n must not also appear at 0)
         out[0] = "PASS"
     return out
 
@@ -340,7 +353,11 @@ def encode_record(row: dict, ctx: BcfContext) -> bytes:
         shared += b"\x00"  # typed MISSING (type 0): '.' — distinct from PASS
     else:
         shared += _typed_int_vec(
-            [0] if list(filters) == [] else [ctx.string_idx[f] for f in filters]
+            # empty filters == PASS, at PASS's dictionary slot (0 for the
+            # implicit dictionary; IDX dictionaries may pin it elsewhere)
+            [ctx.string_idx["PASS"]]
+            if list(filters) == []
+            else [ctx.string_idx[f] for f in filters]
         )
     for k, v in info.items():
         shared += _typed_int(ctx.string_idx[k])
@@ -535,7 +552,7 @@ def decode_record(r: _Reader, ctx: BcfContext) -> dict:
     ft, fv = r.typed()
     if ft == 0:
         filters = None
-    elif fv == [0]:
+    elif fv == [ctx.string_idx.get("PASS", 0)]:
         filters = []
     else:
         filters = [ctx.strings[i] for i in fv]
@@ -745,30 +762,14 @@ class BcfSource:
         df = rows_to_dataframe(spark, tasks, read_task, VARIANTS_COLUMNS, schema)
         if intervals is not None:
             # residual overlap filter: index-chunk pruning alone returns a
-            # candidate SUPERSET; apply the same variant_end/interval_filter
-            # residual VcfSource.read applies, so both sources share one
-            # exact-match contract for the `intervals` parameter
-            from pyspark.sql import functions as F
-
-            from ..operators.interval import interval_filter
-            from .vcf import VARIANTS_COLUMNS as _VC, variant_end
+            # candidate SUPERSET; the shared residual_variant_overlap is the
+            # same exact-match contract VcfSource.read applies
+            from ..operators.interval import residual_variant_overlap
 
             iv_df = spark.createDataFrame(
                 list(intervals), "contig string, start long, end long"
             )
-            spanned = df.withColumn(
-                "end_", variant_end(F.col("info"), F.col("pos"), F.col("ref"))
-            )
-            df = (
-                interval_filter(
-                    spanned.withColumnRenamed("pos", "start").withColumnRenamed(
-                        "end_", "end"
-                    ),
-                    iv_df,
-                )
-                .withColumnRenamed("start", "pos")
-                .select(*_VC)
-            )
+            df = residual_variant_overlap(df, iv_df)
         return df
 
 

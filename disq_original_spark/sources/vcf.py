@@ -25,7 +25,6 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.interval import interval_filter
 from .fsio import fs_basename, fs_join, fs_open, get_fs, list_data_files
 from .headers import read_vcf_header_text, vcf_sample_names
 from .merger import merge_parts
@@ -235,14 +234,9 @@ class VcfSource:
         variants = parse_vcf_lines(body, samples)
         if intervals is None:
             return variants
-        spanned = variants.withColumn(
-            "end_", variant_end(F.col("info"), F.col("pos"), F.col("ref"))
-        )
-        out = interval_filter(
-            spanned.withColumnRenamed("pos", "start").withColumnRenamed("end_", "end"),
-            intervals,
-        )
-        return out.withColumnRenamed("start", "pos").select(*VARIANTS_COLUMNS)
+        from ..operators.interval import residual_variant_overlap
+
+        return residual_variant_overlap(variants, intervals)
 
 
 def _first(path: str):

@@ -398,3 +398,56 @@ def test_empty_dir_raises(spark, tmp_path):
         BcfSource().read(spark, str(d))
     with pytest.raises(FileNotFoundError, match="no FASTQ data files"):
         FastqSource().read(spark, str(d))
+
+
+def test_header_idx_pass_nonzero():
+    """IDX dictionaries may pin PASS AWAY from slot 0 (bcftools subsetting
+    can).  Encode/decode must use PASS's declared slot, not a hard-coded
+    0 — previously ['q10'] round-tripped as PASS and vice versa — and
+    PASS must not also be duplicated into slot 0."""
+    hdr = (
+        "##fileformat=VCFv4.3\n"
+        "##contig=<ID=c1,length=100,IDX=0>\n"
+        '##FILTER=<ID=q10,Description="q",IDX=0>\n'
+        '##FILTER=<ID=PASS,Description="p",IDX=1>\n'
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="d",IDX=2>\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    )
+    ctx = BcfContext(hdr)
+    assert ctx.strings == ["q10", "PASS", "DP"]
+    base = {
+        "contig": "c1", "pos": 5, "id": None, "ref": "A", "alts": [],
+        "qual": None, "info": {}, "genotypes": [],
+    }
+    for filters, want in (([], []), (["q10"], ["q10"]), (None, None)):
+        back = _codec_round_trip({**base, "filters": filters}, ctx)
+        assert back["filters"] == want, filters
+    # PASS pinned at a non-zero slot with slot 0 unclaimed: no phantom
+    # PASS duplicate at 0
+    hdr2 = (
+        "##fileformat=VCFv4.3\n"
+        "##contig=<ID=c1,length=100,IDX=0>\n"
+        '##FILTER=<ID=PASS,Description="p",IDX=2>\n'
+        '##FILTER=<ID=q10,Description="q",IDX=1>\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    )
+    ctx2 = BcfContext(hdr2)
+    assert ctx2.strings == [None, "q10", "PASS"]
+    back = _codec_round_trip({**base, "filters": []}, ctx2)
+    assert back["filters"] == []
+
+
+def test_header_escaped_quote_in_description():
+    """VCF 4.3 allows backslash-escaped quotes inside Description; the
+    attribute parser must not let the escape toggle quote state and leak
+    Description text (previously 'IDX=9' inside a Description landed q10
+    at dictionary slot 9)."""
+    hdr = (
+        "##fileformat=VCFv4.3\n"
+        "##contig=<ID=c1,length=100>\n"
+        '##FILTER=<ID=q10,Description="a \\"b,IDX=9,c\\" d">\n'
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="d">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    )
+    ctx = BcfContext(hdr)
+    assert ctx.strings == ["PASS", "q10", "DP"]

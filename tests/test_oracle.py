@@ -129,7 +129,12 @@ def test_null_text_documents_survive_fused_passes(spark, ddb, sf_dir):
         dd.load_wide = lambda spark_, sf_, name: withnull
         dd.load_table = lambda spark_, sf_, name: withnull
         tx.load_wide = lambda spark_, sf_, name: withnull
-        for name in ("d03_minhash_lsh", "d06_simhash", "t06_winnow_fingerprint"):
+        for name in (
+            "d03_minhash_lsh",
+            "d06_simhash",
+            "t06_winnow_fingerprint",
+            "d13_lsh_bucket_audit",  # NULL-text docs must not skew counts
+        ):
             oracle = QUERIES[name].oracle.replace("FROM documents", "FROM documents_n")
             assert_frames_match(
                 QUERIES[name].build(spark, sf_dir).toPandas(),
