@@ -1,4 +1,4 @@
-r"""Deduplication operators for a training-data pipeline (d01–d13).
+r"""Deduplication operators for a training-data pipeline (d01–d14).
 
 Scale design notes (the whole point of these):
 
