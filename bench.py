@@ -69,6 +69,7 @@ HEADLINE = [
     "m04_phash_neardup",  # pHash band-LSH over binary payloads
     "g09_mark_duplicates",  # dupmark over the real BAM fixture
     "s09_nn_descent_round",  # edge-list local-join + exact re-rank path
+    "d14_lsh_estimate_audit",  # persisted sig/hash reuse + exact-Jaccard path
 ]
 
 # VERDICT r3 directive #3: d04's r3 number was 1.59x its r2 sample while
