@@ -608,3 +608,15 @@ def test_t15_postings_no_self_join(spark, sf_dir):
     )[0]
     assert "Join" not in tree
     assert tree.count("Scan parquet") == 2
+
+
+def test_d14_reuses_persisted_subtrees(spark, sf_dir):
+    """The estimate audit must read its signature and shingle-hash frames
+    from cache (InMemoryTableScan), not re-run the Arrow shingling per
+    branch — the corpus would otherwise be re-shingled ~5x."""
+    plan = formatted_plan(QUERIES["d14_lsh_estimate_audit"].build(spark, sf_dir))
+    tree = plan.split("\n\n")[0]
+    # sig feeds pairs + both estimate sides, hashes feeds counts + both
+    # intersection sides: >=4 cache scans (MapInPandas still appears in the
+    # text inside the cached-relation printouts, so it can't be counted)
+    assert tree.count("InMemoryTableScan") >= 4, tree.count("InMemoryTableScan")
