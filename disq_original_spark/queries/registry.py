@@ -2,6 +2,10 @@
 
 Builders take ``(spark, sf_dir)`` and return an *unexecuted* DataFrame so that
 plans can be inspected (tests assert pushdown/broadcast properties on them).
+DELIBERATE EXCEPTION: the ``st*`` streaming builders execute a bounded
+availableNow readStream→memory-sink drain inside build() (a streaming plan
+cannot be returned as a batch DataFrame) — plan-inspection sweeps over the
+whole registry should expect those eight to run real work.
 Column names are aliased identically in the builder and the oracle — the
 driver's hash compare sorts columns by name.
 """

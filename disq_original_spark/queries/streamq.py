@@ -19,8 +19,6 @@ plumbing only — a production sink would be kafka/parquet in update mode.
 
 from __future__ import annotations
 
-import itertools
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -28,12 +26,15 @@ from ..streaming.events import windowed_counts
 from ..tables import normalize_event_ts
 from .registry import query
 
-_SINK_IDS = itertools.count()
-
-
-def _drain_to_memory(spark: SparkSession, sdf: DataFrame, mode: str) -> DataFrame:
-    """Start ``sdf`` into a fresh memory sink with availableNow, wait for the
-    drain, and return the sink table.
+def _drain_to_memory(
+    spark: SparkSession, sdf: DataFrame, mode: str, key: str
+) -> DataFrame:
+    """Start ``sdf`` into a memory sink named after ``key`` with
+    availableNow, wait for the drain (bounded — a wedged drain raises
+    instead of hanging the driver's whole query sweep), and return the sink
+    table.  Sink names are PER QUERY KEY, so repeated builds of the same
+    query (bench warm+timed passes, repeated driver witnesses) replace one
+    bounded temp view instead of leaking a new one per run.
 
     State-store partition count: a streaming query's stateful exchange uses
     ``spark.sql.shuffle.partitions`` AT QUERY START, and every state
@@ -44,7 +45,7 @@ def _drain_to_memory(spark: SparkSession, sdf: DataFrame, mode: str) -> DataFram
     thousands of state partitions, while the local harness stops paying 32
     store instances to hold a few hundred groups (measured: st01 1.37 s →
     0.80 s at sf0.1).  The batch conf is restored after the drain."""
-    name = f"st_sink_{next(_SINK_IDS)}"
+    name = f"st_sink_{key}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     state_parts = max(8, spark.sparkContext.defaultParallelism // 4)
     spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
@@ -57,7 +58,10 @@ def _drain_to_memory(spark: SparkSession, sdf: DataFrame, mode: str) -> DataFram
             .start()
         )
         try:
-            q.awaitTermination()
+            if not q.awaitTermination(timeout=600):
+                raise RuntimeError(
+                    f"streaming drain {name} did not finish within 600s"
+                )
         finally:
             q.stop()
     finally:
@@ -87,7 +91,7 @@ def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
 )
 def st01(spark: SparkSession, sf: str) -> DataFrame:
     stream = _events_stream(spark, sf)
-    sink = _drain_to_memory(spark, windowed_counts(stream), "complete")
+    sink = _drain_to_memory(spark, windowed_counts(stream), "complete", "st01")
     return sink.orderBy("window_start", "event_type")
 
 
@@ -131,7 +135,7 @@ def st02(spark: SparkSession, sf: str) -> DataFrame:
         "inner",
     )
     return (
-        _drain_to_memory(spark, joined, "append")
+        _drain_to_memory(spark, joined, "append", "st02")
         .groupBy(F.col("p_user").alias("user_id"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
@@ -159,7 +163,7 @@ def st03(spark: SparkSession, sf: str) -> DataFrame:
         ["event_id"]
     )
     return (
-        _drain_to_memory(spark, deduped, "append")
+        _drain_to_memory(spark, deduped, "append", "st03")
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
@@ -201,7 +205,7 @@ def st04(spark: SparkSession, sf: str) -> DataFrame:
 
     stream = _events_stream(spark, sf)
     # complete mode: no watermark needed
-    sink = _drain_to_memory(spark, session_windows_batch(stream), "complete")
+    sink = _drain_to_memory(spark, session_windows_batch(stream), "complete", "st04")
     return sink.orderBy("user_id", "session_start")
 
 
@@ -222,7 +226,7 @@ def st05(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.events import running_user_totals
 
     stream = _events_stream(spark, sf)
-    sink = _drain_to_memory(spark, running_user_totals(stream), "update")
+    sink = _drain_to_memory(spark, running_user_totals(stream), "update", "st05")
     # Update mode appends one row per (user, micro-batch with data for that
     # user); n_events strictly increases across a user's emissions, so the
     # final state is the max_by row.
@@ -256,7 +260,7 @@ def st06(spark: SparkSession, sf: str) -> DataFrame:
     from ..streaming.events import sliding_window_value
 
     stream = _events_stream(spark, sf)
-    sink = _drain_to_memory(spark, sliding_window_value(stream), "complete")
+    sink = _drain_to_memory(spark, sliding_window_value(stream), "complete", "st06")
     return sink.orderBy("window_start", "event_type")
 
 
@@ -279,7 +283,7 @@ def st07(spark: SparkSession, sf: str) -> DataFrame:
 
     stream = _events_stream(spark, sf)
     customers = load_table(spark, sf, "customer")
-    sink = _drain_to_memory(spark, enriched_segment_totals(stream, customers), "complete")
+    sink = _drain_to_memory(spark, enriched_segment_totals(stream, customers), "complete", "st07")
     return sink.select(
         "segment", "n_events", "total_value"
     ).orderBy("segment")
@@ -314,5 +318,5 @@ def st08(spark: SparkSession, sf: str) -> DataFrame:
         .select(content_hash().alias("h"))
         .distinct()
     )
-    sink = _drain_to_memory(spark, novel_event_totals(stream, seen), "complete")
+    sink = _drain_to_memory(spark, novel_event_totals(stream, seen), "complete", "st08")
     return sink.select("event_type", "n_new", "total_value").orderBy("event_type")

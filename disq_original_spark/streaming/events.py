@@ -159,14 +159,15 @@ def enriched_segment_totals(events: DataFrame, customers: DataFrame) -> DataFram
     dimension-enrichment pipeline (clickstream × user table).
 
     Stream-static joins are STATELESS in Structured Streaming: each
-    micro-batch joins against the static side, which Spark re-plans as a
-    broadcast when small — no state store, no watermark needed for the join
-    itself.  The aggregate keys on the enriched segment column, so state is
-    bounded by segment cardinality regardless of stream volume."""
-    dim = F.broadcast(
-        customers.select(
-            F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
-        )
+    micro-batch joins against the static side — no state store, no
+    watermark needed for the join itself.  No broadcast hint: the customer
+    dimension SCALES WITH sf, so the size-based planner (64 MB threshold +
+    AQE demotion) must keep the choice — a forced hint would ship the whole
+    dimension from the driver every micro-batch at large sf.  The aggregate
+    keys on the enriched segment column, so state is bounded by segment
+    cardinality regardless of stream volume."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
     )
     return (
         events.join(dim, "user_id")
@@ -202,14 +203,16 @@ def novel_event_totals(events: DataFrame, seen: DataFrame) -> DataFrame:
     new per event type.
 
     Stream-static LEFT ANTI joins are STATELESS in Structured Streaming —
-    each micro-batch probes the static side (broadcast when small), no
-    state store, no watermark for the join itself; the aggregate's state
-    is bounded by event-type cardinality.  Duplicates WITHIN one batch
+    each micro-batch probes the static side, no state store, no watermark
+    for the join itself; the aggregate's state is bounded by event-type
+    cardinality.  No broadcast hint: the already-ingested index grows with
+    the whole corpus, so the size-based planner must be free to pick a
+    shuffled anti-join once it outgrows the broadcast threshold.  Duplicates WITHIN one batch
     both pass (the index only knows prior corpus content) — in-stream
     dedup is st03's dropDuplicatesWithinWatermark, a separate concern.
     """
     h = events.withColumn("h", content_hash())
-    novel = h.join(F.broadcast(seen), "h", "left_anti")
+    novel = h.join(seen, "h", "left_anti")
     return novel.groupBy("event_type").agg(
         F.count("*").alias("n_new"),
         F.round(F.sum("value"), 2).alias("total_value"),
