@@ -197,6 +197,24 @@ PHASH_BITS = 64  # 4 bands x 16 bits
 PHASH_SCHEMA = "media_id long, " + ", ".join(f"b{b} int" for b in range(PHASH_BANDS))
 
 
+def _ahash_bands(payload: bytes) -> list[int]:
+    """The aHash core shared by :func:`perceptual_hash` and
+    :func:`frame_hashes`: 64 interleaved strides, integer cross-multiply
+    bit rule (``s_j * C > S * c_j``, no float division), packed into
+    ``PHASH_BANDS`` 16-bit band ints.  Each stride is materialized once."""
+    moms = []
+    for j in range(PHASH_BITS):
+        stride = payload[j::PHASH_BITS]
+        moms.append((sum(stride), len(stride)))
+    S = sum(s for s, _ in moms)
+    C = sum(c for _, c in moms)
+    bits = [1 if s * C > S * c else 0 for s, c in moms]
+    return [
+        sum(bits[16 * b + k] << k for k in range(16)) for b in range(PHASH_BANDS)
+    ]
+
+
+
 def perceptual_hash(media: DataFrame) -> DataFrame:
     """64-bit average-hash (aHash) per media row, Arrow-batched.
 
@@ -224,19 +242,7 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
                     # the oracle, whose generate_series over an empty text
                     # emits no rows)
                     continue
-                payload = bytes(data)
-                moms = [
-                    (sum(payload[j::PHASH_BITS]), len(payload[j::PHASH_BITS]))
-                    for j in range(PHASH_BITS)
-                ]
-                S = sum(s for s, _ in moms)
-                C = sum(c for _, c in moms)
-                bits = [1 if s * C > S * c else 0 for s, c in moms]
-                bands = [
-                    sum(bits[16 * b + k] << k for k in range(16))
-                    for b in range(PHASH_BANDS)
-                ]
-                rows.append((mid, *bands))
+                rows.append((mid, *_ahash_bands(bytes(data))))
             yield pd.DataFrame(
                 rows, columns=["media_id"] + [f"b{b}" for b in range(PHASH_BANDS)]
             )
@@ -257,19 +263,7 @@ def frame_hashes(frames: DataFrame) -> DataFrame:
             ):
                 if data is None or len(data) == 0:
                     continue
-                payload = bytes(data)
-                moms = [
-                    (sum(payload[j::PHASH_BITS]), len(payload[j::PHASH_BITS]))
-                    for j in range(PHASH_BITS)
-                ]
-                S = sum(s for s, _ in moms)
-                C = sum(c for _, c in moms)
-                bits = [1 if s * C > S * c else 0 for s, c in moms]
-                bands = [
-                    sum(bits[16 * b + k] << k for k in range(16))
-                    for b in range(PHASH_BANDS)
-                ]
-                rows.append((mid, fi, *bands))
+                rows.append((mid, fi, *_ahash_bands(bytes(data))))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "frame_idx"] + [f"b{b}" for b in range(PHASH_BANDS)],

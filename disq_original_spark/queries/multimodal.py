@@ -12,8 +12,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import documents_as_media, extract_features, sample_frames
+from ..operators.multimodal import (
+    audio_frames,
+    documents_as_media,
+    extract_features,
+    frame_hashes,
+    perceptual_hash,
+    sample_frames,
+)
 from ..tables import load_table
+from .dedup import _pair_expansion
 from .registry import query
 
 
@@ -82,7 +90,7 @@ def m02(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "m03_frame_sample",
     """WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n
-                  FROM documents WHERE doc_id % 3 = 2),
+                  FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL),
         f AS (SELECT media_id,
                      CAST(i AS INTEGER) AS frame_idx,
                      substr(text, i * 256 + 1, 256) AS frame
@@ -142,8 +150,6 @@ def m03(spark: SparkSession, sf: str) -> DataFrame:
     "Python boundary, never payloads.",
 )
 def m05(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators.multimodal import audio_frames
-
     media = documents_as_media(load_table(spark, sf, "documents"))
     return audio_frames(media).orderBy("media_id", "frame_idx")
 
@@ -222,8 +228,6 @@ _M04_BANDVAL_SQL = (
     "all-pairs comparison exists at any stage.",
 )
 def m04(spark: SparkSession, sf: str) -> DataFrame:
-    from .dedup import _pair_expansion
-
     d = load_table(spark, sf, "documents")
     imgs = d.filter(F.col("doc_id") % 3 == 0).select(
         F.col("doc_id").alias("media_id"), F.col("text")
@@ -240,8 +244,6 @@ def m04(spark: SparkSession, sf: str) -> DataFrame:
     corpus = imgs.unionByName(variants).select(
         "media_id", F.encode("text", "utf-8").alias("data")
     )
-    from ..operators.multimodal import perceptual_hash
-
     # persist: bands, the a-side and the b-side of the confirm join all
     # consume the hashes — without it the Arrow decode pass runs three
     # times (one mapInPandas subtree per plan branch).  5 ints/row, so the
@@ -347,8 +349,6 @@ _M06_CUT = 12  # hamming threshold: adjacent frames farther than this = cut
 )
 def m06(spark: SparkSession, sf: str) -> DataFrame:
     from pyspark.sql import Window
-
-    from ..operators.multimodal import frame_hashes, sample_frames
 
     media = documents_as_media(load_table(spark, sf, "documents"))
     h = frame_hashes(sample_frames(media))

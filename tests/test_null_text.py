@@ -35,7 +35,10 @@ _DOC_QUERIES = [
     "p08_domain_cap",
     "m01_media_stats",
     "m02_media_features",
+    "m03_frame_sample",
     "m04_phash_neardup",
+    "m05_audio_frames",
+    "m06_scene_cuts",
 ]
 
 
@@ -51,12 +54,18 @@ def degenerate_sf(spark, tmp_path_factory):
     # 900000 % 3 == 0 AND % 15 == 0: the empty-text doc IS an m04 image and
     # a near-dup variant source, exercising perceptual_hash's empty-payload
     # skip on exactly the path m04 scores; 900003 % 3 == 0 puts the one-word
-    # doc through the image hash too (mostly-empty strides)
+    # doc through the image hash too (mostly-empty strides); 900002/900005
+    # % 3 == 2 are NULL- and short-text VIDEOS — the class whose spurious
+    # all-NULL oracle frame row m03 previously missed (DuckDB least/greatest
+    # ignore NULLs); 900004 % 3 == 1 is a NULL-text audio doc for m05
     extra = spark.createDataFrame(
         [
             (900000, "", "en", "srcX", 0),
             (900001, None, "en", "srcX", 0),
             (900003, "spark", "en", "srcX", 5),
+            (900002, None, "en", "srcX", 0),
+            (900004, None, "en", "srcX", 0),
+            (900005, "clip", "en", "srcX", 4),
         ],
         d.schema,
     )
