@@ -33,7 +33,7 @@ walking each bucket in ``doc_id`` order.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import tokens
@@ -77,7 +77,7 @@ def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
                   len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+')) AS toks,
                   row_number() OVER (PARTITION BY doc_id % {_N_BUCKETS}
                                      ORDER BY doc_id) AS rn
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          packed AS (
            SELECT bucket, rn, toks, 0::BIGINT AS seq_idx, toks AS acc
            FROM d WHERE rn = 1
@@ -97,10 +97,16 @@ def _pack_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
     "state per bucket).",
 )
 def p01(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents").select(
-        "doc_id",
-        (F.col("doc_id") % _N_BUCKETS).alias("bucket"),
-        F.size(tokens("text")).cast("long").alias("toks"),
+    # NULL text carries no tokens to pack and would reach _pack_bucket as
+    # NaN (int(NaN) raises); excluded on BOTH engines
+    d = (
+        load_table(spark, sf, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            (F.col("doc_id") % _N_BUCKETS).alias("bucket"),
+            F.size(tokens("text")).cast("long").alias("toks"),
+        )
     )
     return (
         d.groupBy("bucket")
@@ -127,31 +133,41 @@ _RATE_SQL = (
     + f" ELSE {_DEFAULT_RATE} END"
 )
 
-# Overflow-safe (doc_id * KNUTH) mod 2^32 over the FULL int64 id domain.
-# The naive product overflows int64 for doc_id ≳ 3.5e9 (Spark wraps
+# Overflow-safe (id * KNUTH) mod 2^32 over the FULL int64 id domain.
+# The naive product overflows int64 for ids ≳ 3.5e9 (Spark wraps
 # silently, DuckDB raises — the engines diverge exactly at real corpus
 # ids), so the hash uses the id's low 32 bits and a split 16-bit modular
 # multiply whose intermediates stay < 2^48:
-#   a = doc_id & 0xFFFFFFFF          (two's-complement AND in both engines)
+#   a = id & 0xFFFFFFFF              (two's-complement AND in both engines)
 #   a*K mod 2^32 = (a_lo*K + ((a_hi*K) mod 2^16)*2^16) mod 2^32
-def _knuth_hash_sql(mod: int) -> str:
-    """SQL twin of ``_knuth_hash_col`` — parameterized, not string surgery,
-    so the two can only diverge if someone edits one formula."""
-    return (
-        f"(((doc_id & 4294967295) & 65535) * {_KNUTH} "
-        f" + (((doc_id & 4294967295) >> 16) * {_KNUTH} % 65536) * 65536"
-        f") % 4294967296 % {mod}"
+# The final value is h32 * mod >> 32 — Knuth's HIGH-bits scaling — NOT
+# h32 % mod: K is odd (≡ 1 mod 2^k for small k), so h32's LOW bits equal
+# the id's low bits and `% mod` degenerates to `id % mod` whenever mod
+# shares factors with 2^k (verified: (a*K) % 2^32 % 16 == a % 16 for all
+# ids) — sequential ids would stripe shards and bias every mod-100
+# threshold by id % 4.  The top bits are where the multiply mixes.
+def _knuth_hash_sql(mod: int, col: str = "doc_id") -> str:
+    """SQL twin of ``_knuth_hash_col`` — parameterized (including the
+    hashed column), not string surgery, so the twins can only diverge if
+    someone edits one formula."""
+    h32 = (
+        f"((({col} & 4294967295) & 65535) * {_KNUTH} "
+        f" + ((({col} & 4294967295) >> 16) * {_KNUTH} % 65536) * 65536"
+        f") % 4294967296"
     )
+    return f"(({h32}) * {mod} // 4294967296)"
 
 
 _KEEP_HASH_SQL = _knuth_hash_sql(100)
 
 
-def _knuth_hash_col(mod: int) -> F.Column:
-    a = F.col("doc_id").bitwiseAND(F.lit(4294967295))
+def _knuth_hash_col(mod: int, col: str = "doc_id") -> F.Column:
+    a = F.col(col).bitwiseAND(F.lit(4294967295))
     lo = a.bitwiseAND(F.lit(65535)) * _KNUTH
     hi = (F.shiftrightunsigned(a, 16) * _KNUTH) % 65536 * 65536
-    return (lo + hi) % (2**32) % mod
+    h32 = (lo + hi) % (2**32)
+    # h32 * mod < 2^39 for mod ≤ 100: no overflow; >>32 == // 2^32
+    return F.shiftrightunsigned(h32 * mod, 32)
 
 
 def _keep_hash_col() -> F.Column:
@@ -248,7 +264,6 @@ def p03(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents").select(
         "doc_id", "source", F.size(tokens("text")).cast("long").alias("toks")
     )
-    from pyspark.sql import Window
 
     w = (
         Window.partitionBy("source")
@@ -398,7 +413,6 @@ def p05(spark: SparkSession, sf: str) -> DataFrame:
         _rate_col().alias("rate"),
     )
     q = base.filter(F.col("quality") >= _P05_QUALITY_MIN)
-    from pyspark.sql import Window
 
     rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
     k = (
@@ -505,9 +519,12 @@ def p06(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+    # persisted: feats feeds BOTH the bucket histogram and the per-doc
+    # scoring join — without it the full-corpus tokenize + md5 pass (the
+    # dominant cost) runs twice
     feats = td.select(
         "doc_id", "lang", F.explode(F.concat(unigrams, bigrams)).alias("b")
-    )
+    ).persist()
     hist = feats.groupBy("b").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
@@ -579,7 +596,6 @@ def p07(spark: SparkSession, sf: str) -> DataFrame:
     key = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10
     ).cast("long")
-    from pyspark.sql import Window
 
     w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
     return (
@@ -623,7 +639,6 @@ def p08(spark: SparkSession, sf: str) -> DataFrame:
     The same skew that breaks a naive rank-then-filter (one reducer owns
     reddit.com) is bounded here; pinned by
     ``tests/test_plans.py::test_domain_cap_partial_limit``."""
-    from pyspark.sql import Window
 
     d = load_table(spark, sf, "documents")
     w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
@@ -666,7 +681,6 @@ _P09_TOPK = 20
     "broadcasts.",
 )
 def p09(spark: SparkSession, sf: str) -> DataFrame:
-    from pyspark.sql import Window
 
     e = load_table(spark, sf, "events")
     c = e.groupBy("user_id").agg(F.count("*").alias("n"))
@@ -766,16 +780,15 @@ def p10(spark: SparkSession, sf: str) -> DataFrame:
     domain cap is the Partial+Final WindowGroupLimit pair; shard assignment
     is a pure map-side expression feeding one 16-group aggregate.  Order is
     chosen for data volume at every boundary."""
-    from pyspark.sql import Window
 
-    from ..functions import STOPWORDS
+    from ..functions import stopword_count
 
     d = load_wide(spark, sf, "documents").filter(F.col("text").isNotNull())
     tok = tokens("text")
     base = d.select(
         "doc_id", "lang", "source", "n_chars", tok.alias("w"),
         F.size(tok).cast("long").alias("n_tokens"),
-        F.size(F.filter(tok, lambda x: x.isin(*STOPWORDS))).cast("long").alias("n_stop"),
+        stopword_count(tok).cast("long").alias("n_stop"),
     )
     top = (
         d.select("doc_id", F.explode(tok).alias("word"))
@@ -904,11 +917,12 @@ def p11(spark: SparkSession, sf: str) -> DataFrame:
         F.min("d2").alias("lo2"),
         F.max("d2").alias("hi2"),
     )
-    n = li.crossJoin(F.broadcast(stats)).select(
-        ((F.col("d1") - F.col("lo1")) * 65535
-         / F.greatest(F.col("hi1") - F.col("lo1"), F.lit(1))).cast("long").alias("x"),
-        ((F.col("d2") - F.col("lo2")) * 65535
-         / F.greatest(F.col("hi2") - F.col("lo2"), F.lit(1))).cast("long").alias("y"),
+    # `div` is true integer division: the docstring's exact-integer claim
+    # must hold even for ranges where a double quotient could round across
+    # an integer boundary (the oracle's // always floors)
+    n = li.crossJoin(F.broadcast(stats)).selectExpr(
+        "((d1 - lo1) * 65535) div greatest(hi1 - lo1, 1) AS x",
+        "((d2 - lo2) * 65535) div greatest(hi2 - lo2, 1) AS y",
     )
     z = n.select(
         "x",
@@ -943,11 +957,11 @@ def _p12_split_sql(hash_expr: str) -> str:
 
 def _p12_oracle() -> str:
     # reuse d07's recursive-CTE connected components; the Knuth-hash SQL
-    # twin is parameterized by renaming its hard-wired doc_id column
+    # twin is parameterized by the hashed column
     from .dedup import _PAIRS_SQL
 
     own_h = _knuth_hash_sql(100)
-    key_h = own_h.replace("doc_id", "key")
+    key_h = _knuth_hash_sql(100, "key")
     return f"""WITH RECURSIVE {_PAIRS_SQL},
         reach(node, root) AS (
             SELECT a_id, a_id FROM (SELECT DISTINCT a_id FROM edges)
@@ -991,7 +1005,6 @@ def p12(spark: SparkSession, sf: str) -> DataFrame:
     combine.  The CC iteration cost is d07's — already the canonical
     scalable form — and is shared, not added."""
     from .dedup import d07
-    from ..functions import tokens
 
     d = load_table(spark, sf, "documents").select(
         "doc_id", F.size(tokens("text")).cast("long").alias("toks")
@@ -1001,11 +1014,7 @@ def p12(spark: SparkSession, sf: str) -> DataFrame:
     joined = d.join(clusters, "doc_id", "left").withColumn(
         "key", F.coalesce("cluster_id", "doc_id")
     )
-    key_hash = (
-        (F.col("key").bitwiseAND(F.lit(4294967295)).bitwiseAND(F.lit(65535)) * _KNUTH)
-        + (F.shiftrightunsigned(F.col("key").bitwiseAND(F.lit(4294967295)), 16) * _KNUTH)
-        % 65536 * 65536
-    ) % (2**32) % 100
+    key_hash = _knuth_hash_col(100, "key")
     split_of = lambda h: (  # noqa: E731
         F.when(h < _P12_TRAIN, "train").when(h < _P12_VAL, "val").otherwise("test")
     )

@@ -31,6 +31,10 @@ _DOC_QUERIES = [
     "t13_bm25",
     "t14_bigram_surprisal",
     "d01_exact_dedup",
+    "p01_sequence_packing",
+    "p02_stratified_sample",
+    "p03_budget_mixture",
+    "p05_corpus_pipeline",
     "d11_paragraph_dedup",
     "p08_domain_cap",
     "m01_media_stats",
