@@ -324,7 +324,9 @@ def test_keep_hash_engine_parity_at_extreme_ids(spark):
 
     ids = [0, 1, 99, 2**31 - 1, 2**32 - 1, 2**32, 2**33, 2**33 + 7,
            3_500_000_000, 10**12 + 17, 2**62, 2**63 - 1]
-    expected = [((v & 0xFFFFFFFF) * _KNUTH) % 2**32 % 100 for v in ids]
+    # high-bits scaling (h32 * mod >> 32), NOT % mod — the low bits of
+    # a multiplicative hash are unmixed (see packing._knuth_hash_sql)
+    expected = [(((v & 0xFFFFFFFF) * _KNUTH) % 2**32) * 100 >> 32 for v in ids]
 
     df = spark.createDataFrame([(v,) for v in ids], "doc_id long")
     got_spark = [r[0] for r in df.select(_keep_hash_col().alias("h")).collect()]
