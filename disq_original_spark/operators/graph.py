@@ -99,6 +99,24 @@ def connected_components(
             f"connected_components did not converge in {max_iters} rounds "
             "(O(log n) expected); refusing to return unconverged labels"
         )
+    # Airtight convergence check: fingerprint equality alone would return
+    # wrong labels on a ~2^-64 hash collision between consecutive rounds.
+    # A star graph has disjoint leaf/center sets, so assert directly that no
+    # node appears both as a leaf (u) and a center (v) — one slim semi-join
+    # + limit(1), cost bounded by a single extra job on two long columns.
+    if (
+        edges.join(
+            edges.select(F.col("v").alias("u")).distinct(), "u", "left_semi"
+        )
+        .limit(1)
+        .count()
+        > 0
+    ):
+        raise RuntimeError(
+            "connected_components fingerprint claimed convergence but the "
+            "edge set is not a star graph (a leaf is also a center); "
+            "refusing to return unconverged labels"
+        )
     # stars: every non-root is a leaf (u, root); roots appear only as v
     leaves = edges.select(F.col("u").alias("node"), F.col("v").alias("label"))
     roots = (

@@ -915,6 +915,10 @@ def t14(spark: SparkSession, sf: str) -> DataFrame:
 
 # ------------------------------------------------------------ t15 fuzzy join
 _T15_VARIANT_BASE = 2_000_000_000
+_T15_KEYLEN = 24  # the matched 'entity name' = first 24 chars of the doc
+_T15_QGRAM = 3
+_T15_DF_CAP = 64  # drop q-grams appearing in more keys (the d04 posture)
+_T15_MAX_DIST = 2
 
 
 def _t15_gram_rows(spark: SparkSession, sf: str) -> DataFrame:
@@ -949,10 +953,6 @@ def _t15_gram_rows(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("q"),
     )
-_T15_KEYLEN = 24  # the matched 'entity name' = first 24 chars of the doc
-_T15_QGRAM = 3
-_T15_DF_CAP = 64  # drop q-grams appearing in more keys (the d04 posture)
-_T15_MAX_DIST = 2
 
 
 # shared k/g blocking CTEs (SQL twin of _t15_gram_rows) — used by t15 and t16

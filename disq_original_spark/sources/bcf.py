@@ -352,13 +352,19 @@ def encode_record(row: dict, ctx: BcfContext) -> bytes:
     if filters is None:
         shared += b"\x00"  # typed MISSING (type 0): '.' — distinct from PASS
     else:
-        shared += _typed_int_vec(
+        if list(filters) == []:
             # empty filters == PASS, at PASS's dictionary slot (0 for the
             # implicit dictionary; IDX dictionaries may pin it elsewhere)
-            [ctx.string_idx["PASS"]]
-            if list(filters) == []
-            else [ctx.string_idx[f] for f in filters]
-        )
+            if "PASS" not in ctx.string_idx:
+                raise ValueError(
+                    "cannot encode PASS filters: 'PASS' is not in the BCF "
+                    "header string dictionary (spec §6.2 seeds it at IDX=0 "
+                    "unless the header's IDX= annotations claim slot 0 for "
+                    "another FILTER without declaring PASS)"
+                )
+            shared += _typed_int_vec([ctx.string_idx["PASS"]])
+        else:
+            shared += _typed_int_vec([ctx.string_idx[f] for f in filters])
     for k, v in info.items():
         shared += _typed_int(ctx.string_idx[k])
         number, vtype = ctx.info_types.get(k, ("1", "String"))
@@ -550,11 +556,16 @@ def decode_record(r: _Reader, ctx: BcfContext) -> dict:
         _t, a = r.typed()
         alleles.append(a[0] if a else "")
     ft, fv = r.typed()
+    _pass_idx = ctx.string_idx.get("PASS")  # None: header never declares PASS
     if ft == 0:
         filters = None
-    elif fv == [ctx.string_idx.get("PASS", 0)]:
+    elif _pass_idx is not None and fv == [_pass_idx]:
         filters = []
     else:
+        # No default-to-0 when PASS is absent: a fully-IDX'd header that
+        # assigns slot 0 to a real FILTER must decode [0] as that filter,
+        # not silently as PASS (the encode twin above refuses to emit PASS
+        # in that situation, so round-trips stay symmetric).
         filters = [ctx.strings[i] for i in fv]
     info = {}
     for _ in range(n_info):

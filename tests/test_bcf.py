@@ -451,3 +451,28 @@ def test_header_escaped_quote_in_description():
     )
     ctx = BcfContext(hdr)
     assert ctx.strings == ["PASS", "q10", "DP"]
+
+
+def test_header_idx_no_pass_fail_loud():
+    """A fully-IDX'd header that never declares PASS but pins another
+    FILTER at slot 0 (ADVICE r4): encoding PASS (empty filters) must raise
+    a clear ValueError, and decoding FILTER=[0] must yield the actual
+    slot-0 filter — never silently default to PASS."""
+    hdr = (
+        "##fileformat=VCFv4.3\n"
+        "##contig=<ID=c1,length=100,IDX=0>\n"
+        '##FILTER=<ID=q10,Description="q",IDX=0>\n'
+        '##INFO=<ID=DP,Number=1,Type=Integer,Description="d",IDX=1>\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+    )
+    ctx = BcfContext(hdr)
+    assert "PASS" not in ctx.string_idx
+    base = {
+        "contig": "c1", "pos": 5, "id": None, "ref": "A", "alts": [],
+        "qual": None, "info": {}, "genotypes": [],
+    }
+    with pytest.raises(ValueError, match="PASS"):
+        encode_record({**base, "filters": []}, ctx)
+    # decode side: FILTER=[0] is q10, not PASS
+    back = _codec_round_trip({**base, "filters": ["q10"]}, ctx)
+    assert back["filters"] == ["q10"]
