@@ -16,12 +16,28 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from disq_original_spark.cache import release_persists  # noqa: E402
 from disq_original_spark.queries import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: TPC-H Q1 core (q10)."""
     return QUERIES["q10_hash_aggregate"].build(spark, "/root/testdata/sf0.001")
+
+
+def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Wrap a builder so each build first releases the PREVIOUS build's
+    tracked persists (cache hygiene over the driver's 139-query sweep —
+    VERDICT r4).  The current build's persists stay alive for the caller's
+    subsequent drain; releasing them at the next build is correctness-
+    neutral (Spark recomputes from lineage) and bounds resident cached
+    blocks to one query's worth at any time."""
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_persists()
+        return QUERIES[name].build(spark, sf_dir)
+
+    return build
 
 
 # The driver's CORRECTNESS harness records rows for the first 50 names in
@@ -101,7 +117,7 @@ _PRIORITY = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ordered = [n for n in _PRIORITY if n in QUERIES]
     ordered += [n for n in sorted(QUERIES) if n not in set(_PRIORITY)]
-    return {name: QUERIES[name].build for name in ordered}
+    return {name: _released(name) for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -17,6 +17,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from disq_original_spark.cache import release_persists  # noqa: E402
 from disq_original_spark.queries import QUERIES  # noqa: E402
 from disq_original_spark.session import get_spark  # noqa: E402
 
@@ -75,7 +76,19 @@ HEADLINE = [
 # VERDICT r3 directive #3: d04's r3 number was 1.59x its r2 sample while
 # d06/d07 drifted the same direction — min-of-5 (2 shared passes + 3 extra)
 # separates shared-box drift from a real postings-cost regression.
-_EXTRA_PASSES = {"d04_ngram_jaccard": 3, "d06_simhash": 3, "d07_dup_clusters": 3}
+# VERDICT r4 directives #6/#7: the round-3/4 heavyweights (s09/d14/t15) get
+# min-of-5 to establish stable baselines before round 6 compares against
+# them, and q09_range_join (1.41x vs r3, 1.16x vs r1 — drift-band) joins
+# the set to settle whether its drift is real.
+_EXTRA_PASSES = {
+    "d04_ngram_jaccard": 3,
+    "d06_simhash": 3,
+    "d07_dup_clusters": 3,
+    "s09_nn_descent_round": 3,
+    "d14_lsh_estimate_audit": 3,
+    "t15_fuzzy_join": 3,
+    "q09_range_join": 3,
+}
 
 
 RES = Path("/root/reference/src/test/resources")
@@ -213,6 +226,14 @@ def main() -> None:
     # the signal).  Same methodology as JMH warmup iterations.
     for name in HEADLINE:
         QUERIES[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Honest-timing hygiene (VERDICT r4): the warm pass above persisted
+    # shared subtrees (MinHash signatures, pHash tables...).  Release them
+    # and drop every cached block before timing, and again between timed
+    # entries, so no query's number is flattered by another query's (or its
+    # own warm pass's) resident cache — each timed build pays its own
+    # persists from cold, exactly as a fresh driver run would.
+    release_persists()
+    spark.catalog.clearCache()
 
     # Min of two timed passes: this box runs a shared harness, and a single
     # pass shows up to 5x run-to-run variance on individual queries from
@@ -228,6 +249,8 @@ def main() -> None:
         QUERIES[name].build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         el = round(time.perf_counter() - t0, 3)
         timings[name] = min(timings.get(name, el), el)
+        release_persists()
+        spark.catalog.clearCache()
 
     for _ in range(2):
         for name in HEADLINE:

@@ -43,6 +43,7 @@ full shuffle is the floor any repartition-based marker pays.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+from ..cache import track_persist
 from pyspark.sql import functions as F
 
 from ..sources.headers import SamHeader
@@ -159,10 +160,10 @@ def mark_duplicates(reads: DataFrame, header: SamHeader) -> DataFrame:
     # is the slim projection only (~60 bytes/read, spillable), the same
     # trade MarkDuplicatesSpark makes by caching its ReadsKey RDD.
     # Cache lifetime: a lazy builder cannot unpersist after itself, so the
-    # slim signature frame (~60 B/read) stays cached until session end or
-    # spark.catalog.clearCache(); sessions marking many inputs should clear
-    # between runs.
-    sig = reads.select(
+    # slim signature frame (~60 B/read) is registered with cache.track_persist
+    # and released by the harness (bench.py / __spark_entry__) once the
+    # build's results are drained.
+    sig = track_persist(reads.select(
         "qname",
         flag.bitwiseAND(_READ_ORDINAL).alias("r12"),
         _library_col(header).alias("lib"),
@@ -172,7 +173,7 @@ def mark_duplicates(reads: DataFrame, header: SamHeader) -> DataFrame:
         _score_col().alias("score"),
         is_pair_end.alias("pair_end"),
         is_fragment.alias("frag"),
-    ).persist()
+    ))
 
     # ---- pair stage: assemble both ends per qname (shuffle 1, slim rows),
     # canonically order the two end signatures, rank groups (shuffle 2).

@@ -19,6 +19,7 @@ job the genomics indexes do).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from ..cache import track_persist
 from pyspark.sql import functions as F
 
 
@@ -318,7 +319,7 @@ def subtract_intervals(
     # no-b anti join all consume the merged islands — without it the
     # merge's shuffle+window re-executes per branch.  Islands are ≤ |b|
     # slim rows, so the cache is bounded by the smaller input.
-    bm = merge_intervals(b, contig=contig, start=start, end=end).persist()
+    bm = track_persist(merge_intervals(b, contig=contig, start=start, end=end))
     w = Window.partitionBy(contig).orderBy("merged_start")
     prev_end = F.lag("merged_end").over(w)
     between = bm.select(

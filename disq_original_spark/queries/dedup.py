@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import track_persist
 from ..tables import load_table, load_wide
 from .registry import query
 
@@ -291,7 +292,7 @@ def d04(spark: SparkSession, sf: str) -> DataFrame:
         ex0.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") <= _DF_CAP)
-        .persist()  # tiny: (hash, ≤cap ids); feeds both counts and pairs
+        .transform(track_persist)  # tiny: (hash, ≤cap ids); feeds both counts and pairs
     )
     cnt = (
         inv.select(F.explode("ids").alias("doc_id"))
@@ -1043,7 +1044,7 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
     # reused three ways (per-doc counts + both sides of the intersection) —
     # the d04 posture; without the persists the corpus would be re-shingled
     # ~5x across the branches
-    sig = _doc_signatures(spark, sf).persist()
+    sig = track_persist(_doc_signatures(spark, sf))
     inv = (
         _band_rows(sig)
         .groupBy("band_idx", "band_key")
@@ -1054,7 +1055,7 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
         inv.select(F.explode(_pair_expansion()).alias("p"))
         .select("p.a_id", "p.b_id")
         .distinct()
-        .persist()
+        .transform(track_persist)
     )
     sa = sig.select(
         F.col("doc_id").alias("a_id"),
@@ -1072,7 +1073,7 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
         .join(sb, "b_id")
         .select("a_id", "b_id", est_expr.alias("est_slots"))
     )
-    hashes = _doc_shingle_hashes(spark, sf).persist()
+    hashes = track_persist(_doc_shingle_hashes(spark, sf))
     cnt = hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     xa = hashes.select(F.col("doc_id").alias("a_id"), "s")
     xb = hashes.select(F.col("doc_id").alias("b_id"), "s")

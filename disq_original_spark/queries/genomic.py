@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType, TimestampType
 
+from ..cache import track_persist
 from ..tables import load_table
 from .registry import query
 
@@ -317,7 +318,7 @@ def g07(spark: SparkSession, sf: str) -> DataFrame:
     # persist is per-PLAN: repeated g07 builds hit the same cache entry, so
     # the session pins one decoded copy of the 10k-variant fixture (~MBs),
     # not one per invocation
-    v = VcfSource().read(spark, path).persist()
+    v = track_persist(VcfSource().read(spark, path))
     info = promote_info(v, hdr)
     site = info.groupBy("contig").agg(
         F.count(F.lit(1)).alias("n_sites"),

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cache import track_persist
 from ..operators.multimodal import (
     audio_frames,
     documents_as_media,
@@ -248,7 +249,7 @@ def m04(spark: SparkSession, sf: str) -> DataFrame:
     # consume the hashes — without it the Arrow decode pass runs three
     # times (one mapInPandas subtree per plan branch).  5 ints/row, so the
     # cache is ~1000× smaller than the payloads it replaces.
-    hashes = perceptual_hash(corpus).persist()
+    hashes = track_persist(perceptual_hash(corpus))
     band_structs = F.array(
         *[
             F.struct(F.lit(b).alias("band_idx"), F.col(f"b{b}").alias("band_val"))

@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cache import track_persist
 from ..functions import tokens
 from ..tables import load_table, load_wide
 from .registry import QUERIES, query
@@ -522,9 +523,9 @@ def p06(spark: SparkSession, sf: str) -> DataFrame:
     # persisted: feats feeds BOTH the bucket histogram and the per-doc
     # scoring join — without it the full-corpus tokenize + md5 pass (the
     # dominant cost) runs twice
-    feats = td.select(
+    feats = track_persist(td.select(
         "doc_id", "lang", F.explode(F.concat(unigrams, bigrams)).alias("b")
-    ).persist()
+    ))
     hist = feats.groupBy("b").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum((F.col("lang") == "en").cast("long")).alias("ct"),

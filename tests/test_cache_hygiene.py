@@ -1,0 +1,79 @@
+"""Cache hygiene (VERDICT r4 directive #1): every ``.persist()`` a query
+builder takes is registered with ``disq_original_spark.cache`` and released
+by the harness once the build's results are drained — no persisted blocks
+survive a build+drain+release cycle, so a long session (the driver's
+139-query sweep, a bench run) never accumulates stale cached subtrees and
+no query's timing is flattered by another query's resident cache."""
+
+from __future__ import annotations
+
+import pytest
+
+from disq_original_spark.cache import release_persists, tracked_count
+from disq_original_spark.queries import QUERIES
+
+# Every query whose build path calls track_persist (directly or through
+# operators): MinHash-LSH family, dupmark, interval-merge subtract, pHash,
+# token features, the cached VCF decode.
+PERSISTING = [
+    "d04_ngram_jaccard",
+    "d14_lsh_estimate_audit",
+    "g07_typed_variant_stats",
+    "g09_mark_duplicates",
+    "g17_interval_subtract",
+    "m04_phash_neardup",
+    "p06_importance_resampling",
+]
+
+
+def _persistent_rdd_count(spark) -> int:
+    # the authoritative storage view: JVM-side registry of persisted RDDs
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+@pytest.fixture(autouse=True)
+def _clean_slate(spark):
+    release_persists()
+    spark.catalog.clearCache()
+    yield
+    release_persists()
+    spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("name", PERSISTING)
+def test_build_drain_release_leaves_no_cached_blocks(spark, sf_dir, name):
+    df = QUERIES[name].build(spark, sf_dir)
+    assert tracked_count() > 0, f"{name} expected to register persists"
+    df.write.format("noop").mode("overwrite").save()  # drain
+    released = release_persists()
+    assert released > 0
+    spark.catalog.clearCache()  # drop non-tracked .cache() blocks, if any
+    assert _persistent_rdd_count(spark) == 0, (
+        f"{name}: persisted RDDs survived build+drain+release"
+    )
+
+
+def test_release_is_correctness_neutral(spark, sf_dir):
+    """Unpersisting between build and drain must not change results — the
+    subtree recomputes from lineage (this is why harness-level release
+    can never corrupt a query, only cost recompute time)."""
+    a = QUERIES["d04_ngram_jaccard"].build(spark, sf_dir)
+    expected = sorted(map(tuple, a.collect()))
+    release_persists()
+    b = QUERIES["d04_ngram_jaccard"].build(spark, sf_dir)
+    release_persists()  # release BEFORE the drain: persists never materialize
+    got = sorted(map(tuple, b.collect()))
+    assert got == expected
+
+
+def test_entry_contract_releases_previous_build(spark):
+    """__spark_entry__.queries() wrappers release the previous build's
+    persists at each new build — the driver's sweep holds at most one
+    query's persists at any time."""
+    import __spark_entry__ as se
+
+    qs = se.queries()
+    qs["d04_ngram_jaccard"](spark, "/root/testdata/sf0.001")
+    assert tracked_count() > 0
+    qs["q02_filter"](spark, "/root/testdata/sf0.001")  # non-persisting build
+    assert tracked_count() == 0
