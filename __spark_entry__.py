@@ -47,45 +47,58 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # across a rolling window of rounds.  All registered queries are always
 # present — only the ordering is prioritized.
 #
-# Round-4 rotation (VERDICT r3 directive #1): lead with the 28 hash-checkable
-# queries that have never had a driver CORRECTNESS row (all round-3 second-wave
-# additions), then the 13 rows-only genomics never witnessed, then re-witnesses
-# of queries whose plans change this round (d07 large-star/small-star rewrite,
-# s07 vectorized top-k + audit) and d03/d04/d06 (bench-drift confirmation).
-# 28 + 13 + 9 = 50 = exactly the driver window; with rounds 1–3 this makes
-# every registered query driver-witnessed at least once.
+# Round-5 rotation (VERDICT r4 directive #2): the window is exactly the 40
+# queries whose latest driver witness is round 2 (nothing may stay older
+# than round 3) plus 10 of the genomics queries that gained parquet-twin
+# DuckDB oracles this round (directive #4 — first hash-checkable witness;
+# g03/g04/g06/g07 also gained oracles and sit inside the 40).  The two
+# remaining conversions (g20/g21, locally oracle-validated) and the
+# post-Knuth p04/p10 re-witnesses (r3 rows, pinned by the new
+# tests/test_hash_distribution.py) rotate in round 6.
 _PRIORITY = [
-    # --- 28 hash-checkable, never driver-witnessed (rounds 1–3) ---
-    "q43_tpch_q18",
-    "q44_scd2_dimension",
-    "q45_funnel_steps",
-    "q46_resample_ffill",
-    "q47_tpch_q21",
-    "q48_cdc_upsert",
-    "q49_bag_setops",
-    "q50_scalar_subquery",
-    "t13_bm25",
-    "t14_bigram_surprisal",
-    "t15_fuzzy_join",
-    "p07_deterministic_shuffle",
-    "p08_domain_cap",
-    "p09_skew_audit",
-    "p10_corpus_pipeline_v2",
-    "p11_zorder_layout",
-    "p12_leakage_safe_split",
-    "d11_paragraph_dedup",
-    "d12_keep_best",
-    "m04_phash_neardup",
-    "m05_audio_frames",
-    "m06_scene_cuts",
-    "s06_ann_sq8",
-    "s07_knn_graph",
-    "st08_stream_ingest_dedup",
-    "g16_interval_merge",
-    "g17_interval_subtract",
-    "g18_interval_closest",
-    # --- 13 rows-only genomics, never driver-witnessed (pytest-oracled) ---
-    "g09_mark_duplicates",
+    # --- queries whose code/oracle changed since their r2 witness ---
+    "m03_frame_sample",  # oracle NULL-video fix (f0bca4f)
+    "p01_sequence_packing",  # NULL-text guard (b45d56a)
+    "d03_minhash_lsh",  # pair path shared with d14 (505317a)
+    # --- remaining r2-stale re-witnesses (latest driver row round 2) ---
+    "q01_scan_project",
+    "q02_filter",
+    "q03_range_predicate",
+    "q04_inner_join",
+    "q34_asof_join",
+    "q35_tpch_q3",
+    "q36_tpch_q5",
+    "q37_udtf_sentences",
+    "q38_recursive_spine",
+    "q39_time_range_frame",
+    "q40_lateral_topn",
+    "d01_exact_dedup",
+    "d02_dedup_stats",
+    "d05_embedding_neardup",
+    "p03_budget_mixture",
+    "m01_media_stats",
+    "m02_media_features",
+    "t01_token_count",
+    "t02_quality_score",
+    "t03_lang_heuristic",
+    "t04_fingerprint",
+    "t05_bpe_tokens",
+    "t06_winnow_fingerprint",
+    "t07_pii_redact",
+    "t09_contamination",
+    "st01_stream_tumbling",
+    "st02_stream_stream_join",
+    "st03_stream_dedup",
+    "st04_stream_session",
+    "g01_interval_filter",
+    "g02_interval_join",
+    "g03_bam_contig_stats",  # newly hash-checkable (parquet twin)
+    "g04_vcf_variant_stats",  # newly hash-checkable (parquet twin)
+    "g05_binned_interval_join",
+    "g06_coverage_windows",  # newly hash-checkable (parquet twin)
+    "g07_typed_variant_stats",  # newly hash-checkable (parquet twin)
+    "g08_skewed_interval_join",
+    # --- 10 genomics conversions: first hash-checkable driver witness ---
     "g10_flagstat",
     "g11_cycle_quality",
     "g12_tstv",
@@ -93,24 +106,9 @@ _PRIORITY = [
     "g14_multiallelic_split",
     "g15_idxstats",
     "g19_gc_windows",
-    "g20_kmer_spectrum",
-    "g21_cpg_islands",
     "g22_roh_runs",
     "g23_bcf_stats",
     "g24_bam_to_fastq",
-    # --- 5 new round-4 queries (first witness): truncation audits, the
-    # NN-Descent refinement round, the MinHash estimate-vs-truth audit ---
-    "s08_graph_bucket_audit",
-    "d13_lsh_bucket_audit",
-    "t16_blocking_audit",
-    "s09_nn_descent_round",
-    "d14_lsh_estimate_audit",
-    # --- 4 re-witnesses: plans changed this round or bench-drift checks
-    # (d03 is a strict subtree of d14, so it is exercised there too) ---
-    "d07_dup_clusters",
-    "d04_ngram_jaccard",
-    "d06_simhash",
-    "d08_dup_span_coverage",
 ]
 
 

@@ -124,15 +124,41 @@ def g02(spark: SparkSession, sf: str) -> DataFrame:
 # byte-level read correctness is proven separately in tests/test_bam.py etc.
 _FIXTURES = "/root/reference/src/test/resources"
 
+# Decoded-fixture parquet twins for the DuckDB oracles (VERDICT r4 #4):
+# DuckDB cannot read BAM/VCF/BCF/FASTA, so tools/build_oracle_fixtures.py
+# decodes each fixture once (through this repo's differentially-tested
+# sources, plus an INDEPENDENT Python CIGAR walk for the g13 spans and an
+# independent FASTA parser) and commits the rows under fixtures/oracle/.
+# The Spark queries keep reading the real binary formats; the oracle SQL
+# re-runs the aggregation math over the parquet twin, giving the driver a
+# hash row for the operator MATH while decode correctness stays pinned by
+# the differential pytest suite.
+_ORC = "/root/repo/fixtures/oracle"
+_BAM1 = f"read_parquet('{_ORC}/bam_1_reads.parquet')"
+_BAM1_CONTIGS = f"read_parquet('{_ORC}/bam_1_contigs.parquet')"
+_SHARDED = f"read_parquet('{_ORC}/bam_sharded_reads.parquet')"
+_SPANS = f"read_parquet('{_ORC}/bam_sharded_spans.parquet')"
+_VCF_HISEQ = f"read_parquet('{_ORC}/vcf_hiseq.parquet')"
+_VCF_HISEQ_GT = f"read_parquet('{_ORC}/vcf_hiseq_gt.parquet')"
+_VCF_TEST = f"read_parquet('{_ORC}/vcf_test.parquet')"
+_FASTA_SEQS = f"read_parquet('{_ORC}/fasta_valid_seqs.parquet')"
+
 
 @query(
     "g03_bam_contig_stats",
-    None,
+    f"""SELECT coalesce(rname, '*') AS contig,
+               count(*) AS n_reads,
+               round(avg(mapq), 2) AS avg_mapq,
+               round(avg(CASE WHEN (flag & 4) = 0 THEN 1.0 ELSE 0.0 END), 4)
+                 AS mapped_frac
+        FROM {_BAM1}
+        GROUP BY 1 ORDER BY 1""",
     doc="SQL over a real BAM read: per-contig read count, mean mapq, mapped "
     "fraction (flag bit 0x4), computed by Catalyst over the splittable BAM "
     "source (`bam/BamSource.java:43-188` analog).  At 100 TB this is a scan "
     "with record-aligned chunking + one partial-agg shuffle of tiny "
-    "(contig, partial-sums) rows.",
+    "(contig, partial-sums) rows.  Oracle: SQL over the decoded-fixture "
+    "parquet twin (fixtures/oracle/, see tools/build_oracle_fixtures.py).",
 )
 def g03(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.bam import BamSource
@@ -153,10 +179,19 @@ def g03(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "g04_vcf_variant_stats",
-    None,
+    f"""SELECT contig,
+               count(*) AS n_variants,
+               round(avg(qual), 2) AS avg_qual,
+               CAST(sum(CASE WHEN length(ref) = 1 AND len(alts) = 1
+                              AND length(alts[1]) = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_snv,
+               CAST(sum(len(filters)) AS BIGINT) AS n_filter_flags
+        FROM {_VCF_HISEQ}
+        GROUP BY contig ORDER BY contig""",
     doc="SQL over a real BGZF VCF read: per-contig variant count, mean qual, "
     "transition count via array ops on alts — the splittable BGZF text "
-    "source (`vcf/VcfSource.java:45-186` analog) feeding native SQL.",
+    "source (`vcf/VcfSource.java:45-186` analog) feeding native SQL.  "
+    "Oracle: SQL over the decoded-fixture parquet twin (fixtures/oracle/).",
 )
 def g04(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.vcf import VcfSource
@@ -239,7 +274,21 @@ _G06_WIN = 1000  # 1 kb coverage windows
 
 @query(
     "g06_coverage_windows",
-    None,
+    f"""WITH mapped AS (
+          SELECT rname, pos, mapq,
+                 CAST(greatest(pos, pos + coalesce(list_sum(list_transform(
+                     regexp_extract_all(cigar, '(\\d+)[MDN=X]', 1),
+                     rx -> CAST(rx AS BIGINT))), 0) - 1) AS BIGINT) AS end_pos
+          FROM {_SHARDED}
+          WHERE (flag & 4) = 0 AND rname IS NOT NULL
+        ), wins AS (
+          SELECT rname, mapq, w
+          FROM mapped, unnest(generate_series(pos // {_G06_WIN},
+                                              end_pos // {_G06_WIN})) AS t(w)
+        )
+        SELECT rname, w * {_G06_WIN} AS win_start,
+               count(*) AS depth, round(avg(mapq), 2) AS avg_mapq
+        FROM wins GROUP BY rname, w ORDER BY rname, win_start""",
     doc="Windowed depth of coverage over the real sharded-BAM fixture (the "
     "coverage-track computation every genomics pipeline runs).  Alignment "
     "END comes from the CIGAR string inside native SQL — "
@@ -247,8 +296,9 @@ _G06_WIN = 1000  # 1 kb coverage windows
     "with aggregate() — then each read explodes to the 1 kb windows it "
     "spans and depth is a partial-agg count per (contig, window).  Zero "
     "Python in the row path; at 100 TB the shuffle carries only "
-    "(window, partial-count) rows.  Rows-only entry (DuckDB cannot read "
-    "BAM); an exhaustive brute-force oracle runs in tests/test_genomic.py.",
+    "(window, partial-count) rows.  Oracle: the same window arithmetic in "
+    "DuckDB SQL over the decoded-fixture parquet twin (fixtures/oracle/); "
+    "an exhaustive brute-force oracle also runs in tests/test_genomic.py.",
 )
 def g06(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.bam import BamSource
@@ -296,14 +346,30 @@ def g06(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------------- g07 typed INFO/genotypes
 @query(
     "g07_typed_variant_stats",
-    None,
+    f"""WITH site AS (
+          SELECT contig, count(*) AS n_sites,
+                 round(avg(info_dp), 2) AS avg_depth,
+                 round(avg(info_mq), 2) AS avg_mq,
+                 round(avg(CASE WHEN info_db THEN 1.0 ELSE 0.0 END), 4)
+                   AS dbsnp_rate
+          FROM {_VCF_HISEQ} GROUP BY contig
+        ), gq AS (
+          SELECT contig, round(avg(q), 2) AS avg_gq
+          FROM (SELECT contig, unnest(gq_list) AS q FROM {_VCF_HISEQ})
+          GROUP BY contig
+        )
+        SELECT s.contig, s.n_sites, s.avg_depth, s.avg_mq, s.dbsnp_rate,
+               gq.avg_gq
+        FROM site s JOIN gq USING (contig) ORDER BY s.contig""",
     doc="Typed-INFO analytics over the real BGZF VCF: operators/variants.py "
     "promotes header-declared INFO fields (Integer/Float/Flag, scalar or "
     "array) to native typed columns with try_cast lenient semantics — the "
     "relational equivalent of htsjdk's typed VariantContext — then standard "
     "SQL aggregates: per-contig mean depth, mean mapping quality, dbSNP "
     "membership rate, and mean per-sample genotype quality from the "
-    "exploded typed genotypes.  Zero Python in the row path.",
+    "exploded typed genotypes.  Zero Python in the row path.  Oracle: SQL "
+    "over the decoded-fixture parquet twin (fixtures/oracle/), which "
+    "freezes the typed promotion; the aggregation math is re-run by DuckDB.",
 )
 def g07(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.variants import explode_genotypes, promote_info
@@ -433,12 +499,30 @@ def g09(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------------------ g10 flagstat
 @query(
     "g10_flagstat",
-    None,
+    f"""SELECT count(*) AS total,
+               CAST(sum(CASE WHEN (flag & 256) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS secondary,
+               CAST(sum(CASE WHEN (flag & 2048) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS supplementary,
+               CAST(sum(CASE WHEN (flag & 1024) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS duplicates,
+               CAST(sum(CASE WHEN (flag & 4) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS mapped,
+               CAST(sum(CASE WHEN (flag & 1) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS paired,
+               CAST(sum(CASE WHEN (flag & 1) != 0 AND (flag & 64) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS read1,
+               CAST(sum(CASE WHEN (flag & 1) != 0 AND (flag & 128) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS read2,
+               CAST(sum(CASE WHEN (flag & 1) != 0 AND (flag & 2) != 0 AND (flag & 4) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS properly_paired,
+               CAST(sum(CASE WHEN (flag & 1) != 0 AND (flag & 4) = 0 AND (flag & 8) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS both_mapped,
+               CAST(sum(CASE WHEN (flag & 1) != 0 AND (flag & 4) = 0 AND (flag & 8) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS singletons,
+               CAST(sum(CASE WHEN (flag & 1) != 0 AND (flag & 4) = 0 AND (flag & 8) = 0
+                              AND rnext IS NOT NULL AND rnext != '='
+                              AND rnext != rname THEN 1 ELSE 0 END) AS BIGINT) AS mate_diff_chr,
+               CAST(sum(CASE WHEN (flag & 1) != 0 AND (flag & 4) = 0 AND (flag & 8) = 0
+                              AND rnext IS NOT NULL AND rnext != '='
+                              AND rnext != rname AND mapq >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS mate_diff_chr_mapq5
+        FROM {_BAM1}""",
     doc="samtools-flagstat equivalent: one partial-agg pass of conditional "
     "sums over the flag bits of the real BAM fixture — 12 counters in a "
-    "single scan, no shuffle beyond the final 1-row combine.  Rows-only "
-    "entry (DuckDB cannot read BAM); tests/test_dupmark.py recomputes "
-    "every counter from the decoded rows in Python and compares exactly.",
+    "single scan, no shuffle beyond the final 1-row combine.  Oracle: the "
+    "same conditional sums in DuckDB over the decoded-fixture parquet twin "
+    "(fixtures/oracle/); tests/test_dupmark.py also recomputes every "
+    "counter from the decoded rows in Python and compares exactly.",
 )
 def g10(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.bam import BamSource
@@ -480,7 +564,22 @@ def g10(spark: SparkSession, sf: str) -> DataFrame:
 # ----------------------------------------------------- g11 per-cycle quality QC
 @query(
     "g11_cycle_quality",
-    None,
+    f"""WITH cells AS (
+          SELECT ci AS cycle,
+                 substr(seq, ci, 1) AS b,
+                 ascii(substr(qual, ci, 1)) - 33 AS phred
+          FROM {_BAM1},
+               unnest(generate_series(1, greatest(length(seq), length(qual))))
+                 AS t(ci)
+          WHERE (flag & 2304) = 0 AND qual != '*'
+        )
+        SELECT cycle, count(*) AS n,
+               round(avg(phred), 2) AS avg_qual,
+               round(avg(CASE WHEN b = 'A' THEN 1.0 ELSE 0.0 END), 4) AS frac_a,
+               round(avg(CASE WHEN b = 'C' THEN 1.0 ELSE 0.0 END), 4) AS frac_c,
+               round(avg(CASE WHEN b = 'G' THEN 1.0 ELSE 0.0 END), 4) AS frac_g,
+               round(avg(CASE WHEN b = 'T' THEN 1.0 ELSE 0.0 END), 4) AS frac_t
+        FROM cells GROUP BY cycle ORDER BY cycle""",
     doc="FastQC-style per-cycle QC over the real BAM: mean base quality and "
     "base composition at every read position (machine-cycle), the standard "
     "sequencing-QC track.  arrays_zip(split(seq), split(qual)) + posexplode "
@@ -488,7 +587,8 @@ def g10(spark: SparkSession, sf: str) -> DataFrame:
     "per-cycle substring rescans — and the aggregate is a partial-agg hash "
     "shuffle carrying only (cycle, partial-sums): at 100 TB the shuffle "
     "volume is read-length × partitions, independent of read count.  "
-    "Rows-only entry (DuckDB cannot read BAM); tests/test_qc.py recomputes "
+    "Oracle: DuckDB re-derives every cycle cell by position over the "
+    "decoded-fixture parquet twin; tests/test_qc.py also recomputes "
     "every cycle's stats from the decoded rows in Python.",
 )
 def g11(spark: SparkSession, sf: str) -> DataFrame:
@@ -525,13 +625,24 @@ def g11(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------------------- g12 Ts/Tv ratio
 @query(
     "g12_tstv",
-    None,
+    f"""WITH snv AS (
+          SELECT upper(ref) || upper(alts[1]) IN ('AG','GA','CT','TC') AS is_ts
+          FROM {_VCF_HISEQ}
+          WHERE length(ref) = 1 AND len(alts) = 1 AND length(alts[1]) = 1
+        )
+        SELECT count(*) AS n_snv,
+               CAST(sum(CASE WHEN is_ts THEN 1 ELSE 0 END) AS BIGINT) AS n_ts,
+               CAST(sum(CASE WHEN is_ts THEN 0 ELSE 1 END) AS BIGINT) AS n_tv,
+               round(sum(CASE WHEN is_ts THEN 1 ELSE 0 END) /
+                     CAST(sum(CASE WHEN is_ts THEN 0 ELSE 1 END) AS DOUBLE),
+                     4) AS tstv
+        FROM snv""",
     doc="Transition/transversion ratio over the real BGZF VCF — the "
     "first-line variant-calling QC metric (a human callset expects ~2.0-2.1 "
     "genome-wide).  Biallelic SNVs classify as transition (A<->G, C<->T) "
     "with one map-side expression; the result is a single partial-agg "
-    "combine.  Rows-only entry (DuckDB cannot read VCF); tests/test_qc.py "
-    "recomputes the counts in Python.",
+    "combine.  Oracle: the same classification in DuckDB over the decoded-"
+    "fixture parquet twin; tests/test_qc.py recomputes the counts in Python.",
 )
 def g12(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.vcf import VcfSource
@@ -560,7 +671,13 @@ _G13_REGION = ("chr1", 10_080_000, 10_085_000)  # 5 kb window in the read pile
 
 @query(
     "g13_region_depth",
-    None,
+    f"""SELECT p AS position, count(*) AS depth
+        FROM {_SPANS},
+             unnest(generate_series(greatest(s, {_G13_REGION[1]}),
+                                    least(e, {_G13_REGION[2]}))) AS t(p)
+        WHERE rname = '{_G13_REGION[0]}'
+          AND s <= {_G13_REGION[2]} AND e >= {_G13_REGION[1]}
+        GROUP BY p ORDER BY p""",
     doc="samtools-depth equivalent: per-position aligned-base depth over a "
     "5 kb region of the sharded BAM.  The read scan itself is interval-"
     "pruned (.bai byte ranges feed the split planner, so only chunks "
@@ -570,8 +687,10 @@ _G13_REGION = ("chr1", 10_080_000, 10_085_000)  # 5 kb window in the read pile
     "depth) accumulate into an array of [start,end] spans — and each span "
     "explodes to its clamped positions for a partial-agg count.  Zero "
     "Python; at 100 TB the shuffle carries (position, partial-count) rows "
-    "bounded by region size × partitions.  Rows-only entry; tests/"
-    "test_qc.py walks every CIGAR in Python and compares all depths.",
+    "bounded by region size × partitions.  Oracle: DuckDB counts positions "
+    "from an INDEPENDENT Python CIGAR walk's span table (fixtures/oracle/"
+    "bam_sharded_spans.parquet — cross-implemented, not twinned); tests/"
+    "test_qc.py also walks every CIGAR in Python and compares all depths.",
 )
 def g13(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.bam import BamSource
@@ -639,7 +758,22 @@ def g13(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------ g14 multi-allelic split
 @query(
     "g14_multiallelic_split",
-    None,
+    f"""WITH s AS (
+          SELECT contig, pos, ref, alts, af, gts,
+                 len(alts) AS n_orig_alts, ai AS allele_idx,
+                 flatten(list_transform(gts,
+                     gv -> regexp_split_to_array(gv, '[/|]'))) AS al
+          FROM {_VCF_TEST},
+               unnest(generate_series(1, greatest(len(alts), 1))) AS u(ai)
+        )
+        SELECT contig, pos, ref, alts[allele_idx] AS alt, allele_idx,
+               CAST(n_orig_alts AS INTEGER) AS n_orig_alts,
+               TRY_CAST(str_split(af, ',')[allele_idx] AS DOUBLE) AS af,
+               CAST(len(list_filter(al, av -> av = CAST(allele_idx AS VARCHAR)))
+                    AS BIGINT) AS ac,
+               CAST(len(al) - len(list_filter(al, av -> av = '.'))
+                    AS BIGINT) AS an
+        FROM s ORDER BY contig, pos, allele_idx""",
     doc="bcftools `norm -m-` equivalent over the real VCF fixture: multi-"
     "allelic records split into one bi-allelic record per ALT via "
     "`operators/variants.py::split_multiallelics` — Number=A INFO values "
@@ -687,7 +821,17 @@ def _allele_eq(val: str):
 # --------------------------------------------------------- g15 idxstats
 @query(
     "g15_idxstats",
-    None,
+    f"""SELECT d.contig, d.length,
+               CAST(coalesce(c.n_mapped, 0) AS BIGINT) AS n_mapped,
+               CAST(coalesce(c.n_unmapped, 0) AS BIGINT) AS n_unmapped
+        FROM {_BAM1_CONTIGS} d
+        LEFT JOIN (
+          SELECT coalesce(rname, '*') AS ctg,
+                 sum(CASE WHEN (flag & 4) = 0 THEN 1 ELSE 0 END) AS n_mapped,
+                 sum(CASE WHEN (flag & 4) != 0 THEN 1 ELSE 0 END) AS n_unmapped
+          FROM {_BAM1} GROUP BY 1
+        ) c ON c.ctg = d.contig
+        ORDER BY d.rank""",
     doc="samtools-idxstats equivalent over the real BAM: one row per header "
     "contig IN HEADER ORDER — contig, length, mapped reads (FLAG&4 == 0), "
     "placed-but-unmapped reads (FLAG&4 set with a reference, i.e. unmapped "
@@ -696,7 +840,8 @@ def _allele_eq(val: str):
     "zero reads still appear).  The header sequence dictionary is a tiny "
     "driver-side DataFrame broadcast-left-joined onto one partial-agg scan "
     "of the reads; at 100 TB the shuffle carries (ref_id, two partial "
-    "counts) per partition and nothing else.  Rows-only entry; "
+    "counts) per partition and nothing else.  Oracle: the same left join "
+    "in DuckDB over the decoded reads + header-dictionary parquet twins; "
     "tests/test_qc.py recomputes every counter from the decoded reads.",
 )
 def g15(spark: SparkSession, sf: str) -> DataFrame:
@@ -947,13 +1092,28 @@ _G19_WINDOW = 50
 
 @query(
     "g19_gc_windows",
-    None,
+    f"""WITH w AS (
+          SELECT contig, ws AS w_start,
+                 least(ws + {_G19_WINDOW} - 1, length(seq)) AS w_end,
+                 substr(seq, CAST(ws AS INTEGER), {_G19_WINDOW}) AS s
+          FROM {_FASTA_SEQS},
+               unnest(generate_series(1, length(seq), {_G19_WINDOW})) AS t(ws)
+        )
+        SELECT contig, w_start, w_end,
+               CAST(length(s) - length(translate(s, 'GCgc', '')) AS BIGINT)
+                 AS gc_count,
+               CAST(length(s) - length(translate(s, 'Nn', '')) AS BIGINT)
+                 AS n_count,
+               round((length(s) - length(translate(s, 'GCgc', ''))) /
+                     CAST(length(s) AS DOUBLE), 4) AS gc_frac
+        FROM w ORDER BY contig, w_start""",
     doc="GC-content profile of the reference FASTA in fixed windows — the "
     "classic GC-bias QC track: sources/fasta.py cuts the .fai-indexed "
     "reference into window rows with O(contigs) driver planning and "
     "per-task byte-range reads, then GC/N counts and the GC fraction are "
     "pure codegen string expressions over the seq column (no Python after "
-    "the scan).  Rows-only entry (DuckDB cannot read FASTA); "
+    "the scan).  Oracle: DuckDB re-windows the whole-contig sequences "
+    "(independent FASTA parse, fixtures/oracle/) with generate_series; "
     "tests/test_fasta.py recomputes every window in Python and pins "
     "window reassembly == the whole reference.",
 )
@@ -981,7 +1141,14 @@ _G20_WINDOW = 50
 
 @query(
     "g20_kmer_spectrum",
-    None,
+    f"""WITH km AS (
+          SELECT substr(seq, CAST(ki AS INTEGER), {_G20_K}) AS kmer
+          FROM {_FASTA_SEQS},
+               unnest(generate_series(1, length(seq) - {_G20_K} + 1)) AS t(ki)
+        )
+        SELECT least(kmer, reverse(translate(kmer, 'ACGT', 'TGCA'))) AS canon,
+               count(*) AS n
+        FROM km GROUP BY canon ORDER BY n DESC, canon""",
     doc="Canonical k-mer spectrum of the reference (jellyfish/KMC "
     "equivalent, k=8): sources/fasta.py windows carry k-1 lookahead bases "
     "so every k-mer — including those crossing window and task boundaries "
@@ -990,7 +1157,9 @@ _G20_WINDOW = 50
     "via translate+reverse) and extraction are pure codegen expressions; "
     "one hash aggregate with map-side combine builds the spectrum.  At "
     "genome scale the shuffle carries (kmer, partial-count) rows bounded "
-    "by 4^k per partition.  Rows-only entry; tests/test_fasta.py "
+    "by 4^k per partition.  Oracle: DuckDB extracts every k-mer from the "
+    "whole-contig sequences (independent FASTA parse — a window-tiling bug "
+    "on the Spark side would diverge); tests/test_fasta.py also "
     "recomputes the whole spectrum in Python.",
 )
 def g20(spark: SparkSession, sf: str) -> DataFrame:
@@ -1035,7 +1204,31 @@ _G21_WINDOW = 50
 
 @query(
     "g21_cpg_islands",
-    None,
+    f"""WITH w AS (
+          SELECT contig, ws AS w_start,
+                 substr(seq, CAST(ws AS INTEGER), {_G21_WINDOW}) AS body,
+                 substr(seq, CAST(ws AS INTEGER), {_G21_WINDOW} + 1) AS wide
+          FROM {_FASTA_SEQS},
+               unnest(generate_series(1, length(seq), {_G21_WINDOW})) AS t(ws)
+        ), c AS (
+          SELECT contig, w_start,
+                 length(body) AS blen,
+                 length(body) - length(translate(body, 'C', '')) AS n_c,
+                 length(body) - length(translate(body, 'G', '')) AS n_g,
+                 (length(wide) - length(replace(wide, 'CG', ''))) / 2 AS n_cg
+          FROM w
+        )
+        SELECT contig, w_start, w_start + blen - 1 AS w_end,
+               CAST(n_c AS BIGINT) AS n_c, CAST(n_g AS BIGINT) AS n_g,
+               CAST(n_cg AS BIGINT) AS n_cg,
+               CASE WHEN n_c > 0 AND n_g > 0
+                    THEN round(n_cg * blen / (n_c * n_g), 4)
+                    ELSE 0.0 END AS obs_exp,
+               ((n_c + n_g) / CAST(blen AS DOUBLE) > 0.5 AND
+                CASE WHEN n_c > 0 AND n_g > 0
+                     THEN round(n_cg * blen / (n_c * n_g), 4)
+                     ELSE 0.0 END > 0.6) AS is_island
+        FROM c ORDER BY contig, w_start""",
     doc="CpG-island scan (Gardiner-Garden & Frommer criteria — EMBOSS "
     "newcpgreport / UCSC cpgIslandExt analog) over the reference windows: "
     "per window the C/G counts, the CpG dinucleotide count (windows carry "
@@ -1044,7 +1237,8 @@ _G21_WINDOW = 50
     "observed/expected ratio n_CG·len/(n_C·n_G), and the classic island "
     "flag (GC% > 50 and obs/exp > 0.6).  All counting is replace/translate "
     "string codegen; one scan, zero shuffle before the final ORDER BY.  "
-    "Rows-only entry; tests/test_fasta.py recomputes every window.",
+    "Oracle: DuckDB re-windows the whole-contig sequences with the same "
+    "one-base lookahead; tests/test_fasta.py recomputes every window.",
 )
 def g21(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.fasta import FastaSource
@@ -1080,7 +1274,28 @@ _G22_MIN_SITES = 5  # report runs of at least this many consecutive hom sites
 
 @query(
     "g22_roh_runs",
-    None,
+    f"""WITH g AS (
+          SELECT contig, pos, sample,
+                 (len(al) = 2 AND al[1] = al[2] AND al[1] != '.'
+                  AND al[1] != '') AS hom
+          FROM (SELECT contig, pos, sample,
+                       regexp_split_to_array(gt, '[/|]') AS al
+                FROM {_VCF_HISEQ_GT})
+        ), f AS (
+          SELECT *, CASE WHEN lag(hom) OVER w IS NULL
+                           OR hom != lag(hom) OVER w THEN 1 ELSE 0 END AS brk
+          FROM g WINDOW w AS (PARTITION BY contig, sample ORDER BY pos)
+        ), r AS (
+          SELECT *, sum(brk) OVER (PARTITION BY contig, sample ORDER BY pos
+                                   ROWS UNBOUNDED PRECEDING) AS run
+          FROM f
+        )
+        SELECT contig, sample, min(pos) AS start_pos, max(pos) AS end_pos,
+               count(*) AS n_sites
+        FROM r WHERE hom
+        GROUP BY contig, sample, run
+        HAVING count(*) >= {_G22_MIN_SITES}
+        ORDER BY contig, sample, start_pos""",
     doc="Runs of homozygosity (`bcftools roh`-style): consecutive homozygous "
     "genotype calls per (contig, sample) collapse to run intervals via "
     "distributed gaps-and-islands — a het or missing call breaks the run.  "
@@ -1093,7 +1308,9 @@ _G22_MIN_SITES = 5  # report runs of at least this many consecutive hom sites
     "that partitioning (the two windows share one sort on pos).  At "
     "100 TB / 1000s of samples the work distributes per (contig, sample) "
     "with no cross-key traffic — the same shape as the session windows in "
-    "q31.  Rows-only entry (DuckDB cannot read BGZF VCF); "
+    "q31.  Oracle: the same gaps-and-islands windows in DuckDB over the "
+    "exploded-genotype parquet twin (fixtures/oracle/; no duplicate "
+    "(contig,pos,sample) keys in the fixture, so window order is total); "
     "tests/test_variants_typed.py replays every run from the raw text.",
 )
 def g22(spark: SparkSession, sf: str) -> DataFrame:
@@ -1140,15 +1357,26 @@ def g22(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------------ g23 BCF typed stats
 @query(
     "g23_bcf_stats",
-    None,
+    f"""SELECT contig, count(*) AS n_sites,
+               round(avg(qual_f32), 2) AS avg_qual,
+               CAST(sum(n_genotypes) AS BIGINT) AS n_genotypes,
+               CAST(sum(CASE WHEN length(ref) = 1 AND len(alts) > 0
+                              AND length(alts[1]) = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_snps,
+               CAST(sum(len(alts)) AS BIGINT) AS n_alt_alleles
+        FROM {_VCF_TEST}
+        GROUP BY contig ORDER BY contig""",
     doc="BCF round-trip analytics: the spec-fixture VCF is written to BCF "
     "2.2 (the binary variants format the reference's support matrix marks "
     "unsupported) through the distributed sink, read back through the "
     "splittable source, and aggregated — per-contig site/genotype counts, "
     "mean QUAL, ts/tv-eligible SNP count — proving the full typed codec "
     "path (dictionaries, typed vectors, GT packing) inside one Spark "
-    "plan.  Rows-only entry (DuckDB cannot read BCF); the codec itself is "
-    "byte-level- and round-trip-pinned in tests/test_bcf.py.",
+    "plan.  Oracle: the same aggregates in DuckDB over the decoded VCF "
+    "parquet twin, with QUAL canonicalized to float32 (BCF stores QUAL as "
+    "IEEE float32, so the oracle compares at the codec's declared "
+    "precision); the codec itself is byte-level- and round-trip-pinned in "
+    "tests/test_bcf.py.",
 )
 def g23(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
@@ -1181,15 +1409,36 @@ def g23(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------- g24 BAM→FASTQ conversion
 @query(
     "g24_bam_to_fastq",
-    None,
+    f"""WITH fq AS (
+          SELECT CASE WHEN (flag & 64) != 0 THEN qname || '/1'
+                      WHEN (flag & 128) != 0 THEN qname || '/2'
+                      ELSE qname END AS name,
+                 CASE WHEN (flag & 16) != 0
+                      THEN reverse(translate(seq, 'ACGTNacgtn', 'TGCANtgcan'))
+                      ELSE seq END AS seq,
+                 CASE WHEN (flag & 16) != 0 THEN reverse(qual)
+                      ELSE qual END AS qual
+          FROM {_BAM1}
+          WHERE (flag & 256) = 0 AND (flag & 2048) = 0
+        )
+        SELECT CASE WHEN name LIKE '%/1' THEN 'r1'
+                    WHEN name LIKE '%/2' THEN 'r2'
+                    ELSE 'unpaired' END AS mate,
+               count(*) AS n_reads,
+               CAST(sum(length(seq)) AS BIGINT) AS n_bases,
+               md5(string_agg(md5(seq), '' ORDER BY md5(seq))) AS seq_digest,
+               md5(string_agg(md5(qual), '' ORDER BY md5(qual))) AS qual_digest
+        FROM fq GROUP BY 1 ORDER BY 1""",
     doc="samtools-fastq equivalent as pure codegen: the real BAM's primary "
     "records convert to instrument-orientation FASTQ (reverse-strand reads "
     "reverse-complemented with reversed qualities, mate /1 /2 suffixes), "
     "then aggregate to orientation/mate counts, total bases and md5-folded "
     "content digests — the export path a realignment pipeline runs before "
     "re-mapping.  Zero Python in the row path (translate + reverse in "
-    "Tungsten).  Rows-only entry; tests/test_fastq.py replays every record "
-    "in Python and round-trips through the splittable FASTQ sink/source.",
+    "Tungsten).  Oracle: DuckDB re-runs the whole conversion (revcomp, "
+    "mate suffixes, sorted-digest folds) over the decoded reads parquet "
+    "twin; tests/test_fastq.py replays every record in Python and "
+    "round-trips through the splittable FASTQ sink/source.",
 )
 def g24(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.bam import BamSource
