@@ -3,14 +3,26 @@ pipeline.
 
 Media travel as opaque ``binary`` columns with typed metadata; decode /
 feature-extract / resize / frame-sample run as Arrow-batched pandas
-iterators (``mapInPandas``) so each Python worker touches a whole batch of
-payloads at once.  The Spark-side machinery — schema, batch shape, partition
-behavior, row-expansion (frame sampling) — is real and tested.
+iterators (``mapInPandas`` / pandas UDFs) so each Python worker touches a
+whole batch of payloads at once.  The Spark-side machinery — schema, batch
+shape, partition behavior, row-expansion (frame sampling) — is real and
+tested.
 
-DECODE IS A DETERMINISTIC FAKE: the container has no image/audio codecs
-(no PIL/ffmpeg), so ``_fake_decode`` derives pseudo pixel/sample statistics
-from the payload bytes (documented, seeded by content).  Swapping in a real
-decoder is a one-function change; every schema and plan stays identical.
+IMAGE DECODE IS REAL (round 5): image payloads are genuine 24-bit BMP
+files produced by the repo's own pure-numpy codec
+(``operators/imagecodec.py``); ``extract_features``/``perceptual_hash``
+parse the BMP headers and recover the pixel grid, and ``resize`` is an
+actual pixel-space resample.  The synthetic corpus derivation
+(``documents_as_media``) lays each document's UTF-8 bytes into a
+width x height grayscale pixel grid (zero-padded), so the DuckDB oracles
+can reproduce every pixel statistic from the text column in plain SQL
+while the Spark side exercises the full encode -> bytes -> decode path.
+
+AUDIO/VIDEO DECODE REMAINS A DETERMINISTIC FAKE: the container has no
+audio/video codecs (no ffmpeg/librosa), so those payloads stay raw bytes
+and ``_fake_decode`` derives sample statistics directly from them
+(documented).  Swapping in a real decoder is a one-function change; every
+schema and plan stays identical.
 """
 
 from __future__ import annotations
@@ -18,9 +30,14 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from pyspark.sql.types import BinaryType
+
+from .imagecodec import bmp_decode, bmp_encode, resize_nearest, to_gray
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, data binary, meta map<string,string>"
@@ -41,9 +58,41 @@ FEATURES_ARRAY_SCHEMA = (
 FRAMES_SCHEMA = "media_id long, frame_idx int, frame_data binary, n_bytes long"
 
 
+def media_dims(n_bytes: int) -> tuple[int, int]:
+    """Deterministic (width, height) for a synthetic image holding
+    ``n_bytes`` of content — the corpus-derivation rule the SQL oracles
+    mirror: width = 16 + n % 64, height = max(16, ceil(n / width)) so the
+    pixel grid always holds the whole payload (the r4 fake-decode height
+    formula could undersize the grid)."""
+    w = 16 + n_bytes % 64
+    return w, max(16, -(-n_bytes // w))
+
+
+def text_to_bmp(payload: bytes) -> bytes:
+    """Lay ``payload`` row-major into a :func:`media_dims` grayscale grid
+    (zero-padded) and encode it as a real 24-bit BMP."""
+    w, h = media_dims(len(payload))
+    pixels = np.zeros(w * h, dtype=np.uint8)
+    pixels[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+    return bmp_encode(pixels.reshape(h, w))
+
+
+@F.pandas_udf(BinaryType())
+def bmp_from_text(texts: pd.Series) -> pd.Series:
+    """Arrow-batched text -> real-BMP payload (the corpus-derivation UDF
+    shared by documents_as_media and the m04 builder)."""
+    return pd.Series(
+        [None if t is None else text_to_bmp(t.encode("utf-8")) for t in texts],
+        dtype=object,
+    )
+
+
 def documents_as_media(documents: DataFrame) -> DataFrame:
-    """Deterministic media table derived from the documents fixture:
-    payload = UTF-8 bytes of the text, kind cycles image/audio/video."""
+    """Deterministic media table derived from the documents fixture: kind
+    cycles image/audio/video; image payloads are REAL BMP files (the
+    text's UTF-8 bytes as a grayscale pixel grid via the pure-numpy codec,
+    Arrow-batched pandas UDF), audio/video payloads are the raw UTF-8
+    bytes (no audio/video codec in this environment)."""
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
@@ -52,32 +101,43 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     return documents.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
-        F.encode("text", "utf-8").alias("data"),
+        F.when(kind == "image", bmp_from_text("text"))
+        .otherwise(F.encode("text", "utf-8"))
+        .alias("data"),
         F.create_map(
             F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
         ).alias("meta"),
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, list[float], list[tuple[int, int]]]:
-    """Deterministic stand-in for an image decode: width/height from payload
-    length, 'features' = normalized byte-histogram moments.  Replace with
-    PIL/librosa/ffmpeg in a full environment.
-
-    Also returns the raw integer moments ``(byte_sum, count)`` per stride —
-    the digest fingerprint is defined over THESE exact integers (not the
-    float features) so an independent engine (the DuckDB oracle) reproduces
-    it without float-formatting/rounding parity games."""
-    n = len(payload)
-    width = 16 + n % 64
-    height = 16 + (n // 64) % 64
+def _moments(seq: bytes) -> tuple[list[float], list[tuple[int, int]]]:
+    """Per-stride integer moments over a sample/pixel sequence.  The digest
+    fingerprint is defined over THESE exact integers (not the float
+    features) so an independent engine (the DuckDB oracle) reproduces it
+    without float-formatting/rounding parity games."""
     feats = []
     moments = []
     for j in range(FEATURE_DIM):
-        sl = payload[j::FEATURE_DIM]
+        sl = seq[j::FEATURE_DIM]
         moments.append((sum(sl), max(1, len(sl))))
         feats.append(round(sum(sl) / (255.0 * max(1, len(sl))), 6))
-    return width, height, feats, moments
+    return feats, moments
+
+
+def _decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL image decode: parse the BMP, recover the grayscale pixel grid,
+    return (width, height, row-major pixel bytes)."""
+    img = bmp_decode(payload)
+    gray = to_gray(img)
+    return img.shape[1], img.shape[0], gray.tobytes()
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, bytes]:
+    """Deterministic stand-in for an AUDIO/VIDEO decode (no ffmpeg/librosa
+    in this environment): width/height metadata from payload length, the
+    'samples' are the payload bytes themselves."""
+    n = len(payload)
+    return 16 + n % 64, 16 + (n // 64) % 64, payload
 
 
 def extract_features(media: DataFrame, as_array: bool = False) -> DataFrame:
@@ -101,7 +161,11 @@ def extract_features(media: DataFrame, as_array: bool = False) -> DataFrame:
                 if data is None:
                     continue  # NULL payload: skip, as the sibling text passes do
                 payload = bytes(data)
-                w, h, feats, moments = _fake_decode(payload)
+                # image: REAL BMP parse -> pixel grid; audio/video: raw
+                # sample bytes with metadata dims (no codec in this env)
+                decode = _decode_pixels if kind == "image" else _fake_decode
+                w, h, seq = decode(payload)
+                feats, moments = _moments(seq)
                 if as_array:
                     rows.append((mid, kind, len(payload), w, h, feats))
                 else:
@@ -182,14 +246,25 @@ def audio_frames(
     return media.mapInPandas(run, AUDIO_FRAMES_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize placeholder: raises until a real image library is present —
-    the contract (schema in = schema out, data column replaced) is fixed."""
-    raise NotImplementedError(
-        "resize requires an image codec (PIL/opencv) not present in this "
-        "environment; extract_features/sample_frames demonstrate the "
-        "identical mapInPandas plumbing with a deterministic fake decode"
-    )
+def resize(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize (schema in = schema out, data column replaced):
+    image payloads decode through the pure-numpy BMP codec, resample with
+    deterministic nearest-neighbor index mapping, and re-encode; non-image
+    rows pass through untouched.  Arrow-batched pandas UDF over (kind,
+    data) only — media_id/meta never cross the Python boundary."""
+
+    @F.pandas_udf(BinaryType())
+    def _resize(kinds: pd.Series, datas: pd.Series) -> pd.Series:
+        out = []
+        for kind, data in zip(kinds, datas):
+            if kind != "image" or data is None:
+                out.append(data)
+                continue
+            img = bmp_decode(bytes(data))
+            out.append(bmp_encode(resize_nearest(img, width, height)))
+        return pd.Series(out, dtype=object)
+
+    return media.withColumn("data", _resize("kind", "data"))
 
 
 PHASH_BANDS = 4
@@ -216,15 +291,20 @@ def _ahash_bands(payload: bytes) -> list[int]:
 
 
 def perceptual_hash(media: DataFrame) -> DataFrame:
-    """64-bit average-hash (aHash) per media row, Arrow-batched.
+    """64-bit average-hash (aHash) per image row, Arrow-batched, over the
+    REAL decode: each payload is parsed as a BMP and the grayscale pixel
+    grid (row-major) is split into 64 interleaved strides; bit j is set iff
+    stride j's mean pixel exceeds the whole-image mean.  The comparison is
+    the exact integer cross-multiply ``s_j * C > S * c_j`` — no float
+    division — so an independent engine reproduces every bit.  The hash is
+    emitted as ``PHASH_BANDS`` 16-bit band integers (not one int64): the
+    bands ARE the LSH keys downstream, and 16-bit ints never meet sign-bit
+    trouble.
 
-    The decoded payload is split into 64 interleaved strides (the fake
-    decode's pixel grid); bit j is set iff stride j's mean byte exceeds the
-    whole-payload mean.  The comparison is the exact integer cross-multiply
-    ``s_j * C > S * c_j`` — no float division — so an independent engine
-    reproduces every bit.  The hash is emitted as ``PHASH_BANDS`` 16-bit
-    band integers (not one int64): the bands ARE the LSH keys downstream,
-    and 16-bit ints never meet sign-bit trouble.
+    All-zero images (no signal — e.g. an empty document's padded grid)
+    would all collide on the all-zero hash and flood the pair output with
+    meaningless exact dups, so they are dropped like NULLs (the oracle
+    mirrors with a ``length(text) > 0`` guard).
 
     Near-dup guarantee: two hashes within Hamming distance ``PHASH_BANDS-1``
     share at least one identical band (pigeonhole), so a band-equality join
@@ -236,13 +316,11 @@ def perceptual_hash(media: DataFrame) -> DataFrame:
             rows = []
             for mid, data in zip(pdf["media_id"], pdf["data"]):
                 if data is None or len(data) == 0:
-                    # empty payloads carry no signal and would all collide
-                    # on the all-zero hash, flooding the pair output with
-                    # meaningless exact dups; dropped like NULLs (and like
-                    # the oracle, whose generate_series over an empty text
-                    # emits no rows)
                     continue
-                rows.append((mid, *_ahash_bands(bytes(data))))
+                _w, _h, seq = _decode_pixels(bytes(data))
+                if not any(seq):
+                    continue  # all-zero grid: no signal (see docstring)
+                rows.append((mid, *_ahash_bands(seq)))
             yield pd.DataFrame(
                 rows, columns=["media_id"] + [f"b{b}" for b in range(PHASH_BANDS)]
             )

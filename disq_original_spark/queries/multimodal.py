@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..cache import track_persist
 from ..operators.multimodal import (
     audio_frames,
+    bmp_from_text,
     documents_as_media,
     extract_features,
     frame_hashes,
@@ -32,10 +33,21 @@ from .registry import query
               CASE WHEN doc_id % 3 = 0 THEN 'image'
                    WHEN doc_id % 3 = 1 THEN 'audio'
                    ELSE 'video' END AS kind,
-              CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
+              CAST(CASE
+                WHEN text IS NULL THEN NULL
+                -- image payloads are real BMPs: 54-byte header + height
+                -- rows of 3*width bytes padded to 4-byte boundaries, with
+                -- width/height = the media_dims derivation rule
+                WHEN doc_id % 3 = 0 THEN
+                  54 + ((3 * (16 + length(text) % 64) + 3) // 4 * 4)
+                     * greatest(16, (length(text) + (16 + length(text) % 64) - 1)
+                                    // (16 + length(text) % 64))
+                ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS n_bytes
        FROM documents ORDER BY media_id""",
     doc="Media catalog stats: binary payload sizes by kind — the metadata "
-    "scan a media pipeline runs before any decode.",
+    "scan a media pipeline runs before any decode.  Image sizes are real "
+    "BMP file sizes; the oracle recomputes the codec's exact size "
+    "arithmetic (header + row padding) from the derivation rule.",
 )
 def m01(spark: SparkSession, sf: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf, "documents"))
@@ -51,37 +63,55 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
                          CASE WHEN doc_id % 3 = 0 THEN 'image'
                               WHEN doc_id % 3 = 1 THEN 'audio'
                               ELSE 'video' END AS kind,
-                         text, length(text) AS n
+                         text, length(text) AS n,
+                         CAST(16 + length(text) % 64 AS INTEGER) AS w,
+                         CAST(CASE WHEN doc_id % 3 = 0 THEN
+                                greatest(16, (length(text) + (16 + length(text) % 64) - 1)
+                                             // (16 + length(text) % 64))
+                              ELSE 16 + (length(text) // 64) % 64 END AS INTEGER) AS h
                   -- NULL payloads are skipped by the feature extractor
                   -- (operators/multimodal.py run()); mirror that here
                   FROM documents WHERE text IS NOT NULL),
-        pos AS (SELECT media_id, text, unnest(generate_series(1, n)) AS p
+        -- image payloads decode to a w*h zero-padded pixel grid (the
+        -- text's bytes row-major), audio/video stay raw bytes: the stride
+        -- SUM only sees text bytes either way (padding adds 0), but the
+        -- stride COUNT runs over the full decoded sequence length
+        geo AS (SELECT *,
+                       CASE WHEN kind = 'image' THEN w * h ELSE n END AS seqlen,
+                       CASE WHEN kind = 'image'
+                            THEN 54 + ((3 * w + 3) // 4 * 4) * h
+                            ELSE n END AS n_bytes
                 FROM m),
+        pos AS (SELECT media_id, text, unnest(generate_series(1, n)) AS p
+                FROM geo),
         b AS (SELECT media_id, (p - 1) % 8 AS j, ord(substr(text, p, 1)) AS byte
               FROM pos),
-        mom AS (SELECT media_id, j, CAST(sum(byte) AS BIGINT) AS s,
-                       count(*) AS c
+        mom AS (SELECT media_id, j, CAST(sum(byte) AS BIGINT) AS s
                 FROM b GROUP BY media_id, j),
-        -- full (media_id x stride) grid: documents shorter than 8 bytes
-        -- have empty strides, which the operator pads as sum 0 / count 1
-        grid AS (SELECT media_id, unnest(generate_series(0, 7)) AS j FROM m),
+        -- full (media_id x stride) grid; a stride with no positions at all
+        -- (audio/video shorter than 8 bytes) is padded as count 1
+        grid AS (SELECT media_id, seqlen, unnest(generate_series(0, 7)) AS j
+                 FROM geo),
         filled AS (SELECT g.media_id, g.j,
                           coalesce(mom.s, 0) AS s,
-                          coalesce(mom.c, 1) AS c
+                          greatest(CASE WHEN g.seqlen > g.j
+                                        THEN (g.seqlen - g.j + 7) // 8
+                                        ELSE 0 END, 1) AS c
                    FROM grid g LEFT JOIN mom USING (media_id, j)),
         d AS (SELECT media_id,
                      md5(string_agg(s || '/' || c, ',' ORDER BY j)) AS features_digest
               FROM filled GROUP BY media_id)
-        SELECT m.media_id, m.kind, CAST(m.n AS BIGINT) AS n_bytes,
-               CAST(16 + m.n % 64 AS INTEGER) AS width,
-               CAST(16 + (m.n // 64) % 64 AS INTEGER) AS height,
-               d.features_digest
-        FROM m JOIN d USING (media_id) ORDER BY media_id""",
+        SELECT geo.media_id, geo.kind, CAST(geo.n_bytes AS BIGINT) AS n_bytes,
+               geo.w AS width, geo.h AS height, d.features_digest
+        FROM geo JOIN d USING (media_id) ORDER BY media_id""",
     doc="Arrow-batched feature extraction over binary payloads "
-    "(mapInPandas; deterministic fake decode documented in "
-    "operators/multimodal.py). Emits features_digest = md5 of the exact "
-    "integer byte-moments, reproduced byte-for-byte by the SQL oracle "
-    "(the corpus is ASCII, so char positions are byte positions).",
+    "(mapInPandas): image payloads go through the REAL pure-numpy BMP "
+    "decode (operators/imagecodec.py) to a pixel grid, audio/video use "
+    "the documented fake decode over raw bytes.  Emits features_digest = "
+    "md5 of the exact integer pixel/byte-moments, reproduced "
+    "byte-for-byte by the SQL oracle from the text column and the "
+    "corpus-derivation geometry (the corpus is ASCII, so char positions "
+    "are byte positions).",
 )
 def m02(spark: SparkSession, sf: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf, "documents"))
@@ -174,21 +204,35 @@ _M04_BANDVAL_SQL = (
 @query(
     "m04_phash_neardup",
     f"""WITH m AS (
-          SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0
-          UNION ALL
-          SELECT doc_id + {_M04_VARIANT_BASE},
-                 concat(substr(text, 2, 1), substr(text, 1, 1), substr(text, 3))
-          FROM documents WHERE doc_id % 15 = 0),
+          SELECT media_id, text, length(text) AS n,
+                 -- the decoded pixel grid is w*h (zero-padded row-major
+                 -- text bytes): stride sums only see text bytes, stride
+                 -- counts run over the grid
+                 (16 + length(text) % 64)
+                 * greatest(16, (length(text) + (16 + length(text) % 64) - 1)
+                                // (16 + length(text) % 64)) AS npix
+          FROM (
+            SELECT doc_id AS media_id, text
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + {_M04_VARIANT_BASE},
+                   concat(substr(text, 2, 1), substr(text, 1, 1), substr(text, 3))
+            FROM documents WHERE doc_id % 15 = 0)
+          -- all-zero pixel grids (empty text) carry no signal and are
+          -- dropped by perceptual_hash; mirror that here
+          WHERE text IS NOT NULL AND length(text) > 0),
         pos AS (SELECT media_id, text,
-                       unnest(generate_series(1, length(text))) AS p
+                       unnest(generate_series(1, n)) AS p
                 FROM m),
         mom AS (SELECT media_id, (p - 1) % 64 AS j,
-                       sum(ord(substr(text, p, 1))) AS s, count(*) AS c
+                       sum(ord(substr(text, p, 1))) AS s
                 FROM pos GROUP BY 1, 2),
-        tot AS (SELECT media_id, sum(s) AS ts, sum(c) AS tc FROM mom GROUP BY 1),
-        grid AS (SELECT media_id, unnest(generate_series(0, 63)) AS j FROM m),
+        tot AS (SELECT media_id, sum(s) AS ts FROM mom GROUP BY 1),
+        grid AS (SELECT media_id, npix, unnest(generate_series(0, 63)) AS j
+                 FROM m),
         bitv AS (SELECT g.media_id, g.j,
-                        CASE WHEN coalesce(mm.s, 0) * t.tc > t.ts * coalesce(mm.c, 0)
+                        CASE WHEN coalesce(mm.s, 0) * g.npix >
+                                  t.ts * ((g.npix - g.j + 63) // 64)
                              THEN 1 ELSE 0 END AS bit
                  FROM grid g
                  LEFT JOIN mom mm ON mm.media_id = g.media_id AND mm.j = g.j
@@ -213,8 +257,10 @@ _M04_BANDVAL_SQL = (
         WHERE hamming <= {_M04_HAM_MAX}
         ORDER BY a_id, b_id""",
     doc="Perceptual-hash near-duplicate image detection (LAION-style media "
-    "dedup): every image payload gets a 64-bit integer-exact aHash from "
-    "the Arrow-batched decode (operators/multimodal.py::perceptual_hash), "
+    "dedup): every image payload is a REAL BMP file, decoded by the "
+    "pure-numpy codec back to its pixel grid, and gets a 64-bit "
+    "integer-exact aHash over the pixels (operators/multimodal.py::"
+    "perceptual_hash, Arrow-batched), "
     "candidates pair through a 4×16-bit band-equality LSH join — "
     f"pigeonhole-complete for Hamming ≤ {_M04_HAM_MAX} — and exact Hamming "
     "distances confirm.  The corpus is widened with deterministic "
@@ -243,7 +289,7 @@ def m04(spark: SparkSession, sf: str) -> DataFrame:
         swapped.alias("text"),
     )
     corpus = imgs.unionByName(variants).select(
-        "media_id", F.encode("text", "utf-8").alias("data")
+        "media_id", bmp_from_text("text").alias("data")
     )
     # persist: bands, the a-side and the b-side of the confirm join all
     # consume the hashes — without it the Arrow decode pass runs three

@@ -44,11 +44,14 @@ def test_feature_extraction_shape_and_determinism(spark, sf_dir):
     # from the payload alone (the property the SQL oracle relies on)
     import hashlib
 
-    payloads = {
-        r["media_id"]: bytes(r["data"]) for r in media.collect()
-    }
+    from disq_original_spark.operators.multimodal import _decode_pixels
+
+    media_rows = {r["media_id"]: r for r in media.collect()}
     for r in rows[:20]:
-        p = payloads[r["media_id"]]
+        mr = media_rows[r["media_id"]]
+        p = bytes(mr["data"])
+        if mr["kind"] == "image":
+            _w, _h, p = _decode_pixels(p)  # real BMP decode -> pixel bytes
         moments = [
             (sum(p[j::FEATURE_DIM]), max(1, len(p[j::FEATURE_DIM])))
             for j in range(FEATURE_DIM)
