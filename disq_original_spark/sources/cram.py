@@ -80,7 +80,19 @@ def read_file_definition(fh: BinaryIO) -> tuple[int, int]:
     d = fh.read(FILE_DEFINITION_SIZE)
     if d[:4] != CRAM_MAGIC:
         raise ValueError(f"not a CRAM file (magic {d[:4]!r})")
-    return d[4], d[5]  # major, minor
+    major, minor = d[4], d[5]
+    # Supported: CRAM 2.x and 3.0.  CRAM 3.1's container layout parses
+    # identically but its blocks may use the 3.1-only codecs (rANS Nx16,
+    # range, fqzcomp, name tokenizer) this repo deliberately descopes —
+    # fail here with a clear version error instead of deep inside block
+    # decode (VERDICT r4 directive #8).
+    if not (major == 2 or (major, minor) == (3, 0)):
+        raise ValueError(
+            f"unsupported CRAM version {major}.{minor}: this reader "
+            "implements CRAM 2.x and 3.0 (3.1+ adds rANS-Nx16/range/"
+            "fqzcomp/name-tokenizer codecs that are out of scope)"
+        )
+    return major, minor
 
 
 def enumerate_containers(fh: BinaryIO) -> list[CramContainer]:

@@ -511,3 +511,36 @@ def test_interval_read_include_unplaced(spark):
         spark, CRAM, reference_path=FASTA, intervals=iv, include_unplaced=True
     ).count()
     assert both == base + n_unplaced
+
+
+def test_cram_v31_rejected_with_clear_version_error(spark, tmp_path):
+    """CRAM 3.1 is deliberately descoped (its blocks may use rANS-Nx16/
+    range/fqzcomp codecs): the reader must fail at the file definition
+    with a clear 'unsupported CRAM version' message, never a confusing
+    block-decode error (VERDICT r4 directive #8)."""
+    import shutil
+
+    from disq_original_spark.sources.cram import CramSource
+
+    src = "/root/reference/src/test/resources/valid.cram"
+    doctored = tmp_path / "v31.cram"
+    shutil.copy(src, doctored)
+    with open(doctored, "r+b") as fh:
+        fh.seek(4)
+        fh.write(bytes([3, 1]))  # major=3, minor=1
+    with pytest.raises(ValueError, match=r"unsupported CRAM version 3\.1"):
+        CramSource().read(
+            spark,
+            str(doctored),
+            reference_path="/root/reference/src/test/resources/valid.fasta",
+        ).count()
+    # 1.0 (pre-2.x container layout) must also be a version error
+    with open(doctored, "r+b") as fh:
+        fh.seek(4)
+        fh.write(bytes([1, 0]))
+    with pytest.raises(ValueError, match=r"unsupported CRAM version 1\.0"):
+        CramSource().read(
+            spark,
+            str(doctored),
+            reference_path="/root/reference/src/test/resources/valid.fasta",
+        ).count()
