@@ -136,6 +136,7 @@ _FIXTURES = "/root/reference/src/test/resources"
 _ORC = "/root/repo/fixtures/oracle"
 _BAM1 = f"read_parquet('{_ORC}/bam_1_reads.parquet')"
 _BAM1_CONTIGS = f"read_parquet('{_ORC}/bam_1_contigs.parquet')"
+_DUPSIG = f"read_parquet('{_ORC}/bam_1_dupsig.parquet')"
 _SHARDED = f"read_parquet('{_ORC}/bam_sharded_reads.parquet')"
 _SPANS = f"read_parquet('{_ORC}/bam_sharded_spans.parquet')"
 _VCF_HISEQ = f"read_parquet('{_ORC}/vcf_hiseq.parquet')"
@@ -465,7 +466,61 @@ def g08(spark: SparkSession, sf: str) -> DataFrame:
 # --------------------------------------------------- g09 duplicate marking
 @query(
     "g09_mark_duplicates",
-    None,
+    f"""WITH sig AS (
+          SELECT qname, rname, upos, score, lib,
+                 flag & 192 AS r12,
+                 CASE WHEN (flag & 16) != 0 THEN 1 ELSE 0 END AS strand,
+                 ((flag & 4) = 0 AND (flag & 256) = 0 AND (flag & 2048) = 0
+                  AND rname IS NOT NULL) AS mapped_primary,
+                 ((flag & 4) = 0 AND (flag & 256) = 0 AND (flag & 2048) = 0
+                  AND rname IS NOT NULL AND (flag & 1) != 0
+                  AND (flag & 8) = 0) AS pair_end,
+                 ((flag & 4) = 0 AND (flag & 256) = 0 AND (flag & 2048) = 0
+                  AND rname IS NOT NULL
+                  AND ((flag & 1) = 0 OR (flag & 8) != 0)) AS frag
+          FROM {_DUPSIG}
+        ), pairs AS (
+          SELECT qname, lib,
+                 array_to_string(list_sort(
+                     list(rname || ':' || upos || ':' || strand)), '|')
+                   AS ends_key,
+                 sum(score) AS pscore
+          FROM sig WHERE pair_end GROUP BY qname, lib
+        ), ranked AS (
+          SELECT qname, row_number() OVER (
+                   PARTITION BY lib, ends_key
+                   ORDER BY pscore DESC, qname) AS rn
+          FROM pairs
+        ), dup_pairs AS (
+          SELECT qname FROM ranked WHERE rn > 1
+        ), pair_end_sigs AS (
+          SELECT DISTINCT lib, rname, upos, strand FROM sig WHERE pair_end
+        ), frags AS (
+          SELECT s.qname, s.r12, p.lib IS NOT NULL AS has_pair,
+                 row_number() OVER (
+                   PARTITION BY s.lib, s.rname, s.upos, s.strand
+                   ORDER BY s.score DESC, s.qname, s.r12) AS rn
+          FROM sig s
+          LEFT JOIN pair_end_sigs p
+            ON p.lib = s.lib AND p.rname = s.rname
+           AND p.upos = s.upos AND p.strand = s.strand
+          WHERE s.frag
+        ), dup_frags AS (
+          SELECT qname, r12 FROM frags WHERE rn > 1 OR has_pair
+        ), marked AS (
+          SELECT s.rname, s.mapped_primary AND (
+                   (s.pair_end AND s.qname IN (SELECT qname FROM dup_pairs))
+                   OR (s.frag AND EXISTS (
+                         SELECT 1 FROM dup_frags d
+                         WHERE d.qname = s.qname AND d.r12 = s.r12))
+                 ) AS is_dup
+          FROM sig s
+        )
+        SELECT coalesce(rname, '*') AS contig,
+               count(*) AS n_reads,
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+               round(avg(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 4) AS dup_frac
+        FROM marked GROUP BY 1 ORDER BY 1""",
     doc="Distributed MarkDuplicates over the real BAM fixture — the flagship "
     "workload the reference enables (GATK MarkDuplicatesSpark runs through "
     "disq readers/writers; `README.md:16`).  operators/dupmark.py computes "
@@ -473,8 +528,12 @@ def g08(spark: SparkSession, sf: str) -> DataFrame:
     "pos, strand) and best-score survivorship entirely in Catalyst "
     "expressions; slim projections travel through the two decision "
     "shuffles and the full rows shuffle exactly once in the mark join.  "
-    "Rows-only entry (DuckDB cannot read BAM); the brute-force spec oracle "
-    "and a Picard-flag agreement bound run in tests/test_dupmark.py.",
+    "Oracle: the per-read signatures (unclipped 5' pos, score, library) "
+    "come from an INDEPENDENT Python implementation frozen to parquet "
+    "(fixtures/oracle/bam_1_dupsig.parquet) and DuckDB re-runs the whole "
+    "pair/fragment grouping, ranking and marking decision in SQL; the "
+    "brute-force spec oracle and a Picard-flag agreement bound also run "
+    "in tests/test_dupmark.py.",
 )
 def g09(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dupmark import mark_duplicates

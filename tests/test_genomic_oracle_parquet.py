@@ -42,6 +42,7 @@ def _committed(name: str) -> pd.DataFrame:
     [
         "bam_1_reads.parquet",
         "bam_1_contigs.parquet",
+        "bam_1_dupsig.parquet",
         "bam_sharded_reads.parquet",
         "bam_sharded_spans.parquet",
         "vcf_hiseq.parquet",

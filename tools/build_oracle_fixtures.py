@@ -67,6 +67,48 @@ def aligned_spans(pos: int, cigar: str) -> list[tuple[int, int]]:
     return spans
 
 
+def unclipped_5p(pos: int, flag: int, cigar: str) -> int:
+    """Independent unclipped-5' derivation (vs the Catalyst expressions in
+    operators/dupmark.py): leading soft+hard clips restored on the forward
+    strand, trailing clips past the alignment end on the reverse strand."""
+    c = cigar or ""
+    ops = re.findall(r"(\d+)([MIDNSHP=X])", c)
+    ref_len = sum(int(ln) for ln, op in ops if op in "MDN=X")
+    lead = trail = 0
+    i = 0
+    while i < len(ops) and ops[i][1] in "HS":
+        lead += int(ops[i][0])
+        i += 1
+    j = len(ops) - 1
+    while j >= i and ops[j][1] in "HS":
+        trail += int(ops[j][0])
+        j -= 1
+    if flag & 16:  # reverse strand
+        return pos + max(ref_len - 1, 0) + trail
+    return pos - lead
+
+
+def base_quality_score(qual: str) -> int:
+    """Independent Picard SUM_OF_BASE_QUALITIES (phred >= 15 only)."""
+    if qual is None or qual == "*":
+        return 0
+    return sum(q for q in (ord(ch) - 33 for ch in qual) if q >= 15)
+
+
+def parse_rg_libraries(header_text: str) -> dict[str, str]:
+    """Independent @RG ID -> LB parse of the SAM header text."""
+    out: dict[str, str] = {}
+    for line in header_text.splitlines():
+        if not line.startswith("@RG"):
+            continue
+        fields = dict(
+            tok.split(":", 1) for tok in line.split("\t")[1:] if ":" in tok
+        )
+        if "ID" in fields and "LB" in fields:
+            out[fields["ID"]] = fields["LB"]
+    return out
+
+
 def parse_fasta(path: str) -> list[tuple[str, str]]:
     """Independent FASTA parser (vs sources/fasta.py): (contig, SEQ)."""
     out: list[tuple[str, str]] = []
@@ -120,13 +162,41 @@ def build_frames(spark) -> dict[str, pd.DataFrame]:
     )
     frames["bam_1_reads.parquet"] = reads
 
-    _hdr, seq_dict, _fv = read_bam_header(f"{FIXTURES}/1.bam")
+    hdr, seq_dict, _fv = read_bam_header(f"{FIXTURES}/1.bam")
     contigs = pd.DataFrame(
         [(i, name, length) for i, (name, length) in enumerate(seq_dict)]
         + [(len(seq_dict), "*", 0)],
         columns=["rank", "contig", "length"],
     )
     frames["bam_1_contigs.parquet"] = contigs
+
+    # ---- g09 duplicate-marking signatures: the HARD per-read derivations
+    # (unclipped 5' position, base-quality score, library) computed by an
+    # INDEPENDENT Python implementation; the oracle SQL re-runs the whole
+    # Picard grouping/ranking/marking decision over these.
+    raw = (
+        BamSource()
+        .read(spark, f"{FIXTURES}/1.bam")
+        .select(
+            "qname", "flag", "rname", "pos", "cigar", "qual",
+            F.col("attributes")["RG"].alias("rg"),
+        )
+        .toPandas()
+        .sort_values(["qname", "flag", "rname", "pos", "cigar"])
+        .reset_index(drop=True)
+    )
+    libmap = parse_rg_libraries(hdr.text)
+    dupsig = raw[["qname", "flag", "rname"]].copy()
+    dupsig["upos"] = [
+        unclipped_5p(int(p), int(f), c)
+        for p, f, c in zip(raw["pos"], raw["flag"], raw["cigar"])
+    ]
+    dupsig["score"] = [base_quality_score(q) for q in raw["qual"]]
+    dupsig["lib"] = [
+        "__no_library__" if rg is None else libmap.get(rg, "__no_library__")
+        for rg in raw["rg"]
+    ]
+    frames["bam_1_dupsig.parquet"] = dupsig
 
     # ---- sharded-BAM reads (g06) + independent aligned spans (g13)
     sharded = (
