@@ -14,6 +14,8 @@ engines) — epoch()/unix_timestamp() would round differently across engines.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType, TimestampType
@@ -132,8 +134,9 @@ _FIXTURES = "/root/reference/src/test/resources"
 # The Spark queries keep reading the real binary formats; the oracle SQL
 # re-runs the aggregation math over the parquet twin, giving the driver a
 # hash row for the operator MATH while decode correctness stays pinned by
-# the differential pytest suite.
-_ORC = "/root/repo/fixtures/oracle"
+# the differential pytest suite.  Repo-relative (not hardcoded) so the
+# oracles survive a checkout at any path.
+_ORC = str(Path(__file__).resolve().parents[2] / "fixtures" / "oracle")
 _BAM1 = f"read_parquet('{_ORC}/bam_1_reads.parquet')"
 _BAM1_CONTIGS = f"read_parquet('{_ORC}/bam_1_contigs.parquet')"
 _DUPSIG = f"read_parquet('{_ORC}/bam_1_dupsig.parquet')"

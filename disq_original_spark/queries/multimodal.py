@@ -27,21 +27,38 @@ from .dedup import _pair_expansion
 from .registry import query
 
 
+# ---- shared SQL twins of operators/multimodal.py::media_dims and
+# operators/imagecodec.py::bmp_size — ONE definition interpolated into
+# every oracle that needs the image geometry, so the derivation rule can
+# only be edited in lockstep (the same posture as _M04_BAND_SQL below).
+def _w_sql(n: str) -> str:
+    """width = 16 + n % 64."""
+    return f"(16 + ({n}) % 64)"
+
+
+def _h_sql(n: str) -> str:
+    """height = max(16, ceil(n / width)) — the grid always holds n bytes."""
+    return f"greatest(16, (({n}) + {_w_sql(n)} - 1) // {_w_sql(n)})"
+
+
+def _bmp_size_sql(w: str, h: str) -> str:
+    """54-byte header + height rows of 3*width bytes padded to 4 bytes."""
+    return f"(54 + ((3 * ({w}) + 3) // 4 * 4) * ({h}))"
+
+
+
 @query(
     "m01_media_stats",
-    """SELECT doc_id AS media_id,
+    f"""SELECT doc_id AS media_id,
               CASE WHEN doc_id % 3 = 0 THEN 'image'
                    WHEN doc_id % 3 = 1 THEN 'audio'
                    ELSE 'video' END AS kind,
               CAST(CASE
                 WHEN text IS NULL THEN NULL
-                -- image payloads are real BMPs: 54-byte header + height
-                -- rows of 3*width bytes padded to 4-byte boundaries, with
-                -- width/height = the media_dims derivation rule
+                -- image payloads are real BMPs; size from the shared
+                -- media_dims/bmp_size SQL twins above
                 WHEN doc_id % 3 = 0 THEN
-                  54 + ((3 * (16 + length(text) % 64) + 3) // 4 * 4)
-                     * greatest(16, (length(text) + (16 + length(text) % 64) - 1)
-                                    // (16 + length(text) % 64))
+                  {_bmp_size_sql(_w_sql('length(text)'), _h_sql('length(text)'))}
                 ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS n_bytes
        FROM documents ORDER BY media_id""",
     doc="Media catalog stats: binary payload sizes by kind — the metadata "
@@ -59,15 +76,14 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "m02_media_features",
-    """WITH m AS (SELECT doc_id AS media_id,
+    f"""WITH m AS (SELECT doc_id AS media_id,
                          CASE WHEN doc_id % 3 = 0 THEN 'image'
                               WHEN doc_id % 3 = 1 THEN 'audio'
                               ELSE 'video' END AS kind,
                          text, length(text) AS n,
-                         CAST(16 + length(text) % 64 AS INTEGER) AS w,
+                         CAST({_w_sql('length(text)')} AS INTEGER) AS w,
                          CAST(CASE WHEN doc_id % 3 = 0 THEN
-                                greatest(16, (length(text) + (16 + length(text) % 64) - 1)
-                                             // (16 + length(text) % 64))
+                                {_h_sql('length(text)')}
                               ELSE 16 + (length(text) // 64) % 64 END AS INTEGER) AS h
                   -- NULL payloads are skipped by the feature extractor
                   -- (operators/multimodal.py run()); mirror that here
@@ -79,7 +95,7 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
         geo AS (SELECT *,
                        CASE WHEN kind = 'image' THEN w * h ELSE n END AS seqlen,
                        CASE WHEN kind = 'image'
-                            THEN 54 + ((3 * w + 3) // 4 * 4) * h
+                            THEN {_bmp_size_sql('w', 'h')}
                             ELSE n END AS n_bytes
                 FROM m),
         pos AS (SELECT media_id, text, unnest(generate_series(1, n)) AS p
@@ -208,9 +224,7 @@ _M04_BANDVAL_SQL = (
                  -- the decoded pixel grid is w*h (zero-padded row-major
                  -- text bytes): stride sums only see text bytes, stride
                  -- counts run over the grid
-                 (16 + length(text) % 64)
-                 * greatest(16, (length(text) + (16 + length(text) % 64) - 1)
-                                // (16 + length(text) % 64)) AS npix
+                 {_w_sql('length(text)')} * {_h_sql('length(text)')} AS npix
           FROM (
             SELECT doc_id AS media_id, text
             FROM documents WHERE doc_id % 3 = 0
