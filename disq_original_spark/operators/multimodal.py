@@ -79,10 +79,29 @@ def text_to_bmp(payload: bytes) -> bytes:
 
 @F.pandas_udf(BinaryType())
 def bmp_from_text(texts: pd.Series) -> pd.Series:
-    """Arrow-batched text -> real-BMP payload (the corpus-derivation UDF
-    shared by documents_as_media and the m04 builder)."""
+    """Arrow-batched text -> real-BMP payload (used by the m04 builder,
+    whose corpus is all images)."""
     return pd.Series(
         [None if t is None else text_to_bmp(t.encode("utf-8")) for t in texts],
+        dtype=object,
+    )
+
+
+@F.pandas_udf(BinaryType())
+def _media_payload(kinds: pd.Series, texts: pd.Series) -> pd.Series:
+    """Arrow-batched (kind, text) -> payload: real BMP for images, raw
+    UTF-8 bytes for audio/video.  One UDF taking the kind column — NOT
+    ``F.when(kind=='image', udf(...))`` — because Spark hoists a pandas
+    UDF out of a conditional and evaluates it for EVERY row, so the
+    when-form would BMP-encode all audio/video rows and discard the
+    result (3x wasted Python work on the corpus-derivation pass)."""
+    return pd.Series(
+        [
+            None
+            if t is None
+            else (text_to_bmp(t.encode("utf-8")) if k == "image" else t.encode("utf-8"))
+            for k, t in zip(kinds, texts)
+        ],
         dtype=object,
     )
 
@@ -101,13 +120,23 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
     return documents.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
-        F.when(kind == "image", bmp_from_text("text"))
-        .otherwise(F.encode("text", "utf-8"))
-        .alias("data"),
+        _media_payload(kind, F.col("text")).alias("data"),
         F.create_map(
             F.lit("source"), F.col("source"), F.lit("lang"), F.col("lang")
         ).alias("meta"),
     )
+
+
+def _stride_sums(seq: bytes, n_strides: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized per-stride (sum, count) over interleaved strides: stride
+    j covers positions p with p % n_strides == j.  One bincount instead of
+    n_strides Python byte-slices; float64 weights are exact for sums below
+    2^53, far above any payload here."""
+    arr = np.frombuffer(seq, dtype=np.uint8)
+    idx = np.arange(arr.size, dtype=np.int64) % n_strides
+    sums = np.bincount(idx, weights=arr, minlength=n_strides).astype(np.int64)
+    counts = np.bincount(idx, minlength=n_strides).astype(np.int64)
+    return sums, counts
 
 
 def _moments(seq: bytes) -> tuple[list[float], list[tuple[int, int]]]:
@@ -115,12 +144,13 @@ def _moments(seq: bytes) -> tuple[list[float], list[tuple[int, int]]]:
     fingerprint is defined over THESE exact integers (not the float
     features) so an independent engine (the DuckDB oracle) reproduces it
     without float-formatting/rounding parity games."""
+    sums, counts = _stride_sums(seq, FEATURE_DIM)
     feats = []
     moments = []
-    for j in range(FEATURE_DIM):
-        sl = seq[j::FEATURE_DIM]
-        moments.append((sum(sl), max(1, len(sl))))
-        feats.append(round(sum(sl) / (255.0 * max(1, len(sl))), 6))
+    for s, c in zip(sums.tolist(), counts.tolist()):
+        c = max(1, c)
+        moments.append((s, c))
+        feats.append(round(s / (255.0 * c), 6))
     return feats, moments
 
 
@@ -276,16 +306,16 @@ def _ahash_bands(payload: bytes) -> list[int]:
     """The aHash core shared by :func:`perceptual_hash` and
     :func:`frame_hashes`: 64 interleaved strides, integer cross-multiply
     bit rule (``s_j * C > S * c_j``, no float division), packed into
-    ``PHASH_BANDS`` 16-bit band ints.  Each stride is materialized once."""
-    moms = []
-    for j in range(PHASH_BITS):
-        stride = payload[j::PHASH_BITS]
-        moms.append((sum(stride), len(stride)))
-    S = sum(s for s, _ in moms)
-    C = sum(c for _, c in moms)
-    bits = [1 if s * C > S * c else 0 for s, c in moms]
+    ``PHASH_BANDS`` 16-bit band ints.  One vectorized bincount pass
+    (``_stride_sums``) instead of 64 Python byte-slices."""
+    sums, counts = _stride_sums(payload, PHASH_BITS)
+    S = int(sums.sum())
+    C = int(counts.sum())
+    bits = (sums * C) > (S * counts)  # int64: s*C < 255*n*n, no overflow
+    weights = 1 << np.arange(16, dtype=np.int64)
     return [
-        sum(bits[16 * b + k] << k for k in range(16)) for b in range(PHASH_BANDS)
+        int((bits[16 * b : 16 * (b + 1)] * weights).sum())
+        for b in range(PHASH_BANDS)
     ]
 
 
