@@ -8,21 +8,25 @@ whole batch of payloads at once.  The Spark-side machinery — schema, batch
 shape, partition behavior, row-expansion (frame sampling) — is real and
 tested.
 
-IMAGE DECODE IS REAL (round 5): image payloads are genuine 24-bit BMP
-files produced by the repo's own pure-numpy codec
-(``operators/imagecodec.py``); ``extract_features``/``perceptual_hash``
-parse the BMP headers and recover the pixel grid, and ``resize`` is an
-actual pixel-space resample.  The synthetic corpus derivation
-(``documents_as_media``) lays each document's UTF-8 bytes into a
-width x height grayscale pixel grid (zero-padded), so the DuckDB oracles
-can reproduce every pixel statistic from the text column in plain SQL
-while the Spark side exercises the full encode -> bytes -> decode path.
+ALL THREE MODALITY PATHS ARE REAL (round 5): payloads are genuine
+container files produced by the repo's own pure-numpy codecs and parsed
+back by real decoders —
 
-AUDIO/VIDEO DECODE REMAINS A DETERMINISTIC FAKE: the container has no
-audio/video codecs (no ffmpeg/librosa), so those payloads stay raw bytes
-and ``_fake_decode`` derives sample statistics directly from them
-(documented).  Swapping in a real decoder is a one-function change; every
-schema and plan stays identical.
+- images: 24-bit BMP (``operators/imagecodec.py``); ``extract_features``
+  and ``perceptual_hash`` parse the headers and recover the pixel grid,
+  and ``resize`` is an actual pixel-space resample;
+- audio: 8-bit mono PCM WAV (``operators/mediacontainers.py``);
+  ``audio_frames`` walks the RIFF chunk list and windows the recovered
+  samples;
+- video: YUV4MPEG2 (Y4M) mono streams; ``sample_frames`` parses the
+  stream header and FRAME markers and recovers the per-frame planes.
+
+The synthetic corpus derivation (``documents_as_media``) stores each
+document's UTF-8 bytes as the pixel grid / PCM samples / frame planes,
+so the DuckDB oracles reproduce every pixel/sample statistic from the
+text column in plain SQL while the Spark side exercises the full
+encode -> bytes -> parse path.  (The content is synthetic; the
+containers and parsers are not.)
 """
 
 from __future__ import annotations
@@ -38,6 +42,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
 from .imagecodec import bmp_decode, bmp_encode, resize_nearest, to_gray
+from .mediacontainers import wav_decode, wav_encode, y4m_decode, y4m_encode
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, data binary, meta map<string,string>"
@@ -87,19 +92,24 @@ def bmp_from_text(texts: pd.Series) -> pd.Series:
     )
 
 
+_ENCODERS = {
+    "image": text_to_bmp,
+    "audio": wav_encode,
+    "video": y4m_encode,
+}
+
+
 @F.pandas_udf(BinaryType())
 def _media_payload(kinds: pd.Series, texts: pd.Series) -> pd.Series:
-    """Arrow-batched (kind, text) -> payload: real BMP for images, raw
-    UTF-8 bytes for audio/video.  One UDF taking the kind column — NOT
-    ``F.when(kind=='image', udf(...))`` — because Spark hoists a pandas
-    UDF out of a conditional and evaluates it for EVERY row, so the
-    when-form would BMP-encode all audio/video rows and discard the
-    result (3x wasted Python work on the corpus-derivation pass)."""
+    """Arrow-batched (kind, text) -> real container payload: BMP for
+    images, 8-bit PCM WAV for audio, Y4M for video.  One UDF taking the
+    kind column — NOT ``F.when(kind=='image', udf(...))`` — because Spark
+    hoists a pandas UDF out of a conditional and evaluates it for EVERY
+    row, so when-chaining three encoder UDFs would run all three on every
+    row and discard two results."""
     return pd.Series(
         [
-            None
-            if t is None
-            else (text_to_bmp(t.encode("utf-8")) if k == "image" else t.encode("utf-8"))
+            None if t is None else _ENCODERS[k](t.encode("utf-8"))
             for k, t in zip(kinds, texts)
         ],
         dtype=object,
@@ -108,10 +118,9 @@ def _media_payload(kinds: pd.Series, texts: pd.Series) -> pd.Series:
 
 def documents_as_media(documents: DataFrame) -> DataFrame:
     """Deterministic media table derived from the documents fixture: kind
-    cycles image/audio/video; image payloads are REAL BMP files (the
-    text's UTF-8 bytes as a grayscale pixel grid via the pure-numpy codec,
-    Arrow-batched pandas UDF), audio/video payloads are the raw UTF-8
-    bytes (no audio/video codec in this environment)."""
+    cycles image/audio/video, and every payload is a REAL container file
+    (BMP pixel grid / WAV PCM samples / Y4M frame planes holding the
+    text's UTF-8 bytes) built by an Arrow-batched pandas UDF."""
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
@@ -162,12 +171,21 @@ def _decode_pixels(payload: bytes) -> tuple[int, int, bytes]:
     return img.shape[1], img.shape[0], gray.tobytes()
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, bytes]:
-    """Deterministic stand-in for an AUDIO/VIDEO decode (no ffmpeg/librosa
-    in this environment): width/height metadata from payload length, the
-    'samples' are the payload bytes themselves."""
-    n = len(payload)
-    return 16 + n % 64, 16 + (n // 64) % 64, payload
+def _decode_samples(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL audio decode: walk the WAV RIFF chunks, recover the PCM
+    samples; width/height are synthetic-grid metadata from the sample
+    count (the media_dims-style derivation the oracles mirror)."""
+    samples = wav_decode(payload)
+    n = len(samples)
+    return 16 + n % 64, 16 + (n // 64) % 64, samples
+
+
+def _decode_frames_concat(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL video decode: parse the Y4M stream and concatenate the
+    content-trimmed frame planes back into the sample sequence."""
+    content = b"".join(y4m_decode(payload))
+    n = len(content)
+    return 16 + n % 64, 16 + (n // 64) % 64, content
 
 
 def extract_features(media: DataFrame, as_array: bool = False) -> DataFrame:
@@ -191,9 +209,13 @@ def extract_features(media: DataFrame, as_array: bool = False) -> DataFrame:
                 if data is None:
                     continue  # NULL payload: skip, as the sibling text passes do
                 payload = bytes(data)
-                # image: REAL BMP parse -> pixel grid; audio/video: raw
-                # sample bytes with metadata dims (no codec in this env)
-                decode = _decode_pixels if kind == "image" else _fake_decode
+                # every kind is a REAL container parse: BMP -> pixel
+                # grid, WAV -> PCM samples, Y4M -> frame planes
+                decode = {
+                    "image": _decode_pixels,
+                    "audio": _decode_samples,
+                    "video": _decode_frames_concat,
+                }[kind]
                 w, h, seq = decode(payload)
                 feats, moments = _moments(seq)
                 if as_array:
@@ -211,8 +233,19 @@ def extract_features(media: DataFrame, as_array: bool = False) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 4) -> DataFrame:
-    """Frame sampling for video rows: one input row expands to ≤ max_frames
-    rows (the mapInPandas row-expansion shape a real ffmpeg sampler uses)."""
+    """Frame sampling for video rows — one input row expands to ≤
+    max_frames rows (the mapInPandas row-expansion shape a real ffmpeg
+    sampler uses).  REAL parse: each payload is a Y4M stream whose frame
+    planes hold ``every_n_bytes`` of content; the decoder validates the
+    stream header and FRAME markers and trims the final plane back to the
+    content length, so emitted frames carry exactly the content bytes."""
+    from .mediacontainers import Y4M_FRAME_BYTES
+
+    if every_n_bytes != Y4M_FRAME_BYTES:
+        raise ValueError(
+            f"sample_frames reads Y4M planes of {Y4M_FRAME_BYTES} content "
+            f"bytes; every_n_bytes={every_n_bytes} is not supported"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -220,10 +253,14 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
             for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
                 if kind != "video" or data is None:
                     continue
-                payload = bytes(data)
-                for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
-                    frame = payload[i * every_n_bytes : (i + 1) * every_n_bytes]
-                    out.append((mid, i, frame, len(frame)))
+                frames = y4m_decode(bytes(data))
+                clen = (len(frames) - 1) * every_n_bytes + len(frames[-1])
+                # sampling policy (unchanged from the raw-bytes era): up to
+                # max_frames FULL planes; a lone short plane only when the
+                # whole clip is shorter than one plane
+                n_emit = min(max_frames, max(1, clen // every_n_bytes))
+                for i in range(min(n_emit, len(frames))):
+                    out.append((mid, i, frames[i], len(frames[i])))
             yield pd.DataFrame(
                 out, columns=["media_id", "frame_idx", "frame_data", "n_bytes"]
             )
@@ -248,9 +285,9 @@ def audio_frames(
 
     Arrow-batched mapInPandas with numpy windowing per payload; one input
     row expands to ≤ max_frames slim rows (40 bytes each), so the Python
-    boundary carries frame STATISTICS, never frame payloads.  Swap
-    ``_fake_decode``-style byte samples for real PCM via soundfile/librosa
-    in a full environment — the schema and batch shape stay identical.
+    boundary carries frame STATISTICS, never frame payloads.  REAL parse:
+    each payload is an 8-bit mono PCM WAV; the decoder walks the RIFF
+    chunk list, validates the fmt chunk and recovers the sample bytes.
     """
     import numpy as np
 
@@ -258,9 +295,12 @@ def audio_frames(
         for pdf in batches:
             out = []
             for mid, kind, data in zip(pdf["media_id"], pdf["kind"], pdf["data"]):
-                if kind != "audio" or data is None or len(data) == 0:
+                if kind != "audio" or data is None:
                     continue
-                samples = np.frombuffer(bytes(data), dtype=np.uint8)
+                pcm = wav_decode(bytes(data))
+                if len(pcm) == 0:
+                    continue  # empty clips carry no frames (as before)
+                samples = np.frombuffer(pcm, dtype=np.uint8)
                 n = len(samples)
                 i = 0
                 while i * hop < n and i < max_frames:

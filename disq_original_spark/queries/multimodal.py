@@ -13,6 +13,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..cache import track_persist
+from ..operators.mediacontainers import (
+    _Y4M_FIXED,
+    WAV_HEADER_SIZE,
+    Y4M_FRAME_BYTES,
+)
 from ..operators.multimodal import (
     audio_frames,
     bmp_from_text,
@@ -46,6 +51,24 @@ def _bmp_size_sql(w: str, h: str) -> str:
     return f"(54 + ((3 * ({w}) + 3) // 4 * 4) * ({h}))"
 
 
+def _wav_size_sql(n: str) -> str:
+    """44-byte canonical PCM header + samples + RIFF pad on odd length
+    (SQL twin of mediacontainers.wav_size)."""
+    return f"({WAV_HEADER_SIZE} + ({n}) + ({n}) % 2)"
+
+
+def _y4m_size_sql(n: str) -> str:
+    """Variable-length YUV4MPEG2 header (the Xclen digits) + FRAME-prefixed
+    fixed planes (SQL twin of mediacontainers.y4m_size)."""
+    base = len(_Y4M_FIXED) + 1  # fixed header text + the newline
+    per_frame = 6 + Y4M_FRAME_BYTES  # 'FRAME\n' + mono plane
+    return (
+        f"({base} + length(CAST(({n}) AS VARCHAR))"
+        f" + greatest(1, (({n}) + {Y4M_FRAME_BYTES - 1}) // {Y4M_FRAME_BYTES})"
+        f" * {per_frame})"
+    )
+
+
 
 @query(
     "m01_media_stats",
@@ -55,16 +78,19 @@ def _bmp_size_sql(w: str, h: str) -> str:
                    ELSE 'video' END AS kind,
               CAST(CASE
                 WHEN text IS NULL THEN NULL
-                -- image payloads are real BMPs; size from the shared
-                -- media_dims/bmp_size SQL twins above
+                -- every payload is a real container; sizes from the
+                -- shared codec-size SQL twins above
                 WHEN doc_id % 3 = 0 THEN
                   {_bmp_size_sql(_w_sql('length(text)'), _h_sql('length(text)'))}
-                ELSE octet_length(CAST(text AS BLOB)) END AS BIGINT) AS n_bytes
+                WHEN doc_id % 3 = 1 THEN {_wav_size_sql('length(text)')}
+                ELSE {_y4m_size_sql('length(text)')} END AS BIGINT) AS n_bytes
        FROM documents ORDER BY media_id""",
     doc="Media catalog stats: binary payload sizes by kind — the metadata "
-    "scan a media pipeline runs before any decode.  Image sizes are real "
-    "BMP file sizes; the oracle recomputes the codec's exact size "
-    "arithmetic (header + row padding) from the derivation rule.",
+    "scan a media pipeline runs before any decode.  Every size is a real "
+    "container file size (BMP / PCM WAV / Y4M); the oracle recomputes "
+    "each codec's exact size arithmetic (headers, row/word padding, "
+    "variable-length Y4M header digits, frame planes) from the "
+    "derivation rule.",
 )
 def m01(spark: SparkSession, sf: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf, "documents"))
@@ -89,14 +115,16 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
                   -- (operators/multimodal.py run()); mirror that here
                   FROM documents WHERE text IS NOT NULL),
         -- image payloads decode to a w*h zero-padded pixel grid (the
-        -- text's bytes row-major), audio/video stay raw bytes: the stride
-        -- SUM only sees text bytes either way (padding adds 0), but the
-        -- stride COUNT runs over the full decoded sequence length
+        -- text's bytes row-major); audio WAVs decode to their PCM
+        -- samples and video Y4Ms to their concatenated trimmed frames
+        -- (both exactly the text bytes): the stride SUM only sees text
+        -- bytes in every kind (image padding adds 0), and the stride
+        -- COUNT runs over the decoded sequence length
         geo AS (SELECT *,
                        CASE WHEN kind = 'image' THEN w * h ELSE n END AS seqlen,
-                       CASE WHEN kind = 'image'
-                            THEN {_bmp_size_sql('w', 'h')}
-                            ELSE n END AS n_bytes
+                       CASE WHEN kind = 'image' THEN {_bmp_size_sql('w', 'h')}
+                            WHEN kind = 'audio' THEN {_wav_size_sql('n')}
+                            ELSE {_y4m_size_sql('n')} END AS n_bytes
                 FROM m),
         pos AS (SELECT media_id, text, unnest(generate_series(1, n)) AS p
                 FROM geo),
@@ -121,9 +149,10 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
                geo.w AS width, geo.h AS height, d.features_digest
         FROM geo JOIN d USING (media_id) ORDER BY media_id""",
     doc="Arrow-batched feature extraction over binary payloads "
-    "(mapInPandas): image payloads go through the REAL pure-numpy BMP "
-    "decode (operators/imagecodec.py) to a pixel grid, audio/video use "
-    "the documented fake decode over raw bytes.  Emits features_digest = "
+    "(mapInPandas): every kind goes through a REAL container parse — BMP "
+    "to a pixel grid, WAV RIFF chunks to PCM samples, Y4M streams to "
+    "frame planes (operators/imagecodec.py, mediacontainers.py).  "
+    "Emits features_digest = "
     "md5 of the exact integer pixel/byte-moments, reproduced "
     "byte-for-byte by the SQL oracle from the text column and the "
     "corpus-derivation geometry (the corpus is ASCII, so char positions "
@@ -148,8 +177,10 @@ def m02(spark: SparkSession, sf: str) -> DataFrame:
                md5(frame) AS frame_digest
         FROM f ORDER BY media_id, frame_idx""",
     doc="Video frame sampling: mapInPandas row expansion (1 video → ≤4 "
-    "frames).  The driver-facing query fingerprints each frame (md5) so "
-    "the oracle hash-checks it; the library operator keeps raw bytes.",
+    "frames) over REAL Y4M streams — the operator validates the stream "
+    "header and FRAME markers and recovers the content-trimmed planes.  "
+    "The driver-facing query fingerprints each frame (md5) so the oracle "
+    "hash-checks it; the library operator keeps raw frame bytes.",
 )
 def m03(spark: SparkSession, sf: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf, "documents"))
@@ -188,8 +219,9 @@ def m03(spark: SparkSession, sf: str) -> DataFrame:
        FROM agg ORDER BY media_id, frame_idx""",
     doc="Audio frame analysis: overlapping 512-byte frames every 256 bytes "
     "(librosa-style hop windowing, ≤8 frames/clip) with integer-exact "
-    "per-frame energy (Σ sample²) and peak, computed in one Arrow-batched "
-    "numpy pass (operators/multimodal.py::audio_frames).  The oracle "
+    "per-frame energy (Σ sample²) and peak over the REAL WAV-decoded PCM "
+    "samples, computed in one Arrow-batched numpy pass "
+    "(operators/multimodal.py::audio_frames).  The oracle "
     "reproduces every frame statistic in SQL because the corpus is ASCII "
     "(char positions are byte positions, as m02).\n\n"
     "Scale shape: pure map-side row expansion — no shuffle except the "
