@@ -133,8 +133,8 @@ def y4m_decode(data: bytes) -> list[bytes]:
     if params.get("C") != "mono":
         raise ValueError(f"unsupported Y4M colorspace C{params.get('C')}")
     xclen = params.get("X", "")
-    if not xclen.startswith("clen="):
-        raise ValueError("Y4M stream missing the Xclen content-length token")
+    if not xclen.startswith("clen=") or not xclen[5:].isdigit():
+        raise ValueError("Y4M stream missing a valid Xclen content-length token")
     clen = int(xclen[5:])
     frames: list[bytes] = []
     pos = nl + 1
@@ -148,6 +148,14 @@ def y4m_decode(data: bytes) -> list[bytes]:
         pos += Y4M_FRAME_BYTES
     if not frames:
         raise ValueError("Y4M stream has no frames")
+    # Xclen must agree with the stored frame count — a mismatch (corrupt
+    # digit, truncated frame list) would otherwise return zero padding as
+    # content or skip the tail trim entirely (fail-loud contract)
+    if len(frames) != max(1, -(-clen // Y4M_FRAME_BYTES)):
+        raise ValueError(
+            f"Y4M Xclen={clen} inconsistent with {len(frames)} stored "
+            f"frames of {Y4M_FRAME_BYTES} bytes"
+        )
     # trim back to the content: full frames + the final partial slice
     start_of_last = (len(frames) - 1) * Y4M_FRAME_BYTES
     last_len = max(0, min(Y4M_FRAME_BYTES, clen - start_of_last))

@@ -42,7 +42,13 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType
 
 from .imagecodec import bmp_decode, bmp_encode, resize_nearest, to_gray
-from .mediacontainers import wav_decode, wav_encode, y4m_decode, y4m_encode
+from .mediacontainers import (
+    Y4M_FRAME_BYTES,
+    wav_decode,
+    wav_encode,
+    y4m_decode,
+    y4m_encode,
+)
 
 MEDIA_SCHEMA = (
     "media_id long, kind string, data binary, meta map<string,string>"
@@ -99,6 +105,17 @@ _ENCODERS = {
 }
 
 
+def _codec_for(table: dict, kind: str):
+    """Shared kind -> encoder/decoder lookup with the module's fail-loud
+    contract (a raw KeyError mid-task is an opaque PythonException)."""
+    try:
+        return table[kind]
+    except KeyError:
+        raise ValueError(
+            f"unknown media kind {kind!r}: expected one of {sorted(table)}"
+        ) from None
+
+
 @F.pandas_udf(BinaryType())
 def _media_payload(kinds: pd.Series, texts: pd.Series) -> pd.Series:
     """Arrow-batched (kind, text) -> real container payload: BMP for
@@ -109,7 +126,7 @@ def _media_payload(kinds: pd.Series, texts: pd.Series) -> pd.Series:
     row and discard two results."""
     return pd.Series(
         [
-            None if t is None else _ENCODERS[k](t.encode("utf-8"))
+            None if t is None else _codec_for(_ENCODERS, k)(t.encode("utf-8"))
             for k, t in zip(kinds, texts)
         ],
         dtype=object,
@@ -188,6 +205,13 @@ def _decode_frames_concat(payload: bytes) -> tuple[int, int, bytes]:
     return 16 + n % 64, 16 + (n // 64) % 64, content
 
 
+_DECODERS = {
+    "image": _decode_pixels,
+    "audio": _decode_samples,
+    "video": _decode_frames_concat,
+}
+
+
 def extract_features(media: DataFrame, as_array: bool = False) -> DataFrame:
     """Arrow-batched feature extraction: one pandas batch in, one out.
     At cluster scale, batch size is bounded by
@@ -211,12 +235,7 @@ def extract_features(media: DataFrame, as_array: bool = False) -> DataFrame:
                 payload = bytes(data)
                 # every kind is a REAL container parse: BMP -> pixel
                 # grid, WAV -> PCM samples, Y4M -> frame planes
-                decode = {
-                    "image": _decode_pixels,
-                    "audio": _decode_samples,
-                    "video": _decode_frames_concat,
-                }[kind]
-                w, h, seq = decode(payload)
+                w, h, seq = _codec_for(_DECODERS, kind)(payload)
                 feats, moments = _moments(seq)
                 if as_array:
                     rows.append((mid, kind, len(payload), w, h, feats))
@@ -239,8 +258,6 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
     planes hold ``every_n_bytes`` of content; the decoder validates the
     stream header and FRAME markers and trims the final plane back to the
     content length, so emitted frames carry exactly the content bytes."""
-    from .mediacontainers import Y4M_FRAME_BYTES
-
     if every_n_bytes != Y4M_FRAME_BYTES:
         raise ValueError(
             f"sample_frames reads Y4M planes of {Y4M_FRAME_BYTES} content "
@@ -348,10 +365,19 @@ def _ahash_bands(payload: bytes) -> list[int]:
     bit rule (``s_j * C > S * c_j``, no float division), packed into
     ``PHASH_BANDS`` 16-bit band ints.  One vectorized bincount pass
     (``_stride_sums``) instead of 64 Python byte-slices."""
+    # int64 bit-rule bound: s_j*C <= 255*n^2 must stay under 2^63, i.e.
+    # n < ~1.9e8 bytes.  Beyond that numpy would wrap silently where the
+    # old pure-Python ints were exact — fail loud instead (a 190 MB single
+    # image does not belong in one aHash call).
+    if len(payload) >= 190_000_000:
+        raise ValueError(
+            f"payload of {len(payload)} bytes exceeds the exact-int64 "
+            "aHash bound (~1.9e8); hash a downscaled rendition instead"
+        )
     sums, counts = _stride_sums(payload, PHASH_BITS)
     S = int(sums.sum())
     C = int(counts.sum())
-    bits = (sums * C) > (S * counts)  # int64: s*C < 255*n*n, no overflow
+    bits = (sums * C) > (S * counts)  # int64-exact under the bound above
     weights = 1 << np.arange(16, dtype=np.int64)
     return [
         int((bits[16 * b : 16 * (b + 1)] * weights).sum())

@@ -77,7 +77,7 @@ def test_corrupt_wav_fails_loud(corrupt, match):
         (lambda d: b"XUV4MPEG2" + d[9:], "not a Y4M"),
         (lambda d: d.replace(b"W16", b"W32"), "unsupported Y4M geometry"),
         (lambda d: d.replace(b"Cmono", b"C420m"), "unsupported Y4M colorspace"),
-        (lambda d: d.replace(b"Xclen=", b"Xnope="), "missing the Xclen"),
+        (lambda d: d.replace(b"Xclen=", b"Xnope="), "missing a valid Xclen"),
         (lambda d: d.replace(b"FRAME\n", b"FRAMX\n", 1), "bad Y4M frame marker"),
         (lambda d: d[:-10], "plane truncated"),
     ],
@@ -141,3 +141,26 @@ def test_sample_frames_match_text_slices(spark, sf_dir):
         want = t[r["frame_idx"] * 256 : (r["frame_idx"] + 1) * 256]
         assert bytes(r["frame_data"]) == want
         assert r["n_bytes"] == len(want)
+
+
+def test_y4m_xclen_mismatch_fails_loud():
+    """A corrupted Xclen digit must raise, not silently return zero
+    padding as content or skip the tail trim (round-5 review finding)."""
+    data = y4m_encode(b"q" * 400)
+    with pytest.raises(ValueError, match="inconsistent"):
+        y4m_decode(data.replace(b"Xclen=400", b"Xclen=900"))
+    with pytest.raises(ValueError, match="inconsistent"):
+        y4m_decode(data.replace(b"Xclen=400", b"Xclen=100"))
+
+
+def test_unknown_media_kind_fails_loud(spark):
+    """extract_features on a kind outside image/audio/video must raise a
+    clear ValueError, not an opaque KeyError mid-task."""
+    from disq_original_spark.operators.multimodal import extract_features
+
+    media = spark.createDataFrame(
+        [(1, "text", b"abc", {})],
+        "media_id long, kind string, data binary, meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="unknown media kind 'text'"):
+        extract_features(media).collect()

@@ -44,22 +44,14 @@ def test_feature_extraction_shape_and_determinism(spark, sf_dir):
     # from the payload alone (the property the SQL oracle relies on)
     import hashlib
 
-    from disq_original_spark.operators.multimodal import (
-        _decode_frames_concat,
-        _decode_pixels,
-        _decode_samples,
-    )
+    from disq_original_spark.operators.multimodal import _DECODERS
 
-    decoders = {
-        "image": _decode_pixels,
-        "audio": _decode_samples,
-        "video": _decode_frames_concat,
-    }
     media_rows = {r["media_id"]: r for r in media.collect()}
     for r in rows[:20]:
         mr = media_rows[r["media_id"]]
-        # real container parse per kind -> pixel/sample bytes
-        _w, _h, p = decoders[mr["kind"]](bytes(mr["data"]))
+        # real container parse per kind -> pixel/sample bytes (the
+        # operator's own kind->decoder table, so they cannot drift)
+        _w, _h, p = _DECODERS[mr["kind"]](bytes(mr["data"]))
         moments = [
             (sum(p[j::FEATURE_DIM]), max(1, len(p[j::FEATURE_DIM])))
             for j in range(FEATURE_DIM)
