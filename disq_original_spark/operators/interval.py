@@ -208,7 +208,10 @@ def residual_traversal(
     if include_unplaced:
         unplaced = spanned.filter(unplaced_pred)
         selected = unplaced if selected is None else selected.unionByName(unplaced)
-    return selected.select(*READS_COLUMNS)
+    # intersection, not READS_COLUMNS verbatim: a column-pruned source
+    # frame (BamSource.read(columns=...)) carries a schema subset
+    present = set(reads.columns)
+    return selected.select(*[c for c in READS_COLUMNS if c in present])
 
 
 def residual_variant_overlap(variants: DataFrame, intervals: DataFrame) -> DataFrame:

@@ -167,7 +167,10 @@ _FASTA_SEQS = f"read_parquet('{_ORC}/fasta_valid_seqs.parquet')"
 def g03(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.bam import BamSource
 
-    reads = BamSource().read(spark, f"{_FIXTURES}/1.bam", split_size=128 * 1024)
+    reads = BamSource().read(
+        spark, f"{_FIXTURES}/1.bam", split_size=128 * 1024,
+        columns=["flag", "rname", "mapq"],  # decode-level pruning
+    )
     return (
         reads.groupBy(F.coalesce("rname", F.lit("*")).alias("contig"))
         .agg(
@@ -308,7 +311,9 @@ def g06(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.bam import BamSource
 
     reads = BamSource().read(
-        spark, f"{_FIXTURES}/HiSeq.1mb.1RG.2k_lines.alternate.recalibrated.DIQ.sharded.bam"
+        spark,
+        f"{_FIXTURES}/HiSeq.1mb.1RG.2k_lines.alternate.recalibrated.DIQ.sharded.bam",
+        columns=["flag", "rname", "pos", "mapq", "cigar"],
     )
     from ..sources.sam import cigar_reference_length
 
@@ -545,7 +550,11 @@ def g09(spark: SparkSession, sf: str) -> DataFrame:
 
     path = f"{_FIXTURES}/1.bam"
     header, _refs, _fv = read_bam_header(path)
-    reads = BamSource().read(spark, path, split_size=256 * 1024)
+    # dupmark's decision columns only — seq (the bulk) is never decoded
+    reads = BamSource().read(
+        spark, path, split_size=256 * 1024,
+        columns=["qname", "flag", "rname", "pos", "cigar", "qual", "attributes"],
+    )
     marked = mark_duplicates(reads, header)
     return (
         marked.groupBy(F.coalesce("rname", F.lit("*")).alias("contig"))
@@ -589,7 +598,10 @@ def g09(spark: SparkSession, sf: str) -> DataFrame:
 def g10(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.bam import BamSource
 
-    reads = BamSource().read(spark, f"{_FIXTURES}/1.bam", split_size=256 * 1024)
+    reads = BamSource().read(
+        spark, f"{_FIXTURES}/1.bam", split_size=256 * 1024,
+        columns=["flag", "rname", "rnext", "mapq"],
+    )
     flag = F.col("flag")
 
     def has(bit: int) -> F.Column:
@@ -656,7 +668,10 @@ def g10(spark: SparkSession, sf: str) -> DataFrame:
 def g11(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.bam import BamSource
 
-    reads = BamSource().read(spark, f"{_FIXTURES}/1.bam", split_size=256 * 1024)
+    reads = BamSource().read(
+        spark, f"{_FIXTURES}/1.bam", split_size=256 * 1024,
+        columns=["flag", "seq", "qual"],
+    )
     eligible = reads.filter(
         (F.col("flag").bitwiseAND(256 + 2048) == 0) & (F.col("qual") != "*")
     )
@@ -763,6 +778,7 @@ def g13(spark: SparkSession, sf: str) -> DataFrame:
         spark,
         f"{_FIXTURES}/HiSeq.1mb.1RG.2k_lines.alternate.recalibrated.DIQ.sharded.bam",
         intervals=iv,
+        columns=["flag", "rname", "pos", "cigar"],
     )
     lens = F.transform(
         F.regexp_extract_all("cigar", F.lit(r"(\d+)[MIDNSHP=X]"), 1),
@@ -919,7 +935,7 @@ def g15(spark: SparkSession, sf: str) -> DataFrame:
     )
     counts = (
         BamSource()
-        .read(spark, path)
+        .read(spark, path, columns=["flag", "rname"])
         .groupBy(F.coalesce("rname", F.lit("*")).alias("contig"))
         .agg(
             F.sum((F.col("flag").bitwiseAND(4) == 0).cast("long")).alias("n_mapped"),
@@ -1506,7 +1522,12 @@ def g24(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.bam import BamSource
     from ..sources.fastq import bam_to_fastq
 
-    fq = bam_to_fastq(BamSource().read(spark, f"{_FIXTURES}/1.bam"))
+    fq = bam_to_fastq(
+        BamSource().read(
+            spark, f"{_FIXTURES}/1.bam",
+            columns=["qname", "flag", "seq", "qual"],
+        )
+    )
     mate = F.when(F.col("name").endswith("/1"), "r1").when(
         F.col("name").endswith("/2"), "r2"
     ).otherwise("unpaired")

@@ -20,6 +20,8 @@ within ~2.5× of the raw single-core codec speed.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import struct
 import uuid
 
@@ -160,6 +162,7 @@ def _read_records_in_chunk(
     ref_names: list[str],
     fs: FileSystem | None = None,
     with_voffsets: bool = False,
+    fields: frozenset[str] | None = None,
 ):
     """Yield reads-schema rows for records whose start voffset is in
     [vstart, vend).
@@ -237,7 +240,7 @@ def _read_records_in_chunk(
             v = (bases[bi][1] << 16) | (o - bases[bi][0])
             if v >= vend:
                 return
-            parsed = parse_record(buf, o, ref_names)
+            parsed = parse_record(buf, o, ref_names, fields)
             if parsed is None:
                 return
             yield (parsed[0], v) if with_voffsets else parsed[0]
@@ -304,6 +307,7 @@ def records_for_split(
     bai_ranges: list[tuple[int, int]] | None = None,
     fs: FileSystem | None = None,
     group_by_qname: bool = False,
+    fields: frozenset[str] | None = None,
 ):
     """Yield reads-schema rows for the byte-range split [start, end): map the
     range to a record-aligned virtual-offset chunk (SBI fast path, else
@@ -347,7 +351,7 @@ def records_for_split(
         in_head = prev_q is not None
         last_q: str | None = None
         for row, v in _read_records_in_chunk(
-            path, vstart, 1 << 62, ref_names, fs, with_voffsets=True
+            path, vstart, 1 << 62, ref_names, fs, with_voffsets=True, fields=fields
         ):
             q = row["qname"]
             if in_head:
@@ -363,34 +367,40 @@ def records_for_split(
                 return
         return
     if bai_ranges is None:
-        yield from _read_records_in_chunk(path, vstart, vend, ref_names, fs)
+        yield from _read_records_in_chunk(path, vstart, vend, ref_names, fs, fields=fields)
         return
     for u, v in bai_ranges:
         lo, hi = max(u, vstart), min(v, vend)
         if lo < hi:
-            yield from _read_records_in_chunk(path, lo, hi, ref_names, fs)
+            yield from _read_records_in_chunk(path, lo, hi, ref_names, fs, fields=fields)
 
 
 def _decode_splits_arrow(
     spark: SparkSession,
     split_rows: list[tuple[int, int, int]],
     file_params: list[tuple],
+    fields: frozenset[str] | None = None,
 ) -> DataFrame:
     """Decode splits via the Arrow transfer plane (``arrow_xfer``): the
     decode is unchanged (``records_for_split``); tasks hand the JVM columnar
-    Arrow batches instead of pickled rows."""
+    Arrow batches instead of pickled rows.  ``fields`` prunes the decoded
+    columns (the custom-source analog of a parquet scan's ReadSchema)."""
     from .arrow_xfer import rows_to_dataframe
 
     def split_records(task):
         fi, s, e = task
         f, refs, nref, fv, sbi, bai, fs, by_qname = file_params[fi]
         return records_for_split(
-            f, s, e, refs, nref, fv, sbi, bai, fs, group_by_qname=by_qname
+            f, s, e, refs, nref, fv, sbi, bai, fs, group_by_qname=by_qname,
+            fields=fields,
         )
 
-    return rows_to_dataframe(
-        spark, split_rows, split_records, READS_COLUMNS, READS_SCHEMA
-    )
+    if fields is None:
+        cols, schema = READS_COLUMNS, READS_SCHEMA
+    else:
+        cols = [c for c in READS_COLUMNS if c in fields]
+        schema = StructType([f for f in READS_SCHEMA.fields if f.name in fields])
+    return rows_to_dataframe(spark, split_rows, split_records, cols, schema)
 
 
 class BamSource:
@@ -408,7 +418,23 @@ class BamSource:
         include_unplaced: bool = False,
         split_size: int = 128 * 1024 * 1024,
         use_sbi: bool = True,
+        columns: Sequence[str] | None = None,
     ) -> DataFrame:
+        """``columns`` prunes the DECODE, not just the projection: Python
+        data sources have no ReadSchema pushdown, so without it every scan
+        pays the full per-record materialization (CIGAR string join, seq
+        nibble translate, qual translate, aux-tag dict walk) even for a
+        3-column aggregate — the custom-source analog of a parquet scan
+        reading all columns for a 2-column projection.  The returned frame
+        carries exactly ``columns`` (schema order); internal needs
+        (qname grouping, interval residual filtering) are decoded
+        transparently and dropped before return."""
+        if columns is not None:
+            bad = [c for c in columns if c not in READS_COLUMNS]
+            if bad:
+                raise ValueError(
+                    f"unknown reads columns {bad}; valid: {READS_COLUMNS}"
+                )
         fs = get_fs(path)
         files = _expand_files(path, fs)
         # ONE driver header read per input — directory files share a header
@@ -447,10 +473,23 @@ class BamSource:
             )
             split_rows.extend((fi, s, e) for s, e in splits)
 
-        reads = _decode_splits_arrow(spark, split_rows, file_params)
+        fields = None
+        if columns is not None:
+            internal = set(columns)
+            if by_qname:
+                internal.add("qname")  # group ownership needs the name
+            if intervals is not None or include_unplaced:
+                # residual_traversal computes alignment spans + the
+                # unplaced predicate from these
+                internal |= {"flag", "rname", "pos", "cigar"}
+            fields = frozenset(internal)
+        reads = _decode_splits_arrow(spark, split_rows, file_params, fields)
         from ..operators.interval import residual_traversal
 
-        return residual_traversal(reads, intervals, include_unplaced)
+        out = residual_traversal(reads, intervals, include_unplaced)
+        if columns is not None:
+            out = out.select(*[c for c in READS_COLUMNS if c in set(columns)])
+        return out
 
 
 def _collect_file_metadata(

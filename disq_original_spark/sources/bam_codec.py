@@ -32,7 +32,12 @@ _QUAL33 = bytes((i + 33) & 0xFF for i in range(256))
 # ------------------------------------------------------------------ record parse
 
 
-def parse_record(buf: bytes | memoryview, off: int, refs: list[str]) -> tuple[dict, int] | None:
+def parse_record(
+    buf: bytes | memoryview,
+    off: int,
+    refs: list[str],
+    fields: frozenset[str] | None = None,
+) -> tuple[dict, int] | None:
     """Parse one alignment record at ``off``; returns (row, next_off) or
     None if the buffer ends before the record does."""
     if off + 4 > len(buf):
@@ -65,21 +70,38 @@ def parse_record(buf: bytes | memoryview, off: int, refs: list[str]) -> tuple[di
     qual_b = bytes(buf[p : p + l_seq])
     p += l_seq
 
-    cigar = (
-        "".join(f"{op >> 4}{CIGAR_OPS[op & 0xF]}" for op in cigar_ops) if n_cigar else "*"
-    )
-    if l_seq:
-        seq = seq_b.hex().translate(_HEX2BASE)[:l_seq]
-        qual = (
-            "*"
-            if qual_b and qual_b[0] == 0xFF
-            else qual_b.translate(_QUAL33).decode("latin-1")
-        )
-    else:
-        seq = "*"
-        qual = "*"
+    # Column pruning (``fields``): the record is always WALKED in full
+    # (lengths come from the fixed header, so boundary math is unchanged)
+    # but the expensive materializations — CIGAR string join, seq nibble
+    # translate, qual phred translate, the aux-tag dictionary walk — are
+    # skipped for columns the caller did not request.  ``fields=None``
+    # keeps the full-schema behavior.
+    want = fields  # None -> everything
 
-    attrs = _parse_aux(buf, p, end)
+    def _want(name: str) -> bool:
+        return want is None or name in want
+
+    cigar = (
+        ("".join(f"{op >> 4}{CIGAR_OPS[op & 0xF]}" for op in cigar_ops) if n_cigar else "*")
+        if _want("cigar")
+        else None
+    )
+    seq = qual = None
+    if _want("seq") or _want("qual"):
+        if l_seq:
+            if _want("seq"):
+                seq = seq_b.hex().translate(_HEX2BASE)[:l_seq]
+            if _want("qual"):
+                qual = (
+                    "*"
+                    if qual_b and qual_b[0] == 0xFF
+                    else qual_b.translate(_QUAL33).decode("latin-1")
+                )
+        else:
+            seq = "*"
+            qual = "*"
+
+    attrs = _parse_aux(buf, p, end) if _want("attributes") else None
 
     rname = refs[ref_id] if 0 <= ref_id < len(refs) else None
     if next_ref_id == ref_id and next_ref_id >= 0:
@@ -102,6 +124,8 @@ def parse_record(buf: bytes | memoryview, off: int, refs: list[str]) -> tuple[di
         "qual": qual,
         "attributes": attrs,
     }
+    if want is not None:
+        row = {k: row[k] for k in row if k in want}
     return row, end
 
 

@@ -517,6 +517,15 @@ def test_queryname_pair_integrity(spark, tmp_path):
     multi = per_group.filter("n > 1").count()
     assert multi > 0  # the fixture really does contain read groups/pairs
 
+    # column pruning under queryname grouping: 'qname' is decoded
+    # internally for group ownership even when not requested, and the
+    # pruned values match the full decode
+    pruned = src.read(spark, out, split_size=96 * 1024, columns=["flag", "pos"])
+    assert pruned.columns == ["flag", "pos"]
+    assert sorted(map(str, pruned.collect())) == sorted(
+        map(str, back.select("flag", "pos").collect())
+    )
+
 
 # ---------------------------------------------------- write-time index creation
 
@@ -619,3 +628,42 @@ def test_sharded_bam_per_shard_indexes(spark, tmp_path, bam_df):
     no_index = BamSource().read(spark, BAM, intervals=intervals)
     key = lambda r: (r.qname, r.flag, r.pos)
     assert sorted(map(key, via_idx.collect())) == sorted(map(key, no_index.collect()))
+
+
+def test_column_pruned_read_matches_full_decode(spark):
+    """BamSource.read(columns=...) prunes the DECODE (the custom-source
+    analog of parquet ReadSchema): values must equal the full decode's
+    subset on every pattern — plain scan, interval pushdown (internal
+    span columns decoded transparently and dropped), and unknown columns
+    fail loud."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from disq_original_spark.sources.bam import BamSource
+
+    path = f"{RES}/1.bam"
+    full = BamSource().read(spark, path, split_size=300 * 1024)
+    for cols in (["flag", "rname", "mapq"], ["qname", "flag", "seq", "qual"],
+                 ["attributes", "rname"]):
+        pruned = BamSource().read(spark, path, split_size=300 * 1024, columns=cols)
+        want = [c for c in full.columns if c in set(cols)]
+        assert pruned.columns == want
+        a = sorted(map(str, full.select(*want).collect()))
+        b = sorted(map(str, pruned.collect()))
+        assert a == b, cols
+
+    iv = spark.createDataFrame(
+        [("chr1", 10_080_000, 10_085_000)], "contig string, start long, end long"
+    )
+    sharded = f"{RES}/HiSeq.1mb.1RG.2k_lines.alternate.recalibrated.DIQ.sharded.bam"
+    pruned_iv = BamSource().read(spark, sharded, intervals=iv, columns=["rname", "pos"])
+    full_iv = BamSource().read(spark, sharded, intervals=iv)
+    assert pruned_iv.columns == ["rname", "pos"]
+    assert sorted(map(str, pruned_iv.collect())) == sorted(
+        map(str, full_iv.select("rname", "pos").collect())
+    )
+    # decode really is pruned: a 2-column scan must not carry seq bytes
+    assert pruned_iv.agg(F.count("*")).collect()[0][0] == full_iv.count()
+
+    with _pytest.raises(ValueError, match="unknown reads columns"):
+        BamSource().read(spark, path, columns=["flag", "nope"])
