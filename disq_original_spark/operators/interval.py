@@ -228,7 +228,12 @@ def residual_variant_overlap(variants: DataFrame, intervals: DataFrame) -> DataF
         spanned.withColumnRenamed("pos", "start").withColumnRenamed("end_", "end"),
         intervals,
     )
-    return out.withColumnRenamed("start", "pos").select(*VARIANTS_COLUMNS)
+    # intersection, not VARIANTS_COLUMNS verbatim: a column-pruned source
+    # frame (BcfSource.read(columns=...)) carries a schema subset
+    present = set(variants.columns)
+    return out.withColumnRenamed("start", "pos").select(
+        *[c for c in VARIANTS_COLUMNS if c in present]
+    )
 
 
 def merge_intervals(

@@ -51,6 +51,7 @@ import uuid
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 from .fsio import get_fs
 from .headers import read_vcf_header_text  # noqa: F401  (re-exported convenience)
@@ -532,9 +533,22 @@ def _gt_to_str(t: int, vals: list[int]) -> str | None:
     return None if out in ("", ".") else out
 
 
-def decode_record(r: _Reader, ctx: BcfContext) -> dict:
+def decode_record(
+    r: _Reader, ctx: BcfContext, fields: frozenset[str] | None = None
+) -> dict:
+    """``fields`` prunes the decode at BLOCK granularity: the spec's
+    l_shared/l_indiv framing means the whole per-sample genotype block —
+    the dominant decode cost on wide callsets — skips with one offset
+    assignment when 'genotypes' is not requested, and a site-string walk
+    (ID/alleles/FILTER/INFO) is skipped entirely when no site string is
+    requested.  ``fields=None`` keeps the full-schema behavior."""
+
+    def _want(name: str) -> bool:
+        return fields is None or name in fields
+
     l_shared = r.u32()
     l_indiv = r.u32()
+    shared_end = r.o + l_shared
     end = r.o + l_shared + l_indiv
     rid = r.i32()
     pos0 = r.i32()
@@ -549,41 +563,52 @@ def decode_record(r: _Reader, ctx: BcfContext) -> dict:
     n_allele, n_info = n_ai >> 16, n_ai & 0xFFFF
     n_fs = r.u32()
     n_fmt, n_sample = n_fs >> 24, n_fs & 0xFFFFFF
-    _t, idv = r.typed()
-    vid = idv[0] if idv and idv[0] != "" else None
-    alleles = []
-    for _ in range(n_allele):
-        _t, a = r.typed()
-        alleles.append(a[0] if a else "")
-    ft, fv = r.typed()
-    _pass_idx = ctx.string_idx.get("PASS")  # None: header never declares PASS
-    if ft == 0:
-        filters = None
-    elif _pass_idx is not None and fv == [_pass_idx]:
-        filters = []
+    vid, alleles, filters, info = None, [], None, {}
+    need_strings = any(map(_want, ("id", "ref", "alts", "filters", "info")))
+    if not need_strings:
+        r.o = shared_end  # skip the whole site-string walk in O(1)
     else:
-        # No default-to-0 when PASS is absent: a fully-IDX'd header that
-        # assigns slot 0 to a real FILTER must decode [0] as that filter,
-        # not silently as PASS (the encode twin above refuses to emit PASS
-        # in that situation, so round-trips stay symmetric).
-        filters = [ctx.strings[i] for i in fv]
-    info = {}
-    for _ in range(n_info):
-        _t, kv = r.typed()
-        key = ctx.strings[kv[0]]
-        t, vals = r.typed()
-        number, vtype = ctx.info_types.get(key, ("1", "String"))
-        if vtype == "Flag":
-            info[key] = ""
-        elif t == _CHAR:
-            info[key] = vals[0] if vals and vals[0] != "" else "."
-        elif t == _FLOAT:
-            info[key] = _floats_to_str(vals) or "."
+        _t, idv = r.typed()
+        vid = idv[0] if idv and idv[0] != "" else None
+        for _ in range(n_allele):
+            _t, a = r.typed()
+            alleles.append(a[0] if a else "")
+        ft, fv = r.typed()
+        _pass_idx = ctx.string_idx.get("PASS")  # None: PASS never declared
+        if ft == 0:
+            filters = None
+        elif _pass_idx is not None and fv == [_pass_idx]:
+            filters = []
         else:
-            info[key] = _ints_to_str(t, vals) or "."
+            # No default-to-0 when PASS is absent: a fully-IDX'd header that
+            # assigns slot 0 to a real FILTER must decode [0] as that filter,
+            # not silently as PASS (the encode twin above refuses to emit
+            # PASS in that situation, so round-trips stay symmetric).
+            filters = [ctx.strings[i] for i in fv]
+        if not _want("info"):
+            r.o = shared_end  # INFO is last in the shared block
+        else:
+            for _ in range(n_info):
+                _t, kv = r.typed()
+                key = ctx.strings[kv[0]]
+                t, vals = r.typed()
+                number, vtype = ctx.info_types.get(key, ("1", "String"))
+                if vtype == "Flag":
+                    info[key] = ""
+                elif t == _CHAR:
+                    info[key] = vals[0] if vals and vals[0] != "" else "."
+                elif t == _FLOAT:
+                    info[key] = _floats_to_str(vals) or "."
+                else:
+                    info[key] = _ints_to_str(t, vals) or "."
     genotypes = [
         {"sample": s, "gt": None, "attrs": {}} for s in ctx.samples[:n_sample]
     ]
+    if not _want("genotypes"):
+        # the spec's l_indiv framing makes the per-sample block — the
+        # dominant decode cost on wide callsets — one offset assignment
+        r.o = end
+        n_fmt = 0
     for _ in range(n_fmt):
         _t, kv = r.typed()
         key = ctx.strings[kv[0]]
@@ -627,7 +652,7 @@ def decode_record(r: _Reader, ctx: BcfContext) -> dict:
                 if key == "GT":
                     genotypes[si]["gt"] = sval
     r.o = end
-    return {
+    row = {
         "contig": ctx.contigs[rid],
         "pos": pos0 + 1,
         "id": vid,
@@ -638,6 +663,9 @@ def decode_record(r: _Reader, ctx: BcfContext) -> dict:
         "info": info,
         "genotypes": genotypes,
     }
+    if fields is not None:
+        row = {k: row[k] for k in row if k in fields}
+    return row
 
 
 # --------------------------------------------------------------- source / sink
@@ -669,16 +697,39 @@ class BcfSource:
         path: str,
         intervals: list[tuple[str, int, int]] | None = None,
         split_size: int = 32 * 1024 * 1024,
+        columns: list[str] | None = None,
     ) -> DataFrame:
+        """``columns`` prunes the DECODE (as BamSource.read): the BCF
+        spec's l_shared/l_indiv framing lets the per-sample genotype block
+        skip in O(1) when 'genotypes' is not requested, and the site-string
+        walk (ID/alleles/FILTER/INFO) skips when no site string is.  The
+        returned frame carries exactly ``columns``; interval residual
+        filtering decodes its own needs transparently."""
         from .arrow_xfer import rows_to_dataframe
         from .fsio import collect_metadata, list_data_files
         from .vcf import VARIANTS_COLUMNS
 
+        if columns is not None:
+            bad = [c for c in columns if c not in VARIANTS_COLUMNS]
+            if bad:
+                raise ValueError(
+                    f"unknown variants columns {bad}; valid: {VARIANTS_COLUMNS}"
+                )
         fs = get_fs(path)
         files = list_data_files(fs, str(path))
         if not files:
             raise FileNotFoundError(f"no BCF data files under {path}")
+        fields = None
+        if columns is not None:
+            internal = set(columns)
+            if intervals is not None:
+                # residual_variant_overlap spans records via (pos, ref,
+                # info END) and filters on contig
+                internal |= {"contig", "pos", "ref", "info"}
+            fields = frozenset(internal)
         schema = _variants_schema()
+        if fields is not None:
+            schema = StructType([f for f in schema.fields if f.name in fields])
 
         def meta_for(f: str):
             """(file, csi-task-chunk-groups | None) — None = whole file."""
@@ -768,9 +819,14 @@ class BcfSource:
                         l_shared, l_indiv = struct.unpack("<II", head)
                         payload = br.read(l_shared + l_indiv)
                         r = _Reader(head + payload, 0)
-                        yield decode_record(r, ctx)
+                        yield decode_record(r, ctx, fields)
 
-        df = rows_to_dataframe(spark, tasks, read_task, VARIANTS_COLUMNS, schema)
+        cols = (
+            VARIANTS_COLUMNS
+            if fields is None
+            else [c for c in VARIANTS_COLUMNS if c in fields]
+        )
+        df = rows_to_dataframe(spark, tasks, read_task, cols, schema)
         if intervals is not None:
             # residual overlap filter: index-chunk pruning alone returns a
             # candidate SUPERSET; the shared residual_variant_overlap is the
@@ -781,6 +837,8 @@ class BcfSource:
                 list(intervals), "contig string, start long, end long"
             )
             df = residual_variant_overlap(df, iv_df)
+        if columns is not None:
+            df = df.select(*[c for c in VARIANTS_COLUMNS if c in set(columns)])
         return df
 
 

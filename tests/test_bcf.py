@@ -476,3 +476,37 @@ def test_header_idx_no_pass_fail_loud():
     # decode side: FILTER=[0] is q10, not PASS
     back = _codec_round_trip({**base, "filters": ["q10"]}, ctx)
     assert back["filters"] == ["q10"]
+
+
+def test_bcf_column_pruned_read_matches_full(spark, tmp_path):
+    """BcfSource.read(columns=...) prunes the decode at block granularity
+    (genotype block skipped via l_indiv, site strings via l_shared);
+    values must equal the full decode's subset, with and without interval
+    pushdown, and unknown columns fail loud."""
+    src = "/root/reference/src/test/resources/HiSeq.10000.vcf.bgz"
+    hdr = read_vcf_header_text(src)
+    out = str(tmp_path / "h.bcf")
+    BcfSink().write(VcfSource().read(spark, src), hdr, out, write_index=True)
+
+    full = BcfSource().read(spark, out, split_size=128 * 1024)
+    for cols in (["contig", "pos"], ["contig", "pos", "qual"],
+                 ["contig", "pos", "ref", "alts", "filters"],
+                 ["contig", "pos", "genotypes"]):
+        pruned = BcfSource().read(spark, out, split_size=128 * 1024, columns=cols)
+        want = [c for c in full.columns if c in set(cols)]
+        assert pruned.columns == want
+        a = sorted(map(str, full.select(*want).collect()))
+        b = sorted(map(str, pruned.collect()))
+        assert a == b, cols
+
+    iv = [("chr1", 881000, 935000)]
+    p_iv = BcfSource().read(spark, out, intervals=iv, columns=["contig", "pos"])
+    f_iv = BcfSource().read(spark, out, intervals=iv)
+    assert p_iv.columns == ["contig", "pos"]
+    assert sorted(map(str, p_iv.collect())) == sorted(
+        map(str, f_iv.select("contig", "pos").collect())
+    )
+    assert f_iv.count() > 0
+
+    with pytest.raises(ValueError, match="unknown variants columns"):
+        BcfSource().read(spark, out, columns=["pos", "nope"])
