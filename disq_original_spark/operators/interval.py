@@ -180,7 +180,12 @@ def residual_traversal(
     optionally unioned with unplaced-unmapped records — the reference's
     `TraversalOverlapDetector` semantics in one place."""
     # runtime import: sources.sam imports this module at load time
-    from ..sources.sam import FLAG_UNMAPPED, READS_COLUMNS, with_alignment_span
+    from ..sources.sam import (
+        FLAG_UNMAPPED,
+        READS_COLUMNS,
+        schema_ordered,
+        with_alignment_span,
+    )
 
     if intervals is None and not include_unplaced:
         return reads
@@ -210,8 +215,7 @@ def residual_traversal(
         selected = unplaced if selected is None else selected.unionByName(unplaced)
     # intersection, not READS_COLUMNS verbatim: a column-pruned source
     # frame (BamSource.read(columns=...)) carries a schema subset
-    present = set(reads.columns)
-    return selected.select(*[c for c in READS_COLUMNS if c in present])
+    return selected.select(*schema_ordered(READS_COLUMNS, reads.columns))
 
 
 def residual_variant_overlap(variants: DataFrame, intervals: DataFrame) -> DataFrame:
@@ -230,9 +234,10 @@ def residual_variant_overlap(variants: DataFrame, intervals: DataFrame) -> DataF
     )
     # intersection, not VARIANTS_COLUMNS verbatim: a column-pruned source
     # frame (BcfSource.read(columns=...)) carries a schema subset
-    present = set(variants.columns)
+    from ..sources.sam import schema_ordered
+
     return out.withColumnRenamed("start", "pos").select(
-        *[c for c in VARIANTS_COLUMNS if c in present]
+        *schema_ordered(VARIANTS_COLUMNS, variants.columns)
     )
 
 

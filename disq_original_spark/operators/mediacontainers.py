@@ -159,5 +159,16 @@ def y4m_decode(data: bytes) -> list[bytes]:
     # trim back to the content: full frames + the final partial slice
     start_of_last = (len(frames) - 1) * Y4M_FRAME_BYTES
     last_len = max(0, min(Y4M_FRAME_BYTES, clen - start_of_last))
+    # Same-band corruption guard: the encoder zero-pads past the content,
+    # so any nonzero byte after clen in the final plane means the Xclen
+    # digit was corrupted DOWN within its 256-byte band and real content
+    # would be dropped.  (A clen corrupted UP over an all-zero pad region
+    # is indistinguishable from content that genuinely ends in zeros —
+    # the residual ambiguity of a length field without a checksum.)
+    if any(frames[-1][last_len:]):
+        raise ValueError(
+            f"Y4M Xclen={clen} truncates nonzero plane bytes — corrupted "
+            "content-length token"
+        )
     frames[-1] = frames[-1][:last_len]
     return frames

@@ -251,18 +251,14 @@ def extract_features(media: DataFrame, as_array: bool = False) -> DataFrame:
     return media.mapInPandas(run, FEATURES_ARRAY_SCHEMA if as_array else FEATURES_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 4) -> DataFrame:
+def sample_frames(media: DataFrame, max_frames: int = 4) -> DataFrame:
     """Frame sampling for video rows — one input row expands to ≤
     max_frames rows (the mapInPandas row-expansion shape a real ffmpeg
-    sampler uses).  REAL parse: each payload is a Y4M stream whose frame
-    planes hold ``every_n_bytes`` of content; the decoder validates the
-    stream header and FRAME markers and trims the final plane back to the
-    content length, so emitted frames carry exactly the content bytes."""
-    if every_n_bytes != Y4M_FRAME_BYTES:
-        raise ValueError(
-            f"sample_frames reads Y4M planes of {Y4M_FRAME_BYTES} content "
-            f"bytes; every_n_bytes={every_n_bytes} is not supported"
-        )
+    sampler uses).  REAL parse: each payload is a Y4M stream; the decoder
+    validates the stream header and FRAME markers and trims the final
+    plane back to the content length, so emitted frames carry exactly the
+    content bytes.  Frame size is fixed by the container geometry
+    (``Y4M_FRAME_BYTES`` of content per plane), not a tunable."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -271,11 +267,11 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
                 if kind != "video" or data is None:
                     continue
                 frames = y4m_decode(bytes(data))
-                clen = (len(frames) - 1) * every_n_bytes + len(frames[-1])
+                clen = (len(frames) - 1) * Y4M_FRAME_BYTES + len(frames[-1])
                 # sampling policy (unchanged from the raw-bytes era): up to
                 # max_frames FULL planes; a lone short plane only when the
                 # whole clip is shorter than one plane
-                n_emit = min(max_frames, max(1, clen // every_n_bytes))
+                n_emit = min(max_frames, max(1, clen // Y4M_FRAME_BYTES))
                 for i in range(min(n_emit, len(frames))):
                     out.append((mid, i, frames[i], len(frames[i])))
             yield pd.DataFrame(

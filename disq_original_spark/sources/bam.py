@@ -70,7 +70,7 @@ from .fsio import (
 )
 from .headers import SamHeader, read_bam_header
 from .merger import merge_parts
-from .sam import READS_COLUMNS, with_alignment_span
+from .sam import READS_COLUMNS, schema_ordered, with_alignment_span
 
 READS_SCHEMA = StructType(
     [
@@ -398,7 +398,7 @@ def _decode_splits_arrow(
     if fields is None:
         cols, schema = READS_COLUMNS, READS_SCHEMA
     else:
-        cols = [c for c in READS_COLUMNS if c in fields]
+        cols = schema_ordered(READS_COLUMNS, fields)
         schema = StructType([f for f in READS_SCHEMA.fields if f.name in fields])
     return rows_to_dataframe(spark, split_rows, split_records, cols, schema)
 
@@ -488,7 +488,7 @@ class BamSource:
 
         out = residual_traversal(reads, intervals, include_unplaced)
         if columns is not None:
-            out = out.select(*[c for c in READS_COLUMNS if c in set(columns)])
+            out = out.select(*schema_ordered(READS_COLUMNS, columns))
         return out
 
 

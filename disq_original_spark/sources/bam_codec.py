@@ -59,47 +59,50 @@ def parse_record(
         next_pos,
         tlen,
     ) = struct.unpack_from("<iiBBHHHiiii", buf, off + 4)
-    p = off + 4 + FIXED_RECORD_BYTES
-    qname = bytes(buf[p : p + l_read_name - 1]).decode("ascii", "replace")
-    p += l_read_name
-    cigar_ops = struct.unpack_from(f"<{n_cigar}I", buf, p)
-    p += 4 * n_cigar
-    n_seq_bytes = (l_seq + 1) // 2
-    seq_b = bytes(buf[p : p + n_seq_bytes])
-    p += n_seq_bytes
-    qual_b = bytes(buf[p : p + l_seq])
-    p += l_seq
-
     # Column pruning (``fields``): the record is always WALKED in full
-    # (lengths come from the fixed header, so boundary math is unchanged)
-    # but the expensive materializations — CIGAR string join, seq nibble
-    # translate, qual phred translate, the aux-tag dictionary walk — are
-    # skipped for columns the caller did not request.  ``fields=None``
-    # keeps the full-schema behavior.
+    # (lengths come from the fixed header, so offsets advance by pure
+    # arithmetic) but the materializations — qname decode, CIGAR unpack +
+    # string join, seq/qual byte copies and translations, the aux-tag
+    # dictionary walk — are skipped for columns the caller did not
+    # request.  ``fields=None`` keeps the full-schema behavior.
     want = fields  # None -> everything
 
     def _want(name: str) -> bool:
         return want is None or name in want
 
-    cigar = (
-        ("".join(f"{op >> 4}{CIGAR_OPS[op & 0xF]}" for op in cigar_ops) if n_cigar else "*")
-        if _want("cigar")
+    p = off + 4 + FIXED_RECORD_BYTES
+    qname = (
+        bytes(buf[p : p + l_read_name - 1]).decode("ascii", "replace")
+        if _want("qname")
         else None
     )
+    p += l_read_name
+    if _want("cigar"):
+        cigar_ops = struct.unpack_from(f"<{n_cigar}I", buf, p)
+        cigar = (
+            "".join(f"{op >> 4}{CIGAR_OPS[op & 0xF]}" for op in cigar_ops)
+            if n_cigar
+            else "*"
+        )
+    else:
+        cigar = None
+    p += 4 * n_cigar
+    n_seq_bytes = (l_seq + 1) // 2
     seq = qual = None
-    if _want("seq") or _want("qual"):
-        if l_seq:
-            if _want("seq"):
-                seq = seq_b.hex().translate(_HEX2BASE)[:l_seq]
-            if _want("qual"):
-                qual = (
-                    "*"
-                    if qual_b and qual_b[0] == 0xFF
-                    else qual_b.translate(_QUAL33).decode("latin-1")
-                )
-        else:
-            seq = "*"
-            qual = "*"
+    if l_seq:
+        if _want("seq"):
+            seq = bytes(buf[p : p + n_seq_bytes]).hex().translate(_HEX2BASE)[:l_seq]
+        if _want("qual"):
+            qual_b = bytes(buf[p + n_seq_bytes : p + n_seq_bytes + l_seq])
+            qual = (
+                "*"
+                if qual_b and qual_b[0] == 0xFF
+                else qual_b.translate(_QUAL33).decode("latin-1")
+            )
+    elif _want("seq") or _want("qual"):
+        seq = "*"
+        qual = "*"
+    p += n_seq_bytes + l_seq
 
     attrs = _parse_aux(buf, p, end) if _want("attributes") else None
 

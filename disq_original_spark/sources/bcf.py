@@ -601,14 +601,18 @@ def decode_record(
                     info[key] = _floats_to_str(vals) or "."
                 else:
                     info[key] = _ints_to_str(t, vals) or "."
-    genotypes = [
-        {"sample": s, "gt": None, "attrs": {}} for s in ctx.samples[:n_sample]
-    ]
     if not _want("genotypes"):
         # the spec's l_indiv framing makes the per-sample block — the
-        # dominant decode cost on wide callsets — one offset assignment
+        # dominant decode cost on wide callsets — one offset assignment;
+        # the dict list is not even allocated (it would be n_sample dicts
+        # per record, discarded by the row filter below)
         r.o = end
         n_fmt = 0
+        genotypes: list[dict] = []
+    else:
+        genotypes = [
+            {"sample": s, "gt": None, "attrs": {}} for s in ctx.samples[:n_sample]
+        ]
     for _ in range(n_fmt):
         _t, kv = r.typed()
         key = ctx.strings[kv[0]]
@@ -801,7 +805,7 @@ class BcfSource:
                 ctx = BcfContext(hdr)
                 r = _Reader(data, 9 + l_text)
                 while r.o < len(data):
-                    yield decode_record(r, ctx)
+                    yield decode_record(r, ctx, fields)
                 return
             if not group:
                 return
@@ -821,10 +825,12 @@ class BcfSource:
                         r = _Reader(head + payload, 0)
                         yield decode_record(r, ctx, fields)
 
+        from .sam import schema_ordered
+
         cols = (
             VARIANTS_COLUMNS
             if fields is None
-            else [c for c in VARIANTS_COLUMNS if c in fields]
+            else schema_ordered(VARIANTS_COLUMNS, fields)
         )
         df = rows_to_dataframe(spark, tasks, read_task, cols, schema)
         if intervals is not None:
@@ -838,7 +844,7 @@ class BcfSource:
             )
             df = residual_variant_overlap(df, iv_df)
         if columns is not None:
-            df = df.select(*[c for c in VARIANTS_COLUMNS if c in set(columns)])
+            df = df.select(*schema_ordered(VARIANTS_COLUMNS, columns))
         return df
 
 

@@ -135,6 +135,16 @@ def cigar_reference_length(cigar: Column) -> Column:
     return F.aggregate(consumed, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def schema_ordered(canonical: list[str], wanted) -> list[str]:
+    """Intersection of a canonical column list with ``wanted``, ALWAYS in
+    canonical-schema order — never the caller's request order.  Every
+    pruned-source site must use this: arrow_xfer.rows_to_dataframe pairs
+    the column list and the filtered StructType by position, so a
+    caller-ordered selection would silently misalign Arrow columns."""
+    wanted = set(wanted)
+    return [c for c in canonical if c in wanted]
+
+
 def with_alignment_span(reads: DataFrame) -> DataFrame:
     """Add end_pos (1-based inclusive alignment end; = pos for unmapped/'*'
     cigar) — the overlap axis for interval queries."""

@@ -659,11 +659,22 @@ def test_column_pruned_read_matches_full_decode(spark):
     pruned_iv = BamSource().read(spark, sharded, intervals=iv, columns=["rname", "pos"])
     full_iv = BamSource().read(spark, sharded, intervals=iv)
     assert pruned_iv.columns == ["rname", "pos"]
+    assert "seq" not in pruned_iv.columns and "attributes" not in pruned_iv.columns
     assert sorted(map(str, pruned_iv.collect())) == sorted(
         map(str, full_iv.select("rname", "pos").collect())
     )
-    # decode really is pruned: a 2-column scan must not carry seq bytes
-    assert pruned_iv.agg(F.count("*")).collect()[0][0] == full_iv.count()
+    # decode really is pruned, not just projected: the decoder's row
+    # dicts themselves must omit unrequested keys (a regression that
+    # fully decodes and projects later would pass every value check)
+    from disq_original_spark.sources.bam import records_for_split
+    from disq_original_spark.sources.headers import read_bam_header
+
+    _hdr, refs, fv = read_bam_header(str(path))
+    row = next(iter(records_for_split(
+        str(path), 0, 1 << 40, [r[0] for r in refs], len(refs), fv,
+        None, None, fields=frozenset({"flag"}),
+    )))
+    assert set(row) == {"flag"}
 
     with _pytest.raises(ValueError, match="unknown reads columns"):
         BamSource().read(spark, path, columns=["flag", "nope"])

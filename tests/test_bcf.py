@@ -510,3 +510,13 @@ def test_bcf_column_pruned_read_matches_full(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown variants columns"):
         BcfSource().read(spark, out, columns=["pos", "nope"])
+
+    # the UNINDEXED whole-file path must honor pruning too (round-5
+    # review: it previously fell back to the full decode silently)
+    noidx = str(tmp_path / "noidx.bcf")
+    BcfSink().write(VcfSource().read(spark, src), hdr, noidx, write_index=False)
+    p2 = BcfSource().read(spark, noidx, columns=["contig", "pos"])
+    assert p2.columns == ["contig", "pos"]
+    assert sorted(map(str, p2.collect())) == sorted(
+        map(str, full.select("contig", "pos").collect())
+    )

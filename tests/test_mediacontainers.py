@@ -147,10 +147,15 @@ def test_y4m_xclen_mismatch_fails_loud():
     """A corrupted Xclen digit must raise, not silently return zero
     padding as content or skip the tail trim (round-5 review finding)."""
     data = y4m_encode(b"q" * 400)
+    # cross-band corruption: frame-count check
     with pytest.raises(ValueError, match="inconsistent"):
         y4m_decode(data.replace(b"Xclen=400", b"Xclen=900"))
     with pytest.raises(ValueError, match="inconsistent"):
         y4m_decode(data.replace(b"Xclen=400", b"Xclen=100"))
+    # SAME-band corruption downward (400 -> 300, both in frame 2): the
+    # truncated tail is nonzero content, caught by the padding-zero guard
+    with pytest.raises(ValueError, match="truncates nonzero"):
+        y4m_decode(data.replace(b"Xclen=400", b"Xclen=300"))
 
 
 def test_unknown_media_kind_fails_loud(spark):
