@@ -15,6 +15,8 @@ fixed EOF container.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 import gzip
 import struct
 from functools import lru_cache
@@ -306,6 +308,7 @@ class CramSource:
         split_size: int = 1 << 20,
         intervals: DataFrame | None = None,
         include_unplaced: bool = False,
+        columns: Sequence[str] | None = None,
     ) -> DataFrame:
         """Distributed CRAM read: splits snap to container boundaries
         (``plan_splits``); each task decodes its containers with the pure-
@@ -327,12 +330,33 @@ class CramSource:
         (``operators/interval.residual_traversal``) exacts the result;
         without an index the full scan is residual-filtered.
         ``include_unplaced`` additionally keeps unmapped reads (crai
-        seq_id -1 containers are retained by the pruner)."""
+        seq_id -1 containers are retained by the pruner).
+
+        ``columns`` prunes the DECODE (as BamSource.read): per-base series
+        the request does not need skip instead of reading — and because
+        CRAM is columnar within a slice, an external block whose series
+        are entirely skipped (e.g. the QS quality block, typically the
+        largest) is never DECOMPRESSED at all; pruning 'seq' also skips
+        the reference-based reconstruction.  Internal needs (interval
+        residual spans) are decoded transparently and dropped."""
         from .bam import READS_SCHEMA
         from .cram_codec import IndexedFasta, decode_container, read_cram_meta_file
         from .fsio import collect_metadata, list_data_files
         from .headers import header_ref_and_rg_names
-        from .sam import READS_COLUMNS
+        from .sam import READS_COLUMNS, schema_ordered
+
+        if columns is not None:
+            bad = [c for c in columns if c not in READS_COLUMNS]
+            if bad:
+                raise ValueError(
+                    f"unknown reads columns {bad}; valid: {READS_COLUMNS}"
+                )
+        fields = None
+        if columns is not None:
+            internal = set(columns)
+            if intervals is not None or include_unplaced:
+                internal |= {"flag", "rname", "pos", "cigar"}
+            fields = frozenset(internal)
 
         fs = get_fs(str(path))
         files = list_data_files(fs, str(path))
@@ -400,14 +424,25 @@ class CramSource:
         single_meta = None
         for f, flen, rngs, first_off in collect_metadata(spark, files, meta_for):
             ranges.extend((f, s, e, flen, first_off) for s, e in rngs)
+        from pyspark.sql.types import StructType
+
+        if fields is None:
+            out_cols, out_schema = READS_COLUMNS, READS_SCHEMA
+        else:
+            out_cols = schema_ordered(READS_COLUMNS, fields)
+            out_schema = StructType(
+                [f for f in READS_SCHEMA.fields if f.name in fields]
+            )
         if not ranges:
-            return spark.createDataFrame([], READS_SCHEMA)
+            return spark.createDataFrame([], out_schema)
         if len(files) == 1:
             # single file: one driver meta read shipped via closure (the
             # historical shape); directories read meta per task instead
             single_meta, _ = read_cram_meta_file(files[0])
 
-        def decode_range(task, _meta=single_meta, _ref=reference_path, _fs=fs):
+        def decode_range(
+            task, _meta=single_meta, _ref=reference_path, _fs=fs, _fields=fields
+        ):
             f, s, e, flen, first_off = task
             meta = _meta
             if meta is None:
@@ -422,18 +457,20 @@ class CramSource:
                 data = fh.read(e - s)
             pos = 0
             while pos < len(data):
-                rows, pos = decode_container(data, pos, meta, getter)
+                rows, pos = decode_container(data, pos, meta, getter, fields=_fields)
                 yield from rows
 
         from .arrow_xfer import rows_to_dataframe
 
         df = rows_to_dataframe(
-            spark, ranges, decode_range, READS_COLUMNS, READS_SCHEMA
+            spark, ranges, decode_range, out_cols, out_schema
         )
         if intervals is not None or include_unplaced:
             from ..operators.interval import residual_traversal
 
             df = residual_traversal(df, intervals, include_unplaced)
+        if columns is not None:
+            df = df.select(*schema_ordered(READS_COLUMNS, columns))
         return df
 
 

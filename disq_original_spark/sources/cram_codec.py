@@ -107,6 +107,32 @@ class Buf:
     def remaining(self) -> int:
         return len(self.data) - self.pos
 
+    def skip(self, n: int) -> None:
+        """Advance without touching the bytes (LazyBuf never inflates for
+        a pure skip — the column-pruning fast path)."""
+        self.pos += n
+
+
+class LazyBuf(Buf):
+    """A Buf whose backing bytes decompress ON FIRST ACCESS: ``skip``
+    advances the cursor without inflating, so an external block whose
+    series are entirely pruned (e.g. the QS quality block under
+    ``columns=`` without 'qual') is never decompressed at all.  ``data``
+    is a property so every access path — including codecs that scan
+    ``buf.data`` directly, like ByteArrayStop — forces inflation."""
+
+    __slots__ = ("_blob",)
+
+    def __init__(self, inflate):
+        self._blob = inflate  # callable until forced, then bytes
+        self.pos = 0
+
+    @property
+    def data(self) -> bytes:  # shadows the parent slot descriptor
+        if callable(self._blob):
+            self._blob = self._blob()
+        return self._blob
+
 
 class BitReader:
     """MSB-first bit reader over the core block."""
@@ -155,10 +181,10 @@ class Block:
     content_type: int
     content_id: int
     raw_size: int
-    data: bytes  # decompressed
+    data: object  # decompressed bytes, or a 0-arg inflate callable (defer)
 
 
-def read_block(buf: Buf, major: int) -> Block:
+def read_block(buf: Buf, major: int, defer: bool = False) -> Block:
     method = buf.u8()
     ctype = buf.u8()
     cid = buf.itf8()
@@ -167,6 +193,13 @@ def read_block(buf: Buf, major: int) -> Block:
     payload = buf.take(csize)
     if major >= 3:
         buf.take(4)  # CRC32
+    if defer:
+        # column pruning defers EXTERNAL block inflation to first access
+        # (LazyBuf); a fully-skipped block never decompresses
+        return Block(
+            method, ctype, cid, rsize,
+            lambda m=method, pl=payload, rs=rsize: decompress(m, pl, rs),
+        )
     return Block(method, ctype, cid, rsize, decompress(method, payload, rsize))
 
 
@@ -600,21 +633,29 @@ class SliceDecoder:
         chdr: CompressionHeader,
         slice_hdr: SliceHeader,
         core: bytes,
-        ext_blocks: dict[int, bytes],
+        ext_blocks: dict[int, object],
         ref_names: list[str],
         rg_ids: list[str],
         ref_getter=None,
+        fields: frozenset[str] | None = None,
     ):
         self.chdr = chdr
         self.sh = slice_hdr
         self.core = BitReader(core)
-        self.ext = {cid: Buf(data) for cid, data in ext_blocks.items()}
+        self.ext = {
+            cid: (LazyBuf(d) if callable(d) else Buf(d))
+            for cid, d in ext_blocks.items()
+        }
+        self.fields = fields
         self.ref_names = ref_names
         self.rg_ids = rg_ids
         self.ref_getter = ref_getter
         self.codecs = {k: build_codec(e, p) for k, (e, p) in chdr.data_series.items()}
         self.tag_codecs = {k: build_codec(e, p) for k, (e, p) in chdr.tag_encodings.items()}
         self._ref_cache: dict[int, bytes] = {}
+
+    def _want(self, name: str) -> bool:
+        return self.fields is None or name in self.fields
 
     def _int(self, key: str) -> int:
         return self.codecs[key].read_int(self.core, self.ext)
@@ -679,23 +720,11 @@ class SliceDecoder:
                     features.append((fpos, fc, self._feature_operand(fc)))
                 mq = self._int("MQ")
                 if cf & CF_QS_PRESERVED:
-                    qs_codec = self.codecs["QS"]
-                    if isinstance(qs_codec, ExternalCodec):
-                        quals = bytes(self.ext[qs_codec.cid].take(rl))
-                    else:
-                        quals = bytes(qs_codec.read_byte(self.core, self.ext) for _ in range(rl))
+                    quals = self._byte_run("QS", rl, self._want("qual"))
             else:
-                ba = self.codecs["BA"]
-                if isinstance(ba, ExternalCodec):
-                    bases = bytes(self.ext[ba.cid].take(rl))
-                else:
-                    bases = bytes(ba.read_byte(self.core, self.ext) for _ in range(rl))
+                bases = self._byte_run("BA", rl, self._want("seq"))
                 if cf & CF_QS_PRESERVED:
-                    qs_codec = self.codecs["QS"]
-                    if isinstance(qs_codec, ExternalCodec):
-                        quals = bytes(self.ext[qs_codec.cid].take(rl))
-                    else:
-                        quals = bytes(qs_codec.read_byte(self.core, self.ext) for _ in range(rl))
+                    quals = self._byte_run("QS", rl, self._want("qual"))
 
             r.update(
                 bf=bf, cf=cf, ref_id=ref_id, rl=rl, ap=ap, qname=qname,
@@ -706,6 +735,24 @@ class SliceDecoder:
 
         self._restore_mates(raw)
         return [self._to_row(r) for r in raw]
+
+    def _byte_run(self, series: str, n: int, want: bool) -> bytes | None:
+        """Read ``n`` bytes of a per-base series (QS quals / BA bases).
+        When the column is pruned: an EXTERNAL stream advances with
+        ``skip`` (its block never inflates if nothing else reads it); a
+        core-encoded stream must still be consumed bit-exactly to keep
+        every interleaved series in sync, so it reads and discards."""
+        codec = self.codecs[series]
+        if isinstance(codec, ExternalCodec):
+            if want:
+                return bytes(self.ext[codec.cid].take(n))
+            self.ext[codec.cid].skip(n)
+            return None
+        if want:
+            return bytes(codec.read_byte(self.core, self.ext) for _ in range(n))
+        for _ in range(n):
+            codec.read_byte(self.core, self.ext)
+        return None
 
     def _feature_operand(self, fc: str):
         if fc == "X":
@@ -815,19 +862,27 @@ class SliceDecoder:
             tlen = ts
 
         if unmapped:
-            seq = r["bases"].decode("ascii") if r["bases"] else "*"
+            seq = (r["bases"].decode("ascii") if r["bases"] else "*") if self._want("seq") else None
             cigar = "*"
             pos = r["ap"]
             mapq = 0
         else:
-            seq = self._reconstruct_seq(r)
-            cigar = _features_to_cigar(r["features"], r["rl"])
+            # pruned seq skips the whole reference-based reconstruction
+            # (and, with no other seq consumer, the reference fetch)
+            seq = self._reconstruct_seq(r) if self._want("seq") else None
+            cigar = (
+                _features_to_cigar(r["features"], r["rl"])
+                if self._want("cigar")
+                else None
+            )
             pos = r["ap"]
             mapq = r["mq"]
         qual = (
-            "".join(chr(q + 33) for q in r["quals"]) if r["quals"] is not None else "*"
+            ("".join(chr(q + 33) for q in r["quals"]) if r["quals"] is not None else "*")
+            if self._want("qual")
+            else None
         )
-        return {
+        row = {
             "qname": r["qname"] or "*",
             "flag": flag,
             "rname": rname,
@@ -841,6 +896,9 @@ class SliceDecoder:
             "qual": qual,
             "attributes": r["attrs"],
         }
+        if self.fields is not None:
+            row = {k: row[k] for k in row if k in self.fields}
+        return row
 
     def _reconstruct_seq(self, r: dict) -> str:
         rl = r["rl"]
@@ -996,9 +1054,11 @@ def decode_container(
     meta: CramFileMeta,
     ref_getter=None,
     verify_ref_md5: bool = True,
+    fields: frozenset[str] | None = None,
 ) -> tuple[list[dict], int]:
     """Decode all slices of the container at ``offset``; returns (rows, next
-    container offset)."""
+    container offset).  ``fields`` prunes the decode (see SliceDecoder):
+    external blocks whose series are entirely skipped never inflate."""
     buf = Buf(data)
     hdr = read_container_header(buf, offset, meta.major)
     end = hdr.offset + hdr.header_size + hdr.length
@@ -1018,14 +1078,19 @@ def decode_container(
             )
         sh = parse_slice_header(slice_hdr_block.data, meta.major)
         core: bytes = b""
-        ext: dict[int, bytes] = {}
+        ext: dict[int, object] = {}
         for _ in range(sh.n_blocks):
-            b = read_block(body, meta.major)
+            # core/compression blocks are always needed; externals defer
+            # inflation under pruning (a fully-skipped series' block —
+            # e.g. QS without 'qual' — never decompresses)
+            b = read_block(body, meta.major, defer=fields is not None)
             if b.content_type == CT_CORE:
-                core = b.data
+                core = b.data() if callable(b.data) else b.data
             elif b.content_type == CT_EXTERNAL:
                 ext[b.content_id] = b.data
         if sh.embedded_ref_id >= 0 and sh.embedded_ref_id in ext:
+            if callable(ext[sh.embedded_ref_id]):
+                ext[sh.embedded_ref_id] = ext[sh.embedded_ref_id]()
             # embedded reference block: covers [slice.start, start+span);
             # shadow the external FASTA for this slice (spec §8.5).  Exposed
             # as an offset view, NOT b"N" * (start-1) padding — that would
@@ -1076,7 +1141,8 @@ def decode_container(
                     " — wrong reference FASTA?"
                 )
         dec = SliceDecoder(
-            chdr, sh, core, ext, meta.ref_names, meta.rg_ids, ref_getter_slice
+            chdr, sh, core, ext, meta.ref_names, meta.rg_ids, ref_getter_slice,
+            fields=fields,
         )
         rows.extend(dec.decode_records())
     return rows, end
