@@ -70,7 +70,12 @@ from .fsio import (
 )
 from .headers import SamHeader, read_bam_header
 from .merger import merge_parts
-from .sam import READS_COLUMNS, schema_ordered, with_alignment_span
+from .sam import (
+    READS_COLUMNS,
+    schema_ordered,
+    validate_columns,
+    with_alignment_span,
+)
 
 READS_SCHEMA = StructType(
     [
@@ -430,11 +435,7 @@ class BamSource:
         (qname grouping, interval residual filtering) are decoded
         transparently and dropped before return."""
         if columns is not None:
-            bad = [c for c in columns if c not in READS_COLUMNS]
-            if bad:
-                raise ValueError(
-                    f"unknown reads columns {bad}; valid: {READS_COLUMNS}"
-                )
+            validate_columns(columns, READS_COLUMNS, "reads")
         fs = get_fs(path)
         files = _expand_files(path, fs)
         # ONE driver header read per input — directory files share a header

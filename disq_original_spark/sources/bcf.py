@@ -714,11 +714,9 @@ class BcfSource:
         from .vcf import VARIANTS_COLUMNS
 
         if columns is not None:
-            bad = [c for c in columns if c not in VARIANTS_COLUMNS]
-            if bad:
-                raise ValueError(
-                    f"unknown variants columns {bad}; valid: {VARIANTS_COLUMNS}"
-                )
+            from .sam import validate_columns
+
+            validate_columns(columns, VARIANTS_COLUMNS, "variants")
         fs = get_fs(path)
         files = list_data_files(fs, str(path))
         if not files:

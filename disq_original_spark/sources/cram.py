@@ -343,14 +343,10 @@ class CramSource:
         from .cram_codec import IndexedFasta, decode_container, read_cram_meta_file
         from .fsio import collect_metadata, list_data_files
         from .headers import header_ref_and_rg_names
-        from .sam import READS_COLUMNS, schema_ordered
+        from .sam import READS_COLUMNS, schema_ordered, validate_columns
 
         if columns is not None:
-            bad = [c for c in columns if c not in READS_COLUMNS]
-            if bad:
-                raise ValueError(
-                    f"unknown reads columns {bad}; valid: {READS_COLUMNS}"
-                )
+            validate_columns(columns, READS_COLUMNS, "reads")
         fields = None
         if columns is not None:
             internal = set(columns)
@@ -434,7 +430,16 @@ class CramSource:
                 [f for f in READS_SCHEMA.fields if f.name in fields]
             )
         if not ranges:
-            return spark.createDataFrame([], out_schema)
+            # empty result must still carry the USER's schema, not the
+            # internal decode fields (interval-residual internals)
+            empty_schema = (
+                out_schema
+                if columns is None
+                else StructType(
+                    [f for f in READS_SCHEMA.fields if f.name in set(columns)]
+                )
+            )
+            return spark.createDataFrame([], empty_schema)
         if len(files) == 1:
             # single file: one driver meta read shipped via closure (the
             # historical shape); directories read meta per task instead

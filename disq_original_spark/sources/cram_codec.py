@@ -1088,7 +1088,11 @@ def decode_container(
                 core = b.data() if callable(b.data) else b.data
             elif b.content_type == CT_EXTERNAL:
                 ext[b.content_id] = b.data
-        if sh.embedded_ref_id >= 0 and sh.embedded_ref_id in ext:
+        want_seq = fields is None or "seq" in fields
+        if sh.embedded_ref_id >= 0 and sh.embedded_ref_id in ext and want_seq:
+            # only force the embedded-reference block when sequence
+            # reconstruction will actually consume it — a pruned counter
+            # scan leaves it lazily un-inflated like any skipped block
             if callable(ext[sh.embedded_ref_id]):
                 ext[sh.embedded_ref_id] = ext[sh.embedded_ref_id]()
             # embedded reference block: covers [slice.start, start+span);
@@ -1123,6 +1127,8 @@ def decode_container(
             ref_getter_slice = ref_getter
         if (
             verify_ref_md5
+            and want_seq  # the MD5 guards seq RECONSTRUCTION; a pruned
+            # counter scan must not fetch+hash the chromosome per slice
             and ref_getter is not None
             and sh.ref_seq_id >= 0
             and sh.ref_md5 != b"\x00" * 16

@@ -135,6 +135,21 @@ def cigar_reference_length(cigar: Column) -> Column:
     return F.aggregate(consumed, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
+def validate_columns(columns, canonical: list[str], kind: str) -> None:
+    """Shared ``columns=`` validation for the pruned sources: unknown
+    names and an empty list both fail loud (an empty selection would
+    produce a 0-column frame whose count() silently collapses to 0
+    through the Arrow transfer plane)."""
+    if not columns:
+        raise ValueError(
+            f"columns must be a non-empty list of {kind} columns "
+            f"(got {columns!r}); omit the parameter for the full schema"
+        )
+    bad = [c for c in columns if c not in canonical]
+    if bad:
+        raise ValueError(f"unknown {kind} columns {bad}; valid: {canonical}")
+
+
 def schema_ordered(canonical: list[str], wanted) -> list[str]:
     """Intersection of a canonical column list with ``wanted``, ALWAYS in
     canonical-schema order — never the caller's request order.  Every

@@ -571,6 +571,33 @@ def test_cram_column_pruned_read_matches_full(spark, tmp_path):
             spark, f"{res}/valid.cram", reference_path=f"{res}/valid.fasta",
             columns=["flag", "nope"],
         )
+    with pytest.raises(ValueError, match="non-empty"):
+        CramSource().read(
+            spark, f"{res}/valid.cram", reference_path=f"{res}/valid.fasta",
+            columns=[],
+        )
+
+    # a pruned counter scan needs NO reference at all: seq reconstruction
+    # and the per-slice reference-MD5 fetch are both gated on 'seq'
+    noref = CramSource().read(
+        spark, f"{res}/valid.cram", columns=["flag", "rname", "pos"]
+    )
+    assert sorted(map(str, noref.collect())) == sorted(
+        map(str, full.select("flag", "rname", "pos").collect())
+    )
+
+    # interval pushdown that prunes EVERY container must still return the
+    # user's schema, not the internal decode fields
+    from pyspark.sql import Row
+
+    iv_none = spark.createDataFrame(
+        [("no_such_contig", 1, 2)], "contig string, start long, end long"
+    )
+    empty = CramSource().read(
+        spark, f"{res}/valid.cram", reference_path=f"{res}/valid.fasta",
+        intervals=iv_none, columns=["mapq"],
+    )
+    assert empty.columns == ["mapq"] and empty.count() == 0
 
     # round-trip through this repo's own encoder at both versions
     from pathlib import Path as _P
