@@ -42,6 +42,28 @@ from .sam import READS_COLUMNS
 _BATCH = 8192
 
 
+def _parse_columns_option(options: dict) -> frozenset | None:
+    """``option("columns", "flag,rname,pos")`` -> validated frozenset
+    (None when absent = full schema)."""
+    raw = options.get("columns")
+    if raw is None:
+        return None
+    cols = [c.strip() for c in str(raw).split(",") if c.strip()]
+    from .sam import validate_columns
+
+    validate_columns(cols, READS_COLUMNS, "reads")
+    return frozenset(cols)
+
+
+def _pruned_reads_schema(options: dict):
+    fields = _parse_columns_option(options)
+    if fields is None:
+        return READS_SCHEMA
+    from pyspark.sql.types import StructType
+
+    return StructType([f for f in READS_SCHEMA.fields if f.name in fields])
+
+
 def _reads_arrow_schema():
     import pyarrow as pa
 
@@ -63,17 +85,23 @@ def _reads_arrow_schema():
     )
 
 
-def _arrow_batches(row_iter):
+def _arrow_batches(row_iter, fields: frozenset | None = None):
     """Yield pyarrow RecordBatches from reads-schema row dicts — Spark 4
     DataSource readers may yield batches instead of per-row tuples, which
-    skips the per-row pickle entirely (same Arrow plane as arrow_xfer)."""
+    skips the per-row pickle entirely (same Arrow plane as arrow_xfer).
+    ``fields`` selects a schema subset (matching decode-level pruning)."""
     import pyarrow as pa
 
-    schema = _reads_arrow_schema()
+    full = _reads_arrow_schema()
+    if fields is None:
+        cols, schema = READS_COLUMNS, full
+    else:
+        cols = [c for c in READS_COLUMNS if c in fields]
+        schema = pa.schema([f for f in full if f.name in fields])
 
     def to_batch(buf):
         return pa.RecordBatch.from_pydict(
-            {c: [r[c] for r in buf] for c in READS_COLUMNS}, schema=schema
+            {c: [r[c] for r in buf] for c in cols}, schema=schema
         )
 
     buf: list[dict] = []
@@ -120,6 +148,9 @@ class BamDataSourceReader(DataSourceReader):
         self.group_by_qname = (
             str(options.get("groupbyqname", "false")).lower() == "true"
         )
+        # option("columns", "flag,rname,pos"): decode-level pruning (the
+        # same contract as BamSource.read(columns=...))
+        self.fields = _parse_columns_option(options)
         # resolved driver-side; the pickled reader carries it to executors
         self.fs = get_fs(self.path)
 
@@ -193,7 +224,9 @@ class BamDataSourceReader(DataSourceReader):
                 list(partition.bai_ranges) if partition.bai_ranges else None,
                 fs=self.fs,
                 group_by_qname=self.group_by_qname,
-            )
+                fields=self.fields,
+            ),
+            self.fields,
         )
 
 
@@ -205,7 +238,7 @@ class BamDataSource(DataSource):
         return "bam"
 
     def schema(self):
-        return READS_SCHEMA
+        return _pruned_reads_schema(self.options)
 
     def reader(self, schema) -> BamDataSourceReader:
         return BamDataSourceReader(self.options)
@@ -230,6 +263,7 @@ class CramDataSourceReader(DataSourceReader):
             raise ValueError("cram source requires a path: .load('/path/to.cram')")
         self.reference = options.get("reference")
         self.split_size = int(options.get("splitsize", 1 << 20))
+        self.fields = _parse_columns_option(options)
         self.fs = get_fs(self.path)
 
     def partitions(self):
@@ -264,10 +298,10 @@ class CramDataSourceReader(DataSourceReader):
             getter = IndexedFasta(self.reference).get if self.reference else None
             pos = 0
             while pos < len(data):
-                rs, pos = decode_container(data, pos, meta, getter)
+                rs, pos = decode_container(data, pos, meta, getter, fields=self.fields)
                 yield from rs
 
-        yield from _arrow_batches(rows())
+        yield from _arrow_batches(rows(), self.fields)
 
 
 class CramDataSource(DataSource):
@@ -278,7 +312,7 @@ class CramDataSource(DataSource):
         return "cram"
 
     def schema(self):
-        return READS_SCHEMA
+        return _pruned_reads_schema(self.options)
 
     def reader(self, schema) -> CramDataSourceReader:
         return CramDataSourceReader(self.options)

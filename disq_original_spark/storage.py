@@ -69,26 +69,40 @@ class ReadsStorage:
         path: str,
         intervals: DataFrame | None = None,
         include_unplaced: bool = False,
+        columns: list[str] | None = None,
     ) -> DataFrame:
+        """``columns`` prunes the DECODE on the binary formats (see
+        BamSource.read / CramSource.read) — a few-column aggregate over a
+        100 TB BAM/CRAM skips the per-record seq/qual/tag materialization
+        (and for CRAM, whole compressed blocks).  SAM is a native text
+        scan where Catalyst's own column pruning already applies, so the
+        request becomes a plain projection there."""
         fmt = _reads_format(path)
         if fmt == "bam":
             kw = {"split_size": self.split_size} if self.split_size else {}
             return BamSource().read(
                 self.spark, path, intervals=intervals,
-                include_unplaced=include_unplaced, **kw,
+                include_unplaced=include_unplaced, columns=columns, **kw,
             )
         if fmt == "sam":
-            return SamSource().read(
+            df = SamSource().read(
                 self.spark, path, intervals=intervals,
                 include_unplaced=include_unplaced, split_size=self.split_size,
                 stringency=self.stringency,
             )
+            if columns is not None:
+                from .sources.sam import READS_COLUMNS, schema_ordered, validate_columns
+
+                validate_columns(columns, READS_COLUMNS, "reads")
+                df = df.select(*schema_ordered(READS_COLUMNS, columns))
+            return df
         kw = {"split_size": self.split_size} if self.split_size else {}
         # CramSource prunes planning via the .crai and applies the shared
         # residual itself — same exact-match contract as the BAM/SAM paths
         return CramSource().read(
             self.spark, path, reference_path=self.reference_path,
-            intervals=intervals, include_unplaced=include_unplaced, **kw,
+            intervals=intervals, include_unplaced=include_unplaced,
+            columns=columns, **kw,
         )
 
     def write(
@@ -155,7 +169,16 @@ class VariantsStorage:
             )
         return VcfSource().read_header(path)
 
-    def read(self, path: str, intervals: DataFrame | None = None) -> DataFrame:
+    def read(
+        self,
+        path: str,
+        intervals: DataFrame | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """``columns`` prunes the BCF decode at block granularity (see
+        BcfSource.read — site-only scans skip the whole per-sample
+        genotype block); VCF is a native text scan where Catalyst prunes,
+        so the request becomes a plain projection there."""
         if self._is_bcf(path):
             from .sources.bcf import BcfSource
 
@@ -167,11 +190,18 @@ class VariantsStorage:
                 ]
             # BcfSource.read applies the residual overlap filter itself —
             # same exact-match contract as VcfSource.read(intervals=...)
-            return BcfSource().read(self.spark, path, intervals=ivs)
+            return BcfSource().read(self.spark, path, intervals=ivs, columns=columns)
         kw = {"split_size": self.split_size} if self.split_size else {}
-        return VcfSource().read(
+        df = VcfSource().read(
             self.spark, path, intervals=intervals, stringency=self.stringency, **kw
         )
+        if columns is not None:
+            from .sources.sam import schema_ordered, validate_columns
+            from .sources.vcf import VARIANTS_COLUMNS
+
+            validate_columns(columns, VARIANTS_COLUMNS, "variants")
+            df = df.select(*schema_ordered(VARIANTS_COLUMNS, columns))
+        return df
 
     def write(
         self, df: DataFrame, path: str, header_text: str, *, write_index: bool = False

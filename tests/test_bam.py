@@ -678,3 +678,37 @@ def test_column_pruned_read_matches_full_decode(spark):
 
     with _pytest.raises(ValueError, match="unknown reads columns"):
         BamSource().read(spark, path, columns=["flag", "nope"])
+
+
+def test_datasource_columns_option(spark):
+    """format('bam').option('columns', ...) prunes schema AND decode, and
+    value-matches the full read's subset; the CRAM twin needs no
+    reference when seq is pruned."""
+    from disq_original_spark.sources.datasource import register_datasources
+
+    register_datasources(spark)
+    full = spark.read.format("bam").load(str(RES / "1.bam"))
+    pruned = (
+        spark.read.format("bam")
+        .option("columns", "flag, rname, mapq")
+        .load(str(RES / "1.bam"))
+    )
+    assert pruned.columns == ["flag", "rname", "mapq"]
+    assert sorted(map(str, pruned.collect())) == sorted(
+        map(str, full.select("flag", "rname", "mapq").collect())
+    )
+
+    cram_pruned = (
+        spark.read.format("cram")
+        .option("columns", "flag,rname,pos")
+        .load(str(RES / "valid.cram"))
+    )
+    cram_full = (
+        spark.read.format("cram")
+        .option("reference", str(RES / "valid.fasta"))
+        .load(str(RES / "valid.cram"))
+    )
+    assert cram_pruned.columns == ["flag", "rname", "pos"]
+    assert sorted(map(str, cram_pruned.collect())) == sorted(
+        map(str, cram_full.select("flag", "rname", "pos").collect())
+    )

@@ -58,3 +58,20 @@ def test_variants_storage_roundtrip(spark, tmp_path):
     out2 = str(tmp_path / "o.vcf.sharded")
     st.write(df, out2, hdr)
     assert st.read(out2).count() == df.count()
+
+
+def test_storage_facade_column_pruning(spark, tmp_path):
+    """ReadsStorage.read(columns=...) forwards decode-level pruning to the
+    binary sources and projects the text formats; values match the full
+    read's subset on every format the facade serves."""
+    from disq_original_spark.storage import ReadsStorage
+
+    res = "/root/reference/src/test/resources"
+    st = ReadsStorage(spark, reference_path=f"{res}/valid.fasta")
+    for path in (f"{res}/1.bam", f"{res}/test.sam", f"{res}/valid.cram"):
+        full = st.read(path)
+        pruned = st.read(path, columns=["flag", "rname", "pos"])
+        assert pruned.columns == ["flag", "rname", "pos"], path
+        assert sorted(map(str, pruned.collect())) == sorted(
+            map(str, full.select("flag", "rname", "pos").collect())
+        ), path
