@@ -1065,3 +1065,111 @@ def t16(spark: SparkSession, sf: str) -> DataFrame:
         sz, _T15_DF_CAP,
         "grams_total", "grams_dropped", "postings_dropped", "grams_singleton",
     )
+
+
+# ---------------------------------------------------------------- t17 heavy hitters
+_T17_K = 25  # exact top-K tokens reported
+_T17_CAP = 2048  # Misra–Gries counters per partition (candidate capacity)
+
+
+def _mg_fold(counters: dict, batch: dict, cap: int) -> dict:
+    """Merge a batch's exact token counts into a Misra–Gries summary of at
+    most ``cap`` counters (mergeable-summaries form: combine, then subtract
+    the (cap+1)-th largest residual from everything and drop the non-
+    positive).  Each subtraction event removes ≥ (cap+1)·v total mass, so
+    over a partition of n tokens the total undercount is ≤ n/(cap+1):
+    every token with partition-local count > n/(cap+1) keeps a positive
+    counter and survives into the candidate set."""
+    for tok, c in batch.items():
+        counters[tok] = counters.get(tok, 0) + c
+    if len(counters) > cap:
+        v = sorted(counters.values(), reverse=True)[cap]
+        counters = {t: c - v for t, c in counters.items() if c > v}
+    return counters
+
+
+def _t17_candidates(cap: int):
+    """mapInPandas worker factory: one Misra–Gries sketch per partition,
+    emitted as one small batch of candidate tokens.  ``cap`` is captured
+    by value (a closure, not a module global) so it ships to executors
+    as configured driver-side.  Tokenization mirrors ``functions.tokens``
+    (lower, trim, split on ASCII whitespace) — a divergence here can only
+    widen the candidate set the exact recount pass filters with, never
+    change reported counts."""
+
+    def worker(it):
+        import re
+
+        import pandas as pd
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        counters: dict = {}
+        for pdf in it:
+            batch: dict = {}
+            for text in pdf["text"]:
+                if text is None:
+                    continue
+                for tok in ws.split(str(text).lower().strip()):
+                    if tok:
+                        batch[tok] = batch.get(tok, 0) + 1
+            counters = _mg_fold(counters, batch, cap)
+        yield pd.DataFrame({"token": list(counters)})
+
+    return worker
+
+
+@query(
+    "t17_heavy_hitters",
+    rf"""SELECT rank, token, cnt FROM (
+           SELECT token, cnt,
+                  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT) AS rank
+           FROM (
+             SELECT token, count(*) AS cnt FROM (
+               SELECT unnest(string_split_regex(lower(trim(text)),
+                             '[ \t\n\x0b\f\r]+')) AS token
+               FROM documents WHERE text IS NOT NULL) u
+             WHERE token <> '' GROUP BY token) c) r
+         WHERE rank <= {_T17_K} ORDER BY rank""",
+    doc=f"Exact corpus-wide top-{_T17_K} frequent tokens WITHOUT shuffling "
+    "the vocabulary: pass 1 runs a Misra–Gries sketch per partition "
+    f"(mapInPandas, ≤ {_T17_CAP} counters) whose union provably contains "
+    f"every token with global count > N/{_T17_CAP + 1} — if the true K-th "
+    "count clears that bound (pinned by test_t17_mg_bound_holds), the "
+    "top-K is exactly in the candidate set; pass 2 recounts ONLY the "
+    "candidates with the engine tokenizer (broadcast semi join filters "
+    "the token stream map-side) and ranks them.  The two-pass exact "
+    "heavy-hitters pattern: at 100 TB a naive groupBy(token) shuffles "
+    "the entire vocabulary (billions of distinct keys); here the only "
+    "shuffles are the ≤ cap×partitions candidate rows and the recount "
+    "over candidate tokens only — two scans beat one vocabulary-wide "
+    "exchange.  Candidate-pass tokenization divergence is safe by "
+    "construction (it can only widen the superset); the exact recount "
+    "uses the same ``tokens`` expression as t01.",
+)
+def t17(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    cands = (
+        d.filter(F.col("text").isNotNull())
+        .select("text")
+        .mapInPandas(_t17_candidates(_T17_CAP), "token string")
+        .distinct()
+    )
+    tok = (
+        d.filter(F.col("text").isNotNull())
+        .select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    counts = (
+        tok.join(F.broadcast(cands), "token", "leftsemi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _T17_K)
+        .select("rank", "token", "cnt")
+        .orderBy("rank")
+    )

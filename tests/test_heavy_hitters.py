@@ -1,0 +1,139 @@
+"""t17 exact heavy hitters: the Misra–Gries candidate pass must provably
+contain the true top-K (bound pinned on the driver data), survive an
+adversarial large-vocab corpus where the decrement path actually fires,
+and keep the broadcast-semi-join recount shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from disq_original_spark.queries import QUERIES
+from disq_original_spark.queries.textops import _T17_CAP, _T17_K, _mg_fold
+
+
+def test_t17_mg_bound_holds(spark, sf_dir):
+    """Exactness precondition on the shipped data: the K-th token count
+    must clear N/(cap+1), the worst-case Misra–Gries undercount — when it
+    does, the candidate union provably contains the true top-K, so the
+    recount is exact (not approximately so)."""
+    from disq_original_spark.functions import tokens
+    from disq_original_spark.tables import load_table
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    n_total = tok.count()
+    kth = (
+        tok.groupBy("token").count()
+        .orderBy(F.col("count").desc(), "token")
+        .collect()[_T17_K - 1]["count"]
+    )
+    assert kth > n_total / (_T17_CAP + 1), (
+        f"MG bound violated on test data: kth={kth} ≤ "
+        f"N/(cap+1)={n_total / (_T17_CAP + 1):.1f} — top-{_T17_K} no "
+        "longer provably exact; raise _T17_CAP"
+    )
+
+
+def test_mg_fold_survivor_guarantee():
+    """Adversarial stream with vocab ≫ cap (the shipped corpus has 31
+    tokens, so the decrement path never fires there): every token whose
+    true count exceeds n/(cap+1) must survive the sketch, across batch
+    splits, for several caps."""
+    import random
+
+    rng = random.Random(7)
+    # zipf-ish: token i appears ~ 3000 // (i + 1) times, vocab 3000
+    stream = [f"tok{i}" for i in range(3000) for _ in range(3000 // (i + 1))]
+    rng.shuffle(stream)
+    n = len(stream)
+    true: dict[str, int] = {}
+    for t in stream:
+        true[t] = true.get(t, 0) + 1
+    for cap in (8, 64, 256):
+        for nbatches in (1, 7):
+            counters: dict[str, int] = {}
+            step = (n + nbatches - 1) // nbatches
+            for b in range(nbatches):
+                batch: dict[str, int] = {}
+                for t in stream[b * step : (b + 1) * step]:
+                    batch[t] = batch.get(t, 0) + 1
+                counters = _mg_fold(counters, batch, cap)
+            assert len(counters) <= cap
+            must_survive = {t for t, c in true.items() if c > n / (cap + 1)}
+            missing = must_survive - set(counters)
+            assert not missing, (cap, nbatches, sorted(missing)[:5])
+
+
+def test_t17_small_cap_end_to_end(spark, monkeypatch, tmp_path):
+    """Force cap=64 over a generated 500-token-vocab corpus whose top-K
+    still clears the bound (cap must exceed K — K tokens cannot each hold
+    more than N/(K+1) mass): the full two-pass query must equal the
+    brute-force groupBy ranking — proving exactness survives real
+    decrement churn, not just the shipped corpus's toy vocabulary."""
+    import random
+
+    import disq_original_spark.queries.textops as tx
+    import disq_original_spark.tables as tables_mod
+
+    rng = random.Random(13)
+    # 25 hot tokens (80% of mass) + 475-token tail
+    words = []
+    for _ in range(20000):
+        if rng.random() < 0.8:
+            words.append(f"hot{rng.randrange(25)}")
+        else:
+            words.append(f"cold{rng.randrange(475)}")
+    docs = [
+        (i, " ".join(words[i * 40 : (i + 1) * 40]))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
+
+    monkeypatch.setattr(tx, "_T17_CAP", 64)
+    monkeypatch.setattr(tx, "load_table", lambda s, sf, name: df)
+
+    from disq_original_spark.functions import tokens
+
+    tok = df.select(F.explode(tokens("text")).alias("token"))
+    counts = {r["token"]: r["count"] for r in tok.groupBy("token").count().collect()}
+    n = sum(counts.values())
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert ranked[tx._T17_K - 1][1] > n / (64 + 1), "fixture must satisfy bound"
+
+    got = [
+        (r["rank"], r["token"], r["cnt"])
+        for r in QUERIES["t17_heavy_hitters"].build(spark, "ignored").collect()
+    ]
+    want = [(i + 1, t, c) for i, (t, c) in enumerate(ranked[: tx._T17_K])]
+    assert got == want
+
+
+def test_t17_plan_broadcast_semi_recount(spark, sf_dir):
+    """The recount pass must filter the token stream with a BROADCAST semi
+    join on the candidate set — a shuffled semi join here would re-create
+    the vocabulary-wide exchange the operator exists to avoid."""
+    df = QUERIES["t17_heavy_hitters"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
+
+
+def test_t17_null_text_safe(spark, monkeypatch):
+    """NULL and empty documents contribute nothing (matching the oracle's
+    WHERE text IS NOT NULL / token <> '' guards)."""
+    import disq_original_spark.queries.textops as tx
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, None), (2, "   "), (3, "b c")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(tx, "load_table", lambda s, sf, name: df)
+    got = [
+        (r["rank"], r["token"], r["cnt"])
+        for r in QUERIES["t17_heavy_hitters"].build(spark, "ignored").collect()
+    ]
+    assert got == [(1, "a", 2), (2, "b", 2), (3, "c", 1)]
