@@ -58,13 +58,14 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 _PRIORITY = [
     # --- new this round: never driver-witnessed, must be in the window ---
     "t17_heavy_hitters",  # two-pass exact heavy hitters (MG + recount)
+    "g25_gff_gene_model",  # GFF3 source + gene-model rollup
     # --- queries whose code/oracle changed since their r2 witness ---
     "m03_frame_sample",  # oracle NULL-video fix (f0bca4f)
     "p01_sequence_packing",  # NULL-text guard (b45d56a)
     "d03_minhash_lsh",  # pair path shared with d14 (505317a)
     # --- remaining r2-stale re-witnesses (latest driver row round 2;
-    # q01_scan_project displaced by t17 — lead the round-6 window with it) ---
-    "q02_filter",
+    # q01_scan_project and q02_filter displaced by t17/g25 — lead the
+    # round-6 window with them) ---
     "q03_range_predicate",
     "q04_inner_join",
     "q34_asof_join",

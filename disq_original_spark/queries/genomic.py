@@ -1545,3 +1545,105 @@ def g24(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("mate")
     )
+
+
+# ------------------------------------------------------------------ g25 gene model
+_GFF_PATH = str(Path(__file__).resolve().parents[2] / "fixtures" / "annotation.gff3")
+_GFF_CSV = (
+    f"read_csv('{_GFF_PATH}', delim='\\t', header=false, null_padding=true,"
+    " all_varchar=true, names=['seqid','source','type','fstart','fend',"
+    "'score','strand','phase','attributes'])"
+)
+
+
+@query(
+    "g25_gff_gene_model",
+    f"""WITH f AS (
+          SELECT seqid, type, CAST(fstart AS BIGINT) AS fstart,
+                 CAST(fend AS BIGINT) AS fend, strand,
+                 list_filter(string_split(attributes, ';'),
+                             a -> a LIKE 'ID=%')[1][4:] AS id,
+                 list_filter(string_split(attributes, ';'),
+                             a -> a LIKE 'Parent=%')[1][8:] AS parent
+          FROM {_GFF_CSV}
+          WHERE seqid NOT LIKE '#%'),
+        genes AS (SELECT id AS gene_id, seqid, fstart AS start,
+                         fend AS "end", strand
+                  FROM f WHERE type = 'gene'),
+        tx AS (SELECT id AS tx_id, parent AS gene_id FROM f WHERE type = 'mRNA'),
+        ex AS (SELECT parent AS tx_id, fstart, fend FROM f WHERE type = 'exon'),
+        exg AS (SELECT tx.gene_id, ex.fstart, ex.fend
+                FROM ex JOIN tx ON ex.tx_id = tx.tx_id),
+        agg_tx AS (SELECT gene_id, count(*) AS n_tx FROM tx GROUP BY 1),
+        agg_ex AS (SELECT gene_id, count(*) AS n_exons FROM exg GROUP BY 1),
+        agg_sp AS (SELECT gene_id, count(*) AS n_spans,
+                          CAST(sum(fend - fstart + 1) AS BIGINT) AS span_bases
+                   FROM (SELECT DISTINCT gene_id, fstart, fend FROM exg) s
+                   GROUP BY 1)
+        SELECT g.gene_id, g.seqid, g.start, g."end", g.strand,
+               coalesce(n_tx, 0) AS n_tx,
+               coalesce(n_exons, 0) AS n_exons,
+               coalesce(n_spans, 0) AS n_spans,
+               coalesce(span_bases, 0) AS span_bases
+        FROM genes g
+        LEFT JOIN agg_tx USING (gene_id)
+        LEFT JOIN agg_ex USING (gene_id)
+        LEFT JOIN agg_sp USING (gene_id)
+        ORDER BY gene_id""",
+    doc="Gene-model rollup over the GFF3 annotation source "
+    "(sources/gff.py): per gene, the isoform count, total exon rows "
+    "across isoforms, DISTINCT exon spans (isoforms share exons, so the "
+    "two differ), and the distinct-span base total — the gene-summary "
+    "table an annotation QC step materializes before joining models "
+    "against reads or variants.  The ID/Parent hierarchy (gene → mRNA → "
+    "exon) resolves via two equi-joins on the attribute map's ID keys.\n\n"
+    "Scale shape: the parse is a native splittable text scan, all codegen "
+    "(attribute map included — no Python in the row path, pinned by "
+    "tests/test_gff.py); annotation tables are dim-sized (a human "
+    "genome's GFF3 is ~3M rows) so the transcript table broadcasts into "
+    "the exon join, and the rollup shuffles only slim (gene_id, span) "
+    "columns.  Oracle: DuckDB independently re-parses the SAME .gff3 "
+    "text via read_csv + string ops — a cross-engine parse of the raw "
+    "format, not a twin of this parser.",
+)
+def g25(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.gff import GffSource
+
+    feats = GffSource().read(spark, _GFF_PATH).select(
+        "seqid", "type", "start", "end", "strand",
+        F.col("attributes")["ID"].alias("id"),
+        F.col("attributes")["Parent"].alias("parent"),
+    )
+    genes = feats.filter(F.col("type") == "gene").select(
+        F.col("id").alias("gene_id"), "seqid", "start", "end", "strand"
+    )
+    tx = feats.filter(F.col("type") == "mRNA").select(
+        F.col("id").alias("tx_id"), F.col("parent").alias("gene_id")
+    )
+    ex = feats.filter(F.col("type") == "exon").select(
+        F.col("parent").alias("tx_id"), "start", "end"
+    )
+    exg = ex.join(F.broadcast(tx), "tx_id").select("gene_id", "start", "end")
+    agg_tx = tx.groupBy("gene_id").agg(F.count(F.lit(1)).alias("n_tx"))
+    agg_ex = exg.groupBy("gene_id").agg(F.count(F.lit(1)).alias("n_exons"))
+    agg_sp = (
+        exg.distinct()
+        .groupBy("gene_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("end") - F.col("start") + 1).alias("span_bases"),
+        )
+    )
+    return (
+        genes.join(agg_tx, "gene_id", "left")
+        .join(agg_ex, "gene_id", "left")
+        .join(agg_sp, "gene_id", "left")
+        .select(
+            "gene_id", "seqid", "start", "end", "strand",
+            F.coalesce("n_tx", F.lit(0)).alias("n_tx"),
+            F.coalesce("n_exons", F.lit(0)).alias("n_exons"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("span_bases", F.lit(0)).alias("span_bases"),
+        )
+        .orderBy("gene_id")
+    )

@@ -1,0 +1,135 @@
+"""GFF3 annotation source/sink — gene-model inputs for the interval
+operators (bedtools-family ops in ``operators/interval.py`` take any
+(contig, start, end) frame; GFF3 is how gene/transcript/exon models live
+on disk in every real pipeline, alongside BED for plain intervals).
+
+GFF3 (spec: github.com/The-Sequence-Ontology/Specifications/gff3.md) is
+newline-delimited tab-separated text with nine columns — seqid, source,
+type, start, end, score, strand, phase, attributes — and 1-based CLOSED
+coordinates, already matching the htsjdk-Locatable convention the
+genomics operators use, so no coordinate conversion happens on ingest
+(unlike BED's 0-based half-open shift in ``bed.py``).
+
+Reading uses Spark's native splittable text scan: no record-boundary
+problem, a 100 TB annotation directory parallelizes for free, and the
+parse — including the ``;``-separated ``key=value`` attribute map — is
+pure codegen expressions (no Python in the row path).  Catalyst prunes
+unused columns and pushes filters into the scan as with any native text
+read.  Attribute VALUES are kept exactly as written (no %XX unescaping
+— the spec reserves percent-encoding for tabs/newlines/semicolons inside
+values, which structured-ID attributes like ID/Parent never contain);
+multi-valued attributes (``Parent=t1,t2``) surface as the raw
+comma-joined string, split by the consumer when needed.
+
+Comment/directive lines (``#``/``##``) are dropped; ``###`` FASTA
+sections terminate real files but plain ``##FASTA``-free inputs are the
+norm for pipeline use — sequence payload belongs to the FASTA source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+GFF_COLUMNS = [
+    "seqid", "source", "type", "start", "end",
+    "score", "strand", "phase", "attributes",
+]
+
+
+class GffSource:
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        """(seqid, source, type, start, end, score, strand, phase,
+        attributes map<string,string>) with 1-based closed coordinates;
+        '.' placeholders read back as NULL; malformed mandatory fields
+        drop the line (lenient posture, same as the BED/SAM sources)."""
+        lines = spark.read.text(path)
+        data = lines.filter(
+            ~F.col("value").startswith("#")
+            & (F.length(F.trim(F.col("value"))) > 0)
+        )
+        c = F.split(F.col("value"), "\t")
+        dot_null = lambda i: F.nullif(F.try_element_at(c, F.lit(i)), F.lit("."))  # noqa: E731
+        # attributes: ';'-separated k=v pairs -> map; value = everything
+        # after the FIRST '=' (values may contain '='), key-order free
+        attrs = F.col("_rawattrs")
+        parsed = (
+            data.select(
+                F.try_element_at(c, F.lit(1)).alias("seqid"),
+                dot_null(2).alias("source"),
+                F.try_element_at(c, F.lit(3)).alias("type"),
+                F.try_element_at(c, F.lit(4)).try_cast("long").alias("start"),
+                F.try_element_at(c, F.lit(5)).try_cast("long").alias("end"),
+                dot_null(6).try_cast("double").alias("score"),
+                dot_null(7).alias("strand"),
+                dot_null(8).alias("phase"),
+                F.nullif(F.try_element_at(c, F.lit(9)), F.lit(".")).alias("_rawattrs"),
+            )
+            .withColumn(
+                "attributes",
+                F.when(
+                    attrs.isNull(), F.expr("cast(map() as map<string,string>)")
+                ).otherwise(
+                    F.map_from_entries(
+                        F.expr(
+                            "transform(filter(split(_rawattrs, ';'),"
+                            " a -> a != ''),"
+                            " a -> struct(substring_index(a, '=', 1) AS key,"
+                            " CASE WHEN instr(a, '=') > 0"
+                            " THEN substr(a, instr(a, '=') + 1) ELSE '' END"
+                            " AS value))"
+                        )
+                    )
+                ),
+            )
+            .drop("_rawattrs")
+        )
+        return parsed.filter(
+            F.col("seqid").isNotNull()
+            & F.col("type").isNotNull()
+            & F.col("start").isNotNull()
+            & F.col("end").isNotNull()
+        )
+
+
+def write_gff(df: DataFrame, path: str) -> None:
+    """Single-file GFF3 sink: parallel text parts concatenated behind the
+    ``##gff-version 3`` directive through the shared part-concat machinery
+    (scheme fast path when available).  NULL optional fields write the
+    spec placeholder '.'; the attribute map writes sorted by key so the
+    output is deterministic under Spark's unordered map semantics."""
+    from .merger import merge_parts
+
+    score = F.col("score")
+    # integral scores print as integers (spec examples), not '100.0'
+    score_txt = F.when(
+        score.isNull(), F.lit(".")
+    ).when(
+        score == F.floor(score), score.cast("long").cast("string")
+    ).otherwise(score.cast("string"))
+    attr_txt = F.when(
+        F.size("attributes") == 0, F.lit(".")
+    ).otherwise(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(map_keys(attributes)),"
+                " k -> concat(k, '=', attributes[k]))"
+            ),
+            ";",
+        )
+    )
+    line = F.concat_ws(
+        "\t",
+        F.col("seqid"),
+        F.coalesce(F.col("source"), F.lit(".")),
+        F.col("type"),
+        F.col("start").cast("string"),
+        F.col("end").cast("string"),
+        score_txt,
+        F.coalesce(F.col("strand"), F.lit(".")),
+        F.coalesce(F.col("phase"), F.lit(".")),
+        attr_txt,
+    )
+    temp_dir = str(path) + ".parts"
+    df.select(line.alias("value")).write.mode("overwrite").text(temp_dir)
+    merge_parts(temp_dir, path, header=b"##gff-version 3\n")

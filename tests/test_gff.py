@@ -1,0 +1,80 @@
+"""GFF3 source/sink: parse semantics against the committed annotation
+fixture, placeholder/malformed-line posture, write round-trip, fixture
+freshness, and g25's all-codegen broadcast plan."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from disq_original_spark.queries import QUERIES
+from disq_original_spark.sources.gff import GffSource, write_gff
+
+FIXTURE = str(Path(__file__).resolve().parent.parent / "fixtures" / "annotation.gff3")
+
+
+def test_read_fixture_shape(spark):
+    df = GffSource().read(spark, FIXTURE)
+    assert df.columns == [
+        "seqid", "source", "type", "start", "end",
+        "score", "strand", "phase", "attributes",
+    ]
+    by_type = {r["type"]: r["count"] for r in df.groupBy("type").count().collect()}
+    assert set(by_type) == {"gene", "mRNA", "exon"}
+    assert by_type["gene"] == 40
+    assert sum(by_type.values()) == 489  # comment/directive lines skipped
+    first = df.orderBy("seqid", "start", "type").filter(
+        F.col("type") == "gene"
+    ).first()
+    assert first["seqid"] == "chr1" and first["start"] == 1240
+    assert first["attributes"] == {"ID": "gene001", "Name": "N001"}
+    assert first["score"] is None  # '.' placeholder -> NULL
+
+
+def test_placeholders_malformed_and_attr_edge_cases(spark, tmp_path):
+    p = tmp_path / "t.gff3"
+    p.write_text(
+        "##gff-version 3\n"
+        "# comment mid-file\n"
+        "chr1\t.\tgene\t10\t99\t12.5\t-\t.\tID=g1;Note=has=equals;Flag\n"
+        "chr1\tsrc\tregion\t1\t1000\t.\t.\t.\t.\n"
+        "malformed line without tabs\n"
+        "chr1\tsrc\tgene\tnotanumber\t99\t.\t+\t.\tID=bad\n"
+        "\n"
+    )
+    rows = GffSource().read(spark, str(p)).orderBy("start").collect()
+    assert len(rows) == 2  # malformed mandatory fields dropped
+    region, g1 = rows[0], rows[1]
+    assert region["attributes"] == {}  # '.' attributes -> empty map
+    assert region["source"] == "src" and region["strand"] is None
+    assert g1["score"] == 12.5
+    # value keeps everything after the FIRST '='; valueless key -> ''
+    assert g1["attributes"] == {"ID": "g1", "Note": "has=equals", "Flag": ""}
+
+
+def test_write_roundtrip(spark, tmp_path):
+    src = GffSource().read(spark, FIXTURE)
+    out = str(tmp_path / "out.gff3")
+    write_gff(src, out)
+    text = Path(out).read_text()
+    assert text.startswith("##gff-version 3\n")
+    back = GffSource().read(spark, out)
+    a = sorted(map(str, src.collect()))
+    b = sorted(map(str, back.collect()))
+    assert a == b
+
+
+def test_annotation_fixture_fresh():
+    """The committed fixture must be exactly what the generator produces —
+    a drifted fixture would silently anchor g25's oracle to stale data."""
+    import tools.build_annotation_fixture as gen
+
+    assert gen.build() == Path(FIXTURE).read_text()
+
+
+def test_g25_plan_codegen_broadcast(spark):
+    df = QUERIES["g25_gff_gene_model"].build(spark, "ignored")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan  # parse is pure codegen, no Python row path
