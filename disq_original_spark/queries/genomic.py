@@ -1562,9 +1562,9 @@ _GFF_CSV = (
           SELECT seqid, type, CAST(fstart AS BIGINT) AS fstart,
                  CAST(fend AS BIGINT) AS fend, strand,
                  list_filter(string_split(attributes, ';'),
-                             a -> a LIKE 'ID=%')[1][4:] AS id,
+                             a -> a LIKE 'ID=%')[-1][4:] AS id,
                  list_filter(string_split(attributes, ';'),
-                             a -> a LIKE 'Parent=%')[1][8:] AS parent
+                             a -> a LIKE 'Parent=%')[-1][8:] AS parent
           FROM {_GFF_CSV}
           WHERE seqid NOT LIKE '#%'),
         genes AS (SELECT id AS gene_id, seqid, fstart AS start,
@@ -1604,7 +1604,8 @@ _GFF_CSV = (
     "the exon join, and the rollup shuffles only slim (gene_id, span) "
     "columns.  Oracle: DuckDB independently re-parses the SAME .gff3 "
     "text via read_csv + string ops — a cross-engine parse of the raw "
-    "format, not a twin of this parser.",
+    "format, not a twin of this parser (duplicate tags resolve "
+    "last-wins on both sides, matching the source's lenient map).",
 )
 def g25(spark: SparkSession, sf: str) -> DataFrame:
     from ..sources.gff import GffSource

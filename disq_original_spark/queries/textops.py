@@ -1093,9 +1093,16 @@ def _t17_candidates(cap: int):
     emitted as one small batch of candidate tokens.  ``cap`` is captured
     by value (a closure, not a module global) so it ships to executors
     as configured driver-side.  Tokenization mirrors ``functions.tokens``
-    (lower, trim, split on ASCII whitespace) — a divergence here can only
-    widen the candidate set the exact recount pass filters with, never
-    change reported counts."""
+    (lower, split on ASCII whitespace, empty tokens dropped).  No
+    ``str.strip()``: Python strip removes Unicode whitespace (NBSP,
+    \\x1c-\\x1f) that Spark's space-only ``trim`` keeps, which could
+    normalize a true heavy hitter like '\\xa0foo' into a different
+    candidate string and silently drop it from the exact top-K —
+    splitting the raw lowered text and filtering empties yields exactly
+    the engine's token set (trim only ever removes tokens the empty
+    filter drops anyway).  Case mapping relies on Python and the JVM
+    both following Unicode default lowercasing (always exact on
+    ASCII)."""
 
     def worker(it):
         import re
@@ -1109,7 +1116,7 @@ def _t17_candidates(cap: int):
             for text in pdf["text"]:
                 if text is None:
                     continue
-                for tok in ws.split(str(text).lower().strip()):
+                for tok in ws.split(str(text).lower()):
                     if tok:
                         batch[tok] = batch.get(tok, 0) + 1
             counters = _mg_fold(counters, batch, cap)

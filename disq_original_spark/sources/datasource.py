@@ -61,7 +61,9 @@ def _pruned_reads_schema(options: dict):
         return READS_SCHEMA
     from pyspark.sql.types import StructType
 
-    return StructType([f for f in READS_SCHEMA.fields if f.name in fields])
+    from .sam import schema_ordered
+
+    return StructType([READS_SCHEMA[c] for c in schema_ordered(READS_COLUMNS, fields)])
 
 
 def _reads_arrow_schema():
@@ -96,8 +98,10 @@ def _arrow_batches(row_iter, fields: frozenset | None = None):
     if fields is None:
         cols, schema = READS_COLUMNS, full
     else:
-        cols = [c for c in READS_COLUMNS if c in fields]
-        schema = pa.schema([f for f in full if f.name in fields])
+        from .sam import schema_ordered
+
+        cols = schema_ordered(READS_COLUMNS, fields)
+        schema = pa.schema([full.field(c) for c in cols])
 
     def to_batch(buf):
         return pa.RecordBatch.from_pydict(
@@ -224,7 +228,14 @@ class BamDataSourceReader(DataSourceReader):
                 list(partition.bai_ranges) if partition.bai_ranges else None,
                 fs=self.fs,
                 group_by_qname=self.group_by_qname,
-                fields=self.fields,
+                # group ownership needs the name even when pruned away
+                # (same guard as BamSource.read, bam.py); the Arrow
+                # batches below still emit only the requested fields
+                fields=(
+                    frozenset(self.fields | {"qname"})
+                    if self.fields is not None and self.group_by_qname
+                    else self.fields
+                ),
             ),
             self.fields,
         )

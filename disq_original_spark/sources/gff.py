@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import map_from_entries_last_wins
+
 GFF_COLUMNS = [
     "seqid", "source", "type", "start", "end",
     "score", "strand", "phase", "attributes",
@@ -70,7 +72,10 @@ class GffSource:
                 F.when(
                     attrs.isNull(), F.expr("cast(map() as map<string,string>)")
                 ).otherwise(
-                    F.map_from_entries(
+                    # duplicate tags (out-of-spec but common in the wild)
+                    # resolve last-wins instead of aborting the scan —
+                    # same lenient posture as the VCF INFO map
+                    map_from_entries_last_wins(
                         F.expr(
                             "transform(filter(split(_rawattrs, ';'),"
                             " a -> a != ''),"
@@ -100,6 +105,18 @@ def write_gff(df: DataFrame, path: str) -> None:
     output is deterministic under Spark's unordered map semantics."""
     from .merger import merge_parts
 
+    # fail-loud on NULL mandatory fields: concat_ws silently SKIPS NULL
+    # arguments, which would emit a column-shifted (corrupt) line instead
+    def required(name: str):
+        c = F.col(name)
+        return F.when(
+            c.isNull(),
+            F.raise_error(
+                F.lit(f"write_gff: NULL mandatory field '{name}' — GFF3 "
+                      "requires all of seqid/type/start/end")
+            ),
+        ).otherwise(c.cast("string"))
+
     score = F.col("score")
     # integral scores print as integers (spec examples), not '100.0'
     score_txt = F.when(
@@ -108,7 +125,7 @@ def write_gff(df: DataFrame, path: str) -> None:
         score == F.floor(score), score.cast("long").cast("string")
     ).otherwise(score.cast("string"))
     attr_txt = F.when(
-        F.size("attributes") == 0, F.lit(".")
+        F.col("attributes").isNull() | (F.size("attributes") == 0), F.lit(".")
     ).otherwise(
         F.array_join(
             F.expr(
@@ -120,11 +137,11 @@ def write_gff(df: DataFrame, path: str) -> None:
     )
     line = F.concat_ws(
         "\t",
-        F.col("seqid"),
+        required("seqid"),
         F.coalesce(F.col("source"), F.lit(".")),
-        F.col("type"),
-        F.col("start").cast("string"),
-        F.col("end").cast("string"),
+        required("type"),
+        required("start"),
+        required("end"),
         score_txt,
         F.coalesce(F.col("strand"), F.lit(".")),
         F.coalesce(F.col("phase"), F.lit(".")),

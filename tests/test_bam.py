@@ -712,3 +712,21 @@ def test_datasource_columns_option(spark):
     assert sorted(map(str, cram_pruned.collect())) == sorted(
         map(str, cram_full.select("flag", "rname", "pos").collect())
     )
+
+
+def test_datasource_columns_with_groupbyqname(spark):
+    """option('groupByQname') + a columns option that OMITS qname must
+    still decode the name internally for group ownership (and not leak it
+    into the output) — the facade-level twin of BamSource.read's guard."""
+    from disq_original_spark.sources.datasource import register_datasources
+
+    register_datasources(spark)
+    base = spark.read.format("bam").option("groupByQname", "true")
+    full = base.load(str(RES / "1.bam"))
+    pruned = (
+        base.option("columns", "flag, rname").load(str(RES / "1.bam"))
+    )
+    assert pruned.columns == ["flag", "rname"]
+    assert sorted(map(str, pruned.collect())) == sorted(
+        map(str, full.select("flag", "rname").collect())
+    )

@@ -53,6 +53,44 @@ def test_placeholders_malformed_and_attr_edge_cases(spark, tmp_path):
     assert g1["attributes"] == {"ID": "g1", "Note": "has=equals", "Flag": ""}
 
 
+def test_duplicate_attribute_tag_last_wins(spark, tmp_path):
+    """Repeated tags (out-of-spec but common in the wild) must resolve
+    last-wins, not abort the scan with DUPLICATED_MAP_KEY — the VCF INFO
+    map's lenient posture, mirrored by the g25 oracle's [-1] extraction."""
+    p = tmp_path / "dup.gff3"
+    p.write_text(
+        "chr1\tsrc\tgene\t10\t99\t.\t+\t.\tID=first;Note=n;ID=last\n"
+    )
+    rows = GffSource().read(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0]["attributes"] == {"ID": "last", "Note": "n"}
+
+
+def test_write_null_mandatory_field_fails_loud(spark, tmp_path):
+    """concat_ws silently SKIPS NULLs — a NULL type would shift every
+    later column left and corrupt the file; the sink must raise instead."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("chr1", None, None, 10, 99, None, None, None, {})],
+        "seqid string, source string, type string, start long, end long,"
+        " score double, strand string, phase string,"
+        " attributes map<string,string>",
+    )
+    with _pytest.raises(Exception, match="NULL mandatory field"):
+        write_gff(df, str(tmp_path / "bad.gff3"))
+    # NULL attributes map (vs empty) is benign: writes the '.' placeholder
+    ok = spark.createDataFrame(
+        [("chr1", None, "gene", 10, 99, None, None, None, None)],
+        "seqid string, source string, type string, start long, end long,"
+        " score double, strand string, phase string,"
+        " attributes map<string,string>",
+    )
+    out = str(tmp_path / "ok.gff3")
+    write_gff(ok, out)
+    assert Path(out).read_text().splitlines()[1].endswith("\t.")
+
+
 def test_write_roundtrip(spark, tmp_path):
     src = GffSource().read(spark, FIXTURE)
     out = str(tmp_path / "out.gff3")

@@ -137,3 +137,22 @@ def test_t17_null_text_safe(spark, monkeypatch):
         for r in QUERIES["t17_heavy_hitters"].build(spark, "ignored").collect()
     ]
     assert got == [(1, "a", 2), (2, "b", 2), (3, "c", 1)]
+
+
+def test_t17_unicode_whitespace_not_normalized(spark, monkeypatch):
+    """A heavy hitter carrying leading NBSP must survive: Spark's trim is
+    space-only, so '\\xa0foo' IS the engine token — a candidate pass using
+    Python str.strip() would normalize it to 'foo' and silently drop the
+    true token from the exact top-K (the superset property would break)."""
+    import disq_original_spark.queries.textops as tx
+
+    df = spark.createDataFrame(
+        [(i, "\xa0foo bar") for i in range(5)] + [(9, "bar")],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(tx, "load_table", lambda s, sf, name: df)
+    got = {
+        r["token"]: r["cnt"]
+        for r in QUERIES["t17_heavy_hitters"].build(spark, "ignored").collect()
+    }
+    assert got == {"\xa0foo": 5, "bar": 6}

@@ -64,14 +64,29 @@ def test_storage_facade_column_pruning(spark, tmp_path):
     """ReadsStorage.read(columns=...) forwards decode-level pruning to the
     binary sources and projects the text formats; values match the full
     read's subset on every format the facade serves."""
-    from disq_original_spark.storage import ReadsStorage
-
-    res = "/root/reference/src/test/resources"
-    st = ReadsStorage(spark, reference_path=f"{res}/valid.fasta")
-    for path in (f"{res}/1.bam", f"{res}/test.sam", f"{res}/valid.cram"):
+    st = ReadsStorage(spark, reference_path=FASTA)
+    for path in (BAM, SAM, CRAM):
         full = st.read(path)
         pruned = st.read(path, columns=["flag", "rname", "pos"])
         assert pruned.columns == ["flag", "rname", "pos"], path
         assert sorted(map(str, pruned.collect())) == sorted(
             map(str, full.select("flag", "rname", "pos").collect())
         ), path
+
+
+def test_variants_storage_column_pruning(spark, tmp_path):
+    """VariantsStorage.read(columns=...): plain projection on the VCF text
+    scan, block-granular decode pruning through BcfSource — both value-
+    match the full read's subset, and unknown columns fail loud."""
+    st = VariantsStorage(spark)
+    hdr = st.read_header(VCF)
+    df = st.read(VCF)
+    bcf = str(tmp_path / "o.bcf")
+    st.write(df, bcf, hdr)
+    for path in (VCF, bcf):
+        full = st.read(path).select("contig", "pos", "qual").collect()
+        pruned = st.read(path, columns=["contig", "pos", "qual"])
+        assert pruned.columns == ["contig", "pos", "qual"], path
+        assert sorted(map(str, pruned.collect())) == sorted(map(str, full)), path
+    with pytest.raises(ValueError, match="unknown variants columns"):
+        st.read(VCF, columns=["contig", "nope"])
