@@ -103,6 +103,24 @@ def test_write_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_gzip_and_directory_read(spark, tmp_path):
+    """gzip GFFs decompress through the native text reader, and a
+    directory of files reads as one frame — both for free from the
+    splittable text scan."""
+    import gzip as _gzip
+
+    d = tmp_path / "ann"
+    d.mkdir()
+    text = Path(FIXTURE).read_text().splitlines(keepends=True)
+    half = len(text) // 2
+    (d / "a.gff3").write_text("".join(text[:half]))
+    with _gzip.open(d / "b.gff3.gz", "wt") as fh:
+        fh.write("".join(text[half:]))
+    whole = GffSource().read(spark, FIXTURE)
+    split = GffSource().read(spark, str(d))
+    assert sorted(map(str, split.collect())) == sorted(map(str, whole.collect()))
+
+
 def test_annotation_fixture_fresh():
     """The committed fixture must be exactly what the generator produces —
     a drifted fixture would silently anchor g25's oracle to stale data."""
