@@ -1120,7 +1120,9 @@ def _t17_candidates(cap: int):
                     if tok:
                         batch[tok] = batch.get(tok, 0) + 1
             counters = _mg_fold(counters, batch, cap)
-        yield pd.DataFrame({"token": list(counters)})
+        yield pd.DataFrame(
+            {"token": list(counters), "weight": list(counters.values())}
+        )
 
     return worker
 
@@ -1139,32 +1141,48 @@ def _t17_candidates(cap: int):
          WHERE rank <= {_T17_K} ORDER BY rank""",
     doc=f"Exact corpus-wide top-{_T17_K} frequent tokens WITHOUT shuffling "
     "the vocabulary: pass 1 runs a Misra–Gries sketch per partition "
-    f"(mapInPandas, ≤ {_T17_CAP} counters) whose union provably contains "
-    f"every token with global count > N/{_T17_CAP + 1} — if the true K-th "
-    "count clears that bound (pinned by test_t17_mg_bound_holds), the "
-    "top-K is exactly in the candidate set; pass 2 recounts ONLY the "
-    "candidates with the engine tokenizer (broadcast semi join filters "
-    "the token stream map-side) and ranks them.  The two-pass exact "
-    "heavy-hitters pattern: at 100 TB a naive groupBy(token) shuffles "
-    "the entire vocabulary (billions of distinct keys); here the only "
-    "shuffles are the ≤ cap×partitions candidate rows and the recount "
-    "over candidate tokens only — two scans beat one vocabulary-wide "
-    "exchange.  Candidate-pass tokenization divergence is safe by "
-    "construction (it can only widen the superset); the exact recount "
-    "uses the same ``tokens`` expression as t01.",
+    f"(mapInPandas, ≤ {_T17_CAP} counters), emitting RESIDUAL WEIGHTS, "
+    "not just tokens.  Per-partition MG undercounts by at most "
+    "n_p/(cap+1), so a token's summed residual R(x) ≥ C(x) − N/(cap+1); "
+    "keeping only R(x) > N/(cap+1) therefore (a) retains every token "
+    "with global count > 2N/(cap+1) and (b) bounds the candidate set to "
+    "AT MOST cap+1 tokens REGARDLESS of partition count, because "
+    "residuals sum to ≤ N — the candidate broadcast is provably safe at "
+    "any scale (a token-set union would grow as cap×partitions: "
+    "hundreds of millions of rows on a 100 TB corpus).  If the true "
+    "K-th count clears 2N/(cap+1) (pinned by test_t17_mg_bound_holds), "
+    "the top-K is exactly in the candidate set; pass 2 recounts ONLY "
+    "the candidates with the engine tokenizer (broadcast semi join "
+    "filters the token stream map-side) and ranks them.  At 100 TB a "
+    "naive groupBy(token) shuffles the entire vocabulary (billions of "
+    "distinct keys); here the shuffles are the slim (token, weight) "
+    "residual exchange (map-side combined, ≤ cap rows per partition), "
+    "a 1-row total-count aggregate, and the recount over ≤ cap+1 "
+    "candidate tokens — two scans beat one vocabulary-wide exchange.  "
+    "Candidate-pass tokenization is exactly the engine's (verified "
+    "space-only trim semantics); the exact recount uses the same "
+    "``tokens`` expression as t01.",
 )
 def t17(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
-    cands = (
-        d.filter(F.col("text").isNotNull())
-        .select("text")
-        .mapInPandas(_t17_candidates(_T17_CAP), "token string")
-        .distinct()
-    )
+    texts = d.filter(F.col("text").isNotNull())
     tok = (
-        d.filter(F.col("text").isNotNull())
-        .select(F.explode(tokens("text")).alias("token"))
+        texts.select(F.explode(tokens("text")).alias("token"))
         .filter(F.col("token") != "")
+    )
+    # total token count as a lazy 1-row frame (no driver-side action):
+    # the residual-filter threshold N/(cap+1) joins in as a broadcast
+    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
+    residuals = (
+        texts.select("text")
+        .mapInPandas(_t17_candidates(_T17_CAP), "token string, weight long")
+        .groupBy("token")
+        .agg(F.sum("weight").alias("residual"))
+    )
+    cands = (
+        residuals.join(F.broadcast(total))
+        .filter(F.col("residual") * (_T17_CAP + 1) > F.col("n_total"))
+        .select("token")
     )
     counts = (
         tok.join(F.broadcast(cands), "token", "leftsemi")

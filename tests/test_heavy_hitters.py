@@ -14,9 +14,10 @@ from disq_original_spark.queries.textops import _T17_CAP, _T17_K, _mg_fold
 
 def test_t17_mg_bound_holds(spark, sf_dir):
     """Exactness precondition on the shipped data: the K-th token count
-    must clear N/(cap+1), the worst-case Misra–Gries undercount — when it
-    does, the candidate union provably contains the true top-K, so the
-    recount is exact (not approximately so)."""
+    must clear 2N/(cap+1) — the worst-case Misra–Gries undercount
+    N/(cap+1) plus the residual-filter threshold N/(cap+1).  When it
+    does, the filtered candidate set provably contains the true top-K,
+    so the recount is exact (not approximately so)."""
     from disq_original_spark.functions import tokens
     from disq_original_spark.tables import load_table
 
@@ -32,9 +33,9 @@ def test_t17_mg_bound_holds(spark, sf_dir):
         .orderBy(F.col("count").desc(), "token")
         .collect()[_T17_K - 1]["count"]
     )
-    assert kth > n_total / (_T17_CAP + 1), (
+    assert kth > 2 * n_total / (_T17_CAP + 1), (
         f"MG bound violated on test data: kth={kth} ≤ "
-        f"N/(cap+1)={n_total / (_T17_CAP + 1):.1f} — top-{_T17_K} no "
+        f"2N/(cap+1)={2 * n_total / (_T17_CAP + 1):.1f} — top-{_T17_K} no "
         "longer provably exact; raise _T17_CAP"
     )
 
@@ -67,14 +68,50 @@ def test_mg_fold_survivor_guarantee():
             must_survive = {t for t, c in true.items() if c > n / (cap + 1)}
             missing = must_survive - set(counters)
             assert not missing, (cap, nbatches, sorted(missing)[:5])
+            # residual sandwich: c(x) - n/(cap+1) <= counter(x) <= c(x) —
+            # the property the distributed residual filter builds on
+            for t, r in counters.items():
+                assert true[t] - n / (cap + 1) <= r <= true[t], (cap, t)
+
+
+def test_residual_filter_bounds_candidates():
+    """The headline scale claim: after summing per-partition residuals and
+    keeping only R(x)·(cap+1) > N, AT MOST cap+1 candidates can survive
+    (residuals sum to ≤ N) — independent of partition count — while every
+    token with global count > 2N/(cap+1) is retained."""
+    import random
+
+    rng = random.Random(3)
+    cap, nparts = 8, 40
+    # 4 hot tokens + a 500-token near-uniform sea, scattered over 40 parts
+    stream = [f"hot{i}" for i in range(4) for _ in range(5000)]
+    stream += [f"cold{rng.randrange(500)}" for _ in range(30000)]
+    rng.shuffle(stream)
+    n = len(stream)
+    true: dict[str, int] = {}
+    for t in stream:
+        true[t] = true.get(t, 0) + 1
+    residual: dict[str, int] = {}
+    step = (n + nparts - 1) // nparts
+    for p in range(nparts):
+        batch: dict[str, int] = {}
+        for t in stream[p * step : (p + 1) * step]:
+            batch[t] = batch.get(t, 0) + 1
+        for t, r in _mg_fold({}, batch, cap).items():
+            residual[t] = residual.get(t, 0) + r
+    kept = {t for t, r in residual.items() if r * (cap + 1) > n}
+    assert len(kept) <= cap + 1, len(kept)
+    must_keep = {t for t, c in true.items() if c > 2 * n / (cap + 1)}
+    assert must_keep <= kept, must_keep - kept
 
 
 def test_t17_small_cap_end_to_end(spark, monkeypatch, tmp_path):
-    """Force cap=64 over a generated 500-token-vocab corpus whose top-K
-    still clears the bound (cap must exceed K — K tokens cannot each hold
-    more than N/(K+1) mass): the full two-pass query must equal the
-    brute-force groupBy ranking — proving exactness survives real
-    decrement churn, not just the shipped corpus's toy vocabulary."""
+    """Force cap=96 over a generated 500-token-vocab corpus whose top-K
+    still clears the 2N/(cap+1) bound (cap must comfortably exceed K — K
+    tokens cannot each hold more than N/(K+1) mass): the full two-pass
+    query must equal the brute-force groupBy ranking — proving exactness
+    survives real decrement churn AND the residual filter, not just the
+    shipped corpus's toy vocabulary."""
     import random
 
     import disq_original_spark.queries.textops as tx
@@ -94,7 +131,7 @@ def test_t17_small_cap_end_to_end(spark, monkeypatch, tmp_path):
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string").repartition(8)
 
-    monkeypatch.setattr(tx, "_T17_CAP", 64)
+    monkeypatch.setattr(tx, "_T17_CAP", 96)
     monkeypatch.setattr(tx, "load_table", lambda s, sf, name: df)
 
     from disq_original_spark.functions import tokens
@@ -103,7 +140,7 @@ def test_t17_small_cap_end_to_end(spark, monkeypatch, tmp_path):
     counts = {r["token"]: r["count"] for r in tok.groupBy("token").count().collect()}
     n = sum(counts.values())
     ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-    assert ranked[tx._T17_K - 1][1] > n / (64 + 1), "fixture must satisfy bound"
+    assert ranked[tx._T17_K - 1][1] > 2 * n / (96 + 1), "fixture must satisfy bound"
 
     got = [
         (r["rank"], r["token"], r["cnt"])
