@@ -27,7 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
     """Wrap a builder so each build first releases the PREVIOUS build's
-    tracked persists (cache hygiene over the driver's 139-query sweep —
+    tracked persists (cache hygiene over the driver's 141-query sweep —
     VERDICT r4).  The current build's persists stay alive for the caller's
     subsequent drain; releasing them at the next build is correctness-
     neutral (Spark recomputes from lineage) and bounds resident cached
