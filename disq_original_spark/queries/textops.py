@@ -1090,19 +1090,23 @@ def _mg_fold(counters: dict, batch: dict, cap: int) -> dict:
 
 def _t17_candidates(cap: int):
     """mapInPandas worker factory: one Misra–Gries sketch per partition,
-    emitted as one small batch of candidate tokens.  ``cap`` is captured
+    emitted as one small batch of candidate tokens plus ONE sentinel row
+    (token NULL, weight = exact partition token count) so the caller gets
+    N for free — no separate corpus-wide count scan.  ``cap`` is captured
     by value (a closure, not a module global) so it ships to executors
     as configured driver-side.  Tokenization mirrors ``functions.tokens``
-    (lower, split on ASCII whitespace, empty tokens dropped).  No
-    ``str.strip()``: Python strip removes Unicode whitespace (NBSP,
-    \\x1c-\\x1f) that Spark's space-only ``trim`` keeps, which could
-    normalize a true heavy hitter like '\\xa0foo' into a different
+    EXCEPT lowering: the INPUT column is pre-lowered by the engine
+    (``F.lower``), never by Python — JVM ``String.toLowerCase()`` on the
+    non-ASCII path is default-locale-sensitive (tr_TR maps 'I'→'ı' where
+    Python gives 'i'), so splitting engine-lowered text is the only way
+    both passes are guaranteed the same case mapping on any executor
+    locale.  No ``str.strip()``: Python strip removes Unicode whitespace
+    (NBSP, \\x1c-\\x1f) that Spark's space-only ``trim`` keeps, which
+    could normalize a true heavy hitter like '\\xa0foo' into a different
     candidate string and silently drop it from the exact top-K —
     splitting the raw lowered text and filtering empties yields exactly
     the engine's token set (trim only ever removes tokens the empty
-    filter drops anyway).  Case mapping relies on Python and the JVM
-    both following Unicode default lowercasing (always exact on
-    ASCII)."""
+    filter drops anyway)."""
 
     def worker(it):
         import re
@@ -1111,17 +1115,22 @@ def _t17_candidates(cap: int):
 
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
         counters: dict = {}
+        n_tokens = 0
         for pdf in it:
             batch: dict = {}
             for text in pdf["text"]:
                 if text is None:
                     continue
-                for tok in ws.split(str(text).lower()):
+                for tok in ws.split(str(text)):
                     if tok:
                         batch[tok] = batch.get(tok, 0) + 1
+            n_tokens += sum(batch.values())
             counters = _mg_fold(counters, batch, cap)
         yield pd.DataFrame(
-            {"token": list(counters), "weight": list(counters.values())}
+            {
+                "token": list(counters) + [None],
+                "weight": list(counters.values()) + [n_tokens],
+            }
         )
 
     return worker
@@ -1155,32 +1164,47 @@ def _t17_candidates(cap: int):
     "the candidates with the engine tokenizer (broadcast semi join "
     "filters the token stream map-side) and ranks them.  At 100 TB a "
     "naive groupBy(token) shuffles the entire vocabulary (billions of "
-    "distinct keys); here the shuffles are the slim (token, weight) "
-    "residual exchange (map-side combined, ≤ cap rows per partition), "
-    "a 1-row total-count aggregate, and the recount over ≤ cap+1 "
-    "candidate tokens — two scans beat one vocabulary-wide exchange.  "
-    "Candidate-pass tokenization is exactly the engine's (verified "
-    "space-only trim semantics); the exact recount uses the same "
+    "distinct keys); here the only shuffles are the slim (token, "
+    "weight) residual exchange (map-side combined, ≤ cap+1 rows per "
+    "partition — the MG workers also emit the exact per-partition "
+    "token total as a NULL-token sentinel, so N falls out of the same "
+    "exchange instead of a third corpus scan) and the recount over "
+    "≤ cap+1 candidate tokens — exactly two corpus scans.  "
+    "Candidate-pass tokenization is exactly the engine's: the worker "
+    "splits ENGINE-lowered text (JVM toLowerCase is locale-sensitive "
+    "off the ASCII path, so Python must never lower) with verified "
+    "space-only trim semantics; the exact recount uses the same "
     "``tokens`` expression as t01.",
 )
 def t17(spark: SparkSession, sf: str) -> DataFrame:
+    from ..cache import track_persist
+
     d = load_table(spark, sf, "documents")
     texts = d.filter(F.col("text").isNotNull())
     tok = (
         texts.select(F.explode(tokens("text")).alias("token"))
         .filter(F.col("token") != "")
     )
-    # total token count as a lazy 1-row frame (no driver-side action):
-    # the residual-filter threshold N/(cap+1) joins in as a broadcast
-    total = tok.agg(F.count(F.lit(1)).alias("n_total"))
-    residuals = (
-        texts.select("text")
+    # One MG pass yields both the residuals AND the exact total token
+    # count (NULL-token sentinel row per partition) — persisted because
+    # two branches (threshold + candidates) read it; the aggregate is at
+    # most cap×partitions + partitions rows, trivially memory-resident.
+    # The worker gets ENGINE-lowered text so candidate tokenization and
+    # the exact recount share one case mapping on any executor locale.
+    grouped = track_persist(
+        texts.select(F.lower(F.col("text")).alias("text"))
         .mapInPandas(_t17_candidates(_T17_CAP), "token string, weight long")
         .groupBy("token")
         .agg(F.sum("weight").alias("residual"))
     )
+    # total token count as a lazy 1-row frame (no driver-side action):
+    # the residual-filter threshold N/(cap+1) joins in as a broadcast
+    total = grouped.filter(F.col("token").isNull()).select(
+        F.col("residual").alias("n_total")
+    )
     cands = (
-        residuals.join(F.broadcast(total))
+        grouped.filter(F.col("token").isNotNull())
+        .join(F.broadcast(total))
         .filter(F.col("residual") * (_T17_CAP + 1) > F.col("n_total"))
         .select("token")
     )

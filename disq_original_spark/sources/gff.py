@@ -15,11 +15,14 @@ problem, a 100 TB annotation directory parallelizes for free, and the
 parse — including the ``;``-separated ``key=value`` attribute map — is
 pure codegen expressions (no Python in the row path).  Catalyst prunes
 unused columns and pushes filters into the scan as with any native text
-read.  Attribute VALUES are kept exactly as written (no %XX unescaping
-— the spec reserves percent-encoding for tabs/newlines/semicolons inside
-values, which structured-ID attributes like ID/Parent never contain);
+read.  Attribute keys and values decode the spec's reserved
+percent-escapes (``%25 %09 %0A %0D %3B %3D %26``, either hex case) so a
+value written as ``Note=a%3Bb`` reads back as ``a;b``; the sink encodes
+the same set, making write→read an identity for any attribute text.
+``%2C`` is deliberately NOT decoded (and ``,`` not encoded):
 multi-valued attributes (``Parent=t1,t2``) surface as the raw
-comma-joined string, split by the consumer when needed.
+comma-joined string — split by the consumer when needed — so a literal
+escaped comma must stay distinguishable from the separator.
 
 Comment/directive lines (``#``/``##``) are dropped; ``###`` FASTA
 sections terminate real files but plain ``##FASTA``-free inputs are the
@@ -28,7 +31,7 @@ norm for pipeline use — sequence payload belongs to the FASTA source.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import map_from_entries_last_wins
@@ -37,6 +40,37 @@ GFF_COLUMNS = [
     "seqid", "source", "type", "start", "end",
     "score", "strand", "phase", "attributes",
 ]
+
+# Reserved characters percent-encoded in attribute keys/values (GFF3 spec
+# §"Description of the format"): '%' MUST come first on encode / last on
+# decode so literal '%3B' survives a round-trip as '%253B'.  ',' is
+# excluded on purpose — see the module docstring (multi-value separator
+# is part of this source's surface representation).
+_ATTR_ESCAPES = [
+    ("%", "%25"),
+    ("\t", "%09"),
+    ("\n", "%0A"),
+    ("\r", "%0D"),
+    (";", "%3B"),
+    ("=", "%3D"),
+    ("&", "%26"),
+]
+
+
+def _attr_encode(c: Column) -> Column:
+    for raw, code in _ATTR_ESCAPES:
+        c = F.replace(c, F.lit(raw), F.lit(code))
+    return c
+
+
+def _attr_decode(c: Column) -> Column:
+    # specific codes first (both hex cases — the spec shows uppercase but
+    # wild files use either), '%25' strictly last
+    for raw, code in reversed(_ATTR_ESCAPES):
+        c = F.replace(c, F.lit(code), F.lit(raw))
+        if code.lower() != code:
+            c = F.replace(c, F.lit(code.lower()), F.lit(raw))
+    return c
 
 
 class GffSource:
@@ -74,15 +108,29 @@ class GffSource:
                 ).otherwise(
                     # duplicate tags (out-of-spec but common in the wild)
                     # resolve last-wins instead of aborting the scan —
-                    # same lenient posture as the VCF INFO map
+                    # same lenient posture as the VCF INFO map.  Keys and
+                    # values decode the reserved %XX escapes AFTER the
+                    # ';'/'=' structural split (escaped separators inside
+                    # values therefore never split — that is the point of
+                    # the encoding).
                     map_from_entries_last_wins(
-                        F.expr(
-                            "transform(filter(split(_rawattrs, ';'),"
-                            " a -> a != ''),"
-                            " a -> struct(substring_index(a, '=', 1) AS key,"
-                            " CASE WHEN instr(a, '=') > 0"
-                            " THEN substr(a, instr(a, '=') + 1) ELSE '' END"
-                            " AS value))"
+                        F.transform(
+                            F.filter(
+                                F.split(attrs, ";"), lambda a: a != ""
+                            ),
+                            lambda a: F.struct(
+                                _attr_decode(
+                                    F.substring_index(a, "=", 1)
+                                ).alias("key"),
+                                _attr_decode(
+                                    F.when(
+                                        F.instr(a, "=") > 0,
+                                        F.substr(
+                                            a, F.instr(a, "=") + F.lit(1)
+                                        ),
+                                    ).otherwise(F.lit(""))
+                                ).alias("value"),
+                            ),
                         )
                     )
                 ),
@@ -102,7 +150,12 @@ def write_gff(df: DataFrame, path: str) -> None:
     ``##gff-version 3`` directive through the shared part-concat machinery
     (scheme fast path when available).  NULL optional fields write the
     spec placeholder '.'; the attribute map writes sorted by key so the
-    output is deterministic under Spark's unordered map semantics."""
+    output is deterministic under Spark's unordered map semantics.
+    Attribute keys/values percent-encode the spec's reserved characters
+    (tab, newline, CR, '%', ';', '=', '&' — see ``_ATTR_ESCAPES``), so a
+    value like ``a;b`` round-trips instead of silently reparsing as two
+    attributes; NULL attribute values raise (they have no faithful
+    on-disk form and array_join would silently drop them)."""
     from .merger import merge_parts
 
     # fail-loud on NULL mandatory fields: concat_ws silently SKIPS NULL
@@ -126,11 +179,26 @@ def write_gff(df: DataFrame, path: str) -> None:
     ).otherwise(score.cast("string"))
     attr_txt = F.when(
         F.col("attributes").isNull() | (F.size("attributes") == 0), F.lit(".")
+    ).when(
+        # fail-loud on NULL map values: concat(k,'=',NULL) is NULL and
+        # array_join silently DROPS null elements — the attribute would
+        # vanish from the file with no error (read never produces NULL
+        # values, so there is no faithful on-disk representation either)
+        F.exists(F.map_values("attributes"), lambda v: v.isNull()),
+        F.raise_error(
+            F.lit("write_gff: NULL attribute value — GFF3 attribute maps "
+                  "must be map<string,string NOT NULL>; use '' or drop "
+                  "the key")
+        ),
     ).otherwise(
         F.array_join(
-            F.expr(
-                "transform(array_sort(map_keys(attributes)),"
-                " k -> concat(k, '=', attributes[k]))"
+            F.transform(
+                F.array_sort(F.map_keys("attributes")),
+                lambda k: F.concat(
+                    _attr_encode(k),
+                    F.lit("="),
+                    _attr_encode(F.element_at(F.col("attributes"), k)),
+                ),
             ),
             ";",
         )

@@ -160,6 +160,20 @@ def schema_ordered(canonical: list[str], wanted) -> list[str]:
     return [c for c in canonical if c in wanted]
 
 
+def project_columns(
+    df: DataFrame, canonical: list[str], columns, kind: str
+) -> DataFrame:
+    """The validate-then-project step every TEXT-format pruned facade
+    shares (SAM, VCF, GFF — formats whose sources decode the full record
+    anyway, so pruning is a post-parse ``select`` that still lets
+    Catalyst drop the dead parse expressions).  Binary sources (BAM/
+    CRAM/BCF) instead take ``columns=`` natively and skip decode work.
+    Keeping the contract in one helper stops the validation/ordering
+    pair drifting apart as more text facades grow pruning."""
+    validate_columns(columns, canonical, kind)
+    return df.select(*schema_ordered(canonical, columns))
+
+
 def with_alignment_span(reads: DataFrame) -> DataFrame:
     """Add end_pos (1-based inclusive alignment end; = pos for unmapped/'*'
     cigar) — the overlap axis for interval queries."""

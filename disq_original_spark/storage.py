@@ -91,10 +91,9 @@ class ReadsStorage:
                 stringency=self.stringency,
             )
             if columns is not None:
-                from .sources.sam import READS_COLUMNS, schema_ordered, validate_columns
+                from .sources.sam import READS_COLUMNS, project_columns
 
-                validate_columns(columns, READS_COLUMNS, "reads")
-                df = df.select(*schema_ordered(READS_COLUMNS, columns))
+                df = project_columns(df, READS_COLUMNS, columns, "reads")
             return df
         kw = {"split_size": self.split_size} if self.split_size else {}
         # CramSource prunes planning via the .crai and applies the shared
@@ -196,11 +195,10 @@ class VariantsStorage:
             self.spark, path, intervals=intervals, stringency=self.stringency, **kw
         )
         if columns is not None:
-            from .sources.sam import schema_ordered, validate_columns
+            from .sources.sam import project_columns
             from .sources.vcf import VARIANTS_COLUMNS
 
-            validate_columns(columns, VARIANTS_COLUMNS, "variants")
-            df = df.select(*schema_ordered(VARIANTS_COLUMNS, columns))
+            df = project_columns(df, VARIANTS_COLUMNS, columns, "variants")
         return df
 
     def write(

@@ -91,6 +91,64 @@ def test_write_null_mandatory_field_fails_loud(spark, tmp_path):
     assert Path(out).read_text().splitlines()[1].endswith("\t.")
 
 
+def test_attribute_escaping_roundtrip(spark, tmp_path):
+    """Reserved characters inside attribute text must percent-encode on
+    write and decode on read — a literal ';' written verbatim would
+    silently reparse as two attributes ('Note=a;b' -> {'Note':'a','b':''}).
+    ',' is exempt both ways: the comma-joined multi-value string IS this
+    source's surface representation."""
+    df = spark.createDataFrame(
+        [(
+            "chr1", None, "gene", 10, 99, None, None, None,
+            {
+                "Note": "a;b=c&d%e\tf",
+                "Parent": "t1,t2",          # multi-value: comma untouched
+                "we;rd=key": "v",
+                "Lit": "%3B",               # literal percent-triplet
+            },
+        )],
+        "seqid string, source string, type string, start long, end long,"
+        " score double, strand string, phase string,"
+        " attributes map<string,string>",
+    )
+    out = str(tmp_path / "esc.gff3")
+    write_gff(df, out)
+    line = Path(out).read_text().splitlines()[1]
+    field9 = line.split("\t")[8]
+    assert field9 == (
+        "Lit=%253B;Note=a%3Bb%3Dc%26d%25e%09f;Parent=t1,t2;we%3Brd%3Dkey=v"
+    )
+    back = GffSource().read(spark, out).first()
+    assert back["attributes"] == {
+        "Note": "a;b=c&d%e\tf",
+        "Parent": "t1,t2",
+        "we;rd=key": "v",
+        "Lit": "%3B",
+    }
+    # wild-file lowercase hex decodes too
+    p = tmp_path / "lower.gff3"
+    p.write_text("chr1\t.\tgene\t1\t9\t.\t+\t.\tNote=a%3bb%0ac\n")
+    got = GffSource().read(spark, str(p)).first()
+    assert got["attributes"] == {"Note": "a;b\nc"}
+
+
+def test_write_null_attribute_value_fails_loud(spark, tmp_path):
+    """A NULL map value has no faithful on-disk form (read never produces
+    NULL values) and array_join would silently drop the whole entry —
+    the sink must raise, mirroring the mandatory-field guard."""
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [("chr1", None, "gene", 10, 99, None, None, None,
+          {"ID": "g1", "Note": None})],
+        "seqid string, source string, type string, start long, end long,"
+        " score double, strand string, phase string,"
+        " attributes map<string,string>",
+    )
+    with _pytest.raises(Exception, match="NULL attribute value"):
+        write_gff(df, str(tmp_path / "nullattr.gff3"))
+
+
 def test_write_roundtrip(spark, tmp_path):
     src = GffSource().read(spark, FIXTURE)
     out = str(tmp_path / "out.gff3")

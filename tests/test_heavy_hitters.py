@@ -150,6 +150,49 @@ def test_t17_small_cap_end_to_end(spark, monkeypatch, tmp_path):
     assert got == want
 
 
+def test_t17_worker_sentinel_and_case_contract():
+    """The MG worker must (a) emit exactly one NULL-token sentinel row
+    carrying the EXACT partition token count — that is where the query
+    gets N without a third corpus scan — and (b) never lowercase in
+    Python: the builder feeds engine-lowered text because JVM
+    toLowerCase() is default-locale-sensitive off the ASCII path, so a
+    worker that re-lowered 'FOO' would silently diverge from the engine
+    under e.g. tr_TR executors."""
+    import pandas as pd
+
+    from disq_original_spark.queries.textops import _t17_candidates
+
+    worker = _t17_candidates(cap=8)
+    batches = [
+        pd.DataFrame({"text": ["FOO foo bar", None, "  "]}),
+        pd.DataFrame({"text": ["bar \xa0foo"]}),
+    ]
+    (out,) = list(worker(iter(batches)))
+    sentinels = out[out["token"].isnull()]
+    assert len(sentinels) == 1
+    assert int(sentinels["weight"].iloc[0]) == 5  # FOO foo bar | bar \xa0foo
+    got = dict(zip(out["token"], out["weight"]))
+    # vocab (5) < cap: residuals are exact counts; 'FOO' stays uppercase
+    assert got["FOO"] == 1 and got["foo"] == 1 and got["bar"] == 2
+    assert got["\xa0foo"] == 1
+
+
+def test_t17_single_mg_pass_reused(spark, sf_dir):
+    """Threshold (N) and candidate branches must both read the persisted
+    MG aggregate, not re-run the Python sketch: the plan shows an
+    in-memory scan and no second mapInPandas over documents."""
+    from disq_original_spark.cache import release_persists
+
+    try:
+        df = QUERIES["t17_heavy_hitters"].build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # both the broadcast threshold side and the candidate side hit
+        # the cache — two InMemoryTableScans over one cached MG aggregate
+        assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+    finally:
+        release_persists()
+
+
 def test_t17_plan_broadcast_semi_recount(spark, sf_dir):
     """The recount pass must filter the token stream with a BROADCAST semi
     join on the candidate set — a shuffled semi join here would re-create
