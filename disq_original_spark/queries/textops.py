@@ -1222,3 +1222,79 @@ def t17(spark: SparkSession, sf: str) -> DataFrame:
         .select("rank", "token", "cnt")
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------- t18 chunking
+# W/S sized to the shipped corpus (p99 ≈ 97 tokens/doc) so full windows,
+# overlapping interiors AND short tails all execute at every SF; a
+# production RAG pipeline would run the same plan at e.g. 512/384.
+_T18_W = 32  # tokens per chunk (the RAG/context-window width)
+_T18_S = 24  # stride between chunk starts (W - S = 8 tokens of overlap)
+
+
+@query(
+    "t18_chunk_windows",
+    rf"""WITH d AS (
+           SELECT doc_id,
+                  list_filter(string_split_regex(text, '[ \t\n\x0b\f\r]+'),
+                              tc -> tc <> '') AS toks
+           FROM documents WHERE text IS NOT NULL),
+         k AS (SELECT doc_id, toks, len(toks) AS n
+               FROM d WHERE len(toks) > 0)
+         SELECT doc_id, kk AS chunk_id,
+                least({_T18_W}, n - kk * {_T18_S}) AS n_tokens,
+                md5(array_to_string(
+                      list_slice(toks, kk * {_T18_S} + 1,
+                                 kk * {_T18_S} + least({_T18_W},
+                                                       n - kk * {_T18_S})),
+                      ' ')) AS chunk_fp
+         FROM k, unnest(generate_series(0, (n - 1) // {_T18_S})) AS t(kk)
+         ORDER BY doc_id, chunk_id""",
+    doc=f"Sliding-window document chunking (RAG indexing / context-window "
+    f"prep): each document splits into {_T18_W}-token chunks whose starts "
+    f"advance by {_T18_S} tokens ({_T18_W - _T18_S} tokens of overlap so "
+    "no answer span is ever cut without a copy), chunk k covering tokens "
+    "[k·S+1, k·S+W] with a shorter tail; whitespace-only and empty "
+    "documents drop.  Emits (doc_id, chunk_id, n_tokens, chunk_fp) with "
+    "the md5 fingerprint pinning the exact chunk text cross-engine while "
+    "keeping the output slim (the text itself would multiply the corpus "
+    "by ~W/S in the result set).\n\n"
+    "Scale shape: the entire operator is scan → codegen project → "
+    "explode — NO shuffle, no Python, no lambda re-evaluation (split/"
+    "slice/array_join are native collection ops; the one filter lambda "
+    "runs once per token array).  At 100 TB it is embarrassingly "
+    "parallel and output-bound; the final ORDER BY is presentation-only "
+    "for the bounded driver compare and would be dropped in a pipeline "
+    "sink.  Tokenization is the raw whitespace split (NO lowercasing or "
+    "trim — chunks must preserve the original text; leading/trailing "
+    "whitespace yields empty tokens the filter drops on both engines).",
+)
+def t18(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.col("text"), r"[ \t\n\x0b\f\r]+"), lambda x: x != ""
+    )
+    base = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    ks = F.sequence(
+        F.lit(0).cast("long"),
+        F.floor((F.col("n") - 1) / F.lit(_T18_S)),
+    )
+    ch = base.select("doc_id", "toks", "n", F.explode(ks).alias("chunk_id"))
+    ln = F.least(
+        F.lit(_T18_W).cast("long"),
+        F.col("n") - F.col("chunk_id") * _T18_S,
+    )
+    chunk = F.slice(
+        F.col("toks"), (F.col("chunk_id") * _T18_S + 1).cast("int"), ln.cast("int")
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id"),
+        ln.alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_id")

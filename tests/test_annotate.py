@@ -1,0 +1,147 @@
+"""g26 variant annotation: classification semantics on synthetic gene
+models (every class, both nearest sides, all tie-breaks, the degenerate
+contigs), the broadcast binned-join plan contract, and freshness of the
+generated HiSeq-range annotation fixture.  Whole-fixture oracle parity
+runs in tests/test_oracle.py like every registered query."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from disq_original_spark.operators.annotate import annotate_variants, gene_features
+from disq_original_spark.queries import QUERIES
+
+FIXTURE = str(
+    Path(__file__).resolve().parent.parent / "fixtures" / "annotation_hiseq.gff3"
+)
+
+
+def _frames(spark, genes, exons, bounds):
+    g = spark.createDataFrame(
+        genes, "contig string, gstart long, gend long, gene_id string"
+    )
+    e = spark.createDataFrame(
+        exons, "contig string, fstart long, fend long, gene_id string"
+    )
+    b = spark.createDataFrame(bounds, "contig string, contig_end long")
+    return g, e, b
+
+
+def _annotate(spark, variants, genes, exons, bounds, bin_size=64):
+    v = spark.createDataFrame(variants, "contig string, pos long")
+    g, e, b = _frames(spark, genes, exons, bounds)
+    out = annotate_variants(v, g, e, b, bin_size=bin_size)
+    return {(r["contig"], r["pos"]): (r["vclass"], r["gene_id"], r["dist"])
+            for r in out.collect()}
+
+
+def test_classes_and_nearest_sides(spark):
+    # gene A [100,200] with exon [120,140]; gene B [400,500]
+    genes = [("c", 100, 200, "gA"), ("c", 400, 500, "gB")]
+    exons = [("c", 120, 140, "gA")]
+    bounds = [("c", 1000)]
+    got = _annotate(
+        spark,
+        [("c", 130), ("c", 150), ("c", 250), ("c", 380), ("c", 50), ("c", 700),
+         ("c", 300)],
+        genes, exons, bounds,
+    )
+    assert got[("c", 130)] == ("exonic", "gA", 0)
+    assert got[("c", 150)] == ("intronic", "gA", 0)
+    assert got[("c", 250)] == ("intergenic", "gA", 50)   # left nearer
+    assert got[("c", 380)] == ("intergenic", "gB", 20)   # right nearer
+    assert got[("c", 50)] == ("intergenic", "gA", 50)    # leading gap: right only
+    assert got[("c", 700)] == ("intergenic", "gB", 200)  # trailing gap: left only
+    # equidistant (200..400 midpoint): min gene_id wins
+    assert got[("c", 300)] == ("intergenic", "gA", 100)
+
+
+def test_overlapping_genes_and_tiebreaks(spark):
+    # overlapping genes: gZ [100,300] and gA [200,400]; exon only in gZ
+    genes = [("c", 100, 300, "gZ"), ("c", 200, 400, "gA")]
+    exons = [("c", 250, 260, "gZ")]
+    bounds = [("c", 1000)]
+    got = _annotate(
+        spark, [("c", 255), ("c", 220), ("c", 350), ("c", 500)],
+        genes, exons, bounds,
+    )
+    # exon beats intron even though gA also spans 255
+    assert got[("c", 255)] == ("exonic", "gZ", 0)
+    # multi-gene intron hit: lexicographically smallest id
+    assert got[("c", 220)] == ("intronic", "gA", 0)
+    assert got[("c", 350)] == ("intronic", "gA", 0)
+    # the island's max-end gene (gA, end 400) flanks the trailing gap
+    assert got[("c", 500)] == ("intergenic", "gA", 100)
+
+
+def test_degenerate_contigs_and_edges(spark):
+    genes = [("c", 100, 200, "gA"), ("c", 201, 300, "gB")]  # book-ended
+    exons = []
+    bounds = [("c", 1000)]  # note: contig "nogenes" and "nobound" unbounded
+    got = _annotate(
+        spark,
+        [("c", 200), ("c", 201), ("nogenes", 50), ("c", 1000)],
+        genes + [("nobound", 10, 20, "gN")], exons, bounds,
+    )
+    # boundary positions belong to the genes (closed intervals), and the
+    # book-ended pair leaves no gap row between them
+    assert got[("c", 200)] == ("intronic", "gA", 0)
+    assert got[("c", 201)] == ("intronic", "gB", 0)
+    # contig with no gene model: intergenic with nothing to measure
+    assert got[("nogenes", 50)] == ("intergenic", None, None)
+    # bound position itself is inside the trailing gap
+    assert got[("c", 1000)] == ("intergenic", "gB", 700)
+
+
+def test_no_bound_no_trailing_gap(spark):
+    """A contig missing from bounds gets NO trailing gap: a variant past
+    the last gene surfaces as NULL-annotated intergenic (loud in any
+    oracle comparison) instead of silently mis-measured."""
+    got = _annotate(
+        spark, [("u", 500), ("u", 5)],
+        [("u", 10, 20, "gU")], [], [("other", 99)],
+    )
+    assert got[("u", 500)] == ("intergenic", None, None)
+    # the LEADING gap needs no bound — it still measures
+    assert got[("u", 5)] == ("intergenic", "gU", 5)
+
+
+def test_duplicate_loci_collapse(spark):
+    got = _annotate(
+        spark, [("c", 150), ("c", 150), ("c", 150)],
+        [("c", 100, 200, "gA")], [], [("c", 400)],
+    )
+    assert len(got) == 1 and got[("c", 150)] == ("intronic", "gA", 0)
+
+
+def test_gene_features_resolves_parent_hop(spark):
+    from disq_original_spark.sources.gff import GffSource
+
+    genes, exons = gene_features(GffSource().read(spark, FIXTURE))
+    g = genes.count()
+    assert g == 140
+    # every exon resolved to a gene that exists
+    assert (
+        exons.join(genes.select("gene_id"), "gene_id", "left_anti").count() == 0
+    )
+
+
+def test_g26_plan_broadcast_binned(spark):
+    """The variant stream must pay ONE broadcast hash equi-join — a
+    BroadcastNestedLoopJoin or cartesian product here is the O(rows ×
+    intervals) shape the binning exists to avoid."""
+    df = QUERIES["g26_variant_annotation"].build(spark, "ignored")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hiseq_fixture_fresh():
+    """The committed fixture must be exactly what the generator produces —
+    a drifted fixture would silently anchor g26's oracle to stale data."""
+    import tools.build_annotation_fixture as gen
+
+    assert gen.build_hiseq() == Path(FIXTURE).read_text()

@@ -70,8 +70,76 @@ def build() -> str:
     return "\n".join(lines) + "\n"
 
 
+OUT_HISEQ = REPO / "fixtures" / "annotation_hiseq.gff3"
+
+
+def build_hiseq() -> str:
+    """Gene models spanning the HiSeq VCF's chr1 variant range (positions
+    109..5,235,136) for g26_variant_annotation: ~115 genes with exon
+    structure, every ~9th gene given an OVERLAPPING companion gene (so
+    the multi-hit exonic/intronic tie-break paths actually execute), and
+    a ``##sequence-region`` bound past the last variant — the trailing
+    intergenic gap derives from it.  Deterministic (seeded); freshness
+    pinned alongside the g25 fixture."""
+    rng = random.Random(7)
+    lines = ["##gff-version 3", "##sequence-region chr1 1 6000000"]
+    gid = 0
+    cursor = 2000
+    while cursor < 5_150_000:
+        gid += 1
+        gene_id = f"hg{gid:03d}"
+        strand = rng.choice(["+", "-"])
+        n_slots = rng.randint(2, 6)
+        slots = []
+        pos = cursor
+        for _ in range(n_slots):
+            length = rng.randint(150, 900)
+            slots.append((pos, pos + length - 1))
+            pos += length + rng.randint(100, 1200)
+        gene_start, gene_end = slots[0][0], slots[-1][1]
+        lines.append(
+            f"chr1\ttestsrc\tgene\t{gene_start}\t{gene_end}\t."
+            f"\t{strand}\t.\tID={gene_id};Name=H{gid:03d}"
+        )
+        tx_id = f"{gene_id}.t1"
+        lines.append(
+            f"chr1\ttestsrc\tmRNA\t{gene_start}\t{gene_end}\t."
+            f"\t{strand}\t.\tID={tx_id};Parent={gene_id}"
+        )
+        for e, (s, x) in enumerate(slots, start=1):
+            lines.append(
+                f"chr1\ttestsrc\texon\t{s}\t{x}\t.\t{strand}"
+                f"\t.\tID={tx_id}.e{e};Parent={tx_id}"
+            )
+        span_end = gene_end
+        if gid % 9 == 0:
+            # overlapping companion: starts inside the gene, sometimes
+            # nested (ends inside), sometimes staggered (ends past it)
+            gid += 1
+            comp_id = f"hg{gid:03d}"
+            c_start = (gene_start + gene_end) // 2
+            c_end = gene_end + rng.choice([-300, 1500])
+            c_end = max(c_end, c_start + 200)
+            lines.append(
+                f"chr1\ttestsrc\tgene\t{c_start}\t{c_end}\t."
+                f"\t{strand}\t.\tID={comp_id};Name=H{gid:03d}"
+            )
+            ctx = f"{comp_id}.t1"
+            lines.append(
+                f"chr1\ttestsrc\tmRNA\t{c_start}\t{c_end}\t."
+                f"\t{strand}\t.\tID={ctx};Parent={comp_id}"
+            )
+            lines.append(
+                f"chr1\ttestsrc\texon\t{c_start}\t{c_start + 150}\t.\t{strand}"
+                f"\t.\tID={ctx}.e1;Parent={ctx}"
+            )
+            span_end = max(span_end, c_end)
+        cursor = span_end + rng.randint(3_000, 75_000)
+    return "\n".join(lines) + "\n"
+
+
 if __name__ == "__main__":
-    text = build()
-    OUT.write_text(text)
-    n = sum(1 for ln in text.splitlines() if ln and not ln.startswith("#"))
-    print(f"wrote {OUT} ({n} feature lines)")
+    for out, text in ((OUT, build()), (OUT_HISEQ, build_hiseq())):
+        out.write_text(text)
+        n = sum(1 for ln in text.splitlines() if ln and not ln.startswith("#"))
+        print(f"wrote {out} ({n} feature lines)")
