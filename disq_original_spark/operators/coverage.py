@@ -1,0 +1,130 @@
+"""Depth-of-coverage operators over aligned-read span tables: the codegen
+CIGAR→span fold shared by the depth queries, and run-length coverage
+statistics (per-contig depth histogram + exact Gini uniformity) computed
+WITHOUT per-base explosion.
+
+Why run-length: ``samtools depth``-style per-base explode (g13) is the
+right shape for a bounded region, but a whole-contig uniformity metric
+over a 249 Mbp contig would materialize 2.5e8 rows per contig per metric.
+The delta-event walk instead emits TWO rows per aligned span (+1 at s,
+−1 at e+1), aggregates deltas per breakpoint, and reconstructs constant-
+depth RUNS with one running-sum window per contig — O(spans), not
+O(bases).  The Gini then needs only the (depth → covered-bases) histogram,
+which is tiny (distinct depths per contig ≤ max pileup), and stays in
+exact integer arithmetic end-to-end: the classic identity
+G = (2·Σᵢ i·xᵢ − (N+1)·Σ xᵢ) / (N·Σ xᵢ) over the sorted per-base depth
+multiset, with each equal-depth block's rank sum folded in closed form
+((cum·(cum+1) − prev·(prev+1)) div 2 — always even, so integer division
+is exact).  Emitting the (numerator, denominator) PAIR keeps the result
+integer-exact cross-engine; consumers divide.  BIGINT headroom: num ≤
+2·max_depth·N², ~5e14 at this fixture and safe to ~1e8 covered bases at
+1000× pileup — a full-genome deployment would cast the two product terms
+to DECIMAL(38,0), same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def aligned_spans_expr(pos: Column) -> Column:
+    """array<struct<s,e>> of aligned reference spans from the ``cigar``
+    column: one codegen fold — M/=/X emit a span and advance the
+    reference offset, D/N advance silently (matching samtools' exclusion
+    of deletion/skip gaps from depth), I/S/H/P consume no reference.  No
+    UDF, no per-op Python; mirrored independently by
+    ``tools/build_oracle_fixtures.aligned_spans`` (Python re walk)."""
+    lens = F.transform(
+        F.regexp_extract_all("cigar", F.lit(r"(\d+)[MIDNSHP=X]"), 1),
+        lambda x: x.cast("long"),
+    )
+    ops = F.regexp_extract_all("cigar", F.lit(r"\d+([MIDNSHP=X])"), 1)
+    init = F.struct(
+        F.lit(0).cast("long").alias("off"),
+        F.array().cast("array<struct<s:bigint,e:bigint>>").alias("spans"),
+    )
+    return F.aggregate(
+        F.zip_with(lens, ops, lambda l, o: F.struct(l.alias("l"), o.alias("o"))),
+        init,
+        lambda acc, x: F.struct(
+            (
+                acc["off"]
+                + F.when(x["o"].isin("M", "=", "X", "D", "N"), x["l"]).otherwise(0)
+            ).alias("off"),
+            F.when(
+                x["o"].isin("M", "=", "X"),
+                F.concat(
+                    acc["spans"],
+                    F.array(
+                        F.struct(
+                            (pos + acc["off"]).alias("s"),
+                            (pos + acc["off"] + x["l"] - 1).alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(acc["spans"]).alias("spans"),
+        ),
+    )["spans"]
+
+
+def coverage_gini(spans: DataFrame) -> DataFrame:
+    """Per-contig coverage statistics over COVERED bases (depth ≥ 1) from
+    an aligned-span table (rname, s, e) — closed 1-based coordinates,
+    spans may overlap arbitrarily.
+
+    Returns (rname, n_covered, total_depth, max_depth, gini_num,
+    gini_den), all BIGINT; gini_num/gini_den is the exact Gini
+    coefficient of the per-base depth distribution (0 = perfectly
+    uniform).  Scale shape: two slim shuffles keyed on (rname, p) then
+    (rname, depth), two per-contig windows (contig count is O(100); a
+    single pathological contig would range-partition on (rname, p) with
+    boundary fix-up, which the run representation admits), and a final
+    per-contig aggregate.  Nothing explodes per-base.
+    """
+    from pyspark.sql import Window
+
+    ev = spans.select(
+        "rname", F.col("s").alias("p"), F.lit(1).alias("d")
+    ).unionByName(
+        spans.select("rname", (F.col("e") + 1).alias("p"), F.lit(-1).alias("d"))
+    )
+    deltas = ev.groupBy("rname", "p").agg(F.sum("d").alias("delta"))
+    w = Window.partitionBy("rname").orderBy("p")
+    runs = deltas.select(
+        "rname",
+        "p",
+        F.sum("delta").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("depth"),
+        F.lead("p").over(w).alias("np"),
+    )
+    # the final breakpoint of each contig always closes to depth 0, so the
+    # np IS NULL row carries no covered bases by construction
+    cov = (
+        runs.filter((F.col("depth") >= 1) & F.col("np").isNotNull())
+        .groupBy("rname", "depth")
+        .agg(F.sum(F.col("np") - F.col("p")).alias("c"))
+    )
+    wd = Window.partitionBy("rname").orderBy("depth")
+    ranked = cov.withColumn(
+        "cum", F.sum("c").over(wd.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn(
+        # rank sum of an equal-depth block over the sorted per-base
+        # multiset; the difference of consecutive triangular numbers is
+        # always even, so `div` is exact
+        "ranksum",
+        F.expr("(cum * (cum + 1) - (cum - c) * (cum - c + 1)) div 2"),
+    )
+    return (
+        ranked.groupBy("rname")
+        .agg(
+            F.sum("c").alias("n_covered"),
+            F.sum(F.col("depth") * F.col("c")).alias("total_depth"),
+            F.max("depth").alias("max_depth"),
+            (
+                2 * F.sum(F.col("depth") * F.col("ranksum"))
+                - (F.sum("c") + 1) * F.sum(F.col("depth") * F.col("c"))
+            ).alias("gini_num"),
+            (F.sum("c") * F.sum(F.col("depth") * F.col("c"))).alias("gini_den"),
+        )
+        .orderBy("rname")
+    )

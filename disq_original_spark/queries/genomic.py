@@ -780,40 +780,12 @@ def g13(spark: SparkSession, sf: str) -> DataFrame:
         intervals=iv,
         columns=["flag", "rname", "pos", "cigar"],
     )
-    lens = F.transform(
-        F.regexp_extract_all("cigar", F.lit(r"(\d+)[MIDNSHP=X]"), 1),
-        lambda x: x.cast("long"),
-    )
-    ops = F.regexp_extract_all("cigar", F.lit(r"\d+([MIDNSHP=X])"), 1)
-    # One fold builds the aligned spans: state = (ref offset, spans so far).
-    # M/=/X emit a span and advance; D/N advance silently; I/S/H/P are
-    # query-only.  All inside codegen — no UDF, no per-op Python.
-    init = F.struct(
-        F.lit(0).cast("long").alias("off"),
-        F.array().cast("array<struct<s:bigint,e:bigint>>").alias("spans"),
-    )
-    walked = F.aggregate(
-        F.zip_with(lens, ops, lambda l, o: F.struct(l.alias("l"), o.alias("o"))),
-        init,
-        lambda acc, x: F.struct(
-            (
-                acc["off"]
-                + F.when(x["o"].isin("M", "=", "X", "D", "N"), x["l"]).otherwise(0)
-            ).alias("off"),
-            F.when(
-                x["o"].isin("M", "=", "X"),
-                F.concat(
-                    acc["spans"],
-                    F.array(
-                        F.struct(
-                            (F.col("pos") + acc["off"]).alias("s"),
-                            (F.col("pos") + acc["off"] + x["l"] - 1).alias("e"),
-                        )
-                    ),
-                ),
-            ).otherwise(acc["spans"]).alias("spans"),
-        ),
-    )["spans"]
+    # One codegen fold builds the aligned spans (M/=/X emit, D/N advance
+    # silently, I/S/H/P query-only) — shared with g27's whole-file
+    # coverage walk
+    from ..operators.coverage import aligned_spans_expr
+
+    walked = aligned_spans_expr(F.col("pos"))
     mapped = reads.filter(
         (F.col("flag").bitwiseAND(4 + 256 + 2048) == 0)
         & (F.col("rname") == contig)
@@ -1735,21 +1707,80 @@ _GFF_HISEQ_CSV = (
 )
 def g26(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.annotate import annotate_variants, gene_features
-    from ..sources.gff import GffSource
+    from ..sources.gff import GffSource, read_sequence_regions
     from ..sources.vcf import VcfSource
 
     gff = GffSource().read(spark, _GFF_HISEQ_PATH)
     genes, exons = gene_features(gff)
-    bounds = (
-        spark.read.text(_GFF_HISEQ_PATH)
-        .filter(F.col("value").startswith("##sequence-region"))
-        .select(F.split(F.trim(F.col("value")), r"\s+").alias("t"))
-        .select(
-            F.col("t")[1].alias("contig"),
-            F.col("t")[3].cast("long").alias("contig_end"),
-        )
-    )
+    bounds = read_sequence_regions(spark, _GFF_HISEQ_PATH)
     v = VcfSource().read(
         spark, f"{_FIXTURES}/HiSeq.10000.vcf.bgz", split_size=256 * 1024
     ).select("contig", "pos")
     return annotate_variants(v, genes, exons, bounds).orderBy("contig", "pos")
+
+
+# ------------------------------------------ g27 coverage uniformity (Gini)
+@query(
+    "g27_coverage_uniformity",
+    f"""WITH ev AS (
+          SELECT rname, s AS p, 1 AS d FROM {_SPANS}
+          UNION ALL
+          SELECT rname, e + 1 AS p, -1 AS d FROM {_SPANS}),
+        deltas AS (SELECT rname, p, sum(d) AS delta FROM ev GROUP BY 1, 2),
+        runs AS (SELECT rname, p,
+                        sum(delta) OVER (PARTITION BY rname ORDER BY p)
+                          AS depth,
+                        lead(p) OVER (PARTITION BY rname ORDER BY p) AS np
+                 FROM deltas),
+        cov AS (SELECT rname, depth, CAST(sum(np - p) AS BIGINT) AS c
+                FROM runs WHERE depth >= 1 AND np IS NOT NULL
+                GROUP BY 1, 2),
+        ranked AS (SELECT rname, depth, c,
+                          sum(c) OVER (PARTITION BY rname ORDER BY depth)
+                            AS cum
+                   FROM cov),
+        g AS (SELECT rname, depth, c, cum,
+                     (cum * (cum + 1) - (cum - c) * (cum - c + 1)) // 2
+                       AS ranksum
+              FROM ranked)
+        SELECT rname,
+               CAST(sum(c) AS BIGINT) AS n_covered,
+               CAST(sum(depth * c) AS BIGINT) AS total_depth,
+               CAST(max(depth) AS BIGINT) AS max_depth,
+               CAST(2 * sum(depth * ranksum)
+                    - (sum(c) + 1) * sum(depth * c) AS BIGINT) AS gini_num,
+               CAST(sum(c) * sum(depth * c) AS BIGINT) AS gini_den
+        FROM g GROUP BY rname ORDER BY rname""",
+    doc="Whole-file coverage-uniformity QC (operators/coverage.py): per "
+    "contig, covered-base count, total aligned depth, max pileup, and the "
+    "EXACT Gini coefficient of the per-base depth distribution as an "
+    "integer numerator/denominator pair (0 = perfectly even coverage — "
+    "the flagship evenness metric sequencing QC dashboards track).  "
+    "Computed by a delta-event run-length walk, NOT per-base explosion: "
+    "+1/−1 breakpoints per aligned span, one running-sum window per "
+    "contig reconstructs constant-depth runs, and the Gini folds each "
+    "equal-depth block's rank sum in closed form — O(spans) rows where "
+    "g13's samtools-depth shape would be O(bases) (2.5e8 rows for one "
+    "chr1 at this metric's whole-contig scope).  Same eligibility as the "
+    "spans twin: primary, mapped, non-supplementary.  Oracle: DuckDB "
+    "runs the identical run-length math over the INDEPENDENT Python "
+    "CIGAR walk's span table — the span derivation and the windowed "
+    "run/Gini algebra are both cross-implemented.",
+)
+def g27(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.coverage import aligned_spans_expr, coverage_gini
+    from ..sources.bam import BamSource
+
+    reads = BamSource().read(
+        spark,
+        f"{_FIXTURES}/HiSeq.1mb.1RG.2k_lines.alternate.recalibrated.DIQ.sharded.bam",
+        columns=["flag", "rname", "pos", "cigar"],
+    )
+    mapped = reads.filter(
+        (F.col("flag").bitwiseAND(4 + 256 + 2048) == 0)
+        & F.col("rname").isNotNull()
+    )
+    spans = mapped.select(
+        "rname", F.explode(aligned_spans_expr(F.col("pos"))).alias("sp")
+    ).select("rname", F.col("sp.s").alias("s"), F.col("sp.e").alias("e"))
+    return coverage_gini(spans)

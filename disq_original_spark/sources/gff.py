@@ -145,12 +145,34 @@ class GffSource:
         )
 
 
-def write_gff(df: DataFrame, path: str) -> None:
+def read_sequence_regions(spark: SparkSession, path: str) -> DataFrame:
+    """(contig, contig_end) from the ``##sequence-region seqid start end``
+    directives — the declared contig bounds the annotation operators use
+    (e.g. the trailing intergenic gap in ``operators/annotate.py``).
+    A native text scan filtered to directive lines: O(file) but all
+    engine-side, and the result is a dimension (O(contigs) rows)."""
+    return (
+        spark.read.text(path)
+        .filter(F.col("value").startswith("##sequence-region"))
+        .select(F.split(F.trim(F.col("value")), r"\s+").alias("t"))
+        .select(
+            F.col("t")[1].alias("contig"),
+            F.col("t")[3].cast("long").alias("contig_end"),
+        )
+    )
+
+
+def write_gff(df: DataFrame, path: str, sequence_regions=None) -> None:
     """Single-file GFF3 sink: parallel text parts concatenated behind the
     ``##gff-version 3`` directive through the shared part-concat machinery
-    (scheme fast path when available).  NULL optional fields write the
-    spec placeholder '.'; the attribute map writes sorted by key so the
-    output is deterministic under Spark's unordered map semantics.
+    (scheme fast path when available).  ``sequence_regions`` — an iterable
+    of (seqid, start, end) — writes ``##sequence-region`` directives into
+    the header (a driver-side dimension, O(contigs)): the bounds the
+    variant-annotation operator's trailing intergenic gap derives from,
+    so model files written here round-trip that capability.  NULL
+    optional fields write the spec placeholder '.'; the attribute map
+    writes sorted by key so the output is deterministic under Spark's
+    unordered map semantics.
     Attribute keys/values percent-encode the spec's reserved characters
     (tab, newline, CR, '%', ';', '=', '&' — see ``_ATTR_ESCAPES``), so a
     value like ``a;b`` round-trips instead of silently reparsing as two
@@ -215,6 +237,9 @@ def write_gff(df: DataFrame, path: str) -> None:
         F.coalesce(F.col("phase"), F.lit(".")),
         attr_txt,
     )
+    header = "##gff-version 3\n"
+    for seqid, rstart, rend in sequence_regions or ():
+        header += f"##sequence-region {seqid} {rstart} {rend}\n"
     temp_dir = str(path) + ".parts"
     df.select(line.alias("value")).write.mode("overwrite").text(temp_dir)
-    merge_parts(temp_dir, path, header=b"##gff-version 3\n")
+    merge_parts(temp_dir, path, header=header.encode())

@@ -1,0 +1,83 @@
+"""coverage_gini run-length math: exact parity with a per-base brute
+force on synthetic span tables (overlap stacking, interior zero-gaps,
+multi-contig, randomized), uniformity ⇒ Gini 0, and the aligned-span
+fold's reuse contract.  Whole-fixture oracle parity for g27 runs in
+tests/test_oracle.py."""
+
+from __future__ import annotations
+
+import random
+
+from disq_original_spark.operators.coverage import coverage_gini
+from disq_original_spark.queries import QUERIES
+
+
+def _brute(spans):
+    """Per-base reference: explode every span, then the Gini identity
+    G = (2·Σ i·xᵢ − (N+1)·Σ x) / (N·Σ x) over the sorted depth multiset."""
+    depth: dict = {}
+    for rname, s, e in spans:
+        for p in range(s, e + 1):
+            depth[(rname, p)] = depth.get((rname, p), 0) + 1
+    out = {}
+    for rname in sorted({r for r, _ in depth}):
+        xs = sorted(v for (r, _), v in depth.items() if r == rname)
+        n, tot = len(xs), sum(xs)
+        num = 2 * sum(i * x for i, x in enumerate(xs, 1)) - (n + 1) * tot
+        out[rname] = (n, tot, max(xs), num, n * tot)
+    return out
+
+
+def _run(spark, spans):
+    df = spark.createDataFrame(spans, "rname string, s long, e long")
+    return {
+        r["rname"]: (
+            r["n_covered"], r["total_depth"], r["max_depth"],
+            r["gini_num"], r["gini_den"],
+        )
+        for r in coverage_gini(df).collect()
+    }
+
+
+def test_uniform_coverage_is_zero_gini(spark):
+    # two disjoint runs at identical depth 2 — perfectly even
+    spans = [("c", 10, 20), ("c", 10, 20), ("c", 50, 60), ("c", 50, 60)]
+    got = _run(spark, spans)
+    assert got == _brute(spans)
+    assert got["c"][3] == 0  # gini_num
+
+
+def test_overlap_stacking_and_gaps(spark):
+    spans = [
+        ("c", 1, 100), ("c", 50, 150), ("c", 90, 95),  # pileup to 3
+        ("c", 500, 510),                                # interior zero-gap
+        ("d", 7, 7),                                    # 1-base contig
+    ]
+    assert _run(spark, spans) == _brute(spans)
+
+
+def test_randomized_spans_match_bruteforce(spark):
+    rng = random.Random(11)
+    spans = []
+    for _ in range(120):
+        rname = rng.choice(["c1", "c2"])
+        s = rng.randrange(1, 400)
+        spans.append((rname, s, s + rng.randrange(0, 60)))
+    got = _run(spark, spans)
+    want = _brute(spans)
+    assert got == want
+    # sanity: randomized pileup is NOT uniform — the metric discriminates
+    assert any(v[3] > 0 for v in got.values())
+
+
+def test_g27_uses_shared_span_fold(spark):
+    """g13 and g27 must walk CIGARs through the one shared fold — the
+    Python twin in tools/build_oracle_fixtures.py mirrors exactly one
+    implementation."""
+    import inspect
+
+    import disq_original_spark.queries.genomic as g
+
+    src13 = inspect.getsource(g.g13)
+    src27 = inspect.getsource(g.g27)
+    assert "aligned_spans_expr" in src13 and "aligned_spans_expr" in src27

@@ -161,6 +161,42 @@ def test_write_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_sequence_region_roundtrip(spark, tmp_path):
+    """Bounds written by the sink must read back through
+    read_sequence_regions — the annotation operator's trailing-gap
+    capability survives a write→read cycle."""
+    from disq_original_spark.sources.gff import read_sequence_regions
+
+    df = spark.createDataFrame(
+        [("chr1", None, "gene", 10, 99, None, None, None, {"ID": "g1"})],
+        "seqid string, source string, type string, start long, end long,"
+        " score double, strand string, phase string,"
+        " attributes map<string,string>",
+    )
+    out = str(tmp_path / "b.gff3")
+    write_gff(df, out, sequence_regions=[("chr1", 1, 5000), ("chr2", 1, 900)])
+    head = Path(out).read_text().splitlines()[:3]
+    assert head == [
+        "##gff-version 3",
+        "##sequence-region chr1 1 5000",
+        "##sequence-region chr2 1 900",
+    ]
+    got = {
+        r["contig"]: r["contig_end"]
+        for r in read_sequence_regions(spark, out).collect()
+    }
+    assert got == {"chr1": 5000, "chr2": 900}
+    # fixture directives parse too (g26's bound source)
+    hs = {
+        r["contig"]: r["contig_end"]
+        for r in read_sequence_regions(
+            spark,
+            str(Path(FIXTURE).parent / "annotation_hiseq.gff3"),
+        ).collect()
+    }
+    assert hs == {"chr1": 6000000}
+
+
 def test_gzip_and_directory_read(spark, tmp_path):
     """gzip GFFs decompress through the native text reader, and a
     directory of files reads as one frame — both for free from the
