@@ -71,8 +71,9 @@ HEADLINE = [
     "g09_mark_duplicates",  # dupmark over the real BAM fixture
     "s09_nn_descent_round",  # edge-list local-join + exact re-rank path
     "d14_lsh_estimate_audit",  # persisted sig/hash reuse + exact-Jaccard path
-    # round-5 addition
+    # round-5 additions
     "t17_heavy_hitters",  # MG candidate sketch + broadcast-semi recount path
+    "t18_chunk_windows",  # no-shuffle scan->explode chunking path
 ]
 
 # VERDICT r3 directive #3: d04's r3 number was 1.59x its r2 sample while

@@ -7,23 +7,31 @@ Scale design (the whole point of the operator shape):
 
 - The gene model is a DIMENSION — a whole-genome GFF3 rolls up to a few
   hundred thousand slim (contig, start, end, ids) rows, megabytes — so
-  every heavy decision is precomputed ON the dimension and the variant
-  stream pays ONE broadcast hash join, map-side, no variant shuffle:
-  a 100 TB VCF lake annotates embarrassingly parallel.
+  every decision is precomputed ON the dimension and the variant stream
+  pays exactly ONE broadcast LEFT hash join plus a projection: no
+  groupBy, no re-join, zero variant-scale exchange — a 100 TB VCF lake
+  annotates embarrassingly parallel.
+- The dimension flattens to DISJOINT elementary segments: every gene/
+  exon/gap start and end+1 is a breakpoint, and each inter-breakpoint
+  segment precomputes its winning exon gene, gene-span gene, and gap
+  flank payload (containment joins + min aggregates, all O(features)
+  dimension-side; they run as tiny broadcast non-equi joins here and
+  would bin the same way as the fact join at full-genome dimension
+  size).  Disjoint + tiling means a variant matches EXACTLY one segment.
 - "Nearest gene" is turned from a search problem into an interval lookup:
   gene spans merge into islands (gaps-and-islands window over the tiny
   dimension, same shape as ``interval.merge_intervals``), and the GAPS
-  between consecutive islands become intervals that carry their flanking
-  genes (left = island's max-end gene, right = next island's min-start
-  gene).  A variant in a gap reads both candidate distances off the one
-  matched row — no sort-merge, no per-variant search.
-- Non-equi overlap predicates would force BroadcastNestedLoopJoin (O(rows
-  × intervals) per task); binning the dimension intervals into fixed-width
-  buckets converts the lookup into an EQUI join on (contig, bin) + a
-  residual range filter — the repo's established interval-algebra shape
-  (``queries/genomic.py`` g05/g08).  Gaps are bounded by the GFF3
-  ``##sequence-region`` directive, so even multi-megabase deserts explode
-  into a handful of dimension-side bins.
+  between consecutive islands carry their flanking genes (left = island's
+  max-end gene, right = next island's min-start gene).  A variant in a
+  gap segment reads both candidate distances off the one matched row —
+  no sort-merge, no per-variant search.
+- Non-equi overlap predicates on the FACT join would force
+  BroadcastNestedLoopJoin (O(rows × intervals) per task); binning the
+  segments into fixed-width buckets converts the lookup into an EQUI
+  join on (contig, bin) + a residual range condition — the repo's
+  established interval-algebra shape (``queries/genomic.py`` g05/g08).
+  Gaps are bounded by the GFF3 ``##sequence-region`` directive, so even
+  multi-megabase deserts explode into a handful of dimension-side bins.
 
 Tie-break contract (mirrored exactly by the g26 DuckDB oracle): any exon
 hit wins over gene-span hits; multiple hits of the winning kind resolve to
@@ -163,66 +171,99 @@ def annotate_variants(
     intronic / intergenic; dist = 0 inside a gene, distance to the
     nearest gene span otherwise (NULL when the contig has no bounded
     model to measure against).
+
+    The dimension is flattened into DISJOINT elementary segments before
+    the fact join: every gene/exon/gap start and end+1 is a breakpoint,
+    each inter-breakpoint segment precomputes its winning exon gene,
+    gene-span gene, and gap flank payload (containment joins + min
+    aggregates — all dimension-side, O(features)).  A variant locus
+    therefore matches EXACTLY ONE segment, so the entire variant-side
+    plan is one broadcast LEFT hash join + a projection: no groupBy, no
+    re-join, zero variant-scale exchange of any kind.
     """
     b = F.lit(bin_size)
+    gaps = _gap_intervals(genes, bounds)
+    bp = (
+        genes.select("contig", F.col("gstart").alias("p"))
+        .unionByName(genes.select("contig", (F.col("gend") + 1).alias("p")))
+        .unionByName(exons.select("contig", F.col("fstart").alias("p")))
+        .unionByName(exons.select("contig", (F.col("fend") + 1).alias("p")))
+        .unionByName(gaps.select("contig", F.col("start").alias("p")))
+        .unionByName(gaps.select("contig", (F.col("end") + 1).alias("p")))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("contig").orderBy("p")
+    seg = bp.select(
+        "contig",
+        F.col("p").alias("start"),
+        (F.lead("p").over(wp) - 1).alias("end"),
+    ).filter(F.col("end").isNotNull())
+    # segments never straddle a source-interval boundary (every boundary
+    # IS a breakpoint), so overlap == containment in the tag joins below
+    def _tag(src: DataFrame, s: str, e: str, agg: Column, name: str) -> DataFrame:
+        j = seg.alias("sg").join(
+            F.broadcast(src.alias("iv")),
+            (F.col("sg.contig") == F.col("iv.contig"))
+            & (F.col("sg.start") >= F.col(f"iv.{s}"))
+            & (F.col("sg.end") <= F.col(f"iv.{e}")),
+        )
+        return j.groupBy(
+            F.col("sg.contig").alias("contig"),
+            F.col("sg.start").alias("start"),
+        ).agg(agg.alias(name))
+
+    ex_tag = _tag(exons, "fstart", "fend", F.min("iv.gene_id"), "ex_gid")
+    g_tag = _tag(genes, "gstart", "gend", F.min("iv.gene_id"), "g_gid")
+    gap_tag = (
+        seg.alias("sg")
+        .join(
+            F.broadcast(gaps.alias("iv")),
+            (F.col("sg.contig") == F.col("iv.contig"))
+            & (F.col("sg.start") >= F.col("iv.start"))
+            & (F.col("sg.end") <= F.col("iv.end")),
+        )
+        .select(
+            F.col("sg.contig").alias("contig"),
+            F.col("sg.start").alias("start"),
+            "iv.left_id", "iv.left_end", "iv.right_id", "iv.right_start",
+        )
+    )
+    # dimension-side assembly joins are broadcast too: every frame here is
+    # O(features), and keeping the whole plan SortMergeJoin-free makes the
+    # "no variant-scale exchange" contract assertable from the plan text
     dim = (
-        exons.select(
-            "contig",
-            F.col("fstart").alias("start"),
-            F.col("fend").alias("end"),
-            F.lit("exon").alias("kind"),
-            "gene_id",
-            F.lit(None).cast("string").alias("left_id"),
-            F.lit(None).cast("long").alias("left_end"),
-            F.lit(None).cast("string").alias("right_id"),
-            F.lit(None).cast("long").alias("right_start"),
-        )
-        .unionByName(
-            genes.select(
-                "contig",
-                F.col("gstart").alias("start"),
-                F.col("gend").alias("end"),
-                F.lit("gene").alias("kind"),
-                "gene_id",
-                F.lit(None).cast("string").alias("left_id"),
-                F.lit(None).cast("long").alias("left_end"),
-                F.lit(None).cast("string").alias("right_id"),
-                F.lit(None).cast("long").alias("right_start"),
-            )
-        )
-        .unionByName(
-            _gap_intervals(genes, bounds).select(
-                "contig", "start", "end",
-                F.lit("gap").alias("kind"),
-                F.lit(None).cast("string").alias("gene_id"),
-                "left_id", "left_end", "right_id", "right_start",
-            )
+        seg.join(F.broadcast(ex_tag), ["contig", "start"], "left")
+        .join(F.broadcast(g_tag), ["contig", "start"], "left")
+        .join(F.broadcast(gap_tag), ["contig", "start"], "left")
+        .select(
+            "contig", "start", "end", "ex_gid", "g_gid",
+            "left_id", "left_end", "right_id", "right_start",
         )
     )
     dimb = dim.withColumn(
         "bin",
         F.explode(F.sequence(F.floor(F.col("start") / b), F.floor(F.col("end") / b))),
     )
-    loci = variants.select("contig", "pos").distinct()
-    hits = (
-        loci.withColumn("bin", F.floor(F.col("pos") / b))
-        .join(F.broadcast(dimb), ["contig", "bin"])
-        .filter((F.col("pos") >= F.col("start")) & (F.col("pos") <= F.col("end")))
+    loci = (
+        variants.select("contig", "pos")
+        .distinct()
+        .withColumn("bin", F.floor(F.col("pos") / b))
+        .alias("v")
     )
-    kind = F.col("kind")
-    agg = hits.groupBy("contig", "pos").agg(
-        F.min(F.when(kind == "exon", F.col("gene_id"))).alias("ex_gid"),
-        F.min(F.when(kind == "gene", F.col("gene_id"))).alias("g_gid"),
-        # at most one gap interval can contain a position (gaps are
-        # disjoint by construction), so max() just extracts the value
-        F.max(F.when(kind == "gap", F.col("left_id"))).alias("left_id"),
-        F.max(F.when(kind == "gap", F.col("left_end"))).alias("left_end"),
-        F.max(F.when(kind == "gap", F.col("right_id"))).alias("right_id"),
-        F.max(F.when(kind == "gap", F.col("right_start"))).alias("right_start"),
+    d = dimb.alias("d")
+    res = loci.join(
+        F.broadcast(d),
+        (F.col("v.contig") == F.col("d.contig"))
+        & (F.col("v.bin") == F.col("d.bin"))
+        & (F.col("v.pos") >= F.col("d.start"))
+        & (F.col("v.pos") <= F.col("d.end")),
+        "left",
     )
-    res = loci.join(agg, ["contig", "pos"], "left")
-    ldist = F.col("pos") - F.col("left_end")
-    rdist = F.col("right_start") - F.col("pos")
+    pos = F.col("v.pos")
+    ldist = pos - F.col("left_end")
+    rdist = F.col("right_start") - pos
     pick_left = F.col("left_id").isNotNull() & (
         F.col("right_id").isNull()
         | (ldist < rdist)
@@ -236,11 +277,12 @@ def annotate_variants(
         .otherwise(F.lit("intergenic"))
     )
     return res.select(
-        "contig",
-        "pos",
+        F.col("v.contig").alias("contig"),
+        pos.alias("pos"),
         vclass.alias("vclass"),
         F.coalesce(F.col("ex_gid"), F.col("g_gid"), near_id).alias("gene_id"),
         F.when(
-            F.col("ex_gid").isNotNull() | F.col("g_gid").isNotNull(), F.lit(0).cast("long")
+            F.col("ex_gid").isNotNull() | F.col("g_gid").isNotNull(),
+            F.lit(0).cast("long"),
         ).otherwise(near_dist.cast("long")).alias("dist"),
     )

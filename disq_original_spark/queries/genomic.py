@@ -1528,15 +1528,33 @@ _GFF_CSV = (
 )
 
 
+def _sql_attr_decode(expr: str) -> str:
+    """DuckDB replace-chain mirroring ``sources.gff._attr_decode`` (the
+    Spark read path %XX-decodes attribute keys/values, so the oracles'
+    raw-text ID/Parent slices must decode identically or an escaped id in
+    a future fixture would silently break gene joins on the oracle side
+    only).  Same ordering contract: specific codes first (both hex
+    cases), '%25' strictly last; control characters embed via chr() so
+    the generated SQL stays printable."""
+    from ..sources.gff import _ATTR_ESCAPES
+
+    sql_lit = {"\t": "chr(9)", "\n": "chr(10)", "\r": "chr(13)"}
+    for raw, code in reversed(_ATTR_ESCAPES):
+        lit = sql_lit.get(raw, "'" + raw.replace("'", "''") + "'")
+        for c in dict.fromkeys([code, code.lower()]):
+            expr = f"replace({expr}, '{c}', {lit})"
+    return expr
+
+
 @query(
     "g25_gff_gene_model",
     f"""WITH f AS (
           SELECT seqid, type, CAST(fstart AS BIGINT) AS fstart,
                  CAST(fend AS BIGINT) AS fend, strand,
-                 list_filter(string_split(attributes, ';'),
-                             a -> a LIKE 'ID=%')[-1][4:] AS id,
-                 list_filter(string_split(attributes, ';'),
-                             a -> a LIKE 'Parent=%')[-1][8:] AS parent
+                 {_sql_attr_decode("list_filter(string_split(attributes, ';'),"
+                                   " a -> a LIKE 'ID=%')[-1][4:]")} AS id,
+                 {_sql_attr_decode("list_filter(string_split(attributes, ';'),"
+                                   " a -> a LIKE 'Parent=%')[-1][8:]")} AS parent
           FROM {_GFF_CSV}
           WHERE seqid NOT LIKE '#%'),
         genes AS (SELECT id AS gene_id, seqid, fstart AS start,
@@ -1641,10 +1659,12 @@ _GFF_HISEQ_CSV = (
               FROM raw WHERE seqid LIKE '##sequence-region%'),
         f AS (SELECT seqid AS contig, type,
                      CAST(fstart AS BIGINT) AS fs, CAST(fend AS BIGINT) AS fe,
-                     list_filter(string_split(attributes, ';'),
-                                 a -> a LIKE 'ID=%')[-1][4:] AS id,
-                     list_filter(string_split(attributes, ';'),
-                                 a -> a LIKE 'Parent=%')[-1][8:] AS parent
+                     {_sql_attr_decode("list_filter(string_split(attributes,"
+                                       " ';'), a -> a LIKE 'ID=%')[-1][4:]")}
+                       AS id,
+                     {_sql_attr_decode("list_filter(string_split(attributes,"
+                                       " ';'), a -> a LIKE 'Parent=%')[-1]"
+                                       "[8:]")} AS parent
               FROM raw WHERE seqid NOT LIKE '#%'),
         genes AS (SELECT contig, fs AS gstart, fe AS gend, id AS gene_id
                   FROM f WHERE type = 'gene'),
@@ -1672,17 +1692,33 @@ _GFF_HISEQ_CSV = (
                                           ELSE iv.pos - g.gend END,
                                      g.gene_id) AS rn
                    FROM iv JOIN genes g ON iv.contig = g.contig) q
-                 WHERE rn = 1)
+                 WHERE rn = 1),
+        lastg AS (SELECT contig, max(gend) AS last_end FROM genes GROUP BY 1),
+        -- the operator's trailing gap exists only up to the declared
+        -- ##sequence-region bound: a variant past the last gene on an
+        -- unbounded contig, or past the bound itself, measures NOTHING
+        -- (NULL gene/dist) — mirror that rule instead of brute-forcing
+        -- an unbounded nearest the Spark side deliberately refuses
+        meas AS (SELECT v.contig, v.pos,
+                        NOT (v.pos > lg.last_end
+                             AND (b.contig_end IS NULL
+                                  OR v.pos > b.contig_end)) AS measurable
+                 FROM v JOIN lastg lg USING (contig)
+                        LEFT JOIN b USING (contig))
         SELECT v.contig, v.pos,
                CASE WHEN e.gid IS NOT NULL THEN 'exonic'
                     WHEN g.gid IS NOT NULL THEN 'intronic'
                     ELSE 'intergenic' END AS vclass,
-               coalesce(e.gid, g.gid, n.gene_id) AS gene_id,
+               CASE WHEN e.gid IS NOT NULL OR g.gid IS NOT NULL
+                      OR coalesce(m.measurable, FALSE)
+                    THEN coalesce(e.gid, g.gid, n.gene_id) END AS gene_id,
                CASE WHEN e.gid IS NOT NULL OR g.gid IS NOT NULL THEN 0
-                    ELSE n.dist END AS dist
+                    WHEN coalesce(m.measurable, FALSE) THEN n.dist
+                    END AS dist
         FROM v LEFT JOIN exhit e USING (contig, pos)
                LEFT JOIN ghit g USING (contig, pos)
                LEFT JOIN near n USING (contig, pos)
+               LEFT JOIN meas m USING (contig, pos)
         ORDER BY contig, pos""",
     doc="Variant→gene-model annotation (VEP/SnpEff-lite, "
     "operators/annotate.py): every HiSeq VCF locus classified exonic / "
@@ -1700,10 +1736,12 @@ _GFF_HISEQ_CSV = (
     "per-variant nearest-gene search: a 100 TB VCF lake annotates "
     "map-side.  Tie-breaks (exon beats intron; smallest gene id; nearest "
     "by distance then id) are deterministic and mirrored in the oracle, "
-    "which independently re-parses the SAME .gff3 text and brute-forces "
-    "nearest-gene with a window over the variant×gene cross join — a "
-    "different algorithm entirely, so a gap-construction bug on the "
-    "Spark side cannot hide.",
+    "which independently re-parses the SAME .gff3 text (including the "
+    "%XX attribute decode and the measurability rule: past the last "
+    "gene with no ##sequence-region bound, or past the bound itself, "
+    "nearest is NULL on both sides) and brute-forces nearest-gene with "
+    "a window over the variant×gene cross join — a different algorithm "
+    "entirely, so a gap-construction bug on the Spark side cannot hide.",
 )
 def g26(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.annotate import annotate_variants, gene_features

@@ -135,8 +135,61 @@ def test_g26_plan_broadcast_binned(spark):
     df = QUERIES["g26_variant_annotation"].build(spark, "ignored")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
-    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    # the disjoint-segment design: every join in the plan broadcasts
+    # (fact side LEFT outer, dim-side assembly), so no sort-merge join —
+    # the variant stream is never exchanged
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_exactly_one_segment_per_locus(spark):
+    """Row-count conservation pins the disjoint-tiling invariant: the
+    single left broadcast join must emit EXACTLY one row per distinct
+    locus — a segment overlap would silently duplicate variants."""
+    import random
+
+    from disq_original_spark.operators.annotate import annotate_variants
+
+    rng = random.Random(5)
+    genes, exons = [], []
+    cur = 10
+    for i in range(30):
+        g0 = cur + rng.randrange(5, 40)
+        g1 = g0 + rng.randrange(10, 120)
+        genes.append(("c", g0, g1, f"g{i:02d}"))
+        e0 = g0 + rng.randrange(0, max(1, (g1 - g0) // 2))
+        exons.append(("c", e0, min(g1, e0 + rng.randrange(1, 30)), f"g{i:02d}"))
+        cur = g1 if rng.random() < 0.3 else g1 + rng.randrange(0, 50)
+    v = [("c", p) for p in range(1, 2500)]
+    g, e, b = _frames(spark, genes, exons, [("c", 5000)])
+    out = annotate_variants(
+        spark.createDataFrame(v, "contig string, pos long"), g, e, b, bin_size=64
+    )
+    assert out.count() == len(v)
+
+
+def test_oracle_attr_decode_matches_spark(spark):
+    """The oracles' %XX replace-chain must decode exactly like the Spark
+    read path — otherwise an escaped ID/Parent in a future fixture would
+    break gene joins on the oracle side only (the latent asymmetry this
+    helper exists to close)."""
+    import duckdb
+
+    from disq_original_spark.queries.genomic import _sql_attr_decode
+    from disq_original_spark.sources.gff import _attr_decode
+
+    cases = [
+        "plain", "g%3B1", "a%3b%3Db", "%2525", "%253B", "t%09x%0Ay%0dz",
+        "%26amp", "pct%25", "mix%3B%3d%26%09%0A%0D%25end", "%2C,keepcomma",
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {_sql_attr_decode('?::VARCHAR')}", [c]).fetchone()[0]
+        for c in cases
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r["d"] for r in df.select(_attr_decode(F.col("s")).alias("d")).collect()]
+    assert got == want
 
 
 def test_hiseq_fixture_fresh():
