@@ -168,6 +168,77 @@ def test_exactly_one_segment_per_locus(spark):
     assert out.count() == len(v)
 
 
+def _brute_annotate(variants, genes, exons, bounds):
+    """Independent per-locus brute force of the full annotation contract,
+    including the measurability rule (past the last gene with no bound,
+    or past the bound, nearest is NULL)."""
+    bmap = dict(bounds and [(c, e) for c, e in bounds] or [])
+    out = {}
+    for c, p in set(variants):
+        ex_hits = sorted(g for cc, s, e, g in exons if cc == c and s <= p <= e)
+        g_hits = sorted(g for cc, s, e, g in genes if cc == c and s <= p <= e)
+        if ex_hits:
+            out[(c, p)] = ("exonic", ex_hits[0], 0)
+            continue
+        if g_hits:
+            out[(c, p)] = ("intronic", g_hits[0], 0)
+            continue
+        gs = [(s, e, g) for cc, s, e, g in genes if cc == c]
+        if not gs:
+            out[(c, p)] = ("intergenic", None, None)
+            continue
+        last_end = max(e for _s, e, _g in gs)
+        bound = bmap.get(c)
+        if p > last_end and (bound is None or p > bound):
+            out[(c, p)] = ("intergenic", None, None)
+            continue
+        dist, gid = min(
+            ((s - p if p < s else p - e), g) for s, e, g in gs
+        )
+        out[(c, p)] = ("intergenic", gid, dist)
+    return out
+
+
+def test_differential_fuzz_vs_bruteforce(spark):
+    """Randomized gene models (overlapping, nested, book-ended), exon
+    placements, bounded/unbounded/geneless contigs, and variants before/
+    inside/between/past everything — the operator must match the
+    independent brute force exactly, across seeds and a stressy small
+    bin size."""
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        genes, exons = [], []
+        bounds = [("cb", 3000)]  # "cu" stays unbounded; "empty" geneless
+        for contig in ("cb", "cu"):
+            cur = rng.randrange(5, 60)
+            while cur < 2200:
+                g0 = cur
+                g1 = g0 + rng.randrange(5, 200)
+                gid = f"{contig}_g{len(genes):03d}"
+                genes.append((contig, g0, g1, gid))
+                for _ in range(rng.randrange(0, 3)):
+                    e0 = g0 + rng.randrange(0, max(1, g1 - g0))
+                    exons.append(
+                        (contig, e0, min(g1, e0 + rng.randrange(1, 40)), gid)
+                    )
+                # sometimes overlap/nest the next gene, sometimes gap
+                cur = g1 + rng.choice([-40, -10, 1, 2, 30, 300])
+                cur = max(cur, g0 + 1)
+        variants = [
+            (c, rng.randrange(1, 3500))
+            for c in ("cb", "cu", "empty")
+            for _ in range(120)
+        ]
+        got = _annotate(spark, variants, genes, exons, bounds, bin_size=32)
+        want = _brute_annotate(variants, genes, exons, bounds)
+        assert got == want, (
+            seed,
+            {k: (got[k], want[k]) for k in got if got[k] != want.get(k)},
+        )
+
+
 def test_oracle_attr_decode_matches_spark(spark):
     """The oracles' %XX replace-chain must decode exactly like the Spark
     read path — otherwise an escaped ID/Parent in a future fixture would
