@@ -43,7 +43,7 @@ intergenic with NULL gene/distance.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _DEFAULT_BIN = 16384

@@ -135,6 +135,7 @@ def test_g26_plan_broadcast_binned(spark):
     df = QUERIES["g26_variant_annotation"].build(spark, "ignored")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     # the disjoint-segment design: every join in the plan broadcasts
     # (fact side LEFT outer, dim-side assembly), so no sort-merge join —
@@ -172,7 +173,7 @@ def _brute_annotate(variants, genes, exons, bounds):
     """Independent per-locus brute force of the full annotation contract,
     including the measurability rule (past the last gene with no bound,
     or past the bound, nearest is NULL)."""
-    bmap = dict(bounds and [(c, e) for c, e in bounds] or [])
+    bmap = dict(bounds)
     out = {}
     for c, p in set(variants):
         ex_hits = sorted(g for cc, s, e, g in exons if cc == c and s <= p <= e)
