@@ -1,0 +1,83 @@
+"""Simulate the driver's 50-row CORRECTNESS window before the driver does:
+build each of the first 50 queries() entries at sf0.01 on a vanilla
+session, run its oracle_sql() in DuckDB, and compare with the driver's
+semantics (columns sorted by name, exact values).  Run from the repo
+root; prints one JSON dict of per-query status and a BAD dict that must
+be empty before a round ships.
+
+    python tools/simulate_driver_window.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as se
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import duckdb
+
+    con = duckdb.connect()
+    tables = ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+
+    qs, osql = se.queries(), se.oracle_sql()
+    results: dict[str, str] = {}
+    for name in list(qs)[:50]:
+        try:
+            df = qs[name](spark, sf)
+            cols = sorted(df.columns)
+            rows = [tuple(r[c] for c in cols) for r in df.collect()]
+            if name not in osql:
+                results[name] = f"rows_only:{len(rows)}"
+                continue
+            cur = con.execute(osql[name])
+            ocols = [d[0] for d in cur.description]
+            oidx = [ocols.index(c) for c in sorted(ocols)]
+            orows = [tuple(r[i] for i in oidx) for r in cur.fetchall()]
+            if sorted(ocols) != cols:
+                results[name] = (
+                    f"SCHEMA_MISMATCH spark={cols} oracle={sorted(ocols)}"
+                )
+            elif len(rows) != len(orows):
+                results[name] = f"ROWCOUNT {len(rows)} vs {len(orows)}"
+            else:
+                a, b = sorted(map(repr, rows)), sorted(map(repr, orows))
+                if a != b:
+                    diff = [(x, y) for x, y in zip(a, b) if x != y][:2]
+                    results[name] = f"VALUE_MISMATCH {diff}"
+                else:
+                    results[name] = f"green:{len(a)}"
+        except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
+            results[name] = "ERROR " + repr(e)[:200]
+
+    bad = {
+        k: v for k, v in results.items()
+        if not v.startswith(("green", "rows_only"))
+    }
+    print(json.dumps(results, indent=0))
+    print("BAD:", json.dumps(bad, indent=0))
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
