@@ -132,6 +132,56 @@ def test_attribute_escaping_roundtrip(spark, tmp_path):
     assert got["attributes"] == {"Note": "a;b\nc"}
 
 
+def test_escape_fuzz_roundtrip(spark, tmp_path):
+    """Engine-level fuzz of the %XX codec: decode(encode(s)) == s for
+    random strings over the full reserved charset (one Spark job, 400
+    strings), and a whole-file write→read round-trip of random attribute
+    maps — newlines/tabs/separators inside values must never corrupt the
+    tab/line/';' structure."""
+    import random
+
+    from pyspark.sql import functions as F2
+
+    from disq_original_spark.sources.gff import _attr_decode, _attr_encode
+
+    rng = random.Random(99)
+    charset = "ab %;=&\t\n\r,%%0259BDAbd."
+    strings = [
+        "".join(rng.choice(charset) for _ in range(rng.randrange(0, 24)))
+        for _ in range(398)
+    ] + ["%3B", "%253b"]
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    bad = df.select(
+        "s", _attr_decode(_attr_encode(F2.col("s"))).alias("rt")
+    ).filter(F2.col("s") != F2.col("rt"))
+    assert bad.count() == 0, bad.take(3)
+
+    # whole-file round-trip: 60 rows, 1-3 random attributes each
+    rows = []
+    for i in range(60):
+        attrs = {
+            "".join(rng.choice(charset) for _ in range(rng.randrange(1, 8))):
+            "".join(rng.choice(charset) for _ in range(rng.randrange(0, 16)))
+            for _ in range(rng.randrange(1, 4))
+        }
+        rows.append(("chr1", None, "gene", 10 + i * 100, 99 + i * 100,
+                     None, None, None, attrs))
+    src = spark.createDataFrame(
+        rows,
+        "seqid string, source string, type string, start long, end long,"
+        " score double, strand string, phase string,"
+        " attributes map<string,string>",
+    )
+    out = str(tmp_path / "fuzz.gff3")
+    write_gff(src, out)
+    got = {
+        r["start"]: r["attributes"]
+        for r in GffSource().read(spark, out).collect()
+    }
+    want = {r[3]: r[8] for r in rows}
+    assert got == want
+
+
 def test_write_null_attribute_value_fails_loud(spark, tmp_path):
     """A NULL map value has no faithful on-disk form (read never produces
     NULL values) and array_join would silently drop the whole entry —
