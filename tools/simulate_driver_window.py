@@ -5,7 +5,10 @@ semantics (columns sorted by name, exact values).  Run from the repo
 root; prints one JSON dict of per-query status and a BAD dict that must
 be empty before a round ships.
 
-    python tools/simulate_driver_window.py [sf_dir]
+    python tools/simulate_driver_window.py [sf_dir] [--all]
+
+``--all`` sweeps the ENTIRE registry instead of the 50-name window —
+the full-mirror gate a round should pass on its final tree.
 """
 
 from __future__ import annotations
@@ -22,7 +25,9 @@ def main() -> int:
 
     import __spark_entry__ as se
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    sweep_all = "--all" in sys.argv[1:]
+    sf = args[0] if args else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[16]")
         .config("spark.sql.shuffle.partitions", "16")
@@ -41,7 +46,7 @@ def main() -> int:
 
     qs, osql = se.queries(), se.oracle_sql()
     results: dict[str, str] = {}
-    for name in list(qs)[:50]:
+    for name in (list(qs) if sweep_all else list(qs)[:50]):
         try:
             df = qs[name](spark, sf)
             cols = sorted(df.columns)
