@@ -27,7 +27,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
     """Wrap a builder so each build first releases the PREVIOUS build's
-    tracked persists (cache hygiene over the driver's 144-query sweep —
+    tracked persists (cache hygiene over the driver's 145-query sweep —
     VERDICT r4).  The current build's persists stay alive for the caller's
     subsequent drain; releasing them at the next build is correctness-
     neutral (Spark recomputes from lineage) and bounds resident cached
@@ -49,12 +49,13 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 #
 # Round-5 rotation (VERDICT r4 directive #2): the window is exactly the 40
 # queries whose latest driver witness is round 2 (nothing may stay older
-# than round 3) plus 7 of the genomics queries that gained parquet-twin
+# than round 3) plus 6 of the genomics queries that gained parquet-twin
 # DuckDB oracles this round (directive #4 — first hash-checkable witness;
 # g03/g04/g06/g07 also gained oracles and sit inside the 40).  The two
-# remaining conversions (g20/g21, locally oracle-validated), the g22/g23/g24
-# first hash-checkable witnesses (displaced by g26/t18/g27; their r4
-# rows-only rows are fresh), and the post-Knuth p04/p10 re-witnesses (r3 rows, pinned by the
+# remaining conversions (g20/g21, locally oracle-validated), the g19/g22/g23/g24
+# first hash-checkable witnesses (displaced by g26/t18/g27/t19; their
+# r4 rows-only rows are fresh; g03/g04/g06/g07 + g10-g15 keep the
+# in-window conversion count at the directive's floor of 10), and the post-Knuth p04/p10 re-witnesses (r3 rows, pinned by the
 # new tests/test_hash_distribution.py) rotate in round 6.
 _PRIORITY = [
     # --- new this round: never driver-witnessed, must be in the window ---
@@ -63,13 +64,14 @@ _PRIORITY = [
     "g26_variant_annotation",  # VCF x GFF3 broadcast binned annotation
     "t18_chunk_windows",  # sliding-window RAG chunking (no-shuffle)
     "g27_coverage_uniformity",  # run-length depth Gini (no per-base explode)
+    "t19_keyword_tfidf",  # per-doc top-k TF-IDF keywords (integer-ranked)
     # --- queries whose code/oracle changed since their r2 witness ---
     "m03_frame_sample",  # oracle NULL-video fix (f0bca4f)
     "p01_sequence_packing",  # NULL-text guard (b45d56a)
     "d03_minhash_lsh",  # pair path shared with d14 (505317a)
     # --- remaining r2-stale re-witnesses (latest driver row round 2;
     # q01_scan_project and q02_filter displaced by t17/g25 — lead the
-    # round-6 window with them, plus the g20-g24
+    # round-6 window with them, plus the g19-g24
     # parquet-twin conversions) ---
     "q03_range_predicate",
     "q04_inner_join",
@@ -106,14 +108,13 @@ _PRIORITY = [
     "g06_coverage_windows",  # newly hash-checkable (parquet twin)
     "g07_typed_variant_stats",  # newly hash-checkable (parquet twin)
     "g08_skewed_interval_join",
-    # --- 7 genomics conversions: first hash-checkable driver witness ---
+    # --- 6 genomics conversions: first hash-checkable driver witness ---
     "g10_flagstat",
     "g11_cycle_quality",
     "g12_tstv",
     "g13_region_depth",
     "g14_multiallelic_split",
     "g15_idxstats",
-    "g19_gc_windows",
 ]
 
 

@@ -6,7 +6,7 @@ have been drained.
 Why this exists (VERDICT r4): builders persist shared subtrees (MinHash
 signatures, shingle hashes, pHash tables) that are reused several times
 WITHIN one query plan — correct and cheap — but nothing ever released them.
-Over a 144-query driver sweep or a long bench session the stale blocks
+Over a 145-query driver sweep or a long bench session the stale blocks
 accumulate (storage leak), and any query sharing a persisted subtree with a
 previously-run query gets a flattering time (d03 timed 0.36x its honest
 cost because d14's warm-pass cache was still resident).  At 100 TB scale

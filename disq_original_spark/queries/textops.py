@@ -1298,3 +1298,85 @@ def t18(spark: SparkSession, sf: str) -> DataFrame:
         ln.alias("n_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
     ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------- t19 keywords
+_T19_K = 5  # keywords reported per document
+
+
+@query(
+    "t19_keyword_tfidf",
+    rf"""WITH tok AS (
+           SELECT doc_id, unnest(list_filter(
+                    string_split_regex(lower(trim(text)),
+                                       '[ \t\n\x0b\f\r]+'),
+                    tc -> tc <> '')) AS term
+           FROM documents WHERE text IS NOT NULL),
+         tf AS (SELECT doc_id, term, count(*) AS tf
+                FROM tok GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, term FROM tf) u GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                  CAST(floor(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0)
+                             * 1000000 + 0.5) AS BIGINT) AS score_micro
+           FROM tf JOIN df USING (term) CROSS JOIN n),
+         ranked AS (
+           SELECT doc_id, term, tf, df, score_micro,
+                  CAST(row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score_micro DESC, term) AS INT) AS rank
+           FROM scored)
+         SELECT doc_id, rank, term, tf, df, score_micro
+         FROM ranked WHERE rank <= {_T19_K}
+         ORDER BY doc_id, rank""",
+    doc=f"Per-document keyword extraction: top-{_T19_K} terms by smoothed "
+    "TF-IDF (sklearn-style idf = ln((N+1)/(df+1)) + 1) — the tagging/"
+    "routing primitive of corpus curation, and the transpose of t13's "
+    "retrieval direction (top docs per query there; top terms per doc "
+    "here).  Ranking runs over MICRO-ROUNDED integer scores on both "
+    "engines, so a last-ulp ln() difference between the JVM and DuckDB "
+    "libm can never flip an order the hash compare would catch — the "
+    "float enters the output only as that integer.\n\n"
+    "Scale shape: tf is the slim (doc_id, term, count) exchange with "
+    "map-side combine; df aggregates the term key space (the distributed-"
+    "vocabulary posture of t14 — no driver-side vocab, no broadcast of "
+    "it); N is a broadcast 1-row aggregate; the tf⋈df equi-join shuffles "
+    "only the slim tf rows; the per-doc top-k plans as the Partial+Final "
+    "WindowGroupLimit pair, so at most k rows per doc per partition "
+    "reach the final doc_id exchange.  Document text never shuffles.",
+)
+def t19(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf, "documents")
+    tok = (
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n"))
+    score = (
+        F.col("tf")
+        * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0)
+    )
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.floor(score * 1000000 + 0.5).cast("long").alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), "term"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _T19_K)
+        .select("doc_id", "rank", "term", "tf", "df", "score_micro")
+        .orderBy("doc_id", "rank")
+    )
