@@ -1336,9 +1336,11 @@ _T19_K = 5  # keywords reported per document
     "routing primitive of corpus curation, and the transpose of t13's "
     "retrieval direction (top docs per query there; top terms per doc "
     "here).  Ranking runs over MICRO-ROUNDED integer scores on both "
-    "engines, so a last-ulp ln() difference between the JVM and DuckDB "
-    "libm can never flip an order the hash compare would catch — the "
-    "float enters the output only as that integer.\n\n"
+    "engines: a last-ulp ln() difference between the JVM and DuckDB "
+    "libm collapses in the rounding unless the exact value lands within "
+    "one double ulp of a .5 micro boundary (~2^-30 per term — versus "
+    "certain last-ulp exposure if raw doubles were compared); the float "
+    "enters the output only as that integer.\n\n"
     "Scale shape: tf is the slim (doc_id, term, count) exchange with "
     "map-side combine; df aggregates the term key space (the distributed-"
     "vocabulary posture of t14 — no driver-side vocab, no broadcast of "

@@ -21,25 +21,24 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> int:
-    from pyspark.sql import SparkSession
-
     import __spark_entry__ as se
+    from disq_original_spark.session import get_spark
+    from disq_original_spark.tables import TABLES
 
     args = [a for a in sys.argv[1:] if a != "--all"]
     sweep_all = "--all" in sys.argv[1:]
     sf = args[0] if args else "/root/testdata/sf0.01"
-    spark = (
-        SparkSession.builder.master("local[16]")
-        .config("spark.sql.shuffle.partitions", "16")
-        .getOrCreate()
-    )
+    # get_spark, not a bare builder: the UTC session timezone it pins is
+    # what makes date_format outputs match the strftime oracles on any
+    # host TZ (the real driver runs a vanilla session on a UTC host —
+    # pinning UTC here mirrors that determinism host-independently), and
+    # TABLES keeps the DuckDB views in lockstep with conftest
+    spark = get_spark(master="local[16]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     import duckdb
 
     con = duckdb.connect()
-    tables = ("region nation customer supplier part orders lineitem "
-              "events documents embeddings").split()
-    for t in tables:
+    for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )
