@@ -74,6 +74,7 @@ HEADLINE = [
     # round-5 additions
     "t17_heavy_hitters",  # MG candidate sketch + broadcast-semi recount path
     "t18_chunk_windows",  # no-shuffle scan->explode chunking path
+    "t19_keyword_tfidf",  # distributed-vocabulary tf/df + per-doc top-k path
 ]
 
 # VERDICT r3 directive #3: d04's r3 number was 1.59x its r2 sample while
