@@ -1070,6 +1070,9 @@ def t16(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------- t17 heavy hitters
 _T17_K = 25  # exact top-K tokens reported
 _T17_CAP = 2048  # Misra–Gries counters per partition (candidate capacity)
+# cap must comfortably exceed K: K tokens cannot each hold more than
+# N/(K+1) mass, so the 2N/(cap+1) exactness bound needs cap >> K
+assert _T17_CAP > 4 * _T17_K
 
 
 def _mg_fold(counters: dict, batch: dict, cap: int) -> dict:
@@ -1230,6 +1233,9 @@ def t17(spark: SparkSession, sf: str) -> DataFrame:
 # production RAG pipeline would run the same plan at e.g. 512/384.
 _T18_W = 32  # tokens per chunk (the RAG/context-window width)
 _T18_S = 24  # stride between chunk starts (W - S = 8 tokens of overlap)
+# W >= S or tokens BETWEEN chunks are silently never emitted — coverage,
+# the property test_overlap_and_coverage_properties pins, would break
+assert _T18_W >= _T18_S > 0
 
 
 @query(
