@@ -22,7 +22,11 @@ cost time, never rows.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+_LOG = logging.getLogger(__name__)
 
 _TRACKED: list[DataFrame] = []
 
@@ -43,8 +47,12 @@ def release_persists() -> int:
     for df in _TRACKED:
         try:
             df.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
+        except Exception as exc:
+            # Expected only when the owning session is already stopped
+            # (teardown race in tests/bench) — but never swallow silently:
+            # a genuinely wrong tracked object must leave a trace (ADVICE r5).
+            _LOG.warning("release_persists: unpersist failed (%s: %s)",
+                         type(exc).__name__, exc)
     _TRACKED.clear()
     return n
 

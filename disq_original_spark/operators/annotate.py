@@ -54,7 +54,15 @@ def gene_features(gff: DataFrame) -> tuple[DataFrame, DataFrame]:
     dimension tables annotation needs: genes (contig, gstart, gend,
     gene_id) and exons (contig, fstart, fend, gene_id) with the exon's
     gene resolved through the mRNA Parent hop (gene → mRNA → exon), the
-    same ID/Parent hierarchy g25 rolls up."""
+    same ID/Parent hierarchy g25 rolls up.
+
+    GFF3 ``Parent`` is multi-valued (``Parent=t1,t2`` — an exon shared by
+    several isoforms), so both hops split on ',' and explode before the
+    join; a first-letter-naive equi-join would silently drop such exons
+    from every rollup (ADVICE r5).  The split is exact, not heuristic: the
+    source deliberately leaves ``%2C`` undecoded (``sources/gff.py``), so a
+    comma in the decoded attribute value is ALWAYS the multi-value
+    separator, never literal content."""
     feats = gff.select(
         F.col("seqid").alias("contig"), "type", "start", "end",
         F.col("attributes")["ID"].alias("id"),
@@ -67,11 +75,15 @@ def gene_features(gff: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.col("id").alias("gene_id"),
     )
     tx = feats.filter(F.col("type") == "mRNA").select(
-        F.col("id").alias("tx_id"), F.col("parent").alias("gene_id")
+        F.col("id").alias("tx_id"),
+        F.explode(F.split("parent", ",")).alias("gene_id"),
     )
     exons = (
         feats.filter(F.col("type") == "exon")
-        .select("contig", "start", "end", F.col("parent").alias("tx_id"))
+        .select(
+            "contig", "start", "end",
+            F.explode(F.split("parent", ",")).alias("tx_id"),
+        )
         .join(tx, "tx_id")
         .select(
             "contig",

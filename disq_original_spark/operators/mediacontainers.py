@@ -124,7 +124,12 @@ def y4m_decode(data: bytes) -> list[bytes]:
     if nl < 0 or not data.startswith(b"YUV4MPEG2"):
         raise ValueError(f"not a Y4M stream: {data[:9]!r}")
     tokens = data[:nl].decode("ascii", "replace").split(" ")
-    params = {t[0]: t[1:] for t in tokens[1:] if t}
+    # X-extension tokens may legally repeat (YUV4MPEG2 allows any number of
+    # X<text> parameters) — collecting them into a list instead of keying by
+    # first letter keeps a stream like "Xconverted-by=foo Xclen=40" decodable
+    # (a dict keyed on 'X' would let the later token shadow Xclen) (ADVICE r5)
+    params = {t[0]: t[1:] for t in tokens[1:] if t and t[0] != "X"}
+    xtokens = [t[1:] for t in tokens[1:] if t and t[0] == "X"]
     if params.get("W") != str(Y4M_FRAME_W) or params.get("H") != str(Y4M_FRAME_H):
         raise ValueError(
             f"unsupported Y4M geometry W{params.get('W')} H{params.get('H')} "
@@ -132,7 +137,7 @@ def y4m_decode(data: bytes) -> list[bytes]:
         )
     if params.get("C") != "mono":
         raise ValueError(f"unsupported Y4M colorspace C{params.get('C')}")
-    xclen = params.get("X", "")
+    xclen = next((x for x in xtokens if x.startswith("clen=")), "")
     if not xclen.startswith("clen=") or not xclen[5:].isdigit():
         raise ValueError("Y4M stream missing a valid Xclen content-length token")
     clen = int(xclen[5:])

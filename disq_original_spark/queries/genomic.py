@@ -1560,8 +1560,10 @@ def _sql_attr_decode(expr: str) -> str:
         genes AS (SELECT id AS gene_id, seqid, fstart AS start,
                          fend AS "end", strand
                   FROM f WHERE type = 'gene'),
-        tx AS (SELECT id AS tx_id, parent AS gene_id FROM f WHERE type = 'mRNA'),
-        ex AS (SELECT parent AS tx_id, fstart, fend FROM f WHERE type = 'exon'),
+        tx AS (SELECT id AS tx_id, unnest(string_split(parent, ',')) AS gene_id
+               FROM f WHERE type = 'mRNA'),
+        ex AS (SELECT unnest(string_split(parent, ',')) AS tx_id, fstart, fend
+               FROM f WHERE type = 'exon'),
         exg AS (SELECT tx.gene_id, ex.fstart, ex.fend
                 FROM ex JOIN tx ON ex.tx_id = tx.tx_id),
         agg_tx AS (SELECT gene_id, count(*) AS n_tx FROM tx GROUP BY 1),
@@ -1608,11 +1610,15 @@ def g25(spark: SparkSession, sf: str) -> DataFrame:
     genes = feats.filter(F.col("type") == "gene").select(
         F.col("id").alias("gene_id"), "seqid", "start", "end", "strand"
     )
+    # Parent is multi-valued in GFF3 (Parent=t1,t2): split + explode before
+    # the hierarchy joins or shared exons/transcripts silently vanish from
+    # the rollup (ADVICE r5; %2C stays undecoded so ',' is always a separator)
     tx = feats.filter(F.col("type") == "mRNA").select(
-        F.col("id").alias("tx_id"), F.col("parent").alias("gene_id")
+        F.col("id").alias("tx_id"),
+        F.explode(F.split("parent", ",")).alias("gene_id"),
     )
     ex = feats.filter(F.col("type") == "exon").select(
-        F.col("parent").alias("tx_id"), "start", "end"
+        F.explode(F.split("parent", ",")).alias("tx_id"), "start", "end"
     )
     exg = ex.join(F.broadcast(tx), "tx_id").select("gene_id", "start", "end")
     agg_tx = tx.groupBy("gene_id").agg(F.count(F.lit(1)).alias("n_tx"))
@@ -1668,9 +1674,13 @@ _GFF_HISEQ_CSV = (
               FROM raw WHERE seqid NOT LIKE '#%'),
         genes AS (SELECT contig, fs AS gstart, fe AS gend, id AS gene_id
                   FROM f WHERE type = 'gene'),
-        tx AS (SELECT id AS tx_id, parent AS gene_id FROM f WHERE type = 'mRNA'),
+        tx AS (SELECT id AS tx_id, unnest(string_split(parent, ',')) AS gene_id
+               FROM f WHERE type = 'mRNA'),
         exons AS (SELECT e.contig, e.fs, e.fe, tx.gene_id
-                  FROM f e JOIN tx ON e.parent = tx.tx_id WHERE e.type = 'exon'),
+                  FROM (SELECT contig, fs, fe,
+                               unnest(string_split(parent, ',')) AS tx_id
+                        FROM f WHERE type = 'exon') e
+                  JOIN tx ON e.tx_id = tx.tx_id),
         v AS (SELECT DISTINCT contig, pos FROM {_VCF_HISEQ}),
         exhit AS (SELECT v.contig, v.pos, min(x.gene_id) AS gid
                   FROM v JOIN exons x

@@ -128,6 +128,60 @@ def test_gene_features_resolves_parent_hop(spark):
     )
 
 
+def test_gene_features_explodes_multivalued_parent(spark, tmp_path):
+    """GFF3 ``Parent=t1,t2`` (an exon shared by two isoforms, or an mRNA
+    claimed by two genes) must reach EVERY named parent — the r5 equi-join
+    on the raw comma-joined string silently dropped such rows (ADVICE r5).
+    A literal ``%2C`` stays part of the ID (the source never decodes it),
+    so the escaped-comma transcript keeps exactly its own exon."""
+    from disq_original_spark.sources.gff import GffSource
+
+    gff = tmp_path / "multi_parent.gff3"
+    gff.write_text(
+        "##gff-version 3\n"
+        "c\t.\tgene\t100\t500\t.\t+\t.\tID=gA\n"
+        "c\t.\tgene\t600\t900\t.\t+\t.\tID=gB\n"
+        "c\t.\tmRNA\t100\t500\t.\t+\t.\tID=t1;Parent=gA\n"
+        "c\t.\tmRNA\t100\t900\t.\t+\t.\tID=t2;Parent=gA,gB\n"
+        "c\t.\tmRNA\t600\t900\t.\t+\t.\tID=t%2C3;Parent=gB\n"
+        "c\t.\texon\t120\t140\t.\t+\t.\tID=e1;Parent=t1,t2\n"
+        "c\t.\texon\t700\t720\t.\t+\t.\tID=e2;Parent=t%2C3\n"
+    )
+    genes, exons = gene_features(GffSource().read(spark, str(gff)))
+    got = sorted(
+        (r["gene_id"], r["fstart"], r["fend"]) for r in exons.collect()
+    )
+    # e1 reaches gA twice (via t1 AND via the exploded t2) and gB once
+    # (t2's second parent); the %2C transcript keeps e2 for gB only.
+    assert got == [
+        ("gA", 120, 140), ("gA", 120, 140), ("gB", 120, 140), ("gB", 700, 720)
+    ]
+    # the g25/g26 oracle pattern (unnest(string_split(parent, ','))) must
+    # agree with Spark's explode(split(...)) on the same corpus — including
+    # NULL-parent drop semantics and the undecoded %2C
+    import duckdb
+
+    oracle = duckdb.sql(
+        f"""WITH f AS (
+              SELECT columns[3] AS type,
+                     CAST(columns[4] AS BIGINT) AS fs, CAST(columns[5] AS BIGINT) AS fe,
+                     list_filter(string_split(columns[9], ';'),
+                                 a -> a LIKE 'ID=%')[-1][4:] AS id,
+                     list_filter(string_split(columns[9], ';'),
+                                 a -> a LIKE 'Parent=%')[-1][8:] AS parent
+              FROM (SELECT string_split(line, chr(9)) AS columns FROM
+                    read_csv('{gff}', delim=NULL, header=false, names=['line'])
+                    WHERE line NOT LIKE '#%')),
+            tx AS (SELECT id AS tx_id, unnest(string_split(parent, ',')) AS gene_id
+                   FROM f WHERE type = 'mRNA'),
+            ex AS (SELECT unnest(string_split(parent, ',')) AS tx_id, fs, fe
+                   FROM f WHERE type = 'exon')
+            SELECT tx.gene_id, ex.fs, ex.fe FROM ex JOIN tx USING (tx_id)
+            ORDER BY 1, 2, 3"""
+    ).fetchall()
+    assert [tuple(r) for r in oracle] == got
+
+
 def test_g26_plan_broadcast_binned(spark):
     """The variant stream must pay ONE broadcast hash equi-join — a
     BroadcastNestedLoopJoin or cartesian product here is the O(rows ×

@@ -88,6 +88,20 @@ def test_corrupt_y4m_fails_loud(corrupt, match):
         y4m_decode(corrupt(data))
 
 
+def test_y4m_extra_x_extension_tokens_do_not_shadow_xclen():
+    """YUV4MPEG2 allows any number of X<text> extension tokens; a stream
+    carrying e.g. Xconverted-by=... either side of Xclen must still decode
+    (ADVICE r5: a first-letter-keyed param dict let the LAST X token shadow
+    Xclen and rejected conformant streams)."""
+    content = b"q" * 400
+    data = y4m_encode(content)
+    before = data.replace(b" Xclen=", b" Xconverted-by=repo Xclen=")
+    after = data.replace(b"\nFRAME", b" Xnote=trailing%20meta\nFRAME")
+    both = before.replace(b"\nFRAME", b" Xz=9\nFRAME")
+    for variant in (before, after, both):
+        assert b"".join(y4m_decode(variant)) == content
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.binary(max_size=400))
 def test_container_garbage_never_escapes_valueerror(blob):
