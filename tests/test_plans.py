@@ -620,3 +620,34 @@ def test_d14_reuses_persisted_subtrees(spark, sf_dir):
     # intersection sides: >=4 cache scans (MapInPandas still appears in the
     # text inside the cached-relation printouts, so it can't be counted)
     assert tree.count("InMemoryTableScan") >= 4, tree.count("InMemoryTableScan")
+
+
+def test_ann_centroid_collect_bounded():
+    """The s03/s05 driver-side 'training artifacts' (IVF centroids / PQ
+    codebook) must be O(cap) constants at ANY corpus size (VERDICT r5: a
+    fixed stride made the toPandas() collect grow as corpus/stride).  The
+    sampled-centroid count for n rows is floor((n-1)/stride)+1 multiples of
+    the stride in [0, n) — bounded by the cap once the stride scales, while
+    the base stride keeps the SHIPPED SFs' results bit-identical to their
+    driver witnesses."""
+    from disq_original_spark.queries.similarity import (
+        _CENTROID_CAP,
+        _CENTROID_STRIDE,
+        _PQ_CODEBOOK_CAP,
+        _PQ_STRIDE,
+        _bounded_stride,
+    )
+
+    # shipped corpora (500 @ sf<=0.01, 2000 @ sf0.1): base stride must win
+    # for s03 everywhere and for s05 at the driver-checked sf0.01
+    assert _bounded_stride(500, _CENTROID_STRIDE, _CENTROID_CAP) == _CENTROID_STRIDE
+    assert _bounded_stride(2000, _CENTROID_STRIDE, _CENTROID_CAP) == _CENTROID_STRIDE
+    assert _bounded_stride(500, _PQ_STRIDE, _PQ_CODEBOOK_CAP) == _PQ_STRIDE
+    for n in (1, 500, 2000, 64 * 97 + 1, 256 * 7 + 1, 10**6, 10**9, 10**13):
+        for base, cap in (
+            (_CENTROID_STRIDE, _CENTROID_CAP),
+            (_PQ_STRIDE, _PQ_CODEBOOK_CAP),
+        ):
+            stride = _bounded_stride(n, base, cap)
+            n_cents = (n - 1) // stride + 1
+            assert n_cents <= cap, (n, base, cap, stride, n_cents)
