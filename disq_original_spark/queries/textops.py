@@ -1162,7 +1162,11 @@ def _t17_candidates(cap: int):
     "residuals sum to ≤ N — the candidate broadcast is provably safe at "
     "any scale (a token-set union would grow as cap×partitions: "
     "hundreds of millions of rows on a 100 TB corpus).  If the true "
-    "K-th count clears 2N/(cap+1) (pinned by test_t17_mg_bound_holds), "
+    "K-th count clears 2N/(cap+1) (pinned by test_t17_mg_bound_holds "
+    "AND guarded at runtime: a union-branch check raises loudly when "
+    "the recounted K-th count misses the bound and the candidates do "
+    "not cover the whole corpus — a drifted distribution degrades to "
+    "an error, never a silently approximate 'exact' top-K), "
     "the top-K is exactly in the candidate set; pass 2 recounts ONLY "
     "the candidates with the engine tokenizer (broadcast semi join "
     "filters the token stream map-side) and ranks them.  At 100 TB a "
@@ -1180,10 +1184,17 @@ def _t17_candidates(cap: int):
     "``tokens`` expression as t01.",
 )
 def t17(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return _t17_topk(d.filter(F.col("text").isNotNull()), _T17_K, _T17_CAP)
+
+
+def _t17_topk(texts: DataFrame, k: int, cap: int) -> DataFrame:
+    """t17's core, parameterized so tests can drive an adversarial corpus /
+    sketch cap.  ``texts`` needs one non-null ``text`` column."""
+    from pyspark.sql import Window
+
     from ..cache import track_persist
 
-    d = load_table(spark, sf, "documents")
-    texts = d.filter(F.col("text").isNotNull())
     tok = (
         texts.select(F.explode(tokens("text")).alias("token"))
         .filter(F.col("token") != "")
@@ -1196,7 +1207,7 @@ def t17(spark: SparkSession, sf: str) -> DataFrame:
     # the exact recount share one case mapping on any executor locale.
     grouped = track_persist(
         texts.select(F.lower(F.col("text")).alias("text"))
-        .mapInPandas(_t17_candidates(_T17_CAP), "token string, weight long")
+        .mapInPandas(_t17_candidates(cap), "token string, weight long")
         .groupBy("token")
         .agg(F.sum("weight").alias("residual"))
     )
@@ -1208,21 +1219,68 @@ def t17(spark: SparkSession, sf: str) -> DataFrame:
     cands = (
         grouped.filter(F.col("token").isNotNull())
         .join(F.broadcast(total))
-        .filter(F.col("residual") * (_T17_CAP + 1) > F.col("n_total"))
+        .filter(F.col("residual") * (cap + 1) > F.col("n_total"))
         .select("token")
     )
-    counts = (
+    # persisted: the recount feeds BOTH the top-K branch and the exactness
+    # guard below — without the persist the guard would re-run the second
+    # corpus scan (the frame itself is ≤ cap+1 rows, trivially resident)
+    counts = track_persist(
         tok.join(F.broadcast(cands), "token", "leftsemi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    from pyspark.sql import Window
-
     w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    # ---- runtime exactness guard (ADVICE r5 / VERDICT r5 directive #4) ----
+    # The top-K is provably exact iff the K-th recounted count clears
+    # 2N/(cap+1) (every non-candidate has true count ≤ 2N/(cap+1), so
+    # nothing outside the candidate set can displace ranks 1..K), OR the
+    # candidates cover the ENTIRE corpus (sum of exact candidate counts
+    # == N ⇒ the recount was a full groupBy ⇒ exact by construction,
+    # including the vocabulary-smaller-than-K case).  On any other
+    # distribution the query must degrade to a loud error, not a silently
+    # approximate "exact" top-K.  The check rides a UNION branch: a
+    # 1-row frame whose filter either drops the row (invariant holds) or
+    # raises — union branches are always evaluated on drain, so the guard
+    # fires even when the candidate set (and thus the result) is EMPTY,
+    # which a guard column cross-joined onto the result rows would miss.
+    stats = ranked.agg(
+        F.sum("cnt").alias("cand_total"),
+        F.max(F.when(F.col("rank") == k, F.col("cnt"))).alias("kth_cnt"),
+    )
+    ok = (
+        F.coalesce(F.col("kth_cnt"), F.lit(0)) * (cap + 1) > 2 * F.col("n_total")
+    ) | (F.coalesce(F.col("cand_total"), F.lit(0)) == F.col("n_total"))
+    guard_pad = (
+        total.join(stats)
+        .filter(
+            F.when(ok, F.lit(False)).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "t17 heavy-hitters exactness invariant violated: "
+                        "K-th count %d * (cap+1=%d) <= 2N (N=%d) and the "
+                        "candidate set covers only %d of N tokens — the "
+                        "MG sketch cap is too small for this distribution; "
+                        "the top-K would be silently approximate",
+                        F.coalesce(F.col("kth_cnt"), F.lit(0)),
+                        F.lit(cap + 1),
+                        F.col("n_total"),
+                        F.coalesce(F.col("cand_total"), F.lit(0)),
+                    )
+                )
+            )
+        )
+        .select(
+            F.lit(0).cast("int").alias("rank"),
+            F.lit("").alias("token"),
+            F.lit(0).cast("long").alias("cnt"),
+        )
+    )
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _T17_K)
+        ranked.filter(F.col("rank") <= k)
         .select("rank", "token", "cnt")
+        .union(guard_pad)
         .orderBy("rank")
     )
 

@@ -236,3 +236,33 @@ def test_t17_unicode_whitespace_not_normalized(spark, monkeypatch):
         for r in QUERIES["t17_heavy_hitters"].build(spark, "ignored").collect()
     }
     assert got == {"\xa0foo": 5, "bar": 6}
+
+def test_t17_guard_fails_loud_on_flat_distribution(spark):
+    """VERDICT r5 directive #4: on a distribution where the K-th count
+    cannot clear 2N/(cap+1) (here: every token appears exactly once, so
+    the residual filter keeps NOTHING), the query must raise at drain
+    time — not return a silently approximate (here: empty) 'exact'
+    top-K.  The guard rides a union branch precisely so it fires even
+    when the candidate set is empty."""
+    from disq_original_spark.queries.textops import _t17_topk
+
+    docs = [(i, f"w{i:04d}") for i in range(400)]
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(4)
+    with pytest.raises(Exception, match="exactness invariant violated"):
+        _t17_topk(df.select("text"), k=5, cap=8).collect()
+
+
+def test_t17_guard_passes_when_candidates_cover_corpus(spark):
+    """Small-vocabulary corpora (vocab < K, or every token a candidate)
+    are exact via FULL recount coverage — the guard's second clause — and
+    must not raise even though no K-th candidate exists."""
+    from disq_original_spark.queries.textops import _t17_topk
+
+    df = spark.createDataFrame(
+        [(0, "x x x y"), (1, "y x")], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["token"], r["cnt"])
+        for r in _t17_topk(df.select("text"), k=25, cap=2048).collect()
+    ]
+    assert got == [(1, "x", 4), (2, "y", 2)]
