@@ -239,12 +239,29 @@ def q11(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------- q12 approx distinct
 @query(
     "q12_approx_distinct",
-    None,  # tolerance-checked, not hash-checked (rows-only in the harness)
-    doc="HyperLogLog++ sketch; tests assert ±5% of exact count.",
+    """SELECT count(DISTINCT l_partkey) AS exact_cnt,
+              abs(approx_count_distinct(l_partkey)
+                  - count(DISTINCT l_partkey)) * 20
+                <= count(DISTINCT l_partkey) AS within_5pct
+       FROM lineitem""",
+    doc="HyperLogLog sketch with a hash-checkable companion form (VERDICT "
+    "r5 directive #5): the two engines' sketches differ by design, so each "
+    "engine validates ITS OWN approx_count_distinct against ITS OWN exact "
+    "distinct count and emits (exact_cnt, within_5pct) — exact_cnt is "
+    "engine-identical and the ±5% boolean is the documented tolerance, so "
+    "the driver gets a real hash row instead of a rows-only check.  The "
+    "sketch still runs in the plan (tests additionally pin the raw approx "
+    "value within ±5% of DuckDB's exact count).",
 )
 def q12(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
-    return li.agg(F.approx_count_distinct("l_partkey").alias("adp"))
+    exact = F.count_distinct("l_partkey")
+    return li.agg(
+        exact.alias("exact_cnt"),
+        (F.abs(F.approx_count_distinct("l_partkey") - exact) * 20 <= exact).alias(
+            "within_5pct"
+        ),
+    )
 
 
 # ---------------------------------------------------------------- q13 rollup

@@ -5,6 +5,7 @@ values) — the same gate the driver applies at sf0.01."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from disq_original_spark.queries import QUERIES
 
@@ -30,9 +31,19 @@ def test_rows_only_query_runs(spark, sf_dir, name):
 
 
 def test_q12_approx_within_tolerance(spark, ddb, sf_dir):
-    approx = QUERIES["q12_approx_distinct"].build(spark, sf_dir).collect()[0]["adp"]
+    """The companion-boolean form (each engine checks its own sketch) is
+    what the driver hashes; this test additionally pins Spark's RAW sketch
+    value against DuckDB's exact count — the original ±5% contract."""
+    from disq_original_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = li.agg(F.approx_count_distinct("l_partkey").alias("adp")).collect()[0][
+        "adp"
+    ]
     exact = ddb.sql("SELECT count(DISTINCT l_partkey) FROM lineitem").fetchone()[0]
     assert abs(approx - exact) <= 0.05 * exact
+    row = QUERIES["q12_approx_distinct"].build(spark, sf_dir).collect()[0]
+    assert row["exact_cnt"] == exact and bool(row["within_5pct"]) is True
 
 
 def test_entry_smoke(spark):
