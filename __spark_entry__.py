@@ -47,74 +47,81 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # across a rolling window of rounds.  All registered queries are always
 # present — only the ordering is prioritized.
 #
-# Round-5 rotation (VERDICT r4 directive #2): the window is exactly the 40
-# queries whose latest driver witness is round 2 (nothing may stay older
-# than round 3) plus 6 of the genomics queries that gained parquet-twin
-# DuckDB oracles this round (directive #4 — first hash-checkable witness;
-# g03/g04/g06/g07 also gained oracles and sit inside the 40).  The two
-# remaining conversions (g20/g21, locally oracle-validated), the g19/g22/g23/g24
-# first hash-checkable witnesses (displaced by g26/t18/g27/t19; their
-# r4 rows-only rows are fresh; g03/g04/g06/g07 + g10-g15 keep the
-# in-window conversion count at the directive's floor of 10), and the post-Knuth p04/p10 re-witnesses (r3 rows, pinned by the
-# new tests/test_hash_distribution.py) rotate in round 6.
+# Round-6 rotation (VERDICT r5 directive #1 — pure rotation round): the
+# backlog after r5 is 57 candidates for 50 slots, composed here as
+#   (a) q01/q02 — latest witness r2, the missed r4 "nothing older than
+#       round 3" criterion;
+#   (b) the 7 genomics conversions g09/g19-g24 whose parquet-twin oracles
+#       landed in r5 AFTER their last (rows-only, r4) driver row — first
+#       driver hash witness;
+#   (c) s03/s05 — centroid-cap code change THIS round (plus r3-stale);
+#   (d) p04 (named by the directive) and 38 of the remaining 45
+#       r3-witnessed queries.
+# Deliberately deferred to the round-7 window (the directive's documented
+# spill, leftover = exactly 7 from the 57-candidate pool):
+#   q29_case q30_tumbling_window q31_sessionize q32_percentiles q33_pivot
+#   q41_unpivot q42_grouping_sets
+# plus the round-6 code-changed re-witnesses (rule: code changed =>
+# re-witness next round): q12_approx_distinct (new hash-checkable
+# companion form), t17_heavy_hitters (runtime exactness guard),
+# g25/g26 (multi-Parent explode), and the m04/m05/m06 real-codec
+# re-witnesses (r5 payload change postdates their r4 rows).  All of these
+# are exact-green locally via tools/simulate_driver_window.py --all.
 _PRIORITY = [
-    # --- new this round: never driver-witnessed, must be in the window ---
-    "t17_heavy_hitters",  # two-pass exact heavy hitters (MG + recount)
-    "g25_gff_gene_model",  # GFF3 source + gene-model rollup
-    "g26_variant_annotation",  # VCF x GFF3 broadcast binned annotation
-    "t18_chunk_windows",  # sliding-window RAG chunking (no-shuffle)
-    "g27_coverage_uniformity",  # run-length depth Gini (no per-base explode)
-    "t19_keyword_tfidf",  # per-doc top-k TF-IDF keywords (integer-ranked)
-    # --- queries whose code/oracle changed since their r2 witness ---
-    "m03_frame_sample",  # oracle NULL-video fix (f0bca4f)
-    "p01_sequence_packing",  # NULL-text guard (b45d56a)
-    "d03_minhash_lsh",  # pair path shared with d14 (505317a)
-    # --- remaining r2-stale re-witnesses (latest driver row round 2;
-    # q01_scan_project and q02_filter displaced by t17/g25 — lead the
-    # round-6 window with them, plus the g19-g24
-    # parquet-twin conversions) ---
-    "q03_range_predicate",
-    "q04_inner_join",
-    "q34_asof_join",
-    "q35_tpch_q3",
-    "q36_tpch_q5",
-    "q37_udtf_sentences",
-    "q38_recursive_spine",
-    "q39_time_range_frame",
-    "q40_lateral_topn",
-    "d01_exact_dedup",
-    "d02_dedup_stats",
-    "d05_embedding_neardup",
-    "p03_budget_mixture",
-    "m01_media_stats",
-    "m02_media_features",
-    "t01_token_count",
-    "t02_quality_score",
-    "t03_lang_heuristic",
-    "t04_fingerprint",
-    "t05_bpe_tokens",
-    "t06_winnow_fingerprint",
-    "t07_pii_redact",
-    "t09_contamination",
-    "st01_stream_tumbling",
-    "st02_stream_stream_join",
-    "st03_stream_dedup",
-    "st04_stream_session",
-    "g01_interval_filter",
-    "g02_interval_join",
-    "g03_bam_contig_stats",  # newly hash-checkable (parquet twin)
-    "g04_vcf_variant_stats",  # newly hash-checkable (parquet twin)
-    "g05_binned_interval_join",
-    "g06_coverage_windows",  # newly hash-checkable (parquet twin)
-    "g07_typed_variant_stats",  # newly hash-checkable (parquet twin)
-    "g08_skewed_interval_join",
-    # --- 6 genomics conversions: first hash-checkable driver witness ---
-    "g10_flagstat",
-    "g11_cycle_quality",
-    "g12_tstv",
-    "g13_region_depth",
-    "g14_multiallelic_split",
-    "g15_idxstats",
+    # --- (a) oldest witnesses in the registry (r2) ---
+    "q01_scan_project",
+    "q02_filter",
+    # --- (b) first driver hash rows: oracles postdate their last row ---
+    "g09_mark_duplicates",
+    "g19_gc_windows",
+    "g20_kmer_spectrum",
+    "g21_cpg_islands",
+    "g22_roh_runs",
+    "g23_bcf_stats",
+    "g24_bam_to_fastq",
+    # --- (c) code changed this round: bounded centroid/codebook sample ---
+    "s03_ann_ivf",
+    "s05_ann_pq",
+    # --- (d) directive-named + stalest r3 block ---
+    "p04_shard_assignment",
+    "d09_incremental_dedup",
+    "d10_semdedup",
+    "p02_stratified_sample",
+    "p05_corpus_pipeline",
+    "p06_importance_resampling",
+    "q05_broadcast_join",
+    "q06_left_outer_join",
+    "q07_semi_join",
+    "q08_anti_join",
+    "q09_range_join",
+    "q10_hash_aggregate",
+    "q11_distinct_aggregate",
+    "q13_rollup",
+    "q14_cube",
+    "q15_window_rank",
+    "q16_window_frame",
+    "q17_lag",
+    "q18_topk",
+    "q19_union_all",
+    "q20_intersect",
+    "q21_except",
+    "q22_string_functions",
+    "q23_date_functions",
+    "q24_math",
+    "q25_array_agg",
+    "q26_json_access",
+    "q27_explode",
+    "q28_exists_subquery",
+    "s01_knn_bruteforce",
+    "s02_ann_bucketed",
+    "s04_kmeans_update",
+    "st05_stateful_totals",
+    "st06_stream_sliding",
+    "st07_stream_static_join",
+    "t08_gopher_repetition",
+    "t10_unigram_surprisal",
+    "t11_quality_classifier",
+    "t12_filter_funnel",
 ]
 
 
