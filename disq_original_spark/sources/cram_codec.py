@@ -34,6 +34,15 @@ CRAM_MAGIC = b"CRAM"
 FILE_DEFINITION_SIZE = 26
 
 BLOCK_RAW, BLOCK_GZIP, BLOCK_BZIP2, BLOCK_LZMA, BLOCK_RANS = 0, 1, 2, 3, 4
+# CRAM 3.1 block methods: Nx16 implemented (order-0/CAT, rans_nx16.py);
+# the rest fail loud by NAME so a 3.1 file using them degrades to a clear
+# error instead of "unknown method 7"
+BLOCK_RANS_NX16, BLOCK_RANGE, BLOCK_FQZCOMP, BLOCK_TOK3 = 5, 6, 7, 8
+_NX16_PLUS_NAMES = {
+    BLOCK_RANGE: "adaptive arithmetic (range)",
+    BLOCK_FQZCOMP: "fqzcomp quality",
+    BLOCK_TOK3: "name tokenizer",
+}
 CT_FILE_HEADER, CT_COMPRESSION_HEADER, CT_MAPPED_SLICE, CT_RESERVED, CT_EXTERNAL, CT_CORE = (
     0, 1, 2, 3, 4, 5,
 )
@@ -172,6 +181,16 @@ def decompress(method: int, payload: bytes, raw_size: int) -> bytes:
         from .rans4x8 import decompress as rans_decompress
 
         return rans_decompress(payload)
+    if method == BLOCK_RANS_NX16:
+        from .rans_nx16 import decompress as nx16_decompress
+
+        return nx16_decompress(payload)
+    if method in _NX16_PLUS_NAMES:
+        raise ValueError(
+            f"CRAM 3.1 block codec '{_NX16_PLUS_NAMES[method]}' (method "
+            f"{method}) not implemented: this reader supports methods 0-5 "
+            "(raw/gzip/bzip2/lzma/rANS-4x8/rANS-Nx16-order-0)"
+        )
     raise ValueError(f"unknown CRAM block compression method {method}")
 
 

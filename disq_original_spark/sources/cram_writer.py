@@ -108,6 +108,10 @@ def encode_block(
         from .rans4x8 import compress as rans_compress
 
         payload = rans_compress(data, rans_order)
+    elif method == 5:
+        from .rans_nx16 import compress as nx16_compress
+
+        payload = nx16_compress(data)
     else:
         payload = data
     out = (
@@ -223,9 +227,12 @@ def encode_container(
     rg_ids: list[str],
     fasta: IndexedFasta | None,
     major: int = 2,
+    minor: int = 0,
 ) -> bytes:
     """Encode rows (reads-schema dicts) as one container with one
-    multi-reference slice."""
+    multi-reference slice.  ``minor`` only selects the external-block
+    codec family: (3,1) files compress externals with rANS Nx16 order-0
+    (method 5, the 3.1-native codec); 3.0 keeps rANS 4x8; 2.x gzip."""
     if not rows:
         return b""
     ref_index = {n: i for i, n in enumerate(ref_names)}
@@ -386,22 +393,21 @@ def encode_container(
     # ---- external blocks
     ext_blocks = []
     content_ids = []
-    # 3.0 uses rANS for external blocks (order-1 for quality scores,
-    # order-0 elsewhere); 2.x sticks to gzip
+    # 3.1 uses rANS Nx16 order-0 for external blocks; 3.0 rANS 4x8
+    # (order-1 for quality scores, order-0 elsewhere); 2.x sticks to gzip
+    ext_method = 5 if (major, minor) >= (3, 1) else (4 if major >= 3 else 1)
     for k in used:
         if streams[k].buf:
             content_ids.append(CID[k])
-            method = 4 if major >= 3 else 1
-            order = 1 if k == "QS" else 0
+            order = 1 if (k == "QS" and ext_method == 4) else 0
             ext_blocks.append(
-                encode_block(method, 4, CID[k], bytes(streams[k].buf), major, order)
+                encode_block(ext_method, 4, CID[k], bytes(streams[k].buf), major, order)
             )
     for key, (lc, vc, ls, vs) in sorted(tag_streams.items()):
         for cid, s in ((lc, ls), (vc, vs)):
             if s.buf:
                 content_ids.append(cid)
-                method = 4 if major >= 3 else 1
-                ext_blocks.append(encode_block(method, 4, cid, bytes(s.buf), major))
+                ext_blocks.append(encode_block(ext_method, 4, cid, bytes(s.buf), major))
     core_block = encode_block(0, 5, 0, b"", major)
 
     # ---- slice header

