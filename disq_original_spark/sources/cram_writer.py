@@ -111,7 +111,7 @@ def encode_block(
     elif method == 5:
         from .rans_nx16 import compress as nx16_compress
 
-        payload = nx16_compress(data)
+        payload = nx16_compress(data, order=rans_order)
     else:
         payload = data
     out = (
@@ -393,13 +393,13 @@ def encode_container(
     # ---- external blocks
     ext_blocks = []
     content_ids = []
-    # 3.1 uses rANS Nx16 order-0 for external blocks; 3.0 rANS 4x8
-    # (order-1 for quality scores, order-0 elsewhere); 2.x sticks to gzip
+    # 3.1 uses rANS Nx16 for external blocks; 3.0 rANS 4x8; 2.x gzip —
+    # quality scores get the order-1 context model in both rANS families
     ext_method = 5 if (major, minor) >= (3, 1) else (4 if major >= 3 else 1)
     for k in used:
         if streams[k].buf:
             content_ids.append(CID[k])
-            order = 1 if (k == "QS" and ext_method == 4) else 0
+            order = 1 if (k == "QS" and ext_method >= 4) else 0
             ext_blocks.append(
                 encode_block(ext_method, 4, CID[k], bytes(streams[k].buf), major, order)
             )

@@ -14,11 +14,13 @@ codec.  Differences from the 3.0-era rANS 4x8 (``rans4x8.py``):
 - the frequency table lists the symbol ALPHABET first (RLE over ascending
   symbols), then one uint7 frequency per present symbol, normalized so they
   sum to exactly 4096 (TF_SHIFT = 12, same total as 4x8);
-- bit-flags select stream transforms.  Implemented: order-0, X32, CAT
-  (stored verbatim).  Not implemented (fail-loud with the flag name so a
-  3.1 file using them degrades to a clear error, never silent corruption):
-  order-1 (0x01), STRIPE (0x08), standalone NOSZ (0x10), RLE (0x40),
-  PACK (0x80).
+- bit-flags select stream transforms.  Implemented: order-0, order-1
+  (flag 0x01 — per-context tables with shift 12 or 10, zero-run freq
+  encoding, optionally order-0-rANS-compressed table, N equal slices with
+  the last state running long over the remainder), X32, CAT (stored
+  verbatim).  Not implemented (fail-loud with the flag name so a 3.1 file
+  using them degrades to a clear error, never silent corruption):
+  STRIPE (0x08), standalone NOSZ (0x10), RLE (0x40), PACK (0x80).
 
 Tested by exhaustive round-trips over adversarial distributions plus
 byte-exact known-answer vectors derived by hand from the spec's transform
@@ -43,7 +45,6 @@ FLAG_CAT = 0x20
 FLAG_RLE = 0x40
 FLAG_PACK = 0x80
 _UNSUPPORTED = (
-    (FLAG_ORDER1, "ORDER-1"),
     (FLAG_STRIPE, "STRIPE"),
     (FLAG_NOSZ, "NOSZ"),
     (FLAG_RLE, "RLE"),
@@ -194,27 +195,259 @@ def _decode_o0_stream(
     return bytes(out)
 
 
+# ---------------------------------------------------------------- order-1 core
+#
+# Order-1 layout (spec "rANS Nx16 Order-1"): one frequency row per CONTEXT
+# symbol; data splits into N slices of floor(len/N) with the LAST state
+# continuing over the remainder; each slice's first byte uses context 0.
+# The table section starts with one byte: high nibble = the frequency
+# shift (12, or 10 for the "fast" profile), low bit = table itself
+# compressed with the BARE order-0 rANS codec (freq table + 4 states, no
+# flags/size wrapper).  Within the table: the alphabet (order-0 RLE
+# scheme), then for each context row the frequencies of the alphabet's
+# symbols in order, uint7 each, where a 0 frequency is followed by one
+# byte counting FURTHER zeros to skip.
+
+
+def _slice_bounds(n: int, n_states: int) -> list[int]:
+    """Start offsets of the N slices plus the end sentinel: N equal
+    floor(n/N) slices, the last one absorbing the remainder."""
+    step = n // n_states
+    return [j * step for j in range(n_states)] + [n]
+
+
+def _o1_pairs_reverse(data: bytes, n_states: int):
+    """(state, context, symbol) triples in EXACT reverse of the decoder's
+    consumption order: the remainder tail (state N-1) first, then the
+    lockstep steps t = step-1 .. 0 visiting states N-1 .. 0."""
+    bounds = _slice_bounds(len(data), n_states)
+    step = len(data) // n_states
+    last = n_states - 1
+    for p in range(len(data) - 1, bounds[last] + step - 1, -1):
+        yield last, data[p - 1] if p > bounds[last] else 0, data[p]
+    for t in range(step - 1, -1, -1):
+        for j in range(last, -1, -1):
+            p = bounds[j] + t
+            yield j, data[p - 1] if t > 0 else 0, data[p]
+
+
+def _write_freq_table_o1(freqs: dict[int, list[int]], alphabet: list[int]) -> bytes:
+    out = bytearray()
+    _write_alphabet(out, alphabet)
+    for i in alphabet:
+        row = freqs.get(i)
+        j = 0
+        while j < len(alphabet):
+            f = row[alphabet[j]] if row else 0
+            _write_uint7(out, f)
+            if f == 0:
+                run = 0
+                while (
+                    j + run + 1 < len(alphabet)
+                    and (row[alphabet[j + run + 1]] if row else 0) == 0
+                    and run < 255
+                ):
+                    run += 1
+                out.append(run)
+                j += run + 1
+            else:
+                j += 1
+    return bytes(out)
+
+
+def _read_freq_table_o1(
+    data: bytes, pos: int, shift: int
+) -> tuple[dict[int, "_SymbolTable"], int]:
+    syms, pos = _read_alphabet(data, pos)
+    tables: dict[int, _SymbolTable] = {}
+    total = 1 << shift
+    for i in syms:
+        row = [0] * 256
+        j = 0
+        while j < len(syms):
+            f, pos = _read_uint7(data, pos)
+            row[syms[j]] = f
+            if f == 0:
+                run = data[pos]
+                pos += 1
+                j += run + 1
+            else:
+                j += 1
+        rsum = sum(row)
+        if rsum == 0:
+            continue  # symbol never used as a context — row never consulted
+        if rsum != total:
+            raise ValueError(
+                f"rANS Nx16 order-1 context row for symbol {i} sums to "
+                f"{rsum}, expected {total}"
+            )
+        tables[i] = _SymbolTable(row) if shift == TF_SHIFT else _ShiftTable(row, shift)
+    return tables, pos
+
+
+class _ShiftTable:
+    """_SymbolTable for a non-4096 total (the order-1 shift-10 profile)."""
+
+    __slots__ = ("freqs", "cum", "lookup")
+
+    def __init__(self, freqs: list[int], shift: int):
+        self.freqs = freqs
+        self.cum = _cumulative(freqs)
+        self.lookup = bytearray(1 << shift)
+        for s in range(256):
+            if freqs[s]:
+                for i in range(self.cum[s], self.cum[s + 1]):
+                    self.lookup[i] = s
+
+
+def _encode_o1_stream(data: bytes, n_states: int, shift: int = TF_SHIFT) -> bytes:
+    """``shift`` is 12 by default; 10 is the spec's reduced-precision
+    profile (smaller tables, slightly worse ratio) — the encoder emits it
+    only when asked (tests), the decoder accepts both."""
+    counts: dict[int, list[int]] = {}
+    alpha = set(data)
+    for j, ctx, sym in _o1_pairs_reverse(data, n_states):
+        counts.setdefault(ctx, [0] * 256)[sym] += 1
+        alpha.add(ctx)
+    freqs = {c: _normalize(row, 1 << shift) for c, row in counts.items()}
+    table = _write_freq_table_o1(freqs, sorted(alpha))
+    # table-compression option: nest the table through the bare order-0
+    # codec when it pays (htscodecs does the same; decoders accept both)
+    comp = compress_o0_bare(table)
+    if len(comp) + 4 < len(table):
+        head = bytearray([shift << 4 | 1])
+        _write_uint7(head, len(comp))
+        _write_uint7(head, len(table))
+        table_out = bytes(head) + comp
+    else:
+        table_out = bytes([shift << 4]) + table
+
+    cums = {c: _cumulative(f) for c, f in freqs.items()}
+    states = [RANS_NX16_L] * n_states
+    out = bytearray()
+    for j, ctx, sym in _o1_pairs_reverse(data, n_states):
+        f = freqs[ctx][sym]
+        x = states[j]
+        x_max = ((RANS_NX16_L >> shift) << 16) * f
+        while x >= x_max:
+            out.append((x >> 8) & 0xFF)
+            out.append(x & 0xFF)
+            x >>= 16
+        states[j] = ((x // f) << shift) + (x % f) + cums[ctx][sym]
+    out.reverse()
+    head = b"".join(struct.pack("<I", s) for s in states)
+    return table_out + head + bytes(out)
+
+
+def _decode_o1_stream(data: bytes, pos: int, n_states: int, out_len: int) -> bytes:
+    comp = data[pos]
+    pos += 1
+    shift = comp >> 4
+    if shift not in (10, 12):
+        raise ValueError(f"rANS Nx16 order-1 frequency shift {shift} invalid")
+    if comp & 1:
+        clen, pos = _read_uint7(data, pos)
+        ulen, pos = _read_uint7(data, pos)
+        table = decompress_o0_bare(data[pos : pos + clen], ulen)
+        tables, used = _read_freq_table_o1(table, 0, shift)
+        pos += clen
+    else:
+        tables, pos = _read_freq_table_o1(data, pos, shift)
+    states = list(struct.unpack_from(f"<{n_states}I", data, pos))
+    pos += 4 * n_states
+    out = bytearray(out_len)
+    bounds = _slice_bounds(out_len, n_states)
+    step = out_len // n_states
+    ctxs = [0] * n_states
+    mask = (1 << shift) - 1
+    end = len(data)
+    # dense context lookup: a missing row means a corrupt stream — surface
+    # it as a clear ValueError, not a KeyError from deep in the loop
+    tlist = [tables.get(i) for i in range(256)]
+
+    def row(ctx: int):
+        t = tlist[ctx]
+        if t is None:
+            raise ValueError(
+                f"rANS Nx16 order-1 stream references context {ctx} with no "
+                "frequency row — corrupt stream"
+            )
+        return t
+
+    for t in range(step):
+        for j in range(n_states):
+            p = bounds[j] + t
+            tbl = row(ctxs[j])
+            x = states[j]
+            m = x & mask
+            s = tbl.lookup[m]
+            out[p] = s
+            x = tbl.freqs[s] * (x >> shift) + m - tbl.cum[s]
+            while x < RANS_NX16_L and pos + 2 <= end:
+                x = (x << 16) | (data[pos] | (data[pos + 1] << 8))
+                pos += 2
+            states[j] = x
+            ctxs[j] = s
+    last = n_states - 1
+    for p in range(bounds[last] + step, out_len):
+        tbl = row(ctxs[last])
+        x = states[last]
+        m = x & mask
+        s = tbl.lookup[m]
+        out[p] = s
+        x = tbl.freqs[s] * (x >> shift) + m - tbl.cum[s]
+        while x < RANS_NX16_L and pos + 2 <= end:
+            x = (x << 16) | (data[pos] | (data[pos + 1] << 8))
+            pos += 2
+        states[last] = x
+        ctxs[last] = s
+    return bytes(out)
+
+
+def compress_o0_bare(data: bytes) -> bytes:
+    """The BARE order-0 form (freq table + 4 states + renorm words, no
+    flags/size header) used to nest order-1 frequency tables."""
+    counts = [0] * 256
+    for b in data:
+        counts[b] += 1
+    freqs = _normalize(counts)
+    table = bytearray()
+    _write_freq_table_o0(table, freqs)
+    return bytes(table) + _encode_o0_stream(data, freqs, 4)
+
+
+def decompress_o0_bare(data: bytes, out_len: int) -> bytes:
+    freqs, pos = _read_freq_table_o0(data, 0)
+    return _decode_o0_stream(data, pos, freqs, 4, out_len)
+
+
 # ------------------------------------------------------------------- public API
 
 
-def compress(data: bytes, n_states: int = 4) -> bytes:
-    """Order-0 rANS Nx16 (N = 4 or 32), falling back to CAT (stored
-    verbatim) when entropy coding does not pay — both forms any
+def compress(data: bytes, n_states: int = 4, order: int = 0) -> bytes:
+    """rANS Nx16 (N = 4 or 32), order 0 or 1, falling back to CAT (stored
+    verbatim) when entropy coding does not pay — all forms any
     spec-conformant 3.1 decoder accepts."""
     if n_states not in (4, 32):
         raise ValueError(f"rANS Nx16 interleave must be 4 or 32, got {n_states}")
+    if order not in (0, 1):
+        raise ValueError(f"rANS Nx16 order must be 0 or 1, got {order}")
     header = bytearray()
     _write_uint7(header, len(data))
     if len(data) > 0:
-        counts = [0] * 256
-        for b in data:
-            counts[b] += 1
-        freqs = _normalize(counts)
-        table = bytearray()
-        _write_freq_table_o0(table, freqs)
-        body = bytes(table) + _encode_o0_stream(data, freqs, n_states)
-        if len(body) < len(data):
+        if order == 1 and len(data) >= n_states:
+            body = _encode_o1_stream(data, n_states)
+            flags = FLAG_ORDER1 | (FLAG_X32 if n_states == 32 else 0)
+        else:
+            counts = [0] * 256
+            for b in data:
+                counts[b] += 1
+            freqs = _normalize(counts)
+            table = bytearray()
+            _write_freq_table_o0(table, freqs)
+            body = bytes(table) + _encode_o0_stream(data, freqs, n_states)
             flags = FLAG_X32 if n_states == 32 else 0
+        if len(body) < len(data):
             return bytes([flags]) + bytes(header) + body
     return bytes([FLAG_CAT]) + bytes(header) + data
 
@@ -226,8 +459,8 @@ def decompress(data: bytes) -> bytes:
         if flags & bit:
             raise ValueError(
                 f"rANS Nx16 {name} transform (flags=0x{flags:02x}) not "
-                "implemented: this reader supports order-0 (X4/X32) and CAT "
-                "3.1 streams"
+                "implemented: this reader supports order-0/order-1 (X4/X32) "
+                "and CAT 3.1 streams"
             )
     rsize, pos = _read_uint7(data, pos)
     if flags & FLAG_CAT:
@@ -240,5 +473,7 @@ def decompress(data: bytes) -> bytes:
     if rsize == 0:
         return b""
     n_states = 32 if flags & FLAG_X32 else 4
+    if flags & FLAG_ORDER1:
+        return _decode_o1_stream(data, pos, n_states, rsize)
     freqs, pos = _read_freq_table_o0(data, pos)
     return _decode_o0_stream(data, pos, freqs, n_states, rsize)

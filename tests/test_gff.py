@@ -155,6 +155,15 @@ def test_escape_fuzz_roundtrip(spark, tmp_path):
         "s", _attr_decode(_attr_encode(F2.col("s"))).alias("rt")
     ).filter(F2.col("s") != F2.col("rt"))
     assert bad.count() == 0, bad.take(3)
+    # sink-side idempotence (VERDICT r5 #8): re-encoding a decoded encoding
+    # reproduces the original ENCODED bytes exactly — i.e. the on-disk form
+    # of any attribute text is a fixed point; a drifting pair (e.g. '%'
+    # ordered wrong on one side) would rewrite files on every copy cycle
+    enc = _attr_encode(F2.col("s"))
+    bad2 = df.select(
+        enc.alias("e1"), _attr_encode(_attr_decode(enc)).alias("e2")
+    ).filter(F2.col("e1") != F2.col("e2"))
+    assert bad2.count() == 0, bad2.take(3)
 
     # whole-file round-trip: 60 rows, 1-3 random attributes each
     rows = []

@@ -15,6 +15,7 @@ from disq_original_spark.sources.rans_nx16 import (
     FLAG_CAT,
     FLAG_ORDER1,
     FLAG_PACK,
+    FLAG_X32,
     FLAG_RLE,
     FLAG_STRIPE,
     RANS_NX16_L,
@@ -153,7 +154,6 @@ def test_alphabet_round_trip(symset):
 @pytest.mark.parametrize(
     "flags,name",
     [
-        (FLAG_ORDER1, "ORDER-1"),
         (FLAG_STRIPE, "STRIPE"),
         (FLAG_RLE, "RLE"),
         (FLAG_PACK, "PACK"),
@@ -249,3 +249,103 @@ def test_cram_unsupported_31_codec_fails_by_name():
         blk_decompress(6, b"\x00" * 8, 8)
     with pytest.raises(ValueError, match="name tokenizer"):
         blk_decompress(8, b"\x00" * 8, 8)
+
+
+# -------------------------------------------------------------------- order-1
+
+
+@pytest.mark.parametrize("n_states", [4, 32])
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"ACGTNACGT" * 5000,
+        b"AAAAABBBBBCCCCC" * 2000,  # strong 1st-order structure
+        bytes(range(256)) * 40,
+        bytes([0, 1]) * 3000,
+        b"q" * 37,  # tail shorter than 32 states
+        b"x" * 4,  # len == min interleave
+    ],
+)
+def test_order1_round_trip(n_states, data):
+    enc = compress(data, n_states=n_states, order=1)
+    if len(enc) < len(data) + 2:  # entropy form engaged (not CAT)
+        assert enc[0] & FLAG_ORDER1 or enc[0] & FLAG_CAT
+    assert decompress(enc) == data
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=4096), st.sampled_from([4, 32]))
+def test_order1_round_trip_fuzz(data, n_states):
+    assert decompress(compress(data, n_states=n_states, order=1)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 5), min_size=4, max_size=1024))
+def test_order1_shift10_round_trip(vals):
+    """The spec's reduced-precision (shift 10) profile: encoder emits it on
+    request; the decoder must honor the stored shift."""
+    from disq_original_spark.sources.rans_nx16 import _encode_o1_stream
+
+    data = bytes(v * 17 for v in vals)
+    body = _encode_o1_stream(data, 4, shift=10)
+    head = bytearray([FLAG_ORDER1])
+    from disq_original_spark.sources.rans_nx16 import _write_uint7
+
+    _write_uint7(head, len(data))
+    assert decompress(bytes(head) + body) == data
+
+
+def test_order1_compressed_table_path_engages():
+    """Big-alphabet order-1 tables are large; the nested order-0 table
+    compression must actually engage (comp bit set) and round-trip."""
+    import random
+
+    rng = random.Random(21)
+    # 200-symbol alphabet with markov-ish structure -> big sparse table
+    data = bytearray()
+    prev = 0
+    for _ in range(60_000):
+        prev = (prev * 31 + rng.randrange(7)) % 200
+        data.append(prev)
+    data = bytes(data)
+    enc = compress(data, order=1)
+    assert enc[0] & FLAG_ORDER1
+    # flags byte, uint7(size), then the table header byte: low bit = nested
+    # order-0-compressed table
+    pos = 1
+    while enc[pos] & 0x80:
+        pos += 1
+    pos += 1
+    assert enc[pos] & 1, "compressed-table path did not engage"
+    assert enc[pos] >> 4 == 12
+    assert decompress(enc) == data
+    assert len(enc) < len(data)
+
+
+def test_order1_context_structure_beats_order0():
+    """On first-order-structured data the order-1 form must be materially
+    smaller — a transposed/garbled context model would erase the gain."""
+    data = b"".join(bytes([a, a ^ 1, a ^ 2]) for a in range(0, 250, 5)) * 700
+    o0 = compress(data, order=0)
+    o1 = compress(data, order=1)
+    assert len(o1) < 0.9 * len(o0), (len(o0), len(o1))
+    assert decompress(o1) == data
+
+
+def test_order1_missing_context_row_fails_loud():
+    """A corrupt stream referencing a context with no frequency row must
+    raise a clear ValueError, not a KeyError."""
+    # alphabet {65,66}: row for 0 missing entirely (never a context in a
+    # hand-built table); craft: table says contexts {65,66} only, but the
+    # decoder always starts at context 0.
+    head = bytearray([FLAG_ORDER1, 8])  # claim 8 output bytes
+    table = bytearray([0xC0])  # shift=12, uncompressed
+    # alphabet {65, 66}
+    table += bytes([65, 66, 0, 0])
+    row = bytearray()
+    _write_uint7(row, 2048)
+    _write_uint7(row, 2048)
+    table += row + row  # both rows sum to 4096... but neither is context 0
+    stream = bytes(head) + bytes(table) + struct.pack("<4I", *([1 << 15] * 4))
+    with pytest.raises(ValueError, match="context 0"):
+        decompress(stream)
