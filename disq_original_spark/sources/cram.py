@@ -4,9 +4,10 @@ distributed record decode, and single-file writes.
 Split machinery mirrors the reference (snapping byte-range splits to
 container start offsets, `cram/CramSource.java:96-151`); record decode —
 which the reference delegates to htsjdk (`cram/CramSource.java:153-167`) —
-is the from-scratch pure-Python codec in ``cram_codec`` (CRAM 2.x gzip and
-3.0 rANS blocks, reference-based sequence reconstruction), and the sink uses
-the encoder in ``cram_writer``.
+is the from-scratch pure-Python codec in ``cram_codec`` (CRAM 2.x gzip,
+3.0 rANS-4x8 and 3.1 rANS-Nx16 blocks, reference-based sequence
+reconstruction), and the sink uses the encoder in ``cram_writer``
+(versions 2.1, 3.0 and 3.1).
 
 CRAM structure (CRAM spec §6–8): a 26-byte file definition, then containers,
 each with a header of fixed-width length + ITF8/LTF8 varints, ending with a

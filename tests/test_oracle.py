@@ -23,11 +23,17 @@ def test_query_matches_oracle(spark, ddb, sf_dir, name):
     assert_frames_match(spark_pdf, oracle_pdf, name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
-def test_rows_only_query_runs(spark, sf_dir, name):
-    q = QUERIES[name]
-    df = q.build(spark, sf_dir)
-    assert df.count() >= 0
+def test_every_query_is_hash_checkable():
+    """Since q12's companion-boolean conversion (r6) the registry has NO
+    rows-only queries left: every entry carries a DuckDB oracle, so the
+    driver hash-checks 100% of the surface.  A new rows-only query should
+    be a deliberate, documented exception — this test makes the regression
+    loud (and replaces the rows-only smoke runner, whose parameter set is
+    now empty)."""
+    assert ROWS_ONLY_QUERIES == [], (
+        "queries without an oracle (driver can only rows-check them): "
+        f"{ROWS_ONLY_QUERIES}"
+    )
 
 
 def test_q12_approx_within_tolerance(spark, ddb, sf_dir):
