@@ -1211,76 +1211,89 @@ def _t17_topk(texts: DataFrame, k: int, cap: int) -> DataFrame:
         .groupBy("token")
         .agg(F.sum("weight").alias("residual"))
     )
-    # total token count as a lazy 1-row frame (no driver-side action):
-    # the residual-filter threshold N/(cap+1) joins in as a broadcast
-    total = grouped.filter(F.col("token").isNull()).select(
-        F.col("residual").alias("n_total")
-    )
+    # N (total token count) and the candidate count collect as DRIVER
+    # SCALARS — two 1-row jobs over the persisted MG aggregate, the same
+    # sanctioned pattern as s03's corpus count.  Scalars instead of 1-row
+    # broadcast frames because each broadcast(total) instance planned its
+    # own prep future (no exchange reuse across the subqueries), and
+    # concurrent prep futures RACE the cold `grouped` cache — every racer
+    # re-ran the MG corpus scan (measured +0.4-0.7 s at sf0.1).  With
+    # scalars the MG scan runs exactly once (here), the recount scan once
+    # (at drain), and the guard costs one extra read of the tiny cache.
+    stats_row = grouped.agg(
+        F.sum(F.when(F.col("token").isNull(), F.col("residual"))).alias("n_total"),
+        F.max(F.when(F.col("token").isNotNull(), F.col("residual"))).alias(
+            "max_resid"
+        ),
+    ).collect()[0]
+    n_total = int(stats_row["n_total"] or 0)
+    max_resid = int(stats_row["max_resid"] or 0)
     cands = (
         grouped.filter(F.col("token").isNotNull())
-        .join(F.broadcast(total))
-        .filter(F.col("residual") * (cap + 1) > F.col("n_total"))
+        .filter(F.col("residual") * (cap + 1) > F.lit(n_total))
         .select("token")
     )
-    # persisted: the recount feeds BOTH the top-K branch and the exactness
-    # guard below — without the persist the guard would re-run the second
-    # corpus scan (the frame itself is ≤ cap+1 rows, trivially resident)
-    counts = track_persist(
+    # ---- runtime exactness guard (ADVICE r5 / VERDICT r5 directive #4) ----
+    # The top-K is provably exact iff the K-th recounted count clears
+    # 2N/(cap+1) (every non-candidate has true count <= 2N/(cap+1), so
+    # nothing outside the candidate set can displace ranks 1..K), OR the
+    # candidates cover the ENTIRE corpus (sum of exact candidate counts
+    # == N => the recount was a full groupBy => exact by construction,
+    # including the vocabulary-smaller-than-K case).  On any other
+    # distribution the query must degrade to a loud error, not a silently
+    # approximate "exact" top-K.  The candidates-EMPTY case (no output row
+    # to carry a runtime check) fails loud right here at build time; the
+    # nonempty case rides the OUTPUT rows: cand_total / kth_cnt come from
+    # window aggregates over the same single-partition exchange the
+    # ranking already pays, and the emitted cnt column raises on violation
+    # (cnt is selected, so the check can never be pruned away).
+    # "any candidate exists" falls out of the SAME aggregate as N (the
+    # largest residual clears the threshold iff any token does) — one
+    # driver job yields both scalars, no second cache read
+    if n_total > 0 and max_resid * (cap + 1) <= n_total:
+        raise ValueError(
+            "t17 heavy-hitters exactness invariant violated: NO candidate "
+            f"cleared the residual threshold over N={n_total} tokens — "
+            f"every count is <= 2N/(cap+1={cap + 1}); the MG sketch cap is "
+            "too small for this distribution"
+        )
+    counts = (
         tok.join(F.broadcast(cands), "token", "leftsemi")
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
-    ranked = counts.withColumn("rank", F.row_number().over(w))
-    # ---- runtime exactness guard (ADVICE r5 / VERDICT r5 directive #4) ----
-    # The top-K is provably exact iff the K-th recounted count clears
-    # 2N/(cap+1) (every non-candidate has true count ≤ 2N/(cap+1), so
-    # nothing outside the candidate set can displace ranks 1..K), OR the
-    # candidates cover the ENTIRE corpus (sum of exact candidate counts
-    # == N ⇒ the recount was a full groupBy ⇒ exact by construction,
-    # including the vocabulary-smaller-than-K case).  On any other
-    # distribution the query must degrade to a loud error, not a silently
-    # approximate "exact" top-K.  The check rides a UNION branch: a
-    # 1-row frame whose filter either drops the row (invariant holds) or
-    # raises — union branches are always evaluated on drain, so the guard
-    # fires even when the candidate set (and thus the result) is EMPTY,
-    # which a guard column cross-joined onto the result rows would miss.
-    stats = ranked.agg(
-        F.sum("cnt").alias("cand_total"),
-        F.max(F.when(F.col("rank") == k, F.col("cnt"))).alias("kth_cnt"),
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn("cand_total", F.sum("cnt").over(wall))
+        .withColumn(
+            "kth_cnt", F.max(F.when(F.col("rank") == k, F.col("cnt"))).over(wall)
+        )
     )
     ok = (
-        F.coalesce(F.col("kth_cnt"), F.lit(0)) * (cap + 1) > 2 * F.col("n_total")
-    ) | (F.coalesce(F.col("cand_total"), F.lit(0)) == F.col("n_total"))
-    guard_pad = (
-        total.join(stats)
-        .filter(
-            F.when(ok, F.lit(False)).otherwise(
-                F.raise_error(
-                    F.format_string(
-                        "t17 heavy-hitters exactness invariant violated: "
-                        "K-th count %d * (cap+1=%d) <= 2N (N=%d) and the "
-                        "candidate set covers only %d of N tokens — the "
-                        "MG sketch cap is too small for this distribution; "
-                        "the top-K would be silently approximate",
-                        F.coalesce(F.col("kth_cnt"), F.lit(0)),
-                        F.lit(cap + 1),
-                        F.col("n_total"),
-                        F.coalesce(F.col("cand_total"), F.lit(0)),
-                    )
-                )
+        F.coalesce(F.col("kth_cnt"), F.lit(0)) * (cap + 1) > 2 * F.lit(n_total)
+    ) | (F.col("cand_total") == F.lit(n_total))
+    guarded_cnt = F.when(ok, F.col("cnt")).otherwise(
+        F.raise_error(
+            F.format_string(
+                "t17 heavy-hitters exactness invariant violated: K-th "
+                "count %d * (cap+1=%d) <= 2N (N=%d) and the candidate set "
+                "covers only %d of N tokens — the MG sketch cap is too "
+                "small for this distribution; the top-K would be silently "
+                "approximate",
+                F.coalesce(F.col("kth_cnt"), F.lit(0)),
+                F.lit(cap + 1),
+                F.lit(n_total),
+                F.col("cand_total"),
             )
-        )
-        .select(
-            F.lit(0).cast("int").alias("rank"),
-            F.lit("").alias("token"),
-            F.lit(0).cast("long").alias("cnt"),
-        )
+        ).cast("long")
     )
     return (
         ranked.filter(F.col("rank") <= k)
-        .select("rank", "token", "cnt")
-        .union(guard_pad)
+        .select("rank", "token", guarded_cnt.alias("cnt"))
         .orderBy("rank")
     )
 

@@ -178,17 +178,25 @@ def test_t17_worker_sentinel_and_case_contract():
 
 
 def test_t17_single_mg_pass_reused(spark, sf_dir):
-    """Threshold (N) and candidate branches must both read the persisted
-    MG aggregate, not re-run the Python sketch: the plan shows an
-    in-memory scan and no second mapInPandas over documents."""
+    """The MG sketch must run exactly once: N and the empty-candidates
+    check collect from the PERSISTED aggregate at build time (driver
+    scalars), and the drain plan's only access to MG output is one
+    in-memory scan feeding the candidate broadcast — the documents table
+    appears exactly once (the recount), never a second sketch pass."""
     from disq_original_spark.cache import release_persists
 
     try:
         df = QUERIES["t17_heavy_hitters"].build(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        # both the broadcast threshold side and the candidate side hit
-        # the cache — two InMemoryTableScans over one cached MG aggregate
-        assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+        # the InMemoryRelation printout embeds its own (already
+        # materialized) child plan — count only the live tree above it
+        tree = plan.split("\n\n")[0].split("InMemoryRelation")[0]
+        assert tree.count("InMemoryTableScan") == 1, tree
+        assert tree.count("Scan parquet") == 1, tree
+        # and no broadcast prep beyond the single candidate set: extra
+        # 1-row broadcasts planned their own prep futures, which raced the
+        # cold MG cache and re-ran the corpus sketch (measured r6)
+        assert tree.count("BroadcastExchange") == 1, tree
     finally:
         release_persists()
 
@@ -266,3 +274,22 @@ def test_t17_guard_passes_when_candidates_cover_corpus(spark):
         for r in _t17_topk(df.select("text"), k=25, cap=2048).collect()
     ]
     assert got == [(1, "x", 4), (2, "y", 2)]
+
+
+def test_t17_guard_fails_loud_when_fewer_than_k_candidates(spark):
+    """Candidates exist but fewer than K and NOT covering the corpus: the
+    inline (output-row) guard must fire — the missing ranks would have to
+    come from below the 2N/(cap+1) bound, where the sketch cannot order
+    tokens.  t1/t2 dominate; t3 and the singles sea stay under the
+    residual threshold, so only 2 candidates survive for k=3."""
+    from disq_original_spark.queries.textops import _t17_topk
+
+    docs = (
+        [(i, "t1") for i in range(300)]
+        + [(1000 + i, "t2") for i in range(300)]
+        + [(2000 + i, "t3") for i in range(90)]
+        + [(3000 + i, f"u{i:04d}") for i in range(310)]
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string").coalesce(1)
+    with pytest.raises(Exception, match="exactness invariant violated"):
+        _t17_topk(df.select("text"), k=3, cap=8).collect()
