@@ -18,9 +18,11 @@ codec.  Differences from the 3.0-era rANS 4x8 (``rans4x8.py``):
   (flag 0x01 — per-context tables with shift 12 or 10, zero-run freq
   encoding, optionally order-0-rANS-compressed table, N equal slices with
   the last state running long over the remainder), X32, CAT (stored
-  verbatim).  Not implemented (fail-loud with the flag name so a 3.1 file
-  using them degrades to a clear error, never silent corruption):
-  STRIPE (0x08), standalone NOSZ (0x10), RLE (0x40), PACK (0x80).
+  verbatim), and PACK (0x80 — ≤16-symbol alphabets bit-pack to 1/2/4 bits
+  per value before entropy coding; metadata = symbol map + packed length,
+  decode runs entropy-then-unpack).  Not implemented (fail-loud with the
+  flag name so a 3.1 file using them degrades to a clear error, never
+  silent corruption): STRIPE (0x08), standalone NOSZ (0x10), RLE (0x40).
 
 Tested by exhaustive round-trips over adversarial distributions plus
 byte-exact known-answer vectors derived by hand from the spec's transform
@@ -48,7 +50,6 @@ _UNSUPPORTED = (
     (FLAG_STRIPE, "STRIPE"),
     (FLAG_NOSZ, "NOSZ"),
     (FLAG_RLE, "RLE"),
-    (FLAG_PACK, "PACK"),
 )
 
 
@@ -404,6 +405,63 @@ def _decode_o1_stream(data: bytes, pos: int, n_states: int, out_len: int) -> byt
     return bytes(out)
 
 
+# ------------------------------------------------------------------ PACK
+#
+# Spec "Pack transform": for alphabets of ≤16 distinct symbols, values map
+# to small indices and pack 8/4/2-per-byte (LSB-first) BEFORE entropy
+# coding.  Stream metadata (after flags + uncompressed size): nsym byte,
+# the nsym-symbol map, uint7 packed length; the remaining stream is the
+# entropy-coded PACKED bytes, so decode runs entropy-then-unpack.  A
+# 1-symbol input stores no packed data at all (plen = 0).
+
+
+def _pack_values(data: bytes, syms: list[int]) -> bytes:
+    idx = {s: i for i, s in enumerate(syms)}
+    n = len(syms)
+    if n <= 1:
+        return b""
+    if n <= 2:
+        per, bits = 8, 1
+    elif n <= 4:
+        per, bits = 4, 2
+    else:
+        per, bits = 2, 4
+    out = bytearray((len(data) + per - 1) // per)
+    for i, b in enumerate(data):
+        out[i // per] |= idx[b] << (bits * (i % per))
+    return bytes(out)
+
+
+def _unpack_values(packed: bytes, syms: list[int], out_len: int) -> bytes:
+    n = len(syms)
+    if n <= 1:
+        if not syms and out_len:
+            raise ValueError("rANS Nx16 PACK stream with empty symbol map")
+        return bytes([syms[0]]) * out_len if out_len else b""
+    if n <= 2:
+        per, bits = 8, 1
+    elif n <= 4:
+        per, bits = 4, 2
+    else:
+        per, bits = 2, 4
+    if (out_len + per - 1) // per > len(packed):
+        raise ValueError(
+            f"rANS Nx16 PACK stream truncated: {len(packed)} packed bytes "
+            f"cannot hold {out_len} values at {bits} bits"
+        )
+    mask = (1 << bits) - 1
+    out = bytearray(out_len)
+    for i in range(out_len):
+        v = (packed[i // per] >> (bits * (i % per))) & mask
+        if v >= n:
+            raise ValueError(
+                f"rANS Nx16 PACK index {v} out of range for a "
+                f"{n}-symbol map — corrupt stream"
+            )
+        out[i] = syms[v]
+    return bytes(out)
+
+
 def compress_o0_bare(data: bytes) -> bytes:
     """The BARE order-0 form (freq table + 4 states + renorm words, no
     flags/size header) used to nest order-1 frequency tables."""
@@ -424,8 +482,22 @@ def decompress_o0_bare(data: bytes, out_len: int) -> bytes:
 # ------------------------------------------------------------------- public API
 
 
+def _entropy_body(data: bytes, n_states: int, order: int) -> tuple[int, bytes]:
+    """(flag bits, encoded body) for the plain entropy stage."""
+    if order == 1 and len(data) >= n_states:
+        return FLAG_ORDER1, _encode_o1_stream(data, n_states)
+    counts = [0] * 256
+    for b in data:
+        counts[b] += 1
+    freqs = _normalize(counts)
+    table = bytearray()
+    _write_freq_table_o0(table, freqs)
+    return 0, bytes(table) + _encode_o0_stream(data, freqs, n_states)
+
+
 def compress(data: bytes, n_states: int = 4, order: int = 0) -> bytes:
-    """rANS Nx16 (N = 4 or 32), order 0 or 1, falling back to CAT (stored
+    """rANS Nx16 (N = 4 or 32), order 0 or 1, bit-PACKing ≤16-symbol
+    inputs before the entropy stage and falling back to CAT (stored
     verbatim) when entropy coding does not pay — all forms any
     spec-conformant 3.1 decoder accepts."""
     if n_states not in (4, 32):
@@ -435,20 +507,25 @@ def compress(data: bytes, n_states: int = 4, order: int = 0) -> bytes:
     header = bytearray()
     _write_uint7(header, len(data))
     if len(data) > 0:
-        if order == 1 and len(data) >= n_states:
-            body = _encode_o1_stream(data, n_states)
-            flags = FLAG_ORDER1 | (FLAG_X32 if n_states == 32 else 0)
+        flags = FLAG_X32 if n_states == 32 else 0
+        meta = b""
+        payload = data
+        if len(data) >= 32:
+            syms = sorted(set(data))
+            if len(syms) <= 16:
+                flags |= FLAG_PACK
+                payload = _pack_values(data, syms)
+                m = bytearray([len(syms)])
+                m.extend(syms)
+                _write_uint7(m, len(payload))
+                meta = bytes(m)
+        if payload:
+            obits, body = _entropy_body(payload, n_states, order)
+            flags |= obits
         else:
-            counts = [0] * 256
-            for b in data:
-                counts[b] += 1
-            freqs = _normalize(counts)
-            table = bytearray()
-            _write_freq_table_o0(table, freqs)
-            body = bytes(table) + _encode_o0_stream(data, freqs, n_states)
-            flags = FLAG_X32 if n_states == 32 else 0
-        if len(body) < len(data):
-            return bytes([flags]) + bytes(header) + body
+            body = b""  # 1-symbol PACK: the map alone reconstructs everything
+        if len(meta) + len(body) < len(data):
+            return bytes([flags]) + bytes(header) + meta + body
     return bytes([FLAG_CAT]) + bytes(header) + data
 
 
@@ -473,7 +550,21 @@ def decompress(data: bytes) -> bytes:
     if rsize == 0:
         return b""
     n_states = 32 if flags & FLAG_X32 else 4
-    if flags & FLAG_ORDER1:
-        return _decode_o1_stream(data, pos, n_states, rsize)
-    freqs, pos = _read_freq_table_o0(data, pos)
-    return _decode_o0_stream(data, pos, freqs, n_states, rsize)
+    pack_syms = None
+    out_len = rsize
+    if flags & FLAG_PACK:
+        nsym = data[pos]
+        pos += 1
+        pack_syms = list(data[pos : pos + nsym])
+        pos += nsym
+        out_len, pos = _read_uint7(data, pos)
+    if out_len == 0:
+        payload = b""
+    elif flags & FLAG_ORDER1:
+        payload = _decode_o1_stream(data, pos, n_states, out_len)
+    else:
+        freqs, pos = _read_freq_table_o0(data, pos)
+        payload = _decode_o0_stream(data, pos, freqs, n_states, out_len)
+    if pack_syms is not None:
+        return _unpack_values(payload, pack_syms, rsize)
+    return payload

@@ -267,9 +267,11 @@ def test_cram_unsupported_31_codec_fails_by_name():
     ],
 )
 def test_order1_round_trip(n_states, data):
+    from disq_original_spark.sources.rans_nx16 import FLAG_PACK
+
     enc = compress(data, n_states=n_states, order=1)
-    if len(enc) < len(data) + 2:  # entropy form engaged (not CAT)
-        assert enc[0] & FLAG_ORDER1 or enc[0] & FLAG_CAT
+    if len(enc) < len(data) + 2:  # some transform engaged (not CAT)
+        assert enc[0] & (FLAG_ORDER1 | FLAG_PACK | FLAG_CAT)
     assert decompress(enc) == data
 
 
@@ -349,3 +351,79 @@ def test_order1_missing_context_row_fails_loud():
     stream = bytes(head) + bytes(table) + struct.pack("<4I", *([1 << 15] * 4))
     with pytest.raises(ValueError, match="context 0"):
         decompress(stream)
+
+
+# ----------------------------------------------------------------------- PACK
+
+
+@pytest.mark.parametrize("order", [0, 1])
+@pytest.mark.parametrize("nsym", [1, 2, 3, 4, 5, 16])
+def test_pack_round_trip(order, nsym):
+    import random
+
+    from disq_original_spark.sources.rans_nx16 import FLAG_PACK
+
+    rng = random.Random(nsym)
+    syms = rng.sample(range(256), nsym)
+    data = bytes(rng.choice(syms) for _ in range(5000))
+    from disq_original_spark.sources.rans_nx16 import FLAG_CAT
+
+    enc = compress(data, order=order)
+    if order == 1 and nsym > 5:
+        # order-1 over 4-bit-packed pairs can cost more table than data on
+        # random input; the CAT fallback is the correct outcome there
+        assert enc[0] & (FLAG_PACK | FLAG_CAT)
+    else:
+        assert enc[0] & FLAG_PACK, f"PACK did not engage for {nsym} symbols"
+        assert len(enc) < len(data)
+    assert decompress(enc) == data
+    if order == 0 and nsym <= 4:
+        # ≤2 bits/value before entropy coding; order-1 / 4-bit cases pay
+        # bigger tables over the packed alphabet, so only the tight cases
+        # pin the ratio
+        assert len(enc) < len(data) // 2
+
+
+def test_pack_skipped_beyond_16_symbols():
+    from disq_original_spark.sources.rans_nx16 import FLAG_PACK
+
+    data = bytes(range(17)) * 500
+    enc = compress(data)
+    assert not enc[0] & FLAG_PACK
+    assert decompress(enc) == data
+
+
+def test_pack_one_symbol_has_no_entropy_stream():
+    """A constant input reduces to flags + size + the 1-symbol map +
+    uint7(0): 5 bytes for any length."""
+    data = b"Q" * 100_000
+    enc = compress(data)
+    assert len(enc) <= 8, enc.hex()
+    assert decompress(enc) == data
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(1, 16).flatmap(
+        lambda n: st.lists(st.integers(0, n - 1), min_size=32, max_size=2048)
+    ),
+    st.sampled_from([4, 32]),
+    st.sampled_from([0, 1]),
+)
+def test_pack_fuzz(vals, n_states, order):
+    data = bytes(v * 15 for v in vals)
+    assert decompress(compress(data, n_states=n_states, order=order)) == data
+
+
+def test_pack_corrupt_index_fails_loud():
+    from disq_original_spark.sources.rans_nx16 import _unpack_values
+
+    # 2-bit packing (3-symbol map): byte 0b00001111 decodes indices 3,3 —
+    # out of range for the map
+    with pytest.raises(ValueError, match="out of range"):
+        _unpack_values(bytes([0b00001111]), [1, 2, 3], 2)
+    # 4-bit packing: 0x75 decodes indices 5 then 7 over a 5-symbol map
+    with pytest.raises(ValueError, match="out of range"):
+        _unpack_values(bytes([0x75]), [1, 2, 3, 4, 5], 2)
+    with pytest.raises(ValueError, match="truncated"):
+        _unpack_values(b"", [65, 66], 9)
