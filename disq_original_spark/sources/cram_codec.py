@@ -27,6 +27,7 @@ import gzip
 import hashlib
 import lzma
 import struct
+import zlib
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -34,9 +35,9 @@ CRAM_MAGIC = b"CRAM"
 FILE_DEFINITION_SIZE = 26
 
 BLOCK_RAW, BLOCK_GZIP, BLOCK_BZIP2, BLOCK_LZMA, BLOCK_RANS = 0, 1, 2, 3, 4
-# CRAM 3.1 block methods: Nx16 implemented (order-0/CAT, rans_nx16.py);
-# the rest fail loud by NAME so a 3.1 file using them degrades to a clear
-# error instead of "unknown method 7"
+# CRAM 3.1 block methods: Nx16 implemented (order-0/order-1/PACK/CAT,
+# rans_nx16.py); the rest fail loud by NAME so a 3.1 file using them
+# degrades to a clear error instead of "unknown method 7"
 BLOCK_RANS_NX16, BLOCK_RANGE, BLOCK_FQZCOMP, BLOCK_TOK3 = 5, 6, 7, 8
 _NX16_PLUS_NAMES = {
     BLOCK_RANGE: "adaptive arithmetic (range)",
@@ -189,7 +190,7 @@ def decompress(method: int, payload: bytes, raw_size: int) -> bytes:
         raise ValueError(
             f"CRAM 3.1 block codec '{_NX16_PLUS_NAMES[method]}' (method "
             f"{method}) not implemented: this reader supports methods 0-5 "
-            "(raw/gzip/bzip2/lzma/rANS-4x8/rANS-Nx16-order-0)"
+            "(raw/gzip/bzip2/lzma/rANS-4x8/rANS-Nx16)"
         )
     raise ValueError(f"unknown CRAM block compression method {method}")
 
@@ -204,6 +205,7 @@ class Block:
 
 
 def read_block(buf: Buf, major: int, defer: bool = False) -> Block:
+    start = buf.pos
     method = buf.u8()
     ctype = buf.u8()
     cid = buf.itf8()
@@ -211,7 +213,17 @@ def read_block(buf: Buf, major: int, defer: bool = False) -> Block:
     rsize = buf.itf8()
     payload = buf.take(csize)
     if major >= 3:
-        buf.take(4)  # CRC32
+        # CRC32 over the preceding block bytes (spec §8): verify instead of
+        # skipping, so a corrupt payload fails HERE with block context
+        # rather than deep inside a codec (r6 review finding)
+        (want,) = struct.unpack("<I", buf.take(4))
+        got = zlib.crc32(buf.data[start : buf.pos - 4])
+        if got != want:
+            raise ValueError(
+                f"CRAM block CRC32 mismatch (content id {cid}, method "
+                f"{method}): stored {want:#010x}, computed {got:#010x} — "
+                "corrupt block"
+            )
     if defer:
         # column pruning defers EXTERNAL block inflation to first access
         # (LazyBuf); a fully-skipped block never decompresses
@@ -258,7 +270,13 @@ def read_container_header(buf: Buf, offset: int, major: int) -> ContainerHeader:
     n_landmarks = buf.itf8()
     landmarks = [buf.itf8() for _ in range(n_landmarks)]
     if major >= 3:
-        buf.take(4)  # CRC32
+        (want,) = struct.unpack("<I", buf.take(4))
+        got = zlib.crc32(buf.data[offset : buf.pos - 4])
+        if got != want:
+            raise ValueError(
+                f"CRAM container header CRC32 mismatch at offset {offset}: "
+                f"stored {want:#010x}, computed {got:#010x} — corrupt header"
+            )
     return ContainerHeader(
         offset, length, ref_seq_id, start, span, n_records, counter, bases,
         n_blocks, landmarks, buf.pos - offset,

@@ -514,7 +514,12 @@ def write_cram(
         for i in range(0, len(rows), records_per_container):
             fh.write(
                 encode_container(
-                    rows[i : i + records_per_container], ref_names, rg_ids, fasta, major
+                    rows[i : i + records_per_container],
+                    ref_names,
+                    rg_ids,
+                    fasta,
+                    major,
+                    minor,
                 )
             )
         fh.write(eof_container(major))

@@ -530,14 +530,27 @@ def compress(data: bytes, n_states: int = 4, order: int = 0) -> bytes:
 
 
 def decompress(data: bytes) -> bytes:
+    """Decode any supported Nx16 stream.  Corrupt or truncated input
+    raises ValueError (never a bare IndexError/struct.error from deep in
+    the bit machinery — r6 review finding)."""
+    try:
+        return _decompress(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(
+            f"rANS Nx16 stream truncated or corrupt ({type(exc).__name__}: "
+            f"{exc})"
+        ) from exc
+
+
+def _decompress(data: bytes) -> bytes:
     flags = data[0]
     pos = 1
     for bit, name in _UNSUPPORTED:
         if flags & bit:
             raise ValueError(
                 f"rANS Nx16 {name} transform (flags=0x{flags:02x}) not "
-                "implemented: this reader supports order-0/order-1 (X4/X32) "
-                "and CAT 3.1 streams"
+                "implemented: this reader supports order-0/order-1 "
+                "(X4/X32), PACK and CAT 3.1 streams"
             )
     rsize, pos = _read_uint7(data, pos)
     if flags & FLAG_CAT:

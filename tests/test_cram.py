@@ -256,10 +256,19 @@ def test_container_counter_itf8_in_cram2():
 
     h2 = read_container_header(Buf(container_bytes(itf8(counter))), 0, major=2)
     assert h2.counter == counter and h2.n_blocks == 1
+    import zlib
+
+    v3 = container_bytes(ltf8(counter))
     h3 = read_container_header(
-        Buf(container_bytes(ltf8(counter)) + b"\x00" * 4), 0, major=3
+        Buf(v3 + struct.pack("<I", zlib.crc32(v3))), 0, major=3
     )
     assert h3.counter == counter and h3.n_blocks == 1
+    # a corrupted v3 header CRC must fail loud (r6: CRCs verified, not
+    # skipped)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CRC32 mismatch"):
+        read_container_header(Buf(v3 + b"\x00" * 4), 0, major=3)
 
 
 def test_golomb_codecs_decode_vectors():

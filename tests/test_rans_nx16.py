@@ -13,6 +13,7 @@ from hypothesis import strategies as st
 
 from disq_original_spark.sources.rans_nx16 import (
     FLAG_CAT,
+    FLAG_NOSZ,
     FLAG_ORDER1,
     FLAG_PACK,
     FLAG_X32,
@@ -156,7 +157,7 @@ def test_alphabet_round_trip(symset):
     [
         (FLAG_STRIPE, "STRIPE"),
         (FLAG_RLE, "RLE"),
-        (FLAG_PACK, "PACK"),
+        (FLAG_NOSZ, "NOSZ"),
     ],
 )
 def test_unsupported_transforms_fail_loud(flags, name):
@@ -427,3 +428,65 @@ def test_pack_corrupt_index_fails_loud():
         _unpack_values(bytes([0x75]), [1, 2, 3, 4, 5], 2)
     with pytest.raises(ValueError, match="truncated"):
         _unpack_values(b"", [65, 66], 9)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(min_size=2, max_size=200), st.integers(0, 5), st.binary(max_size=6))
+def test_corrupt_streams_never_escape_valueerror(base, cut, junk):
+    """Mutated/truncated streams must raise ValueError (or decode to
+    SOMETHING under the same declared size) — never a bare IndexError or
+    struct.error from the bit machinery (r6 review: 109/4000 escapes
+    before the wrap)."""
+    enc = bytearray(compress(bytes(base)))
+    if cut:
+        enc = enc[:-cut]
+    enc.extend(junk)
+    if junk:
+        enc[min(2, len(enc) - 1)] ^= 0x55
+    try:
+        decompress(bytes(enc))
+    except ValueError:
+        pass
+
+
+def test_cram_v31_whole_file_writer_uses_nx16(tmp_path):
+    """write_cram(version=(3,1)) — the driver-side whole-file path — must
+    also emit Nx16 externals; it previously dropped the minor and silently
+    wrote 3.0-style rANS-4x8 blocks under a 3.1 file definition (r6
+    review finding)."""
+    from pathlib import Path
+
+    from disq_original_spark.sources.cram_codec import (
+        Buf,
+        decode_cram,
+        read_block,
+        read_container_header,
+        read_cram_meta,
+    )
+    from disq_original_spark.sources.cram_writer import write_cram
+
+    res = Path("/root/reference/src/test/resources")
+    fasta = str(res / "valid.fasta")
+    orig = decode_cram(str(res / "valid.cram"), fasta)
+    hdr = read_cram_meta((res / "valid.cram").read_bytes())[0].header_text
+    out = tmp_path / "whole31.cram"
+    write_cram(out, orig, hdr, reference_path=fasta, version=(3, 1))
+    data = out.read_bytes()
+    assert (data[4], data[5]) == (3, 1)
+    methods = []
+    pos = 26
+    while pos < len(data):
+        h = read_container_header(Buf(data), pos, 3)
+        if h.is_eof:
+            break
+        buf = Buf(data)
+        buf.pos = pos + h.header_size
+        for _ in range(h.n_blocks):
+            blk = read_block(buf, 3, defer=True)
+            if blk.content_type == 4:
+                methods.append(blk.method)
+        pos = pos + h.header_size + h.length
+    assert methods and all(m == 5 for m in methods), methods
+    back = decode_cram(str(out), fasta)
+    key = lambda r: (r["qname"], r["flag"], r["pos"], r["cigar"], r["seq"])
+    assert sorted(map(key, back)) == sorted(map(key, orig))
