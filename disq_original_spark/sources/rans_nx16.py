@@ -18,11 +18,13 @@ codec.  Differences from the 3.0-era rANS 4x8 (``rans4x8.py``):
   (flag 0x01 — per-context tables with shift 12 or 10, zero-run freq
   encoding, optionally order-0-rANS-compressed table, N equal slices with
   the last state running long over the remainder), X32, CAT (stored
-  verbatim), and PACK (0x80 — ≤16-symbol alphabets bit-pack to 1/2/4 bits
+  verbatim), PACK (0x80 — ≤16-symbol alphabets bit-pack to 1/2/4 bits
   per value before entropy coding; metadata = symbol map + packed length,
-  decode runs entropy-then-unpack).  Not implemented (fail-loud with the
-  flag name so a 3.1 file using them degrades to a clear error, never
-  silent corruption): STRIPE (0x08), standalone NOSZ (0x10), RLE (0x40).
+  decode runs entropy-then-unpack), and STRIPE (0x08 — N byte planes
+  compressed as independent NOSZ substreams, the fixed-width numeric
+  layout).  Only RLE (0x40) remains unimplemented, failing loud by name;
+  a standalone NOSZ (0x10) stream outside a STRIPE container is also
+  rejected (its size is unrecoverable).
 
 Tested by exhaustive round-trips over adversarial distributions plus
 byte-exact known-answer vectors derived by hand from the spec's transform
@@ -46,11 +48,7 @@ FLAG_NOSZ = 0x10
 FLAG_CAT = 0x20
 FLAG_RLE = 0x40
 FLAG_PACK = 0x80
-_UNSUPPORTED = (
-    (FLAG_STRIPE, "STRIPE"),
-    (FLAG_NOSZ, "NOSZ"),
-    (FLAG_RLE, "RLE"),
-)
+_UNSUPPORTED = ((FLAG_RLE, "RLE"),)
 
 
 # ------------------------------------------------------------------ uint7
@@ -495,6 +493,30 @@ def _entropy_body(data: bytes, n_states: int, order: int) -> tuple[int, bytes]:
     return 0, bytes(table) + _encode_o0_stream(data, freqs, n_states)
 
 
+def compress_striped(data: bytes, n_planes: int = 4, n_states: int = 4,
+                     order: int = 0) -> bytes:
+    """STRIPE container: byte plane j (``data[j::n_planes]``) compresses
+    independently (its own flags — PACK/order fall out naturally per
+    plane) with NOSZ set, sizes derived from the total.  The standard
+    layout for fixed-width numeric series (e.g. 4-byte coordinates →
+    4 planes of far lower per-plane entropy)."""
+    if not 1 <= n_planes <= 255:
+        raise ValueError(f"STRIPE plane count must be 1..255, got {n_planes}")
+    subs = []
+    for j in range(n_planes):
+        sub = bytearray(compress(bytes(data[j::n_planes]), n_states, order))
+        _, size_end = _read_uint7(bytes(sub), 1)
+        subs.append(bytes([sub[0] | FLAG_NOSZ]) + bytes(sub[size_end:]))
+    out = bytearray([FLAG_STRIPE])
+    _write_uint7(out, len(data))
+    out.append(n_planes)
+    for s in subs:
+        _write_uint7(out, len(s))
+    for s in subs:
+        out.extend(s)
+    return bytes(out)
+
+
 def compress(data: bytes, n_states: int = 4, order: int = 0) -> bytes:
     """rANS Nx16 (N = 4 or 32), order 0 or 1, bit-PACKing ≤16-symbol
     inputs before the entropy stage and falling back to CAT (stored
@@ -534,7 +556,7 @@ def decompress(data: bytes) -> bytes:
     raises ValueError (never a bare IndexError/struct.error from deep in
     the bit machinery — r6 review finding)."""
     try:
-        return _decompress(data)
+        return _decompress(data, None)
     except (IndexError, struct.error) as exc:
         raise ValueError(
             f"rANS Nx16 stream truncated or corrupt ({type(exc).__name__}: "
@@ -542,7 +564,7 @@ def decompress(data: bytes) -> bytes:
         ) from exc
 
 
-def _decompress(data: bytes) -> bytes:
+def _decompress(data: bytes, expected_len: int | None) -> bytes:
     flags = data[0]
     pos = 1
     for bit, name in _UNSUPPORTED:
@@ -550,9 +572,41 @@ def _decompress(data: bytes) -> bytes:
             raise ValueError(
                 f"rANS Nx16 {name} transform (flags=0x{flags:02x}) not "
                 "implemented: this reader supports order-0/order-1 "
-                "(X4/X32), PACK and CAT 3.1 streams"
+                "(X4/X32), PACK, STRIPE and CAT 3.1 streams"
             )
-    rsize, pos = _read_uint7(data, pos)
+    if flags & FLAG_NOSZ:
+        if expected_len is None:
+            raise ValueError(
+                "rANS Nx16 NOSZ stream outside a STRIPE container: the "
+                "uncompressed size is unrecoverable"
+            )
+        rsize = expected_len
+    else:
+        rsize, pos = _read_uint7(data, pos)
+    if flags & FLAG_STRIPE:
+        # spec "Stripe transform": N byte-plane substreams (plane j holds
+        # out[j::N]), each a full Nx16 stream with NOSZ set (plane sizes
+        # derive from the total), lengths as uint7 before the payloads
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            raise ValueError("rANS Nx16 STRIPE stream with zero substreams")
+        clens = []
+        for _ in range(n):
+            c, pos = _read_uint7(data, pos)
+            clens.append(c)
+        out = bytearray(rsize)
+        for j in range(n):
+            plane_len = (rsize - j + n - 1) // n if rsize > j else 0
+            plane = _decompress(data[pos : pos + clens[j]], plane_len)
+            if len(plane) != plane_len:
+                raise ValueError(
+                    f"rANS Nx16 STRIPE plane {j} decoded {len(plane)} "
+                    f"bytes, expected {plane_len}"
+                )
+            out[j::n] = plane
+            pos += clens[j]
+        return bytes(out)
     if flags & FLAG_CAT:
         if len(data) - pos < rsize:
             raise ValueError(

@@ -155,7 +155,6 @@ def test_alphabet_round_trip(symset):
 @pytest.mark.parametrize(
     "flags,name",
     [
-        (FLAG_STRIPE, "STRIPE"),
         (FLAG_RLE, "RLE"),
         (FLAG_NOSZ, "NOSZ"),
     ],
@@ -490,3 +489,47 @@ def test_cram_v31_whole_file_writer_uses_nx16(tmp_path):
     back = decode_cram(str(out), fasta)
     key = lambda r: (r["qname"], r["flag"], r["pos"], r["cigar"], r["seq"])
     assert sorted(map(key, back)) == sorted(map(key, orig))
+
+
+# --------------------------------------------------------------------- STRIPE
+
+
+@pytest.mark.parametrize("n_planes", [1, 2, 4, 7])
+@pytest.mark.parametrize("order", [0, 1])
+def test_stripe_round_trip(n_planes, order):
+    import random
+    import struct as _struct
+
+    from disq_original_spark.sources.rans_nx16 import FLAG_STRIPE, compress_striped
+
+    rng = random.Random(n_planes)
+    # fixed-width numeric series: 4-byte little-endian deltas — exactly the
+    # shape STRIPE exists for (each byte plane has low entropy)
+    vals, v = [], 0
+    for _ in range(3000):
+        v += rng.randrange(100)
+        vals.append(v)
+    data = b"".join(_struct.pack("<I", x) for x in vals)
+    enc = compress_striped(data, n_planes=n_planes, order=order)
+    assert enc[0] & FLAG_STRIPE
+    assert decompress(enc) == data
+    if n_planes == 4 and order == 0:
+        # plane-split must beat the unsplit order-0 form on this series
+        assert len(enc) < len(compress(data))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=1024), st.integers(1, 9), st.sampled_from([0, 1]))
+def test_stripe_fuzz(data, n_planes, order):
+    from disq_original_spark.sources.rans_nx16 import compress_striped
+
+    assert decompress(compress_striped(data, n_planes=n_planes, order=order)) == data
+
+
+def test_stripe_zero_planes_and_nosz_outside_stripe_fail_loud():
+    from disq_original_spark.sources.rans_nx16 import FLAG_NOSZ, FLAG_STRIPE
+
+    with pytest.raises(ValueError, match="zero substreams"):
+        decompress(bytes([FLAG_STRIPE, 4, 0]))
+    with pytest.raises(ValueError, match="NOSZ"):
+        decompress(bytes([FLAG_NOSZ]) + b"\x00" * 8)
