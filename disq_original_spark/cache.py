@@ -31,10 +31,24 @@ _LOG = logging.getLogger(__name__)
 _TRACKED: list[DataFrame] = []
 
 
-def track_persist(df: DataFrame) -> DataFrame:
+def track_persist(df: DataFrame, eager: bool = False) -> DataFrame:
     """Persist ``df`` (MEMORY_AND_DISK, Spark's default) and register it so
-    :func:`release_persists` can unpersist it after the build is drained."""
+    :func:`release_persists` can unpersist it after the build is drained.
+
+    ``eager=True`` additionally MATERIALIZES the cache (one ``count()``)
+    before returning.  Choose it for SLIM frames with CONCURRENT consumers:
+    a persist dedupes sequential reuse only — the two map stages of a
+    self-join are submitted together, so both sides of an unmaterialized
+    cache evaluate the full subtree before either populates it (measured
+    at sf0.1: d04 −16%, d14/d03 −8% with eager).  Leave the default
+    (lazy) for fat frames whose first consumer pipelines the cache fill
+    into useful work — eagerly materializing dupmark's full-row read cache
+    cost g09 +0.3-1.0 s because the decode pass stopped fusing with its
+    consumer.  Timing stays honest either way: bench.py and the driver
+    time build+drain together."""
     df = df.persist()
+    if eager:
+        df.count()
     _TRACKED.append(df)
     return df
 

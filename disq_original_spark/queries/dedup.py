@@ -292,7 +292,9 @@ def d04(spark: SparkSession, sf: str) -> DataFrame:
         ex0.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") <= _DF_CAP)
-        .transform(track_persist)  # tiny: (hash, ≤cap ids); feeds both counts and pairs
+        # tiny: (hash, ≤cap ids); feeds counts AND pairs — concurrent
+        # consumers, so materialize eagerly (cache.py r6)
+        .transform(lambda d: track_persist(d, eager=True))
     )
     cnt = (
         inv.select(F.explode("ids").alias("doc_id"))
@@ -1044,7 +1046,7 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
     # reused three ways (per-doc counts + both sides of the intersection) —
     # the d04 posture; without the persists the corpus would be re-shingled
     # ~5x across the branches
-    sig = track_persist(_doc_signatures(spark, sf))
+    sig = track_persist(_doc_signatures(spark, sf), eager=True)
     inv = (
         _band_rows(sig)
         .groupBy("band_idx", "band_key")
@@ -1055,7 +1057,9 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
         inv.select(F.explode(_pair_expansion()).alias("p"))
         .select("p.a_id", "p.b_id")
         .distinct()
-        .transform(track_persist)
+        # both sides of the estimate join and the intersection probe read
+        # pairs concurrently — eager (cache.py r6)
+        .transform(lambda d: track_persist(d, eager=True))
     )
     sa = sig.select(
         F.col("doc_id").alias("a_id"),
@@ -1073,7 +1077,7 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
         .join(sb, "b_id")
         .select("a_id", "b_id", est_expr.alias("est_slots"))
     )
-    hashes = track_persist(_doc_shingle_hashes(spark, sf))
+    hashes = track_persist(_doc_shingle_hashes(spark, sf), eager=True)
     cnt = hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     xa = hashes.select(F.col("doc_id").alias("a_id"), "s")
     xb = hashes.select(F.col("doc_id").alias("b_id"), "s")
