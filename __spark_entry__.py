@@ -64,9 +64,12 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # plus the round-6 code-changed re-witnesses (rule: code changed =>
 # re-witness next round): q12_approx_distinct (new hash-checkable
 # companion form), t17_heavy_hitters (runtime exactness guard),
-# g25/g26 (multi-Parent explode), and the m04/m05/m06 real-codec
-# re-witnesses (r5 payload change postdates their r4 rows).  All of these
-# are exact-green locally via tools/simulate_driver_window.py --all.
+# g25/g26 (multi-Parent explode), d03/d04/d14 (selective eager persist
+# in their shared dedup frames), g09 (dupmark plan-shape change under
+# materialized caches), and the m04/m05/m06 real-codec re-witnesses
+# (r5 payload change postdates their r4 rows).  All of these are
+# exact-green locally via tools/simulate_driver_window.py --all
+# (final r6 tree: window 50/50 AND full registry 145/145, BAD: {}).
 _PRIORITY = [
     # --- (a) oldest witnesses in the registry (r2) ---
     "q01_scan_project",
