@@ -47,9 +47,13 @@ def track_persist(df: DataFrame, eager: bool = False) -> DataFrame:
     consumer.  Timing stays honest either way: bench.py and the driver
     time build+drain together."""
     df = df.persist()
+    # register BEFORE materializing: if count() dies mid-build (executor
+    # failure, missing fixture) the partially-cached frame must still be
+    # releasable, or the sweep-long storage leak this module exists to
+    # prevent comes back through the error path (r6 review finding)
+    _TRACKED.append(df)
     if eager:
         df.count()
-    _TRACKED.append(df)
     return df
 
 

@@ -185,7 +185,9 @@ def decompress(method: int, payload: bytes, raw_size: int) -> bytes:
     if method == BLOCK_RANS_NX16:
         from .rans_nx16 import decompress as nx16_decompress
 
-        return nx16_decompress(payload)
+        # the block header's raw size enables spec-legal top-level NOSZ
+        # streams (their own size byte omitted)
+        return nx16_decompress(payload, expected_len=raw_size)
     if method in _NX16_PLUS_NAMES:
         raise ValueError(
             f"CRAM 3.1 block codec '{_NX16_PLUS_NAMES[method]}' (method "

@@ -504,9 +504,9 @@ def compress_striped(data: bytes, n_planes: int = 4, n_states: int = 4,
         raise ValueError(f"STRIPE plane count must be 1..255, got {n_planes}")
     subs = []
     for j in range(n_planes):
-        sub = bytearray(compress(bytes(data[j::n_planes]), n_states, order))
-        _, size_end = _read_uint7(bytes(sub), 1)
-        subs.append(bytes([sub[0] | FLAG_NOSZ]) + bytes(sub[size_end:]))
+        sub = compress(data[j::n_planes], n_states, order)
+        _, size_end = _read_uint7(sub, 1)
+        subs.append(bytes([sub[0] | FLAG_NOSZ]) + sub[size_end:])
     out = bytearray([FLAG_STRIPE])
     _write_uint7(out, len(data))
     out.append(n_planes)
@@ -551,12 +551,14 @@ def compress(data: bytes, n_states: int = 4, order: int = 0) -> bytes:
     return bytes([FLAG_CAT]) + bytes(header) + data
 
 
-def decompress(data: bytes) -> bytes:
-    """Decode any supported Nx16 stream.  Corrupt or truncated input
-    raises ValueError (never a bare IndexError/struct.error from deep in
-    the bit machinery — r6 review finding)."""
+def decompress(data: bytes, expected_len: int | None = None) -> bytes:
+    """Decode any supported Nx16 stream.  ``expected_len`` enables
+    top-level NOSZ streams (legal in CRAM blocks, whose header already
+    stores the raw size — the block layer passes it through).  Corrupt or
+    truncated input raises ValueError (never a bare IndexError /
+    struct.error from deep in the bit machinery — r6 review finding)."""
     try:
-        return _decompress(data, None)
+        return _decompress(data, expected_len)
     except (IndexError, struct.error) as exc:
         raise ValueError(
             f"rANS Nx16 stream truncated or corrupt ({type(exc).__name__}: "
@@ -564,7 +566,9 @@ def decompress(data: bytes) -> bytes:
         ) from exc
 
 
-def _decompress(data: bytes, expected_len: int | None) -> bytes:
+def _decompress(
+    data: bytes, expected_len: int | None, in_stripe: bool = False
+) -> bytes:
     flags = data[0]
     pos = 1
     for bit, name in _UNSUPPORTED:
@@ -577,8 +581,9 @@ def _decompress(data: bytes, expected_len: int | None) -> bytes:
     if flags & FLAG_NOSZ:
         if expected_len is None:
             raise ValueError(
-                "rANS Nx16 NOSZ stream outside a STRIPE container: the "
-                "uncompressed size is unrecoverable"
+                "rANS Nx16 NOSZ stream without an externally-known size: "
+                "the uncompressed size is unrecoverable (CRAM blocks pass "
+                "their header raw_size through decompress(expected_len=...))"
             )
         rsize = expected_len
     else:
@@ -586,7 +591,16 @@ def _decompress(data: bytes, expected_len: int | None) -> bytes:
     if flags & FLAG_STRIPE:
         # spec "Stripe transform": N byte-plane substreams (plane j holds
         # out[j::N]), each a full Nx16 stream with NOSZ set (plane sizes
-        # derive from the total), lengths as uint7 before the payloads
+        # derive from the total), lengths as uint7 before the payloads.
+        # Planes are ENTROPY substreams — no real encoder nests STRIPE, and
+        # accepting nesting would let a ~4-bytes-per-level crafted stream
+        # blow the recursion limit (RecursionError escaping the ValueError
+        # contract — r6 review finding)
+        if in_stripe:
+            raise ValueError(
+                "rANS Nx16 STRIPE nested inside a STRIPE plane — corrupt "
+                "stream"
+            )
         n = data[pos]
         pos += 1
         if n == 0:
@@ -598,7 +612,9 @@ def _decompress(data: bytes, expected_len: int | None) -> bytes:
         out = bytearray(rsize)
         for j in range(n):
             plane_len = (rsize - j + n - 1) // n if rsize > j else 0
-            plane = _decompress(data[pos : pos + clens[j]], plane_len)
+            plane = _decompress(
+                data[pos : pos + clens[j]], plane_len, in_stripe=True
+            )
             if len(plane) != plane_len:
                 raise ValueError(
                     f"rANS Nx16 STRIPE plane {j} decoded {len(plane)} "

@@ -533,3 +533,62 @@ def test_stripe_zero_planes_and_nosz_outside_stripe_fail_loud():
         decompress(bytes([FLAG_STRIPE, 4, 0]))
     with pytest.raises(ValueError, match="NOSZ"):
         decompress(bytes([FLAG_NOSZ]) + b"\x00" * 8)
+
+
+def test_nested_stripe_rejected_and_recursion_bounded():
+    """STRIPE inside a STRIPE plane is not a real encoder output; a
+    crafted ~4-bytes-per-level nesting previously blew the recursion
+    limit and escaped as RecursionError (r6 review finding)."""
+    from disq_original_spark.sources.rans_nx16 import FLAG_NOSZ, FLAG_STRIPE
+
+    # outer: STRIPE, size 4, 1 plane whose payload is itself a STRIPE|NOSZ
+    # stream — the FIRST nesting must already fail loud (a deeper chain
+    # only repeats the same 3-byte level)
+    level = bytes([FLAG_STRIPE | FLAG_NOSZ, 1, 4])  # plane count 1, clen 4
+    stream = bytes([FLAG_STRIPE, 4, 1, len(level)]) + level
+    with pytest.raises(ValueError, match="nested inside a STRIPE"):
+        decompress(stream)
+
+
+def test_top_level_nosz_with_external_size():
+    """CRAM blocks know the raw size from their header; a NOSZ top-level
+    stream must decode when expected_len is supplied (and still fail loud
+    without it)."""
+    from disq_original_spark.sources.rans_nx16 import FLAG_NOSZ, _read_uint7
+
+    data = b"ACGT" * 500
+    enc = compress(data)
+    _, size_end = _read_uint7(enc, 1)
+    nosz = bytes([enc[0] | FLAG_NOSZ]) + enc[size_end:]
+    assert decompress(nosz, expected_len=len(data)) == data
+    with pytest.raises(ValueError, match="NOSZ"):
+        decompress(nosz)
+    # and through the CRAM block layer, which passes raw_size
+    from disq_original_spark.sources.cram_codec import decompress as blk
+
+    assert blk(5, nosz, len(data)) == data
+
+
+def test_eager_persist_registers_before_materializing(spark):
+    """A failing eager materialization must still leave the frame
+    releasable (r6 review finding: append-after-count leaked the persist
+    on the error path)."""
+    import pyspark.sql.functions as F2
+
+    from disq_original_spark.cache import (
+        release_persists,
+        track_persist,
+        tracked_count,
+    )
+
+    release_persists()
+    df = spark.range(4).select(
+        F2.when(F2.col("id") < 99, F2.col("id"))
+        .otherwise(F2.raise_error(F2.lit("boom")))
+        .alias("id"),
+        F2.assert_true(F2.col("id") < 2, F2.lit("boom")).alias("chk"),
+    )
+    with pytest.raises(Exception, match="boom"):
+        track_persist(df, eager=True)
+    assert tracked_count() == 1  # registered despite the failed count()
+    assert release_persists() == 1
