@@ -92,6 +92,11 @@ _EXTRA_PASSES = {
     "d14_lsh_estimate_audit": 3,
     "t15_fuzzy_join": 3,
     "q09_range_join": 3,
+    # r6: queries whose code changed this round (t17 runtime guard,
+    # d03 selective-eager persist) get min-of-5 so their first
+    # post-change driver numbers are drift-robust baselines for round 7
+    "t17_heavy_hitters": 3,
+    "d03_minhash_lsh": 3,
 }
 
 
