@@ -186,8 +186,16 @@ def _decode_o0_stream(
         out[i] = s
         x = fr[s] * (x >> TF_SHIFT) + m - cum[s]
         # one 16-bit word always suffices (pre-step x >= L ⇒ post-step
-        # x >= L>>TF_SHIFT = 8 ⇒ x<<16 > L); the while form is equivalent
-        while x < RANS_NX16_L and pos + 2 <= end:
+        # x >= L>>TF_SHIFT = 8 ⇒ x<<16 > L); the while form is equivalent.
+        # In a valid stream any mid-decode state below L has its renorm
+        # words present (the encoder emitted them), so running dry here
+        # means truncation — fail loud, don't decode garbage (r6 ADVICE)
+        while x < RANS_NX16_L:
+            if pos + 2 > end:
+                raise ValueError(
+                    "rANS Nx16 stream truncated: renormalization ran out "
+                    "of input"
+                )
             x = (x << 16) | (data[pos] | (data[pos + 1] << 8))
             pos += 2
         states[j] = x
@@ -314,9 +322,13 @@ def _encode_o1_stream(data: bytes, n_states: int, shift: int = TF_SHIFT) -> byte
     # codec when it pays (htscodecs does the same; decoders accept both)
     comp = compress_o0_bare(table)
     if len(comp) + 4 < len(table):
+        # field order per the public 3.1 implementations (htscodecs
+        # rans4x16pr.c, htsjdk RANSNx16Decode): UNCOMPRESSED size first,
+        # then compressed size (r6 ADVICE — the swapped order round-tripped
+        # against our own reader but broke samtools/htsjdk interop)
         head = bytearray([shift << 4 | 1])
-        _write_uint7(head, len(comp))
         _write_uint7(head, len(table))
+        _write_uint7(head, len(comp))
         table_out = bytes(head) + comp
     else:
         table_out = bytes([shift << 4]) + table
@@ -345,8 +357,8 @@ def _decode_o1_stream(data: bytes, pos: int, n_states: int, out_len: int) -> byt
     if shift not in (10, 12):
         raise ValueError(f"rANS Nx16 order-1 frequency shift {shift} invalid")
     if comp & 1:
-        clen, pos = _read_uint7(data, pos)
         ulen, pos = _read_uint7(data, pos)
+        clen, pos = _read_uint7(data, pos)
         table = decompress_o0_bare(data[pos : pos + clen], ulen)
         tables, used = _read_freq_table_o1(table, 0, shift)
         pos += clen
@@ -382,7 +394,12 @@ def _decode_o1_stream(data: bytes, pos: int, n_states: int, out_len: int) -> byt
             s = tbl.lookup[m]
             out[p] = s
             x = tbl.freqs[s] * (x >> shift) + m - tbl.cum[s]
-            while x < RANS_NX16_L and pos + 2 <= end:
+            while x < RANS_NX16_L:
+                if pos + 2 > end:
+                    raise ValueError(
+                        "rANS Nx16 stream truncated: renormalization ran "
+                        "out of input"
+                    )
                 x = (x << 16) | (data[pos] | (data[pos + 1] << 8))
                 pos += 2
             states[j] = x
@@ -395,7 +412,12 @@ def _decode_o1_stream(data: bytes, pos: int, n_states: int, out_len: int) -> byt
         s = tbl.lookup[m]
         out[p] = s
         x = tbl.freqs[s] * (x >> shift) + m - tbl.cum[s]
-        while x < RANS_NX16_L and pos + 2 <= end:
+        while x < RANS_NX16_L:
+            if pos + 2 > end:
+                raise ValueError(
+                    "rANS Nx16 stream truncated: renormalization ran out "
+                    "of input"
+                )
             x = (x << 16) | (data[pos] | (data[pos + 1] << 8))
             pos += 2
         states[last] = x
@@ -638,6 +660,11 @@ def _decompress(
     if flags & FLAG_PACK:
         nsym = data[pos]
         pos += 1
+        if nsym > 16:
+            raise ValueError(
+                f"rANS Nx16 PACK symbol map has {nsym} symbols, spec "
+                "maximum is 16 — corrupt stream"
+            )
         pack_syms = list(data[pos : pos + nsym])
         pos += nsym
         out_len, pos = _read_uint7(data, pos)

@@ -324,6 +324,69 @@ def test_order1_compressed_table_path_engages():
     assert len(enc) < len(data)
 
 
+def test_order1_compressed_table_header_field_order():
+    """Pin the compressed-table header layout to the public implementations
+    (htscodecs rans4x16pr.c, htsjdk RANSNx16Decode): UNCOMPRESSED table
+    size first, then compressed size (r6 ADVICE — a symmetric writer/reader
+    swap round-trips against itself but breaks samtools/htsjdk interop).
+    ulen > clen strictly whenever the compressed path engages, so reading
+    the two uint7s in the wrong order fails this test immediately."""
+    import random
+
+    from disq_original_spark.sources.rans_nx16 import (
+        _read_freq_table_o1,
+        decompress_o0_bare,
+    )
+
+    rng = random.Random(21)
+    data = bytearray()
+    prev = 0
+    for _ in range(60_000):
+        prev = (prev * 31 + rng.randrange(7)) % 200
+        data.append(prev)
+    data = bytes(data)
+    enc = compress(data, order=1)
+    assert enc[0] & FLAG_ORDER1
+    pos = 1
+    while enc[pos] & 0x80:  # skip uint7(uncompressed size)
+        pos += 1
+    pos += 1
+    comp = enc[pos]
+    pos += 1
+    assert comp & 1, "compressed-table path did not engage"
+    ulen, pos = _read_uint7(enc, pos)
+    clen, pos = _read_uint7(enc, pos)
+    # uncompressed-first: the first field must be the LARGER one
+    assert ulen > clen, (ulen, clen)
+    # and the clen bytes at pos must bare-decode to exactly ulen bytes that
+    # parse as a complete order-1 frequency table
+    table = decompress_o0_bare(enc[pos : pos + clen], ulen)
+    assert len(table) == ulen
+    tables, used = _read_freq_table_o1(table, 0, 12)
+    assert used == len(table) and tables
+
+
+@pytest.mark.parametrize("order", [0, 1])
+@pytest.mark.parametrize("chop", [1, 2, 8])
+def test_truncated_entropy_stream_fails_loud(order, chop):
+    """A truncated entropy stream must raise ValueError, not silently stop
+    renormalizing and decode garbage (r6 ADVICE fail-loud fix)."""
+    data = b"ACGTNACGT" * 2000
+    enc = compress(data, order=order)
+    assert not enc[0] & FLAG_CAT
+    with pytest.raises(ValueError):
+        decompress(enc[: len(enc) - chop])
+
+
+def test_pack_nsym_over_16_fails_loud():
+    """PACK with nsym > 16 (spec maximum) must be rejected: 4-bit indices
+    always pass the per-value range check for nsym in 17..255, so without
+    the header check a corrupt stream decodes silently (r6 ADVICE)."""
+    stream = bytes([FLAG_PACK, 8, 17]) + bytes(range(17)) + bytes([4, 0, 0])
+    with pytest.raises(ValueError, match="16"):
+        decompress(stream)
+
+
 def test_order1_context_structure_beats_order0():
     """On first-order-structured data the order-1 form must be materially
     smaller — a transposed/garbled context model would erase the gain."""
