@@ -47,84 +47,81 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # across a rolling window of rounds.  All registered queries are always
 # present — only the ordering is prioritized.
 #
-# Round-6 rotation (VERDICT r5 directive #1 — pure rotation round): the
-# backlog after r5 is 57 candidates for 50 slots, composed here as
-#   (a) q01/q02 — latest witness r2, the missed r4 "nothing older than
-#       round 3" criterion;
-#   (b) the 7 genomics conversions g09/g19-g24 whose parquet-twin oracles
-#       landed in r5 AFTER their last (rows-only, r4) driver row — first
-#       driver hash witness;
-#   (c) s03/s05 — centroid-cap code change THIS round (plus r3-stale);
-#   (d) p04 (named by the directive) and 38 of the remaining 45
-#       r3-witnessed queries.
-# Deliberately deferred to the round-7 window (the directive's documented
-# spill, leftover = exactly 7 from the 57-candidate pool):
-#   q29_case q30_tumbling_window q31_sessionize q32_percentiles q33_pivot
-#   q41_unpivot q42_grouping_sets
-# plus the round-6 code-changed re-witnesses (rule: code changed =>
-# re-witness next round): q12_approx_distinct (new hash-checkable
-# companion form), t17_heavy_hitters (runtime exactness guard),
-# g25/g26 (multi-Parent explode), d03/d04/d14 (selective eager persist
-# in their shared dedup frames), g09 (dupmark plan-shape change under
-# materialized caches), and the m04/m05/m06 real-codec re-witnesses
-# (r5 payload change postdates their r4 rows).  All of these are
-# exact-green locally via tools/simulate_driver_window.py --all
-# (final r6 tree: window 50/50 AND full registry 145/145, BAD: {}).
+# Round-7 rotation (VERDICT r6 directive #1 — drain the witness ledger):
+# composition computed by `tools/simulate_driver_window.py --freshness`
+# over the committed CORRECTNESS_r*.json history (post-r6 histogram:
+# never:1 r3:7 r4:37 r5:50 r6:50).  The 50 slots are
+#   (a) q12_approx_distinct FIRST — its hash-checkable companion form
+#       (each engine validates its own approx_count_distinct against its
+#       own exact count) landed in r6 after its only (rows-only, r3)
+#       driver row, so this is its first-ever hash witness;
+#   (b) the 7 r3-stale deferrals documented last round:
+#       q29-q33, q41, q42;
+#   (c) the code-changed re-witnesses named by the directive: t17 (runtime
+#       exactness guard), g25/g26 (multi-Parent explode), d03 (eager
+#       persist), g09 (dupmark plan shape under materialized caches) —
+#       d04/d14/m04/m05/m06 are also directive-named but sit in (d)
+#       anyway as r4-witnessed;
+#   (d) the ENTIRE remaining r4-witnessed block (32 queries) — so after
+#       this window NOTHING in the registry is older than r5 and zero r4
+#       stragglers remain for round 8 (the directive allowed ≤5).
+# 18 named + 32 r4-block = exactly 50.  Left out (fresh): the 46 r5-
+# witnessed queries not named above and 49 of the 50 r6-witnessed ones.
 _PRIORITY = [
-    # --- (a) oldest witnesses in the registry (r2) ---
-    "q01_scan_project",
-    "q02_filter",
-    # --- (b) first driver hash rows: oracles postdate their last row ---
+    # --- (a) first-ever hash row, directive-named first slot ---
+    "q12_approx_distinct",
+    # --- (b) r3-stale deferrals from the r6 window ---
+    "q29_case",
+    "q30_tumbling_window",
+    "q31_sessionize",
+    "q32_percentiles",
+    "q33_pivot",
+    "q41_unpivot",
+    "q42_grouping_sets",
+    # --- (c) code changed in r6 after their latest witness ---
+    "t17_heavy_hitters",
+    "g25_gff_gene_model",
+    "g26_variant_annotation",
+    "d03_minhash_lsh",
     "g09_mark_duplicates",
-    "g19_gc_windows",
-    "g20_kmer_spectrum",
-    "g21_cpg_islands",
-    "g22_roh_runs",
-    "g23_bcf_stats",
-    "g24_bam_to_fastq",
-    # --- (c) code changed this round: bounded centroid/codebook sample ---
-    "s03_ann_ivf",
-    "s05_ann_pq",
-    # --- (d) directive-named + stalest r3 block ---
-    "p04_shard_assignment",
-    "d09_incremental_dedup",
-    "d10_semdedup",
-    "p02_stratified_sample",
-    "p05_corpus_pipeline",
-    "p06_importance_resampling",
-    "q05_broadcast_join",
-    "q06_left_outer_join",
-    "q07_semi_join",
-    "q08_anti_join",
-    "q09_range_join",
-    "q10_hash_aggregate",
-    "q11_distinct_aggregate",
-    "q13_rollup",
-    "q14_cube",
-    "q15_window_rank",
-    "q16_window_frame",
-    "q17_lag",
-    "q18_topk",
-    "q19_union_all",
-    "q20_intersect",
-    "q21_except",
-    "q22_string_functions",
-    "q23_date_functions",
-    "q24_math",
-    "q25_array_agg",
-    "q26_json_access",
-    "q27_explode",
-    "q28_exists_subquery",
-    "s01_knn_bruteforce",
-    "s02_ann_bucketed",
-    "s04_kmeans_update",
-    "st05_stateful_totals",
-    "st06_stream_sliding",
-    "st07_stream_static_join",
-    "t08_gopher_repetition",
-    "t10_unigram_surprisal",
-    "t11_quality_classifier",
-    "t12_filter_funnel",
+    # --- (d) the full remaining r4-witnessed block ---
+    "d04_ngram_jaccard",
+    "d06_simhash",
+    "d07_dup_clusters",
+    "d08_dup_span_coverage",
+    "d11_paragraph_dedup",
+    "d12_keep_best",
+    "d13_lsh_bucket_audit",
+    "d14_lsh_estimate_audit",
+    "g16_interval_merge",
+    "g17_interval_subtract",
+    "g18_interval_closest",
+    "m04_phash_neardup",
+    "m05_audio_frames",
+    "m06_scene_cuts",
+    "p07_deterministic_shuffle",
+    "p08_domain_cap",
+    "p09_skew_audit",
+    "p10_corpus_pipeline_v2",
+    "p11_zorder_layout",
+    "p12_leakage_safe_split",
+    "q43_tpch_q18",
+    "q44_scd2_dimension",
+    "q45_funnel_steps",
+    "q46_resample_ffill",
+    "q47_tpch_q21",
+    "q48_cdc_upsert",
+    "q49_bag_setops",
+    "q50_scalar_subquery",
+    "s06_ann_sq8",
+    "s07_knn_graph",
+    "s08_graph_bucket_audit",
+    "s09_nn_descent_round",
+    "st08_stream_ingest_dedup",
+    "t13_bm25",
+    "t14_bigram_surprisal",
+    "t15_fuzzy_join",
+    "t16_blocking_audit",
 ]
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 
 _LOG = logging.getLogger(__name__)
 
-_TRACKED: list[DataFrame] = []
+_TRACKED: list[tuple[DataFrame, bool]] = []
 
 
 def track_persist(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -51,7 +51,7 @@ def track_persist(df: DataFrame, eager: bool = False) -> DataFrame:
     # failure, missing fixture) the partially-cached frame must still be
     # releasable, or the sweep-long storage leak this module exists to
     # prevent comes back through the error path (r6 review finding)
-    _TRACKED.append(df)
+    _TRACKED.append((df, eager))
     if eager:
         df.count()
     return df
@@ -62,7 +62,7 @@ def release_persists() -> int:
     registry.  Returns how many were released.  Safe to call at any time:
     unpersist never changes results, only whether subtrees recompute."""
     n = len(_TRACKED)
-    for df in _TRACKED:
+    for df, _eager in _TRACKED:
         try:
             df.unpersist()
         except Exception as exc:
@@ -77,3 +77,11 @@ def release_persists() -> int:
 
 def tracked_count() -> int:
     return len(_TRACKED)
+
+
+def tracked_info() -> list[tuple[DataFrame, bool]]:
+    """(frame, eager) for every live tracked persist, in registration
+    order — the probe surface for the persist-POLICY contract tests (the
+    eager/lazy split is a measured decision, VERDICT r6 directive #2; a
+    refactor must not silently flip a frame's eagerness)."""
+    return list(_TRACKED)

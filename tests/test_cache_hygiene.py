@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import pytest
 
-from disq_original_spark.cache import release_persists, tracked_count
+from disq_original_spark.cache import release_persists, tracked_count, tracked_info
 from disq_original_spark.queries import QUERIES
 
 # Every query whose build path calls track_persist (directly or through
@@ -51,6 +51,42 @@ def test_build_drain_release_leaves_no_cached_blocks(spark, sf_dir, name):
     assert _persistent_rdd_count(spark) == 0, (
         f"{name}: persisted RDDs survived build+drain+release"
     )
+
+
+# The eager/lazy persist split is a MEASURED decision (SCALE.md "Selective
+# eager persist": a persist dedupes sequential reuse only, so SLIM frames
+# with CONCURRENT consumers materialize at build — d04 −16%, d14/d03 −8% —
+# while FAT pipeline-fused caches stay lazy — eager cost g09 +0.3-1.0 s
+# because the decode pass stopped fusing with its consumer).  Pin the
+# policy per frame, in registration order, so a refactor can't silently
+# flip a frame's eagerness (VERDICT r6 directive #2).
+EAGER_POLICY = {
+    "d04_ngram_jaccard": [True],  # capped postings index (counts + pairs)
+    "d14_lsh_estimate_audit": [True, True, True],  # sig, pairs, shingle hashes
+    "g09_mark_duplicates": [False],  # dupmark slim sig — decode pass must fuse
+    "m04_phash_neardup": [False],  # pHash table — single-chain consumer
+}
+
+
+@pytest.mark.parametrize("name", sorted(EAGER_POLICY))
+def test_persist_eagerness_policy(spark, sf_dir, name):
+    QUERIES[name].build(spark, sf_dir)  # build only — no drain
+    flags = [eager for _df, eager in tracked_info()]
+    assert flags == EAGER_POLICY[name], (
+        f"{name}: persist eagerness flipped — measured policy is "
+        f"{EAGER_POLICY[name]}, build registered {flags}"
+    )
+    # behavior, not just the flag: an eager build has cached partitions
+    # materialized BEFORE any drain; a fully-lazy build has none yet
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    cached = sum(i.numCachedPartitions() for i in infos)
+    if any(EAGER_POLICY[name]):
+        assert cached > 0, f"{name}: eager persist did not materialize at build"
+    else:
+        assert cached == 0, (
+            f"{name}: lazy persist materialized {cached} partitions at build "
+            "time — something is forcing the cache before the drain"
+        )
 
 
 def test_release_is_correctness_neutral(spark, sf_dir):

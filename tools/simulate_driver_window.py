@@ -6,9 +6,17 @@ root; prints one JSON dict of per-query status and a BAD dict that must
 be empty before a round ships.
 
     python tools/simulate_driver_window.py [sf_dir] [--all]
+    python tools/simulate_driver_window.py --freshness
 
 ``--all`` sweeps the ENTIRE registry instead of the 50-name window —
 the full-mirror gate a round should pass on its final tree.
+
+``--freshness`` (no Spark needed) reads the committed CORRECTNESS_r*.json
+history and prints each registered query's latest GREEN-witness round, the
+round histogram, the current 50-name window's composition by staleness,
+and flags anything witnessed more than 3 rounds ago (or never) — so window
+composition stops being hand-maintained arithmetic in comments
+(VERDICT r6 directive #6).
 """
 
 from __future__ import annotations
@@ -18,6 +26,56 @@ import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def freshness() -> int:
+    """Latest green-witness round per registered query, from the committed
+    CORRECTNESS_r*.json files.  A witness counts only if rows+schema+hash
+    all matched with no error (a red row proves the driver RAN the query,
+    not that the result was right)."""
+    import __spark_entry__ as se
+
+    repo = Path(__file__).resolve().parent.parent
+    latest: dict[str, int] = {}
+    max_round = 0
+    for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+        rnum = int(f.stem.rsplit("_r", 1)[1])
+        max_round = max(max_round, rnum)
+        for q, row in json.loads(f.read_text()).items():
+            green = (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match", True)
+                and not row.get("err")
+            )
+            if green:
+                latest[q] = max(latest.get(q, 0), rnum)
+
+    window = list(se.queries())[:50]
+    registry = list(se.queries())
+    hist: dict[int, int] = {}
+    for q in registry:
+        hist[latest.get(q, 0)] = hist.get(latest.get(q, 0), 0) + 1
+    stale = {
+        q: latest.get(q, 0)
+        for q in registry
+        if latest.get(q, 0) <= max_round - 3
+    }
+    out = {
+        "max_round": max_round,
+        "registry": len(registry),
+        "histogram": {f"r{r}" if r else "never": n for r, n in sorted(hist.items())},
+        "latest_witness": {q: latest.get(q, 0) for q in sorted(registry)},
+        "window_by_staleness": {
+            f"r{latest.get(q, 0)}" if latest.get(q, 0) else "never": sorted(
+                w for w in window if latest.get(w, 0) == latest.get(q, 0)
+            )
+            for q in window
+        },
+        "stale_gt3_rounds_not_in_window": sorted(set(stale) - set(window)),
+    }
+    print(json.dumps(out, indent=1))
+    return 1 if out["stale_gt3_rounds_not_in_window"] else 0
 
 
 def main() -> int:
@@ -84,4 +142,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--freshness" in sys.argv[1:]:
+        raise SystemExit(freshness())
     raise SystemExit(main())
