@@ -105,6 +105,28 @@ def coverage_gini(spans: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("np") - F.col("p")).alias("c"))
     )
     wd = Window.partitionBy("rname").orderBy("depth")
+    # BIGINT headroom guard (the t17 lesson applied to its sibling —
+    # VERDICT r6 directive #5): every product the final aggregate computes
+    # is bounded by max_depth·N·(N+1) for a contig with N covered bases,
+    # so requiring 2·max_depth·N·(N+1) < 4e18 (double-side margin below
+    # 2^63 ≈ 9.2e18) proves no term can overflow.  The check rides the
+    # ranksum column of the tiny per-(contig, depth) histogram — evaluated
+    # before any product term, over the same per-contig exchange the wd
+    # window already pays (an unbounded frame on the same partition key
+    # adds no shuffle).  Run-length rows make N independent of row count
+    # (one genome-length span is 2 rows), hence a RUNTIME guard, not a
+    # row-count heuristic.  Full-genome deployments past this bound cast
+    # the product terms to DECIMAL(38,0) — same plan shape, documented in
+    # SCALE.md.
+    wfull = Window.partitionBy("rname").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_tot = F.sum("c").over(wfull)
+    d_max = F.max("depth").over(wfull)
+    unsafe = (
+        2.0 * d_max.cast("double") * n_tot.cast("double")
+        * (n_tot.cast("double") + 1.0)
+    ) >= 4.0e18
     ranked = cov.withColumn(
         "cum", F.sum("c").over(wd.rowsBetween(Window.unboundedPreceding, 0))
     ).withColumn(
@@ -112,7 +134,30 @@ def coverage_gini(spans: DataFrame) -> DataFrame:
         # multiset; the difference of consecutive triangular numbers is
         # always even, so `div` is exact
         "ranksum",
-        F.expr("(cum * (cum + 1) - (cum - c) * (cum - c + 1)) div 2"),
+        F.when(
+            unsafe,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "coverage_gini BIGINT headroom exceeded on contig "
+                    ),
+                    F.col("rname"),
+                    F.lit(": 2*max_depth*N*(N+1) = "),
+                    F.format_number(
+                        2.0 * d_max.cast("double") * n_tot.cast("double")
+                        * (n_tot.cast("double") + 1.0),
+                        0,
+                    ),
+                    F.lit(
+                        " >= 4e18 — exact integer Gini would overflow; "
+                        "cast the product terms to DECIMAL(38,0) for "
+                        "full-genome scale (SCALE.md)"
+                    ),
+                )
+            ).cast("bigint"),
+        ).otherwise(
+            F.expr("(cum * (cum + 1) - (cum - c) * (cum - c + 1)) div 2")
+        ),
     )
     return (
         ranked.groupBy("rname")
