@@ -85,12 +85,11 @@ def read_file_definition(fh: BinaryIO) -> tuple[int, int]:
         raise ValueError(f"not a CRAM file (magic {d[:4]!r})")
     major, minor = d[4], d[5]
     # Supported: CRAM 2.x, 3.0 and 3.1.  A 3.1 container parses like 3.0;
-    # its new block codecs are gated at the BLOCK level now that rANS Nx16
-    # (order-0, order-1 and PACK — rans_nx16.py, VERDICT r5 directive #6)
-    # is implemented — a 3.1 file using the still-unsupported codecs
-    # (range, fqzcomp, name tokenizer, Nx16 STRIPE/RLE) fails loud by
-    # codec NAME in cram_codec.decompress instead of being rejected
-    # wholesale here.
+    # its new block codecs are gated at the BLOCK level — rANS Nx16 is
+    # complete (order-0/1, X32, PACK, STRIPE, RLE, CAT — rans_nx16.py),
+    # so only a 3.1 file using the remaining block METHODS (range,
+    # fqzcomp, name tokenizer) fails loud, by codec NAME in
+    # cram_codec.decompress, instead of being rejected wholesale here.
     if not (major == 2 or (major, minor) in ((3, 0), (3, 1))):
         raise ValueError(
             f"unsupported CRAM version {major}.{minor}: this reader "

@@ -20,11 +20,15 @@ codec.  Differences from the 3.0-era rANS 4x8 (``rans4x8.py``):
   the last state running long over the remainder), X32, CAT (stored
   verbatim), PACK (0x80 — ≤16-symbol alphabets bit-pack to 1/2/4 bits
   per value before entropy coding; metadata = symbol map + packed length,
-  decode runs entropy-then-unpack), and STRIPE (0x08 — N byte planes
+  decode runs entropy-then-unpack), STRIPE (0x08 — N byte planes
   compressed as independent NOSZ substreams, the fixed-width numeric
-  layout).  Only RLE (0x40) remains unimplemented, failing loud by name;
-  a standalone NOSZ (0x10) stream outside a STRIPE container is also
-  rejected (its size is unrecoverable).
+  layout), and RLE (0x40 — per-symbol run-length collapse before entropy
+  coding: metadata = RLE'd symbol set + uint7 extra-run counts, itself
+  optionally order-0-compressed; decode expands runs AFTER the entropy
+  stage and BEFORE un-packing, spec transform order).  The full 3.1
+  transform set is covered; a standalone NOSZ (0x10) stream outside a
+  STRIPE container still requires the caller-supplied size from the CRAM
+  block header (``decompress(expected_len=...)``).
 
 Tested by exhaustive round-trips over adversarial distributions plus
 byte-exact known-answer vectors derived by hand from the spec's transform
@@ -48,7 +52,6 @@ FLAG_NOSZ = 0x10
 FLAG_CAT = 0x20
 FLAG_RLE = 0x40
 FLAG_PACK = 0x80
-_UNSUPPORTED = ((FLAG_RLE, "RLE"),)
 
 
 # ------------------------------------------------------------------ uint7
@@ -425,6 +428,95 @@ def _decode_o1_stream(data: bytes, pos: int, n_states: int, out_len: int) -> byt
     return bytes(out)
 
 
+# ------------------------------------------------------------------- RLE
+#
+# Spec "RLE" (flag 0x40): maximal runs of a chosen symbol SET collapse to
+# one literal byte each; the per-run EXTRA copies (length − 1) go to a
+# side metadata stream as uint7s.  Stream metadata (after the PACK meta,
+# if any): uint7(2·meta_len | raw_bit), uint7(literal length), then the
+# meta bytes raw (bit set) or uint7(comp_len) + a bare-order-0-compressed
+# meta (bit clear) — the same nesting the order-1 frequency table uses.
+# The meta buffer itself: one byte n (0 encodes 256), the n RLE'd
+# symbols, then the run counts in literal order.  Decode order is
+# entropy → RLE-expand → un-PACK (encode applied PACK first).
+
+
+def _rle_encode(data: bytes) -> tuple[bytes, bytes] | None:
+    """(meta, literals) for the RLE transform, or None when no symbol's
+    runs pay for their run-length bytes.  Symbol choice is encoder
+    freedom under the spec; the rule here is the simple honest one —
+    collapse symbol s only if the literal bytes it saves exceed ~2 bytes
+    per run (a uint7 run count is 1-2 bytes at any plausible run
+    length)."""
+    n = len(data)
+    run_cnt = [0] * 256
+    tot = [0] * 256
+    i = 0
+    while i < n:
+        b = data[i]
+        j = i + 1
+        while j < n and data[j] == b:
+            j += 1
+        run_cnt[b] += 1
+        tot[b] += j - i
+        i = j
+    syms = [s for s in range(256) if tot[s] - 3 * run_cnt[s] > 0]
+    if not syms:
+        return None
+    meta = bytearray([len(syms) if len(syms) < 256 else 0])
+    meta.extend(syms)
+    in_set = bytearray(256)
+    for s in syms:
+        in_set[s] = 1
+    lit = bytearray()
+    i = 0
+    while i < n:
+        b = data[i]
+        lit.append(b)
+        if in_set[b]:
+            j = i + 1
+            while j < n and data[j] == b:
+                j += 1
+            _write_uint7(meta, j - i - 1)
+            i = j
+        else:
+            i += 1
+    return bytes(meta), bytes(lit)
+
+
+def _rle_decode(lit: bytes, meta: bytes, out_len: int) -> bytes:
+    nsym = meta[0]
+    mpos = 1
+    if nsym == 0:
+        nsym = 256
+    syms = meta[mpos : mpos + nsym]
+    if len(syms) != nsym:
+        raise ValueError(
+            f"rANS Nx16 RLE metadata truncated: {len(syms)} of {nsym} "
+            "symbols present"
+        )
+    mpos += nsym
+    in_set = bytearray(256)
+    for s in syms:
+        in_set[s] = 1
+    out = bytearray()
+    for b in lit:
+        out.append(b)
+        if in_set[b]:
+            run, mpos = _read_uint7(meta, mpos)
+            if len(out) + run > out_len:
+                raise ValueError(
+                    f"rANS Nx16 RLE run overflows the declared size "
+                    f"{out_len} — corrupt stream"
+                )
+            out.extend(bytes([b]) * run)
+    if len(out) != out_len:
+        raise ValueError(
+            f"rANS Nx16 RLE expanded to {len(out)} bytes, expected {out_len}"
+        )
+    return bytes(out)
+
+
 # ------------------------------------------------------------------ PACK
 #
 # Spec "Pack transform": for alphabets of ≤16 distinct symbols, values map
@@ -565,6 +657,27 @@ def compress(data: bytes, n_states: int = 4, order: int = 0) -> bytes:
                 meta = bytes(m)
         if payload:
             obits, body = _entropy_body(payload, n_states, order)
+            # RLE candidate (PACK → RLE → entropy is the spec order): keep
+            # it only when meta + entropy-coded literals beat entropy-coding
+            # the un-collapsed payload — same honest size test as CAT below
+            if len(payload) >= 32:
+                rle = _rle_encode(payload)
+                if rle is not None:
+                    rmeta, lit = rle
+                    m2 = bytearray()
+                    comp = compress_o0_bare(rmeta)
+                    if len(comp) + 2 < len(rmeta):
+                        _write_uint7(m2, len(rmeta) << 1)  # bit 0 clear: nested
+                        _write_uint7(m2, len(lit))
+                        _write_uint7(m2, len(comp))
+                        m2.extend(comp)
+                    else:
+                        _write_uint7(m2, (len(rmeta) << 1) | 1)  # raw meta
+                        _write_uint7(m2, len(lit))
+                        m2.extend(rmeta)
+                    lbits, lbody = _entropy_body(lit, n_states, order)
+                    if len(m2) + len(lbody) < len(body):
+                        obits, body = FLAG_RLE | lbits, bytes(m2) + lbody
             flags |= obits
         else:
             body = b""  # 1-symbol PACK: the map alone reconstructs everything
@@ -593,13 +706,6 @@ def _decompress(
 ) -> bytes:
     flags = data[0]
     pos = 1
-    for bit, name in _UNSUPPORTED:
-        if flags & bit:
-            raise ValueError(
-                f"rANS Nx16 {name} transform (flags=0x{flags:02x}) not "
-                "implemented: this reader supports order-0/order-1 "
-                "(X4/X32), PACK, STRIPE and CAT 3.1 streams"
-            )
     if flags & FLAG_NOSZ:
         if expected_len is None:
             raise ValueError(
@@ -645,15 +751,11 @@ def _decompress(
             out[j::n] = plane
             pos += clens[j]
         return bytes(out)
-    if flags & FLAG_CAT:
-        if len(data) - pos < rsize:
-            raise ValueError(
-                f"rANS Nx16 CAT stream truncated: {len(data) - pos} payload "
-                f"bytes for declared size {rsize}"
-            )
-        return bytes(data[pos : pos + rsize])
     if rsize == 0:
         return b""
+    # transform metadata appears in stream order PACK then RLE; the decode
+    # pipeline applies entropy (or CAT) → RLE-expand → un-PACK, inverting
+    # the encoder's PACK → RLE → entropy order (spec transform order)
     n_states = 32 if flags & FLAG_X32 else 4
     pack_syms = None
     out_len = rsize
@@ -668,13 +770,42 @@ def _decompress(
         pack_syms = list(data[pos : pos + nsym])
         pos += nsym
         out_len, pos = _read_uint7(data, pos)
-    if out_len == 0:
+    rle_meta = None
+    rle_out_len = 0
+    if flags & FLAG_RLE:
+        rmeta_len, pos = _read_uint7(data, pos)
+        lit_len, pos = _read_uint7(data, pos)
+        msz = rmeta_len >> 1
+        if rmeta_len & 1:
+            rle_meta = bytes(data[pos : pos + msz])
+            if len(rle_meta) != msz:
+                raise ValueError(
+                    f"rANS Nx16 RLE metadata truncated: {len(rle_meta)} of "
+                    f"{msz} bytes present"
+                )
+            pos += msz
+        else:
+            cmeta_len, pos = _read_uint7(data, pos)
+            rle_meta = decompress_o0_bare(data[pos : pos + cmeta_len], msz)
+            pos += cmeta_len
+        rle_out_len = out_len  # expansion target: packed length, or rsize
+        out_len = lit_len  # the entropy stage produces the literals
+    if flags & FLAG_CAT:
+        if len(data) - pos < out_len:
+            raise ValueError(
+                f"rANS Nx16 CAT stream truncated: {len(data) - pos} payload "
+                f"bytes for declared size {out_len}"
+            )
+        payload = bytes(data[pos : pos + out_len])
+    elif out_len == 0:
         payload = b""
     elif flags & FLAG_ORDER1:
         payload = _decode_o1_stream(data, pos, n_states, out_len)
     else:
         freqs, pos = _read_freq_table_o0(data, pos)
         payload = _decode_o0_stream(data, pos, freqs, n_states, out_len)
+    if rle_meta is not None:
+        payload = _rle_decode(payload, rle_meta, rle_out_len)
     if pack_syms is not None:
         return _unpack_values(payload, pack_syms, rsize)
     return payload
