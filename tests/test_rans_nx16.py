@@ -360,6 +360,37 @@ def test_order1_shift10_round_trip(vals):
     assert decompress(bytes(head) + body) == data
 
 
+@settings(max_examples=250, deadline=None)
+@given(
+    st.integers(0, 3),  # distance above a multiple of n_states
+    st.integers(0, 6),  # multiplier
+    st.sampled_from([4, 32]),
+    st.integers(0, 2**32 - 1),
+)
+def test_order1_adversarial_slice_geometry(extra, mult, n_states, seed):
+    """The order-1 remainder tail (last state running long over
+    len % N) is the only hand-derived index walk in the module — fuzz it
+    at exactly the adversarial geometries: len < N, len just above a
+    multiple of N, multi-byte remainders (VERDICT r6 directive #8).
+    Driven through the RAW o1 streams (not compress(), which reroutes
+    len < N to order-0) whenever the slice math admits it."""
+    import random
+
+    from disq_original_spark.sources.rans_nx16 import (
+        _decode_o1_stream,
+        _encode_o1_stream,
+    )
+
+    n = mult * n_states + extra
+    rng = random.Random(seed)
+    data = bytes(rng.choice(b"\x00\x07\x93\xff") for _ in range(n))
+    if n >= n_states:
+        body = _encode_o1_stream(data, n_states)
+        assert _decode_o1_stream(body, 0, n_states, n) == data
+    # and the public surface, which must route ANY length correctly
+    assert decompress(compress(data, n_states=n_states, order=1)) == data
+
+
 def test_order1_compressed_table_path_engages():
     """Big-alphabet order-1 tables are large; the nested order-0 table
     compression must actually engage (comp bit set) and round-trip."""
