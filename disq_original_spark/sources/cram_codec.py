@@ -42,7 +42,6 @@ BLOCK_RANS_NX16, BLOCK_RANGE, BLOCK_FQZCOMP, BLOCK_TOK3 = 5, 6, 7, 8
 _NX16_PLUS_NAMES = {
     BLOCK_RANGE: "adaptive arithmetic (range)",
     BLOCK_FQZCOMP: "fqzcomp quality",
-    BLOCK_TOK3: "name tokenizer",
 }
 CT_FILE_HEADER, CT_COMPRESSION_HEADER, CT_MAPPED_SLICE, CT_RESERVED, CT_EXTERNAL, CT_CORE = (
     0, 1, 2, 3, 4, 5,
@@ -188,11 +187,16 @@ def decompress(method: int, payload: bytes, raw_size: int) -> bytes:
         # the block header's raw size enables spec-legal top-level NOSZ
         # streams (their own size byte omitted)
         return nx16_decompress(payload, expected_len=raw_size)
+    if method == BLOCK_TOK3:
+        from .tok3 import decode as tok3_decode
+
+        return tok3_decode(payload, raw_size)
     if method in _NX16_PLUS_NAMES:
         raise ValueError(
             f"CRAM 3.1 block codec '{_NX16_PLUS_NAMES[method]}' (method "
             f"{method}) not implemented: this reader supports methods 0-5 "
-            "(raw/gzip/bzip2/lzma/rANS-4x8/rANS-Nx16)"
+            "(raw/gzip/bzip2/lzma/rANS-4x8/rANS-Nx16) and 8 (tok3, rANS "
+            "stream mode)"
         )
     raise ValueError(f"unknown CRAM block compression method {method}")
 

@@ -112,6 +112,10 @@ def encode_block(
         from .rans_nx16 import compress as nx16_compress
 
         payload = nx16_compress(data, order=rans_order)
+    elif method == 8:
+        from .tok3 import encode as tok3_encode
+
+        payload = tok3_encode(data)
     else:
         payload = data
     out = (
@@ -400,8 +404,12 @@ def encode_container(
         if streams[k].buf:
             content_ids.append(CID[k])
             order = 1 if (k == "QS" and ext_method >= 4) else 0
+            # 3.1 read names go through the name tokenizer (method 8) —
+            # the codec samtools' default 3.1 profile uses for RN; the
+            # stream is already the nul-separated form tok3 expects
+            method = 8 if (k == "RN" and (major, minor) >= (3, 1)) else ext_method
             ext_blocks.append(
-                encode_block(ext_method, 4, CID[k], bytes(streams[k].buf), major, order)
+                encode_block(method, 4, CID[k], bytes(streams[k].buf), major, order)
             )
     for key, (lc, vc, ls, vs) in sorted(tag_streams.items()):
         for cid, s in ((lc, ls), (vc, vs)):

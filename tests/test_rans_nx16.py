@@ -198,9 +198,11 @@ def test_cram_v31_roundtrip_with_rans_nx16(spark, tmp_path):
     assert CramSource().read(spark, out, reference_path=fasta).count() == len(orig)
 
 
-def test_cram_v31_external_blocks_are_method_5(tmp_path, spark):
+def test_cram_v31_external_blocks_use_31_codecs(tmp_path, spark):
     """Structural check on the generated 3.1 fixture: walk its blocks and
-    assert the external (content-type 4) blocks use method 5."""
+    assert the external (content-type 4) blocks use the 3.1-native
+    codecs — rANS Nx16 (5) everywhere, the name tokenizer (8) on the
+    read-name block."""
     from pathlib import Path
 
     from disq_original_spark.sources.cram import CramSink, CramSource
@@ -210,6 +212,7 @@ def test_cram_v31_external_blocks_are_method_5(tmp_path, spark):
         read_container_header,
         read_cram_meta,
     )
+    from disq_original_spark.sources.cram_writer import CID
 
     res = Path("/root/reference/src/test/resources")
     cram = str(res / "valid.cram")
@@ -219,7 +222,7 @@ def test_cram_v31_external_blocks_are_method_5(tmp_path, spark):
     out = str(tmp_path / "v31.cram")
     CramSink().write(df, hdr, out, reference_path=fasta, version=(3, 1))
     data = Path(out).read_bytes()
-    methods = []
+    methods = {}
     pos = 26
     while pos < len(data):
         hdr_c = read_container_header(Buf(data), pos, 3)
@@ -230,9 +233,10 @@ def test_cram_v31_external_blocks_are_method_5(tmp_path, spark):
         for _ in range(hdr_c.n_blocks):
             blk = read_block(buf, 3, defer=True)
             if blk.content_type == 4:
-                methods.append(blk.method)
+                methods.setdefault(blk.method, set()).add(blk.content_id)
         pos = pos + hdr_c.header_size + hdr_c.length
-    assert methods and all(m == 5 for m in methods), methods
+    assert set(methods) == {5, 8}, methods
+    assert methods[8] == {CID["RN"]}, methods  # tok3 exactly on read names
 
 
 def test_cram_v31_rle_blocks_roundtrip_distributed(spark, tmp_path):
@@ -310,8 +314,12 @@ def test_cram_unsupported_31_codec_fails_by_name():
         blk_decompress(7, b"\x00" * 8, 8)
     with pytest.raises(ValueError, match="range"):
         blk_decompress(6, b"\x00" * 8, 8)
-    with pytest.raises(ValueError, match="name tokenizer"):
-        blk_decompress(8, b"\x00" * 8, 8)
+    # tok3 (method 8) now decodes; only its arithmetic mode stays gated
+    import struct
+
+    hdr = struct.pack("<II", 8, 1) + b"\x01"
+    with pytest.raises(ValueError, match="use_arith"):
+        blk_decompress(8, hdr, 8)
 
 
 # -------------------------------------------------------------------- order-1
@@ -739,7 +747,9 @@ def test_cram_v31_whole_file_writer_uses_nx16(tmp_path):
             if blk.content_type == 4:
                 methods.append(blk.method)
         pos = pos + h.header_size + h.length
-    assert methods and all(m == 5 for m in methods), methods
+    # Nx16 everywhere, tok3 (8) on the read-name block
+    assert methods and set(methods) == {5, 8}, methods
+    assert methods.count(8) == 1, methods
     back = decode_cram(str(out), fasta)
     key = lambda r: (r["qname"], r["flag"], r["pos"], r["cigar"], r["seq"])
     assert sorted(map(key, back)) == sorted(map(key, orig))
