@@ -40,7 +40,6 @@ BLOCK_RAW, BLOCK_GZIP, BLOCK_BZIP2, BLOCK_LZMA, BLOCK_RANS = 0, 1, 2, 3, 4
 # degrades to a clear error instead of "unknown method 7"
 BLOCK_RANS_NX16, BLOCK_RANGE, BLOCK_FQZCOMP, BLOCK_TOK3 = 5, 6, 7, 8
 _NX16_PLUS_NAMES = {
-    BLOCK_RANGE: "adaptive arithmetic (range)",
     BLOCK_FQZCOMP: "fqzcomp quality",
 }
 CT_FILE_HEADER, CT_COMPRESSION_HEADER, CT_MAPPED_SLICE, CT_RESERVED, CT_EXTERNAL, CT_CORE = (
@@ -187,6 +186,10 @@ def decompress(method: int, payload: bytes, raw_size: int) -> bytes:
         # the block header's raw size enables spec-legal top-level NOSZ
         # streams (their own size byte omitted)
         return nx16_decompress(payload, expected_len=raw_size)
+    if method == BLOCK_RANGE:
+        from .arith import decompress as arith_decompress
+
+        return arith_decompress(payload, expected_len=raw_size)
     if method == BLOCK_TOK3:
         from .tok3 import decode as tok3_decode
 
@@ -194,9 +197,8 @@ def decompress(method: int, payload: bytes, raw_size: int) -> bytes:
     if method in _NX16_PLUS_NAMES:
         raise ValueError(
             f"CRAM 3.1 block codec '{_NX16_PLUS_NAMES[method]}' (method "
-            f"{method}) not implemented: this reader supports methods 0-5 "
-            "(raw/gzip/bzip2/lzma/rANS-4x8/rANS-Nx16) and 8 (tok3, rANS "
-            "stream mode)"
+            f"{method}) not implemented: this reader supports methods 0-6 "
+            "(raw/gzip/bzip2/lzma/rANS-4x8/rANS-Nx16/arith) and 8 (tok3)"
         )
     raise ValueError(f"unknown CRAM block compression method {method}")
 

@@ -10,8 +10,8 @@ default 3.1 profile uses on read names.
 Model: each name splits into tokens (alphanumeric runs, digit runs with
 or without leading zeros, single characters); per TOKEN POSITION and
 TOKEN TYPE there is one byte stream, and every stream is independently
-entropy-coded (rANS Nx16 here; the spec's alternative adaptive
-arithmetic mode is gated by name until the range coder lands).  Names
+entropy-coded (rANS Nx16, or the adaptive arithmetic coder when the
+header's ``use_arith`` byte is set — ``arith.py``).  Names
 compress well because consecutive names usually differ in one numeric
 token — encoded as a small delta against the name ``dist`` back.
 
@@ -126,10 +126,9 @@ def decode(data: bytes, raw_size: int) -> bytes:
     if use_arith not in (0, 1):
         raise ValueError(f"tok3 use_arith byte must be 0 or 1, got {use_arith}")
     if use_arith:
-        raise ValueError(
-            "tok3 adaptive-arithmetic mode (use_arith=1) not implemented: "
-            "this reader supports the rANS Nx16 stream mode"
-        )
+        from .arith import decompress as stream_decompress
+    else:
+        stream_decompress = nx16_decompress
 
     streams: dict[tuple[int, int], bytes] = {}
     pos = 9
@@ -162,7 +161,7 @@ def decode(data: bytes, raw_size: int) -> bytes:
         clen, pos = _read_uint7(data, pos)
         if pos + clen > len(data):
             raise ValueError("tok3 compressed stream truncated")
-        streams[(tnum, typ)] = nx16_decompress(data[pos : pos + clen])
+        streams[(tnum, typ)] = stream_decompress(data[pos : pos + clen])
         pos += clen
 
     readers = {k: _Reader(v, k) for k, v in streams.items()}
@@ -292,11 +291,13 @@ def _tokenize(name: bytes) -> list[tuple[int, bytes, int | None]]:
     return out
 
 
-def encode(raw: bytes) -> bytes:
+def encode(raw: bytes, use_arith: bool = False) -> bytes:
     """Encode nul-separated (and nul-terminated) names.  Deliberately
     simple and spec-legal rather than ratio-optimal: every name encodes
     against its immediate predecessor (dist 1) with MATCH / DDELTA /
-    DDELTA0 / DUP where they apply, literals otherwise."""
+    DDELTA0 / DUP where they apply, literals otherwise.  ``use_arith``
+    selects the adaptive-arithmetic per-stream codec (method-6 machinery)
+    instead of rANS Nx16."""
     if raw and not raw.endswith(b"\x00"):
         raise ValueError(
             "tok3 encoder requires nul-terminated names (the CRAM "
@@ -353,8 +354,12 @@ def encode(raw: bytes) -> bytes:
         put(len(toks) + 1, N_TYPE).append(N_END)
         prev = toks
 
+    if use_arith:
+        from .arith import compress as stream_compress
+    else:
+        stream_compress = nx16_compress
     out = bytearray(struct.pack("<II", len(raw), len(names)))
-    out.append(0)  # use_arith = 0: rANS Nx16 streams
+    out.append(1 if use_arith else 0)
     max_t = max((t for t, _ in streams), default=-1)
     for t in range(max_t + 1):
         first = True
@@ -364,7 +369,7 @@ def encode(raw: bytes) -> bytes:
                 continue
             out.append(typ | (0x40 if first else 0))
             first = False
-            comp = nx16_compress(bytes(body))
+            comp = stream_compress(bytes(body))
             _write_uint7(out, len(comp))
             out.extend(comp)
     return bytes(out)

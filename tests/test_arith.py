@@ -1,0 +1,207 @@
+"""CRAM 3.1 adaptive arithmetic codec (method 6): byte-exact
+known-answer vectors for the range coder and the adaptive model
+(hand-derived so the renormalization bound, 5-byte priming, STEP bump
+and adjacent-swap update can't drift symmetrically), round-trips over
+adversarial distributions for both orders and every transform
+composition, and fail-loud behavior on corrupt streams."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from disq_original_spark.sources.arith import (
+    FLAG_EXT,
+    _Decoder,
+    _Encoder,
+    _Model,
+    compress,
+    compress_striped,
+    decompress,
+)
+from disq_original_spark.sources.rans_nx16 import (
+    FLAG_CAT,
+    FLAG_NOSZ,
+    FLAG_ORDER1,
+    FLAG_PACK,
+    FLAG_RLE,
+)
+
+
+# ------------------------------------------------------------- known answers
+
+
+def test_known_answer_range_coder_bytes():
+    """One symbol with cumfreq 0, freq 1, total 2 — low stays 0, range
+    halves to 0x7FFFFFFF; finish flushes the zero cache byte + 4 low
+    bytes: the whole stream is five 0x00 bytes.  Pins the initial state
+    (low 0, range 2^32−1), the flush count, and the cache-byte scheme."""
+    enc = _Encoder()
+    enc.encode(0, 1, 2)
+    assert enc.finish() == b"\x00\x00\x00\x00\x00"
+
+
+def test_known_answer_range_coder_second_half():
+    """cumfreq 1, freq 1, total 2: low becomes 0x7FFFFFFF (range//2 with
+    range = 2^32−1), so the flushed bytes are 00 7F FF FF FF."""
+    enc = _Encoder()
+    enc.encode(1, 1, 2)
+    assert enc.finish() == b"\x00\x7f\xff\xff\xff"
+
+
+def test_known_answer_decoder_priming_drops_first_byte():
+    """The decoder primes with FIVE bytes into a 32-bit register — the
+    encoder's leading cache byte falls off.  Decode the second-half
+    vector back: get_freq(2) must return 1 (the upper half)."""
+    dec = _Decoder(b"\x00\x7f\xff\xff\xff", 0)
+    assert dec.code == 0x7FFFFFFF
+    assert dec.get_freq(2) == 1
+
+
+def test_known_answer_model_update_rules():
+    """The adaptive model's table order is part of the format: symbol 2
+    coded once gets freq 1+8 and swaps ahead of symbol 1, then ahead of
+    symbol 0 on the next bump — deterministic move-to-front."""
+    m = _Model(3)
+    assert (m.syms, m.freqs, m.total) == ([0, 1, 2], [1, 1, 1], 3)
+    m._bump(2)
+    assert (m.syms, m.freqs) == ([0, 2, 1], [1, 9, 1])
+    m._bump(1)
+    assert (m.syms, m.freqs) == ([2, 0, 1], [17, 1, 1])
+
+
+def test_known_answer_model_rescale_halves():
+    m = _Model(2)
+    m.freqs = [60000, 5520]
+    m.total = 65520
+    m._bump(1)  # crosses MAX_TOTAL -> every freq f -= f>>1
+    assert m.freqs == [30000, 2764]
+    assert m.total == 32764
+
+
+# ---------------------------------------------------------------- round trips
+
+
+@pytest.mark.parametrize("order", [0, 1])
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"",
+        b"A",
+        b"ACGTNACGT" * 3000,
+        b"AAAAABBBBBCCCCC" * 2000,  # strong order-1 structure
+        bytes(range(256)) * 30,
+        bytes([0, 255]) * 2000,
+        b"q" * 5000,
+    ],
+)
+def test_round_trip(order, data):
+    enc = compress(data, order=order)
+    assert decompress(enc) == data
+
+
+def test_order1_beats_order0_on_structured_data():
+    data = b"".join(bytes([a, a ^ 1, a ^ 2]) for a in range(0, 250, 5)) * 300
+    o0 = compress(data, order=0)
+    o1 = compress(data, order=1)
+    assert len(o1) < 0.9 * len(o0), (len(o0), len(o1))
+    assert decompress(o1) == data
+
+
+def test_adaptive_coding_compresses_skewed_data():
+    rng = random.Random(3)
+    data = bytes(rng.choices(range(8), weights=[100, 40, 10, 5, 2, 1, 1, 1], k=20000))
+    enc = compress(data)
+    # PACK engages (8 syms) and the entropy stage squeezes the skew
+    assert len(enc) < len(data) // 2
+    assert decompress(enc) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=2048), st.sampled_from([0, 1]))
+def test_round_trip_fuzz(data, order):
+    assert decompress(compress(data, order=order)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(1, 30)),
+        min_size=0,
+        max_size=120,
+    ),
+    st.sampled_from([0, 1]),
+)
+def test_rle_pack_round_trip_fuzz(runs, order):
+    data = b"".join(bytes([s]) * n for s, n in runs)
+    assert decompress(compress(data, order=order)) == data
+
+
+def test_stripe_round_trips():
+    data = bytes(i % 7 for i in range(4000))
+    enc = compress_striped(data, n_planes=4)
+    assert decompress(enc) == data
+
+
+def test_ext_bzip2_payload_decodes():
+    import bz2 as _bz2
+
+    from disq_original_spark.sources.rans_nx16 import _write_uint7
+
+    data = b"external-payload " * 50
+    out = bytearray([FLAG_EXT])
+    _write_uint7(out, len(data))
+    out.extend(_bz2.compress(data))
+    assert decompress(bytes(out)) == data
+
+
+def test_cram_block_dispatch():
+    from disq_original_spark.sources.cram_codec import decompress as blk
+
+    data = b"ACGT" * 2000
+    assert blk(6, compress(data, order=1), len(data)) == data
+
+
+def test_tok3_arith_mode_round_trips():
+    from disq_original_spark.sources.tok3 import decode as t3_decode
+    from disq_original_spark.sources.tok3 import encode as t3_encode
+
+    raw = b"".join(b"machine:1:2:%d:%d\x00" % (i // 7, 1000 + i) for i in range(500))
+    enc = t3_encode(raw, use_arith=True)
+    assert enc[8] == 1
+    assert t3_decode(enc, len(raw)) == raw
+    assert len(enc) < len(raw) // 4
+
+
+# ------------------------------------------------------------------ fail loud
+
+
+def test_truncated_stream_fails_loud():
+    data = b"ACGTN" * 2000
+    for order in (0, 1):
+        enc = compress(data, order=order)
+        assert not enc[0] & FLAG_CAT
+        with pytest.raises(ValueError):
+            decompress(enc[: len(enc) - 4])
+
+
+def test_nosz_needs_external_size():
+    with pytest.raises(ValueError, match="NOSZ"):
+        decompress(bytes([FLAG_NOSZ, 4]) + b"\x00" * 16)
+
+
+def test_pack_nsym_over_16_fails_loud():
+    stream = bytes([FLAG_PACK, 8, 17]) + bytes(range(17)) + bytes([4, 0, 0])
+    with pytest.raises(ValueError, match="16"):
+        decompress(stream)
+
+
+def test_bad_order1_flag_is_order_bit():
+    # the order bit must be bit 0 — a stream flagged 0x01 decodes order-1
+    data = b"AAAABBBBAAAABBBB" * 500
+    enc = compress(data, order=1)
+    assert enc[0] & FLAG_ORDER1 or enc[0] & (FLAG_RLE | FLAG_PACK | FLAG_CAT)
+    assert decompress(enc) == data

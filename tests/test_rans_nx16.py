@@ -310,14 +310,16 @@ def test_cram_v31_rle_blocks_roundtrip_distributed(spark, tmp_path):
 def test_cram_unsupported_31_codec_fails_by_name():
     from disq_original_spark.sources.cram_codec import decompress as blk_decompress
 
+    # fqzcomp is the only remaining gated 3.1 method — by name
     with pytest.raises(ValueError, match="fqzcomp"):
         blk_decompress(7, b"\x00" * 8, 8)
-    with pytest.raises(ValueError, match="range"):
-        blk_decompress(6, b"\x00" * 8, 8)
-    # tok3 (method 8) now decodes; only its arithmetic mode stays gated
+    # methods 6 (arith) and 8 (tok3) now dispatch to real decoders —
+    # garbage payloads fail as corrupt streams, not as unknown methods
+    with pytest.raises(ValueError, match="arith|truncated"):
+        blk_decompress(6, bytes([0x00, 0x08]), 8)
     import struct
 
-    hdr = struct.pack("<II", 8, 1) + b"\x01"
+    hdr = struct.pack("<II", 8, 1) + b"\x07"
     with pytest.raises(ValueError, match="use_arith"):
         blk_decompress(8, hdr, 8)
 

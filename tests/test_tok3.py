@@ -149,8 +149,8 @@ def test_cram_block_dispatch():
 # ------------------------------------------------------------------ fail loud
 
 
-def test_arith_mode_fails_loud_by_name():
-    blk = struct.pack("<II", 4, 1) + b"\x01"
+def test_bad_use_arith_byte_fails_loud():
+    blk = struct.pack("<II", 4, 1) + b"\x07"
     with pytest.raises(ValueError, match="use_arith"):
         decode(blk, 4)
 
