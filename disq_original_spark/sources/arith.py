@@ -40,19 +40,16 @@ shows up as a vector diff, not a silent symmetric round-trip.
 from __future__ import annotations
 
 import bz2
+import struct
 
 from .rans_nx16 import (
     FLAG_CAT,
-    FLAG_NOSZ,
     FLAG_ORDER1,
     FLAG_PACK,
-    FLAG_RLE,
-    FLAG_STRIPE,
+    _container_decode,
     _pack_values,
-    _read_uint7,
-    _rle_decode,
-    _rle_encode,
-    _unpack_values,
+    _rle_candidate,
+    _stripe_container,
     _write_uint7,
 )
 
@@ -258,19 +255,17 @@ def compress(data: bytes, order: int = 0) -> bytes:
         if payload:
             obits = FLAG_ORDER1 if order else 0
             body = _encode_stream(payload, order)
-            if len(payload) >= 32:
-                rle = _rle_encode(payload)
-                if rle is not None:
-                    rmeta, lit = rle
-                    m2 = bytearray()
-                    _write_uint7(m2, (len(rmeta) << 1) | 1)  # raw meta
-                    _write_uint7(m2, len(lit))
-                    m2.extend(rmeta)
-                    lbody = _encode_stream(lit, order)
-                    if len(m2) + len(lbody) < len(body):
-                        obits, body = FLAG_RLE | (FLAG_ORDER1 if order else 0), bytes(
-                            m2
-                        ) + lbody
+            cand = (
+                _rle_candidate(
+                    payload,
+                    lambda l: (FLAG_ORDER1 if order else 0, _encode_stream(l, order)),
+                    nest_meta=False,  # arith keeps raw RLE metadata
+                )
+                if len(payload) >= 32
+                else None
+            )
+            if cand is not None and len(cand[1]) < len(body):
+                obits, body = cand
             flags |= obits
         else:
             body = b""
@@ -280,21 +275,7 @@ def compress(data: bytes, order: int = 0) -> bytes:
 
 
 def compress_striped(data: bytes, n_planes: int = 4, order: int = 0) -> bytes:
-    if not 1 <= n_planes <= 255:
-        raise ValueError(f"STRIPE plane count must be 1..255, got {n_planes}")
-    subs = []
-    for j in range(n_planes):
-        sub = compress(data[j::n_planes], order)
-        _, size_end = _read_uint7(sub, 1)
-        subs.append(bytes([sub[0] | FLAG_NOSZ]) + sub[size_end:])
-    out = bytearray([FLAG_STRIPE])
-    _write_uint7(out, len(data))
-    out.append(n_planes)
-    for s in subs:
-        _write_uint7(out, len(s))
-    for s in subs:
-        out.extend(s)
-    return bytes(out)
+    return _stripe_container(data, n_planes, lambda p: compress(p, order))
 
 
 def decompress(data: bytes, expected_len: int | None = None) -> bytes:
@@ -303,104 +284,42 @@ def decompress(data: bytes, expected_len: int | None = None) -> bytes:
     Corrupt input raises ValueError, never a bare IndexError."""
     try:
         return _decompress(data, expected_len)
-    except IndexError as exc:
+    except (IndexError, struct.error) as exc:
+        # struct reaches in through the shared container's nested-RLE-meta
+        # path (bare order-0 state unpack)
         raise ValueError(
-            f"arith stream truncated or corrupt (IndexError: {exc})"
+            f"arith stream truncated or corrupt ({type(exc).__name__}: "
+            f"{exc})"
         ) from exc
 
 
-def _decompress(
-    data: bytes, expected_len: int | None, in_stripe: bool = False
-) -> bytes:
-    flags = data[0]
-    pos = 1
-    if flags & FLAG_NOSZ:
-        if expected_len is None:
+def _arith_entropy(data: bytes, pos: int, flags: int, out_len: int) -> bytes:
+    if flags & FLAG_EXT:
+        try:
+            payload = bz2.decompress(data[pos:])
+        except OSError as exc:
+            # bz2 raises OSError on corrupt input — keep the module's
+            # ValueError fail-loud contract (r7 review finding)
             raise ValueError(
-                "arith NOSZ stream without an externally-known size (CRAM "
-                "blocks pass their header raw_size through "
-                "decompress(expected_len=...))"
-            )
-        rsize = expected_len
-    else:
-        rsize, pos = _read_uint7(data, pos)
-    if flags & FLAG_STRIPE:
-        if in_stripe:
-            raise ValueError("arith STRIPE nested inside a STRIPE plane")
-        n = data[pos]
-        pos += 1
-        if n == 0:
-            raise ValueError("arith STRIPE stream with zero substreams")
-        clens = []
-        for _ in range(n):
-            c, pos = _read_uint7(data, pos)
-            clens.append(c)
-        out = bytearray(rsize)
-        for j in range(n):
-            plane_len = (rsize - j + n - 1) // n if rsize > j else 0
-            plane = _decompress(data[pos : pos + clens[j]], plane_len, in_stripe=True)
-            if len(plane) != plane_len:
-                raise ValueError(
-                    f"arith STRIPE plane {j} decoded {len(plane)} bytes, "
-                    f"expected {plane_len}"
-                )
-            out[j::n] = plane
-            pos += clens[j]
-        return bytes(out)
-    if rsize == 0:
-        return b""
-    pack_syms = None
-    out_len = rsize
-    if flags & FLAG_PACK:
-        nsym = data[pos]
-        pos += 1
-        if nsym > 16:
-            raise ValueError(
-                f"arith PACK symbol map has {nsym} symbols, spec maximum "
-                "is 16 — corrupt stream"
-            )
-        pack_syms = list(data[pos : pos + nsym])
-        pos += nsym
-        out_len, pos = _read_uint7(data, pos)
-    rle_meta = None
-    rle_out_len = 0
-    if flags & FLAG_RLE:
-        rmeta_len, pos = _read_uint7(data, pos)
-        lit_len, pos = _read_uint7(data, pos)
-        msz = rmeta_len >> 1
-        if rmeta_len & 1:
-            rle_meta = bytes(data[pos : pos + msz])
-            if len(rle_meta) != msz:
-                raise ValueError("arith RLE metadata truncated")
-            pos += msz
-        else:
-            from .rans_nx16 import decompress_o0_bare
-
-            cmeta_len, pos = _read_uint7(data, pos)
-            rle_meta = decompress_o0_bare(data[pos : pos + cmeta_len], msz)
-            pos += cmeta_len
-        rle_out_len = out_len
-        out_len = lit_len
-    if flags & FLAG_CAT:
-        if len(data) - pos < out_len:
-            raise ValueError(
-                f"arith CAT stream truncated: {len(data) - pos} payload "
-                f"bytes for declared size {out_len}"
-            )
-        payload = bytes(data[pos : pos + out_len])
-    elif flags & FLAG_EXT:
-        payload = bz2.decompress(data[pos:])
+                f"arith EXT (bzip2) payload corrupt: {exc}"
+            ) from exc
         if len(payload) != out_len:
             raise ValueError(
                 f"arith EXT (bzip2) stream decoded {len(payload)} bytes, "
                 f"expected {out_len}"
             )
-    elif out_len == 0:
-        payload = b""
-    else:
-        payload = _decode_stream(data, pos, flags & FLAG_ORDER1, out_len)
-    if rle_meta is not None:
-        payload = _rle_decode(payload, rle_meta, rle_out_len)
-    if pack_syms is not None:
-        return _unpack_values(payload, pack_syms, rsize)
-    return payload
+        return payload
+    return _decode_stream(data, pos, flags & FLAG_ORDER1, out_len)
+
+
+def _decompress(
+    data: bytes, expected_len: int | None, in_stripe: bool = False
+) -> bytes:
+    return _container_decode(
+        data,
+        expected_len,
+        label="arith",
+        entropy=_arith_entropy,
+        recurse=_decompress,
+        in_stripe=in_stripe,
+    )

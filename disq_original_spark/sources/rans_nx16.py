@@ -607,18 +607,45 @@ def _entropy_body(data: bytes, n_states: int, order: int) -> tuple[int, bytes]:
     return 0, bytes(table) + _encode_o0_stream(data, freqs, n_states)
 
 
-def compress_striped(data: bytes, n_planes: int = 4, n_states: int = 4,
-                     order: int = 0) -> bytes:
+def _rle_candidate(payload: bytes, entropy_body, nest_meta: bool = True):
+    """(extra flag bits, body) for the RLE-transformed form, or None when
+    no symbol's runs pay.  ``entropy_body(literals) -> (bits, body)``
+    codes the post-RLE literal stream; ``nest_meta`` allows compressing
+    the run metadata through the bare order-0 codec when that pays
+    (the Nx16 writer does; the arith writer keeps raw metadata).
+    Shared by both codec writers — the caller compares the returned
+    body against its un-collapsed coding, the same honest size test as
+    the CAT fallback."""
+    rle = _rle_encode(payload)
+    if rle is None:
+        return None
+    rmeta, lit = rle
+    m2 = bytearray()
+    comp = compress_o0_bare(rmeta) if nest_meta else None
+    if comp is not None and len(comp) + 2 < len(rmeta):
+        _write_uint7(m2, len(rmeta) << 1)  # bit 0 clear: nested meta
+        _write_uint7(m2, len(lit))
+        _write_uint7(m2, len(comp))
+        m2.extend(comp)
+    else:
+        _write_uint7(m2, (len(rmeta) << 1) | 1)  # raw meta
+        _write_uint7(m2, len(lit))
+        m2.extend(rmeta)
+    bits, body = entropy_body(lit)
+    return FLAG_RLE | bits, bytes(m2) + body
+
+
+def _stripe_container(data: bytes, n_planes: int, compress_plane) -> bytes:
     """STRIPE container: byte plane j (``data[j::n_planes]``) compresses
     independently (its own flags — PACK/order fall out naturally per
     plane) with NOSZ set, sizes derived from the total.  The standard
     layout for fixed-width numeric series (e.g. 4-byte coordinates →
-    4 planes of far lower per-plane entropy)."""
+    4 planes of far lower per-plane entropy).  Shared by both codecs."""
     if not 1 <= n_planes <= 255:
         raise ValueError(f"STRIPE plane count must be 1..255, got {n_planes}")
     subs = []
     for j in range(n_planes):
-        sub = compress(data[j::n_planes], n_states, order)
+        sub = compress_plane(data[j::n_planes])
         _, size_end = _read_uint7(sub, 1)
         subs.append(bytes([sub[0] | FLAG_NOSZ]) + sub[size_end:])
     out = bytearray([FLAG_STRIPE])
@@ -629,6 +656,11 @@ def compress_striped(data: bytes, n_planes: int = 4, n_states: int = 4,
     for s in subs:
         out.extend(s)
     return bytes(out)
+
+
+def compress_striped(data: bytes, n_planes: int = 4, n_states: int = 4,
+                     order: int = 0) -> bytes:
+    return _stripe_container(data, n_planes, lambda p: compress(p, n_states, order))
 
 
 def compress(data: bytes, n_states: int = 4, order: int = 0) -> bytes:
@@ -660,24 +692,13 @@ def compress(data: bytes, n_states: int = 4, order: int = 0) -> bytes:
             # RLE candidate (PACK → RLE → entropy is the spec order): keep
             # it only when meta + entropy-coded literals beat entropy-coding
             # the un-collapsed payload — same honest size test as CAT below
-            if len(payload) >= 32:
-                rle = _rle_encode(payload)
-                if rle is not None:
-                    rmeta, lit = rle
-                    m2 = bytearray()
-                    comp = compress_o0_bare(rmeta)
-                    if len(comp) + 2 < len(rmeta):
-                        _write_uint7(m2, len(rmeta) << 1)  # bit 0 clear: nested
-                        _write_uint7(m2, len(lit))
-                        _write_uint7(m2, len(comp))
-                        m2.extend(comp)
-                    else:
-                        _write_uint7(m2, (len(rmeta) << 1) | 1)  # raw meta
-                        _write_uint7(m2, len(lit))
-                        m2.extend(rmeta)
-                    lbits, lbody = _entropy_body(lit, n_states, order)
-                    if len(m2) + len(lbody) < len(body):
-                        obits, body = FLAG_RLE | lbits, bytes(m2) + lbody
+            cand = (
+                _rle_candidate(payload, lambda l: _entropy_body(l, n_states, order))
+                if len(payload) >= 32
+                else None
+            )
+            if cand is not None and len(cand[1]) < len(body):
+                obits, body = cand
             flags |= obits
         else:
             body = b""  # 1-symbol PACK: the map alone reconstructs everything
@@ -701,15 +722,31 @@ def decompress(data: bytes, expected_len: int | None = None) -> bytes:
         ) from exc
 
 
-def _decompress(
-    data: bytes, expected_len: int | None, in_stripe: bool = False
+def _container_decode(
+    data: bytes,
+    expected_len: int | None,
+    *,
+    label: str,
+    entropy,
+    recurse,
+    in_stripe: bool = False,
 ) -> bytes:
+    """The transform-container walk shared by rANS Nx16 and the method-6
+    arithmetic codec (identical flag scheme apart from the entropy-slot
+    bit each claims — the r7 review found the two private copies already
+    drifting).  ``entropy(data, pos, flags, out_len)`` decodes the
+    entropy slot; ``recurse(sub, plane_len, in_stripe)`` decodes a STRIPE
+    plane with the owning codec.
+
+    Transform metadata appears in stream order PACK then RLE; the decode
+    pipeline applies entropy (or CAT) → RLE-expand → un-PACK, inverting
+    the encoder's PACK → RLE → entropy order (spec transform order)."""
     flags = data[0]
     pos = 1
     if flags & FLAG_NOSZ:
         if expected_len is None:
             raise ValueError(
-                "rANS Nx16 NOSZ stream without an externally-known size: "
+                f"{label} NOSZ stream without an externally-known size: "
                 "the uncompressed size is unrecoverable (CRAM blocks pass "
                 "their header raw_size through decompress(expected_len=...))"
             )
@@ -718,21 +755,21 @@ def _decompress(
         rsize, pos = _read_uint7(data, pos)
     if flags & FLAG_STRIPE:
         # spec "Stripe transform": N byte-plane substreams (plane j holds
-        # out[j::N]), each a full Nx16 stream with NOSZ set (plane sizes
-        # derive from the total), lengths as uint7 before the payloads.
-        # Planes are ENTROPY substreams — no real encoder nests STRIPE, and
+        # out[j::N]), each a full stream with NOSZ set (plane sizes derive
+        # from the total), lengths as uint7 before the payloads.  Planes
+        # are ENTROPY substreams — no real encoder nests STRIPE, and
         # accepting nesting would let a ~4-bytes-per-level crafted stream
         # blow the recursion limit (RecursionError escaping the ValueError
         # contract — r6 review finding)
         if in_stripe:
             raise ValueError(
-                "rANS Nx16 STRIPE nested inside a STRIPE plane — corrupt "
+                f"{label} STRIPE nested inside a STRIPE plane — corrupt "
                 "stream"
             )
         n = data[pos]
         pos += 1
         if n == 0:
-            raise ValueError("rANS Nx16 STRIPE stream with zero substreams")
+            raise ValueError(f"{label} STRIPE stream with zero substreams")
         clens = []
         for _ in range(n):
             c, pos = _read_uint7(data, pos)
@@ -740,12 +777,10 @@ def _decompress(
         out = bytearray(rsize)
         for j in range(n):
             plane_len = (rsize - j + n - 1) // n if rsize > j else 0
-            plane = _decompress(
-                data[pos : pos + clens[j]], plane_len, in_stripe=True
-            )
+            plane = recurse(data[pos : pos + clens[j]], plane_len, True)
             if len(plane) != plane_len:
                 raise ValueError(
-                    f"rANS Nx16 STRIPE plane {j} decoded {len(plane)} "
+                    f"{label} STRIPE plane {j} decoded {len(plane)} "
                     f"bytes, expected {plane_len}"
                 )
             out[j::n] = plane
@@ -753,10 +788,6 @@ def _decompress(
         return bytes(out)
     if rsize == 0:
         return b""
-    # transform metadata appears in stream order PACK then RLE; the decode
-    # pipeline applies entropy (or CAT) → RLE-expand → un-PACK, inverting
-    # the encoder's PACK → RLE → entropy order (spec transform order)
-    n_states = 32 if flags & FLAG_X32 else 4
     pack_syms = None
     out_len = rsize
     if flags & FLAG_PACK:
@@ -764,7 +795,7 @@ def _decompress(
         pos += 1
         if nsym > 16:
             raise ValueError(
-                f"rANS Nx16 PACK symbol map has {nsym} symbols, spec "
+                f"{label} PACK symbol map has {nsym} symbols, spec "
                 "maximum is 16 — corrupt stream"
             )
         pack_syms = list(data[pos : pos + nsym])
@@ -780,7 +811,7 @@ def _decompress(
             rle_meta = bytes(data[pos : pos + msz])
             if len(rle_meta) != msz:
                 raise ValueError(
-                    f"rANS Nx16 RLE metadata truncated: {len(rle_meta)} of "
+                    f"{label} RLE metadata truncated: {len(rle_meta)} of "
                     f"{msz} bytes present"
                 )
             pos += msz
@@ -793,19 +824,37 @@ def _decompress(
     if flags & FLAG_CAT:
         if len(data) - pos < out_len:
             raise ValueError(
-                f"rANS Nx16 CAT stream truncated: {len(data) - pos} payload "
+                f"{label} CAT stream truncated: {len(data) - pos} payload "
                 f"bytes for declared size {out_len}"
             )
         payload = bytes(data[pos : pos + out_len])
     elif out_len == 0:
         payload = b""
-    elif flags & FLAG_ORDER1:
-        payload = _decode_o1_stream(data, pos, n_states, out_len)
     else:
-        freqs, pos = _read_freq_table_o0(data, pos)
-        payload = _decode_o0_stream(data, pos, freqs, n_states, out_len)
+        payload = entropy(data, pos, flags, out_len)
     if rle_meta is not None:
         payload = _rle_decode(payload, rle_meta, rle_out_len)
     if pack_syms is not None:
         return _unpack_values(payload, pack_syms, rsize)
     return payload
+
+
+def _nx16_entropy(data: bytes, pos: int, flags: int, out_len: int) -> bytes:
+    n_states = 32 if flags & FLAG_X32 else 4
+    if flags & FLAG_ORDER1:
+        return _decode_o1_stream(data, pos, n_states, out_len)
+    freqs, pos = _read_freq_table_o0(data, pos)
+    return _decode_o0_stream(data, pos, freqs, n_states, out_len)
+
+
+def _decompress(
+    data: bytes, expected_len: int | None, in_stripe: bool = False
+) -> bytes:
+    return _container_decode(
+        data,
+        expected_len,
+        label="rANS Nx16",
+        entropy=_nx16_entropy,
+        recurse=_decompress,
+        in_stripe=in_stripe,
+    )

@@ -113,7 +113,19 @@ class _Reader:
 def decode(data: bytes, raw_size: int) -> bytes:
     """Decode a tok3 block back to its nul-separated name bytes.
     ``raw_size`` is the CRAM block header's raw size — cross-checked
-    against the codec's own header."""
+    against the codec's own header.  Corrupt or truncated input raises
+    ValueError, never a bare IndexError from deep in the stream walk
+    (the same wrapper contract as rans_nx16/arith — r7 review
+    finding)."""
+    try:
+        return _decode(data, raw_size)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(
+            f"tok3 block truncated or corrupt ({type(exc).__name__}: {exc})"
+        ) from exc
+
+
+def _decode(data: bytes, raw_size: int) -> bytes:
     if len(data) < 9:
         raise ValueError("tok3 block shorter than its 9-byte header")
     ulen, nnames = struct.unpack_from("<II", data, 0)
@@ -186,7 +198,7 @@ def decode(data: bytes, raw_size: int) -> bytes:
                 "DUP/DIFF — corrupt block"
             )
         dist = reader(0, t0).u32()
-        if dist > i:
+        if dist > i or (t0 == N_DUP and dist == 0):
             raise ValueError(
                 f"tok3 name {i} references {dist} names back — corrupt block"
             )

@@ -188,6 +188,38 @@ def test_truncated_stream_fails_loud():
             decompress(enc[: len(enc) - 4])
 
 
+def test_ext_corrupt_bzip2_fails_loud_as_valueerror():
+    """bz2 raises OSError on corrupt input — the module contract converts
+    it (r7 review finding)."""
+    import bz2 as _bz2
+
+    from disq_original_spark.sources.rans_nx16 import _write_uint7
+
+    data = b"external-payload " * 50
+    out = bytearray([FLAG_EXT])
+    _write_uint7(out, len(data))
+    payload = bytearray(_bz2.compress(data))
+    payload[len(payload) // 2] ^= 0xFF
+    out.extend(payload)
+    with pytest.raises(ValueError, match="bzip2"):
+        decompress(bytes(out))
+
+
+def test_mutation_fuzz_never_leaks_bare_errors():
+    rng = random.Random(11)
+    data = bytes(rng.choices(range(64), k=3000))
+    for order in (0, 1):
+        enc = bytearray(compress(data, order=order))
+        for _ in range(300):
+            m = bytearray(enc)
+            for _ in range(rng.randrange(1, 4)):
+                m[rng.randrange(len(m))] = rng.randrange(256)
+            try:
+                decompress(bytes(m))
+            except ValueError:
+                pass  # the contract: never IndexError/struct.error/OSError
+
+
 def test_nosz_needs_external_size():
     with pytest.raises(ValueError, match="NOSZ"):
         decompress(bytes([FLAG_NOSZ, 4]) + b"\x00" * 16)

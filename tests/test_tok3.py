@@ -186,6 +186,40 @@ def test_bad_backreference_fails_loud():
         decode(blk, raw_len)
 
 
+def test_dup_dist_zero_fails_loud():
+    """DUP with dist 0 (a name copying itself) passed the dist>i guard
+    and hit a bare IndexError before the r7 review fix."""
+    blk = struct.pack("<II", 2, 1) + b"\x00"
+    blk += _stream(0x40 | N_TYPE, bytes([N_DUP]))
+    blk += _stream(N_DUP, struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="references"):
+        decode(blk, 2)
+
+
+def test_mutation_fuzz_never_leaks_bare_errors():
+    """Every corruption of a valid block must either decode (harmless
+    flip) or raise ValueError — never IndexError/struct.error (the
+    fail-loud wrapper contract, r7 review finding: 66/800 mutations
+    leaked IndexError before the wrapper)."""
+    raw = b"".join(b"read:%d\x00" % i for i in range(30))
+    enc = bytearray(encode(raw))
+    rng = random.Random(5)
+    for _ in range(400):
+        m = bytearray(enc)
+        for _ in range(rng.randrange(1, 4)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        try:
+            decode(bytes(m), len(raw))
+        except ValueError:
+            pass  # the contract
+    # truncations too
+    for cut in range(1, len(enc), 7):
+        try:
+            decode(bytes(enc[:-cut]), len(raw))
+        except ValueError:
+            pass
+
+
 def test_encoder_rejects_unterminated_input():
     with pytest.raises(ValueError, match="nul-terminated"):
         encode(b"name-without-nul")
