@@ -165,6 +165,57 @@ def _io_benchmarks(spark) -> dict:
         best = el if best is None else min(best, el)
     out["io_bam_write"] = round(best, 3)
 
+    # Round-7 io additions: CRAM 3.1 write (rANS Nx16 externals with RLE
+    # candidates, QS order-1, tok3 read names) and read-back through the
+    # distributed source — the 3.1 codec surface measured, not just
+    # tested.  Input: the valid.cram fixture's reads replicated 250× with
+    # distinct qnames (2,000 reads), so the name tokenizer and the
+    # quality model see real volume.
+    from pyspark.sql import functions as F
+
+    from disq_original_spark.sources.cram import CramSink
+    from disq_original_spark.sources.cram_codec import read_cram_meta
+
+    cram_fix = str(RES / "valid.cram")
+    fasta_fix = str(RES / "valid.fasta")
+    cram_hdr = read_cram_meta(Path(cram_fix).read_bytes())[0].header_text
+    reads31 = (
+        CramSource()
+        .read(spark, cram_fix, reference_path=fasta_fix)
+        .crossJoin(spark.range(250).select(F.col("id").alias("rep")))
+        .withColumn(
+            "qname", F.concat("qname", F.lit(":"), F.col("rep").cast("string"))
+        )
+        .drop("rep")
+        .orderBy("pos", "qname")
+        .cache()
+    )
+    reads31.count()
+    cram31 = f"{tmp}/big31.cram"
+    CramSink().write(reads31, cram_hdr, cram31, reference_path=fasta_fix,
+                     version=(3, 1))  # warm pass (also the read input)
+    best = None
+    for i in range(3):
+        t0 = time.perf_counter()
+        CramSink().write(reads31, cram_hdr, f"{tmp}/big31_{i}.cram",
+                         reference_path=fasta_fix, version=(3, 1))
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    out["io_cram31_write"] = round(best, 3)
+    reads31.unpersist()
+
+    def read31() -> None:
+        CramSource().read(spark, cram31, reference_path=fasta_fix).count()
+
+    read31()  # warm
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        read31()
+        el = time.perf_counter() - t0
+        best = el if best is None else min(best, el)
+    out["io_cram31_read"] = round(best, 3)
+
     # Round-4 io additions: BCF (typed-binary decode, splittable via the
     # write-time .csi), FASTQ (text-record tiling), FASTA (windowed
     # reference scan).  BCF/FASTQ inputs are built once from the same
