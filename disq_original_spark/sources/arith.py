@@ -43,14 +43,10 @@ import bz2
 import struct
 
 from .rans_nx16 import (
-    FLAG_CAT,
     FLAG_ORDER1,
-    FLAG_PACK,
     _container_decode,
-    _pack_values,
-    _rle_candidate,
+    _container_encode,
     _stripe_container,
-    _write_uint7,
 )
 
 FLAG_EXT = 0x04  # bzip2 payload (replaces Nx16's X32 bit position)
@@ -232,46 +228,20 @@ def _decode_stream(data: bytes, pos: int, order: int, out_len: int) -> bytes:
 
 
 def compress(data: bytes, order: int = 0) -> bytes:
-    """Adaptive-arithmetic block stream (method 6): PACK and RLE engage
-    when they pay (same honest size tests as the Nx16 encoder), CAT when
-    entropy coding does not."""
+    """Adaptive-arithmetic block stream (method 6) through the shared
+    transform container.  RLE metadata stays RAW (``nest_rle_meta=False``)
+    — a nested form would have to be arith-order-0-coded, and raw is
+    always spec-legal."""
     if order not in (0, 1):
         raise ValueError(f"arith order must be 0 or 1, got {order}")
-    header = bytearray()
-    _write_uint7(header, len(data))
-    if len(data) > 0:
-        flags = 0
-        meta = b""
-        payload = data
-        if len(data) >= 32:
-            syms = sorted(set(data))
-            if len(syms) <= 16:
-                flags |= FLAG_PACK
-                payload = _pack_values(data, syms)
-                m = bytearray([len(syms)])
-                m.extend(syms)
-                _write_uint7(m, len(payload))
-                meta = bytes(m)
-        if payload:
-            obits = FLAG_ORDER1 if order else 0
-            body = _encode_stream(payload, order)
-            cand = (
-                _rle_candidate(
-                    payload,
-                    lambda l: (FLAG_ORDER1 if order else 0, _encode_stream(l, order)),
-                    nest_meta=False,  # arith keeps raw RLE metadata
-                )
-                if len(payload) >= 32
-                else None
-            )
-            if cand is not None and len(cand[1]) < len(body):
-                obits, body = cand
-            flags |= obits
-        else:
-            body = b""
-        if len(meta) + len(body) < len(data):
-            return bytes([flags]) + bytes(header) + meta + body
-    return bytes([FLAG_CAT]) + bytes(header) + data
+    return _container_encode(
+        data,
+        entropy_body=lambda p: (
+            FLAG_ORDER1 if order else 0,
+            _encode_stream(p, order),
+        ),
+        nest_rle_meta=False,
+    )
 
 
 def compress_striped(data: bytes, n_planes: int = 4, order: int = 0) -> bytes:
@@ -312,6 +282,14 @@ def _arith_entropy(data: bytes, pos: int, flags: int, out_len: int) -> bytes:
     return _decode_stream(data, pos, flags & FLAG_ORDER1, out_len)
 
 
+def _meta_o0_bare(blob: bytes, out_len: int) -> bytes:
+    """Nested (compressed) RLE metadata in a method-6 stream is coded
+    with the ARITHMETIC order-0 form, not rANS (second r7 review — the
+    repo's own writer keeps metadata raw, so only foreign files exercise
+    this path)."""
+    return _decode_stream(blob, 0, 0, out_len)
+
+
 def _decompress(
     data: bytes, expected_len: int | None, in_stripe: bool = False
 ) -> bytes:
@@ -321,5 +299,6 @@ def _decompress(
         label="arith",
         entropy=_arith_entropy,
         recurse=_decompress,
+        meta_o0=_meta_o0_bare,
         in_stripe=in_stripe,
     )

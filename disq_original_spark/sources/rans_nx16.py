@@ -484,7 +484,9 @@ def _rle_encode(data: bytes) -> tuple[bytes, bytes] | None:
     return bytes(meta), bytes(lit)
 
 
-def _rle_decode(lit: bytes, meta: bytes, out_len: int) -> bytes:
+def _rle_decode(
+    lit: bytes, meta: bytes, out_len: int, label: str = "rANS Nx16"
+) -> bytes:
     nsym = meta[0]
     mpos = 1
     if nsym == 0:
@@ -492,7 +494,7 @@ def _rle_decode(lit: bytes, meta: bytes, out_len: int) -> bytes:
     syms = meta[mpos : mpos + nsym]
     if len(syms) != nsym:
         raise ValueError(
-            f"rANS Nx16 RLE metadata truncated: {len(syms)} of {nsym} "
+            f"{label} RLE metadata truncated: {len(syms)} of {nsym} "
             "symbols present"
         )
     mpos += nsym
@@ -506,13 +508,13 @@ def _rle_decode(lit: bytes, meta: bytes, out_len: int) -> bytes:
             run, mpos = _read_uint7(meta, mpos)
             if len(out) + run > out_len:
                 raise ValueError(
-                    f"rANS Nx16 RLE run overflows the declared size "
+                    f"{label} RLE run overflows the declared size "
                     f"{out_len} — corrupt stream"
                 )
             out.extend(bytes([b]) * run)
     if len(out) != out_len:
         raise ValueError(
-            f"rANS Nx16 RLE expanded to {len(out)} bytes, expected {out_len}"
+            f"{label} RLE expanded to {len(out)} bytes, expected {out_len}"
         )
     return bytes(out)
 
@@ -544,11 +546,13 @@ def _pack_values(data: bytes, syms: list[int]) -> bytes:
     return bytes(out)
 
 
-def _unpack_values(packed: bytes, syms: list[int], out_len: int) -> bytes:
+def _unpack_values(
+    packed: bytes, syms: list[int], out_len: int, label: str = "rANS Nx16"
+) -> bytes:
     n = len(syms)
     if n <= 1:
         if not syms and out_len:
-            raise ValueError("rANS Nx16 PACK stream with empty symbol map")
+            raise ValueError(f"{label} PACK stream with empty symbol map")
         return bytes([syms[0]]) * out_len if out_len else b""
     if n <= 2:
         per, bits = 8, 1
@@ -558,7 +562,7 @@ def _unpack_values(packed: bytes, syms: list[int], out_len: int) -> bytes:
         per, bits = 2, 4
     if (out_len + per - 1) // per > len(packed):
         raise ValueError(
-            f"rANS Nx16 PACK stream truncated: {len(packed)} packed bytes "
+            f"{label} PACK stream truncated: {len(packed)} packed bytes "
             f"cannot hold {out_len} values at {bits} bits"
         )
     mask = (1 << bits) - 1
@@ -567,7 +571,7 @@ def _unpack_values(packed: bytes, syms: list[int], out_len: int) -> bytes:
         v = (packed[i // per] >> (bits * (i % per))) & mask
         if v >= n:
             raise ValueError(
-                f"rANS Nx16 PACK index {v} out of range for a "
+                f"{label} PACK index {v} out of range for a "
                 f"{n}-symbol map — corrupt stream"
             )
         out[i] = syms[v]
@@ -663,19 +667,21 @@ def compress_striped(data: bytes, n_planes: int = 4, n_states: int = 4,
     return _stripe_container(data, n_planes, lambda p: compress(p, n_states, order))
 
 
-def compress(data: bytes, n_states: int = 4, order: int = 0) -> bytes:
-    """rANS Nx16 (N = 4 or 32), order 0 or 1, bit-PACKing ≤16-symbol
-    inputs before the entropy stage and falling back to CAT (stored
-    verbatim) when entropy coding does not pay — all forms any
-    spec-conformant 3.1 decoder accepts."""
-    if n_states not in (4, 32):
-        raise ValueError(f"rANS Nx16 interleave must be 4 or 32, got {n_states}")
-    if order not in (0, 1):
-        raise ValueError(f"rANS Nx16 order must be 0 or 1, got {order}")
+def _container_encode(
+    data: bytes, *, entropy_body, base_flags: int = 0, nest_rle_meta: bool = True
+) -> bytes:
+    """The transform-container writer shared by both codecs (second r7
+    review — the decode walk had been consolidated for drift, the encode
+    side had not): bit-PACK ≤16-symbol inputs before the entropy stage,
+    try the RLE collapse where it pays (PACK → RLE → entropy, the spec
+    order), fall back to CAT (stored verbatim) when entropy coding does
+    not pay — all forms any spec-conformant 3.1 decoder accepts.
+    ``entropy_body(payload) -> (flag bits, body)`` codes the entropy
+    slot; ``base_flags`` carries codec-specific bits (Nx16's X32)."""
     header = bytearray()
     _write_uint7(header, len(data))
     if len(data) > 0:
-        flags = FLAG_X32 if n_states == 32 else 0
+        flags = base_flags
         meta = b""
         payload = data
         if len(data) >= 32:
@@ -688,12 +694,9 @@ def compress(data: bytes, n_states: int = 4, order: int = 0) -> bytes:
                 _write_uint7(m, len(payload))
                 meta = bytes(m)
         if payload:
-            obits, body = _entropy_body(payload, n_states, order)
-            # RLE candidate (PACK → RLE → entropy is the spec order): keep
-            # it only when meta + entropy-coded literals beat entropy-coding
-            # the un-collapsed payload — same honest size test as CAT below
+            obits, body = entropy_body(payload)
             cand = (
-                _rle_candidate(payload, lambda l: _entropy_body(l, n_states, order))
+                _rle_candidate(payload, entropy_body, nest_meta=nest_rle_meta)
                 if len(payload) >= 32
                 else None
             )
@@ -705,6 +708,20 @@ def compress(data: bytes, n_states: int = 4, order: int = 0) -> bytes:
         if len(meta) + len(body) < len(data):
             return bytes([flags]) + bytes(header) + meta + body
     return bytes([FLAG_CAT]) + bytes(header) + data
+
+
+def compress(data: bytes, n_states: int = 4, order: int = 0) -> bytes:
+    """rANS Nx16 (N = 4 or 32), order 0 or 1, through the shared
+    transform container."""
+    if n_states not in (4, 32):
+        raise ValueError(f"rANS Nx16 interleave must be 4 or 32, got {n_states}")
+    if order not in (0, 1):
+        raise ValueError(f"rANS Nx16 order must be 0 or 1, got {order}")
+    return _container_encode(
+        data,
+        entropy_body=lambda p: _entropy_body(p, n_states, order),
+        base_flags=FLAG_X32 if n_states == 32 else 0,
+    )
 
 
 def decompress(data: bytes, expected_len: int | None = None) -> bytes:
@@ -729,6 +746,7 @@ def _container_decode(
     label: str,
     entropy,
     recurse,
+    meta_o0=None,
     in_stripe: bool = False,
 ) -> bytes:
     """The transform-container walk shared by rANS Nx16 and the method-6
@@ -736,7 +754,11 @@ def _container_decode(
     bit each claims — the r7 review found the two private copies already
     drifting).  ``entropy(data, pos, flags, out_len)`` decodes the
     entropy slot; ``recurse(sub, plane_len, in_stripe)`` decodes a STRIPE
-    plane with the owning codec.
+    plane with the owning codec; ``meta_o0(blob, out_len)`` decodes
+    nested (compressed) RLE metadata with the OWNING codec's bare
+    order-0 form — rANS for method 5, arithmetic for method 6 (second
+    r7 review: routing arith metadata through the rANS decoder would
+    break real method-6 files while round-tripping our own).
 
     Transform metadata appears in stream order PACK then RLE; the decode
     pipeline applies entropy (or CAT) → RLE-expand → un-PACK, inverting
@@ -817,7 +839,9 @@ def _container_decode(
             pos += msz
         else:
             cmeta_len, pos = _read_uint7(data, pos)
-            rle_meta = decompress_o0_bare(data[pos : pos + cmeta_len], msz)
+            rle_meta = (meta_o0 or decompress_o0_bare)(
+                data[pos : pos + cmeta_len], msz
+            )
             pos += cmeta_len
         rle_out_len = out_len  # expansion target: packed length, or rsize
         out_len = lit_len  # the entropy stage produces the literals
@@ -833,9 +857,9 @@ def _container_decode(
     else:
         payload = entropy(data, pos, flags, out_len)
     if rle_meta is not None:
-        payload = _rle_decode(payload, rle_meta, rle_out_len)
+        payload = _rle_decode(payload, rle_meta, rle_out_len, label)
     if pack_syms is not None:
-        return _unpack_values(payload, pack_syms, rsize)
+        return _unpack_values(payload, pack_syms, rsize, label)
     return payload
 
 

@@ -188,6 +188,26 @@ def test_truncated_stream_fails_loud():
             decompress(enc[: len(enc) - 4])
 
 
+def test_rle_nested_meta_decodes_with_arith_order0():
+    """Foreign method-6 files may ship RLE metadata COMPRESSED — with the
+    arithmetic order-0 coder, not rANS (r7 second review).  Our writer
+    keeps metadata raw, so build the nested form by hand and decode."""
+    from disq_original_spark.sources.arith import _encode_stream
+    from disq_original_spark.sources.rans_nx16 import _rle_encode, _write_uint7
+
+    data = b"".join(bytes([s]) * 20 for s in range(17))
+    rmeta, lit = _rle_encode(data)
+    out = bytearray([FLAG_RLE])
+    _write_uint7(out, len(data))
+    _write_uint7(out, len(rmeta) << 1)  # bit 0 clear: nested meta
+    _write_uint7(out, len(lit))
+    comp_meta = _encode_stream(rmeta, 0)
+    _write_uint7(out, len(comp_meta))
+    out.extend(comp_meta)
+    out.extend(_encode_stream(lit, 0))
+    assert decompress(bytes(out)) == data
+
+
 def test_ext_corrupt_bzip2_fails_loud_as_valueerror():
     """bz2 raises OSError on corrupt input — the module contract converts
     it (r7 review finding)."""
