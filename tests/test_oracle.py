@@ -194,6 +194,25 @@ def test_driver_window_rotation_contract():
     )
 
 
+def test_witness_freshness_gate():
+    """simulate_driver_window.py --freshness must report NO registered
+    query whose latest green driver witness is more than 3 rounds old
+    and which also sits outside the current 50-name window — the
+    machine-checked form of the rotation rule _PRIORITY used to encode
+    as comment arithmetic (VERDICT r6 directive #6).  This fails exactly
+    when a future round's _PRIORITY goes stale."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "simwin",
+        Path(__file__).resolve().parent.parent / "tools" / "simulate_driver_window.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.freshness() == 0
+
+
 def test_s06_sq8_recall_vs_exact_l2(spark, sf_dir):
     """SQ8+rerank is approximate; pin recall@10 against the exact-L2 top-k
     so grid bugs (wrong min/max dim, off-by-one quantization) collapse
