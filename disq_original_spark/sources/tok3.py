@@ -373,15 +373,28 @@ def encode(raw: bytes, use_arith: bool = False) -> bytes:
     out = bytearray(struct.pack("<II", len(raw), len(names)))
     out.append(1 if use_arith else 0)
     max_t = max((t for t, _ in streams), default=-1)
+    seen: dict[bytes, tuple[int, int]] = {}
     for t in range(max_t + 1):
         first = True
         for typ in range(N_END + 1):
             body = streams.get((t, typ))
             if body is None:
                 continue
-            out.append(typ | (0x40 if first else 0))
+            key = bytes(body)
+            src = seen.get(key)
+            if src is not None:
+                # byte-identical stream already emitted: the 0x80 dup
+                # descriptor stores (source position, source type) in two
+                # bytes — frequent for TYPE streams of similar positions
+                # (e.g. every position whose type pattern is all-MATCH)
+                out.append(typ | 0x80 | (0x40 if first else 0))
+                out.extend(src)
+            else:
+                out.append(typ | (0x40 if first else 0))
+                comp = stream_compress(key)
+                _write_uint7(out, len(comp))
+                out.extend(comp)
+                if t <= 255:  # the dup reference fields are single bytes
+                    seen[key] = (t, typ)
             first = False
-            comp = stream_compress(bytes(body))
-            _write_uint7(out, len(comp))
-            out.extend(comp)
     return bytes(out)

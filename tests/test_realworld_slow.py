@@ -345,3 +345,63 @@ def test_cram_interval_parity_at_scale(spark, big_cram):
         assert (
             pruned.rdd.getNumPartitions() < full_small.rdd.getNumPartitions() / 2
         ), (pruned.rdd.getNumPartitions(), full_small.rdd.getNumPartitions())
+
+
+@pytest.fixture(scope="module")
+def big_cram31(spark, tmp_path_factory):
+    """Multi-container CRAM **3.1** written by the repo's own sink — rANS
+    Nx16 externals (with RLE candidates), order-1 quality model, tok3
+    read names.  Rows are reduced vs the 3.0 fixture: the pure-Python
+    3.1 entropy coders dominate build time, and container-boundary
+    coverage needs dozens of containers, not hundreds of MB."""
+    from disq_original_spark.sources.cram import CramSink
+
+    rows = max(20_000, _CRAM_ROWS // 12)
+    reads, per = _synth_reads(spark, rows)
+    max_pos = per * 25 + _SEQ_LEN + 10
+    ref_dir = tmp_path_factory.mktemp("ref31")
+    fasta = str(ref_dir / "ref.fa")
+    line = 70
+    with open(fasta, "w") as fh:
+        for i in range(1, 5):
+            fh.write(f">chr{i}\n")
+            for off in range(0, max_pos, line):
+                fh.write("A" * min(line, max_pos - off) + "\n")
+    with open(fasta + ".fai", "w") as fh:
+        offset = 0
+        for i in range(1, 5):
+            offset += len(f">chr{i}\n")
+            fh.write(f"chr{i}\t{max_pos}\t{offset}\t{line}\t{line + 1}\n")
+            offset += max_pos + (max_pos + line - 1) // line
+    header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
+        f"@SQ\tSN:chr{i}\tLN:{max_pos}\n" for i in range(1, 5)
+    )
+    out = str(tmp_path_factory.mktemp("realworld31") / "big31.cram")
+    CramSink().write(
+        reads, header_text, out, reference_path=fasta, version=(3, 1),
+        write_index=True,
+    )
+    with open(out, "rb") as fh:
+        magic = fh.read(6)
+    assert (magic[4], magic[5]) == (3, 1)
+    return out, fasta, rows
+
+
+def test_cram31_split_invariance_at_scale(spark, big_cram31):
+    """The 3.1 read path (Nx16 + tok3 blocks) under the same
+    container-boundary stress as the 3.0 fixture: counts AND content
+    checksums identical across three split sizes."""
+    from disq_original_spark.sources.cram import CramSource
+
+    path, fasta, rows = big_cram31
+    sizes = [1_000_003, 4 * _MB, 64 * _MB]  # the 3.1 fixture is smaller
+    sums = {
+        ss: _bam_checksum(
+            CramSource().read(spark, path, reference_path=fasta, split_size=ss)
+        )
+        for ss in sizes
+    }
+    base = sums[sizes[0]]
+    assert base["n"] == rows
+    for ss, s in sums.items():
+        assert tuple(s) == tuple(base), ss

@@ -116,6 +116,33 @@ def test_encode_decode_round_trip(names):
     assert decode(enc, len(raw)) == raw
 
 
+def test_encoder_emits_dup_stream_descriptors():
+    """Byte-identical streams (e.g. the TYPE streams of two positions
+    with the same per-name type pattern) are emitted once and referenced
+    via the 0x80 dup descriptor; the decode side replays them."""
+    names = [b"a%db%d" % (i, i) for i in range(100)]
+    raw = b"".join(n + b"\x00" for n in names)
+    enc = encode(raw)
+    # walk descriptors: positions 2 and 4 carry identical DIGITS/DDELTA
+    # type patterns, so at least one dup descriptor must appear
+    pos, tnum, dups = 9, -1, 0
+    from disq_original_spark.sources.rans_nx16 import _read_uint7
+
+    while pos < len(enc):
+        ttype = enc[pos]
+        pos += 1
+        if ttype & 0x40:
+            tnum += 1
+        if ttype & 0x80:
+            dups += 1
+            pos += 2
+            continue
+        clen, pos = _read_uint7(enc, pos)
+        pos += clen
+    assert dups > 0
+    assert decode(enc, len(raw)) == raw
+
+
 def test_sequential_names_compress_well():
     raw = b"".join(b"machine:1:2:%d:%d\x00" % (i // 7, 1000 + i) for i in range(2000))
     enc = encode(raw)
