@@ -775,6 +775,15 @@ def _container_decode(
         rsize = expected_len
     else:
         rsize, pos = _read_uint7(data, pos)
+        if expected_len is not None and rsize != expected_len:
+            # the CRAM block header already knows the raw size — a
+            # disagreement is corruption, and catching it HERE also stops
+            # a corrupt uint7 from driving a huge allocation (MemoryError
+            # instead of the fail-loud ValueError contract)
+            raise ValueError(
+                f"{label} stream declares {rsize} uncompressed bytes but "
+                f"the enclosing block says {expected_len} — corrupt stream"
+            )
     if flags & FLAG_STRIPE:
         # spec "Stripe transform": N byte-plane substreams (plane j holds
         # out[j::N]), each a full stream with NOSZ set (plane sizes derive

@@ -152,6 +152,21 @@ def test_alphabet_round_trip(symset):
 # -------------------------------------------------------------- fail-loud gate
 
 
+@pytest.mark.parametrize("method", [5, 6])
+def test_block_raw_size_cross_check(method):
+    """The CRAM block header's raw size must agree with the stream's own
+    declared size — a corrupt uint7 otherwise drives a huge allocation
+    (MemoryError) instead of the fail-loud ValueError contract."""
+    from disq_original_spark.sources.arith import compress as a_compress
+    from disq_original_spark.sources.cram_codec import decompress as blk
+
+    data = b"ACGTN" * 200
+    enc = compress(data) if method == 5 else a_compress(data)
+    assert blk(method, enc, len(data)) == data
+    with pytest.raises(ValueError, match="declares"):
+        blk(method, enc, len(data) + 7)
+
+
 def test_standalone_nosz_needs_external_size():
     # the one remaining gate: NOSZ outside a STRIPE container requires the
     # caller-supplied size (CRAM blocks pass their header raw_size through)
