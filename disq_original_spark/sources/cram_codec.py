@@ -544,6 +544,20 @@ class SubexpCodec(Codec):
     read_byte = read_int
 
 
+def _codec_cids(codec: "Codec | None") -> set[int]:
+    """External content-ids a codec touches — the sharing analysis behind
+    decode-level series skipping (a series may be skipped entirely only
+    when its block is EXCLUSIVE to it; a shared block's cursor must keep
+    advancing for the other readers)."""
+    if codec is None:
+        return set()
+    if isinstance(codec, (ExternalCodec, ByteArrayStopCodec)):
+        return {codec.cid}
+    if isinstance(codec, ByteArrayLenCodec):
+        return _codec_cids(codec.len_codec) | _codec_cids(codec.val_codec)
+    return set()
+
+
 class ByteArrayStopCodec(Codec):
     def __init__(self, params: bytes):
         buf = Buf(params)
@@ -698,6 +712,22 @@ class SliceDecoder:
         self.codecs = {k: build_codec(e, p) for k, (e, p) in chdr.data_series.items()}
         self.tag_codecs = {k: build_codec(e, p) for k, (e, p) in chdr.tag_encodings.items()}
         self._ref_cache: dict[int, bytes] = {}
+        # qname pruning: the RN series normally reads every record (its
+        # BYTE_ARRAY_STOP cursor must stay in sync), but when qname is
+        # pruned AND the RN block is EXCLUSIVE to RN, nothing else ever
+        # touches that block — skip the reads and the block (a tok3-coded
+        # 3.1 name block then never even decompresses).  Shared-cid
+        # layouts (spec-legal) keep the always-read path.
+        self._skip_rn = False
+        if fields is not None and "qname" not in fields:
+            rn_cids = _codec_cids(self.codecs.get("RN"))
+            others: set[int] = set()
+            for k, c in self.codecs.items():
+                if k != "RN":
+                    others |= _codec_cids(c)
+            for c in self.tag_codecs.values():
+                others |= _codec_cids(c)
+            self._skip_rn = bool(rn_cids) and not (rn_cids & others)
 
     def _want(self, name: str) -> bool:
         return self.fields is None or name in self.fields
@@ -735,12 +765,15 @@ class SliceDecoder:
                 ap = prev_ap + ap
                 prev_ap = ap
             rg = self._int("RG")
-            qname = self._bytes("RN").decode("ascii") if ch.read_names_included else None
+            if ch.read_names_included and not self._skip_rn:
+                qname = self._bytes("RN").decode("ascii")
+            else:
+                qname = None
             mate = None
             nf = None
             if cf & CF_DETACHED:
                 mf = self._int("MF")
-                if not ch.read_names_included:
+                if not ch.read_names_included and not self._skip_rn:
                     qname = self._bytes("RN").decode("ascii")
                 mate = (mf, self._int("NS"), self._int("NP"), self._int("TS"))
             elif cf & CF_HAS_MATE_DOWNSTREAM:

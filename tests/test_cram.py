@@ -683,3 +683,48 @@ def test_cram_pruning_skips_block_inflation():
     ] == rows_pruned
     # at least one external block (QS/RN/tag series) never inflated
     assert n_pruned < n_full, (n_pruned, n_full)
+
+
+def test_cram31_pruning_skips_tok3_name_decode(spark, tmp_path):
+    """On a 3.1 file the read-name block is tok3-coded (method 8); a
+    decode pruned to a column set without qname must never invoke the
+    name tokenizer at all — same lazy-inflation contract the QS block
+    test pins, now for the new codec."""
+    from pathlib import Path
+    from unittest import mock
+
+    from disq_original_spark.sources import tok3
+    from disq_original_spark.sources.cram import CramSink, CramSource
+    from disq_original_spark.sources import cram_codec
+
+    res = Path("/root/reference/src/test/resources")
+    cram, fasta_p = str(res / "valid.cram"), str(res / "valid.fasta")
+    hdr = cram_codec.read_cram_meta(Path(cram).read_bytes())[0].header_text
+    df = CramSource().read(spark, cram, reference_path=fasta_p)
+    out = str(tmp_path / "v31.cram")
+    CramSink().write(df, hdr, out, reference_path=fasta_p, version=(3, 1))
+
+    data = Path(out).read_bytes()
+    meta, pos0 = cram_codec.read_cram_meta(data)
+    fasta = cram_codec.IndexedFasta(fasta_p)
+
+    def walk(fields):
+        rows = []
+        pos = pos0
+        while pos < len(data):
+            chunk, pos = cram_codec.decode_container(
+                data, pos, meta, fasta.get, fields=fields
+            )
+            rows.extend(chunk)
+        return rows
+
+    with mock.patch.object(
+        tok3, "decode", side_effect=AssertionError("tok3 decoded under pruning")
+    ):
+        rows = walk(frozenset({"flag", "rname", "pos"}))
+    assert len(rows) == 8 and all("qname" not in r for r in rows)
+    # unpatched, the same walk WITH qname decodes the tok3 block
+    named = walk(frozenset({"qname", "flag"}))
+    assert sorted(r["qname"] for r in named) == sorted(
+        r["qname"] for r in df.collect()
+    )
