@@ -558,6 +558,19 @@ def _codec_cids(codec: "Codec | None") -> set[int]:
     return set()
 
 
+def _core_free(codec: "Codec | None") -> bool:
+    """True when reading the codec never consumes CORE bits — skipping it
+    then cannot desynchronize the interleaved core stream.  Constant
+    (zero-bit) Huffman counts: it reads nothing."""
+    if isinstance(codec, (ExternalCodec, ByteArrayStopCodec)):
+        return True
+    if isinstance(codec, ByteArrayLenCodec):
+        return _core_free(codec.len_codec) and _core_free(codec.val_codec)
+    if isinstance(codec, HuffmanCodec):
+        return codec.const is not None
+    return False
+
+
 class ByteArrayStopCodec(Codec):
     def __init__(self, params: bytes):
         buf = Buf(params)
@@ -728,6 +741,23 @@ class SliceDecoder:
             for c in self.tag_codecs.values():
                 others |= _codec_cids(c)
             self._skip_rn = bool(rn_cids) and not (rn_cids & others)
+        # attributes pruning, same shape: skip every tag read when the tag
+        # blocks are exclusive to tags AND no tag codec touches the core
+        # bitstream (skipping a core reader would desync every other
+        # interleaved series) — tag payloads are often the bulk of a
+        # real-world container, so a counter scan never inflates them
+        self._skip_tags = False
+        if fields is not None and "attributes" not in fields and self.tag_codecs:
+            tag_cids: set[int] = set()
+            for c in self.tag_codecs.values():
+                tag_cids |= _codec_cids(c)
+            series_cids: set[int] = set()
+            for c in self.codecs.values():
+                series_cids |= _codec_cids(c)
+            self._skip_tags = (
+                all(_core_free(c) for c in self.tag_codecs.values())
+                and not (tag_cids & series_cids)
+            )
 
     def _want(self, name: str) -> bool:
         return self.fields is None or name in self.fields
@@ -780,8 +810,9 @@ class SliceDecoder:
                 nf = self._int("NF")
             tl = self._int("TL")
             attrs: dict[str, str] = {}
-            for tag, typ in (ch.tag_dictionary[tl] if ch.tag_dictionary else []):
-                attrs[tag] = self._decode_tag(tag, typ)
+            if not self._skip_tags:
+                for tag, typ in (ch.tag_dictionary[tl] if ch.tag_dictionary else []):
+                    attrs[tag] = self._decode_tag(tag, typ)
             if rg >= 0 and rg < len(self.rg_ids):
                 attrs["RG"] = f"Z:{self.rg_ids[rg]}"
 

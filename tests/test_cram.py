@@ -728,3 +728,51 @@ def test_cram31_pruning_skips_tok3_name_decode(spark, tmp_path):
     assert sorted(r["qname"] for r in named) == sorted(
         r["qname"] for r in df.collect()
     )
+
+
+def test_cram_pruning_skips_tag_blocks():
+    """Tag payloads (here OQ: 101 chars/read) are often the bulk of a
+    container; a counter scan must not inflate their blocks.  Guarded by
+    the exclusivity + core-free analysis: spec-legal layouts that share
+    blocks or read tags from core keep the always-read path."""
+    from unittest import mock
+
+    from disq_original_spark.sources import cram_codec
+
+    res = "/root/reference/src/test/resources"
+    data = open(f"{res}/valid.cram", "rb").read()
+    meta, pos0 = cram_codec.read_cram_meta(data)
+    fasta = cram_codec.IndexedFasta(f"{res}/valid.fasta")
+
+    real = cram_codec.decompress
+    calls: list[int] = []
+
+    def counting(m, p, r):
+        calls.append(len(p))
+        return real(m, p, r)
+
+    def walk(fields):
+        rows, pos = [], pos0
+        while pos < len(data):
+            chunk, pos = cram_codec.decode_container(
+                data, pos, meta, fasta.get, fields=fields
+            )
+            rows.extend(chunk)
+        return rows
+
+    with mock.patch.object(cram_codec, "decompress", side_effect=counting):
+        full = walk(None)
+        n_full = len(calls)
+        calls.clear()
+        counter = walk(frozenset({"flag", "rname", "pos"}))
+        n_counter = len(calls)
+        calls.clear()
+        with_tags = walk(frozenset({"flag", "attributes"}))
+    assert len(full) == len(counter) == len(with_tags) == 8
+    # the counter scan inflates strictly fewer blocks than the tag scan
+    assert n_counter < n_full
+    # and tag values, when wanted, are exactly the full decode's
+    assert [r["attributes"] for r in with_tags] == [
+        r["attributes"] for r in full
+    ]
+    assert any(r["attributes"] for r in full)  # fixture really has tags
