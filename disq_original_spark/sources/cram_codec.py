@@ -733,14 +733,21 @@ class SliceDecoder:
         # layouts (spec-legal) keep the always-read path.
         self._skip_rn = False
         if fields is not None and "qname" not in fields:
-            rn_cids = _codec_cids(self.codecs.get("RN"))
+            rn = self.codecs.get("RN")
+            rn_cids = _codec_cids(rn)
             others: set[int] = set()
             for k, c in self.codecs.items():
                 if k != "RN":
                     others |= _codec_cids(c)
             for c in self.tag_codecs.values():
                 others |= _codec_cids(c)
-            self._skip_rn = bool(rn_cids) and not (rn_cids & others)
+            # _core_free matters here exactly as for tags (r7 third
+            # review): a core-consuming RN codec (BYTE_ARRAY_LEN with a
+            # real Huffman length) skipped per-record would desync every
+            # other core-coded series
+            self._skip_rn = (
+                bool(rn_cids) and not (rn_cids & others) and _core_free(rn)
+            )
         # attributes pruning, same shape: skip every tag read when the tag
         # blocks are exclusive to tags AND no tag codec touches the core
         # bitstream (skipping a core reader would desync every other

@@ -776,3 +776,26 @@ def test_cram_pruning_skips_tag_blocks():
         r["attributes"] for r in full
     ]
     assert any(r["attributes"] for r in full)  # fixture really has tags
+
+
+def test_series_skip_requires_core_free_codec():
+    """The skip analyses must treat a core-consuming codec as
+    unskippable even when its external block is exclusive (r7 third
+    review: an RN BYTE_ARRAY_LEN with a real Huffman length reads core
+    bits per record — skipping it would desync every other core-coded
+    series).  Pin the two analyses on exactly that codec shape."""
+    from disq_original_spark.sources.cram_codec import (
+        ByteArrayLenCodec,
+        ByteArrayStopCodec,
+        _codec_cids,
+        _core_free,
+    )
+
+    # BYTE_ARRAY_LEN(len: 2-symbol Huffman on core, val: EXTERNAL cid 7)
+    params = bytes([3, 6, 2, 0, 1, 2, 1, 1, 1, 1, 7])
+    dangerous = ByteArrayLenCodec(params)
+    assert _codec_cids(dangerous) == {7}  # exclusivity test alone passes
+    assert not _core_free(dangerous)  # ...but the core guard must veto
+    # the safe shape every writer here emits: BYTE_ARRAY_STOP, core-free
+    safe = ByteArrayStopCodec(bytes([0, 11]))
+    assert _codec_cids(safe) == {11} and _core_free(safe)
