@@ -47,81 +47,76 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # across a rolling window of rounds.  All registered queries are always
 # present — only the ordering is prioritized.
 #
-# Round-7 rotation (VERDICT r6 directive #1 — drain the witness ledger):
+# Round-8 rotation (VERDICT r7 directive #1 — drain the r5 block to zero):
 # composition computed by `tools/simulate_driver_window.py --freshness`
-# over the committed CORRECTNESS_r*.json history (post-r6 histogram:
-# never:1 r3:7 r4:37 r5:50 r6:50).  The 50 slots are
-#   (a) q12_approx_distinct FIRST — its hash-checkable companion form
-#       (each engine validates its own approx_count_distinct against its
-#       own exact count) landed in r6 after its only (rows-only, r3)
-#       driver row, so this is its first-ever hash witness;
-#   (b) the 7 r3-stale deferrals documented last round:
-#       q29-q33, q41, q42;
-#   (c) the code-changed re-witnesses named by the directive: t17 (runtime
-#       exactness guard), g25/g26 (multi-Parent explode), d03 (eager
-#       persist), g09 (dupmark plan shape under materialized caches) —
-#       d04/d14/m04/m05/m06 are also directive-named but sit in (d)
-#       anyway as r4-witnessed;
-#   (d) the ENTIRE remaining r4-witnessed block (32 queries) — so after
-#       this window NOTHING in the registry is older than r5 and zero r4
-#       stragglers remain for round 8 (the directive allowed ≤5).
-# 18 named + 32 r4-block = exactly 50.  Left out (fresh): the 46 r5-
-# witnessed queries not named above and 49 of the 50 r6-witnessed ones.
+# over the committed CORRECTNESS_r*.json history (post-r7 histogram:
+# r5:46 r6:49 r7:50 — nothing older than r5).  The 50 slots are
+#   (a) g27_coverage_uniformity FIRST — its BIGINT-headroom runtime guard
+#       (operators/coverage.py:108-153, commit 2eb22e1) and the r8
+#       DECIMAL(38,0) wide path landed AFTER its last driver row (r5), so
+#       it is the only code-changed query without a post-change witness;
+#   (b) the ENTIRE remaining r5-witnessed block (45 queries) — after this
+#       window nothing in the registry is older than r6;
+#   (c) 4 discretionary r6 picks: q01/q02 (the headline scan/filter pair,
+#       cheapest insurance) and s03/s05 (the stride-capped centroid and
+#       codebook collects — the two queries whose driver artifacts the r5
+#       verdict flagged, worth re-witnessing on a fresh box).
+# 1 + 45 + 4 = exactly 50.  Left out (fresh): the 46 r6-witnessed queries
+# not named above and all 50 r7-witnessed ones.
 _PRIORITY = [
-    # --- (a) first-ever hash row, directive-named first slot ---
-    "q12_approx_distinct",
-    # --- (b) r3-stale deferrals from the r6 window ---
-    "q29_case",
-    "q30_tumbling_window",
-    "q31_sessionize",
-    "q32_percentiles",
-    "q33_pivot",
-    "q41_unpivot",
-    "q42_grouping_sets",
-    # --- (c) code changed in r6 after their latest witness ---
-    "t17_heavy_hitters",
-    "g25_gff_gene_model",
-    "g26_variant_annotation",
-    "d03_minhash_lsh",
-    "g09_mark_duplicates",
-    # --- (d) the full remaining r4-witnessed block ---
-    "d04_ngram_jaccard",
-    "d06_simhash",
-    "d07_dup_clusters",
-    "d08_dup_span_coverage",
-    "d11_paragraph_dedup",
-    "d12_keep_best",
-    "d13_lsh_bucket_audit",
-    "d14_lsh_estimate_audit",
-    "g16_interval_merge",
-    "g17_interval_subtract",
-    "g18_interval_closest",
-    "m04_phash_neardup",
-    "m05_audio_frames",
-    "m06_scene_cuts",
-    "p07_deterministic_shuffle",
-    "p08_domain_cap",
-    "p09_skew_audit",
-    "p10_corpus_pipeline_v2",
-    "p11_zorder_layout",
-    "p12_leakage_safe_split",
-    "q43_tpch_q18",
-    "q44_scd2_dimension",
-    "q45_funnel_steps",
-    "q46_resample_ffill",
-    "q47_tpch_q21",
-    "q48_cdc_upsert",
-    "q49_bag_setops",
-    "q50_scalar_subquery",
-    "s06_ann_sq8",
-    "s07_knn_graph",
-    "s08_graph_bucket_audit",
-    "s09_nn_descent_round",
-    "st08_stream_ingest_dedup",
-    "t13_bm25",
-    "t14_bigram_surprisal",
-    "t15_fuzzy_join",
-    "t16_blocking_audit",
+    # --- (a) post-guard re-witness, directive-named first slot ---
+    "g27_coverage_uniformity",
+    # --- (b) the full remaining r5-witnessed block ---
+    "d01_exact_dedup",
+    "d02_dedup_stats",
+    "d05_embedding_neardup",
+    "g01_interval_filter",
+    "g02_interval_join",
+    "g03_bam_contig_stats",
+    "g04_vcf_variant_stats",
+    "g05_binned_interval_join",
+    "g06_coverage_windows",
+    "g07_typed_variant_stats",
+    "g08_skewed_interval_join",
+    "g10_flagstat",
+    "g11_cycle_quality",
+    "g12_tstv",
+    "g13_region_depth",
+    "g14_multiallelic_split",
+    "g15_idxstats",
+    "m01_media_stats",
+    "m02_media_features",
+    "m03_frame_sample",
+    "p01_sequence_packing",
+    "p03_budget_mixture",
+    "q03_range_predicate",
+    "q04_inner_join",
+    "q34_asof_join",
+    "q35_tpch_q3",
+    "q36_tpch_q5",
+    "q37_udtf_sentences",
+    "q38_recursive_spine",
+    "q39_time_range_frame",
+    "q40_lateral_topn",
+    "st01_stream_tumbling",
+    "st02_stream_stream_join",
+    "st03_stream_dedup",
+    "st04_stream_session",
+    "t01_token_count",
+    "t02_quality_score",
+    "t03_lang_heuristic",
+    "t04_fingerprint",
+    "t05_bpe_tokens",
+    "t06_winnow_fingerprint",
+    "t07_pii_redact",
+    "t09_contamination",
+    "t18_chunk_windows",
+    "t19_keyword_tfidf",
+    # --- (c) discretionary r6 picks ---
+    "q01_scan_project",
+    "q02_filter",
+    "s03_ann_ivf",
+    "s05_ann_pq",
 ]
 
 

@@ -87,15 +87,16 @@ def read_file_definition(fh: BinaryIO) -> tuple[int, int]:
     # Supported: CRAM 2.x, 3.0 and 3.1.  A 3.1 container parses like 3.0;
     # its new block codecs are gated at the BLOCK level — rANS Nx16 is
     # complete (order-0/1, X32, PACK, STRIPE, RLE, CAT — rans_nx16.py),
-    # so only a 3.1 file using the remaining block METHODS (range,
-    # fqzcomp, name tokenizer) fails loud, by codec NAME in
+    # the adaptive range coder (method 6, arith.py) and the name
+    # tokenizer (method 8, tok3.py) are implemented read+write, so only
+    # a 3.1 file using fqzcomp (method 7) fails loud, by codec NAME in
     # cram_codec.decompress, instead of being rejected wholesale here.
     if not (major == 2 or (major, minor) in ((3, 0), (3, 1))):
         raise ValueError(
             f"unsupported CRAM version {major}.{minor}: this reader "
-            "implements CRAM 2.x, 3.0 and 3.1 (the 3.1 block codecs "
-            "beyond rANS-Nx16 order-0/order-1/PACK fail loud by name at "
-            "block decode)"
+            "implements CRAM 2.x, 3.0 and 3.1 (of the 3.1 block codecs "
+            "only fqzcomp remains gated, failing loud by name at block "
+            "decode)"
         )
     return major, minor
 

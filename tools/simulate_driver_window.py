@@ -32,7 +32,10 @@ def freshness() -> int:
     """Latest green-witness round per registered query, from the committed
     CORRECTNESS_r*.json files.  A witness counts only if rows+schema+hash
     all matched with no error (a red row proves the driver RAN the query,
-    not that the result was right)."""
+    not that the result was right).  ``hash_match`` must be PRESENT and
+    true: a rows-only driver row (the weaker oracle-less check) is not a
+    hash witness, matching the rotation policy's notion — ADVICE r7 —
+    so a never-hash-witnessed query can never be reported fresh."""
     import __spark_entry__ as se
 
     repo = Path(__file__).resolve().parent.parent
@@ -45,7 +48,7 @@ def freshness() -> int:
             green = (
                 row.get("rows_match")
                 and row.get("schema_match")
-                and row.get("hash_match", True)
+                and row.get("hash_match", False)
                 and not row.get("err")
             )
             if green:
