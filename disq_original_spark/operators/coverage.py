@@ -13,13 +13,20 @@ O(bases).  The Gini then needs only the (depth → covered-bases) histogram,
 which is tiny (distinct depths per contig ≤ max pileup), and stays in
 exact integer arithmetic end-to-end: the classic identity
 G = (2·Σᵢ i·xᵢ − (N+1)·Σ xᵢ) / (N·Σ xᵢ) over the sorted per-base depth
-multiset, with each equal-depth block's rank sum folded in closed form
-((cum·(cum+1) − prev·(prev+1)) div 2 — always even, so integer division
-is exact).  Emitting the (numerator, denominator) PAIR keeps the result
-integer-exact cross-engine; consumers divide.  BIGINT headroom: num ≤
-2·max_depth·N², ~5e14 at this fixture and safe to ~1e8 covered bases at
-1000× pileup — a full-genome deployment would cast the two product terms
-to DECIMAL(38,0), same plan shape.
+multiset, with each equal-depth block's DOUBLED rank sum folded in
+closed form (cum·(cum+1) − prev·(prev+1) — the 2· of the identity
+absorbs the /2, so no division appears anywhere).  Emitting the
+(numerator, denominator) PAIR keeps the result integer-exact
+cross-engine; consumers divide.
+
+Arithmetic width (VERDICT r7 directive #6): the run-length walk —
+the part that scales with data — stays BIGINT (positions and per-run
+base counts fit 2^63 for any genome).  Only the final per-(contig,
+depth) histogram aggregate, whose row count is bounded by max pileup,
+computes in DECIMAL(38,0): num ≤ 2·max_depth·N² is ~1.8e19 for a
+3 Gbp contig (past 2^63) but a full-genome Gini is ~1e28 of the 1e38
+decimal headroom.  ``gini_num``/``gini_den`` are therefore
+DECIMAL(38,0) columns; the other columns stay BIGINT.
 """
 
 from __future__ import annotations
@@ -73,14 +80,16 @@ def coverage_gini(spans: DataFrame) -> DataFrame:
     an aligned-span table (rname, s, e) — closed 1-based coordinates,
     spans may overlap arbitrarily.
 
-    Returns (rname, n_covered, total_depth, max_depth, gini_num,
-    gini_den), all BIGINT; gini_num/gini_den is the exact Gini
-    coefficient of the per-base depth distribution (0 = perfectly
-    uniform).  Scale shape: two slim shuffles keyed on (rname, p) then
-    (rname, depth), two per-contig windows (contig count is O(100); a
-    single pathological contig would range-partition on (rname, p) with
-    boundary fix-up, which the run representation admits), and a final
-    per-contig aggregate.  Nothing explodes per-base.
+    Returns (rname, n_covered, total_depth, max_depth) as BIGINT plus
+    (gini_num, gini_den) as DECIMAL(38,0); gini_num/gini_den is the
+    exact Gini coefficient of the per-base depth distribution (0 =
+    perfectly uniform).  Scale shape: two slim shuffles keyed on
+    (rname, p) then (rname, depth), two per-contig windows (contig
+    count is O(100); a single pathological contig would
+    range-partition on (rname, p) with boundary fix-up, which the run
+    representation admits), and a final per-contig aggregate.  Nothing
+    explodes per-base, and the decimal arithmetic touches only the
+    tiny histogram frame — the span-scale exchanges stay BIGINT.
     """
     from pyspark.sql import Window
 
@@ -105,19 +114,21 @@ def coverage_gini(spans: DataFrame) -> DataFrame:
         .agg(F.sum(F.col("np") - F.col("p")).alias("c"))
     )
     wd = Window.partitionBy("rname").orderBy("depth")
-    # BIGINT headroom guard (the t17 lesson applied to its sibling —
-    # VERDICT r6 directive #5): every product the final aggregate computes
-    # is bounded by max_depth·N·(N+1) for a contig with N covered bases,
-    # so requiring 2·max_depth·N·(N+1) < 4e18 (double-side margin below
-    # 2^63 ≈ 9.2e18) proves no term can overflow.  The check rides the
-    # ranksum column of the tiny per-(contig, depth) histogram — evaluated
-    # before any product term, over the same per-contig exchange the wd
-    # window already pays (an unbounded frame on the same partition key
-    # adds no shuffle).  Run-length rows make N independent of row count
-    # (one genome-length span is 2 rows), hence a RUNTIME guard, not a
-    # row-count heuristic.  Full-genome deployments past this bound cast
-    # the product terms to DECIMAL(38,0) — same plan shape, documented in
-    # SCALE.md.
+    # Decimal headroom guard (the t17 lesson applied to its sibling —
+    # VERDICT r6 directive #5, widened to DECIMAL(38,0) by r7 directive
+    # #6): every product the final aggregate computes is bounded by
+    # 2·max_depth·N·(N+1) for a contig with N covered bases, so requiring
+    # that bound < 5e37 (margin below the DECIMAL(38,0) ceiling of 1e38,
+    # where ANSI mode would raise a generic ARITHMETIC_OVERFLOW) keeps
+    # the failure NAMED.  A 3 Gbp contig at 1e9× pileup sits at ~1.8e28 —
+    # ten orders inside the bound — so real genomes always compute; only
+    # synthetic coordinate spaces past ~1e18 bases can trip it.  The
+    # check rides the ranksum2 column of the tiny per-(contig, depth)
+    # histogram — evaluated before any product term, over the same
+    # per-contig exchange the wd window already pays (an unbounded frame
+    # on the same partition key adds no shuffle).  Run-length rows make N
+    # independent of row count (one genome-length span is 2 rows), hence
+    # a RUNTIME guard, not a row-count heuristic.
     wfull = Window.partitionBy("rname").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -126,20 +137,25 @@ def coverage_gini(spans: DataFrame) -> DataFrame:
     unsafe = (
         2.0 * d_max.cast("double") * n_tot.cast("double")
         * (n_tot.cast("double") + 1.0)
-    ) >= 4.0e18
+    ) >= 5.0e37
+    dec = "decimal(38,0)"
+    cum = F.sum(F.col("c").cast(dec)).over(
+        wd.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c_dec = F.col("c").cast(dec)
     ranked = cov.withColumn(
-        "cum", F.sum("c").over(wd.rowsBetween(Window.unboundedPreceding, 0))
-    ).withColumn(
-        # rank sum of an equal-depth block over the sorted per-base
-        # multiset; the difference of consecutive triangular numbers is
-        # always even, so `div` is exact
-        "ranksum",
+        # DOUBLED rank sum of an equal-depth block over the sorted
+        # per-base multiset (difference of consecutive 2·triangular
+        # numbers) — the Gini identity's leading 2· absorbs the /2, so
+        # the decimal path needs no integral division at all
+        "ranksum2",
         F.when(
             unsafe,
             F.raise_error(
                 F.concat(
                     F.lit(
-                        "coverage_gini BIGINT headroom exceeded on contig "
+                        "coverage_gini DECIMAL(38,0) headroom exceeded "
+                        "on contig "
                     ),
                     F.col("rname"),
                     F.lit(": 2*max_depth*N*(N+1) = "),
@@ -149,16 +165,15 @@ def coverage_gini(spans: DataFrame) -> DataFrame:
                         0,
                     ),
                     F.lit(
-                        " >= 4e18 — exact integer Gini would overflow; "
-                        "cast the product terms to DECIMAL(38,0) for "
-                        "full-genome scale (SCALE.md)"
+                        " >= 5e37 — the exact integer Gini products "
+                        "would overflow DECIMAL(38,0); no physical "
+                        "genome reaches this (SCALE.md)"
                     ),
                 )
-            ).cast("bigint"),
-        ).otherwise(
-            F.expr("(cum * (cum + 1) - (cum - c) * (cum - c + 1)) div 2")
-        ),
+            ).cast(dec),
+        ).otherwise(cum * (cum + 1) - (cum - c_dec) * (cum - c_dec + 1)),
     )
+    d_dec = F.col("depth").cast(dec)
     return (
         ranked.groupBy("rname")
         .agg(
@@ -166,10 +181,10 @@ def coverage_gini(spans: DataFrame) -> DataFrame:
             F.sum(F.col("depth") * F.col("c")).alias("total_depth"),
             F.max("depth").alias("max_depth"),
             (
-                2 * F.sum(F.col("depth") * F.col("ranksum"))
-                - (F.sum("c") + 1) * F.sum(F.col("depth") * F.col("c"))
-            ).alias("gini_num"),
-            (F.sum("c") * F.sum(F.col("depth") * F.col("c"))).alias("gini_den"),
+                F.sum(d_dec * F.col("ranksum2"))
+                - (F.sum(c_dec) + 1) * F.sum(d_dec * c_dec)
+            ).cast(dec).alias("gini_num"),
+            (F.sum(c_dec) * F.sum(d_dec * c_dec)).cast(dec).alias("gini_den"),
         )
         .orderBy("rname")
     )

@@ -1784,26 +1784,30 @@ def g26(spark: SparkSession, sf: str) -> DataFrame:
                 FROM runs WHERE depth >= 1 AND np IS NOT NULL
                 GROUP BY 1, 2),
         ranked AS (SELECT rname, depth, c,
-                          sum(c) OVER (PARTITION BY rname ORDER BY depth)
+                          CAST(sum(c) OVER (PARTITION BY rname
+                                            ORDER BY depth) AS HUGEINT)
                             AS cum
                    FROM cov),
         g AS (SELECT rname, depth, c, cum,
-                     (cum * (cum + 1) - (cum - c) * (cum - c + 1)) // 2
-                       AS ranksum
+                     cum * (cum + 1) - (cum - c) * (cum - c + 1)
+                       AS ranksum2
               FROM ranked)
         SELECT rname,
                CAST(sum(c) AS BIGINT) AS n_covered,
                CAST(sum(depth * c) AS BIGINT) AS total_depth,
                CAST(max(depth) AS BIGINT) AS max_depth,
-               CAST(2 * sum(depth * ranksum)
-                    - (sum(c) + 1) * sum(depth * c) AS BIGINT) AS gini_num,
-               CAST(sum(c) * sum(depth * c) AS BIGINT) AS gini_den
+               CAST(sum(depth * ranksum2)
+                    - (sum(c) + 1) * sum(depth * c)
+                    AS DECIMAL(38,0)) AS gini_num,
+               CAST(sum(c) * sum(depth * c) AS DECIMAL(38,0)) AS gini_den
         FROM g GROUP BY rname ORDER BY rname""",
     doc="Whole-file coverage-uniformity QC (operators/coverage.py): per "
     "contig, covered-base count, total aligned depth, max pileup, and the "
     "EXACT Gini coefficient of the per-base depth distribution as an "
-    "integer numerator/denominator pair (0 = perfectly even coverage — "
-    "the flagship evenness metric sequencing QC dashboards track).  "
+    "integer numerator/denominator pair in DECIMAL(38,0) — wide enough "
+    "that a full-genome 3 Gbp contig computes exactly where BIGINT "
+    "would overflow (0 = perfectly even coverage — the flagship "
+    "evenness metric sequencing QC dashboards track).  "
     "Computed by a delta-event run-length walk, NOT per-base explosion: "
     "+1/−1 breakpoints per aligned span, one running-sum window per "
     "contig reconstructs constant-depth runs, and the Gini folds each "

@@ -70,40 +70,44 @@ def test_randomized_spans_match_bruteforce(spark):
     assert any(v[3] > 0 for v in got.values())
 
 
-def test_bigint_headroom_guard_fails_loud(spark):
-    """The run-length representation makes covered-base count independent
-    of row count (one genome-length span = 2 event rows), so BIGINT
-    overflow of the exact Gini products is a data property the plan must
-    detect at RUNTIME (VERDICT r6 directive #5, the t17 lesson).  A
-    synthetic 3 Gbp span — 2·1·3e9·(3e9+1) ≈ 1.8e19 > 2^63 — must raise
-    the named headroom error, not overflow or return garbage."""
-    import pytest
-
+def test_full_genome_gini_computes_exactly(spark):
+    """VERDICT r7 directive #6: a full-genome 3 Gbp contig COMPUTES the
+    exact closed-form Gini instead of raising — the products live in
+    DECIMAL(38,0) (gini_den = 3e9·4.5e9 = 1.35e19 > 2^63, so BIGINT
+    could not even carry the OUTPUT).  Two-level depth profile (run-
+    length — no per-base work): n/2 bases at depth 2, n/2 at depth 1."""
+    n = 3_000_000_000
     df = spark.createDataFrame(
-        [("chr_huge", 1, 3_000_000_000)], "rname string, s long, e long"
-    )
-    with pytest.raises(Exception, match="BIGINT headroom"):
-        coverage_gini(df).collect()
-
-
-def test_bigint_headroom_guard_admits_safe_giants(spark):
-    """Just-under-bound contigs still compute exactly: 1 Gbp at depth ≤ 2
-    keeps 2·max_depth·N·(N+1) ≈ 8e18... over 4e18 — use 500 Mbp at depth
-    2 (2·2·5e8·(5e8+1) = 1e18 < 4e18), verified against the closed form
-    for a two-level depth profile."""
-    n = 500_000_000
-    df = spark.createDataFrame(
-        [("c", 1, n), ("c", 1, n // 2)], "rname string, s long, e long"
+        [("chr_huge", 1, n), ("chr_huge", 1, n // 2)],
+        "rname string, s long, e long",
     )
     row = coverage_gini(df).collect()[0]
-    # depth profile: n/2 bases at depth 2, n/2 at depth 1 (run-length —
-    # no per-base work).  Closed form of the Gini identity:
     half, tot = n // 2, n + n // 2
     ranksum_d1 = half * (half + 1) // 2
     ranksum_d2 = (n * (n + 1) - half * (half + 1)) // 2
     num = 2 * (1 * ranksum_d1 + 2 * ranksum_d2) - (n + 1) * tot
     assert (row["n_covered"], row["total_depth"], row["max_depth"]) == (n, tot, 2)
-    assert (row["gini_num"], row["gini_den"]) == (num, n * tot)
+    assert (int(row["gini_num"]), int(row["gini_den"])) == (num, n * tot)
+    assert num > 2**63 or n * tot > 2**63  # the case BIGINT could not hold
+
+
+def test_decimal_headroom_guard_fails_loud(spark):
+    """The run-length representation makes covered-base count independent
+    of row count (one genome-length span = 2 event rows), so overflow of
+    the exact Gini products is a data property the plan must detect at
+    RUNTIME (the t17 lesson).  With DECIMAL(38,0) arithmetic the bound is
+    2·max_depth·N·(N+1) < 5e37 — unreachable by any physical genome but
+    reachable through synthetic coordinates: one 5e18-base span gives
+    2·1·5e18·(5e18+1) = 5e37, which must raise the NAMED headroom error,
+    not ANSI's anonymous ARITHMETIC_OVERFLOW."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [("chr_synth", 1, 5_000_000_000_000_000_000)],
+        "rname string, s long, e long",
+    )
+    with pytest.raises(Exception, match="DECIMAL.38,0. headroom"):
+        coverage_gini(df).collect()
 
 
 def test_g27_uses_shared_span_fold(spark):
