@@ -100,6 +100,99 @@ _EXTRA_PASSES = {
 }
 
 
+# --- Canary normalization (VERDICT r7 directive #7) -----------------------
+# The shared bench box drifts ~1.2-1.6x between driver rounds UNIFORMLY
+# across untouched queries, so raw ratio-to-baseline conflates box load
+# with real regressions.  The canaries below are trivial relational
+# queries whose code AND plans are unchanged since round 1; the median of
+# their ratio-to-r1 is the run's drift factor, and every query's
+# "normalized" time is raw/drift — box-load-corrected seconds the driver's
+# BENCH_rN.json can compare round-over-round mechanically (previously this
+# separation was reconstructed by narrative in SCALE.md each round).
+# Values: the committed BENCH_r01.json driver run at sf0.1.
+_CANARY_R1 = {
+    "q02_filter": 0.234,
+    "q04_inner_join": 0.367,
+    "q05_broadcast_join": 0.531,
+    "q10_hash_aggregate": 0.465,
+    "q11_distinct_aggregate": 0.321,
+    "q15_window_rank": 0.502,
+    "q18_topk": 0.253,
+    "q20_intersect": 0.521,
+    "q24_math": 0.483,
+    "q30_tumbling_window": 0.405,
+    "g01_interval_filter": 0.285,
+}
+
+# Per-query honest baseline: each committed driver round BENCH_r05..r07
+# (the first three run entirely under the cache-hygiene policy —
+# release_persists + clearCache between entries, VERDICT r4, so no number
+# is flattered by another query's resident cache) is first normalized by
+# ITS OWN canary drift, then the per-query MEDIAN across the three rounds
+# is taken.  Median-of-normalized centers unchanged queries at
+# ratio_normalized == 1.0 (min-of-rounds would be the best of three
+# drifty samples and inflate every ratio ~1.2x).  Sanity fold: BENCH_r07
+# against this table gives median ratio 1.04, worst 1.30, d04 1.09,
+# d07 1.00.  "ratio_normalized" = normalized / this table; ~1.0 is box
+# drift, sustained >1.25 is a real regression that warrants a plan audit.
+_BASELINE_NORM_MEDIAN = {
+    "q02_filter": 0.2, "q04_inner_join": 0.348,
+    "q05_broadcast_join": 0.469, "q09_range_join": 0.676,
+    "q10_hash_aggregate": 0.47, "q11_distinct_aggregate": 0.334,
+    "q15_window_rank": 0.517, "q18_topk": 0.258, "q20_intersect": 0.586,
+    "q24_math": 0.483, "q30_tumbling_window": 0.442,
+    "q34_asof_join": 0.749, "q35_tpch_q3": 0.914, "q36_tpch_q5": 1.427,
+    "g01_interval_filter": 0.235, "g05_binned_interval_join": 0.948,
+    "g08_skewed_interval_join": 1.387, "st01_stream_tumbling": 1.523,
+    "d01_exact_dedup": 0.396, "d03_minhash_lsh": 1.162,
+    "d04_ngram_jaccard": 2.486, "d05_embedding_neardup": 0.646,
+    "d06_simhash": 1.082, "d07_dup_clusters": 2.69,
+    "d08_dup_span_coverage": 1.833, "s01_knn_bruteforce": 0.85,
+    "s03_ann_ivf": 1.207, "t02_quality_score": 0.815,
+    "t05_bpe_tokens": 0.822, "t06_winnow_fingerprint": 1.102,
+    "t08_gopher_repetition": 1.234, "t09_contamination": 2.027,
+    "p01_sequence_packing": 0.88, "s04_kmeans_update": 1.199,
+    "d10_semdedup": 1.062, "d11_paragraph_dedup": 1.341,
+    "s07_knn_graph": 0.881, "t13_bm25": 1.529, "t15_fuzzy_join": 1.989,
+    "q47_tpch_q21": 1.737, "q48_cdc_upsert": 0.817,
+    "m04_phash_neardup": 1.408, "g09_mark_duplicates": 2.063,
+    "s09_nn_descent_round": 3.2, "d14_lsh_estimate_audit": 3.921,
+    "t17_heavy_hitters": 1.224, "t18_chunk_windows": 0.777,
+    "t19_keyword_tfidf": 1.546, "io_bam_read": 0.358,
+    "io_cram_read": 0.289, "io_vcf_bgzf_read": 0.41,
+    "io_bam_write": 0.414, "io_bcf_read": 0.668,
+    "io_fastq_read": 0.289, "io_fasta_read": 0.254,
+    "io_cram31_write": 0.376, "io_cram31_read": 1.125,
+}
+
+
+def _canary_normalize(timings: dict[str, float], sf: float) -> dict:
+    """Drift factor + normalized seconds + ratio-to-baseline, or {} when
+    the run is not at the baselines' scale factor (sf0.1)."""
+    import statistics
+
+    if abs(sf - 0.1) > 1e-9:
+        return {}
+    ratios = [
+        timings[c] / r1 for c, r1 in _CANARY_R1.items() if c in timings
+    ]
+    if len(ratios) < 5:
+        return {}
+    drift = round(statistics.median(ratios), 3)
+    normalized = {k: round(v / drift, 3) for k, v in timings.items()}
+    ratio = {
+        k: round(normalized[k] / b, 3)
+        for k, b in _BASELINE_NORM_MEDIAN.items()
+        if k in normalized
+    }
+    ratio = dict(sorted(ratio.items(), key=lambda kv: -kv[1]))
+    return {
+        "canary_drift": drift,
+        "normalized": normalized,
+        "ratio_normalized": ratio,
+    }
+
+
 RES = Path("/root/reference/src/test/resources")
 
 
@@ -321,17 +414,15 @@ def main() -> None:
     timings.update(_io_benchmarks(spark))
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    out.update(_canary_normalize(timings, sf))
+    print(json.dumps(out))
     spark.stop()
 
 

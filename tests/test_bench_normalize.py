@@ -1,0 +1,66 @@
+"""Canary normalization contract for bench.py (VERDICT r7 directive #7):
+the drift factor is the median canary ratio-to-r1, every query's
+normalized time is raw/drift, and the embedded baseline table is pinned
+to a recomputation from the committed BENCH_r05..r07 driver artifacts —
+a stale embedding after a new driver round fails here, not in review.
+
+No SparkSession needed: pure arithmetic over committed JSON.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import statistics
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+_spec = importlib.util.spec_from_file_location("bench_mod", REPO / "bench.py")
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def _driver_queries(rnd: int) -> dict[str, float]:
+    blob = json.loads((REPO / f"BENCH_r{rnd:02d}.json").read_text())
+    return json.loads(blob["tail"].strip().splitlines()[-1])["queries"]
+
+
+def test_canary_set_is_r1_and_in_headline():
+    r1 = _driver_queries(1)
+    for name, sec in bench._CANARY_R1.items():
+        assert name in bench.HEADLINE, name
+        assert r1[name] == sec, (name, r1[name], sec)
+
+
+def test_baseline_table_recomputes_from_committed_rounds():
+    """_BASELINE_NORM_MEDIAN == per-query median over r5..r7 of
+    (raw / that round's own canary drift)."""
+    norm: dict[str, list[float]] = {}
+    for rnd in (5, 6, 7):
+        q = _driver_queries(rnd)
+        drift = statistics.median(
+            q[c] / v for c, v in bench._CANARY_R1.items() if c in q
+        )
+        for k, v in q.items():
+            norm.setdefault(k, []).append(round(v / drift, 3))
+    want = {k: round(statistics.median(v), 3) for k, v in norm.items()}
+    assert bench._BASELINE_NORM_MEDIAN == want
+
+
+def test_normalize_math_and_sf_gate():
+    q7 = _driver_queries(7)
+    out = bench._canary_normalize(q7, 0.1)
+    drift = out["canary_drift"]
+    assert drift == round(
+        statistics.median(q7[c] / v for c, v in bench._CANARY_R1.items()), 3
+    )
+    assert out["normalized"]["q02_filter"] == round(q7["q02_filter"] / drift, 3)
+    # the r7 fold the table's comment cites: unchanged queries center ~1
+    ratios = out["ratio_normalized"]
+    assert 0.95 <= statistics.median(ratios.values()) <= 1.1
+    assert max(ratios.values()) < 1.35
+    # ratio map is sorted most-regressed-first for the driver artifact
+    assert list(ratios.values()) == sorted(ratios.values(), reverse=True)
+    # non-sf0.1 runs (driver smoke at sf0.001) carry no normalization
+    assert bench._canary_normalize(q7, 0.001) == {}
