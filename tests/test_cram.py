@@ -799,3 +799,361 @@ def test_series_skip_requires_core_free_codec():
     # the safe shape every writer here emits: BYTE_ARRAY_STOP, core-free
     safe = ByteArrayStopCodec(bytes([0, 11]))
     assert _codec_cids(safe) == {11} and _core_free(safe)
+
+
+# ------------------------------------------------- layout-fuzzed pruning safety
+
+
+class _BitWriter:
+    """MSB-first core-block writer (mirror of cram_codec.BitReader)."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def write(self, v: int, n: int) -> None:
+        for i in reversed(range(n)):
+            self.bits.append((v >> i) & 1)
+
+    def blob(self) -> bytes:
+        bits = self.bits + [0] * (-len(self.bits) % 8)
+        return bytes(
+            sum(b << (7 - j) for j, b in enumerate(bits[i : i + 8]))
+            for i in range(0, len(bits), 8)
+        )
+
+
+_BETA_OFF, _BETA_BITS = 1024, 16
+
+
+def _fuzz_layout_file(rng):
+    """A complete single-container CRAM 3.0 file over 6 unmapped detached
+    reads, with a RANDOMIZED compression-header layout: every int series
+    is EXTERNAL (content id drawn from a small pool, so blocks are
+    frequently SHARED between series), core BETA, or a zero-bit constant
+    Huffman (when its values happen to be constant); RN is one of
+    BYTE_ARRAY_STOP / BYTE_ARRAY_LEN(ext len) / BYTE_ARRAY_LEN(core len —
+    the dangerous shape the skip analyses must veto) / BYTE_ARRAY_LEN
+    (const-Huffman len); BA/QS are external or core BETA bytes; tag
+    length codecs mix the same three choices.  Series values are emitted
+    in EXACT decode order so shared blocks interleave correctly.
+
+    Returns (file bytes, expected full rows, layout facts dict)."""
+    from disq_original_spark.sources.cram_writer import (
+        _tag_value_bytes,
+        encode_block,
+        encode_file_header_container,
+        eof_container,
+        file_definition,
+        itf8,
+        ltf8,
+    )
+
+    same_len_names = rng.random() < 0.3
+    with_qual = rng.random() < 0.7
+    cf = 3 if with_qual else 2  # detached (| QS preserved)
+    records = []
+    for i in range(6):
+        rl = 4 if same_len_names else rng.randint(3, 6)
+        name = (b"rd%04d" % i) if same_len_names else (b"read%d" % i) * (1 + i % 2)
+        seq = bytes(rng.choice(b"ACGT") for _ in range(rl))
+        qual = bytes(rng.randint(0, 40) for _ in range(rl)) if with_qual else None
+        records.append(
+            dict(
+                name=name, flag=4, ri=-1, rl=rl, ap=rng.randint(0, 999),
+                rg=-1, mf=0, ns=-1, np=0, ts=0, tl=0, seq=seq, qual=qual,
+                tags=[("NM", "i", rng.randint(0, 200)), ("XA", "Z", "h%d" % (i % 3))],
+            )
+        )
+
+    if rng.random() < 0.45:
+        # sparse mode: every stream gets a dedicated content id, so the
+        # exclusivity analysis frequently APPROVES skipping
+        counter = iter(range(1, 200))
+        pick_cid = lambda: next(counter)  # noqa: E731
+    else:
+        ncids = rng.randint(4, 16)
+        pick_cid = lambda: rng.randint(1, ncids)  # noqa: E731
+    ext_streams: dict[int, bytearray] = {}
+    core = _BitWriter()
+
+    def ext(cid):
+        return ext_streams.setdefault(cid, bytearray())
+
+    # --- choose a codec per series ------------------------------------
+    int_series = ["BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP", "TS", "TL"]
+    const_val = {
+        k: records[0][src]
+        for k, src in (("BF", "flag"), ("RI", "ri"), ("RG", "rg"), ("MF", "mf"),
+                       ("NS", "ns"), ("NP", "np"), ("TS", "ts"), ("TL", "tl"))
+    }
+    const_val["CF"] = cf
+    layout: dict[str, tuple] = {}
+    for k in int_series:
+        r = rng.random()
+        if k in const_val and r < 0.2:
+            layout[k] = ("huffconst", const_val[k])
+        elif r < 0.45:
+            layout[k] = ("beta",)
+        else:
+            layout[k] = ("ext", pick_cid())
+    for k in ("BA", "QS"):
+        layout[k] = ("beta8",) if rng.random() < 0.2 else ("ext", pick_cid())
+    rn_kind = rng.choice(["stop", "len_ext", "len_core", "len_const"])
+    if rn_kind == "len_const" and not same_len_names:
+        rn_kind = "len_ext"
+    if rn_kind == "stop":
+        layout["RN"] = ("stop", pick_cid())
+    elif rn_kind == "len_ext":
+        layout["RN"] = ("len", ("ext", pick_cid()), pick_cid())
+    elif rn_kind == "len_core":
+        layout["RN"] = ("len", ("beta",), pick_cid())
+    else:
+        layout["RN"] = ("len", ("huffconst", len(records[0]["name"])), pick_cid())
+    tag_layout: dict[str, tuple] = {}
+    for key, const_len in (("NMi", 4), ("XAZ", None)):
+        r = rng.random()
+        if r < 0.25 and const_len is not None:
+            tag_layout[key] = (("huffconst", const_len), pick_cid())
+        elif r < 0.5:
+            tag_layout[key] = (("beta",), pick_cid())
+        else:
+            tag_layout[key] = (("ext", pick_cid()), pick_cid())
+
+    # --- emit values in decode order ----------------------------------
+    def put_int(k, v):
+        enc = layout[k]
+        if enc[0] == "ext":
+            ext(enc[1]).extend(itf8(v))
+        elif enc[0] == "beta":
+            core.write(v + _BETA_OFF, _BETA_BITS)
+        # huffconst: zero bits
+
+    def put_len(enc, v):
+        if enc[0] == "ext":
+            ext(enc[1]).extend(itf8(v))
+        elif enc[0] == "beta":
+            core.write(v + _BETA_OFF, _BETA_BITS)
+
+    def put_bytes_run(k, data):
+        enc = layout[k]
+        if enc[0] == "ext":
+            ext(enc[1]).extend(data)
+        else:  # beta8: one 8-bit core value per byte
+            for b in data:
+                core.write(b, 8)
+
+    for rec in records:
+        put_int("BF", rec["flag"])
+        put_int("CF", cf)
+        put_int("RI", rec["ri"])
+        put_int("RL", rec["rl"])
+        put_int("AP", rec["ap"])
+        put_int("RG", rec["rg"])
+        rn = layout["RN"]
+        if rn[0] == "stop":
+            ext(rn[1]).extend(rec["name"] + b"\x00")
+        else:
+            put_len(rn[1], len(rec["name"]))
+            ext(rn[2]).extend(rec["name"])
+        put_int("MF", rec["mf"])
+        put_int("NS", rec["ns"])
+        put_int("NP", rec["np"])
+        put_int("TS", rec["ts"])
+        put_int("TL", rec["tl"])
+        for tag, typ, val in rec["tags"]:
+            spec = f"{typ}:{val}"
+            _typ, data = _tag_value_bytes(spec)
+            lenc, vcid = tag_layout[tag + _typ]
+            put_len(lenc, len(data))
+            ext(vcid).extend(data)
+        put_bytes_run("BA", rec["seq"])
+        if with_qual:
+            put_bytes_run("QS", rec["qual"])
+
+    # --- compression header -------------------------------------------
+    def enc_params(k):
+        enc = layout[k]
+        if enc[0] == "ext":
+            return 1, itf8(enc[1])
+        if enc[0] in ("beta", "beta8"):
+            off, nb = (0, 8) if enc[0] == "beta8" else (_BETA_OFF, _BETA_BITS)
+            return 6, itf8(off) + itf8(nb)
+        return 3, itf8(1) + itf8(enc[1]) + itf8(1) + itf8(0)  # const Huffman
+
+    def len_params(enc):
+        if enc[0] == "ext":
+            return 1, itf8(enc[1])
+        if enc[0] == "beta":
+            return 6, itf8(_BETA_OFF) + itf8(_BETA_BITS)
+        return 3, itf8(1) + itf8(enc[1]) + itf8(1) + itf8(0)
+
+    pm = bytearray()
+    td_raw = b"NMiXAZ\x00"
+    entries = [b"RN\x01", b"AP\x00", b"RR\x01", b"SM" + b"\x1b" * 5,
+               b"TD" + itf8(len(td_raw)) + td_raw]
+    pm += itf8(len(entries))
+    for e in entries:
+        pm += e
+    ch = bytearray(itf8(len(pm)) + pm)
+    ds = bytearray()
+    used = int_series + ["RN", "BA"] + (["QS"] if with_qual else [])
+    ds += itf8(len(used))
+    for k in used:
+        ds += k.encode()
+        if k == "RN":
+            rn = layout["RN"]
+            if rn[0] == "stop":
+                params = bytes([0x00]) + itf8(rn[1])
+                ds += itf8(5) + itf8(len(params)) + params
+            else:
+                le, lp = len_params(rn[1])
+                params = (itf8(le) + itf8(len(lp)) + lp
+                          + itf8(1) + itf8(1 + 0) * 0 + itf8(len(itf8(rn[2]))) + itf8(rn[2]))
+                ds += itf8(4) + itf8(len(params)) + params
+        else:
+            e, p = enc_params(k)
+            ds += itf8(e) + itf8(len(p)) + p
+    ch += itf8(len(ds)) + ds
+    te = bytearray(itf8(len(tag_layout)))
+    for key in sorted(tag_layout):
+        lenc, vcid = tag_layout[key]
+        le, lp = len_params(lenc)
+        vp = itf8(vcid)
+        params = itf8(le) + itf8(len(lp)) + lp + itf8(1) + itf8(len(vp)) + vp
+        kval = (ord(key[0]) << 16) | (ord(key[1]) << 8) | ord(key[2])
+        te += itf8(kval) + itf8(4) + itf8(len(params)) + params
+    ch += itf8(len(te)) + te
+
+    # --- blocks / slice / container (mirrors cram_writer layout) -------
+    major = 3
+    chdr_block = encode_block(0, 1, 0, bytes(ch), major)
+    core_block = encode_block(0, 5, 0, core.blob(), major)
+    ext_blocks, content_ids = [], []
+    for cid in sorted(ext_streams):
+        content_ids.append(cid)
+        ext_blocks.append(encode_block(0, 4, cid, bytes(ext_streams[cid]), major))
+    sh = bytearray()
+    sh += itf8(-2) + itf8(0) + itf8(0) + itf8(len(records)) + ltf8(0)
+    sh += itf8(1 + len(ext_blocks)) + itf8(len(content_ids))
+    for cid in content_ids:
+        sh += itf8(cid)
+    sh += itf8(-1) + b"\x00" * 16
+    slice_block = encode_block(0, 2, 0, bytes(sh), major)
+    body = chdr_block + slice_block + core_block + b"".join(ext_blocks)
+    import struct as _s
+    import zlib as _z
+
+    hdr = bytearray(_s.pack("<i", len(body)))
+    hdr += itf8(-2) + itf8(0) + itf8(0) + itf8(len(records)) + ltf8(0)
+    hdr += ltf8(sum(r["rl"] for r in records))
+    hdr += itf8(3 + len(ext_blocks)) + itf8(1) + itf8(len(chdr_block))
+    hdr += _s.pack("<I", _z.crc32(bytes(hdr)))
+    header_text = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000\n"
+    blob = (
+        file_definition(major=3, minor=0)
+        + encode_file_header_container(header_text, major=3)
+        + bytes(hdr) + body
+        + eof_container(major=3)
+    )
+
+    expected = [
+        {
+            "qname": rec["name"].decode(), "flag": 4, "rname": None,
+            "pos": rec["ap"], "mapq": 0, "cigar": "*", "rnext": None,
+            "pnext": 0, "tlen": 0, "seq": rec["seq"].decode(),
+            "qual": "".join(chr(q + 33) for q in rec["qual"]) if with_qual else "*",
+            "attributes": {"NM": f"i:{rec['tags'][0][2]}",
+                           "XA": f"Z:{rec['tags'][1][2]}"},
+        }
+        for rec in records
+    ]
+
+    # layout facts for coverage accounting (mirror of the skip analyses)
+    def cids_of(k):
+        enc = layout[k]
+        if enc[0] == "ext":
+            return {enc[1]}
+        if enc[0] == "stop":
+            return {enc[1]}
+        if enc[0] == "len":
+            inner = {enc[2]}
+            if enc[1][0] == "ext":
+                inner.add(enc[1][1])
+            return inner
+        return set()
+
+    rn_cids = cids_of("RN")
+    other_cids = set()
+    for k in used:
+        if k != "RN":
+            other_cids |= cids_of(k)
+    tag_cids = set()
+    for key, (lenc, vcid) in tag_layout.items():
+        tag_cids.add(vcid)
+        if lenc[0] == "ext":
+            tag_cids.add(lenc[1])
+    rn_core = layout["RN"][0] == "len" and layout["RN"][1][0] == "beta"
+    tags_core = any(lenc[0] == "beta" for lenc, _ in tag_layout.values())
+    series_cids = set()
+    for k in used:
+        series_cids |= cids_of(k)
+    facts = {
+        "rn_skippable": bool(rn_cids) and not (rn_cids & (other_cids | tag_cids))
+        and not rn_core,
+        "tags_skippable": not tags_core and not (tag_cids & series_cids),
+    }
+    return blob, expected, facts
+
+
+def test_pruning_safety_layout_fuzz():
+    """VERDICT r7 directive #5: the decode-pruning safety analysis
+    (external-block exclusivity AND core-freeness) fuzzed over 120
+    randomized compression-header layouts.  For EVERY layout and every
+    field subset, the pruned projection must equal the full decode's —
+    whether the analysis decides to skip (exclusive core-free RN/tags)
+    or is vetoed (shared blocks, core-consuming length codecs), the
+    values may never change."""
+    import itertools
+    import random as _random
+
+    from disq_original_spark.sources import cram_codec
+
+    all_fields = ["qname", "flag", "rname", "pos", "mapq", "cigar",
+                  "rnext", "pnext", "tlen", "seq", "qual", "attributes"]
+    fixed_subsets = [
+        {"flag", "rname", "pos"},          # counter scan
+        {"qname"},                          # RN-only
+        {"attributes"},                     # tags-only
+        {"flag", "qual"},
+        {"seq"},
+        {"qname", "attributes", "tlen"},
+    ]
+    stats = {"rn_skip": 0, "rn_veto": 0, "tag_skip": 0, "tag_veto": 0}
+    rng = _random.Random(1234)
+    for _ in range(120):
+        blob, expected, facts = _fuzz_layout_file(rng)
+        meta, pos0 = cram_codec.read_cram_meta(blob)
+
+        def walk(fields):
+            rows, pos = [], pos0
+            while pos < len(blob):
+                chunk, pos = cram_codec.decode_container(
+                    blob, pos, meta, None, fields=fields
+                )
+                rows.extend(chunk)
+            return rows
+
+        full = walk(None)
+        assert full == expected  # the builder's own fidelity check
+        subsets = fixed_subsets + [
+            set(rng.sample(all_fields, rng.randint(1, 6))) for _ in range(2)
+        ]
+        for sub in subsets:
+            pruned = walk(frozenset(sub))
+            assert pruned == [
+                {k: r[k] for k in r if k in sub} for r in full
+            ], (sub, facts)
+        stats["rn_skip" if facts["rn_skippable"] else "rn_veto"] += 1
+        stats["tag_skip" if facts["tags_skippable"] else "tag_veto"] += 1
+    # the fuzz must exercise BOTH outcomes of BOTH analyses
+    assert all(v >= 5 for v in stats.values()), stats
