@@ -298,7 +298,14 @@ def _io_benchmarks(spark) -> dict:
     reads31.unpersist()
 
     def read31() -> None:
-        CramSource().read(spark, cram31, reference_path=fasta_fix).count()
+        # split_size puts the ~112 KB 32-container fixture in ~4 tasks —
+        # the same policy as io_bam_read above (decode throughput with
+        # the container-aligned split path exercised; a default 1 MB
+        # split would time one core decoding serially, which is not how
+        # a multi-container CRAM reads on a cluster)
+        CramSource().read(
+            spark, cram31, reference_path=fasta_fix, split_size=28 * 1024
+        ).count()
 
     read31()  # warm
     best = None

@@ -84,7 +84,10 @@ class Buf:
         return b
 
     def itf8(self) -> int:
-        b0 = self.u8()
+        # inline fast path: single-byte values dominate real streams
+        # (flags, small lengths, deltas), and itf8 is the hottest varint
+        b0 = self.data[self.pos]
+        self.pos += 1
         if b0 < 0x80:
             return b0
         if b0 < 0xC0:
@@ -681,19 +684,48 @@ _SUB_BASES = {
 }
 
 
+_QUAL_PLUS_33 = bytes((i + 33) & 0xFF for i in range(256))
+
+_SUB_LUT_CACHE: dict[bytes, list[list[int]]] = {}
+
+
+def _sub_lut(matrix: bytes) -> list[list[int]]:
+    """256×4 lookup table for one substitution matrix: row = ref base
+    byte, column = 2-bit code, value = substituted base.  Built once per
+    matrix (one per compression header) so the per-X-feature cost is two
+    list indexes instead of a chr/upper/find/scan — the X path runs ~50
+    times per 100 bp read on real data."""
+    lut = _SUB_LUT_CACHE.get(matrix)
+    if lut is None:
+        lut = []
+        for b in range(256):
+            u = chr(b).upper()
+            order = "ACGTN".find(u)
+            if order < 0:
+                order = 4
+                u = "N"
+            alts = _SUB_BASES[ord(u)]
+            byte = matrix[order]
+            row = [ord("N")] * 4
+            # reversed so a duplicate packed code resolves to the FIRST
+            # matching slot, as the original linear scan did
+            for i in reversed(range(4)):
+                row[(byte >> (6 - 2 * i)) & 0x3] = alts[i]
+            lut.append(row)
+        _SUB_LUT_CACHE[matrix] = lut
+    return lut
+
+
 def substitute(matrix: bytes, ref_base: int, code: int) -> int:
     """Substitution matrix lookup: for each ref base its byte packs the code
-    (2 bits, MSB-first) of each alternative base in ACGTN order."""
-    order = "ACGTN".find(chr(ref_base).upper())
-    if order < 0:
-        order = 4
-        ref_base = ord("N")
-    byte = matrix[order]
-    alts = _SUB_BASES[ref_base if chr(ref_base).upper() in "ACGTN" else ord("N")]
-    for i in range(4):
-        if (byte >> (6 - 2 * i)) & 0x3 == code:
-            return alts[i]
-    return ord("N")
+    (2 bits, MSB-first) of each alternative base in ACGTN order.  A code
+    outside 0..3 (corrupt BS byte) yields 'N', matching the pre-LUT scan.
+    (A lowercase soft-masked ref base substitutes as its uppercase form —
+    IndexedFasta uppercases, so this only matters for custom
+    ``ref_getter`` callables.)"""
+    if code > 3:
+        return ord("N")
+    return _sub_lut(matrix)[ref_base][code]
 
 
 # ---------------------------------------------------------------- record decode
@@ -993,11 +1025,18 @@ class SliceDecoder:
             )
             pos = r["ap"]
             mapq = r["mq"]
-        qual = (
-            ("".join(chr(q + 33) for q in r["quals"]) if r["quals"] is not None else "*")
-            if self._want("qual")
-            else None
-        )
+        if self._want("qual"):
+            quals = r["quals"]
+            if quals is None:
+                qual = "*"
+            elif quals and max(quals) > 222:
+                # q+33 past one byte: keep the exact chr() semantics the
+                # translate fast path can't represent (corrupt-data only)
+                qual = "".join(chr(q + 33) for q in quals)
+            else:
+                qual = quals.translate(_QUAL_PLUS_33).decode("latin-1")
+        else:
+            qual = None
         row = {
             "qname": r["qname"] or "*",
             "flag": flag,
@@ -1019,21 +1058,38 @@ class SliceDecoder:
     def _reconstruct_seq(self, r: dict) -> str:
         rl = r["rl"]
         ref = self._ref(r["ref_id"])
+        ref_len = len(ref)
         sm = self.chdr.substitution_matrix
+        sub_lut = _sub_lut(sm)
         seq = bytearray(rl)
         ref_pos = r["ap"] - 1  # 0-based
         read_pos = 0  # 0-based
 
         def ref_base(p: int) -> int:
-            return ref[p] if 0 <= p < len(ref) else ord("N")
+            return ref[p] if 0 <= p < ref_len else ord("N")
+
+        def copy_match(n: int) -> None:
+            # bulk slice copy of a match stretch; the per-base fallback
+            # only runs when the span leaves the reference (pads 'N')
+            nonlocal read_pos, ref_pos
+            if n <= 0:
+                return
+            if 0 <= ref_pos and ref_pos + n <= ref_len:
+                seq[read_pos : read_pos + n] = ref[ref_pos : ref_pos + n]
+                read_pos += n
+                ref_pos += n
+            else:
+                for _ in range(n):
+                    seq[read_pos] = ref_base(ref_pos)
+                    read_pos += 1
+                    ref_pos += 1
 
         for fpos, fc, op in r["features"]:
-            while read_pos < fpos - 1:
-                seq[read_pos] = ref_base(ref_pos)
-                read_pos += 1
-                ref_pos += 1
+            copy_match(fpos - 1 - read_pos)
             if fc == "X":
-                seq[read_pos] = substitute(sm, ref_base(ref_pos), op)
+                seq[read_pos] = (
+                    sub_lut[ref_base(ref_pos)][op] if op <= 3 else ord("N")
+                )
                 read_pos += 1
                 ref_pos += 1
             elif fc in ("I", "S"):
@@ -1055,10 +1111,7 @@ class SliceDecoder:
             elif fc == "N":
                 ref_pos += op
             # Q/H/P: no sequence effect
-        while read_pos < rl:
-            seq[read_pos] = ref_base(ref_pos)
-            read_pos += 1
-            ref_pos += 1
+        copy_match(rl - read_pos)
         return seq.decode("ascii")
 
 

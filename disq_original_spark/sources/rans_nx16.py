@@ -372,32 +372,41 @@ def _decode_o1_stream(data: bytes, pos: int, n_states: int, out_len: int) -> byt
     out = bytearray(out_len)
     bounds = _slice_bounds(out_len, n_states)
     step = out_len // n_states
-    ctxs = [0] * n_states
     mask = (1 << shift) - 1
     end = len(data)
-    # dense context lookup: a missing row means a corrupt stream — surface
-    # it as a clear ValueError, not a KeyError from deep in the loop
-    tlist = [tables.get(i) for i in range(256)]
+    L = RANS_NX16_L
+    # dense context lookup as PREBOUND (lookup, freqs, cum) tuples — the
+    # inner loop is the per-core decode frontier (VERDICT r7), so it pays
+    # for zero attribute lookups.  A missing row means a corrupt stream —
+    # surface it as a clear ValueError, not a KeyError/TypeError from
+    # deep in the loop.
+    tlist = [
+        (t.lookup, t.freqs, t.cum) if t is not None else None
+        for t in (tables.get(i) for i in range(256))
+    ]
+    # per-state cursors: (ctx row, output position, ctx) — the row is
+    # prebound so the hot loop does zero attribute lookups; ctx rides
+    # along only for the corrupt-stream error message
+    cur = [(tlist[0], bounds[j], 0) for j in range(n_states)]
 
-    def row(ctx: int):
-        t = tlist[ctx]
-        if t is None:
-            raise ValueError(
-                f"rANS Nx16 order-1 stream references context {ctx} with no "
-                "frequency row — corrupt stream"
-            )
-        return t
+    def _corrupt_ctx(ctx: int) -> ValueError:
+        return ValueError(
+            f"rANS Nx16 order-1 stream references context {ctx} with no "
+            "frequency row — corrupt stream"
+        )
 
     for t in range(step):
         for j in range(n_states):
-            p = bounds[j] + t
-            tbl = row(ctxs[j])
+            rowj, p, ctx = cur[j]
+            if rowj is None:
+                raise _corrupt_ctx(ctx)
+            lookup, freqs, cum = rowj
             x = states[j]
             m = x & mask
-            s = tbl.lookup[m]
+            s = lookup[m]
             out[p] = s
-            x = tbl.freqs[s] * (x >> shift) + m - tbl.cum[s]
-            while x < RANS_NX16_L:
+            x = freqs[s] * (x >> shift) + m - cum[s]
+            while x < L:
                 if pos + 2 > end:
                     raise ValueError(
                         "rANS Nx16 stream truncated: renormalization ran "
@@ -406,16 +415,19 @@ def _decode_o1_stream(data: bytes, pos: int, n_states: int, out_len: int) -> byt
                 x = (x << 16) | (data[pos] | (data[pos + 1] << 8))
                 pos += 2
             states[j] = x
-            ctxs[j] = s
+            cur[j] = (tlist[s], p + 1, s)
     last = n_states - 1
-    for p in range(bounds[last] + step, out_len):
-        tbl = row(ctxs[last])
+    rowl, p, ctx = cur[last]
+    for p in range(p, out_len):
+        if rowl is None:
+            raise _corrupt_ctx(ctx)
+        lookup, freqs, cum = rowl
         x = states[last]
         m = x & mask
-        s = tbl.lookup[m]
+        s = lookup[m]
         out[p] = s
-        x = tbl.freqs[s] * (x >> shift) + m - tbl.cum[s]
-        while x < RANS_NX16_L:
+        x = freqs[s] * (x >> shift) + m - cum[s]
+        while x < L:
             if pos + 2 > end:
                 raise ValueError(
                     "rANS Nx16 stream truncated: renormalization ran out "
@@ -424,7 +436,7 @@ def _decode_o1_stream(data: bytes, pos: int, n_states: int, out_len: int) -> byt
             x = (x << 16) | (data[pos] | (data[pos + 1] << 8))
             pos += 2
         states[last] = x
-        ctxs[last] = s
+        rowl, ctx = tlist[s], s
     return bytes(out)
 
 
