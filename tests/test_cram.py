@@ -1157,3 +1157,72 @@ def test_pruning_safety_layout_fuzz():
         stats["tag_skip" if facts["tags_skippable"] else "tag_veto"] += 1
     # the fuzz must exercise BOTH outcomes of BOTH analyses
     assert all(v >= 5 for v in stats.values()), stats
+
+
+def test_fqzcomp_block_fails_loud_by_name_but_pruned_scan_works(tmp_path):
+    """The fqzcomp descope contract (decision note at the top of
+    cram_codec.py): a 3.1 file whose QS block is method 7 must (a) fail
+    loud NAMING the codec on a full decode, and (b) still serve a
+    counter scan under column pruning — the lazy external-block path
+    never inflates a fully-skipped quality block, so metadata queries
+    over fqzcomp files keep working."""
+    import struct as _s
+    import zlib as _z
+    from pathlib import Path
+
+    import pytest
+
+    from disq_original_spark.sources import cram_codec
+    from disq_original_spark.sources.cram_writer import write_cram
+
+    res = Path("/root/reference/src/test/resources")
+    data = (res / "valid.cram").read_bytes()
+    meta, pos0 = cram_codec.read_cram_meta(data)
+    fasta = cram_codec.IndexedFasta(str(res / "valid.fasta"))
+    rows, pos = [], pos0
+    while pos < len(data):
+        chunk, pos = cram_codec.decode_container(data, pos, meta, fasta.get)
+        rows.extend(chunk)
+    out = str(tmp_path / "q7.cram")
+    write_cram(out, rows, meta.header_text, str(res / "valid.fasta"),
+               version=(3, 1))
+    blob = bytearray(Path(out).read_bytes())
+    meta31, p0 = cram_codec.read_cram_meta(blob)
+
+    # walk the data container's blocks; retag the QS external block
+    # (content id 12 in this writer's layout) as method 7 + fix its CRC
+    buf = cram_codec.Buf(bytes(blob))
+    hdr = cram_codec.read_container_header(buf, p0, meta31.major)
+    b = cram_codec.Buf(bytes(blob), hdr.offset + hdr.header_size)
+    end = hdr.offset + hdr.header_size + hdr.length
+    patched = False
+    while b.pos < end:
+        start = b.pos
+        method, ctype = b.u8(), b.u8()
+        cid, csize, _rsize = b.itf8(), b.itf8(), b.itf8()
+        b.skip(csize)
+        crc_pos = b.pos
+        b.skip(4)
+        if ctype == cram_codec.CT_EXTERNAL and cid == 12:
+            blob[start] = 7  # fqzcomp
+            blob[crc_pos:crc_pos + 4] = _s.pack(
+                "<I", _z.crc32(bytes(blob[start:crc_pos]))
+            )
+            patched = True
+    assert patched
+    blob = bytes(blob)
+
+    def walk(fields):
+        rws, p = [], p0
+        while p < len(blob):
+            c, p = cram_codec.decode_container(blob, p, meta31, fasta.get,
+                                               fields=fields)
+            rws.extend(c)
+        return rws
+
+    with pytest.raises(ValueError, match="fqzcomp"):
+        walk(None)
+    pruned = walk(frozenset({"flag", "rname", "pos"}))
+    assert [(r["flag"], r["rname"], r["pos"]) for r in pruned] == [
+        (r["flag"], r["rname"], r["pos"]) for r in rows
+    ]
