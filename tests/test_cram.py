@@ -1226,3 +1226,139 @@ def test_fqzcomp_block_fails_loud_by_name_but_pruned_scan_works(tmp_path):
     assert [(r["flag"], r["rname"], r["pos"]) for r in pruned] == [
         (r["flag"], r["rname"], r["pos"]) for r in rows
     ]
+
+
+def test_hand_built_31_container_conformance(spark, tmp_path):
+    """VERDICT r7 directive #8: a CRAM 3.1 container byte-built BY HAND
+    from the spec, using codec shapes this repo's writer never emits —
+    a bzip2 whole block (method 2), an lzma whole block (method 3), a
+    hand-packed rANS Nx16 PACK|CAT stream and a hand-built CAT stream,
+    an arith EXT (bzip2-payload) quality block, and a hand-assembled
+    tok3 name block — decoded through the DISTRIBUTED source, so the
+    reader proves it accepts spec-legal artifacts from foreign encoders,
+    not just its own writer's output."""
+    import bz2 as _bz2
+    import lzma as _lzma
+    import struct as _s
+    import zlib as _z
+    from pathlib import Path
+
+    from disq_original_spark.sources.cram import CramSource
+    from disq_original_spark.sources.cram_writer import (
+        encode_file_header_container,
+        eof_container,
+        file_definition,
+        itf8,
+        ltf8,
+    )
+
+    def raw_block(method: int, ctype: int, cid: int, payload: bytes,
+                  rsize: int) -> bytes:
+        out = (bytes([method, ctype]) + itf8(cid) + itf8(len(payload))
+               + itf8(rsize) + payload)
+        return out + _s.pack("<I", _z.crc32(out))
+
+    # --- hand-built block payloads (2 reads: r1/AC/[30,31], r2/GT/[32,33])
+    # rANS Nx16 CAT (flags 0x20): uint7 size then raw bytes
+    ap_payload = bytes([0x20, 2, 5, 7])                       # AP = 5, 7
+    # rANS Nx16 PACK|CAT (flags 0xA0): 1-symbol map packs to ZERO bytes
+    rl_payload = bytes([0xA0, 2, 1, 2, 0])                    # RL = 2, 2
+    # arith EXT (flags 0x04): uint7 size then a whole bzip2 stream
+    qs_payload = bytes([0x04, 4]) + _bz2.compress(bytes([30, 31, 32, 33]))
+    # tok3 names block, assembled descriptor-by-descriptor (CAT streams)
+    def cat(body: bytes) -> bytes:
+        return bytes([0x20, len(body)]) + body
+    def t_stream(desc: int, body: bytes) -> bytes:
+        comp = cat(body)
+        return bytes([desc, len(comp)]) + comp
+    rn_raw = b"r1\x00r2\x00"
+    tok = _s.pack("<II", len(rn_raw), 2) + b"\x00"
+    tok += t_stream(0x40 | 0, bytes([6, 6]))                  # TYPE: DIFF,DIFF
+    tok += t_stream(6, _s.pack("<II", 0, 1))                  # DIFF dists
+    tok += t_stream(0x40 | 0, bytes([1, 10]))                 # ALPHA, MATCH
+    tok += t_stream(1, b"r\x00")                              # ALPHA 'r'
+    tok += t_stream(0x40 | 0, bytes([7, 8]))                  # DIGITS, DDELTA
+    tok += t_stream(7, _s.pack("<I", 1))                      # value 1
+    tok += t_stream(8, bytes([1]))                            # 2 = 1 + 1
+    tok += t_stream(0x40 | 0, bytes([12, 12]))                # END, END
+
+    blocks = [
+        raw_block(2, 4, 1, _bz2.compress(b"\x04\x04"), 2),    # BF bzip2
+        raw_block(3, 4, 2, _lzma.compress(b"\x03\x03"), 2),   # CF lzma
+        raw_block(0, 4, 3, itf8(-1) * 2, 10),                 # RI raw
+        raw_block(5, 4, 4, rl_payload, 2),                    # RL Nx16 PACK
+        raw_block(5, 4, 5, ap_payload, 2),                    # AP Nx16 CAT
+        raw_block(0, 4, 6, itf8(-1) * 2, 10),                 # RG raw
+        raw_block(8, 4, 7, tok, len(rn_raw)),                 # RN tok3
+        raw_block(0, 4, 8, b"\x00\x00", 2),                   # MF
+        raw_block(0, 4, 9, itf8(-1) * 2, 10),                 # NS
+        raw_block(0, 4, 10, b"\x00\x00", 2),                  # NP
+        raw_block(0, 4, 11, b"\x00\x00", 2),                  # TS
+        raw_block(0, 4, 12, b"\x00\x00", 2),                  # TL
+        raw_block(0, 4, 13, b"ACGT", 4),                      # BA
+        raw_block(6, 4, 14, qs_payload, 4),                   # QS arith EXT
+        raw_block(0, 4, 15, b"\x01\x01", 2),                  # XA len
+        raw_block(0, 4, 16, b"uv", 2),                        # XA val
+    ]
+    content_ids = list(range(1, 17))
+
+    # --- compression header: EXTERNAL everywhere, RN BYTE_ARRAY_STOP
+    pm = bytearray()
+    td_raw = b"XAZ\x00"
+    entries = [b"RN\x01", b"AP\x00", b"RR\x01", b"SM" + b"\x1b" * 5,
+               b"TD" + itf8(len(td_raw)) + td_raw]
+    pm += itf8(len(entries))
+    for e in entries:
+        pm += e
+    ch = bytearray(itf8(len(pm)) + pm)
+    series = [("BF", 1), ("CF", 2), ("RI", 3), ("RL", 4), ("AP", 5),
+              ("RG", 6), ("RN", 7), ("MF", 8), ("NS", 9), ("NP", 10),
+              ("TS", 11), ("TL", 12), ("BA", 13), ("QS", 14)]
+    ds = bytearray(itf8(len(series)))
+    for k, cid in series:
+        ds += k.encode()
+        if k == "RN":
+            params = bytes([0x00]) + itf8(cid)
+            ds += itf8(5) + itf8(len(params)) + params
+        else:
+            params = itf8(cid)
+            ds += itf8(1) + itf8(len(params)) + params
+    ch += itf8(len(ds)) + ds
+    lp, vp = itf8(15), itf8(16)
+    params = itf8(1) + itf8(len(lp)) + lp + itf8(1) + itf8(len(vp)) + vp
+    kval = (ord("X") << 16) | (ord("A") << 8) | ord("Z")
+    ch += itf8(
+        len(itf8(1) + itf8(kval) + itf8(4) + itf8(len(params)) + params)
+    ) + itf8(1) + itf8(kval) + itf8(4) + itf8(len(params)) + params
+
+    chdr_block = raw_block(0, 1, 0, bytes(ch), len(ch))
+    core_block = raw_block(0, 5, 0, b"", 0)
+    sh = bytearray()
+    sh += itf8(-2) + itf8(0) + itf8(0) + itf8(2) + ltf8(0)
+    sh += itf8(1 + len(blocks)) + itf8(len(content_ids))
+    for cid in content_ids:
+        sh += itf8(cid)
+    sh += itf8(-1) + b"\x00" * 16
+    slice_block = raw_block(0, 2, 0, bytes(sh), len(sh))
+    body = chdr_block + slice_block + core_block + b"".join(blocks)
+    hdr = bytearray(_s.pack("<i", len(body)))
+    hdr += itf8(-2) + itf8(0) + itf8(0) + itf8(2) + ltf8(0) + ltf8(4)
+    hdr += itf8(3 + len(blocks)) + itf8(1) + itf8(len(chdr_block))
+    hdr += _s.pack("<I", _z.crc32(bytes(hdr)))
+    header_text = "@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000\n"
+    blob = (file_definition(major=3, minor=1)
+            + encode_file_header_container(header_text, major=3)
+            + bytes(hdr) + body + eof_container(major=3))
+    path = tmp_path / "handbuilt31.cram"
+    path.write_bytes(blob)
+
+    df = CramSource().read(spark, str(path))
+    rows = sorted(
+        (r["qname"], r["flag"], r["pos"], r["seq"], r["qual"],
+         dict(r["attributes"] or {}))
+        for r in df.collect()
+    )
+    assert rows == [
+        ("r1", 4, 5, "AC", chr(63) + chr(64), {"XA": "Z:u"}),
+        ("r2", 4, 7, "GT", chr(65) + chr(66), {"XA": "Z:v"}),
+    ]
