@@ -134,10 +134,19 @@ def coverage_gini(spans: DataFrame) -> DataFrame:
     )
     n_tot = F.sum("c").over(wfull)
     d_max = F.max("depth").over(wfull)
+    # TWO bounds (r8 review finding): the decimal products need
+    # 2·max_depth·N·(N+1) < 5e37, AND the still-BIGINT total_depth
+    # column needs max_depth·N < 4e18 (double-side margin below 2^63) —
+    # the old 4e18 bound on the cubic implied the latter, the widened
+    # decimal bound alone does not (10,001 spans of 1e15 bases pass the
+    # cubic at ~2e34 yet put total_depth at 1.0001e19 > 2^63).
     unsafe = (
-        2.0 * d_max.cast("double") * n_tot.cast("double")
-        * (n_tot.cast("double") + 1.0)
-    ) >= 5.0e37
+        (
+            2.0 * d_max.cast("double") * n_tot.cast("double")
+            * (n_tot.cast("double") + 1.0)
+        )
+        >= 5.0e37
+    ) | ((d_max.cast("double") * n_tot.cast("double")) >= 4.0e18)
     dec = "decimal(38,0)"
     cum = F.sum(F.col("c").cast(dec)).over(
         wd.rowsBetween(Window.unboundedPreceding, 0)
@@ -164,10 +173,15 @@ def coverage_gini(spans: DataFrame) -> DataFrame:
                         * (n_tot.cast("double") + 1.0),
                         0,
                     ),
+                    F.lit(" (bound 5e37) or max_depth*N = "),
+                    F.format_number(
+                        d_max.cast("double") * n_tot.cast("double"), 0
+                    ),
                     F.lit(
-                        " >= 5e37 — the exact integer Gini products "
-                        "would overflow DECIMAL(38,0); no physical "
-                        "genome reaches this (SCALE.md)"
+                        " (bound 4e18) exceeded — the exact Gini "
+                        "products would overflow DECIMAL(38,0) or the "
+                        "BIGINT total_depth; no physical genome reaches "
+                        "either (SCALE.md)"
                     ),
                 )
             ).cast(dec),

@@ -1092,6 +1092,15 @@ class SliceDecoder:
             nonlocal read_pos, ref_pos
             if n <= 0:
                 return
+            if read_pos + n > rl:
+                # a bytearray slice-assign past the end would silently
+                # GROW seq beyond the read length (r8 review finding) —
+                # a corrupt feature position must fail loud instead, as
+                # the pre-slice-copy per-base loop did
+                raise ValueError(
+                    f"CRAM feature positions exceed the read length {rl} "
+                    "— corrupt feature stream"
+                )
             if 0 <= ref_pos and ref_pos + n <= ref_len:
                 seq[read_pos : read_pos + n] = ref[ref_pos : ref_pos + n]
                 read_pos += n

@@ -35,7 +35,9 @@ def test_canary_set_is_r1_and_in_headline():
 
 def test_baseline_table_recomputes_from_committed_rounds():
     """_BASELINE_NORM_MEDIAN == per-query median over r5..r7 of
-    (raw / that round's own canary drift)."""
+    (raw / that round's own canary drift), minus entries whose
+    measurement definition changed after those rounds
+    (_BASELINE_REDEFINED)."""
     norm: dict[str, list[float]] = {}
     for rnd in (5, 6, 7):
         q = _driver_queries(rnd)
@@ -44,8 +46,17 @@ def test_baseline_table_recomputes_from_committed_rounds():
         )
         for k, v in q.items():
             norm.setdefault(k, []).append(round(v / drift, 3))
-    want = {k: round(statistics.median(v), 3) for k, v in norm.items()}
+    want = {
+        k: round(statistics.median(v), 3)
+        for k, v in norm.items()
+        if k not in bench._BASELINE_REDEFINED
+    }
     assert bench._BASELINE_NORM_MEDIAN == want
+    # every excluded entry names a redefinition round AFTER the baseline
+    # window, and is a real benchmark name
+    for k, rnd in bench._BASELINE_REDEFINED.items():
+        assert rnd > 7, (k, rnd)
+        assert k in norm, k
 
 
 def test_normalize_math_and_sf_gate():

@@ -110,6 +110,22 @@ def test_decimal_headroom_guard_fails_loud(spark):
         coverage_gini(df).collect()
 
 
+def test_bigint_total_depth_guard_fails_loud(spark):
+    """r8 review finding: the widened decimal bound alone left the
+    still-BIGINT total_depth column unprotected.  10,001 overlapping
+    spans of 1e15 bases keep 2·d·N·(N+1) ≈ 2e34 far under 5e37 but put
+    total_depth = d·N ≈ 1.0001e19 past 2^63 — must raise the NAMED
+    headroom error, not ANSI's anonymous long-overflow."""
+    import pytest
+
+    n = 1_000_000_000_000_000
+    df = spark.createDataFrame(
+        [("chr_deep", 1, n)] * 10_001, "rname string, s long, e long"
+    )
+    with pytest.raises(Exception, match="DECIMAL.38,0. headroom"):
+        coverage_gini(df).collect()
+
+
 def test_g27_uses_shared_span_fold(spark):
     """g13 and g27 must walk CIGARs through the one shared fold — the
     Python twin in tools/build_oracle_fixtures.py mirrors exactly one

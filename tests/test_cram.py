@@ -1007,8 +1007,9 @@ def _fuzz_layout_file(rng):
                 ds += itf8(5) + itf8(len(params)) + params
             else:
                 le, lp = len_params(rn[1])
+                vp = itf8(rn[2])
                 params = (itf8(le) + itf8(len(lp)) + lp
-                          + itf8(1) + itf8(1 + 0) * 0 + itf8(len(itf8(rn[2]))) + itf8(rn[2]))
+                          + itf8(1) + itf8(len(vp)) + vp)
                 ds += itf8(4) + itf8(len(params)) + params
         else:
             e, p = enc_params(k)
@@ -1362,3 +1363,71 @@ def test_hand_built_31_container_conformance(spark, tmp_path):
         ("r1", 4, 5, "AC", chr(63) + chr(64), {"XA": "Z:u"}),
         ("r2", 4, 7, "GT", chr(65) + chr(66), {"XA": "Z:v"}),
     ]
+
+
+def test_substitution_lut_matches_reference_semantics():
+    """substitute() is the semantic anchor for the LUT the seq
+    reconstruction inlines (r8 review): pin it against a transcription
+    of the pre-LUT linear scan over every (matrix, ref byte, code)
+    combination — first-match-wins on duplicate packed codes, 'N' for
+    unmatched or out-of-range codes, lowercase ref bases as their
+    uppercase form."""
+    import random as _random
+
+    from disq_original_spark.sources.cram_codec import (
+        _SUB_BASES,
+        _sub_lut,
+        substitute,
+    )
+
+    def reference(matrix: bytes, ref_base: int, code: int) -> int:
+        u = chr(ref_base).upper()
+        order = "ACGTN".find(u)
+        if order < 0:
+            order, u = 4, "N"
+        alts = _SUB_BASES[ord(u)]
+        byte = matrix[order]
+        for i in range(4):
+            if (byte >> (6 - 2 * i)) & 0x3 == code:
+                return alts[i]
+        return ord("N")
+
+    rng = _random.Random(7)
+    matrices = [b"\x1b" * 5, bytes([0, 0, 0, 0, 0])] + [
+        bytes(rng.randrange(256) for _ in range(5)) for _ in range(6)
+    ]
+    for m in matrices:
+        lut = _sub_lut(m)
+        for b in (list(b"ACGTNacgtnXx*\x00\xff") + [77, 200]):
+            for code in range(6):
+                assert substitute(m, b, code) == reference(m, b, code), (
+                    m, b, code
+                )
+            # and the inline form _reconstruct_seq uses agrees
+            for code in range(4):
+                assert lut[b][code] == reference(m, b, code)
+
+
+def test_seq_reconstruction_rejects_feature_past_read_length():
+    """r8 review finding: the bulk slice-copy path must not silently
+    GROW the seq bytearray when a corrupt feature position lands past
+    the read length (bytearray slice-assign past the end extends it) —
+    it fails loud like the old per-base loop did."""
+    from types import SimpleNamespace
+
+    import pytest
+
+    from disq_original_spark.sources.cram_codec import SliceDecoder
+
+    fake = SimpleNamespace(
+        chdr=SimpleNamespace(substitution_matrix=b"\x1b" * 5),
+        _ref=lambda self_ri: b"ACGT" * 100,
+    )
+    fake._ref = lambda ri: b"ACGT" * 100
+    r = {"rl": 4, "ref_id": 0, "ap": 1,
+         "features": [(50, "D", 1)]}  # feature at read pos 50 of a 4 bp read
+    with pytest.raises(ValueError, match="exceed the read length"):
+        SliceDecoder._reconstruct_seq(fake, r)
+    # sane features still reconstruct (2 bp deletion mid-read)
+    r2 = {"rl": 4, "ref_id": 0, "ap": 1, "features": [(3, "D", 2)]}
+    assert len(SliceDecoder._reconstruct_seq(fake, r2)) == 4
