@@ -702,7 +702,7 @@ _SUB_BASES = {
 }
 
 
-_QUAL_PLUS_33 = bytes((i + 33) & 0xFF for i in range(256))
+from .bam_codec import _QUAL33 as _QUAL_PLUS_33  # one phred+33 table repo-wide
 
 _SUB_LUT_CACHE: dict[bytes, list[list[int]]] = {}
 
@@ -715,6 +715,12 @@ def _sub_lut(matrix: bytes) -> list[list[int]]:
     times per 100 bp read on real data."""
     lut = _SUB_LUT_CACHE.get(matrix)
     if lut is None:
+        if len(_SUB_LUT_CACHE) >= 64:
+            # one entry per distinct substitution matrix — real encoders
+            # reuse a handful, so 64 is generous; clearing (not LRU)
+            # keeps the hot path a single dict get (2nd r8 review:
+            # adversarial many-matrix inputs must not grow this forever)
+            _SUB_LUT_CACHE.clear()
         lut = []
         for b in range(256):
             u = chr(b).upper()
@@ -741,7 +747,7 @@ def substitute(matrix: bytes, ref_base: int, code: int) -> int:
     (A lowercase soft-masked ref base substitutes as its uppercase form —
     IndexedFasta uppercases, so this only matters for custom
     ``ref_getter`` callables.)"""
-    if code > 3:
+    if code > 3 or code < 0:
         return ord("N")
     return _sub_lut(matrix)[ref_base][code]
 
@@ -1111,25 +1117,43 @@ class SliceDecoder:
                     read_pos += 1
                     ref_pos += 1
 
+        def check_fits(n: int) -> None:
+            # every read-consuming branch must stay inside rl: a
+            # bytearray slice-assign past the end silently GROWS seq
+            # (2nd r8 review — the match-stretch guard alone left the
+            # I/S/i/B/b branches open to the same corruption class)
+            if read_pos + n > rl:
+                raise ValueError(
+                    f"CRAM feature positions exceed the read length {rl} "
+                    "— corrupt feature stream"
+                )
+
         for fpos, fc, op in r["features"]:
             copy_match(fpos - 1 - read_pos)
             if fc == "X":
+                check_fits(1)
                 seq[read_pos] = (
-                    sub_lut[ref_base(ref_pos)][op] if op <= 3 else ord("N")
+                    sub_lut[ref_base(ref_pos)][op]
+                    if 0 <= op <= 3
+                    else ord("N")
                 )
                 read_pos += 1
                 ref_pos += 1
             elif fc in ("I", "S"):
+                check_fits(len(op))
                 seq[read_pos : read_pos + len(op)] = op
                 read_pos += len(op)
             elif fc == "i":
+                check_fits(1)
                 seq[read_pos] = op
                 read_pos += 1
             elif fc == "B":
+                check_fits(1)
                 seq[read_pos] = op[0]
                 read_pos += 1
                 ref_pos += 1
             elif fc == "b":
+                check_fits(len(op))
                 seq[read_pos : read_pos + len(op)] = op
                 read_pos += len(op)
                 ref_pos += len(op)

@@ -1399,7 +1399,7 @@ def test_substitution_lut_matches_reference_semantics():
     for m in matrices:
         lut = _sub_lut(m)
         for b in (list(b"ACGTNacgtnXx*\x00\xff") + [77, 200]):
-            for code in range(6):
+            for code in range(-2, 6):
                 assert substitute(m, b, code) == reference(m, b, code), (
                     m, b, code
                 )
@@ -1421,13 +1421,18 @@ def test_seq_reconstruction_rejects_feature_past_read_length():
 
     fake = SimpleNamespace(
         chdr=SimpleNamespace(substitution_matrix=b"\x1b" * 5),
-        _ref=lambda self_ri: b"ACGT" * 100,
     )
     fake._ref = lambda ri: b"ACGT" * 100
     r = {"rl": 4, "ref_id": 0, "ap": 1,
          "features": [(50, "D", 1)]}  # feature at read pos 50 of a 4 bp read
     with pytest.raises(ValueError, match="exceed the read length"):
         SliceDecoder._reconstruct_seq(fake, r)
+    # insertion features past rl too (2nd r8 review: the I/S/b
+    # slice-assign branches had the same growth hole)
+    r_ins = {"rl": 4, "ref_id": 0, "ap": 1,
+             "features": [(4, "I", b"AAAAA")]}
+    with pytest.raises(ValueError, match="exceed the read length"):
+        SliceDecoder._reconstruct_seq(fake, r_ins)
     # sane features still reconstruct (2 bp deletion mid-read)
     r2 = {"rl": 4, "ref_id": 0, "ap": 1, "features": [(3, "D", 2)]}
     assert len(SliceDecoder._reconstruct_seq(fake, r2)) == 4
