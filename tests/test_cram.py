@@ -1436,3 +1436,42 @@ def test_seq_reconstruction_rejects_feature_past_read_length():
     # sane features still reconstruct (2 bp deletion mid-read)
     r2 = {"rl": 4, "ref_id": 0, "ap": 1, "features": [(3, "D", 2)]}
     assert len(SliceDecoder._reconstruct_seq(fake, r2)) == 4
+
+
+def test_cram31_multicontainer_split_invariance(spark, tmp_path):
+    """The r8 bench reads the multi-container 3.1 fixture at
+    split_size=28K; pin that container-aligned splitting is size-
+    invariant on exactly that shape — a 3.1 file with many small
+    containers (one per write partition), read at several split sizes
+    including ones smaller than a container, must produce the same
+    frame with no duplicated or dropped records."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from disq_original_spark.sources.cram import CramSink, CramSource
+    from disq_original_spark.sources.cram_codec import read_cram_meta
+
+    res = Path("/root/reference/src/test/resources")
+    cram, fasta = str(res / "valid.cram"), str(res / "valid.fasta")
+    hdr = read_cram_meta(Path(cram).read_bytes())[0].header_text
+    df = (
+        CramSource().read(spark, cram, reference_path=fasta)
+        .crossJoin(spark.range(50).select(F.col("id").alias("rep")))
+        .withColumn("qname", F.concat("qname", F.lit(":"), F.col("rep")))
+        .drop("rep")
+        .repartition(8)
+    )
+    out = str(tmp_path / "multi31.cram")
+    CramSink().write(df, hdr, out, reference_path=fasta, version=(3, 1))
+
+    key = lambda r: (r["qname"], r["flag"], r["rname"], r["pos"],
+                     r["cigar"], r["seq"], r["qual"])
+    frames = {}
+    for ss in (4 * 1024, 28 * 1024, 1 << 20):
+        rows = CramSource().read(
+            spark, out, reference_path=fasta, split_size=ss
+        ).collect()
+        frames[ss] = sorted(map(key, rows))
+    assert len(frames[1 << 20]) == 400
+    assert frames[4 * 1024] == frames[28 * 1024] == frames[1 << 20]
