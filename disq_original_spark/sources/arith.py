@@ -34,7 +34,20 @@ Interop notes for review: the renormalization bound (2^24), 5-byte
 decoder priming, STEP, MAX_TOTAL, and the adjacent-swap model update
 are written from the spec's reference pseudocode; the byte-exact vectors
 in ``tests/test_arith.py`` pin each so a disagreement with htscodecs
-shows up as a vector diff, not a silent symmetric round-trip.
+shows up as a vector diff, not a silent symmetric round-trip.  Since r8
+(ADVICE r7) the encoder is additionally pinned end-to-end: a fully
+hand-derived order-1 whole-stream vector, a white-box proof that the
+adjacent swap compares PRE-rescale frequencies, and two long vectors
+crossing the MAX_TOTAL halving checked against an independent clean-room
+transcription of the spec pseudocode plus SHA-256 digests.  RESIDUAL
+RISK, accepted and documented: no htscodecs/samtools binary exists in
+this environment, so no foreign-generated method-6 fixture can be
+committed — if the spec reading here diverges from htscodecs on a
+constant (STEP, MAX_TOTAL, swap-vs-rescale order), decoding a FOREIGN
+stream would produce out_len silently wrong bytes.  The transcription +
+hand-derived vectors bound that risk to "both derivations misread the
+spec the same way"; close it by committing an htscodecs-produced stream
+the moment one can be generated.
 """
 
 from __future__ import annotations
