@@ -717,10 +717,12 @@ def _sub_lut(matrix: bytes) -> list[list[int]]:
     if lut is None:
         if len(_SUB_LUT_CACHE) >= 64:
             # one entry per distinct substitution matrix — real encoders
-            # reuse a handful, so 64 is generous; clearing (not LRU)
-            # keeps the hot path a single dict get (2nd r8 review:
-            # adversarial many-matrix inputs must not grow this forever)
-            _SUB_LUT_CACHE.clear()
+            # reuse a handful, so 64 is generous; evict ONE (oldest-
+            # inserted) entry rather than clearing, so matrix churn past
+            # the cap can't thrash every hot LUT, while the hot path
+            # stays a single dict get (2nd/3rd r8 reviews: adversarial
+            # many-matrix inputs must not grow this forever)
+            _SUB_LUT_CACHE.pop(next(iter(_SUB_LUT_CACHE)))
         lut = []
         for b in range(256):
             u = chr(b).upper()
@@ -1092,21 +1094,25 @@ class SliceDecoder:
         def ref_base(p: int) -> int:
             return ref[p] if 0 <= p < ref_len else ord("N")
 
+        def check_fits(n: int) -> None:
+            # every read-consuming branch must stay inside rl (r8
+            # reviews): a bytearray SLICE-assign past the end silently
+            # GROWS seq (match stretches and the I/S/b branches), and a
+            # single-index write (X/i/B) would raise a bare IndexError —
+            # both corrupt-feature shapes fail loud with one named error
+            if read_pos + n > rl:
+                raise ValueError(
+                    f"CRAM feature positions exceed the read length {rl} "
+                    "— corrupt feature stream"
+                )
+
         def copy_match(n: int) -> None:
             # bulk slice copy of a match stretch; the per-base fallback
             # only runs when the span leaves the reference (pads 'N')
             nonlocal read_pos, ref_pos
             if n <= 0:
                 return
-            if read_pos + n > rl:
-                # a bytearray slice-assign past the end would silently
-                # GROW seq beyond the read length (r8 review finding) —
-                # a corrupt feature position must fail loud instead, as
-                # the pre-slice-copy per-base loop did
-                raise ValueError(
-                    f"CRAM feature positions exceed the read length {rl} "
-                    "— corrupt feature stream"
-                )
+            check_fits(n)
             if 0 <= ref_pos and ref_pos + n <= ref_len:
                 seq[read_pos : read_pos + n] = ref[ref_pos : ref_pos + n]
                 read_pos += n
@@ -1116,17 +1122,6 @@ class SliceDecoder:
                     seq[read_pos] = ref_base(ref_pos)
                     read_pos += 1
                     ref_pos += 1
-
-        def check_fits(n: int) -> None:
-            # every read-consuming branch must stay inside rl: a
-            # bytearray slice-assign past the end silently GROWS seq
-            # (2nd r8 review — the match-stretch guard alone left the
-            # I/S/i/B/b branches open to the same corruption class)
-            if read_pos + n > rl:
-                raise ValueError(
-                    f"CRAM feature positions exceed the read length {rl} "
-                    "— corrupt feature stream"
-                )
 
         for fpos, fc, op in r["features"]:
             copy_match(fpos - 1 - read_pos)
