@@ -47,76 +47,78 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # across a rolling window of rounds.  All registered queries are always
 # present — only the ordering is prioritized.
 #
-# Round-8 rotation (VERDICT r7 directive #1 — drain the r5 block to zero):
-# composition computed by `tools/simulate_driver_window.py --freshness`
-# over the committed CORRECTNESS_r*.json history (post-r7 histogram:
-# r5:46 r6:49 r7:50 — nothing older than r5).  The 50 slots are
-#   (a) g27_coverage_uniformity FIRST — its BIGINT-headroom runtime guard
-#       (operators/coverage.py:108-153, commit 2eb22e1) and the r8
-#       DECIMAL(38,0) wide path landed AFTER its last driver row (r5), so
-#       it is the only code-changed query without a post-change witness;
-#   (b) the ENTIRE remaining r5-witnessed block (45 queries) — after this
-#       window nothing in the registry is older than r6;
-#   (c) 4 discretionary r6 picks: q01/q02 (the headline scan/filter pair,
-#       cheapest insurance) and s03/s05 (the stride-capped centroid and
-#       codebook collects — the two queries whose driver artifacts the r5
-#       verdict flagged, worth re-witnessing on a fresh box).
-# 1 + 45 + 4 = exactly 50.  Left out (fresh): the 46 r6-witnessed queries
-# not named above and all 50 r7-witnessed ones.
+# Round-9 rotation (ADVICE r8 + freshness math): composition computed by
+# `tools/simulate_driver_window.py --freshness` over the committed
+# CORRECTNESS_r*.json history (post-r8 histogram: r5:1 r6:45 r7:50
+# r8:49 — the single r5 entry is g27, whose r8 row went hash-red on the
+# DECIMAL(38,0) pandas-fetch rendering ADVICE r8 diagnosed).  The 50
+# slots are
+#   (a) g27_coverage_uniformity FIRST — its gini_num/gini_den now travel
+#       as exact digit STRINGs (hash-stable in both engines, ADVICE r8
+#       fix), so this window must produce its first green row since r5;
+#   (b) the ENTIRE r6-witnessed block (45 queries) — after this window
+#       nothing in the registry is older than r7;
+#   (c) 4 discretionary r7 picks: d03/d04/d07 (the dedup heavyweights
+#       with the least bench headroom — fresh rows keep their ledger
+#       current) and g09 (the heaviest genomics operator).  Taking these
+#       now also shrinks round 10's mandatory r7 block from 50 to 46,
+#       leaving rotation slack for transient errors.
+# 1 + 45 + 4 = exactly 50.  Left out (fresh): the 46 remaining
+# r7-witnessed queries and all 49 r8-witnessed ones.
 _PRIORITY = [
-    # --- (a) post-guard re-witness, directive-named first slot ---
+    # --- (a) post-hash-fix re-witness, ADVICE-named first slot ---
     "g27_coverage_uniformity",
-    # --- (b) the full remaining r5-witnessed block ---
-    "d01_exact_dedup",
-    "d02_dedup_stats",
-    "d05_embedding_neardup",
-    "g01_interval_filter",
-    "g02_interval_join",
-    "g03_bam_contig_stats",
-    "g04_vcf_variant_stats",
-    "g05_binned_interval_join",
-    "g06_coverage_windows",
-    "g07_typed_variant_stats",
-    "g08_skewed_interval_join",
-    "g10_flagstat",
-    "g11_cycle_quality",
-    "g12_tstv",
-    "g13_region_depth",
-    "g14_multiallelic_split",
-    "g15_idxstats",
-    "m01_media_stats",
-    "m02_media_features",
-    "m03_frame_sample",
-    "p01_sequence_packing",
-    "p03_budget_mixture",
-    "q03_range_predicate",
-    "q04_inner_join",
-    "q34_asof_join",
-    "q35_tpch_q3",
-    "q36_tpch_q5",
-    "q37_udtf_sentences",
-    "q38_recursive_spine",
-    "q39_time_range_frame",
-    "q40_lateral_topn",
-    "st01_stream_tumbling",
-    "st02_stream_stream_join",
-    "st03_stream_dedup",
-    "st04_stream_session",
-    "t01_token_count",
-    "t02_quality_score",
-    "t03_lang_heuristic",
-    "t04_fingerprint",
-    "t05_bpe_tokens",
-    "t06_winnow_fingerprint",
-    "t07_pii_redact",
-    "t09_contamination",
-    "t18_chunk_windows",
-    "t19_keyword_tfidf",
-    # --- (c) discretionary r6 picks ---
-    "q01_scan_project",
-    "q02_filter",
-    "s03_ann_ivf",
-    "s05_ann_pq",
+    # --- (b) the full r6-witnessed block ---
+    "d09_incremental_dedup",
+    "d10_semdedup",
+    "g19_gc_windows",
+    "g20_kmer_spectrum",
+    "g21_cpg_islands",
+    "g22_roh_runs",
+    "g23_bcf_stats",
+    "g24_bam_to_fastq",
+    "p02_stratified_sample",
+    "p04_shard_assignment",
+    "p05_corpus_pipeline",
+    "p06_importance_resampling",
+    "q05_broadcast_join",
+    "q06_left_outer_join",
+    "q07_semi_join",
+    "q08_anti_join",
+    "q09_range_join",
+    "q10_hash_aggregate",
+    "q11_distinct_aggregate",
+    "q13_rollup",
+    "q14_cube",
+    "q15_window_rank",
+    "q16_window_frame",
+    "q17_lag",
+    "q18_topk",
+    "q19_union_all",
+    "q20_intersect",
+    "q21_except",
+    "q22_string_functions",
+    "q23_date_functions",
+    "q24_math",
+    "q25_array_agg",
+    "q26_json_access",
+    "q27_explode",
+    "q28_exists_subquery",
+    "s01_knn_bruteforce",
+    "s02_ann_bucketed",
+    "s04_kmeans_update",
+    "st05_stateful_totals",
+    "st06_stream_sliding",
+    "st07_stream_static_join",
+    "t08_gopher_repetition",
+    "t10_unigram_surprisal",
+    "t11_quality_classifier",
+    "t12_filter_funnel",
+    # --- (c) discretionary r7 picks ---
+    "d03_minhash_lsh",
+    "d04_ngram_jaccard",
+    "d07_dup_clusters",
+    "g09_mark_duplicates",
 ]
 
 

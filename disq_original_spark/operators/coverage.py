@@ -25,8 +25,9 @@ base counts fit 2^63 for any genome).  Only the final per-(contig,
 depth) histogram aggregate, whose row count is bounded by max pileup,
 computes in DECIMAL(38,0): num ≤ 2·max_depth·N² is ~1.8e19 for a
 3 Gbp contig (past 2^63) but a full-genome Gini is ~1e28 of the 1e38
-decimal headroom.  ``gini_num``/``gini_den`` are therefore
-DECIMAL(38,0) columns; the other columns stay BIGINT.
+decimal headroom.  ``gini_num``/``gini_den`` travel as the exact digit
+STRING of that decimal (hash-stable cross-engine — ADVICE r8); the
+other columns stay BIGINT.
 """
 
 from __future__ import annotations
@@ -81,9 +82,16 @@ def coverage_gini(spans: DataFrame) -> DataFrame:
     spans may overlap arbitrarily.
 
     Returns (rname, n_covered, total_depth, max_depth) as BIGINT plus
-    (gini_num, gini_den) as DECIMAL(38,0); gini_num/gini_den is the
-    exact Gini coefficient of the per-base depth distribution (0 =
-    perfectly uniform).  Scale shape: two slim shuffles keyed on
+    (gini_num, gini_den) as STRING holding the exact DECIMAL(38,0)
+    digits; gini_num/gini_den is the exact Gini coefficient of the
+    per-base depth distribution (0 = perfectly uniform).  STRING, not
+    DECIMAL, on the wire (ADVICE r8): the arithmetic runs in
+    DECIMAL(38,0) — wide enough for a full-genome contig — but decimal
+    OUTPUT defeats cross-engine hash witnessing (DuckDB's pandas fetch
+    renders DECIMAL(38,0) as float64, '1207979652.0' vs '1207979652'),
+    while the digit string is representation-stable in every engine and
+    loses nothing (both values are nonnegative integers; consumers
+    ``int()`` them).  Scale shape: two slim shuffles keyed on
     (rname, p) then (rname, depth), two per-contig windows (contig
     count is O(100); a single pathological contig would
     range-partition on (rname, p) with boundary fix-up, which the run
@@ -197,8 +205,9 @@ def coverage_gini(spans: DataFrame) -> DataFrame:
             (
                 F.sum(d_dec * F.col("ranksum2"))
                 - (F.sum(c_dec) + 1) * F.sum(d_dec * c_dec)
-            ).cast(dec).alias("gini_num"),
-            (F.sum(c_dec) * F.sum(d_dec * c_dec)).cast(dec).alias("gini_den"),
+            ).cast(dec).cast("string").alias("gini_num"),
+            (F.sum(c_dec) * F.sum(d_dec * c_dec))
+            .cast(dec).cast("string").alias("gini_den"),
         )
         .orderBy("rname")
     )

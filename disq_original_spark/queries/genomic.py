@@ -1796,17 +1796,21 @@ def g26(spark: SparkSession, sf: str) -> DataFrame:
                CAST(sum(c) AS BIGINT) AS n_covered,
                CAST(sum(depth * c) AS BIGINT) AS total_depth,
                CAST(max(depth) AS BIGINT) AS max_depth,
-               CAST(sum(depth * ranksum2)
-                    - (sum(c) + 1) * sum(depth * c)
-                    AS DECIMAL(38,0)) AS gini_num,
-               CAST(sum(c) * sum(depth * c) AS DECIMAL(38,0)) AS gini_den
+               CAST(CAST(sum(depth * ranksum2)
+                         - (sum(c) + 1) * sum(depth * c)
+                         AS DECIMAL(38,0)) AS VARCHAR) AS gini_num,
+               CAST(CAST(sum(c) * sum(depth * c) AS DECIMAL(38,0))
+                    AS VARCHAR) AS gini_den
         FROM g GROUP BY rname ORDER BY rname""",
     doc="Whole-file coverage-uniformity QC (operators/coverage.py): per "
     "contig, covered-base count, total aligned depth, max pileup, and the "
     "EXACT Gini coefficient of the per-base depth distribution as an "
-    "integer numerator/denominator pair in DECIMAL(38,0) — wide enough "
-    "that a full-genome 3 Gbp contig computes exactly where BIGINT "
-    "would overflow (0 = perfectly even coverage — the flagship "
+    "integer numerator/denominator pair computed in DECIMAL(38,0) — "
+    "wide enough that a full-genome 3 Gbp contig computes exactly where "
+    "BIGINT would overflow — and emitted as the exact digit STRING "
+    "(ADVICE r8: decimal output defeats cross-engine hash witnessing; "
+    "the digit string is representation-stable and lossless).  "
+    "(0 = perfectly even coverage — the flagship "
     "evenness metric sequencing QC dashboards track).  "
     "Computed by a delta-event run-length walk, NOT per-base explosion: "
     "+1/−1 breakpoints per aligned span, one running-sum window per "

@@ -714,14 +714,21 @@ def _sub_lut(matrix: bytes) -> list[list[int]]:
     list indexes instead of a chr/upper/find/scan — the X path runs ~50
     times per 100 bp read on real data."""
     lut = _SUB_LUT_CACHE.get(matrix)
-    if lut is None:
+    if lut is not None:
+        # refresh recency (ADVICE r8: plain FIFO evicted the oldest-
+        # INSERTED entry — typically the hottest, longest-lived matrix —
+        # first; pop+reinsert makes dict insertion order LRU order, so
+        # eviction removes the least-recently-USED matrix instead)
+        _SUB_LUT_CACHE.pop(matrix)
+        _SUB_LUT_CACHE[matrix] = lut
+    else:
         if len(_SUB_LUT_CACHE) >= 64:
             # one entry per distinct substitution matrix — real encoders
-            # reuse a handful, so 64 is generous; evict ONE (oldest-
-            # inserted) entry rather than clearing, so matrix churn past
-            # the cap can't thrash every hot LUT, while the hot path
-            # stays a single dict get (2nd/3rd r8 reviews: adversarial
-            # many-matrix inputs must not grow this forever)
+            # reuse a handful, so 64 is generous; evict ONE (least-
+            # recently-used) entry rather than clearing, so matrix churn
+            # past the cap can't thrash every hot LUT (2nd/3rd r8
+            # reviews: adversarial many-matrix inputs must not grow this
+            # forever)
             _SUB_LUT_CACHE.pop(next(iter(_SUB_LUT_CACHE)))
         lut = []
         for b in range(256):

@@ -33,7 +33,8 @@ def _run(spark, spans):
     return {
         r["rname"]: (
             r["n_covered"], r["total_depth"], r["max_depth"],
-            r["gini_num"], r["gini_den"],
+            # gini_num/gini_den travel as exact digit STRINGs (ADVICE r8)
+            int(r["gini_num"]), int(r["gini_den"]),
         )
         for r in coverage_gini(df).collect()
     }
@@ -81,7 +82,13 @@ def test_full_genome_gini_computes_exactly(spark):
         [("chr_huge", 1, n), ("chr_huge", 1, n // 2)],
         "rname string, s long, e long",
     )
-    row = coverage_gini(df).collect()[0]
+    out = coverage_gini(df)
+    # contract pin (ADVICE r8): the pair travels as STRING — decimal
+    # output breaks the cross-engine hash witness (DuckDB pandas fetch
+    # renders DECIMAL(38,0) as float64), the digit string never does
+    assert dict(out.dtypes)["gini_num"] == "string"
+    assert dict(out.dtypes)["gini_den"] == "string"
+    row = out.collect()[0]
     half, tot = n // 2, n + n // 2
     ranksum_d1 = half * (half + 1) // 2
     ranksum_d2 = (n * (n + 1) - half * (half + 1)) // 2

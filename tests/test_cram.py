@@ -1408,6 +1408,27 @@ def test_substitution_lut_matches_reference_semantics():
                 assert lut[b][code] == reference(m, b, code)
 
 
+def test_substitution_lut_cache_evicts_lru_not_fifo():
+    """ADVICE r8: eviction must be least-recently-USED, not oldest-
+    inserted — a hot matrix touched on every slice must survive churn
+    past the 64-entry cap even though it was inserted first."""
+    from disq_original_spark.sources import cram_codec as cc
+
+    cc._SUB_LUT_CACHE.clear()
+    hot = bytes([0x1B] * 5)
+    hot_lut = cc._sub_lut(hot)  # inserted FIRST
+    # fill to one below the cap, then keep touching the hot matrix while
+    # churning fresh matrices past it
+    for i in range(63):
+        cc._sub_lut(bytes([i % 251, (i >> 8) % 251, 1, 2, 3]))
+    for i in range(10):
+        assert cc._sub_lut(hot) is hot_lut  # hit refreshes recency
+        cc._sub_lut(bytes([255, 254, i, 7, 11]))  # evicts ONE cold entry
+        assert len(cc._SUB_LUT_CACHE) <= 64
+    assert hot in cc._SUB_LUT_CACHE  # FIFO would have evicted it first
+    cc._SUB_LUT_CACHE.clear()
+
+
 def test_seq_reconstruction_rejects_feature_past_read_length():
     """r8 review finding: the bulk slice-copy path must not silently
     GROW the seq bytearray when a corrupt feature position lands past
