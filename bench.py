@@ -211,6 +211,44 @@ def _canary_normalize(timings: dict[str, float], sf: float) -> dict:
     }
 
 
+# The driver keeps only the LAST 2000 characters of bench output and
+# parses the JSON line it finds there.  BENCH_r08.json recorded
+# parsed=null because the r8 line carried the two full 57-entry
+# normalization dicts (~5 KB) and outgrew that window — the round's
+# bench numbers were lost.  The final line must always fit; full
+# normalization detail travels in the BENCH_NORMALIZED.json sidecar.
+_LINE_BUDGET = 1900
+
+
+def _final_line(timings: dict[str, float], sf: float, norm: dict) -> str:
+    """Build the ONE driver-facing JSON line, never exceeding
+    _LINE_BUDGET: the line carries the contract fields plus (when they
+    fit) the drift scalar and the worst-5 normalized ratios; optional
+    fields are dropped (worst-ratios first) sooner than exceed the
+    budget, and as a last resort query seconds round to 2 decimals."""
+    out = {
+        "metric": "headline_total_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if norm:
+        out["canary_drift"] = norm["canary_drift"]
+        out["norm_worst"] = dict(list(norm["ratio_normalized"].items())[:3])
+    compact = {"separators": (",", ":")}
+    line = json.dumps(out, **compact)
+    for drop in ("norm_worst", "canary_drift"):
+        if len(line) <= _LINE_BUDGET:
+            break
+        out.pop(drop, None)
+        line = json.dumps(out, **compact)
+    if len(line) > _LINE_BUDGET:
+        out["queries"] = {k: round(v, 2) for k, v in timings.items()}
+        line = json.dumps(out, **compact)
+    return line
+
+
 RES = Path("/root/reference/src/test/resources")
 
 
@@ -438,16 +476,11 @@ def main() -> None:
             timed(name)
     timings.update(_io_benchmarks(spark))
 
-    total = round(sum(timings.values()), 3)
-    out = {
-        "metric": "headline_total_time",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-    }
-    out.update(_canary_normalize(timings, sf))
-    print(json.dumps(out))
+    norm = _canary_normalize(timings, sf)
+    if norm:
+        sidecar = Path(__file__).resolve().parent / "BENCH_NORMALIZED.json"
+        sidecar.write_text(json.dumps({"sf": sf, **norm}, indent=1) + "\n")
+    print(_final_line(timings, sf, norm))
     spark.stop()
 
 

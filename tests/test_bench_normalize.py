@@ -75,3 +75,43 @@ def test_normalize_math_and_sf_gate():
     assert list(ratios.values()) == sorted(ratios.values(), reverse=True)
     # non-sf0.1 runs (driver smoke at sf0.001) carry no normalization
     assert bench._canary_normalize(q7, 0.001) == {}
+
+
+def test_final_line_fits_driver_tail_window():
+    """The driver parses the JSON line from the LAST 2000 chars of bench
+    output; BENCH_r08.json recorded parsed=null because the r8 line
+    carried the full normalization dicts and outgrew that window.  Pin:
+    the final line over the real entry set (r7 driver timings, the
+    largest committed set) fits with headroom, round-trips as JSON, and
+    keeps every contract field."""
+    q7 = _driver_queries(7)
+    norm = bench._canary_normalize(q7, 0.1)
+    line = bench._final_line(q7, 0.1, norm)
+    # 10% headroom below the budget, budget itself 5% below the window —
+    # adding bench entries trips this test before it loses a driver round
+    assert len(line) <= bench._LINE_BUDGET * 0.9, len(line)
+    out = json.loads(line)
+    for field in ("metric", "value", "unit", "queries", "sf"):
+        assert field in out, field
+    assert out["queries"] == q7
+    # the compact normalization summary made it on (worst-5, drift)
+    assert out["canary_drift"] == norm["canary_drift"]
+    assert out["norm_worst"] == dict(list(norm["ratio_normalized"].items())[:3])
+    # the full dicts did NOT — they live in the sidecar only
+    assert "normalized" not in out and "ratio_normalized" not in out
+
+
+def test_final_line_degrades_instead_of_exceeding():
+    """When the entry set grows past the budget the line sheds the
+    optional normalization summary before anything else — the contract
+    fields survive intact and the line stays inside the window."""
+    big = dict(_driver_queries(7))
+    big.update(
+        {f"x{i:02d}_synthetic_benchmark_entry_name": 1.234 for i in range(9)}
+    )
+    norm = bench._canary_normalize(big, 0.1)
+    line = bench._final_line(big, 0.1, norm)
+    assert len(line) <= bench._LINE_BUDGET, len(line)
+    out = json.loads(line)
+    assert "norm_worst" not in out  # shed first
+    assert set(out["queries"]) == set(big)  # contract fields survive
