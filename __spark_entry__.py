@@ -58,13 +58,13 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 #       fix), so this window must produce its first green row since r5;
 #   (b) the ENTIRE r6-witnessed block (45 queries) — after this window
 #       nothing in the registry is older than r7;
-#   (c) 4 discretionary r7 picks: d03/d04/d07 (the dedup heavyweights
-#       with the least bench headroom — fresh rows keep their ledger
-#       current) and g09 (the heaviest genomics operator).  Taking these
-#       now also shrinks round 10's mandatory r7 block from 50 to 46,
-#       leaving rotation slack for transient errors.
-# 1 + 45 + 4 = exactly 50.  Left out (fresh): the 46 remaining
-# r7-witnessed queries and all 49 r8-witnessed ones.
+#   (c) the 4 queries NEW in round 9 (q51/q52/d15/p13) — never-witnessed
+#       code outranks re-witnessing unchanged r7 entries: each needs its
+#       FIRST driver hash row this round.  The r7-witnessed block (50
+#       queries incl. the d03/d04/d07/g09 heavyweights) fills round 10's
+#       window exactly.
+# 1 + 45 + 4 = exactly 50.  Left out (fresh): all 50 r7-witnessed and
+# all 49 r8-witnessed queries.
 _PRIORITY = [
     # --- (a) post-hash-fix re-witness, ADVICE-named first slot ---
     "g27_coverage_uniformity",
@@ -114,11 +114,11 @@ _PRIORITY = [
     "t10_unigram_surprisal",
     "t11_quality_classifier",
     "t12_filter_funnel",
-    # --- (c) discretionary r7 picks ---
-    "d03_minhash_lsh",
-    "d04_ngram_jaccard",
-    "d07_dup_clusters",
-    "g09_mark_duplicates",
+    # --- (c) first-ever witnesses for the round-9 additions ---
+    "q51_tpch_q13",
+    "q52_tpch_q22",
+    "d15_containment_neardup",
+    "p13_curriculum_phases",
 ]
 
 

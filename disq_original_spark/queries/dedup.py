@@ -1,4 +1,4 @@
-r"""Deduplication operators for a training-data pipeline (d01–d14).
+r"""Deduplication operators for a training-data pipeline (d01–d15).
 
 Scale design notes (the whole point of these):
 
@@ -1104,5 +1104,92 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
         )
         # true integer division (`div`), matching the oracle's `//` exactly
         .select("a_id", "b_id", "est_slots", F.expr("num div den").alias("jac_milli"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------- d15 containment near-dup
+# Containment C(A ⊆ B) = |sh(A) ∩ sh(B)| / |sh(A)| — the ASYMMETRIC twin of
+# d04's Jaccard.  Jaccard misses near-supersets (a doc quoted inside a much
+# larger one scores |A|/|B| ≈ 0 even when every shingle of A is in B);
+# containment of the smaller side is the standard signal for quote/boilerplate
+# absorption in LLM corpus dedup.  Reported in exact milli units (half-up
+# integer division, the d14 idiom) so no float can diverge between engines.
+_D15_MILLI = 600  # flag pairs where ≥60% of the smaller doc is contained
+
+
+@query(
+    "d15_containment_neardup",
+    f"""WITH sh AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents),
+        ex0 AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        keep AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= {_DF_CAP}),
+        ex AS (SELECT doc_id, ex0.s FROM ex0 JOIN keep ON ex0.s = keep.s),
+        cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+        shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+                   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+        SELECT a_id, b_id,
+               CASE WHEN ca.n <= cb.n THEN a_id ELSE b_id END AS contained_id,
+               CAST((2000 * shared + least(ca.n, cb.n))
+                    // (2 * least(ca.n, cb.n)) AS BIGINT) AS cont_milli
+        FROM shared
+        JOIN cnt ca ON ca.doc_id = a_id
+        JOIN cnt cb ON cb.doc_id = b_id
+        WHERE (2000 * shared + least(ca.n, cb.n))
+              // (2 * least(ca.n, cb.n)) >= {_D15_MILLI}
+        ORDER BY a_id, b_id""",
+    doc="Asymmetric containment near-dup over the d04 shingle postings: "
+    "flags pairs where most of the SMALLER document's shingles appear in "
+    "the larger one — the near-superset (quotation / boilerplate "
+    "absorption) case symmetric Jaccard structurally under-scores.  "
+    "contained_id names the absorbed document (ties break to the lower "
+    "id, deterministically).\n\n"
+    "Scale shape: identical to d04 — ONE groupBy on the 64-bit shingle "
+    "hash fuses the document-frequency cap and the inverted index, pairs "
+    "expand locally per capped postings list (≤ C(cap,2) each, no "
+    "self-join anywhere), and the postings frame is persisted once and "
+    "reused for the per-doc sizes.  The only new work vs d04 is the "
+    "least() in the final O(pairs) projection.",
+)
+def d15(spark: SparkSession, sf: str) -> DataFrame:
+    ex0 = _doc_shingle_hashes(spark, sf)
+    inv = (
+        ex0.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= _DF_CAP)
+        # feeds counts AND pairs — concurrent consumers, eager (cache.py r6)
+        .transform(lambda d: track_persist(d, eager=True))
+    )
+    cnt = (
+        inv.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    shared = (
+        inv.filter(F.size("ids") >= 2)
+        .select(F.explode(_pair_expansion()).alias("p"))
+        .groupBy(F.col("p.a_id").alias("a_id"), F.col("p.b_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    m = F.least("na", "nb")
+    return (
+        shared.join(ca, "a_id")
+        .join(cb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.when(F.col("na") <= F.col("nb"), F.col("a_id"))
+            .otherwise(F.col("b_id"))
+            .alias("contained_id"),
+            (F.lit(2000) * F.col("shared") + m).alias("num"),
+            (F.lit(2) * m).alias("den"),
+        )
+        # true integer division (`div`), matching the oracle's `//` exactly
+        .select(
+            "a_id", "b_id", "contained_id", F.expr("num div den").alias("cont_milli")
+        )
+        .filter(F.col("cont_milli") >= _D15_MILLI)
         .orderBy("a_id", "b_id")
     )

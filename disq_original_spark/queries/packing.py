@@ -1033,3 +1033,83 @@ def p12(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------- p13 curriculum phases
+# Length-ordered curriculum (shortest-first, the classic warm-up schedule):
+# split the corpus's total token budget into _P13_PHASES equal phases along
+# the (n_tokens, doc_id) order and stamp every document with its phase.
+# The global running token sum is computed as a DISTRIBUTED prefix sum —
+# never a single-partition window over the corpus.
+_P13_PHASES = 4
+_P13_BIN = 8  # tokens per coarse bucket of the two-level prefix sum
+
+_P13_TOK_SQL = r"len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'))"
+
+
+@query(
+    "p13_curriculum_phases",
+    f"""WITH tok AS (SELECT doc_id, {_P13_TOK_SQL} AS n_tokens FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                      -- DuckDB window-sums BIGINT into HUGEINT, which its
+                      -- pandas fetch renders as float64 — cast back so the
+                      -- driver's canonicalization matches Spark's LONG
+                      CAST(sum(n_tokens) OVER (ORDER BY n_tokens, doc_id
+                                               ROWS UNBOUNDED PRECEDING)
+                           AS BIGINT) AS cum_tokens,
+                      CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+               FROM tok)
+        SELECT doc_id, n_tokens, cum_tokens,
+               CAST(least(((cum_tokens - n_tokens) * {_P13_PHASES}) // total,
+                          {_P13_PHASES - 1}) AS BIGINT) AS phase
+        FROM c ORDER BY doc_id""",
+    doc="Token-budget curriculum assignment: documents ordered shortest-"
+    "first, the corpus's total token count cut into equal-budget phases, "
+    "every document stamped with the phase its cumulative position falls "
+    "in — the data-scheduling step of curriculum / length-warm-up "
+    "training.  Phase arithmetic is pure BIGINT (floor of cum*P/total), "
+    "so both engines agree exactly.\n\n"
+    "Scale shape: the oracle's global window is a single-partition sort "
+    "at corpus scale, so the Spark plan computes the SAME running sum as "
+    "a two-level prefix sum instead — documents land in coarse token-"
+    "range buckets (bucket order provably equals global order because "
+    "the bucket is a monotone function of the sort key); per-bucket "
+    "totals (O(bins) rows, independent of corpus size) get exclusive "
+    "running offsets in one tiny window; each document adds its within-"
+    "bucket cumulative (a window PARTITIONED by bucket — fully parallel) "
+    "to its bucket's offset.  Two corpus-scale exchanges total (bucket "
+    "hash + within-bucket sort), never a global single-partition sort.",
+)
+def p13(spark: SparkSession, sf: str) -> DataFrame:
+    tok = load_table(spark, sf, "documents").select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    b = tok.withColumn("bucket", F.expr(f"n_tokens div {_P13_BIN}"))
+    # O(bins) frame: one row per coarse token-range bucket.  The windows
+    # over it are single-partition by construction — over bins, not docs.
+    totals = b.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = totals.select(
+        "bucket",
+        F.coalesce(F.sum("btok").over(w_off), F.lit(0)).alias("offset"),
+        F.sum("btok").over(w_all).alias("total"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("n_tokens", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.col("offset") + F.sum("n_tokens").over(w_in)
+    phase = F.least(
+        F.expr(f"((cum_tokens - n_tokens) * {_P13_PHASES}) div total"),
+        F.lit(_P13_PHASES - 1),
+    )
+    return (
+        b.join(F.broadcast(offs), "bucket")
+        .withColumn("cum_tokens", cum)
+        .select("doc_id", "n_tokens", "cum_tokens", phase.alias("phase"))
+        .orderBy("doc_id")
+    )

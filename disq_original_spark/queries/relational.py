@@ -1601,3 +1601,116 @@ def q50(spark: SparkSession, sf: str) -> DataFrame:
                               WHERE c2.c_nationkey = c.c_nationkey)
            ORDER BY c_nationkey, c_custkey"""
     )
+
+
+# ---------------------------------------------------------------- q51 TPC-H Q13 shape
+_Q51_EXCLUDED = "1-URGENT"
+
+
+@query(
+    "q51_tpch_q13",
+    f"""WITH co AS (SELECT c_custkey, count(o_orderkey) AS c_count
+                    FROM customer LEFT OUTER JOIN orders
+                      ON c_custkey = o_custkey
+                     AND o_orderpriority <> '{_Q51_EXCLUDED}'
+                    GROUP BY c_custkey)
+        SELECT c_count, count(*) AS custdist
+        FROM co GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""",
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): the
+    aggregate-of-an-outer-join-aggregate pattern — customers with ZERO
+    qualifying orders must appear in the c_count=0 bin, so the orders
+    predicate lives on the join, never as a post-join filter.  (The
+    predicate adapts to this schema: excluding one o_orderpriority class
+    stands in for Q13's o_comment NOT LIKE, which the testdata lacks.)
+
+    Scale shape: the textbook plan joins full order rows to customers and
+    aggregates twice; here the per-customer count is aggregated BEFORE the
+    join (map-side combinable, legal because the count depends only on
+    join-key equality), so the join probe carries one (custkey, cnt) row
+    per ordering customer instead of every order row — the first shuffle
+    moves counts, not facts.  Customers absent from the count frame
+    coalesce to 0 through the left join, preserving Q13's zero bin."""
+    c = _t(spark, sf, "customer").select("c_custkey")
+    per_cust = (
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") != _Q51_EXCLUDED)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    co = c.join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left").select(
+        F.coalesce("cnt", F.lit(0)).alias("c_count")
+    )
+    return (
+        co.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------- q52 TPC-H Q22 shape
+_Q52_NATIONS = (2, 5, 11, 17, 23)
+
+
+@query(
+    "q52_tpch_q22",
+    f"""WITH pool AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+                      WHERE c_nationkey IN {_Q52_NATIONS}),
+         cut AS (SELECT avg(c_acctbal) AS a FROM pool WHERE c_acctbal > 0.0)
+        SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+               -- DuckDB sums BIGINT into HUGEINT, which its pandas fetch
+               -- renders as float64 ('2434980.0') — cast back so the
+               -- driver's string canonicalization matches Spark's LONG
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 AS totacctbal_cents
+        FROM pool, cut
+        WHERE c_acctbal > a
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey ORDER BY cntrycode""",
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): an UNCORRELATED scalar
+    aggregate subquery (the above-average account-balance cut) feeding a
+    NOT EXISTS anti-join — the one Q-flavor pairing q50 (correlated
+    scalar) and q28/q47 (correlated exists) left uncovered.  (Two schema
+    adaptations: a c_nationkey IN-list stands in for Q22's
+    substring(c_phone) country codes, which the testdata lacks, and the
+    anti-join condition is 'placed no URGENT order' because this
+    synthetic data gives EVERY customer at least one order — Q22's
+    literal 'no orders' would be vacuously empty at every sf.  The
+    balance total travels as exact integer cents so the cross-engine
+    hash never rides on float-sum ordering.)
+
+    Scale shape: the cut is ONE scalar row broadcast onto the pool (no
+    re-execution per row); the NOT EXISTS becomes a left-anti join whose
+    build side is orders projected to the 8-byte o_custkey — at 1000
+    executors the anti-join shuffles keys, never order rows; the final
+    aggregate is a 5-group map-side combine."""
+    pool = (
+        _t(spark, sf, "customer")
+        .filter(F.col("c_nationkey").isin(*_Q52_NATIONS))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    cut = pool.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("a"))
+    cand = pool.crossJoin(F.broadcast(cut)).filter(F.col("c_acctbal") > F.col("a"))
+    no_urgent = cand.join(
+        _t(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left_anti",
+    )
+    return (
+        no_urgent.groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+                "totacctbal_cents"
+            ),
+        )
+        .orderBy("cntrycode")
+    )

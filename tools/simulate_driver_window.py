@@ -114,11 +114,31 @@ def main() -> int:
             if name not in osql:
                 results[name] = f"rows_only:{len(rows)}"
                 continue
-            cur = con.execute(osql[name])
-            ocols = [d[0] for d in cur.description]
+            rel = con.sql(osql[name])
+            ocols = list(rel.columns)
+            # fetchall() yields exact Python ints/Decimals, but the REAL
+            # driver fetches through pandas, where HUGEINT / UBIGINT /
+            # wide DECIMAL render as float64 ('123.0' vs Spark's '123')
+            # and hash-mismatch even on identical values — the r8 g27
+            # lesson, re-hit by q52/p13 in r9 (DuckDB silently widens
+            # sum(BIGINT) to HUGEINT).  Flag those types as BAD here so
+            # the round never ships an oracle the driver can't witness.
+            spark_double = {
+                f.name
+                for f in df.schema.fields
+                if f.dataType.typeName() in ("double", "float")
+            }
+            risky = [
+                f"{c}:{t}"
+                for c, t in zip(ocols, (str(t) for t in rel.types))
+                if t in ("HUGEINT", "UHUGEINT", "UBIGINT")
+                or (t.startswith("DECIMAL") and c not in spark_double)
+            ]
             oidx = [ocols.index(c) for c in sorted(ocols)]
-            orows = [tuple(r[i] for i in oidx) for r in cur.fetchall()]
-            if sorted(ocols) != cols:
+            orows = [tuple(r[i] for i in oidx) for r in rel.fetchall()]
+            if risky:
+                results[name] = f"PANDAS_FETCH_RISK {risky}"
+            elif sorted(ocols) != cols:
                 results[name] = (
                     f"SCHEMA_MISMATCH spark={cols} oracle={sorted(ocols)}"
                 )
