@@ -659,3 +659,70 @@ def test_ann_centroid_collect_bounded():
             stride = _bounded_stride(n, base, cap)
             n_cents = (n - 1) // stride + 1
             assert n_cents <= cap, (n, base, cap, stride, n_cents)
+
+
+def test_q51_aggregates_orders_before_join(spark, sf_dir):
+    """Q13's scale property: the per-customer order count is aggregated
+    BEFORE the outer join (partial+final pair under the join's build
+    side), so the join probe carries one (custkey, cnt) row per ordering
+    customer — never full order rows.  The priority predicate must reach
+    the orders scan."""
+    df = QUERIES["q51_tpch_q13"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_pushed_filter(df, "o_orderpriority")
+    # count aggregate appears below the join in the plan tree: the join
+    # must consume the aggregated frame, not raw orders
+    join_pos = plan.index("Join")
+    assert "HashAggregate" in plan[join_pos:], "no aggregate below the join"
+    cols = set(read_schema_columns(df))
+    assert cols <= {"c_custkey", "o_custkey", "o_orderpriority", "o_orderkey"}
+
+
+def test_q52_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """Q22's scale properties: the NOT EXISTS compiles to a LeftAnti hash
+    join (never a per-row subquery), the scalar cut is broadcast (a 1-row
+    nested-loop build, not a shuffle), and the nation IN-list reaches the
+    customer scan."""
+    df = QUERIES["q52_tpch_q22"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert uses_broadcast_join(df)
+    assert has_pushed_filter(df, "c_nationkey")
+    assert "CartesianProduct" not in plan  # the cross is broadcast-NL, 1 row
+
+
+def test_d15_postings_reused_no_self_join(spark, sf_dir):
+    """d15 must keep d04's shape: ONE shingle exchange feeding a persisted
+    postings frame reused by the size and pair branches (InMemoryRelation
+    present), pairs expanded locally (no SortMergeJoin of the corpus
+    against itself), and the final pair joins broadcast."""
+    df = QUERIES["d15_containment_neardup"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+    assert "SortMergeJoin" not in plan
+    assert uses_broadcast_join(df)
+
+
+def test_p13_no_global_single_partition_window_over_corpus(spark, sf_dir):
+    """The curriculum prefix sum must be two-level: the only
+    SinglePartition exchange sits over the O(bins) bucket-totals frame
+    (input side is a HashAggregate on bucket), and the corpus-side window
+    is PARTITIONED by bucket — a plan with windowspecdefinition over an
+    unpartitioned corpus would serialize 100 TB through one task."""
+    from disq_original_spark.queries.packing import _P13_BIN
+
+    df = QUERIES["p13_curriculum_phases"].build(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every SinglePartition exchange must sit directly over an aggregate
+    # (the bucket-totals frame), never over the document scan
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "\n".join(lines[i + 1 : i + 3])
+            assert "HashAggregate" in below, f"SinglePartition over: {below}"
+    # the corpus window is partitioned by the bucket key
+    assert "windowspecdefinition(bucket" in plan
+    # bucket order == global (n_tokens, doc_id) order: monotone division
+    ns = [0, 1, _P13_BIN - 1, _P13_BIN, 10 * _P13_BIN + 3, 10**9]
+    buckets = [n // _P13_BIN for n in ns]
+    assert buckets == sorted(buckets)
