@@ -27,6 +27,10 @@ MAX_RECORD_BYTES = 8_000_000
 # is one C-level translate; qual is one translate (+33 phred-to-printable)
 _HEX2BASE = str.maketrans("0123456789abcdef", SEQ_CODES)
 _QUAL33 = bytes((i + 33) & 0xFF for i in range(256))
+# prebound Struct objects: parse_record runs once per alignment, and the
+# per-call format-string cache lookup is measurable at that frequency
+_S_I32 = struct.Struct("<i")
+_S_FIXED = struct.Struct("<iiBBHHHiiii")
 
 
 # ------------------------------------------------------------------ record parse
@@ -42,7 +46,7 @@ def parse_record(
     None if the buffer ends before the record does."""
     if off + 4 > len(buf):
         return None
-    (block_size,) = struct.unpack_from("<i", buf, off)
+    (block_size,) = _S_I32.unpack_from(buf, off)
     end = off + 4 + block_size
     if block_size < FIXED_RECORD_BYTES or end > len(buf):
         return None
@@ -58,7 +62,7 @@ def parse_record(
         next_ref_id,
         next_pos,
         tlen,
-    ) = struct.unpack_from("<iiBBHHHiiii", buf, off + 4)
+    ) = _S_FIXED.unpack_from(buf, off + 4)
     # Column pruning (``fields``): the record is always WALKED in full
     # (lengths come from the fixed header, so offsets advance by pure
     # arithmetic) but the materializations — qname decode, CIGAR unpack +
@@ -132,17 +136,35 @@ def parse_record(
     return row, end
 
 
+# Aux-parse lookup tables, hoisted: _parse_aux runs once per record and the
+# per-tag dict-literal construction + bytes-copy tag decode dominated the
+# whole decode profile (~43% of record time before hoisting).
+_AUX_INT_FMT = {
+    "c": ("<b", 1), "C": ("<B", 1), "s": ("<h", 2),
+    "S": ("<H", 2), "i": ("<i", 4), "I": ("<I", 4),
+}
+_AUX_B_FMT = dict(_AUX_INT_FMT, f=("<f", 4))
+_AUX_TYPE = [chr(i) for i in range(256)]
+# tag names repeat across records (a file carries a handful of distinct
+# tags); memoize the 2-byte name -> str decode keyed on the 16-bit value
+_TAG_STRS: dict[int, str] = {}
+
+
 def _parse_aux(buf: bytes | memoryview, p: int, end: int) -> dict[str, str]:
     out: dict[str, str] = {}
+    tag_strs = _TAG_STRS
     while p + 3 <= end:
-        tag = bytes(buf[p : p + 2]).decode("ascii", "replace")
-        typ = chr(buf[p + 2])
+        tk = (buf[p] << 8) | buf[p + 1]
+        tag = tag_strs.get(tk)
+        if tag is None:
+            tag = tag_strs[tk] = bytes(buf[p : p + 2]).decode("ascii", "replace")
+        typ = _AUX_TYPE[buf[p + 2]]
         p += 3
         if typ == "A":
-            out[tag] = f"A:{chr(buf[p])}"
+            out[tag] = "A:" + _AUX_TYPE[buf[p]]
             p += 1
         elif typ in "cCsSiI":
-            fmt, size = {"c": ("<b", 1), "C": ("<B", 1), "s": ("<h", 2), "S": ("<H", 2), "i": ("<i", 4), "I": ("<I", 4)}[typ]
+            fmt, size = _AUX_INT_FMT[typ]
             (v,) = struct.unpack_from(fmt, buf, p)
             out[tag] = f"i:{v}"
             p += size
@@ -160,11 +182,11 @@ def _parse_aux(buf: bytes | memoryview, p: int, end: int) -> dict[str, str]:
             out[tag] = f"{typ}:{seg[:q].decode('ascii', 'replace')}"
             p = p + q + 1
         elif typ == "B":
-            sub = chr(buf[p])
+            sub = _AUX_TYPE[buf[p]]
             (count,) = struct.unpack_from("<I", buf, p + 1)
             p += 5
-            fmt, size = {"c": ("<b", 1), "C": ("<B", 1), "s": ("<h", 2), "S": ("<H", 2), "i": ("<i", 4), "I": ("<I", 4), "f": ("<f", 4)}[sub]
-            vals = [struct.unpack_from(fmt, buf, p + i * size)[0] for i in range(count)]
+            fmt, size = _AUX_B_FMT[sub]
+            vals = struct.unpack_from(f"<{count}{fmt[1]}", buf, p)
             p += count * size
             body = ",".join(f"{v:g}" if sub == "f" else str(v) for v in vals)
             out[tag] = f"B:{sub},{body}"

@@ -81,6 +81,12 @@ _INT_SERIES = {"BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP", "TS", "NF",
 _BYTE_SERIES = {"FC", "BA", "QS", "BS"}
 _BYTES_SERIES = {"RN", "IN", "SC", "BB", "QQ"}
 
+# aux-tag struct tables, hoisted out of _decode_tag: it runs once per tag
+# per record and a per-call dict literal is measurable at that frequency
+_TAG_INT_FMT = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i", "I": "<I"}
+_TAG_B_FMT = {"c": ("<b", 1), "C": ("<B", 1), "s": ("<h", 2), "S": ("<H", 2),
+              "i": ("<i", 4), "I": ("<I", 4), "f": ("<f", 4)}
+
 
 class Buf:
     """Cursor over bytes with the CRAM varint primitives."""
@@ -971,16 +977,14 @@ class SliceDecoder:
         if typ == "A":
             return f"A:{chr(data[0])}"
         if typ in "cCsSiI":
-            fmt = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i", "I": "<I"}[typ]
-            return f"i:{struct.unpack_from(fmt, data, 0)[0]}"
+            return f"i:{struct.unpack_from(_TAG_INT_FMT[typ], data, 0)[0]}"
         if typ == "f":
             return f"f:{struct.unpack_from('<f', data, 0)[0]:g}"
         if typ == "B":
             sub = chr(data[0])
             (count,) = struct.unpack_from("<I", data, 1)
-            fmt, size = {"c": ("<b", 1), "C": ("<B", 1), "s": ("<h", 2), "S": ("<H", 2),
-                         "i": ("<i", 4), "I": ("<I", 4), "f": ("<f", 4)}[sub]
-            vals = [struct.unpack_from(fmt, data, 5 + i * size)[0] for i in range(count)]
+            fmt, size = _TAG_B_FMT[sub]
+            vals = struct.unpack_from(f"<{count}{fmt[1]}", data, 5)
             body = ",".join(f"{v:g}" if sub == "f" else str(v) for v in vals)
             return f"B:{sub},{body}"
         return f"Z:{data.decode('ascii', 'replace')}"
