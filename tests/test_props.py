@@ -191,6 +191,52 @@ def test_parse_aux_handles_memoryview():
     assert parsed["attributes"] == {"XA": "Z:hello", "XB": "i:7"}
 
 
+_B_SUBS = "cCsSiI"
+_B_RANGES = {
+    "c": (-128, 127), "C": (0, 255), "s": (-(2**15), 2**15 - 1),
+    "S": (0, 2**16 - 1), "i": (-(2**31), 2**31 - 1), "I": (0, 2**32 - 1),
+}
+
+
+@given(
+    st.sampled_from(_B_SUBS).flatmap(
+        lambda sub: st.lists(
+            st.integers(*_B_RANGES[sub]), min_size=0, max_size=8
+        ).map(lambda vs: (sub, vs))
+    ),
+    st.sampled_from("!~Qz"),  # 'A' char values
+    st.integers(min_value=-(2**12), max_value=2**12),  # f halves: exact fp
+)
+@settings(max_examples=150, deadline=None)
+def test_aux_tag_all_types_roundtrip(sub_vals, a_char, f_half):
+    """Every aux tag TYPE survives encode_record -> parse_record: A (char),
+    f (float, on exactly-representable halves so text round-trips), Z, and
+    B arrays of each integer subtype at their full value ranges — the
+    paths the hoisted lookup tables and the one-shot B-array unpack
+    rewrote."""
+    from disq_original_spark.sources.bam_codec import encode_record, parse_record
+
+    sub, vals = sub_vals
+    f_val = f_half / 2
+    attrs = {
+        "XB": f"B:{sub}," + ",".join(str(v) for v in vals)
+        if vals
+        else f"B:{sub},",
+        "XA": f"A:{a_char}",
+        "XF": f"f:{f_val:g}",
+        "XZ": "Z:text with spaces",
+    }
+    row = {
+        "qname": "r", "flag": 4, "rname": None, "pos": 0, "mapq": 0,
+        "cigar": "*", "rnext": None, "pnext": 0, "tlen": 0,
+        "seq": "A", "qual": "I", "attributes": attrs,
+    }
+    blob = encode_record(row, {})
+    parsed, consumed = parse_record(memoryview(blob), 0, [])
+    assert consumed == len(blob)
+    assert parsed["attributes"] == attrs
+
+
 @given(
     st.lists(
         st.tuples(
