@@ -478,41 +478,62 @@ class _Reader:
             self.o += ln
             return t, [s.decode()]
         if t == _FLOAT:
-            out = []
-            for _ in range(ln):
-                out.append(self.f32_bits())
+            out = list(struct.unpack_from(f"<{ln}I", self.d, self.o))
+            self.o += 4 * ln
             return t, out
         fmt, w = _INT_FMT[t], (1 if t == _INT8 else 2 if t == _INT16 else 4)
-        out = []
-        for _ in range(ln):
-            out.append(struct.unpack_from(fmt, self.d, self.o)[0])
-            self.o += w
+        out = list(struct.unpack_from(f"<{ln}{fmt[1]}", self.d, self.o))
+        self.o += w * ln
         return t, out
 
 
 def _ints_to_str(t: int, vals: list[int]) -> str | None:
+    eov = _INT_EOV[t] if t in _INT_EOV else _INT_EOV[_INT8]
+    miss = _INT_MISSING[t]
     parts = []
+    present = False
     for v in vals:
-        if v == _INT_EOV[t if t in _INT_EOV else _INT8]:
+        if v == eov:
             break
-        parts.append("." if v == _INT_MISSING[t] else str(v))
-    if all(p == "." for p in parts):
-        return None
-    return ",".join(parts)
+        if v == miss:
+            parts.append(".")
+        else:
+            parts.append(str(v))
+            present = True
+    return ",".join(parts) if present else None
+
+
+# float-bit-pattern -> canonical string memo: the formatter
+# (np.format_float_positional through float32) dominated the BCF decode
+# profile at ~23%, and real callsets repeat a small set of float values
+# (AF bins, rounded qualities).  Keyed on the exact 32-bit pattern, so a
+# hit is bit-identical to a recompute; bounded so adversarial inputs
+# with millions of distinct floats cannot grow it past ~2 MB.
+_FLOAT_STR_MEMO: dict[int, str] = {}
+_FLOAT_STR_MEMO_CAP = 65536
+
+
+def _float_bits_to_str(b: int) -> str:
+    s = _FLOAT_STR_MEMO.get(b)
+    if s is None:
+        s = _fmt_float32(struct.unpack("<f", struct.pack("<I", b))[0])
+        if len(_FLOAT_STR_MEMO) < _FLOAT_STR_MEMO_CAP:
+            _FLOAT_STR_MEMO[b] = s
+    return s
 
 
 def _floats_to_str(bits: list[int]) -> str | None:
     parts = []
+    present = False
     for b in bits:
         if b == _FLOAT_EOV_BITS:
             break
         if b == _FLOAT_MISSING_BITS:
             parts.append(".")
         else:
-            parts.append(_fmt_float32(struct.unpack("<f", struct.pack("<I", b))[0]))
-    if all(p == "." for p in parts):
-        return None
-    return ",".join(parts)
+            parts.append(_float_bits_to_str(b))
+            present = True
+    return ",".join(parts) if present else None
 
 
 def _gt_to_str(t: int, vals: list[int]) -> str | None:
