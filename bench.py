@@ -217,15 +217,27 @@ def _canary_normalize(timings: dict[str, float], sf: float) -> dict:
 # normalization dicts (~5 KB) and outgrew that window — the round's
 # bench numbers were lost.  The final line must always fit; full
 # normalization detail travels in the BENCH_NORMALIZED.json sidecar.
+# The hard guard is test_bench_normalize.py's headroom pin over the LIVE
+# entry set (HEADLINE + _IO_ENTRIES): entry growth trips CI while the
+# degradation ladder below only buys slack, it cannot shrink 'queries'.
 _LINE_BUDGET = 1900
+
+# Names _io_benchmarks emits, in emission order — module-level so the
+# line-budget test measures the live entry set, not a stale snapshot.
+_IO_ENTRIES = (
+    "io_bam_read", "io_cram_read", "io_vcf_bgzf_read", "io_bam_write",
+    "io_cram31_write", "io_cram31_read", "io_bcf_read", "io_fastq_read",
+    "io_fasta_read",
+)
 
 
 def _final_line(timings: dict[str, float], sf: float, norm: dict) -> str:
-    """Build the ONE driver-facing JSON line, never exceeding
-    _LINE_BUDGET: the line carries the contract fields plus (when they
-    fit) the drift scalar and the worst-5 normalized ratios; optional
-    fields are dropped (worst-ratios first) sooner than exceed the
-    budget, and as a last resort query seconds round to 2 decimals."""
+    """Build the ONE driver-facing JSON line: the contract fields plus
+    (when they fit) the drift scalar and the worst-3 normalized ratios;
+    optional fields are dropped (worst-ratios first) sooner than exceed
+    _LINE_BUDGET, then query seconds round to 2 and then 1 decimals.
+    The ladder cannot shrink the mandatory 'queries' dict itself — the
+    live-entry-set headroom test is what keeps that inside budget."""
     out = {
         "metric": "headline_total_time",
         "value": round(sum(timings.values()), 3),
@@ -243,8 +255,10 @@ def _final_line(timings: dict[str, float], sf: float, norm: dict) -> str:
             break
         out.pop(drop, None)
         line = json.dumps(out, **compact)
-    if len(line) > _LINE_BUDGET:
-        out["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    for ndigits in (2, 1):
+        if len(line) <= _LINE_BUDGET:
+            break
+        out["queries"] = {k: round(v, ndigits) for k, v in timings.items()}
         line = json.dumps(out, **compact)
     return line
 
@@ -411,6 +425,9 @@ def _io_benchmarks(spark) -> dict:
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
         out[name] = round(best, 3)
+    # keep the module-level name list (what the line-budget test measures)
+    # in lockstep with what this function actually emits
+    assert set(out) == set(_IO_ENTRIES), sorted(set(out) ^ set(_IO_ENTRIES))
     return out
 
 

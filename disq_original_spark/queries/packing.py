@@ -1049,7 +1049,8 @@ _P13_TOK_SQL = r"len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'))"
 
 @query(
     "p13_curriculum_phases",
-    f"""WITH tok AS (SELECT doc_id, {_P13_TOK_SQL} AS n_tokens FROM documents),
+    f"""WITH tok AS (SELECT doc_id, {_P13_TOK_SQL} AS n_tokens FROM documents
+                     WHERE text IS NOT NULL),
          c AS (SELECT doc_id, n_tokens,
                       -- DuckDB window-sums BIGINT into HUGEINT, which its
                       -- pandas fetch renders as float64 — cast back so the
@@ -1081,8 +1082,13 @@ _P13_TOK_SQL = r"len(string_split_regex(lower(trim(text)), '[ \t\n\x0b\f\r]+'))"
     "hash + within-bucket sort), never a global single-partition sort.",
 )
 def p13(spark: SparkSession, sf: str) -> DataFrame:
-    tok = load_table(spark, sf, "documents").select(
-        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    # NULL text would give a NULL bucket key and silently vanish through
+    # the inner offset join while the oracle kept the row — exclude it on
+    # BOTH engines (the p01 idiom; the generator can emit NULL text)
+    tok = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.size(tokens("text")).cast("long").alias("n_tokens"))
     )
     b = tok.withColumn("bucket", F.expr(f"n_tokens div {_P13_BIN}"))
     # O(bins) frame: one row per coarse token-range bucket.  The windows

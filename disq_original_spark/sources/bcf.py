@@ -643,12 +643,20 @@ def decode_record(
         if width == 15:
             _tt, wv = r.typed()
             width = wv[0]
+        # per-sample vectors unpack in ONE struct call each (the typed()
+        # batching, applied to the dominant per-sample block)
+        if t == _FLOAT:
+            vec_fmt, w = f"<{width}I", 4
+        elif t in _INT_FMT:
+            w = 1 if t == _INT8 else 2 if t == _INT16 else 4
+            vec_fmt = f"<{width}{_INT_FMT[t][1]}"
+        elif t != _CHAR:
+            raise ValueError(
+                f"BCF FORMAT {key}: unsupported typed-value type id {t}"
+            )
         for si in range(n_sample):
             if t == _FLOAT:
-                bits = [
-                    struct.unpack_from("<I", r.d, r.o + 4 * j)[0]
-                    for j in range(width)
-                ]
+                bits = list(struct.unpack_from(vec_fmt, r.d, r.o))
                 r.o += 4 * width
                 sval = _floats_to_str(bits)
             elif t == _CHAR:
@@ -657,21 +665,13 @@ def decode_record(
                 raw_s = r.d[r.o : r.o + width].rstrip(b"\x00").decode()
                 r.o += width
                 sval = None if raw_s in ("", ".") else raw_s
-            elif t in _INT_FMT:
-                w = 1 if t == _INT8 else 2 if t == _INT16 else 4
-                raw = [
-                    struct.unpack_from(_INT_FMT[t], r.d, r.o + w * j)[0]
-                    for j in range(width)
-                ]
+            else:
+                raw = list(struct.unpack_from(vec_fmt, r.d, r.o))
                 r.o += w * width
                 if key == "GT":
                     sval = _gt_to_str(t, raw)
                 else:
                     sval = _ints_to_str(t, raw)
-            else:
-                raise ValueError(
-                    f"BCF FORMAT {key}: unsupported typed-value type id {t}"
-                )
             if sval is not None:
                 genotypes[si]["attrs"][key] = sval
                 if key == "GT":

@@ -81,11 +81,12 @@ _INT_SERIES = {"BF", "CF", "RI", "RL", "AP", "RG", "MF", "NS", "NP", "TS", "NF",
 _BYTE_SERIES = {"FC", "BA", "QS", "BS"}
 _BYTES_SERIES = {"RN", "IN", "SC", "BB", "QQ"}
 
-# aux-tag struct tables, hoisted out of _decode_tag: it runs once per tag
-# per record and a per-call dict literal is measurable at that frequency
-_TAG_INT_FMT = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i", "I": "<I"}
-_TAG_B_FMT = {"c": ("<b", 1), "C": ("<B", 1), "s": ("<h", 2), "S": ("<H", 2),
-              "i": ("<i", 4), "I": ("<I", 4), "f": ("<f", 4)}
+# SAM aux-tag struct tables: ONE definition (bam_codec) shared by both
+# codecs, so a tag-type addition or format fix cannot drift between the
+# BAM and CRAM decoders.  Hoisted module-level because _decode_tag runs
+# once per tag per record and a per-call dict literal is measurable.
+from .bam_codec import _AUX_B_FMT as _TAG_B_FMT  # noqa: E402
+from .bam_codec import _AUX_INT_FMT as _TAG_INT_FMT  # noqa: E402
 
 
 class Buf:
@@ -977,7 +978,7 @@ class SliceDecoder:
         if typ == "A":
             return f"A:{chr(data[0])}"
         if typ in "cCsSiI":
-            return f"i:{struct.unpack_from(_TAG_INT_FMT[typ], data, 0)[0]}"
+            return f"i:{struct.unpack_from(_TAG_INT_FMT[typ][0], data, 0)[0]}"
         if typ == "f":
             return f"f:{struct.unpack_from('<f', data, 0)[0]:g}"
         if typ == "B":

@@ -81,24 +81,27 @@ def test_final_line_fits_driver_tail_window():
     """The driver parses the JSON line from the LAST 2000 chars of bench
     output; BENCH_r08.json recorded parsed=null because the r8 line
     carried the full normalization dicts and outgrew that window.  Pin:
-    the final line over the real entry set (r7 driver timings, the
-    largest committed set) fits with headroom, round-trips as JSON, and
-    keeps every contract field."""
-    q7 = _driver_queries(7)
-    norm = bench._canary_normalize(q7, 0.1)
-    line = bench._final_line(q7, 0.1, norm)
-    # 10% headroom below the budget, budget itself 5% below the window —
-    # adding bench entries trips this test before it loses a driver round
+    the final line over the LIVE entry set (HEADLINE + _IO_ENTRIES, with
+    worst-case 6-char timing values) fits with headroom, round-trips as
+    JSON, and keeps every contract field — adding bench entries trips
+    this test before a driver round is lost."""
+    live = dict.fromkeys(list(bench.HEADLINE) + list(bench._IO_ENTRIES), 99.999)
+    norm = bench._canary_normalize(live, 0.1)
+    line = bench._final_line(live, 0.1, norm)
+    # 10% headroom below the budget, budget itself 5% below the window
     assert len(line) <= bench._LINE_BUDGET * 0.9, len(line)
     out = json.loads(line)
     for field in ("metric", "value", "unit", "queries", "sf"):
         assert field in out, field
-    assert out["queries"] == q7
-    # the compact normalization summary made it on (worst-5, drift)
+    assert out["queries"] == live
+    # the compact normalization summary made it on (worst-3, drift)
     assert out["canary_drift"] == norm["canary_drift"]
     assert out["norm_worst"] == dict(list(norm["ratio_normalized"].items())[:3])
     # the full dicts did NOT — they live in the sidecar only
     assert "normalized" not in out and "ratio_normalized" not in out
+    # the r7 driver artifact is a subset of the live set (plus the one
+    # entry r8 redefined): the live-set pin covers the committed history
+    assert set(_driver_queries(7)) <= set(live) | set(bench._BASELINE_REDEFINED)
 
 
 def test_final_line_degrades_instead_of_exceeding():
