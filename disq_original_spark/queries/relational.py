@@ -420,12 +420,24 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------- q21 except
 @query(
     "q21_except",
-    """SELECT p_partkey AS k FROM part EXCEPT SELECT l_partkey FROM lineitem
+    """SELECT p_partkey AS k FROM part
+       EXCEPT SELECT l_partkey FROM lineitem WHERE l_quantity > 45
        ORDER BY k LIMIT 100""",
 )
 def q21(spark: SparkSession, sf: str) -> DataFrame:
+    """Set difference (EXCEPT DISTINCT).  The original unfiltered form
+    (parts never ordered at all) was VACUOUSLY empty at every sf — the
+    synthetic data is FK-complete, so eight rounds of green hash rows
+    witnessed nothing but an empty set.  Subtracting only the
+    high-quantity order keys (parts never ordered in bulk) keeps the
+    operator identical while the witness carries real values at every
+    shipped sf (7 / 114 / 977 rows)."""
     p = _t(spark, sf, "part").select(F.col("p_partkey").alias("k"))
-    li = _t(spark, sf, "lineitem").select(F.col("l_partkey").alias("k"))
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select(F.col("l_partkey").alias("k"))
+    )
     return p.exceptAll(li).distinct().orderBy("k").limit(100)
 
 
