@@ -156,15 +156,24 @@ def q07(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q08_anti_join",
     """SELECT c_custkey FROM customer c
-       WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_orderpriority = '1-URGENT')
        ORDER BY c_custkey""",
 )
 def q08(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti join (NOT EXISTS -> left_anti).  The original 'customers with
+    no orders at all' was VACUOUSLY empty at every sf — the synthetic
+    data is FK-complete, so the hash rows witnessed only an empty set.
+    Anti-joining against the urgent-order keys keeps the operator
+    identical while the witness carries real rows at every shipped sf
+    (18 / 203 / 1986)."""
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey")
+        .orderBy("c_custkey")
     )
 
 
