@@ -58,13 +58,17 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 #       fix), so this window must produce its first green row since r5;
 #   (b) the ENTIRE r6-witnessed block (45 queries) — after this window
 #       nothing in the registry is older than r7;
-#   (c) the 4 queries NEW in round 9 (q51/q52/d15/p13) — never-witnessed
-#       code outranks re-witnessing unchanged r7 entries: each needs its
-#       FIRST driver hash row this round.  The r7-witnessed block (50
-#       queries incl. the d03/d04/d07/g09 heavyweights) fills round 10's
-#       window exactly.
-# 1 + 45 + 4 = exactly 50.  Left out (fresh): all 50 r7-witnessed and
-# all 49 r8-witnessed queries.
+#   (c) the 7 queries NEW in round 9 (q51/q52/d15/p13 from the early
+#       round-9 work, q53/q54/q55 added later in the round) —
+#       never-witnessed code outranks re-witnessing unchanged entries:
+#       each needs its FIRST driver hash row this round.  Registry 152 >
+#       150 = 3 rounds x 50 slots, so the rotation cycle is now
+#       ceil(152/50) = 4 rounds (capacity-derived, see
+#       simulate_driver_window.py); three stable, unchanged r6 scalar-
+#       function queries (q22/q23/q24) are deferred to round 10's window,
+#       which they share with the r7 block inside the 4-round bound.
+# 1 + 42 + 7 = exactly 50.  Left out: q22/q23/q24 (r6, deferred), all 50
+# r7-witnessed and all 49 r8-witnessed queries.
 _PRIORITY = [
     # --- (a) post-hash-fix re-witness, ADVICE-named first slot ---
     "g27_coverage_uniformity",
@@ -97,9 +101,6 @@ _PRIORITY = [
     "q19_union_all",
     "q20_intersect",
     "q21_except",
-    "q22_string_functions",
-    "q23_date_functions",
-    "q24_math",
     "q25_array_agg",
     "q26_json_access",
     "q27_explode",
@@ -117,6 +118,9 @@ _PRIORITY = [
     # --- (c) first-ever witnesses for the round-9 additions ---
     "q51_tpch_q13",
     "q52_tpch_q22",
+    "q53_tpch_q17",
+    "q54_tpch_q20",
+    "q55_tpch_q15",
     "d15_containment_neardup",
     "p13_curriculum_phases",
 ]

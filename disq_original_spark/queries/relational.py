@@ -1735,3 +1735,158 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------- q53 TPC-H Q17 shape
+@query(
+    "q53_tpch_q17",
+    """WITH thr AS (SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+                    FROM lineitem GROUP BY l_partkey)
+       SELECT CAST(count(*) AS BIGINT) AS n_small,
+              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                AS revenue_cents
+       FROM lineitem
+       JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+       JOIN thr ON thr.l_partkey = lineitem.l_partkey
+       WHERE l_quantity < half_avg""",
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): a CORRELATED scalar
+    aggregate subquery over the FACT table — 'lineitems below half their
+    part's average quantity'.  q50 covered the correlated-scalar flavor on
+    a dimension; here the correlation key is the fact table's own join key,
+    the shape Catalyst must decorrelate into a per-part pre-aggregate or
+    the query degenerates to one subquery execution per lineitem.
+
+    Scale shape: the half-average frame is built FIRST by a map-side-
+    combinable groupBy(l_partkey) — one slim (partkey, threshold) row per
+    part, NOT a re-scan per probe row.  The part filter (p_type, 1/6
+    selectivity) is a broadcastable dimension that prunes the fact scan
+    before the threshold join; both joins share the l_partkey key so AQE
+    can plan them back to back without a re-shuffle of lineitem.  Revenue
+    travels as exact integer cents (per-row round, BIGINT sum) so the
+    cross-engine hash never rides float-sum ordering."""
+    li = _t(spark, sf, "lineitem")
+    promo = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    thr = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    small = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        .join(thr.withColumnRenamed("l_partkey", "t_partkey"),
+              F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
+
+
+# ---------------------------------------------------------------- q54 TPC-H Q20 shape
+_Q54_QTY_CUT = 2500
+
+
+@query(
+    "q54_tpch_q20",
+    f"""SELECT s_suppkey, s_name, s_nationkey
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_type = 'LARGE')
+            GROUP BY l_suppkey
+            HAVING sum(CAST(l_quantity AS BIGINT)) > {_Q54_QTY_CUT})
+        ORDER BY s_suppkey""",
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-volume suppliers): NESTED IN-subqueries —
+    an inner semi-join (parts of one type) feeding a grouped HAVING
+    aggregate whose keys semi-join the outer table.  This is the last
+    subquery nesting flavor the q28/q47/q50/q52 family left uncovered:
+    two levels of IN, the inner one pre-filtering the aggregate's input.
+    (Adaptation: the reference schema here has no partsupp table, so the
+    'half of shipped quantity' availability test becomes a fixed shipped-
+    quantity threshold over the same semi-join chain; quantities are
+    whole numbers, summed as BIGINT so the HAVING cut is exact.)
+
+    Scale shape: innermost filter is a broadcastable part-type dimension
+    prune; the aggregate shuffles slim (suppkey, qty) pairs with map-side
+    combine; the outer IN becomes a left-semi join probing supplier with
+    one row per qualifying supplier — at 1000 executors nothing wider
+    than an 8-byte key ever moves twice."""
+    large = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_type") == "LARGE")
+        .select("p_partkey")
+    )
+    shipped = (
+        _t(spark, sf, "lineitem")
+        .join(F.broadcast(large), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .filter(F.col("qty") > _Q54_QTY_CUT)
+        .select("l_suppkey")
+    )
+    return (
+        _t(spark, sf, "supplier")
+        .join(shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------- q55 TPC-H Q15 shape
+@query(
+    "q55_tpch_q15",
+    """WITH rev AS (SELECT l_suppkey,
+                           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                                    AS BIGINT)) AS total_cents
+                    FROM lineitem GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name,
+              CAST(total_cents AS BIGINT) AS total_cents
+       FROM supplier JOIN rev ON s_suppkey = l_suppkey
+       WHERE total_cents = (SELECT max(total_cents) FROM rev)
+       ORDER BY s_suppkey""",
+)
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the max-of-an-aggregate pattern —
+    a derived per-supplier revenue view joined against its OWN global
+    maximum.  Distinct from q50 (extreme within a group, correlated) and
+    q52 (global average cut, no self-reference): here the scalar comes
+    from the same derived aggregate it filters, so the plan must reuse
+    one aggregation for both sides or compute it twice; ties all qualify
+    exactly as Q15's spec demands.
+
+    Scale shape: revenue is ONE map-side-combinable groupBy over slim
+    (suppkey, cents) pairs; the global max is a single-row broadcast onto
+    the revenue frame (never a re-execution per row); the supplier join
+    probes with at most a handful of tied winners.  Revenue is exact
+    integer cents per row before summing — BIGINT arithmetic end to end,
+    hash-stable across engines."""
+    rev = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            ).alias("total_cents")
+        )
+    )
+    top = rev.agg(F.max("total_cents").alias("m"))
+    winners = rev.join(F.broadcast(top), rev.total_cents == F.col("m")).select(
+        "l_suppkey", "total_cents"
+    )
+    return (
+        _t(spark, sf, "supplier")
+        .join(winners, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )

@@ -196,8 +196,9 @@ def test_driver_window_rotation_contract():
 
 def test_witness_freshness_gate():
     """simulate_driver_window.py --freshness must report NO registered
-    query whose latest green driver witness is more than 3 rounds old
-    and which also sits outside the current 50-name window — the
+    query whose latest green driver witness is older than one full
+    rotation cycle (ceil(registry/50) rounds — the best a 50-slot driver
+    window can do) and which also sits outside the current window — the
     machine-checked form of the rotation rule _PRIORITY used to encode
     as comment arithmetic (VERDICT r6 directive #6).  This fails exactly
     when a future round's _PRIORITY goes stale."""

@@ -726,3 +726,53 @@ def test_p13_no_global_single_partition_window_over_corpus(spark, sf_dir):
     ns = [0, 1, _P13_BIN - 1, _P13_BIN, 10 * _P13_BIN + 3, 10**9]
     buckets = [n // _P13_BIN for n in ns]
     assert buckets == sorted(buckets)
+
+
+def test_q53_preaggregates_thresholds_and_broadcasts_part(spark, sf_dir):
+    """Q17's scale property: the half-average threshold frame is a
+    partial+final aggregate BELOW the threshold join (one slim row per
+    part — never a per-probe-row subquery re-execution), the part-type
+    dimension is broadcast, the type predicate reaches the part scan,
+    and lineitem is pruned to the four columns the query touches."""
+    df = QUERIES["q53_tpch_q17"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df)
+    assert has_pushed_filter(df, "p_type")
+    join_pos = plan.index("Join")
+    assert "HashAggregate" in plan[join_pos:], "threshold agg not below the join"
+    cols = set(read_schema_columns(df))
+    assert cols <= {"l_partkey", "l_quantity", "l_extendedprice", "p_partkey", "p_type"}
+
+
+def test_q54_semi_joins_and_slim_aggregate(spark, sf_dir):
+    """Q20's scale properties: both IN levels compile to LeftSemi hash
+    joins (no subquery re-execution), the inner part-type prune is
+    broadcast, and the shipped-quantity aggregate moves only
+    (l_suppkey, l_partkey, l_quantity) — never full lineitem rows."""
+    df = QUERIES["q54_tpch_q20"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("LeftSemi") >= 2
+    assert uses_broadcast_join(df)
+    assert has_pushed_filter(df, "p_type")
+    cols = set(read_schema_columns(df))
+    assert cols <= {
+        "l_suppkey", "l_partkey", "l_quantity",
+        "p_partkey", "p_type",
+        "s_suppkey", "s_name", "s_nationkey",
+    }
+
+
+def test_q55_single_revenue_aggregate_max_broadcast(spark, sf_dir):
+    """Q15's scale properties: the global max is a 1-row broadcast onto
+    the revenue frame (BroadcastHashJoin or broadcast nested loop — never
+    a shuffled join or a per-row re-aggregation), and no cartesian
+    product appears."""
+    df = QUERIES["q55_tpch_q15"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    cols = set(read_schema_columns(df))
+    assert cols <= {
+        "l_suppkey", "l_extendedprice", "l_discount",
+        "s_suppkey", "s_name",
+    }
