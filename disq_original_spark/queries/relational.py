@@ -138,12 +138,22 @@ def q06(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------- q07 left semi join
 @query(
     "q07_semi_join",
-    """SELECT p_partkey FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+    """SELECT p_partkey FROM part
+       WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 50)
        ORDER BY p_partkey LIMIT 100""",
 )
 def q07(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi join.  The original unfiltered form ('parts that appear
+    in any lineitem') selected EVERY part in this FK-complete synthetic
+    data, so its ordered LIMIT returned the constant 1..100 at every
+    scale factor — eight rounds of green hash rows witnessed a filter
+    that filtered nothing (the q21/q08 vacuity disease, caught by
+    tools/audit_vacuity.py).  Restricting the semi side to max-quantity
+    lineitems (l_quantity >= 50, ~2% selectivity) keeps the left_semi
+    operator identical while the survivor set is a real, sf-varying
+    subset (102/200 parts at sf0.001, 887/2000 at sf0.01)."""
     p = _t(spark, sf, "part")
-    li = _t(spark, sf, "lineitem")
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity") >= 50)
     return (
         p.join(li, p.p_partkey == li.l_partkey, "left_semi")
         .select("p_partkey")
@@ -403,26 +413,47 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
          SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
          UNION ALL
          SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 1) t
-       ORDER BY k LIMIT 100""",
+       ORDER BY k DESC LIMIT 100""",
     doc="Union — the relational analog of the reference's multi-file input "
-    "concatenation and unmapped-reads append (AbstractBinarySamSource.java:128-129).",
+    "concatenation and unmapped-reads append (AbstractBinarySamSource.java:128-129). "
+    "The top-k is DESCENDING: orderkeys are dense from 1, so the original "
+    "ascending LIMIT returned the constant 1..100 at every scale factor "
+    "(a vacuous witness, tools/audit_vacuity.py); the highest keys grow "
+    "with the table, making the result prove the union saw the whole input.",
 )
 def q19(spark: SparkSession, sf: str) -> DataFrame:
     o = _t(spark, sf, "orders")
     even = o.filter(F.col("o_orderkey") % 2 == 0).select(F.col("o_orderkey").alias("k"))
     odd = o.filter(F.col("o_orderkey") % 2 == 1).select(F.col("o_orderkey").alias("k"))
-    return even.unionByName(odd).orderBy("k").limit(100)
+    return even.unionByName(odd).orderBy(F.desc("k")).limit(100)
 
 
 # ---------------------------------------------------------------- q20 intersect
 @query(
     "q20_intersect",
-    """SELECT l_partkey AS k FROM lineitem INTERSECT SELECT p_partkey FROM part
+    """SELECT l_partkey AS k FROM lineitem WHERE l_quantity >= 50
+       INTERSECT SELECT p_partkey FROM part WHERE p_type = 'PROMO'
        ORDER BY k LIMIT 100""",
 )
 def q20(spark: SparkSession, sf: str) -> DataFrame:
-    li = _t(spark, sf, "lineitem").select(F.col("l_partkey").alias("k"))
-    p = _t(spark, sf, "part").select(F.col("p_partkey").alias("k"))
+    """Set intersection (INTERSECT DISTINCT).  The original form
+    intersected all lineitem partkeys with all parts — in FK-complete
+    synthetic data that is EVERY part, so the ordered LIMIT returned the
+    constant 1..100 at every scale factor (vacuous witness,
+    tools/audit_vacuity.py).  Intersecting two genuinely overlapping
+    partial sets — max-quantity lineitem partkeys x PROMO parts, neither
+    containing the other — keeps the Intersect operator identical with
+    real, sf-varying survivors (20 at sf0.001, 149 at sf0.01)."""
+    li = (
+        _t(spark, sf, "lineitem")
+        .filter(F.col("l_quantity") >= 50)
+        .select(F.col("l_partkey").alias("k"))
+    )
+    p = (
+        _t(spark, sf, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select(F.col("p_partkey").alias("k"))
+    )
     return li.intersect(p).orderBy("k").limit(100)
 
 

@@ -31,6 +31,13 @@ def test_canary_set_is_r1_and_in_headline():
     for name, sec in bench._CANARY_R1.items():
         assert name in bench.HEADLINE, name
         assert r1[name] == sec, (name, r1[name], sec)
+    # retired canaries: retirement must postdate the r5-r7 baseline
+    # window (their historical drift contributions stay valid) and at
+    # least 5 live canaries must remain for a robust median
+    for name, rnd in bench._CANARY_RETIRED.items():
+        assert name in bench._CANARY_R1, name
+        assert rnd > 7, (name, rnd)
+    assert len(set(bench._CANARY_R1) - set(bench._CANARY_RETIRED)) >= 5
 
 
 def test_baseline_table_recomputes_from_committed_rounds():
@@ -64,7 +71,12 @@ def test_normalize_math_and_sf_gate():
     out = bench._canary_normalize(q7, 0.1)
     drift = out["canary_drift"]
     assert drift == round(
-        statistics.median(q7[c] / v for c, v in bench._CANARY_R1.items()), 3
+        statistics.median(
+            q7[c] / v
+            for c, v in bench._CANARY_R1.items()
+            if c not in bench._CANARY_RETIRED
+        ),
+        3,
     )
     assert out["normalized"]["q02_filter"] == round(q7["q02_filter"] / drift, 3)
     # the r7 fold the table's comment cites: unchanged queries center ~1

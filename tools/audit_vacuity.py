@@ -43,9 +43,39 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # Fixed-cardinality-by-design results: identical rows at sf0.001 and
 # sf0.01 are EXPECTED (not evidence of a dead predicate).  Every entry
 # needs a reason; the audit still applies the other three flags to them.
+_GENOMIC_FIXTURE_REASON = (
+    "reads the FIXED genomics fixture set (reference test BAM/VCF/BCF/GFF "
+    "files / their committed parquet twins), which does not scale with sf — "
+    "identical output at every sf is the expected behavior, and the decode "
+    "correctness is differential-tested against the fixtures directly"
+)
 ALLOW_SF_INSENSITIVE: dict[str, str] = {
     "q38_recursive_spine": "complete month spine over a FIXED date range; "
     "recursion generates the spine, data only decorates it",
+    "d02_dedup_stats": "data-limited: the driver testdata carries ZERO "
+    "exact-duplicate texts at sf0.001/sf0.01 (uniq == total at both), so "
+    "the stats coincide; actual duplicate counting is pinned on a "
+    "constructed corpus in tests/test_vacuity_closure.py",
+    "p07_deterministic_shuffle": "by design: the shuffle key is a pure "
+    "function of doc_id and the doc_id domain (0..499) is identical at "
+    "sf0.001/sf0.01 — determinism across runs is the operator's contract",
+    "s08_graph_bucket_audit": "data-limited: driver-sf buckets max out "
+    "near 40 of the 512 cap, so the audit reads (16,0,0,0)-shaped at both "
+    "sfs; real truncation reporting is pinned on a constructed over-cap "
+    "bucket in tests/test_vacuity_closure.py",
+    **{
+        name: _GENOMIC_FIXTURE_REASON
+        for name in (
+            "g03_bam_contig_stats", "g04_vcf_variant_stats",
+            "g06_coverage_windows", "g07_typed_variant_stats",
+            "g09_mark_duplicates", "g10_flagstat", "g11_cycle_quality",
+            "g12_tstv", "g13_region_depth", "g14_multiallelic_split",
+            "g15_idxstats", "g19_gc_windows", "g20_kmer_spectrum",
+            "g21_cpg_islands", "g22_roh_runs", "g23_bcf_stats",
+            "g24_bam_to_fastq", "g25_gff_gene_model",
+            "g26_variant_annotation", "g27_coverage_uniformity",
+        )
+    },
 }
 
 
@@ -72,9 +102,10 @@ def _canon(rows: list) -> list[tuple]:
 def audit(small_sf: str, big_sf: str) -> dict[str, dict]:
     from disq_original_spark.cache import release_persists
     from disq_original_spark.queries import QUERIES
-    from disq_original_spark.session import get_session
+    from disq_original_spark.session import get_spark
 
-    spark = get_session()
+    spark = get_spark(master="local[16]", shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
     report: dict[str, dict] = {}
     for name, q in sorted(QUERIES.items()):
         flags: list[str] = []
