@@ -58,17 +58,17 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 #       fix), so this window must produce its first green row since r5;
 #   (b) the ENTIRE r6-witnessed block (45 queries) — after this window
 #       nothing in the registry is older than r7;
-#   (c) the 7 queries NEW in round 9 (q51/q52/d15/p13 from the early
-#       round-9 work, q53/q54/q55 added later in the round) —
+#   (c) the 8 queries NEW in round 9 (q51/q52/d15/p13 from the early
+#       round-9 work, q53/q54/q55/st09 added later in the round) —
 #       never-witnessed code outranks re-witnessing unchanged entries:
-#       each needs its FIRST driver hash row this round.  Registry 152 >
+#       each needs its FIRST driver hash row this round.  Registry 153 >
 #       150 = 3 rounds x 50 slots, so the rotation cycle is now
-#       ceil(152/50) = 4 rounds (capacity-derived, see
-#       simulate_driver_window.py); three stable, unchanged r6 scalar-
-#       function queries (q22/q23/q24) are deferred to round 10's window,
-#       which they share with the r7 block inside the 4-round bound.
-# 1 + 42 + 7 = exactly 50.  Left out: q22/q23/q24 (r6, deferred), all 50
-# r7-witnessed and all 49 r8-witnessed queries.
+#       ceil(153/50) = 4 rounds (capacity-derived, see
+#       simulate_driver_window.py); four stable, unchanged r6 queries
+#       (q22/q23/q24/q25) are deferred to round 10's window, which they
+#       share with the r7 block inside the 4-round bound.
+# 1 + 41 + 8 = exactly 50.  Left out: q22/q23/q24/q25 (r6, deferred),
+# all 50 r7-witnessed and all 49 r8-witnessed queries.
 _PRIORITY = [
     # --- (a) post-hash-fix re-witness, ADVICE-named first slot ---
     "g27_coverage_uniformity",
@@ -101,7 +101,6 @@ _PRIORITY = [
     "q19_union_all",
     "q20_intersect",
     "q21_except",
-    "q25_array_agg",
     "q26_json_access",
     "q27_explode",
     "q28_exists_subquery",
@@ -121,6 +120,7 @@ _PRIORITY = [
     "q53_tpch_q17",
     "q54_tpch_q20",
     "q55_tpch_q15",
+    "st09_late_data_drop",
     "d15_containment_neardup",
     "p13_curriculum_phases",
 ]

@@ -320,3 +320,90 @@ def st08(spark: SparkSession, sf: str) -> DataFrame:
     )
     sink = _drain_to_memory(spark, novel_event_totals(stream, seen), "complete", "st08")
     return sink.select("event_type", "n_new", "total_value").orderBy("event_type")
+
+
+@query(
+    "st09_late_data_drop",
+    """WITH b AS (SELECT max(ts) - INTERVAL 150 MINUTE AS wm,
+                         min(ts) + INTERVAL 24 HOUR AS day_end
+                  FROM events),
+        agg AS (SELECT date_trunc('hour', ts) AS ws, count(*) AS cnt
+                FROM events, b
+                WHERE NOT (ts < b.day_end AND event_id % 2 = 0)
+                GROUP BY 1)
+       SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+              CAST(cnt AS BIGINT) AS cnt
+       FROM agg, b
+       WHERE ws + INTERVAL 1 HOUR <= b.wm
+       ORDER BY window_start""",
+    doc="Watermark LATE-DATA DROP, actually witnessed: every other st* "
+    "query drains availableNow in one micro-batch, where the watermark "
+    "never advances mid-run and therefore never drops anything.  Here the "
+    "events table is re-staged as four files with controlled arrival "
+    "order (mtime-ordered, maxFilesPerTrigger=1): day-1 odd-id events, "
+    "the rest of the month, an EMPTY watermark-propagation file, then the "
+    "day-1 even-id events arriving LAST — a month late.  The append-mode "
+    "tumbling aggregation must (a) drop every late row (their windows "
+    "closed when the watermark reached month-end minus 2h30m) and (b) "
+    "emit exactly the windows whose end precedes the final watermark.  "
+    "The DuckDB oracle replicates both rules arithmetically.  The empty "
+    "third file matters: Spark's late-input filter runs on the watermark "
+    "PLANNED for the batch, which lags the state-eviction watermark by "
+    "one micro-batch (measured on 4.1: late rows landing in still-open "
+    "windows in the batch right after the advance are MERGED, not "
+    "dropped); the no-data batch lets the advanced watermark reach the "
+    "filter before the late file arrives, making the drop deterministic.",
+)
+def st09(spark: SparkSession, sf: str) -> DataFrame:
+    """Late-data drop through a real multi-batch file stream.
+
+    Staging writes go to a per-(sf,pid) temp dir — harness plumbing, like
+    the memory sink; the operator under test is the streaming plan.  The
+    150-minute delay is deliberately NOT a whole hour: the final
+    watermark (max ts - 2h30m) can never coincide with an hour-window
+    boundary, so the emitted-set comparison is boundary-safe."""
+    import datetime
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..tables import load_table
+
+    ev = load_table(spark, sf, "events")
+    t0 = ev.agg(F.min("ts").alias("t0")).collect()[0]["t0"]
+    day_end = t0 + datetime.timedelta(hours=24)
+    is_day1 = F.col("ts") < F.lit(day_end)
+    is_late = is_day1 & (F.col("event_id") % 2 == 0)
+
+    key = hashlib.md5(sf.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"disq_st09_{key}_{os.getpid()}")
+    shutil.rmtree(base, ignore_errors=True)
+    ev.filter(is_day1 & (F.col("event_id") % 2 != 0)).repartition(1).write.parquet(
+        base + "/b1"
+    )
+    ev.filter(~is_day1).repartition(1).write.parquet(base + "/b2")
+    ev.filter(F.lit(False)).repartition(1).write.parquet(base + "/b3")
+    ev.filter(is_late).repartition(1).write.parquet(base + "/b4")
+    for i, d in enumerate(("b1", "b2", "b3", "b4"), 1):
+        for f in _glob.glob(f"{base}/{d}/*.parquet"):
+            os.utime(f, (1_000_000 + 1_000 * i,) * 2)
+
+    schema = spark.read.parquet(base + "/b1").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(base + "/b*")
+    )
+    agg = (
+        stream.withWatermark("ts", "150 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "cnt",
+        )
+    )
+    sink = _drain_to_memory(spark, agg, "append", "st09")
+    return sink.orderBy("window_start")

@@ -178,3 +178,42 @@ def test_windowed_counts_complete_mode_across_microbatches(spark, sf_dir, tmp_pa
     ).collect()
     expected = windowed_counts_batch(load_table(spark, sf_dir, "events")).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_st09_late_rows_are_really_dropped(spark, sf_dir):
+    """The st09 witness must differ from the drop-nothing world: recompute
+    the same windowed counts WITH the late (day-1 even-id) rows included —
+    if the streaming result matched it, the watermark dropped nothing and
+    the query is vacuous.  Also: the drain must have run as >= 4 real
+    micro-batches (1 file each), or no watermark ever advanced mid-run."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from disq_original_spark.queries import QUERIES
+
+    got = {
+        r["window_start"]: r["cnt"]
+        for r in QUERIES["st09_late_data_drop"].build(spark, sf_dir).collect()
+    }
+    assert got, "st09 emitted nothing"
+    ev = load_table(spark, sf_dir, "events")
+    t0, tmax = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    wm = tmax - datetime.timedelta(minutes=150)
+    all_counts = {
+        r["window_start"]: r["cnt"]
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "cnt",
+        )
+        .collect()
+        if r["window_start"] <= wm.strftime("%Y-%m-%d %H:%M")
+    }
+    # late rows exist at every sf (half of day 1), so the two must differ
+    assert got != all_counts, "watermark dropped nothing — vacuous witness"
+    # and the drop is exactly the late set: every emitted window's count is
+    # <= the all-rows count, strictly < for at least one day-1 window
+    assert all(got[k] <= all_counts.get(k, 0) for k in got)
+    assert any(got[k] < all_counts[k] for k in got if k in all_counts)
