@@ -247,7 +247,7 @@ _LINE_BUDGET = 1900
 _IO_ENTRIES = (
     "io_bam_read", "io_cram_read", "io_vcf_bgzf_read", "io_bam_write",
     "io_cram31_write", "io_cram31_read", "io_bcf_read", "io_fastq_read",
-    "io_fasta_read",
+    "io_fasta_read", "io_sam_read",
 )
 
 
@@ -424,6 +424,12 @@ def _io_benchmarks(spark) -> dict:
     )
     fq_path = f"{tmp}/reads.fastq"
     FastqSink().write(bam_to_fastq(reads), fq_path)
+    # r9: SAM text decode (the only source family without an io entry) —
+    # input built from the same reads via this repo's own sink
+    from disq_original_spark.sources.sam import SamSink, SamSource
+
+    sam_path = f"{tmp}/reads.sam"
+    SamSink().write(reads, header, sam_path)
     reads.unpersist()
     jobs2 = {
         "io_bcf_read": lambda: BcfSource()
@@ -435,7 +441,14 @@ def _io_benchmarks(spark) -> dict:
         "io_fasta_read": lambda: FastaSource()
         .read(spark, str(RES / "test.fa"), window=1000)
         .count(),
+        # SamSource.read(split_size=...) sets files.maxPartitionBytes
+        # SESSION-WIDE (the reference's job-conf semantics) — it runs
+        # LAST in this dict and the conf is restored right after the loop
+        "io_sam_read": lambda: SamSource()
+        .read(spark, sam_path, split_size=256 * 1024)
+        .count(),
     }
+    prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
     for name, job in jobs2.items():
         job()  # warm pass
         best = None
@@ -445,6 +458,7 @@ def _io_benchmarks(spark) -> dict:
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
         out[name] = round(best, 3)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
     # keep the module-level name list (what the line-budget test measures)
     # in lockstep with what this function actually emits
     assert set(out) == set(_IO_ENTRIES), sorted(set(out) ^ set(_IO_ENTRIES))
