@@ -129,10 +129,35 @@ def enumerate_containers(fh: BinaryIO) -> list[CramContainer]:
             fh.read(4)  # crc32
         header_size = fh.tell() - pos
         is_eof = ref_seq_id == -1 and start == 4_542_278 and n_records == 0
+        end = pos + header_size + length
+        if end > file_len:
+            # The container header declares more payload than the file
+            # holds.  Without this check the `pos < file_len` loop guard
+            # exits SILENTLY here — and if the truncation lands inside
+            # the (record-free) SAM-header container, split planning sees
+            # zero data containers and a truncated file reads back as 0
+            # records with no error: the silent-tail-loss failure mode.
+            raise ValueError(
+                f"{getattr(fh, 'name', '<stream>')}: truncated CRAM — "
+                f"container at offset {pos} declares {length} payload "
+                f"bytes (ends at {end}) but the file ends at {file_len}"
+            )
         out.append(
             CramContainer(pos, length, ref_seq_id, start, span, n_records, n_blocks, is_eof)
         )
-        pos += header_size + length
+        pos = end
+    if not out or not out[-1].is_eof:
+        # Chain ends cleanly but without the spec EOF container: a file
+        # truncated exactly at a container boundary looks like this.
+        # Same lenient posture as the BAM terminator check (samtools
+        # warns "EOF marker is absent" for both formats).
+        import warnings
+
+        warnings.warn(
+            f"{getattr(fh, 'name', '<stream>')}: no CRAM EOF container — "
+            "file may be truncated at a container boundary",
+            stacklevel=2,
+        )
     return out
 
 

@@ -68,12 +68,19 @@ def apply_stringency(body: DataFrame, malformed: Column, stringency: str) -> Dat
     if s == "silent":
         return body.filter(~malformed)
     if s == "strict":
-        return body.withColumn(
-            "value",
-            F.when(
-                malformed,
-                F.raise_error(F.concat(F.lit("malformed record: "), F.col("value"))),
-            ).otherwise(F.col("value")),
+        # Enforced through a FILTER, not a projected column: Catalyst's
+        # column pruning elides an unused projection, so the previous
+        # withColumn(raise_error) form silently skipped validation for
+        # any plan that never read `value` downstream — count() being
+        # the classic case (round-9 truncation-sweep finding).  A filter
+        # predicate determines cardinality and is always evaluated;
+        # assert_true returns NULL when the check passes, so isNull()
+        # keeps every valid row and the error surfaces per bad row.
+        return body.filter(
+            F.assert_true(
+                ~malformed,
+                F.concat(F.lit("malformed record: "), F.col("value")),
+            ).isNull()
         )
     if s == "lenient":
         return body

@@ -39,3 +39,103 @@ def test_truncated_bgzf_vcf_raises_not_partial(spark, tmp_path):
     trunc.write_bytes(data[: int(len(data) * 0.6) + 13])
     with pytest.raises(Exception):
         VcfSource().read(spark, str(trunc), split_size=64 * 1024).count()
+
+
+def _mid_block_cuts(n_bytes: int, n_cuts: int = 5) -> list[int]:
+    """Deterministic truncation points in (35%, 95%) of the file, nudged
+    to ODD offsets so none can coincide with a BGZF block boundary (block
+    starts here are even in practice; an odd offset is always mid-block,
+    where truncation must RAISE — the block-boundary warn path is pinned
+    separately by the terminator tests)."""
+    pts = []
+    for i in range(n_cuts):
+        p = int(n_bytes * (0.35 + 0.6 * i / max(1, n_cuts - 1)))
+        pts.append(p | 1)
+    return pts
+
+
+def test_truncation_sweep_raises_for_every_binary_format(spark, tmp_path):
+    """Silent tail loss is the 100 TB failure mode: for BAM, CRAM, BCF and
+    BGZF-VCF, truncating mid-block at five spread-out points must raise —
+    never return a partial count."""
+    from disq_original_spark.sources.bcf import BcfSink, BcfSource
+    from disq_original_spark.sources.cram import CramSource
+    from disq_original_spark.sources.headers import read_vcf_header_text
+
+    res = Path("/root/reference/src/test/resources")
+    # build a BCF input from the VCF fixture via this repo's own sink
+    bcf_path = str(tmp_path / "hiseq.bcf")
+    BcfSink().write(
+        VcfSource().read(spark, str(res / "HiSeq.10000.vcf.bgz")),
+        read_vcf_header_text(str(res / "HiSeq.10000.vcf.bgz")),
+        bcf_path,
+    )
+    cases = [
+        (
+            "bam",
+            Path(BAM).read_bytes(),
+            lambda p: BamSource().read(spark, p, split_size=128 * 1024).count(),
+        ),
+        (
+            "cram",
+            (res / "valid.cram").read_bytes(),
+            lambda p: CramSource()
+            .read(spark, p, reference_path=str(res / "valid.fasta"))
+            .count(),
+        ),
+        (
+            "bcf",
+            Path(bcf_path).read_bytes(),
+            lambda p: BcfSource().read(spark, p).count(),
+        ),
+        (
+            "vcf.bgz",
+            Path(HISEQ).read_bytes(),
+            lambda p: VcfSource().read(spark, p, split_size=64 * 1024).count(),
+        ),
+    ]
+    for fmt, data, job in cases:
+        for cut in _mid_block_cuts(len(data)):
+            p = tmp_path / f"trunc_{cut}.{fmt}"
+            p.write_bytes(data[:cut])
+            with pytest.raises(Exception):
+                job(str(p))
+            p.unlink()
+
+
+def test_truncated_fastq_mid_record_raises(spark, tmp_path):
+    """A FASTQ cut inside a 4-line record must raise, not drop the tail."""
+    from disq_original_spark.sources.fastq import FastqSource
+
+    rec = "@r{i}\nACGTACGT\n+\nIIIIIIII\n"
+    full = "".join(rec.format(i=i) for i in range(200))
+    # cut inside record 150's quality line
+    cut = full.index("@r150") + len("@r150\nACGTACGT\n+\nII")
+    p = tmp_path / "trunc.fastq"
+    p.write_text(full[:cut])
+    with pytest.raises(Exception):
+        FastqSource().read(spark, str(p), split_size=1 << 20).count()
+
+
+def test_truncated_sam_strict_raises_even_under_count(spark, tmp_path):
+    """A SAM file cut mid-line (11 mandatory fields truncated to 10):
+    STRICT must raise even when the consumer only calls count() — the
+    original withColumn(raise_error) enforcement was ELIDED by column
+    pruning whenever no downstream operator read `value`, silently
+    skipping validation.  SILENT drops exactly the one malformed line;
+    LENIENT keeps it with nulled-out fields (htsjdk parity)."""
+    from disq_original_spark.sources.sam import SamSource
+
+    src = SamSource()
+    full = src.read(spark, "/root/reference/src/test/resources/test.sam").count()
+    text = Path("/root/reference/src/test/resources/test.sam").read_text()
+    body_lines = [ln for ln in text.splitlines() if not ln.startswith("@")]
+    assert full == len(body_lines)
+    # cut the LAST line roughly in half (inside field 10 of 11)
+    cut_text = text[: text.rindex(body_lines[-1]) + max(3, len(body_lines[-1]) // 2)]
+    p = tmp_path / "trunc.sam"
+    p.write_text(cut_text)
+    with pytest.raises(Exception):
+        src.read(spark, str(p), stringency="strict").count()
+    assert src.read(spark, str(p), stringency="silent").count() == full - 1
+    assert src.read(spark, str(p), stringency="lenient").count() == full
