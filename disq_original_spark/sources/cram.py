@@ -322,11 +322,24 @@ class CramSource:
         crai = path + ".crai"
         if fs_exists(crai):
             offsets = read_crai_offsets(crai)
+            if file_len is None:
+                file_len = fs_size(path)
+            if offsets and max(offsets) >= file_len:
+                # snap_splits_to_containers iterates [0, file_len) and
+                # would silently DROP index entries past EOF — a
+                # truncated CRAM with an intact .crai would lose its
+                # tail with no error (the index is authoritative about
+                # what the file must contain)
+                raise ValueError(
+                    f"{path}: .crai references a container at offset "
+                    f"{max(offsets)} but the file ends at {file_len} — "
+                    "truncated CRAM or stale index"
+                )
         else:
             with fs_open(path) as fh:
                 offsets = [c.offset for c in enumerate_containers(fh) if not c.is_eof and c.n_records > 0]
-        if file_len is None:
-            file_len = fs_size(path)
+            if file_len is None:
+                file_len = fs_size(path)
         return snap_splits_to_containers(offsets, file_len, split_size)
 
     def read(
@@ -401,6 +414,16 @@ class CramSource:
             if iv_rows is not None and fs_exists(crai):
                 entries = read_crai_entries(crai)
                 offsets = sorted({off for _sid, _s, _sp, off in entries})
+                if offsets and offsets[-1] >= flen:
+                    # same contract as plan_splits: an index entry past
+                    # EOF means truncated data or a stale index — raise
+                    # even if the pruned interval set would not touch the
+                    # missing tail (the file as a whole is not trustworthy)
+                    raise ValueError(
+                        f"{f}: .crai references a container at offset "
+                        f"{offsets[-1]} but the file ends at {flen} — "
+                        "truncated CRAM or stale index"
+                    )
                 if not offsets:
                     return (f, flen, (), 0)
                 meta, _ = read_cram_meta_file(f)

@@ -42,16 +42,18 @@ def test_truncated_bgzf_vcf_raises_not_partial(spark, tmp_path):
 
 
 def _mid_block_cuts(n_bytes: int, n_cuts: int = 5) -> list[int]:
-    """Deterministic truncation points in (35%, 95%) of the file, nudged
-    to ODD offsets so none can coincide with a BGZF block boundary (block
-    starts here are even in practice; an odd offset is always mid-block,
-    where truncation must RAISE — the block-boundary warn path is pinned
-    separately by the terminator tests)."""
-    pts = []
-    for i in range(n_cuts):
-        p = int(n_bytes * (0.35 + 0.6 * i / max(1, n_cuts - 1)))
-        pts.append(p | 1)
-    return pts
+    """Deterministic truncation points spread over (35%, 95%) of the
+    file.  An arbitrary interior cut leaves the last block/container/
+    record incomplete, which every reader must detect (CRC/length check
+    on BGZF inflate, extent check on CRAM containers, record-length
+    check on BAM/BCF); the measure-zero exception — a cut EXACTLY on a
+    final block boundary — is the lenient warn path pinned separately
+    by the terminator tests, and none of these fixed points lands on
+    one (asserted by the raises themselves)."""
+    return [
+        int(n_bytes * (0.35 + 0.6 * i / max(1, n_cuts - 1))) | 1
+        for i in range(n_cuts)
+    ]
 
 
 def test_truncation_sweep_raises_for_every_binary_format(spark, tmp_path):
@@ -139,3 +141,33 @@ def test_truncated_sam_strict_raises_even_under_count(spark, tmp_path):
         src.read(spark, str(p), stringency="strict").count()
     assert src.read(spark, str(p), stringency="silent").count() == full - 1
     assert src.read(spark, str(p), stringency="lenient").count() == full
+
+
+def test_truncated_cram_with_intact_crai_raises(spark, tmp_path):
+    """A truncated CRAM beside its original .crai: snap_splits iterates
+    [0, file_len) and would silently DROP the index entries past EOF —
+    the indexed fast path must instead refuse (truncated data or stale
+    index), for both the plain read and the interval-pruned read."""
+    import shutil
+
+    from disq_original_spark.sources.cram import CramSource
+
+    res = Path("/root/reference/src/test/resources")
+    data = (res / "valid.cram").read_bytes()
+    p = tmp_path / "trunc.cram"
+    p.write_bytes(data[: len(data) // 3])
+    shutil.copy(res / "valid.cram.crai", tmp_path / "trunc.cram.crai")
+    with pytest.raises(ValueError, match="stale index|truncated CRAM"):
+        CramSource().read(
+            spark, str(p), reference_path=str(res / "valid.fasta")
+        ).count()
+    ivs = spark.createDataFrame(
+        [("chr1", 1, 10_000_000)], "contig string, start long, end long"
+    )
+    with pytest.raises(Exception, match="stale index|truncated CRAM"):
+        CramSource().read(
+            spark,
+            str(p),
+            reference_path=str(res / "valid.fasta"),
+            intervals=ivs,
+        ).count()
