@@ -191,6 +191,16 @@ def _read_records_in_chunk(
     with open_prefetched(fs, path) as fh:
         fh.seek(0, 2)
         flen = fh.tell()
+        if c0 >= flen > 0:
+            # chunk starts come from split planning (always < flen) or a
+            # .bai/.csi index — a chunk beyond end-of-file means the index
+            # references data the file no longer holds; yielding nothing
+            # here would be silent tail loss
+            raise ValueError(
+                f"{path}: chunk start voffset {vstart:#x} (compressed "
+                f"offset {c0}) is at/past end-of-file ({flen}) — "
+                "truncated BAM or stale index"
+            )
         buf = bytearray()
         bases: list[tuple[int, int]] = []  # (buffer offset of block start, cpos)
         next_cpos = c0

@@ -89,11 +89,21 @@ def _parse_block_at(buf: bytes, off: int) -> tuple[int, int] | None:
 
 
 def read_block_header(fh: BinaryIO, pos: int) -> tuple[int, int] | None:
-    """Read the block at ``pos``; return (c_size, u_size) or None at EOF."""
+    """Read the block at ``pos``; return (c_size, u_size) or None at EXACT
+    end-of-file.  A PARTIAL header (1..17 bytes) is truncation, not EOF —
+    returning None for it let a cut that landed between a record end and
+    the next block's 18th byte read back as a clean stop with no error
+    (callers sit on a validated block chain, so short bytes here can only
+    mean the file was cut)."""
     fh.seek(pos)
     head = fh.read(HEADER_SIZE)
-    if len(head) < HEADER_SIZE:
+    if not head:
         return None
+    if len(head) < HEADER_SIZE:
+        raise ValueError(
+            f"truncated BGZF block header at offset {pos} "
+            f"({len(head)} of {HEADER_SIZE} bytes)"
+        )
     # second read sized by the declared XLEN so spec-valid blocks with extra
     # gzip subfields (XLEN > the BC-only 6) still parse
     xlen = struct.unpack_from("<H", head, 10)[0]

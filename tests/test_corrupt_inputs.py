@@ -171,3 +171,57 @@ def test_truncated_cram_with_intact_crai_raises(spark, tmp_path):
             reference_path=str(res / "valid.fasta"),
             intervals=ivs,
         ).count()
+
+
+def test_bam_partial_next_block_header_raises(spark, tmp_path):
+    """A cut leaving 1..17 bytes of the NEXT block's header used to read
+    back as a clean stop (read_block_header returned None for any short
+    read, conflating partial headers with exact EOF) — it must raise."""
+    from disq_original_spark.sources.bgzf import BgzfBlock, read_block_header
+
+    data = Path(BAM).read_bytes()
+    # find a mid-file block start by walking the chain
+    pos, starts = 0, []
+    with open(BAM, "rb") as fh:
+        while True:
+            hdr = read_block_header(fh, pos)
+            if hdr is None:
+                break
+            starts.append(pos)
+            pos += hdr[0]
+    mid = starts[len(starts) // 2]
+    p = tmp_path / "partial_hdr.bam"
+    p.write_bytes(data[: mid + 10])  # 10 of the 18 header bytes
+    with pytest.raises(Exception):
+        BamSource().read(spark, str(p), split_size=128 * 1024).count()
+
+
+def test_truncated_bam_with_intact_bai_interval_read_raises(spark, tmp_path):
+    """Truncated BAM beside the ORIGINAL .bai: the interval fast path's
+    index chunks point past end-of-file and must raise (stale index /
+    truncated data), never yield a silently-reduced result."""
+    import shutil
+
+    from disq_original_spark.sources.bam import BamSink, BamSource
+    from disq_original_spark.sources.headers import read_bam_header
+
+    # build a coordinate-sorted BAM + write-time .bai from the fixture
+    header, _refs, _fv = read_bam_header(BAM)
+    reads = BamSource().read(spark, BAM, split_size=300 * 1024)
+    from disq_original_spark.operators.sort import coordinate_sort, set_sort_order
+
+    header = set_sort_order(header, "coordinate")
+    full = str(tmp_path / "sorted.bam")
+    BamSink().write(coordinate_sort(reads, header), header, full, write_bai=True)
+    data = Path(full).read_bytes()
+    p = tmp_path / "trunc.bam"
+    p.write_bytes(data[: int(len(data) * 0.5) | 1])
+    shutil.copy(full + ".bai", str(p) + ".bai")
+    contig = header.contigs[0][0]
+    ivs = spark.createDataFrame(
+        [(contig, 1, 300_000_000)], "contig string, start long, end long"
+    )
+    with pytest.raises(Exception):
+        BamSource().read(
+            spark, str(p), intervals=ivs, split_size=128 * 1024
+        ).count()
