@@ -113,7 +113,13 @@ def read_block_header(fh: BinaryIO, pos: int) -> tuple[int, int] | None:
         raise ValueError(f"not a BGZF block at offset {pos}")
     c_size, _ = parsed
     fh.seek(pos + c_size - 4)
-    isize = struct.unpack("<I", fh.read(4))[0]
+    tail = fh.read(4)
+    if len(tail) < 4:
+        raise ValueError(
+            f"truncated BGZF block at offset {pos}: header declares "
+            f"{c_size} compressed bytes but the file ends first"
+        )
+    isize = struct.unpack("<I", tail)[0]
     return c_size, isize
 
 

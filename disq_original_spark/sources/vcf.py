@@ -295,6 +295,17 @@ def _read_bgzf_lines(
                 from .csi import parse_csi
 
                 franges = csi_ranges(parse_csi(csi), ivs)
+        if franges is not None and any(
+            s >= flen or e > flen for s, e in franges
+        ):
+            # split tiles only cover [0, flen), so index ranges past EOF
+            # would be silently pruned away and the requested intervals'
+            # missing tail would vanish from the result — same refuse-
+            # stale-index contract as the CRAM .crai and BAM .bai paths
+            raise ValueError(
+                f"{f}: index references compressed bytes past end-of-file "
+                f"({flen}) — truncated VCF or stale index"
+            )
         return (f, flen, franges)
 
     ranges: list[tuple[str, int, int]] = []

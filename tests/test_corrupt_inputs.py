@@ -225,3 +225,26 @@ def test_truncated_bam_with_intact_bai_interval_read_raises(spark, tmp_path):
         BamSource().read(
             spark, str(p), intervals=ivs, split_size=128 * 1024
         ).count()
+
+
+def test_truncated_vcf_with_intact_tbi_interval_read_raises(spark, tmp_path):
+    """Truncated BGZF-VCF beside its original tabix index: the pruned
+    tiles only cover surviving bytes, so without a check the requested
+    intervals' missing tail would silently vanish from the result."""
+    import shutil
+
+    res = Path("/root/reference/src/test/resources")
+    src = res / "HiSeq.10000.vcf.bgz"
+    assert (res / "HiSeq.10000.vcf.bgz.tbi").exists()
+    data = src.read_bytes()
+    p = tmp_path / "trunc.vcf.bgz"
+    # cut at 90% — late enough that the header scan (which inflates an
+    # early ~1 MB uncompressed chunk) succeeds, so the failure exercised
+    # is the stale-index planning check, not the header read
+    p.write_bytes(data[: int(len(data) * 0.9)])
+    shutil.copy(res / "HiSeq.10000.vcf.bgz.tbi", str(p) + ".tbi")
+    ivs = spark.createDataFrame(
+        [("chr1", 1, 2_000_000_000)], "contig string, start long, end long"
+    )
+    with pytest.raises(Exception, match="stale index|truncated VCF"):
+        VcfSource().read(spark, str(p), intervals=ivs).count()
