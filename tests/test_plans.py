@@ -776,3 +776,34 @@ def test_q55_single_revenue_aggregate_max_broadcast(spark, sf_dir):
         "l_suppkey", "l_extendedprice", "l_discount",
         "s_suppkey", "s_name",
     }
+
+
+def test_q07_semi_join_pushes_quantity_filter(spark, sf_dir):
+    """The de-vacuized q07: LeftSemi hash join, the quantity predicate
+    reaching the lineitem scan, and only the two key columns read."""
+    df = QUERIES["q07_semi_join"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan
+    assert has_pushed_filter(df, "l_quantity")
+    assert set(read_schema_columns(df)) <= {"p_partkey", "l_partkey", "l_quantity"}
+
+
+def test_q19_union_topk_no_global_sort(spark, sf_dir):
+    """q19's descending top-k must stay TakeOrderedAndProject over the
+    union (per-partition top-k, driver merge) — never a global sort."""
+    df = QUERIES["q19_union_all"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Union" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert set(read_schema_columns(df)) <= {"o_orderkey"}
+
+
+def test_q20_intersect_pushes_both_side_filters(spark, sf_dir):
+    """q20's selective sides: both the quantity and part-type predicates
+    reach their scans, so the intersect's shuffle carries only the
+    surviving keys."""
+    df = QUERIES["q20_intersect"].build(spark, sf_dir)
+    assert has_pushed_filter(df, "l_quantity")
+    assert has_pushed_filter(df, "p_type")
+    cols = set(read_schema_columns(df))
+    assert cols <= {"l_partkey", "l_quantity", "p_partkey", "p_type"}
