@@ -56,8 +56,9 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 #   (a) g27_coverage_uniformity FIRST — its gini_num/gini_den now travel
 #       as exact digit STRINGs (hash-stable in both engines, ADVICE r8
 #       fix), so this window must produce its first green row since r5;
-#   (b) the ENTIRE r6-witnessed block (45 queries) — after this window
-#       nothing in the registry is older than r7;
+#   (b) 41 of the 45 r6-witnessed queries — q22/q23/q24/q25 (stable,
+#       unchanged since their r6 witnesses) are deliberately deferred to
+#       round 10, inside the capacity-derived 4-round cycle;
 #   (c) the 8 queries NEW in round 9 (q51/q52/d15/p13 from the early
 #       round-9 work, q53/q54/q55/st09 added later in the round) —
 #       never-witnessed code outranks re-witnessing unchanged entries:

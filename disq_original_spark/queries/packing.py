@@ -367,7 +367,14 @@ def _p05_oracle() -> str:
         k AS (SELECT * FROM d WHERE rn = 1 AND kh < rate)
         SELECT lang, source, count(*) AS n_docs,
                CAST(sum(toks) AS BIGINT) AS total_tokens,
-               round(avg(quality), 4) AS avg_quality
+               -- exact integer mean: per-doc quality is already 4-rounded,
+               -- so round(quality*10000) recovers its e4 integer exactly;
+               -- integer sums are addition-order-independent (a float
+               -- avg() here flipped 0.5913 vs 0.5912 between runs at
+               -- sf0.1 — partial-sum order is not deterministic), and the
+               -- half-up mean is one exact floor on small integers
+               floor((2 * sum(CAST(round(quality * 10000) AS BIGINT))
+                      + count(*)) / (2 * count(*))) / 10000.0 AS avg_quality
         FROM k GROUP BY lang, source ORDER BY lang, source"""
 
 
@@ -420,12 +427,32 @@ def p05(spark: SparkSession, sf: str) -> DataFrame:
         q.withColumn("rn", rn)
         .filter((F.col("rn") == 1) & (F.col("kh") < F.col("rate")))
     )
+    # The mean travels as EXACT integers: per-doc quality is already
+    # 4-rounded, so round(quality*10000) recovers its e4 integer exactly;
+    # integer sums are addition-order-independent, where a float
+    # avg(quality) flipped its 4th decimal between runs at sf0.1 (the
+    # partial-aggregation order is not deterministic).  Half-up mean =
+    # floor((2s+n)/2n), exact in double for these magnitudes (< 2^53).
+    q_e4 = F.round(F.col("quality") * 10000).cast("long")
     return (
         k.groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("toks").cast("long").alias("total_tokens"),
-            F.round(F.avg("quality"), 4).alias("avg_quality"),
+            F.sum(q_e4).alias("_s_e4"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_tokens",
+            (
+                F.floor(
+                    (2 * F.col("_s_e4") + F.col("n_docs"))
+                    / (2 * F.col("n_docs"))
+                )
+                / 10000.0
+            ).alias("avg_quality"),
         )
         .orderBy("lang", "source")
     )

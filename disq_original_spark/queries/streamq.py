@@ -360,8 +360,13 @@ def st09(spark: SparkSession, sf: str) -> DataFrame:
     Staging writes go to a per-(sf,pid) temp dir — harness plumbing, like
     the memory sink; the operator under test is the streaming plan.  The
     150-minute delay is deliberately NOT a whole hour: the final
-    watermark (max ts - 2h30m) can never coincide with an hour-window
-    boundary, so the emitted-set comparison is boundary-safe."""
+    watermark (max ts - 2h30m) lands on an hour-window boundary only if
+    max(ts) falls exactly on minute 30 with zero seconds/micros — the
+    event timestamps are microsecond-random, so the <= in the oracle's
+    emitted-window cutoff never has to agree with Spark's eviction
+    strictness on an exact tie.  (Data-dependent, not structural: if a
+    future testdata generation pins max(ts) to a half-hour, revisit the
+    delay before trusting a red hash.)"""
     import datetime
     import glob as _glob
     import hashlib

@@ -192,10 +192,11 @@ def _read_records_in_chunk(
         fh.seek(0, 2)
         flen = fh.tell()
         if c0 >= flen > 0:
-            # chunk starts come from split planning (always < flen) or a
-            # .bai/.csi index — a chunk beyond end-of-file means the index
-            # references data the file no longer holds; yielding nothing
-            # here would be silent tail loss
+            # defense-in-depth only: split planning tiles [0, flen) and
+            # index ranges are validated against flen at PLANNING time
+            # (plan_file_meta), so this cannot fire from those paths — it
+            # guards direct _read_records_in_chunk callers against a
+            # chunk beyond end-of-file ever yielding nothing silently
             raise ValueError(
                 f"{path}: chunk start voffset {vstart:#x} (compressed "
                 f"offset {c0}) is at/past end-of-file ({flen}) — "
@@ -523,17 +524,64 @@ def _collect_file_metadata(
         sbi_path = f + ".sbi"
         sbi = SbiIndex.load(sbi_path) if use_sbi and fs.exists(sbi_path) else None
         bai_ranges = None
+        max_coff = None
         if ivs is not None and fs.exists(f + ".bai"):
             from .bai import parse_bai, voffset_ranges_for_intervals
 
-            bai_ranges = voffset_ranges_for_intervals(parse_bai(f + ".bai"), ivs)
+            idx = parse_bai(f + ".bai")
+            bai_ranges = voffset_ranges_for_intervals(idx, ivs)
+            # whole-index max (bin 37450 excluded: the SAM-spec pseudo-bin
+            # carries mapped/unmapped COUNTS as fake chunk values)
+            max_coff = max(
+                (
+                    v >> 16
+                    for b in idx.bins
+                    for bid, ch in b.items()
+                    if bid != 37450
+                    for _u, v in ch
+                ),
+                default=None,
+            )
         elif ivs is not None and fs.exists(f + ".csi"):
             # CSI fallback: same R-tree query with parameterized binning —
             # contigs >2^29 bp can only ship a .csi
             from .csi import parse_csi
             from .csi import voffset_ranges_for_intervals as csi_ranges
 
-            bai_ranges = csi_ranges(parse_csi(f + ".csi"), ivs)
+            idx = parse_csi(f + ".csi")
+            bai_ranges = csi_ranges(idx, ivs)
+            max_real_bin = ((1 << (3 * (idx.depth + 1))) - 1) // 7
+            max_coff = max(
+                (
+                    v >> 16
+                    for b in idx.bins
+                    for bid, (_loff, ch) in b.items()
+                    if bid <= max_real_bin
+                    for _u, v in ch
+                ),
+                default=None,
+            )
+        if max_coff is not None and max_coff > flen:
+            # records_for_split clips every index range to its split's
+            # [vstart, vend), and splits tile [0, flen) — so a range
+            # pointing past end-of-file would be silently dropped and the
+            # requested intervals' missing tail would vanish from the
+            # result.  Same refuse-stale-index contract as the CRAM
+            # .crai and VCF tabix paths: raise at planning time, over the
+            # WHOLE index (the index is authoritative about what the file
+            # must contain, regardless of which intervals this query asks
+            # for).
+            raise ValueError(
+                f"{f}: index references compressed offset {max_coff} past "
+                f"end-of-file ({flen}) — truncated BAM or stale index"
+            )
+        if sbi is not None and sbi.offsets and (sbi.offsets[-1] >> 16) >= flen:
+            # same contract for the .sbi split index: its last record
+            # voffset must lie inside the file
+            raise ValueError(
+                f"{f}: .sbi references record voffset {sbi.offsets[-1]:#x} "
+                f"past end-of-file ({flen}) — truncated BAM or stale index"
+            )
         return (f, flen, sbi.offsets if sbi else None, bai_ranges)
 
     return collect_metadata(spark, files, meta_for, job_threshold)

@@ -282,29 +282,61 @@ def _read_bgzf_lines(
                 )
         flen = fs.size(f)
         franges = None
+        max_coff = None
         if ivs is not None:
             tbi, csi = f + ".tbi", f + ".csi"
             if fs.exists(tbi):
                 from .tabix import file_ranges_for_intervals, parse_tabix
 
-                franges = file_ranges_for_intervals(parse_tabix(tbi), ivs)
+                idx = parse_tabix(tbi)
+                franges = file_ranges_for_intervals(idx, ivs)
+                # bin 37450 is the SAM-spec pseudo-bin: its "chunks" are
+                # (span voffsets) + (mapped, unmapped COUNTS) — the counts
+                # are not offsets and must not feed the max
+                max_coff = max(
+                    (
+                        v >> 16
+                        for b in idx.bins
+                        for bid, ch in b.items()
+                        if bid != 37450
+                        for _u, v in ch
+                    ),
+                    default=None,
+                )
             elif fs.exists(csi):
                 # tabix-flavored CSI fallback (contigs >2^29 bp can only
                 # ship a .csi; `tabix -C` output)
                 from .csi import file_ranges_for_intervals as csi_ranges
                 from .csi import parse_csi
 
-                franges = csi_ranges(parse_csi(csi), ivs)
-        if franges is not None and any(
-            s >= flen or e > flen for s, e in franges
-        ):
+                idx = parse_csi(csi)
+                franges = csi_ranges(idx, ivs)
+                # CSI pseudo-bins sit above the deepest real bin for the
+                # index's depth; their "chunks" are counts, not offsets
+                max_real_bin = ((1 << (3 * (idx.depth + 1))) - 1) // 7
+                max_coff = max(
+                    (
+                        v >> 16
+                        for b in idx.bins
+                        for bid, (_loff, ch) in b.items()
+                        if bid <= max_real_bin
+                        for _u, v in ch
+                    ),
+                    default=None,
+                )
+        if max_coff is not None and max_coff > flen:
             # split tiles only cover [0, flen), so index ranges past EOF
             # would be silently pruned away and the requested intervals'
             # missing tail would vanish from the result — same refuse-
-            # stale-index contract as the CRAM .crai and BAM .bai paths
+            # stale-index contract as the CRAM .crai and BAM .bai paths.
+            # The check is over the WHOLE index (its max chunk end), not
+            # just the ranges the requested intervals touch: the index is
+            # authoritative about what the file must contain, so a file
+            # shorter than the index promises is untrustworthy regardless
+            # of which intervals this particular query asks for.
             raise ValueError(
-                f"{f}: index references compressed bytes past end-of-file "
-                f"({flen}) — truncated VCF or stale index"
+                f"{f}: index references compressed offset {max_coff} past "
+                f"end-of-file ({flen}) — truncated VCF or stale index"
             )
         return (f, flen, franges)
 

@@ -248,3 +248,66 @@ def test_truncated_vcf_with_intact_tbi_interval_read_raises(spark, tmp_path):
     )
     with pytest.raises(Exception, match="stale index|truncated VCF"):
         VcfSource().read(spark, str(p), intervals=ivs).count()
+
+
+def _block_boundary_cut(path: str, frac: float = 0.6) -> int:
+    """A truncation point EXACTLY on a BGZF block boundary near ``frac``
+    of the file — the cut no CRC/partial-header check can see."""
+    from disq_original_spark.sources.bgzf import read_block_header
+
+    target = Path(path).stat().st_size * frac
+    pos, best = 0, 0
+    with open(path, "rb") as fh:
+        while True:
+            hdr = read_block_header(fh, pos)
+            if hdr is None:
+                break
+            if pos and abs(pos - target) < abs(best - target):
+                best = pos
+            pos += hdr[0]
+    assert best > 0
+    return best
+
+
+def test_block_boundary_truncated_bam_with_bai_raises_at_planning(spark, tmp_path):
+    """Truncation EXACTLY at a block boundary defeats every decode-level
+    check (no partial block exists) — the .bai planning validation is the
+    only thing standing between a stale index and a silently narrowed
+    interval result."""
+    import shutil
+
+    from disq_original_spark.operators.sort import coordinate_sort, set_sort_order
+    from disq_original_spark.sources.bam import BamSink, BamSource
+    from disq_original_spark.sources.headers import read_bam_header
+
+    header, _refs, _fv = read_bam_header(BAM)
+    header = set_sort_order(header, "coordinate")
+    reads = BamSource().read(spark, BAM, split_size=300 * 1024)
+    full = str(tmp_path / "sorted.bam")
+    BamSink().write(coordinate_sort(reads, header), header, full, write_bai=True)
+    cut = _block_boundary_cut(full)
+    p = tmp_path / "btrunc.bam"
+    p.write_bytes(Path(full).read_bytes()[:cut])
+    shutil.copy(full + ".bai", str(p) + ".bai")
+    contig = header.contigs[0][0]
+    ivs = spark.createDataFrame(
+        [(contig, 1, 300_000_000)], "contig string, start long, end long"
+    )
+    with pytest.raises(Exception, match="stale index|truncated BAM"):
+        BamSource().read(
+            spark, str(p), intervals=ivs, split_size=128 * 1024
+        ).count()
+
+
+def test_block_boundary_truncated_bam_with_sbi_raises_at_planning(spark, tmp_path):
+    """Same boundary cut beside the original .sbi: the split index's end
+    sentinel points past the surviving bytes and planning must refuse."""
+    import shutil
+
+    src = "/root/reference/src/test/resources/1-with-splitting-index.bam"
+    cut = _block_boundary_cut(src)
+    p = tmp_path / "strunc.bam"
+    p.write_bytes(Path(src).read_bytes()[:cut])
+    shutil.copy(src + ".sbi", str(p) + ".sbi")
+    with pytest.raises(Exception, match="stale index|truncated BAM"):
+        BamSource().read(spark, str(p), split_size=128 * 1024).count()

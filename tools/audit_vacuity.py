@@ -24,7 +24,7 @@ Flags (per query):
                          with a reason; anything else is suspicious.
 
 Usage (from the repo root; takes a few minutes — one Spark session,
-149 queries × 2 scale factors):
+the full registry × 2 scale factors):
 
     python tools/audit_vacuity.py [small_sf_dir] [big_sf_dir]
 
@@ -79,18 +79,6 @@ ALLOW_SF_INSENSITIVE: dict[str, str] = {
 }
 
 
-def _trivial(v: object) -> bool:
-    if v is None:
-        return True
-    if isinstance(v, (int, float)) and not isinstance(v, bool):
-        return v == 0
-    if isinstance(v, str):
-        return v == ""
-    if isinstance(v, (list, tuple, dict)):
-        return len(v) == 0
-    return False
-
-
 def _canon(rows: list) -> list[tuple]:
     out = []
     for r in rows:
@@ -123,7 +111,8 @@ def audit(small_sf: str, big_sf: str) -> dict[str, dict]:
             flags.append("empty")
         else:
             cells = [v for row in big for (_k, v) in row]
-            # repr-ed cells: recover triviality on the canonical form
+            # triviality is decided on the canonical (repr-ed) cells —
+            # the single source of truth for "this cell says nothing"
             if all(v in ("None", "0", "0.0", "''", '""', "[]", "{}", "()") for v in cells):
                 flags.append("all_trivial")
             if len(big) > 1:

@@ -1,11 +1,15 @@
 """One-off differential check for a named subset of queries, at several
-scale factors, mirroring the driver compare (sorted columns, repr rows).
+scale factors, using THE SAME compare as simulate_driver_window.py
+(imported, not copied — a diverged copy once lacked the DECIMAL
+pandas-fetch risk rule and gave false 'green' for exactly the bug class
+this tool pre-catches).
 
     python tools/check_new_queries.py q53_tpch_q17 q54_tpch_q20 ...
 """
 
 from __future__ import annotations
 
+import importlib.util
 import sys
 from pathlib import Path
 
@@ -16,6 +20,13 @@ import duckdb
 from disq_original_spark.queries import QUERIES
 from disq_original_spark.session import get_spark
 from disq_original_spark.tables import TABLES
+
+_spec = importlib.util.spec_from_file_location(
+    "simwin", Path(__file__).resolve().parent / "simulate_driver_window.py"
+)
+_simwin = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_simwin)
+compare_query = _simwin.compare_query
 
 
 def main() -> int:
@@ -31,36 +42,10 @@ def main() -> int:
             )
         for name in names:
             q = QUERIES[name]
-            df = q.build(spark, sf)
-            cols = sorted(df.columns)
-            rows = sorted(repr(tuple(r[c] for c in cols)) for r in df.collect())
-            rel = con.sql(q.oracle)
-            ocols = list(rel.columns)
-            risky = [
-                f"{c}:{t}"
-                for c, t in zip(ocols, (str(t) for t in rel.types))
-                if str(t) in ("HUGEINT", "UHUGEINT", "UBIGINT")
-            ]
-            oidx = [ocols.index(c) for c in sorted(ocols)]
-            orows = sorted(
-                repr(tuple(r[i] for i in oidx)) for r in rel.fetchall()
-            )
-            ok = cols == sorted(ocols) and rows == orows and not risky
-            print(
-                f"{sf.rsplit('/',1)[1]} {name}: "
-                + ("green" if ok else "BAD")
-                + f" rows={len(rows)}"
-                + (f" risky={risky}" if risky else "")
-            )
-            if not ok:
+            status = compare_query(q.build(spark, sf), con.sql(q.oracle))
+            print(f"{sf.rsplit('/', 1)[1]} {name}: {status}")
+            if not status.startswith("green"):
                 rc = 1
-                if cols != sorted(ocols):
-                    print("  cols", cols, "vs", sorted(ocols))
-                for a, b in list(zip(rows, orows))[:3]:
-                    if a != b:
-                        print("  ", a, "vs", b)
-                if len(rows) != len(orows):
-                    print("  rowcount", len(rows), "vs", len(orows))
     return rc
 
 

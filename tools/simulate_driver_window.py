@@ -92,6 +92,47 @@ def freshness() -> int:
     return 1 if out["stale_beyond_cycle_not_in_window"] else 0
 
 
+def compare_query(df, rel) -> str:
+    """The driver's compare, shared by this tool and check_new_queries.py
+    (a diverged copy once let a DECIMAL oracle print 'green' in the
+    pre-flight tool and PANDAS_FETCH_RISK in the full mirror): sorted
+    column names, exact repr rows, plus the pandas-fetch risk flag.
+    Returns 'green:<n>' or a BAD status string."""
+    cols = sorted(df.columns)
+    rows = [tuple(r[c] for c in cols) for r in df.collect()]
+    ocols = list(rel.columns)
+    # fetchall() yields exact Python ints/Decimals, but the REAL driver
+    # fetches through pandas, where HUGEINT / UBIGINT / wide DECIMAL
+    # render as float64 ('123.0' vs Spark's '123') and hash-mismatch even
+    # on identical values — the r8 g27 lesson, re-hit by q52/p13 in r9
+    # (DuckDB silently widens sum(BIGINT) to HUGEINT).  Flag those types
+    # as BAD so a round never ships an oracle the driver can't witness.
+    spark_double = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in ("double", "float")
+    }
+    risky = [
+        f"{c}:{t}"
+        for c, t in zip(ocols, (str(t) for t in rel.types))
+        if t in ("HUGEINT", "UHUGEINT", "UBIGINT")
+        or (t.startswith("DECIMAL") and c not in spark_double)
+    ]
+    oidx = [ocols.index(c) for c in sorted(ocols)]
+    orows = [tuple(r[i] for i in oidx) for r in rel.fetchall()]
+    if risky:
+        return f"PANDAS_FETCH_RISK {risky}"
+    if sorted(ocols) != cols:
+        return f"SCHEMA_MISMATCH spark={cols} oracle={sorted(ocols)}"
+    if len(rows) != len(orows):
+        return f"ROWCOUNT {len(rows)} vs {len(orows)}"
+    a, b = sorted(map(repr, rows)), sorted(map(repr, orows))
+    if a != b:
+        diff = [(x, y) for x, y in zip(a, b) if x != y][:2]
+        return f"VALUE_MISMATCH {diff}"
+    return f"green:{len(a)}"
+
+
 def main() -> int:
     import __spark_entry__ as se
     from disq_original_spark.session import get_spark
@@ -120,48 +161,10 @@ def main() -> int:
     for name in (list(qs) if sweep_all else list(qs)[:50]):
         try:
             df = qs[name](spark, sf)
-            cols = sorted(df.columns)
-            rows = [tuple(r[c] for c in cols) for r in df.collect()]
             if name not in osql:
-                results[name] = f"rows_only:{len(rows)}"
+                results[name] = f"rows_only:{df.count()}"
                 continue
-            rel = con.sql(osql[name])
-            ocols = list(rel.columns)
-            # fetchall() yields exact Python ints/Decimals, but the REAL
-            # driver fetches through pandas, where HUGEINT / UBIGINT /
-            # wide DECIMAL render as float64 ('123.0' vs Spark's '123')
-            # and hash-mismatch even on identical values — the r8 g27
-            # lesson, re-hit by q52/p13 in r9 (DuckDB silently widens
-            # sum(BIGINT) to HUGEINT).  Flag those types as BAD here so
-            # the round never ships an oracle the driver can't witness.
-            spark_double = {
-                f.name
-                for f in df.schema.fields
-                if f.dataType.typeName() in ("double", "float")
-            }
-            risky = [
-                f"{c}:{t}"
-                for c, t in zip(ocols, (str(t) for t in rel.types))
-                if t in ("HUGEINT", "UHUGEINT", "UBIGINT")
-                or (t.startswith("DECIMAL") and c not in spark_double)
-            ]
-            oidx = [ocols.index(c) for c in sorted(ocols)]
-            orows = [tuple(r[i] for i in oidx) for r in rel.fetchall()]
-            if risky:
-                results[name] = f"PANDAS_FETCH_RISK {risky}"
-            elif sorted(ocols) != cols:
-                results[name] = (
-                    f"SCHEMA_MISMATCH spark={cols} oracle={sorted(ocols)}"
-                )
-            elif len(rows) != len(orows):
-                results[name] = f"ROWCOUNT {len(rows)} vs {len(orows)}"
-            else:
-                a, b = sorted(map(repr, rows)), sorted(map(repr, orows))
-                if a != b:
-                    diff = [(x, y) for x, y in zip(a, b) if x != y][:2]
-                    results[name] = f"VALUE_MISMATCH {diff}"
-                else:
-                    results[name] = f"green:{len(a)}"
+            results[name] = compare_query(df, con.sql(osql[name]))
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
             results[name] = "ERROR " + repr(e)[:200]
 
