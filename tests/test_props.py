@@ -457,3 +457,21 @@ def test_text_normalization_cross_engine_adversarial(spark):
             assert spark_toks[i] != duck_toks[i], f"divergence healed? {s!r}"
         else:
             assert spark_toks[i] == duck_toks[i], (s, spark_toks[i], duck_toks[i])
+
+
+def test_encode_unknown_bases_map_to_n_in_both_nibble_positions():
+    """Unknown sequence characters encode as code 15 ('N') regardless of
+    nibble position.  (The pre-r9 per-base loop mapped odd-position
+    unknowns to 0 == '=', an inconsistency nothing pinned; the hex-trick
+    encoder is position-uniform by construction.)"""
+    from disq_original_spark.sources.bam_codec import encode_record, parse_record
+
+    row = {
+        "qname": "u", "flag": 4, "rname": None, "pos": 0, "mapq": 0,
+        "cigar": "*", "rnext": None, "pnext": 0, "tlen": 0,
+        # unknowns in even (X) and odd (Z, ?) positions, plus lowercase
+        "seq": "AXGZacN?T", "qual": "IIIIIIIII", "attributes": {},
+    }
+    blob = encode_record(row, {})
+    back, _ = parse_record(memoryview(blob), 0, [], None)
+    assert back["seq"] == "ANGNNNNNT"
