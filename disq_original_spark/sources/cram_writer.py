@@ -154,25 +154,59 @@ def _cigar_tuples(cigar: str) -> list[tuple[int, str]]:
     return out
 
 
+# (sm, ref_byte, read_byte) -> substitution code; distinct keys are tiny
+# on real data (one sm per container x <=25 base pairs) but adversarial
+# inputs could churn arbitrary byte pairs, so cap-and-clear
+_SUB_CODE_MEMO: dict[tuple[bytes, int, int], int | None] = {}
+
+
 def features_from_alignment(
     seq: str, qual: str, cigar: str, pos: int, ref: bytes, sm: bytes
 ) -> list[tuple[int, str, object]]:
-    """Diff an aligned read against the reference into CRAM features."""
+    """Diff an aligned read against the reference into CRAM features.
+
+    The M/=/X scan is segment-at-a-time: both sides are uppercased ONCE
+    and compared as bytes, so a fully-matching run (the overwhelmingly
+    common case) costs one C-level equality instead of per-base
+    chr/upper/find — only mismatching runs fall back to the per-base
+    walk, and the substitution code is memoized per (sm, ref, read)
+    byte pair.  Feature values are identical to the per-base form: X
+    codes compare case-insensitively, B features carry the ORIGINAL
+    (case-preserved) read base."""
     feats: list[tuple[int, str, object]] = []
     read_p = 0  # 0-based
     ref_p = pos - 1
+    memo = _SUB_CODE_MEMO
     for n, op in _cigar_tuples(cigar):
         if op in "M=X":
-            for k in range(n):
-                rb = chr(ref[ref_p + k]) if 0 <= ref_p + k < len(ref) else "N"
-                sb = seq[read_p + k]
-                if sb.upper() != rb.upper():
-                    code = _sub_code(sm, rb, sb)
-                    if code is not None:
-                        feats.append((read_p + k + 1, "X", code))
-                    else:
-                        q = (ord(qual[read_p + k]) - 33) if qual != "*" else 30
-                        feats.append((read_p + k + 1, "B", (ord(sb), q)))
+            # reference segment with the out-of-range -> 'N' semantics
+            lo = max(0, ref_p)
+            core = ref[lo : max(lo, min(len(ref), ref_p + n))].upper()
+            b = (b"N" * (lo - ref_p) + core) if ref_p < 0 else core
+            if len(b) < n:
+                b += b"N" * (n - len(b))
+            a = seq[read_p : read_p + n].upper().encode("ascii", "replace")
+            if a != b:
+                for k in range(n):
+                    if a[k] != b[k]:
+                        key = (sm, b[k], a[k])
+                        try:
+                            code = memo[key]
+                        except KeyError:
+                            if len(memo) > 4096:
+                                memo.clear()
+                            code = memo[key] = _sub_code(sm, chr(b[k]), chr(a[k]))
+                        if code is not None:
+                            feats.append((read_p + k + 1, "X", code))
+                        else:
+                            q = (
+                                (ord(qual[read_p + k]) - 33)
+                                if qual != "*"
+                                else 30
+                            )
+                            feats.append(
+                                (read_p + k + 1, "B", (ord(seq[read_p + k]), q))
+                            )
             read_p += n
             ref_p += n
         elif op == "I":

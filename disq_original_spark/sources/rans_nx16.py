@@ -314,11 +314,33 @@ def _encode_o1_stream(data: bytes, n_states: int, shift: int = TF_SHIFT) -> byte
     """``shift`` is 12 by default; 10 is the spec's reduced-precision
     profile (smaller tables, slightly worse ratio) — the encoder emits it
     only when asked (tests), the decoder accepts both."""
+    # (ctx, sym) counts are ORDER-INDEPENDENT: they equal the adjacent
+    # bigram multiset of `data` with each slice's first byte re-keyed to
+    # context 0 — Counter(zip(...)) counts the bigrams at C speed instead
+    # of driving the 2-tuples-per-byte generator a first time (the encode
+    # pass below still walks the exact reverse order, where order matters)
+    from collections import Counter
+
     counts: dict[int, list[int]] = {}
     alpha = set(data)
-    for j, ctx, sym in _o1_pairs_reverse(data, n_states):
-        counts.setdefault(ctx, [0] * 256)[sym] += 1
-        alpha.add(ctx)
+    if len(data) // n_states == 0:
+        # tiny input: slices collide at bound 0 and the bigram arithmetic
+        # below would miscount — walk the exact pair stream instead
+        for _j, ctx, sym in _o1_pairs_reverse(data, n_states):
+            counts.setdefault(ctx, [0] * 256)[sym] += 1
+            alpha.add(ctx)
+    else:
+        bounds = _slice_bounds(len(data), n_states)
+        bigrams = Counter(zip(data, data[1:]))
+        for j in range(1, n_states):
+            b = bounds[j]  # >= 1 here (step >= 1), so b-1 never wraps
+            bigrams[(data[b - 1], data[b])] -= 1
+            bigrams[(0, data[b])] += 1
+        bigrams[(0, data[0])] += 1  # state 0's first byte has context 0
+        for (ctx, sym), c in bigrams.items():
+            if c:
+                counts.setdefault(ctx, [0] * 256)[sym] += c
+                alpha.add(ctx)
     freqs = {c: _normalize(row, 1 << shift) for c, row in counts.items()}
     table = _write_freq_table_o1(freqs, sorted(alpha))
     # table-compression option: nest the table through the bare order-0
@@ -339,15 +361,39 @@ def _encode_o1_stream(data: bytes, n_states: int, shift: int = TF_SHIFT) -> byte
     cums = {c: _cumulative(f) for c, f in freqs.items()}
     states = [RANS_NX16_L] * n_states
     out = bytearray()
-    for j, ctx, sym in _o1_pairs_reverse(data, n_states):
+    # the exact reverse pair order of _o1_pairs_reverse, inlined: the
+    # generator's tuple-per-byte overhead was ~15% of the encode stream
+    # (this loop is the per-core 3.1 write frontier)
+    ebounds = _slice_bounds(len(data), n_states)
+    estep = len(data) // n_states
+    last = n_states - 1
+    append = out.append
+    renorm_base = (RANS_NX16_L >> shift) << 16
+    x = states[last]
+    for p in range(len(data) - 1, ebounds[last] + estep - 1, -1):
+        ctx = data[p - 1] if p > ebounds[last] else 0
+        sym = data[p]
         f = freqs[ctx][sym]
-        x = states[j]
-        x_max = ((RANS_NX16_L >> shift) << 16) * f
+        x_max = renorm_base * f
         while x >= x_max:
-            out.append((x >> 8) & 0xFF)
-            out.append(x & 0xFF)
+            append((x >> 8) & 0xFF)
+            append(x & 0xFF)
             x >>= 16
-        states[j] = ((x // f) << shift) + (x % f) + cums[ctx][sym]
+        x = ((x // f) << shift) + (x % f) + cums[ctx][sym]
+    states[last] = x
+    for t in range(estep - 1, -1, -1):
+        for j in range(last, -1, -1):
+            p = ebounds[j] + t
+            ctx = data[p - 1] if t > 0 else 0
+            sym = data[p]
+            f = freqs[ctx][sym]
+            x = states[j]
+            x_max = renorm_base * f
+            while x >= x_max:
+                append((x >> 8) & 0xFF)
+                append(x & 0xFF)
+                x >>= 16
+            states[j] = ((x // f) << shift) + (x % f) + cums[ctx][sym]
     out.reverse()
     head = b"".join(struct.pack("<I", s) for s in states)
     return table_out + head + bytes(out)
