@@ -134,40 +134,40 @@ class _SymbolTable:
 # ---------------------------------------------------------------------- order 0
 
 
-def _encode_stream(symbol_seq_rev, freqs: list[int], n_states: int = 4) -> bytes:
-    """Core interleaved encoder: ``symbol_seq_rev`` yields (state_index,
-    symbol) in exact reverse of the decoder's consumption order."""
-    cum = _cumulative(freqs)
-    states = [RANS_L] * n_states
-    out = bytearray()
-    for j, sym in symbol_seq_rev:
-        f = freqs[sym]
-        x = states[j]
-        x_max = ((RANS_L >> TF_SHIFT) << 8) * f
-        while x >= x_max:
-            out.append(x & 0xFF)
-            x >>= 8
-        states[j] = ((x // f) << TF_SHIFT) + (x % f) + cum[sym]
-    out.reverse()
-    head = b"".join(struct.pack("<I", s) for s in states)
-    return head + bytes(out)
-
-
 def encode_o0(data: bytes) -> bytes:
+    from collections import Counter
+
     counts = [0] * 256
-    for b in data:
-        counts[b] += 1
+    for b, c in Counter(data).items():
+        counts[b] = c
     freqs = _normalize(counts)
     table = bytearray()
     _write_freq_table(table, freqs)
 
     n = len(data)
-
-    def rev_seq():
-        for i in range(n - 1, -1, -1):
-            yield i & 3, data[i]
-
-    body = bytes(table) + _encode_stream(rev_seq(), freqs)
+    # the (i & 3, data[i]) reverse walk, inlined (the generator's
+    # tuple-per-byte overhead is measurable on 3.0 write paths)
+    cum = _cumulative(freqs)
+    states = [RANS_L] * 4
+    out = bytearray()
+    append = out.append
+    renorm_base = (RANS_L >> TF_SHIFT) << 8
+    for i in range(n - 1, -1, -1):
+        j = i & 3
+        sym = data[i]
+        f = freqs[sym]
+        x = states[j]
+        x_max = renorm_base * f
+        while x >= x_max:
+            append(x & 0xFF)
+            x >>= 8
+        states[j] = ((x // f) << TF_SHIFT) + (x % f) + cum[sym]
+    out.reverse()
+    body = (
+        bytes(table)
+        + b"".join(struct.pack("<I", s) for s in states)
+        + bytes(out)
+    )
     return struct.pack("<BII", 0, len(body), n) + body
 
 
@@ -236,26 +236,25 @@ def encode_o1(data: bytes) -> bytes:
     # bounds[j]+t (while in range); so reverse order: t from max down, j 3..0
     max_len = max(bounds[j + 1] - bounds[j] for j in range(4))
 
-    def rev_seq():
-        for t in range(max_len - 1, -1, -1):
-            for j in (3, 2, 1, 0):
-                i = bounds[j] + t
-                if i < bounds[j + 1]:
-                    ctx = data[i - 1] if i > bounds[j] else 0
-                    yield j, (ctx, data[i])
-
-    # _encode_stream with per-context tables
+    # the reverse walk inlined (was a nested-tuple-per-byte generator)
     states = [RANS_L] * 4
     out = bytearray()
+    append = out.append
     cums = [_cumulative(f) for f in freqs]
-    for j, (ctx, sym) in rev_seq():
-        f = freqs[ctx][sym]
-        x = states[j]
-        x_max = ((RANS_L >> TF_SHIFT) << 8) * f
-        while x >= x_max:
-            out.append(x & 0xFF)
-            x >>= 8
-        states[j] = ((x // f) << TF_SHIFT) + (x % f) + cums[ctx][sym]
+    renorm_base = (RANS_L >> TF_SHIFT) << 8
+    for t in range(max_len - 1, -1, -1):
+        for j in (3, 2, 1, 0):
+            i = bounds[j] + t
+            if i < bounds[j + 1]:
+                ctx = data[i - 1] if i > bounds[j] else 0
+                sym = data[i]
+                f = freqs[ctx][sym]
+                x = states[j]
+                x_max = renorm_base * f
+                while x >= x_max:
+                    append(x & 0xFF)
+                    x >>= 8
+                states[j] = ((x // f) << TF_SHIFT) + (x % f) + cums[ctx][sym]
     out.reverse()
     body = bytes(table) + b"".join(struct.pack("<I", s) for s in states) + bytes(out)
     return struct.pack("<BII", 1, len(body), n) + body
