@@ -47,83 +47,82 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # across a rolling window of rounds.  All registered queries are always
 # present — only the ordering is prioritized.
 #
-# Round-9 rotation (ADVICE r8 + freshness math): composition computed by
-# `tools/simulate_driver_window.py --freshness` over the committed
-# CORRECTNESS_r*.json history (post-r8 histogram: r5:1 r6:45 r7:50
-# r8:49 — the single r5 entry is g27, whose r8 row went hash-red on the
-# DECIMAL(38,0) pandas-fetch rendering ADVICE r8 diagnosed).  The 50
-# slots are
-#   (a) g27_coverage_uniformity FIRST — its gini_num/gini_den now travel
-#       as exact digit STRINGs (hash-stable in both engines, ADVICE r8
-#       fix), so this window must produce its first green row since r5;
-#   (b) 41 of the 45 r6-witnessed queries — q22/q23/q24/q25 (stable,
-#       unchanged since their r6 witnesses) are deliberately deferred to
-#       round 10, inside the capacity-derived 4-round cycle;
-#   (c) the 8 queries NEW in round 9 (q51/q52/d15/p13 from the early
-#       round-9 work, q53/q54/q55/st09 added later in the round) —
-#       never-witnessed code outranks re-witnessing unchanged entries:
-#       each needs its FIRST driver hash row this round.  Registry 153 >
-#       150 = 3 rounds x 50 slots, so the rotation cycle is now
-#       ceil(153/50) = 4 rounds (capacity-derived, see
-#       simulate_driver_window.py); four stable, unchanged r6 queries
-#       (q22/q23/q24/q25) are deferred to round 10's window, which they
-#       share with the r7 block inside the 4-round bound.
-# 1 + 41 + 8 = exactly 50.  Left out: q22/q23/q24/q25 (r6, deferred),
-# all 50 r7-witnessed and all 49 r8-witnessed queries.
+# Round-10 rotation (VERDICT r9 tasks #1+#2; composition verified with
+# `tools/simulate_driver_window.py --freshness` over CORRECTNESS_r01-r09):
+#   (a) q22/q23/q24/q25 FIRST — the only r6-witnessed entries left, due
+#       exactly this round at the 4-round cycle bound (registry 153 →
+#       ceil(153/50) = 4 rounds);
+#   (b) the 9 float-aggregation conversions landed THIS round (VERDICT
+#       task #2: st01/st04/st05/st06/st07/st08 `round(sum(value),2)` →
+#       exact e2 integer-cents sums, g04/g07/g23 `round(avg(qual|MQ|GQ),2)`
+#       → exact e2 half-up integer means — the p05 pattern, SCALE.md
+#       'Float-aggregation order').  Converting and witnessing in the SAME
+#       round costs zero orphaned witnesses — the only argument for
+#       leaving them float was losing a fresh green row, so each needs its
+#       first post-conversion hash row now (st08 is also r7-due; the
+#       others were r8/r9-witnessed under the OLD formula, so their old
+#       rows no longer describe current code);
+#   (c) 37 of the 49 remaining r7-witnessed queries (age 3 — due by
+#       round 11), the first 37 in sorted order.  The last 12
+#       (q48/q49/q50/s06/s07/s08/s09/t13/t14/t15/t16/t17) are deferred to
+#       round 11's window, where they are the hard must-block (12 + up to
+#       38 of the 49 r8-witnessed fills round 11 exactly; the deferral
+#       chain stays ≤12 < 50 every round, so the 4-round bound holds).
+# 4 + 9 + 37 = exactly 50.  Post-r10 histogram: nothing older than r7.
 _PRIORITY = [
-    # --- (a) post-hash-fix re-witness, ADVICE-named first slot ---
-    "g27_coverage_uniformity",
-    # --- (b) the full r6-witnessed block ---
-    "d09_incremental_dedup",
-    "d10_semdedup",
-    "g19_gc_windows",
-    "g20_kmer_spectrum",
-    "g21_cpg_islands",
-    "g22_roh_runs",
-    "g23_bcf_stats",
-    "g24_bam_to_fastq",
-    "p02_stratified_sample",
-    "p04_shard_assignment",
-    "p05_corpus_pipeline",
-    "p06_importance_resampling",
-    "q05_broadcast_join",
-    "q06_left_outer_join",
-    "q07_semi_join",
-    "q08_anti_join",
-    "q09_range_join",
-    "q10_hash_aggregate",
-    "q11_distinct_aggregate",
-    "q13_rollup",
-    "q14_cube",
-    "q15_window_rank",
-    "q16_window_frame",
-    "q17_lag",
-    "q18_topk",
-    "q19_union_all",
-    "q20_intersect",
-    "q21_except",
-    "q26_json_access",
-    "q27_explode",
-    "q28_exists_subquery",
-    "s01_knn_bruteforce",
-    "s02_ann_bucketed",
-    "s04_kmeans_update",
+    # --- (a) r6-due, cycle bound ---
+    "q22_string_functions",
+    "q23_date_functions",
+    "q24_math",
+    "q25_array_agg",
+    # --- (b) float->integer conversions, fresh witness required ---
+    "st01_stream_tumbling",
+    "st04_stream_session",
     "st05_stateful_totals",
     "st06_stream_sliding",
     "st07_stream_static_join",
-    "t08_gopher_repetition",
-    "t10_unigram_surprisal",
-    "t11_quality_classifier",
-    "t12_filter_funnel",
-    # --- (c) first-ever witnesses for the round-9 additions ---
-    "q51_tpch_q13",
-    "q52_tpch_q22",
-    "q53_tpch_q17",
-    "q54_tpch_q20",
-    "q55_tpch_q15",
-    "st09_late_data_drop",
-    "d15_containment_neardup",
-    "p13_curriculum_phases",
+    "st08_stream_ingest_dedup",
+    "g04_vcf_variant_stats",
+    "g07_typed_variant_stats",
+    "g23_bcf_stats",
+    # --- (c) r7 block, first 37 sorted ---
+    "d03_minhash_lsh",
+    "d04_ngram_jaccard",
+    "d06_simhash",
+    "d07_dup_clusters",
+    "d08_dup_span_coverage",
+    "d11_paragraph_dedup",
+    "d12_keep_best",
+    "d13_lsh_bucket_audit",
+    "d14_lsh_estimate_audit",
+    "g09_mark_duplicates",
+    "g16_interval_merge",
+    "g17_interval_subtract",
+    "g18_interval_closest",
+    "g25_gff_gene_model",
+    "g26_variant_annotation",
+    "m04_phash_neardup",
+    "m05_audio_frames",
+    "m06_scene_cuts",
+    "p07_deterministic_shuffle",
+    "p08_domain_cap",
+    "p09_skew_audit",
+    "p10_corpus_pipeline_v2",
+    "p11_zorder_layout",
+    "p12_leakage_safe_split",
+    "q12_approx_distinct",
+    "q29_case",
+    "q30_tumbling_window",
+    "q31_sessionize",
+    "q32_percentiles",
+    "q33_pivot",
+    "q41_unpivot",
+    "q42_grouping_sets",
+    "q43_tpch_q18",
+    "q44_scd2_dimension",
+    "q45_funnel_steps",
+    "q46_resample_ffill",
+    "q47_tpch_q21",
 ]
 
 

@@ -35,6 +35,31 @@ _INTERVALS_SQL = ", ".join(
 )
 
 
+def _avg_e2_exact(col: F.Column | str) -> F.Column:
+    """Order-safe ``round(avg(x), 2)`` for an e2-precision float column
+    (p05 integer pattern — SCALE.md 'Float-aggregation order').
+
+    The fixture columns this feeds (VCF QUAL, INFO/MQ, FORMAT/GQ, BCF
+    float32 QUAL) all carry at most 2 decimals, so ``round(x*100)``
+    recovers each value's e2 integer exactly — robust even to float32
+    re-quantization noise, which is orders of magnitude below the 0.005
+    rounding radius.  The sum of those integers is addition-order
+    independent, and the half-up mean is one exact
+    ``floor((2s+n)/(2n))`` on small integers (exact in double below
+    2^53), so the witness hash cannot flip with partial-sum order the
+    way ``round(avg(double), 2)`` can.  NULLs are excluded by both
+    ``sum`` and ``count(col)``, matching ``avg`` semantics.  Oracle
+    twin::
+
+        floor((2*sum(CAST(round(x*100) AS BIGINT)) + count(x))
+              / (2*count(x))) / 100.0
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    e2 = F.round(c * 100).cast("long")
+    s, n = F.sum(e2), F.count(c)
+    return F.floor((2 * s + n) / (2 * n)) / 100.0
+
+
 def _intervals_df(spark: SparkSession) -> DataFrame:
     import datetime as _dt
 
@@ -188,7 +213,8 @@ def g03(spark: SparkSession, sf: str) -> DataFrame:
     "g04_vcf_variant_stats",
     f"""SELECT contig,
                count(*) AS n_variants,
-               round(avg(qual), 2) AS avg_qual,
+               floor((2 * sum(CAST(round(qual * 100) AS BIGINT)) + count(qual))
+                     / (2 * count(qual))) / 100.0 AS avg_qual,
                CAST(sum(CASE WHEN length(ref) = 1 AND len(alts) = 1
                               AND length(alts[1]) = 1 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_snv,
@@ -211,7 +237,7 @@ def g04(spark: SparkSession, sf: str) -> DataFrame:
         v.groupBy("contig")
         .agg(
             F.count(F.lit(1)).alias("n_variants"),
-            F.round(F.avg("qual"), 2).alias("avg_qual"),
+            _avg_e2_exact("qual").alias("avg_qual"),
             F.sum(snv.cast("long")).alias("n_snv"),
             F.sum(F.size("filters")).alias("n_filter_flags"),
         )
@@ -358,12 +384,14 @@ def g06(spark: SparkSession, sf: str) -> DataFrame:
     f"""WITH site AS (
           SELECT contig, count(*) AS n_sites,
                  round(avg(info_dp), 2) AS avg_depth,
-                 round(avg(info_mq), 2) AS avg_mq,
+                 floor((2 * sum(CAST(round(info_mq * 100) AS BIGINT)) + count(info_mq))
+                     / (2 * count(info_mq))) / 100.0 AS avg_mq,
                  round(avg(CASE WHEN info_db THEN 1.0 ELSE 0.0 END), 4)
                    AS dbsnp_rate
           FROM {_VCF_HISEQ} GROUP BY contig
         ), gq AS (
-          SELECT contig, round(avg(q), 2) AS avg_gq
+          SELECT contig, floor((2 * sum(CAST(round(q * 100) AS BIGINT)) + count(q))
+                     / (2 * count(q))) / 100.0 AS avg_gq
           FROM (SELECT contig, unnest(gq_list) AS q FROM {_VCF_HISEQ})
           GROUP BY contig
         )
@@ -398,13 +426,13 @@ def g07(spark: SparkSession, sf: str) -> DataFrame:
     site = info.groupBy("contig").agg(
         F.count(F.lit(1)).alias("n_sites"),
         F.round(F.avg("info_DP"), 2).alias("avg_depth"),
-        F.round(F.avg("info_MQ"), 2).alias("avg_mq"),
+        _avg_e2_exact("info_MQ").alias("avg_mq"),
         F.round(F.avg(F.col("info_DB").cast("int")), 4).alias("dbsnp_rate"),
     )
     gq = (
         explode_genotypes(v, hdr)
         .groupBy("contig")
-        .agg(F.round(F.avg("fmt_GQ"), 2).alias("avg_gq"))
+        .agg(_avg_e2_exact("fmt_GQ").alias("avg_gq"))
     )
     return site.join(gq, "contig").orderBy("contig")
 
@@ -1408,7 +1436,8 @@ def g22(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "g23_bcf_stats",
     f"""SELECT contig, count(*) AS n_sites,
-               round(avg(qual_f32), 2) AS avg_qual,
+               floor((2 * sum(CAST(round(qual_f32 * 100) AS BIGINT)) + count(qual_f32))
+                     / (2 * count(qual_f32))) / 100.0 AS avg_qual,
                CAST(sum(n_genotypes) AS BIGINT) AS n_genotypes,
                CAST(sum(CASE WHEN length(ref) = 1 AND len(alts) > 0
                               AND length(alts[1]) = 1 THEN 1 ELSE 0 END)
@@ -1447,7 +1476,7 @@ def g23(spark: SparkSession, sf: str) -> DataFrame:
         v.groupBy("contig")
         .agg(
             F.count(F.lit(1)).alias("n_sites"),
-            F.round(F.avg("qual"), 2).alias("avg_qual"),
+            _avg_e2_exact("qual").alias("avg_qual"),
             F.sum(F.size("genotypes")).cast("long").alias("n_genotypes"),
             F.sum(is_snp.cast("int")).cast("long").alias("n_snps"),
             F.sum(F.size("alts")).cast("long").alias("n_alt_alleles"),

@@ -82,7 +82,7 @@ def _events_stream(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "st01_stream_tumbling",
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
-              event_type, count(*) AS cnt, round(sum(value), 2) AS sv
+              event_type, count(*) AS cnt, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sv
        FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
     doc="Tumbling-window streaming aggregation run through a real "
     "readStream→writeStream pipeline (availableNow trigger, memory sink) "
@@ -190,7 +190,7 @@ def st03(spark: SparkSession, sf: str) -> DataFrame:
               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
               strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
               count(*) AS n_events,
-              round(sum(value), 2) AS sv
+              sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sv
        FROM s GROUP BY user_id, sess
        ORDER BY user_id, session_start""",
     doc="Session-window streaming aggregation (dynamic-gap windows — state "
@@ -211,7 +211,7 @@ def st04(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "st05_stateful_totals",
-    """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+    """SELECT user_id, count(*) AS n_events, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
        FROM events GROUP BY user_id ORDER BY user_id""",
     doc="Custom stateful streaming operator (applyInPandasWithState): "
     "per-user running (count, sum) state updated by arbitrary Python logic, "
@@ -244,7 +244,7 @@ def st05(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "st06_stream_sliding",
     """SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
-              event_type, round(sum(value), 2) AS sv
+              event_type, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sv
        FROM (SELECT event_type, value,
                     date_trunc('hour', ts) - to_hours(k) AS ws
              FROM events CROSS JOIN (SELECT unnest(range(0, 2)) AS k))
@@ -267,7 +267,7 @@ def st06(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "st07_stream_static_join",
     """SELECT c.c_mktsegment AS segment, count(*) AS n_events,
-              round(sum(e.value), 2) AS total_value
+              sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS total_value
        FROM events e JOIN customer c ON c.c_custkey = e.user_id
        GROUP BY 1 ORDER BY 1""",
     doc="Stream-static enrichment join run as a real readStream pipeline: "
@@ -296,7 +296,7 @@ def st07(spark: SparkSession, sf: str) -> DataFrame:
         s AS (SELECT event_type, value,
                      md5(concat_ws('|', user_id, event_type, props)) AS h
               FROM events)
-       SELECT event_type, count(*) AS n_new, round(sum(value), 2) AS total_value
+       SELECT event_type, count(*) AS n_new, sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
        FROM s WHERE h NOT IN (SELECT h FROM seen)
        GROUP BY 1 ORDER BY 1""",
     doc="Streaming ingest dedup (the streaming twin of d09): the event "
@@ -395,20 +395,29 @@ def st09(spark: SparkSession, sf: str) -> DataFrame:
         for f in _glob.glob(f"{base}/{d}/*.parquet"):
             os.utime(f, (1_000_000 + 1_000 * i,) * 2)
 
-    schema = spark.read.parquet(base + "/b1").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(base + "/b*")
-    )
-    agg = (
-        stream.withWatermark("ts", "150 minutes")
-        .groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
-            "cnt",
+    try:
+        schema = spark.read.parquet(base + "/b1").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(base + "/b*")
         )
-    )
-    sink = _drain_to_memory(spark, agg, "append", "st09")
-    return sink.orderBy("window_start")
+        agg = (
+            stream.withWatermark("ts", "150 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias(
+                    "window_start"
+                ),
+                "cnt",
+            )
+        )
+        sink = _drain_to_memory(spark, agg, "append", "st09")
+        return sink.orderBy("window_start")
+    finally:
+        # The memory sink holds the drained rows; the staged copies of the
+        # events table are dead weight after the drain — remove them so
+        # repeated bench/driver runs don't accumulate copies in the system
+        # temp dir (ADVICE r9).
+        shutil.rmtree(base, ignore_errors=True)

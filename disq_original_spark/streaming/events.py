@@ -23,12 +23,28 @@ EVENTS_SCHEMA = (
 )
 
 
+def sum_value_e2(col: str = "value") -> F.Column:
+    """Order-safe 2-decimal sum of a price-like double column (p05 integer
+    pattern, SCALE.md 'Float-aggregation order').
+
+    The generator writes ``value`` with exactly 2 decimals, so
+    ``round(value*100)`` recovers its e2 integer exactly (robust even to
+    float32-level noise: anything within 0.5 cents rounds home).  Integer
+    sums are addition-order independent — exact in a long, and exact even
+    through a double accumulator below 2^53 — so the hash witness cannot
+    flip with partial-sum order the way ``round(sum(double), 2)`` can.
+    The final ``/100.0`` is one deterministic float op on an exact integer.
+    Oracle twin: ``sum(CAST(round(value*100) AS BIGINT)) / 100.0``.
+    """
+    return F.sum(F.round(F.col(col) * 100).cast("long")) / F.lit(100.0)
+
+
 def _windowed_counts_agg(events: DataFrame, window: str) -> DataFrame:
     """Shared aggregation body of windowed_counts and its batch twin — one
     definition so the streaming-vs-batch differential can never drift."""
     return (
         events.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sv"))
+        .agg(F.count(F.lit(1)).alias("cnt"), sum_value_e2().alias("sv"))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
             "event_type",
@@ -58,7 +74,7 @@ def _session_windows_agg(events: DataFrame, gap: str) -> DataFrame:
     """Shared aggregation body of session_windows and its batch twin."""
     return (
         events.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sv"))
+        .agg(F.count(F.lit(1)).alias("n_events"), sum_value_e2().alias("sv"))
         .select(
             "user_id",
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -84,7 +100,11 @@ def session_windows_batch(events: DataFrame, gap: str = "30 minutes") -> DataFra
 
 
 _USER_TOTALS_SCHEMA = "user_id long, n_events long, total_value double"
-_USER_TOTALS_STATE = "n long, total double"
+# State carries the value sum as exact e2 integer cents (p05 pattern —
+# see sum_value_e2): long += long is order-safe across micro-batches,
+# where a float accumulator would make the emitted total depend on
+# batch arrival order.
+_USER_TOTALS_STATE = "n long, total_e2 long"
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
@@ -102,13 +122,16 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total_e2 = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            # e2-exact data: value*100 sits within float noise of its cent
+            # integer, so .round() recovers it; the sum of those integers
+            # is exact in float64 below 2^53 and int() makes it a long.
+            total_e2 += int((pdf["value"] * 100).round().sum())
+        state.update((n, total_e2))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total_e2 / 100.0]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -124,7 +147,7 @@ def running_user_totals_batch(events: DataFrame) -> DataFrame:
     """Batch twin of ``running_user_totals`` final state."""
     return events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        sum_value_e2().alias("total_value"),
     )
 
 
@@ -144,7 +167,7 @@ def sliding_window_value(
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), F.col("event_type"))
-        .agg(F.round(F.sum("value"), 2).alias("sv"))
+        .agg(sum_value_e2().alias("sv"))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
             "event_type",
@@ -174,7 +197,7 @@ def enriched_segment_totals(events: DataFrame, customers: DataFrame) -> DataFram
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            sum_value_e2().alias("total_value"),
         )
     )
 
@@ -215,7 +238,7 @@ def novel_event_totals(events: DataFrame, seen: DataFrame) -> DataFrame:
     novel = h.join(seen, "h", "left_anti")
     return novel.groupBy("event_type").agg(
         F.count("*").alias("n_new"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        sum_value_e2().alias("total_value"),
     )
 
 

@@ -94,3 +94,45 @@ def test_q07_q19_q20_results_vary_with_scale(spark):
             map(repr, QUERIES[name].build(spark, "/root/testdata/sf0.01").collect())
         )
         assert small != big, f"{name} is still scale-insensitive"
+
+
+def test_vacuity_allowlist_entries_carry_reasons():
+    """Every ALLOW_SF_INSENSITIVE entry must name a registered query and
+    state a non-trivial reason — the allowlist is a claims ledger the
+    judge audits, not a mute suppression list (VERDICT r9 task #6)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "audit_vacuity",
+        Path(__file__).resolve().parent.parent / "tools" / "audit_vacuity.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    allow = mod.ALLOW_SF_INSENSITIVE
+    assert allow, "allowlist unexpectedly empty"
+    for name, reason in allow.items():
+        assert name in QUERIES, f"allowlist names unregistered query {name}"
+        assert isinstance(reason, str) and len(reason.split()) >= 5, (
+            f"allowlist entry {name} lacks a stated reason"
+        )
+
+
+def test_vacuity_round_artifact_is_clean():
+    """The per-round VACUITY_r*.json artifact ships with bad == {} — the
+    committed proof the audit ran clean on the shipping tree."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    arts = sorted(root.glob("VACUITY_r*.json"))
+    assert arts, "no VACUITY_r*.json artifact committed"
+    latest = max(arts, key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)))
+    payload = json.loads(latest.read_text())
+    assert payload["bad"] == {}, f"{latest.name} records vacuous witnesses"
+    assert payload["n_queries"] == len(QUERIES), (
+        f"{latest.name} audited {payload['n_queries']} queries, registry has "
+        f"{len(QUERIES)} — re-run tools/audit_vacuity.py on the shipping tree"
+    )
