@@ -575,9 +575,24 @@ def _collect_file_metadata(
                 f"{f}: index references compressed offset {max_coff} past "
                 f"end-of-file ({flen}) — truncated BAM or stale index"
             )
-        if sbi is not None and sbi.offsets and (sbi.offsets[-1] >> 16) >= flen:
+        if (
+            sbi is not None
+            and sbi.offsets
+            and (
+                (sbi.offsets[-1] >> 16) > flen
+                or (
+                    (sbi.offsets[-1] >> 16) == flen
+                    and (sbi.offsets[-1] & 0xFFFF) != 0
+                )
+            )
+        ):
             # same contract for the .sbi split index: its last record
-            # voffset must lie inside the file
+            # voffset must lie inside the file.  The end SENTINEL may sit
+            # exactly at flen<<16 — htsjdk records BlockCompressedInputStream's
+            # position at true EOF, which for a BAM lacking the optional
+            # 28-byte EOF terminator block is exactly (flen, 0); samtools
+            # treats a missing terminator as warn-only, so strict > mirrors
+            # the BAI/tabix pointer-past-end convention (ADVICE r9).
             raise ValueError(
                 f"{f}: .sbi references record voffset {sbi.offsets[-1]:#x} "
                 f"past end-of-file ({flen}) — truncated BAM or stale index"

@@ -316,7 +316,15 @@ def encode_record(row: dict, ref_index: dict[str, int]) -> bytes:
         if qual == "*":
             body += b"\xff" * l_seq
         else:
-            body += qual.encode("latin-1").translate(_QUAL_MINUS33)
+            try:
+                body += qual.encode("latin-1").translate(_QUAL_MINUS33)
+            except UnicodeEncodeError as e:
+                # qual chars above U+00FF are invalid SAM; name the record
+                # instead of leaking a raw UnicodeEncodeError (ADVICE r9)
+                raise ValueError(
+                    f"record {row.get('qname')!r}: qual contains non-phred "
+                    f"character {qual[e.start]!r} (codepoint > 0xFF)"
+                ) from None
     for tag, tv in (row.get("attributes") or {}).items():
         typ, _, val = tv.partition(":")
         t = tag.encode("ascii")

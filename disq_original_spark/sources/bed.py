@@ -26,10 +26,22 @@ from pyspark.sql import functions as F
 
 
 class BedSource:
-    def read(self, spark: SparkSession, path: str) -> DataFrame:
+    def read(
+        self, spark: SparkSession, path: str, stringency: str = "silent"
+    ) -> DataFrame:
         """(contig, start, end, name, score, strand) with 1-based closed
         coordinates; ``name``/``score``/``strand`` NULL when the file has
-        fewer than 4/5/6 columns."""
+        fewer than 4/5/6 columns.
+
+        ``stringency`` governs malformed DATA lines (too few columns,
+        non-numeric coordinate — which is also what the tail line of a
+        mid-record-truncated file looks like): ``silent`` (default,
+        historical posture) drops them, ``strict`` fails the job naming
+        the bad line — the text-format twin of the binary sources'
+        refuse-truncation contract (round-9 sweep), ``lenient`` keeps
+        them with NULL mandatory fields."""
+        from .sam import apply_stringency
+
         lines = spark.read.text(path)
         data = lines.filter(
             ~F.col("value").startswith("#")
@@ -38,11 +50,15 @@ class BedSource:
             & (F.length(F.trim(F.col("value"))) > 0)
         )
         c = F.split(F.col("value"), "\t")
+        malformed = (
+            (F.size(c) < 3)
+            | F.try_element_at(c, F.lit(2)).try_cast("long").isNull()
+            | F.try_element_at(c, F.lit(3)).try_cast("long").isNull()
+        )
+        data = apply_stringency(data, malformed, stringency)
         # lenient parsing throughout (try_element_at/try_cast): a malformed
-        # line — too few columns, non-numeric coordinate — yields NULL
-        # mandatory fields and is DROPPED, never an ANSI-mode job abort
-        # (same posture as the SAM/VCF sources' lenient stringency).  The
-        # '.' placeholder reads back as NULL for the optional columns.
+        # line yields NULL mandatory fields, never an ANSI-mode job abort.
+        # The '.' placeholder reads back as NULL for the optional columns.
         parsed = data.select(
             F.try_element_at(c, F.lit(1)).alias("contig"),
             (F.try_element_at(c, F.lit(2)).try_cast("long") + 1).alias("start"),
@@ -51,6 +67,8 @@ class BedSource:
             F.try_element_at(c, F.lit(5)).try_cast("long").alias("score"),
             F.nullif(F.try_element_at(c, F.lit(6)), F.lit(".")).alias("strand"),
         )
+        if stringency.lower() == "lenient":
+            return parsed
         return parsed.filter(
             F.col("contig").isNotNull()
             & F.col("start").isNotNull()

@@ -74,17 +74,35 @@ def _attr_decode(c: Column) -> Column:
 
 
 class GffSource:
-    def read(self, spark: SparkSession, path: str) -> DataFrame:
+    def read(
+        self, spark: SparkSession, path: str, stringency: str = "silent"
+    ) -> DataFrame:
         """(seqid, source, type, start, end, score, strand, phase,
         attributes map<string,string>) with 1-based closed coordinates;
-        '.' placeholders read back as NULL; malformed mandatory fields
-        drop the line (lenient posture, same as the BED/SAM sources)."""
+        '.' placeholders read back as NULL.
+
+        ``stringency`` governs DATA lines with broken mandatory fields
+        (missing/non-numeric start/end, absent type — which is also what
+        the tail line of a mid-record-truncated file looks like):
+        ``silent`` (default, historical posture) drops them, ``strict``
+        fails the job naming the bad line — the text-format twin of the
+        binary sources' refuse-truncation contract (round-9 sweep),
+        ``lenient`` keeps them with NULL mandatory fields."""
+        from .sam import apply_stringency
+
         lines = spark.read.text(path)
         data = lines.filter(
             ~F.col("value").startswith("#")
             & (F.length(F.trim(F.col("value"))) > 0)
         )
         c = F.split(F.col("value"), "\t")
+        malformed = (
+            F.try_element_at(c, F.lit(1)).isNull()
+            | F.try_element_at(c, F.lit(3)).isNull()
+            | F.try_element_at(c, F.lit(4)).try_cast("long").isNull()
+            | F.try_element_at(c, F.lit(5)).try_cast("long").isNull()
+        )
+        data = apply_stringency(data, malformed, stringency)
         dot_null = lambda i: F.nullif(F.try_element_at(c, F.lit(i)), F.lit("."))  # noqa: E731
         # attributes: ';'-separated k=v pairs -> map; value = everything
         # after the FIRST '=' (values may contain '='), key-order free
@@ -137,6 +155,8 @@ class GffSource:
             )
             .drop("_rawattrs")
         )
+        if stringency.lower() == "lenient":
+            return parsed
         return parsed.filter(
             F.col("seqid").isNotNull()
             & F.col("type").isNotNull()

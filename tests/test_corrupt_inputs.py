@@ -311,3 +311,94 @@ def test_block_boundary_truncated_bam_with_sbi_raises_at_planning(spark, tmp_pat
     shutil.copy(src + ".sbi", str(p) + ".sbi")
     with pytest.raises(Exception, match="stale index|truncated BAM"):
         BamSource().read(spark, str(p), split_size=128 * 1024).count()
+
+
+def test_terminatorless_bam_with_eof_sentinel_sbi_accepted(spark, tmp_path):
+    """A valid BAM lacking the OPTIONAL 28-byte BGZF EOF terminator, beside
+    an htsjdk-convention .sbi whose end sentinel records the position at
+    true EOF (exactly flen<<16, uoffset 0): samtools treats the missing
+    terminator as warn-only, so planning must ACCEPT the pair — only a
+    sentinel strictly past flen (or inside a block at flen) is stale
+    (ADVICE r9; mirrors the strict-> convention of the BAI/tabix checks)."""
+    import shutil
+
+    from disq_original_spark.sources.bam import BamSource
+
+    src = "/root/reference/src/test/resources/1-with-splitting-index.bam"
+    full = Path(src).read_bytes()
+    # the reference sentinel is (flen-28)<<16 — the position BEFORE the EOF
+    # terminator block; stripping the terminator makes it exactly flen<<16
+    p = tmp_path / "noterm.bam"
+    p.write_bytes(full[:-28])
+    shutil.copy(src + ".sbi", str(p) + ".sbi")
+    want = BamSource().read(spark, src, split_size=128 * 1024, use_sbi=True).count()
+    got = BamSource().read(spark, str(p), split_size=128 * 1024, use_sbi=True).count()
+    assert got == want
+
+
+def test_bam_encode_names_record_on_bad_qual():
+    """encode_record must raise a ValueError naming the offending record
+    when qual carries a non-phred character (codepoint > 0xFF), not a raw
+    UnicodeEncodeError (ADVICE r9)."""
+    from disq_original_spark.sources.bam_codec import encode_record
+
+    row = {
+        "qname": "badqual1", "flag": 4, "rname": None, "pos": 0, "mapq": 0,
+        "cigar": None, "rnext": None, "pnext": 0, "tlen": 0,
+        "seq": "ACGT", "qual": "IIĀI", "attributes": None,
+    }
+    with pytest.raises(ValueError, match="badqual1.*non-phred"):
+        encode_record(row, {})
+
+
+def test_truncated_bed_strict_raises_silent_drops(spark, tmp_path):
+    """Mid-record truncation of a BED where the cut costs the tail line a
+    mandatory column: STRICT must fail the job naming the bad line — even
+    under count(), the prune-proof filter contract — while the default
+    SILENT posture drops exactly that one line.  (A cut that leaves a
+    numeric PREFIX of a coordinate is a valid shorter line — undetectable
+    in any schema-free text format; that residual risk is inherent to BED
+    and documented here rather than papered over.)"""
+    from disq_original_spark.sources.bed import BedSource
+
+    full = tmp_path / "a.bed"
+    full.write_bytes(b"chr1\t0\t100\tx\nchr1\t200\t300\ty\nchr2\t50\t5000\tz\n")
+    cut = tmp_path / "trunc.bed"
+    raw = full.read_bytes()
+    # cut right after "chr2\t50" — the tail line loses chromEnd (2 columns)
+    cut.write_bytes(raw[: raw.rindex(b"\t5000")])
+
+    assert BedSource().read(spark, str(full)).count() == 3
+    assert BedSource().read(spark, str(cut)).count() == 2
+    with pytest.raises(Exception, match="malformed record"):
+        BedSource().read(spark, str(cut), stringency="strict").count()
+    # strict over the intact file is a no-op
+    assert BedSource().read(spark, str(full), stringency="strict").count() == 3
+
+
+def test_truncated_gff_strict_raises_silent_drops(spark, tmp_path):
+    """Same contract for GFF3: a tail line cut inside the mandatory
+    columns must abort a STRICT read (named error), and be dropped — not
+    half-parsed — by the default SILENT read."""
+    from disq_original_spark.sources.gff import GffSource
+
+    full = tmp_path / "a.gff3"
+    full.write_bytes(
+        b"##gff-version 3\n"
+        b"chr1\tsrc\tgene\t100\t900\t.\t+\t.\tID=g1\n"
+        b"chr1\tsrc\texon\t100\t400\t.\t+\t.\tID=e1;Parent=g1\n"
+        b"chr2\tsrc\tgene\t1000\t2000\t.\t-\t.\tID=g2\n"
+    )
+    # cut inside column 3 of the last line: "chr2\tsrc\tge" has no
+    # start/end left (a cut inside a NUMERIC column that leaves a valid
+    # shorter number is undetectable in any text format — same caveat as
+    # the BED test above)
+    raw = full.read_bytes()
+    cut = tmp_path / "trunc.gff3"
+    cut.write_bytes(raw[: raw.rindex(b"\tgene") + 3])
+
+    assert GffSource().read(spark, str(full)).count() == 3
+    assert GffSource().read(spark, str(cut)).count() == 2
+    with pytest.raises(Exception, match="malformed record"):
+        GffSource().read(spark, str(cut), stringency="strict").count()
+    assert GffSource().read(spark, str(full), stringency="strict").count() == 3
