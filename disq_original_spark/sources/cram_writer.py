@@ -24,6 +24,7 @@ import gzip
 import struct
 from pathlib import Path
 
+from .bam_codec import _QUAL_MINUS33
 from .cram_codec import CRAM_MAGIC, IndexedFasta
 
 # spec-defined v2.1 EOF container (matches htsjdk's CramIO.ZERO_B_EOF_MARKER)
@@ -86,7 +87,14 @@ class Stream:
         self.buf = bytearray()
 
     def put_itf8(self, v: int) -> None:
-        self.buf += itf8(v)
+        # fast path: the vast majority of data-series values (flags,
+        # lengths, small deltas, indices) fit one ITF8 byte — skip the
+        # itf8() call + bytes allocation for them (profile: put_itf8 was
+        # ~20% of the container encode at 65 calls/record)
+        if 0 <= v < 0x80:
+            self.buf.append(v)
+        else:
+            self.buf += itf8(v)
 
     def put_u8(self, v: int) -> None:
         self.buf.append(v & 0xFF)
@@ -187,26 +195,29 @@ def features_from_alignment(
                 b += b"N" * (n - len(b))
             a = seq[read_p : read_p + n].upper().encode("ascii", "replace")
             if a != b:
-                for k in range(n):
-                    if a[k] != b[k]:
-                        key = (sm, b[k], a[k])
-                        try:
-                            code = memo[key]
-                        except KeyError:
-                            if len(memo) > 4096:
-                                memo.clear()
-                            code = memo[key] = _sub_code(sm, chr(b[k]), chr(a[k]))
-                        if code is not None:
-                            feats.append((read_p + k + 1, "X", code))
-                        else:
-                            q = (
-                                (ord(qual[read_p + k]) - 33)
-                                if qual != "*"
-                                else 30
-                            )
-                            feats.append(
-                                (read_p + k + 1, "B", (ord(seq[read_p + k]), q))
-                            )
+                import numpy as _np
+
+                # only the mismatching positions need the per-base walk:
+                # one C-level vector compare finds them (same features as
+                # scanning range(n), minus the per-matching-base loop cost)
+                diff = _np.nonzero(
+                    _np.frombuffer(a, _np.uint8) != _np.frombuffer(b, _np.uint8)
+                )[0]
+                for k in diff.tolist():
+                    key = (sm, b[k], a[k])
+                    try:
+                        code = memo[key]
+                    except KeyError:
+                        if len(memo) > 4096:
+                            memo.clear()
+                        code = memo[key] = _sub_code(sm, chr(b[k]), chr(a[k]))
+                    if code is not None:
+                        feats.append((read_p + k + 1, "X", code))
+                    else:
+                        q = (ord(qual[read_p + k]) - 33) if qual != "*" else 30
+                        feats.append(
+                            (read_p + k + 1, "B", (ord(seq[read_p + k]), q))
+                        )
             read_p += n
             ref_p += n
         elif op == "I":
@@ -312,6 +323,41 @@ def encode_container(
                 next_cid += 2
 
     n_bases = 0
+    # hoisted stream bindings: the loop writes ~12 fixed series per record;
+    # the streams[...] dict hop + bound-method allocation per write was a
+    # measurable slice of the encode profile
+    put_bf = streams["BF"].put_itf8
+    put_cf = streams["CF"].put_itf8
+    put_ri = streams["RI"].put_itf8
+    put_rl = streams["RL"].put_itf8
+    put_ap = streams["AP"].put_itf8
+    put_rg = streams["RG"].put_itf8
+    put_rn = streams["RN"].put_bytes_stop
+    put_mf = streams["MF"].put_itf8
+    put_ns = streams["NS"].put_itf8
+    put_np = streams["NP"].put_itf8
+    put_ts = streams["TS"].put_itf8
+    put_tl = streams["TL"].put_itf8
+    put_mq = streams["MQ"].put_itf8
+    qs_raw = streams["QS"].put_raw
+    ba_raw = streams["BA"].put_raw
+    # feature-level bindings append straight to the series bytearrays:
+    # features are per-mismatch/per-event (the densest per-record loop),
+    # and FC/BS/BA/QS values are already 0..255 (ord of an ASCII feature
+    # code / a phred / a substitution code), so the put_u8 masking wrapper
+    # is pure overhead there
+    put_fn = streams["FN"].put_itf8
+    put_fp = streams["FP"].put_itf8
+    fc_append = streams["FC"].buf.append
+    bs_append = streams["BS"].buf.append
+    ba_append = streams["BA"].buf.append
+    qs_append = streams["QS"].buf.append
+    in_stop = streams["IN"].put_bytes_stop
+    sc_stop = streams["SC"].put_bytes_stop
+    put_dl = streams["DL"].put_itf8
+    put_rs = streams["RS"].put_itf8
+    put_pd = streams["PD"].put_itf8
+    put_hc = streams["HC"].put_itf8
     for r, tags in zip(rows, rec_tags):
         flag = int(r["flag"] or 0)
         seq = r["seq"] or "*"
@@ -329,23 +375,23 @@ def encode_container(
                 f"mapped read {r['qname']!r} references {r['rname']!r}, "
                 "which is not in the header @SQ list"
             )
-        streams["BF"].put_itf8(flag)
-        streams["CF"].put_itf8(cf)
-        streams["RI"].put_itf8(ri)
-        streams["RL"].put_itf8(rl)
-        streams["AP"].put_itf8(int(r["pos"] or 0))
+        put_bf(flag)
+        put_cf(cf)
+        put_ri(ri)
+        put_rl(rl)
+        put_ap(int(r["pos"] or 0))
         rg_spec = (r.get("attributes") or {}).get("RG", "")
-        streams["RG"].put_itf8(rg_index.get(rg_spec[2:], -1) if rg_spec else -1)
-        streams["RN"].put_bytes_stop((r["qname"] or "*").encode("ascii"))
+        put_rg(rg_index.get(rg_spec[2:], -1) if rg_spec else -1)
+        put_rn((r["qname"] or "*").encode("ascii"))
         # detached mate info
         mf = (1 if flag & 0x20 else 0) | (2 if flag & 0x8 else 0)
         rnext = r.get("rnext")
         ns = ri if rnext == "=" else ref_index.get(rnext, -1) if rnext else -1
-        streams["MF"].put_itf8(mf)
-        streams["NS"].put_itf8(ns)
-        streams["NP"].put_itf8(int(r.get("pnext") or 0))
-        streams["TS"].put_itf8(int(r.get("tlen") or 0))
-        streams["TL"].put_itf8(td_index[tuple((t, ty) for t, ty, _ in tags)])
+        put_mf(mf)
+        put_ns(ns)
+        put_np(int(r.get("pnext") or 0))
+        put_ts(int(r.get("tlen") or 0))
+        put_tl(td_index[tuple((t, ty) for t, ty, _ in tags)])
         for tag, typ, data in tags:
             lc, vc, ls, vs = tag_streams[tag + typ]
             ls.put_itf8(len(data))
@@ -354,36 +400,36 @@ def encode_container(
             feats = features_from_alignment(
                 seq, qual, r["cigar"] or f"{rl}M", int(r["pos"]), get_ref(ri), sm
             )
-            streams["FN"].put_itf8(len(feats))
+            put_fn(len(feats))
             prev = 0
             for fpos, fc, op in feats:
-                streams["FP"].put_itf8(fpos - prev)
+                put_fp(fpos - prev)
                 prev = fpos
-                streams["FC"].put_u8(ord(fc))
+                fc_append(ord(fc))
                 if fc == "X":
-                    streams["BS"].put_u8(op)
+                    bs_append(op)
                 elif fc == "I":
-                    streams["IN"].put_bytes_stop(op)
+                    in_stop(op)
                 elif fc == "S":
-                    streams["SC"].put_bytes_stop(op)
+                    sc_stop(op)
                 elif fc == "B":
-                    streams["BA"].put_u8(op[0])
-                    streams["QS"].put_u8(op[1])
+                    ba_append(op[0])
+                    qs_append(op[1])
                 elif fc == "D":
-                    streams["DL"].put_itf8(op)
+                    put_dl(op)
                 elif fc == "N":
-                    streams["RS"].put_itf8(op)
+                    put_rs(op)
                 elif fc == "P":
-                    streams["PD"].put_itf8(op)
+                    put_pd(op)
                 elif fc == "H":
-                    streams["HC"].put_itf8(op)
-            streams["MQ"].put_itf8(int(r["mapq"] or 0))
+                    put_hc(op)
+            put_mq(int(r["mapq"] or 0))
             if cf & 1:
-                streams["QS"].put_raw(bytes(ord(c) - 33 for c in qual))
+                qs_raw(qual.encode("latin-1").translate(_QUAL_MINUS33))
         else:
-            streams["BA"].put_raw(seq.encode("ascii") if seq != "*" else b"")
+            ba_raw(seq.encode("ascii") if seq != "*" else b"")
             if cf & 1:
-                streams["QS"].put_raw(bytes(ord(c) - 33 for c in qual))
+                qs_raw(qual.encode("latin-1").translate(_QUAL_MINUS33))
 
     # ---- compression header
     ch = bytearray()

@@ -151,21 +151,29 @@ def _encode_o0_stream(data: bytes, freqs: list[int], n_states: int) -> bytes:
     """Interleaved encoder: symbol i belongs to state i % N; symbols are
     processed in reverse so the decoder consumes forward.  Renormalization
     emits 16-bit little-endian words; each word is appended high-byte-first
-    so the final whole-buffer reverse restores little-endian word order."""
+    so the final whole-buffer reverse restores little-endian word order.
+
+    Per-symbol (f, cum, x_max) are precomputed into one flat tuple table —
+    three list hops and a multiply per byte collapse to one indexed
+    load (this walk is on the container-encode critical path)."""
     cum = _cumulative(freqs)
+    renorm_base = (RANS_NX16_L >> TF_SHIFT) << 16
+    tbl = [
+        (f, cum[s], renorm_base * f) if f else None
+        for s, f in enumerate(freqs)
+    ]
     states = [RANS_NX16_L] * n_states
     out = bytearray()
+    append = out.append
     for i in range(len(data) - 1, -1, -1):
         j = i % n_states
-        sym = data[i]
-        f = freqs[sym]
+        f, c, x_max = tbl[data[i]]
         x = states[j]
-        x_max = ((RANS_NX16_L >> TF_SHIFT) << 16) * f
         while x >= x_max:
-            out.append((x >> 8) & 0xFF)
-            out.append(x & 0xFF)
+            append((x >> 8) & 0xFF)
+            append(x & 0xFF)
             x >>= 16
-        states[j] = ((x // f) << TF_SHIFT) + (x % f) + cum[sym]
+        states[j] = ((x // f) << TF_SHIFT) + (x % f) + c
     out.reverse()
     head = b"".join(struct.pack("<I", s) for s in states)
     return head + bytes(out)
@@ -358,42 +366,47 @@ def _encode_o1_stream(data: bytes, n_states: int, shift: int = TF_SHIFT) -> byte
     else:
         table_out = bytes([shift << 4]) + table
 
-    cums = {c: _cumulative(f) for c, f in freqs.items()}
+    # flat per-context (f, cum, x_max) tuple tables: the walk below pays
+    # one ctx hop + one sym load per byte instead of two dict lookups, a
+    # multiply and two list hops (this loop is the per-core 3.1 write
+    # frontier)
+    renorm_base = (RANS_NX16_L >> shift) << 16
+    tbl: dict[int, list] = {}
+    for c, f_row in freqs.items():
+        crow = _cumulative(f_row)
+        tbl[c] = [
+            (f, crow[s], renorm_base * f) if f else None
+            for s, f in enumerate(f_row)
+        ]
     states = [RANS_NX16_L] * n_states
     out = bytearray()
     # the exact reverse pair order of _o1_pairs_reverse, inlined: the
     # generator's tuple-per-byte overhead was ~15% of the encode stream
-    # (this loop is the per-core 3.1 write frontier)
     ebounds = _slice_bounds(len(data), n_states)
     estep = len(data) // n_states
     last = n_states - 1
     append = out.append
-    renorm_base = (RANS_NX16_L >> shift) << 16
     x = states[last]
     for p in range(len(data) - 1, ebounds[last] + estep - 1, -1):
         ctx = data[p - 1] if p > ebounds[last] else 0
-        sym = data[p]
-        f = freqs[ctx][sym]
-        x_max = renorm_base * f
+        f, cm, x_max = tbl[ctx][data[p]]
         while x >= x_max:
             append((x >> 8) & 0xFF)
             append(x & 0xFF)
             x >>= 16
-        x = ((x // f) << shift) + (x % f) + cums[ctx][sym]
+        x = ((x // f) << shift) + (x % f) + cm
     states[last] = x
     for t in range(estep - 1, -1, -1):
         for j in range(last, -1, -1):
             p = ebounds[j] + t
             ctx = data[p - 1] if t > 0 else 0
-            sym = data[p]
-            f = freqs[ctx][sym]
+            f, cm, x_max = tbl[ctx][data[p]]
             x = states[j]
-            x_max = renorm_base * f
             while x >= x_max:
                 append((x >> 8) & 0xFF)
                 append(x & 0xFF)
                 x >>= 16
-            states[j] = ((x // f) << shift) + (x % f) + cums[ctx][sym]
+            states[j] = ((x // f) << shift) + (x % f) + cm
     out.reverse()
     head = b"".join(struct.pack("<I", s) for s in states)
     return table_out + head + bytes(out)
@@ -505,41 +518,41 @@ def _rle_encode(data: bytes) -> tuple[bytes, bytes] | None:
     freedom under the spec; the rule here is the simple honest one —
     collapse symbol s only if the literal bytes it saves exceed ~2 bytes
     per run (a uint7 run count is 1-2 bytes at any plausible run
-    length)."""
+    length).
+
+    Run discovery is vectorized (the per-byte while-walk was the
+    single hottest line of the 3.1 container encode): run boundaries
+    fall out of one C-level inequality over adjacent bytes, per-symbol
+    run counts/totals out of two bincounts, and — because every run is
+    one symbol repeated — the literal stream is one ``np.repeat``
+    (collapsed runs contribute their symbol once, kept runs reproduce
+    themselves verbatim).  Only the per-run uint7 metadata stays a
+    Python loop, O(runs) not O(bytes).  Byte-identical output."""
+    import numpy as np
+
     n = len(data)
-    run_cnt = [0] * 256
-    tot = [0] * 256
-    i = 0
-    while i < n:
-        b = data[i]
-        j = i + 1
-        while j < n and data[j] == b:
-            j += 1
-        run_cnt[b] += 1
-        tot[b] += j - i
-        i = j
-    syms = [s for s in range(256) if tot[s] - 3 * run_cnt[s] > 0]
+    a = np.frombuffer(data, np.uint8)
+    change = np.nonzero(a[1:] != a[:-1])[0] + 1
+    starts = np.concatenate(([0], change))
+    run_syms = a[starts]
+    run_lens = np.diff(np.concatenate((starts, [n])))
+    run_cnt = np.bincount(run_syms, minlength=256)
+    tot = np.bincount(run_syms, weights=run_lens, minlength=256).astype(np.int64)
+    pays = tot - 3 * run_cnt > 0
+    syms = np.nonzero(pays)[0].tolist()
     if not syms:
         return None
     meta = bytearray([len(syms) if len(syms) < 256 else 0])
     meta.extend(syms)
-    in_set = bytearray(256)
-    for s in syms:
-        in_set[s] = 1
-    lit = bytearray()
-    i = 0
-    while i < n:
-        b = data[i]
-        lit.append(b)
-        if in_set[b]:
-            j = i + 1
-            while j < n and data[j] == b:
-                j += 1
-            _write_uint7(meta, j - i - 1)
-            i = j
-        else:
-            i += 1
-    return bytes(meta), bytes(lit)
+    collapse = pays[run_syms]
+    lit = np.repeat(run_syms, np.where(collapse, 1, run_lens)).tobytes()
+    extras = (run_lens[collapse] - 1).tolist()
+    if extras and max(extras) < 0x80:
+        meta.extend(extras)
+    else:
+        for e in extras:
+            _write_uint7(meta, e)
+    return bytes(meta), lit
 
 
 def _rle_decode(
@@ -588,7 +601,13 @@ def _rle_decode(
 
 
 def _pack_values(data: bytes, syms: list[int]) -> bytes:
-    idx = {s: i for i, s in enumerate(syms)}
+    """LSB-first bit pack, vectorized: a 256-entry LUT maps bytes to
+    symbol indices, then each group of ``per`` indices ORs into one
+    output byte with C-level shifts (byte-identical to the per-byte
+    ``|=`` loop this replaces — zero-padding the tail group matches the
+    implicit zeros of the preallocated bytearray)."""
+    import numpy as np
+
     n = len(syms)
     if n <= 1:
         return b""
@@ -598,10 +617,16 @@ def _pack_values(data: bytes, syms: list[int]) -> bytes:
         per, bits = 4, 2
     else:
         per, bits = 2, 4
-    out = bytearray((len(data) + per - 1) // per)
-    for i, b in enumerate(data):
-        out[i // per] |= idx[b] << (bits * (i % per))
-    return bytes(out)
+    lut = np.zeros(256, np.uint8)
+    lut[list(syms)] = np.arange(n, dtype=np.uint8)
+    idx = lut[np.frombuffer(data, np.uint8)]
+    pad = (-len(idx)) % per
+    if pad:
+        idx = np.concatenate((idx, np.zeros(pad, np.uint8)))
+    groups = idx.reshape(-1, per).astype(np.uint16)
+    shifts = (bits * np.arange(per, dtype=np.uint16))[None, :]
+    packed = np.bitwise_or.reduce(groups << shifts, axis=1).astype(np.uint8)
+    return packed.tobytes()
 
 
 def _unpack_values(
