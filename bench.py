@@ -199,6 +199,18 @@ _BASELINE_REDEFINED = {
     # output); the query now does different (less) work, so ratios vs
     # the r5-r7 numbers would read ~low and mask future regressions
     "q20_intersect": 9,
+    # r10 min-of-5 changed-work audit (SCALE.md 'd04/d07 re-bench'): the
+    # r5 cache-hygiene change made bench release persists + clearCache
+    # after the warm pass, so persist-reusing queries stopped timing
+    # against their own warm-pass cache.  Proven for d04 by running the
+    # r1-era protocol (persists kept warm): min-of-5 1.434 s ≈ the r1
+    # 1.445 s baseline exactly; the released form honestly pays the
+    # postings rebuild (~1.95 s).  d07 additionally gained the airtight
+    # star-invariant convergence job in r5 (operators/graph.py) — more
+    # work by design, and its residual cost is fixed per-job latency on
+    # a 256-pair graph, not data volume.
+    "d04_ngram_jaccard": 5,
+    "d07_dup_clusters": 5,
 }
 
 
