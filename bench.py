@@ -199,19 +199,17 @@ _BASELINE_REDEFINED = {
     # output); the query now does different (less) work, so ratios vs
     # the r5-r7 numbers would read ~low and mask future regressions
     "q20_intersect": 9,
-    # r10 min-of-5 changed-work audit (SCALE.md 'd04/d07 re-bench'): the
-    # r5 cache-hygiene change made bench release persists + clearCache
-    # after the warm pass, so persist-reusing queries stopped timing
-    # against their own warm-pass cache.  Proven for d04 by running the
-    # r1-era protocol (persists kept warm): min-of-5 1.434 s ≈ the r1
-    # 1.445 s baseline exactly; the released form honestly pays the
-    # postings rebuild (~1.95 s).  d07 additionally gained the airtight
-    # star-invariant convergence job in r5 (operators/graph.py) — more
-    # work by design, and its residual cost is fixed per-job latency on
-    # a 256-pair graph, not data volume.
-    "d04_ngram_jaccard": 5,
-    "d07_dup_clusters": 5,
 }
+# NOT in _BASELINE_REDEFINED, by design: d04/d07's raw times stepped at
+# round 5 when the cache-hygiene policy (release persists + clearCache
+# after the warm pass) took effect — i.e. their MEASUREMENT changed in
+# r5, but the _BASELINE_NORM_MEDIAN window (r5-r7) already post-dates
+# that change, so the normalized ratios the driver reads are computed
+# against the honest definition (both sit ~1.0 there).  Only the raw
+# ratio vs the committed r1 numbers carries the stale pre-r5 definition;
+# the r10 min-of-5 audit (SCALE.md 'd04/d07 re-bench') pins the proof —
+# d04 reproduces its r1 number exactly under the r1-era warm-persist
+# protocol.
 
 
 def _canary_normalize(timings: dict[str, float], sf: float) -> dict:
