@@ -240,19 +240,32 @@ def _decode_stream(data: bytes, pos: int, order: int, out_len: int) -> bytes:
 # ------------------------------------------------------------- public API
 
 
-def compress(data: bytes, order: int = 0) -> bytes:
+def compress(data: bytes, order: int = 0, ext: bool = False) -> bytes:
     """Adaptive-arithmetic block stream (method 6) through the shared
     transform container.  RLE metadata stays RAW (``nest_rle_meta=False``)
     — a nested form would have to be arith-order-0-coded, and raw is
-    always spec-legal."""
+    always spec-legal.
+
+    ``ext=True`` lets the encoder EMIT the spec's EXTERNAL (bzip2)
+    entropy slot when the bz2 stream is strictly smaller than the
+    arithmetic one — the same honest size test the CAT fallback uses
+    (encoder freedom; any conformant decoder accepts either).  The slot
+    composes with PACK/RLE exactly as on the decode side: EXT replaces
+    only the entropy stage."""
     if order not in (0, 1):
         raise ValueError(f"arith order must be 0 or 1, got {order}")
+
+    def entropy_body(p: bytes) -> tuple[int, bytes]:
+        bits, body = FLAG_ORDER1 if order else 0, _encode_stream(p, order)
+        if ext:
+            bz = bz2.compress(p, 9)
+            if len(bz) < len(body):
+                return FLAG_EXT, bz
+        return bits, body
+
     return _container_encode(
         data,
-        entropy_body=lambda p: (
-            FLAG_ORDER1 if order else 0,
-            _encode_stream(p, order),
-        ),
+        entropy_body=entropy_body,
         nest_rle_meta=False,
     )
 

@@ -429,3 +429,54 @@ def test_bad_order1_flag_is_order_bit():
     enc = compress(data, order=1)
     assert enc[0] & FLAG_ORDER1 or enc[0] & (FLAG_RLE | FLAG_PACK | FLAG_CAT)
     assert decompress(enc) == data
+
+
+# ------------------------------------------------- EXT (bzip2) ENCODE choice
+
+
+def test_encode_vector_ext_bzip2():
+    """Byte-pinned ENCODER vector for the EXT (bzip2) entropy slot
+    (VERDICT r9 task #7 — the path was decode-/round-trip-only): on
+    block-level-redundant text with >16 distinct symbols (PACK out) and
+    no paying runs (RLE out), bz2 beats the adaptive order-0 coder, so
+    ``compress(ext=True)`` must emit exactly FLAG_EXT + uint7(size) +
+    the bz2 stream — nothing else is legal for this input under the
+    honest size test."""
+    import bz2 as _bz2
+
+    from disq_original_spark.sources.arith import FLAG_EXT
+    from disq_original_spark.sources.rans_nx16 import _write_uint7
+
+    data = b"the quick brown fox jumps over the lazy dog. " * 50
+    want = bytearray([FLAG_EXT])
+    _write_uint7(want, len(data))
+    want.extend(_bz2.compress(data, 9))
+    enc = compress(data, ext=True)
+    assert enc == bytes(want)
+    assert decompress(enc) == data
+
+
+def test_ext_not_emitted_when_arith_wins():
+    """The EXT choice is an honest size test: on short/high-entropy input
+    where bz2's fixed overhead loses, ext=True must produce the identical
+    bytes to the plain encoder (EXT never emitted just because it was
+    allowed)."""
+    data = bytes(range(200))
+    assert compress(data, ext=True) == compress(data)
+
+
+def test_ext_wins_over_rle_on_runs_and_roundtrips():
+    """On run-heavy redundant input the RLE candidate loses the honest
+    size test to whole-stream bzip2 (bz2's BWT handles runs natively),
+    so the encoder emits a PURE EXT stream — pinned here so a future
+    candidate-ordering change that silently starts preferring RLE+EXT
+    shows up as a flag change, and the deterministic re-encode guards
+    byte stability."""
+    from disq_original_spark.sources.arith import FLAG_EXT
+    from disq_original_spark.sources.rans_nx16 import FLAG_RLE
+
+    data = (b"A" * 40 + b"the quick brown fox jumps over the lazy dog ") * 40
+    enc = compress(data, ext=True)
+    assert enc[0] & FLAG_EXT and not enc[0] & FLAG_RLE
+    assert decompress(enc) == data
+    assert compress(data, ext=True) == enc

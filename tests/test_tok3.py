@@ -341,3 +341,23 @@ def test_decode_output_must_be_nul_separated():
     struct.pack_into("<I", enc, 0, len(raw) + 1)  # lie about ulen
     with pytest.raises(ValueError, match="declares"):
         decode(bytes(enc), len(raw) + 1)
+
+
+def test_encode_vector_whole_name_dup_stream():
+    """Byte-pinned ENCODER vector for the whole-name N_DUP token mode
+    (VERDICT r9 task #7 — previously decode-vector + round-trip only):
+    'q','q','q' tokenizes identically each time, so names 2 and 3 must
+    encode as position-0 TYPE = DUP with uint32-LE distance 1 and emit
+    NOTHING at any other position for them."""
+    raw = b"q\x00q\x00q\x00"
+    header, streams = _walk_encoded(encode(raw))
+    assert header == struct.pack("<II", 6, 3) + b"\x00"
+    assert streams == [
+        (0x40 | N_TYPE, bytes([N_DIFF, N_DUP, N_DUP])),  # position 0
+        (N_DUP, struct.pack("<II", 1, 1)),               # two copies, dist 1
+        (N_DIFF, struct.pack("<I", 0)),                  # first name: dist 0
+        (0x40 | N_TYPE, bytes([N_ALPHA])),               # position 1: one name only
+        (N_ALPHA, b"q\x00"),
+        (0x40 | N_TYPE, bytes([N_END])),                 # position 2 terminator
+    ]
+    assert decode(encode(raw), len(raw)) == raw
