@@ -443,6 +443,24 @@ def encode_record(row: dict, ctx: BcfContext) -> bytes:
 
 
 # --------------------------------------------------------------- record decode
+
+# (type char, length) -> compiled little-endian vector Struct; bounded so
+# adversarial vector lengths cannot grow the memo unboundedly (misses fall
+# through to a one-off Struct, still correct)
+_VEC_STRUCTS: dict[tuple[str, int], struct.Struct] = {}
+_VEC_STRUCTS_CAP = 4096
+
+
+def _vec_struct(ch: str, ln: int) -> struct.Struct:
+    key = (ch, ln)
+    st = _VEC_STRUCTS.get(key)
+    if st is None:
+        st = struct.Struct(f"<{ln}{ch}")
+        if len(_VEC_STRUCTS) < _VEC_STRUCTS_CAP:
+            _VEC_STRUCTS[key] = st
+    return st
+
+
 class _Reader:
     def __init__(self, data: bytes, off: int = 0):
         self.d = data
@@ -464,27 +482,43 @@ class _Reader:
         return v
 
     def typed(self):
-        """Decode one typed value → (type_id, list_of_raw_values)."""
-        b = self.d[self.o]
-        self.o += 1
+        """Decode one typed value → (type_id, list_of_raw_values).
+
+        Hot path of the whole BCF decode (~34 calls/record on real
+        callsets): vector formats go through memoized ``struct.Struct``
+        objects instead of a fresh f-string per call, and the two
+        dominant shapes — single int8 (dictionary indexes) and single
+        int16 — skip struct entirely.  Values identical by construction."""
+        d = self.d
+        o = self.o
+        b = d[o]
+        o += 1
         t, ln = b & 0x0F, b >> 4
         if ln == 15:
+            self.o = o
             _t2, v2 = self.typed()
             ln = v2[0]
+            o = self.o
         if t == 0:
+            self.o = o
             return t, []
         if t == _CHAR:
-            s = self.d[self.o : self.o + ln]
-            self.o += ln
+            s = d[o : o + ln]
+            self.o = o + ln
             return t, [s.decode()]
         if t == _FLOAT:
-            out = list(struct.unpack_from(f"<{ln}I", self.d, self.o))
-            self.o += 4 * ln
-            return t, out
-        fmt, w = _INT_FMT[t], (1 if t == _INT8 else 2 if t == _INT16 else 4)
-        out = list(struct.unpack_from(f"<{ln}{fmt[1]}", self.d, self.o))
-        self.o += w * ln
-        return t, out
+            self.o = o + 4 * ln
+            return t, list(_vec_struct("I", ln).unpack_from(d, o))
+        if t == _INT8:
+            if ln == 1:
+                v = d[o]
+                self.o = o + 1
+                return t, [v - 256 if v >= 128 else v]
+            self.o = o + ln
+            return t, list(_vec_struct("b", ln).unpack_from(d, o))
+        fmt, w = _INT_FMT[t], (2 if t == _INT16 else 4)
+        self.o = o + w * ln
+        return t, list(_vec_struct(fmt[1], ln).unpack_from(d, o))
 
 
 def _ints_to_str(t: int, vals: list[int]) -> str | None:
@@ -644,19 +678,20 @@ def decode_record(
             _tt, wv = r.typed()
             width = wv[0]
         # per-sample vectors unpack in ONE struct call each (the typed()
-        # batching, applied to the dominant per-sample block)
+        # batching, applied to the dominant per-sample block), through the
+        # same memoized Struct objects typed() uses
         if t == _FLOAT:
-            vec_fmt, w = f"<{width}I", 4
+            vst, w = _vec_struct("I", width), 4
         elif t in _INT_FMT:
             w = 1 if t == _INT8 else 2 if t == _INT16 else 4
-            vec_fmt = f"<{width}{_INT_FMT[t][1]}"
+            vst = _vec_struct(_INT_FMT[t][1], width)
         elif t != _CHAR:
             raise ValueError(
                 f"BCF FORMAT {key}: unsupported typed-value type id {t}"
             )
         for si in range(n_sample):
             if t == _FLOAT:
-                bits = list(struct.unpack_from(vec_fmt, r.d, r.o))
+                bits = list(vst.unpack_from(r.d, r.o))
                 r.o += 4 * width
                 sval = _floats_to_str(bits)
             elif t == _CHAR:
@@ -666,7 +701,7 @@ def decode_record(
                 r.o += width
                 sval = None if raw_s in ("", ".") else raw_s
             else:
-                raw = list(struct.unpack_from(vec_fmt, r.d, r.o))
+                raw = list(vst.unpack_from(r.d, r.o))
                 r.o += w * width
                 if key == "GT":
                     sval = _gt_to_str(t, raw)
