@@ -797,6 +797,7 @@ class SliceDecoder:
         self.codecs = {k: build_codec(e, p) for k, (e, p) in chdr.data_series.items()}
         self.tag_codecs = {k: build_codec(e, p) for k, (e, p) in chdr.tag_encodings.items()}
         self._ref_cache: dict[int, bytes] = {}
+        self._readers: dict[tuple[str, str], object] = {}
         # qname pruning: the RN series normally reads every record (its
         # BYTE_ARRAY_STOP cursor must stay in sync), but when qname is
         # pruned AND the RN block is EXCLUSIVE to RN, nothing else ever
@@ -847,6 +848,36 @@ class SliceDecoder:
     def _byte(self, key: str) -> int:
         return self.codecs[key].read_byte(self.core, self.ext)
 
+    def _reader(self, key: str, kind: str):
+        """Prebound per-series reader (decode hot path: ~100 series reads
+        per record went through two dict hops + two call layers each).
+        EXTERNAL series bind the block Buf's own itf8/u8 method directly —
+        a LazyBuf is inflated ONCE here and swapped for a plain Buf so
+        subsequent reads pay slot access, not a property call per byte.
+        Built lazily per (key, kind), so series a slice never touches
+        (pruned columns, no detached mates) keep their deferred blocks."""
+        cache = self._readers
+        k = (key, kind)
+        fn = cache.get(k)
+        if fn is None:
+            codec = self.codecs[key]
+            if isinstance(codec, ExternalCodec):
+                buf = self.ext[codec.cid]
+                if isinstance(buf, LazyBuf):
+                    nb = Buf(buf.data)
+                    nb.pos = buf.pos
+                    self.ext[codec.cid] = nb
+                    buf = nb
+                fn = buf.itf8 if kind == "int" else buf.u8
+            else:
+                core, ext = self.core, self.ext
+                if kind == "int":
+                    fn = lambda: codec.read_int(core, ext)  # noqa: E731
+                else:
+                    fn = lambda: codec.read_byte(core, ext)  # noqa: E731
+            cache[k] = fn
+        return fn
+
     def _bytes(self, key: str) -> bytes:
         return self.codecs[key].read_bytes(self.core, self.ext)
 
@@ -863,17 +894,33 @@ class SliceDecoder:
         ch, sh = self.chdr, self.sh
         prev_ap = sh.start
         raw: list[dict] = []
+        # prebound unconditional per-record readers (see _reader); the
+        # conditional series (RI/MF/NS/... and feature operands) bind
+        # lazily on first use so untouched blocks stay deferred
+        rd = self._reader
+        bf_r, cf_r, rl_r, ap_r, rg_r, tl_r = (
+            rd("BF", "int"), rd("CF", "int"), rd("RL", "int"),
+            rd("AP", "int"), rd("RG", "int"), rd("TL", "int"),
+        )
+        multiref = sh.ref_seq_id == -2
+        ri_r = rd("RI", "int") if multiref else None
+        # mapped-record readers + feature-operand thunks bind on FIRST
+        # mapped record / first occurrence of each feature code, so
+        # all-unmapped slices and absent feature series keep their
+        # blocks deferred exactly as before
+        fn_r = mq_r = fp_r = fc_r = None
+        op_cache: dict[str, object] = {}
         for _ in range(sh.n_records):
             r: dict = {}
-            bf = self._int("BF")
-            cf = self._int("CF")
-            ref_id = self._int("RI") if sh.ref_seq_id == -2 else sh.ref_seq_id
-            rl = self._int("RL")
-            ap = self._int("AP")
+            bf = bf_r()
+            cf = cf_r()
+            ref_id = ri_r() if multiref else sh.ref_seq_id
+            rl = rl_r()
+            ap = ap_r()
             if ch.ap_delta:
                 ap = prev_ap + ap
                 prev_ap = ap
-            rg = self._int("RG")
+            rg = rg_r()
             if ch.read_names_included and not self._skip_rn:
                 qname = self._bytes("RN").decode("ascii")
             else:
@@ -887,7 +934,7 @@ class SliceDecoder:
                 mate = (mf, self._int("NS"), self._int("NP"), self._int("TS"))
             elif cf & CF_HAS_MATE_DOWNSTREAM:
                 nf = self._int("NF")
-            tl = self._int("TL")
+            tl = tl_r()
             attrs: dict[str, str] = {}
             if not self._skip_tags:
                 for tag, typ in (ch.tag_dictionary[tl] if ch.tag_dictionary else []):
@@ -901,12 +948,21 @@ class SliceDecoder:
             quals: bytes | None = None
             bases: bytes | None = None
             if not flag & FLAG_UNMAPPED:
+                if fn_r is None:
+                    fn_r, mq_r = rd("FN", "int"), rd("MQ", "int")
                 fpos = 0
-                for _ in range(self._int("FN")):
-                    fpos += self._int("FP")
-                    fc = chr(self._byte("FC"))
-                    features.append((fpos, fc, self._feature_operand(fc)))
-                mq = self._int("MQ")
+                fn_n = fn_r()
+                if fn_n:
+                    if fp_r is None:
+                        fp_r, fc_r = rd("FP", "int"), rd("FC", "byte")
+                    for _ in range(fn_n):
+                        fpos += fp_r()
+                        fc = chr(fc_r())
+                        fn = op_cache.get(fc)
+                        if fn is None:
+                            fn = op_cache[fc] = self._operand_thunk(fc)
+                        features.append((fpos, fc, fn()))
+                mq = mq_r()
                 if cf & CF_QS_PRESERVED:
                     quals = self._byte_run("QS", rl, self._want("qual"))
             else:
@@ -943,30 +999,39 @@ class SliceDecoder:
         return None
 
     def _feature_operand(self, fc: str):
+        return self._operand_thunk(fc)()
+
+    def _operand_thunk(self, fc: str):
+        """Zero-arg reader for one feature code's operand, built once per
+        slice per code (decode_records caches them) — the per-feature
+        dispatch chain + per-call series lookups were a measurable slice
+        of the decode profile."""
+        rd = self._reader
         if fc == "X":
-            return self._byte("BS")
+            return rd("BS", "byte")
         if fc == "I":
-            return self._bytes("IN")
+            return lambda: self._bytes("IN")
         if fc == "S":
-            return self._bytes("SC")
+            return lambda: self._bytes("SC")
         if fc == "i":
-            return self._byte("BA")
+            return rd("BA", "byte")
         if fc == "B":
-            return (self._byte("BA"), self._byte("QS"))
+            ba, qs = rd("BA", "byte"), rd("QS", "byte")
+            return lambda: (ba(), qs())
         if fc == "Q":
-            return self._byte("QS")
+            return rd("QS", "byte")
         if fc == "D":
-            return self._int("DL")
+            return rd("DL", "int")
         if fc == "N":
-            return self._int("RS")
+            return rd("RS", "int")
         if fc == "P":
-            return self._int("PD")
+            return rd("PD", "int")
         if fc == "H":
-            return self._int("HC")
+            return rd("HC", "int")
         if fc == "b":
-            return self._bytes("BB")
+            return lambda: self._bytes("BB")
         if fc == "q":
-            return self._bytes("QQ")
+            return lambda: self._bytes("QQ")
         raise ValueError(f"unknown CRAM feature code {fc!r}")
 
     def _decode_tag(self, tag: str, typ: str) -> str:

@@ -648,17 +648,27 @@ def _unpack_values(
             f"{label} PACK stream truncated: {len(packed)} packed bytes "
             f"cannot hold {out_len} values at {bits} bits"
         )
+    # vectorized unpack (decode twin of _pack_values' shift-OR reduce):
+    # each packed byte fans out to `per` indices with C-level shifts,
+    # then one LUT gather maps indices to symbols.  Same values and the
+    # same first-offending-index error as the per-value loop.
+    import numpy as np
+
     mask = (1 << bits) - 1
-    out = bytearray(out_len)
-    for i in range(out_len):
-        v = (packed[i // per] >> (bits * (i % per))) & mask
-        if v >= n:
+    nbytes = (out_len + per - 1) // per
+    arr = np.frombuffer(packed[:nbytes], np.uint8)
+    shifts = (bits * np.arange(per, dtype=np.uint8))[None, :]
+    vals = ((arr[:, None] >> shifts) & mask).reshape(-1)[:out_len]
+    if n < 1 << bits:
+        bad = np.nonzero(vals >= n)[0]
+        if bad.size:
             raise ValueError(
-                f"{label} PACK index {v} out of range for a "
+                f"{label} PACK index {int(vals[bad[0]])} out of range for a "
                 f"{n}-symbol map — corrupt stream"
             )
-        out[i] = syms[v]
-    return bytes(out)
+    lut = np.zeros(1 << bits, np.uint8)
+    lut[: len(syms)] = syms
+    return lut[vals].tobytes()
 
 
 def compress_o0_bare(data: bytes) -> bytes:
