@@ -120,6 +120,13 @@ _EXTRA_PASSES = {
 # separation was reconstructed by narrative in SCALE.md each round).
 # Values: the committed BENCH_r01.json driver run at sf0.1.
 #
+# LIMITATION (measured r10): the canaries are light single-stage queries,
+# so under NEIGHBOR load on the shared box they under-state the slowdown
+# of heavy all-32-core entries (observed: q10 at 1.0x while s09/d14 read
+# 1.4-1.7x during an external load spike with zero code changes and no
+# stray local JVMs).  A normalized ratio >1.25 on a heavy entry is only
+# actionable when the same run's OTHER heavy entries do not move with it.
+#
 # A canary whose CODE later changes is retired from live drift estimation
 # (it no longer measures pure box load) but remains valid for recomputing
 # the r5-r7 historical baselines, where its code was still unchanged —
