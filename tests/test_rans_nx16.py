@@ -873,3 +873,17 @@ def test_eager_persist_registers_before_materializing(spark):
         track_persist(df, eager=True)
     assert tracked_count() == 1  # registered despite the failed count()
     assert release_persists() == 1
+
+
+def test_rle_encode_long_runs_take_uint7_fallback():
+    """Runs with extras >= 0x80 must leave the bulk single-byte metadata
+    path and emit true uint7 varints, in literal order, mixed with short
+    runs (r10 vectorization's only remaining per-run loop)."""
+    from disq_original_spark.sources.rans_nx16 import (
+        _rle_decode,
+        _rle_encode,
+    )
+
+    data = b"A" * 300 + b"xyz" + b"B" * 200 + b"A" * 5
+    meta, lit = _rle_encode(data)
+    assert _rle_decode(lit, meta, len(data)) == data
