@@ -62,13 +62,20 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 #       first post-conversion hash row now (st08 is also r7-due; the
 #       others were r8/r9-witnessed under the OLD formula, so their old
 #       rows no longer describe current code);
-#   (c) 37 of the 49 remaining r7-witnessed queries (age 3 — due by
-#       round 11), the first 37 in sorted order.  The last 12
-#       (q48/q49/q50/s06/s07/s08/s09/t13/t14/t15/t16/t17) are deferred to
-#       round 11's window, where they are the hard must-block (12 + up to
-#       38 of the 49 r8-witnessed fills round 11 exactly; the deferral
-#       chain stays ≤12 < 50 every round, so the 4-round bound holds).
-# 4 + 9 + 37 = exactly 50.  Post-r10 histogram: nothing older than r7.
+#   (c) 3 queries NEW this round — q56 (TPC-H Q12 shape), q57 (Q19
+#       disjunctive-pushdown shape), q58 (Q8 seven-relation market
+#       share) — never-witnessed code outranks re-witnessing unchanged
+#       entries (the r9 principle), so each takes its FIRST driver hash
+#       row now;
+#   (d) 34 of the 49 remaining r7-witnessed queries (age 3 — due by
+#       round 11), the first 34 in sorted order.  The last 15
+#       (q45/q46/q47/q48/q49/q50/s06/s07/s08/s09/t13/t14/t15/t16/t17)
+#       are deferred to round 11's window, where they are the hard
+#       must-block (15 + up to 35 of the 49 r8-witnessed fills round 11
+#       exactly; the deferral chain stays ≤15 < 50 every round and the
+#       registry is 156 ≤ 200 = 4×50 cycle capacity, so the 4-round
+#       bound holds).
+# 4 + 9 + 3 + 34 = exactly 50.  Post-r10 histogram: nothing older than r7.
 _PRIORITY = [
     # --- (a) r6-due, cycle bound ---
     "q22_string_functions",
@@ -85,7 +92,11 @@ _PRIORITY = [
     "g04_vcf_variant_stats",
     "g07_typed_variant_stats",
     "g23_bcf_stats",
-    # --- (c) r7 block, first 37 sorted ---
+    # --- (c) first witnesses for the round-10 additions ---
+    "q56_tpch_q12",
+    "q57_tpch_q19",
+    "q58_tpch_q8",
+    # --- (d) r7 block, first 34 sorted ---
     "d03_minhash_lsh",
     "d04_ngram_jaccard",
     "d06_simhash",
@@ -120,9 +131,6 @@ _PRIORITY = [
     "q42_grouping_sets",
     "q43_tpch_q18",
     "q44_scd2_dimension",
-    "q45_funnel_steps",
-    "q46_resample_ffill",
-    "q47_tpch_q21",
 ]
 
 

@@ -1921,3 +1921,188 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_cents")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------- q56 TPC-H Q12 shape
+@query(
+    "q56_tpch_q12",
+    """SELECT l_returnflag,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+       GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (late shipments by priority; `l_shipmode` /
+    receipt-commit dates don't exist in this corpus, so the lateness
+    predicate is ship > order + 60 days and the grouping key is
+    `l_returnflag`).  The interesting plan property: the selective
+    predicate references BOTH sides, so it cannot push below the join —
+    it must run as a post-join filter on the equi-join output while the
+    two-way conditional counts stay one map-side-combinable aggregate.
+
+    Scale shape: one shuffle on the join key (both sides large, no
+    broadcast), the residual date comparison inside whole-stage codegen
+    on the joined rows, then a partial-aggregated rollup to at most a
+    few returnflag groups.  All counts are integers — order-safe."""
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------- q57 TPC-H Q19 shape
+@query(
+    "q57_tpch_q19",
+    """SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT)) / 100.0 AS revenue,
+              CAST(count(*) AS BIGINT) AS n_lines
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+              AND l_quantity BETWEEN 1 AND 11)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+              AND l_quantity BETWEEN 10 AND 20)
+          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 20 AND 30)""",
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue under an OR-of-ANDs predicate
+    spanning both tables).  The classic Q19 lesson applied by hand:
+    Catalyst cannot factor a cross-table disjunction, so the build adds
+    the per-side IMPLIED prefilters — part: brand ∈ {12,23,34} ∧ size ≤ 15;
+    lineitem: quantity ≤ 30 — which ARE pushable (PushedFilters reaches
+    both scans), shrink the part side to broadcast size, and leave the
+    exact disjunction as the post-join residual.  Semantically a no-op:
+    each prefilter is the union of the arms' per-side constraints.
+
+    Scale shape: the filtered part side broadcasts (parts are O(SF),
+    the three-brand size-capped slice is a sliver); lineitem never
+    shuffles; revenue sums exact integer cents (order-safe, q55 idiom)
+    with one final float division."""
+    arms = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    p = _t(spark, sf, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & F.col("p_size").between(1, 15)
+    )
+    li = _t(spark, sf, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(arms)
+        .agg(
+            (F.sum(cents) / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- q58 TPC-H Q8 shape
+_Q58_REGION = "ASIA"
+_Q58_NATION = "NATION_7"
+_Q58_PTYPE = "PROMO"
+
+
+@query(
+    "q58_tpch_q8",
+    f"""WITH vol AS (
+          SELECT extract(year FROM o_orderdate) AS o_year,
+                 CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT) AS cents,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN part     ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN orders   ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey
+          JOIN nation n1 ON n1.n_nationkey = c_nationkey
+          JOIN region   ON r_regionkey = n1.n_regionkey
+          JOIN nation n2 ON n2.n_nationkey = s_nationkey
+          WHERE r_name = '{_Q58_REGION}' AND p_type = '{_Q58_PTYPE}')
+        SELECT CAST(o_year AS BIGINT) AS o_year,
+               CAST(sum(CASE WHEN supp_nation = '{_Q58_NATION}'
+                             THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               floor(10000 * sum(CASE WHEN supp_nation = '{_Q58_NATION}'
+                                      THEN cents ELSE 0 END)
+                     / sum(cents)) / 10000.0 AS mkt_share
+        FROM vol GROUP BY o_year ORDER BY o_year""",
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): the widest declared join —
+    seven relations including a nation SELF-JOIN (n1 routes the
+    customer's region filter, n2 names the supplier's nation) — with a
+    per-year share ratio.  This is the join-reordering stress case: the
+    selective p_type filter must reach the part scan, and every
+    dimension (part slice, supplier, customer, nation×2, region)
+    broadcasts while the lineitem fact never shuffles for the joins —
+    one exchange total, for the final year rollup.
+
+    The share is exact integer arithmetic end-to-end: per-row cents
+    (q55 idiom), two BIGINT sums, and floor((10^4·a)/b)/10^4 — one
+    deterministic division, no float accumulation anywhere."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_type") == _Q58_PTYPE)
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n1 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    n2 = _t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf, "region").filter(F.col("r_name") == _Q58_REGION)
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    vol = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("c_nkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("c_rkey"))
+        .join(F.broadcast(n2), F.col("s_nkey") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            cents.alias("cents"),
+            "supp_nation",
+        )
+    )
+    nat = F.when(F.col("supp_nation") == _Q58_NATION, F.col("cents")).otherwise(0)
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.sum(nat).alias("nation_cents"),
+            F.sum("cents").alias("total_cents"),
+        )
+        .select(
+            "o_year",
+            "nation_cents",
+            "total_cents",
+            (F.floor(10000 * F.col("nation_cents") / F.col("total_cents")) / 10000.0)
+            .alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )

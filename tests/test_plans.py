@@ -807,3 +807,53 @@ def test_q20_intersect_pushes_both_side_filters(spark, sf_dir):
     assert has_pushed_filter(df, "p_type")
     cols = set(read_schema_columns(df))
     assert cols <= {"l_partkey", "l_quantity", "p_partkey", "p_type"}
+
+
+def test_q57_q19_implied_prefilters_reach_both_scans(spark, sf_dir):
+    """The classic Q19 rewrite, pinned: Catalyst cannot factor the
+    cross-table OR-of-ANDs, so the build derives the per-side implied
+    constraints by hand — both must appear in PushedFilters (brand/size
+    on the part scan, quantity on lineitem), the three-brand part slice
+    must broadcast, and no cartesian product may appear."""
+    df = QUERIES["q57_tpch_q19"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert has_pushed_filter(df, "p_brand")
+    assert has_pushed_filter(df, "p_size")
+    assert has_pushed_filter(df, "l_quantity")
+    cols = set(read_schema_columns(df))
+    assert cols <= {
+        "p_partkey", "p_brand", "p_size",
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount",
+    }
+
+
+def test_q58_q8_all_dims_broadcast_one_exchange(spark, sf_dir):
+    """Q8's scale contract: seven relations, every dimension broadcasts
+    (part slice/supplier/customer/nation×2/region), the p_type filter
+    reaches the part scan, and the lineitem fact is shuffled at most
+    ONCE — by the orders join + final year rollup sharing AQE-planned
+    exchanges, never once per dimension."""
+    df = QUERIES["q58_tpch_q8"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_pushed_filter(df, "p_type")
+    assert plan.count("BroadcastHashJoin") >= 5
+    # one shuffled join (orders ⋈ lineitem) + the aggregate exchange;
+    # anything more means a dimension fell off the broadcast path
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_q56_q12_residual_predicate_and_integer_counts(spark, sf_dir):
+    """Q12's lateness predicate references both sides, so it must sit
+    ABOVE the join as a residual — but each side's scan must still
+    prune to exactly the referenced columns."""
+    df = QUERIES["q56_tpch_q12"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    cols = set(read_schema_columns(df))
+    assert cols <= {
+        "o_orderkey", "o_orderdate", "o_orderpriority",
+        "l_orderkey", "l_shipdate", "l_returnflag",
+    }
