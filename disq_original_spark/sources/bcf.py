@@ -728,6 +728,35 @@ def decode_record(
     return row
 
 
+
+
+def decode_record_loud(
+    r: _Reader, ctx: BcfContext, fields: frozenset[str] | None, src: str
+) -> dict:
+    """decode_record behind the codec fail-loud contract (the posture the
+    rANS/CRAM layers adopted in r6): corrupt or truncated record bytes
+    surface as ONE named ValueError carrying the source and byte offset,
+    never a bare IndexError/struct.error/KeyError/UnicodeDecodeError from
+    deep in the typed-value machinery."""
+    start = r.o
+    try:
+        return decode_record(r, ctx, fields)
+    except ValueError:
+        raise
+    except (
+        IndexError,
+        struct.error,
+        KeyError,
+        TypeError,
+        UnicodeDecodeError,
+        OverflowError,
+    ) as exc:
+        raise ValueError(
+            f"{src}: corrupt or truncated BCF record at byte {start} "
+            f"({type(exc).__name__}: {exc})"
+        ) from exc
+
+
 # --------------------------------------------------------------- source / sink
 class BcfSource:
     """BGZF BCF → variants DataFrame (schema identical to VcfSource).
@@ -859,7 +888,7 @@ class BcfSource:
                 ctx = BcfContext(hdr)
                 r = _Reader(data, 9 + l_text)
                 while r.o < len(data):
-                    yield decode_record(r, ctx, fields)
+                    yield decode_record_loud(r, ctx, fields, f)
                 return
             if not group:
                 return
@@ -877,7 +906,7 @@ class BcfSource:
                         l_shared, l_indiv = struct.unpack("<II", head)
                         payload = br.read(l_shared + l_indiv)
                         r = _Reader(head + payload, 0)
-                        yield decode_record(r, ctx, fields)
+                        yield decode_record_loud(r, ctx, fields, f)
 
         from .sam import schema_ordered
 

@@ -520,3 +520,58 @@ def test_bcf_column_pruned_read_matches_full(spark, tmp_path):
     assert sorted(map(str, p2.collect())) == sorted(
         map(str, full.select("contig", "pos").collect())
     )
+
+
+def test_corrupt_bcf_records_never_escape_valueerror(spark, tmp_path):
+    """Byte-level mutation fuzz on the record block (the contract
+    tests/test_rans_nx16.py pins for the entropy codecs, applied to the
+    BCF typed-value machinery): decoding a BCF whose record bytes are
+    flipped or truncated must either still produce rows or raise ONE
+    named ValueError — never a bare IndexError / struct.error / KeyError
+    from deep inside typed()/dictionary lookups."""
+    import struct as _struct
+
+    from disq_original_spark.sources import bcf as bcfmod
+    from disq_original_spark.sources.bcf import (
+        BcfContext,
+        BcfSink,
+        decode_record_loud,
+    )
+    from disq_original_spark.sources.headers import read_vcf_header_text
+    from disq_original_spark.sources.vcf import VcfSource
+
+    src = VCF
+    hdr_text = read_vcf_header_text(src)
+    out = str(tmp_path / "t.bcf")
+    BcfSink().write(VcfSource().read(spark, src), hdr_text, out)
+    data = bcfmod._decompress(out)
+    l_text = _struct.unpack_from("<I", data, 5)[0]
+    body_start = 9 + l_text
+    hdr = data[9:body_start].split(b"\x00", 1)[0].decode()
+
+    def drain(blob: bytes) -> int:
+        ctx = BcfContext(hdr)
+        r = bcfmod._Reader(blob, body_start)
+        n = 0
+        while r.o < len(blob):
+            decode_record_loud(r, ctx, None, "fuzz")
+            n += 1
+        return n
+
+    n_ok = drain(data)
+    assert n_ok > 0
+    # single-byte flips across the record region (every 3rd byte, all 8 bits
+    # on a stride — bounded but dense enough to hit every field kind)
+    for off in range(body_start, len(data), 3):
+        mutated = bytearray(data)
+        mutated[off] ^= 0x80 | (off % 7 + 1)
+        try:
+            drain(bytes(mutated))
+        except ValueError:
+            pass  # the contract: ValueError is the ONLY acceptable failure
+    # truncations at every 17th byte
+    for cut in range(body_start + 1, len(data), 17):
+        try:
+            drain(data[:cut])
+        except ValueError:
+            pass
