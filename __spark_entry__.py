@@ -47,90 +47,84 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # across a rolling window of rounds.  All registered queries are always
 # present — only the ordering is prioritized.
 #
-# Round-10 rotation (VERDICT r9 tasks #1+#2; composition verified with
-# `tools/simulate_driver_window.py --freshness` over CORRECTNESS_r01-r09):
-#   (a) q22/q23/q24/q25 FIRST — the only r6-witnessed entries left, due
-#       exactly this round at the 4-round cycle bound (registry 153 →
-#       ceil(153/50) = 4 rounds);
-#   (b) the 9 float-aggregation conversions landed THIS round (VERDICT
-#       task #2: st01/st04/st05/st06/st07/st08 `round(sum(value),2)` →
-#       exact e2 integer-cents sums, g04/g07/g23 `round(avg(qual|MQ|GQ),2)`
-#       → exact e2 half-up integer means — the p05 pattern, SCALE.md
-#       'Float-aggregation order').  Converting and witnessing in the SAME
-#       round costs zero orphaned witnesses — the only argument for
-#       leaving them float was losing a fresh green row, so each needs its
-#       first post-conversion hash row now (st08 is also r7-due; the
-#       others were r8/r9-witnessed under the OLD formula, so their old
-#       rows no longer describe current code);
-#   (c) 3 queries NEW this round — q56 (TPC-H Q12 shape), q57 (Q19
-#       disjunctive-pushdown shape), q58 (Q8 seven-relation market
-#       share) — never-witnessed code outranks re-witnessing unchanged
-#       entries (the r9 principle), so each takes its FIRST driver hash
-#       row now;
-#   (d) 34 of the 49 remaining r7-witnessed queries (age 3 — due by
-#       round 11), the first 34 in sorted order.  The last 15
-#       (q45/q46/q47/q48/q49/q50/s06/s07/s08/s09/t13/t14/t15/t16/t17)
-#       are deferred to round 11's window, where they are the hard
-#       must-block (15 + up to 35 of the 49 r8-witnessed fills round 11
-#       exactly; the deferral chain stays ≤15 < 50 every round and the
-#       registry is 156 ≤ 200 = 4×50 cycle capacity, so the 4-round
-#       bound holds).
-# 4 + 9 + 3 + 34 = exactly 50.  Post-r10 histogram: nothing older than r7.
+# Round-11 rotation (VERDICT r10 tasks #1+#3; composition verified with
+# `tools/simulate_driver_window.py --freshness` over CORRECTNESS_r01-r10):
+#   (a) the 15 r7-witnessed entries (q45–q50, s06–s09, t13–t17) FIRST —
+#       at the 4-round cycle bound exactly as round 10's deferral chain
+#       promised; missing any of them breaks the freshness ledger;
+#   (b) the LAST 4 float-aggregation conversions landed THIS round
+#       (VERDICT task #3, completing the sweep early rather than
+#       dribbling q30/q31/q33 into round 12): q10
+#       `round(sum(l_extendedprice),2)` → exact e2 integer-cents sum,
+#       q30/q31 `round(sum(value),2)` → sum_value_e2 (the streaming
+#       twins' exact-cents helper), q33 `round(sum(l_quantity),1)` →
+#       BIGINT sums of the integer-valued quantities.  Converting and
+#       witnessing in the SAME round costs zero orphaned witnesses;
+#       after this round `grep -rn 'round(.*sum(' queries/` has no
+#       float-input residuals left;
+#   (c) 31 of the 45 r8-witnessed queries (age 3 — due by round 12),
+#       the first 31 in sorted order.  The remaining 14
+#       (s03/s05/st02/st03/t01/t02/t03/t04/t05/t06/t07/t09/t18/t19)
+#       defer to round 12's window, where they are the hard must-block
+#       (14 + 36 of the 46 r9-witnessed fills round 12; the 10 r9
+#       leftovers land in round 13 exactly at their bound; the deferral
+#       chain stays ≤15 < 50 every round and the registry is 156 ≤ 200
+#       = 4×50 cycle capacity, so the 4-round bound holds).
+# 15 + 4 + 31 = exactly 50.  Post-r11 histogram: nothing older than r8.
 _PRIORITY = [
-    # --- (a) r6-due, cycle bound ---
-    "q22_string_functions",
-    "q23_date_functions",
-    "q24_math",
-    "q25_array_agg",
+    # --- (a) r7-due, cycle bound ---
+    "q45_funnel_steps",
+    "q46_resample_ffill",
+    "q47_tpch_q21",
+    "q48_cdc_upsert",
+    "q49_bag_setops",
+    "q50_scalar_subquery",
+    "s06_ann_sq8",
+    "s07_knn_graph",
+    "s08_graph_bucket_audit",
+    "s09_nn_descent_round",
+    "t13_bm25",
+    "t14_bigram_surprisal",
+    "t15_fuzzy_join",
+    "t16_blocking_audit",
+    "t17_heavy_hitters",
     # --- (b) float->integer conversions, fresh witness required ---
-    "st01_stream_tumbling",
-    "st04_stream_session",
-    "st05_stateful_totals",
-    "st06_stream_sliding",
-    "st07_stream_static_join",
-    "st08_stream_ingest_dedup",
-    "g04_vcf_variant_stats",
-    "g07_typed_variant_stats",
-    "g23_bcf_stats",
-    # --- (c) first witnesses for the round-10 additions ---
-    "q56_tpch_q12",
-    "q57_tpch_q19",
-    "q58_tpch_q8",
-    # --- (d) r7 block, first 34 sorted ---
-    "d03_minhash_lsh",
-    "d04_ngram_jaccard",
-    "d06_simhash",
-    "d07_dup_clusters",
-    "d08_dup_span_coverage",
-    "d11_paragraph_dedup",
-    "d12_keep_best",
-    "d13_lsh_bucket_audit",
-    "d14_lsh_estimate_audit",
-    "g09_mark_duplicates",
-    "g16_interval_merge",
-    "g17_interval_subtract",
-    "g18_interval_closest",
-    "g25_gff_gene_model",
-    "g26_variant_annotation",
-    "m04_phash_neardup",
-    "m05_audio_frames",
-    "m06_scene_cuts",
-    "p07_deterministic_shuffle",
-    "p08_domain_cap",
-    "p09_skew_audit",
-    "p10_corpus_pipeline_v2",
-    "p11_zorder_layout",
-    "p12_leakage_safe_split",
-    "q12_approx_distinct",
-    "q29_case",
+    "q10_hash_aggregate",
     "q30_tumbling_window",
     "q31_sessionize",
-    "q32_percentiles",
     "q33_pivot",
-    "q41_unpivot",
-    "q42_grouping_sets",
-    "q43_tpch_q18",
-    "q44_scd2_dimension",
+    # --- (c) r8 block, first 31 sorted ---
+    "d01_exact_dedup",
+    "d02_dedup_stats",
+    "d05_embedding_neardup",
+    "g01_interval_filter",
+    "g02_interval_join",
+    "g03_bam_contig_stats",
+    "g05_binned_interval_join",
+    "g06_coverage_windows",
+    "g08_skewed_interval_join",
+    "g10_flagstat",
+    "g11_cycle_quality",
+    "g12_tstv",
+    "g13_region_depth",
+    "g14_multiallelic_split",
+    "g15_idxstats",
+    "m01_media_stats",
+    "m02_media_features",
+    "m03_frame_sample",
+    "p01_sequence_packing",
+    "p03_budget_mixture",
+    "q01_scan_project",
+    "q02_filter",
+    "q03_range_predicate",
+    "q04_inner_join",
+    "q34_asof_join",
+    "q35_tpch_q3",
+    "q36_tpch_q5",
+    "q37_udtf_sentences",
+    "q38_recursive_spine",
+    "q39_time_range_frame",
+    "q40_lateral_topn",
 ]
 
 

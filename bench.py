@@ -135,6 +135,10 @@ _EXTRA_PASSES = {
 _CANARY_RETIRED = {
     # r9 de-vacuity fix gave q20 selective filters (less work than r1)
     "q20_intersect": 9,
+    # r11 float->integer-cents conversions (p05 pattern) changed both
+    # aggregation bodies; they no longer measure pure box load
+    "q10_hash_aggregate": 11,
+    "q30_tumbling_window": 11,
 }
 _CANARY_R1 = {
     "q02_filter": 0.234,

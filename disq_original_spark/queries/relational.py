@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..streaming.events import sum_value_e2
 from ..tables import load_table
 from .registry import query
 
@@ -226,11 +227,15 @@ def q09(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q10_hash_aggregate",
     """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq,
-              round(sum(l_extendedprice), 2) AS sp, count(*) AS c
+              sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sp,
+              count(*) AS c
        FROM lineitem GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus""",
     doc="TPC-H Q1 core: partial (map-side) aggregation then final — one shuffle "
-    "of only the grouped partials.",
+    "of only the grouped partials.  The price total travels as exact integer "
+    "cents (order-safe BIGINT sum, one float division at the end — the p05 "
+    "pattern); the quantity sum is integer-valued so a double sum is already "
+    "exact and order-independent below 2^53.",
 )
 def q10(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
@@ -238,7 +243,8 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sq"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sp"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / F.lit(100.0))
+            .alias("sp"),
             F.count(F.lit(1)).alias("c"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -649,10 +655,13 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q30_tumbling_window",
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS window_start,
-              count(*) AS cnt, round(sum(value), 2) AS sv
+              count(*) AS cnt,
+              sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sv
        FROM events GROUP BY 1 ORDER BY 1""",
     doc="Batch analog of Structured Streaming window(ts, '1 hour'); the "
-    "streaming twin lives in disq_original_spark.streaming.",
+    "streaming twin lives in disq_original_spark.streaming.  The value sum "
+    "travels as exact integer cents (order-safe — the p05 pattern), matching "
+    "the streaming twins' sum_value_e2.",
 )
 def q30(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "events")
@@ -662,7 +671,7 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
                 "window_start"
             )
         )
-        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sv"))
+        .agg(F.count(F.lit(1)).alias("cnt"), sum_value_e2().alias("sv"))
         .orderBy("window_start")
     )
 
@@ -688,7 +697,8 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
          FROM marked)
        SELECT user_id,
               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-              count(*) AS n_events, round(sum(value), 2) AS sv
+              count(*) AS n_events,
+              sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sv
        FROM sess GROUP BY user_id, session_id
        ORDER BY user_id, session_start""",
     doc="Batch sessionization (gaps-and-islands: lag + cumulative sum + "
@@ -722,7 +732,7 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sv"),
+            sum_value_e2().alias("sv"),
         )
         .select("user_id", "session_start", "n_events", "sv")
         .orderBy("user_id", "session_start")
@@ -763,21 +773,31 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q33_pivot",
     """SELECT l_returnflag,
-              round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 1) AS F,
-              round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 1) AS O
+              sum(CASE WHEN l_linestatus = 'F'
+                       THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) / 1.0 AS F,
+              sum(CASE WHEN l_linestatus = 'O'
+                       THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END) / 1.0 AS O
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     doc="Pivot (wide aggregation): Spark groupBy().pivot() with explicit "
     "values — compiles to the same single-shuffle conditional aggregation "
     "as the oracle's CASE form; explicit pivot values avoid the extra "
-    "distinct-values job at scale.",
+    "distinct-values job at scale.  l_quantity is integer-valued, so the "
+    "pivoted totals travel as exact BIGINT sums (order-safe — the p05 "
+    "pattern) with one float division at the end to keep the declared "
+    "1-decimal double shape.",
 )
 def q33(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["F", "O"])
-        .agg(F.round(F.sum("l_quantity"), 1))
-        .na.fill(0.0)
+        .agg(F.sum(F.round(F.col("l_quantity")).cast("long")))
+        .na.fill(0)
+        .select(
+            "l_returnflag",
+            (F.col("F") / F.lit(1.0)).alias("F"),
+            (F.col("O") / F.lit(1.0)).alias("O"),
+        )
         .orderBy("l_returnflag")
     )
 
@@ -2080,7 +2100,11 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        # customer is the SCALING dimension (150k rows/SF): no explicit
+        # broadcast hint — below the auto-broadcast threshold the planner
+        # still broadcasts it, above it AQE falls back to a shuffled join
+        # instead of blowing the driver (ADVICE r10)
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("c_nkey") == F.col("c_nationkey"))
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("c_rkey"))
         .join(F.broadcast(n2), F.col("s_nkey") == F.col("s_nationkey"))

@@ -865,7 +865,8 @@ def t13(spark: SparkSession, sf: str) -> DataFrame:
         cb AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
         ch AS (SELECT w1, count(*) AS h FROM bg GROUP BY w1)
         SELECT doc_id, count(*) AS n_bigrams,
-               round(sum(ln(h) - ln(c12)) / count(*), 4) AS avg_surprisal,
+               round(sum(CAST(round((ln(h) - ln(c12)) * 1000000) AS BIGINT))
+                     / 1000000.0 / count(*), 4) AS avg_surprisal,
                round(max(ln(h) - ln(c12)), 4) AS max_surprisal
         FROM bg JOIN cb USING (b) JOIN ch USING (w1)
         GROUP BY doc_id ORDER BY doc_id""",
@@ -900,13 +901,18 @@ def t14(spark: SparkSession, sf: str) -> DataFrame:
     cb = bg.groupBy("b").agg(F.count("*").alias("c12"))
     ch = bg.groupBy("w1").agg(F.count("*").alias("h"))
     s = F.log("h") - F.log("c12")
+    # per-row e6 micro-units summed as BIGINT (order-safe — the p05
+    # pattern); mean = two deterministic float ops on the exact sum.
+    # max is order-independent and stays float.
+    s_e6 = F.round(s * 1_000_000).cast("long")
     return (
         bg.join(cb, "b")
         .join(ch, "w1")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.sum(s) / F.count("*"), 4).alias("avg_surprisal"),
+            F.round(F.sum(s_e6) / F.lit(1_000_000.0) / F.count("*"), 4)
+            .alias("avg_surprisal"),
             F.round(F.max(s), 4).alias("max_surprisal"),
         )
         .orderBy("doc_id")

@@ -24,6 +24,8 @@ import gzip
 import struct
 from pathlib import Path
 
+import numpy as _np
+
 from .bam_codec import _QUAL_MINUS33
 from .cram_codec import CRAM_MAGIC, IndexedFasta
 
@@ -33,6 +35,32 @@ EOF_CONTAINER = bytes.fromhex(
 )
 
 DEFAULT_SM = b"\x1b\x1b\x1b\x1b\x1b"  # identity-ordered substitution matrix
+
+
+def _encode_qual(qual: str, qname: object) -> bytes:
+    """Phred+33 string -> raw phred bytes, failing loud by record name.
+
+    Mirrors the named-error convention of ``bam_codec.encode_record``
+    (ADVICE r10): a codepoint above U+00FF or a character below '!' is
+    invalid SAM qual and must raise a ValueError naming the record, not
+    leak a UnicodeEncodeError or silently wrap to a bogus phred byte via
+    the ``&0xFF`` translate table."""
+    try:
+        enc = qual.encode("latin-1")
+    except UnicodeEncodeError as e:
+        raise ValueError(
+            f"record {qname!r}: qual contains non-phred character "
+            f"{qual[e.start]!r} (codepoint > 0xFF)"
+        ) from None
+    out = enc.translate(_QUAL_MINUS33)
+    # chars '!'..'\xff' map to 0x00..0xDE; anything above 0xDE can only
+    # come from a source char below '!' wrapping through the &0xFF table
+    if out and max(out) > 0xDE:
+        raise ValueError(
+            f"record {qname!r}: qual contains character {min(qual)!r} "
+            "below '!' (not a valid phred+33 score)"
+        )
+    return out
 
 # fixed external content-id allocation (self-describing via the encoding map)
 CID = {
@@ -195,8 +223,11 @@ def features_from_alignment(
                 b += b"N" * (n - len(b))
             a = seq[read_p : read_p + n].upper().encode("ascii", "replace")
             if a != b:
-                import numpy as _np
-
+                if len(a) != n:
+                    raise ValueError(
+                        f"CIGAR {cigar!r} implies {n} bases at read offset "
+                        f"{read_p} but seq has only {len(a)}"
+                    )
                 # only the mismatching positions need the per-base walk:
                 # one C-level vector compare finds them (same features as
                 # scanning range(n), minus the per-matching-base loop cost)
@@ -425,11 +456,11 @@ def encode_container(
                     put_hc(op)
             put_mq(int(r["mapq"] or 0))
             if cf & 1:
-                qs_raw(qual.encode("latin-1").translate(_QUAL_MINUS33))
+                qs_raw(_encode_qual(qual, r["qname"]))
         else:
             ba_raw(seq.encode("ascii") if seq != "*" else b"")
             if cf & 1:
-                qs_raw(qual.encode("latin-1").translate(_QUAL_MINUS33))
+                qs_raw(_encode_qual(qual, r["qname"]))
 
     # ---- compression header
     ch = bytearray()

@@ -531,6 +531,8 @@ def _rle_encode(data: bytes) -> tuple[bytes, bytes] | None:
     import numpy as np
 
     n = len(data)
+    if n == 0:
+        return None  # documented contract: None when no symbol pays
     a = np.frombuffer(data, np.uint8)
     change = np.nonzero(a[1:] != a[:-1])[0] + 1
     starts = np.concatenate(([0], change))

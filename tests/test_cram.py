@@ -1496,3 +1496,32 @@ def test_cram31_multicontainer_split_invariance(spark, tmp_path):
         frames[ss] = sorted(map(key, rows))
     assert len(frames[1 << 20]) == 400
     assert frames[4 * 1024] == frames[28 * 1024] == frames[1 << 20]
+
+
+def test_encode_qual_fails_loud_on_invalid_chars():
+    """ADVICE r10: the translate-table fast path must not silently wrap
+    qual chars below '!' to bogus phred bytes (space -> 0xFF via &0xFF),
+    nor leak a raw UnicodeEncodeError for codepoints above U+00FF — both
+    raise a ValueError naming the record, matching bam_codec's
+    convention.  Valid quals still translate byte-for-byte."""
+    import pytest
+
+    from disq_original_spark.sources.cram_writer import _encode_qual
+
+    assert _encode_qual("IIII", "r1") == b"\x28\x28\x28\x28"
+    assert _encode_qual("!~", "r1") == b"\x00\x5d"
+    with pytest.raises(ValueError, match=r"record 'r1'.*below '!'"):
+        _encode_qual("II I", "r1")
+    with pytest.raises(ValueError, match=r"record 'r2'.*non-phred"):
+        _encode_qual("IIŁI", "r2")
+
+
+def test_features_from_alignment_rejects_short_seq():
+    """A CIGAR that implies more bases than seq carries must raise a
+    named ValueError, not a numpy broadcast error (ADVICE r10)."""
+    import pytest
+
+    from disq_original_spark.sources.cram_writer import features_from_alignment
+
+    with pytest.raises(ValueError, match="implies 8 bases"):
+        features_from_alignment("ACGT", "IIII", "8M", 1, b"TTTTTTTT", b"\x1b" * 5)

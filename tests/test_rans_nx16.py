@@ -887,3 +887,12 @@ def test_rle_encode_long_runs_take_uint7_fallback():
     data = b"A" * 300 + b"xyz" + b"B" * 200 + b"A" * 5
     meta, lit = _rle_encode(data)
     assert _rle_decode(lit, meta, len(data)) == data
+
+
+def test_rle_encode_empty_input_returns_none():
+    """ADVICE r10: the vectorized rewrite must keep the documented
+    'None when no symbol pays' contract on empty input instead of
+    raising IndexError from the starts=[0] gather."""
+    from disq_original_spark.sources.rans_nx16 import _rle_encode
+
+    assert _rle_encode(b"") is None
