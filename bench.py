@@ -154,6 +154,24 @@ _CANARY_R1 = {
     "g01_interval_filter": 0.285,
 }
 
+# LIMITATION companion (VERDICT r10 task #2): the light canaries above
+# finish in fractions of a second and barely contend for cores, so under
+# external neighbor load they stay ~flat while all-32-core entries
+# inflate 1.4-1.7x — the r10 headline (58.5 s, drift 0.976) understated
+# real box pressure.  These HEAVY canaries are all-core, plan-stable,
+# CODE-FROZEN entries (d04 pinned by the r10 min-of-5 audit as exactly
+# reproducible; s09's NN-Descent round unchanged since r7); their
+# reference values are raw r5-r7 medians (the same honest window as
+# _BASELINE_NORM_MEDIAN).  canary_drift_heavy >> canary_drift means the
+# box is loaded: heavy entries' light-normalized ratios inflate by about
+# (drift_heavy / drift) with no code change — divide that out before
+# calling a heavy regression real.  A heavy canary whose code changes
+# retires via _CANARY_RETIRED like any other.
+_CANARY_HEAVY = {
+    "d04_ngram_jaccard": 2.141,
+    "s09_nn_descent_round": 2.756,
+}
+
 # Per-query honest baseline: each committed driver round BENCH_r05..r07
 # (the first three run entirely under the cache-hygiene policy —
 # release_persists + clearCache between entries, VERDICT r4, so no number
@@ -223,17 +241,28 @@ _BASELINE_REDEFINED = {
 # protocol.
 
 
-def _canary_normalize(timings: dict[str, float], sf: float) -> dict:
+def _canary_normalize(
+    timings: dict[str, float], sf: float, at_round: int | None = None
+) -> dict:
     """Drift factor + normalized seconds + ratio-to-baseline, or {} when
-    the run is not at the baselines' scale factor (sf0.1)."""
+    the run is not at the baselines' scale factor (sf0.1).
+
+    ``at_round`` makes retirement round-aware for HISTORICAL replays
+    (tests folding committed BENCH_r* artifacts): a canary retired at
+    round N still measured pure box load in rounds < N, so a replay of
+    round M applies only retirements with round <= M.  Live runs pass
+    None — every retirement applies."""
     import statistics
 
     if abs(sf - 0.1) > 1e-9:
         return {}
+
+    def live(c: str) -> bool:
+        r = _CANARY_RETIRED.get(c)
+        return r is None or (at_round is not None and at_round < r)
+
     ratios = [
-        timings[c] / r1
-        for c, r1 in _CANARY_R1.items()
-        if c in timings and c not in _CANARY_RETIRED
+        timings[c] / r1 for c, r1 in _CANARY_R1.items() if c in timings and live(c)
     ]
     if len(ratios) < 5:
         return {}
@@ -245,11 +274,17 @@ def _canary_normalize(timings: dict[str, float], sf: float) -> dict:
         if k in normalized
     }
     ratio = dict(sorted(ratio.items(), key=lambda kv: -kv[1]))
-    return {
+    out = {
         "canary_drift": drift,
         "normalized": normalized,
         "ratio_normalized": ratio,
     }
+    heavy = [
+        timings[c] / ref for c, ref in _CANARY_HEAVY.items() if c in timings and live(c)
+    ]
+    if heavy:
+        out["canary_drift_heavy"] = round(statistics.median(heavy), 3)
+    return out
 
 
 # The driver keeps only the LAST 2000 characters of bench output and
@@ -288,10 +323,12 @@ def _final_line(timings: dict[str, float], sf: float, norm: dict) -> str:
     }
     if norm:
         out["canary_drift"] = norm["canary_drift"]
+        if "canary_drift_heavy" in norm:
+            out["canary_drift_heavy"] = norm["canary_drift_heavy"]
         out["norm_worst"] = dict(list(norm["ratio_normalized"].items())[:3])
     compact = {"separators": (",", ":")}
     line = json.dumps(out, **compact)
-    for drop in ("norm_worst", "canary_drift"):
+    for drop in ("norm_worst", "canary_drift_heavy", "canary_drift"):
         if len(line) <= _LINE_BUDGET:
             break
         out.pop(drop, None)

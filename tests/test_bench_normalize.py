@@ -68,13 +68,16 @@ def test_baseline_table_recomputes_from_committed_rounds():
 
 def test_normalize_math_and_sf_gate():
     q7 = _driver_queries(7)
-    out = bench._canary_normalize(q7, 0.1)
+    # the r7 replay is HISTORICAL: at_round=7 keeps canaries whose code
+    # only changed in later rounds (q20 at r9, q10/q30 at r11) live for
+    # this round's drift, exactly as they were when r7 was measured
+    out = bench._canary_normalize(q7, 0.1, at_round=7)
     drift = out["canary_drift"]
     assert drift == round(
         statistics.median(
             q7[c] / v
             for c, v in bench._CANARY_R1.items()
-            if c not in bench._CANARY_RETIRED
+            if bench._CANARY_RETIRED.get(c, 99) > 7
         ),
         3,
     )
@@ -87,6 +90,17 @@ def test_normalize_math_and_sf_gate():
     assert list(ratios.values()) == sorted(ratios.values(), reverse=True)
     # non-sf0.1 runs (driver smoke at sf0.001) carry no normalization
     assert bench._canary_normalize(q7, 0.001) == {}
+    # heavy canaries: all-core, code-frozen, referenced to r5-r7 raw
+    # medians — the r7 replay must land ~1.0 (the reference window
+    # includes r7 itself), and a LIVE normalize (no at_round) still
+    # emits the heavy drift since neither heavy canary is retired
+    assert 0.8 <= out["canary_drift_heavy"] <= 1.25
+    for name, ref in bench._CANARY_HEAVY.items():
+        assert name in bench.HEADLINE, name
+        med = statistics.median(_driver_queries(r)[name] for r in (5, 6, 7))
+        assert ref == round(med, 3), (name, ref, med)
+    live_out = bench._canary_normalize(q7, 0.1)
+    assert "canary_drift_heavy" in live_out
 
 
 def test_final_line_fits_driver_tail_window():
