@@ -75,6 +75,12 @@ HEADLINE = [
     "t17_heavy_hitters",  # MG candidate sketch + broadcast-semi recount path
     "t18_chunk_windows",  # no-shuffle scan->explode chunking path
     "t19_keyword_tfidf",  # distributed-vocabulary tf/df + per-doc top-k path
+    # round-11 additions (VERDICT r10 task #6): the r10 TPC-H shapes carry
+    # plan contracts but had no timings; Q8's seven-relation broadcast
+    # tree is exactly the shape that drifts when AQE thresholds change
+    "q56_tpch_q12",  # cross-table residual predicate path
+    "q57_tpch_q19",  # disjunctive-pushdown rewrite path
+    "q58_tpch_q8",  # seven-relation broadcast-tree path
 ]
 
 # VERDICT r3 directive #3: d04's r3 number was 1.59x its r2 sample while

@@ -402,3 +402,101 @@ def test_truncated_gff_strict_raises_silent_drops(spark, tmp_path):
     with pytest.raises(Exception, match="malformed record"):
         GffSource().read(spark, str(cut), stringency="strict").count()
     assert GffSource().read(spark, str(full), stringency="strict").count() == 3
+
+
+# ---------------------------------------------------------------------------
+# One truncated shard inside a sharded DIRECTORY (VERDICT r10 task #4).
+# The single-file truncation sweep above proves each reader fails loud on
+# its own file; the 100 TB failure mode is one bad shard among thousands —
+# the whole-directory read must raise, never return a silently short count.
+
+
+def _truncate_middle_shard(dirpath: str, suffix: str) -> str:
+    import os
+
+    shards = sorted(p for p in os.listdir(dirpath) if p.endswith(suffix))
+    assert len(shards) >= 2, shards
+    victim = os.path.join(dirpath, shards[len(shards) // 2])
+    raw = Path(victim).read_bytes()
+    # interior cut, odd offset: inside a BGZF block / CRAM container /
+    # BCF record for every shard these sinks produce (a cut exactly on a
+    # final block boundary would take the lenient terminator-less path —
+    # the raises below are the assertion that none of these do)
+    Path(victim).write_bytes(raw[: (int(len(raw) * 0.6) | 1)])
+    return victim
+
+
+def test_truncated_shard_in_bam_directory_raises(spark, tmp_path):
+    from disq_original_spark.sources.bam import BamSink, BamSource
+    from disq_original_spark.sources.headers import read_bam_header
+
+    header, _refs, _ = read_bam_header(BAM)
+    df = BamSource().read(spark, BAM)
+    out = str(tmp_path / "out.bam.sharded")
+    BamSink().write_sharded(df.repartition(3), header, out)
+    _truncate_middle_shard(out, ".bam")
+    with pytest.raises(Exception):
+        BamSource().read(spark, out).count()
+
+
+def test_truncated_shard_in_bam_directory_raises_via_metadata_job(
+    spark, tmp_path, monkeypatch
+):
+    """Same contract through the many-files planning path: with the
+    metadata threshold forced below the shard count, planning runs as a
+    Spark job (fsio.collect_metadata) instead of serial driver IO — the
+    truncated shard must still surface as a raise, not a short count."""
+    import disq_original_spark.sources.bam as bam_mod
+    from disq_original_spark.sources.headers import read_bam_header
+
+    header, _refs, _ = read_bam_header(BAM)
+    df = bam_mod.BamSource().read(spark, BAM)
+    out = str(tmp_path / "out.bam.sharded")
+    bam_mod.BamSink().write_sharded(df.repartition(3), header, out)
+    _truncate_middle_shard(out, ".bam")
+    monkeypatch.setattr(bam_mod._collect_file_metadata, "__defaults__", (2,))
+    with pytest.raises(Exception):
+        bam_mod.BamSource().read(spark, out).count()
+
+
+def test_truncated_shard_in_cram_directory_raises(spark, tmp_path):
+    from disq_original_spark.sources.cram import CramSink, CramSource
+    from disq_original_spark.sources.cram_codec import read_cram_meta
+
+    res = Path("/root/reference/src/test/resources")
+    cram, fasta = str(res / "valid.cram"), str(res / "valid.fasta")
+    hdr = read_cram_meta(Path(cram).read_bytes())[0].header_text
+    df = CramSource().read(spark, cram, reference_path=fasta)
+    out = str(tmp_path / "out.cram.sharded")
+    CramSink().write_sharded(df.repartition(3), hdr, out, reference_path=fasta)
+    _truncate_middle_shard(out, ".cram")
+    with pytest.raises(Exception):
+        CramSource().read(spark, out, reference_path=fasta).count()
+
+
+def test_truncated_shard_in_vcf_bgzf_directory_raises(spark, tmp_path):
+    from disq_original_spark.sources.headers import read_vcf_header_text
+    from disq_original_spark.sources.vcf import VcfSink, VcfSource
+
+    hdr = read_vcf_header_text(HISEQ)
+    df = VcfSource().read(spark, HISEQ)
+    out = str(tmp_path / "out.vcf.bgz.sharded")
+    VcfSink().write_sharded(df.repartition(3), hdr, out)
+    _truncate_middle_shard(out, ".vcf.bgz")
+    with pytest.raises(Exception):
+        VcfSource().read(spark, out).count()
+
+
+def test_truncated_shard_in_bcf_directory_raises(spark, tmp_path):
+    from disq_original_spark.sources.headers import read_vcf_header_text
+    from disq_original_spark.sources.vcf import VcfSource
+    from disq_original_spark.storage import VariantsStorage
+
+    hdr = read_vcf_header_text(HISEQ)
+    st = VariantsStorage(spark)
+    v = VcfSource().read(spark, HISEQ).repartition(3)
+    out = str(tmp_path / "h.bcf.sharded")
+    st.write(v, out, hdr)
+    _truncate_middle_shard(out, ".bcf")
+    with pytest.raises(Exception):
+        st.read(out).count()
