@@ -444,6 +444,12 @@ def encode_record(row: dict, ctx: BcfContext) -> bytes:
 
 # --------------------------------------------------------------- record decode
 
+# record framing structs, compiled once: (l_shared, l_indiv) and the fixed
+# site block (rid, pos0, rlen, qual-bits, n_allele_info, n_fmt_sample)
+_REC_LEN_STRUCT = struct.Struct("<II")
+_REC_FIXED_STRUCT = struct.Struct("<iiiIII")
+_SITE_STRING_FIELDS = frozenset(("id", "ref", "alts", "filters", "info"))
+
 # (type char, length) -> compiled little-endian vector Struct; bounded so
 # adversarial vector lengths cannot grow the memo unboundedly (misses fall
 # through to a one-off Struct, still correct)
@@ -482,46 +488,44 @@ class _Reader:
         return v
 
     def typed(self):
-        """Decode one typed value → (type_id, list_of_raw_values).
-
-        Hot path of the whole BCF decode (~34 calls/record on real
-        callsets): vector formats go through memoized ``struct.Struct``
-        objects instead of a fresh f-string per call, and the two
-        dominant shapes — single int8 (dictionary indexes) and single
-        int16 — skip struct entirely.  Values identical by construction."""
-        d = self.d
-        o = self.o
-        b = d[o]
-        o += 1
-        t, ln = b & 0x0F, b >> 4
-        if ln == 15:
-            self.o = o
-            _t2, v2 = self.typed()
-            ln = v2[0]
-            o = self.o
-        if t == 0:
-            self.o = o
-            return t, []
-        if t == _CHAR:
-            s = d[o : o + ln]
-            self.o = o + ln
-            return t, [s.decode()]
-        if t == _FLOAT:
-            self.o = o + 4 * ln
-            return t, list(_vec_struct("I", ln).unpack_from(d, o))
-        if t == _INT8:
-            if ln == 1:
-                v = d[o]
-                self.o = o + 1
-                return t, [v - 256 if v >= 128 else v]
-            self.o = o + ln
-            return t, list(_vec_struct("b", ln).unpack_from(d, o))
-        fmt, w = _INT_FMT[t], (2 if t == _INT16 else 4)
-        self.o = o + w * ln
-        return t, list(_vec_struct(fmt[1], ln).unpack_from(d, o))
+        """Decode one typed value → (type_id, tuple_of_raw_values)."""
+        t, vals, self.o = _typed(self.d, self.o)
+        return t, vals
 
 
-def _ints_to_str(t: int, vals: list[int]) -> str | None:
+def _typed(d: bytes, o: int) -> tuple[int, tuple, int]:
+    """Decode one typed value at ``o`` → (type_id, values, new_offset).
+
+    Hot path of the whole BCF decode (~34 calls/record on real
+    callsets): a plain function over local offsets (the r11 third pass —
+    the _Reader attribute store per call was a measurable slice of the
+    decode profile), vector formats through memoized ``struct.Struct``
+    objects, the two dominant shapes — single int8 (dictionary indexes)
+    and CHAR — special-cased.  Values are returned as the unpack tuples
+    themselves (no list() copy), which also makes them hashable keys for
+    the value→string memos below.  Values identical by construction."""
+    b = d[o]
+    o += 1
+    t, ln = b & 0x0F, b >> 4
+    if ln == 15:
+        _t2, v2, o = _typed(d, o)
+        ln = v2[0]
+    if t == 0:
+        return t, (), o
+    if t == _CHAR:
+        return t, (d[o : o + ln].decode(),), o + ln
+    if t == _FLOAT:
+        return t, _vec_struct("I", ln).unpack_from(d, o), o + 4 * ln
+    if t == _INT8:
+        if ln == 1:
+            v = d[o]
+            return t, (v - 256 if v >= 128 else v,), o + 1
+        return t, _vec_struct("b", ln).unpack_from(d, o), o + ln
+    fmt, w = _INT_FMT[t], (2 if t == _INT16 else 4)
+    return t, _vec_struct(fmt[1], ln).unpack_from(d, o), o + w * ln
+
+
+def _ints_to_str(t: int, vals: tuple[int, ...]) -> str | None:
     eov = _INT_EOV[t] if t in _INT_EOV else _INT_EOV[_INT8]
     miss = _INT_MISSING[t]
     parts = []
@@ -556,7 +560,7 @@ def _float_bits_to_str(b: int) -> str:
     return s
 
 
-def _floats_to_str(bits: list[int]) -> str | None:
+def _floats_to_str(bits: tuple[int, ...]) -> str | None:
     parts = []
     present = False
     for b in bits:
@@ -570,7 +574,7 @@ def _floats_to_str(bits: list[int]) -> str | None:
     return ",".join(parts) if present else None
 
 
-def _gt_to_str(t: int, vals: list[int]) -> str | None:
+def _gt_to_str(t: int, vals: tuple[int, ...]) -> str | None:
     """Type-aware: int16/int32 GT vectors (>62 ALT alleles, or bcftools
     output) use their OWN type's END_OF_VECTOR/MISSING sentinels — matching
     on the int8 sentinels alone turns padding into spurious '/.' alleles."""
@@ -588,6 +592,20 @@ def _gt_to_str(t: int, vals: list[int]) -> str | None:
     return None if out in ("", ".") else out
 
 
+# Per-sample value→string memos (r11 third pass): real callsets repeat a
+# small set of FORMAT values per key family (GQ bins, DP counts, diploid
+# GT patterns, GL triples at common likelihood bins), so the converted
+# string is memoized on the exact (type_id, raw values) key — a hit is
+# identical to a recompute by construction.  ``None`` ("value absent") is
+# a legal memo payload, so lookups use the _ABSENT sentinel.  Bounded so
+# adversarial inputs cannot grow them unboundedly.
+_ABSENT = object()
+_VAL_STR_MEMO_CAP = 65536
+_INT_STR_MEMO: dict[tuple[int, tuple], str | None] = {}
+_FVEC_STR_MEMO: dict[tuple, str | None] = {}
+_GT_STR_MEMO: dict[tuple[int, tuple], str | None] = {}
+
+
 def decode_record(
     r: _Reader, ctx: BcfContext, fields: frozenset[str] | None = None
 ) -> dict:
@@ -598,119 +616,170 @@ def decode_record(
     (ID/alleles/FILTER/INFO) is skipped entirely when no site string is
     requested.  ``fields=None`` keeps the full-schema behavior."""
 
-    def _want(name: str) -> bool:
-        return fields is None or name in fields
-
-    l_shared = r.u32()
-    l_indiv = r.u32()
-    shared_end = r.o + l_shared
-    end = r.o + l_shared + l_indiv
-    rid = r.i32()
-    pos0 = r.i32()
-    r.i32()  # rlen (derivable)
-    qbits = r.f32_bits()
+    d = r.d
+    o = r.o
+    l_shared, l_indiv = _REC_LEN_STRUCT.unpack_from(d, o)
+    o += 8
+    shared_end = o + l_shared
+    end = o + l_shared + l_indiv
+    # fixed site block: rid, pos0, rlen (derivable), qual bits, n_ai, n_fs
+    rid, pos0, _rlen, qbits, n_ai, n_fs = _REC_FIXED_STRUCT.unpack_from(d, o)
+    o += 24
     qual = (
         None
         if qbits == _FLOAT_MISSING_BITS
         else float(struct.unpack("<f", struct.pack("<I", qbits))[0])
     )
-    n_ai = r.u32()
     n_allele, n_info = n_ai >> 16, n_ai & 0xFFFF
-    n_fs = r.u32()
     n_fmt, n_sample = n_fs >> 24, n_fs & 0xFFFFFF
     vid, alleles, filters, info = None, [], None, {}
-    need_strings = any(map(_want, ("id", "ref", "alts", "filters", "info")))
-    if not need_strings:
-        r.o = shared_end  # skip the whole site-string walk in O(1)
+    strings = ctx.strings
+    if fields is not None and fields.isdisjoint(_SITE_STRING_FIELDS):
+        o = shared_end  # skip the whole site-string walk in O(1)
     else:
-        _t, idv = r.typed()
+        _t, idv, o = _typed(d, o)
         vid = idv[0] if idv and idv[0] != "" else None
         for _ in range(n_allele):
-            _t, a = r.typed()
+            _t, a, o = _typed(d, o)
             alleles.append(a[0] if a else "")
-        ft, fv = r.typed()
+        ft, fv, o = _typed(d, o)
         _pass_idx = ctx.string_idx.get("PASS")  # None: PASS never declared
         if ft == 0:
             filters = None
-        elif _pass_idx is not None and fv == [_pass_idx]:
+        elif _pass_idx is not None and fv == (_pass_idx,):
             filters = []
         else:
             # No default-to-0 when PASS is absent: a fully-IDX'd header that
             # assigns slot 0 to a real FILTER must decode [0] as that filter,
             # not silently as PASS (the encode twin above refuses to emit
             # PASS in that situation, so round-trips stay symmetric).
-            filters = [ctx.strings[i] for i in fv]
-        if not _want("info"):
-            r.o = shared_end  # INFO is last in the shared block
+            filters = [strings[i] for i in fv]
+        if fields is not None and "info" not in fields:
+            o = shared_end  # INFO is last in the shared block
         else:
+            info_types = ctx.info_types
             for _ in range(n_info):
-                _t, kv = r.typed()
-                key = ctx.strings[kv[0]]
-                t, vals = r.typed()
-                number, vtype = ctx.info_types.get(key, ("1", "String"))
+                # key: a single int8 dictionary index on real callsets —
+                # inline that shape (0x11 = len 1 << 4 | INT8)
+                if d[o] == 0x11:
+                    v = d[o + 1]
+                    key = strings[v - 256 if v >= 128 else v]
+                    o += 2
+                else:
+                    _t, kv, o = _typed(d, o)
+                    key = strings[kv[0]]
+                t, vals, o = _typed(d, o)
+                vtype = info_types.get(key, ("1", "String"))[1]
                 if vtype == "Flag":
                     info[key] = ""
                 elif t == _CHAR:
                     info[key] = vals[0] if vals and vals[0] != "" else "."
                 elif t == _FLOAT:
-                    info[key] = _floats_to_str(vals) or "."
+                    sval = _FVEC_STR_MEMO.get(vals, _ABSENT)
+                    if sval is _ABSENT:
+                        sval = _floats_to_str(vals)
+                        if len(_FVEC_STR_MEMO) < _VAL_STR_MEMO_CAP:
+                            _FVEC_STR_MEMO[vals] = sval
+                    info[key] = sval or "."
                 else:
-                    info[key] = _ints_to_str(t, vals) or "."
-    if not _want("genotypes"):
+                    sval = _INT_STR_MEMO.get((t, vals), _ABSENT)
+                    if sval is _ABSENT:
+                        sval = _ints_to_str(t, vals)
+                        if len(_INT_STR_MEMO) < _VAL_STR_MEMO_CAP:
+                            _INT_STR_MEMO[(t, vals)] = sval
+                    info[key] = sval or "."
+    if fields is not None and "genotypes" not in fields:
         # the spec's l_indiv framing makes the per-sample block — the
         # dominant decode cost on wide callsets — one offset assignment;
         # the dict list is not even allocated (it would be n_sample dicts
         # per record, discarded by the row filter below)
-        r.o = end
+        o = end
         n_fmt = 0
         genotypes: list[dict] = []
     else:
         genotypes = [
             {"sample": s, "gt": None, "attrs": {}} for s in ctx.samples[:n_sample]
         ]
-    for _ in range(n_fmt):
-        _t, kv = r.typed()
-        key = ctx.strings[kv[0]]
-        b = r.d[r.o]
-        r.o += 1
-        t, width = b & 0x0F, b >> 4
-        if width == 15:
-            _tt, wv = r.typed()
-            width = wv[0]
-        # per-sample vectors unpack in ONE struct call each (the typed()
-        # batching, applied to the dominant per-sample block), through the
-        # same memoized Struct objects typed() uses
-        if t == _FLOAT:
-            vst, w = _vec_struct("I", width), 4
-        elif t in _INT_FMT:
-            w = 1 if t == _INT8 else 2 if t == _INT16 else 4
-            vst = _vec_struct(_INT_FMT[t][1], width)
-        elif t != _CHAR:
-            raise ValueError(
-                f"BCF FORMAT {key}: unsupported typed-value type id {t}"
-            )
-        for si in range(n_sample):
+    if n_fmt:
+        # per-sample attr dicts prebound: the genotypes[si]["attrs"] double
+        # hop was per sample PER KEY on wide callsets
+        attrs_by_sample = [g["attrs"] for g in genotypes]
+        for _ in range(n_fmt):
+            if d[o] == 0x11:
+                v = d[o + 1]
+                key = strings[v - 256 if v >= 128 else v]
+                o += 2
+            else:
+                _t, kv, o = _typed(d, o)
+                key = strings[kv[0]]
+            b = d[o]
+            o += 1
+            t, width = b & 0x0F, b >> 4
+            if width == 15:
+                _tt, wv, o = _typed(d, o)
+                width = wv[0]
+            # per-sample vectors unpack in ONE struct call each (the typed()
+            # batching, applied to the dominant per-sample block), through
+            # the same memoized Struct objects _typed uses; the converted
+            # string comes from the bounded value→string memos (split
+            # per-type loops keep the per-sample body branch-free)
             if t == _FLOAT:
-                bits = list(vst.unpack_from(r.d, r.o))
-                r.o += 4 * width
-                sval = _floats_to_str(bits)
+                unpack = _vec_struct("I", width).unpack_from
+                for si in range(n_sample):
+                    bits = unpack(d, o)
+                    o += 4 * width
+                    sval = _FVEC_STR_MEMO.get(bits, _ABSENT)
+                    if sval is _ABSENT:
+                        sval = _floats_to_str(bits)
+                        if len(_FVEC_STR_MEMO) < _VAL_STR_MEMO_CAP:
+                            _FVEC_STR_MEMO[bits] = sval
+                    if sval is not None:
+                        attrs_by_sample[si][key] = sval
+                        if key == "GT":
+                            genotypes[si]["gt"] = sval
             elif t == _CHAR:
                 # per-sample string: `width` bytes, NUL-padded (spec §6.2.1
                 # / htslib bcf_str_vector_end); '.' = missing
-                raw_s = r.d[r.o : r.o + width].rstrip(b"\x00").decode()
-                r.o += width
-                sval = None if raw_s in ("", ".") else raw_s
-            else:
-                raw = list(vst.unpack_from(r.d, r.o))
-                r.o += w * width
+                for si in range(n_sample):
+                    raw_s = d[o : o + width].rstrip(b"\x00").decode()
+                    o += width
+                    if raw_s not in ("", "."):
+                        attrs_by_sample[si][key] = raw_s
+                        if key == "GT":
+                            genotypes[si]["gt"] = raw_s
+            elif t in _INT_FMT:
+                w = 1 if t == _INT8 else 2 if t == _INT16 else 4
+                unpack = _vec_struct(_INT_FMT[t][1], width).unpack_from
+                step = w * width
+                memo = _GT_STR_MEMO if key == "GT" else _INT_STR_MEMO
+                conv = _gt_to_str if key == "GT" else _ints_to_str
                 if key == "GT":
-                    sval = _gt_to_str(t, raw)
+                    for si in range(n_sample):
+                        raw = unpack(d, o)
+                        o += step
+                        sval = memo.get((t, raw), _ABSENT)
+                        if sval is _ABSENT:
+                            sval = conv(t, raw)
+                            if len(memo) < _VAL_STR_MEMO_CAP:
+                                memo[(t, raw)] = sval
+                        if sval is not None:
+                            attrs_by_sample[si][key] = sval
+                            genotypes[si]["gt"] = sval
                 else:
-                    sval = _ints_to_str(t, raw)
-            if sval is not None:
-                genotypes[si]["attrs"][key] = sval
-                if key == "GT":
-                    genotypes[si]["gt"] = sval
+                    for si in range(n_sample):
+                        raw = unpack(d, o)
+                        o += step
+                        sval = memo.get((t, raw), _ABSENT)
+                        if sval is _ABSENT:
+                            sval = conv(t, raw)
+                            if len(memo) < _VAL_STR_MEMO_CAP:
+                                memo[(t, raw)] = sval
+                        if sval is not None:
+                            attrs_by_sample[si][key] = sval
+            else:
+                raise ValueError(
+                    f"BCF FORMAT {key}: unsupported typed-value type id {t}"
+                )
     r.o = end
     row = {
         "contig": ctx.contigs[rid],
