@@ -62,15 +62,19 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 #       witnessing in the SAME round costs zero orphaned witnesses;
 #       after this round `grep -rn 'round(.*sum(' queries/` has no
 #       float-input residuals left;
-#   (c) 31 of the 45 r8-witnessed queries (age 3 — due by round 12),
-#       the first 31 in sorted order.  The remaining 14
-#       (s03/s05/st02/st03/t01/t02/t03/t04/t05/t06/t07/t09/t18/t19)
-#       defer to round 12's window, where they are the hard must-block
-#       (14 + 36 of the 46 r9-witnessed fills round 12; the 10 r9
-#       leftovers land in round 13 exactly at their bound; the deferral
-#       chain stays ≤15 < 50 every round and the registry is 156 ≤ 200
-#       = 4×50 cycle capacity, so the 4-round bound holds).
-# 15 + 4 + 31 = exactly 50.  Post-r11 histogram: nothing older than r8.
+#   (c) 3 queries NEW this round — q59 (TPC-H Q7 symmetric two-nation
+#       pair), q60 (Q10 returned-item top-20), q61 (Q14 promo share) —
+#       never-witnessed code outranks re-witnessing unchanged entries
+#       (the r9 principle), so each takes its FIRST driver hash row now;
+#   (d) 28 of the 45 r8-witnessed queries (age 3 — due by round 12),
+#       the first 28 in sorted order.  The remaining 17
+#       (q38/q39/q40/s03/s05/st02/st03/t01/t02/t03/t04/t05/t06/t07/
+#       t09/t18/t19) defer to round 12's window, where they are the
+#       hard must-block (17 + 33 of the 46 r9-witnessed fills round 12;
+#       the 13 r9 leftovers land in round 13 exactly at their bound;
+#       the deferral chain stays ≤17 < 50 every round and the registry
+#       is 159 ≤ 200 = 4×50 cycle capacity, so the 4-round bound holds).
+# 15 + 4 + 3 + 28 = exactly 50.  Post-r11 histogram: nothing older than r8.
 _PRIORITY = [
     # --- (a) r7-due, cycle bound ---
     "q45_funnel_steps",
@@ -93,7 +97,11 @@ _PRIORITY = [
     "q30_tumbling_window",
     "q31_sessionize",
     "q33_pivot",
-    # --- (c) r8 block, first 31 sorted ---
+    # --- (c) first witnesses for the round-11 additions ---
+    "q59_tpch_q7",
+    "q60_tpch_q10",
+    "q61_tpch_q14",
+    # --- (d) r8 block, first 28 sorted ---
     "d01_exact_dedup",
     "d02_dedup_stats",
     "d05_embedding_neardup",
@@ -122,9 +130,6 @@ _PRIORITY = [
     "q35_tpch_q3",
     "q36_tpch_q5",
     "q37_udtf_sentences",
-    "q38_recursive_spine",
-    "q39_time_range_frame",
-    "q40_lateral_topn",
 ]
 
 

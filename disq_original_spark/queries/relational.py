@@ -2130,3 +2130,178 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+# ---------------------------------------------------------------- q59 TPC-H Q7 shape
+_Q59_N1 = "NATION_9"
+_Q59_N2 = "NATION_11"
+
+
+@query(
+    "q59_tpch_q7",
+    f"""SELECT supp_nation, cust_nation, year(l_shipdate) AS l_year,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS revenue_cents
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN (SELECT n_nationkey AS s_nkey, n_name AS supp_nation
+              FROM nation WHERE n_name IN ('{_Q59_N1}', '{_Q59_N2}')) n1
+          ON s_nationkey = s_nkey
+        JOIN (SELECT n_nationkey AS c_nkey, n_name AS cust_nation
+              FROM nation WHERE n_name IN ('{_Q59_N1}', '{_Q59_N2}')) n2
+          ON c_nationkey = c_nkey
+        WHERE ((supp_nation = '{_Q59_N1}' AND cust_nation = '{_Q59_N2}')
+            OR (supp_nation = '{_Q59_N2}' AND cust_nation = '{_Q59_N1}'))
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3""",
+    doc="TPC-H Q7 shape (volume shipping): the symmetric two-nation pair "
+    "predicate — an OR across two DIFFERENT dimension aliases that no "
+    "single-scan pushdown can express.",
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    """The q57 posture applied across aliases: each nation alias is
+    PREFILTERED to the two-name slice (the implied per-side constraint of
+    the OR-of-ANDs, derived by hand because Catalyst cannot factor a
+    cross-alias disjunction), so both dimension broadcasts carry two rows
+    instead of the full table; the pair predicate itself stays a residual
+    ABOVE the joins, exact.  The lineitem fact shuffles only for the
+    orders key join; the ship-date range reaches the lineitem scan.
+    Revenue travels as exact integer cents (p05 pattern)."""
+    names = [_Q59_N1, _Q59_N2]
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n1 = (
+        _t(spark, sf, "nation")
+        .filter(F.col("n_name").isin(names))
+        .select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        _t(spark, sf, "nation")
+        .filter(F.col("n_name").isin(names))
+        .select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    pair = (
+        (F.col("supp_nation") == _Q59_N1) & (F.col("cust_nation") == _Q59_N2)
+    ) | ((F.col("supp_nation") == _Q59_N2) & (F.col("cust_nation") == _Q59_N1))
+    return (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        # customer is the scaling dimension: no broadcast hint (q58 rule)
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("c_nkey") == F.col("c_nationkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------- q60 TPC-H Q10 shape
+@query(
+    "q60_tpch_q10",
+    """SELECT c_custkey, c_name, n_name,
+              sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS revenue_cents
+       FROM customer
+       JOIN orders   ON o_custkey = c_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN nation   ON n_nationkey = c_nationkey
+       WHERE l_returnflag = 'R'
+         AND o_orderdate >= TIMESTAMP '1995-01-01'
+         AND o_orderdate <  TIMESTAMP '1995-04-01'
+       GROUP BY c_custkey, c_name, n_name
+       ORDER BY revenue_cents DESC, c_custkey LIMIT 20""",
+    doc="TPC-H Q10 shape (returned-item revenue): selective filters on BOTH "
+    "fact scans feeding a high-cardinality group-by with a global top-20.",
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale shape: the returnflag filter reaches the lineitem scan and the
+    quarter filter the orders scan (both pinned in test_plans), so the
+    orderkey join moves only the surviving slice; the per-customer rollup
+    is one hash aggregate with map-side partials; the global top-20 is
+    TakeOrderedAndProject — per-partition heaps, never a full sort of the
+    customer dimension.  Revenue is exact integer cents; ties break on
+    c_custkey so the result is deterministic in both engines."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(cents).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- q61 TPC-H Q14 shape
+@query(
+    "q61_tpch_q14",
+    """SELECT sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                                 AS BIGINT) ELSE 0 END) AS promo_cents,
+              sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS total_cents,
+              floor(10000 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                                 AS BIGINT) ELSE 0 END)
+                    / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                               AS BIGINT))) / 10000.0 AS promo_share
+       FROM lineitem JOIN part ON p_partkey = l_partkey
+       WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+         AND l_shipdate <  TIMESTAMP '1995-10-01'""",
+    doc="TPC-H Q14 shape (promo revenue share): one-month fact slice joined "
+    "to the part dimension, conditional-aggregation ratio.",
+)
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale shape: the month filter reaches the lineitem scan; part — the
+    OTHER scaling dimension (200k rows/SF, the q58/customer rule) — gets no
+    broadcast hint, so below the auto-broadcast threshold the planner
+    broadcasts it and above it AQE falls back to a shuffled key join; both
+    scans prune to exactly the referenced columns.  The share is the q58
+    idiom: two exact BIGINT cents sums, floor((10^4·a)/b)/10^4 — one
+    deterministic division, no float accumulation anywhere."""
+    li = _t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = _t(spark, sf, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    promo = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0).cast("long"))
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.sum(promo).alias("promo_cents"),
+            F.sum(cents).alias("total_cents"),
+        )
+        .select(
+            "promo_cents",
+            "total_cents",
+            (F.floor(10000 * F.col("promo_cents") / F.col("total_cents")) / 10000.0)
+            .alias("promo_share"),
+        )
+    )

@@ -857,3 +857,59 @@ def test_q56_q12_residual_predicate_and_integer_counts(spark, sf_dir):
         "o_orderkey", "o_orderdate", "o_orderpriority",
         "l_orderkey", "l_shipdate", "l_returnflag",
     }
+
+
+def test_q59_q7_two_name_slices_reach_both_nation_scans(spark, sf_dir):
+    """Q7's symmetric pair predicate: the hand-derived per-alias implied
+    constraint (n_name IN the two names) must reach BOTH nation scans as
+    PushedFilters, the ship-date range the lineitem scan, every scan
+    pruned to its referenced columns, and no cartesian product."""
+    df = QUERIES["q59_tpch_q7"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert uses_broadcast_join(df)
+    assert has_pushed_filter(df, "l_shipdate")
+    # the IN slice appears once per nation alias
+    assert plan.count("In(n_name") >= 2
+    cols = set(read_schema_columns(df))
+    assert cols <= {
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate",
+        "s_suppkey", "s_nationkey", "o_orderkey", "o_custkey",
+        "c_custkey", "c_nationkey", "n_nationkey", "n_name",
+    }
+
+
+def test_q60_q10_filters_pushed_and_topk_without_global_sort(spark, sf_dir):
+    """Q10's contract: the returnflag filter reaches the lineitem scan,
+    the quarter filter the orders scan, and the global top-20 is
+    TakeOrderedAndProject (per-partition heaps), never a full sort of
+    the grouped customer rollup."""
+    df = QUERIES["q60_tpch_q10"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_pushed_filter(df, "l_returnflag")
+    assert has_pushed_filter(df, "o_orderdate")
+    assert "TakeOrderedAndProject" in plan
+    cols = set(read_schema_columns(df))
+    assert cols <= {
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag",
+        "o_orderkey", "o_custkey", "o_orderdate",
+        "c_custkey", "c_name", "c_nationkey", "n_nationkey", "n_name",
+    }
+
+
+def test_q61_q14_month_slice_pushed_and_pruned(spark, sf_dir):
+    """Q14's contract: the one-month ship-date range reaches the lineitem
+    scan, both scans prune to exactly the referenced columns, and the
+    join carries no cartesian product.  (part gets NO broadcast hint —
+    it is a scaling dimension; at bench SF the planner auto-broadcasts,
+    at 100 TB AQE picks the shuffled key join.)"""
+    df = QUERIES["q61_tpch_q14"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_pushed_filter(df, "l_shipdate")
+    cols = set(read_schema_columns(df))
+    assert cols <= {
+        "l_partkey", "l_extendedprice", "l_discount", "l_shipdate",
+        "p_partkey", "p_type",
+    }
