@@ -2140,8 +2140,8 @@ _Q59_N2 = "NATION_11"
 @query(
     "q59_tpch_q7",
     f"""SELECT supp_nation, cust_nation, year(l_shipdate) AS l_year,
-               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                        AS BIGINT)) AS revenue_cents
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
         JOIN orders   ON o_orderkey = l_orderkey
@@ -2215,8 +2215,8 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q60_tpch_q10",
     """SELECT c_custkey, c_name, n_name,
-              sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                       AS BIGINT)) AS revenue_cents
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS BIGINT) AS revenue_cents
        FROM customer
        JOIN orders   ON o_custkey = c_custkey
        JOIN lineitem ON l_orderkey = o_orderkey
@@ -2260,11 +2260,12 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------- q61 TPC-H Q14 shape
 @query(
     "q61_tpch_q14",
-    """SELECT sum(CASE WHEN p_type = 'PROMO'
-                       THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                                 AS BIGINT) ELSE 0 END) AS promo_cents,
-              sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
-                       AS BIGINT)) AS total_cents,
+    """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                            THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                            * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS promo_cents,
+              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                            AS BIGINT)) AS BIGINT) AS total_cents,
               floor(10000 * sum(CASE WHEN p_type = 'PROMO'
                        THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
                                  AS BIGINT) ELSE 0 END)
