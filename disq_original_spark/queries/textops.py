@@ -865,8 +865,9 @@ def t13(spark: SparkSession, sf: str) -> DataFrame:
         cb AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
         ch AS (SELECT w1, count(*) AS h FROM bg GROUP BY w1)
         SELECT doc_id, count(*) AS n_bigrams,
-               round(sum(CAST(round((ln(h) - ln(c12)) * 1000000) AS BIGINT))
-                     / 1000000.0 / count(*), 4) AS avg_surprisal,
+               floor((2 * sum(CAST(round((ln(h) - ln(c12)) * 1000000) AS BIGINT))
+                      + 100 * count(*))
+                     / (200 * count(*))) / 10000.0 AS avg_surprisal,
                round(max(ln(h) - ln(c12)), 4) AS max_surprisal
         FROM bg JOIN cb USING (b) JOIN ch USING (w1)
         GROUP BY doc_id ORDER BY doc_id""",
@@ -902,16 +903,21 @@ def t14(spark: SparkSession, sf: str) -> DataFrame:
     ch = bg.groupBy("w1").agg(F.count("*").alias("h"))
     s = F.log("h") - F.log("c12")
     # per-row e6 micro-units summed as BIGINT (order-safe — the p05
-    # pattern); mean = two deterministic float ops on the exact sum.
-    # max is order-independent and stays float.
+    # pattern); the 4-decimal mean is the exact HALF-UP integer division
+    # floor((2s+100n)/(200n)) — NOT round(sum/1e6/n, 4), which lands on
+    # exact .5*1e-4 boundaries by construction (integer micro-units) and
+    # flips between Spark's HALF_UP and DuckDB's rounding (caught by the
+    # round-11 sf0.1 mirror on one doc whose boundary only appears at
+    # that scale).  max is order-independent and stays float.
     s_e6 = F.round(s * 1_000_000).cast("long")
+    cnt = F.count("*")
     return (
         bg.join(cb, "b")
         .join(ch, "w1")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_bigrams"),
-            F.round(F.sum(s_e6) / F.lit(1_000_000.0) / F.count("*"), 4)
+            cnt.alias("n_bigrams"),
+            (F.floor((2 * F.sum(s_e6) + 100 * cnt) / (200 * cnt)) / 10000.0)
             .alias("avg_surprisal"),
             F.round(F.max(s), 4).alias("max_surprisal"),
         )
