@@ -227,7 +227,7 @@ def q09(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q10_hash_aggregate",
     """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq,
-              sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sp,
+              sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sp,
               count(*) AS c
        FROM lineitem GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus""",
@@ -243,7 +243,7 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sq"),
-            (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / F.lit(100.0))
+            (F.sum((F.col("l_extendedprice") * 100 + 0.5).cast("long")) / F.lit(100.0))
             .alias("sp"),
             F.count(F.lit(1)).alias("c"),
         )
@@ -744,9 +744,9 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
     "q32_percentiles",
     """SELECT l_returnflag,
               round(percentile_cont(0.5) WITHIN GROUP (
-                  ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT)) / 100, 2) AS p50,
+                  ORDER BY CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100, 2) AS p50,
               round(percentile_cont(0.95) WITHIN GROUP (
-                  ORDER BY CAST(round(l_extendedprice * 100) AS BIGINT)) / 100, 2) AS p95
+                  ORDER BY CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100, 2) AS p95
        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     doc="Exact interpolated percentiles per group (Spark `percentile` == "
     "SQL percentile_cont), computed over integer cents so interpolation is "
@@ -759,10 +759,10 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
         li.groupBy("l_returnflag")
         .agg(
             F.round(
-                F.expr("percentile(cast(round(l_extendedprice * 100) as bigint), 0.5)") / 100, 2
+                F.expr("percentile(cast(floor(l_extendedprice * 100 + 0.5) as bigint), 0.5)") / 100, 2
             ).alias("p50"),
             F.round(
-                F.expr("percentile(cast(round(l_extendedprice * 100) as bigint), 0.95)") / 100, 2
+                F.expr("percentile(cast(floor(l_extendedprice * 100 + 0.5) as bigint), 0.95)") / 100, 2
             ).alias("p95"),
         )
         .orderBy("l_returnflag")
@@ -1794,7 +1794,7 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
     """WITH thr AS (SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
                     FROM lineitem GROUP BY l_partkey)
        SELECT CAST(count(*) AS BIGINT) AS n_small,
-              CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+              CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                 AS revenue_cents
        FROM lineitem
        JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
@@ -1834,7 +1834,7 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
     )
     return small.agg(
         F.count(F.lit(1)).alias("n_small"),
-        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+        F.sum((F.col("l_extendedprice") * 100 + 0.5).cast("long")).alias(
             "revenue_cents"
         ),
     )
@@ -1897,7 +1897,7 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q55_tpch_q15",
     """WITH rev AS (SELECT l_suppkey,
-                           sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                                     AS BIGINT)) AS total_cents
                     FROM lineitem GROUP BY l_suppkey)
        SELECT s_suppkey, s_name,
@@ -1926,7 +1926,7 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(
             F.sum(
-                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
                 .cast("long")
             ).alias("total_cents")
         )
@@ -1986,7 +1986,7 @@ def q56(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------- q57 TPC-H Q19 shape
 @query(
     "q57_tpch_q19",
-    """SELECT sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+    """SELECT sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                       AS BIGINT)) / 100.0 AS revenue,
               CAST(count(*) AS BIGINT) AS n_lines
        FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -2024,8 +2024,8 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
         & F.col("p_size").between(1, 15)
     )
     li = _t(spark, sf, "lineitem").filter(F.col("l_quantity").between(1, 30))
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    cents = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
     ).cast("long")
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
@@ -2047,7 +2047,7 @@ _Q58_PTYPE = "PROMO"
     "q58_tpch_q8",
     f"""WITH vol AS (
           SELECT extract(year FROM o_orderdate) AS o_year,
-                 CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                       AS BIGINT) AS cents,
                  n2.n_name AS supp_nation
           FROM lineitem
@@ -2093,8 +2093,8 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
     r = _t(spark, sf, "region").filter(F.col("r_name") == _Q58_REGION)
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    cents = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
     ).cast("long")
     vol = (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
@@ -2140,7 +2140,7 @@ _Q59_N2 = "NATION_11"
 @query(
     "q59_tpch_q7",
     f"""SELECT supp_nation, cust_nation, year(l_shipdate) AS l_year,
-               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                              AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM lineitem
         JOIN supplier ON s_suppkey = l_suppkey
@@ -2188,8 +2188,8 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n_name").isin(names))
         .select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
     )
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    cents = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
     ).cast("long")
     pair = (
         (F.col("supp_nation") == _Q59_N1) & (F.col("cust_nation") == _Q59_N2)
@@ -2215,7 +2215,7 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q60_tpch_q10",
     """SELECT c_custkey, c_name, n_name,
-              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                             AS BIGINT)) AS BIGINT) AS revenue_cents
        FROM customer
        JOIN orders   ON o_custkey = c_custkey
@@ -2243,8 +2243,8 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
     )
     c = _t(spark, sf, "customer")
     n = _t(spark, sf, "nation")
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    cents = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
     ).cast("long")
     return (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -2264,12 +2264,12 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
                             THEN CAST(round(l_extendedprice * (1 - l_discount)
                                             * 100) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS promo_cents,
-              CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                             AS BIGINT)) AS BIGINT) AS total_cents,
               floor(10000 * sum(CASE WHEN p_type = 'PROMO'
-                       THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                                  AS BIGINT) ELSE 0 END)
-                    / sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                    / sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                                AS BIGINT))) / 10000.0 AS promo_share
        FROM lineitem JOIN part ON p_partkey = l_partkey
        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
@@ -2289,8 +2289,8 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
     )
     p = _t(spark, sf, "part")
-    cents = F.round(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    cents = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
     ).cast("long")
     promo = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0).cast("long"))
     return (
