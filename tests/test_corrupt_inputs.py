@@ -500,3 +500,24 @@ def test_truncated_shard_in_bcf_directory_raises(spark, tmp_path):
     _truncate_middle_shard(out, ".bcf")
     with pytest.raises(Exception):
         st.read(out).count()
+
+
+def test_truncated_shard_in_fastq_directory_raises(spark, tmp_path):
+    """The text-format twin of the binary-directory sweep above: one
+    FASTQ shard cut inside a 4-line record must fail the whole
+    multi-file directory read, not shorten it."""
+    from disq_original_spark.sources.fastq import FastqSource
+
+    rec = "@r{i}\nACGTACGT\n+\nIIIIIIII\n"
+    d = tmp_path / "reads.fastq.dir"
+    d.mkdir()
+    for shard in range(3):
+        (d / f"part-{shard:05d}.fastq").write_text(
+            "".join(rec.format(i=shard * 200 + i) for i in range(200))
+        )
+    victim = d / "part-00001.fastq"
+    full = victim.read_text()
+    cut = full.index("@r350") + len("@r350\nACGTACGT\n+\nII")
+    victim.write_text(full[:cut])
+    with pytest.raises(Exception):
+        FastqSource().read(spark, str(d), split_size=1 << 20).count()

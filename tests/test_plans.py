@@ -913,3 +913,48 @@ def test_q61_q14_month_slice_pushed_and_pruned(spark, sf_dir):
         "l_partkey", "l_extendedprice", "l_discount", "l_shipdate",
         "p_partkey", "p_type",
     }
+
+
+def test_q61_q14_survives_broadcast_disabled(spark, sf_dir):
+    """The 100 TB regime, simulated: with auto-broadcast OFF (part too
+    big to ship), the hint-free part join must degrade to a shuffled
+    KEY join — never a broadcast-nested-loop or cartesian — and produce
+    the same rows.  This is the contract the no-hint design (q58 rule)
+    buys: the planner chooses, so scale changes replan instead of OOM."""
+    df_b = QUERIES["q61_tpch_q14"].build(spark, sf_dir)
+    want = sorted(map(tuple, df_b.collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["q61_tpch_q14"].build(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 1
+        assert sorted(map(tuple, df.collect())) == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q58_q8_customer_join_survives_broadcast_disabled(spark, sf_dir):
+    """q58 dropped the customer broadcast hint (ADVICE r10: the scaling
+    dimension must be allowed to fall back).  Prove the fallback: with
+    auto-broadcast OFF the customer join becomes a shuffled key join,
+    the explicitly-hinted small dims (part slice, supplier, nations,
+    region) STILL broadcast, no cartesian appears, and values match."""
+    df_b = QUERIES["q58_tpch_q8"].build(spark, sf_dir)
+    want = sorted(map(tuple, df_b.collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["q58_tpch_q8"].build(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the 5 hinted dims keep broadcasting even with auto-broadcast off
+        assert plan.count("BroadcastHashJoin") >= 5
+        # customer + orders now shuffle on their keys
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 2
+        assert sorted(map(tuple, df.collect())) == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
