@@ -47,89 +47,83 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # across a rolling window of rounds.  All registered queries are always
 # present — only the ordering is prioritized.
 #
-# Round-11 rotation (VERDICT r10 tasks #1+#3; composition verified with
-# `tools/simulate_driver_window.py --freshness` over CORRECTNESS_r01-r10):
-#   (a) the 15 r7-witnessed entries (q45–q50, s06–s09, t13–t17) FIRST —
-#       at the 4-round cycle bound exactly as round 10's deferral chain
-#       promised; missing any of them breaks the freshness ledger;
-#   (b) the LAST 4 float-aggregation conversions landed THIS round
-#       (VERDICT task #3, completing the sweep early rather than
-#       dribbling q30/q31/q33 into round 12): q10
-#       `round(sum(l_extendedprice),2)` → exact e2 integer-cents sum,
-#       q30/q31 `round(sum(value),2)` → sum_value_e2 (the streaming
-#       twins' exact-cents helper), q33 `round(sum(l_quantity),1)` →
-#       BIGINT sums of the integer-valued quantities.  Converting and
-#       witnessing in the SAME round costs zero orphaned witnesses;
-#       after this round `grep -rn 'round(.*sum(' queries/` has no
-#       float-input residuals left;
-#   (c) 3 queries NEW this round — q59 (TPC-H Q7 symmetric two-nation
-#       pair), q60 (Q10 returned-item top-20), q61 (Q14 promo share) —
-#       never-witnessed code outranks re-witnessing unchanged entries
-#       (the r9 principle), so each takes its FIRST driver hash row now;
-#   (d) 28 of the 45 r8-witnessed queries (age 3 — due by round 12),
-#       the first 28 in sorted order.  The remaining 17
-#       (q38/q39/q40/s03/s05/st02/st03/t01/t02/t03/t04/t05/t06/t07/
-#       t09/t18/t19) defer to round 12's window, where they are the
-#       hard must-block (17 + 33 of the 46 r9-witnessed fills round 12;
-#       the 13 r9 leftovers land in round 13 exactly at their bound;
-#       the deferral chain stays ≤17 < 50 every round and the registry
-#       is 159 ≤ 200 = 4×50 cycle capacity, so the 4-round bound holds).
-# 15 + 4 + 3 + 28 = exactly 50.  Post-r11 histogram: nothing older than r8.
+# Round-12 rotation (VERDICT r11 task #1; composition verified with
+# `tools/simulate_driver_window.py --freshness` over CORRECTNESS_r01-r11):
+#   (a) the 17 r8-witnessed entries (q38/q39/q40/s03/s05/st02/st03/
+#       t01–t07/t09/t18/t19) FIRST — at the 4-round cycle bound exactly
+#       as round 11's deferral chain promised; missing any of them
+#       breaks the freshness ledger.  Two of them carry this round's
+#       scheduled exact-integer conversions, landing in the SAME round
+#       they re-witness (zero orphaned witnesses): t09's
+#       `round(n_hits/n_shingles, 4)` → half-up e4 integer division
+#       (`div` / `//`, unconditionally exact), and s05's
+#       `round(sum(d2), 4)` ADC accumulation → e4 BIGINT unit sums
+#       (the per-subspace entries are exact multiples of 1e-4);
+#   (b) 33 of the 45 r9-witnessed queries (age 3 — due by round 13),
+#       in sorted order but EXCLUDING p02 and t11: their float→integer
+#       conversions are scheduled for round 13 (SCALE.md), so they must
+#       take their fresh witness in the round they convert, not here.
+#       The 12 r9 leftovers (p02/t11/q53/q54/q55/s01/s02/s04/st09/
+#       t08/t10/t12) land in round 13 exactly at their bound, alongside
+#       q32 (r10-witnessed, converting one round early with them) and
+#       37 of the 47 r10-witnessed; the 9 r10 leftovers land in round
+#       14 at their bound with 41 of the 50 r11s; the final 9 r11s in
+#       round 15.  Every deferral stays within the 4-round cycle and
+#       the registry is 159 ≤ 200 = 4×50 capacity, so the bound holds.
+# 17 + 33 = exactly 50.  Post-r12 histogram: nothing older than r9.
 _PRIORITY = [
-    # --- (a) r7-due, cycle bound ---
-    "q45_funnel_steps",
-    "q46_resample_ffill",
-    "q47_tpch_q21",
-    "q48_cdc_upsert",
-    "q49_bag_setops",
-    "q50_scalar_subquery",
-    "s06_ann_sq8",
-    "s07_knn_graph",
-    "s08_graph_bucket_audit",
-    "s09_nn_descent_round",
-    "t13_bm25",
-    "t14_bigram_surprisal",
-    "t15_fuzzy_join",
-    "t16_blocking_audit",
-    "t17_heavy_hitters",
-    # --- (b) float->integer conversions, fresh witness required ---
-    "q10_hash_aggregate",
-    "q30_tumbling_window",
-    "q31_sessionize",
-    "q33_pivot",
-    # --- (c) first witnesses for the round-11 additions ---
-    "q59_tpch_q7",
-    "q60_tpch_q10",
-    "q61_tpch_q14",
-    # --- (d) r8 block, first 28 sorted ---
-    "d01_exact_dedup",
-    "d02_dedup_stats",
-    "d05_embedding_neardup",
-    "g01_interval_filter",
-    "g02_interval_join",
-    "g03_bam_contig_stats",
-    "g05_binned_interval_join",
-    "g06_coverage_windows",
-    "g08_skewed_interval_join",
-    "g10_flagstat",
-    "g11_cycle_quality",
-    "g12_tstv",
-    "g13_region_depth",
-    "g14_multiallelic_split",
-    "g15_idxstats",
-    "m01_media_stats",
-    "m02_media_features",
-    "m03_frame_sample",
-    "p01_sequence_packing",
-    "p03_budget_mixture",
-    "q01_scan_project",
-    "q02_filter",
-    "q03_range_predicate",
-    "q04_inner_join",
-    "q34_asof_join",
-    "q35_tpch_q3",
-    "q36_tpch_q5",
-    "q37_udtf_sentences",
+    # --- (a) r8-due, cycle bound (t09 + s05 also convert this round) ---
+    "q38_recursive_spine",
+    "q39_time_range_frame",
+    "q40_lateral_topn",
+    "s03_ann_ivf",
+    "s05_ann_pq",
+    "st02_stream_stream_join",
+    "st03_stream_dedup",
+    "t01_token_count",
+    "t02_quality_score",
+    "t03_lang_heuristic",
+    "t04_fingerprint",
+    "t05_bpe_tokens",
+    "t06_winnow_fingerprint",
+    "t07_pii_redact",
+    "t09_contamination",
+    "t18_chunk_windows",
+    "t19_keyword_tfidf",
+    # --- (b) r9 block, first 33 sorted minus the r13-scheduled p02/t11 ---
+    "d09_incremental_dedup",
+    "d10_semdedup",
+    "d15_containment_neardup",
+    "g19_gc_windows",
+    "g20_kmer_spectrum",
+    "g21_cpg_islands",
+    "g22_roh_runs",
+    "g24_bam_to_fastq",
+    "g27_coverage_uniformity",
+    "p04_shard_assignment",
+    "p05_corpus_pipeline",
+    "p06_importance_resampling",
+    "p13_curriculum_phases",
+    "q05_broadcast_join",
+    "q06_left_outer_join",
+    "q07_semi_join",
+    "q08_anti_join",
+    "q09_range_join",
+    "q11_distinct_aggregate",
+    "q13_rollup",
+    "q14_cube",
+    "q15_window_rank",
+    "q16_window_frame",
+    "q17_lag",
+    "q18_topk",
+    "q19_union_all",
+    "q20_intersect",
+    "q21_except",
+    "q26_json_access",
+    "q27_explode",
+    "q28_exists_subquery",
+    "q51_tpch_q13",
+    "q52_tpch_q22",
 ]
 
 

@@ -81,6 +81,12 @@ HEADLINE = [
     "q56_tpch_q12",  # cross-table residual predicate path
     "q57_tpch_q19",  # disjunctive-pushdown rewrite path
     "q58_tpch_q8",  # seven-relation broadcast-tree path
+    # round-12 additions (VERDICT r11 task #6): the r11 TPC-H shapes; q59's
+    # two-broadcast + residual-pair plan is the one that drifts if the
+    # per-alias nation prefilter rewrite ever regresses
+    "q59_tpch_q7",  # cross-alias OR prefilter + residual-pair path
+    "q60_tpch_q10",  # dual fact-filter + TakeOrderedAndProject path
+    "q61_tpch_q14",  # month-slice conditional-aggregate ratio path
 ]
 
 # VERDICT r3 directive #3: d04's r3 number was 1.59x its r2 sample while

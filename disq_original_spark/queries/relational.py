@@ -2073,10 +2073,16 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
     seven relations including a nation SELF-JOIN (n1 routes the
     customer's region filter, n2 names the supplier's nation) — with a
     per-year share ratio.  This is the join-reordering stress case: the
-    selective p_type filter must reach the part scan, and every
-    dimension (part slice, supplier, customer, nation×2, region)
-    broadcasts while the lineitem fact never shuffles for the joins —
-    one exchange total, for the final year rollup.
+    selective p_type filter must reach the part scan.  Broadcast hints
+    go ONLY on relations whose size is bounded regardless of SF: the
+    p_type slice of part (1/150 of the types — a fraction of the
+    dimension, and the query's selectivity anchor), nation×2 (25 rows,
+    constant), region (1 row after the filter).  Supplier and customer
+    SCALE with SF (10k and 150k rows/SF — tens of GB at the 100 TB
+    regime), so neither carries a hint: below the auto-broadcast
+    threshold the planner still broadcasts them, above it AQE degrades
+    each to a shuffled key join instead of blowing the driver
+    (ADVICE r10 for customer; VERDICT r11 for supplier).
 
     The share is exact integer arithmetic end-to-end: per-row cents
     (q55 idiom), two BIGINT sums, and floor((10^4·a)/b)/10^4 — one
@@ -2097,13 +2103,17 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
     ).cast("long")
     vol = (
+        # part keeps its hint: the p_type slice is 1/150 of a dimension
+        # already 75× smaller than lineitem, bounded at any SF relative
+        # to the fact it joins
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        # supplier (10k rows/SF) and customer (150k rows/SF) SCALE with
+        # the data: no hints — a hint would override
+        # autoBroadcastJoinThreshold and OOM the driver at cluster scale;
+        # unhinted, AQE degrades each to a shuffled key join
+        # (ADVICE r10 / VERDICT r11)
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        # customer is the SCALING dimension (150k rows/SF): no explicit
-        # broadcast hint — below the auto-broadcast threshold the planner
-        # still broadcasts it, above it AQE falls back to a shuffled join
-        # instead of blowing the driver (ADVICE r10)
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("c_nkey") == F.col("c_nationkey"))
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("c_rkey"))
@@ -2166,11 +2176,13 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
     """The q57 posture applied across aliases: each nation alias is
     PREFILTERED to the two-name slice (the implied per-side constraint of
     the OR-of-ANDs, derived by hand because Catalyst cannot factor a
-    cross-alias disjunction), so both dimension broadcasts carry two rows
+    cross-alias disjunction), so both nation broadcasts carry two rows
     instead of the full table; the pair predicate itself stays a residual
-    ABOVE the joins, exact.  The lineitem fact shuffles only for the
-    orders key join; the ship-date range reaches the lineitem scan.
-    Revenue travels as exact integer cents (p05 pattern)."""
+    ABOVE the joins, exact.  Supplier and customer scale with SF and so
+    carry no hints (the q58 rule): the fact shuffles for those key joins
+    and for orders, AQE free to re-plan each; the ship-date range reaches
+    the lineitem scan.  Revenue travels as exact integer cents (p05
+    pattern)."""
     names = [_Q59_N1, _Q59_N2]
     li = _t(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
@@ -2195,10 +2207,12 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("supp_nation") == _Q59_N1) & (F.col("cust_nation") == _Q59_N2)
     ) | ((F.col("supp_nation") == _Q59_N2) & (F.col("cust_nation") == _Q59_N1))
     return (
-        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        # supplier and customer scale with SF: no broadcast hints (the
+        # q58 rule — hints only on SF-invariant relations; here that is
+        # the two 2-row nation slices)
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n1), F.col("s_nkey") == F.col("s_nationkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        # customer is the scaling dimension: no broadcast hint (q58 rule)
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n2), F.col("c_nkey") == F.col("c_nationkey"))
         .filter(pair)
@@ -2261,8 +2275,8 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q61_tpch_q14",
     """SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
-                            THEN CAST(round(l_extendedprice * (1 - l_discount)
-                                            * 100) AS BIGINT)
+                            THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                            * 100 + 0.5) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS promo_cents,
               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                             AS BIGINT)) AS BIGINT) AS total_cents,

@@ -446,14 +446,14 @@ _EXACT_D2_SQL = (
           FROM q CROSS JOIN cb CROSS JOIN sub j),
         scored AS (
           SELECT d.q_id, c.vec_id AS neighbor_id,
-                 round(sum(d.d2), 4) AS approx_d2
+                 sum(CAST(round(d.d2 * 10000) AS BIGINT)) AS approx_e4
           FROM codes c JOIN dtab d ON d.j = c.j AND d.cid = c.cid
           WHERE c.vec_id <> d.q_id
           GROUP BY d.q_id, c.vec_id),
         short AS (
           SELECT q_id, neighbor_id,
                  row_number() OVER (PARTITION BY q_id
-                                    ORDER BY approx_d2 ASC, neighbor_id) AS srn
+                                    ORDER BY approx_e4 ASC, neighbor_id) AS srn
           FROM scored),
         rr AS (
           SELECT s.q_id, s.neighbor_id,
@@ -490,9 +490,13 @@ def s05(spark: SparkSession, sf: str) -> DataFrame:
     truncates them map-side.  The re-rank broadcast-joins the ≤ 100×queries
     shortlist back to the corpus scan to fetch raw vectors — the only rows
     ever rehydrated.  Distances are rounded to 4 decimals BEFORE the
-    argmin/sum in both engines, making the cross-engine tie-break (lowest
-    codeword id) exact; the exact re-rank distance is a sequential
-    zip_with/aggregate fold, the same left fold DuckDB's list_sum runs."""
+    argmin in both engines, making the cross-engine tie-break (lowest
+    codeword id) exact; the per-subspace ADC entries — exact multiples of
+    1e-4 by that construction — then accumulate as e4 INTEGER units
+    (BIGINT sums, order-independent in any join/accumulation order), so
+    no float sum exists anywhere in the approximate stage (VERDICT r11);
+    the exact re-rank distance is a sequential zip_with/aggregate fold,
+    the same left fold DuckDB's list_sum runs."""
     e = load_table(spark, sf, "embeddings")
     # codebook sample stride scales with the corpus count: the driver-side
     # codebook (and the k×… ADC tables/worker gram matrices derived from
@@ -519,21 +523,28 @@ def s05(spark: SparkSession, sf: str) -> DataFrame:
 
     csub = cmat.reshape(k, _PQ_M, _PQ_D)
     qsub = qmat.reshape(nq, _PQ_M, _PQ_D)
-    # dtab[q, j, c] = round(||q_j - c_j||^2, 4) — the ADC lookup tables.
-    dtab = np.round(
-        ((qsub[:, :, None, :] - csub.transpose(1, 0, 2)[None, :, :, :]) ** 2).sum(-1),
-        4,
-    )
+    # dtab_e4[q, j, c] = round(||q_j - c_j||^2, 4) in e4 INTEGER units —
+    # the ADC lookup tables.  The round-4 double is an exact multiple of
+    # 1e-4, so rint(x * 1e4) recovers the integer exactly; int64 sums are
+    # then order-independent (no float accumulation — VERDICT r11).
+    dtab_e4 = np.rint(
+        np.round(
+            ((qsub[:, :, None, :] - csub.transpose(1, 0, 2)[None, :, :, :]) ** 2)
+            .sum(-1),
+            4,
+        )
+        * 10000.0
+    ).astype(np.int64)
 
-    @F.pandas_udf("array<double>")
+    @F.pandas_udf("array<long>")
     def score(emb: pd.Series) -> pd.Series:
         m = np.vstack(emb.to_numpy()).astype("float64").reshape(-1, _PQ_M, _PQ_D)
-        total = np.zeros((nq, m.shape[0]))
+        total = np.zeros((nq, m.shape[0]), dtype=np.int64)
         for j in range(_PQ_M):
             dd = np.round(((m[:, j, None, :] - csub[None, :, j, :]) ** 2).sum(-1), 4)
             code = dd.argmin(axis=1)  # first min = lowest cid (cids ascend)
-            total += dtab[:, j, code]
-        return pd.Series(list(np.round(total, 4).T))
+            total += dtab_e4[:, j, code]
+        return pd.Series(list(total.T))
 
     scored = (
         e.select("vec_id", score("embedding").alias("ds"))
@@ -543,12 +554,12 @@ def s05(spark: SparkSession, sf: str) -> DataFrame:
         # would re-run the scoring UDF over the whole corpus a second time.
         .select(
             F.col("vec_id").alias("neighbor_id"),
-            F.posexplode_outer("ds").alias("q_id", "approx_d2"),
+            F.posexplode_outer("ds").alias("q_id", "approx_e4"),
         )
         .withColumn("q_id", F.col("q_id").cast("long"))
         .filter(F.col("neighbor_id") != F.col("q_id"))
     )
-    wa = Window.partitionBy("q_id").orderBy(F.col("approx_d2").asc(), F.col("neighbor_id"))
+    wa = Window.partitionBy("q_id").orderBy(F.col("approx_e4").asc(), F.col("neighbor_id"))
     short = (
         scored.withColumn("srn", F.row_number().over(wa))
         .filter(F.col("srn") <= _PQ_RERANK)

@@ -451,7 +451,8 @@ _BENCH_MOD = 7  # doc_id % 7 == 0 plays the role of the benchmark/eval set
          c AS (SELECT doc_id, n_shingles, s FROM el
                WHERE doc_id % {_BENCH_MOD} <> 0)
          SELECT c.doc_id, c.n_shingles, count(*) AS n_hits,
-                round(count(*) / CAST(c.n_shingles AS DOUBLE), 4) AS contamination
+                ((20000 * count(*) + c.n_shingles) // (2 * c.n_shingles))
+                    / 10000.0 AS contamination
          FROM c JOIN b USING (s)
          GROUP BY c.doc_id, c.n_shingles
          ORDER BY c.doc_id""",
@@ -507,9 +508,16 @@ def t09(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id",
             "n_shingles",
             "n_hits",
-            F.round(F.col("n_hits") / F.col("n_shingles").cast("double"), 4).alias(
-                "contamination"
-            ),
+            # exact half-up e4 ratio (p05 pattern): TRUE integer division
+            # (`div`, not `/` — long/long would detour through IEEE
+            # doubles and cap exactness at 2^53), then ONE division by
+            # 10000.0 whose result is a single correctly-rounded IEEE op
+            # in both engines — no round() on a float quotient, so the
+            # shortest-decimal trap (SCALE.md r11) cannot bite.
+            (
+                F.expr("(20000 * n_hits + n_shingles) div (2 * n_shingles)")
+                / 10000.0
+            ).alias("contamination"),
         )
         .orderBy("doc_id")
     )
@@ -865,9 +873,9 @@ def t13(spark: SparkSession, sf: str) -> DataFrame:
         cb AS (SELECT b, count(*) AS c12 FROM bg GROUP BY b),
         ch AS (SELECT w1, count(*) AS h FROM bg GROUP BY w1)
         SELECT doc_id, count(*) AS n_bigrams,
-               floor((2 * sum(CAST(round((ln(h) - ln(c12)) * 1000000) AS BIGINT))
-                      + 100 * count(*))
-                     / (200 * count(*))) / 10000.0 AS avg_surprisal,
+               ((2 * sum(CAST(round((ln(h) - ln(c12)) * 1000000) AS BIGINT))
+                 + 100 * count(*))
+                // (200 * count(*))) / 10000.0 AS avg_surprisal,
                round(max(ln(h) - ln(c12)), 4) AS max_surprisal
         FROM bg JOIN cb USING (b) JOIN ch USING (w1)
         GROUP BY doc_id ORDER BY doc_id""",
@@ -904,11 +912,14 @@ def t14(spark: SparkSession, sf: str) -> DataFrame:
     s = F.log("h") - F.log("c12")
     # per-row e6 micro-units summed as BIGINT (order-safe — the p05
     # pattern); the 4-decimal mean is the exact HALF-UP integer division
-    # floor((2s+100n)/(200n)) — NOT round(sum/1e6/n, 4), which lands on
+    # (2s+100n) div (200n) — NOT round(sum/1e6/n, 4), which lands on
     # exact .5*1e-4 boundaries by construction (integer micro-units) and
     # flips between Spark's HALF_UP and DuckDB's rounding (caught by the
     # round-11 sf0.1 mirror on one doc whose boundary only appears at
-    # that scale).  max is order-independent and stays float.
+    # that scale).  `div` (DuckDB `//`) is TRUE integer division, so the
+    # exactness holds unconditionally — long/long `/` would detour
+    # through IEEE doubles and cap it at 2^53 (ADVICE r11).  max is
+    # order-independent and stays float.
     s_e6 = F.round(s * 1_000_000).cast("long")
     cnt = F.count("*")
     return (
@@ -917,9 +928,17 @@ def t14(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             cnt.alias("n_bigrams"),
-            (F.floor((2 * F.sum(s_e6) + 100 * cnt) / (200 * cnt)) / 10000.0)
-            .alias("avg_surprisal"),
+            F.sum(s_e6).alias("_sum_e6"),
             F.round(F.max(s), 4).alias("max_surprisal"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.expr("(2 * _sum_e6 + 100 * n_bigrams) div (200 * n_bigrams)")
+                / 10000.0
+            ).alias("avg_surprisal"),
+            "max_surprisal",
         )
         .orderBy("doc_id")
     )

@@ -24,8 +24,6 @@ import gzip
 import struct
 from pathlib import Path
 
-import numpy as _np
-
 from .bam_codec import _QUAL_MINUS33
 from .cram_codec import CRAM_MAGIC, IndexedFasta
 
@@ -230,7 +228,12 @@ def features_from_alignment(
                     )
                 # only the mismatching positions need the per-base walk:
                 # one C-level vector compare finds them (same features as
-                # scanning range(n), minus the per-matching-base loop cost)
+                # scanning range(n), minus the per-matching-base loop cost).
+                # numpy imports lazily: header-only / EOF-container uses of
+                # this module never hit the alignment path, and sources/
+                # keeps numpy a soft dependency elsewhere (ADVICE r11)
+                import numpy as _np
+
                 diff = _np.nonzero(
                     _np.frombuffer(a, _np.uint8) != _np.frombuffer(b, _np.uint8)
                 )[0]

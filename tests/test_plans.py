@@ -936,12 +936,15 @@ def test_q61_q14_survives_broadcast_disabled(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
-def test_q58_q8_customer_join_survives_broadcast_disabled(spark, sf_dir):
-    """q58 dropped the customer broadcast hint (ADVICE r10: the scaling
-    dimension must be allowed to fall back).  Prove the fallback: with
-    auto-broadcast OFF the customer join becomes a shuffled key join,
-    the explicitly-hinted small dims (part slice, supplier, nations,
-    region) STILL broadcast, no cartesian appears, and values match."""
+def test_q58_q8_scaling_dims_survive_broadcast_disabled(spark, sf_dir):
+    """q58 dropped the customer broadcast hint in r11 (ADVICE r10) and the
+    SUPPLIER hint in r12 (VERDICT r11: supplier is 10k rows/SF — tens of
+    GB at the 100 TB regime; an explicit hint overrides
+    autoBroadcastJoinThreshold and OOMs the driver).  Prove the fallback:
+    with auto-broadcast OFF, supplier + customer + orders all degrade to
+    shuffled KEY joins, the remaining hinted SF-invariant dims (part
+    slice, nation×2, region) still broadcast, no cartesian appears, and
+    values match."""
     df_b = QUERIES["q58_tpch_q8"].build(spark, sf_dir)
     want = sorted(map(tuple, df_b.collect()))
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -951,10 +954,34 @@ def test_q58_q8_customer_join_survives_broadcast_disabled(spark, sf_dir):
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        # the 5 hinted dims keep broadcasting even with auto-broadcast off
-        assert plan.count("BroadcastHashJoin") >= 5
-        # customer + orders now shuffle on their keys
-        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 2
+        # the 4 hinted SF-invariant dims keep broadcasting
+        assert plan.count("BroadcastHashJoin") >= 4
+        # supplier + customer + orders now shuffle on their keys
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 3
+        assert sorted(map(tuple, df.collect())) == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q59_q7_scaling_dims_survive_broadcast_disabled(spark, sf_dir):
+    """q59's twin of the q58 contract: supplier and customer carry no
+    hints (both scale with SF), so with auto-broadcast OFF they and
+    orders degrade to shuffled KEY joins while the two 2-row nation
+    slices — the only hinted relations — still broadcast; no cartesian
+    or nested-loop appears and values are identical."""
+    df_b = QUERIES["q59_tpch_q7"].build(spark, sf_dir)
+    want = sorted(map(tuple, df_b.collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["q59_tpch_q7"].build(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        # the two 2-row nation slices keep broadcasting
+        assert plan.count("BroadcastHashJoin") >= 2
+        # supplier + orders + customer shuffle on their keys
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 3
         assert sorted(map(tuple, df.collect())) == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
