@@ -59,18 +59,24 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 #       (`div` / `//`, unconditionally exact), and s05's
 #       `round(sum(d2), 4)` ADC accumulation → e4 BIGINT unit sums
 #       (the per-subspace entries are exact multiples of 1e-4);
-#   (b) 33 of the 45 r9-witnessed queries (age 3 — due by round 13),
+#   (b) 6 queries NEW this round — q62–q67, completing the TPC-H suite
+#       (Q6, Q4, Q9, Q2, Q11, Q16 shapes; the last four over a
+#       part-supplier relation derived from lineitem, since the
+#       testdata carries no partsupp) — never-witnessed code outranks
+#       re-witnessing unchanged entries (the r9 principle);
+#   (c) 27 of the 45 r9-witnessed queries (age 3 — due by round 13),
 #       in sorted order but EXCLUDING p02 and t11: their float→integer
 #       conversions are scheduled for round 13 (SCALE.md), so they must
 #       take their fresh witness in the round they convert, not here.
-#       The 12 r9 leftovers (p02/t11/q53/q54/q55/s01/s02/s04/st09/
-#       t08/t10/t12) land in round 13 exactly at their bound, alongside
-#       q32 (r10-witnessed, converting one round early with them) and
-#       37 of the 47 r10-witnessed; the 9 r10 leftovers land in round
-#       14 at their bound with 41 of the 50 r11s; the final 9 r11s in
-#       round 15.  Every deferral stays within the 4-round cycle and
-#       the registry is 159 ≤ 200 = 4×50 capacity, so the bound holds.
-# 17 + 33 = exactly 50.  Post-r12 histogram: nothing older than r9.
+#       The 18 r9 leftovers (p02/t11/q21/q26/q27/q28/q51/q52/q53/
+#       q54/q55/s01/s02/s04/st09/t08/t10/t12) land in round 13 exactly
+#       at their bound, alongside q32 (r10-witnessed, converting one
+#       round early with them) and 31 of the 47 r10-witnessed; the 16
+#       r10 leftovers land in round 14 at their bound with 34 of the
+#       50 r11s; the 16 r11 leftovers in round 15 with 34 of this
+#       round's 50.  Every deferral stays within the 4-round cycle and
+#       the registry is 165 ≤ 200 = 4×50 capacity, so the bound holds.
+# 17 + 6 + 27 = exactly 50.  Post-r12 histogram: nothing older than r9.
 _PRIORITY = [
     # --- (a) r8-due, cycle bound (t09 + s05 also convert this round) ---
     "q38_recursive_spine",
@@ -90,7 +96,14 @@ _PRIORITY = [
     "t09_contamination",
     "t18_chunk_windows",
     "t19_keyword_tfidf",
-    # --- (b) r9 block, first 33 sorted minus the r13-scheduled p02/t11 ---
+    # --- (b) first witnesses for the round-12 TPC-H completions ---
+    "q62_tpch_q6",
+    "q63_tpch_q4",
+    "q64_tpch_q9",
+    "q65_tpch_q2",
+    "q66_tpch_q11",
+    "q67_tpch_q16",
+    # --- (c) r9 block, first 27 sorted minus the r13-scheduled p02/t11 ---
     "d09_incremental_dedup",
     "d10_semdedup",
     "d15_containment_neardup",
@@ -118,12 +131,6 @@ _PRIORITY = [
     "q18_topk",
     "q19_union_all",
     "q20_intersect",
-    "q21_except",
-    "q26_json_access",
-    "q27_explode",
-    "q28_exists_subquery",
-    "q51_tpch_q13",
-    "q52_tpch_q22",
 ]
 
 

@@ -87,6 +87,15 @@ HEADLINE = [
     "q59_tpch_q7",  # cross-alias OR prefilter + residual-pair path
     "q60_tpch_q10",  # dual fact-filter + TakeOrderedAndProject path
     "q61_tpch_q14",  # month-slice conditional-aggregate ratio path
+    # round-12 completions: with q62-q68 every TPC-H query shape the suite
+    # maps to has a per-round timing (Q2/Q9/Q11/Q16 over the derived
+    # part-supplier relation — the testdata has no partsupp)
+    "q62_tpch_q6",  # pure scan-aggregate pushdown path
+    "q63_tpch_q4",  # semi join with cross-table residual path
+    "q64_tpch_q9",  # five-relation profit rollup path
+    "q65_tpch_q2",  # derived-ps argmin + WindowGroupLimit path
+    "q66_tpch_q11",  # scalar-threshold over reduced rows path
+    "q67_tpch_q16",  # distinct-pairs + anti-join path
 ]
 
 # VERDICT r3 directive #3: d04's r3 number was 1.59x its r2 sample while
@@ -305,9 +314,11 @@ def _canary_normalize(
 # normalization dicts (~5 KB) and outgrew that window — the round's
 # bench numbers were lost.  The final line must always fit; full
 # normalization detail travels in the BENCH_NORMALIZED.json sidecar.
-# The hard guard is test_bench_normalize.py's headroom pin over the LIVE
-# entry set (HEADLINE + _IO_ENTRIES): entry growth trips CI while the
-# degradation ladder below only buys slack, it cannot shrink 'queries'.
+# The hard guard is test_bench_normalize.py's two-tier pin over the LIVE
+# entry set (HEADLINE + _IO_ENTRIES): the mandatory dict at 3-decimal
+# worst case must fit the budget outright (no driver round can be lost),
+# and at the ladder's 1-decimal rounding floor it must keep 10% headroom
+# (entry growth trips CI while plenty of window remains).
 _LINE_BUDGET = 1900
 
 # Names _io_benchmarks emits, in emission order — module-level so the

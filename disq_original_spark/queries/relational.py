@@ -2320,3 +2320,316 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
             .alias("promo_share"),
         )
     )
+
+
+# ---------------------------------------------------------------- q62 TPC-H Q6 shape
+@query(
+    "q62_tpch_q6",
+    """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+              sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5)
+                       AS BIGINT)) / 10000.0 AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate <  TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.05 AND 0.07
+         AND l_quantity < 24""",
+    doc="TPC-H Q6 shape (forecasting revenue change): the pure scan-"
+    "aggregate — three conjunctive fact filters, no join, one global sum.",
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    """The simplest query in the suite and the purest pushdown witness: at
+    100 TB this is ONE pass over the lineitem scan with every predicate in
+    PushedFilters, exactly four columns read, a map-side partial sum per
+    partition, and a 1-row exchange — if any of that degrades (filter
+    evaluated post-scan, extra columns decoded) the plan contract fails.
+
+    extendedprice has 2 decimals and discount 2, so price*discount is an
+    exact multiple of 1e-4: per-row e4 integer units (floor(x*1e4+0.5)),
+    BIGINT sum (order-independent), ONE division at the end — no float
+    accumulation (the p05 pattern)."""
+    li = _t(spark, sf, "lineitem")
+    rev_e4 = (
+        F.col("l_extendedprice") * F.col("l_discount") * 10000 + 0.5
+    ).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev_e4).alias("_rev_e4"),
+        )
+        .select("n_lines", (F.col("_rev_e4") / 10000.0).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------- q63 TPC-H Q4 shape
+@query(
+    "q63_tpch_q4",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         AND o_orderdate <  TIMESTAMP '1996-04-01'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey
+                       AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority""",
+    doc="TPC-H Q4 shape (order priority checking): quarter slice of orders, "
+    "EXISTS-correlated lineitem probe with a cross-table residual "
+    "(late-shipment stand-in for the reference schema's commit<receipt, "
+    "which this testdata does not carry), priority rollup.",
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale shape: the quarter filter reaches the orders scan, so the
+    semi-join probe side is the sliced fact, not all orders; the EXISTS
+    becomes a LEFT SEMI key join on orderkey with the cross-table
+    late-shipment predicate as the join residual (it references both
+    sides, so no single scan can absorb it — the q56 posture); lineitem
+    ships only (l_orderkey, l_shipdate).  Both fact sides shuffle on the
+    join key — nothing here is broadcastable at scale — and the final
+    rollup is 5 groups with map-side partials."""
+    o = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = _t(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------- q64 TPC-H Q9 shape
+@query(
+    "q64_tpch_q9",
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                            AS BIGINT)
+                       - ((CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) * 3)
+                          // 5) * CAST(l_quantity AS BIGINT))
+                   AS BIGINT) AS profit_cents
+       FROM lineitem
+       JOIN part     ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN orders   ON o_orderkey = l_orderkey
+       JOIN nation   ON n_nationkey = s_nationkey
+       WHERE p_name LIKE '%gear%'
+       GROUP BY n_name, year(o_orderdate)
+       ORDER BY nation, o_year DESC""",
+    doc="TPC-H Q9 shape (product-type profit): five-relation join, per-"
+    "(nation, year) profit where supply cost derives deterministically "
+    "from p_retailprice (this testdata has no partsupp table).",
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale shape: the p_name LIKE filter prunes part BEFORE any join
+    (reaching the scan as a pushed predicate); part, supplier, and
+    customer-sized relations all SCALE with SF, so none carries a
+    broadcast hint — only nation (25 rows, constant) does; the fact
+    shuffles on its three join keys with AQE free to pick broadcast below
+    threshold.  Profit is exact integer cents end-to-end: revenue cents
+    (q55 idiom) minus a cost derived by INTEGER arithmetic —
+    (retail_cents*3) div 5 — times the integer quantity; BIGINT sums, no
+    float accumulation.  Cites reference README.md:9-13 (relational
+    compute delegated to Spark)."""
+    li = _t(spark, sf, "lineitem")
+    p = _t(spark, sf, "part").filter(F.col("p_name").like("%gear%"))
+    s = _t(spark, sf, "supplier")
+    o = _t(spark, sf, "orders")
+    n = _t(spark, sf, "nation")
+    rev_cents = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    # cost_cents = (retail_cents * 3) div 5 — pure integer arithmetic
+    # (operands always positive, so Spark's truncating `div` == DuckDB's
+    # flooring `//`)
+    profit = rev_cents - F.expr(
+        "(cast(p_retailprice * 100 + 0.5 as long) * 3) div 5"
+    ) * F.col("l_quantity").cast("long")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(profit).alias("profit_cents"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------- q65 TPC-H Q2 shape
+_Q65_SIZE = 15
+_Q65_TYPE = "ECONOMY"
+_Q65_REGION = "EUROPE"
+
+
+@query(
+    "q65_tpch_q2",
+    f"""WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 min(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                          AS BIGINT)) AS cost_cents
+          FROM lineitem GROUP BY l_partkey, l_suppkey),
+        cand AS (
+          SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name, cost_cents,
+                 row_number() OVER (PARTITION BY p_partkey
+                                    ORDER BY cost_cents ASC, s_suppkey) AS rn
+          FROM ps
+          JOIN part     ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation   ON n_nationkey = s_nationkey
+          JOIN region   ON r_regionkey = n_regionkey
+          WHERE p_size = {_Q65_SIZE} AND p_type = '{_Q65_TYPE}'
+            AND r_name = '{_Q65_REGION}')
+        SELECT s_acctbal, s_name, n_name, p_partkey, cost_cents
+        FROM cand WHERE rn = 1
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""",
+    doc="TPC-H Q2 shape (minimum-cost supplier): per-part argmin over a "
+    "part-supplier cost relation DERIVED from lineitem (this testdata has "
+    "no partsupp; min observed line revenue stands in for supply cost), "
+    "restricted to one size/type slice and one region.",
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale shape: the derived ps relation is ONE hash aggregate over slim
+    (partkey, suppkey, cents) triples with map-side partials — at 100 TB
+    this is the only full-fact pass, and it reduces before any join.  The
+    size+type slice prunes part at its scan; part and supplier scale with
+    SF (no hints — the q58 rule), while nation and the 1-row region slice
+    broadcast.  The correlated min becomes a per-part window argmin
+    (partial WindowGroupLimit truncates map-side), tie-broken on s_suppkey
+    so both engines pick the same supplier; the top-100 is
+    TakeOrderedAndProject with p_partkey completing a deterministic key."""
+    li = _t(spark, sf, "lineitem")
+    cents = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+    ).cast("long")
+    ps = (
+        li.select("l_partkey", "l_suppkey", cents.alias("cents"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("cents").alias("cost_cents"))
+    )
+    p = _t(spark, sf, "part").filter(
+        (F.col("p_size") == _Q65_SIZE) & (F.col("p_type") == _Q65_TYPE)
+    )
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region").filter(F.col("r_name") == _Q65_REGION)
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("cost_cents").asc(), F.col("s_suppkey")
+    )
+    return (
+        ps.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "cost_cents")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- q66 TPC-H Q11 shape
+_Q66_NATION = "NATION_7"
+
+
+@query(
+    "q66_tpch_q11",
+    f"""WITH v AS (
+          SELECT l_partkey,
+                 sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS value_cents
+          FROM lineitem
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation   ON n_nationkey = s_nationkey
+          WHERE n_name = '{_Q66_NATION}'
+          GROUP BY l_partkey)
+        SELECT l_partkey, CAST(value_cents AS BIGINT) AS value_cents
+        FROM v WHERE value_cents > (SELECT 2.0 * avg(value_cents) FROM v)
+        ORDER BY value_cents DESC, l_partkey""",
+    doc="TPC-H Q11 shape (important stock): per-part value held by one "
+    "nation's suppliers, kept only above a scalar-subquery threshold "
+    "(2x the mean — SF-invariant, unlike Q11's fraction/SF constant).",
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale shape: the nation slice broadcasts (25 rows) but supplier
+    scales with SF and carries no hint; the per-part rollup is one hash
+    aggregate of slim (partkey, cents) pairs.  The threshold is a 1-ROW
+    driver-free scalar (global avg over the aggregate's own output) that
+    cross-joins back as a broadcast literal — the q50 posture — so the
+    HAVING costs one extra pass over the already-reduced per-part rows,
+    never over the fact.  Using 2x-mean instead of TPC-H's fraction/SF
+    keeps the predicate meaningful at ANY scale factor.  Values are exact
+    integer cents (BIGINT sums)."""
+    li = _t(spark, sf, "lineitem")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation").filter(F.col("n_name") == _Q66_NATION)
+    cents = (F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    v = (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("l_partkey", cents.alias("cents"))
+        .groupBy("l_partkey")
+        .agg(F.sum("cents").alias("value_cents"))
+    )
+    cut = v.agg((2.0 * F.avg("value_cents")).alias("cut"))
+    return (
+        v.crossJoin(F.broadcast(cut))
+        .filter(F.col("value_cents") > F.col("cut"))
+        .select("l_partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------- q67 TPC-H Q16 shape
+_Q67_SIZES = (1, 14, 23, 45)
+
+
+@query(
+    "q67_tpch_q16",
+    f"""SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_size IN {_Q67_SIZES}
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    doc="TPC-H Q16 shape (parts/supplier relationship): distinct supplier "
+    "count per part attribute group, excluding flagged suppliers (negative "
+    "balance stands in for the reference schema's complaint-comment scan), "
+    "over the part-supplier relation derived from lineitem.",
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale shape: the distinct (partkey, suppkey) reduction happens FIRST
+    — one exchange of slim key pairs with partial aggregation, the only
+    full-fact pass; the size-set filter prunes part at its scan before the
+    join.  The excluded-supplier set scales with SF (negative balances are
+    a fixed fraction), so the exclusion is a LEFT ANTI key join with no
+    broadcast hint — below threshold the planner broadcasts it, above it
+    AQE shuffles.  COUNT(DISTINCT) re-keys by the group columns only after
+    both reductions; ordering is fully deterministic (count desc, then the
+    complete group key)."""
+    li = _t(spark, sf, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    p = _t(spark, sf, "part").filter(F.col("p_size").isin(*_Q67_SIZES))
+    bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        pairs.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )

@@ -985,3 +985,121 @@ def test_q59_q7_scaling_dims_survive_broadcast_disabled(spark, sf_dir):
         assert sorted(map(tuple, df.collect())) == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q62_q6_pure_scan_aggregate(spark, sf_dir):
+    """Q6's contract — the purest pushdown witness in the suite: all three
+    filters reach the lineitem scan as PushedFilters, exactly the four
+    referenced columns are read, there is no join or exchange-heavy
+    operator at all, and the global sum is a partial+final HashAggregate
+    pair (map-side combine, 1-row exchange)."""
+    df = QUERIES["q62_tpch_q6"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_pushed_filter(df, "l_shipdate")
+    assert has_pushed_filter(df, "l_discount")
+    assert has_pushed_filter(df, "l_quantity")
+    assert set(read_schema_columns(df)) == {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+    }
+    for join_op in ("Join", "CartesianProduct"):
+        assert join_op not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q63_q4_semi_join_with_cross_table_residual(spark, sf_dir):
+    """Q4's contract: the quarter filter reaches the orders scan, the
+    EXISTS runs as a LEFT SEMI join (never a full join + distinct),
+    lineitem is pruned to exactly (l_orderkey, l_shipdate), and the
+    late-shipment predicate — referencing both sides — rides the join as
+    its residual condition, not a post-join filter of a wider result."""
+    df = QUERIES["q63_tpch_q4"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_pushed_filter(df, "o_orderdate")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    cols = set(read_schema_columns(df))
+    assert cols <= {
+        "o_orderkey", "o_orderdate", "o_orderpriority",
+        "l_orderkey", "l_shipdate",
+    }
+
+
+def test_q64_q9_name_filter_pushed_no_scaling_hints(spark, sf_dir):
+    """Q9's contract: the p_name LIKE prunes the part scan (pushed as
+    StartsWith/Contains or at minimum evaluated before the join), every
+    scan reads only referenced columns, nation broadcasts, and no
+    cartesian appears.  With auto-broadcast OFF the SF-scaling relations
+    (part, supplier, orders) must degrade to shuffled key joins."""
+    df = QUERIES["q64_tpch_q9"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_pushed_filter(df, "p_name")
+    cols = set(read_schema_columns(df))
+    assert cols <= {
+        "l_partkey", "l_suppkey", "l_orderkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+        "p_partkey", "p_name", "p_retailprice",
+        "s_suppkey", "s_nationkey", "o_orderkey", "o_orderdate",
+        "n_nationkey", "n_name",
+    }
+    want = sorted(map(tuple, df.collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df2 = QUERIES["q64_tpch_q9"].build(spark, sf_dir)
+        plan2 = formatted_plan(df2)
+        assert "CartesianProduct" not in plan2
+        assert "BroadcastNestedLoopJoin" not in plan2
+        assert plan2.count("SortMergeJoin") + plan2.count("ShuffledHashJoin") >= 3
+        assert sorted(map(tuple, df2.collect())) == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q65_q2_derived_ps_reduces_before_joins(spark, sf_dir):
+    """Q2's contract: the derived part-supplier relation is an aggregate
+    of the fact BEFORE any dimension join (slim triples, map-side
+    partials), the size+type slice reaches the part scan, the argmin is a
+    WindowGroupLimit (per-partition truncation, not a full sort of the
+    candidates), and the final top-100 is TakeOrderedAndProject."""
+    df = QUERIES["q65_tpch_q2"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert has_pushed_filter(df, "p_size")
+    assert has_pushed_filter(df, "p_type")
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q66_q11_scalar_threshold_over_reduced_rows(spark, sf_dir):
+    """Q11's contract: the nation slice reaches its scan and broadcasts;
+    the per-part rollup is a partial+final aggregate of slim pairs; the
+    2x-mean threshold is a 1-row broadcast (BroadcastNestedLoopJoin over
+    ONE row is the q50 scalar posture — cheap by cardinality, not shape)
+    applied to the already-reduced per-part rows, never to the fact."""
+    df = QUERIES["q66_tpch_q11"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_pushed_filter(df, "n_name")
+    assert uses_broadcast_join(df)
+    assert plan.count("HashAggregate") >= 4  # per-part rollup + global avg
+    assert "CartesianProduct" not in plan
+
+
+def test_q67_q16_distinct_pairs_then_anti_join(spark, sf_dir):
+    """Q16's contract: the (partkey, suppkey) distinct is an aggregate of
+    the fact's two key columns only (ReadSchema is exactly those two on
+    the lineitem scan), the size-set filter reaches the part scan, the
+    exclusion is a LEFT ANTI join, and count(DISTINCT) plans as the
+    standard two-level aggregate."""
+    df = QUERIES["q67_tpch_q16"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert has_pushed_filter(df, "p_size")
+    cols = set(read_schema_columns(df))
+    assert cols <= {
+        "l_partkey", "l_suppkey",
+        "p_partkey", "p_brand", "p_type", "p_size",
+        "s_suppkey", "s_acctbal",
+    }
