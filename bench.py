@@ -87,7 +87,7 @@ HEADLINE = [
     "q59_tpch_q7",  # cross-alias OR prefilter + residual-pair path
     "q60_tpch_q10",  # dual fact-filter + TakeOrderedAndProject path
     "q61_tpch_q14",  # month-slice conditional-aggregate ratio path
-    # round-12 completions: with q62-q68 every TPC-H query shape the suite
+    # round-12 completions: with q62-q67 every TPC-H query shape the suite
     # maps to has a per-round timing (Q2/Q9/Q11/Q16 over the derived
     # part-supplier relation — the testdata has no partsupp)
     "q62_tpch_q6",  # pure scan-aggregate pushdown path
