@@ -71,9 +71,10 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 #       The 18 r9 leftovers (p02/t11/q21/q26/q27/q28/q51/q52/q53/
 #       q54/q55/s01/s02/s04/st09/t08/t10/t12) land in round 13 exactly
 #       at their bound, alongside q32 (r10-witnessed, converting one
-#       round early with them) and 31 of the 47 r10-witnessed; the 16
-#       r10 leftovers land in round 14 at their bound with 34 of the
-#       50 r11s; the 16 r11 leftovers in round 15 with 34 of this
+#       round early with them) and 31 more of the 47 r10-witnessed
+#       (18 + 1 + 31 = 50, leaving 47 − 32 = 15 r10); the 15 r10
+#       leftovers land in round 14 at their bound with 35 of the
+#       50 r11s; the 15 r11 leftovers in round 15 with 35 of this
 #       round's 50.  Every deferral stays within the 4-round cycle and
 #       the registry is 165 ≤ 200 = 4×50 capacity, so the bound holds.
 # 17 + 6 + 27 = exactly 50.  Post-r12 histogram: nothing older than r9.

@@ -25,6 +25,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _int_units(expr, scale: int = 100):
+    """The load-bearing exact-integer-units idiom, single-sourced
+    (q61's oracle drift in round 11 happened because one site re-derived
+    it differently): half-up integer units of a non-negative expression
+    whose true value is an exact multiple of 1/scale —
+    ``(x*scale + 0.5).cast(long)``.  The cast truncates toward zero,
+    which equals floor on non-negatives, so this is half-up exactly;
+    it also stays inside whole-stage codegen where ``F.round`` would
+    detour through BigDecimal per row (1.4x slower, SCALE.md r11).
+    DuckDB twin: ``CAST(floor(x * scale + 0.5) AS BIGINT)`` — the
+    explicit floor is load-bearing there because DuckDB's
+    CAST(double AS BIGINT) ROUNDS instead of truncating."""
+    return (expr * scale + 0.5).cast("long")
+
+
+
 # ---------------------------------------------------------------- q01 scan/projection
 @query(
     "q01_scan_project",
@@ -243,7 +259,7 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sq"),
-            (F.sum((F.col("l_extendedprice") * 100 + 0.5).cast("long")) / F.lit(100.0))
+            (F.sum(_int_units(F.col("l_extendedprice"))) / F.lit(100.0))
             .alias("sp"),
             F.count(F.lit(1)).alias("c"),
         )
@@ -1834,7 +1850,7 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
     )
     return small.agg(
         F.count(F.lit(1)).alias("n_small"),
-        F.sum((F.col("l_extendedprice") * 100 + 0.5).cast("long")).alias(
+        F.sum(_int_units(F.col("l_extendedprice"))).alias(
             "revenue_cents"
         ),
     )
@@ -1926,8 +1942,7 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(
             F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
-                .cast("long")
+                _int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             ).alias("total_cents")
         )
     )
@@ -2024,9 +2039,7 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
         & F.col("p_size").between(1, 15)
     )
     li = _t(spark, sf, "lineitem").filter(F.col("l_quantity").between(1, 30))
-    cents = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
-    ).cast("long")
+    cents = _int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .filter(arms)
@@ -2063,9 +2076,9 @@ _Q58_PTYPE = "PROMO"
                CAST(sum(CASE WHEN supp_nation = '{_Q58_NATION}'
                              THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
                CAST(sum(cents) AS BIGINT) AS total_cents,
-               floor(10000 * sum(CASE WHEN supp_nation = '{_Q58_NATION}'
-                                      THEN cents ELSE 0 END)
-                     / sum(cents)) / 10000.0 AS mkt_share
+               ((CAST(sum(CASE WHEN supp_nation = '{_Q58_NATION}'
+                               THEN cents ELSE 0 END) AS HUGEINT) * 10000)
+                // sum(cents)) / 10000.0 AS mkt_share
         FROM vol GROUP BY o_year ORDER BY o_year""",
 )
 def q58(spark: SparkSession, sf: str) -> DataFrame:
@@ -2085,8 +2098,10 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
     (ADVICE r10 for customer; VERDICT r11 for supplier).
 
     The share is exact integer arithmetic end-to-end: per-row cents
-    (q55 idiom), two BIGINT sums, and floor((10^4·a)/b)/10^4 — one
-    deterministic division, no float accumulation anywhere."""
+    (q55 idiom), two BIGINT sums, and (10^4·a) div b on a DECIMAL(38,0)
+    intermediate (HUGEINT in the oracle) — TRUE integer division with no
+    long-wrap at any SF, one final float division, no float accumulation
+    anywhere."""
     li = _t(spark, sf, "lineitem")
     p = _t(spark, sf, "part").filter(F.col("p_type") == _Q58_PTYPE)
     s = _t(spark, sf, "supplier")
@@ -2099,9 +2114,7 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
     r = _t(spark, sf, "region").filter(F.col("r_name") == _Q58_REGION)
-    cents = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
-    ).cast("long")
+    cents = _int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     vol = (
         # part keeps its hint: the p_type slice is 1/150 of a dimension
         # already 75× smaller than lineitem, bounded at any SF relative
@@ -2135,8 +2148,19 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
             "o_year",
             "nation_cents",
             "total_cents",
-            (F.floor(10000 * F.col("nation_cents") / F.col("total_cents")) / 10000.0)
-            .alias("mkt_share"),
+            # exact e4 share: the 10^4 multiply rides a DECIMAL(38,0)
+            # intermediate (a bare long would wrap at ~9.2e14 total cents
+            # — reachable at the 100 TB regime) and `div` (DuckDB `//` on
+            # HUGEINT) is TRUE integer division; the quotient is ≤ 10^4 so
+            # the long result never overflows, and /10000.0 is one
+            # correctly-rounded IEEE op in both engines
+            (
+                F.expr(
+                    "(cast(nation_cents as decimal(38,0)) * 10000)"
+                    " div total_cents"
+                )
+                / 10000.0
+            ).alias("mkt_share"),
         )
         .orderBy("o_year")
     )
@@ -2200,9 +2224,7 @@ def q59(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n_name").isin(names))
         .select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
     )
-    cents = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
-    ).cast("long")
+    cents = _int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     pair = (
         (F.col("supp_nation") == _Q59_N1) & (F.col("cust_nation") == _Q59_N2)
     ) | ((F.col("supp_nation") == _Q59_N2) & (F.col("cust_nation") == _Q59_N1))
@@ -2257,9 +2279,7 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
     )
     c = _t(spark, sf, "customer")
     n = _t(spark, sf, "nation")
-    cents = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
-    ).cast("long")
+    cents = _int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
@@ -2280,11 +2300,11 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
                             ELSE 0 END) AS BIGINT) AS promo_cents,
               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
                             AS BIGINT)) AS BIGINT) AS total_cents,
-              floor(10000 * sum(CASE WHEN p_type = 'PROMO'
+              ((CAST(sum(CASE WHEN p_type = 'PROMO'
                        THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-                                 AS BIGINT) ELSE 0 END)
-                    / sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
-                               AS BIGINT))) / 10000.0 AS promo_share
+                                 AS BIGINT) ELSE 0 END) AS HUGEINT) * 10000)
+               // sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                           AS BIGINT))) / 10000.0 AS promo_share
        FROM lineitem JOIN part ON p_partkey = l_partkey
        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
          AND l_shipdate <  TIMESTAMP '1995-10-01'""",
@@ -2297,15 +2317,15 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
     broadcast hint, so below the auto-broadcast threshold the planner
     broadcasts it and above it AQE falls back to a shuffled key join; both
     scans prune to exactly the referenced columns.  The share is the q58
-    idiom: two exact BIGINT cents sums, floor((10^4·a)/b)/10^4 — one
-    deterministic division, no float accumulation anywhere."""
+    idiom: two exact BIGINT cents sums, then (10^4·a) div b on a
+    DECIMAL(38,0)/HUGEINT intermediate (a bare long 10^4-multiply would
+    wrap at ~9.2e14 total cents — reachable at 100 TB) — TRUE integer
+    division, quotient ≤ 10^4, one final float division."""
     li = _t(spark, sf, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
     )
     p = _t(spark, sf, "part")
-    cents = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
-    ).cast("long")
+    cents = _int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     promo = F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0).cast("long"))
     return (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
@@ -2316,8 +2336,13 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "promo_cents",
             "total_cents",
-            (F.floor(10000 * F.col("promo_cents") / F.col("total_cents")) / 10000.0)
-            .alias("promo_share"),
+            (
+                F.expr(
+                    "(cast(promo_cents as decimal(38,0)) * 10000)"
+                    " div total_cents"
+                )
+                / 10000.0
+            ).alias("promo_share"),
         )
     )
 
@@ -2348,9 +2373,7 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
     BIGINT sum (order-independent), ONE division at the end — no float
     accumulation (the p05 pattern)."""
     li = _t(spark, sf, "lineitem")
-    rev_e4 = (
-        F.col("l_extendedprice") * F.col("l_discount") * 10000 + 0.5
-    ).cast("long")
+    rev_e4 = _int_units(F.col("l_extendedprice") * F.col("l_discount"), scale=10000)
     return (
         li.filter(
             (F.col("l_shipdate") >= "1996-01-01")
@@ -2445,9 +2468,7 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
     s = _t(spark, sf, "supplier")
     o = _t(spark, sf, "orders")
     n = _t(spark, sf, "nation")
-    rev_cents = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
-    ).cast("long")
+    rev_cents = _int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     # cost_cents = (retail_cents * 3) div 5 — pure integer arithmetic
     # (operands always positive, so Spark's truncating `div` == DuckDB's
     # flooring `//`)
@@ -2511,9 +2532,7 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
     so both engines pick the same supplier; the top-100 is
     TakeOrderedAndProject with p_partkey completing a deterministic key."""
     li = _t(spark, sf, "lineitem")
-    cents = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
-    ).cast("long")
+    cents = _int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     ps = (
         li.select("l_partkey", "l_suppkey", cents.alias("cents"))
         .groupBy("l_partkey", "l_suppkey")
@@ -2556,7 +2575,8 @@ _Q66_NATION = "NATION_7"
           WHERE n_name = '{_Q66_NATION}'
           GROUP BY l_partkey)
         SELECT l_partkey, CAST(value_cents AS BIGINT) AS value_cents
-        FROM v WHERE value_cents > (SELECT 2.0 * avg(value_cents) FROM v)
+        FROM v WHERE CAST(value_cents AS HUGEINT) * (SELECT count(*) FROM v)
+                     > 2 * (SELECT CAST(sum(value_cents) AS HUGEINT) FROM v)
         ORDER BY value_cents DESC, l_partkey""",
     doc="TPC-H Q11 shape (important stock): per-part value held by one "
     "nation's suppliers, kept only above a scalar-subquery threshold "
@@ -2566,16 +2586,20 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
     """Scale shape: the nation slice broadcasts (25 rows) but supplier
     scales with SF and carries no hint; the per-part rollup is one hash
     aggregate of slim (partkey, cents) pairs.  The threshold is a 1-ROW
-    driver-free scalar (global avg over the aggregate's own output) that
-    cross-joins back as a broadcast literal — the q50 posture — so the
-    HAVING costs one extra pass over the already-reduced per-part rows,
-    never over the fact.  Using 2x-mean instead of TPC-H's fraction/SF
-    keeps the predicate meaningful at ANY scale factor.  Values are exact
-    integer cents (BIGINT sums)."""
+    driver-free scalar (global sum + count over the aggregate's own
+    output) that cross-joins back as a broadcast literal — the q50
+    posture — so the HAVING costs one extra pass over the already-reduced
+    per-part rows, never over the fact.  Using 2x-mean instead of TPC-H's
+    fraction/SF keeps the predicate meaningful at ANY scale factor, and
+    the "above the mean" comparison is cross-multiplied ENTIRELY in exact
+    integers — value·n > 2·total on a DECIMAL(38,0)/HUGEINT intermediate
+    — because a float avg() is partition-order-dependent and a part
+    sitting exactly on the 2x boundary would flip between engines (the
+    s05/t09 lesson, applied at birth instead of in a later round)."""
     li = _t(spark, sf, "lineitem")
     s = _t(spark, sf, "supplier")
     n = _t(spark, sf, "nation").filter(F.col("n_name") == _Q66_NATION)
-    cents = (F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    cents = _int_units(F.col("l_extendedprice"))
     v = (
         li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
@@ -2583,10 +2607,18 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("cents").alias("value_cents"))
     )
-    cut = v.agg((2.0 * F.avg("value_cents")).alias("cut"))
+    stats = v.agg(
+        F.sum("value_cents").alias("grand_total"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
-        v.crossJoin(F.broadcast(cut))
-        .filter(F.col("value_cents") > F.col("cut"))
+        v.crossJoin(F.broadcast(stats))
+        .filter(
+            F.expr(
+                "cast(value_cents as decimal(38,0)) * n_parts"
+                " > 2 * cast(grand_total as decimal(38,0))"
+            )
+        )
         .select("l_partkey", "value_cents")
         .orderBy(F.col("value_cents").desc(), "l_partkey")
     )
@@ -2613,22 +2645,26 @@ _Q67_SIZES = (1, 14, 23, 45)
     "over the part-supplier relation derived from lineitem.",
 )
 def q67(spark: SparkSession, sf: str) -> DataFrame:
-    """Scale shape: the distinct (partkey, suppkey) reduction happens FIRST
-    — one exchange of slim key pairs with partial aggregation, the only
-    full-fact pass; the size-set filter prunes part at its scan before the
-    join.  The excluded-supplier set scales with SF (negative balances are
-    a fixed fraction), so the exclusion is a LEFT ANTI key join with no
-    broadcast hint — below threshold the planner broadcasts it, above it
-    AQE shuffles.  COUNT(DISTINCT) re-keys by the group columns only after
-    both reductions; ordering is fully deterministic (count desc, then the
+    """Scale shape: the size-slice part join prunes the fact FIRST (the
+    4-of-50 size set keeps ~8% of pairs), so the dedup exchange that
+    feeds count(DISTINCT) moves ~12x fewer rows than deduping all pairs
+    before the join would — the join and the size filter commute, and
+    Catalyst will not reorder a left-anti across an inner join on its
+    own, so the cheap-first order is written explicitly.  No explicit
+    .distinct() either: count(DISTINCT) already plans the two-level
+    aggregate whose FIRST level dedups (partkey is functionally
+    determined by the group columns + suppkey), map-side combined.  The
+    excluded-supplier set scales with SF (negative balances are a fixed
+    fraction), so the exclusion is a LEFT ANTI key join with no broadcast
+    hint — below threshold the planner broadcasts it, above it AQE
+    shuffles.  Ordering is fully deterministic (count desc, then the
     complete group key)."""
-    li = _t(spark, sf, "lineitem")
-    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    li = _t(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
     p = _t(spark, sf, "part").filter(F.col("p_size").isin(*_Q67_SIZES))
     bad = _t(spark, sf, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        pairs.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")

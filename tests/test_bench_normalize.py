@@ -140,8 +140,10 @@ def test_final_line_fits_driver_tail_window():
     # TRIPWIRE: at the ladder's 1-decimal floor the mandatory dict keeps
     # 10% headroom — entry growth trips this (forcing a deliberate
     # budget/entry decision) long before the 2000-char window is at risk.
-    # 99.9 is the 1-decimal width of any sub-100-s timing (the same
-    # sub-100-s worst-case convention as 99.999 above).
+    # 99.9 models the 1-decimal width of a sub-100-s timing; a timing in
+    # [99.95, 100) rounds to '100.0' (one char wider), so this tier is a
+    # headroom heuristic, not a bound — the HARD assert above is what
+    # guarantees the driver never loses a round.
     floor = dict.fromkeys(live, 99.9)
     assert mandatory_len(floor) <= bench._LINE_BUDGET * 0.9, mandatory_len(floor)
     assert len(line) <= bench._LINE_BUDGET, len(line)

@@ -1,21 +1,24 @@
 """Source-lint for the repeated scale defect class: an explicit
-``F.broadcast(x)`` where ``x`` is an UNFILTERED load of an SF-scaling
+``broadcast(x)`` hint where ``x`` is an UNFILTERED load of an SF-scaling
 table.  An explicit hint OVERRIDES autoBroadcastJoinThreshold, so such a
 plan works at every local SF and OOMs the driver only at cluster scale —
 the exact defect ADVICE r10 found on q58's customer and VERDICT r11
 found on q58/q59's supplier.  This lint makes the third occurrence a
 test failure instead of a judge finding.
 
-Scope is deliberately narrow (zero false positives beats exhaustive):
-only a broadcast of a NAME whose assignment in the same file loads a
-scaling table via _t()/load_table()/load_wide() without any .filter(...)
-on the load expression.  Filtered slices (part p_type slices, nation
-name slices) remain allowed — their hints carry justification comments
-at the call sites; bounded driver artifacts (1-row stats, capped probe
-sets) never match the pattern at all."""
+Covered spellings: ``F.broadcast(name)`` / bare ``broadcast(name)``
+where any load-assignment of ``name`` in the same function is an
+unfiltered scaling-table load (and NO assignment filters it — a later
+``x = x.filter(...)`` rebinding clears the name), and the inline form
+``broadcast(_t(spark, sf, "supplier"))`` with no ``.filter``/``.where``
+in the argument expression.  Filtered slices (part p_type slices,
+nation name slices) remain allowed — their hints carry justification
+comments at the call sites; bounded driver artifacts (1-row stats,
+capped probe sets) never match the pattern at all."""
 
 from __future__ import annotations
 
+import ast
 import re
 from pathlib import Path
 
@@ -31,8 +34,28 @@ SCALING = (
 # "file.py:function:name" -> reason, for deliberately allowed sites (none today)
 ALLOW: dict[str, str] = {}
 
+_LOAD = re.compile(r"(_t\(|load_table\(|load_wide\()")
 
-import ast
+
+def _is_unfiltered_scaling_load(expr_src: str) -> bool:
+    return bool(
+        _LOAD.search(expr_src)
+        and any(f"'{t}'" in expr_src or f'"{t}"' in expr_src for t in SCALING)
+        and ".filter(" not in expr_src
+        and ".where(" not in expr_src
+    )
+
+
+def _broadcast_calls(fn: ast.AST):
+    """Yield the first-argument node of every F.broadcast(...) /
+    broadcast(...) call in the function."""
+    for node in ast.walk(fn):
+        if not (isinstance(node, ast.Call) and node.args):
+            continue
+        is_attr = isinstance(node.func, ast.Attribute) and node.func.attr == "broadcast"
+        is_bare = isinstance(node.func, ast.Name) and node.func.id == "broadcast"
+        if is_attr or is_bare:
+            yield node
 
 
 def _flag_sites(tree: ast.AST, fname: str) -> list[str]:
@@ -44,27 +67,41 @@ def _flag_sites(tree: ast.AST, fname: str) -> list[str]:
             continue
         assigns: dict[str, list[str]] = {}
         for node in ast.walk(fn):
-            if isinstance(node, ast.Assign) and len(node.targets) == 1 and isinstance(node.targets[0], ast.Name):
-                assigns.setdefault(node.targets[0].id, []).append(ast.unparse(node.value))
-        for node in ast.walk(fn):
             if (
-                isinstance(node, ast.Call)
-                and isinstance(node.func, ast.Attribute)
-                and node.func.attr == "broadcast"
-                and node.args
-                and isinstance(node.args[0], ast.Name)
+                isinstance(node, ast.Assign)
+                and len(node.targets) == 1
+                and isinstance(node.targets[0], ast.Name)
             ):
-                name = node.args[0].id
+                assigns.setdefault(node.targets[0].id, []).append(
+                    ast.unparse(node.value)
+                )
+        for call in _broadcast_calls(fn):
+            arg = call.args[0]
+            if isinstance(arg, ast.Name):
+                name = arg.id
                 if f"{fname}:{fn.name}:{name}" in ALLOW:
                     continue
-                for stmt in assigns.get(name, []):
-                    loads = re.search(r"(_t\(|load_table\(|load_wide\()", stmt)
-                    table = any(f"'{t}'" in stmt or f'"{t}"' in stmt for t in SCALING)
-                    if loads and table and ".filter(" not in stmt and ".where(" not in stmt:
-                        bad.append(
-                            f"{fname}:{node.lineno} F.broadcast({name}) in {fn.name}() — "
-                            f"unfiltered scaling-table load: {stmt[:90]}"
-                        )
+                stmts = assigns.get(name, [])
+                # flag only when an unfiltered scaling load exists AND no
+                # assignment of the name filters it — a rebinding like
+                # `x = x.filter(...)` (or any filtered load) clears it
+                flagged = [s for s in stmts if _is_unfiltered_scaling_load(s)]
+                cleared = any(".filter(" in s or ".where(" in s for s in stmts)
+                if flagged and not cleared:
+                    bad.append(
+                        f"{fname}:{call.lineno} broadcast({name}) in {fn.name}() — "
+                        f"unfiltered scaling-table load: {flagged[0][:90]}"
+                    )
+            else:
+                # inline form: broadcast(_t(spark, sf, "supplier")...)
+                expr = ast.unparse(arg)
+                if f"{fname}:{fn.name}:<inline>" in ALLOW:
+                    continue
+                if _is_unfiltered_scaling_load(expr):
+                    bad.append(
+                        f"{fname}:{call.lineno} broadcast(<inline>) in {fn.name}() — "
+                        f"unfiltered scaling-table load: {expr[:90]}"
+                    )
     return bad
 
 
@@ -77,4 +114,46 @@ def test_no_broadcast_hint_on_unfiltered_scaling_table():
         "autoBroadcastJoinThreshold; OOMs the driver at cluster scale — "
         "drop the hint and let AQE choose, or add the site to ALLOW with "
         "a cardinality-bound justification):\n" + "\n".join(bad)
+    )
+
+
+def test_lint_catches_the_defect_class():
+    """Self-test: every spelling of the r10/r11 defect is flagged, and
+    the legitimate patterns are not."""
+    flagged = lambda src: _flag_sites(ast.parse(src), "fake.py")  # noqa: E731
+    # bare-name assignment
+    assert flagged(
+        "def q(spark, sf):\n"
+        "    s = _t(spark, sf, 'supplier')\n"
+        "    return li.join(F.broadcast(s), on)\n"
+    )
+    # inline call
+    assert flagged(
+        "def q(spark, sf):\n"
+        "    return li.join(F.broadcast(_t(spark, sf, 'supplier')), on)\n"
+    )
+    # bare `broadcast` import spelling
+    assert flagged(
+        "def q(spark, sf):\n"
+        "    c = load_table(spark, sf, 'customer')\n"
+        "    return li.join(broadcast(c), on)\n"
+    )
+    # filtered slice: allowed
+    assert not flagged(
+        "def q(spark, sf):\n"
+        "    p = _t(spark, sf, 'part').filter(F.col('p_type') == 'X')\n"
+        "    return li.join(F.broadcast(p), on)\n"
+    )
+    # rebinding that filters clears the name: allowed
+    assert not flagged(
+        "def q(spark, sf):\n"
+        "    s = _t(spark, sf, 'supplier')\n"
+        "    s = s.filter(F.col('s_acctbal') > 0)\n"
+        "    return li.join(F.broadcast(s), on)\n"
+    )
+    # constant dims: allowed
+    assert not flagged(
+        "def q(spark, sf):\n"
+        "    n = _t(spark, sf, 'nation')\n"
+        "    return li.join(F.broadcast(n), on)\n"
     )

@@ -1086,12 +1086,14 @@ def test_q66_q11_scalar_threshold_over_reduced_rows(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_q67_q16_distinct_pairs_then_anti_join(spark, sf_dir):
-    """Q16's contract: the (partkey, suppkey) distinct is an aggregate of
-    the fact's two key columns only (ReadSchema is exactly those two on
-    the lineitem scan), the size-set filter reaches the part scan, the
-    exclusion is a LEFT ANTI join, and count(DISTINCT) plans as the
-    standard two-level aggregate."""
+def test_q67_q16_prune_before_dedup_exchange(spark, sf_dir):
+    """Q16's contract: the size-slice part join prunes the fact BEFORE
+    any aggregate exchange (no HashAggregate may appear below the part
+    join in the tree — deduping all pairs first would shuffle ~12x more
+    rows), lineitem reads only its two key columns, the size-set filter
+    reaches the part scan, the exclusion is a LEFT ANTI join, and
+    count(DISTINCT) plans as the standard two-level aggregate (whose
+    first level IS the dedup — no separate .distinct())."""
     df = QUERIES["q67_tpch_q16"].build(spark, sf_dir)
     plan = formatted_plan(df)
     assert "LeftAnti" in plan
@@ -1103,3 +1105,9 @@ def test_q67_q16_distinct_pairs_then_anti_join(spark, sf_dir):
         "p_partkey", "p_brand", "p_type", "p_size",
         "s_suppkey", "s_acctbal",
     }
+    # nothing aggregates below the part join: in the tree section every
+    # HashAggregate line must sit ABOVE the first join line
+    tree = plan.split("\n\n")[0].splitlines()
+    first_join = min(i for i, ln in enumerate(tree) if "Join" in ln)
+    aggs = [i for i, ln in enumerate(tree) if "HashAggregate" in ln]
+    assert aggs and all(i < first_join for i in aggs), (aggs, first_join)
