@@ -127,6 +127,14 @@ _EXTRA_PASSES = {
     # r9 de-vacuity fix changed q20's work (selective filters on both
     # intersect sides) — min-of-5 for a drift-robust fresh baseline
     "q20_intersect": 3,
+    # r12 changed-work entries (the r6 precedent): q58 lost its supplier
+    # broadcast hint, t09 converted to exact integer division, and the
+    # two heaviest TPC-H completions take their FIRST timings — min-of-5
+    # makes their first post-change driver numbers drift-robust baselines
+    "q58_tpch_q8": 3,
+    "t09_contamination": 3,
+    "q65_tpch_q2": 3,
+    "q67_tpch_q16": 3,
 }
 
 
