@@ -1111,3 +1111,26 @@ def test_q67_q16_prune_before_dedup_exchange(spark, sf_dir):
     first_join = min(i for i, ln in enumerate(tree) if "Join" in ln)
     aggs = [i for i, ln in enumerate(tree) if "HashAggregate" in ln]
     assert aggs and all(i < first_join for i in aggs), (aggs, first_join)
+
+
+@pytest.mark.parametrize("name", ["q62_tpch_q6", "q63_tpch_q4", "q66_tpch_q11", "q67_tpch_q16"])
+def test_r12_tpch_completions_survive_broadcast_disabled(spark, sf_dir, name):
+    """The 100 TB regime simulated for the remaining round-12 completions
+    (q64/q65 have dedicated contracts above): with auto-broadcast OFF every
+    unhinted join must degrade to a shuffled KEY join — q63's late-shipment
+    residual must survive the switch to SortMergeJoin(LeftSemi), q66's
+    1-row scalar may keep a nested-loop ONLY because its build side is one
+    row by construction — and values must be identical."""
+    df_b = QUERIES[name].build(spark, sf_dir)
+    want = sorted(map(tuple, df_b.collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES[name].build(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        if name != "q66_tpch_q11":  # q66's 1-row scalar stats cross-join
+            assert "BroadcastNestedLoopJoin" not in plan
+        assert sorted(map(tuple, df.collect())) == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
