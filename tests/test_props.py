@@ -475,3 +475,63 @@ def test_encode_unknown_bases_map_to_n_in_both_nibble_positions():
     blob = encode_record(row, {})
     back, _ = parse_record(memoryview(blob), 0, [], None)
     assert back["seq"] == "ANGNNNNNT"
+
+
+def test_int_units_engine_parity_on_boundary_doubles(spark):
+    """The single-sourced cents idiom (`relational._int_units`, DuckDB twin
+    ``CAST(floor(x*scale + 0.5) AS BIGINT)``) must agree between Spark,
+    DuckDB, and exact Python arithmetic on its declared domain — doubles
+    whose true value is an exact multiple of 1/scale — INCLUDING the
+    half-boundary class that flipped t14 at sf0.1 (r11): constructed
+    values where x*scale lands within one ulp of K + 0.5.
+
+    Domain note pinned here: the idiom recovers K = round(x·scale)
+    exactly while K stays well below 2^52 (the double x·scale then
+    carries < 0.5 absolute error); e2 cents of any realistic price and
+    e4/e6 micro-units of bounded scores sit far inside that."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from disq_original_spark.queries.relational import _int_units
+
+    # Family A — e2-exact rationals K/100 across magnitudes (incl. near
+    # 2^50): the idiom must recover K exactly, same value in both engines.
+    ks = [0, 1, 49, 50, 51, 99, 100, 12345, 10**6 + 50, 10**9 + 50,
+          10**12 + 49, 10**12 + 50, 2**50 - 1, 2**50 + 51]
+    # Family B — the adversarial half-boundary family: E·(100−D) ≡ 50
+    # (mod 100), so the discounted price in cents is an EXACT ....5
+    # boundary in the rationals.  The double can land an ulp either side
+    # (0.03 · 7.5 = 22.4999…98), so the contract here is NOT half-up of
+    # the rational — it is (a) BOTH ENGINES IDENTICAL (same double, same
+    # IEEE ops — the property every oracle hash rides on) and (b) the
+    # result is the floor or the ceil of the true half, never anything
+    # else.  `round()` instead of floor(x+0.5) breaks (a): Spark rounds
+    # the shortest-decimal rendering, DuckDB the binary value
+    # (SCALE.md r11, the t14 sf0.1 flip).
+    bnd: list[tuple[float, int]] = []          # (x, true_half_floor = E·D'//100)
+    for e in (3, 51, 12351, 999951):           # price cents
+        for d in (50, 150, 350, 750):          # (100−D) with e·d % 100 == 50
+            if (e * d) % 100 != 50:
+                continue
+            bnd.append(((e / 100) * (d / 100), (e * d) // 100))
+
+    xs = [k / 100 for k in ks] + [x for x, _ in bnd]
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double")
+    got_spark = [r[0] for r in df.select(_int_units(F.col("x")).alias("u")).collect()]
+
+    con = duckdb.connect()
+    rows = ", ".join(f"({x!r})" for x in xs)
+    got_duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT CAST(floor(x * 100 + 0.5) AS BIGINT) "
+            f"FROM (VALUES {rows}) AS t(x)"
+        ).fetchall()
+    ]
+    # cross-engine identity on EVERY input, boundary or not
+    assert got_spark == got_duck, list(zip(xs, got_spark, got_duck))
+    # family A: exact recovery of K
+    assert got_spark[: len(ks)] == ks, list(zip(xs, got_spark, ks))
+    # family B: floor-or-ceil of the true half, nothing else
+    for (x, lo), got in zip(bnd, got_spark[len(ks):]):
+        assert got in (lo, lo + 1), (x, got, lo)
