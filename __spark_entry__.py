@@ -59,25 +59,27 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 #       (`div` / `//`, unconditionally exact), and s05's
 #       `round(sum(d2), 4)` ADC accumulation → e4 BIGINT unit sums
 #       (the per-subspace entries are exact multiples of 1e-4);
-#   (b) 6 queries NEW this round — q62–q67, completing the TPC-H suite
+#   (b) 7 queries NEW this round — q62–q67 completing the TPC-H suite
 #       (Q6, Q4, Q9, Q2, Q11, Q16 shapes; the last four over a
 #       part-supplier relation derived from lineitem, since the
-#       testdata carries no partsupp) — never-witnessed code outranks
-#       re-witnessing unchanged entries (the r9 principle);
-#   (c) 27 of the 45 r9-witnessed queries (age 3 — due by round 13),
+#       testdata carries no partsupp) plus q68, the approximate-quantile
+#       sketch audit (the q12 idiom for order statistics) — never-
+#       witnessed code outranks re-witnessing unchanged entries (the
+#       r9 principle);
+#   (c) 26 of the 45 r9-witnessed queries (age 3 — due by round 13),
 #       in sorted order but EXCLUDING p02 and t11: their float→integer
 #       conversions are scheduled for round 13 (SCALE.md), so they must
 #       take their fresh witness in the round they convert, not here.
-#       The 18 r9 leftovers (p02/t11/q21/q26/q27/q28/q51/q52/q53/
+#       The 19 r9 leftovers (p02/t11/q20/q21/q26/q27/q28/q51/q52/q53/
 #       q54/q55/s01/s02/s04/st09/t08/t10/t12) land in round 13 exactly
 #       at their bound, alongside q32 (r10-witnessed, converting one
-#       round early with them) and 31 more of the 47 r10-witnessed
-#       (18 + 1 + 31 = 50, leaving 47 − 32 = 15 r10); the 15 r10
-#       leftovers land in round 14 at their bound with 35 of the
-#       50 r11s; the 15 r11 leftovers in round 15 with 35 of this
-#       round's 50.  Every deferral stays within the 4-round cycle and
-#       the registry is 165 ≤ 200 = 4×50 capacity, so the bound holds.
-# 17 + 6 + 27 = exactly 50.  Post-r12 histogram: nothing older than r9.
+#       round early with them) and 30 more of the 47 r10-witnessed
+#       (19 + 1 + 30 = 50, leaving 47 − 31 = 16 r10); the 16 r10
+#       leftovers land in round 14 at their bound with 34 of the
+#       50 r11s; the 16 r11 leftovers in round 15 with 34 of this
+#       round's 51.  Every deferral stays within the 4-round cycle and
+#       the registry is 166 ≤ 200 = 4×50 capacity, so the bound holds.
+# 17 + 7 + 26 = exactly 50.  Post-r12 histogram: nothing older than r9.
 _PRIORITY = [
     # --- (a) r8-due, cycle bound (t09 + s05 also convert this round) ---
     "q38_recursive_spine",
@@ -104,7 +106,8 @@ _PRIORITY = [
     "q65_tpch_q2",
     "q66_tpch_q11",
     "q67_tpch_q16",
-    # --- (c) r9 block, first 27 sorted minus the r13-scheduled p02/t11 ---
+    "q68_quantile_sketch_audit",
+    # --- (c) r9 block, first 26 sorted minus the r13-scheduled p02/t11 ---
     "d09_incremental_dedup",
     "d10_semdedup",
     "d15_containment_neardup",
@@ -131,7 +134,6 @@ _PRIORITY = [
     "q17_lag",
     "q18_topk",
     "q19_union_all",
-    "q20_intersect",
 ]
 
 

@@ -2669,3 +2669,111 @@ def q67(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
     )
+
+
+# ------------------------------------------------------- q68 quantile sketch audit
+_Q68_QS = ((1, 2, "0.50"), (9, 10, "0.90"), (99, 100, "0.99"))  # (num, den, label)
+
+
+def _q68_oracle() -> str:
+    """One UNION ALL branch per quantile; every rank quantity is an exact
+    integer and the tolerance check is cross-multiplied (x100) so no
+    float division exists anywhere."""
+    branches = []
+    for num, den, label in _Q68_QS:
+        # target rank = ceil(num*n/den), integer form (a + b - 1) // b
+        t = f"(({num} * n.n + {den} - 1) // {den})"
+        branches.append(f"""
+        SELECT '{label}' AS q_label,
+               (SELECT min(cents) FROM cum WHERE cum.cum >= {t}) AS exact_cents,
+               ((SELECT coalesce(sum(c), 0) FROM hist WHERE cents < av.a{den})
+                   * 100 <= {t} * 100 + n.n
+                AND
+                (SELECT coalesce(sum(c), 0) FROM hist WHERE cents <= av.a{den})
+                   * 100 >= {t} * 100 - n.n) AS sketch_within_1pct
+        FROM n, av""")
+    return f"""WITH c AS (SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                                 AS cents FROM lineitem),
+        hist AS (SELECT cents, count(*) AS c FROM c GROUP BY cents),
+        cum AS (SELECT cents, c, sum(c) OVER (ORDER BY cents) AS cum FROM hist),
+        n AS (SELECT count(*) AS n FROM c),
+        av AS (SELECT approx_quantile(cents, 0.5) AS a2,
+                      approx_quantile(cents, 0.9) AS a10,
+                      approx_quantile(cents, 0.99) AS a100 FROM c)
+        {' UNION ALL '.join(branches)}
+        ORDER BY q_label"""
+
+
+@query(
+    "q68_quantile_sketch_audit",
+    _q68_oracle(),
+    doc="Approximate-quantile sketch audit (the q12 idiom for order "
+    "statistics): single-pass mergeable quantile sketches are THE way to "
+    "compute percentiles at 100 TB, and this query validates the sketch "
+    "against the exact histogram-based quantile the way a production "
+    "pipeline qualifies its accuracy parameter before trusting it — each "
+    "engine audits ITS OWN sketch (GK summary in Spark, t-digest in "
+    "DuckDB) against the SAME engine-exact answer.",
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact side, built to scale: a value HISTOGRAM (groupBy cents — the
+    domain is bounded by the price grid, orders of magnitude smaller than
+    the fact) + one running-sum window over the aggregated domain; never
+    a full sort of the data.  exact_cents = min value whose cumulative
+    count reaches ceil(q·n) — nearest-rank-lower, pure integers, so both
+    engines hash identically.
+
+    Sketch side: Spark's approx_percentile runs IN THE PLAN (GK summary,
+    documented rank error ≤ n/accuracy); the audit checks the sketch
+    value's rank INTERVAL [#(< v), #(≤ v)] intersects the target rank
+    ±1% of n — interval semantics make the check correct under heavy
+    duplicates (where a single value can cover a wide rank range) and
+    for interpolated sketch outputs that are not data values (empty
+    interval degrades to the point check).  The tolerance comparison is
+    cross-multiplied (×100) — exact integers end-to-end, no float
+    division.  The emitted boolean uses the 1% bound both engines'
+    sketches meet by a wide margin; Spark's tighter n/10000 documented
+    bound is pinned separately in tests/test_oracle.py."""
+    li = _t(spark, sf, "lineitem").select(
+        _int_units(F.col("l_extendedprice")).alias("cents")
+    )
+    hist = li.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            "cents", [q[0] / q[1] for q in _Q68_QS], 10000
+        ).alias("av"),
+    )
+    audited = cum.crossJoin(F.broadcast(stats))
+    aggs = []
+    for i, (num, den, _label) in enumerate(_Q68_QS):
+        t = F.expr(f"({num} * n + {den} - 1) div {den}")
+        av_i = F.col("av")[i]
+        aggs += [
+            F.min(F.when(F.col("cum") >= t, F.col("cents"))).alias(f"exact{i}"),
+            (
+                (
+                    F.coalesce(
+                        F.sum(F.when(F.col("cents") < av_i, F.col("c"))), F.lit(0)
+                    )
+                    * 100
+                    <= t * 100 + F.col("n")
+                )
+                & (
+                    F.coalesce(
+                        F.sum(F.when(F.col("cents") <= av_i, F.col("c"))), F.lit(0)
+                    )
+                    * 100
+                    >= t * 100 - F.col("n")
+                )
+            ).alias(f"ok{i}"),
+        ]
+    one = audited.groupBy("n", "av").agg(*aggs)
+    stack = ", ".join(
+        f"'{label}', exact{i}, ok{i}" for i, (_n, _d, label) in enumerate(_Q68_QS)
+    )
+    return one.selectExpr(
+        f"stack({len(_Q68_QS)}, {stack}) AS (q_label, exact_cents, sketch_within_1pct)"
+    ).orderBy("q_label")

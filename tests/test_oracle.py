@@ -270,3 +270,35 @@ def test_s09_nn_descent_improves_recall(spark, sf_dir):
     r_seed, r_refined = recall("s07_knn_graph"), recall("s09_nn_descent_round")
     assert r_refined >= r_seed
     assert r_refined > r_seed  # at least one cross-bucket neighbor recovered
+
+
+def test_q68_spark_sketch_meets_documented_rank_bound(spark, sf_dir):
+    """The q68 hash row checks a shared 1% rank tolerance; this pins
+    Spark's OWN documented guarantee — approx_percentile with accuracy A
+    has rank error <= n/A (A=10000 here) — against the exact ranks, the
+    q12 pattern of testing the raw sketch beyond the emitted boolean."""
+    from disq_original_spark.queries.relational import _int_units
+
+    import pyspark.sql.functions as F
+
+    cents = [
+        r[0]
+        for r in QUERIES["q68_quantile_sketch_audit"]
+        .build.__globals__["_t"](spark, sf_dir, "lineitem")
+        .select(_int_units(F.col("l_extendedprice")).alias("c"))
+        .collect()
+    ]
+    cents.sort()
+    n = len(cents)
+    approx = (
+        spark.createDataFrame([(c,) for c in cents], "c long")
+        .agg(F.percentile_approx("c", [0.5, 0.9, 0.99], 10000).alias("av"))
+        .collect()[0][0]
+    )
+    import bisect
+    for q, av in zip((0.5, 0.9, 0.99), approx):
+        target = (int(q * 100) * n + 99) // 100  # ceil(q*n) with q = k/100
+        lo = bisect.bisect_left(cents, av)       # #(< av)
+        hi = bisect.bisect_right(cents, av)      # #(<= av)
+        tol = n // 10000 + 1
+        assert lo <= target + tol and hi >= target - tol, (q, av, lo, hi, target, n)

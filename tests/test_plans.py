@@ -1134,3 +1134,21 @@ def test_r12_tpch_completions_survive_broadcast_disabled(spark, sf_dir, name):
         assert sorted(map(tuple, df.collect())) == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q68_quantile_audit_histogram_not_full_sort(spark, sf_dir):
+    """q68's exact quantile must come from the value HISTOGRAM — the fact
+    aggregates (partial+final) BEFORE any Sort/Window node, so the
+    running-sum window orders only the aggregated cents domain, never the
+    raw rows; the sketch runs in the same plan; the only join is the
+    broadcast of the 1-row stats; lineitem reads exactly its two
+    referenced columns."""
+    df = QUERIES["q68_quantile_sketch_audit"].build(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert set(read_schema_columns(df)) == {"l_extendedprice"}
+    tree = plan.split("\n\n")[0].splitlines()
+    first_sort = min(i for i, ln in enumerate(tree) if "Sort" in ln and "Join" not in ln)
+    aggs = [i for i, ln in enumerate(tree) if "HashAggregate" in ln]
+    # at least one aggregate (the histogram build) sits BELOW the first sort
+    assert any(i > first_sort for i in aggs), (aggs, first_sort)
