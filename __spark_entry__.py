@@ -47,93 +47,92 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 # across a rolling window of rounds.  All registered queries are always
 # present — only the ordering is prioritized.
 #
-# Round-12 rotation (VERDICT r11 task #1; composition verified with
-# `tools/simulate_driver_window.py --freshness` over CORRECTNESS_r01-r11):
-#   (a) the 17 r8-witnessed entries (q38/q39/q40/s03/s05/st02/st03/
-#       t01–t07/t09/t18/t19) FIRST — at the 4-round cycle bound exactly
-#       as round 11's deferral chain promised; missing any of them
-#       breaks the freshness ledger.  Two of them carry this round's
+# Round-13 rotation (VERDICT r12 task #1; composition verified with
+# `tools/simulate_driver_window.py --freshness` over CORRECTNESS_r01-r12):
+#   (a) the 19 r9-witnessed entries FIRST — at the 4-round cycle bound
+#       exactly as rounds 11/12's deferral chain promised; missing any
+#       of them breaks the freshness ledger.  Two carry this round's
 #       scheduled exact-integer conversions, landing in the SAME round
-#       they re-witness (zero orphaned witnesses): t09's
-#       `round(n_hits/n_shingles, 4)` → half-up e4 integer division
-#       (`div` / `//`, unconditionally exact), and s05's
-#       `round(sum(d2), 4)` ADC accumulation → e4 BIGINT unit sums
-#       (the per-subspace entries are exact multiples of 1e-4);
-#   (b) 7 queries NEW this round — q62–q67 completing the TPC-H suite
-#       (Q6, Q4, Q9, Q2, Q11, Q16 shapes; the last four over a
-#       part-supplier relation derived from lineitem, since the
-#       testdata carries no partsupp) plus q68, the approximate-quantile
-#       sketch audit (the q12 idiom for order statistics) — never-
-#       witnessed code outranks re-witnessing unchanged entries (the
-#       r9 principle);
-#   (c) 26 of the 45 r9-witnessed queries (age 3 — due by round 13),
-#       in sorted order but EXCLUDING p02 and t11: their float→integer
-#       conversions are scheduled for round 13 (SCALE.md), so they must
-#       take their fresh witness in the round they convert, not here.
-#       The 19 r9 leftovers (p02/t11/q20/q21/q26/q27/q28/q51/q52/q53/
-#       q54/q55/s01/s02/s04/st09/t08/t10/t12) land in round 13 exactly
-#       at their bound, alongside q32 (r10-witnessed, converting one
-#       round early with them) and 30 more of the 47 r10-witnessed
-#       (19 + 1 + 30 = 50, leaving 47 − 31 = 16 r10); the 16 r10
-#       leftovers land in round 14 at their bound with 34 of the
-#       50 r11s; the 16 r11 leftovers in round 15 with 34 of this
-#       round's 51.  Every deferral stays within the 4-round cycle and
-#       the registry is 166 ≤ 200 = 4×50 capacity, so the bound holds.
-# 17 + 7 + 26 = exactly 50.  Post-r12 histogram: nothing older than r9.
+#       they re-witness (zero orphaned witnesses): p02's
+#       `round(kept/n, 4)` → half-up e4 integer division (the t09
+#       idiom) and t11's `round(sum/(n·2^32), 6)` → SIGNED half-up e6
+#       on a DECIMAL(38,0) intermediate.  q53/q54 also changed this
+#       round (part-slice broadcast hints dropped — plan-only,
+#       value-identical, proven by the full sf0.1 mirror);
+#   (b) q32 (r10-witnessed) converts one round EARLY with them — its
+#       `round(percentile/100, 2)` became the histogram-exact integer
+#       interpolation — so it must take its fresh witness now;
+#   (c) 30 of the 46 remaining r10-witnessed queries, sorted, with
+#       three exclusions and one swap: d08/d11/p09 are EXCLUDED (their
+#       float→integer conversions are scheduled for round 14 — they
+#       convert in the round they re-witness, SCALE.md), and q57/q58
+#       are swapped IN ahead of q25/q29 because their part-slice
+#       broadcast hints were dropped this round (value-identical, but
+#       changed queries re-witness in the round they change).
+#       The 16 r10 leftovers (d08/d11/p09/q25/q29/q41/q42/q43/q44/q56/
+#       st01/st04/st05/st06/st07/st08) land in round 14 at their bound
+#       with 34 of the 50 r11s; the 16 r11 leftovers in round 15 with
+#       34 of the 50 r12s; the 16 r12 leftovers in round 16 with this
+#       round's 50 re-entering the cycle.  Every deferral stays within
+#       the 4-round cycle and the registry is 166 ≤ 200 = 4×50
+#       capacity, so the bound holds.
+# 19 + 1 + 30 = exactly 50.  Post-r13 histogram: nothing older than r10.
 _PRIORITY = [
-    # --- (a) r8-due, cycle bound (t09 + s05 also convert this round) ---
-    "q38_recursive_spine",
-    "q39_time_range_frame",
-    "q40_lateral_topn",
-    "s03_ann_ivf",
-    "s05_ann_pq",
-    "st02_stream_stream_join",
-    "st03_stream_dedup",
-    "t01_token_count",
-    "t02_quality_score",
-    "t03_lang_heuristic",
-    "t04_fingerprint",
-    "t05_bpe_tokens",
-    "t06_winnow_fingerprint",
-    "t07_pii_redact",
-    "t09_contamination",
-    "t18_chunk_windows",
-    "t19_keyword_tfidf",
-    # --- (b) first witnesses for the round-12 TPC-H completions ---
-    "q62_tpch_q6",
-    "q63_tpch_q4",
-    "q64_tpch_q9",
-    "q65_tpch_q2",
-    "q66_tpch_q11",
-    "q67_tpch_q16",
-    "q68_quantile_sketch_audit",
-    # --- (c) r9 block, first 26 sorted minus the r13-scheduled p02/t11 ---
-    "d09_incremental_dedup",
-    "d10_semdedup",
-    "d15_containment_neardup",
-    "g19_gc_windows",
-    "g20_kmer_spectrum",
-    "g21_cpg_islands",
-    "g22_roh_runs",
-    "g24_bam_to_fastq",
-    "g27_coverage_uniformity",
-    "p04_shard_assignment",
-    "p05_corpus_pipeline",
-    "p06_importance_resampling",
-    "p13_curriculum_phases",
-    "q05_broadcast_join",
-    "q06_left_outer_join",
-    "q07_semi_join",
-    "q08_anti_join",
-    "q09_range_join",
-    "q11_distinct_aggregate",
-    "q13_rollup",
-    "q14_cube",
-    "q15_window_rank",
-    "q16_window_frame",
-    "q17_lag",
-    "q18_topk",
-    "q19_union_all",
+    # --- (a) r9-due, cycle bound (p02 + t11 also convert this round;
+    #     q53/q54 dropped their part-slice hints this round) ---
+    "p02_stratified_sample",
+    "q20_intersect",
+    "q21_except",
+    "q26_json_access",
+    "q27_explode",
+    "q28_exists_subquery",
+    "q51_tpch_q13",
+    "q52_tpch_q22",
+    "q53_tpch_q17",
+    "q54_tpch_q20",
+    "q55_tpch_q15",
+    "s01_knn_bruteforce",
+    "s02_ann_bucketed",
+    "s04_kmeans_update",
+    "st09_late_data_drop",
+    "t08_gopher_repetition",
+    "t10_unigram_surprisal",
+    "t11_quality_classifier",
+    "t12_filter_funnel",
+    # --- (b) q32 converts one round early: fresh witness now ---
+    "q32_percentiles",
+    # --- (c) r10 block: first 28 sorted minus the r14-scheduled
+    #     d08/d11/p09, plus the hint-dropped q57/q58 over q25/q29 ---
+    "d03_minhash_lsh",
+    "d04_ngram_jaccard",
+    "d06_simhash",
+    "d07_dup_clusters",
+    "d12_keep_best",
+    "d13_lsh_bucket_audit",
+    "d14_lsh_estimate_audit",
+    "g04_vcf_variant_stats",
+    "g07_typed_variant_stats",
+    "g09_mark_duplicates",
+    "g16_interval_merge",
+    "g17_interval_subtract",
+    "g18_interval_closest",
+    "g23_bcf_stats",
+    "g25_gff_gene_model",
+    "g26_variant_annotation",
+    "m04_phash_neardup",
+    "m05_audio_frames",
+    "m06_scene_cuts",
+    "p07_deterministic_shuffle",
+    "p08_domain_cap",
+    "p10_corpus_pipeline_v2",
+    "p11_zorder_layout",
+    "p12_leakage_safe_split",
+    "q12_approx_distinct",
+    "q22_string_functions",
+    "q23_date_functions",
+    "q24_math",
+    "q57_tpch_q19",
+    "q58_tpch_q8",
 ]
 
 

@@ -194,8 +194,8 @@ def _rate_col() -> F.Column:
                 CAST(sum(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                 CAST(sum(CASE WHEN h < rate THEN toks ELSE 0 END) AS BIGINT)
                     AS kept_tokens,
-                round(sum(CASE WHEN h < rate THEN 1 ELSE 0 END)
-                      / CAST(count(*) AS DOUBLE), 4) AS kept_frac
+                ((20000 * sum(CASE WHEN h < rate THEN 1 ELSE 0 END) + count(*))
+                 // (2 * count(*))) / 10000.0 AS kept_frac
          FROM d GROUP BY lang ORDER BY lang""",
 )
 def p02(spark: SparkSession, sf: str) -> DataFrame:
@@ -213,7 +213,15 @@ def p02(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: selection is a pure map-side predicate (no shuffle, no
     sampling state); the only shuffle is the per-language aggregate.  This
     is how a 100 TB corpus is downsampled in practice — a full sort or
-    reservoir would serialize, a rand() sample is irreproducible."""
+    reservoir would serialize, a rand() sample is irreproducible.
+
+    kept_frac is the half-up e4 integer division (the t09/p05 pattern,
+    r13): ``(2·10^4·kept + n) div (2n) / 10^4`` — a terminal
+    ``round(kept/n, 4)`` constructs exact .5e-4 boundaries where Spark
+    rounds the double's SHORTEST DECIMAL and DuckDB the binary value
+    (SCALE.md shortest-decimal trap).  Longs suffice: 2·10^4·kept wraps
+    only past 4.6e14 docs per language — three orders beyond a 100 TB
+    corpus."""
     d = load_table(spark, sf, "documents")
     kept = _keep_hash_col() < _rate_col()
     return (
@@ -227,7 +235,15 @@ def p02(spark: SparkSession, sf: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("keep").cast("long").alias("n_kept"),
             F.sum(F.col("keep") * F.col("toks")).cast("long").alias("kept_tokens"),
-            F.round(F.sum("keep") / F.count("*").cast("double"), 4).alias("kept_frac"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_kept",
+            "kept_tokens",
+            (F.expr("(20000 * n_kept + n_docs) div (2 * n_docs)") / 10000.0).alias(
+                "kept_frac"
+            ),
         )
         .orderBy("lang")
     )

@@ -758,27 +758,108 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------- q32 percentiles
 @query(
     "q32_percentiles",
-    """SELECT l_returnflag,
-              round(percentile_cont(0.5) WITHIN GROUP (
-                  ORDER BY CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100, 2) AS p50,
-              round(percentile_cont(0.95) WITHIN GROUP (
-                  ORDER BY CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100, 2) AS p95
-       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    doc="Exact interpolated percentiles per group (Spark `percentile` == "
-    "SQL percentile_cont), computed over integer cents so interpolation is "
-    "engine-deterministic. The approximate path for 100 TB is "
-    "approx_percentile / t-digest — same plan shape, bounded state.",
+    """WITH c AS (SELECT l_returnflag,
+                         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+                  FROM lineitem),
+        hist AS (SELECT l_returnflag, cents, count(*) AS cnt
+                 FROM c GROUP BY 1, 2),
+        cum AS (SELECT l_returnflag, cents,
+                       sum(cnt) OVER (PARTITION BY l_returnflag
+                                      ORDER BY cents) AS cum,
+                       sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+                FROM hist),
+        q AS (SELECT l_returnflag, n,
+                     min(CASE WHEN cum >= ((n - 1) // 2) + 1
+                              THEN cents END) AS lo50,
+                     min(CASE WHEN cum >= ((n - 1) // 2) + 2
+                              THEN cents END) AS hi50,
+                     min(CASE WHEN cum >= ((19 * (n - 1)) // 20) + 1
+                              THEN cents END) AS lo95,
+                     min(CASE WHEN cum >= ((19 * (n - 1)) // 20) + 2
+                              THEN cents END) AS hi95
+              FROM cum GROUP BY 1, 2)
+       SELECT l_returnflag,
+              ((2 * lo50 + ((n - 1) % 2) * (coalesce(hi50, lo50) - lo50) + 1)
+               // 2) / 100.0 AS p50,
+              ((20 * lo95 + ((19 * (n - 1)) % 20) * (coalesce(hi95, lo95) - lo95)
+                + 10) // 20) / 100.0 AS p95
+       FROM q ORDER BY l_returnflag""",
+    doc="Exact interpolated percentiles per group (percentile_cont "
+    "semantics: 0-based position q*(n-1), linear interpolation) computed "
+    "ENTIRELY in integers over a value histogram: both element lookups "
+    "are rank probes on a per-group running count, the interpolated "
+    "value is carried in den-ths (halves for p50, twentieths for p95 — "
+    "q*(n-1) is rational with denominator 2/20, so den*value is an exact "
+    "integer), and the 2-decimal output is half-up integer division with "
+    "one final /100.0 (r13 — replaces a terminal round(x/100, 2) whose "
+    ".5 boundaries hit the shortest-decimal rounding trap).  The "
+    "approximate path for 100 TB is approx_percentile / t-digest — "
+    "bounded state; the exact path's state is the bounded cents domain, "
+    "never a full sort of the fact (the q68 histogram idiom).",
 )
 def q32(spark: SparkSession, sf: str) -> DataFrame:
-    li = _t(spark, sf, "lineitem")
+    """Histogram-exact percentile_cont in pure integers (r13).
+
+    Identity used for the rank probes: the 0-based i-th element of the
+    sorted per-group multiset is the smallest cents whose running count
+    reaches i+1.  With pos = num·(n−1)/den, lo = v[pos div 1], hi =
+    v[lo_idx+1] (NULL → lo when the fraction r is 0), the interpolated
+    value in den-ths is V = den·lo + r·(hi−lo), and the emitted 2-decimal
+    dollar value is halfup(V/den)/100 = ((2V + den) div 2den)/100 — all
+    BIGINT until one final IEEE division.
+
+    Scale shape: the fact collapses to a (flag, cents) histogram via one
+    map-side-combinable aggregate; both windows (running + whole-group
+    sum) share one exchange/sort over the aggregated domain, bounded by
+    the price grid — the q68 watch-item note applies: at extreme cents
+    cardinality the two-level cumulative-sum refinement exists, and the
+    domain here is per-flag partitioned, not global."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_returnflag", _int_units(F.col("l_extendedprice")).alias("cents")
+    )
+    hist = li.groupBy("l_returnflag", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wrun = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = hist.select(
+        "l_returnflag",
+        "cents",
+        F.sum("cnt").over(wrun).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    probes = []
+    for num, den, tag in ((1, 2, "50"), (19, 20, "95")):
+        lo_idx_p1 = F.expr(f"(({num} * (n - 1)) div {den}) + 1")
+        probes += [
+            F.min(F.when(F.col("cum") >= lo_idx_p1, F.col("cents"))).alias(f"lo{tag}"),
+            F.min(F.when(F.col("cum") >= lo_idx_p1 + 1, F.col("cents"))).alias(
+                f"hi{tag}"
+            ),
+        ]
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.round(
-                F.expr("percentile(cast(floor(l_extendedprice * 100 + 0.5) as bigint), 0.5)") / 100, 2
+        cum.groupBy("l_returnflag", "n")
+        .agg(*probes)
+        .select(
+            "l_returnflag",
+            # final /100.0 via the Python operator: a 100.0 literal inside
+            # the SQL string parses as DECIMAL and would type the output
+            # decimal instead of the declared double
+            (
+                F.expr(
+                    "(2 * lo50 + ((n - 1) % 2) * (coalesce(hi50, lo50) - lo50)"
+                    " + 1) div 2"
+                )
+                / 100.0
             ).alias("p50"),
-            F.round(
-                F.expr("percentile(cast(floor(l_extendedprice * 100 + 0.5) as bigint), 0.95)") / 100, 2
+            (
+                F.expr(
+                    "(20 * lo95 + ((19 * (n - 1)) % 20)"
+                    " * (coalesce(hi95, lo95) - lo95) + 10) div 20"
+                )
+                / 100.0
             ).alias("p95"),
         )
         .orderBy("l_returnflag")

@@ -597,7 +597,14 @@ _T11_KNUTH = 2654435761  # Knuth multiplicative constant, 32-bit golden ratio
         SELECT doc_id,
                count(*) AS n_tokens,
                CAST(sum(w) AS BIGINT) AS logit_sum_q32,
-               round(CAST(sum(w) AS DOUBLE) / (count(*) * 4294967296.0), 6) AS quality_logit,
+               (CASE WHEN sum(w) >= 0
+                     THEN (CAST(sum(w) AS HUGEINT) * 2000000
+                           + count(*) * 4294967296)
+                          // (count(*) * 8589934592)
+                     ELSE -((CAST(-sum(w) AS HUGEINT) * 2000000
+                             + count(*) * 4294967296)
+                            // (count(*) * 8589934592))
+                END) / 1000000.0 AS quality_logit,
                sum(w) > 0 AS keep
         FROM hashed GROUP BY doc_id ORDER BY doc_id""",
 )
@@ -613,8 +620,14 @@ def t11(spark: SparkSession, sf: str) -> DataFrame:
     (``(h * KNUTH) mod 2^32 - 2^31``), so the per-document sum is exact
     integer arithmetic — order-independent, no floating-point accumulation
     drift between Spark's partition-parallel sum and DuckDB's sequential
-    one — and the single final division is the only float op.  All 64-bit
-    intermediates are overflow-safe (h < 2^20, h*KNUTH < 2^52).
+    one.  quality_logit is the SIGNED half-up e6 integer division (r13,
+    the last scheduled ``round(p/q, k)`` in this family): for magnitude
+    ``(2·10^6·|s| + q) div (2q)`` with ``q = n·2^32``, sign re-applied —
+    half away from zero, matching round()'s convention — then ONE final
+    float division by 10^6.  The numerator rides a DECIMAL(38,0)/HUGEINT
+    intermediate (|s| ≤ n·2^31, so 2·10^6·|s| wraps a long past ~2k
+    tokens/doc — real documents exceed that); the divisor ``n·2^33``
+    stays a long for any per-document n < 2^30.
 
     Scale shape: ONE nested codegen expression per row — tokenize, hash,
     weight, and sum entirely inside higher-order functions, zero explode,
@@ -643,15 +656,39 @@ def t11(spark: SparkSession, sf: str) -> DataFrame:
         tok, F.lit(0).cast("long"), lambda acc, word: acc + w_int(word)
     )
     n = F.size(tok)
-    return d.select(
-        "doc_id",
-        n.cast("long").alias("n_tokens"),
-        logit_sum.alias("logit_sum_q32"),
-        F.round(
-            logit_sum.cast("double") / (n.cast("double") * 4294967296.0), 6
-        ).alias("quality_logit"),
-        (logit_sum > 0).alias("keep"),
-    ).orderBy("doc_id")
+    return (
+        d.select(
+            "doc_id",
+            n.cast("long").alias("n_tokens"),
+            logit_sum.alias("logit_sum_q32"),
+            (logit_sum > 0).alias("keep"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logit_sum_q32",
+            # signed half-up e6 of s/(n·2^32): DECIMAL(38,0) numerator
+            # (2·10^6·|s| wraps a long past ~2k tokens/doc), long divisor,
+            # one final IEEE division — the q58/t09 idiom with sign
+            (
+                F.expr(
+                    "case when logit_sum_q32 >= 0"
+                    " then (cast(logit_sum_q32 as decimal(38,0)) * 2000000"
+                    "       + n_tokens * 4294967296)"
+                    "      div (n_tokens * 8589934592)"
+                    " else -((cast(-logit_sum_q32 as decimal(38,0)) * 2000000"
+                    "         + n_tokens * 4294967296)"
+                    "        div (n_tokens * 8589934592))"
+                    " end"
+                )
+                / 1000000.0  # Python-side: DOUBLE division (a 1000000.0
+                # literal INSIDE the SQL string parses as DECIMAL and the
+                # result column would be decimal, not the declared double)
+            ).alias("quality_logit"),
+            "keep",
+        )
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------- t12 filter funnel
