@@ -756,6 +756,52 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- q32 percentiles
+_CUM_BUCKET = 100_000  # cents per bucket for the two-level running sum
+
+
+def _two_level_cum(
+    hist: DataFrame, part: tuple[str, ...] = (), with_total: bool = False
+) -> DataFrame:
+    """Running count over a (part…, cents, c) value histogram WITHOUT a
+    single global-order task (closes the r12 watch item on q68/q32):
+    ``cum(cents) = within-bucket running sum + sum of preceding buckets``
+    with ``bucket = cents div 100_000``.
+
+    Scale argument, in absolutes: the per-bucket window partitions on
+    (part…, bucket), and a bucket spans 100k distinct cents values, so
+    NO window task ever holds more than 100k rows REGARDLESS of SF; the
+    bucket-prefix frame has ``max_cents / 100_000`` rows per group
+    (~100 for a $100k price grid — bounded by the price domain, not the
+    data), so its single-task window and its broadcast back onto the
+    histogram are O(domain/bucket), never O(rows).  Value-identical to
+    the one-window form because bucket order is monotone in cents
+    (nonnegative domain — integer `div` truncates toward zero, so the
+    identity needs cents ≥ 0)."""
+    inner = hist.withColumn("bucket", F.expr(f"cents div {_CUM_BUCKET}"))
+    in_w = (
+        Window.partitionBy(*part, "bucket")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inner = inner.withColumn("incum", F.sum("c").over(in_w))
+    btot = inner.groupBy(*part, "bucket").agg(F.sum("c").alias("bc"))
+    pre_base = Window.partitionBy(*part) if part else Window
+    pre_w = pre_base.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cols = [
+        *part,
+        "bucket",
+        F.coalesce(F.sum("bc").over(pre_w), F.lit(0)).alias("bpre"),
+    ]
+    if with_total:
+        tot_w = Window.partitionBy(*part) if part else Window.partitionBy()
+        cols.append(F.sum("bc").over(tot_w).alias("n"))
+    bpre = btot.select(*cols)
+    out = [*part, "cents", "c", (F.col("incum") + F.col("bpre")).alias("cum")]
+    if with_total:
+        out.append("n")
+    return inner.join(F.broadcast(bpre), [*part, "bucket"]).select(*out)
+
+
 @query(
     "q32_percentiles",
     """WITH c AS (SELECT l_returnflag,
@@ -809,27 +855,16 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
     BIGINT until one final IEEE division.
 
     Scale shape: the fact collapses to a (flag, cents) histogram via one
-    map-side-combinable aggregate; both windows (running + whole-group
-    sum) share one exchange/sort over the aggregated domain, bounded by
-    the price grid — the q68 watch-item note applies: at extreme cents
-    cardinality the two-level cumulative-sum refinement exists, and the
-    domain here is per-flag partitioned, not global."""
+    map-side-combinable aggregate; the running count is the TWO-LEVEL
+    cumulative sum (``_two_level_cum``): per-(flag, bucket) windows of
+    ≤100k rows each plus a per-flag bucket-prefix frame bounded by the
+    price domain — no task ever windows the whole per-flag cents
+    domain, closing the r12 watch item instead of inheriting it."""
     li = _t(spark, sf, "lineitem").select(
         "l_returnflag", _int_units(F.col("l_extendedprice")).alias("cents")
     )
-    hist = li.groupBy("l_returnflag", "cents").agg(F.count(F.lit(1)).alias("cnt"))
-    wrun = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wall = Window.partitionBy("l_returnflag")
-    cum = hist.select(
-        "l_returnflag",
-        "cents",
-        F.sum("cnt").over(wrun).alias("cum"),
-        F.sum("cnt").over(wall).alias("n"),
-    )
+    hist = li.groupBy("l_returnflag", "cents").agg(F.count(F.lit(1)).alias("c"))
+    cum = _two_level_cum(hist, part=("l_returnflag",), with_total=True)
     probes = []
     for num, den, tag in ((1, 2, "50"), (19, 20, "95")):
         lo_idx_p1 = F.expr(f"(({num} * (n - 1)) div {den}) + 1")
@@ -2815,10 +2850,13 @@ def _q68_oracle() -> str:
 def q68(spark: SparkSession, sf: str) -> DataFrame:
     """Exact side, built to scale: a value HISTOGRAM (groupBy cents — the
     domain is bounded by the price grid, orders of magnitude smaller than
-    the fact) + one running-sum window over the aggregated domain; never
-    a full sort of the data.  exact_cents = min value whose cumulative
-    count reaches ceil(q·n) — nearest-rank-lower, pure integers, so both
-    engines hash identically.
+    the fact) + the TWO-LEVEL running sum over the aggregated domain
+    (``_two_level_cum``: per-bucket windows of ≤100k rows + a
+    domain-bounded bucket-prefix frame — no single task ever windows the
+    whole cents domain); never a full sort of the data.  exact_cents =
+    min value whose cumulative count reaches ceil(q·n) —
+    nearest-rank-lower, pure integers, so both engines hash
+    identically.
 
     Sketch side: Spark's approx_percentile runs IN THE PLAN (GK summary,
     documented rank error ≤ n/accuracy); the audit checks the sketch
@@ -2835,8 +2873,11 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
         _int_units(F.col("l_extendedprice")).alias("cents")
     )
     hist = li.groupBy("cents").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("c").over(w))
+    # r13: the running sum is the two-level form — per-bucket windows of
+    # ≤100k rows + a bucket-prefix frame bounded by the price domain —
+    # closing the r12 watch item (a single Window.orderBy("cents") task
+    # would hold the whole distinct-cents domain at SF1000)
+    cum = _two_level_cum(hist)
     # One all-NULL pad row keeps the crossJoin (and so the 3 output
     # labels) alive on EMPTY input, matching the oracle's `FROM n, av`
     # cross join which always emits its 3 rows (ADVICE r12).  On

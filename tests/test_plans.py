@@ -1178,3 +1178,26 @@ def test_q68_quantile_audit_histogram_not_full_sort(spark, sf_dir):
     aggs = [i for i, ln in enumerate(tree) if "HashAggregate" in ln]
     # at least one aggregate (the histogram build) sits BELOW the first sort
     assert any(i > first_sort for i in aggs), (aggs, first_sort)
+
+
+def test_q68_q32_two_level_cum_no_global_histogram_window(spark, sf_dir):
+    """r13 closes the r12 watch item: the running count over the cents
+    histogram must be the TWO-LEVEL form — the histogram-sized window
+    partitions on (…, bucket) so no task windows the whole cents domain,
+    and the only unpartitioned (or flag-only) window runs over the
+    BUCKET-level aggregate (domain-bounded, ~max_cents/100k rows), which
+    re-enters the plan as a broadcast."""
+    for name, part_prefix in (
+        ("q68_quantile_sketch_audit", "bucket#"),
+        ("q32_percentiles", "l_returnflag#"),
+    ):
+        df = QUERIES[name].build(spark, sf_dir)
+        plan = formatted_plan(df)
+        # the per-bucket window's exchange partitions on bucket
+        assert "hashpartitioning(" in plan and "bucket#" in plan, name
+        tree = plan.split("\n\n")[0]
+        # windows exist and the bucket-prefix side is broadcast back
+        assert tree.count("Window") >= 2, name
+        assert "BroadcastExchange" in tree, name
+        # bucket membership is derived IN the plan (cents div 100000)
+        assert "div 100000" in plan, name
