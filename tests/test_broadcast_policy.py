@@ -56,9 +56,24 @@ def _is_scaling_load(expr_src: str) -> bool:
 
 
 def _is_bounded(expr_src: str) -> bool:
-    """The only source pattern accepted as absolutely bounded: an
-    explicit ``.limit(n)`` somewhere in the chain."""
-    return ".limit(" in expr_src
+    """The only source pattern accepted as absolutely bounded: the
+    OUTERMOST call of the expression chain is ``.limit(n)`` — i.e. the
+    frame actually being bound is the one that was limited.  A
+    ``.limit(`` merely APPEARING somewhere in the string (e.g. bounding
+    a probe set joined INTO an unbounded load:
+    ``_t(...,'part').join(probe.limit(5), k)``) does not clear
+    (code-review r13 finding #2); a post-limit transform like
+    ``.limit(100).select(...)`` conservatively stays flagged — route
+    real cases through ALLOW."""
+    try:
+        node = ast.parse(expr_src, mode="eval").body
+    except SyntaxError:
+        return False
+    return (
+        isinstance(node, ast.Call)
+        and isinstance(node.func, ast.Attribute)
+        and node.func.attr == "limit"
+    )
 
 
 def _broadcast_calls(fn: ast.AST):
@@ -101,13 +116,17 @@ def _flag_sites(tree: ast.AST, fname: str) -> list[str]:
                 # flag when any assignment of the name (anywhere in the
                 # function — a later rebinding proves nothing about the
                 # frame being broadcast) is a scaling-table load, unless
-                # a BOUNDED (re)binding precedes the broadcast call
+                # the LATEST (re)binding preceding the broadcast call is
+                # bounded — "any bounded binding before the call" would
+                # let `s = load.limit(100); s = load; broadcast(s)`
+                # escape (code-review r13 finding #1)
                 flagged = [
                     s for ln, s in stmts
                     if _is_scaling_load(s) and not _is_bounded(s)
                 ]
-                cleared = any(
-                    _is_bounded(s) and ln < call.lineno for ln, s in stmts
+                preceding = [(ln, s) for ln, s in stmts if ln < call.lineno]
+                cleared = bool(preceding) and _is_bounded(
+                    max(preceding, key=lambda t: t[0])[1]
                 )
                 if flagged and not cleared:
                     bad.append(
@@ -181,6 +200,25 @@ def test_lint_catches_the_defect_class():
         "    out = li.join(F.broadcast(s), on)\n"
         "    s = s.limit(10)\n"
         "    return out\n"
+    )
+    # code-review r13 #1: a bounded binding followed by an UNBOUNDED
+    # rebinding must not clear — the broadcast sees the full load
+    assert flagged(
+        "def q(spark, sf):\n"
+        "    s = _t(spark, sf, 'supplier').limit(100)\n"
+        "    s = _t(spark, sf, 'supplier')\n"
+        "    return li.join(F.broadcast(s), on)\n"
+    )
+    # code-review r13 #2: a .limit() on a JOINED probe set does not
+    # bound the scaling load being broadcast — named and inline forms
+    assert flagged(
+        "def q(spark, sf):\n"
+        "    p = _t(spark, sf, 'part').join(probe.limit(5), k)\n"
+        "    return li.join(F.broadcast(p), on)\n"
+    )
+    assert flagged(
+        "def q(spark, sf):\n"
+        "    return li.join(F.broadcast(_t(spark, sf, 'part').join(probe.limit(5), k)), on)\n"
     )
     # explicit absolute bound BEFORE the broadcast: allowed
     assert not flagged(
