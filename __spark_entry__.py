@@ -72,8 +72,9 @@ def _released(name: str) -> Callable[[SparkSession, str], DataFrame]:
 #       The 16 r10 leftovers (d08/d11/p09/q25/q29/q41/q42/q43/q44/q56/
 #       st01/st04/st05/st06/st07/st08) land in round 14 at their bound
 #       with 34 of the 50 r11s; the 16 r11 leftovers in round 15 with
-#       34 of the 50 r12s; the 16 r12 leftovers in round 16 with this
-#       round's 50 re-entering the cycle.  Every deferral stays within
+#       34 of the 50 r12s; the 16 r12 leftovers in round 16 with 34 of
+#       this round's 50 re-entering the cycle (16 r13 then remain for
+#       round 17, inside their bound).  Every deferral stays within
 #       the 4-round cycle and the registry is 166 ≤ 200 = 4×50
 #       capacity, so the bound holds.
 # 19 + 1 + 30 = exactly 50.  Post-r13 histogram: nothing older than r10.
