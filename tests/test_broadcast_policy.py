@@ -97,15 +97,26 @@ def _flag_sites(tree: ast.AST, fname: str) -> list[str]:
         if not isinstance(fn, (ast.FunctionDef, ast.AsyncFunctionDef)):
             continue
         assigns: dict[str, list[tuple[int, str]]] = {}
-        for node in ast.walk(fn):
-            if (
-                isinstance(node, ast.Assign)
-                and len(node.targets) == 1
-                and isinstance(node.targets[0], ast.Name)
-            ):
-                assigns.setdefault(node.targets[0].id, []).append(
-                    (node.lineno, ast.unparse(node.value))
+
+        def record(target: ast.expr, value: ast.expr, lineno: int) -> None:
+            if isinstance(target, ast.Name):
+                assigns.setdefault(target.id, []).append(
+                    (lineno, ast.unparse(value))
                 )
+            elif isinstance(target, (ast.Tuple, ast.List)) and isinstance(
+                value, (ast.Tuple, ast.List)
+            ) and len(target.elts) == len(value.elts):
+                # a, b = _t(...), _t(...) — pair names elementwise
+                for t, v in zip(target.elts, value.elts):
+                    record(t, v, lineno)
+
+        for node in ast.walk(fn):
+            if isinstance(node, ast.Assign):
+                for tgt in node.targets:
+                    record(tgt, node.value, node.lineno)
+            elif isinstance(node, ast.AnnAssign) and node.value is not None:
+                # s: DataFrame = _t(...) — annotated single assignment
+                record(node.target, node.value, node.lineno)
         for call in _broadcast_calls(fn):
             arg = call.args[0]
             if isinstance(arg, ast.Name):
@@ -219,6 +230,18 @@ def test_lint_catches_the_defect_class():
     assert flagged(
         "def q(spark, sf):\n"
         "    return li.join(F.broadcast(_t(spark, sf, 'part').join(probe.limit(5), k)), on)\n"
+    )
+    # assignment-form evasions (r13 hardening): annotated and
+    # tuple-unpacking assignments are tracked like plain ones
+    assert flagged(
+        "def q(spark, sf):\n"
+        "    s: DataFrame = _t(spark, sf, 'supplier')\n"
+        "    return li.join(F.broadcast(s), on)\n"
+    )
+    assert flagged(
+        "def q(spark, sf):\n"
+        "    s, c = _t(spark, sf, 'supplier'), _t(spark, sf, 'customer')\n"
+        "    return li.join(F.broadcast(s), on)\n"
     )
     # explicit absolute bound BEFORE the broadcast: allowed
     assert not flagged(
