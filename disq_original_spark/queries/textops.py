@@ -335,6 +335,7 @@ def t07(spark: SparkSession, sf: str) -> DataFrame:
         words AS (SELECT doc_id, unnest(w) AS word FROM t),
         wc AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2),
         wagg AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_n,
+                        sum(length(word) * c) AS sum_len,
                         sum(length(word) * c) / CAST(sum(c) AS DOUBLE) AS mwl
                  FROM wc GROUP BY 1),
         bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w), 1)),
@@ -342,13 +343,19 @@ def t07(spark: SparkSession, sf: str) -> DataFrame:
                FROM t),
         bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
         bagg AS (SELECT doc_id,
+                        sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_sum,
+                        sum(c) AS n_bg,
                         sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE) AS dupf
                  FROM bc GROUP BY 1)
         SELECT w.doc_id,
                CAST(w.n_words AS BIGINT) AS n_words,
-               round(w.mwl, 4) AS mean_word_len,
-               round(w.top_n / CAST(w.n_words AS DOUBLE), 4) AS top_word_frac,
-               round(coalesce(b.dupf, 0), 4) AS dup_bigram_frac,
+               ((20000 * w.sum_len + w.n_words) // (2 * w.n_words))
+                   / 10000.0 AS mean_word_len,
+               ((20000 * w.top_n + w.n_words) // (2 * w.n_words))
+                   / 10000.0 AS top_word_frac,
+               CASE WHEN coalesce(b.n_bg, 0) > 0
+                    THEN ((20000 * b.dup_sum + b.n_bg) // (2 * b.n_bg)) / 10000.0
+                    ELSE 0.0 END AS dup_bigram_frac,
                (w.n_words BETWEEN 50 AND 100000
                 AND w.mwl BETWEEN 3 AND 10
                 AND w.top_n / CAST(w.n_words AS DOUBLE) < 0.2
@@ -408,6 +415,14 @@ def t08(spark: SparkSession, sf: str) -> DataFrame:
         gen,
         "doc_id long, n_words long, sum_len long, top_n long, n_bg long, dup_sum long",
     )
+    # The PASS FLAG keeps the raw float ratios: comparisons carry no
+    # shortest-decimal asymmetry (both engines compute the identical
+    # double and compare it identically), and count ratios can't land
+    # within an ulp of the thresholds at any realistic doc length.  The
+    # three ROUNDED outputs convert to half-up e4 integer division (r13
+    # second-pass audit — integer ratios like sum_len/n_words CAN
+    # construct exact .5e-4 boundaries, e.g. odd/160, where the engines'
+    # rounding modes diverge; the t09/p02 idiom removes the class).
     mwl = F.col("sum_len") / F.col("n_words").cast("double")
     top_frac = F.col("top_n") / F.col("n_words").cast("double")
     dupf = F.when(
@@ -417,9 +432,18 @@ def t08(spark: SparkSession, sf: str) -> DataFrame:
         counts.select(
             "doc_id",
             "n_words",
-            F.round(mwl, 4).alias("mean_word_len"),
-            F.round(top_frac, 4).alias("top_word_frac"),
-            F.round(dupf, 4).alias("dup_bigram_frac"),
+            (
+                F.expr("(20000 * sum_len + n_words) div (2 * n_words)") / 10000.0
+            ).alias("mean_word_len"),
+            (
+                F.expr("(20000 * top_n + n_words) div (2 * n_words)") / 10000.0
+            ).alias("top_word_frac"),
+            F.when(
+                F.col("n_bg") > 0,
+                F.expr("(20000 * dup_sum + n_bg) div (2 * n_bg)") / 10000.0,
+            )
+            .otherwise(0.0)
+            .alias("dup_bigram_frac"),
             (
                 F.col("n_words").between(50, 100000)
                 & mwl.between(3, 10)
