@@ -335,8 +335,7 @@ def t07(spark: SparkSession, sf: str) -> DataFrame:
         words AS (SELECT doc_id, unnest(w) AS word FROM t),
         wc AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY 1, 2),
         wagg AS (SELECT doc_id, sum(c) AS n_words, max(c) AS top_n,
-                        sum(length(word) * c) AS sum_len,
-                        sum(length(word) * c) / CAST(sum(c) AS DOUBLE) AS mwl
+                        sum(length(word) * c) AS sum_len
                  FROM wc GROUP BY 1),
         bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(w), 1)),
                                                     i -> w[i] || ' ' || w[i+1])) AS bigram
@@ -344,8 +343,7 @@ def t07(spark: SparkSession, sf: str) -> DataFrame:
         bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
         bagg AS (SELECT doc_id,
                         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_sum,
-                        sum(c) AS n_bg,
-                        sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE) AS dupf
+                        sum(c) AS n_bg
                  FROM bc GROUP BY 1)
         SELECT w.doc_id,
                CAST(w.n_words AS BIGINT) AS n_words,
@@ -357,9 +355,10 @@ def t07(spark: SparkSession, sf: str) -> DataFrame:
                     THEN ((20000 * b.dup_sum + b.n_bg) // (2 * b.n_bg)) / 10000.0
                     ELSE 0.0 END AS dup_bigram_frac,
                (w.n_words BETWEEN 50 AND 100000
-                AND w.mwl BETWEEN 3 AND 10
+                AND w.sum_len / CAST(w.n_words AS DOUBLE) BETWEEN 3 AND 10
                 AND w.top_n / CAST(w.n_words AS DOUBLE) < 0.2
-                AND coalesce(b.dupf, 0) < 0.6) AS gopher_pass
+                AND coalesce(b.dup_sum / CAST(b.n_bg AS DOUBLE), 0) < 0.6)
+                 AS gopher_pass
         FROM wagg w LEFT JOIN bagg b USING (doc_id)
         ORDER BY doc_id""",
 )

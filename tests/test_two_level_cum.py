@@ -27,10 +27,14 @@ CASES = {
     "empty_middle_buckets": [(0, 1), (10 * _CUM_BUCKET + 17, 2)],
     "zero_counts_mixed": [(3, 0), (7, 2), (_CUM_BUCKET + 3, 0), (2 * _CUM_BUCKET, 9)],
 }
+# distinct cents keys: _two_level_cum's input contract is a HISTOGRAM
+# (unique keys) — duplicate keys would make the within-bucket running
+# sum tie-order-dependent and the brute-force compare flaky
+# (code-review r13b)
 rng = random.Random(13)
 CASES["random_sparse"] = sorted(
-    (rng.randrange(0, 50 * _CUM_BUCKET), rng.randrange(1, 1000))
-    for _ in range(200)
+    (cents, rng.randrange(1, 1000))
+    for cents in rng.sample(range(50 * _CUM_BUCKET), 200)
 )
 
 
