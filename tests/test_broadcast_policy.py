@@ -117,6 +117,9 @@ def _flag_sites(tree: ast.AST, fname: str) -> list[str]:
             elif isinstance(node, ast.AnnAssign) and node.value is not None:
                 # s: DataFrame = _t(...) — annotated single assignment
                 record(node.target, node.value, node.lineno)
+            elif isinstance(node, ast.NamedExpr):
+                # (s := _t(...)) — walrus binding
+                record(node.target, node.value, node.lineno)
         for call in _broadcast_calls(fn):
             arg = call.args[0]
             if isinstance(arg, ast.Name):
@@ -242,6 +245,11 @@ def test_lint_catches_the_defect_class():
         "def q(spark, sf):\n"
         "    s, c = _t(spark, sf, 'supplier'), _t(spark, sf, 'customer')\n"
         "    return li.join(F.broadcast(s), on)\n"
+    )
+    assert flagged(
+        "def q(spark, sf):\n"
+        "    if (s := _t(spark, sf, 'supplier')).count() > 0:\n"
+        "        return li.join(F.broadcast(s), on)\n"
     )
     # explicit absolute bound BEFORE the broadcast: allowed
     assert not flagged(
