@@ -57,6 +57,43 @@ def track_persist(df: DataFrame, eager: bool = False) -> DataFrame:
     return df
 
 
+def persist_if_material(
+    df: DataFrame, source_bytes: int, eager: bool = False
+) -> DataFrame:
+    """Scale-gated :func:`track_persist`: persist only when the subtree's
+    SOURCE input is big enough that recomputing it for every downstream
+    reference would dominate.
+
+    Below ``SPARK_GRAFT_PERSIST_MIN_BYTES`` (default 256 MiB) the frame is
+    returned UNPERSISTED: with a small input the duplicated subtree
+    evaluations run as independent parallel stages that fill otherwise-idle
+    cores (wall time tracks the critical path, not task-time), while the
+    persist adds a materialization barrier and an InMemoryRelation
+    statistics wall that join planning cannot see through — measured r13 at
+    sf0.1, interleaved min/median of 5: d04 2.21/2.53 s with its eager
+    persist vs 1.36/1.49 s without; d14 4.50/5.21 vs 3.80/5.17
+    (OPTIMIZATION_r13.md).  Above the threshold the cluster is saturated by
+    the real pass — re-shingling a 100 TB corpus once per reference is the
+    cost that matters — and the persist is the established d14 scale
+    posture, unchanged.
+
+    ``source_bytes < 0`` means "size unknown" (e.g. a non-local store the
+    caller did not stat): persist — fail safe in the direction of scale.
+    The threshold is the shared small-input crossover knob
+    (``SPARK_GRAFT_SMALL_INPUT_BYTES``, see ``tables.small_input``) so a
+    deployment tunes ONE number for where latency-dominated ends and
+    throughput-dominated begins.
+    """
+    import os
+
+    min_bytes = int(
+        os.environ.get("SPARK_GRAFT_SMALL_INPUT_BYTES", str(256 * 1024 * 1024))
+    )
+    if 0 <= source_bytes < min_bytes:
+        return df
+    return track_persist(df, eager=eager)
+
+
 def release_persists() -> int:
     """Unpersist every tracked DataFrame (non-blocking) and clear the
     registry.  Returns how many were released.  Safe to call at any time:

@@ -35,8 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cache import track_persist
-from ..tables import load_table, load_wide
+from ..cache import persist_if_material
+from ..tables import load_table, load_wide, table_bytes
 from .registry import query
 
 # DuckDB fragments mirrored by the Spark builders -----------------------------
@@ -198,6 +198,17 @@ def _band_rows(sig: DataFrame) -> DataFrame:
     "oracle's HAVING; truncation observable via d13_lsh_bucket_audit).",
 )
 def d03(spark: SparkSession, sf: str) -> DataFrame:
+    return _d03_candidate_pairs(spark, sf).distinct().orderBy("a_id", "b_id")
+
+
+def _d03_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """d03's candidate pairs BEFORE the presentation-layer dedup/sort —
+    (a_id, b_id) with a_id < b_id, possibly repeated across bands.  d03
+    finishes with distinct + ORDER BY; d07 feeds this stream straight into
+    connected_components, whose own canonicalize+distinct subsumes d03's
+    (same key set, same exchange) — routing d07 through the full d03 would
+    pay an extra distinct AND a range-partition sort whose output order the
+    CC iteration immediately destroys."""
     bands = _band_rows(_doc_signatures(spark, sf))
     inv = (
         bands.groupBy("band_idx", "band_key")
@@ -207,8 +218,6 @@ def d03(spark: SparkSession, sf: str) -> DataFrame:
     return (
         inv.select(F.explode(_pair_expansion()).alias("p"))
         .select("p.a_id", "p.b_id")
-        .distinct()
-        .orderBy("a_id", "b_id")
     )
 
 
@@ -292,9 +301,16 @@ def d04(spark: SparkSession, sf: str) -> DataFrame:
         ex0.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") <= _DF_CAP)
-        # tiny: (hash, ≤cap ids); feeds counts AND pairs — concurrent
-        # consumers, so materialize eagerly (cache.py r6)
-        .transform(lambda d: track_persist(d, eager=True))
+        # (hash, ≤cap ids); feeds counts AND pairs — concurrent consumers,
+        # so materialize eagerly (cache.py r6) — but only when the corpus
+        # is big enough that re-shingling it per consumer would dominate;
+        # at bench scale the persist barrier measurably LOSES (r13:
+        # 2.53 s -> 1.49 s median without it, cache.persist_if_material)
+        .transform(
+            lambda d: persist_if_material(
+                d, table_bytes(sf, "documents"), eager=True
+            )
+        )
     )
     cnt = (
         inv.select(F.explode("ids").alias("doc_id"))
@@ -538,7 +554,12 @@ _PAIRS_SQL = f"""sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM document
 def d07(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.graph import connected_components
 
-    pairs = d03(spark, sf).select("a_id", "b_id")
+    # r13: feed CC the pre-distinct, pre-ORDER-BY pair stream — CC's own
+    # canonicalize+distinct subsumes d03's dedup over the same key set, and
+    # the range-partition sort's output order is destroyed by the first CC
+    # round anyway.  Interleaved A/B at sf0.1 (ab_query.py, median of 5):
+    # via full d03 13.07 s, via the raw stream 9.99 s.
+    pairs = _d03_candidate_pairs(spark, sf)
     labels, _rounds = connected_components(pairs)
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
@@ -1046,7 +1067,9 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
     # reused three ways (per-doc counts + both sides of the intersection) —
     # the d04 posture; without the persists the corpus would be re-shingled
     # ~5x across the branches
-    sig = track_persist(_doc_signatures(spark, sf), eager=True)
+    sig = persist_if_material(
+        _doc_signatures(spark, sf), table_bytes(sf, "documents"), eager=True
+    )
     inv = (
         _band_rows(sig)
         .groupBy("band_idx", "band_key")
@@ -1058,8 +1081,12 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
         .select("p.a_id", "p.b_id")
         .distinct()
         # both sides of the estimate join and the intersection probe read
-        # pairs concurrently — eager (cache.py r6)
-        .transform(lambda d: track_persist(d, eager=True))
+        # pairs concurrently — eager (cache.py r6), scale-gated (r13)
+        .transform(
+            lambda d: persist_if_material(
+                d, table_bytes(sf, "documents"), eager=True
+            )
+        )
     )
     sa = sig.select(
         F.col("doc_id").alias("a_id"),
@@ -1077,7 +1104,9 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
         .join(sb, "b_id")
         .select("a_id", "b_id", est_expr.alias("est_slots"))
     )
-    hashes = track_persist(_doc_shingle_hashes(spark, sf), eager=True)
+    hashes = persist_if_material(
+        _doc_shingle_hashes(spark, sf), table_bytes(sf, "documents"), eager=True
+    )
     cnt = hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     xa = hashes.select(F.col("doc_id").alias("a_id"), "s")
     xb = hashes.select(F.col("doc_id").alias("b_id"), "s")
@@ -1157,8 +1186,13 @@ def d15(spark: SparkSession, sf: str) -> DataFrame:
         ex0.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") <= _DF_CAP)
-        # feeds counts AND pairs — concurrent consumers, eager (cache.py r6)
-        .transform(lambda d: track_persist(d, eager=True))
+        # feeds counts AND pairs — concurrent consumers, eager (cache.py
+        # r6), scale-gated like d04's (r13)
+        .transform(
+            lambda d: persist_if_material(
+                d, table_bytes(sf, "documents"), eager=True
+            )
+        )
     )
     cnt = (
         inv.select(F.explode("ids").alias("doc_id"))

@@ -922,6 +922,21 @@ def s09(spark: SparkSession, sf: str) -> DataFrame:
         )
         .where(F.col("src") != F.col("dst"))
     )
+    # r13 optimization audit: the s07 subtree is referenced ~6× through the
+    # union/self-join chain below and the before-plan is 338 nodes with six
+    # FlatMapGroupsInPandas copies — the textbook persist candidate (the
+    # d14 posture).  MEASURED the persist variants interleaved at sf0.1
+    # (tools/ab_query.py, min/median of 5): none 3.62/4.91 s,
+    # persist-all-eager 6.18/6.71, persist-all-lazy 4.82/5.85, g-only-eager
+    # 6.98/9.25, g-only-lazy 6.45/7.60, und-only-lazy 3.99/4.71.  Every
+    # persist LOSES: the duplicated subtrees run as independent parallel
+    # stages that fill otherwise-idle cores (wall time tracks the critical
+    # path, not task-time), while a persist adds materialization barriers
+    # and an InMemoryRelation statistics wall that downstream join planning
+    # can no longer see through.  On a saturated production cluster
+    # task-time is the scarce resource and a lazy persist of `g` is the
+    # right knob — left unpersisted here because the declared query is
+    # measured on wall time and the persist is strictly slower there.
     g = s07(spark, sf).select("src", "dst").unionByName(rnd).distinct()
     und = g.unionByName(
         g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -67,6 +67,37 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a testdata table, or -1 when it cannot be stat'd
+    locally (non-local store) — callers treat unknown as "large" so every
+    scale-gated decision fails safe in the direction of cluster scale."""
+    import os
+
+    try:
+        return os.path.getsize(f"{sf_dir}/{name}.parquet")
+    except OSError:
+        return -1
+
+
+def small_input(sf_dir: str, name: str) -> bool:
+    """True when a table sits below the small-input crossover
+    (``SPARK_GRAFT_SMALL_INPUT_BYTES``, default 256 MiB) — the scale gate
+    shared by every latency-vs-throughput plan decision (r13): below it a
+    query's wall time is dominated by per-stage latency on mostly-idle
+    cores, so fewer stages win even at the cost of re-evaluating a subtree
+    or concentrating a key; above it (or when the size cannot be stat'd,
+    ``table_bytes == -1``) the cluster-scale shape — persisted shared
+    subtrees, skew-splittable joins — is the right one and callers must
+    choose it."""
+    import os
+
+    thresh = int(
+        os.environ.get("SPARK_GRAFT_SMALL_INPUT_BYTES", str(256 * 1024 * 1024))
+    )
+    b = table_bytes(sf_dir, name)
+    return 0 <= b < thresh
+
+
 def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a table and spread it across the cluster's cores before heavy
     per-row compute (shingling, per-k-gram hashing, signature math).

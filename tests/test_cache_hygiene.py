@@ -32,12 +32,32 @@ def _persistent_rdd_count(spark) -> int:
 
 
 @pytest.fixture(autouse=True)
-def _clean_slate(spark):
+def _clean_slate(spark, monkeypatch):
+    # r13: corpus persists are scale-gated (cache.persist_if_material) and
+    # the test SFs sit far below the default 256 MiB threshold — zero the
+    # threshold so these tests keep exercising the persist machinery the
+    # way a production-scale run would take it.
+    monkeypatch.setenv("SPARK_GRAFT_SMALL_INPUT_BYTES", "0")
     release_persists()
     spark.catalog.clearCache()
     yield
     release_persists()
     spark.catalog.clearCache()
+
+
+def test_scale_gated_persists_skip_small_corpus(spark, sf_dir, monkeypatch):
+    """At the DEFAULT threshold a bench-scale corpus registers NO persists
+    for the scale-gated sites: below the crossover the materialization
+    barrier measurably dominates the recompute it saves (r13, d04
+    2.53 s -> 1.49 s median).  The policy knob, not the persist machinery,
+    is what changes with scale."""
+    monkeypatch.delenv("SPARK_GRAFT_SMALL_INPUT_BYTES", raising=False)
+    QUERIES["d04_ngram_jaccard"].build(spark, sf_dir)
+    assert tracked_count() == 0
+    release_persists()
+    monkeypatch.setenv("SPARK_GRAFT_SMALL_INPUT_BYTES", "0")
+    QUERIES["d04_ngram_jaccard"].build(spark, sf_dir)
+    assert tracked_count() == 1  # threshold back at 0: persist registered
 
 
 @pytest.mark.parametrize("name", PERSISTING)

@@ -618,10 +618,14 @@ def test_t15_postings_no_self_join(spark, sf_dir):
     assert tree.count("Scan parquet") == 2
 
 
-def test_d14_reuses_persisted_subtrees(spark, sf_dir):
+def test_d14_reuses_persisted_subtrees(spark, sf_dir, monkeypatch):
     """The estimate audit must read its signature and shingle-hash frames
     from cache (InMemoryTableScan), not re-run the Arrow shingling per
-    branch — the corpus would otherwise be re-shingled ~5x."""
+    branch — the corpus would otherwise be re-shingled ~5x.  r13: the
+    persists are scale-gated (cache.persist_if_material) and the test SF
+    sits below the default threshold, so pin the PRODUCTION-scale plan by
+    zeroing the gate."""
+    monkeypatch.setenv("SPARK_GRAFT_SMALL_INPUT_BYTES", "0")
     plan = formatted_plan(QUERIES["d14_lsh_estimate_audit"].build(spark, sf_dir))
     tree = plan.split("\n\n")[0]
     # sig feeds pairs + both estimate sides, hashes feeds counts + both
@@ -691,11 +695,13 @@ def test_q52_anti_join_and_scalar_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan  # the cross is broadcast-NL, 1 row
 
 
-def test_d15_postings_reused_no_self_join(spark, sf_dir):
+def test_d15_postings_reused_no_self_join(spark, sf_dir, monkeypatch):
     """d15 must keep d04's shape: ONE shingle exchange feeding a persisted
     postings frame reused by the size and pair branches (InMemoryRelation
     present), pairs expanded locally (no SortMergeJoin of the corpus
-    against itself), and the final pair joins broadcast."""
+    against itself), and the final pair joins broadcast.  r13: persist is
+    scale-gated — zero the gate to pin the production-scale plan."""
+    monkeypatch.setenv("SPARK_GRAFT_SMALL_INPUT_BYTES", "0")
     df = QUERIES["d15_containment_neardup"].build(spark, sf_dir)
     plan = formatted_plan(df)
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
