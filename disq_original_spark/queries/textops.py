@@ -880,14 +880,48 @@ def t13(spark: SparkSession, sf: str) -> DataFrame:
             for t in _T13_TERMS
         ],
     )
-    stats = d.agg(
-        F.count("*").cast("double").alias("n"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum((F.col(f"tf_{t}") > 0).cast("int")).cast("double").alias(f"df_{t}")
-            for t in _T13_TERMS
-        ],
-    )
+    # r13 scale-gated stats attachment: the corpus feature pass (per-term
+    # interpreted HOF filters over the token arrays — the expensive part)
+    # is referenced by BOTH the stats aggregate and the scoring branch, and
+    # column pruning gives the two branches different projections so the
+    # load_wide exchange is never reused — the corpus is tokenized twice.
+    # Below the small-input crossover, attach the global stats as
+    # whole-frame window aggregates instead: one feature pass, no
+    # broadcast-prep job (measured interleaved min/med of 5: join
+    # 1.86/3.95 s, window 1.51/2.35 s).  Every windowed stat is an
+    # integer-valued sum/count (dl sums are exact in doubles), so the
+    # values are bit-identical to the aggregate+join form.  Above the
+    # crossover the single-partition global window would funnel the whole
+    # corpus through one task — keep the partial-aggregate + broadcast
+    # join shape there.
+    if small_input(sf, "documents"):
+        wall = Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        d = (
+            d.withColumn("n", F.count(F.lit(1)).over(wall).cast("double"))
+            .withColumn("avgdl", F.avg("dl").over(wall))
+            .select(
+                "*",
+                *[
+                    F.sum((F.col(f"tf_{t}") > 0).cast("int"))
+                    .over(wall)
+                    .cast("double")
+                    .alias(f"df_{t}")
+                    for t in _T13_TERMS
+                ],
+            )
+        )
+        stats = None
+    else:
+        stats = d.agg(
+            F.count("*").cast("double").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.sum((F.col(f"tf_{t}") > 0).cast("int")).cast("double").alias(f"df_{t}")
+                for t in _T13_TERMS
+            ],
+        )
 
     def term_score(t: str) -> F.Column:
         tf = F.col(f"tf_{t}")
@@ -908,8 +942,9 @@ def t13(spark: SparkSession, sf: str) -> DataFrame:
             for q, ts in sorted(_T13_QUERIES.items())
         ]
     )
+    base = d if stats is None else d.join(F.broadcast(stats))
     scored = (
-        d.join(F.broadcast(stats))
+        base
         .select("doc_id", F.explode(per_q).alias("qs"))
         .select("qs.q_id", "doc_id", "qs.score")
         .filter(F.col("score") > 0)

@@ -98,16 +98,34 @@ def test_domain_cap_partial_limit(spark, sf_dir):
     assert plan.index(partial[0]) > exch
 
 
-def test_new_topk_partial_limits(spark, sf_dir):
+def test_new_topk_partial_limits(spark, sf_dir, monkeypatch):
     """t13's BM25 top-k, p10's domain cap and s06's code-distance shortlist
     — every rank-filter whose input is corpus-sized must truncate map-side
-    (a Partial WindowGroupLimit) before its key exchange."""
+    (a Partial WindowGroupLimit) before its key exchange.  r13: t13's stats
+    attachment is scale-gated — zero the gate to pin the production-scale
+    (aggregate + broadcast-join) shape."""
     from disq_original_spark.plans import simple_plan
 
+    monkeypatch.setenv("SPARK_GRAFT_SMALL_INPUT_BYTES", "0")
     for name in ("t13_bm25", "p10_corpus_pipeline_v2", "s06_ann_sq8"):
         plan = simple_plan(QUERIES[name].build(spark, sf_dir))
         partial = [ln for ln in plan.splitlines() if "WindowGroupLimit" in ln and "Partial" in ln]
         assert partial, name
+
+
+def test_t13_small_input_single_pass(spark, sf_dir):
+    """Below the small-input crossover t13 attaches its corpus stats as
+    whole-frame window aggregates: ONE corpus scan (no second tokenize
+    pass for the stats aggregate), no broadcast-prep job, and the top-k
+    still truncated by a WindowGroupLimit (Final — the single-partition
+    input satisfies the rank window's distribution, so the q_id exchange
+    disappears outright)."""
+    from disq_original_spark.plans import simple_plan
+
+    plan = simple_plan(QUERIES["t13_bm25"].build(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "BroadcastExchange" not in plan
+    assert "WindowGroupLimit" in plan
 
 
 def test_skew_audit_take_ordered(spark, sf_dir):
