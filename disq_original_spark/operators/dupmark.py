@@ -128,18 +128,24 @@ def _score_col() -> F.Column:
     )
 
 
-def mark_duplicates(reads: DataFrame, header: SamHeader) -> DataFrame:
-    """Return ``reads`` with the 0x400 flag set on every duplicate record
-    (and cleared on every non-duplicate), plus a boolean ``is_duplicate``
-    column.  Pure DataFrame program — see the module docstring for the
-    semantics and the shuffle budget."""
+def _mapped_primary() -> F.Column:
     flag = F.col("flag")
-    mapped_primary = (
+    return (
         (flag.bitwiseAND(_UNMAPPED) == 0)
         & (flag.bitwiseAND(_SECONDARY) == 0)
         & (flag.bitwiseAND(_SUPPLEMENTARY) == 0)
         & F.col("rname").isNotNull()
     )
+
+
+def _dup_sig(reads: DataFrame, header: SamHeader) -> DataFrame:
+    """Slim per-read signature: everything the decision stages need, none of
+    the bulk (seq/qual reduced to the one score integer).  The contig key
+    is the rname STRING, not a header rank — ranks would collapse every
+    contig absent from the header dictionary onto one value and
+    cross-mark reads on different unknown contigs."""
+    flag = F.col("flag")
+    mapped_primary = _mapped_primary()
     is_pair_end = (
         mapped_primary
         & (flag.bitwiseAND(_PAIRED) != 0)
@@ -148,22 +154,7 @@ def mark_duplicates(reads: DataFrame, header: SamHeader) -> DataFrame:
     is_fragment = mapped_primary & (
         (flag.bitwiseAND(_PAIRED) == 0) | (flag.bitwiseAND(_MATE_UNMAPPED) != 0)
     )
-
-    # Slim per-read signature: everything the decision stages need, none of
-    # the bulk (seq/qual reduced to the one score integer).  The contig key
-    # is the rname STRING, not a header rank — ranks would collapse every
-    # contig absent from the header dictionary onto one value and
-    # cross-mark reads on different unknown contigs.  Persisted because
-    # three decision stages consume it (pair assembly, pair-end signatures,
-    # fragment ranking): without the cache each one re-runs the source
-    # decode — the dominant cost for a Python-decoded BAM scan.  The cache
-    # is the slim projection only (~60 bytes/read, spillable), the same
-    # trade MarkDuplicatesSpark makes by caching its ReadsKey RDD.
-    # Cache lifetime: a lazy builder cannot unpersist after itself, so the
-    # slim signature frame (~60 B/read) is registered with cache.track_persist
-    # and released by the harness (bench.py / __spark_entry__) once the
-    # build's results are drained.
-    sig = track_persist(reads.select(
+    return reads.select(
         "qname",
         flag.bitwiseAND(_READ_ORDINAL).alias("r12"),
         _library_col(header).alias("lib"),
@@ -173,8 +164,13 @@ def mark_duplicates(reads: DataFrame, header: SamHeader) -> DataFrame:
         _score_col().alias("score"),
         is_pair_end.alias("pair_end"),
         is_fragment.alias("frag"),
-    ))
+    )
 
+
+def _dup_marks(sig: DataFrame) -> DataFrame:
+    """The duplicate-decision stages over a (persisted) signature frame:
+    returns EXACTLY ONE row per marked qname — (m_qname, m_pair_dup,
+    m_frag_r12s) — so a left join against it cannot duplicate read rows."""
     # ---- pair stage: assemble both ends per qname (shuffle 1, slim rows),
     # canonically order the two end signatures, rank groups (shuffle 2).
     end = F.struct(F.col("ctg"), F.col("upos"), F.col("strand"))
@@ -229,7 +225,7 @@ def mark_duplicates(reads: DataFrame, header: SamHeader) -> DataFrame:
     # a left join against a unique key cannot duplicate read rows, even on
     # malformed inputs where a qname carries both pair and fragment marks
     # (or pair rows under two libraries).
-    marks = (
+    return (
         dup_pair_qnames.select(
             F.col("qname").alias("m_qname"), F.lit(None).cast("int").alias("m_r12")
         )
@@ -244,6 +240,35 @@ def mark_duplicates(reads: DataFrame, header: SamHeader) -> DataFrame:
             F.collect_set("m_r12").alias("m_frag_r12s"),
         )
     )
+
+
+def mark_duplicates(reads: DataFrame, header: SamHeader) -> DataFrame:
+    """Return ``reads`` with the 0x400 flag set on every duplicate record
+    (and cleared on every non-duplicate), plus a boolean ``is_duplicate``
+    column.  Pure DataFrame program — see the module docstring for the
+    semantics and the shuffle budget.
+
+    The signature frame is persisted because three decision stages consume
+    it (pair assembly, pair-end signatures, fragment ranking): without the
+    cache each one re-runs the source decode — the dominant cost for a
+    Python-decoded BAM scan.  The cache is the slim projection only
+    (~60 bytes/read, spillable), the same trade MarkDuplicatesSpark makes
+    by caching its ReadsKey RDD.  Cache lifetime: a lazy builder cannot
+    unpersist after itself, so the frame is registered with
+    cache.track_persist and released by the harness (bench.py /
+    __spark_entry__) once the build's results are drained."""
+    flag = F.col("flag")
+    mapped_primary = _mapped_primary()
+    is_pair_end = (
+        mapped_primary
+        & (flag.bitwiseAND(_PAIRED) != 0)
+        & (flag.bitwiseAND(_MATE_UNMAPPED) == 0)
+    )
+    is_fragment = mapped_primary & (
+        (flag.bitwiseAND(_PAIRED) == 0) | (flag.bitwiseAND(_MATE_UNMAPPED) != 0)
+    )
+    sig = track_persist(_dup_sig(reads, header))
+    marks = _dup_marks(sig)
     joined = reads.join(marks, F.col("qname") == F.col("m_qname"), "left")
     is_dup = mapped_primary & (
         # a pair-level mark applies only to pair-end records — never to
@@ -268,4 +293,38 @@ def mark_duplicates(reads: DataFrame, header: SamHeader) -> DataFrame:
             for c in reads.columns
         ],
         is_dup.alias("is_duplicate"),
+    )
+
+
+def duplicate_flags(reads: DataFrame, header: SamHeader) -> DataFrame:
+    """Per-read duplicate verdicts WITHOUT the full-row mark join: one row
+    per input read — (qname, r12, rname, is_duplicate) — assembled entirely
+    from the persisted slim signature frame.
+
+    For consumers that only aggregate over the verdicts (per-contig dup
+    stats, QC counters) the full :func:`mark_duplicates` contract forces a
+    second pass over the source just to re-attach columns the consumer
+    never reads — for a Python-decoded BAM that second decode is the
+    dominant cost at every scale (r13: g09 isolated min 2.70 → 1.71 s).
+    Here the left side of the mark join is the ~60 B/read signature cache
+    itself, so the source is decoded exactly once.
+
+    Equivalence with mark_duplicates' ``is_duplicate``: sig's ``pair_end``
+    and ``frag`` booleans partition ``mapped_primary`` by construction
+    (each conjoins it), so the outer ``mapped_primary AND`` of the full
+    form is implied and the per-branch predicates are evaluated on the
+    identical per-row values the full join would see."""
+    sig = track_persist(_dup_sig(reads, header))
+    marks = _dup_marks(sig)
+    joined = sig.join(marks, F.col("qname") == F.col("m_qname"), "left")
+    is_dup = (
+        F.coalesce(F.col("m_pair_dup"), F.lit(False)) & F.col("pair_end")
+    ) | (
+        F.col("frag")
+        & F.coalesce(
+            F.array_contains(F.col("m_frag_r12s"), F.col("r12")), F.lit(False)
+        )
+    )
+    return joined.select(
+        "qname", "r12", F.col("ctg").alias("rname"), is_dup.alias("is_duplicate")
     )

@@ -572,7 +572,7 @@ def g08(spark: SparkSession, sf: str) -> DataFrame:
     "in tests/test_dupmark.py.",
 )
 def g09(spark: SparkSession, sf: str) -> DataFrame:
-    from ..operators.dupmark import mark_duplicates
+    from ..operators.dupmark import duplicate_flags
     from ..sources.bam import BamSource
     from ..sources.headers import read_bam_header
 
@@ -583,7 +583,11 @@ def g09(spark: SparkSession, sf: str) -> DataFrame:
         spark, path, split_size=256 * 1024,
         columns=["qname", "flag", "rname", "pos", "cigar", "qual", "attributes"],
     )
-    marked = mark_duplicates(reads, header)
+    # duplicate_flags, not mark_duplicates: this query only aggregates the
+    # verdicts, so the mark join runs over the slim signature cache and the
+    # BAM is Python-decoded exactly ONCE (r13; the full mark_duplicates
+    # contract re-scans the source to re-attach columns never read here)
+    marked = duplicate_flags(reads, header)
     return (
         marked.groupBy(F.coalesce("rname", F.lit("*")).alias("contig"))
         .agg(

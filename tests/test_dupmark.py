@@ -128,6 +128,26 @@ def test_matches_bruteforce_spec(marked_rows):
     assert len(rows) == 4917
 
 
+def test_duplicate_flags_matches_full_join(spark, marked_rows):
+    """duplicate_flags (the single-decode slim path g09 aggregates over)
+    must return the exact per-read verdict multiset of the full
+    mark_duplicates join — same rows keyed by (qname, r12, rname), same
+    is_duplicate on each."""
+    from disq_original_spark.operators.dupmark import duplicate_flags
+
+    rows, header = marked_rows
+    reads = BamSource().read(spark, FIXTURE, split_size=256 * 1024)
+    slim = duplicate_flags(reads, header).collect()
+    assert len(slim) == len(rows)
+    want = collections.Counter(
+        (r.qname, r.flag & 192, r.rname, r.is_duplicate) for r in rows
+    )
+    got = collections.Counter(
+        (r.qname, r.r12, r.rname, r.is_duplicate) for r in slim
+    )
+    assert got == want
+
+
 def test_flag_rewrite_consistent(marked_rows):
     rows, _header = marked_rows
     for r in rows:
