@@ -960,13 +960,13 @@ def s09(spark: SparkSession, sf: str) -> DataFrame:
     # per-vector norms computed ONCE and joined in: cos = dot/(nu*nv) with
     # the exact same fp expressions cosine_similarity evaluates per pair,
     # so values (and the round-4 hash) are bit-identical at a third of the
-    # per-pair aggregate work
-    ad = F.transform("embedding", lambda x: x.cast("double"))
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
-        )
-    )
+    # per-pair aggregate work.  array<float> -> array<double> is ONE codegen
+    # Cast (not an interpreted per-element transform; same exact widening)
+    # and the norm is a single fold (acc + x*x) — the same multiplies and
+    # adds in the same order as transform-then-fold, one array
+    # materialization less.
+    ad = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
     e = load_table(spark, sf, "embeddings").select(
         "vec_id", ad.alias("ed"), nrm.alias("nrm")
     )
@@ -988,13 +988,24 @@ def s09(spark: SparkSession, sf: str) -> DataFrame:
             "u", "v", F.round(dot / (F.col("un") * F.col("vn")), 4).alias("cos_sim")
         )
     )
+    # mirror each unordered pair with ONE explode over the scored row — a
+    # unionByName of two scored_u selects re-evaluates the entire
+    # candidate+join+score subtree per branch (no cross-branch CSE in
+    # Catalyst); same (q_id, neighbor_id, cos_sim) multiset.  r13 A/B
+    # (interleaved min/med of 5, sf0.1): union 3.82/4.47 s, explode
+    # 3.58/4.14; two rejected-by-measurement variants are recorded in
+    # OPTIMIZATION_r13.md (a 64-wide codegen unroll of the dot: slower;
+    # a mapInPandas numpy rescore: much slower — Arrow-shipping 2x64
+    # floats per candidate pair dwarfs the interpreted-fold saving).
     rescored = scored_u.select(
-        F.col("u").alias("q_id"), F.col("v").alias("neighbor_id"), "cos_sim"
-    ).unionByName(
-        scored_u.select(
-            F.col("v").alias("q_id"), F.col("u").alias("neighbor_id"), "cos_sim"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("q_id"), F.col("v").alias("neighbor_id")),
+                F.struct(F.col("v").alias("q_id"), F.col("u").alias("neighbor_id")),
+            )
+        ).alias("m"),
+        "cos_sim",
+    ).select("m.q_id", "m.neighbor_id", "cos_sim")
     out = _rank_topk(rescored, _GRAPH_K)
     return out.select(
         F.col("q_id").alias("src"),
