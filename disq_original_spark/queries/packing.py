@@ -109,6 +109,12 @@ def p01(spark: SparkSession, sf: str) -> DataFrame:
             F.size(tokens("text")).cast("long").alias("toks"),
         )
     )
+    # r13 audit: the final global orderBy's range-sampling pass re-runs the
+    # applyInPandas pack stage (the bucket exchange below it IS reused, the
+    # Python stage above it is not).  A persist between pack and sort was
+    # measured min/med of 7 interleaved: 1.31/1.54 s (this shape) vs
+    # 1.27/1.70 s (persisted) — the cache machinery costs more than the
+    # duplicated ~0.25 s pandas pass at bench scale; rejected.
     return (
         d.groupBy("bucket")
         .applyInPandas(_pack_bucket, schema=_PACKED_SCHEMA)

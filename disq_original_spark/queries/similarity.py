@@ -381,6 +381,13 @@ def s04(spark: SparkSession, sf: str) -> DataFrame:
         .sort_values("vec_id")
     )
     members = assign_to_centroids(e, cents)
+    # r13 audit: a one-pass variant (single groupBy(cid) carrying count,
+    # avg(cos) and 64 per-dim avg columns, replacing the dims/stats branch
+    # pair that re-evaluates the assignment expression) MEASURED SLOWER at
+    # bench scale — min/med of 6 interleaved: 1.34/1.65 s (this shape) vs
+    # 1.93/2.53 s (one-pass).  The duplicated branches run as parallel
+    # stages on otherwise-idle cores while the wide 66-aggregate pass
+    # serializes; same wall-vs-task-time trade the persist audits hit.
     dims = (
         members.select("cid", F.posexplode("embedding").alias("i", "x"))
         .groupBy("cid", "i")
