@@ -940,11 +940,27 @@ def s09(spark: SparkSession, sf: str) -> DataFrame:
     # stages that fill otherwise-idle cores (wall time tracks the critical
     # path, not task-time), while a persist adds materialization barriers
     # and an InMemoryRelation statistics wall that downstream join planning
-    # can no longer see through.  On a saturated production cluster
-    # task-time is the scarce resource and a lazy persist of `g` is the
-    # right knob — left unpersisted here because the declared query is
-    # measured on wall time and the persist is strictly slower there.
-    g = s07(spark, sf).select("src", "dst").unionByName(rnd).distinct()
+    # can no longer see through.  The knob that DOES win (second r13
+    # session, same interleaved A/B): a LAZY localCheckpoint of `g` — the
+    # edge list is slim (two longs per row, O(k·n) rows) so materializing
+    # it is cheap, lineage truncation drops the six s07-subtree copies
+    # from every downstream plan WITHOUT wrapping `g` in an
+    # InMemoryRelation statistics wall, and eager=False lets the first
+    # downstream job materialize it (no separate barrier job).  Measured
+    # interleaved min/med of 5 at sf0.1: plain 4.145/4.622 s vs
+    # g-lazy-lckpt 3.830/4.096 — faster in all five rounds; a 4-way run
+    # (none/g/und/both) confirmed the `g` placement wins on min.  At
+    # production scale the same shape is first-principles right: ONE
+    # evaluation of the corpus-pass seed graph instead of ~6, stored as
+    # O(edges) longs; recomputability of the truncated lineage is not
+    # needed for a within-query intermediate.
+    g = (
+        s07(spark, sf)
+        .select("src", "dst")
+        .unionByName(rnd)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     und = g.unionByName(
         g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
