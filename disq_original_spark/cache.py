@@ -94,6 +94,38 @@ def persist_if_material(
     return track_persist(df, eager=eager)
 
 
+def lineage_cut(df: DataFrame) -> DataFrame:
+    """Lazy ``localCheckpoint`` — the r13-measured materialization point for
+    two recompute-duplication shapes where a persist measurably LOSES:
+
+    - a global ``orderBy`` above an expensive (Python) stage: the range
+      sampler re-runs the child subtree, so the stage evaluates twice
+      (sampling pass + sort pass) — s07 1.278/1.975 -> 0.862/1.568 s,
+      d05 1.422/1.704 -> 1.207/1.296, p01 1.473/1.595 -> 0.940/1.239
+      (interleaved min/med of 6, sf0.1);
+    - a slim frame whose subtree is referenced many times downstream
+      (s09's seed graph: six s07-subtree copies -> one).
+
+    Unlike ``persist``, the lazy checkpoint is materialized BY the first
+    downstream job (no separate barrier job) and is not wrapped in an
+    InMemoryRelation whose statistics wall blinds downstream join
+    planning; unlike recompute, the subtree runs once.  The checkpointed
+    frames are slim decision outputs (edge lists, pair lists, packed
+    rows), so the storage is O(result), never O(corpus) — the right trade
+    at every scale.  Correctness-neutral: same rows, recomputed from the
+    same deterministic plan.
+
+    ``SPARK_GRAFT_NO_LCKPT=1`` returns ``df`` unchanged — the
+    plan-contract tests use it to pin the full production plan SHAPE that
+    the checkpoint otherwise hides behind a ``Scan ExistingRDD``.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_LCKPT") == "1":
+        return df
+    return df.localCheckpoint(eager=False)
+
+
 def release_persists() -> int:
     """Unpersist every tracked DataFrame (non-blocking) and clear the
     registry.  Returns how many were released.  Safe to call at any time:

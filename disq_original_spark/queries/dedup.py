@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cache import persist_if_material
+from ..cache import lineage_cut, persist_if_material
 from ..tables import load_table, load_wide, table_bytes
 from .registry import query
 
@@ -383,10 +383,17 @@ def d05(spark: SparkSession, sf: str) -> DataFrame:
             {"a_id": ids[ai[mask]], "b_id": ids[bi[mask]], "cos_sim": gram[ai, bi][mask]}
         )
 
+    # Lazy localCheckpoint between the Python gram pass and the global sort:
+    # the orderBy's range-sampling job otherwise re-runs the whole
+    # applyInPandas stage (sampling pass + sort pass = two evaluations).
+    # r13 interleaved A/B (min/med of 6, sf0.1): 1.422/1.704 s ->
+    # 1.207/1.296 s, faster in all six rounds.  The checkpointed frame is
+    # the thresholded pair list — tiny next to the gram pass at any scale.
     return (
         e.repartition("label")
         .groupBy("label")
         .applyInPandas(block_pairs, "a_id long, b_id long, cos_sim double")
+        .transform(lineage_cut)
         .orderBy("a_id", "b_id")
     )
 

@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..cache import track_persist
+from ..cache import lineage_cut, track_persist
 from ..functions import tokens
 from ..tables import load_table, load_wide
 from .registry import QUERIES, query
@@ -111,10 +111,13 @@ def p01(spark: SparkSession, sf: str) -> DataFrame:
     )
     # r13 audit: the final global orderBy's range-sampling pass re-runs the
     # applyInPandas pack stage (the bucket exchange below it IS reused, the
-    # Python stage above it is not).  A persist between pack and sort was
-    # measured min/med of 7 interleaved: 1.31/1.54 s (this shape) vs
-    # 1.27/1.70 s (persisted) — the cache machinery costs more than the
-    # duplicated ~0.25 s pandas pass at bench scale; rejected.
+    # Python stage above it is not).  A PERSIST between pack and sort lost
+    # (min/med of 7 interleaved: 1.31/1.54 s unpersisted vs 1.27/1.70 s
+    # persisted — InMemoryRelation machinery costs more than it saves).  A
+    # lazy localCheckpoint WINS (second r13 session, min/med of 6
+    # interleaved): 1.473/1.595 s -> 0.940/1.239 s, faster in all six
+    # rounds — the sampling job materializes the packed rows once and the
+    # sort reads them back, no separate barrier job, no InMemoryRelation.
     return (
         d.groupBy("bucket")
         .applyInPandas(_pack_bucket, schema=_PACKED_SCHEMA)
@@ -122,6 +125,7 @@ def p01(spark: SparkSession, sf: str) -> DataFrame:
         # half-away-from-zero on positive values (Python's round() is
         # half-to-even and disagrees at e.g. 232/256 = 0.90625).
         .withColumn("fill", F.round(F.col("seq_tokens") / float(_CAPACITY), 4))
+        .transform(lineage_cut)
         .orderBy("bucket", "seq_idx")
     )
 

@@ -242,15 +242,25 @@ def test_s04_partial_aggregation_on_dims(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
-def test_p01_single_shuffle_on_bucket(spark, sf_dir):
+def test_p01_single_shuffle_on_bucket(spark, sf_dir, monkeypatch):
     """Packing is one hash shuffle on the bucket key feeding applyInPandas;
-    no other exchange before the (tiny) final sort."""
+    no other exchange before the (tiny) final sort.  The default build cuts
+    lineage before the sort (cache.lineage_cut, r13) which hides the shape
+    behind a Scan ExistingRDD — pin the production shape with the
+    checkpoint disabled, and the default shape's checkpoint separately."""
+    monkeypatch.setenv("SPARK_GRAFT_NO_LCKPT", "1")
     plan = formatted_plan(QUERIES["p01_sequence_packing"].build(spark, sf_dir))
     # one hash exchange (the groupBy); the only other is the final orderBy's
     # range partitioning
     assert plan.count("hashpartitioning") == 1
     assert plan.count("rangepartitioning") == 1
     assert "FlatMapGroupsInPandas" in plan
+    # default shape: the range sampler reads the checkpointed pack output
+    # instead of re-running the Python stage
+    monkeypatch.delenv("SPARK_GRAFT_NO_LCKPT")
+    plan = formatted_plan(QUERIES["p01_sequence_packing"].build(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("rangepartitioning") == 1
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
@@ -416,17 +426,24 @@ def test_g22_single_shuffle_gaps_and_islands(spark, sf_dir):
     assert "Join" not in tree
 
 
-def test_s07_knn_graph_single_bucket_exchange(spark, sf_dir):
+def test_s07_knn_graph_single_bucket_exchange(spark, sf_dir, monkeypatch):
     """kNN-graph: scoring + ranking fuse into ONE per-bucket numpy pass
     (applyInPandas) — exactly one grouped-map node, no join, no window,
-    one bucket hash exchange before the driver-facing sort."""
+    one bucket hash exchange before the driver-facing sort.  Production
+    shape pinned with the r13 lineage cut disabled; the default build
+    additionally checkpoints the edge output so the sort's range sampler
+    does not re-run the Python pass."""
     import re
 
+    monkeypatch.setenv("SPARK_GRAFT_NO_LCKPT", "1")
     plan = formatted_plan(QUERIES["s07_knn_graph"].build(spark, sf_dir))
     tree = plan.split("\n\n")[0]
     assert tree.count("FlatMapGroupsInPandas") == 1
     assert "Join" not in tree and "Window" not in tree
     assert len(re.findall(r"hashpartitioning\(bucket", plan)) == 1
+    monkeypatch.delenv("SPARK_GRAFT_NO_LCKPT")
+    plan = formatted_plan(QUERIES["s07_knn_graph"].build(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
 
 
 def test_hive_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
