@@ -468,6 +468,9 @@ def d06(spark: SparkSession, sf: str) -> DataFrame:
     return (
         d.select("doc_id", "text")
         .mapInPandas(gen, "doc_id long, simhash string")
+        # lineage cut: no shuffle below the sort, so without it the whole
+        # Python tokenize+md5 pass runs twice (range sampler + sort)
+        .transform(lineage_cut)
         .orderBy("doc_id")
     )
 
@@ -842,6 +845,7 @@ def d10(spark: SparkSession, sf: str) -> DataFrame:
             cluster_dedup,
             "vec_id long, cluster_id long, max_sim_prev double, is_dropped boolean",
         )
+        .transform(lineage_cut)
         .orderBy("vec_id")
     )
 

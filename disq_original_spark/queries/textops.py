@@ -16,6 +16,7 @@ from ..functions import (
     stopword_count,
     tokens,
 )
+from ..cache import lineage_cut
 from ..tables import load_table, load_wide, small_input
 from .registry import query
 
@@ -255,6 +256,8 @@ def t06(spark: SparkSession, sf: str) -> DataFrame:
     return (
         d.select("doc_id", "text")
         .mapInPandas(gen, "doc_id long, n_fp int, fp_digest string")
+        # lineage cut: shuffle-free below the sort; one winnowing pass, not two
+        .transform(lineage_cut)
         .orderBy("doc_id")
     )
 
@@ -450,6 +453,8 @@ def t08(spark: SparkSession, sf: str) -> DataFrame:
                 & (dupf < 0.6)
             ).alias("gopher_pass"),
         )
+        # lineage cut: shuffle-free below the sort; one Counter pass, not two
+        .transform(lineage_cut)
         .orderBy("doc_id")
     )
 

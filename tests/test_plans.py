@@ -175,13 +175,15 @@ def test_s03_ivf_mapside_assignment(spark, sf_dir):
     assert tree.count("ArrowEvalPython") == 2
 
 
-def test_t05_t06_single_scan_no_shuffle(spark, sf_dir):
+def test_t05_t06_single_scan_no_shuffle(spark, sf_dir, monkeypatch):
     """BPE token counting and winnowing fingerprints are narrow map-side
     projections: nothing but the deterministic final ORDER BY — plus the
     small-file widening repartition from load_wide, which vanishes once the
-    scan splits naturally at scale — may shuffle."""
+    scan splits naturally at scale — may shuffle.  Pinned with the r13
+    lineage cut disabled so the full production shape is visible."""
     from disq_original_spark.plans import simple_plan
 
+    monkeypatch.setenv("SPARK_GRAFT_NO_LCKPT", "1")
     for name in ("t05_bpe_tokens", "t06_winnow_fingerprint"):
         plan = simple_plan(QUERIES[name].build(spark, sf_dir))
         assert plan.count("Exchange") <= 2, name
