@@ -1506,12 +1506,19 @@ def t18(spark: SparkSession, sf: str) -> DataFrame:
     chunk = F.slice(
         F.col("toks"), (F.col("chunk_id") * _T18_S + 1).cast("int"), ln.cast("int")
     )
-    return ch.select(
-        "doc_id",
-        F.col("chunk_id"),
-        ln.alias("n_tokens"),
-        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
-    ).orderBy("doc_id", "chunk_id")
+    return (
+        ch.select(
+            "doc_id",
+            F.col("chunk_id"),
+            ln.alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+        )
+        # lineage cut: the split+explode+md5 chain is shuffle-free below the
+        # sort, so the range sampler re-ran all of it; the checkpointed rows
+        # are exactly what the sort exchange ships anyway
+        .transform(lineage_cut)
+        .orderBy("doc_id", "chunk_id")
+    )
 
 
 # ---------------------------------------------------------------- t19 keywords
