@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType, TimestampType
 
-from ..cache import track_persist
+from ..cache import lineage_cut, track_persist
 from ..tables import load_table
 from .registry import query
 
@@ -892,7 +892,7 @@ def g14(spark: SparkSession, sf: str) -> DataFrame:
         F.col("info")["AF"].try_cast("double").alias("af"),
         count_eq("1").alias("ac"),
         (F.size(alleles) - count_eq(".")).cast("long").alias("an"),
-    ).orderBy("contig", "pos", "allele_idx")
+    ).transform(lineage_cut).orderBy("contig", "pos", "allele_idx")
 
 
 def _allele_eq(val: str):
@@ -1213,7 +1213,7 @@ def g19(spark: SparkSession, sf: str) -> DataFrame:
         gc.cast("long").alias("gc_count"),
         nn.cast("long").alias("n_count"),
         F.round(gc / n_len, 4).alias("gc_frac"),
-    ).orderBy("contig", "w_start")
+    ).transform(lineage_cut).orderBy("contig", "w_start")
 
 
 # ------------------------------------------------- g20 k-mer spectrum
@@ -1347,7 +1347,7 @@ def g21(spark: SparkSession, sf: str) -> DataFrame:
         n_cg.cast("long").alias("n_cg"),
         obs_exp.alias("obs_exp"),
         ((gc_pct > 0.5) & (obs_exp > 0.6)).alias("is_island"),
-    ).orderBy("contig", "w_start")
+    ).transform(lineage_cut).orderBy("contig", "w_start")
 
 
 # -------------------------------------------------- g22 runs of homozygosity

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cache import track_persist
+from ..cache import lineage_cut, track_persist
 from ..operators.mediacontainers import (
     _Y4M_FIXED,
     WAV_HEADER_SIZE,
@@ -96,6 +96,7 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf, "documents"))
     return (
         media.select("media_id", "kind", F.octet_length("data").cast("long").alias("n_bytes"))
+        .transform(lineage_cut)
         .orderBy("media_id")
     )
 
@@ -160,7 +161,7 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
 )
 def m02(spark: SparkSession, sf: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf, "documents"))
-    return extract_features(media).orderBy("media_id")
+    return extract_features(media).transform(lineage_cut).orderBy("media_id")
 
 
 @query(
@@ -192,6 +193,7 @@ def m03(spark: SparkSession, sf: str) -> DataFrame:
             "n_bytes",
             F.md5("frame_data").alias("frame_digest"),
         )
+        .transform(lineage_cut)
         .orderBy("media_id", "frame_idx")
     )
 
@@ -230,7 +232,7 @@ def m03(spark: SparkSession, sf: str) -> DataFrame:
 )
 def m05(spark: SparkSession, sf: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf, "documents"))
-    return audio_frames(media).orderBy("media_id", "frame_idx")
+    return audio_frames(media).transform(lineage_cut).orderBy("media_id", "frame_idx")
 
 
 # ------------------------------------------------- m04 perceptual-hash dedup

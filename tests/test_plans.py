@@ -402,14 +402,21 @@ def test_p11_single_data_shuffle_and_broadcast_stats(spark, sf_dir):
     assert tree.count("HashAggregate") >= 4  # stats pair + cell pair
 
 
-def test_m05_pure_mapside_expansion(spark, sf_dir):
+def test_m05_pure_mapside_expansion(spark, sf_dir, monkeypatch):
     """Audio framing must be one Arrow pass over the scan: no join, no
-    aggregate, no exchange except the final orderBy's range partitioning."""
+    aggregate, no exchange except the final orderBy's range partitioning.
+    Pinned with the r13 lineage cut disabled (the cut hides the pass
+    behind a Scan ExistingRDD); the default shape's checkpoint is pinned
+    separately."""
+    monkeypatch.setenv("SPARK_GRAFT_NO_LCKPT", "1")
     plan = formatted_plan(QUERIES["m05_audio_frames"].build(spark, sf_dir))
     tree = plan.split("\n\n")[0]
     assert tree.count("MapInPandas") == 1
     assert "Join" not in tree and "HashAggregate" not in tree
     assert tree.count("Exchange") == 1
+    monkeypatch.delenv("SPARK_GRAFT_NO_LCKPT")
+    plan = formatted_plan(QUERIES["m05_audio_frames"].build(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
 
 
 def test_g22_single_shuffle_gaps_and_islands(spark, sf_dir):
