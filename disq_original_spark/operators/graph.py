@@ -35,7 +35,12 @@ def connected_components(
     fixed point — loud, never a silent unconverged result (O(log n) bound
     means hitting 30 implies a bug or an adversarial input, not bad luck).
     """
-    # canonical direction big -> small; self-loops dropped
+    # canonical direction big -> small; self-loops dropped.  The checkpoint
+    # is LAZY: the sig() fingerprint job right below materializes it, so the
+    # candidate-pair pipeline runs inside that job instead of paying a
+    # separate eager-checkpoint job first — one less driver round-trip, same
+    # work, same storage (d07 interleaved A/B at sf0.1, two runs of 6:
+    # min 3.68/3.32 eager vs 3.08/3.15 lazy; medians within noise).
     edges = (
         pairs.select(
             F.greatest(F.col(a), F.col(b)).alias("u"),
@@ -43,7 +48,7 @@ def connected_components(
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def sig(df: DataFrame) -> tuple:
