@@ -94,6 +94,37 @@ def persist_if_material(
     return track_persist(df, eager=eager)
 
 
+def share_subtree(df: DataFrame, source_bytes: int, eager: bool = False) -> DataFrame:
+    """Materialization point for a subtree referenced several times within
+    one plan, picking the mechanism by scale (r13 session-5 measurement):
+
+    - ABOVE the small-input gate: a tracked persist
+      (:func:`persist_if_material` behavior) — fault-tolerant and
+      recomputable from lineage, the established production posture for
+      corpus-sized shared passes.
+    - BELOW the gate: a lazy ``localCheckpoint`` (:func:`lineage_cut`).
+      Returning the frame UNMATERIALIZED (the old below-gate behavior) left
+      every reference re-evaluating the whole subtree — d14's bench plan ran
+      SIXTEEN MapInPandas corpus passes; the lazy checkpoint keeps the
+      single-evaluation property without the persist's separate barrier job
+      or InMemoryRelation statistics wall.
+
+    The gate is the same knob as :func:`persist_if_material`
+    (``SPARK_GRAFT_SMALL_INPUT_BYTES``); ``source_bytes < 0`` means unknown
+    size and fails safe toward the persist.  Plan-contract tests reach the
+    production shape by zeroing the gate and the bare recompute shape via
+    ``SPARK_GRAFT_NO_LCKPT=1``.
+    """
+    import os
+
+    min_bytes = int(
+        os.environ.get("SPARK_GRAFT_SMALL_INPUT_BYTES", str(256 * 1024 * 1024))
+    )
+    if 0 <= source_bytes < min_bytes:
+        return lineage_cut(df)
+    return track_persist(df, eager=eager)
+
+
 def lineage_cut(df: DataFrame) -> DataFrame:
     """Lazy ``localCheckpoint`` — the r13-measured materialization point for
     two recompute-duplication shapes where a persist measurably LOSES:

@@ -101,11 +101,20 @@ def coverage_gini(spans: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # +1/-1 breakpoint events per span, emitted by ONE explode instead of a
+    # union of two selects over the same subtree — Catalyst does no
+    # cross-branch CSE, so the union form evaluated the whole span source
+    # (g27: the Python BAM decode) twice (r13 session 5, the s09
+    # explode-mirror lesson).  Same (rname, p, d) multiset.
     ev = spans.select(
-        "rname", F.col("s").alias("p"), F.lit(1).alias("d")
-    ).unionByName(
-        spans.select("rname", (F.col("e") + 1).alias("p"), F.lit(-1).alias("d"))
-    )
+        "rname",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("p"), F.lit(1).alias("d")),
+                F.struct((F.col("e") + 1).alias("p"), F.lit(-1).alias("d")),
+            )
+        ).alias("ev"),
+    ).select("rname", "ev.p", "ev.d")
     deltas = ev.groupBy("rname", "p").agg(F.sum("d").alias("delta"))
     w = Window.partitionBy("rname").orderBy("p")
     runs = deltas.select(

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cache import lineage_cut, persist_if_material
+from ..cache import lineage_cut, persist_if_material, share_subtree
 from ..tables import load_table, load_wide, table_bytes
 from .registry import query
 
@@ -722,7 +722,11 @@ def d09(spark: SparkSession, sf: str) -> DataFrame:
     the near check joins the new batch's bands against the old band keys
     on (band_idx, band_key) — the boilerplate cap bounds any hot key.
     Nothing ever pairs doc×doc; verdict rows are the only output."""
-    sig = _doc_signatures(spark, sf)
+    # the signature pass feeds BOTH band branches (old postings + new-batch
+    # probe) — without a materialization point the MapInPandas corpus pass
+    # evaluates once per branch; the lazy checkpoint holds the slim
+    # ~70 B/doc signature rows instead (r13 session 5, the §10/§11 lens)
+    sig = lineage_cut(_doc_signatures(spark, sf))
     bands = _band_rows(sig)
     is_new = F.col("doc_id") % _D09_NEW_MOD == 7
     d = load_table(spark, sf, "documents").select(
@@ -1084,12 +1088,14 @@ _EST_SQL = " + ".join(
     "instead of the corpus.",
 )
 def d14(spark: SparkSession, sf: str) -> DataFrame:
-    # one signature pass persisted and reused three ways (pair generation +
-    # both sides of the estimate join), one shingle-hash pass persisted and
-    # reused three ways (per-doc counts + both sides of the intersection) —
-    # the d04 posture; without the persists the corpus would be re-shingled
-    # ~5x across the branches
-    sig = persist_if_material(
+    # one signature pass shared three ways (pair generation + both sides of
+    # the estimate join), one shingle-hash pass shared three ways (per-doc
+    # counts + both sides of the intersection).  share_subtree picks the
+    # mechanism by scale: persist above the gate (the d04 production
+    # posture), lazy localCheckpoint below it — without ANY materialization
+    # point the bench plan re-ran the MapInPandas corpus pass SIXTEEN times
+    # across the branches (r13 session 5; see cache.share_subtree)
+    sig = share_subtree(
         _doc_signatures(spark, sf), table_bytes(sf, "documents"), eager=True
     )
     inv = (
@@ -1103,11 +1109,9 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
         .select("p.a_id", "p.b_id")
         .distinct()
         # both sides of the estimate join and the intersection probe read
-        # pairs concurrently — eager (cache.py r6), scale-gated (r13)
+        # pairs concurrently — eager (cache.py r6), mechanism by scale (r13)
         .transform(
-            lambda d: persist_if_material(
-                d, table_bytes(sf, "documents"), eager=True
-            )
+            lambda d: share_subtree(d, table_bytes(sf, "documents"), eager=True)
         )
     )
     sa = sig.select(
@@ -1126,7 +1130,7 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
         .join(sb, "b_id")
         .select("a_id", "b_id", est_expr.alias("est_slots"))
     )
-    hashes = persist_if_material(
+    hashes = share_subtree(
         _doc_shingle_hashes(spark, sf), table_bytes(sf, "documents"), eager=True
     )
     cnt = hashes.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
