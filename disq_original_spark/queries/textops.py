@@ -1162,9 +1162,19 @@ def t15(spark: SparkSession, sf: str) -> DataFrame:
     # both 16-char keys, and levenshtein runs once instead of twice (pushed
     # filter + post-distinct projection).  r13 A/B min/med of 6 at sf0.1:
     # 2.69/3.23 s -> 2.34/2.71.
+    # THRESHOLD levenshtein (r13 session 5): levenshtein(l, r, t) runs the
+    # banded DP (O(len·(2t+1)) cells with early exit) and returns -1 above
+    # t, so `>= 0` is exactly the old `<= _T15_MAX_DIST` and the kept dist
+    # values are the true distances — value-identical (442/442 rows equal
+    # at sf0.1).  Full-query interleaved A/B (one session, min/med of 7):
+    # 1.635/1.878 -> 1.320/1.455 s, faster in all 6 warm rounds.
     return (
-        pairs.select("a_id", "b_id", F.levenshtein("ka", "kb").alias("dist"))
-        .filter(F.col("dist") <= _T15_MAX_DIST)
+        pairs.select(
+            "a_id",
+            "b_id",
+            F.levenshtein("ka", "kb", _T15_MAX_DIST).alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
         .distinct()
         .orderBy("a_id", "b_id")
     )
