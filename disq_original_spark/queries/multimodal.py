@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cache import lineage_cut, track_persist
+from ..cache import lineage_cut, share_subtree
 from ..operators.mediacontainers import (
     _Y4M_FIXED,
     WAV_HEADER_SIZE,
@@ -27,7 +27,7 @@ from ..operators.multimodal import (
     perceptual_hash,
     sample_frames,
 )
-from ..tables import load_table
+from ..tables import load_table, table_bytes
 from .dedup import _pair_expansion
 from .registry import query
 
@@ -339,11 +339,20 @@ def m04(spark: SparkSession, sf: str) -> DataFrame:
     corpus = imgs.unionByName(variants).select(
         "media_id", bmp_from_text("text").alias("data")
     )
-    # persist: bands, the a-side and the b-side of the confirm join all
-    # consume the hashes — without it the Arrow decode pass runs three
-    # times (one mapInPandas subtree per plan branch).  5 ints/row, so the
-    # cache is ~1000× smaller than the payloads it replaces.
-    hashes = track_persist(perceptual_hash(corpus))
+    # bands, the a-side and the b-side of the confirm join all consume the
+    # hashes — without a materialization point the Arrow decode pass runs
+    # three times (one mapInPandas subtree per plan branch).  5 ints/row,
+    # so the materialized frame is ~1000× smaller than the payloads it
+    # replaces.  share_subtree (r13 session 5): above the gate the lazy
+    # persist (unchanged production posture); below it a lazy
+    # localCheckpoint — the LAZY persist's three concurrent consumers all
+    # raced the cold cache (three full decode scans per drain, visible as
+    # three concurrent source stages in the stage table), while the
+    # checkpoint materializes the decode exactly once at build.
+    # Interleaved A/B (min/med, sf0.1): lazy persist 1.156/1.328 vs
+    # share 1.069/1.180 s, faster in all 6 rounds; at 8 cores
+    # 1.028/1.345 vs 0.930/1.180 (4 of 5 rounds).
+    hashes = share_subtree(perceptual_hash(corpus), table_bytes(sf, "documents"))
     band_structs = F.array(
         *[
             F.struct(F.lit(b).alias("band_idx"), F.col(f"b{b}").alias("band_val"))
