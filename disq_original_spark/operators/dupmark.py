@@ -43,7 +43,7 @@ full shuffle is the floor any repartition-based marker pays.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
-from ..cache import track_persist
+from ..cache import share_subtree, track_persist
 from pyspark.sql import functions as F
 
 from ..sources.headers import SamHeader
@@ -296,7 +296,9 @@ def mark_duplicates(reads: DataFrame, header: SamHeader) -> DataFrame:
     )
 
 
-def duplicate_flags(reads: DataFrame, header: SamHeader) -> DataFrame:
+def duplicate_flags(
+    reads: DataFrame, header: SamHeader, source_bytes: int = -1
+) -> DataFrame:
     """Per-read duplicate verdicts WITHOUT the full-row mark join: one row
     per input read — (qname, r12, rname, is_duplicate) — assembled entirely
     from the persisted slim signature frame.
@@ -314,7 +316,15 @@ def duplicate_flags(reads: DataFrame, header: SamHeader) -> DataFrame:
     (each conjoins it), so the outer ``mapped_primary AND`` of the full
     form is implied and the per-branch predicates are evaluated on the
     identical per-row values the full join would see."""
-    sig = track_persist(_dup_sig(reads, header))
+    # share_subtree (r13 session 5): the slim signature frame has FOUR
+    # concurrent consumers here (pair assembly, pair-end signatures,
+    # fragment ranking, and the verdict join's left side), so the lazy
+    # persist's cold-cache race re-ran the Python BAM decode per branch at
+    # drain.  Below the gate a lazy localCheckpoint decodes exactly once
+    # (interleaved A/B at sf0.1, all 6 rounds faster: 1.828/2.000 ->
+    # 1.357/1.727 s min/med); above it (or with source_bytes unknown, the
+    # default) the tracked-persist posture is unchanged.
+    sig = share_subtree(_dup_sig(reads, header), source_bytes)
     marks = _dup_marks(sig)
     joined = sig.join(marks, F.col("qname") == F.col("m_qname"), "left")
     is_dup = (

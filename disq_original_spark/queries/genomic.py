@@ -586,8 +586,12 @@ def g09(spark: SparkSession, sf: str) -> DataFrame:
     # duplicate_flags, not mark_duplicates: this query only aggregates the
     # verdicts, so the mark join runs over the slim signature cache and the
     # BAM is Python-decoded exactly ONCE (r13; the full mark_duplicates
-    # contract re-scans the source to re-attach columns never read here)
-    marked = duplicate_flags(reads, header)
+    # contract re-scans the source to re-attach columns never read here).
+    # source_bytes drives the signature frame's materialization mechanism
+    # (persist above the gate, lazy checkpoint below — cache.share_subtree)
+    import os
+
+    marked = duplicate_flags(reads, header, source_bytes=os.path.getsize(path))
     return (
         marked.groupBy(F.coalesce("rname", F.lit("*")).alias("contig"))
         .agg(
