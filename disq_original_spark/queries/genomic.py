@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType, TimestampType
 
-from ..cache import lineage_cut, track_persist
+from ..cache import lineage_cut, share_subtree
 from ..tables import load_table
 from .registry import query
 
@@ -415,13 +415,21 @@ def g07(spark: SparkSession, sf: str) -> DataFrame:
 
     path = f"{_FIXTURES}/HiSeq.10000.vcf.bgz"
     hdr = read_vcf_header_text(path)
-    # persist: the site aggregate and the genotype explosion both consume
-    # the decoded variants — without it the Python VCF decode pass runs
-    # twice (one MapInPandas per branch in the plan)
-    # persist is per-PLAN: repeated g07 builds hit the same cache entry, so
-    # the session pins one decoded copy of the 10k-variant fixture (~MBs),
-    # not one per invocation
-    v = track_persist(VcfSource().read(spark, path))
+    # materialized once: the site aggregate and the genotype explosion both
+    # consume the decoded variants — without a materialization point the
+    # Python VCF decode pass runs twice (one MapInPandas per branch), and a
+    # LAZY persist still runs it twice at drain because the join's
+    # broadcast-prep future races the other branch on the cold cache (the
+    # m04/g09 defect, r13 session 6).  share_subtree keeps the tracked
+    # persist above the small-input gate (unknown size fails safe there)
+    # and swaps in a lazy localCheckpoint below it
+    import os as _os
+
+    try:
+        _src_bytes = _os.path.getsize(path)
+    except OSError:
+        _src_bytes = -1
+    v = share_subtree(VcfSource().read(spark, path), _src_bytes)
     info = promote_info(v, hdr)
     site = info.groupBy("contig").agg(
         F.count(F.lit(1)).alias("n_sites"),

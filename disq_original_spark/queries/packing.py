@@ -36,9 +36,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..cache import lineage_cut, track_persist
+from ..cache import lineage_cut, share_subtree
 from ..functions import tokens
-from ..tables import load_table, load_wide
+from ..tables import load_table, load_wide, table_bytes
 from .registry import QUERIES, query
 
 _N_BUCKETS = 8
@@ -573,12 +573,17 @@ def p06(spark: SparkSession, sf: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
-    # persisted: feats feeds BOTH the bucket histogram and the per-doc
-    # scoring join — without it the full-corpus tokenize + md5 pass (the
-    # dominant cost) runs twice
-    feats = track_persist(td.select(
+    # materialized once: feats feeds BOTH the bucket histogram and the
+    # per-doc scoring join — without a materialization point the
+    # full-corpus tokenize + md5 pass (the dominant cost) runs twice, and
+    # a LAZY persist still runs it twice at bench scale because the
+    # ratios broadcast's prep future races the scoring branch on the cold
+    # cache (the m04/g09 defect, r13 session 6).  share_subtree keeps the
+    # tracked persist above the small-input gate and swaps in a lazy
+    # localCheckpoint below it
+    feats = share_subtree(td.select(
         "doc_id", "lang", F.explode(F.concat(unigrams, bigrams)).alias("b")
-    ))
+    ), table_bytes(sf, "documents"))
     hist = feats.groupBy("b").agg(
         F.count(F.lit(1)).alias("cr"),
         F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
