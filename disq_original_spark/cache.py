@@ -18,6 +18,12 @@ unexecuted DataFrames), so only the caller that runs the action knows when
 release is safe.  Unpersisting is always correctness-neutral — Spark
 recomputes the subtree from lineage — so releasing "too early" can only
 cost time, never rows.
+
+Lazy ``localCheckpoint`` frames (:func:`lineage_cut`) are tracked the same
+way (r14, ADVICE r13): their backing RDD blocks live in executor storage
+outside the SQL cache, so ``clearCache()`` never frees them and GC-based
+cleanup is nondeterministic — :func:`release_persists` unpersists the
+checkpointed RDDs explicitly so a long sweep cannot accumulate them.
 """
 
 from __future__ import annotations
@@ -26,9 +32,12 @@ import logging
 
 from pyspark.sql import DataFrame
 
+from .tables import small_input_threshold
+
 _LOG = logging.getLogger(__name__)
 
 _TRACKED: list[tuple[DataFrame, bool]] = []
+_CHECKPOINTED: list[DataFrame] = []
 
 
 def track_persist(df: DataFrame, eager: bool = False) -> DataFrame:
@@ -80,16 +89,12 @@ def persist_if_material(
     ``source_bytes < 0`` means "size unknown" (e.g. a non-local store the
     caller did not stat): persist — fail safe in the direction of scale.
     The threshold is the shared small-input crossover knob
-    (``SPARK_GRAFT_SMALL_INPUT_BYTES``, see ``tables.small_input``) so a
-    deployment tunes ONE number for where latency-dominated ends and
-    throughput-dominated begins.
+    (``SPARK_GRAFT_SMALL_INPUT_BYTES``, read through ONE helper —
+    ``tables.small_input_threshold`` — shared with ``tables.small_input``
+    and :func:`share_subtree`) so a deployment tunes ONE number for where
+    latency-dominated ends and throughput-dominated begins.
     """
-    import os
-
-    min_bytes = int(
-        os.environ.get("SPARK_GRAFT_SMALL_INPUT_BYTES", str(256 * 1024 * 1024))
-    )
-    if 0 <= source_bytes < min_bytes:
+    if 0 <= source_bytes < small_input_threshold():
         return df
     return track_persist(df, eager=eager)
 
@@ -101,7 +106,13 @@ def share_subtree(df: DataFrame, source_bytes: int, eager: bool = False) -> Data
     - ABOVE the small-input gate: a tracked persist
       (:func:`persist_if_material` behavior) — fault-tolerant and
       recomputable from lineage, the established production posture for
-      corpus-sized shared passes.
+      corpus-sized shared passes.  This is also why EVERY query-path
+      materialization point must route through here rather than calling
+      :func:`lineage_cut` bare (r14, VERDICT r13 #1): ``localCheckpoint``
+      stores blocks on executor-local storage with lineage truncated, so on
+      a real cluster losing one executor after materialization makes the
+      query unrecoverable — acceptable at bench scale where there is one
+      process, wrong at 100 TB where executor churn is routine.
     - BELOW the gate: a lazy ``localCheckpoint`` (:func:`lineage_cut`).
       Returning the frame UNMATERIALIZED (the old below-gate behavior) left
       every reference re-evaluating the whole subtree — d14's bench plan ran
@@ -110,17 +121,13 @@ def share_subtree(df: DataFrame, source_bytes: int, eager: bool = False) -> Data
       or InMemoryRelation statistics wall.
 
     The gate is the same knob as :func:`persist_if_material`
-    (``SPARK_GRAFT_SMALL_INPUT_BYTES``); ``source_bytes < 0`` means unknown
+    (``SPARK_GRAFT_SMALL_INPUT_BYTES``, read through
+    ``tables.small_input_threshold``); ``source_bytes < 0`` means unknown
     size and fails safe toward the persist.  Plan-contract tests reach the
     production shape by zeroing the gate and the bare recompute shape via
     ``SPARK_GRAFT_NO_LCKPT=1``.
     """
-    import os
-
-    min_bytes = int(
-        os.environ.get("SPARK_GRAFT_SMALL_INPUT_BYTES", str(256 * 1024 * 1024))
-    )
-    if 0 <= source_bytes < min_bytes:
+    if 0 <= source_bytes < small_input_threshold():
         return lineage_cut(df)
     return track_persist(df, eager=eager)
 
@@ -149,19 +156,31 @@ def lineage_cut(df: DataFrame) -> DataFrame:
     ``SPARK_GRAFT_NO_LCKPT=1`` returns ``df`` unchanged — the
     plan-contract tests use it to pin the full production plan SHAPE that
     the checkpoint otherwise hides behind a ``Scan ExistingRDD``.
+
+    Query builders must not call this bare: route through
+    :func:`share_subtree` so production-scale runs get the fault-tolerant
+    persist instead of a truncated-lineage local checkpoint (pinned by
+    ``tests/test_cache_hygiene.py::test_no_bare_lineage_cut_in_query_paths``).
+    The checkpointed frame is registered so :func:`release_persists` can
+    free its executor-storage blocks deterministically.
     """
     import os
 
     if os.environ.get("SPARK_GRAFT_NO_LCKPT") == "1":
         return df
-    return df.localCheckpoint(eager=False)
+    cdf = df.localCheckpoint(eager=False)
+    _CHECKPOINTED.append(cdf)
+    return cdf
 
 
 def release_persists() -> int:
-    """Unpersist every tracked DataFrame (non-blocking) and clear the
-    registry.  Returns how many were released.  Safe to call at any time:
-    unpersist never changes results, only whether subtrees recompute."""
-    n = len(_TRACKED)
+    """Unpersist every tracked DataFrame (non-blocking), free every tracked
+    lazy checkpoint's backing RDD blocks, and clear both registries.
+    Returns how many frames were released.  Safe to call at any time:
+    unpersist never changes results, only whether subtrees recompute (and a
+    released checkpoint frame is simply never read again — builders are
+    rebuilt fresh per run)."""
+    n = len(_TRACKED) + len(_CHECKPOINTED)
     for df, _eager in _TRACKED:
         try:
             df.unpersist()
@@ -172,6 +191,16 @@ def release_persists() -> int:
             _LOG.warning("release_persists: unpersist failed (%s: %s)",
                          type(exc).__name__, exc)
     _TRACKED.clear()
+    for cdf in _CHECKPOINTED:
+        try:
+            # a localCheckpoint's blocks live on the backing RDD, reachable
+            # via the LogicalRDD plan node — outside the SQL cache, so
+            # neither unpersist() nor clearCache() would free them
+            cdf._jdf.queryExecution().logical().rdd().unpersist(False)
+        except Exception as exc:
+            _LOG.warning("release_persists: checkpoint unpersist failed (%s: %s)",
+                         type(exc).__name__, exc)
+    _CHECKPOINTED.clear()
     return n
 
 

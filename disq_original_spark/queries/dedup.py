@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cache import lineage_cut, persist_if_material, share_subtree
+from ..cache import persist_if_material, share_subtree
 from ..tables import load_table, load_wide, table_bytes
 from .registry import query
 
@@ -383,17 +383,20 @@ def d05(spark: SparkSession, sf: str) -> DataFrame:
             {"a_id": ids[ai[mask]], "b_id": ids[bi[mask]], "cos_sim": gram[ai, bi][mask]}
         )
 
-    # Lazy localCheckpoint between the Python gram pass and the global sort:
-    # the orderBy's range-sampling job otherwise re-runs the whole
+    # Materialization point between the Python gram pass and the global
+    # sort: the orderBy's range-sampling job otherwise re-runs the whole
     # applyInPandas stage (sampling pass + sort pass = two evaluations).
     # r13 interleaved A/B (min/med of 6, sf0.1): 1.422/1.704 s ->
-    # 1.207/1.296 s, faster in all six rounds.  The checkpointed frame is
+    # 1.207/1.296 s, faster in all six rounds.  The materialized frame is
     # the thresholded pair list — tiny next to the gram pass at any scale.
+    # share_subtree, not a bare lineage_cut (r14): above the gate the
+    # tracked persist keeps the run recoverable from lineage on executor
+    # loss; below it the lazy localCheckpoint is the measured r13 shape.
     return (
         e.repartition("label")
         .groupBy("label")
         .applyInPandas(block_pairs, "a_id long, b_id long, cos_sim double")
-        .transform(lineage_cut)
+        .transform(lambda d: share_subtree(d, table_bytes(sf, "embeddings")))
         .orderBy("a_id", "b_id")
     )
 
@@ -468,9 +471,11 @@ def d06(spark: SparkSession, sf: str) -> DataFrame:
     return (
         d.select("doc_id", "text")
         .mapInPandas(gen, "doc_id long, simhash string")
-        # lineage cut: no shuffle below the sort, so without it the whole
-        # Python tokenize+md5 pass runs twice (range sampler + sort)
-        .transform(lineage_cut)
+        # materialize before the sort: no shuffle below it, so without a
+        # materialization point the whole Python tokenize+md5 pass runs
+        # twice (range sampler + sort).  share_subtree (r14): recoverable
+        # persist above the gate, lazy localCheckpoint below it.
+        .transform(lambda d: share_subtree(d, table_bytes(sf, "documents")))
         .orderBy("doc_id")
     )
 
@@ -724,9 +729,15 @@ def d09(spark: SparkSession, sf: str) -> DataFrame:
     Nothing ever pairs doc×doc; verdict rows are the only output."""
     # the signature pass feeds BOTH band branches (old postings + new-batch
     # probe) — without a materialization point the MapInPandas corpus pass
-    # evaluates once per branch; the lazy checkpoint holds the slim
-    # ~70 B/doc signature rows instead (r13 session 5, the §10/§11 lens)
-    sig = lineage_cut(_doc_signatures(spark, sf))
+    # evaluates once per branch; the materialized frame holds the slim
+    # ~70 B/doc signature rows instead (r13 session 5, the §10/§11 lens).
+    # share_subtree, eager (r14, ADVICE r13): above the gate the tracked
+    # persist is fault-tolerant, and eager because the two band branches
+    # are CONCURRENT first consumers that would race a lazy cold cache
+    # (the m04/g09 defect); below the gate the lazy checkpoint as before.
+    sig = share_subtree(
+        _doc_signatures(spark, sf), table_bytes(sf, "documents"), eager=True
+    )
     bands = _band_rows(sig)
     is_new = F.col("doc_id") % _D09_NEW_MOD == 7
     d = load_table(spark, sf, "documents").select(
@@ -860,7 +871,10 @@ def d10(spark: SparkSession, sf: str) -> DataFrame:
             cluster_dedup,
             "vec_id long, cluster_id long, max_sim_prev double, is_dropped boolean",
         )
-        .transform(lineage_cut)
+        # materialize the slim verdict rows so the sort's range sampler
+        # cannot re-run the per-cluster gram pass; share_subtree (r14):
+        # recoverable persist above the gate, lazy checkpoint below
+        .transform(lambda d: share_subtree(d, table_bytes(sf, "embeddings")))
         .orderBy("vec_id")
     )
 

@@ -20,8 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType, TimestampType
 
-from ..cache import lineage_cut, share_subtree
-from ..tables import load_table
+from ..cache import share_subtree
+from ..tables import load_table, path_bytes
 from .registry import query
 
 _INTERVALS = [
@@ -423,13 +423,7 @@ def g07(spark: SparkSession, sf: str) -> DataFrame:
     # m04/g09 defect, r13 session 6).  share_subtree keeps the tracked
     # persist above the small-input gate (unknown size fails safe there)
     # and swaps in a lazy localCheckpoint below it
-    import os as _os
-
-    try:
-        _src_bytes = _os.path.getsize(path)
-    except OSError:
-        _src_bytes = -1
-    v = share_subtree(VcfSource().read(spark, path), _src_bytes)
+    v = share_subtree(VcfSource().read(spark, path), path_bytes(path))
     info = promote_info(v, hdr)
     site = info.groupBy("contig").agg(
         F.count(F.lit(1)).alias("n_sites"),
@@ -597,9 +591,7 @@ def g09(spark: SparkSession, sf: str) -> DataFrame:
     # contract re-scans the source to re-attach columns never read here).
     # source_bytes drives the signature frame's materialization mechanism
     # (persist above the gate, lazy checkpoint below — cache.share_subtree)
-    import os
-
-    marked = duplicate_flags(reads, header, source_bytes=os.path.getsize(path))
+    marked = duplicate_flags(reads, header, source_bytes=path_bytes(path))
     return (
         marked.groupBy(F.coalesce("rname", F.lit("*")).alias("contig"))
         .agg(
@@ -904,7 +896,11 @@ def g14(spark: SparkSession, sf: str) -> DataFrame:
         F.col("info")["AF"].try_cast("double").alias("af"),
         count_eq("1").alias("ac"),
         (F.size(alleles) - count_eq(".")).cast("long").alias("an"),
-    ).transform(lineage_cut).orderBy("contig", "pos", "allele_idx")
+    ).transform(
+        # share_subtree (r14): recoverable persist above the gate, the
+        # measured lazy localCheckpoint below it
+        lambda d: share_subtree(d, path_bytes(path))
+    ).orderBy("contig", "pos", "allele_idx")
 
 
 def _allele_eq(val: str):
@@ -1225,7 +1221,11 @@ def g19(spark: SparkSession, sf: str) -> DataFrame:
         gc.cast("long").alias("gc_count"),
         nn.cast("long").alias("n_count"),
         F.round(gc / n_len, 4).alias("gc_frac"),
-    ).transform(lineage_cut).orderBy("contig", "w_start")
+    ).transform(
+        # share_subtree (r14): recoverable persist above the gate, the
+        # measured lazy localCheckpoint below it
+        lambda d: share_subtree(d, path_bytes(f"{_FIXTURES}/valid.fasta"))
+    ).orderBy("contig", "w_start")
 
 
 # ------------------------------------------------- g20 k-mer spectrum
@@ -1359,7 +1359,11 @@ def g21(spark: SparkSession, sf: str) -> DataFrame:
         n_cg.cast("long").alias("n_cg"),
         obs_exp.alias("obs_exp"),
         ((gc_pct > 0.5) & (obs_exp > 0.6)).alias("is_island"),
-    ).transform(lineage_cut).orderBy("contig", "w_start")
+    ).transform(
+        # share_subtree (r14): recoverable persist above the gate, the
+        # measured lazy localCheckpoint below it
+        lambda d: share_subtree(d, path_bytes(f"{_FIXTURES}/valid.fasta"))
+    ).orderBy("contig", "w_start")
 
 
 # -------------------------------------------------- g22 runs of homozygosity

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..cache import lineage_cut, share_subtree
+from ..cache import share_subtree
 from ..operators.mediacontainers import (
     _Y4M_FIXED,
     WAV_HEADER_SIZE,
@@ -96,7 +96,9 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf, "documents"))
     return (
         media.select("media_id", "kind", F.octet_length("data").cast("long").alias("n_bytes"))
-        .transform(lineage_cut)
+        # share_subtree (r14): recoverable persist above the gate, the
+        # measured lazy localCheckpoint below it
+        .transform(lambda d: share_subtree(d, table_bytes(sf, "documents")))
         .orderBy("media_id")
     )
 
@@ -161,7 +163,13 @@ def m01(spark: SparkSession, sf: str) -> DataFrame:
 )
 def m02(spark: SparkSession, sf: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf, "documents"))
-    return extract_features(media).transform(lineage_cut).orderBy("media_id")
+    # share_subtree (r14): recoverable persist above the gate, the
+    # measured lazy localCheckpoint below it
+    return (
+        extract_features(media)
+        .transform(lambda d: share_subtree(d, table_bytes(sf, "documents")))
+        .orderBy("media_id")
+    )
 
 
 @query(
@@ -193,7 +201,9 @@ def m03(spark: SparkSession, sf: str) -> DataFrame:
             "n_bytes",
             F.md5("frame_data").alias("frame_digest"),
         )
-        .transform(lineage_cut)
+        # share_subtree (r14): recoverable persist above the gate, the
+        # measured lazy localCheckpoint below it
+        .transform(lambda d: share_subtree(d, table_bytes(sf, "documents")))
         .orderBy("media_id", "frame_idx")
     )
 
@@ -232,7 +242,13 @@ def m03(spark: SparkSession, sf: str) -> DataFrame:
 )
 def m05(spark: SparkSession, sf: str) -> DataFrame:
     media = documents_as_media(load_table(spark, sf, "documents"))
-    return audio_frames(media).transform(lineage_cut).orderBy("media_id", "frame_idx")
+    # share_subtree (r14): recoverable persist above the gate, the
+    # measured lazy localCheckpoint below it
+    return (
+        audio_frames(media)
+        .transform(lambda d: share_subtree(d, table_bytes(sf, "documents")))
+        .orderBy("media_id", "frame_idx")
+    )
 
 
 # ------------------------------------------------- m04 perceptual-hash dedup

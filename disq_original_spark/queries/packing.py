@@ -36,7 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..cache import lineage_cut, share_subtree
+from ..cache import share_subtree
 from ..functions import tokens
 from ..tables import load_table, load_wide, table_bytes
 from .registry import QUERIES, query
@@ -125,7 +125,9 @@ def p01(spark: SparkSession, sf: str) -> DataFrame:
         # half-away-from-zero on positive values (Python's round() is
         # half-to-even and disagrees at e.g. 232/256 = 0.90625).
         .withColumn("fill", F.round(F.col("seq_tokens") / float(_CAPACITY), 4))
-        .transform(lineage_cut)
+        # share_subtree (r14): recoverable persist above the gate, the
+        # measured lazy localCheckpoint below it
+        .transform(lambda d: share_subtree(d, table_bytes(sf, "documents")))
         .orderBy("bucket", "seq_idx")
     )
 

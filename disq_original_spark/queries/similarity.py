@@ -22,9 +22,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..cache import lineage_cut
+from ..cache import share_subtree
 from ..functions import cosine_similarity
-from ..tables import load_table
+from ..tables import load_table, table_bytes
 from .registry import query
 
 _K = 10
@@ -824,7 +824,9 @@ def s07(spark: SparkSession, sf: str) -> DataFrame:
         b.repartition("bucket")
         .groupBy("bucket")
         .applyInPandas(bucket_topk, "src long, dst long, cos_sim double, rank int")
-        .transform(lineage_cut)
+        # share_subtree (r14): recoverable persist above the gate, the
+        # measured lazy localCheckpoint below it
+        .transform(lambda d: share_subtree(d, table_bytes(sf, "embeddings")))
         .orderBy("src", "rank")
     )
 
@@ -965,12 +967,19 @@ def s09(spark: SparkSession, sf: str) -> DataFrame:
     # evaluation of the corpus-pass seed graph instead of ~6, stored as
     # O(edges) longs; recomputability of the truncated lineage is not
     # needed for a within-query intermediate.
+    # share_subtree (r14): the seed graph has several CONCURRENT consumers
+    # downstream (both und branches, both join sides), so above the gate an
+    # EAGER tracked persist both keeps fault tolerance and avoids the
+    # lazy-persist cold-cache race; below the gate the lazy localCheckpoint
+    # is the measured r13 shape.
     g = (
         s07(spark, sf)
         .select("src", "dst")
         .unionByName(rnd)
         .distinct()
-        .transform(lineage_cut)
+        .transform(
+            lambda d: share_subtree(d, table_bytes(sf, "embeddings"), eager=True)
+        )
     )
     und = g.unionByName(
         g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

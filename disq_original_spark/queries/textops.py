@@ -16,8 +16,8 @@ from ..functions import (
     stopword_count,
     tokens,
 )
-from ..cache import lineage_cut
-from ..tables import load_table, load_wide, small_input
+from ..cache import share_subtree
+from ..tables import load_table, load_wide, small_input, table_bytes
 from .registry import query
 
 _STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
@@ -256,8 +256,10 @@ def t06(spark: SparkSession, sf: str) -> DataFrame:
     return (
         d.select("doc_id", "text")
         .mapInPandas(gen, "doc_id long, n_fp int, fp_digest string")
-        # lineage cut: shuffle-free below the sort; one winnowing pass, not two
-        .transform(lineage_cut)
+        # materialize: shuffle-free below the sort — one winnowing pass,
+        # not two.  share_subtree (r14): recoverable persist above the
+        # gate, lazy localCheckpoint below (the measured r13 shape).
+        .transform(lambda d: share_subtree(d, table_bytes(sf, "documents")))
         .orderBy("doc_id")
     )
 
@@ -453,8 +455,10 @@ def t08(spark: SparkSession, sf: str) -> DataFrame:
                 & (dupf < 0.6)
             ).alias("gopher_pass"),
         )
-        # lineage cut: shuffle-free below the sort; one Counter pass, not two
-        .transform(lineage_cut)
+        # materialize: shuffle-free below the sort — one Counter pass, not
+        # two.  share_subtree (r14): recoverable persist above the gate,
+        # lazy localCheckpoint below (the measured r13 shape).
+        .transform(lambda d: share_subtree(d, table_bytes(sf, "documents")))
         .orderBy("doc_id")
     )
 
@@ -1523,10 +1527,11 @@ def t18(spark: SparkSession, sf: str) -> DataFrame:
             ln.alias("n_tokens"),
             F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
         )
-        # lineage cut: the split+explode+md5 chain is shuffle-free below the
-        # sort, so the range sampler re-ran all of it; the checkpointed rows
-        # are exactly what the sort exchange ships anyway
-        .transform(lineage_cut)
+        # materialize: the split+explode+md5 chain is shuffle-free below the
+        # sort, so the range sampler re-ran all of it; the materialized rows
+        # are exactly what the sort exchange ships anyway.  share_subtree
+        # (r14): recoverable persist above the gate, lazy checkpoint below.
+        .transform(lambda d: share_subtree(d, table_bytes(sf, "documents")))
         .orderBy("doc_id", "chunk_id")
     )
 

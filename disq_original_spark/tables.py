@@ -67,16 +67,37 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+def small_input_threshold() -> int:
+    """The shared latency-vs-throughput crossover knob, in bytes
+    (``SPARK_GRAFT_SMALL_INPUT_BYTES``, default 256 MiB).  ONE reader for
+    the gate every scale-dependent decision keys on (``small_input``,
+    ``cache.persist_if_material``, ``cache.share_subtree``) so the knob's
+    name and default can never silently diverge between callers."""
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_SMALL_INPUT_BYTES", str(256 * 1024 * 1024))
+    )
+
+
+def path_bytes(path: str) -> int:
+    """``os.path.getsize`` with the ``table_bytes`` unknown-size contract:
+    -1 when the path cannot be stat'd locally (non-local store) — callers
+    treat unknown as "large" so every scale-gated decision fails safe in
+    the direction of cluster scale."""
+    import os
+
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return -1
+
+
 def table_bytes(sf_dir: str, name: str) -> int:
     """On-disk size of a testdata table, or -1 when it cannot be stat'd
     locally (non-local store) — callers treat unknown as "large" so every
     scale-gated decision fails safe in the direction of cluster scale."""
-    import os
-
-    try:
-        return os.path.getsize(f"{sf_dir}/{name}.parquet")
-    except OSError:
-        return -1
+    return path_bytes(f"{sf_dir}/{name}.parquet")
 
 
 def small_input(sf_dir: str, name: str) -> bool:
@@ -89,13 +110,8 @@ def small_input(sf_dir: str, name: str) -> bool:
     ``table_bytes == -1``) the cluster-scale shape — persisted shared
     subtrees, skew-splittable joins — is the right one and callers must
     choose it."""
-    import os
-
-    thresh = int(
-        os.environ.get("SPARK_GRAFT_SMALL_INPUT_BYTES", str(256 * 1024 * 1024))
-    )
     b = table_bytes(sf_dir, name)
-    return 0 <= b < thresh
+    return 0 <= b < small_input_threshold()
 
 
 def load_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

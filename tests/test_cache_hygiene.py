@@ -133,3 +133,51 @@ def test_entry_contract_releases_previous_build(spark):
     assert tracked_count() > 0
     qs["q02_filter"](spark, "/root/testdata/sf0.001")  # non-persisting build
     assert tracked_count() == 0
+
+
+def test_no_bare_lineage_cut_in_query_paths():
+    """VERDICT r13 #1: a bare ``lineage_cut`` (localCheckpoint) in a query
+    path trades fault tolerance away at EVERY scale — on a real cluster,
+    losing one executor after materialization makes the query
+    unrecoverable (lineage is truncated).  Every query-path
+    materialization point must route through ``cache.share_subtree`` so
+    production-scale runs (above the small-input gate) get a recoverable
+    tracked persist.  The one sanctioned direct ``localCheckpoint`` user
+    is operators/graph.py's connected-components loop, where per-round
+    lineage truncation is the algorithm's documented requirement (plan
+    growth is exponential in rounds without it)."""
+    import ast
+    import pathlib
+
+    import disq_original_spark as pkg
+
+    root = pathlib.Path(pkg.__file__).parent
+    offenders: list[str] = []
+    for sub in ("queries", "operators", "streaming"):
+        for f in sorted((root / sub).glob("*.py")):
+            tree = ast.parse(f.read_text())
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Name) and node.id == "lineage_cut":
+                    offenders.append(f"{sub}/{f.name}:{node.lineno} lineage_cut")
+                if (
+                    isinstance(node, ast.Attribute)
+                    and node.attr == "localCheckpoint"
+                    and f.name != "graph.py"
+                ):
+                    offenders.append(f"{sub}/{f.name}:{node.lineno} localCheckpoint")
+    assert offenders == [], offenders
+
+
+def test_release_frees_checkpoint_blocks(spark, sf_dir, monkeypatch):
+    """Below the gate share_subtree lazily localCheckpoints; those blocks
+    live OUTSIDE the SQL cache, so release_persists must free them
+    explicitly (ADVICE r13) — a long sweep must not accumulate
+    checkpointed RDDs until GC happens to run."""
+    monkeypatch.delenv("SPARK_GRAFT_SMALL_INPUT_BYTES", raising=False)
+    df = QUERIES["p01_sequence_packing"].build(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # materializes the lckpt
+    assert _persistent_rdd_count(spark) > 0, "expected checkpoint blocks"
+    release_persists()
+    assert _persistent_rdd_count(spark) == 0, (
+        "checkpointed RDD blocks survived release_persists"
+    )
