@@ -40,14 +40,19 @@ def _drain_to_memory(
     ``spark.sql.shuffle.partitions`` AT QUERY START, and every state
     partition costs a store instance + task per micro-batch — pure overhead
     when state cardinality (windows × types, open sessions, distinct keys in
-    the horizon) is far below the batch shuffle width.  Size it to ~cores/4
-    with a floor of 8: on a 1000-executor cluster that still yields
-    thousands of state partitions, while the local harness stops paying 32
-    store instances to hold a few hundred groups (measured: st01 1.37 s →
-    0.80 s at sf0.1).  The batch conf is restored after the drain."""
+    the horizon) is far below the batch shuffle width.  Size it to ~cores/8
+    with a floor of 4: on a 1000-core cluster that still yields over a
+    hundred state partitions, while the local harness stops paying store
+    instances to hold a few thousand groups.  r12 measured cores/4+floor-8
+    at st01 1.37 s → 0.80 s vs the raw 32; the r14 re-profile (stage table:
+    the drain's 8-task state stage carried 1.4-2.8 task-seconds against a
+    ~1.0 s measured machinery floor for a stateless drain) showed remaining
+    headroom, and the interleaved A/B at sf0.1 (min/med of 6) confirmed:
+    8 parts 1.406/1.651 s → 4 parts 1.211/1.414 s, faster in all six
+    rounds.  The batch conf is restored after the drain."""
     name = f"st_sink_{key}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    state_parts = max(8, spark.sparkContext.defaultParallelism // 4)
+    state_parts = max(4, spark.sparkContext.defaultParallelism // 8)
     spark.conf.set("spark.sql.shuffle.partitions", str(state_parts))
     try:
         q = (
