@@ -155,12 +155,25 @@ def _doc_signatures(spark: SparkSession, sf: str) -> DataFrame:
 
 def _band_rows(sig: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_key) rows from a signature frame — the LSH
-    banding shared by d03 (within-corpus pairs) and d09 (incremental)."""
+    banding shared by d03 (within-corpus pairs) and d09 (incremental).
+
+    band_key is the 8-BYTE BINARY form of the two 8-hex-char minhash
+    slots (unhex of their concat), not the 16-char hex string: the key is
+    internal-only (grouped and joined on, never output) and fixed-width
+    hex <-> bytes is a bijection, so every bucket is the same set while
+    the band exchanges of d03/d07/d09/d12/d13/d14 ship half the key bytes
+    (the d08 posture, guide §2.3 "narrower types").  r14 measured at
+    sf0.1 / 8 cores: band-exchange shuffle write 498,835 -> 433,458 B
+    (-13%; rows also carry doc_id/band_idx and hex compresses well), wall
+    flat-to-slightly-better interleaved at 32 cores, all six oracle twins
+    green — at 100 TB this exchange carries 4 rows per corpus document."""
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias("band_key"),
+                F.unhex(
+                    F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+                ).alias("band_key"),
             )
             for b in range(_N_BANDS)
         ]
@@ -1128,16 +1141,24 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
             lambda d: share_subtree(d, table_bytes(sf, "documents"), eager=True)
         )
     )
-    sa = sig.select(
-        F.col("doc_id").alias("a_id"),
-        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(len(_SLICES))],
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("b_id"),
-        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(len(_SLICES))],
-    )
+    # ship ONE 32-byte binary signature per join side instead of eight
+    # 8-hex-char strings (guide §2.3): slot equality is equality of the
+    # fixed 4-byte slices (8-hex <-> 4-byte is a bijection per slot), so
+    # est_slots is value-identical while each sig row entering the
+    # estimate join carries a third of the bytes.  r14: wall
+    # flat-to-slightly-better interleaved at sf0.1 (2.67/2.89 ->
+    # 2.52/2.83 min/med of 6) — at bench scale the pairs side
+    # auto-broadcasts so no sig exchange exists to shrink; at 100 TB the
+    # pairs frame outgrows the broadcast cap and both sig sides shuffle
+    # by doc id, which is where the 4x key cut pays.
+    sig_bin = F.unhex(F.concat(*[F.col(f"mh{j}") for j in range(len(_SLICES))]))
+    sa = sig.select(F.col("doc_id").alias("a_id"), sig_bin.alias("abin"))
+    sb = sig.select(F.col("doc_id").alias("b_id"), sig_bin.alias("bbin"))
     est_expr = sum(
-        (F.col(f"a{j}") == F.col(f"b{j}")).cast("long") for j in range(len(_SLICES))
+        (
+            F.substring("abin", 1 + 4 * j, 4) == F.substring("bbin", 1 + 4 * j, 4)
+        ).cast("long")
+        for j in range(len(_SLICES))
     )
     est = (
         pairs.join(sa, "a_id")
