@@ -57,6 +57,9 @@ def _rank_topk(scored: DataFrame, k: int = _K) -> DataFrame:
     then touches only that bounded set, so the few-reducer q_id partitioning
     never sees corpus-sized data even for s01's full scan.
     ``tests/test_plans.py::test_similarity_topk_partial_limit`` pins this.
+    (Do NOT pin the q_id exchange's width with an explicit repartition:
+    r14 measured it — the optimizer refuses to push the Partial limit
+    below a user repartition, so the exchange loses its truncation.)
     """
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -1049,6 +1052,16 @@ def s09(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("m"),
         "cos_sim",
     ).select("m.q_id", "m.neighbor_id", "cos_sim")
+    # r14 width-pin experiments, both measured and REJECTED (interleaved
+    # A/B at sf0.1, 6-8 rounds): (a) pinning the v-side join exchange to
+    # core count spread the interpreted dot fold but moved no wall (the
+    # fold is ~0.3 task-seconds across 2 tasks — not the bottleneck);
+    # (b) pinning the rank window's q_id exchange widened the final
+    # row_number stage but DROPPED the Partial WindowGroupLimit (the
+    # optimizer does not push it below a user repartition), growing the
+    # exchange, and was also a wall wash.  The residual s09 wall at bench
+    # scale is driver/job latency over the ~10-job checkpoint+broadcast
+    # chain, not any single stage.
     out = _rank_topk(rescored, _GRAPH_K)
     return out.select(
         F.col("q_id").alias("src"),
