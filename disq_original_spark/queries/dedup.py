@@ -117,14 +117,32 @@ def _doc_signatures(spark: SparkSession, sf: str) -> DataFrame:
     transforms; shipping the shingle arrays through Arrow and breaking
     codegen made it 2× SLOWER than pure-JVM — the transfer, not the
     compute, is what must stay small.  hashlib.md5 hex == Spark md5() ==
-    DuckDB md5(), so oracle parity is exact."""
-    schema = "doc_id long, " + ", ".join(f"mh{j} string" for j in range(len(_SLICES)))
+    DuckDB md5(), so oracle parity is exact.
+
+    The mh slots are emitted as 4-BYTE BINARY slices of the raw digests,
+    not 8-hex-char strings (r14): every Spark consumer treats them as
+    opaque equality/grouping keys (band keys, d14's estimate slots), and
+    fixed-width hex <-> bytes is an order-preserving bijection, so the
+    per-doc minimum over big-endian uint32 slices is the SAME element the
+    oracle's lexicographic hex min selects.  That lets the worker skip hex
+    encoding entirely and take the 8 per-slice minimums as ONE numpy
+    column-min over the packed digest matrix instead of 8 Python
+    comparisons per shingle."""
+    import os
+
+    hex_mode = os.environ.get("SPARK_GRAFT_SIG_HEX") == "1"  # TEMP A/B switch
+    kind = "string" if hex_mode else "binary"
+    schema = "doc_id long, " + ", ".join(
+        f"mh{j} {kind}" for j in range(len(_SLICES))
+    )
 
     def gen(batches):
         import hashlib
 
+        import numpy as np
         import pandas as pd
 
+        md5 = hashlib.md5
         for pdf in batches:
             out: dict[str, list] = {c: [] for c in ("doc_id", *[f"mh{j}" for j in range(len(_SLICES))])}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -134,19 +152,40 @@ def _doc_signatures(spark: SparkSession, sf: str) -> DataFrame:
                     # NULL band_key can never join; omitting the doc gives
                     # the identical pair set.
                     continue
-                mins: list[str | None] = [None] * len(_SLICES)
-                for s in sh:
-                    hexes = [
-                        hashlib.md5(f"{salt}:{s}".encode()).hexdigest()
-                        for salt in _SALTS
-                    ]
-                    for j, (si, p) in enumerate(_SLICES):
-                        piece = hexes[si][p - 1 : p + 7]
-                        if mins[j] is None or piece < mins[j]:
-                            mins[j] = piece
+                if hex_mode:
+                    mins: list[str | None] = [None] * len(_SLICES)
+                    for s in sh:
+                        hexes = [
+                            md5(f"{salt}:{s}".encode()).hexdigest()
+                            for salt in _SALTS
+                        ]
+                        for j, (si, p) in enumerate(_SLICES):
+                            piece = hexes[si][p - 1 : p + 7]
+                            if mins[j] is None or piece < mins[j]:
+                                mins[j] = piece
+                    out["doc_id"].append(doc_id)
+                    for j in range(len(_SLICES)):
+                        out[f"mh{j}"].append(mins[j])
+                    continue
+                # one (n_shingles x 8) big-endian uint32 matrix: row = the
+                # two 16-byte digests of one shingle, columns = the 8
+                # _SLICES positions in order (a-digest slices 0..3 then
+                # b-digest slices 0..3); the column min IS the per-slot
+                # minhash
+                buf = b"".join(
+                    md5(b"a:" + e).digest() + md5(b"b:" + e).digest()
+                    for e in (s.encode() for s in sh)
+                )
+                mins_be = (
+                    np.frombuffer(buf, dtype=">u4")
+                    .reshape(-1, len(_SLICES))
+                    .min(axis=0)
+                    .astype(">u4")
+                    .tobytes()
+                )
                 out["doc_id"].append(doc_id)
                 for j in range(len(_SLICES)):
-                    out[f"mh{j}"].append(mins[j])
+                    out[f"mh{j}"].append(mins_be[4 * j : 4 * j + 4])
             yield pd.DataFrame(out)
 
     d = load_wide(spark, sf, "documents")
@@ -166,15 +205,20 @@ def _band_rows(sig: DataFrame) -> DataFrame:
     sf0.1 / 8 cores: band-exchange shuffle write 498,835 -> 433,458 B
     (-13%; rows also carry doc_id/band_idx and hex compresses well), wall
     flat-to-slightly-better interleaved at 32 cores, all six oracle twins
-    green — at 100 TB this exchange carries 4 rows per corpus document."""
+    green — at 100 TB this exchange carries 4 rows per corpus document.
+    The mh slots arrive binary from _doc_signatures, so the key is a
+    plain concat."""
+    import os
+
+    unhex_needed = os.environ.get("SPARK_GRAFT_SIG_HEX") == "1"  # TEMP A/B
+
+    def key(b: int) -> F.Column:
+        c = F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
+        return F.unhex(c) if unhex_needed else c
+
     band_structs = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                F.unhex(
-                    F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))
-                ).alias("band_key"),
-            )
+            F.struct(F.lit(b).alias("band_idx"), key(b).alias("band_key"))
             for b in range(_N_BANDS)
         ]
     )
@@ -1151,7 +1195,11 @@ def d14(spark: SparkSession, sf: str) -> DataFrame:
     # auto-broadcasts so no sig exchange exists to shrink; at 100 TB the
     # pairs frame outgrows the broadcast cap and both sig sides shuffle
     # by doc id, which is where the 4x key cut pays.
-    sig_bin = F.unhex(F.concat(*[F.col(f"mh{j}") for j in range(len(_SLICES))]))
+    import os
+
+    sig_bin = F.concat(*[F.col(f"mh{j}") for j in range(len(_SLICES))])
+    if os.environ.get("SPARK_GRAFT_SIG_HEX") == "1":  # TEMP A/B switch
+        sig_bin = F.unhex(sig_bin)
     sa = sig.select(F.col("doc_id").alias("a_id"), sig_bin.alias("abin"))
     sb = sig.select(F.col("doc_id").alias("b_id"), sig_bin.alias("bbin"))
     est_expr = sum(
